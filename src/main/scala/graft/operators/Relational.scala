@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY §2), expressed as batch DataFrame
+  * transforms over the testdata star schema. Each function is the *logical
+  * query* — the streaming variants in [[graft.streaming]] reuse the same
+  * shapes over `readStream` sources.
+  *
+  * Scale notes (100 TB): every aggregation here is a hash aggregate with
+  * map-side partial combine; every join is keyed (never Cartesian) so AQE
+  * picks broadcast vs shuffled-hash vs sort-merge from runtime stats; window
+  * functions partition by high-cardinality keys (custkey/user_id), so state
+  * per partition stays bounded.
+  */
+object Relational {
+
+  /** T1 ≙ WordCountApp.java:62-64 — uppercase projection, key untouched.
+    * Narrow transform: no shuffle, scan-projection only. */
+  def uppercaseProjection(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), upper(col("text")).as("text_upper"))
+
+  /** T2 ≙ OrderStreamConsumer.java:33-45 — typed scan of orders.
+    * The Dataset[Order] round-trip is exercised in tests; the query itself
+    * is a full scan so the driver compare covers every column/type. */
+  def typedScan(orders: DataFrame): DataFrame = orders
+
+  /** T3 ≙ ProductCountApp.java:92-140 — re-key by customer, drop null keys,
+    * running count per key. One shuffle on the group key; partial
+    * aggregation happens map-side for free. */
+  def runningCountByCustomer(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey").cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T4/T5 ≙ OrderCountTumblingWindow.java:88-92, StreamsOrderCount.java:122-127
+    * — tumbling count per (key, 1-minute epoch-aligned window). The
+    * `window()` struct is Spark's `Windowed<K>`; we project its start so the
+    * result schema is flat and oracle-comparable. */
+  def tumblingCount(events: DataFrame, keyCol: String, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("key"), col("cnt"))
+
+  /** T6 ≙ windows/tumbling/FraudDetectionApp.java:38-57 — tumbling count +
+    * threshold alert (count > 3). Filter sits above the aggregate exactly
+    * like the reference's post-aggregation `if`. Window widened to 1 day so
+    * the testdata's event density actually trips the threshold. */
+  def windowedFraud(events: DataFrame, threshold: Long): DataFrame =
+    tumblingCount(events, "user_id", "1 day").filter(col("cnt") > threshold)
+
+  /** T7 ≙ CreditCardTransactions.java:13-59 — sliding-window count with the
+    * reference's comment-trace semantics: for each event at time t, the
+    * window [t, t+5min) and the count of same-key events inside it.
+    * Batch form: a range-frame window function over epoch-micros — one
+    * shuffle on the key, sorted within partition, O(n) sweep. The exact
+    * streaming implementation lives in [[graft.streaming.SlidingCounts]]. */
+  def slidingCount(events: DataFrame, sizeMinutes: Int): DataFrame = {
+    val micros = expr("unix_micros(ts)")
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(micros)
+      .rangeBetween(0, sizeMinutes * 60L * 1000000L - 1) // [t, t+size)
+    events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts").as("window_start"),
+      count(lit(1)).over(w).as("cnt"))
+  }
+
+  /** T8 ≙ StreamStreamJoinExample.java:107-123 — windowed stream-stream
+    * inner equi-join: orders ⋈ lineitem on order key, lineitem shipped
+    * within [orderdate, orderdate + 5 days]. Planner sees an equi-join with
+    * a residual range predicate → shuffled hash/sort-merge on the key, never
+    * a Cartesian; the ±window in streaming form bounds the join state. */
+  def streamStreamJoin(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(
+      lineitem,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 5 DAYS"),
+      "inner")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("o_orderdate"), col("l_shipdate"))
+
+  /** T9 ≙ StreamTableJoinExample.java:50-172 — stream-table enrichment join:
+    * each order looks up its customer (inner: orders without a customer row
+    * drop out). The dimension side carries no hint — at test scale AQE
+    * broadcasts it; at 100 TB a huge dim falls back to shuffled join on the
+    * same key. */
+  def enrichmentJoin(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("c_name"), col("c_mktsegment"))
+
+  /** T9 nested output shape ≙ models/EnrichedOrder.java:5-6 — the same join
+    * but projected as the reference's nested {order, customer} struct. */
+  def enrichmentJoinNested(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select(
+        struct(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate")).as("order"),
+        struct(col("c_custkey"), col("c_name"), col("c_mktsegment")).as("customer"))
+
+  /** T10 ≙ processor/FraudProcessor.java:36-84 — the custom stateful
+    * processor as a batch query: keep orders ≥ `minAmount`, per-customer
+    * running count in (orderdate, orderkey) order, alert on every order
+    * past `countThreshold` (the reference alerts on the 4th, 5th, … —
+    * FIXTURES.md golden). The filter is applied *before* the window
+    * (predicate pushdown to the scan), exactly the reference's early skip.
+    * Streaming form: [[graft.streaming.FraudDetector]]. */
+  def fraudRunningCount(orders: DataFrame, minAmount: Double, countThreshold: Long): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .filter(col("o_totalprice") >= minAmount)
+      .select(
+        col("o_custkey").cast("string").as("key"),
+        col("o_orderkey").as("order_key"),
+        count(lit(1)).over(w).as("running_cnt"))
+      .filter(col("running_cnt") > countThreshold)
+      .withColumn("alert",
+        format_string("Fraud alert! Customer %s placed %s high-value orders.",
+          col("key"), col("running_cnt")))
+  }
+
+  /** Event-time parse chain ≙ OrderTimestampStreamApp.java:136-208 over the
+    * events table: props.k interpreted as epoch millis through the full
+    * ISO-instant → ISO-date → epoch → fallback chain. */
+  def eventTimeParse(events: DataFrame): DataFrame = {
+    import graft.functions.Funcs
+    events.select(
+      col("event_id"),
+      Funcs.eventTimeChain(get_json_object(col("props"), "$.k"), col("ts")).as("event_time"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.functions.Funcs
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the reference topologies (SURVEY §2.7,
+  * §3). Batch logical shapes live in [[graft.operators.Relational]]; these
+  * are the `readStream` pipelines with watermarks, update-mode aggregates,
+  * and user state — the parts that are genuinely streaming-native.
+  *
+  * Conventions (SURVEY §1.2): a stream is a DataFrame with a `key: String`
+  * column and an `eventTime: Timestamp` column; grace period 0 ⇔
+  * `withWatermark(eventTime, "0 seconds")` (late rows dropped, NoGrace
+  * parity). State stores checkpoint via the query's checkpointLocation;
+  * at scale flip `spark.sql.streaming.stateStore.providerClass` to RocksDB.
+  */
+object StreamOps {
+
+  /** T3 ≙ ProductCountApp — unwindowed running count per key in update
+    * output mode: every trigger emits the changed (key, cnt) rows, exactly
+    * the KTable changelog the reference prints. */
+  def runningCount(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T4/T5/T6 ≙ tumbling windowed count with grace `graceSeconds`
+    * (0 = NoGrace parity: the watermark IS the grace period). */
+  def tumblingCount(stream: DataFrame, windowLen: String, graceSeconds: Int = 0): DataFrame =
+    stream
+      .withWatermark("eventTime", s"$graceSeconds seconds")
+      .groupBy(window(col("eventTime"), windowLen), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("key"), col("cnt"))
+
+  /** T8 ≙ StreamStreamJoinExample — windowed stream-stream inner equi-join:
+    * equal keys, |t_left − t_right| ≤ `withinMinutes`. Watermarks on both
+    * sides bound the join state (Spark evicts rows older than
+    * watermark + window — the reference's "unmatched rows dropped after the
+    * window expires"). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, withinMinutes: Int): DataFrame = {
+    val l = left.withWatermark("eventTime", s"$withinMinutes minutes")
+    val r = right.selectExpr("key AS r_key", "value AS r_value", "eventTime AS r_eventTime")
+      .withWatermark("r_eventTime", s"$withinMinutes minutes")
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_eventTime") >= col("eventTime") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("r_eventTime") <= col("eventTime") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "inner")
+  }
+
+  /** T9 ≙ StreamTableJoinExample — stream-table enrichment join. The
+    * dimension is a *static* DataFrame re-evaluated every micro-batch
+    * (parquet/Delta path re-scan ⇒ "latest value per key" with per-trigger
+    * staleness — SURVEY §7.2's documented KTable gap). */
+  def streamTableJoin(stream: DataFrame, dim: DataFrame, joinKey: String): DataFrame =
+    stream.join(dim, Seq(joinKey), "inner")
+
+  // ---------------------------------------------------------------------
+  // T10 — custom stateful processor (the reference's Processor API surface)
+  // ---------------------------------------------------------------------
+
+  /** Input record for the fraud detector (≙ Order with string money). */
+  case class FraudInput(key: String, orderKey: Long, totalAmount: String,
+      eventTime: java.sql.Timestamp)
+
+  /** Emitted alert ≙ FraudProcessor.java:61-82. */
+  case class Alert(key: String, orderKey: Long, runningCount: Long, alert: String)
+
+  /** ≙ processor/FraudProcessor.java:36-84 — per record: (1) skip if the
+    * amount parses below `minAmount` (reference throws on non-numeric; we
+    * drop — SURVEY §7 documented divergence); (2) bump the per-key count in
+    * state; (3) forward an alert on EVERY record past `countThreshold`
+    * (the 4th, 5th, … qualifying order each alert — FIXTURES.md golden).
+    *
+    * Records within a batch are processed in (eventTime, orderKey) order so
+    * results are deterministic regardless of shuffle arrival order.
+    */
+  def fraudDetector(orders: Dataset[FraudInput], minAmount: Double, countThreshold: Long)(
+      implicit spark: SparkSession): Dataset[Alert] = {
+    import spark.implicits._
+    orders
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Alert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FraudInput], state: GroupState[Long]) =>
+          var count = state.getOption.getOrElse(0L)
+          val alerts = rows.toSeq
+            .filter(r => parseAmount(r.totalAmount).exists(_ >= minAmount))
+            .sortBy(r => (r.eventTime.getTime, r.orderKey))
+            .flatMap { r =>
+              count += 1
+              if (count > countThreshold)
+                Some(Alert(key, r.orderKey, count,
+                  s"Fraud alert! Customer $key placed $count high-value orders."))
+              else None
+            }
+          state.update(count)
+          alerts.iterator
+      }
+  }
+
+  private def parseAmount(s: String): Option[Double] =
+    try Option(s).map(_.toDouble) catch { case _: NumberFormatException => None }
+
+  // ---------------------------------------------------------------------
+  // T7 — Kafka-semantics sliding windows (SURVEY §7 hard part #1)
+  // ---------------------------------------------------------------------
+
+  case class SlidingEvent(key: String, eventTime: java.sql.Timestamp)
+
+  /** One per-(key, window-anchor) count; window = [anchor, anchor+size). */
+  case class SlidingCount(key: String, windowStart: java.sql.Timestamp, cnt: Long)
+
+  /** ≙ CreditCardTransactions.java:13-59 — sliding-window count with the
+    * reference trace's semantics: each event at time t anchors a window
+    * [t, t+size) and every window's count covers the same-key events inside
+    * it. Spark's built-in `window(slide)` is epoch-aligned hopping — not
+    * this — so this is the one operator that needs user state:
+    * per key we keep the event-timestamp buffer, bump all window anchors
+    * covering an arriving event, and emit the updated anchors (update-mode
+    * changelog, like the reference's KTable).
+    *
+    * Scale: state per key is the timestamps inside the horizon; buffer
+    * entries older than (max event time − size) can no longer change and
+    * are evicted each batch, so state is bounded by size × event rate per
+    * key — the same bound Kafka Streams' window store retention gives.
+    */
+  def slidingCount(events: Dataset[SlidingEvent], sizeMillis: Long)(
+      implicit spark: SparkSession): Dataset[SlidingCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[Long], SlidingCount](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SlidingEvent], state: GroupState[Seq[Long]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val incoming = rows.map(_.eventTime.getTime).toSeq
+          val all = (old ++ incoming).sorted
+          // windows whose counts changed: anchors t with [t, t+size) ∋ any new event
+          val dirty = all.filter(t => incoming.exists(e => e >= t && e < t + sizeMillis)).distinct
+          val out = dirty.map { t =>
+            SlidingCount(key, new java.sql.Timestamp(t),
+              all.count(e => e >= t && e < t + sizeMillis).toLong)
+          }
+          // evict timestamps that can no longer fall into a future window
+          val horizon = if (all.isEmpty) Long.MinValue else all.max - sizeMillis
+          state.update(all.filter(_ >= horizon))
+          out.iterator
+      }
+  }
+}
