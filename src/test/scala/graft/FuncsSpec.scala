@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Funcs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the column-level building blocks (SURVEY §2.8, §2.1). */
+class FuncsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("eventTimeChain parses the reference extractor's format matrix (OrderTimestampStreamApp.java:139-206)") {
+    val fallback = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val rows = Seq(
+      ("2025-09-28 12:34:56", "iso"),
+      ("2025-09-28", "date"),
+      ("1759017600000", "epoch"),
+      ("garbage", "fallback"),
+      (null.asInstanceOf[String], "null")
+    ).toDF("raw", "kind")
+    val got = rows
+      .select($"kind", Funcs.eventTimeChain($"raw", lit(fallback)).as("ts"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(got("iso") == "2025-09-28 12:34:56.0")
+    assert(got("date") == "2025-09-28 00:00:00.0")          // start of day UTC
+    assert(got("epoch") == "2025-09-28 00:00:00.0")          // 1759017600000 ms
+    assert(got("fallback") == "2000-01-01 00:00:00.0")
+    assert(got("null") == "2000-01-01 00:00:00.0")
+  }
+
+  test("jsonKeyOrUnknown falls back to UNKNOWN on malformed JSON (StreamsOrderCount.java:103-105)") {
+    val rows = Seq("""{"order_id": "42"}""", "not json", null).toDF("v")
+    val got = rows.select(Funcs.jsonKeyOrUnknown($"v", "$.order_id")).as[String].collect()
+    assert(got.toSeq == Seq("42", "UNKNOWN", "UNKNOWN"))
+  }
+
+  test("cosineD: identical vectors → 1.0, orthogonal → 0.0") {
+    val rows = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = rows.select(Funcs.cosineD($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("wordShingles handles docs shorter than n") {
+    val rows = Seq("one two", "a b c d").toDF("text")
+    val got = rows.select(Funcs.wordShingles(Funcs.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("one two"))
+    assert(got(1) == Seq("a b c", "b c d"))
+  }
+
+  test("minhash signatures are deterministic and equal-doc ⇒ equal-signature") {
+    val rows = Seq("spark streams data", "spark streams data", "totally different words here").toDF("text")
+    val sigs = rows.select(
+      Funcs.minhashesFromHashes(
+        Funcs.shingleHashes(array_distinct(Funcs.wordShingles(Funcs.tokens($"text"), 2))), 8).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash64: near-identical docs have small hamming distance, disjoint docs large") {
+    val rows = Seq(
+      ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+      ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    ).toDF("a", "b")
+    val d = rows.select(
+      Funcs.hamming64(Funcs.simhash64(Funcs.tokens($"a")), Funcs.simhash64(Funcs.tokens($"b"))))
+      .as[Long].collect()
+    assert(d(0) < d(1), s"near=${d(0)} far=${d(1)}")
+  }
+
+  test("fingerprint is md5 hex of the text") {
+    val got = Seq("abc").toDF("text").select(Funcs.fingerprint($"text")).as[String].head()
+    assert(got == "900150983cd24fb0d6963f7d28e17f72")
+  }
+}

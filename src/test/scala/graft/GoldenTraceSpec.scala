@@ -1,0 +1,162 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming tests pinned to the golden traces embedded in the
+  * reference's comments (FIXTURES.md §A.3) — the only executable examples
+  * the reference ships. Each runs a real Structured Streaming query over a
+  * MemoryStream and asserts FINAL state (never emission cadence, SURVEY
+  * §2.7).
+  */
+class GoldenTraceSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Run a streaming DF to a memory sink until input is drained; return the
+    * final table. */
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("T4/T5 golden: tumbling 1-min counts (StreamsOrderCount.java:16-31)") {
+    // events for key 101 @10:00:05, 10:00:25, 10:01:15 → [10:00,10:01)=2, [10:01,10:02)=1
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    in.addData(
+      ("101", ts("2025-01-01 10:00:05")),
+      ("101", ts("2025-01-01 10:00:25")),
+      ("101", ts("2025-01-01 10:01:15")))
+    val stream = in.toDF().toDF("key", "eventTime")
+    val got = runToMemory(
+      StreamOps.tumblingCount(stream, "1 minute"), "golden_tumbling", OutputMode.Update())
+      .select($"window_start".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2025-01-01 10:00:00" -> 2L,
+      "2025-01-01 10:01:00" -> 1L))
+  }
+
+  test("T3 golden: running count in update mode, final state per key (ProductCountApp.java:150-152)") {
+    val in = MemoryStream[(String, String)]
+    val stream = in.toDF().toDF("key", "value")
+      .withColumn("eventTime", lit(ts("2025-01-01 00:00:00")))
+    val q = StreamOps.runningCount(stream)
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("golden_running").start()
+    in.addData(("3", "o1"), ("3", "o2"), ("7", "o3"))
+    q.processAllAvailable()
+    in.addData(("3", "o4")) // second batch updates key 3
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each changed row; final state = last per key
+    val got = spark.table("golden_running")
+      .groupBy($"key").agg(max($"cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("3" -> 3L, "7" -> 1L))
+  }
+
+  test("T7 golden: Kafka-semantics sliding window counts (CreditCardTransactions.java:13-59)") {
+    // E1@12:01 E2@12:03 E3@12:05 E4@12:07, size 5 min →
+    // [12:01,12:06)={E1,E2,E3}=3, [12:03,12:08)={E2,E3,E4}=3, [12:05,12:10)=2, [12:07,12:12)=1
+    val in = MemoryStream[StreamOps.SlidingEvent]
+    in.addData(
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:01:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:03:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:05:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:07:00")))
+    val got = runToMemory(
+      StreamOps.slidingCount(in.toDS(), 5 * 60 * 1000L).toDF(), "golden_sliding", OutputMode.Update())
+      .groupBy($"windowStart").agg(max($"cnt").as("cnt")) // final state per anchor
+      .select($"windowStart".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2025-01-01 12:01:00" -> 3L,
+      "2025-01-01 12:03:00" -> 3L,
+      "2025-01-01 12:05:00" -> 2L,
+      "2025-01-01 12:07:00" -> 1L))
+  }
+
+  test("T7 incremental: late-batch event updates earlier anchors") {
+    val in = MemoryStream[StreamOps.SlidingEvent]
+    val q = StreamOps.slidingCount(in.toDS(), 5 * 60 * 1000L).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("golden_sliding2").start()
+    in.addData(StreamOps.SlidingEvent("c", ts("2025-01-01 12:01:00")))
+    q.processAllAvailable()
+    in.addData(StreamOps.SlidingEvent("c", ts("2025-01-01 12:04:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("golden_sliding2")
+      .groupBy($"windowStart").agg(max($"cnt").as("cnt"))
+      .select($"windowStart".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    // the 12:04 arrival must bump the 12:01 anchor to 2
+    assert(got == Map("2025-01-01 12:01:00" -> 2L, "2025-01-01 12:04:00" -> 1L))
+  }
+
+  test("T8 golden: stream-stream join matches within ±5 min, drops unmatched (StreamStreamJoinExample.java:48-78,163-168)") {
+    val orders = MemoryStream[(String, String, java.sql.Timestamp)]
+    val payments = MemoryStream[(String, String, java.sql.Timestamp)]
+    // order 120 has a payment 2 min later; order 100 never gets a payment
+    orders.addData(
+      ("120", """{"orderId":120,"customerId":1}""", ts("2025-01-01 10:00:00")),
+      ("100", """{"orderId":100,"customerId":2}""", ts("2025-01-01 10:00:00")))
+    payments.addData(("120", """{"orderId":120,"amount":100.0}""", ts("2025-01-01 10:02:00")))
+    val joined = StreamOps.streamStreamJoin(
+      orders.toDF().toDF("key", "value", "eventTime"),
+      payments.toDF().toDF("key", "value", "eventTime"),
+      withinMinutes = 5)
+    val got = runToMemory(joined, "golden_ssj", OutputMode.Append())
+      .select($"key").as[String].collect().toSeq
+    assert(got == Seq("120")) // no output row for key 100, ever
+  }
+
+  test("T10 golden: fraud processor alerts on every qualifying order past 3 (FraudProcessor.java:41-63)") {
+    val in = MemoryStream[StreamOps.FraudInput]
+    val base = ts("2025-01-01 00:00:00").getTime
+    def order(k: String, i: Long, amount: String) =
+      StreamOps.FraudInput(k, i, amount, new java.sql.Timestamp(base + i * 1000))
+    in.addData(
+      order("7", 1, "800.00"), order("7", 2, "900.00"),
+      order("7", 3, "100.00"),           // below 500 → skipped entirely
+      order("7", 4, "not-a-number"),     // unparseable → dropped (documented divergence)
+      order("7", 5, "750.00"), order("7", 6, "600.00"),
+      order("7", 7, "950.00"),           // 5th qualifying → alert (count=5)
+      order("8", 8, "9999.99"))          // other customer: only 1 qualifying → no alert
+    val got = runToMemory(
+      StreamOps.fraudDetector(in.toDS(), minAmount = 500.0, countThreshold = 3L).toDF(),
+      "golden_fraud", OutputMode.Append())
+      .as[StreamOps.Alert].collect().sortBy(_.orderKey)
+    assert(got.map(_.orderKey).toSeq == Seq(6L, 7L)) // 4th and 5th qualifying orders
+    assert(got.head.alert == "Fraud alert! Customer 7 placed 4 high-value orders.")
+    assert(got.last.runningCount == 5L)
+  }
+
+  test("T10 state persists across micro-batches") {
+    val in = MemoryStream[StreamOps.FraudInput]
+    val base = ts("2025-01-01 00:00:00").getTime
+    def order(i: Long) = StreamOps.FraudInput("9", i, "600.00", new java.sql.Timestamp(base + i * 1000))
+    val q = StreamOps.fraudDetector(in.toDS(), 500.0, 3L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("golden_fraud2").start()
+    in.addData(order(1), order(2)); q.processAllAvailable()
+    in.addData(order(3), order(4)); q.processAllAvailable() // 4th crosses threshold here
+    q.stop()
+    val got = spark.table("golden_fraud2").as[StreamOps.Alert].collect()
+    assert(got.map(_.orderKey).toSeq == Seq(4L))
+  }
+
+  test("T9 golden: stream-table enrichment join, inner semantics (StreamTableJoinExample.java:151-163)") {
+    val in = MemoryStream[(String, String)]
+    in.addData(("1", "order-a"), ("1", "order-b"), ("999", "order-c")) // 999 has no customer
+    val dim = Seq(("1", "Alice", "alice@example.com")).toDF("customer_id", "name", "email")
+    val stream = in.toDF().toDF("customer_id", "order")
+    val got = runToMemory(
+      StreamOps.streamTableJoin(stream, dim, "customer_id"), "golden_stj", OutputMode.Append())
+    assert(got.count() == 2)                        // order-c dropped (inner)
+    assert(got.select($"name").distinct().as[String].head() == "Alice")
+  }
+}

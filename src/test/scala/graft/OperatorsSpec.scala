@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-operator tests over sf0.001 testdata + planted fixtures. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.Sf0001
+
+  test("T3 running count sums to the orders row count") {
+    val got = Relational.runningCountByCustomer(Tables.orders(spark, dir))
+    assert(got.agg(sum($"cnt")).as[Long].head() == 1500L)
+  }
+
+  test("T4 tumbling counts partition the events exactly (every event in one bucket)") {
+    val got = Relational.tumblingCount(Tables.events(spark, dir), "user_id", "1 minute")
+    assert(got.agg(sum($"cnt")).as[Long].head() == 1000L)
+    assert(got.filter($"cnt" <= 0).isEmpty)
+  }
+
+  test("T7 sliding count: forward-window count matches a self-join oracle") {
+    val ev = Tables.events(spark, dir).limit(200)
+    val got = Relational.slidingCount(ev, 5)
+    // oracle: per event, count same-key events within [ts, ts+5min)
+    val a = ev.select($"user_id".cast("string").as("key"), $"ts")
+    val b = a.select($"key".as("k2"), $"ts".as("ts2"))
+    val oracle = a.join(b, $"key" === $"k2" &&
+        $"ts2" >= $"ts" && $"ts2" < $"ts" + expr("INTERVAL 5 MINUTES"))
+      .groupBy($"key", $"ts").agg(count(lit(1)).as("cnt"))
+    val mismatches = got.withColumnRenamed("window_start", "ts")
+      .join(oracle, Seq("key", "ts"), "full_outer")
+      .filter(got("cnt") =!= oracle("cnt"))
+    assert(mismatches.isEmpty)
+  }
+
+  test("T8 join never produces rows outside the ±window") {
+    val got = Relational.streamStreamJoin(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    assert(got.filter($"l_shipdate" < $"o_orderdate" ||
+      $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 5 DAYS")).isEmpty)
+  }
+
+  test("T9 enrichment join keeps only orders with a matching customer") {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val got = Relational.enrichmentJoin(orders, cust)
+    val expected = orders.join(cust, $"o_custkey" === $"c_custkey", "left_semi").count()
+    assert(got.count() == expected)
+  }
+
+  test("T9 nested projection has the reference's {order, customer} shape") {
+    val got = Relational.enrichmentJoinNested(
+      Tables.orders(spark, dir), Tables.customer(spark, dir))
+    assert(got.schema.fieldNames.toSeq == Seq("order", "customer"))
+    assert(got.select($"order.o_orderkey", $"customer.c_name").count() > 0)
+  }
+
+  test("T10 fraud alerts: each alerting customer has >3 qualifying orders; counts are cumulative") {
+    val got = Relational.fraudRunningCount(Tables.orders(spark, dir), 500.0, 3L)
+    assert(got.filter($"running_cnt" <= 3).isEmpty)
+    val perKey = got.groupBy($"key").agg(count(lit(1)).as("alerts"), max($"running_cnt").as("mx"))
+    assert(perKey.filter($"alerts" =!= $"mx" - 3).isEmpty) // alert on every order past 3
+  }
+
+  test("dedup exact finds planted duplicates deterministically") {
+    val docs = Seq((10L, "same text"), (11L, "same text"), (12L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy($"keep_id")
+      .select($"keep_id", $"dup_cnt").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L), (12L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips dissimilar docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val different = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, different)).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(docs, shingleLen = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("simhash finds planted near-duplicates and skips dissimilar docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val different = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, different)).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("embedding near-dup is symmetric-free (id_a < id_b) and self-free") {
+    val got = Dedup.embeddingNearDup(Tables.embeddings(spark, dir), 0.2)
+    assert(got.filter($"id_a" >= $"id_b").isEmpty)
+  }
+
+  test("brute-force top-k: planted nearest neighbor ranks first") {
+    val mk = (s: Float) => Array(1.0f * s, 2.0f * s, 3.0f * s)
+    val corpus = Seq(
+      (1L, mk(1.0f)), (2L, mk(2.0f)),          // colinear with the query → sim 1
+      (3L, Array(-3.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, mk(1.0f))).toDF("query_id", "q_embedding")
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L)) // self excluded; colinear vec 2 first
+  }
+
+  test("IVF top-k returns k ranked rows per query with high recall vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val bf = Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), 10)
+    val ivf = Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), 10, 16, 4)
+    assert(ivf.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
+    val overlap = bf.select($"query_id", $"vec_id")
+      .intersect(ivf.select($"query_id", $"vec_id")).count()
+    assert(overlap >= 20, s"IVF recall too low: $overlap/40") // ≥50% at nprobe=4/16
+  }
+
+  test("text quality ratios are within [0,1]") {
+    val got = TextAnalysis.qualityScore(Tables.documents(spark, dir))
+    assert(got.filter(
+      $"stopword_ratio" < 0 || $"stopword_ratio" > 1 ||
+        $"punct_ratio" < 0 || $"punct_ratio" > 1 ||
+        $"upper_ratio" < 0 || $"upper_ratio" > 1).isEmpty)
+  }
+
+  test("langId picks the language with the most marker words") {
+    val docs = Seq(
+      (1L, "the cat of the house and a dog"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs).orderBy($"doc_id").select($"pred_lang").as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("word count totals match token count totals") {
+    val docs = Tables.documents(spark, dir)
+    val totalWords = TextAnalysis.wordCount(docs).agg(sum($"cnt")).as[Long].head()
+    val totalTokens = TextAnalysis.tokenStats(docs).agg(sum($"n_tokens")).as[Long].head()
+    assert(totalWords == totalTokens)
+  }
+
+  test("eventTimeParse is total over the events table") {
+    val got = Relational.eventTimeParse(Tables.events(spark, dir))
+    assert(got.filter($"event_time".isNull).isEmpty)
+  }
+}
