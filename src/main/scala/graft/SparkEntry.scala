@@ -25,6 +25,7 @@ object SparkEntry {
   /** Flagship query on sf=0.001: the T9 enrichment join (orders ⋈ customer).
     * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
+    graft.functions.Native.register(spark)
     val dir = "/root/testdata/sf0.001"
     Relational.enrichmentJoin(Tables.orders(spark, dir), Tables.customer(spark, dir))
   }
@@ -34,7 +35,17 @@ object SparkEntry {
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   private val FmtTsSql = "%Y-%m-%d %H:%M:%S.%f" // DuckDB strftime equivalent
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Wraps every query so the session carries the native function registry
+    * (idempotent) regardless of who built the session. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        graft.functions.Native.register(s)
+        fn(s, d)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY §2) ---
     "t1_uppercase" -> ((s, d) => Relational.uppercaseProjection(Tables.documents(s, d))),
     "t2_typed_scan" -> ((s, d) => {

@@ -89,12 +89,17 @@ object Funcs {
       transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** Fixed 64-bit mixing constants for the MinHash family (derived from the
-    * golden-ratio sequence, as in splitmix64). */
-  private def mixConstants(k: Int): Array[Long] = {
+  /** Default MinHash signature length (shared with [[Native]] registry). */
+  val DefaultMinHashK = 16
+
+  /** Fixed 64-bit mixing constants for the MinHash family (xorshift64 from
+    * the golden-ratio seed). Shared by the declarative and native
+    * implementations so their signatures are bit-identical. */
+  def mixConstantsFor(k: Int): Array[Long] = {
     var x = 0x9E3779B97F4A7C15L
     Array.fill(k) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
   }
+  private def mixConstants(k: Int): Array[Long] = mixConstantsFor(k)
 
   /** One xxhash64 per shingle — materialize this as its own column BEFORE
     * calling [[minhashesFromHashes]], so the hash runs once, not once per

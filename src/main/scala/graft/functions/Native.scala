@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-element hot loops where the
+  * built-in higher-order functions (`transform`/`aggregate`) are the
+  * bottleneck: HoFs evaluate one interpreted expression tree PER ARRAY
+  * ELEMENT, which at 100 TB means billions of virtual calls. Each
+  * expression here replaces a whole HoF chain with one tight JVM loop per
+  * row (and, for the dot product, whole-stage codegen).
+  *
+  * These stay semantically identical to the declarative forms in [[Funcs]]
+  * (same xxhash64 seed, same XOR mixing constants), so the ScalaTest
+  * fixtures pin both.
+  */
+object Native {
+
+  /** dot(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE, accumulated in double,
+    * sequential order (oracle parity with DuckDB's list_cosine_similarity
+    * on DOUBLE[]). Codegen'd: the loop inlines into the WholeStageCodegen
+    * stage, no boxing. */
+  case class FloatDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+           |}
+           |${ev.value} = s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** minhash_sig(ARRAY<STRING>) → ARRAY<LONG>(k): one xxhash64 per shingle,
+    * k family members derived by XOR with [[Funcs]]' mixing constants —
+    * exactly the declarative [[Funcs.minhashesFromHashes]] ∘
+    * [[Funcs.shingleHashes]], as one loop. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val mixes: Array[Long] = Funcs.mixConstantsFor(k)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < k) { val v = h ^ mixes(j); if (v < mins(j)) mins(j) = v; j += 1 }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** simhash64(ARRAY<STRING>) → LONG: per token, xxhash64; per bit, ±1
+    * counter; sign bits reassembled. Same algorithm as the declarative
+    * [[Funcs.simhash64]], one loop instead of 64 interpreted lambdas per
+    * token. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Idempotently register the native functions in the session's registry
+    * (the public extension path when the session pre-exists; for
+    * builder-owned sessions `withExtensions` would work equally). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => FloatDotProduct(exprs(0), exprs(1)), "builtin")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, IntegerType) => k
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }), "builtin")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64(exprs(0)), "builtin")
+  }
+
+  def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))
+  def minhashSig(shingles: Column, k: Int = Funcs.DefaultMinHashK): Column =
+    call_function("graft_minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Funcs
+import graft.functions.{Funcs, Native}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,8 +46,7 @@ object Dedup {
     // 3 longs per (doc, band), never the shingle arrays. Shingles re-join
     // by id afterwards, touching only the deduped candidate pairs.
     val banded = sketched
-      .withColumn("hs", Funcs.shingleHashes(col("sh")))
-      .withColumn("sig", Funcs.minhashesFromHashes(col("hs"), numHashes))
+      .withColumn("sig", Native.minhashSig(col("sh"), numHashes))
       .select(col("doc_id"),
         posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
 
@@ -75,7 +74,7 @@ object Dedup {
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = documents.select(
       col("doc_id"),
-      Funcs.simhash64(Funcs.tokens(col("text"))).as("sig"))
+      Native.simhash(Funcs.tokens(col("text"))).as("sig"))
     // four 16-bit quadrants as candidate keys
     val quads = sigs.select(
       col("doc_id"), col("sig"),
@@ -103,10 +102,10 @@ object Dedup {
     // per pair (n²/blocks rows) — cosine inside the join is a single dot.
     def side(ida: String, emb: String, nrm: String) = embeddings.select(
       col("label"), col("vec_id").as(ida), col("embedding").as(emb),
-      Funcs.normD(col("embedding")).as(nrm))
+      Native.normF(col("embedding")).as(nrm))
     side("id_a", "emb_a", "norm_a").join(side("id_b", "emb_b", "norm_b"), Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .filter(Funcs.dotD(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) > minCosine)
+      .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) > minCosine)
       .select(col("id_a"), col("id_b"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Funcs
+import graft.functions.{Funcs, Native}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,14 +26,15 @@ object Similarity {
     * @param corpus  (vec_id, embedding) — arbitrarily large.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    // Norms once per row map-side; the per-pair work is a single dot product.
-    val q = broadcast(queries.withColumn("q_norm", Funcs.normD(col("q_embedding"))))
-    val c = corpus.withColumn("c_norm", Funcs.normD(col("embedding")))
+    // Norms once per row map-side; the per-pair work is a single codegen'd
+    // dot product (Native.FloatDotProduct).
+    val q = broadcast(queries.withColumn("q_norm", Native.normF(col("q_embedding"))))
+    val c = corpus.withColumn("c_norm", Native.normF(col("embedding")))
     val scored = c.join(q)
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"), col("vec_id"),
-        (Funcs.dotD(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
     topK(scored, k)
   }
 
@@ -49,31 +50,33 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
     val centroids = broadcast(
       corpus.orderBy(col("vec_id")).limit(numCentroids)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding")))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"),
+          Native.normF(col("embedding")).as("cent_norm")))
 
     /** Nearest `n` centroid ids per row of `df` (id column `idCol`,
       * embedding column `embCol`), emitted as one (idCol, embCol, bucket)
       * row per probe. Broadcast nested-loop against C centroids + per-id
-      * top-n — map-heavy, shuffle only for the small top-n window. */
+      * top-n. Ranking uses dot/|centroid| — the row's own norm is constant
+      * across centroids, so dividing by it cannot change the ranking. */
     def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
       df.join(centroids)
         .select(col(idCol), col(embCol),
           col("centroid_id").as("bucket"),
-          Funcs.cosineD(col(embCol), col("c_embedding")).as("c_sim"))
+          (Native.dotF(col(embCol), col("c_embedding")) / col("cent_norm")).as("c_sim"))
         .withColumn("c_rank",
           row_number().over(Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("bucket"))))
         .filter(col("c_rank") <= n)
         .select(col(idCol), col(embCol), col("bucket"))
 
     val corpusB = assign(corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-      .withColumn("c_norm", Funcs.normD(col("embedding")))
+      .withColumn("c_norm", Native.normF(col("embedding")))
     val queryB = assign(queries.select(col("query_id"), col("q_embedding")), "query_id", "q_embedding", nprobe)
-      .withColumn("q_norm", Funcs.normD(col("q_embedding")))
+      .withColumn("q_norm", Native.normF(col("q_embedding")))
 
     val scored = queryB.join(corpusB, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (Funcs.dotD(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
     topK(scored, k)
   }
 

@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.Native.register(s)
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
