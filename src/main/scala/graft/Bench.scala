@@ -28,18 +28,29 @@ object Bench {
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Fail loudly: a failed query gets NO timing entry, and any failure
+    // makes the whole bench exit non-zero — a broken build must never look
+    // like a fast one (round-1 lesson).
+    var failures = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failures ::= name
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -107,15 +107,17 @@ object Native {
     * builder-owned sessions `withExtensions` would work equally). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // NB: Spark 4 validates the source string — "built-in" (with hyphen) is
+    // the accepted value; "builtin" throws at registration time.
     reg.createOrReplaceTempFunction("graft_dot",
-      exprs => FloatDotProduct(exprs(0), exprs(1)), "builtin")
+      exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSignature(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, IntegerType) => k
         case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
-      }), "builtin")
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash64(exprs(0)), "builtin")
+      exprs => SimHash64(exprs(0)), "built-in")
   }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
