@@ -86,7 +86,7 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, d)).drop("jaccard")), // int ids only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.2)),
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -163,10 +163,6 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
-    "dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2""",
     "sim_topk_bruteforce" ->
       """SELECT query_id, vec_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -221,8 +217,9 @@ object SparkEntry {
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1"""
-    // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf: sketch-hash-based —
-    // not SQL-expressible in DuckDB (xxhash64 seeds); driver records
-    // rows-only checks. Verified instead by planted-near-dup ScalaTests.
+    // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding:
+    // sketch- or centroid-based — not SQL-expressible in DuckDB (xxhash64
+    // seeds, k-means buckets); driver records rows-only checks. Verified
+    // instead by planted-fixture + recall ScalaTests (OperatorsSpec).
   )
 }

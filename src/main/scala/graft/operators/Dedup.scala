@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.{Funcs, Native}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (north-star scope).
   *
@@ -36,30 +37,54 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands // LSH S-curve knee ≈ (1/b)^(1/r) ≈ 0.71
-    val sketched = documents.select(
-      col("doc_id"),
-      array_distinct(Funcs.wordShingles(Funcs.tokens(col("text")), shingleLen)).as("sh"))
+    def shingles(text: Column): Column =
+      array_distinct(Funcs.wordShingles(Funcs.tokens(text), shingleLen))
 
     // Candidate generation on (band, bandkey, id) ONLY — the shuffle moves
-    // 3 longs per (doc, band), never the shingle arrays. Shingles re-join
-    // by id afterwards, touching only the deduped candidate pairs.
-    val banded = sketched
-      .withColumn("sig", Native.minhashSig(col("sh"), numHashes))
+    // 3 longs per (doc, band), never the shingle arrays. The banded
+    // relation is PERSISTED: it appears three times downstream (hot-bucket
+    // count + both sides of the self-join) and Catalyst does not dedupe
+    // common subplans, so without the persist the shingle+minhash scan —
+    // the expensive part — would run once per occurrence. Persisted size
+    // is ~3 longs × bands per doc, ~1% of corpus at 100 TB.
+    val banded = documents
+      .select(col("doc_id"), Native.minhashSig(shingles(col("text")), numHashes).as("sig"))
       .select(col("doc_id"),
         posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    // Skew guard: a bucket with m members yields m² candidate pairs in the
+    // self-join — one hot band-key (a boilerplate pattern shared by many
+    // docs) turns the join quadratic on a single partition. Buckets above
+    // the cap are non-discriminative (standard LSH practice: drop them;
+    // genuine near-dup pairs still collide in their other bands). The
+    // hot-key list is tiny after the partial-aggregated count, so it
+    // broadcasts, and the anti-join stays map-side.
+    val hotBuckets = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bkey")
+    val pruned = banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Exact-Jaccard verification: join the (tiny) candidate set back to the
+    // raw documents and shingle INSIDE the projection — the shingle
+    // expression runs only on candidate rows, not on the whole corpus.
+    val docs = documents.select(col("doc_id"), col("text"))
     candidates
-      .join(sketched.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sketched.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("sh_a", shingles(col("text_a")))
+      .withColumn("sh_b", shingles(col("text_b")))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -75,7 +100,8 @@ object Dedup {
     val sigs = documents.select(
       col("doc_id"),
       Native.simhash(Funcs.tokens(col("text"))).as("sig"))
-    // four 16-bit quadrants as candidate keys
+    // four 16-bit quadrants as candidate keys; persisted (3 longs/doc) so
+    // the tokenize+simhash scan runs once, not once per self-join side
     val quads = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array(
@@ -83,6 +109,7 @@ object Dedup {
         shiftright(col("sig"), 16).bitwiseAND(lit(0xFFFFL)),
         shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFL)),
         shiftright(col("sig"), 48).bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "qkey")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = quads.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = quads.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q", "qkey"))
@@ -93,18 +120,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs, blocked on `label` so the join is an
-    * equi-join on the block key + similarity filter, not a full cross join.
-    * (In a real pipeline the block key is an LSH bucket / IVF centroid —
-    * see [[Similarity.ivfTopK]]; `label` stands in as the partitioner.) */
-  def embeddingNearDup(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    // Norms are computed once per vector on the map side (n rows), not once
-    // per pair (n²/blocks rows) — cosine inside the join is a single dot.
+  /** Embedding-cosine near-dup pairs, blocked on IVF (k-means) centroid
+    * buckets: each vector is assigned its `nprobe` nearest centroids
+    * map-side ([[Similarity.probeBuckets]], literal centroids → zero
+    * shuffle), candidate pairs are generated by an equi-join on the bucket
+    * id over (vec_id, bucket) pairs ONLY (two ints per probe — the float
+    * arrays never enter the candidate shuffle), then exact cosine verifies
+    * each deduped pair. Multi-probe (nprobe ≥ 2) recovers pairs that
+    * straddle a cluster boundary. No data-dependent label column is used;
+    * numCentroids scales the blocking (≈ √(n / target bucket size)).
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      minCosine: Double,
+      numCentroids: Int = 16,
+      nprobe: Int = 5,
+      kmeansIters: Int = 3): DataFrame = {
+    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", numCentroids, kmeansIters)
+    // two ints per (vector, probe); persisted so the C-dot-product probe
+    // assignment runs once, not once per self-join side
+    val keyed = embeddings.select(
+      col("vec_id"),
+      explode(Similarity.probeBuckets(col("embedding"), cents, nprobe)).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Norms once per vector map-side; cosine inside the verify is a single
+    // codegen'd dot per surviving candidate pair.
     def side(ida: String, emb: String, nrm: String) = embeddings.select(
-      col("label"), col("vec_id").as(ida), col("embedding").as(emb),
+      col("vec_id").as(ida), col("embedding").as(emb),
       Native.normF(col("embedding")).as(nrm))
-    side("id_a", "emb_a", "norm_a").join(side("id_b", "emb_b", "norm_b"), Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    candidates
+      .join(side("id_a", "emb_a", "norm_a"), Seq("id_a"))
+      .join(side("id_b", "emb_b", "norm_b"), Seq("id_b"))
       .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) > minCosine)
       .select(col("id_a"), col("id_b"))
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.{Funcs, Native}
-import org.apache.spark.sql.DataFrame
+import graft.functions.Native
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   *    The query side is broadcast (it's small by construction), so the
   *    corpus is scanned exactly once with no shuffle until the final
   *    per-query top-k, which reduces to k rows per query.
-  *  - [[ivfTopK]]: IVF-style bucketed search — corpus assigned to the
-  *    nearest of C centroids at write time, queries probe only `nprobe`
-  *    buckets. At 100 TB this turns a full scan into a partition-pruned
-  *    read of ~nprobe/C of the data.
+  *  - [[ivfTopK]]: IVF-bucketed search — corpus assigned to the nearest of
+  *    C k-means centroids, queries probe only `nprobe` buckets.
+  *
+  * Scale design: centroids are tiny (C × d floats) so they live on the
+  * driver and are inlined as LITERAL arrays into the assignment
+  * expression — bucket assignment is pure map-side codegen'd arithmetic
+  * with zero shuffle (vs. the naive corpus×centroids join + window-rank,
+  * which shuffles n×C rows). At 100 TB the corpus would additionally be
+  * written partitioned/bucketed by centroid id so a probe prunes
+  * partitions instead of filtering a full scan.
   */
 object Similarity {
 
@@ -38,45 +44,112 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest centroid
-    * (one broadcast pass), then search each query only within its own
-    * `nprobe` nearest centroid buckets. Centroids are sampled corpus
-    * vectors (deterministic: lowest vec_ids) — a k-means refinement drops
-    * in without changing the dataflow.
+  // ---------------------------------------------------------------------
+  // K-means centroid training (IVF coarse quantizer)
+  // ---------------------------------------------------------------------
+
+  /** Train C centroids with Lloyd iterations, entirely in DataFrame ops.
     *
-    * Recall/cost dial: nprobe/numCentroids. The bucket join is an equi-join
-    * on centroid id — shuffle scales with corpus size, not corpus².
+    * Init: the C rows with the smallest xxhash64(id) — a deterministic
+    * pseudo-random sample (TakeOrderedAndProject, no full sort). Each
+    * iteration assigns every vector map-side against LITERAL centroids
+    * (no shuffle), then recomputes the element-wise mean per cluster via
+    * posexplode + partial-aggregated groupBy — the shuffle carries only
+    * C × d partial sums per map task regardless of corpus size. Only
+    * centroid-sized results (C × d doubles) ever reach the driver.
+    * Empty clusters keep their previous centroid.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy(col("vec_id")).limit(numCentroids)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"),
-          Native.normF(col("embedding")).as("cent_norm")))
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCentroids: Int,
+      iters: Int = 3): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus
+      .select(col(embCol), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"))
+      .limit(numCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .select(nearestBucket(col(embCol), cents).as("cid"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+      cents = next
+      it += 1
+    }
+    cents
+  }
 
-    /** Nearest `n` centroid ids per row of `df` (id column `idCol`,
-      * embedding column `embCol`), emitted as one (idCol, embCol, bucket)
-      * row per probe. Broadcast nested-loop against C centroids + per-id
-      * top-n. Ranking uses dot/|centroid| — the row's own norm is constant
-      * across centroids, so dividing by it cannot change the ranking. */
-    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
-      df.join(centroids)
-        .select(col(idCol), col(embCol),
-          col("centroid_id").as("bucket"),
-          (Native.dotF(col(embCol), col("c_embedding")) / col("cent_norm")).as("c_sim"))
-        .withColumn("c_rank",
-          row_number().over(Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("bucket"))))
-        .filter(col("c_rank") <= n)
-        .select(col(idCol), col(embCol), col("bucket"))
+  /** Cosine-against-each-centroid columns: one codegen'd dot product per
+    * literal centroid, divided by the centroid's (driver-computed) norm.
+    * The row's own norm is constant across centroids so it cannot change
+    * the ranking and is omitted. */
+  private def centroidSims(emb: Column, cents: Array[Array[Float]]): Seq[Column] =
+    cents.toSeq.map { ct =>
+      val n = math.sqrt(ct.map(x => x.toDouble * x).sum)
+      Native.dotF(emb, typedLit(ct)) / lit(if (n == 0.0) 1.0 else n)
+    }
 
-    val corpusB = assign(corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-      .withColumn("c_norm", Native.normF(col("embedding")))
-    val queryB = assign(queries.select(col("query_id"), col("q_embedding")), "query_id", "q_embedding", nprobe)
-      .withColumn("q_norm", Native.normF(col("q_embedding")))
+  /** Nearest-centroid id (0-based INT) as a pure map-side expression.
+    * Ties break to the lowest id (array_position returns the first match,
+    * and the max value is taken from the same array, so the equality is
+    * bit-exact). */
+  def nearestBucket(emb: Column, cents: Array[Array[Float]]): Column = {
+    val sims = array(centroidSims(emb, cents): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
 
+  /** The `nprobe` nearest centroid ids as an ARRAY<INT>, map-side only:
+    * sort (−sim, cid) structs (struct ordering = sim desc, cid asc
+    * tie-break), take the first nprobe cids. */
+  def probeBuckets(emb: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+    val entries = centroidSims(emb, cents).zipWithIndex.map { case (s, i) =>
+      struct((-s).as("neg"), lit(i).as("cid"))
+    }
+    slice(transform(array_sort(array(entries: _*)), e => e.getField("cid")), 1, nprobe)
+  }
+
+  /** IVF ANN: k-means centroids (deterministic init + `kmeansIters` Lloyd
+    * refinements), corpus assigned to its `corpusAssign` nearest buckets
+    * map-side (multi-assignment redundancy — index grows ×corpusAssign,
+    * recall rises sharply on diffuse data), queries probe their `nprobe`
+    * nearest buckets. The probe join broadcasts the (small) exploded query
+    * side, so the corpus is never shuffled; at 100 TB, storing the corpus
+    * partitioned by bucket turns the probe into partition pruning.
+    * Recall/cost dials: nprobe, corpusAssign, numCentroids.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCentroids: Int,
+      nprobe: Int,
+      kmeansIters: Int = 3,
+      corpusAssign: Int = 3): DataFrame = {
+    val cents = trainCentroids(corpus, "vec_id", "embedding", numCentroids, kmeansIters)
+    val corpusB = corpus.select(
+      col("vec_id"), col("embedding"),
+      Native.normF(col("embedding")).as("c_norm"),
+      explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+    val queryB = broadcast(queries.select(
+      col("query_id"), col("q_embedding"),
+      Native.normF(col("q_embedding")).as("q_norm"),
+      explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket")))
     val scored = queryB.join(corpusB, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+      // a (query, vec) pair can meet in several shared buckets — dedup
+      // before ranking so multi-assignment never double-counts a neighbor
+      .dropDuplicates("query_id", "vec_id")
     topK(scored, k)
   }
 

@@ -91,9 +91,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
-  test("embedding near-dup is symmetric-free (id_a < id_b) and self-free") {
-    val got = Dedup.embeddingNearDup(Tables.embeddings(spark, dir), 0.2)
+  test("embedding near-dup: centroid blocking reaches ≥0.95 recall vs all-pairs, no label column") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = Dedup.embeddingNearDup(emb, 0.3)
     assert(got.filter($"id_a" >= $"id_b").isEmpty)
+    // exhaustive oracle: every pair above the threshold (sf0.001 is small)
+    def side(id: String, e: String) = emb.select($"vec_id".as(id), $"embedding".as(e))
+    val all = side("id_a", "ea").join(side("id_b", "eb"), $"id_a" < $"id_b")
+      .filter(graft.functions.Funcs.cosineD($"ea", $"eb") > 0.3)
+      .select($"id_a", $"id_b")
+    val truth = all.count()
+    val found = got.intersect(all).count()
+    assert(got.except(all).isEmpty) // no false positives: every pair is cosine-verified
+    assert(found >= (truth * 0.95).toLong, s"recall too low: $found/$truth")
   }
 
   test("brute-force top-k: planted nearest neighbor ranks first") {
@@ -117,7 +127,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
     val overlap = bf.select($"query_id", $"vec_id")
       .intersect(ivf.select($"query_id", $"vec_id")).count()
-    assert(overlap >= 20, s"IVF recall too low: $overlap/40") // ≥50% at nprobe=4/16
+    assert(overlap >= 32, s"IVF recall too low: $overlap/40") // ≥80% at nprobe=4/16 (k-means centroids)
   }
 
   test("text quality ratios are within [0,1]") {
