@@ -79,6 +79,25 @@ object SparkEntry {
     "ts_parse_chain" -> ((s, d) =>
       Relational.eventTimeParse(Tables.events(s, d))
         .withColumn("event_time", fmtTs(col("event_time")))),
+    // JSON codec end-to-end ≙ JsonPOJOSerde + StreamsOrderCount.java:98-106:
+    // build an Order JSON payload (some malformed), from_json-parse it,
+    // re-key with the UNKNOWN fallback, aggregate per key.
+    "json_rekey_count" -> ((s, d) => {
+      import graft.codec.JsonCodec
+      val payload = when(col("o_orderkey") % 97 === 0, lit("{malformed"))
+        .otherwise(format_string(
+          """{"order_id":%d,"customer_id":%d,"order_date":"%s","total_amount":"%s"}""",
+          col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_totalprice").cast("decimal(12,2)")))
+      Tables.orders(s, d)
+        .select(JsonCodec.parseOrder(payload).as("v"))
+        .select(
+          JsonCodec.keyOrUnknown(col("v.customer_id")).as("key"),
+          col("v.total_amount").cast("decimal(12,2)").as("amt"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("cnt"), sum(col("amt")).cast("double").as("total"))
+    }),
 
     // --- north-star: dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -160,6 +179,13 @@ object SparkEntry {
             try_strptime(json_extract_string(props, '$$.k'), '%Y-%m-%d'),
             epoch_ms(try_cast(json_extract_string(props, '$$.k') AS BIGINT)),
             ts), '$FmtTsSql') AS event_time FROM events""",
+    "json_rekey_count" ->
+      """SELECT key, count(*) AS cnt, CAST(sum(amt) AS DOUBLE) AS total FROM (
+           SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'UNKNOWN'
+                       ELSE CAST(o_custkey AS VARCHAR) END AS key,
+                  CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                       ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS amt
+           FROM orders) GROUP BY 1""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",

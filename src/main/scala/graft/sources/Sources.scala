@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source definitions ≙ the reference's consumers (SURVEY §2.1).
+  *
+  * One record model everywhere (SURVEY §1.2): `key STRING, value STRING,
+  * eventTime TIMESTAMP` — the Kafka (key, value, timestamp) triple. Every
+  * downstream operator consumes this shape, so sources are interchangeable:
+  * Kafka in production, MemoryStream in streaming tests, parquet for batch
+  * correctness runs.
+  *
+  * The Kafka reader requires the (public) `spark-sql-kafka-0-10` connector
+  * on the classpath and a reachable broker — neither exists in the build
+  * sandbox, so [[kafkaStream]]/[[kafkaBatch]] are exercised for plan
+  * construction only; the record-envelope contract they produce is what
+  * the MemoryStream/parquet tests pin.
+  */
+object Sources {
+
+  /** Streaming Kafka source ≙ `builder.stream(topic)` —
+    * `WordCountApp.java:49`, `StreamStreamJoinExample.java:107-108`.
+    * Casts the raw bytes to the string record envelope; `eventTime` is the
+    * broker timestamp (the reference's default "partitionTime"), to be
+    * overridden downstream by an event-time parse chain when a
+    * TimestampExtractor analog applies (SURVEY §2.1). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("timestamp").as("eventTime"))
+
+  /** Batch Kafka scan (topic replay) — same envelope, bounded. */
+  def kafkaBatch(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("timestamp").as("eventTime"))
+
+  /** Typed source ≙ `Consumed.with(String, jsonSerde)`
+    * (`OrderStreamConsumer.java:33-39`): parse the JSON value into a
+    * struct column `v` and flatten. NULL rows (malformed payloads) keep
+    * their envelope so re-key fallbacks can route them. */
+  def typed(records: DataFrame, schema: StructType): DataFrame =
+    records.withColumn("v", from_json(col("value"), schema))
+
+  /** Parquet batch source over a testdata/lake table (the correctness
+    * harness path; partition-pruned + filter-pushed by Catalyst). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet streaming source (file-arrival stream over a lake directory) —
+    * the no-broker stand-in for a topic subscription at scale. */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

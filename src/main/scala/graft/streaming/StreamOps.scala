@@ -60,6 +60,18 @@ object StreamOps {
   def streamTableJoin(stream: DataFrame, dim: DataFrame, joinKey: String): DataFrame =
     stream.join(dim, Seq(joinKey), "inner")
 
+  /** Streaming exact dedup over `idCols` with watermark-bounded state
+    * (SURVEY §7.1 step 7; training-pipeline north star): a record whose id
+    * was already seen within the watermark delay is dropped; per-id state
+    * is evicted once the watermark passes eventTime + delay, so state size
+    * is bounded by the delay × arrival rate — the explicit trade-off that a
+    * duplicate arriving later than the delay is re-emitted. Rows later
+    * than the watermark itself are dropped outright (late-data rule). */
+  def streamingDedup(stream: DataFrame, idCols: Seq[String], delay: String): DataFrame =
+    stream
+      .withWatermark("eventTime", delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ---------------------------------------------------------------------
   // T10 — custom stateful processor (the reference's Processor API surface)
   // ---------------------------------------------------------------------

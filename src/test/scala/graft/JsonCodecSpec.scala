@@ -1,0 +1,122 @@
+package graft
+
+import graft.codec.JsonCodec
+import graft.sinks.Sinks
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON codec (≙ JsonPOJOSerde), Kafka-envelope pipelines, streaming
+  * dedup, and the interactive window-store surface. */
+class JsonCodecSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("EnrichedOrder JSON matches the reference's sample byte-for-byte (StreamTableJoinExample.java:159)") {
+    val df = Seq((10, 1, "2025-09-29", "100.00", "1", "Alice", "alice@example.com"))
+      .toDF("order_id", "customer_id", "order_date", "total_amount", "customerId", "name", "email")
+      .select(JsonCodec.enrichedOrderJson(
+        struct($"order_id", $"customer_id", $"order_date", $"total_amount"),
+        struct($"customerId", $"name", $"email")).as("json"))
+    assert(df.as[String].head() ==
+      """{"order":{"order_id":10,"customer_id":1,"order_date":"2025-09-29","total_amount":"100.00"},"customer":{"customerId":"1","name":"Alice","email":"alice@example.com"}}""")
+  }
+
+  test("Order JSON round-trips: parse(to_json(order)) == order; malformed parses to null struct") {
+    val orders = Seq((44, 2, "2025-08-21", "800.00"))
+      .toDF("order_id", "customer_id", "order_date", "total_amount")
+      .select(struct($"order_id", $"customer_id", $"order_date", $"total_amount").as("o"))
+    val roundTripped = orders.select(JsonCodec.parseOrder(JsonCodec.toJsonValue($"o")).as("r"), $"o")
+    assert(roundTripped.filter($"r" =!= $"o").isEmpty)
+    val bad = Seq("{oops", "", "[1,2]").toDF("value")
+      .select(JsonCodec.parseOrder($"value").as("v"))
+    assert(bad.filter($"v.order_id".isNotNull).isEmpty)
+  }
+
+  test("T9 full-JSON streaming pipeline: Kafka envelope → from_json → re-key → dim join → nested EnrichedOrder JSON") {
+    // ≙ StreamTableJoinExample.java:50-172 with the sandbox MemoryStream
+    // standing in for the Kafka source (same record envelope).
+    val in = MemoryStream[(String, String)]
+    in.addData(
+      ("10", """{"order_id":10,"customer_id":1,"order_date":"2025-09-29","total_amount":"100.00"}"""),
+      ("11", """{"order_id":11,"customer_id":999,"order_date":"2025-09-30","total_amount":"50.00"}"""), // no such customer
+      ("12", """not json at all"""))
+    val records = in.toDF().toDF("key", "value")
+    val dim = Seq(("1", "Alice", "alice@example.com"))
+      .toDF("customerId", "name", "email")
+    val enriched = records
+      .withColumn("v", JsonCodec.parseOrder($"value"))
+      .withColumn("customerId", JsonCodec.keyOrUnknown($"v.customer_id")) // selectKey ≙ :53
+      .join(dim, Seq("customerId"), "inner")                              // ≙ :151-155
+      .select(JsonCodec.enrichedOrderJson($"v", struct($"customerId", $"name", $"email")).as("value"))
+    val q = enriched.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("json_t9").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("json_t9").as[String].collect().toSeq
+    // order 11 (customer absent) and order 12 (malformed → UNKNOWN key) dropped by inner join
+    assert(got == Seq(
+      """{"order":{"order_id":10,"customer_id":1,"order_date":"2025-09-29","total_amount":"100.00"},"customer":{"customerId":"1","name":"Alice","email":"alice@example.com"}}"""))
+  }
+
+  test("UNKNOWN-keyed records survive re-key and are countable (StreamsOrderCount.java:103-105)") {
+    val in = MemoryStream[String]
+    in.addData(
+      """{"order_id":1,"customer_id":3,"order_date":"2025-01-01","total_amount":"10.00"}""",
+      """{"order_id":2,"customer_id":3,"order_date":"2025-01-01","total_amount":"20.00"}""",
+      """broken{""")
+    val counts = StreamOps.runningCount(
+      in.toDF().toDF("value")
+        .select(JsonCodec.keyOrUnknown(JsonCodec.parseOrder($"value").getField("customer_id")).as("key")))
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("json_unknown").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("json_unknown").as[(String, Long)].collect().toMap
+    assert(got == Map("3" -> 2L, "UNKNOWN" -> 1L))
+  }
+
+  test("streaming dedup: in-watermark duplicates dropped, state bounded by the watermark") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = StreamOps.streamingDedup(in.toDF().toDF("id", "eventTime"), Seq("id"), "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup").start()
+    in.addData(("a", ts("2025-01-01 10:00:00")), ("a", ts("2025-01-01 10:01:00")))
+    q.processAllAvailable()     // same-batch duplicate → one row
+    in.addData(("a", ts("2025-01-01 10:02:00")))
+    q.processAllAvailable()     // in-watermark duplicate → dropped
+    in.addData(("b", ts("2025-01-01 10:30:00")))
+    q.processAllAvailable()     // advances watermark to 10:20 → 'a' state (≤10:11) evicted
+    in.addData(("a", ts("2025-01-01 10:25:00")))
+    q.processAllAvailable()     // beyond the delay → re-emitted (bounded-state trade-off)
+    q.stop()
+    val got = spark.table("stream_dedup").groupBy($"id").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("interactive window store: fetch(key, from, to) over a live tumbling aggregate (OrderCountTumblingWindow.java:126-145)") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = StreamOps.tumblingCount(in.toDF().toDF("key", "eventTime"), "1 minute")
+    val store = new Sinks.WindowCountStore
+    val q = Sinks.interactiveWindowCounts(agg, store)
+    try {
+      in.addData(("107", ts("2025-01-01 10:00:05")), ("107", ts("2025-01-01 10:00:25")))
+      q.processAllAvailable()
+      // first range read while the query is live
+      val mid = store.fetch("107", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+      assert(mid.map { case (w, c) => (w.toString, c) } == Seq(("2025-01-01 10:00:00.0", 2L)))
+      // more data: a later window appears AND the first window's count is upserted
+      in.addData(("107", ts("2025-01-01 10:00:45")), ("107", ts("2025-01-01 10:01:15")))
+      q.processAllAvailable()
+      val later = store.fetch("107", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+      assert(later.map { case (w, c) => (w.toString, c) } ==
+        Seq(("2025-01-01 10:00:00.0", 3L), ("2025-01-01 10:01:00.0", 1L)))
+      // range narrowing excludes windows outside [from, to]
+      assert(store.fetch("107", ts("2025-01-01 10:01:00"), ts("2025-01-01 10:05:00")).map(_._2) == Seq(1L))
+      assert(store.fetch("absent", ts("2025-01-01 00:00:00"), ts("2025-01-02 00:00:00")).isEmpty)
+    } finally q.stop()
+  }
+}
