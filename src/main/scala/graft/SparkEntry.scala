@@ -35,6 +35,17 @@ object SparkEntry {
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   private val FmtTsSql = "%Y-%m-%d %H:%M:%S.%f" // DuckDB strftime equivalent
 
+  /** Synthetic multimodal payload over `documents`: text bytes with a
+    * planted format magic prefix by doc_id (0→JPEG, 1→PNG, 2→RIFF, 3→none)
+    * — the sandbox stand-in for a real media column, built identically in
+    * the DuckDB oracle. */
+  private def multimodalBinary(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(docId % 4 === 0, concat(lit(Multimodal.JpegMagic), text.cast("binary")))
+      .when(docId % 4 === 1, concat(lit(Multimodal.PngMagic), text.cast("binary")))
+      .when(docId % 4 === 2, concat(lit(Multimodal.RiffMagic), text.cast("binary")))
+      .otherwise(text.cast("binary"))
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -122,6 +133,18 @@ object SparkEntry {
         k = 10, numCentroids = 16, nprobe = 4)
     }),
 
+    // --- north-star: multimodal ---
+    // opaque binary payloads (magic-prefixed per doc_id) + typed metadata:
+    // the media-column ingest projection of a training pipeline
+    "multimodal_meta" -> ((s, d) => {
+      val bin = multimodalBinary(col("doc_id"), col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(bin).cast("bigint").as("n_bytes"),
+        Multimodal.contentHash(bin).as("content_md5"),
+        Multimodal.modality(bin).as("modality"))
+    }),
+
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -199,6 +222,19 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 8)
          WHERE rank <= 10""",
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(bin) AS n_bytes, md5(hex(bin)) AS content_md5,
+           CASE WHEN left(hex(bin), 6) = 'FFD8FF' THEN 'image/jpeg'
+                WHEN left(hex(bin), 8) = '89504E47' THEN 'image/png'
+                WHEN left(hex(bin), 8) = '52494646' THEN 'audio/riff'
+                ELSE 'application/octet-stream' END AS modality
+         FROM (
+           SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+             WHEN 1 THEN '\x89PNG'::BLOB || encode(text)
+             WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+             ELSE encode(text) END AS bin
+           FROM documents)""",
     "text_token_stats" ->
       """SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,

@@ -37,6 +37,16 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("key"), col("cnt"))
 
+  /** T6 ≙ windows/tumbling/FraudDetectionApp.java:38-57 — tumbling
+    * 1-minute count per key with a threshold alert: emits (window, key,
+    * cnt) only when cnt exceeds `threshold`. Update mode: a window's
+    * alert row re-emits with the grown count as more events land (the
+    * reference alerts on every update past the threshold too). */
+  def windowedFraudAlerts(stream: DataFrame, windowLen: String, threshold: Long,
+      graceSeconds: Int = 0): DataFrame =
+    tumblingCount(stream, windowLen, graceSeconds)
+      .filter(col("cnt") > threshold)
+
   /** T8 ≙ StreamStreamJoinExample — windowed stream-stream inner equi-join:
     * equal keys, |t_left − t_right| ≤ `withinMinutes`. Watermarks on both
     * sides bound the join state (Spark evicts rows older than

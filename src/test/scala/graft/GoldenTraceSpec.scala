@@ -44,6 +44,25 @@ class GoldenTraceSpec extends AnyFunSuite {
       "2025-01-01 10:01:00" -> 1L))
   }
 
+  test("T6 golden: 1-minute tumbling fraud threshold alerts exactly on windows with count > 3 (windows/tumbling/FraudDetectionApp.java:38-57)") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    // card 9: 4 txns inside [10:00,10:01) → alert; 2 txns in [10:01,10:02) → none
+    // card 5: 3 txns inside [10:00,10:01) → exactly at threshold, no alert
+    in.addData(
+      ("9", ts("2025-01-01 10:00:05")), ("9", ts("2025-01-01 10:00:15")),
+      ("9", ts("2025-01-01 10:00:35")), ("9", ts("2025-01-01 10:00:55")),
+      ("9", ts("2025-01-01 10:01:10")), ("9", ts("2025-01-01 10:01:20")),
+      ("5", ts("2025-01-01 10:00:10")), ("5", ts("2025-01-01 10:00:20")),
+      ("5", ts("2025-01-01 10:00:30")))
+    val alerts = StreamOps.windowedFraudAlerts(
+      in.toDF().toDF("key", "eventTime"), "1 minute", threshold = 3L)
+    val got = runToMemory(alerts, "golden_t6", OutputMode.Update())
+      .groupBy($"window_start".cast("string").as("w"), $"key")
+      .agg(max($"cnt").as("cnt")) // final state per (window, key)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("2025-01-01 10:00:00", "9", 4L)))
+  }
+
   test("T3 golden: running count in update mode, final state per key (ProductCountApp.java:150-152)") {
     val in = MemoryStream[(String, String)]
     val stream = in.toDF().toDF("key", "value")

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary-column operators: sniffing, hashing, stub decode,
+  * sample assembly. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withMagic(magic: Array[Byte], payload: String): Array[Byte] =
+    magic ++ payload.getBytes("UTF-8")
+
+  test("modality sniffs JPEG/PNG/RIFF magic bytes and falls back to octet-stream") {
+    val rows = Seq(
+      (1L, withMagic(Multimodal.JpegMagic, "jpegdata")),
+      (2L, withMagic(Multimodal.PngMagic, "pngdata")),
+      (3L, withMagic(Multimodal.RiffMagic, "wavdata")),
+      (4L, "plain text".getBytes("UTF-8")),
+      (5L, Array[Byte](0x00, 0x01))) // shorter than 4 bytes of magic match
+      .toDF("doc_id", "media")
+    val got = rows.select($"doc_id", Multimodal.modality($"media").as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "image/jpeg", 2L -> "image/png", 3L -> "audio/riff",
+      4L -> "application/octet-stream", 5L -> "application/octet-stream"))
+  }
+
+  test("mediaMeta: byte count, stable hash, modality in one struct") {
+    val rows = Seq((1L, withMagic(Multimodal.JpegMagic, "x"))).toDF("doc_id", "media")
+    val got = rows.select(Multimodal.mediaMeta($"media").as("meta"))
+      .select($"meta.n_bytes", $"meta.content_md5", $"meta.modality")
+      .as[(Long, String, String)].head()
+    assert(got._1 == 5L) // 4 magic bytes + 1 payload byte
+    assert(got._2.matches("[0-9a-f]{32}"))
+    assert(got._3 == "image/jpeg")
+    // hash is deterministic and content-sensitive
+    val h2 = rows.select(Multimodal.contentHash($"media")).as[String].head()
+    assert(h2 == got._2)
+    val other = Seq((1L, withMagic(Multimodal.JpegMagic, "y"))).toDF("doc_id", "media")
+      .select(Multimodal.contentHash($"media")).as[String].head()
+    assert(other != got._2)
+  }
+
+  test("decodeImageStub is deterministic with plausible bounds (codec plug-in point)") {
+    val rows = Seq((1L, "payload-a".getBytes("UTF-8")), (2L, "payload-b".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val got = rows.select(Multimodal.decodeImageStub($"media").as("d"))
+      .select($"d.width", $"d.height", $"d.channels").as[(Int, Int, Int)].collect()
+    assert(got.forall { case (w, h, c) => w >= 1 && w <= 1920 && h >= 1 && h <= 1080 && c == 3 })
+    val again = rows.select(Multimodal.decodeImageStub($"media").as("d"))
+      .select($"d.width", $"d.height", $"d.channels").as[(Int, Int, Int)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("framePositionsMs samples every interval within the duration") {
+    val got = Seq(Tuple1(10_000L)).toDF("duration")
+      .select(Multimodal.framePositionsMs($"duration", 3_000L).as("f"))
+      .as[Seq[Long]].head()
+    assert(got == Seq(0L, 3000L, 6000L, 9000L))
+  }
+
+  test("assembleSamples joins text + media + embedding into one sample struct per doc") {
+    val dir = TestSpark.Sf0001
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val media = docs.select($"doc_id", $"text".cast("binary").as("media"))
+    val emb = Tables.embeddings(spark, dir)
+    val got = Multimodal.assembleSamples(docs, media, emb)
+    assert(got.schema.fieldNames.toSeq == Seq("doc_id", "sample"))
+    val one = got.select($"sample.meta.n_bytes", $"sample.meta.modality").limit(1)
+      .as[(Long, String)].head()
+    assert(one._1 > 0 && one._2 == "application/octet-stream")
+    assert(got.count() > 0)
+  }
+}
