@@ -152,7 +152,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
-    "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d)))
+    "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
+    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -279,9 +280,10 @@ object SparkEntry {
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1"""
-    // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding:
-    // sketch- or centroid-based — not SQL-expressible in DuckDB (xxhash64
-    // seeds, k-means buckets); driver records rows-only checks. Verified
-    // instead by planted-fixture + recall ScalaTests (OperatorsSpec).
+    // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding /
+    // text_winnow_fp: sketch- or centroid-based — not SQL-expressible in
+    // DuckDB (xxhash64 seeds, k-means buckets, winnow minima); driver
+    // records rows-only checks. Verified instead by planted-fixture +
+    // recall + native≡declarative ScalaTests (OperatorsSpec, FuncsSpec).
   )
 }

@@ -147,4 +147,17 @@ object Funcs {
 
   /** Hamming distance between two 64-bit SimHash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03) over
+    * pre-hashed k-grams: slide a window of `w` hashes, keep each window's
+    * minimum, emit the distinct minima in first-seen order. Guarantees at
+    * least one fingerprint per w consecutive k-grams, so any shared
+    * substring of ≥ w+k−1 tokens yields a shared fingerprint — the
+    * rolling-hash document fingerprint of the training-pipeline brief.
+    * Declarative O(n·w) form; [[Native.winnow]] is the one-pass O(n)
+    * deque version pinned equal by the tests. */
+  def winnowFingerprint(hashArr: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hashArr) - w, lit(0))),
+      i => array_min(slice(hashArr, i + 1, lit(w)))))
 }

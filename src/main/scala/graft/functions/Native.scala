@@ -102,6 +102,37 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** winnow(ARRAY<LONG>, w) → ARRAY<LONG>: sliding-window minima of the
+    * k-gram hash sequence, distinct in first-seen order — one O(n) pass
+    * with a monotonic deque vs. the declarative form's O(n·w) HoF chain
+    * ([[Funcs.winnowFingerprint]]; pinned equal by the tests). */
+  case class WinnowMins(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      // monotonic deque of indices; window [i-w+1, i]
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        val v = arr.getLong(i)
+        while (!deque.isEmpty && arr.getLong(deque.peekLast()) >= v) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1 || i == n - 1) out.add(arr.getLong(deque.peekFirst()))
+        i += 1
+      }
+      val mins = new Array[Long](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { mins(j) = it.next(); j += 1 }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -118,6 +149,11 @@ object Native {
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowMins(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType) => w
+        case other => throw new IllegalArgumentException(s"w must be an int literal, got $other")
+      }), "built-in")
   }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -125,4 +161,6 @@ object Native {
   def minhashSig(shingles: Column, k: Int = Funcs.DefaultMinHashK): Column =
     call_function("graft_minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def winnow(hashes: Column, w: Int): Column =
+    call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
 }

@@ -65,27 +65,32 @@ object Similarity {
       embCol: String,
       numCentroids: Int,
       iters: Int = 3): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = corpus
-      .select(col(embCol), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h"))
-      .limit(numCentroids)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    val d = cents.head.length
-    var it = 0
-    while (it < iters) {
-      val means = corpus
-        .select(nearestBucket(col(embCol), cents).as("cid"),
-          posexplode(col(embCol)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(avg(col("v")).as("m"))
+    // training touches the corpus iters+1 times — persist the two-column
+    // projection for the duration and release it before returning
+    val proj = corpus.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Float]] = proj
+        .select(col(embCol), xxhash64(col(idCol)).as("h"))
+        .orderBy(col("h"))
+        .limit(numCentroids)
         .collect()
-      val next = Array.tabulate(cents.length)(i => cents(i).clone())
-      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
-      cents = next
-      it += 1
-    }
-    cents
+        .map(_.getSeq[Float](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val means = proj
+          .select(nearestBucket(col(embCol), cents).as("cid"),
+            posexplode(col(embCol)).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(avg(col("v")).as("m"))
+          .collect()
+        val next = Array.tabulate(cents.length)(i => cents(i).clone())
+        means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+        cents = next
+        it += 1
+      }
+      cents
+    } finally { proj.unpersist(); () }
   }
 
   /** Cosine-against-each-centroid columns: one codegen'd dot product per

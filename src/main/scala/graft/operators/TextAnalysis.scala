@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Funcs
+import graft.functions.{Funcs, Native}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,21 @@ object TextAnalysis {
       col("doc_id"),
       Funcs.fingerprint(col("text")).as("md5"),
       Funcs.simhash64(Funcs.tokens(col("text"))).as("simhash"))
+
+  /** Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
+    * hash every `k`-token gram, keep the sliding-window-of-`w` minima
+    * ([[Native.winnow]], one O(n) deque pass per doc). Any two documents
+    * sharing ≥ w+k−1 consecutive tokens share a fingerprint value, so
+    * substring-level duplication is detectable by an equi-join on
+    * exploded fingerprints — the same ids-only join scaling as MinHash
+    * banding, but positional (plagiarism-style) rather than set-level. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = Funcs.wordShingles(Funcs.tokens(col("text")), k)
+    documents.select(
+      col("doc_id"),
+      Native.winnow(Funcs.shingleHashes(grams), w).as("fp"))
+      .withColumn("n_fp", size(col("fp")).cast("bigint"))
+  }
 
   /** The real word count T1's name promises (WordCountApp.java:62-64 only
     * uppercases): explode tokens → count per word. One shuffle on the word;

@@ -37,6 +37,29 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("key"), col("cnt"))
 
+  /** KTable ≙ `builder.table(topic)` (StreamTableJoinExample.java:137-140,
+    * "KTable always stores the latest value per key"): the stream's
+    * changelog view as an update-mode aggregate — every trigger emits the
+    * changed (key, latest value) rows. Latest is by EVENT time (max_by),
+    * not arrival order, so results are deterministic under shuffle; the
+    * reference itself is last-write-wins at processing time (SURVEY §7.2).
+    * Joinable as a dimension via foreachBatch upsert into a keyed table. */
+  def latestPerKey(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), col("eventTime")).as("value"),
+        max(col("eventTime")).as("eventTime"))
+
+  /** Debug tap ≙ `print(Printed.toSysOut().withLabel(label))`
+    * (OrderCountTumblingWindow.java:81-82) — non-terminal, zero-copy:
+    * registers an observation point that surfaces per-batch row counts in
+    * `StreamingQueryProgress.observedMetrics(label)` (or `Observation` for
+    * batch) and passes the stream through unchanged. Unlike a forked
+    * console query, this never re-reads the source. */
+  def tap(df: DataFrame, label: String): DataFrame =
+    df.observe(label, count(lit(1)).as("rows"))
+
   /** T6 ≙ windows/tumbling/FraudDetectionApp.java:38-57 — tumbling
     * 1-minute count per key with a threshold alert: emits (window, key,
     * cnt) only when cnt exceeds `threshold`. Update mode: a window's

@@ -77,4 +77,34 @@ class FuncsSpec extends AnyFunSuite {
     val got = Seq("abc").toDF("text").select(Funcs.fingerprint($"text")).as[String].head()
     assert(got == "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("winnow: native one-pass deque ≡ declarative HoF form, incl. short docs") {
+    val docs = Seq(
+      (1 to 50).map(i => s"tok${i % 13}").mkString(" "), // repeats → duplicate minima
+      "a b c",                                            // fewer grams than the window
+      "one")                                              // single token
+      .toDF("text")
+    val hashes = Funcs.shingleHashes(Funcs.wordShingles(Funcs.tokens($"text"), 2))
+    val both = docs.select(
+      graft.functions.Native.winnow(hashes, 4).as("native"),
+      Funcs.winnowFingerprint(hashes, 4).as("decl"))
+    assert(both.filter($"native" =!= $"decl").isEmpty)
+    // guarantee: at least one fingerprint per w consecutive grams
+    val n = both.select(org.apache.spark.sql.functions.size($"native")).as[Int].collect()
+    assert(n.forall(_ >= 1))
+  }
+
+  test("winnow fingerprints overlap on shared substrings, not on disjoint docs") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val a = s"intro words here $shared trailing alpha"
+    val b = s"different opening $shared other ending beta"
+    val c = (1 to 30).map(i => s"z$i").mkString(" ")
+    val fps = Seq(a, b, c).toDF("text")
+      .select(graft.functions.Native.winnow(
+        Funcs.shingleHashes(Funcs.wordShingles(Funcs.tokens($"text"), 4)), 4).as("fp"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    // 20 shared consecutive tokens ≥ w+k−1=7 ⇒ guaranteed common fingerprint
+    assert((fps(0) & fps(1)).nonEmpty)
+    assert((fps(0) & fps(2)).isEmpty)
+  }
 }

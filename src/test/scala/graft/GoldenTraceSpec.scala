@@ -168,6 +168,37 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got.map(_.orderKey).toSeq == Seq(4L))
   }
 
+  test("KTable golden: latestPerKey upserts to the latest value by event time (StreamTableJoinExample.java:114,137-140)") {
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = StreamOps.latestPerKey(in.toDF().toDF("key", "value", "eventTime"))
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("ktable").start()
+    in.addData(("1", "alice@old.com", ts("2025-01-01 10:00:00")))
+    q.processAllAvailable()
+    in.addData(
+      ("1", "alice@new.com", ts("2025-01-01 11:00:00")),  // later event → wins
+      ("1", "alice@stale.com", ts("2025-01-01 09:00:00")), // earlier event → ignored
+      ("2", "bob@x.com", ts("2025-01-01 10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode changelog: final state = last emission per key
+    val got = spark.table("ktable")
+      .groupBy($"key").agg(max_by($"value", $"eventTime").as("value"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "alice@new.com", "2" -> "bob@x.com"))
+  }
+
+  test("debug tap surfaces per-batch row counts without disturbing the stream (OrderCountTumblingWindow.java:81-82)") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    in.addData(("a", ts("2025-01-01 10:00:00")), ("b", ts("2025-01-01 10:00:01")))
+    val tapped = StreamOps.tap(in.toDF().toDF("key", "eventTime"), "pre-agg")
+    val q = StreamOps.runningCount(tapped)
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("tap_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("tap_out").count() == 2) // stream itself unchanged
+    val observed = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("pre-agg")))
+    assert(observed.exists(_.getAs[Long]("rows") == 2L))
+  }
+
   test("checkpoint restore: stateful aggregate resumes from checkpoint with state intact (ProductCountApp.java:34-36)") {
     // ≙ RocksDB + changelog-topic restore: stop the query, start a NEW
     // query instance over the same checkpointLocation, verify the running
