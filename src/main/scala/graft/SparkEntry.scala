@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -213,6 +215,17 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
+    // quadratic all-pairs oracle — the Spark side must reproduce it EXACTLY
+    // via lossless prefix filtering (no false negatives by the SSJoin lemma)
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                  ELSE [array_to_string(toks, ' ')] END) AS s FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5""",
     "sim_topk_bruteforce" ->
       """SELECT query_id, vec_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

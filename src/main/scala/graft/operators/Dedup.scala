@@ -160,6 +160,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** EXACT all-pairs n-gram Jaccard self-join via prefix filtering
+    * (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07): provably NO false negatives, unlike the probabilistic
+    * MinHash path.
+    *
+    * Lemma: under any global token order, two sets with |A∩B| ≥ α share a
+    * token within their first (|·|−α+1) elements. With J(A,B) ≥ t ⇒
+    * |A∩B| ≥ ⌈t·|A|⌉, indexing only each doc's (|S|−⌈t·|S|⌉+1)-prefix in
+    * xxhash64 order is lossless. Candidates are an equi-join on the
+    * prefix-token HASH over (hash, id, size) rows only — at t=0.8 the
+    * index holds ~20% of the corpus' shingles, and the size filter
+    * (⌈t·szA⌉ ≤ szB ≤ ⌊szA/t⌋) prunes length-incompatible pairs before
+    * the verify. Exact Jaccard then re-shingles only candidate rows.
+    */
+  def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def shingles(text: Column): Column =
+      array_distinct(Funcs.wordShingles(Funcs.tokens(text), n))
+    // (hash-sorted shingle hashes, set size) per doc; the exploded prefix
+    // index is (tok, doc_id, sz) — 3 longs per indexed shingle. Persisted:
+    // both self-join sides read it (same rationale as minhashLsh's banded).
+    val prefixed = documents
+      .select(col("doc_id"),
+        array_sort(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .withColumn("plen", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("hs"), lit(1), col("plen"))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = prefixed.as("a")
+      .join(prefixed.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
+          col("b.sz") * lit(threshold) <= col("a.sz"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification on candidate rows only (shingle INSIDE the
+    // projection after the join — never recomputed corpus-wide)
+    val docs = documents.select(col("doc_id"), col("text"))
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("sh_a", shingles(col("text_a")))
+      .withColumn("sh_b", shingles(col("text_b")))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

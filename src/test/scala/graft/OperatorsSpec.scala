@@ -81,6 +81,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("ngram Jaccard prefix filtering is exact: matches the brute-force all-pairs result") {
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute-force oracle: full cross join + exact Jaccard (sf0.001 is small)
+    def side(id: String, t: String) = docs.select($"doc_id".as(id), $"text".as(t))
+    val brute = Dedup.jaccardNgram(
+      side("id_a", "ta").join(side("id_b", "tb"), $"id_a" < $"id_b"), "ta", "tb", 3)
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"prefix filter lost ${brute.diff(got).size}, invented ${got.diff(brute).size}")
+    assert(brute.nonEmpty) // the corpus plants near-dups; the test must bite
+  }
+
   test("simhash finds planted near-duplicates and skips dissimilar docs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
