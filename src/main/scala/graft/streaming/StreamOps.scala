@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.functions.Funcs
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming forms of the reference topologies (SURVEY §2.7,
   * §3). Batch logical shapes live in [[graft.operators.Relational]]; these
@@ -33,6 +33,22 @@ object StreamOps {
     stream
       .withWatermark("eventTime", s"$graceSeconds seconds")
       .groupBy(window(col("eventTime"), windowLen), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("key"), col("cnt"))
+
+  /** Epoch-aligned hopping-window count — the documented cheap
+    * approximation of T7's Kafka sliding windows (SURVEY §7.1 step 5):
+    * built-in `window(size, slide)`, overlapping but wall-clock-aligned
+    * (an event lands in size/slide windows), vs. the exact event-anchored
+    * [[slidingCount]]. Orders of magnitude cheaper at scale (stateless
+    * window assignment + plain windowed agg vs. per-key timestamp-buffer
+    * state); use when aligned approximation is acceptable. */
+  def hoppingCount(stream: DataFrame, windowLen: String, slide: String,
+      graceSeconds: Int = 0): DataFrame =
+    stream
+      .withWatermark("eventTime", s"$graceSeconds seconds")
+      .groupBy(window(col("eventTime"), windowLen, slide), col("key"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("key"), col("cnt"))
@@ -150,6 +166,49 @@ object StreamOps {
 
   private def parseAmount(s: String): Option[Double] =
     try Option(s).map(_.toDouble) catch { case _: NumberFormatException => None }
+
+  /** ≙ FraudProcessor as a Spark 4 `StatefulProcessor` — the modern
+    * `transformWithState` surface (successor of flatMapGroupsWithState):
+    * named typed state ([[ValueState]] "fraud-count" ≙ the reference's
+    * named "fraud-store", FraudDetectionApp.java:38-45), explicit
+    * init/handle lifecycle ≙ Processor.init/process. Requires the RocksDB
+    * state-store provider (multi-column-family state) — the same provider
+    * the reference's RocksDB stores imply at scale. */
+  class FraudProcessorTws(minAmount: Double, countThreshold: Long)
+      extends StatefulProcessor[String, FraudInput, Alert] {
+    @transient private var countState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("fraud-count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[FraudInput],
+        timerValues: TimerValues): Iterator[Alert] = {
+      var count = if (countState.exists()) countState.get() else 0L
+      val alerts = rows.toSeq
+        .filter(r => parseAmount(r.totalAmount).exists(_ >= minAmount))
+        .sortBy(r => (r.eventTime.getTime, r.orderKey))
+        .flatMap { r =>
+          count += 1
+          if (count > countThreshold)
+            Some(Alert(key, r.orderKey, count,
+              s"Fraud alert! Customer $key placed $count high-value orders."))
+          else None
+        }
+      countState.update(count)
+      alerts.iterator
+    }
+  }
+
+  /** T10 via `transformWithState` (same semantics as [[fraudDetector]];
+    * golden tests pin both). */
+  def fraudDetectorTws(orders: Dataset[FraudInput], minAmount: Double, countThreshold: Long)(
+      implicit spark: SparkSession): Dataset[Alert] = {
+    import spark.implicits._
+    orders
+      .groupByKey(_.key)
+      .transformWithState(new FraudProcessorTws(minAmount, countThreshold),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   // ---------------------------------------------------------------------
   // T7 — Kafka-semantics sliding windows (SURVEY §7 hard part #1)

@@ -155,6 +155,52 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got.last.runningCount == 5L)
   }
 
+  test("T10 via transformWithState on RocksDB: same golden alerts as flatMapGroupsWithState (FraudProcessor.java:41-63)") {
+    // transformWithState requires the RocksDB provider — which is also the
+    // at-scale provider the reference's RocksDB stores map to (SURVEY §2.6)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamOps.FraudInput]
+      val base = ts("2025-01-01 00:00:00").getTime
+      def order(k: String, i: Long, amount: String) =
+        StreamOps.FraudInput(k, i, amount, new java.sql.Timestamp(base + i * 1000))
+      val q = StreamOps.fraudDetectorTws(in.toDS(), minAmount = 500.0, countThreshold = 3L).toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("golden_tws").start()
+      in.addData(
+        order("7", 1, "800.00"), order("7", 2, "900.00"),
+        order("7", 3, "100.00"), order("7", 4, "not-a-number"),
+        order("7", 5, "750.00"), order("7", 6, "600.00"))
+      q.processAllAvailable()
+      in.addData(order("7", 7, "950.00"), order("8", 8, "9999.99")) // state crosses batches
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("golden_tws").as[StreamOps.Alert].collect().sortBy(_.orderKey)
+      assert(got.map(_.orderKey).toSeq == Seq(6L, 7L))
+      assert(got.head.alert == "Fraud alert! Customer 7 placed 4 high-value orders.")
+      assert(got.last.runningCount == 5L)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("hopping-window count: aligned approximation covers each event size/slide times") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    in.addData(("c", ts("2025-01-01 12:01:30")), ("c", ts("2025-01-01 12:04:30")))
+    val got = runToMemory(
+      StreamOps.hoppingCount(in.toDF().toDF("key", "eventTime"), "5 minutes", "1 minute"),
+      "golden_hopping", OutputMode.Update())
+      .select($"window_start".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    // event@12:01:30 belongs to hops starting 11:57..12:01; event@12:04:30 to 12:00..12:04
+    assert(got("2025-01-01 12:00:00") == 2L)  // hops 12:00 and 12:01 see both
+    assert(got("2025-01-01 12:01:00") == 2L)
+    assert(got("2025-01-01 11:57:00") == 1L)  // only the first event
+    assert(got("2025-01-01 12:04:00") == 1L)  // only the second
+    assert(got.values.sum == 10L)             // each event in exactly 5 hops
+  }
+
   test("T10 state persists across micro-batches") {
     val in = MemoryStream[StreamOps.FraudInput]
     val base = ts("2025-01-01 00:00:00").getTime
