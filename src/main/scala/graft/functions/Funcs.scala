@@ -25,7 +25,10 @@ object Funcs {
   def eventTimeChain(raw: Column, fallback: Column): Column = coalesce(
     try_to_timestamp(raw),                                   // ISO instant / timestamp
     try_to_timestamp(raw, lit("yyyy-MM-dd")),                // date → start of day (UTC session)
-    timestamp_millis(when(raw.rlike("^-?[0-9]+$"), raw.cast("bigint"))), // epoch millis
+    // epoch millis — try_cast, not cast: a digit string longer than
+    // BIGINT's range passes the regex but would THROW under ANSI
+    // (property-test finding); try_cast nulls it into the fallback
+    timestamp_millis(when(raw.rlike("^-?[0-9]+$"), raw).try_cast("bigint")),
     fallback
   )
 

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.Funcs
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY §5.4): each law is checked over a seeded
+  * scalacheck-generated dataset evaluated in ONE Spark job (a per-case job
+  * would be 100× slower for the same coverage). Seeds are fixed so runs
+  * are deterministic.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): List[T] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val epoch2025 = 1735689600L // 2025-01-01 00:00:00 UTC, seconds
+
+  test("tumbling law: every event lands in exactly one 1-min bucket, aligned to its own minute") {
+    val ts = sample(Gen.chooseNum(0L, 365L * 24 * 3600), 500, 1L)
+      .map(s => new java.sql.Timestamp((epoch2025 + s) * 1000))
+    val df = ts.toDF("ts")
+    val assigned = df.select($"ts", window($"ts", "1 minute").as("w"))
+    // exactly one window per event (window() is scalar) with the event inside it
+    assert(assigned.filter(!($"ts" >= $"w.start" && $"ts" < $"w.end")).isEmpty)
+    // alignment: start == floor to minute; width == 1 min
+    assert(assigned.filter($"w.start" =!= date_trunc("minute", $"ts")).isEmpty)
+    assert(assigned.filter(unix_timestamp($"w.end") - unix_timestamp($"w.start") =!= 60).isEmpty)
+  }
+
+  test("sliding pair law: an event is counted in another's forward window iff 0 ≤ Δt < size") {
+    // adversarial timestamps: clustered with duplicates and boundary gaps
+    // (exactly size apart must NOT co-window: the frame is [t, t+size))
+    val size = 300L // 5 min in seconds
+    val gen = for {
+      key <- Gen.oneOf("a", "b")
+      base <- Gen.chooseNum(0L, 3600L)
+      jitter <- Gen.oneOf(0L, 1L, size - 1, size, size + 1)
+    } yield (key, new java.sql.Timestamp((epoch2025 + base + jitter) * 1000))
+    val ev = sample(gen, 300, 2L).toDF("user_id", "ts")
+      .select($"user_id", $"ts") // slidingCount keys on user_id
+    val got = operators.Relational.slidingCount(
+      ev.withColumn("user_id", $"user_id"), sizeMinutes = 5)
+    val a = ev.select($"user_id".cast("string").as("key"), $"ts")
+    // anchors deduped: duplicate events anchor the SAME window once, but
+    // still count as members of every window covering them (right side)
+    val oracle = a.dropDuplicates("key", "ts").join(
+        a.select($"key".as("k2"), $"ts".as("ts2")),
+        $"key" === $"k2" && $"ts2" >= $"ts" && $"ts2" < $"ts" + expr(s"INTERVAL $size SECONDS"))
+      .groupBy($"key", $"ts").agg(count(lit(1)).as("cnt"))
+    val mismatch = got.withColumnRenamed("window_start", "ts")
+      .join(oracle, Seq("key", "ts"), "full_outer")
+      .filter(got("cnt") =!= oracle("cnt") || got("cnt").isNull || oracle("cnt").isNull)
+    assert(mismatch.isEmpty)
+  }
+
+  test("UNKNOWN-fallback totality: any value string yields a non-null key") {
+    val junk = sample(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.alphaNumStr.map(s => s"""{"order_id":"$s"}"""),
+      Gen.const("""{"order_id": null}"""),
+      Gen.const(""), Gen.const("{"), Gen.const("[1,2,3]"),
+      Gen.listOf(Gen.oneOf("∀", "💥", "\\", "\"", "\n", "{", "}")).map(_.mkString)), 400, 3L)
+    val df = junk.toDF("v")
+    assert(df.select(Funcs.jsonKeyOrUnknown($"v", "$.order_id").as("k"))
+      .filter($"k".isNull).isEmpty)
+  }
+
+  test("timestamp parse-chain totality: arbitrary strings never null out given a fallback") {
+    val fallback = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val raw = sample(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.chooseNum(-3_000_000_000_000L, 3_000_000_000_000L).map(_.toString),
+      Gen.chooseNum(1970, 2100).map(y => f"$y%04d-07-15"),
+      Gen.const("2025-13-45"),                 // invalid date
+      Gen.const("99999999999999999999999999"), // overflows BIGINT cast
+      Gen.const("")), 400, 4L)
+    val df = raw.toDF("raw")
+    assert(df.select(Funcs.eventTimeChain($"raw", lit(fallback)).as("ts"))
+      .filter($"ts".isNull).isEmpty)
+  }
+
+  test("count additivity: per-key counts are invariant under arbitrary stream splitting") {
+    val gen = for (k <- Gen.chooseNum(0, 30)) yield k.toString
+    val keys = sample(gen, 1000, 5L).toDF("key")
+    val whole = keys.groupBy($"key").agg(count(lit(1)).as("cnt"))
+    // split by a hash coin-flip (any partition of the rows must do)
+    val partA = keys.filter(xxhash64($"key", monotonically_increasing_id()) % 2 === 0)
+    val partB = keys.exceptAll(partA)
+    val merged = partA.groupBy($"key").agg(count(lit(1)).as("ca"))
+      .join(partB.groupBy($"key").agg(count(lit(1)).as("cb")), Seq("key"), "full_outer")
+      .select($"key", (coalesce($"ca", lit(0L)) + coalesce($"cb", lit(0L))).as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("winnow guarantee: docs sharing ≥ w+k−1 consecutive tokens always share a fingerprint") {
+    val k = 4; val w = 4
+    val gen = for {
+      sharedLen <- Gen.chooseNum(k + w - 1, 20)
+      shared <- Gen.listOfN(sharedLen, Gen.chooseNum(0, 50).map(i => s"s$i"))
+      pre <- Gen.listOfN(5, Gen.chooseNum(0, 50).map(i => s"p$i"))
+      post <- Gen.listOfN(5, Gen.chooseNum(0, 50).map(i => s"q$i"))
+    } yield ((pre ++ shared).mkString(" "), (shared ++ post).mkString(" "))
+    val pairs = sample(gen, 50, 6L).toDF("ta", "tb")
+    def fp(c: org.apache.spark.sql.Column) =
+      graft.functions.Native.winnow(
+        Funcs.shingleHashes(Funcs.wordShingles(Funcs.tokens(c), k)), w)
+    assert(pairs.select(size(array_intersect(fp($"ta"), fp($"tb"))).as("common"))
+      .filter($"common" < 1).isEmpty)
+  }
+}
