@@ -31,6 +31,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // drop relations the warm-up .persist()ed: the CacheManager would
+    // otherwise substitute them into the timed pass by plan equality and
+    // the sketch queries would measure cache scans instead of their own
+    // compute (JVM/codegen/page-cache warmth is retained, which is the
+    // warm-up's actual purpose)
+    spark.catalog.clearCache()
 
     // Fail loudly: a failed query gets NO timing entry, and any failure
     // makes the whole bench exit non-zero — a broken build must never look

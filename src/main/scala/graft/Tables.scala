@@ -22,14 +22,20 @@ object Tables {
     * timestamp. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see [[graft.Sessions]]); here the long nanos become a µs timestamp —
     * truncation, matching DuckDB's ns→µs conversion on the oracle side. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nanosLongToMicros(load(spark, dir, "events"), "ts")
+
+  /** The single home of the TIMESTAMP(NANOS) rule: when `colName` arrived
+    * as raw nanos (LongType under `nanosAsLong`), truncate to a µs
+    * timestamp — matching DuckDB's ns→µs conversion on the oracle side.
+    * Used by both the batch loader above and the streaming topologies. */
+  def nanosLongToMicros(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case _ => raw
+        df.withColumn(colName,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($colName DIV 1000)"))
+      case _ => df
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -121,27 +121,26 @@ object Topologies {
     * single files, so each is exposed through a per-table temp directory
     * holding a symlink — a deployment streams the real partitioned dir. */
   private def streamTable(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val path = s"$dir/$table.parquet"
+    // absolute target (a relative sfDir would dangle the symlink, which
+    // resolves against the link's directory); temp dir keyed by the full
+    // sanitized path, not a hash — no collision can alias two datasets
+    val target = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath.normalize()
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-streams",
-      java.lang.Integer.toHexString(dir.hashCode), table)
+      target.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_"), table)
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    spark.readStream.schema(spark.read.parquet(path).schema).parquet(streamDir.toString)
+      java.nio.file.Files.createSymbolicLink(link, target)
+    graft.sources.Sources.parquetStream(spark, streamDir.toString,
+      spark.read.parquet(target.toString).schema)
   }
 
   /** Record envelope over `events`: key = user, value = props JSON,
     * eventTime = ts (with the TIMESTAMP(NANOS)→µs conversion
     * [[graft.Tables.events]] documents). */
   private def eventRecords(spark: SparkSession, dir: String): DataFrame = {
-    val raw = streamTable(spark, dir, "events")
-    val withTs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _ => raw
-    }
+    val withTs = Tables.nanosLongToMicros(streamTable(spark, dir, "events"), "ts")
     withTs.select(
       col("user_id").cast("string").as("key"),
       col("props").as("value"),

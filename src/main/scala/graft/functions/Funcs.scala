@@ -160,7 +160,10 @@ object Funcs {
     * Declarative O(n·w) form; [[Native.winnow]] is the one-pass O(n)
     * deque version pinned equal by the tests. */
   def winnowFingerprint(hashArr: Column, w: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(hashArr) - w, lit(0))),
-      i => array_min(slice(hashArr, i + 1, lit(w)))))
+    // empty-input guard keeps this identical to Native.WinnowMins (which
+    // emits [], not [null], when there are no hashes)
+    when(size(hashArr) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(size(hashArr) - w, lit(0))),
+        i => array_min(slice(hashArr, i + 1, lit(w))))))
 }

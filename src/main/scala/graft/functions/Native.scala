@@ -133,6 +133,29 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** sorted_intersect_count(ARRAY<LONG>, ARRAY<LONG>) → LONG: two-pointer
+    * intersection size over ascending-sorted long arrays — O(|a|+|b|) per
+    * pair vs array_intersect's hashed build per row. The set-similarity
+    * verify primitive: Jaccard = c / (|a|+|b|−c). */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0L
+      while (i < x.numElements() && j < y.numElements()) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      java.lang.Long.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -154,6 +177,8 @@ object Native {
         case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType) => w
         case other => throw new IllegalArgumentException(s"w must be an int literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -163,4 +188,6 @@ object Native {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def winnow(hashes: Column, w: Int): Column =
     call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
 }

