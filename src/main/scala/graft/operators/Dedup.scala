@@ -65,23 +65,31 @@ object Dedup {
 
     // Skew guard: a bucket with m members yields m² candidate pairs in the
     // self-join — one hot band-key (a boilerplate pattern shared by many
-    // docs) turns the join quadratic on a single partition. Buckets above
-    // the cap are non-discriminative (standard LSH practice: drop them;
-    // genuine near-dup pairs still collide in their other bands). The
-    // hot-key list is tiny after the partial-aggregated count, so it
-    // broadcasts, and the anti-join stays map-side.
+    // docs, or a giant near-dup cluster) turns the join quadratic on a
+    // single partition. Cold buckets (≤ cap) do the full pairwise join;
+    // hot buckets degrade to CHAINING — consecutive doc_ids linked, O(m)
+    // pairs — which keeps a large near-dup cluster transitively connected
+    // for union-find-style dedup (dropping hot buckets outright would lose
+    // every pair of a >cap cluster: ALL its bands are hot). The hot-key
+    // list is tiny after the partial-aggregated count, so it broadcasts.
     val hotBuckets = banded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .select("band", "bkey")
-    val pruned = banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
-
-    val candidates = pruned.as("a")
-      .join(pruned.as("b"),
+    val cold = banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+    val coldPairs = cold.as("a")
+      .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val hotPairs = banded.join(broadcast(hotBuckets), Seq("band", "bkey"))
+      .withColumn("nxt", lead(col("doc_id"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
+
+    val candidates = coldPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
 
     // Exact-Jaccard verification: join the (tiny) candidate set back to the
     // raw documents and shingle INSIDE the projection — the shingle

@@ -81,6 +81,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("minhash LSH hot-bucket chaining keeps oversized near-dup clusters connected") {
+    // 100 near-identical docs (> maxBucketSize=8 here): every band bucket
+    // is hot, so the full pairwise join is skipped — but chained pairs
+    // must still connect the whole cluster for transitive dedup
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = ((1 to 100).map { i =>
+      (i.toLong, base.updated(i % 55, s"variant$i").mkString(" "))
+    } :+ (999L, (1 to 60).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5, maxBucketSize = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists { case (a, b) => a == 999L || b == 999L }) // unrelated doc untouched
+    // union-find: the 100-doc cluster must come out as ONE component
+    val parent = scala.collection.mutable.Map((1L to 100L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 100L).map(find).toSet.size == 1, "cluster fragmented by the skew guard")
+  }
+
   test("ngram Jaccard prefix filtering is exact: matches the brute-force all-pairs result") {
     val docs = Tables.documents(spark, dir)
     val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
