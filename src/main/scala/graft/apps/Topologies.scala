@@ -122,16 +122,22 @@ object Topologies {
     * holding a symlink — a deployment streams the real partitioned dir. */
   private def streamTable(spark: SparkSession, dir: String, table: String): DataFrame = {
     // absolute target (a relative sfDir would dangle the symlink, which
-    // resolves against the link's directory); temp dir keyed by the full
-    // sanitized path, not a hash — no collision can alias two datasets
+    // resolves against the link's directory); temp dir keyed by the
+    // sanitized path PLUS an md5 of the exact path — sanitization alone is
+    // many-to-one ("/a/b+c" and "/a/b_c" would collide and alias datasets)
     val target = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath.normalize()
+    val parent = target.getParent.toString
+    val key = parent.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5").digest(parent.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-streams",
-      target.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_"), table)
+      sys.props("java.io.tmpdir"), "graft-streams", key, table)
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    // recreate rather than reuse: Files.exists follows symlinks, so a
+    // dangling link from a deleted dataset would otherwise crash creation
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, target)
     graft.sources.Sources.parquetStream(spark, streamDir.toString,
       spark.read.parquet(target.toString).schema)
   }

@@ -39,13 +39,20 @@ object Native {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // freshName, not fixed identifiers: several dot products can land
+        // in ONE codegen scope (e.g. centroidSims emits C of them in a
+        // single projection) and duplicate `int n` would fail Janino
+        // compilation, silently falling back to interpreted execution
+        val n = ctx.freshName("dotN")
+        val s = ctx.freshName("dotSum")
+        val i = ctx.freshName("dotI")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
            |}
-           |${ev.value} = s;
+           |${ev.value} = $s;
          """.stripMargin
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -46,6 +46,9 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6,
       maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "a remainder would silently discard trailing signature positions and shift the S-curve")
     val rowsPerBand = numHashes / bands // LSH S-curve knee ≈ (1/b)^(1/r) ≈ 0.71
     def shingles(text: Column): Column =
       array_distinct(Funcs.wordShingles(Funcs.tokens(text), shingleLen))
@@ -68,10 +71,14 @@ object Dedup {
     // docs, or a giant near-dup cluster) turns the join quadratic on a
     // single partition. Cold buckets (≤ cap) do the full pairwise join;
     // hot buckets degrade to CHAINING — consecutive doc_ids linked, O(m)
-    // pairs — which keeps a large near-dup cluster transitively connected
+    // pairs — so a large near-dup cluster stays transitively connected
     // for union-find-style dedup (dropping hot buckets outright would lose
-    // every pair of a >cap cluster: ALL its bands are hot). The hot-key
-    // list is tiny after the partial-aggregated count, so it broadcasts.
+    // every pair of a >cap cluster: ALL its bands are hot). Trade-offs of
+    // chaining: the output is union-find EDGES, not the complete verified
+    // pair list, for over-cap clusters; and an unrelated doc interleaved
+    // (by id) in a hot bucket can break a chain link — connectivity then
+    // depends on the cluster's other bands. The hot-key list is tiny
+    // after the partial-aggregated count, so it broadcasts.
     val hotBuckets = banded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
@@ -108,27 +115,48 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature per doc; candidate pairs share one
-    * of four 16-bit signature quadrants (pigeonhole: Hamming ≤ 3 ⇒ some
-    * quadrant equal), then exact Hamming ≤ maxHamming verification.
-    * Same equi-join-on-sketch-key scaling as MinHash-LSH. */
-  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * of (maxHamming+1) signature bands (pigeonhole: h flipped bits cannot
+    * touch all h+1 bands, so Hamming ≤ maxHamming ⇒ some band equal —
+    * LOSSLESS recall at any maxHamming ≤ 63), then exact Hamming
+    * verification. Same equi-join-on-sketch-key scaling AND the same
+    * hot-bucket skew guard as MinHash-LSH: an over-cap band key (e.g.
+    * thousands of identical boilerplate docs ⇒ identical sigs) degrades to
+    * O(m) consecutive-id chaining instead of an m² self-join. */
+  def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands >= 2 && nBands <= 64, s"maxHamming must be in [1, 63], got $maxHamming")
+    // band widths: 64 bits split as evenly as possible over h+1 bands
+    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val bandKeys = (0 until nBands).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
+    }
     val sigs = documents.select(
       col("doc_id"),
       Native.simhash(Funcs.tokens(col("text"))).as("sig"))
-    // four 16-bit quadrants as candidate keys; persisted (3 longs/doc) so
-    // the tokenize+simhash scan runs once, not once per self-join side
+    // (band, key) per doc; persisted (3 longs/doc/band) so the
+    // tokenize+simhash scan runs once, not once per self-join side
     val quads = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(array(
-        col("sig").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("sig"), 16).bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("sig"), 48).bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "qkey")))
+      posexplode(array(bandKeys: _*)).as(Seq("q", "qkey")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = quads.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = quads.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("q", "qkey"))
+    val hot = quads.groupBy("q", "qkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize).select("q", "qkey")
+    val cold = quads.join(broadcast(hot), Seq("q", "qkey"), "left_anti")
+    val coldPairs = cold.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .join(cold.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("q", "qkey"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    val hotPairs = quads.join(broadcast(hot), Seq("q", "qkey"))
+      .withColumn("nxt", lead(struct(col("doc_id"), col("sig")), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q"), col("qkey")).orderBy(col("doc_id"))))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("id_a"), col("nxt.doc_id").as("id_b"),
+        col("sig").as("sig_a"), col("nxt.sig").as("sig_b"))
+    coldPairs.union(hotPairs)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", Funcs.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
@@ -171,7 +199,8 @@ object Dedup {
     candidates
       .join(side("id_a", "emb_a", "norm_a"), Seq("id_a"))
       .join(side("id_b", "emb_b", "norm_b"), Seq("id_b"))
-      .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) > minCosine)
+      // inclusive bound: same boundary convention as the whole dedup family
+      .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= minCosine)
       .select(col("id_a"), col("id_b"))
   }
 

@@ -69,7 +69,9 @@ object Multimodal {
     * `everyMs` — the pure-Spark plumbing of a video frame sampler (the
     * per-position pixel grab is codec work, see [[decodeImageStub]]). */
   def framePositionsMs(durationMs: Column, everyMs: Long): Column =
-    sequence(lit(0L), durationMs - 1, lit(everyMs))
+    // zero-length media yields no frames (an unguarded sequence(0, -1, +step) throws)
+    when(durationMs > 0, sequence(lit(0L), durationMs - 1, lit(everyMs)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Assemble the canonical multimodal training sample: doc fields + media
     * binary with its metadata + embedding, one struct row per doc. The

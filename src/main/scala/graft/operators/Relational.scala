@@ -59,7 +59,7 @@ object Relational {
     * window [t, t+5min) and the count of same-key events inside it.
     * Batch form: a range-frame window function over epoch-micros — one
     * shuffle on the key, sorted within partition, O(n) sweep. The exact
-    * streaming implementation lives in [[graft.streaming.SlidingCounts]]. */
+    * streaming implementation lives in [[graft.streaming.StreamOps.slidingCount]]. */
   def slidingCount(events: DataFrame, sizeMinutes: Int): DataFrame = {
     val micros = expr("unix_micros(ts)")
     val w = Window
@@ -113,7 +113,7 @@ object Relational {
     * past `countThreshold` (the reference alerts on the 4th, 5th, … —
     * FIXTURES.md golden). The filter is applied *before* the window
     * (predicate pushdown to the scan), exactly the reference's early skip.
-    * Streaming form: [[graft.streaming.FraudDetector]]. */
+    * Streaming form: [[graft.streaming.StreamOps.fraudDetector]]. */
   def fraudRunningCount(orders: DataFrame, minAmount: Double, countThreshold: Long): DataFrame = {
     val w = Window
       .partitionBy(col("o_custkey"))

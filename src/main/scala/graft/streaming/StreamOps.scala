@@ -234,6 +234,8 @@ object StreamOps {
     * entries older than (max event time − size) can no longer change and
     * are evicted each batch, so state is bounded by size × event rate per
     * key — the same bound Kafka Streams' window store retention gives.
+    * Events arriving LATER than that horizon are dropped (grace-0 late
+    * rule; counting them against the pruned buffer would undercount).
     */
   def slidingCount(events: Dataset[SlidingEvent], sizeMillis: Long)(
       implicit spark: SparkSession): Dataset[SlidingCount] = {
@@ -243,7 +245,12 @@ object StreamOps {
       .flatMapGroupsWithState[Seq[Long], SlidingCount](OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[SlidingEvent], state: GroupState[Seq[Long]]) =>
           val old = state.getOption.getOrElse(Seq.empty)
-          val incoming = rows.map(_.eventTime.getTime).toSeq
+          // Late-data rule (grace-0 parity, and correctness): an event older
+          // than the eviction horizon would be counted against an already-
+          // pruned buffer and emit UNDERCOUNTED windows — drop it instead,
+          // exactly as the watermark drops late rows in the built-in ops.
+          val horizon0 = if (old.isEmpty) Long.MinValue else old.max - sizeMillis
+          val incoming = rows.map(_.eventTime.getTime).filter(_ >= horizon0).toSeq
           val all = (old ++ incoming).sorted
           // windows whose counts changed: anchors t with [t, t+size) ∋ any new event
           val dirty = all.filter(t => incoming.exists(e => e >= t && e < t + sizeMillis)).distinct

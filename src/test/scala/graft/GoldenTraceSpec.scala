@@ -117,6 +117,25 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("2025-01-01 12:01:00" -> 2L, "2025-01-01 12:04:00" -> 1L))
   }
 
+  test("T7 late events older than the eviction horizon are dropped, not undercounted") {
+    val in = MemoryStream[StreamOps.SlidingEvent]
+    val q = StreamOps.slidingCount(in.toDS(), 5 * 60 * 1000L).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("golden_sliding3").start()
+    in.addData(
+      StreamOps.SlidingEvent("c", ts("2025-01-01 12:10:00")),
+      StreamOps.SlidingEvent("c", ts("2025-01-01 12:16:00"))) // horizon → 12:11; 12:10 evicted
+    q.processAllAvailable()
+    in.addData(StreamOps.SlidingEvent("c", ts("2025-01-01 12:08:00"))) // late: before horizon
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("golden_sliding3")
+      .select($"windowStart".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    // the late 12:08 anchor must NOT appear (counting it against the pruned
+    // buffer would claim cnt=1 when the true window held the evicted 12:10)
+    assert(!got.contains("2025-01-01 12:08:00"))
+    assert(got == Map("2025-01-01 12:10:00" -> 1L, "2025-01-01 12:16:00" -> 1L))
+  }
+
   test("T8 golden: stream-stream join matches within ±5 min, drops unmatched (StreamStreamJoinExample.java:48-78,163-168)") {
     val orders = MemoryStream[(String, String, java.sql.Timestamp)]
     val payments = MemoryStream[(String, String, java.sql.Timestamp)]

@@ -55,11 +55,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
-  test("framePositionsMs samples every interval within the duration") {
-    val got = Seq(Tuple1(10_000L)).toDF("duration")
+  test("framePositionsMs samples every interval within the duration; zero-length media yields no frames") {
+    val got = Seq(10_000L, 0L).toDF("duration")
       .select(Multimodal.framePositionsMs($"duration", 3_000L).as("f"))
-      .as[Seq[Long]].head()
-    assert(got == Seq(0L, 3000L, 6000L, 9000L))
+      .as[Seq[Long]].collect()
+    assert(got(0) == Seq(0L, 3000L, 6000L, 9000L))
+    assert(got(1) == Seq.empty)
   }
 
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {

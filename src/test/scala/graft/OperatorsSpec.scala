@@ -100,6 +100,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert((1L to 100L).map(find).toSet.size == 1, "cluster fragmented by the skew guard")
   }
 
+  test("simhash hot-bucket chaining connects identical-doc floods; banding is pigeonhole-lossless") {
+    // 50 identical docs: identical sigs ⇒ every band bucket hot at cap 8
+    val docs = ((1 to 50).map(i => (i.toLong, "same boilerplate text here")) :+
+      (999L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(docs, maxHamming = 3, maxBucketSize = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map((1L to 50L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => if (a <= 50 && b <= 50) parent(find(a)) = find(b) }
+    assert((1L to 50L).map(find).toSet.size == 1, "identical-doc flood fragmented")
+    assert(!pairs.exists { case (a, b) => a == 999L || b == 999L })
+    // lossless banding at maxHamming=5: plant a pair with hamming spread
+    // over >4 of the old quadrants — 6 bands must still catch it.
+    // Brute-force oracle over a small random-ish corpus:
+    val corpus = (1 to 40).map(i => (i.toLong, (1 to 40).map(j => s"t${(i * 7 + j * 13) % 90}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(corpus, maxHamming = 5, maxBucketSize = 1000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sigs = corpus.select($"doc_id",
+      graft.functions.Native.simhash(graft.functions.Funcs.tokens($"text")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(graft.functions.Funcs.hamming64($"a.sig", $"b.sig") <= 5)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"banding lost ${brute.diff(got).size} pairs")
+  }
+
   test("ngram Jaccard prefix filtering is exact: matches the brute-force all-pairs result") {
     val docs = Tables.documents(spark, dir)
     val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
