@@ -155,7 +155,8 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
     "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
-    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d)))
+    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -290,6 +291,10 @@ object SparkEntry {
            FROM documents)""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "text_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
+         FROM documents""",
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1"""

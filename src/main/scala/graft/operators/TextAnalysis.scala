@@ -71,6 +71,22 @@ object TextAnalysis {
       Funcs.fingerprint(col("text")).as("md5"),
       Funcs.simhash64(Funcs.tokens(col("text"))).as("simhash"))
 
+  /** GPT-2-style pre-tokenizer regex (lookahead-free so the same pattern
+    * runs identically under Java regex here and RE2 in the DuckDB oracle):
+    * contractions | space?+letters | space?+digits | space?+other | spaces. */
+  val BpeIshPattern: String =
+    """'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish token count: how many pre-tokenizer pieces a BPE vocabulary
+    * would start from — the standard budget estimate when no vocab file is
+    * at hand (vs [[tokenStats]]' cruder ceil(chars/4)). Map-side regex,
+    * one codegen span. */
+  def bpeTokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0))).cast("bigint")
+        .as("n_bpe_tokens"))
+
   /** Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
     * hash every `k`-token gram, keep the sliding-window-of-`w` minima
     * ([[Native.winnow]], one O(n) deque pass per doc). Any two documents

@@ -206,6 +206,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "und"))
   }
 
+  test("BPE-ish token count splits contractions, digits, and punctuation like a pre-tokenizer") {
+    val docs = Seq(
+      (1L, "don't stop"),                 // don | 't | _stop
+      (2L, "a1 b!"),                      // a | 1 | _b | !
+      (3L, "hello world")                 // hello | _world
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCount(docs).orderBy($"doc_id")
+      .select($"n_bpe_tokens").as[Long].collect().toSeq
+    assert(got == Seq(3L, 4L, 2L))
+  }
+
   test("word count totals match token count totals") {
     val docs = Tables.documents(spark, dir)
     val totalWords = TextAnalysis.wordCount(docs).agg(sum($"cnt")).as[Long].head()
