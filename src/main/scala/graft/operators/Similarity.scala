@@ -48,49 +48,59 @@ object Similarity {
   // K-means centroid training (IVF coarse quantizer)
   // ---------------------------------------------------------------------
 
-  /** Train C centroids with Lloyd iterations, entirely in DataFrame ops.
-    *
-    * Init: the C rows with the smallest xxhash64(id) — a deterministic
-    * pseudo-random sample (TakeOrderedAndProject, no full sort). Each
-    * iteration assigns every vector map-side against LITERAL centroids
-    * (no shuffle), then recomputes the element-wise mean per cluster via
-    * posexplode + partial-aggregated groupBy — the shuffle carries only
-    * C × d partial sums per map task regardless of corpus size. Only
-    * centroid-sized results (C × d doubles) ever reach the driver.
-    * Empty clusters keep their previous centroid.
+  /** Train C centroids with Lloyd iterations over a bounded SAMPLE —
+    * the production coarse-quantizer recipe: a quantizer needs thousands
+    * of training vectors, not the corpus, so at 100 TB this is one
+    * TakeOrdered job over hash order (deterministic pseudo-random sample,
+    * no full sort) + driver-side arithmetic on sampleSize × d floats,
+    * instead of iters+1 full-corpus passes. Assignment of the actual
+    * corpus stays cluster-side via [[nearestBucket]] literal expressions.
+    * Cosine assignment (matching the probe metric); empty clusters keep
+    * their previous centroid; ties break to the lowest centroid id.
     */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       embCol: String,
       numCentroids: Int,
-      iters: Int = 3): Array[Array[Float]] = {
-    // training touches the corpus iters+1 times — persist the two-column
-    // projection for the duration and release it before returning
-    val proj = corpus.select(col(idCol), col(embCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents: Array[Array[Float]] = proj
-        .select(col(embCol), xxhash64(col(idCol)).as("h"))
-        .orderBy(col("h"))
-        .limit(numCentroids)
-        .collect()
-        .map(_.getSeq[Float](0).toArray)
-      var it = 0
-      while (it < iters) {
-        val means = proj
-          .select(nearestBucket(col(embCol), cents).as("cid"),
-            posexplode(col(embCol)).as(Seq("pos", "v")))
-          .groupBy("cid", "pos")
-          .agg(avg(col("v")).as("m"))
-          .collect()
-        val next = Array.tabulate(cents.length)(i => cents(i).clone())
-        means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
-        cents = next
-        it += 1
+      iters: Int = 3,
+      sampleSize: Int = 4096): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col(embCol), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = sample.head.length
+    var cents = sample.take(numCentroids).map(_.clone())
+    def cosineToCent(v: Array[Float], c: Array[Float], cNorm: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i).toDouble * c(i).toDouble; i += 1 }
+      if (cNorm == 0.0) s else s / cNorm
+    }
+    var it = 0
+    while (it < iters) {
+      val norms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+      val sums = Array.fill(cents.length, d)(0.0)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < cents.length) {
+          val s = cosineToCent(v, cents(c), norms(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      cents
-    } finally { proj.unpersist(); () }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(d)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Cosine-against-each-centroid columns: one codegen'd dot product per
