@@ -65,6 +65,59 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
+  /** Decoded-image row emitted by [[decodePartitions]]. */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, channels: Int,
+      feature: Array[Float])
+
+  /** The REAL decode plumbing — the Scala analog of a Python
+    * `mapInPandas` batch decode: one pluggable `codec` call per payload,
+    * executed per partition so a native library handle (libjpeg/ffmpeg
+    * context) is acquired once per task, not per row. Rows whose payloads
+    * fail to decode are dropped (codec returns None). The default codec is
+    * the deterministic fake ([[decodeImageStub]]'s math + a hash-derived
+    * feature vector) so schema, batching, and downstream joins are
+    * testable without native libs; swap `codec` for the real thing in
+    * production — nothing else changes.
+    */
+  def decodePartitions(
+      media: DataFrame,
+      codec: Array[Byte] => Option[(Int, Int, Int, Array[Float])] = fakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-task codec setup would go here (one native context per partition)
+        rows.flatMap { case (id, bytes) =>
+          codec(bytes).map { case (w, h, c, f) => DecodedImage(id, w, h, c, f) }
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB codec: plausible dimensions + an 8-dim feature vector derived
+    * from the payload hash. Deterministic; null/empty payloads fail to
+    * decode (None) like a real codec would. */
+  def fakeCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      val h = java.util.Arrays.hashCode(bytes).toLong & 0x7FFFFFFFL
+      val feature = Array.tabulate(8)(i => (((h >> (i * 4)) & 0xF).toFloat / 15f))
+      Some(((h % 1920 + 1).toInt, (h % 1080 + 1).toInt, 3, feature))
+    }
+  }
+
+  /** STUB — resize plan: the target geometry preserving aspect ratio
+    * within a `maxDim` box, computed from decoded dimensions. Pure column
+    * arithmetic (the pixel resample itself is codec work executed inside
+    * [[decodePartitions]]' pluggable codec). */
+  def resizePlan(width: Column, height: Column, maxDim: Int): Column = {
+    val scale = least(lit(maxDim) / width.cast("double"), lit(maxDim) / height.cast("double"), lit(1.0))
+    struct(
+      ceil(width * scale).cast("int").as("target_width"),
+      ceil(height * scale).cast("int").as("target_height"))
+  }
+
   /** Frame-sample positions for a media payload of `durationMs`, every
     * `everyMs` — the pure-Spark plumbing of a video frame sampler (the
     * per-position pixel grab is codec work, see [[decodeImageStub]]). */

@@ -63,6 +63,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1) == Seq.empty)
   }
 
+  test("decodePartitions: per-partition batch decode with pluggable codec, failed payloads dropped") {
+    val rows = Seq(
+      (1L, "real-looking payload".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),                        // fails to decode → dropped
+      (3L, "another payload".getBytes("UTF-8")))
+      .toDF("doc_id", "media").repartition(2)
+    val got = Multimodal.decodePartitions(rows)
+    assert(got.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
+    val decoded = got.orderBy($"doc_id")
+      .select($"doc_id", $"width", $"height", $"channels").as[(Long, Int, Int, Int)].collect()
+    assert(decoded.map(_._1).toSeq == Seq(1L, 3L)) // doc 2 dropped
+    assert(decoded.forall { case (_, w, h, c) => w >= 1 && h >= 1 && c == 3 })
+    // feature vectors are deterministic and bounded
+    val feats = got.select($"feature").as[Seq[Float]].collect()
+    assert(feats.forall(f => f.length == 8 && f.forall(v => v >= 0f && v <= 1f)))
+    // custom codec plugs in without changing the pipeline
+    val custom = Multimodal.decodePartitions(rows,
+      b => if (b.length > 15) Some((640, 480, 1, Array(1f))) else None)
+    assert(custom.select($"width").as[Int].collect().toSet == Set(640))
+  }
+
+  test("resizePlan fits within the max box preserving aspect ratio, never upscales") {
+    val dims = Seq((1920, 1080), (100, 50), (512, 1024)).toDF("w", "h")
+    val got = dims.select(Multimodal.resizePlan($"w", $"h", 512).as("r"))
+      .select($"r.target_width", $"r.target_height").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((512, 288), (100, 50), (256, 512)))
+  }
+
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {
     val dir = TestSpark.Sf0001
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
