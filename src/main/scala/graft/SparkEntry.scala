@@ -93,6 +93,10 @@ object SparkEntry {
     // JSON codec end-to-end ≙ JsonPOJOSerde + StreamsOrderCount.java:98-106:
     // build an Order JSON payload (some malformed), from_json-parse it,
     // re-key with the UNKNOWN fallback, aggregate per key.
+    "t11_session_count" -> ((s, d) =>
+      Relational.sessionCount(Tables.events(s, d), "user_id", "30 seconds")
+        .withColumn("session_start", fmtTs(col("session_start")))
+        .withColumn("session_end", fmtTs(col("session_end")))),
     "json_rekey_count" -> ((s, d) => {
       import graft.codec.JsonCodec
       val payload = when(col("o_orderkey") % 97 === 0, lit("{malformed"))
@@ -206,6 +210,21 @@ object SparkEntry {
             try_strptime(json_extract_string(props, '$$.k'), '%Y-%m-%d'),
             epoch_ms(try_cast(json_extract_string(props, '$$.k') AS BIGINT)),
             ts), '$FmtTsSql') AS event_time FROM events""",
+    "t11_session_count" ->
+      s"""WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  >= INTERVAL 30 SECOND THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT strftime(min(ts), '$FmtTsSql') AS session_start,
+                strftime(max(ts) + INTERVAL 30 SECOND, '$FmtTsSql') AS session_end,
+                CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM s GROUP BY user_id, sid""",
     "json_rekey_count" ->
       """SELECT key, count(*) AS cnt, CAST(sum(amt) AS DOUBLE) AS total FROM (
            SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'UNKNOWN'

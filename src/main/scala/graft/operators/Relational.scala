@@ -130,6 +130,22 @@ object Relational {
           col("key"), col("running_cnt")))
   }
 
+  /** Session windows (engine roadmap beyond reference scope, SURVEY §2.4
+    * note): events of a key belong to one session while consecutive gaps
+    * stay UNDER `gap`; a gap ≥ `gap` starts a new session (Spark's session
+    * end = last event + gap, exclusive). Spark-native `session_window`
+    * gives streaming merge/state-eviction for free; the batch form here is
+    * the same operator, oracle-checked against the classic lag/cumsum
+    * sessionization in SQL. */
+  def sessionCount(events: DataFrame, keyCol: String, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("key"), col("cnt"))
+
   /** Event-time parse chain ≙ OrderTimestampStreamApp.java:136-208 over the
     * events table: props.k interpreted as epoch millis through the full
     * ISO-instant → ISO-date → epoch → fallback chain. */

@@ -37,6 +37,20 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("key"), col("cnt"))
 
+  /** Session-window count (engine roadmap op): Spark-native
+    * `session_window` merges a key's events while consecutive gaps stay
+    * under `gap`; state is evicted once the watermark passes a session's
+    * end, so state is bounded like any windowed aggregate. */
+  def sessionCount(stream: DataFrame, gap: String, graceSeconds: Int = 0): DataFrame =
+    stream
+      .withWatermark("eventTime", s"$graceSeconds seconds")
+      .groupBy(session_window(col("eventTime"), gap), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("key"), col("cnt"))
+
   /** Epoch-aligned hopping-window count — the documented cheap
     * approximation of T7's Kafka sliding windows (SURVEY §7.1 step 5):
     * built-in `window(size, slide)`, overlapping but wall-clock-aligned

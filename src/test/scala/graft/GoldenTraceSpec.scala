@@ -205,6 +205,30 @@ class GoldenTraceSpec extends AnyFunSuite {
     }
   }
 
+  test("session windows merge within the gap and split at it, across micro-batches") {
+    // session windows emit in APPEND mode only: a session emits exactly
+    // once, when the watermark passes its end
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamOps.sessionCount(in.toDF().toDF("key", "eventTime"), "30 seconds")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("golden_session").start()
+    in.addData(("u", ts("2025-01-01 10:00:00")), ("u", ts("2025-01-01 10:00:20")))
+    q.processAllAvailable()
+    // batch 2: 10:00:40 extends the open session (gap 20s < 30s);
+    // 10:02:00 is ≥30s after 10:01:10 (session end) → a new session
+    in.addData(("u", ts("2025-01-01 10:00:40")), ("u", ts("2025-01-01 10:02:00")))
+    q.processAllAvailable()
+    // flush: advance the watermark past both sessions' ends so they emit
+    in.addData(("u", ts("2025-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("golden_session")
+      .select($"session_start".cast("string"), $"session_end".cast("string"), $"cnt")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("2025-01-01 10:00:00", "2025-01-01 10:01:10", 3L), // merged across batches; end = last + gap
+      ("2025-01-01 10:02:00", "2025-01-01 10:02:30", 1L)))
+  }
+
   test("hopping-window count: aligned approximation covers each event size/slide times") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     in.addData(("c", ts("2025-01-01 12:01:30")), ("c", ts("2025-01-01 12:04:30")))
