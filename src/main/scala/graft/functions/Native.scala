@@ -140,6 +140,84 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Shared shingle-hash loop: n-token windows joined by " ", xxhash64
+    * seed 42 per window — bit-identical to the declarative
+    * `transform(Funcs.wordShingles(toks, n), xxhash64)` chain (incl. the
+    * "< n tokens ⇒ one whole-doc shingle" rule) but one tight loop instead
+    * of an interpreted expression tree per window element. */
+  private def foreachShingleHash(toks: ArrayData, n: Int)(f: Long => Unit): Unit = {
+    val m = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = toks.getUTF8String(i); i += 1 }
+      f(XxHash64Function.hash(UTF8String.concatWs(sep, parts: _*), StringType, 42L))
+    } else {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        f(XxHash64Function.hash(UTF8String.concatWs(sep, parts: _*), StringType, 42L))
+        i += 1
+      }
+    }
+  }
+
+  /** shingle_hashes(ARRAY<STRING> tokens, n) → ARRAY<LONG>: xxhash64 of
+    * each n-token shingle, in document order (winnowing's input) or
+    * distinct-sorted (the set-similarity representation: prefix filtering /
+    * two-pointer intersection). Replaces the interpreted
+    * wordShingles→transform(xxhash64) chain — at 100 TB that chain
+    * evaluates an expression tree per shingle; this is one loop per row.
+    * Distinct-by-hash vs the declarative distinct-by-string differs only
+    * on a 64-bit collision (~2⁻⁶⁴ per pair, and the tests pin equality on
+    * the fixture corpus). */
+  case class ShingleHashes(child: Expression, n: Int, sortedDistinct: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      if (sortedDistinct) {
+        val set = new java.util.TreeSet[java.lang.Long]()
+        foreachShingleHash(toks, n)(h => set.add(h))
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        new GenericArrayData(out)
+      } else {
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        foreachShingleHash(toks, n)(h => buf += h)
+        new GenericArrayData(buf.toArray)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** minhash_tokens(ARRAY<STRING> tokens, n, k) → ARRAY<LONG>: the full
+    * MinHash signature straight from the token array — shingle windows,
+    * xxhash64, and the k XOR-mix minima in ONE loop, no intermediate
+    * shingle/hash arrays materialized. Identical output to
+    * [[MinHashSignature]] over declarative shingles (duplicate shingles
+    * cannot change a min, so skipping array_distinct is exact). */
+  case class MinHashFromTokens(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val mixes: Array[Long] = Funcs.mixConstantsFor(k)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      foreachShingleHash(toks, n) { h =>
+        var j = 0
+        while (j < k) { val v = h ^ mixes(j); if (v < mins(j)) mins(j) = v; j += 1 }
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** sorted_intersect_count(ARRAY<LONG>, ARRAY<LONG>) → LONG: two-pointer
     * intersection size over ascending-sorted long arrays — O(|a|+|b|) per
     * pair vs array_intersect's hashed build per row. The set-similarity
@@ -166,6 +244,15 @@ object Native {
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // NB: Spark 4 validates the source string — "built-in" (with hyphen) is
@@ -186,6 +273,12 @@ object Native {
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0), intLit(exprs(1), "n"), boolLit(exprs(2), "sortedDistinct")),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_tokens",
+      exprs => MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k")),
+      "built-in")
   }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -197,4 +290,10 @@ object Native {
     call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+  def shingleHashes(tokens: Column, n: Int, sortedDistinct: Boolean): Column =
+    call_function("graft_shingle_hashes", tokens,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(sortedDistinct))
+  def minhashFromTokens(tokens: Column, n: Int, k: Int): Column =
+    call_function("graft_minhash_tokens", tokens,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
 }

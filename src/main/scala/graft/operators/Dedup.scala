@@ -61,7 +61,12 @@ object Dedup {
     // the expensive part — would run once per occurrence. Persisted size
     // is ~3 longs × bands per doc, ~1% of corpus at 100 TB.
     val banded = documents
-      .select(col("doc_id"), Native.minhashSig(shingles(col("text")), numHashes).as("sig"))
+      // fused shingle→hash→k-minima ([[Native.minhashFromTokens]]): the
+      // signature comes straight off the token array in one loop — no
+      // intermediate shingle array, and skipping array_distinct is exact
+      // because duplicate shingles cannot change a minimum
+      .select(col("doc_id"),
+        Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
       .select(col("doc_id"),
         posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -235,9 +240,13 @@ object Dedup {
 
     // h-sorted shingle-hash array per doc: ONE shingling pass feeds both
     // prefix indexing and verification; persisted (ids + ~|S| longs/doc)
+    // fused tokenize→shingle→hash→distinct-sort ([[Native.shingleHashes]]):
+    // one loop per doc vs an interpreted tree per shingle. Distinct is by
+    // 64-bit hash rather than by string — identical sets modulo a ~2⁻⁶⁴
+    // in-document collision (and the sf-fixture oracle pins equality).
     val hashed = documents
       .select(col("doc_id"),
-        array_sort(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+        Native.shingleHashes(Funcs.tokens(col("text")), n, sortedDistinct = true).as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -94,13 +94,15 @@ object TextAnalysis {
     * substring-level duplication is detectable by an equi-join on
     * exploded fingerprints — the same ids-only join scaling as MinHash
     * banding, but positional (plagiarism-style) rather than set-level. */
-  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
-    val grams = Funcs.wordShingles(Funcs.tokens(col("text")), k)
+  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
     documents.select(
       col("doc_id"),
-      Native.winnow(Funcs.shingleHashes(grams), w).as("fp"))
+      // fused k-gram hashing ([[Native.shingleHashes]], in document order)
+      // feeding the O(n) deque winnow — two native loops per row instead of
+      // an interpreted window/concat/hash expression tree per k-gram
+      Native.winnow(Native.shingleHashes(Funcs.tokens(col("text")), k, sortedDistinct = false), w)
+        .as("fp"))
       .withColumn("n_fp", size(col("fp")).cast("bigint"))
-  }
 
   /** The real word count T1's name promises (WordCountApp.java:62-64 only
     * uppercases): explode tokens → count per word. One shuffle on the word;

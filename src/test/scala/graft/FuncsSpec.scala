@@ -94,6 +94,36 @@ class FuncsSpec extends AnyFunSuite {
     assert(n.forall(_ >= 1))
   }
 
+  test("fused shingleHashes ≡ declarative wordShingles∘xxhash64, ordered and distinct-sorted") {
+    val docs = Seq(
+      (1 to 40).map(i => s"tok${i % 7}").mkString(" "), // heavy duplicate shingles
+      "a b c d e",
+      "one two", // fewer tokens than n → whole-doc shingle
+      "solo")
+      .toDF("text")
+    val toks = Funcs.tokens($"text")
+    val both = docs.select(
+      graft.functions.Native.shingleHashes(toks, 3, sortedDistinct = false).as("n_ord"),
+      Funcs.shingleHashes(Funcs.wordShingles(toks, 3)).as("d_ord"),
+      graft.functions.Native.shingleHashes(toks, 3, sortedDistinct = true).as("n_set"),
+      array_sort(Funcs.shingleHashes(array_distinct(Funcs.wordShingles(toks, 3)))).as("d_set"))
+    assert(both.filter($"n_ord" =!= $"d_ord" || $"n_set" =!= $"d_set").isEmpty)
+  }
+
+  test("fused minhashFromTokens ≡ MinHashSignature over declarative distinct shingles") {
+    val docs = Seq(
+      (1 to 40).map(i => s"tok${i % 7}").mkString(" "),
+      "spark streams data engine",
+      "xs") // shorter than the shingle length
+      .toDF("text")
+    val toks = Funcs.tokens($"text")
+    val both = docs.select(
+      graft.functions.Native.minhashFromTokens(toks, 3, 16).as("fused"),
+      graft.functions.Native.minhashSig(
+        array_distinct(Funcs.wordShingles(toks, 3)), 16).as("staged"))
+    assert(both.filter($"fused" =!= $"staged").isEmpty)
+  }
+
   test("winnow fingerprints overlap on shared substrings, not on disjoint docs") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = s"intro words here $shared trailing alpha"
