@@ -160,7 +160,21 @@ object SparkEntry {
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
     "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
-    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d)))
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+
+    // --- north-star: corpus-prep pipeline ---
+    "pipeline_hash_split" -> ((s, d) => Pipeline.hashSplit(Tables.documents(s, d))),
+    "vocab_top100" -> ((s, d) => Pipeline.vocabTopK(Tables.documents(s, d), k = 100)),
+    // synthetic corpus carries no PII — inject a deterministic contact
+    // line per doc (mirrored in the oracle) so the redaction is exercised
+    "pii_redact" -> ((s, d) =>
+      Pipeline.redactPii(Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
+    "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(Tables.embeddings(s, d))),
+    "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
+    "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,7 +330,53 @@ object SparkEntry {
          FROM documents""",
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
-           SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1"""
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1""",
+    "pipeline_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                ELSE 'train' END AS split
+         FROM documents""",
+    "vocab_top100" ->
+      """WITH c AS (SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+           t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100)
+         SELECT word, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+         FROM t""",
+    "pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
+         FROM w""",
+    "embedding_quantize" ->
+      """SELECT vec_id,
+           CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale,
+           CAST(list_sum(list_transform(de,
+             x -> abs(round(x * CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END)))) AS BIGINT) AS q_l1
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+                 coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS amax
+               FROM embeddings)""",
+    "corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+         FROM (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)""",
+    "pipeline_filter_dedup" ->
+      """WITH k AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+           d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents)
+         SELECT doc_id, n_tokens FROM d JOIN k ON d.doc_id = k.keep_id
+         WHERE n_tokens BETWEEN 5 AND 10000"""
     // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding /
     // text_winnow_fp: sketch- or centroid-based — not SQL-expressible in
     // DuckDB (xxhash64 seeds, k-means buckets, winnow minima); driver

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.Funcs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * after ingestion (north-star scope, beyond the reference's surface):
+  * deterministic splits, vocabulary, PII redaction, embedding
+  * quantization, corpus statistics, and the composed filter→dedup flow.
+  *
+  * Scale design: splits / redaction / quantization are pure map-side
+  * (scan → project, zero shuffle, embarrassingly parallel). Vocabulary
+  * top-k uses TakeOrderedAndProject (per-partition partial top-k, single
+  * tiny reduce) — never a global sort. Corpus stats is one partial-
+  * aggregated reduction to a single row.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test assignment from the last hex digit of
+    * md5(doc_id): 0-b → train (12/16), c-d → val (2/16), e-f → test
+    * (2/16). Hash-based (not modulo-id) so the split stays unbiased under
+    * id clustering, and stable across runs/engines — re-running on a
+    * grown corpus never reassigns an existing document. Map-side only. */
+  def hashSplit(documents: DataFrame): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+    documents.select(
+      col("doc_id"),
+      when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train").as("split"))
+  }
+
+  /** Exact top-k vocabulary with dense global rank (ties broken by word).
+    * groupBy(word) partial-aggregates map-side; orderBy+limit compiles to
+    * TakeOrderedAndProject — each task keeps its local top-k, the driver
+    * merges k·partitions rows — so no stage ever holds the full vocab
+    * sorted. The row_number window then runs over k rows, not the vocab. */
+  def vocabTopK(documents: DataFrame, k: Int): DataFrame = {
+    val counts = documents
+      .select(explode(Funcs.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("bigint"))
+  }
+
+  /** Email / phone patterns kept RE2-compatible (no lookaround, no
+    * backrefs) so the identical pattern runs under Java regex here and
+    * RE2 in the DuckDB oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: replace email / phone-shaped spans with placeholder
+    * tokens and count the replacements per document. Map-side regex,
+    * one codegen span; at 100 TB this is the shape of any scrub pass
+    * (the pattern set is pluggable). */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0))).cast("bigint").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("text_redacted"))
+
+  /** Symmetric int8 quantization per embedding: scale = 127/max|x| (1.0
+    * for the zero vector), q_i = round(x_i·scale) ∈ [-127,127]. Emits the
+    * scale and the quantized L1 mass — the integrity scalars a pipeline
+    * checkpoints — rather than the int8 array itself (engine-portable
+    * compare; the array reconstruction is `round(x·scale)`). Pure
+    * map-side; the arithmetic is double-precision IEEE on both engines. */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val absMax = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    embeddings
+      .withColumn("scale",
+        when(absMax > 0.0d, lit(127.0d) / absMax).otherwise(lit(1.0d)))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + abs(round(x.cast("double") * col("scale"))))
+          .cast("bigint").as("q_l1"))
+  }
+
+  /** One-row corpus summary: doc count, token mass, and exact interpolated
+    * token-count percentiles. Exact `percentile` keeps oracle parity and
+    * partial-aggregates over the (small) distinct-count domain; a 100 TB
+    * run with high-cardinality values would swap in approx_percentile —
+    * same plan shape, sketch-mergeable. */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val nToks = size(Funcs.tokens(col("text"))).cast("bigint")
+    documents
+      .select(nToks.as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        // 6-decimal round on BOTH sides: the two engines may interpolate
+        // as a+(b−a)·f vs a·(1−f)+b·f, which can differ by one ulp
+        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"),
+        round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99_tokens"))
+  }
+
+  /** The composed corpus-prep flow: quality gate → exact-dedup keeper
+    * join, the minimal end-to-end "clean this corpus" pipeline. The gate
+    * is map-side; the keeper set reuses [[Dedup.exact]]'s digest shuffle;
+    * the final join is keyed on doc_id (at 100 TB both sides are
+    * id-partitioned — no broadcast needed, no skew: ids are unique). */
+  def qualityFilterDedup(
+      documents: DataFrame,
+      minTokens: Long = 5L,
+      maxTokens: Long = 10000L): DataFrame = {
+    val nToks = size(Funcs.tokens(col("text"))).cast("bigint")
+    val gated = documents
+      .withColumn("n_tokens", nToks)
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+    val keepers = Dedup.exact(documents).select(col("keep_id").as("doc_id"))
+    gated.join(keepers, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+}
