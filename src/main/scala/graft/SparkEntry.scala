@@ -174,7 +174,13 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(Tables.embeddings(s, d))),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
-    "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d)))
+    "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
+    "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),
+    "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
+      fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
+    "pack_sequences" -> ((s, d) => Pipeline.packSequences(Tables.documents(s, d))),
+    "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -376,7 +382,49 @@ object SparkEntry {
            d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents)
          SELECT doc_id, n_tokens FROM d JOIN k ON d.doc_id = k.keep_id
-         WHERE n_tokens BETWEEN 5 AND 10000"""
+         WHERE n_tokens BETWEEN 5 AND 10000""",
+    "decontaminate" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split,
+             string_split(text, ' ') AS w
+           FROM documents),
+           i AS (SELECT doc_id, split, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM s),
+           g AS (SELECT DISTINCT doc_id, split,
+                   array_to_string(w[i : least(i + 4, len(w))], ' ') AS gram FROM i),
+           t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN t USING (gram) WHERE g.split = 'train' GROUP BY 1""",
+    "sample_bernoulli" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER / 65536.0 < 0.25""",
+    "sample_stratified" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER / 65536.0 <
+           CASE WHEN source = 'src1' THEN 0.5 WHEN source = 'src0' THEN 0.75 ELSE 0.125 END""",
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS bucket
+           FROM documents),
+           c AS (SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT doc_id, bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+                cum_before % 512 AS tok_offset
+         FROM c""",
+    "mixture_weights" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1)
+         SELECT source, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round((1.0 / CAST(count(*) OVER () AS DOUBLE)) /
+             (CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)), 6) AS weight
+         FROM a"""
     // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding /
     // text_winnow_fp: sketch- or centroid-based — not SQL-expressible in
     // DuckDB (xxhash64 seeds, k-means buckets, winnow minima); driver

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Funcs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,19 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Deterministic train/val/test assignment from the last hex digit of
-    * md5(doc_id): 0-b → train (12/16), c-d → val (2/16), e-f → test
-    * (2/16). Hash-based (not modulo-id) so the split stays unbiased under
-    * id clustering, and stable across runs/engines — re-running on a
-    * grown corpus never reassigns an existing document. Map-side only. */
-  def hashSplit(documents: DataFrame): DataFrame = {
-    val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
-    documents.select(
-      col("doc_id"),
-      when(nib.isin("c", "d"), "val")
-        .when(nib.isin("e", "f"), "test")
-        .otherwise("train").as("split"))
+  /** The split rule shared by [[hashSplit]] and [[decontaminate]]: last
+    * hex digit of md5(id) → 0-b train (12/16), c-d val (2/16), e-f test
+    * (2/16). A pure column expression so callers inline it map-side
+    * instead of joining against a materialized split table. */
+  private def splitAssign(id: Column): Column = {
+    val nib = substring(md5(id.cast("string")), 32, 1)
+    when(nib.isin("c", "d"), "val")
+      .when(nib.isin("e", "f"), "test")
+      .otherwise("train")
   }
+
+  /** Deterministic train/val/test assignment from the last hex digit of
+    * md5(doc_id). Hash-based (not modulo-id) so the split stays unbiased
+    * under id clustering, and stable across runs/engines — re-running on
+    * a grown corpus never reassigns an existing document. Map-side only. */
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
 
   /** Exact top-k vocabulary with dense global rank (ties broken by word).
     * groupBy(word) partial-aggregates map-side; orderBy+limit compiles to
@@ -121,5 +125,109 @@ object Pipeline {
     val keepers = Dedup.exact(documents).select(col("keep_id").as("doc_id"))
     gated.join(keepers, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with the (hash-split) test set — the standard pre-training
+    * hygiene pass (e.g. GPT-3 appendix C uses 13-gram overlap; the n is a
+    * parameter because the right value depends on document length).
+    *
+    * Scale shape: the gram relation is computed ONCE and persisted (the
+    * tokenize+shingle scan is the expensive part; it feeds both the test
+    * and train sides). The test-gram set — benchmark suites are tiny
+    * relative to a 100 TB train corpus — is deduped then BROADCAST, so
+    * the only shuffle on the big side is the final per-doc count; train
+    * grams never leave their partitions for the membership probe. Output:
+    * one row per contaminated train doc with its distinct-gram hit count.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 5): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
+        explode(array_distinct(Funcs.wordShingles(Funcs.tokens(col("text")), n))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    grams.filter(col("split") === "train")
+      .join(broadcast(testGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+  }
+
+  /** The uniform-[0,1) value behind deterministic sampling: the first 4
+    * hex digits of md5(id) as an integer over 65536. Uses the OPPOSITE end
+    * of the digest from [[splitAssign]]'s last digit, so sampling is
+    * independent of split membership. */
+  private def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0d
+
+  /** Deterministic Bernoulli sample: keep a row iff hashFraction(doc_id)
+    * < p. Unlike `df.sample()` (partition-order-dependent RNG), the kept
+    * set is a pure function of ids — reproducible across runs, engines,
+    * partitionings, and corpus growth. Map-side filter; at 100 TB it
+    * fuses into the scan with nothing shuffled. */
+  def bernoulliSample(documents: DataFrame, p: Double): DataFrame =
+    documents
+      .filter(hashFraction(col("doc_id")) < p)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Per-stratum deterministic sampling: each `source` gets its own keep
+    * rate (training mixtures up-sample curated sources, down-sample
+    * crawl). Same hash-fraction rule as [[bernoulliSample]]; the
+    * per-stratum rate is a broadcast-free CASE expression, so this too is
+    * a pure map-side filter. */
+  def stratifiedSample(
+      documents: DataFrame,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val rate = fractions.foldLeft(lit(defaultFraction)) { case (acc, (src, p)) =>
+      when(col("source") === src, p).otherwise(acc)
+    }
+    documents
+      .filter(hashFraction(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** Concat-and-split sequence packing (the GPT-style pretraining layout):
+    * documents are laid end-to-end in a deterministic order and cut into
+    * fixed token-budget sequences; each document is assigned the sequence
+    * where it STARTS, at its token offset within that sequence.
+    *
+    * Scale shape: a single global order would funnel the corpus through
+    * one window partition, so the corpus is first split into `numBuckets`
+    * independent streams (id mod buckets — deterministic and
+    * engine-portable); the running-total window partitions by bucket. At
+    * 100 TB, numBuckets scales with the cluster (each bucket packs
+    * independently; sequences never straddle buckets). */
+  def packSequences(
+      documents: DataFrame,
+      budgetTokens: Long = 512L,
+      numBuckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        (col("doc_id") % numBuckets).as("bucket"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"),
+        floor(col("cum_before") / budgetTokens).cast("bigint").as("seq_id"),
+        (col("cum_before") % budgetTokens).as("tok_offset"))
+  }
+
+  /** Domain-mixture weights: per-source token share and the up/down-
+    * sampling weight that would flatten the mixture to uniform (the
+    * degenerate target; a real run feeds its own target shares — the
+    * plan shape is identical). One partial-aggregated groupBy to ~#sources
+    * rows; the global-total windows then run over that tiny relation, not
+    * the corpus. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val share = col("total_tokens").cast("double") / sum(col("total_tokens")).over(all).cast("double")
+    documents
+      .select(col("source"), size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(share, 6).as("token_share"),
+        round((lit(1.0d) / count(lit(1)).over(all).cast("double")) / share, 6).as("weight"))
   }
 }

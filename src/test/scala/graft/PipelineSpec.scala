@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-prep pipeline tests: invariants over sf0.001 + planted fixtures. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.Sf0001
+  private def docs = Tables.documents(spark, dir)
+
+  /** The operators' split rule, re-derived independently for fixtures. */
+  private def splitOf(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    hex.last match {
+      case 'c' | 'd' => "val"
+      case 'e' | 'f' => "test"
+      case _         => "train"
+    }
+  }
+
+  test("hashSplit covers every doc exactly once with a stable, near-12/2/2 assignment") {
+    val got = Pipeline.hashSplit(docs).cache()
+    assert(got.count() == docs.count())
+    val bySplit = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 12/16 expected for train; allow generous slack on the small sf
+    assert(bySplit("train").toDouble / got.count() > 0.55)
+    // deterministic: a second evaluation is row-identical
+    assert(Pipeline.hashSplit(docs).exceptAll(got).isEmpty)
+    got.unpersist()
+  }
+
+  test("vocabTopK: ranks are 1..k, counts non-increasing, top word matches a manual count") {
+    val got = Pipeline.vocabTopK(docs, k = 20).orderBy("rank").as[(String, Long, Long)].collect()
+    assert(got.length == 20)
+    assert(got.map(_._3).toSeq == (1L to 20L))
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    val manualTop = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy("w").count().orderBy($"count".desc, $"w").head()
+    assert(got.head._1 == manualTop.getString(0) && got.head._2 == manualTop.getLong(1))
+  }
+
+  test("redactPii removes every planted email/phone and counts them") {
+    val planted = docs.limit(10).withColumn("text",
+      concat($"text", lit(" reach me at a.b-c_1@mail.example.org or 555-0142 x")))
+    val got = Pipeline.redactPii(planted).cache()
+    assert(got.filter($"n_emails" < 1 || $"n_phones" < 1).isEmpty)
+    assert(got.filter($"text_redacted".rlike(Pipeline.EmailPattern)).isEmpty)
+    assert(got.filter($"text_redacted".rlike(Pipeline.PhonePattern)).isEmpty)
+    assert(got.filter(!$"text_redacted".contains("<EMAIL>") ||
+      !$"text_redacted".contains("<PHONE>")).isEmpty)
+    got.unpersist()
+  }
+
+  test("quantizeEmbeddings: positive scale, q_l1 ≤ 127·dim, zero vector gets scale 1") {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    val got = Pipeline.quantizeEmbeddings(emb).cache()
+    assert(got.filter($"scale" <= 0.0).isEmpty)
+    assert(got.filter($"q_l1" > 127L * dim).isEmpty)
+    got.unpersist()
+    val zero = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val z = Pipeline.quantizeEmbeddings(zero).as[(Long, Double, Long)].head()
+    assert(z._2 == 1.0 && z._3 == 0L)
+  }
+
+  test("corpusStats matches direct aggregates") {
+    val st = Pipeline.corpusStats(docs).head()
+    assert(st.getAs[Long]("n_docs") == docs.count())
+    val totalTokens = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(st.getAs[Long]("total_tokens") == totalTokens)
+    assert(st.getAs[Double]("p50_tokens") <= st.getAs[Double]("p90_tokens"))
+    assert(st.getAs[Double]("p90_tokens") <= st.getAs[Double]("p99_tokens"))
+  }
+
+  test("qualityFilterDedup keeps only dedup keepers inside the token bounds") {
+    val got = Pipeline.qualityFilterDedup(docs, minTokens = 5L, maxTokens = 100L).cache()
+    assert(got.filter($"n_tokens" < 5 || $"n_tokens" > 100).isEmpty)
+    val keepers = graft.operators.Dedup.exact(docs).select($"keep_id".as("doc_id"))
+    assert(got.join(keepers, Seq("doc_id"), "left_anti").isEmpty)
+    got.unpersist()
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram with test (planted)") {
+    // pick ids on each side of the split rule
+    val trainIds = (0L to 200L).filter(splitOf(_) == "train")
+    val testId = (0L to 200L).find(splitOf(_) == "test").get
+    val leak = "zq1 zq2 zq3 zq4 zq5" // a 5-gram that exists nowhere else
+    val fixture = Seq(
+      (trainIds(0), s"clean train doc with no overlap at all here one"),
+      (trainIds(1), s"contaminated because it contains $leak embedded inside"),
+      (testId, s"benchmark question text $leak answer choices follow")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.decontaminate(fixture, n = 5).as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(trainIds(1)))
+    assert(got(trainIds(1)) >= 1L)
+  }
+
+  test("bernoulliSample is deterministic, respects p ordering, and never invents rows") {
+    val s25 = Pipeline.bernoulliSample(docs, 0.25).cache()
+    val s50 = Pipeline.bernoulliSample(docs, 0.50).cache()
+    assert(Pipeline.bernoulliSample(docs, 0.25).exceptAll(s25).isEmpty) // stable
+    assert(s25.join(s50, Seq("doc_id"), "left_anti").isEmpty) // monotone: p=.25 ⊆ p=.5
+    assert(s25.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    val (n25, n50, n) = (s25.count(), s50.count(), docs.count())
+    assert(n25 < n50 && n50 < n) // strict at these sizes
+    s25.unpersist(); s50.unpersist()
+  }
+
+  test("stratifiedSample applies each stratum's own rate") {
+    val fr = Map("src0" -> 1.0, "src1" -> 0.0)
+    val got = Pipeline.stratifiedSample(docs, fr, defaultFraction = 0.25).cache()
+    // rate-1.0 stratum keeps everything, rate-0 stratum keeps nothing
+    assert(got.filter($"source" === "src0").count() ==
+      docs.filter($"source" === "src0").count())
+    assert(got.filter($"source" === "src1").isEmpty)
+    // default strata: kept iff the same doc survives a plain 0.25 Bernoulli
+    val bern = Pipeline.bernoulliSample(docs, 0.25)
+      .filter(!$"source".isin("src0", "src1"))
+    assert(got.filter(!$"source".isin("src0", "src1")).exceptAll(bern).isEmpty)
+    got.unpersist()
+  }
+
+  test("packSequences: per-bucket offsets replay the running token total; budget bounds hold") {
+    val budget = 128L
+    val got = Pipeline.packSequences(docs, budgetTokens = budget, numBuckets = 4).cache()
+    assert(got.count() == docs.count())
+    assert(got.filter($"tok_offset" < 0 || $"tok_offset" >= budget).isEmpty)
+    assert(got.filter($"seq_id" < 0).isEmpty)
+    // first doc of every bucket starts sequence 0 at offset 0
+    val firsts = got.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    assert(firsts.filter($"seq_id" =!= 0L || $"tok_offset" =!= 0L).isEmpty)
+    // global position = seq_id*budget + tok_offset must be non-decreasing per bucket
+    val eps = got.withColumn("pos", $"seq_id" * budget + $"tok_offset")
+      .withColumn("prev", lag($"pos", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"doc_id")))
+      .filter($"prev".isNotNull && $"pos" < $"prev")
+    assert(eps.isEmpty)
+    got.unpersist()
+  }
+
+  test("mixtureWeights: shares sum to ~1 and weight·share = 1/#sources") {
+    val got = Pipeline.mixtureWeights(docs).cache()
+    val nSrc = got.count()
+    val shareSum = got.agg(sum($"token_share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val bad = got.filter(abs($"weight" * $"token_share" - lit(1.0) / nSrc) > 1e-4)
+    assert(bad.isEmpty)
+    got.unpersist()
+  }
+}
