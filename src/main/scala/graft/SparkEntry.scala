@@ -180,7 +180,19 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(Tables.documents(s, d))),
-    "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d)))
+    "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
+    "asof_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dims = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"), col("ts").as("click_ts"))
+      Relational.asofJoin(facts, dims, "user_id", "ts")
+        .withColumn("ts", fmtTs(col("ts")))
+        .withColumn("click_ts", fmtTs(col("click_ts")))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,7 +436,15 @@ object SparkEntry {
            round(CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share,
            round((1.0 / CAST(count(*) OVER () AS DOUBLE)) /
              (CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)), 6) AS weight
-         FROM a"""
+         FROM a""",
+    "asof_attribution" ->
+      s"""WITH f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'purchase'),
+           d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT f.event_id, f.user_id, strftime(f.ts, '$FmtTsSql') AS ts,
+                d.click_id, strftime(d.ts, '$FmtTsSql') AS click_ts
+         FROM f ASOF JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts"""
     // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding /
     // text_winnow_fp: sketch- or centroid-based — not SQL-expressible in
     // DuckDB (xxhash64 seeds, k-means buckets, winnow minima); driver

@@ -155,4 +155,44 @@ object Relational {
       col("event_id"),
       Funcs.eventTimeChain(get_json_object(col("props"), "$.k"), col("ts")).as("event_time"))
   }
+
+  /** As-of (temporal) join — the batch form of a versioned-KTable lookup:
+    * each fact row is enriched with the dim row having the greatest
+    * `timeCol` ≤ the fact's (per key; inner — facts before the first dim
+    * version drop out). Ties at equal time resolve dim-before-fact
+    * (inclusive), and among equal-time dim rows the greatest payload
+    * struct wins (deterministic under shuffle; callers wanting a specific
+    * winner pre-aggregate the dim side).
+    *
+    * Spark has no asof join operator, and the naive range join
+    * (`f.ts >= d.ts` + row_number) explodes to O(facts × dim-versions)
+    * per key before pruning. This is the union-and-carry form instead:
+    * tag both sides, single shuffle on the key, one sort inside each
+    * partition, then `last(dim, ignoreNulls)` over the (key, time)
+    * window carries the current dim version onto every following fact
+    * row — O((|F|+|D|) log(|F|+|D|)) per key, no candidate blow-up, and
+    * the window frame is running (no full-partition buffering). At
+    * 100 TB both sides arrive through one Exchange each, same as any
+    * keyed join. */
+  def asofJoin(facts: DataFrame, dims: DataFrame,
+      keyCol: String, timeCol: String): DataFrame = {
+    val factPayload = facts.columns.toSeq
+    val dimPayload = dims.columns.toSeq.filterNot(c => c == keyCol || c == timeCol)
+    val fType = org.apache.spark.sql.types.StructType(factPayload.map(facts.schema(_)))
+    val dType = org.apache.spark.sql.types.StructType(dimPayload.map(dims.schema(_)))
+    val f = facts.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+      lit(0).as("__isdim"), struct(factPayload.map(facts(_)): _*).as("__fact"),
+      lit(null).cast(dType).as("__dim"))
+    val d = dims.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+      lit(1).as("__isdim"), lit(null).cast(fType).as("__fact"),
+      struct(dimPayload.map(dims(_)): _*).as("__dim"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isdim").desc, col("__dim").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.unionByName(d)
+      .withColumn("__cur", last(col("__dim"), ignoreNulls = true).over(w))
+      .filter(col("__isdim") === 0 && col("__cur").isNotNull)
+      .select(factPayload.map(c => col(s"__fact.$c").as(c)) ++
+        dimPayload.map(c => col(s"__cur.$c").as(c)): _*)
+  }
 }

@@ -138,6 +138,82 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   // ---------------------------------------------------------------------
+  // Versioned stream-table join (KIP-914 versioned-KTable semantics)
+  // ---------------------------------------------------------------------
+
+  /** One tagged record of the merged fact/dim-changelog stream. */
+  case class VersionedInput(key: String, side: String, value: String,
+      eventTime: java.sql.Timestamp)
+
+  /** Enriched fact: the dim version in effect at the fact's event time. */
+  case class VersionedJoined(key: String, factValue: String, dimValue: String,
+      eventTime: java.sql.Timestamp)
+
+  /** Stream-KTable join against a LIVE dimension changelog with
+    * event-time (versioned) lookup semantics — Kafka Streams' versioned
+    * KTable join (KIP-914), and the fix for [[streamTableJoin]]'s
+    * static-dim staleness gap (SURVEY §7.2): each fact joins the dim
+    * version whose timestamp is the greatest ≤ the fact's event time,
+    * regardless of arrival interleaving.
+    *
+    * Both inputs are merged into one keyed stream (dim updates tagged
+    * "dim"), so one stateful operator holds the per-key version history:
+    * within a batch, rows apply in (eventTime, dim-before-fact) order;
+    * across batches the retained history answers out-of-order facts.
+    * Inner semantics — a fact with no version at-or-before its time drops.
+    *
+    * State bound ≙ the versioned store's history retention: versions older
+    * than (max seen time − retentionMillis) are pruned, except the newest
+    * such version, which stays as the floor lookup (exactly the versioned
+    * store rule — a get(key, t) just past the horizon still resolves). A
+    * fact older than the pruned horizon joins that floor version: the
+    * documented trade-off of bounded history. */
+  def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long)(
+      implicit spark: SparkSession): Dataset[VersionedJoined] = {
+    import spark.implicits._
+    val tagged = facts
+      .select(col("key"), lit("fact").as("side"), col("value"), col("eventTime"))
+      .unionByName(dims
+        .select(col("key"), lit("dim").as("side"), col("value"), col("eventTime")))
+      .as[VersionedInput]
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[(Long, String)], VersionedJoined](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[VersionedInput], state: GroupState[Seq[(Long, String)]]) =>
+          // version history, ascending by timestamp
+          var versions = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[VersionedJoined]
+          // deterministic replay: event-time order, dim updates win ties
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.eventTime.getTime, if (r.side == "dim") 0 else 1, r.value))
+          sorted.foreach { r =>
+            val t = r.eventTime.getTime
+            if (r.side == "dim") {
+              // same-timestamp re-write replaces (last write wins)
+              versions = (versions.filterNot(_._1 == t) :+ (t -> r.value)).sortBy(_._1)
+            } else {
+              versions.takeWhile(_._1 <= t).lastOption.foreach { case (_, dv) =>
+                out += VersionedJoined(key, r.value, dv, r.eventTime)
+              }
+            }
+          }
+          // history-retention pruning: stream time = max event time seen on
+          // EITHER side; keep versions inside the horizon plus the newest
+          // one at-or-before it (the floor lookup)
+          val streamTime = (versions.map(_._1) ++ sorted.map(_.eventTime.getTime))
+            .foldLeft(Long.MinValue)(_ max _)
+          if (streamTime > Long.MinValue) {
+            val horizon = streamTime - retentionMillis
+            val (older, recent) = versions.partition(_._1 < horizon)
+            versions = older.takeRight(1) ++ recent
+          }
+          state.update(versions)
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
   // T10 — custom stateful processor (the reference's Processor API surface)
   // ---------------------------------------------------------------------
 
