@@ -159,7 +159,11 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
     "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
-    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+    // project harness-sortable scalars only (the raw fp array crashes the
+    // driver's pandas sort); the array itself stays pinned by FuncsSpec's
+    // native≡declarative tests
+    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
 
     // --- north-star: corpus-prep pipeline ---
@@ -369,7 +373,9 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}')) AS n_phones,
            regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
@@ -426,7 +432,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM d)
          SELECT doc_id, bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
-                cum_before % 512 AS tok_offset
+                CAST(cum_before % 512 AS BIGINT) AS tok_offset
          FROM c""",
     "mixture_weights" ->
       """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

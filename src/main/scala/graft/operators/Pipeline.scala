@@ -61,14 +61,21 @@ object Pipeline {
   /** PII redaction: replace email / phone-shaped spans with placeholder
     * tokens and count the replacements per document. Map-side regex,
     * one codegen span; at 100 TB this is the shape of any scrub pass
-    * (the pattern set is pluggable). */
-  def redactPii(documents: DataFrame): DataFrame =
+    * (the pattern set is pluggable).
+    *
+    * Counts mirror the replacement order: emails are counted/redacted on
+    * the original text, phones on the email-redacted intermediate — so
+    * `n_phones` always equals the number of `<PHONE>` tokens emitted (a
+    * phone-shaped span inside a matched email is neither counted nor
+    * replaced). */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val emailRedacted = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
     documents.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).cast("bigint").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0))).cast("bigint").as("n_phones"),
-      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>").as("text_redacted"))
+      size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0))).cast("bigint").as("n_phones"),
+      regexp_replace(emailRedacted, PhonePattern, "<PHONE>").as("text_redacted"))
+  }
 
   /** Symmetric int8 quantization per embedding: scale = 127/max|x| (1.0
     * for the zero vector), q_i = round(x_i·scale) ∈ [-127,127]. Emits the
@@ -134,20 +141,34 @@ object Pipeline {
     *
     * Scale shape: the gram relation is computed ONCE and persisted (the
     * tokenize+shingle scan is the expensive part; it feeds both the test
-    * and train sides). The test-gram set — benchmark suites are tiny
-    * relative to a 100 TB train corpus — is deduped then BROADCAST, so
-    * the only shuffle on the big side is the final per-doc count; train
-    * grams never leave their partitions for the membership probe. Output:
+    * and train sides). The test-gram probe side is deduped and then
+    * joined with a SIZE-GUARDED broadcast: a real benchmark suite is tiny
+    * relative to a 100 TB train corpus and broadcasting it keeps train
+    * grams in place, but nothing guarantees that — here the "test" split
+    * is a 2/16 hash slice of the same corpus — so the broadcast hint is
+    * applied only when a cheap upper bound (pre-distinct test-gram row
+    * count, map-side over the persisted cache) stays under
+    * `broadcastMaxRows`. Above the bound it becomes a shuffle equi-join
+    * on `gram` (both sides are already narrow (id, gram) pairs), and AQE
+    * may still convert it back to broadcast at runtime from the ACTUAL
+    * built size — so the driver never pins an unbounded relation. Output:
     * one row per contaminated train doc with its distinct-gram hit count.
     */
-  def decontaminate(documents: DataFrame, n: Int = 5): DataFrame = {
+  def decontaminate(
+      documents: DataFrame,
+      n: Int = 5,
+      broadcastMaxRows: Long = 2000000L): DataFrame = {
     val grams = documents
       .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
         explode(array_distinct(Funcs.wordShingles(Funcs.tokens(col("text")), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    // conservative guard: row count BEFORE distinct (no shuffle to compute,
+    // never underestimates the broadcast side)
+    val testUpperBound = grams.filter(col("split") === "test").count()
+    val probe = if (testUpperBound <= broadcastMaxRows) broadcast(testGrams) else testGrams
     grams.filter(col("split") === "train")
-      .join(broadcast(testGrams), Seq("gram"))
+      .join(probe, Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_hits"))
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Native
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,44 @@ object Similarity {
         (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
       // a (query, vec) pair can meet in several shared buckets — dedup
       // before ranking so multi-assignment never double-counts a neighbor
+      .dropDuplicates("query_id", "vec_id")
+    topK(scored, k)
+  }
+
+  /** Materialize the corpus as a bucket-partitioned parquet index — the
+    * at-scale layout [[ivfTopK]]'s scaladoc promises: one directory per
+    * nearest-centroid bucket (multi-assigned ×`corpusAssign`), row norms
+    * precomputed at write time. Probing via [[ivfTopKIndexed]] then PRUNES
+    * partitions: the scan plans only the probed buckets' files instead of
+    * filtering a full corpus scan. */
+  def writeIvfIndex(corpus: DataFrame, cents: Array[Array[Float]], path: String,
+      corpusAssign: Int = 3): Unit =
+    corpus.select(
+      col("vec_id"), col("embedding"),
+      Native.normF(col("embedding")).as("c_norm"),
+      explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** IVF probe over a [[writeIvfIndex]] layout with STATIC partition
+    * pruning. The query side is tiny by contract (it is broadcast for the
+    * probe join), so collecting its distinct probe buckets — at most
+    * queries × nprobe ints — is a bounded driver action; the resulting
+    * `isin` on the partition column reaches the scan as a PartitionFilter
+    * (visible in .explain("formatted")), so unprobed buckets' files are
+    * never opened. Same scoring/top-k as [[ivfTopK]] — pass the same
+    * centroids for identical results. */
+  def ivfTopKIndexed(spark: SparkSession, queries: DataFrame, indexPath: String,
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val queryB = queries.select(
+      col("query_id"), col("q_embedding"),
+      Native.normF(col("q_embedding")).as("q_norm"),
+      explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket"))
+    val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexPath).filter(col("bucket").isin(probed: _*))
+    val scored = broadcast(queryB).join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
       .dropDuplicates("query_id", "vec_id")
     topK(scored, k)
   }

@@ -118,6 +118,24 @@ object StreamOps {
       "inner")
   }
 
+  /** T8 output shape ≙ models/OrderPayment.java:5-7 via the join combiner
+    * at StreamStreamJoinExample.java:118-123: parse the order (left) and
+    * payment (right) JSON payloads, join within ±`withinMinutes`, and emit
+    * OrderPayment{orderId, customerId, amount} as the sink JSON value,
+    * keyed by order id. Struct field order matches the POJO declaration
+    * order, so `to_json` emits the byte-exact Jackson shape. */
+  def orderPaymentJoin(orders: DataFrame, payments: DataFrame, withinMinutes: Int): DataFrame = {
+    import graft.codec.JsonCodec
+    val o = JsonCodec.parseOrder(col("value"))
+    val p = JsonCodec.parsePayment(col("r_value"))
+    streamStreamJoin(orders, payments, withinMinutes)
+      .select(col("key"),
+        JsonCodec.toJsonValue(struct(
+          o.getField("order_id").as("orderId"),
+          o.getField("customer_id").as("customerId"),
+          p.getField("amount").as("amount"))).as("value"))
+  }
+
   /** T9 ≙ StreamTableJoinExample — stream-table enrichment join. The
     * dimension is a *static* DataFrame re-evaluated every micro-batch
     * (parquet/Delta path re-scan ⇒ "latest value per key" with per-trigger
@@ -167,7 +185,13 @@ object StreamOps {
     * such version, which stays as the floor lookup (exactly the versioned
     * store rule — a get(key, t) just past the horizon still resolves). A
     * fact older than the pruned horizon joins that floor version: the
-    * documented trade-off of bounded history. */
+    * documented trade-off of bounded history.
+    *
+    * Divergence from KIP-914: the retention horizon advances on PER-KEY
+    * max event time (each key's state sees only its own rows), not the
+    * partition-level stream time a Kafka Streams versioned store uses — a
+    * cold key retains history longer here. In-horizon lookups return
+    * identical results; only the pruning cadence differs. */
   def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long)(
       implicit spark: SparkSession): Dataset[VersionedJoined] = {
     import spark.implicits._

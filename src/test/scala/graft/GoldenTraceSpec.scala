@@ -324,6 +324,88 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(after.toMap == Map("3" -> 3L))
   }
 
+  test("T8 OrderPayment golden: join combiner emits the byte-exact OrderPayment JSON (OrderPayment.java:5-7, StreamStreamJoinExample.java:118-123,163-168)") {
+    val orders = MemoryStream[(String, String, java.sql.Timestamp)]
+    val payments = MemoryStream[(String, String, java.sql.Timestamp)]
+    // ≙ the reference's observed output: Key: 120 Value: OrderPayment{orderId=120, customerId=1, amount=100.0}
+    orders.addData(("120",
+      """{"order_id":120,"customer_id":1,"order_date":"2025-08-21","total_amount":"800.00"}""",
+      ts("2025-01-01 10:00:00")))
+    payments.addData(("120", """{"orderId":120,"amount":100.0}""", ts("2025-01-01 10:02:00")))
+    val got = runToMemory(StreamOps.orderPaymentJoin(
+      orders.toDF().toDF("key", "value", "eventTime"),
+      payments.toDF().toDF("key", "value", "eventTime"), withinMinutes = 5),
+      "golden_orderpayment", OutputMode.Append())
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("120", """{"orderId":120,"customerId":1,"amount":100.0}""")))
+  }
+
+  test("versioned-KTable join: same-timestamp dim re-write replaces the version (KIP-914 last-write-wins)") {
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"), retentionMillis = 3600000L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_rewrite").start()
+    dims.addData(("k", "v-first", ts("2025-01-01 10:00:00")))
+    q.processAllAvailable()
+    dims.addData(("k", "v-rewrite", ts("2025-01-01 10:00:00"))) // same ts, later batch → replaces
+    q.processAllAvailable()
+    facts.addData(("k", "f1", ts("2025-01-01 10:00:30")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vtj_rewrite").as[StreamOps.VersionedJoined].collect().toSeq
+    assert(got.map(j => (j.factValue, j.dimValue)) == Seq(("f1", "v-rewrite")))
+  }
+
+  test("versioned-KTable join: out-of-order fact resolves against the retained version history") {
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"), retentionMillis = 3600000L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_ooo").start()
+    dims.addData(
+      ("k", "v1", ts("2025-01-01 10:00:00")),
+      ("k", "v2", ts("2025-01-01 10:10:00")))
+    q.processAllAvailable()
+    facts.addData(
+      ("k", "f-late", ts("2025-01-01 10:05:00")),  // arrives after v2 but predates it
+      ("k", "f-at", ts("2025-01-01 10:10:00")),    // exactly at v2 → inclusive
+      ("k", "f-early", ts("2025-01-01 09:00:00"))) // before any version → drops (inner)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vtj_ooo").as[StreamOps.VersionedJoined].collect()
+      .map(j => j.factValue -> j.dimValue).toMap
+    assert(got == Map("f-late" -> "v1", "f-at" -> "v2"))
+  }
+
+  test("versioned-KTable join: fact past the pruned horizon joins the floor version; older facts drop") {
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    // retention 1 min: after the 10:05 dim lands, horizon = 10:04 —
+    // v0/v1 are both older; the NEWEST of them (v1) must survive as floor
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"), retentionMillis = 60000L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_floor").start()
+    dims.addData(
+      ("k", "v0", ts("2025-01-01 10:00:00")),
+      ("k", "v1", ts("2025-01-01 10:00:30")),
+      ("k", "v2", ts("2025-01-01 10:05:00")))
+    q.processAllAvailable()
+    facts.addData(
+      ("k", "f-floor", ts("2025-01-01 10:02:00")),   // past horizon → floor version v1
+      ("k", "f-too-old", ts("2025-01-01 10:00:10"))) // predates the floor → drops (v0 pruned)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vtj_floor").as[StreamOps.VersionedJoined].collect()
+      .map(j => j.factValue -> j.dimValue).toMap
+    // f-too-old producing NO row is the proof v0 was pruned: had v0 been
+    // retained it would have joined v0
+    assert(got == Map("f-floor" -> "v1"))
+  }
+
   test("T9 golden: stream-table enrichment join, inner semantics (StreamTableJoinExample.java:151-163)") {
     val in = MemoryStream[(String, String)]
     in.addData(("1", "order-a"), ("1", "order-b"), ("999", "order-c")) // 999 has no customer

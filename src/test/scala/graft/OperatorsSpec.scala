@@ -189,6 +189,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap >= 32, s"IVF recall too low: $overlap/40") // ≥80% at nprobe=4/16 (k-means centroids)
   }
 
+  test("IVF partitioned index: probe prunes partitions and matches the in-memory path exactly") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    // same deterministic centroids ivfTopK trains internally
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIvfIndex(emb, cents, idx)
+    val pruned = Similarity.ivfTopKIndexed(spark, queries, idx, cents, k = 10, nprobe = 4)
+    // the scan must plan only the probed buckets: the bucket isin reaches
+    // the parquet scan as a PartitionFilter (not a post-scan Filter)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters"), "expected a partitioned parquet scan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe buckets did not reach the scan as partition filters:\n$plan")
+    // identical results to the unindexed path on the same centroids
+    val direct = Similarity.ivfTopK(queries, emb, k = 10, numCentroids = 16, nprobe = 4)
+    assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
+  }
+
   test("text quality ratios are within [0,1]") {
     val got = TextAnalysis.qualityScore(Tables.documents(spark, dir))
     assert(got.filter(

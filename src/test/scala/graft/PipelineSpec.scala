@@ -56,6 +56,33 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("redactPii counts match the emitted text: a phone-shaped span inside a matched email is neither counted nor replaced") {
+    val fixture = Seq((1L, "call 555-0142 or mail bob555-0142@ex.com now")).toDF("doc_id", "text")
+    val r = Pipeline.redactPii(fixture).head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_phones") == 1L) // only the standalone span
+    val redacted = r.getAs[String]("text_redacted")
+    assert(redacted == "call <PHONE> or mail <EMAIL> now")
+    assert("<PHONE>".r.findAllIn(redacted).length == r.getAs[Long]("n_phones"))
+  }
+
+  test("decontaminate broadcast is size-guarded: over the row bound it plans a shuffle equi-join") {
+    // planner-initiated broadcasts off, so a BroadcastHashJoin can only
+    // come from the operator's own hint — isolates the guard under test
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = Pipeline.decontaminate(docs, n = 5, broadcastMaxRows = 0L)
+      assert(!guarded.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "guard tripped but the plan still broadcasts")
+      // results are identical on either side of the guard
+      val hinted = Pipeline.decontaminate(docs, n = 5)
+      assert(hinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "small test side should take the broadcast hint")
+      assert(guarded.exceptAll(hinted).isEmpty && hinted.exceptAll(guarded).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("quantizeEmbeddings: positive scale, q_l1 ≤ 127·dim, zero vector gets scale 1") {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size($"embedding")).as[Int].head()
