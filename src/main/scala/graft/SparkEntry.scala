@@ -123,6 +123,10 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "dedup_components" -> ((s, d) =>
+      Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -165,6 +169,9 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
 
     // --- north-star: corpus-prep pipeline ---
     "pipeline_hash_split" -> ((s, d) => Pipeline.hashSplit(Tables.documents(s, d))),
@@ -184,6 +191,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(Tables.documents(s, d))),
+    "cap_per_source" -> ((s, d) => Pipeline.capPerSource(Tables.documents(s, d), k = 10)),
+    "sample_token_budget" -> ((s, d) =>
+      Pipeline.sampleToTokenBudget(Tables.documents(s, d), budgetTokens = 800L)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
     "asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -282,6 +292,57 @@ object SparkEntry {
                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5""",
+    // same quadratic pair oracle as above feeding a recursive-CTE
+    // transitive closure: component id = min reachable doc id
+    "dedup_components" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END) AS s FROM t),
+           e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(a.s || b.s)) >= 0.5),
+           sym AS (SELECT id_a AS src, id_b AS dst FROM e
+                   UNION ALL SELECT id_b, id_a FROM e),
+           walk(id, comp) AS (
+             SELECT DISTINCT src, src FROM sym
+             UNION
+             SELECT sym.dst, walk.comp FROM walk JOIN sym ON walk.id = sym.src),
+           m AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS component_id,
+                CAST(d.doc_id = coalesce(m.comp, d.doc_id) AS BIGINT) AS is_keeper
+         FROM documents d LEFT JOIN m ON d.doc_id = m.id""",
+    // same transitive closure, but the keeper is the longest doc per
+    // component (ties → smallest id)
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END) AS s FROM t),
+           e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(a.s || b.s)) >= 0.5),
+           sym AS (SELECT id_a AS src, id_b AS dst FROM e
+                   UNION ALL SELECT id_b, id_a FROM e),
+           walk(id, comp) AS (
+             SELECT DISTINCT src, src FROM sym
+             UNION
+             SELECT sym.dst, walk.comp FROM walk JOIN sym ON walk.id = sym.src),
+           m AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+           lab AS (SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS component_id, d.n_chars
+                   FROM documents d LEFT JOIN m ON d.doc_id = m.id),
+           best AS (SELECT component_id, doc_id AS keeper_id FROM (
+                      SELECT component_id, doc_id,
+                        row_number() OVER (PARTITION BY component_id
+                          ORDER BY n_chars DESC, doc_id) AS rk
+                      FROM lab) WHERE rk = 1)
+         SELECT lab.doc_id, lab.component_id, best.keeper_id,
+                CAST(lab.doc_id = best.keeper_id AS BIGINT) AS is_keeper
+         FROM lab JOIN best USING (component_id)""",
     "sim_topk_bruteforce" ->
       """SELECT query_id, vec_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -350,6 +411,58 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
          FROM documents""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           b AS (SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2
+                     THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+                     ELSE [array_to_string(toks, ' ')] END AS bis
+                 FROM t)
+         SELECT doc_id,
+           CAST(list_max(list_transform(list_distinct(toks),
+             u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS top_unigram_frac,
+           CAST(list_max(list_transform(list_distinct(bis),
+             u -> len(list_filter(bis, x -> x = u)))) AS DOUBLE)
+             / CAST(len(bis) AS DOUBLE) AS top_bigram_frac,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS dup_token_frac
+         FROM b""",
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           s AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_len,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS top_uni,
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS dup_frac,
+                   len(list_filter(toks,
+                     x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop
+                 FROM t)
+         SELECT doc_id,
+           CAST(n_tokens >= 30 AND n_tokens <= 90 AS BIGINT) AS flag_len,
+           CAST(mean_len >= 4.0 AND mean_len <= 5.6 AS BIGINT) AS flag_word_len,
+           CAST(top_uni <= 0.12 AND dup_frac <= 0.5 AS BIGINT) AS flag_rep,
+           CAST(n_stop >= 2 AS BIGINT) AS flag_stop,
+           CAST(n_tokens >= 30 AND n_tokens <= 90
+                AND mean_len >= 4.0 AND mean_len <= 5.6
+                AND top_uni <= 0.12 AND dup_frac <= 0.5
+                AND n_stop >= 2 AS BIGINT) AS keep
+         FROM s""",
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT doc_id,
+           round(avg(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))), 6)
+             AS mean_idf,
+           round(max(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))), 6)
+             AS max_idf
+         FROM tok JOIN df USING (word) CROSS JOIN n
+         GROUP BY doc_id""",
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1""",
@@ -434,6 +547,25 @@ object SparkEntry {
          SELECT doc_id, bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
                 CAST(cum_before % 512 AS BIGINT) AS tok_offset
          FROM c""",
+    "cap_per_source" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 10""",
+    // "take until full": a doc is kept iff the token mass before it (in
+    // md5 order within its source) is under budget — one straggler doc may
+    // overshoot, matching the Spark side's rule exactly
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+           c AS (SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                 FROM t)
+         SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 800""",
     "mixture_weights" ->
       """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

@@ -218,6 +218,29 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** max_freq(ARRAY<LONG>) → LONG: multiplicity of the most frequent
+    * element — the repetition-quality primitive (Gopher-style top-n-gram
+    * fraction = max_freq(gram hashes) / n_grams). One open-addressing pass
+    * per row; the declarative form (distinct × per-element filter) is
+    * O(n²) interpreted lambdas, pinned equal by FuncsSpec. Empty array → 0. */
+  case class MaxFreqCount(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new java.util.HashMap[java.lang.Long, Int](n * 2)
+      var best = 0L
+      var i = 0
+      while (i < n) {
+        val c = counts.merge(arr.getLong(i), 1, (a, b) => a + b)
+        if (c > best) best = c.toLong
+        i += 1
+      }
+      java.lang.Long.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** sorted_intersect_count(ARRAY<LONG>, ARRAY<LONG>) → LONG: two-pointer
     * intersection size over ascending-sorted long arrays — O(|a|+|b|) per
     * pair vs array_intersect's hashed build per row. The set-similarity
@@ -271,6 +294,8 @@ object Native {
         case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType) => w
         case other => throw new IllegalArgumentException(s"w must be an int literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("graft_max_freq",
+      exprs => MaxFreqCount(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
@@ -288,6 +313,7 @@ object Native {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def winnow(hashes: Column, w: Int): Column =
     call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
+  def maxFreq(a: Column): Column = call_function("graft_max_freq", a)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
   def shingleHashes(tokens: Column, n: Int, sortedDistinct: Boolean): Column =

@@ -298,6 +298,116 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair relation (`id_a`, `id_b`) by
+    * iterative min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the min label in its neighborhood;
+    * fixpoint = each node labeled with the smallest id reachable from it.
+    * This is the canonicalization step BETWEEN pair detection and actually
+    * dropping duplicates — transitive near-dups (A≈B, B≈C, A≉C) must share
+    * one keeper or dedup drops too little.
+    *
+    * Scale shape: each round is one shuffle of (id, label) pairs — O(E) —
+    * and the round count is the graph diameter, which for near-dup clusters
+    * is tiny (dup clusters are dense; boilerplate families converge in 2-3
+    * rounds). `localCheckpoint` truncates lineage each round so the plan
+    * stays O(1) deep instead of growing per iteration, and the convergence
+    * probe reuses the checkpointed result rather than recomputing the
+    * chain. For adversarial long-chain graphs the alternating-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce") cuts
+    * rounds to O(log n); not needed for dedup-shaped graphs. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Materialize the edge relation once, then size the iteration
+    // partitioning to the ACTUAL edge count (~1M edge-pairs per partition):
+    // edges arrive from a multi-stage join pipeline whose dozens of
+    // near-empty output partitions would otherwise cost a task per
+    // partition per round (AQE can't help — cached plans keep their
+    // partitioning: canChangeCachedPlanOutputPartitioning=false).
+    // Repartitioning on src also pre-buckets the per-round join key.
+    val e = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val parts = math.max(1, math.min((2L * nEdges / 1000000L).toInt,
+      edges.sparkSession.sparkContext.defaultParallelism * 32))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // lazy init: lineage is one scan of the persisted sym, so there is
+    // nothing to truncate yet — round 0's checkpoint covers it
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // labels flowing across edges, then min per node (incl. its own label).
+      // The node's previous label rides along as a second aggregate (unique
+      // per id, so max() just recovers it), which fuses convergence
+      // detection into the same shuffle — one materializing job per round
+      // plus a cheap filter over the checkpointed result, instead of a
+      // separate labels⋈next comparison join.
+      val viaNeighbor = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("prev"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    sym.unpersist()
+    e.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup canonicalization: exact n-gram Jaccard pairs
+    * ([[ngramJaccard]], lossless prefix-filtered) → [[connectedComponents]]
+    * → one row per document with its component id (the smallest doc_id in
+    * its near-dup cluster) and a keeper flag. Documents in no pair are
+    * their own singleton component. Downstream dedup is then
+    * `filter(is_keeper = 1)`. */
+  def dedupComponents(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(ngramJaccard(documents, n, threshold).select("id_a", "id_b"))
+    documents.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component_id"))
+      .withColumn("is_keeper", (col("doc_id") === col("component_id")).cast("bigint"))
+  }
+
+  /** [[dedupComponents]] with a quality-aware keeper: instead of the
+    * smallest doc_id, each near-dup cluster keeps its LONGEST document
+    * (`n_chars`, ties → smallest id) — the standard "keep the most
+    * complete copy" rule when near-dups are truncations/excerpts of one
+    * another. Emits every document with its component id, the chosen
+    * keeper's id, and the keep flag.
+    *
+    * Scale shape: the extra work over [[dedupComponents]] is one window
+    * max per component — component partitions are near-dup clusters
+    * (small by construction; the skew bound is the largest boilerplate
+    * family, already bounded by the pair stage's skew guard), and
+    * singleton docs skip the shuffle entirely via the left join's null
+    * path (they are their own keeper without entering the window). */
+  def dedupKeepBest(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(ngramJaccard(documents, n, threshold).select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+    // only docs that are IN some component enter the window; the best doc
+    // per component = first by (n_chars desc, doc_id asc)
+    val member = documents.select(col("doc_id"), col("n_chars")).join(comps, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val best = member
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("comp"), col("doc_id").as("best_id"))
+    documents.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .join(best, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component_id"),
+        coalesce(col("best_id"), col("doc_id")).as("keeper_id"))
+      .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("bigint"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

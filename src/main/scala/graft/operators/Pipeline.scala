@@ -52,6 +52,69 @@ object Pipeline {
       row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("bigint"))
   }
 
+  /** Per-source document cap: keep at most `k` documents from each source,
+    * chosen deterministically by md5(doc_id) order (the same unbiased
+    * hash-order the samplers use — "first k by hash" is a uniform sample,
+    * ties impossible on distinct ids but doc_id breaks them anyway). The
+    * mixture-control primitive for over-represented sources (crawl dumps
+    * dwarfing curated sets).
+    *
+    * Scale shape: the rank-≤-k predicate compiles to WindowGroupLimit
+    * (Spark ≥3.5), which keeps a running top-k PER MAP PARTITION before
+    * the shuffle — so each source ships at most k·partitions rows to the
+    * window sort, not its full document set. A hot source (the 100 TB
+    * skew case) is bounded by the same cap; no salting needed because the
+    * pre-shuffle limit already collapses the skew. */
+  def capPerSource(documents: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Token-budget sampling: per source, keep documents in deterministic
+    * md5(doc_id) order until the source's token budget fills — "take until
+    * full", so a doc is kept iff the tokens BEFORE it are under budget.
+    * The mixture-control primitive when targets are token masses rather
+    * than doc counts ([[capPerSource]]'s sibling).
+    *
+    * Scale shape: a naive per-source running total funnels each source
+    * through ONE window partition — a hot crawl source becomes a
+    * single-task sort at 100 TB. Instead the hash order is exploited
+    * two-phase: the first md5 byte buckets each source into 256 slices
+    * whose numeric order equals the hash order (bucket is a prefix of the
+    * sort key), so (1) a tiny per-(source,bucket) token-total relation —
+    * ≤ 256·#sources rows — gets the running total across buckets, and
+    * (2) only the ONE bucket per source that straddles the budget needs a
+    * row-level running total, over 1/256 of that source. Fully-funded
+    * buckets pass through map-side; overspent buckets are filtered
+    * map-side. The row-level window never sees a whole source. */
+  def sampleToTokenBudget(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val wb = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = base.groupBy("source", "bucket")
+      .agg(sum(col("n_tokens")).as("bucket_toks"))
+      .withColumn("bucket_before", coalesce(sum(col("bucket_toks")).over(wb), lit(0L)))
+    val joined = base.join(broadcast(bucketTotals), Seq("source", "bucket"))
+    val fullyKept = joined
+      .filter(col("bucket_before") + col("bucket_toks") <= budgetTokens)
+    val wr = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = joined
+      .filter(col("bucket_before") < budgetTokens &&
+        col("bucket_before") + col("bucket_toks") > budgetTokens)
+      .withColumn("within_before", coalesce(sum(col("n_tokens")).over(wr), lit(0L)))
+      .filter(col("bucket_before") + col("within_before") < budgetTokens)
+    fullyKept.select(col("doc_id"), col("source"), col("n_tokens"))
+      .union(boundary.select(col("doc_id"), col("source"), col("n_tokens")))
+  }
+
   /** Email / phone patterns kept RE2-compatible (no lookaround, no
     * backrefs) so the identical pattern runs under Java regex here and
     * RE2 in the DuckDB oracle. */

@@ -64,6 +64,90 @@ object TextAnalysis {
     scored.select(col("doc_id"), coalesce(best, lit("und")).as("pred_lang"))
   }
 
+  /** Repetition quality signals (the Gopher-rules family): fraction of
+    * tokens taken by the single most frequent unigram / bigram, and the
+    * duplicate-token fraction. High values flag boilerplate, keyword-stuffed
+    * or looping generations that per-token stats miss. Map-side like the
+    * rest of the family — each doc scores in one [[Native.MaxFreqCount]]
+    * pass over its fused gram hashes, no shuffle. A doc with < 2 tokens has
+    * one whole-doc bigram ([[Native.ShingleHashes]]' short-doc rule), so its
+    * top_bigram_frac is 1. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = Funcs.tokens(col("text"))
+    val uni = Native.shingleHashes(toks, 1, sortedDistinct = false)
+    val bi = Native.shingleHashes(toks, 2, sortedDistinct = false)
+    documents.select(
+      col("doc_id"),
+      (Native.maxFreq(uni).cast("double") / size(uni).cast("double")).as("top_unigram_frac"),
+      (Native.maxFreq(bi).cast("double") / size(bi).cast("double")).as("top_bigram_frac"),
+      ((size(toks) - size(array_distinct(toks))).cast("double") / size(toks).cast("double"))
+        .as("dup_token_frac"))
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 family):
+    * each rule is an independent flag, `keep` is their conjunction —
+    * emitted per-rule (not pre-collapsed) so a pipeline can audit WHICH
+    * rule rejected a document and re-tune thresholds without re-scoring.
+    * Rules: token count in [minTokens,maxTokens]; mean token length in
+    * [minMeanTokLen,maxMeanTokLen]; repetition bounded (top-unigram
+    * fraction and duplicate-token fraction); ≥ minStopwords stopword hits
+    * (the "is this prose" signal). Map-side like the whole family — one
+    * scan, one codegen span, no shuffle at any scale. */
+  def gopherFilter(
+      documents: DataFrame,
+      minTokens: Long = 30L,
+      maxTokens: Long = 90L,
+      minMeanTokLen: Double = 4.0,
+      maxMeanTokLen: Double = 5.6,
+      maxTopUnigramFrac: Double = 0.12,
+      maxDupTokenFrac: Double = 0.5,
+      minStopwords: Long = 2L): DataFrame = {
+    val toks = Funcs.tokens(col("text"))
+    val nToks = size(toks).cast("bigint")
+    val meanLen = length(col("text")).cast("double") / size(toks).cast("double")
+    val topUni = Native.maxFreq(Native.shingleHashes(toks, 1, sortedDistinct = false))
+      .cast("double") / size(toks).cast("double")
+    val dupFrac = (size(toks) - size(array_distinct(toks))).cast("double") /
+      size(toks).cast("double")
+    val flagLen = (nToks >= minTokens && nToks <= maxTokens)
+    val flagWordLen = (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen)
+    val flagRep = (topUni <= maxTopUnigramFrac && dupFrac <= maxDupTokenFrac)
+    val flagStop = Funcs.tokenCountIn(toks, Funcs.StopwordsEn) >= minStopwords
+    documents.select(
+      col("doc_id"),
+      flagLen.cast("bigint").as("flag_len"),
+      flagWordLen.cast("bigint").as("flag_word_len"),
+      flagRep.cast("bigint").as("flag_rep"),
+      flagStop.cast("bigint").as("flag_stop"),
+      (flagLen && flagWordLen && flagRep && flagStop).cast("bigint").as("keep"))
+  }
+
+  /** TF-IDF document scoring: mean and max inverse document frequency over
+    * a document's token occurrences — low mean-IDF flags boilerplate made
+    * of corpus-ubiquitous words; high max-IDF flags rare-term content.
+    * idf(w) = ln((N+1)/(df(w)+1)) (smoothed, non-negative).
+    *
+    * Scale shape: df(w) is one token-keyed groupBy with map-side partial
+    * aggregation (distinct (doc,word) pairs, then counts — vocab-sized
+    * output, zipfian but bounded); the occurrence⋈idf join is a plain
+    * equi-join on the token — the vocab side is NOT broadcast by hint
+    * because a 100 TB vocab tail is unbounded; AQE converts it to
+    * broadcast at runtime iff the built side is actually small. The final
+    * per-doc mean is another partial-aggregated groupBy. Scores are
+    * rounded to 6 decimals: summation order across partitions is
+    * nondeterministic in the last ulp. */
+  def tfidfScore(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(Funcs.tokens(col("text"))).as("word"))
+    val df = tok.distinct().groupBy("word")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    val nDocs = documents.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val idf = log((col("n_docs").cast("double") + 1.0d) / (col("df").cast("double") + 1.0d))
+    tok.join(df, Seq("word")).crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(round(avg(idf), 6).as("mean_idf"),
+        round(max(idf), 6).as("max_idf"))
+  }
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

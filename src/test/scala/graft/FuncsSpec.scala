@@ -124,6 +124,23 @@ class FuncsSpec extends AnyFunSuite {
     assert(both.filter($"fused" =!= $"staged").isEmpty)
   }
 
+  test("maxFreq: native one-pass count ≡ declarative distinct×filter form; empty array → 0") {
+    val docs = Seq(
+      (1 to 50).map(i => s"tok${i % 13}").mkString(" "), // skewed multiplicities
+      "a a a b",
+      "solo")
+      .toDF("text")
+    val hashes = Funcs.shingleHashes(Funcs.wordShingles(Funcs.tokens($"text"), 1))
+    val both = docs.select(
+      graft.functions.Native.maxFreq(hashes).as("native"),
+      array_max(transform(array_distinct(hashes),
+        h => size(filter(hashes, x => x === h)))).cast("long").as("decl"))
+    assert(both.filter($"native" =!= $"decl").isEmpty)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(graft.functions.Native.maxFreq($"hs")).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("winnow fingerprints overlap on shared substrings, not on disjoint docs") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = s"intro words here $shared trailing alpha"

@@ -210,6 +210,125 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
   }
 
+  test("repetitionStats: planted repetition fixture scores exactly") {
+    val docs = Seq(
+      (1L, "a a a b"),         // top unigram a=3/4; top bigram "a a"=2/3; dup (4-2)/4
+      (2L, "w x y z"),         // all distinct: 1/4, 1/3, 0
+      (3L, "solo"))            // single token: 1/1; whole-doc bigram 1/1; dup 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3.0 / 4.0, 2.0 / 3.0, 2.0 / 4.0)))
+    assert(got(2L) == ((1.0 / 4.0, 1.0 / 3.0, 0.0)))
+    assert(got(3L) == ((1.0, 1.0, 0.0)))
+  }
+
+  test("connectedComponents: planted chain + separate pair + convergence past one hop") {
+    // 1-2, 2-3, 3-4 chains to one component even though 1 and 4 share no edge;
+    // 10-11 is a second component
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupComponents: transitive near-dups share one keeper; untouched docs are singletons") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearA = ((1 to 27).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    // nearB overlaps nearA heavily but base less — the transitive case
+    val nearB = ((1 to 24).map(i => s"w$i") ++ Seq("x1", "x2", "x3", "x4", "x5", "x6")).mkString(" ")
+    val docs = Seq((1L, base), (2L, nearA), (3L, nearB), (9L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupComponents(docs, n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all three near-dups collapse to component 1; only doc 1 is the keeper
+    assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 0L)) && got(3L) == ((1L, 0L)))
+    assert(got(9L) == ((9L, 1L))) // singleton keeps itself
+  }
+
+  test("capPerSource: at most k per source, deterministic, and the plan carries WindowGroupLimit") {
+    val docs = Tables.documents(spark, dir)
+    val got = Pipeline.capPerSource(docs, k = 5)
+    val perSource = got.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(perSource.filter($"n" > 5).isEmpty)
+    // sources with ≥5 docs are capped exactly at 5
+    val bigSources = docs.groupBy("source").agg(count(lit(1)).as("total")).filter($"total" >= 5)
+    assert(perSource.join(bigSources, "source").filter($"n" =!= 5).isEmpty)
+    // rank-limit pushdown: partial top-k runs before the shuffle
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected the rank<=k filter to push a WindowGroupLimit below the window sort")
+    // determinism: same input → same kept set
+    val again = Pipeline.capPerSource(docs, k = 5)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("sampleToTokenBudget: two-phase bucket selection ≡ naive per-source cumsum rule") {
+    val docs = Tables.documents(spark, dir)
+    val got = Pipeline.sampleToTokenBudget(docs, budgetTokens = 800L)
+    // naive oracle: one window over the whole source in (md5, doc_id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .select($"doc_id", $"source",
+        size(graft.functions.Funcs.tokens($"text")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"cum_before" < 800L)
+      .select($"doc_id", $"source", $"n_tokens")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // kept mass can overshoot the budget by at most one doc (≈100 tokens max)
+    val kept = got.groupBy("source").agg(sum($"n_tokens").as("toks"))
+    assert(kept.filter($"toks" >= 800L + 200L).isEmpty)
+    // sources that HAVE ≥ budget tokens fill it (within one straggler doc)
+    val rich = docs.select($"source", size(graft.functions.Funcs.tokens($"text")).as("n"))
+      .groupBy("source").agg(sum($"n").as("total")).filter($"total" >= 800L)
+    assert(kept.join(rich, "source").filter($"toks" < 800L - 200L).isEmpty)
+  }
+
+  test("gopherFilter: each rule trips independently on planted fixtures") {
+    // "abN" tokens keep the mean token length inside [4.0, 5.6]
+    val prose = ((1 to 40).map(i => s"ab$i") ++ Seq("the", "of")).mkString(" ")
+    val docs = Seq(
+      (1L, prose),                                     // passes everything
+      (2L, "the of tiny"),                             // too short → flag_len=0
+      (3L, ((1 to 42).map(i => s"w$i") ++ Seq("the", "of")).mkString(" ")), // mean len < 4
+      (4L, (Seq.fill(20)("the") ++ (1 to 24).map(i => s"word$i")).mkString(" ")), // repetitive
+      (5L, (1 to 40).map(i => s"word$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(got(2L)._1 == 0L && got(2L)._5 == 0L)
+    assert(got(3L)._2 == 0L && got(3L)._5 == 0L)
+    assert(got(4L)._3 == 0L && got(4L)._5 == 0L)
+    assert(got(5L)._4 == 0L && got(5L)._5 == 0L)
+  }
+
+  test("dedupKeepBest: longest doc wins the component; singletons keep themselves") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val longer = ((1 to 30).map(i => s"w$i") ++ Seq("extra", "tail", "words")).mkString(" ")
+    val docs = Seq((1L, base), (2L, longer), (9L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+    val got = Dedup.dedupKeepBest(docs, n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 2 is longer, so it is the keeper even though doc 1 has the smaller id
+    assert(got(1L) == ((1L, 2L, 0L)) && got(2L) == ((1L, 2L, 1L)))
+    assert(got(9L) == ((9L, 9L, 1L)))
+  }
+
+  test("tfidfScore: hand-computed idf on a three-doc corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a")).toDF("doc_id", "text")
+    // N=3; df: a=3, b=1, c=1; idf(a)=ln(4/4)=0, idf(b)=idf(c)=ln(4/2)=ln 2
+    val ln2 = math.log(2.0)
+    val got = TextAnalysis.tfidfScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r6(ln2 / 2.0), r6(ln2))))
+    assert(got(2L) == ((r6(ln2 / 2.0), r6(ln2))))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
   test("text quality ratios are within [0,1]") {
     val got = TextAnalysis.qualityScore(Tables.documents(spark, dir))
     assert(got.filter(
