@@ -232,6 +232,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: 64-node path graph converges in O(log n) rounds via path halving") {
+    // the adversarial shape for plain min-label propagation (diameter 63);
+    // with pointer jumping it must converge well inside maxIter
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
   test("dedupComponents: transitive near-dups share one keeper; untouched docs are singletons") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearA = ((1 to 27).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
