@@ -194,6 +194,8 @@ object SparkEntry {
     "cap_per_source" -> ((s, d) => Pipeline.capPerSource(Tables.documents(s, d), k = 10)),
     "sample_token_budget" -> ((s, d) =>
       Pipeline.sampleToTokenBudget(Tables.documents(s, d), budgetTokens = 800L)),
+    "chunk_documents" -> ((s, d) =>
+      Pipeline.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, overlap = 8)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
     "asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -566,6 +568,22 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
                  FROM t)
          SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 800""",
+    // stride = 32 − 8 = 24; chunk i covers tokens [i·24+1, i·24+32]
+    // (1-based inclusive slices; DuckDB clamps at the array end like
+    // Spark's slice)
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           c AS (SELECT doc_id, toks,
+                   greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT)) AS n_chunks
+                 FROM t),
+           u AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(chunk_id * 24 AS BIGINT) AS tok_start,
+                CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+                  AS n_chunk_tokens,
+                array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                  AS chunk_text
+         FROM u""",
     "mixture_weights" ->
       """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

@@ -115,6 +115,37 @@ object Pipeline {
       .union(boundary.select(col("doc_id"), col("source"), col("n_tokens")))
   }
 
+  /** Overlapping token-window chunking (the embedding / context-window
+    * prep step): each document yields ⌈(n−overlap)/stride⌉ chunks of up to
+    * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens so
+    * no semantic boundary is lost to a hard cut; every document yields at
+    * least one chunk. stride = chunkTokens − overlap; chunk `i` starts at
+    * token i·stride.
+    *
+    * Scale shape: pure map-side — tokenize, compute the chunk count, one
+    * `posexplode` per document, slice per chunk. No shuffle at any scale;
+    * output size is corpus_tokens/stride rows, each carrying its own
+    * text, which is exactly the fan-out an embedding batch job wants to
+    * feed directly from the scan. */
+  def chunkDocuments(
+      documents: DataFrame,
+      chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    val stride = chunkTokens - overlap
+    val toks = Funcs.tokens(col("text"))
+    val nChunks = greatest(lit(1L),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("bigint"))
+    val start = (col("chunk_id") * stride + 1).cast("int")
+    documents
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        size(slice(col("toks"), start, lit(chunkTokens))).cast("bigint").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), start, lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Email / phone patterns kept RE2-compatible (no lookaround, no
     * backrefs) so the identical pattern runs under Java regex here and
     * RE2 in the DuckDB oracle. */

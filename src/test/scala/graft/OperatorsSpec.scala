@@ -338,6 +338,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("chunkDocuments: overlap reconstruction, full coverage, short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks → 2 chunks
+      (2L, "only four small tokens"))                 // 1 chunk
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkDocuments(docs, chunkTokens = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.size == 3)
+    // chunk 0 = tokens 1..32, chunk 1 starts at 24 (8-token overlap), covers the tail
+    assert(got((1L, 0L))._1 == 0L && got((1L, 0L))._2 == 32L)
+    assert(got((1L, 1L))._1 == 24L && got((1L, 1L))._2 == 16L)
+    assert(got((1L, 0L))._3.split(" ").drop(24).toSeq ==
+      got((1L, 1L))._3.split(" ").take(8).toSeq) // shared overlap region
+    assert(got((1L, 1L))._3.endsWith("t40"))     // tail covered
+    assert(got((2L, 0L)) == ((0L, 4L, "only four small tokens")))
+  }
+
   test("text quality ratios are within [0,1]") {
     val got = TextAnalysis.qualityScore(Tables.documents(spark, dir))
     assert(got.filter(
