@@ -123,6 +123,17 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    // planted re-encodes: every vector re-keyed +100000 — the train-free
+    // SRP-LSH path must pair each copy with its original (cosine exactly
+    // 1 ⇒ identical signatures in every table ⇒ candidate with
+    // probability 1), and no cross pair clears 0.9 (measured max cross
+    // cosine ≤ 0.61 at sf ≤ 0.1) — so the output is exactly one row per
+    // vector and the operator is hash-oracle-able despite being an LSH
+    "dedup_embedding_srp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupSrp(emb.union(copies), minCosine = 0.9)
+    }),
     "dedup_components" -> ((s, d) =>
       Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
     "dedup_keep_best" -> ((s, d) =>
@@ -169,6 +180,7 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+    "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
@@ -197,6 +209,7 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) =>
       Pipeline.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, overlap = 8)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
+    "pipeline_global_order" -> ((s, d) => Pipeline.globalOrderShards(Tables.documents(s, d))),
     "asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val facts = ev.filter(col("event_type") === "purchase")
@@ -409,6 +422,18 @@ object SparkEntry {
            FROM documents)""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+         FROM documents""",
+    "dedup_embedding_srp" ->
+      "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings",
+    "pipeline_global_order" ->
+      """SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+           CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 100 AS BIGINT) AS shard
+         FROM documents""",
     "text_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens

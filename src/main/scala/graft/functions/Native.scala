@@ -218,6 +218,59 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** SplitMix64 finalizer: the stateless 64-bit mixer behind the SRP
+    * hyperplanes — full avalanche, so bit 0 of the output is an unbiased
+    * deterministic ±1 coin per (table, bit, dimension) key. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** srp_keys(ARRAY<FLOAT>) → ARRAY<LONG>(numTables): sign-random-
+    * projection LSH keys (Charikar STOC'02 family). Table t's key packs
+    * `bitsPerTable` sign bits, bit i = [⟨v, h_{t,i}⟩ > 0], where
+    * hyperplane h_{t,i}'s j-th component is a Rademacher ±1 drawn from
+    * SplitMix64((t·bits+i) ⊕ shifted j) — the hyperplanes are a pure
+    * function of (t, i, j), so signatures are reproducible across runs,
+    * engines, and partitionings with nothing stored or broadcast.
+    * P[bit agrees] = 1 − θ/π (θ = angle between vectors), so a table of b
+    * bits collides with probability (1−θ/π)^b and L tables give candidate
+    * recall 1 − (1−(1−θ/π)^b)^L — the standard (b, L) S-curve, steep near
+    * cosine 1. One O(L·b·d) loop per row, no intermediate arrays. */
+  case class SrpTableKeys(child: Expression, numTables: Int, bitsPerTable: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bitsPerTable >= 1 && bitsPerTable <= 64, s"bitsPerTable must be in [1,64]")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      val keys = new Array[Long](numTables)
+      var t = 0
+      while (t < numTables) {
+        var key = 0L
+        var i = 0
+        while (i < bitsPerTable) {
+          val plane = (t * bitsPerTable + i).toLong
+          var s = 0.0
+          var j = 0
+          while (j < d) {
+            val sign = if ((mix64((plane << 32) ^ j) & 1L) == 1L) 1.0 else -1.0
+            s += sign * arr.getFloat(j)
+            j += 1
+          }
+          if (s > 0.0) key |= (1L << i)
+          i += 1
+        }
+        keys(t) = key
+        t += 1
+      }
+      new GenericArrayData(keys)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** max_freq(ARRAY<LONG>) → LONG: multiplicity of the most frequent
     * element — the repetition-quality primitive (Gopher-style top-n-gram
     * fraction = max_freq(gram hashes) / n_grams). One open-addressing pass
@@ -304,6 +357,9 @@ object Native {
     reg.createOrReplaceTempFunction("graft_minhash_tokens",
       exprs => MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k")),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_srp_keys",
+      exprs => SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable")),
+      "built-in")
   }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -322,4 +378,7 @@ object Native {
   def minhashFromTokens(tokens: Column, n: Int, k: Int): Column =
     call_function("graft_minhash_tokens", tokens,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
+  def srpKeys(emb: Column, numTables: Int, bitsPerTable: Int): Column =
+    call_function("graft_srp_keys", emb,
+      org.apache.spark.sql.functions.lit(numTables), org.apache.spark.sql.functions.lit(bitsPerTable))
 }

@@ -22,6 +22,54 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Skew-guarded candidate pairs from an exploded sketch-key relation —
+    * the shared core of every LSH family member ([[minhashLsh]],
+    * [[simhash]], [[embeddingNearDupSrp]]). Input columns: `band`, `bkey`,
+    * `id`, plus any `payload` columns to carry through to both pair sides
+    * (e.g. the signature, so Hamming verification needs no join-back).
+    *
+    * A bucket with m members yields m² candidate pairs in the self-join —
+    * one hot band-key (boilerplate shared by many docs, or a giant
+    * near-dup cluster) turns the join quadratic on a single partition.
+    * Cold buckets (≤ cap) do the full pairwise join; hot buckets degrade
+    * to CHAINING — consecutive ids linked, O(m) pairs — so a large
+    * near-dup cluster stays transitively connected for union-find-style
+    * dedup (dropping hot buckets outright would lose every pair of a
+    * >cap cluster: ALL its bands are hot). Trade-offs of chaining: the
+    * output is union-find EDGES, not the complete verified pair list, for
+    * over-cap clusters; and an unrelated doc interleaved (by id) in a hot
+    * bucket can break a chain link — connectivity then depends on the
+    * cluster's other bands. The hot-key list is tiny after the
+    * partial-aggregated count, so it broadcasts.
+    *
+    * Output: (`id_a`, `id_b`[, `<p>_a`, `<p>_b` per payload column]),
+    * deduped on the id pair. */
+  private def guardedCandidatePairs(
+      keyed: DataFrame,
+      payload: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val hot = keyed.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bkey")
+    def sided(suffix: String): Seq[Column] =
+      col(s"id").as(s"id$suffix") +: payload.map(p => col(p).as(s"$p$suffix"))
+    val cold = keyed.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val coldPairs = cold.select((col("band") +: col("bkey") +: sided("_a")): _*)
+      .join(cold.select((col("band") +: col("bkey") +: sided("_b")): _*), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("band", "bkey")
+    val hotPairs = keyed.join(broadcast(hot), Seq("band", "bkey"))
+      .withColumn("nxt", lead(struct(col("id") +: payload.map(col): _*), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
+      .filter(col("nxt").isNotNull)
+      .select(
+        (col("id").as("id_a") +: payload.map(p => col(p).as(s"${p}_a"))) ++
+          (col("nxt.id").as("id_b") +: payload.map(p => col(s"nxt.$p").as(s"${p}_b"))): _*)
+    coldPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * (deterministic, unlike dropDuplicates' arbitrary pick). The shuffle key
     * is the md5 digest, so 100 TB of text shuffles only (digest, id) pairs
@@ -65,43 +113,14 @@ object Dedup {
       // signature comes straight off the token array in one loop — no
       // intermediate shingle array, and skipping array_distinct is exact
       // because duplicate shingles cannot change a minimum
-      .select(col("doc_id"),
+      .select(col("doc_id").as("id"),
         Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
-      .select(col("doc_id"),
+      .select(col("id"),
         posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Skew guard: a bucket with m members yields m² candidate pairs in the
-    // self-join — one hot band-key (a boilerplate pattern shared by many
-    // docs, or a giant near-dup cluster) turns the join quadratic on a
-    // single partition. Cold buckets (≤ cap) do the full pairwise join;
-    // hot buckets degrade to CHAINING — consecutive doc_ids linked, O(m)
-    // pairs — so a large near-dup cluster stays transitively connected
-    // for union-find-style dedup (dropping hot buckets outright would lose
-    // every pair of a >cap cluster: ALL its bands are hot). Trade-offs of
-    // chaining: the output is union-find EDGES, not the complete verified
-    // pair list, for over-cap clusters; and an unrelated doc interleaved
-    // (by id) in a hot bucket can break a chain link — connectivity then
-    // depends on the cluster's other bands. The hot-key list is tiny
-    // after the partial-aggregated count, so it broadcasts.
-    val hotBuckets = banded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select("band", "bkey")
-    val cold = banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
-    val coldPairs = cold.as("a")
-      .join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val hotPairs = banded.join(broadcast(hotBuckets), Seq("band", "bkey"))
-      .withColumn("nxt", lead(col("doc_id"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
-
-    val candidates = coldPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
+    // skew-guarded candidate generation (see [[guardedCandidatePairs]])
+    val candidates = guardedCandidatePairs(banded, Nil, maxBucketSize)
 
     // Exact-Jaccard verification: join the (tiny) candidate set back to the
     // raw documents and shingle INSIDE the projection — the shingle
@@ -138,31 +157,16 @@ object Dedup {
       shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
     }
     val sigs = documents.select(
-      col("doc_id"),
+      col("doc_id").as("id"),
       Native.simhash(Funcs.tokens(col("text"))).as("sig"))
     // (band, key) per doc; persisted (3 longs/doc/band) so the
-    // tokenize+simhash scan runs once, not once per self-join side
+    // tokenize+simhash scan runs once, not once per self-join side; the
+    // sig rides along as payload so Hamming verification needs no join-back
     val quads = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(array(bandKeys: _*)).as(Seq("q", "qkey")))
+      col("id"), col("sig"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hot = quads.groupBy("q", "qkey").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize).select("q", "qkey")
-    val cold = quads.join(broadcast(hot), Seq("q", "qkey"), "left_anti")
-    val coldPairs = cold.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      .join(cold.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
-        Seq("q", "qkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-    val hotPairs = quads.join(broadcast(hot), Seq("q", "qkey"))
-      .withColumn("nxt", lead(struct(col("doc_id"), col("sig")), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q"), col("qkey")).orderBy(col("doc_id"))))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id").as("id_a"), col("nxt.doc_id").as("id_b"),
-        col("sig").as("sig_a"), col("nxt.sig").as("sig_b"))
-    coldPairs.union(hotPairs)
-      .dropDuplicates("id_a", "id_b")
+    guardedCandidatePairs(quads, Seq("sig"), maxBucketSize)
       .withColumn("hamming", Funcs.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -205,6 +209,47 @@ object Dedup {
       .join(side("id_a", "emb_a", "norm_a"), Seq("id_a"))
       .join(side("id_b", "emb_b", "norm_b"), Seq("id_b"))
       // inclusive bound: same boundary convention as the whole dedup family
+      .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-random-projection LSH
+    * ([[graft.functions.Native.SrpTableKeys]]) — the TRAIN-FREE sibling of
+    * the IVF-blocked [[embeddingNearDup]]: no k-means pass, no driver
+    * sample, no centroid literals; the hyperplanes are a pure function of
+    * (table, bit, dim), so the operator is a stateless map over the corpus
+    * followed by the same skew-guarded key equi-join as the text-LSH
+    * family. Use it when the corpus distribution is unknown or drifting
+    * (streaming ingest, incremental dedup) or when the threshold is high
+    * (cosine ≥ ~0.9, where the (bits, tables) S-curve is steep); prefer
+    * IVF blocking for lower thresholds, where angular LSH recall decays.
+    *
+    * Candidate recall at cosine c: 1 − (1 − (1−θ/π)^bits)^tables,
+    * θ = arccos(c) — defaults (8×16) give ~0.97 at c = 0.99, ~0.8 at
+    * c = 0.95. Exact-cosine verification removes every false positive, so
+    * the dials trade recall against candidate volume only. Shuffle volume:
+    * 3 longs per (vector, table) for the keys, ints-only candidate pairs;
+    * the float arrays enter only the final verify join. */
+  def embeddingNearDupSrp(
+      embeddings: DataFrame,
+      minCosine: Double,
+      numTables: Int = 8,
+      bitsPerTable: Int = 16,
+      maxBucketSize: Int = 64): DataFrame = {
+    // (table, key) per vector; persisted so the O(tables·bits·dim)
+    // signature pass runs once, not once per self-join side
+    val keyed = embeddings.select(
+      col("vec_id").as("id"),
+      posexplode(Native.srpKeys(col("embedding"), numTables, bitsPerTable))
+        .as(Seq("band", "bkey")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = guardedCandidatePairs(keyed, Nil, maxBucketSize)
+    def side(ida: String, emb: String, nrm: String) = embeddings.select(
+      col("vec_id").as(ida), col("embedding").as(emb),
+      Native.normF(col("embedding")).as(nrm))
+    candidates
+      .join(side("id_a", "emb_a", "norm_a"), Seq("id_a"))
+      .join(side("id_b", "emb_b", "norm_b"), Seq("id_b"))
       .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= minCosine)
       .select(col("id_a"), col("id_b"))
   }

@@ -115,6 +115,39 @@ object Pipeline {
       .union(boundary.select(col("doc_id"), col("source"), col("n_tokens")))
   }
 
+  /** Deterministic global training order + shard assignment: every document
+    * gets its 0-based position in md5(doc_id) order (the corpus-wide
+    * deterministic shuffle a pretraining run wants — stable across runs,
+    * engines, partitionings, and corpus growth never reorders the common
+    * prefix of surviving docs) and the shard `pos / shardSize` it lands in.
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY h)` funnels the
+    * whole corpus through ONE window partition. Instead the global rank is
+    * assembled two-phase from the hash order itself (the same trick as
+    * [[sampleToTokenBudget]]): the first md5 byte buckets the corpus into
+    * 256 slices whose numeric order equals the hash order (the bucket is a
+    * prefix of the sort key), so (1) a 256-row per-bucket count relation
+    * gets the running offsets — the only unpartitioned window, over ≤256
+    * rows — and (2) each bucket ranks its own 1/256 slice independently
+    * under a partitioned window. pos = bucket offset + rank within bucket.
+    * At 100 TB, widen the prefix (2 bytes → 65 536 slices) to keep each
+    * per-bucket sort in one task's memory; the offsets relation stays tiny
+    * and broadcasts. */
+  def globalOrderShards(documents: DataFrame, shardSize: Long = 100L): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wb), lit(0L)))
+      .select("bucket", "offset")
+    val wr = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", (col("offset") + row_number().over(wr) - 1).cast("bigint"))
+      .select(col("doc_id"), col("pos"),
+        floor(col("pos") / shardSize).cast("bigint").as("shard"))
+  }
+
   /** Overlapping token-window chunking (the embedding / context-window
     * prep step): each document yields ⌈(n−overlap)/stride⌉ chunks of up to
     * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens so

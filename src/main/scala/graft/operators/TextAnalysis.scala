@@ -188,6 +188,23 @@ object TextAnalysis {
         .as("fp"))
       .withColumn("n_fp", size(col("fp")).cast("bigint"))
 
+  /** Canonical text normalization — the cheap pass every downstream
+    * text operator (dedup shingles, token stats, fingerprints) assumes ran
+    * first on raw crawl data: lowercase, control characters → space,
+    * runs of spaces collapsed, ends trimmed. Patterns are byte-class only
+    * (no Unicode property classes), so the identical regex runs under
+    * Java regex here and RE2 in the DuckDB oracle. Map-side, one codegen
+    * span, no shuffle at any scale. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+    documents.select(
+      col("doc_id"),
+      norm.as("text_norm"),
+      length(norm).cast("bigint").as("n_chars_norm"))
+  }
+
   /** The real word count T1's name promises (WordCountApp.java:62-64 only
     * uppercases): explode tokens → count per word. One shuffle on the word;
     * partial map-side combine keeps it linear. */

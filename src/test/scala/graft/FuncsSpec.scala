@@ -141,6 +141,31 @@ class FuncsSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("srpKeys: width/count honored, deterministic, angle-invariant under scaling, complement under negation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 20L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def keys = df.select($"vec_id",
+      graft.functions.Native.srpKeys($"embedding", 8, 16).as("keys"))
+    val rows = keys.as[(Long, Seq[Long])].collect()
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._2.forall(k => k >= 0L && k < (1L << 16))))
+    // deterministic: recomputation is bit-identical (pure function of the vector)
+    assert(keys.except(keys).isEmpty)
+    // positive scaling never changes a key: the hyperplane test is on the angle
+    val scaled = df.select($"vec_id",
+      graft.functions.Native.srpKeys(
+        transform($"embedding", x => (x * lit(3.5f)).cast("float")), 8, 16).as("keys"))
+    assert(keys.except(scaled).isEmpty)
+    // negation flips every sign bit (no zero dot products in a gaussian fixture)
+    val negated = df.select($"vec_id",
+      graft.functions.Native.srpKeys(
+        transform($"embedding", x => (-x).cast("float")), 8, 16).as("nkeys"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows.forall { case (id, ks) =>
+      negated(id).zip(ks).forall { case (nk, k) => nk == (k ^ 0xFFFFL) } })
+  }
+
   test("winnow fingerprints overlap on shared substrings, not on disjoint docs") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = s"intro words here $shared trailing alpha"

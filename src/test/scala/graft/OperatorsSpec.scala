@@ -165,6 +165,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found >= (truth * 0.95).toLong, s"recall too low: $found/$truth")
   }
 
+  test("embeddingNearDupSrp: train-free LSH finds every planted near-copy, exact verify blocks distant pairs") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (1L to 30L).map(i => (i, vec()))
+    // near-copies: per-dim noise ≪ signal → cosine ≈ 0.9999, miss prob ~1e-10
+    val copies = bases.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val df = (bases ++ copies).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupSrp(df, minCosine = 0.98)
+      .as[(Long, Long)].collect().toSet
+    // exactly the planted pairs: random 64-dim gaussians keep cross cosines
+    // far below 0.98, and the exact-cosine verify removes any LSH collision
+    assert(got == bases.map { case (i, _) => (i, i + 1000L) }.toSet)
+  }
+
+  test("normalizeText lowercases, strips control chars, collapses runs, trims") {
+    val fixtures = Seq(
+      (1L, "  Hello\tWORLD\n  x  "),
+      (2L, "already clean"),
+      (3L, "A\u0001B"))
+    val got = TextAnalysis.normalizeText(fixtures.toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("hello world x", 13L)))
+    assert(got(2L) == (("already clean", 13L)))
+    assert(got(3L) == (("a b", 3L)))
+  }
+
   test("brute-force top-k: planted nearest neighbor ranks first") {
     val mk = (s: Float) => Array(1.0f * s, 2.0f * s, 3.0f * s)
     val corpus = Seq(

@@ -172,6 +172,20 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("globalOrderShards: two-phase bucketed rank ≡ naive global row_number; shard = pos / size") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Pipeline.globalOrderShards(docs, shardSize = 7L)
+    val naive = docs
+      .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("pos", (row_number().over(Window.orderBy($"h", $"doc_id")) - 1).cast("bigint"))
+      .select($"doc_id", $"pos", floor($"pos" / 7L).cast("bigint").as("shard"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // pos is a permutation of 0..n-1
+    val n = docs.count()
+    assert(got.agg(min($"pos"), max($"pos"), countDistinct($"pos")).as[(Long, Long, Long)].head()
+      == ((0L, n - 1, n)))
+  }
+
   test("mixtureWeights: shares sum to ~1 and weight·share = 1/#sources") {
     val got = Pipeline.mixtureWeights(docs).cache()
     val nSrc = got.count()
