@@ -197,6 +197,9 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(Tables.embeddings(s, d))),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
+    // sketch scale-path: HLL/t-digest internals are engine-specific →
+    // rows-only here; accuracy pinned vs exact aggregates in PipelineSpec
+    "corpus_stats_approx" -> ((s, d) => Pipeline.corpusStatsApprox(Tables.documents(s, d))),
     "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
     "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),

@@ -148,6 +148,28 @@ object Pipeline {
         floor(col("pos") / shardSize).cast("bigint").as("shard"))
   }
 
+  /** Materialize the corpus as training shards in the [[globalOrderShards]]
+    * order: one parquet directory per shard, rows inside each file sorted
+    * by `pos` — the layout a data loader streams sequentially with no
+    * further shuffling. `repartition(shard)` puts each shard in exactly
+    * one task (shards are budget-sized by construction, so tasks are
+    * balanced by design — no skew possible); `sortWithinPartitions` is a
+    * spillable per-task sort, never a global one; `partitionBy` prunes
+    * reads to the shard ranges a resumed run still needs. */
+  def writeTrainingShards(documents: DataFrame, path: String, shardSize: Long = 100L): Unit = {
+    val ordered = globalOrderShards(documents, shardSize)
+      .join(documents, Seq("doc_id"))
+    ordered
+      .repartition(col("shard"))
+      // (shard, pos), not just pos: the partitioned writer REQUIRES rows
+      // ordered by the partition column and would inject its own sort —
+      // whose tie order is undefined — if the incoming order didn't
+      // already satisfy it; with shard leading, the requirement is a
+      // satisfied prefix and pos order survives into each file
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
+
   /** Overlapping token-window chunking (the embedding / context-window
     * prep step): each document yields ⌈(n−overlap)/stride⌉ chunks of up to
     * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens so
@@ -241,6 +263,31 @@ object Pipeline {
         round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
         round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"),
         round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99_tokens"))
+  }
+
+  /** Sketch-based corpus summary — [[corpusStats]]' 100 TB path: HLL++
+    * distinct counts (`approx_count_distinct`) and t-digest-style
+    * percentiles (`approx_percentile`) are one-pass, fixed-memory, and
+    * SKETCH-MERGEABLE, so the plan is the same single partial-aggregated
+    * reduction at any scale — no exact-percentile distinct-domain
+    * assumption. Not oracle-able (sketch internals are engine-specific);
+    * accuracy is pinned by a test against the exact aggregates. */
+  def corpusStatsApprox(documents: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val nToks = size(Funcs.tokens(col("text"))).cast("bigint")
+    // doc-grain sketches (one scan, one reduce to a single row)
+    val docStats = documents
+      .select(col("doc_id"), col("source"), nToks.as("n_tokens"))
+      .agg(
+        approx_count_distinct(col("doc_id"), rsd).as("n_docs_approx"),
+        approx_count_distinct(col("source"), rsd).as("n_sources_approx"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens_approx"),
+        percentile_approx(col("n_tokens"), lit(0.99), lit(10000)).as("p99_tokens_approx"))
+    // word-grain HLL (its own scan: different grain; still one fixed-memory
+    // reduce — never a distinct shuffle of the full vocabulary)
+    val vocab = documents
+      .select(explode(Funcs.tokens(col("text"))).as("word"))
+      .agg(approx_count_distinct(col("word"), rsd).as("n_distinct_words_approx"))
+    docStats.crossJoin(vocab) // both sides are single rows
   }
 
   /** The composed corpus-prep flow: quality gate → exact-dedup keeper

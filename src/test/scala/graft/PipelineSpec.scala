@@ -186,6 +186,46 @@ class PipelineSpec extends AnyFunSuite {
       == ((0L, n - 1, n)))
   }
 
+  test("corpusStatsApprox: sketches track the exact aggregates within error bounds") {
+    val toks = split($"text", " ")
+    val exactDocs = docs.count().toDouble
+    val exactWords = docs.select(explode(toks).as("w")).distinct().count().toDouble
+    val exactSources = docs.select($"source").distinct().count().toDouble
+    val (p50e, p99e) = docs.select(size(toks).cast("bigint").as("n"))
+      .agg(expr("percentile(n, 0.5)"), expr("percentile(n, 0.99)"))
+      .as[(Double, Double)].head()
+    val r = Pipeline.corpusStatsApprox(docs).head()
+    def rel(a: Double, b: Double) = math.abs(a - b) / b
+    assert(rel(r.getLong(0).toDouble, exactDocs) <= 0.15)     // HLL 3σ at rsd=0.05
+    assert(rel(r.getLong(4).toDouble, exactWords) <= 0.15)
+    assert(rel(r.getLong(1).toDouble, exactSources) <= 0.15)
+    assert(rel(r.getLong(2).toDouble, p50e) <= 0.2)
+    assert(rel(r.getLong(3).toDouble, p99e) <= 0.2)
+  }
+
+  test("writeTrainingShards: shard dirs partition the corpus; rows stream in pos order within files") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Pipeline.writeTrainingShards(docs, out, shardSize = 32L)
+    val back = spark.read.parquet(out)
+    val n = docs.count()
+    assert(back.count() == n)
+    // every shard holds exactly its pos range (≤ shardSize rows each)
+    assert(back.filter($"shard" =!= floor($"pos" / 32L)).isEmpty)
+    val dirs = new java.io.File(out).listFiles().count(_.getName.startsWith("shard="))
+    assert(dirs == ((n + 31) / 32).toInt)
+    // a sequential read of any file sees pos ascending (the data-loader
+    // contract). Scope the check PER FILE: a read partition may pack
+    // several small shard files back-to-back, so pos legitimately jumps
+    // at file boundaries — within one file it must be monotone
+    import org.apache.spark.sql.expressions.Window
+    val seq = back.select($"pos")
+      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("f", input_file_name())
+    val w = Window.partitionBy($"f").orderBy($"rid")
+    assert(seq.withColumn("prev", lag($"pos", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" > $"pos").isEmpty)
+  }
+
   test("mixtureWeights: shares sum to ~1 and weight·share = 1/#sources") {
     val got = Pipeline.mixtureWeights(docs).cache()
     val nSrc = got.count()
