@@ -329,38 +329,43 @@ object Native {
     case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
   }
 
+  /** The single source of truth for the function surface: name → builder.
+    * Consumed by both registration paths ([[register]] for a pre-existing
+    * session, [[injectInto]] for `SparkSessionExtensions`). */
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intLit(exprs(1), "k"))),
+    "graft_simhash" -> (exprs => SimHash64(exprs(0))),
+    "graft_winnow" -> (exprs => WinnowMins(exprs(0), intLit(exprs(1), "w"))),
+    "graft_max_freq" -> (exprs => MaxFreqCount(exprs(0))),
+    "graft_sorted_intersect" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
+    "graft_shingle_hashes" -> (exprs =>
+      ShingleHashes(exprs(0), intLit(exprs(1), "n"), boolLit(exprs(2), "sortedDistinct"))),
+    "graft_minhash_tokens" -> (exprs =>
+      MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k"))),
+    "graft_srp_keys" -> (exprs =>
+      SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable"))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // NB: Spark 4 validates the source string — "built-in" (with hyphen) is
     // the accepted value; "builtin" throws at registration time.
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSignature(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, IntegerType) => k
-        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
-      }), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash64(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      exprs => WinnowMins(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType) => w
-        case other => throw new IllegalArgumentException(s"w must be an int literal, got $other")
-      }), "built-in")
-    reg.createOrReplaceTempFunction("graft_max_freq",
-      exprs => MaxFreqCount(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_intersect",
-      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashes(exprs(0), intLit(exprs(1), "n"), boolLit(exprs(2), "sortedDistinct")),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_tokens",
-      exprs => MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k")),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_srp_keys",
-      exprs => SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable")),
-      "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** `SparkSessionExtensions` injection — the path for builder-owned
+    * sessions (`spark.sql.extensions=graft.GraftExtensions` or
+    * `Builder.withExtensions(new GraftExtensions)`); [[register]] covers
+    * sessions that already exist. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(getClass.getName, name),
+        b))
+    }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))

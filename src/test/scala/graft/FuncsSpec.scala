@@ -166,6 +166,31 @@ class FuncsSpec extends AnyFunSuite {
       negated(id).zip(ks).forall { case (nk, k) => nk == (k ^ 0xFFFFL) } })
   }
 
+  test("GraftExtensions: a builder-owned session resolves graft functions in plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    val orig = TestSpark.spark // force-init the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh session (shared SparkContext) built THROUGH the extension —
+      // no Native.register call anywhere on this path
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig)
+      val d = s2.sql(
+        """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(d == 11.0)
+      assert(s2.sql("SELECT graft_simhash(array('a','b')) AS s").head().getLong(0) != 0L)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("winnow fingerprints overlap on shared substrings, not on disjoint docs") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = s"intro words here $shared trailing alpha"
