@@ -362,8 +362,22 @@ object Dedup {
     * checkpointed result rather than recomputing the chain. Hitting
     * `maxIter` without a fixpoint THROWS instead of silently returning
     * split components — with compression, 50 rounds covers any diameter
-    * that fits in a long. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * that fits in a long.
+    *
+    * Small-graph fast path: the edge relation of a near-dup graph is
+    * ids-only and typically MINUSCULE relative to the corpus (the pair
+    * stage already filtered it), while the iterative loop pays several
+    * Spark jobs per round in fixed overhead. Below `maxDriverEdges`
+    * (default 4M edges = 64 MB of longs — the same bounded-collect
+    * contract as `Similarity.trainCentroids`) the components are solved
+    * with one collect + driver union-find (path compression + union by
+    * min) and the result re-parallelized; above it, the distributed
+    * pointer-jumping loop runs unchanged. Both paths produce identical
+    * labels (pinned by a test). */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 50,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
     // Materialize the edge relation once, then size the iteration
     // partitioning to the ACTUAL edge count (~1M edge-pairs per partition):
     // edges arrive from a multi-stage join pipeline whose dozens of
@@ -375,6 +389,31 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
+    if (nEdges <= maxDriverEdges) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the invariant the distributed loop fixes
+        // iteratively holds directly — every root is its component's min
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val session = edges.sparkSession
+      import session.implicits._
+      val labels = parent.keySet().iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (labels.hasNext) { val id = labels.next(); out += ((id, find(id))) }
+      return out.toSeq.toDF("id", "comp")
+    }
     val parts = math.max(1, math.min((2L * nEdges / 1000000L).toInt,
       edges.sparkSession.sparkContext.defaultParallelism * 32))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

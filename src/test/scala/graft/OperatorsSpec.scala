@@ -264,9 +264,23 @@ class OperatorsSpec extends AnyFunSuite {
     // the adversarial shape for plain min-label propagation (diameter 63);
     // with pointer jumping it must converge well inside maxIter
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(edges, maxIter = 10)
+    // maxDriverEdges = 0 forces the DISTRIBUTED loop (the driver fast
+    // path would trivially pass); 10 rounds only suffice via halving
+    val got = Dedup.connectedComponents(edges, maxIter = 10, maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: driver union-find fast path ≡ distributed pointer jumping") {
+    val rnd = new scala.util.Random(5)
+    // random sparse graph + a long chain + isolated pair: all the shapes
+    val edges = ((1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      ++ (100L to 130L).map(i => (i, i + 1)) ++ Seq((500L, 501L)))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(edges)
+    val dist = Dedup.connectedComponents(edges, maxDriverEdges = 0L)
+    assert(driver.except(dist).isEmpty && dist.except(driver).isEmpty)
   }
 
   test("dedupComponents: transitive near-dups share one keeper; untouched docs are singletons") {
