@@ -80,6 +80,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Incremental exact dedup — the corpus-GROWTH shape: a new ingest batch
+    * dedups against the fingerprints of everything already accepted,
+    * without rescanning the accepted corpus. Returns the surviving new
+    * documents (first occurrence within the batch, by min doc_id, AND
+    * absent from the store) and the updated store to persist for the next
+    * batch.
+    *
+    * Scale shape: the store is (fp, keep_id) — 24 bytes/doc, not the
+    * corpus — and the only operations are a digest-keyed groupBy of the
+    * (small) new batch and one left-anti equi-join on fp. Left to AQE,
+    * the smaller side broadcasts; when both are huge it is one co-keyed
+    * shuffle. Re-running a batch is idempotent: its fps are in the store,
+    * so everything anti-joins away. */
+  def exactIncremental(
+      newDocuments: DataFrame,
+      store: DataFrame): (DataFrame, DataFrame) = {
+    val batchKeepers = newDocuments
+      .select(Funcs.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"))
+    val novel = batchKeepers.join(store.select("fp"), Seq("fp"), "left_anti")
+    (novel, store.unionByName(novel))
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
     *
     * shingle → k-minhash signature (map-side) → explode band keys →

@@ -67,4 +67,28 @@ object Sources {
     * the no-broker stand-in for a topic subscription at scale. */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** JSONL corpus ingest — the wire format raw training corpora arrive in.
+    * Schema is REQUIRED: `inferSchema` on 100 TB is a full extra scan, and
+    * an inferred schema silently drifts with the data; an explicit one
+    * fails loudly. PERMISSIVE mode routes malformed lines to
+    * `_corrupt_record` (kept when the schema declares it) instead of
+    * failing the job — at crawl scale some lines are ALWAYS broken, and
+    * dropping them must be an explicit downstream filter, not a silent
+    * reader default. Line-delimited JSON splits by newline, so a 100 TB
+    * directory parallelizes per-block like any text source. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** CSV ingest with the same explicit-schema, keep-the-corrupt-line
+    * contract as [[jsonl]] (header-skipping, quoted-field defaults). */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
 }
