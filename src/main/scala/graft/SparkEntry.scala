@@ -212,6 +212,7 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) =>
       Pipeline.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, overlap = 8)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
+    "corpus_report" -> ((s, d) => Pipeline.corpusReport(Tables.documents(s, d))),
     "pipeline_global_order" -> ((s, d) => Pipeline.globalOrderShards(Tables.documents(s, d))),
     "asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -621,6 +622,11 @@ object SparkEntry {
            round((1.0 / CAST(count(*) OVER () AS DOUBLE)) /
              (CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)), 6) AS weight
          FROM a""",
+    "corpus_report" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         FROM documents GROUP BY ROLLUP(source, lang)""",
     "asof_attribution" ->
       s"""WITH f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
              FROM events WHERE event_type = 'purchase'),

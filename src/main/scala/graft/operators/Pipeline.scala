@@ -408,6 +408,24 @@ object Pipeline {
         (col("cum_before") % budgetTokens).as("tok_offset"))
   }
 
+  /** Hierarchical corpus report: doc/token totals per (source, lang), per
+    * source, and corpus-wide in ONE pass — `rollup` compiles to a single
+    * Expand + partial-aggregated groupBy, so the three granularities cost
+    * one shuffle of (grouping-key, partial-sum) rows, not three scans.
+    * Subtotal rows mark the rolled-up level with 'ALL' (the data columns
+    * are non-null by contract, so the marker is unambiguous). The shape a
+    * 100 TB corpus dashboard materializes nightly. */
+  def corpusReport(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("total_tokens"))
+
   /** Domain-mixture weights: per-source token share and the up/down-
     * sampling weight that would flatten the mixture to uniform (the
     * degenerate target; a real run feeds its own target shares — the

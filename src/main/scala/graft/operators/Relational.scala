@@ -195,4 +195,24 @@ object Relational {
       .select(factPayload.map(c => col(s"__fact.$c").as(c)) ++
         dimPayload.map(c => col(s"__cur.$c").as(c)): _*)
   }
+
+  /** Salted inner equi-join for HOT join keys — the manual skew tool for
+    * when a handful of keys carry a disproportionate share of the fact
+    * side (AQE's skew-join split handles residual imbalance, but a single
+    * key bigger than an executor still serializes; salting is the
+    * structural fix). Fact rows spread across `numSalts` sub-keys by a
+    * deterministic hash of `saltBy` (any well-distributed fact column —
+    * a row id; NEVER the join key, which is constant within the hot key);
+    * the dim side replicates ×numSalts so every (key, salt) pair finds
+    * its dim row. Result ≡ the plain inner join (pinned by test); cost =
+    * dim side inflated ×numSalts (dims are the small side by contract).
+    * Size numSalts ≈ hot-key rows / target partition rows. */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
+      saltBy: String, numSalts: Int): DataFrame = {
+    val salted = facts.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(numSalts.toLong)))
+    val replicated = dims.withColumn("__salt",
+      explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
 }

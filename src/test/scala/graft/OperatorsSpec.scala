@@ -432,6 +432,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((2L, 0L)) == ((0L, 4L, "only four small tokens")))
   }
 
+  test("saltedJoin ≡ plain inner join; dim side replicated per salt") {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+      .select(orders("o_orderkey"), cust("c_name"))
+    val salted = Relational.saltedJoin(
+      orders.withColumnRenamed("o_custkey", "k"),
+      cust.withColumnRenamed("c_custkey", "k"),
+      keyCol = "k", saltBy = "o_orderkey", numSalts = 8)
+      .select($"o_orderkey", $"c_name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("text quality ratios are within [0,1]") {
     val got = TextAnalysis.qualityScore(Tables.documents(spark, dir))
     assert(got.filter(

@@ -186,6 +186,21 @@ class PipelineSpec extends AnyFunSuite {
       == ((0L, n - 1, n)))
   }
 
+  test("corpusReport: rollup levels are mutually consistent (leaves sum to subtotals sum to total)") {
+    val r = Pipeline.corpusReport(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    val leaves = r.filter { case ((s, l), _) => s != "ALL" && l != "ALL" }
+    val bySource = r.filter { case ((s, l), _) => s != "ALL" && l == "ALL" }
+    val total = r(("ALL", "ALL"))
+    assert(leaves.values.map(_._1).sum == total._1 && leaves.values.map(_._2).sum == total._2)
+    assert(bySource.values.map(_._1).sum == total._1)
+    // each source subtotal equals the sum of its leaves
+    bySource.foreach { case ((s, _), (nd, nt)) =>
+      val mine = leaves.filter { case ((ls, _), _) => ls == s }.values
+      assert(mine.map(_._1).sum == nd && mine.map(_._2).sum == nt)
+    }
+  }
+
   test("corpusStatsApprox: sketches track the exact aggregates within error bounds") {
     val toks = split($"text", " ")
     val exactDocs = docs.count().toDouble
