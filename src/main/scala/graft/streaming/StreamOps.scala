@@ -155,6 +155,20 @@ object StreamOps {
       .withWatermark("eventTime", delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming NEAR-dup: [[streamingDedup]] keyed on the 64-bit SimHash
+    * of the value instead of an id — exact duplicates, token
+    * reorderings, and sketch-identical near-dups collapse to the first
+    * arrival within the watermark, at O(1) state per distinct signature.
+    * The batch LSH families recover banded multi-probe recall with
+    * offline joins; an online pass deliberately trades that recall for
+    * bounded per-record work — the standard online/offline dedup split
+    * (run the batch pass periodically to catch what this one admits). */
+  def streamingNearDup(stream: DataFrame, delay: String): DataFrame =
+    streamingDedup(
+      stream.withColumn("sig",
+        graft.functions.Native.simhash(Funcs.tokens(col("value")))),
+      Seq("sig"), delay)
+
   // ---------------------------------------------------------------------
   // Versioned stream-table join (KIP-914 versioned-KTable semantics)
   // ---------------------------------------------------------------------

@@ -97,6 +97,24 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("streaming near-dup: reordered/duplicate docs collapse by signature; distinct docs pass") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = StreamOps.streamingNearDup(
+      in.toDF().toDF("value", "eventTime"), "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_neardup").start()
+    in.addData(
+      ("the quick brown fox", ts("2025-01-01 10:00:00")),
+      ("quick the fox brown", ts("2025-01-01 10:01:00")), // reorder → same simhash
+      ("a completely different document", ts("2025-01-01 10:01:30")))
+    q.processAllAvailable()
+    in.addData(("the quick brown fox", ts("2025-01-01 10:02:00"))) // exact dup in-watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_neardup").select($"value").as[String].collect().toSeq
+    assert(got.sorted == Seq("a completely different document", "the quick brown fox"))
+  }
+
   test("interactive window store: fetch(key, from, to) over a live tumbling aggregate (OrderCountTumblingWindow.java:126-145)") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     val agg = StreamOps.tumblingCount(in.toDF().toDF("key", "eventTime"), "1 minute")

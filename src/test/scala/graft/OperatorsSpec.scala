@@ -103,6 +103,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.count(r => !r.isNullAt(2)) == 1) // _corrupt_record
     assert(rows.count(r => !r.isNullAt(0)) == 2) // parsed doc_id
+    val cdir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(cdir.resolve("part-0.csv"),
+      "doc_id,text\n7,\"quoted, with comma\"\n8,plain\n")
+    val cgot = graft.sources.Sources.csv(spark, cdir.toString,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cgot == Map(7L -> "quoted, with comma", 8L -> "plain"))
   }
 
   test("minhash LSH finds planted near-duplicates and skips dissimilar docs") {
