@@ -130,13 +130,17 @@ object Pipeline {
     * gets the running offsets — the only unpartitioned window, over ≤256
     * rows — and (2) each bucket ranks its own 1/256 slice independently
     * under a partitioned window. pos = bucket offset + rank within bucket.
-    * At 100 TB, widen the prefix (2 bytes → 65 536 slices) to keep each
-    * per-bucket sort in one task's memory; the offsets relation stays tiny
-    * and broadcasts. */
-  def globalOrderShards(documents: DataFrame, shardSize: Long = 100L): DataFrame = {
+    * At 100 TB, widen the prefix (`prefixChars` = 4 → 65 536 slices) to
+    * keep each per-bucket sort in one task's memory; the offsets relation
+    * stays tiny and broadcasts. */
+  def globalOrderShards(
+      documents: DataFrame,
+      shardSize: Long = 100L,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 7, "prefix must stay in int range")
     val base = documents.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("bucket", conv(substring(col("h"), 1, prefixChars), 16, 10).cast("int"))
     val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("offset", coalesce(sum(col("n")).over(wb), lit(0L)))

@@ -186,6 +186,22 @@ class PipelineSpec extends AnyFunSuite {
       == ((0L, n - 1, n)))
   }
 
+  test("CorpusPrep end-to-end: stage counts monotone, shards complete and loadable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prep").toString
+    val r = graft.apps.CorpusPrep.run(spark, docs, out)
+    assert(r.ingested > 0)
+    // each stage only ever drops rows
+    assert(r.qualityKept <= r.ingested && r.exactKept <= r.qualityKept &&
+      r.nearDupKept <= r.exactKept && r.decontaminated <= r.nearDupKept)
+    assert(r.trainRows == r.decontaminated) // packing is 1:1 per doc
+    assert(r.trainRows > 0 && r.shardsWritten > 0)
+    // the written shards hold exactly the surviving rows with pack metadata
+    val back = spark.read.parquet(out)
+    assert(back.count() == r.trainRows)
+    assert(Seq("doc_id", "pos", "shard", "seq_id", "tok_offset")
+      .forall(back.columns.contains))
+  }
+
   test("corpusReport: rollup levels are mutually consistent (leaves sum to subtotals sum to total)") {
     val r = Pipeline.corpusReport(docs).collect()
       .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
