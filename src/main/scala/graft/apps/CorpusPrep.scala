@@ -49,9 +49,13 @@ object CorpusPrep {
       .drop("text").withColumnRenamed("text_norm", "text")
 
     // 2. length gate (map-side; the composite Gopher gate is available for
-    //    prose corpora — the synthetic fixture would fail its stopword rule)
+    //    prose corpora — the synthetic fixture would fail its stopword rule).
+    //    Persisted: every later stage (dedup scans, decontamination grams,
+    //    packing) reads the gated corpus — without it each per-stage count
+    //    action re-runs the ingest+normalize scan
     val nToks = size(split(col("text"), " ")).cast("bigint")
     val gated = normed.filter(nToks >= minTokens && nToks <= maxTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualityKept = gated.count()
 
     // 3. exact dedup: keep the digest keepers
@@ -83,6 +87,7 @@ object CorpusPrep {
     Pipeline.writeTrainingShards(packed, outDir, shardSize)
     val shardsWritten = spark.read.parquet(outDir).select("shard").distinct().count()
 
+    gated.unpersist()
     Report(ingested, qualityKept, exactKept, nearDupKept, decontaminated,
       trainRows, shardsWritten)
   }

@@ -53,7 +53,7 @@ object Dedup {
       .filter(col("bsz") > maxBucketSize)
       .select("band", "bkey")
     def sided(suffix: String): Seq[Column] =
-      col(s"id").as(s"id$suffix") +: payload.map(p => col(p).as(s"$p$suffix"))
+      col("id").as(s"id$suffix") +: payload.map(p => col(p).as(s"$p$suffix"))
     val cold = keyed.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     val coldPairs = cold.select((col("band") +: col("bkey") +: sided("_a")): _*)
       .join(cold.select((col("band") +: col("bkey") +: sided("_b")): _*), Seq("band", "bkey"))
