@@ -112,4 +112,33 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.select(size(array_intersect(fp($"ta"), fp($"tb"))).as("common"))
       .filter($"common" < 1).isEmpty)
   }
+
+  test("normalizeText idempotence: normalizing an already-normal text is the identity") {
+    val gen = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("\t", "\n", "\r", "  ", " ", "", "UPPER", "MiXeD")))
+      .map(_.mkString(""))
+    val docs = sample(gen, 300, 9L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.operators.TextAnalysis.normalizeText(docs)
+      .select($"doc_id", $"text_norm".as("text"))
+    val twice = graft.operators.TextAnalysis.normalizeText(once)
+      .select($"doc_id", $"text_norm".as("text"))
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+
+  test("incremental dedup law: id-ordered batches replayed through the store ≡ one-shot exact dedup") {
+    val gen = Gen.oneOf(Gen.oneOf("alpha", "beta", "gamma", "delta"), // forced collisions
+      Gen.alphaNumStr.map(s => s"u$s"))
+    val texts = sample(gen, 200, 10L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val all = texts.toDF("doc_id", "text")
+    // batches split by id so "first occurrence" agrees between the two paths
+    val (b1, b2) = texts.partition(_._1 < 100L)
+    val empty = Seq.empty[(String, Long)].toDF("fp", "keep_id")
+    val (k1, store1) = graft.operators.Dedup.exactIncremental(b1.toDF("doc_id", "text"), empty)
+    val (k2, _) = graft.operators.Dedup.exactIncremental(b2.toDF("doc_id", "text"), store1)
+    val incremental = k1.select($"keep_id").union(k2.select($"keep_id"))
+    val oneShot = graft.operators.Dedup.exact(all).select($"keep_id")
+    assert(incremental.except(oneShot).isEmpty && oneShot.except(incremental).isEmpty)
+  }
 }
