@@ -199,31 +199,37 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, blocked on IVF (k-means) centroid
     * buckets: each vector is assigned its `nprobe` nearest centroids
     * map-side ([[Similarity.probeBuckets]], literal centroids → zero
-    * shuffle), candidate pairs are generated by an equi-join on the bucket
-    * id over (vec_id, bucket) pairs ONLY (two ints per probe — the float
-    * arrays never enter the candidate shuffle), then exact cosine verifies
-    * each deduped pair. Multi-probe (nprobe ≥ 2) recovers pairs that
-    * straddle a cluster boundary. No data-dependent label column is used;
-    * numCentroids scales the blocking (≈ √(n / target bucket size)).
+    * shuffle), candidate pairs are generated by the shared skew-guarded
+    * equi-join ([[guardedCandidatePairs]]) over (vec_id, bucket) pairs
+    * ONLY (two ints per probe — the float arrays never enter the
+    * candidate shuffle), then exact cosine verifies each deduped pair.
+    * Multi-probe (nprobe ≥ 2) recovers pairs that straddle a cluster
+    * boundary. No data-dependent label column is used; numCentroids
+    * scales the blocking (≈ √(n / target bucket size)).
     */
   def embeddingNearDup(
       embeddings: DataFrame,
       minCosine: Double,
       numCentroids: Int = 16,
       nprobe: Int = 5,
-      kmeansIters: Int = 3): DataFrame = {
+      kmeansIters: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
     val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", numCentroids, kmeansIters)
     // two ints per (vector, probe); persisted so the C-dot-product probe
-    // assignment runs once, not once per self-join side
+    // assignment runs once, not once per self-join side. Candidate
+    // generation goes through the SAME skew-guarded helper as the three
+    // LSH siblings (band is constant 0, bkey = centroid bucket): a
+    // degenerate centroid that swallows a boilerplate/zero-vector family
+    // degrades to O(m) chaining instead of an m² single-partition
+    // self-join. The cap is higher than the LSH family's (buckets here
+    // are ~n/numCentroids by construction, not near-dup families), so
+    // only a pathological bucket — the scale-killer case — trips it.
     val keyed = embeddings.select(
-      col("vec_id"),
-      explode(Similarity.probeBuckets(col("embedding"), cents, nprobe)).as("bucket"))
+      col("vec_id").as("id"),
+      lit(0).as("band"),
+      explode(Similarity.probeBuckets(col("embedding"), cents, nprobe)).as("bkey"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = guardedCandidatePairs(keyed, Nil, maxBucketSize)
     // Norms once per vector map-side; cosine inside the verify is a single
     // codegen'd dot per surviving candidate pair.
     def side(ida: String, emb: String, nrm: String) = embeddings.select(
@@ -253,7 +259,9 @@ object Dedup {
     * c = 0.95. Exact-cosine verification removes every false positive, so
     * the dials trade recall against candidate volume only. Shuffle volume:
     * 3 longs per (vector, table) for the keys, ints-only candidate pairs;
-    * the float arrays enter only the final verify join. */
+    * the float arrays enter only the final verify join. The exploded key
+    * relation is persisted (see the object-level cache-lifecycle note:
+    * the caller owns the release via `spark.catalog.clearCache()`). */
   def embeddingNearDupSrp(
       embeddings: DataFrame,
       minCosine: Double,
@@ -392,16 +400,19 @@ object Dedup {
     * ids-only and typically MINUSCULE relative to the corpus (the pair
     * stage already filtered it), while the iterative loop pays several
     * Spark jobs per round in fixed overhead. Below `maxDriverEdges`
-    * (default 4M edges = 64 MB of longs — the same bounded-collect
-    * contract as `Similarity.trainCentroids`) the components are solved
-    * with one collect + driver union-find (path compression + union by
-    * min) and the result re-parallelized; above it, the distributed
-    * pointer-jumping loop runs unchanged. Both paths produce identical
-    * labels (pinned by a test). */
+    * (default 2M edges; peak driver footprint ≈ 32 MB of primitive edge
+    * arrays + up to 64 MB of node-id/parent arrays ≈ 100 MB — the same
+    * bounded-collect contract as `Similarity.trainCentroids`) the
+    * components are solved on the driver: edges collect as primitive
+    * long pairs, node ids are sorted into an index (so union-find runs
+    * over Int arrays, no boxing, and "union by min index" ≡ "union by
+    * min id"), and the labels re-parallelize. Above the bound, the
+    * distributed pointer-jumping loop runs unchanged. Both paths produce
+    * identical labels (pinned by a test). */
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 50,
-      maxDriverEdges: Long = 4000000L): DataFrame = {
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     // Materialize the edge relation once, then size the iteration
     // partitioning to the ACTUAL edge count (~1M edge-pairs per partition):
     // edges arrive from a multi-stage join pipeline whose dozens of
@@ -414,28 +425,53 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
     if (nEdges <= maxDriverEdges) {
-      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // Primitive-array union-find: collect per-partition long arrays (no
+      // boxed Rows survive past the executor side), index node ids by
+      // binary search over a sorted unique array, and run find/union over
+      // an Int parent array. Footprint is 16 bytes/edge + 12 bytes/node.
+      val parts: Array[Array[Long]] = e.rdd
+        .mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+          Iterator.single(buf.result())
+        }
+        .collect()
       e.unpersist()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      val flat = new Array[Long](parts.map(_.length).sum)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, flat, off, p.length); off += p.length }
+      val ids = flat.clone()
+      java.util.Arrays.sort(ids)
+      var n = 0 // in-place dedupe of the sorted id array
+      var i = 0
+      while (i < ids.length) {
+        if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+        i += 1
+      }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        while (parent(r) != r) r = parent(r)
         var c = x // path compression
-        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      pairs.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      i = 0
+      while (i + 1 < flat.length) {
+        // ids ascending ⇒ smaller index = smaller id, so union by MIN
+        // index ≡ union by min id — the invariant the distributed loop
+        // fixes iteratively holds directly
+        val a = java.util.Arrays.binarySearch(ids, 0, n, flat(i))
+        val b = java.util.Arrays.binarySearch(ids, 0, n, flat(i + 1))
         val (ra, rb) = (find(a), find(b))
-        // union by MIN root: the invariant the distributed loop fixes
-        // iteratively holds directly — every root is its component's min
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        i += 2
       }
       val session = edges.sparkSession
       import session.implicits._
-      val labels = parent.keySet().iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      while (labels.hasNext) { val id = labels.next(); out += ((id, find(id))) }
+      val out = new Array[(Long, Long)](n)
+      i = 0
+      while (i < n) { out(i) = (ids(i), ids(find(i))); i += 1 }
       return out.toSeq.toDF("id", "comp")
     }
     val parts = math.max(1, math.min((2L * nEdges / 1000000L).toInt,

@@ -209,6 +209,9 @@ object Relational {
     * Size numSalts ≈ hot-key rows / target partition rows. */
   def saltedJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
       saltBy: String, numSalts: Int): DataFrame = {
+    // numSalts = 0 would yield pmod(x, 0) = NULL fact salts and
+    // sequence(0, -1) dim salts — a silently empty join, not an error
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     val salted = facts.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(numSalts.toLong)))
     val replicated = dims.withColumn("__salt",

@@ -206,6 +206,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found >= (truth * 0.95).toLong, s"recall too low: $found/$truth")
   }
 
+  test("embeddingNearDup: hot centroid bucket degrades to chaining — connected, never quadratic") {
+    // thousands of IDENTICAL vectors collapse onto one centroid: the
+    // round-4 scale-killer. Guarded, the bucket self-join must emit O(m)
+    // chain pairs (not m²/2 ≈ 2M) and keep the family transitively
+    // connected for downstream union-find.
+    val hot = (1L to 2000L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val rnd = new scala.util.Random(7)
+    val rest = (10001L to 10100L).map(i => (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = (hot ++ rest).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, minCosine = 0.999,
+      numCentroids = 4, nprobe = 2, maxBucketSize = 64)
+      .as[(Long, Long)].collect()
+    val hotPairs = pairs.filter { case (a, b) => a <= 2000L && b <= 2000L }
+    assert(hotPairs.length < 3 * 2000, s"hot bucket went quadratic: ${hotPairs.length} pairs")
+    val parent = scala.collection.mutable.Map((1L to 2000L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    hotPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 2000L).map(find).toSet.size == 1, "chaining fragmented the identical-vector family")
+  }
+
   test("embeddingNearDupSrp: train-free LSH finds every planted near-copy, exact verify blocks distant pairs") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
