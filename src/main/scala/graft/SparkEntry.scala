@@ -116,9 +116,34 @@ object SparkEntry {
 
     // --- north-star: dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d)).drop("jaccard")), // int ids only
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // planted re-encodes (the dedup_embedding_srp trick applied to text
+    // LSH): every doc is replanted under doc_id+100000. At threshold 1.0
+    // the verify keeps exactly the Jaccard-1 pairs = pairs with EQUAL
+    // distinct-shingle sets — SQL-expressible in DuckDB (sorted-set
+    // group), and candidate recall is analytically 1: equal sets ⇒
+    // identical minhash signatures ⇒ all bands collide (measured max
+    // band bucket = 8 ≪ the 64 chaining cap at sf ≤ 0.1, so the full
+    // pairwise cold path runs). The LSH machinery itself — banding,
+    // skew guard, verification — is exercised end-to-end.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashLsh(docs.union(copies), threshold = 1.0).drop("jaccard")
+    }),
+    // planted re-encode with doc-unique token prefixes: cross-document
+    // token overlap vanishes, so distinct docs' simhash signatures are
+    // independent 64-bit draws (P[hamming ≤ 3] ≈ 2.4e-15 per pair; the
+    // raw corpus, by contrast, has near-dup pairs at hamming 0 — not
+    // SQL-expressible). Each doc pairs exactly with its replant at
+    // hamming 0, making the sketch op hash-oracle-able.
+    "dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(col("doc_id").cast("string"), lit(":"), x))).as("text"))
+      val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhash(docs.union(copies))
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -300,6 +325,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
+    // Jaccard-1 pairs over corpus + replants = pairs with EQUAL sorted
+    // distinct-shingle sets (each doc ⋈ its replant, plus the corpus's
+    // own identical-shingle-set families and their replant cross pairs)
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           sh AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END)) AS s FROM t),
+           u AS (SELECT doc_id, s FROM sh
+                 UNION ALL SELECT doc_id + 100000, s FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.s = b.s""",
+    // doc-unique token prefixes ⇒ only each doc's replant shares content:
+    // exactly one hamming-0 pair per document
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // quadratic all-pairs oracle — the Spark side must reproduce it EXACTLY
     // via lossless prefix filtering (no false negatives by the SSJoin lemma)
     "dedup_ngram_jaccard" ->
@@ -635,10 +677,11 @@ object SparkEntry {
          SELECT f.event_id, f.user_id, strftime(f.ts, '$FmtTsSql') AS ts,
                 d.click_id, strftime(d.ts, '$FmtTsSql') AS click_ts
          FROM f ASOF JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts"""
-    // dedup_minhash_lsh / dedup_simhash / sim_topk_ivf / dedup_embedding /
-    // text_winnow_fp: sketch- or centroid-based — not SQL-expressible in
-    // DuckDB (xxhash64 seeds, k-means buckets, winnow minima); driver
-    // records rows-only checks. Verified instead by planted-fixture +
-    // recall + native≡declarative ScalaTests (OperatorsSpec, FuncsSpec).
+    // sim_topk_ivf / dedup_embedding / text_winnow_fp /
+    // corpus_stats_approx: genuinely sketch-internal (k-means buckets,
+    // winnow minima, HLL/t-digest) — not SQL-expressible in DuckDB;
+    // driver records rows-only checks. Verified instead by
+    // planted-fixture + recall + native≡declarative ScalaTests
+    // (OperatorsSpec, FuncsSpec, PipelineSpec).
   )
 }

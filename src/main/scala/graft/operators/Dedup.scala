@@ -122,8 +122,6 @@ object Dedup {
       s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
         "a remainder would silently discard trailing signature positions and shift the S-curve")
     val rowsPerBand = numHashes / bands // LSH S-curve knee ≈ (1/b)^(1/r) ≈ 0.71
-    def shingles(text: Column): Column =
-      array_distinct(Funcs.wordShingles(Funcs.tokens(text), shingleLen))
 
     // Candidate generation on (band, bandkey, id) ONLY — the shuffle moves
     // 3 longs per (doc, band), never the shingle arrays. The banded
@@ -146,18 +144,26 @@ object Dedup {
     // skew-guarded candidate generation (see [[guardedCandidatePairs]])
     val candidates = guardedCandidatePairs(banded, Nil, maxBucketSize)
 
-    // Exact-Jaccard verification: join the (tiny) candidate set back to the
-    // raw documents and shingle INSIDE the projection — the shingle
-    // expression runs only on candidate rows, not on the whole corpus.
-    val docs = documents.select(col("doc_id"), col("text"))
+    // Exact-Jaccard verification over h-sorted distinct shingle-hash
+    // arrays (same representation as [[ngramJaccard]]'s verify): one
+    // fused tokenize→shingle→hash→distinct-sort pass per doc, then a
+    // two-pointer O(|A|+|B|) intersect per candidate — no string
+    // re-shingling per pair. Distinct-by-hash equals distinct-by-string
+    // modulo a ~2⁻⁶⁴ in-document collision (the oracle fixture pins
+    // equality). Persisted: both candidate-join sides read it.
+    val hashed = documents
+      .select(col("doc_id"),
+        Native.shingleHashes(Funcs.tokens(col("text")), shingleLen, sortedDistinct = true).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def side(id: String, hs: String, sz: String) =
+      hashed.select(col("doc_id").as(id), col("hs").as(hs), col("sz").as(sz))
     candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("sh_a", shingles(col("text_a")))
-      .withColumn("sh_b", shingles(col("text_b")))
+      .join(side("id_a", "hs_a", "sz_a"), Seq("id_a"))
+      .join(side("id_b", "hs_b", "sz_b"), Seq("id_b"))
+      .withColumn("c", Native.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
