@@ -35,16 +35,21 @@ object SparkEntry {
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   private val FmtTsSql = "%Y-%m-%d %H:%M:%S.%f" // DuckDB strftime equivalent
 
-  /** Synthetic multimodal payload over `documents`: text bytes with a
-    * planted format magic prefix by doc_id (0→JPEG, 1→PNG, 2→RIFF, 3→none)
+  /** Synthetic multimodal payload over `documents`: text bytes behind a
+    * planted container header by doc_id (0→JPEG, 1→PNG, 2→RIFF, 3→none)
     * — the sandbox stand-in for a real media column, built identically in
-    * the DuckDB oracle. */
+    * the DuckDB oracle. JPEG/PNG payloads carry REAL headers (SOI+APP0+
+    * SOF0 / signature+IHDR) with doc_id-derived dimensions, so the
+    * engine-side header parsers decode actual big-endian fields. */
   private def multimodalBinary(docId: org.apache.spark.sql.Column,
-      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(docId % 4 === 0, concat(lit(Multimodal.JpegMagic), text.cast("binary")))
-      .when(docId % 4 === 1, concat(lit(Multimodal.PngMagic), text.cast("binary")))
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = (docId % 1920 + 1).cast("bigint")
+    val h = (docId % 1080 + 1).cast("bigint")
+    when(docId % 4 === 0, concat(Multimodal.jpegHeader(w, h), text.cast("binary")))
+      .when(docId % 4 === 1, concat(Multimodal.pngHeader(w, h), text.cast("binary")))
       .when(docId % 4 === 2, concat(lit(Multimodal.RiffMagic), text.cast("binary")))
       .otherwise(text.cast("binary"))
+  }
 
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
@@ -184,11 +189,14 @@ object SparkEntry {
     // the media-column ingest projection of a training pipeline
     "multimodal_meta" -> ((s, d) => {
       val bin = multimodalBinary(col("doc_id"), col("text"))
+      val dims = Multimodal.imageDims(bin)
       Tables.documents(s, d).select(
         col("doc_id"),
         length(bin).cast("bigint").as("n_bytes"),
         Multimodal.contentHash(bin).as("content_md5"),
-        Multimodal.modality(bin).as("modality"))
+        Multimodal.modality(bin).as("modality"),
+        dims.getField("width").as("width"),
+        dims.getField("height").as("height"))
     }),
 
     // --- north-star: text analysis ---
@@ -414,16 +422,32 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 8)
          WHERE rank <= 10""",
+    // JPEG/PNG payloads carry real headers; the oracle re-parses the
+    // dimension fields out of the blob at the (known, spec-fixed) header
+    // offsets: PNG IHDR w/h at bytes 17-20/21-24, JPEG SOF0 h/w at bytes
+    // 26-27/28-29 of the SOI+APP0+SOF0 layout (hex-string chars 2i-1…)
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(bin) AS n_bytes, md5(hex(bin)) AS content_md5,
            CASE WHEN left(hex(bin), 6) = 'FFD8FF' THEN 'image/jpeg'
                 WHEN left(hex(bin), 8) = '89504E47' THEN 'image/png'
                 WHEN left(hex(bin), 8) = '52494646' THEN 'audio/riff'
-                ELSE 'application/octet-stream' END AS modality
+                ELSE 'application/octet-stream' END AS modality,
+           CASE WHEN doc_id % 4 = 1 THEN ('0x' || substr(hex(bin), 33, 8))::BIGINT
+                WHEN doc_id % 4 = 0 THEN ('0x' || substr(hex(bin), 55, 4))::BIGINT
+                END AS width,
+           CASE WHEN doc_id % 4 = 1 THEN ('0x' || substr(hex(bin), 41, 8))::BIGINT
+                WHEN doc_id % 4 = 0 THEN ('0x' || substr(hex(bin), 51, 4))::BIGINT
+                END AS height
          FROM (
            SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
-             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
-             WHEN 1 THEN '\x89PNG'::BLOB || encode(text)
+             WHEN 0 THEN unhex('FFD8FFE000104A46494600010100000100010000FFC0001108')
+                         || unhex(lpad(hex(1 + doc_id % 1080), 4, '0'))
+                         || unhex(lpad(hex(1 + doc_id % 1920), 4, '0'))
+                         || unhex('03011100021101031101') || encode(text)
+             WHEN 1 THEN unhex('89504E470D0A1A0A0000000D49484452')
+                         || unhex(lpad(hex(1 + doc_id % 1920), 8, '0'))
+                         || unhex(lpad(hex(1 + doc_id % 1080), 8, '0'))
+                         || unhex('0806000000') || encode(text)
              WHEN 2 THEN 'RIFF'::BLOB || encode(text)
              ELSE encode(text) END AS bin
            FROM documents)""",

@@ -29,8 +29,8 @@ object CorpusPrep {
       qualityKept: Long,
       exactKept: Long,
       nearDupKept: Long,
-      decontaminated: Long,
-      trainRows: Long,
+      decontaminated: Long, // survivors of decontamination, pre-split
+      trainRows: Long, //       … of which assigned to the train split
       shardsWritten: Long)
 
   /** Run the full prep over `documents`, writing train shards to
@@ -52,8 +52,11 @@ object CorpusPrep {
     //    prose corpora — the synthetic fixture would fail its stopword rule).
     //    Persisted: every later stage (dedup scans, decontamination grams,
     //    packing) reads the gated corpus — without it each per-stage count
-    //    action re-runs the ingest+normalize scan
-    val nToks = size(split(col("text"), " ")).cast("bigint")
+    //    action re-runs the ingest+normalize scan.
+    //    Tokenized via Funcs.tokens — the SAME tokenizer every composed
+    //    operator uses, so the gate's token count agrees with packing /
+    //    decontamination structurally, not just post-normalization.
+    val nToks = size(graft.functions.Funcs.tokens(col("text"))).cast("bigint")
     val gated = normed.filter(nToks >= minTokens && nToks <= maxTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualityKept = gated.count()
@@ -71,12 +74,15 @@ object CorpusPrep {
     val nearDupKept = nearKept.count()
 
     // 5. decontaminate: drop train docs sharing an n-gram with the
-    //    held-out split, then 6. assign splits
+    //    held-out split, then 6. assign splits. The report counts the
+    //    decontamination survivors BEFORE the split filter so each stage
+    //    measures exactly one drop (contamination loss vs val/test
+    //    removal), then trainRows measures the split.
     val contaminated = Pipeline.decontaminate(nearKept, n = contamN).select("doc_id")
     val assigned = nearKept.join(contaminated, Seq("doc_id"), "left_anti")
       .join(Pipeline.hashSplit(nearKept), Seq("doc_id"))
+    val decontaminated = assigned.count()
     val clean = assigned.filter(col("split") === "train").drop("split")
-    val decontaminated = clean.count()
 
     // 7. pack into fixed token-budget sequences (metadata columns ride
     //    along with the shard write for the loader)
@@ -90,6 +96,104 @@ object CorpusPrep {
     gated.unpersist()
     Report(ingested, qualityKept, exactKept, nearDupKept, decontaminated,
       trainRows, shardsWritten)
+  }
+
+  /** Per-batch counts of one [[runIncremental]] invocation. */
+  case class IncrementalReport(
+      batchRows: Long, //    rows in the incoming batch
+      gated: Long, //        after normalize + length gate
+      novelExact: Long, //   new content fingerprints (in-batch + vs store)
+      accepted: Long, //     after signature near-dup vs the store
+      totalStored: Long) //  cumulative corpus rows after this batch
+
+  /** The corpus-GROWTH flow: ingest one new batch against a persistent
+    * store without rescanning the accepted corpus —
+    *
+    *   normalize → gate → [[Dedup.exactIncremental]] (digest vs the
+    *   (fp, keep_id) store) → SimHash-signature near-dup vs the signature
+    *   store (the same online rule as `StreamOps.streamingNearDup`; full
+    *   pair-verified canonicalization stays a periodic batch job — the
+    *   documented online/offline recall split) → append to train shards.
+    *
+    * Store layout under `storeDir` — three APPEND-ONLY parquet relations
+    * (`fp`: accepted content fingerprints, `sig`: accepted simhash
+    * signatures, `shards`: the pos-ordered training shards). Appends are
+    * the only writes, so replaying an already-ingested batch is
+    * idempotent by construction: every fingerprint anti-joins away,
+    * nothing is appended, and the shards are byte-identical (pinned by
+    * test). New docs take positions `totalStored … totalStored+n-1` —
+    * within a batch in the same deterministic md5 order as
+    * [[Pipeline.globalOrderShards]], across batches in arrival order, so
+    * growth never reorders what a resumed loader already streamed.
+    *
+    * Scale shape: the batch shuffles on digests/signatures only (24
+    * bytes/doc); the store sides are narrow columns that AQE broadcasts
+    * while small and co-shuffles when grown; the accepted-batch relations
+    * are localCheckpoint'ed before any store write so no lineage can
+    * re-read a store path mid-append. */
+  def runIncremental(spark: SparkSession, batch: DataFrame, storeDir: String,
+      minTokens: Long = 5L, maxTokens: Long = 10000L,
+      shardSize: Long = 64L): IncrementalReport = {
+    import graft.functions.{Funcs, Native}
+    val fpPath = s"$storeDir/fp"
+    val sigPath = s"$storeDir/sig"
+    val shardsPath = s"$storeDir/shards"
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    def readOrEmpty(p: String, ddl: String): DataFrame =
+      if (exists(p)) spark.read.schema(ddl).parquet(p)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+    val batchRows = batch.count()
+    val normed = batch
+      .join(TextAnalysis.normalizeText(batch).select("doc_id", "text_norm"), Seq("doc_id"))
+      .drop("text").withColumnRenamed("text_norm", "text")
+    val nToks = size(graft.functions.Funcs.tokens(col("text"))).cast("bigint")
+    val gated = normed.filter(nToks >= minTokens && nToks <= maxTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gatedCount = gated.count()
+
+    // exact dedup vs the fingerprint store (plus first-in-batch keeper)
+    val fpStore = readOrEmpty(fpPath, "fp STRING, keep_id BIGINT")
+    val novelFp = Dedup.exactIncremental(gated, fpStore)._1.localCheckpoint(true)
+    val novelDocs = gated.join(novelFp.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+
+    // signature near-dup: one sig per novel doc, collapse in-batch by
+    // sig (min doc_id keeper), then drop sigs the store has seen
+    val sigStore = readOrEmpty(sigPath, "sig BIGINT")
+    val acceptedSigs = novelDocs
+      .select(col("doc_id"), Native.simhash(Funcs.tokens(col("text"))).as("sig"))
+      .groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
+      .join(sigStore, Seq("sig"), "left_anti")
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint(true)
+    val accepted = gated.join(acceptedSigs.select("doc_id"), Seq("doc_id"))
+    val acceptedCount = acceptedSigs.count()
+
+    // append accepted docs to the shards, positions continuing after the
+    // stored corpus (batch-internal order = the md5 hash order)
+    val base = if (exists(shardsPath)) spark.read.parquet(shardsPath).count() else 0L
+    if (acceptedCount > 0) {
+      val ordered = Pipeline.globalOrderShards(accepted, shardSize)
+        .withColumn("pos", col("pos") + base)
+        .withColumn("shard", floor(col("pos") / shardSize).cast("bigint"))
+        .join(accepted, Seq("doc_id"))
+      ordered
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .write.partitionBy("shard").mode("append").parquet(shardsPath)
+      // only ACCEPTED docs' fingerprints enter the store — it tracks the
+      // accepted corpus, so a signature-rejected doc stays re-checkable
+      novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
+        .select("fp", "keep_id").write.mode("append").parquet(fpPath)
+      acceptedSigs.select("sig").write.mode("append").parquet(sigPath)
+    }
+    gated.unpersist()
+    IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,
+      base + acceptedCount)
   }
 }
 

@@ -51,12 +51,105 @@ object Multimodal {
     contentHash(bin).as("content_md5"),
     modality(bin).as("modality"))
 
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** `v` as `nBytes` big-endian bytes (binary column). */
+  private def beBytes(v: Column, nBytes: Int): Column =
+    unhex(lpad(hex(v.cast("bigint")), nBytes * 2, "0"))
+
+  /** Big-endian unsigned int read from `n` bytes at 1-based `pos` —
+    * hex/conv arithmetic over a bounded substring, so the (possibly
+    * huge) payload tail never feeds the expression. conv never throws,
+    * keeping the parse ANSI-safe on truncated payloads. */
+  private def beUInt(bin: Column, pos: Column, n: Int): Column =
+    conv(hex(bin.substr(pos.cast("int"), lit(n))), 16, 10).cast("bigint")
+
+  private val DimsType = "struct<width:bigint,height:bigint>"
+  private def nullDims: Column = lit(null).cast(DimsType)
+
+  /** Minimal well-formed PNG prefix (8-byte signature + IHDR chunk)
+    * carrying the given dimensions; append any payload after it. */
+  def pngHeader(width: Column, height: Column): Column = concat(
+    lit(hexBytes("89504E470D0A1A0A0000000D49484452")), // signature + len 13 + "IHDR"
+    beBytes(width, 4), beBytes(height, 4),
+    lit(hexBytes("0806000000"))) // bit depth 8, RGBA, deflate, adaptive, no interlace
+
+  /** Minimal well-formed JPEG prefix (SOI + JFIF APP0 + SOF0) carrying
+    * the given dimensions; append any payload after it. */
+  def jpegHeader(width: Column, height: Column): Column = concat(
+    lit(hexBytes("FFD8" + // SOI
+      "FFE000104A46494600010100000100010000" + // APP0: len 16, JFIF\0, v1.1
+      "FFC0001108")), // SOF0: len 17, 8-bit precision
+    beBytes(height, 2), beBytes(width, 2),
+    lit(hexBytes("03011100021101031101"))) // 3 components (YCbCr)
+
+  /** REAL PNG dimension decode — the IHDR chunk is mandatory and always
+    * first (PNG spec §11.2.1), so width/height sit at fixed offsets
+    * 16-19/20-23 (0-based) as big-endian u32s. Pure byte arithmetic on
+    * the first 24 bytes; null for anything that is not a PNG with a
+    * leading IHDR. */
+  def pngDims(bin: Column): Column = {
+    val isPng = length(bin) >= 24 &&
+      hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" && // full 8-byte signature
+      hex(substring(bin, 13, 4)) === "49484452" // "IHDR"
+    when(isPng, struct(
+      beUInt(bin, lit(17), 4).as("width"),
+      beUInt(bin, lit(21), 4).as("height"))).otherwise(nullDims)
+  }
+
+  /** REAL JPEG dimension decode: walk the segment chain from SOI (each
+    * segment = FF marker + u16 length) until a start-of-frame marker
+    * (SOF0/1/2 — baseline, extended, progressive), whose payload is
+    * [len u16][precision u8][height u16][width u16]. Declarative bounded
+    * fold (`aggregate` over `maxSegments` steps — headers precede
+    * entropy-coded data, so real files reach SOF within a handful of
+    * APPn/DQT/DHT segments); a desynced walk (garbage after the magic,
+    * truncation, SOS before any SOF) yields null dimensions rather than
+    * an error, which is the ingest-gate behavior a corrupt-payload scan
+    * wants. All built-ins — the walk stays inside codegen. */
+  def jpegDims(bin: Column, maxSegments: Int = 16): Column = {
+    val isJpeg = length(bin) >= 4 && hex(substring(bin, 1, 2)) === "FFD8"
+    val nullW = lit(null).cast("bigint").as("width")
+    val nullH = lit(null).cast("bigint").as("height")
+    // acc = (off: next unread 1-based offset, width/height once found);
+    // segments start at offset 3, right after the 2-byte SOI
+    val init = struct(lit(3L).as("off"), nullW, nullH)
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val marker = beUInt(bin, off, 2)
+        val segLen = beUInt(bin, off + 2, 2)
+        // stop: dims found, walk ran off the payload (a full SOF read
+        // needs bytes off .. off+8), or lost marker sync
+        when(acc.getField("width").isNotNull || off + 8 > length(bin) ||
+            beUInt(bin, off, 1) =!= 255, acc)
+          .when(marker.isin(0xFFC0L, 0xFFC1L, 0xFFC2L),
+            struct(off.as("off"),
+              beUInt(bin, off + 7, 2).as("width"),
+              beUInt(bin, off + 5, 2).as("height")))
+          // start-of-scan: entropy data follows, no SOF will appear
+          .when(marker === 0xFFDAL, struct(off.as("off"), nullW, nullH))
+          .otherwise(struct((off + 2 + segLen).as("off"), nullW, nullH))
+      })
+    when(isJpeg && walked.getField("width").isNotNull, struct(
+      walked.getField("width").as("width"),
+      walked.getField("height").as("height"))).otherwise(nullDims)
+  }
+
+  /** Image dimensions from whichever container matches ([[pngDims]],
+    * [[jpegDims]]); null struct for other modalities. */
+  def imageDims(bin: Column): Column = coalesce(pngDims(bin), jpegDims(bin))
+
   /** STUB — deterministic fake image decode. Production: this exact
     * struct comes from a `mapPartitions` batch decode with a real codec
     * (libjpeg/ffmpeg), one partition per worker-locality batch; the fake
     * derives plausible dimensions from the payload hash so downstream
     * plumbing (schema, filters, grouping on decoded fields) is testable
-    * without the native libs. */
+    * without the native libs. Header-level dimensions need no codec at
+    * all — [[pngDims]]/[[jpegDims]] parse them for real. */
   def decodeImageStub(bin: Column): Column = {
     val h = xxhash64(bin) // pmod (not %/abs): ANSI-safe, always non-negative
     struct(

@@ -44,6 +44,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other != got._2)
   }
 
+  test("pngDims/jpegDims parse real header dimensions; corrupt payloads yield null, never throw") {
+    // well-formed headers round-trip the planted dimensions
+    val built = Seq((640L, 480L), (1L, 1L), (1920L, 1080L)).toDF("w", "h")
+      .select($"w", $"h",
+        concat(Multimodal.pngHeader($"w", $"h"), lit("tail".getBytes("UTF-8"))).as("png"),
+        concat(Multimodal.jpegHeader($"w", $"h"), lit("tail".getBytes("UTF-8"))).as("jpg"))
+    val got = built.select(
+      $"w", $"h",
+      Multimodal.pngDims($"png").as("pd"), Multimodal.jpegDims($"jpg").as("jd"))
+      .select($"w", $"h", $"pd.width", $"pd.height", $"jd.width", $"jd.height")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (w, h, pw, ph, jw, jh) =>
+      assert((pw, ph) == ((w, h)) && (jw, jh) == ((w, h)))
+    }
+    // a JPEG whose SOF0 hides behind a COM segment still parses (the
+    // walker skips unknown segments by their length fields): SOI + 6-byte
+    // COM + the canonical header's SOF0 slice (bytes 21+, after SOI+APP0)
+    val withCom = Seq(1).toDF("x")
+      .select(Multimodal.jpegDims(concat(
+        lit(Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x04, 0x41, 0x42).map(_.toByte)),
+        substring(Multimodal.jpegHeader(lit(320L), lit(200L)), 21, 999))).as("d"))
+      .select($"d.width", $"d.height").as[(Long, Long)].head()
+    assert(withCom == ((320L, 200L)))
+    // corrupt / non-image payloads: null dims, no exception
+    val bad = Seq(
+      Multimodal.JpegMagic ++ "garbage after magic".getBytes("UTF-8"), // desynced walk
+      Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x00, 0x00, 0x00, 0x00).map(_.toByte), // SOS first
+      Multimodal.PngMagic ++ "short".getBytes("UTF-8"), // truncated PNG, no IHDR
+      Multimodal.RiffMagic ++ "wav".getBytes("UTF-8"),
+      "plain".getBytes("UTF-8"),
+      Array.empty[Byte])
+    val nulls = bad.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("i", "b")
+      .select(Multimodal.imageDims($"b").as("d")).collect()
+    assert(nulls.forall(_.isNullAt(0)), "corrupt payload produced non-null dims")
+  }
+
   test("decodeImageStub is deterministic with plausible bounds (codec plug-in point)") {
     val rows = Seq((1L, "payload-a".getBytes("UTF-8")), (2L, "payload-b".getBytes("UTF-8")))
       .toDF("doc_id", "media")

@@ -470,6 +470,47 @@ class OperatorsSpec extends AnyFunSuite {
       keyCol = "k", saltBy = "o_orderkey", numSalts = 8)
       .select($"o_orderkey", $"c_name")
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(orders, cust, "k", "o_orderkey", numSalts = 0)
+    }
+  }
+
+  test("saltedJoin flattens planted skew: hot-key partition shrinks ~1/numSalts") {
+    // one key carries 50% of the fact side — the single-executor
+    // serialization case AQE's skew split can't always save (and the
+    // structural case saltedJoin exists for). Compare max join-output
+    // partition rows under raw hash partitioning (AQE off so coalescing
+    // doesn't re-merge the salted sub-partitions).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // both joins must SHUFFLE on their keys (a broadcast join would never
+    // partition by key and the skew would not materialize); enough
+    // partitions that distinct (key, salt) sub-keys rarely share one
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val facts = (1 to 10000).map { i =>
+        (if (i % 2 == 0) 0L else i.toLong, i.toLong) // key 0 = 50% of rows
+      }.toDF("k", "rid")
+      val dims = (0L to 5000L).map(k => (k, s"dim$k")).toDF("k", "payload")
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val plainMax = maxPart(facts.join(dims, Seq("k")))
+      // 32 salts: the 5000-row hot key fans into (key, salt) sub-keys;
+      // some sub-keys share a shuffle partition (birthday collisions),
+      // so assert a ≥4× max-partition reduction rather than the ideal 32×
+      val saltedMax = maxPart(Relational.saltedJoin(facts, dims, "k", "rid", 32))
+      assert(plainMax >= 5000L, s"fixture lost its skew: plainMax=$plainMax")
+      assert(saltedMax * 4 <= plainMax,
+        s"salting did not flatten the hot key: plainMax=$plainMax saltedMax=$saltedMax " +
+          "(expected ≤ plainMax/4)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   test("text quality ratios are within [0,1]") {

@@ -193,13 +193,64 @@ class PipelineSpec extends AnyFunSuite {
     // each stage only ever drops rows
     assert(r.qualityKept <= r.ingested && r.exactKept <= r.qualityKept &&
       r.nearDupKept <= r.exactKept && r.decontaminated <= r.nearDupKept)
-    assert(r.trainRows == r.decontaminated) // packing is 1:1 per doc
+    // decontaminated counts PRE-split; the train split then drops val/test
+    assert(r.trainRows <= r.decontaminated) // packing is 1:1 per doc
     assert(r.trainRows > 0 && r.shardsWritten > 0)
     // the written shards hold exactly the surviving rows with pack metadata
     val back = spark.read.parquet(out)
     assert(back.count() == r.trainRows)
     assert(Seq("doc_id", "pos", "shard", "seq_id", "tok_offset")
       .forall(back.columns.contains))
+  }
+
+  test("runIncremental: exact + signature dedup vs the store, replay idempotent, positions continue") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-incr")
+    val store = s"$tmp/store"
+    def writeJsonl(name: String, lines: Seq[String]): String = {
+      val p = Paths.get(s"$tmp/$name")
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    // d2 = exact dup of d1 (in batch); d3 = token PERMUTATION of d1 —
+    // different fingerprint, identical simhash (the sketch is a ±1 sum
+    // over tokens, order-free); d6 fails the 5-token gate
+    val batch1 = writeJsonl("b1.jsonl", Seq(
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":2,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":3,"text":"zeta epsilon delta gamma beta alpha","source":"s0","lang":"en"}""",
+      """{"doc_id":4,"text":"one two three four five six","source":"s1","lang":"en"}""",
+      """{"doc_id":5,"text":"seven eight nine ten eleven twelve","source":"s1","lang":"en"}""",
+      """{"doc_id":6,"text":"tiny","source":"s1","lang":"en"}"""))
+    val r1 = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, batch1, ddl), store)
+    assert(r1 == graft.apps.CorpusPrep.IncrementalReport(6, 5, 4, 3, 3))
+    val after1 = spark.read.parquet(s"$store/shards")
+      .select("doc_id", "pos", "shard").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(after1.map(_._1).toSet == Set(1L, 4L, 5L))
+    assert(after1.map(_._2).toSet == Set(0L, 1L, 2L))
+    // replay the SAME batch: only d3's fp is still unseen (it was
+    // sig-rejected, so its fingerprint never entered the accepted store),
+    // nothing is accepted, shards byte-identical
+    val r2 = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, batch1, ddl), store)
+    assert(r2 == graft.apps.CorpusPrep.IncrementalReport(6, 5, 1, 0, 3))
+    val after2 = spark.read.parquet(s"$store/shards")
+      .select("doc_id", "pos", "shard").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(after2 == after1, "replay mutated the shards")
+    // batch 2: d7 = exact dup of stored d1 (fp store hit), d8 novel —
+    // d8 takes the next position after the stored corpus
+    val batch2 = writeJsonl("b2.jsonl", Seq(
+      """{"doc_id":7,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":8,"text":"red orange yellow green blue indigo","source":"s2","lang":"en"}"""))
+    val r3 = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, batch2, ddl), store)
+    assert(r3 == graft.apps.CorpusPrep.IncrementalReport(2, 2, 1, 1, 4))
+    val after3 = spark.read.parquet(s"$store/shards")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(after3.keySet == Set(1L, 4L, 5L, 8L) && after3(8L) == 3L)
   }
 
   test("corpusReport: rollup levels are mutually consistent (leaves sum to subtotals sum to total)") {

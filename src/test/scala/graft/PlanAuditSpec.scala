@@ -64,6 +64,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query side not broadcast:\n$p")
   }
 
+  test("decontaminate over the broadcast bound: probe joins shuffle-keyed, zero BroadcastExchange") {
+    // planner broadcasts off so any BroadcastExchange could only come from
+    // the operator's own hint — which the tripped guard must suppress
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Pipeline.decontaminate(
+        Tables.documents(spark, dir), n = 5, broadcastMaxRows = 0L))
+      assert(!p.contains("BroadcastExchange"),
+        s"guard tripped but the probe side still broadcasts:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle equi-join on gram:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("globalOrderShards: the only unpartitioned window runs over the per-bucket offsets, never the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val sp = Pipeline.globalOrderShards(Tables.documents(spark, dir))
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w }
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "expected the bucket-partitioned rank window")
+    assert(unpart.size == 1, s"expected exactly one unpartitioned window, got ${unpart.size}")
+    // the unpartitioned window's subtree must aggregate to per-bucket rows
+    // (the ≤256-row offsets relation) before the window ever runs — i.e.
+    // a grouped aggregate sits between it and any corpus scan
+    val grouped = unpart.head.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.nonEmpty       => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.nonEmpty => a
+      case a: SortAggregateExec if a.groupingExpressions.nonEmpty       => a
+    }
+    assert(grouped.isDefined,
+      s"unpartitioned window runs over an unaggregated input:\n${unpart.head}")
+  }
+
   test("whole-stage codegen covers the scoring hot path (native dot product fuses)") {
     val emb = Tables.embeddings(spark, dir)
     val p = plan(emb.select(
