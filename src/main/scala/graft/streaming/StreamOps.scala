@@ -195,60 +195,128 @@ object StreamOps {
     * Inner semantics — a fact with no version at-or-before its time drops.
     *
     * State bound ≙ the versioned store's history retention: versions older
-    * than (max seen time − retentionMillis) are pruned, except the newest
+    * than (stream time − retentionMillis) are pruned, except the newest
     * such version, which stays as the floor lookup (exactly the versioned
     * store rule — a get(key, t) just past the horizon still resolves). A
     * fact older than the pruned horizon joins that floor version: the
     * documented trade-off of bounded history.
     *
-    * Divergence from KIP-914: the retention horizon advances on PER-KEY
-    * max event time (each key's state sees only its own rows), not the
-    * partition-level stream time a Kafka Streams versioned store uses — a
-    * cold key retains history longer here. In-horizon lookups return
-    * identical results; only the pruning cadence differs. */
-  def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long)(
+    * Stream time is the KIP-914 clock, assembled from two sources: the
+    * key's own max observed event time (immediate, exactly the versioned
+    * store's behavior for keys receiving traffic) and the query WATERMARK
+    * + `latenessMillis` (= the global max event time of the previous
+    * batch — the partition-level stream time, one trigger stale). A COLD
+    * key registers an event-time timer for the moment its oldest
+    * non-floor version exits the horizon, so its history is pruned as the
+    * watermark advances even when the key itself sees no rows — closing
+    * the round-4 divergence (per-key-only pruning retained cold-key
+    * history indefinitely).
+    *
+    * `latenessMillis` is the stream-side grace (KIP-914's join grace
+    * period): it becomes the watermark delay, so Spark admits facts up to
+    * that much behind the global max event time and drops older arrivals
+    * before the operator — the explicit admission/pruning split a
+    * versioned join needs (admission = lateness, history depth =
+    * retention). Implemented on `transformWithState` (Spark 4 stateful
+    * surface; requires the RocksDB state-store provider). */
+  def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long,
+      latenessMillis: Long = 3600000L)(
       implicit spark: SparkSession): Dataset[VersionedJoined] = {
     import spark.implicits._
     val tagged = facts
       .select(col("key"), lit("fact").as("side"), col("value"), col("eventTime"))
       .unionByName(dims
         .select(col("key"), lit("dim").as("side"), col("value"), col("eventTime")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
       .as[VersionedInput]
     tagged
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Seq[(Long, String)], VersionedJoined](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[VersionedInput], state: GroupState[Seq[(Long, String)]]) =>
-          // version history, ascending by timestamp
-          var versions = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[VersionedJoined]
-          // deterministic replay: event-time order, dim updates win ties
-          val sorted = rows.toSeq.sortBy(r =>
-            (r.eventTime.getTime, if (r.side == "dim") 0 else 1, r.value))
-          sorted.foreach { r =>
-            val t = r.eventTime.getTime
-            if (r.side == "dim") {
-              // same-timestamp re-write replaces (last write wins)
-              versions = (versions.filterNot(_._1 == t) :+ (t -> r.value)).sortBy(_._1)
-            } else {
-              versions.takeWhile(_._1 <= t).lastOption.foreach { case (_, dv) =>
-                out += VersionedJoined(key, r.value, dv, r.eventTime)
-              }
-            }
-          }
-          // history-retention pruning: stream time = max event time seen on
-          // EITHER side; keep versions inside the horizon plus the newest
-          // one at-or-before it (the floor lookup)
-          val streamTime = (versions.map(_._1) ++ sorted.map(_.eventTime.getTime))
-            .foldLeft(Long.MinValue)(_ max _)
-          if (streamTime > Long.MinValue) {
-            val horizon = streamTime - retentionMillis
-            val (older, recent) = versions.partition(_._1 < horizon)
-            versions = older.takeRight(1) ++ recent
-          }
-          state.update(versions)
-          out.iterator
+      .transformWithState(new VersionedJoinProcessor(retentionMillis, latenessMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[versionedTableJoin]]'s stateful core: per-key ascending version
+    * list + a self-rearming event-time prune timer. */
+  class VersionedJoinProcessor(retentionMillis: Long, latenessMillis: Long)
+      extends StatefulProcessor[String, VersionedInput, VersionedJoined] {
+    @transient private var versions: org.apache.spark.sql.streaming.ListState[(Long, String)] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      versions = getHandle.getListState("versions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+      timerAt = getHandle.getValueState("prune-timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Watermark 0 = "no watermark yet" (first batches): only the per-key
+      * clock advances then. */
+    private def streamTime(perKeyMax: Long, tv: TimerValues): Long = {
+      val wm = tv.getCurrentWatermarkInMs()
+      if (wm > 0) math.max(perKeyMax, wm + latenessMillis) else perKeyMax
+    }
+
+    /** Keep in-horizon versions plus the newest at-or-before the horizon
+      * (the floor lookup). */
+    private def prune(vs: Seq[(Long, String)], st: Long): Seq[(Long, String)] =
+      if (st == Long.MinValue) vs
+      else {
+        val horizon = st - retentionMillis
+        val (older, recent) = vs.partition(_._1 < horizon)
+        older.takeRight(1) ++ recent
       }
+
+    /** (Re)arm the cold-key prune timer at the watermark value where the
+      * oldest non-floor version becomes prunable; none needed once the
+      * history is a single floor version. */
+    private def rearm(vs: Seq[(Long, String)], tv: TimerValues): Unit = {
+      val prev = if (timerAt.exists()) timerAt.get() else 0L
+      val next =
+        if (vs.size < 2) 0L
+        else math.max(vs(1)._1 + retentionMillis - latenessMillis + 1,
+          tv.getCurrentWatermarkInMs() + 1)
+      if (next != prev) {
+        if (prev > 0) getHandle.deleteTimer(prev)
+        if (next > 0) { getHandle.registerTimer(next); timerAt.update(next) }
+        else timerAt.clear()
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[VersionedInput],
+        tv: TimerValues): Iterator[VersionedJoined] = {
+      var vs = versions.get().toSeq // ascending by maintenance invariant
+      val out = scala.collection.mutable.ArrayBuffer.empty[VersionedJoined]
+      // deterministic replay: event-time order, dim updates win ties
+      val sorted = rows.toSeq.sortBy(r =>
+        (r.eventTime.getTime, if (r.side == "dim") 0 else 1, r.value))
+      sorted.foreach { r =>
+        val t = r.eventTime.getTime
+        if (r.side == "dim") {
+          // same-timestamp re-write replaces (last write wins)
+          vs = (vs.filterNot(_._1 == t) :+ (t -> r.value)).sortBy(_._1)
+        } else {
+          vs.takeWhile(_._1 <= t).lastOption.foreach { case (_, dv) =>
+            out += VersionedJoined(key, r.value, dv, r.eventTime)
+          }
+        }
+      }
+      val perKeyMax = (vs.map(_._1) ++ sorted.map(_.eventTime.getTime))
+        .foldLeft(Long.MinValue)(_ max _)
+      vs = prune(vs, streamTime(perKeyMax, tv))
+      versions.put(vs.toArray)
+      rearm(vs, tv)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[VersionedJoined] = {
+      val vs0 = versions.get().toSeq
+      val perKeyMax = vs0.map(_._1).foldLeft(Long.MinValue)(_ max _)
+      val vs = prune(vs0, streamTime(perKeyMax, tv))
+      versions.put(vs.toArray)
+      timerAt.clear() // the fired timer is gone; rearm for the next version
+      rearm(vs, tv)
+      Iterator.empty
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -19,6 +19,20 @@ class GoldenTraceSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  /** transformWithState needs the RocksDB provider (multi-column-family
+    * state) — set for the block, restore after. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming DF to a memory sink until input is drained; return the
     * final table. */
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
@@ -340,7 +354,7 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Seq(("120", """{"orderId":120,"customerId":1,"amount":100.0}""")))
   }
 
-  test("versioned-KTable join: same-timestamp dim re-write replaces the version (KIP-914 last-write-wins)") {
+  test("versioned-KTable join: same-timestamp dim re-write replaces the version (KIP-914 last-write-wins)") { withRocksDb {
     val facts = MemoryStream[(String, String, java.sql.Timestamp)]
     val dims = MemoryStream[(String, String, java.sql.Timestamp)]
     val q = StreamOps.versionedTableJoin(
@@ -356,9 +370,9 @@ class GoldenTraceSpec extends AnyFunSuite {
     q.stop()
     val got = spark.table("vtj_rewrite").as[StreamOps.VersionedJoined].collect().toSeq
     assert(got.map(j => (j.factValue, j.dimValue)) == Seq(("f1", "v-rewrite")))
-  }
+  } }
 
-  test("versioned-KTable join: out-of-order fact resolves against the retained version history") {
+  test("versioned-KTable join: out-of-order fact resolves against the retained version history") { withRocksDb {
     val facts = MemoryStream[(String, String, java.sql.Timestamp)]
     val dims = MemoryStream[(String, String, java.sql.Timestamp)]
     val q = StreamOps.versionedTableJoin(
@@ -378,9 +392,9 @@ class GoldenTraceSpec extends AnyFunSuite {
     val got = spark.table("vtj_ooo").as[StreamOps.VersionedJoined].collect()
       .map(j => j.factValue -> j.dimValue).toMap
     assert(got == Map("f-late" -> "v1", "f-at" -> "v2"))
-  }
+  } }
 
-  test("versioned-KTable join: fact past the pruned horizon joins the floor version; older facts drop") {
+  test("versioned-KTable join: fact past the pruned horizon joins the floor version; older facts drop") { withRocksDb {
     val facts = MemoryStream[(String, String, java.sql.Timestamp)]
     val dims = MemoryStream[(String, String, java.sql.Timestamp)]
     // retention 1 min: after the 10:05 dim lands, horizon = 10:04 —
@@ -404,7 +418,43 @@ class GoldenTraceSpec extends AnyFunSuite {
     // f-too-old producing NO row is the proof v0 was pruned: had v0 been
     // retained it would have joined v0
     assert(got == Map("f-floor" -> "v1"))
-  }
+  } }
+
+  test("versioned-KTable join: COLD key history is pruned by the watermark-driven timer, without any traffic of its own") { withRocksDb {
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    // retention 1 min, lateness (watermark delay) 1 h: key "cold" writes
+    // two versions and then goes silent; key "hot" advances the watermark
+    // past the cold key's prune point (v1.ts + retention − lateness), so
+    // the timer fires and prunes v0, leaving v1 as the floor
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"),
+      retentionMillis = 60000L, latenessMillis = 3600000L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_cold").start()
+    dims.addData(
+      ("cold", "v0", ts("2025-01-01 10:00:00")),
+      ("cold", "v1", ts("2025-01-01 10:01:00")))
+    q.processAllAvailable()
+    // hot traffic ahead: watermark → 10:30 − 1h = 09:30, past the cold
+    // key's prune point (v1.ts + retention − lateness = 09:02) ⇒ the
+    // timer fires; stream time = watermark + lateness = 10:30, horizon =
+    // 10:29 ⇒ v0 AND v1 are both older — the floor rule keeps exactly v1.
+    // The facts (10:00:30, 10:01:30) stay ABOVE the 09:30 watermark, so
+    // they are admitted and probe the timer-pruned history.
+    dims.addData(("hot", "hv", ts("2025-01-01 10:30:00")))
+    q.processAllAvailable()
+    facts.addData(
+      ("cold", "f-mid", ts("2025-01-01 10:00:30")),  // would join v0 if retained → must drop
+      ("cold", "f-after", ts("2025-01-01 10:01:30"))) // joins the floor v1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vtj_cold").as[StreamOps.VersionedJoined].collect()
+      .map(j => j.factValue -> j.dimValue).toMap
+    // f-mid producing NO row proves the timer pruned v0 while the key was
+    // cold; f-after proves the floor version still resolves
+    assert(got == Map("f-after" -> "v1"))
+  } }
 
   test("T9 golden: stream-table enrichment join, inner semantics (StreamTableJoinExample.java:151-163)") {
     val in = MemoryStream[(String, String)]
