@@ -149,8 +149,22 @@ object SparkEntry {
       Dedup.simhash(docs.union(copies))
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
-    "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), minCosine = 0.3)),
+    // planted re-encodes, IVF edition: identical copies share every probe
+    // bucket (the centroid assignment is a pure function of the vector),
+    // so each copy pairs with its original with probability 1 at ANY
+    // nprobe; no cross pair reaches 0.9 (measured max cross cosine ≤
+    // 0.61 at sf ≤ 0.1) — same analytic-recall trick as
+    // dedup_embedding_srp, making the IVF-blocked path hash-oracle-able.
+    // The 0.3-threshold raw-corpus behavior stays pinned by the ≥0.95
+    // recall test in OperatorsSpec.
+    // nprobe=2 (vs the operator's default 5): identical copies share every
+    // probe bucket whatever nprobe is, so the planted recall stays
+    // analytic while the candidate volume stays proportional to nprobe
+    "dedup_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9, nprobe = 2)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
     // planted re-encodes: every vector re-keyed +100000 — the train-free
@@ -166,6 +180,7 @@ object SparkEntry {
     }),
     "dedup_components" -> ((s, d) =>
       Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
 
@@ -217,6 +232,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
+    "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
 
     // --- north-star: corpus-prep pipeline ---
     "pipeline_hash_split" -> ((s, d) => Pipeline.hashSplit(Tables.documents(s, d))),
@@ -412,6 +428,40 @@ object SparkEntry {
          SELECT lab.doc_id, lab.component_id, best.keeper_id,
                 CAST(lab.doc_id = best.keeper_id AS BIGINT) AS is_keeper
          FROM lab JOIN best USING (component_id)""",
+    // duplicated 5-gram spans by STRING frequency (the Spark side counts
+    // by xxhash64 — identical modulo a 2⁻⁶⁴ collision), merged into
+    // maximal per-doc regions via gaps-and-islands
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           i AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM t),
+           g AS (SELECT doc_id, n_toks, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(w[i : least(i + 4, len(w))], ' ') AS gram FROM i),
+           f AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+           d AS (SELECT doc_id, n_toks, pos, least(pos + 5, n_toks) AS e
+                 FROM g JOIN f USING (gram)),
+           r AS (SELECT doc_id, n_toks, pos, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS brk
+                 FROM d),
+           s AS (SELECT doc_id, n_toks, pos, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS rid FROM r),
+           reg AS (SELECT doc_id, rid, min(pos) AS rstart, max(e) AS rend,
+                     count(*) AS grams FROM s GROUP BY 1, 2),
+           agg AS (SELECT doc_id, CAST(sum(grams) AS BIGINT) AS n_dup_grams,
+                     CAST(count(*) AS BIGINT) AS n_dup_regions,
+                     CAST(sum(rend - rstart) AS BIGINT) AS dup_tokens
+                   FROM reg GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+                coalesce(a.n_dup_regions, 0) AS n_dup_regions,
+                coalesce(a.dup_tokens, 0) AS dup_tokens,
+                CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.w) AS dup_token_frac
+         FROM t LEFT JOIN agg a USING (doc_id)""",
     "sim_topk_bruteforce" ->
       """SELECT query_id, vec_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -499,6 +549,8 @@ object SparkEntry {
          FROM documents""",
     "dedup_embedding_srp" ->
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings",
+    "dedup_embedding" ->
+      "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings",
     "pipeline_global_order" ->
       """SELECT doc_id,
            CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
@@ -559,6 +611,15 @@ object SparkEntry {
            round(max(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))), 6)
              AS max_idf
          FROM tok JOIN df USING (word) CROSS JOIN n
+         GROUP BY doc_id""",
+    "text_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+           n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         SELECT doc_id,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS mean_nll,
+           round(max(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS max_nll
+         FROM tok JOIN c USING (word) CROSS JOIN n
          GROUP BY doc_id""",
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
@@ -701,11 +762,10 @@ object SparkEntry {
          SELECT f.event_id, f.user_id, strftime(f.ts, '$FmtTsSql') AS ts,
                 d.click_id, strftime(d.ts, '$FmtTsSql') AS click_ts
          FROM f ASOF JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts"""
-    // sim_topk_ivf / dedup_embedding / text_winnow_fp /
-    // corpus_stats_approx: genuinely sketch-internal (k-means buckets,
-    // winnow minima, HLL/t-digest) — not SQL-expressible in DuckDB;
-    // driver records rows-only checks. Verified instead by
-    // planted-fixture + recall + native≡declarative ScalaTests
-    // (OperatorsSpec, FuncsSpec, PipelineSpec).
+    // sim_topk_ivf / text_winnow_fp / corpus_stats_approx: genuinely
+    // sketch-internal (k-means probe sets, winnow minima, HLL/t-digest)
+    // — not SQL-expressible in DuckDB; driver records rows-only checks.
+    // Verified instead by planted-fixture + recall + native≡declarative
+    // ScalaTests (OperatorsSpec, FuncsSpec, PipelineSpec).
   )
 }

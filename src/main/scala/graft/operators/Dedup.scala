@@ -577,6 +577,62 @@ object Dedup {
       .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("bigint"))
   }
 
+  /** Corpus-wide duplicated-SPAN detection — the substring-dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22): a token n-gram is *duplicated* when it occurs ≥ 2
+    * times across the corpus (any doc, any position); each doc's
+    * duplicated gram positions merge into maximal regions, yielding the
+    * per-document span stats a filtering / span-removal pass keys on:
+    * `n_dup_grams`, `n_dup_regions`, `dup_tokens` (tokens covered by the
+    * merged regions) and `dup_token_frac`.
+    *
+    * Scale shape: grams ride as 8-byte xxhash64 keys (the shuffle never
+    * carries gram STRINGS; hash-distinct ≡ string-distinct modulo a
+    * ~2⁻⁶⁴ collision, the same stance as [[ngramJaccard]] — and the
+    * DuckDB oracle, which groups by string, pins the equality). One
+    * partial-aggregated frequency groupBy, one equi-join back (AQE picks
+    * broadcast while the duplicated-gram set is small), then the
+    * gaps-and-islands interval merge runs under a window PARTITIONED BY
+    * doc — bounded by document length, never corpus-wide. The exploded
+    * gram relation is persisted (feeds both the frequency count and the
+    * join-back; see the object-level cache-lifecycle note). */
+  def duplicatedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Funcs.tokens(col("text"))
+    // fused tokenize→shingle→hash ([[Native.ShingleHashes]], positional
+    // order): gram STRINGS are never materialized — one loop per doc
+    // emits the 8-byte keys directly
+    val grams = documents
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        posexplode(Native.shingleHashes(toks, n, sortedDistinct = false)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint").as("pos"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2)
+    // duplicated occurrences with their (capped) spans [pos, e)
+    val spans = grams.join(dup.select("h"), Seq("h"))
+      .withColumn("e", least(col("pos") + n, col("n_tokens")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val regions = spans
+      .withColumn("brk",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("rid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("pos")).as("start"), max(col("e")).as("end"), count(lit(1)).as("grams"))
+      .groupBy("doc_id")
+      .agg(sum(col("grams")).as("n_dup_grams"),
+        count(lit(1)).as("n_dup_regions"),
+        sum(col("end") - col("start")).as("dup_tokens"))
+    documents.select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+      .join(regions, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

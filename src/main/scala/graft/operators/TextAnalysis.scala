@@ -148,6 +148,26 @@ object TextAnalysis {
         round(max(idf), 6).as("max_idf"))
   }
 
+  /** Corpus-trained unigram surprisal per document (the CCNet-style
+    * language-model quality signal, Wenzek et al. LREC'20, at its
+    * simplest useful order): p(w) = corpus count / corpus tokens;
+    * `mean_nll` = mean −ln p over the doc's tokens (low = in-distribution
+    * prose, high = rare-token soup), `max_nll` = the rarest token's
+    * surprisal. Two partial-aggregated shuffles (unigram counts, per-doc
+    * mean) + one equi-join the optimizer sizes itself — the same
+    * join-the-vocab shape as [[tfidfScore]], deliberately un-hinted.
+    * 6-decimal round on both engines (mean-of-doubles association). */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(Funcs.tokens(col("text"))).as("word"))
+    val counts = tok.groupBy("word").agg(count(lit(1)).cast("bigint").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("bigint").as("total"))
+    val nll = -log(col("cnt").cast("double") / col("total").cast("double"))
+    tok.join(counts, Seq("word")).crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(nll), 6).as("mean_nll"),
+        round(max(nll), 6).as("max_nll"))
+  }
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

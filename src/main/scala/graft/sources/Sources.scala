@@ -91,4 +91,29 @@ object Sources {
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
+
+  /** ORC batch source — the other columnar lake format Spark ships a
+    * vectorized, predicate-pushing reader for (Hive-ecosystem corpora
+    * arrive as ORC as often as parquet). Same scan properties: column
+    * pruning + PushedFilters reach the ORC reader, partitioned layouts
+    * prune directories (pinned in SourcesSpec). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw media-file ingest for the multimodal column: Spark's built-in
+    * `binaryFile` source yields one row per file — (path, modificationTime,
+    * length, content BINARY) — which is exactly the opaque-payload shape
+    * [[graft.operators.Multimodal]] consumes (`modality` sniff, header
+    * dims, content hash) with no codec anywhere in the scan.
+    * `pathGlobFilter` restricts to the media extensions wanted; at 100 TB
+    * the source parallelizes per-file and prunes by the glob before any
+    * byte is read. Files larger than executor memory belong in a chunked
+    * format instead — the reader hard-caps at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB default). */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("length"), col("content"))
 }

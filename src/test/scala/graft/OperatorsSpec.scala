@@ -112,6 +112,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cgot == Map(7L -> "quoted, with comma", 8L -> "plain"))
   }
 
+  test("orc round-trip keeps schema and pushes filters; binaryFile feeds the multimodal parsers") {
+    // ORC: write a slice of documents, read back, check pushdown reaches
+    // the ORC scan like the parquet PlanAudit pins
+    val odir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    Tables.documents(spark, dir).write.orc(odir)
+    val back = graft.sources.Sources.orc(spark, odir)
+    assert(back.count() == Tables.documents(spark, dir).count())
+    val p = back.filter($"source" === "src3").select($"doc_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(source,src3\\)".r.findFirstIn(p).isDefined,
+      s"ORC scan did not receive the pushed filter:\n$p")
+    // binaryFile: write real PNG-headed files, ingest, decode dimensions
+    val mdir = java.nio.file.Files.createTempDirectory("graft-media")
+    val pngBytes = Seq((640L, 480L)).toDF("w", "h")
+      .select(operators.Multimodal.pngHeader($"w", $"h")).as[Array[Byte]].head()
+    java.nio.file.Files.write(mdir.resolve("a.png"), pngBytes ++ "payload".getBytes("UTF-8"))
+    java.nio.file.Files.writeString(mdir.resolve("ignored.txt"), "not media")
+    val media = graft.sources.Sources.binaryFiles(spark, mdir.toString, glob = "*.png")
+    val got = media.select(
+      operators.Multimodal.modality($"content").as("m"),
+      operators.Multimodal.imageDims($"content").getField("width").as("w"),
+      operators.Multimodal.imageDims($"content").getField("height").as("h"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("image/png", 640L, 480L))) // the .txt file was glob-pruned
+  }
+
   test("minhash LSH finds planted near-duplicates and skips dissimilar docs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
@@ -457,6 +483,32 @@ class OperatorsSpec extends AnyFunSuite {
       got((1L, 1L))._3.split(" ").take(8).toSeq) // shared overlap region
     assert(got((1L, 1L))._3.endsWith("t40"))     // tail covered
     assert(got((2L, 0L)) == ((0L, 4L, "only four small tokens")))
+  }
+
+  test("unigramSurprisal: corpus-frequency NLL matches hand computation") {
+    // counts: a=2, b=2, c=1; total=5 → p(a)=p(b)=0.4, p(c)=0.2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((r6(math.log(2.5)), r6(math.log(2.5)))))
+    assert(got(2L) == ((r6((math.log(2.5) + math.log(5.0)) / 2.0), r6(math.log(5.0)))))
+  }
+
+  test("duplicatedSpans: cross-doc and in-doc 5-gram repeats merge into maximal regions") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),           // shares "a b c d e" with doc 2 → region [0,5)
+      (2L, "x x x a b c d e z z"),       // the shared gram at pos 3 → region [3,8)
+      (3L, "u1 u2 u3 u4 u5 u6"),         // all grams unique → zeros
+      (4L, "p q r s t p q r s t"))       // in-doc repeat at pos 0 and 5 → ONE merged region [0,10)
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, n = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((8L, 1L, 1L, 5L, 5.0 / 8.0)))
+    assert(got(2L) == ((10L, 1L, 1L, 5L, 0.5)))
+    assert(got(3L) == ((6L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((10L, 2L, 1L, 10L, 1.0)))
   }
 
   test("saltedJoin ≡ plain inner join; dim side replicated per salt") {

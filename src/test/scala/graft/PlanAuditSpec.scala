@@ -100,6 +100,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpartitioned window runs over an unaggregated input:\n${unpart.head}")
   }
 
+  test("duplicatedSpans: every window is doc-partitioned — the interval merge never funnels the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = Dedup.duplicatedSpans(Tables.documents(spark, dir))
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the gaps-and-islands windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found an unpartitioned window in the span merge")
+  }
+
   test("whole-stage codegen covers the scoring hot path (native dot product fuses)") {
     val emb = Tables.embeddings(spark, dir)
     val p = plan(emb.select(
