@@ -204,14 +204,43 @@ object SparkEntry {
     // the media-column ingest projection of a training pipeline
     "multimodal_meta" -> ((s, d) => {
       val bin = multimodalBinary(col("doc_id"), col("text"))
-      val dims = Multimodal.imageDims(bin)
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        length(bin).cast("bigint").as("n_bytes"),
-        Multimodal.contentHash(bin).as("content_md5"),
-        Multimodal.modality(bin).as("modality"),
-        dims.getField("width").as("width"),
-        dims.getField("height").as("height"))
+      // dims struct behind a projection boundary (same codegen-size
+      // rationale as multimodal_audio)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(bin).cast("bigint").as("n_bytes"),
+          Multimodal.contentHash(bin).as("content_md5"),
+          Multimodal.modality(bin).as("modality"),
+          Multimodal.imageDims(bin).as("dm"))
+        .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("modality"),
+          col("dm.width").as("width"), col("dm.height").as("height"))
+    }),
+
+    // audio sibling of multimodal_meta: the doc_id%4==2 rows carry REAL
+    // canonical PCM WAV headers (geometry derived from doc_id, samples =
+    // text bytes); the engine-side parser decodes the little-endian
+    // fields, the oracle re-extracts them from the same blob by hex
+    // slicing — both sides implement the layout independently
+    "multimodal_audio" -> ((s, d) => {
+      val wav = concat(
+        Multimodal.wavHeader(
+          (col("doc_id") % 2 + 1).cast("bigint"),
+          (lit(8000L) + (col("doc_id") % 8) * 1000L).cast("bigint"),
+          lit(16L),
+          length(col("text")).cast("bigint")),
+        col("text").cast("binary"))
+      // struct computed ONCE behind a projection boundary: CollapseProject
+      // keeps the producer separate because `m` is referenced five times
+      // and inlining would quintuple the (large) parse tree in codegen
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 2)
+        .select(col("doc_id"), Multimodal.wavMeta(wav).as("m"))
+        .select(col("doc_id"),
+          col("m.n_channels").as("n_channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.data_bytes").as("data_bytes"),
+          col("m.duration_ms").as("duration_ms"))
     }),
 
     // --- north-star: text analysis ---
@@ -501,6 +530,44 @@ object SparkEntry {
              WHEN 2 THEN 'RIFF'::BLOB || encode(text)
              ELSE encode(text) END AS bin
            FROM documents)""",
+    // WAV blob built independently in SQL (LE byte encoding via reversed
+    // hex pairs), fields re-extracted by hex slicing at the spec offsets
+    "multimodal_audio" ->
+      """WITH src AS (SELECT doc_id, text,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS c,
+             CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS r,
+             CAST(octet_length(encode(text)) AS BIGINT) AS db
+           FROM documents WHERE doc_id % 4 = 2),
+           b AS (SELECT doc_id,
+             'RIFF'::BLOB
+             || unhex(substr(lpad(hex(db+36),8,'0'),7,2)||substr(lpad(hex(db+36),8,'0'),5,2)
+                ||substr(lpad(hex(db+36),8,'0'),3,2)||substr(lpad(hex(db+36),8,'0'),1,2))
+             || 'WAVEfmt '::BLOB || unhex('10000000') || unhex('0100')
+             || unhex(substr(lpad(hex(c),4,'0'),3,2)||substr(lpad(hex(c),4,'0'),1,2))
+             || unhex(substr(lpad(hex(r),8,'0'),7,2)||substr(lpad(hex(r),8,'0'),5,2)
+                ||substr(lpad(hex(r),8,'0'),3,2)||substr(lpad(hex(r),8,'0'),1,2))
+             || unhex(substr(lpad(hex(r*c*2),8,'0'),7,2)||substr(lpad(hex(r*c*2),8,'0'),5,2)
+                ||substr(lpad(hex(r*c*2),8,'0'),3,2)||substr(lpad(hex(r*c*2),8,'0'),1,2))
+             || unhex(substr(lpad(hex(c*2),4,'0'),3,2)||substr(lpad(hex(c*2),4,'0'),1,2))
+             || unhex('1000') || 'data'::BLOB
+             || unhex(substr(lpad(hex(db),8,'0'),7,2)||substr(lpad(hex(db),8,'0'),5,2)
+                ||substr(lpad(hex(db),8,'0'),3,2)||substr(lpad(hex(db),8,'0'),1,2))
+             || encode(text) AS wav
+           FROM src),
+           x AS (SELECT doc_id, hex(wav) AS h FROM b),
+           f AS (SELECT doc_id,
+             ('0x'||substr(h,45,2))::BIGINT + 256*('0x'||substr(h,47,2))::BIGINT AS n_channels,
+             ('0x'||substr(h,49,2))::BIGINT + 256*('0x'||substr(h,51,2))::BIGINT
+               + 65536*('0x'||substr(h,53,2))::BIGINT + 16777216*('0x'||substr(h,55,2))::BIGINT AS sample_rate,
+             ('0x'||substr(h,57,2))::BIGINT + 256*('0x'||substr(h,59,2))::BIGINT
+               + 65536*('0x'||substr(h,61,2))::BIGINT + 16777216*('0x'||substr(h,63,2))::BIGINT AS byte_rate,
+             ('0x'||substr(h,69,2))::BIGINT + 256*('0x'||substr(h,71,2))::BIGINT AS bits_per_sample,
+             ('0x'||substr(h,81,2))::BIGINT + 256*('0x'||substr(h,83,2))::BIGINT
+               + 65536*('0x'||substr(h,85,2))::BIGINT + 16777216*('0x'||substr(h,87,2))::BIGINT AS data_bytes
+           FROM x)
+         SELECT doc_id, n_channels, sample_rate, bits_per_sample, data_bytes,
+           CAST(floor(data_bytes * 1000.0 / byte_rate) AS BIGINT) AS duration_ms
+         FROM f""",
     "text_token_stats" ->
       """SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,

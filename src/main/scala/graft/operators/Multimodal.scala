@@ -143,6 +143,59 @@ object Multimodal {
     * [[jpegDims]]); null struct for other modalities. */
   def imageDims(bin: Column): Column = coalesce(pngDims(bin), jpegDims(bin))
 
+  /** Little-endian unsigned int from `n` bytes at 1-based `pos`. */
+  private def leUInt(bin: Column, pos: Int, n: Int): Column =
+    (0 until n).map(i => beUInt(bin, lit(pos + i), 1) * lit(1L << (8 * i))).reduce(_ + _)
+
+  /** `v` as `nBytes` little-endian bytes (binary column). */
+  private def leBytes(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(shiftright(v.cast("bigint"), 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+
+  /** Canonical 44-byte PCM WAV header (RIFF/WAVE/fmt/data) carrying the
+    * given geometry; append the sample bytes after it. */
+  def wavHeader(channels: Column, sampleRate: Column, bitsPerSample: Column,
+      dataBytes: Column): Column = {
+    val blockAlign = ((channels * bitsPerSample) / 8).cast("bigint")
+    val byteRate = (sampleRate * blockAlign).cast("bigint")
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(dataBytes + 36L, 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")), leBytes(lit(16L), 4), // PCM fmt chunk
+      leBytes(lit(1L), 2), leBytes(channels, 2), leBytes(sampleRate, 4),
+      leBytes(byteRate, 4), leBytes(blockAlign, 2), leBytes(bitsPerSample, 2),
+      lit("data".getBytes("US-ASCII")), leBytes(dataBytes, 4))
+  }
+
+  private val WavMetaType =
+    "struct<n_channels:bigint,sample_rate:bigint,bits_per_sample:bigint," +
+      "data_bytes:bigint,duration_ms:bigint>"
+
+  /** REAL WAV audio metadata decode for the canonical PCM layout (fmt
+    * chunk first, data chunk at offset 36 — the shape every standard
+    * encoder emits): channels/rate/bits/data size as little-endian
+    * fields at the spec offsets, duration derived from the byte rate.
+    * Null (never an error) for payloads that are not canonical WAV —
+    * chunk-reordered files would need a walker like [[jpegDims]]'; the
+    * strict marker check ("RIFF", "WAVEfmt ", "data") keeps this honest
+    * rather than misparsing them. */
+  def wavMeta(bin: Column): Column = {
+    val isWav = length(bin) >= 44 &&
+      hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bin, 9, 8)) === "57415645666D7420" && // "WAVEfmt "
+      hex(substring(bin, 37, 4)) === "64617461" // "data"
+    val byteRate = leUInt(bin, 29, 4)
+    val dataBytes = leUInt(bin, 41, 4)
+    when(isWav, struct(
+      leUInt(bin, 23, 2).as("n_channels"),
+      leUInt(bin, 25, 4).as("sample_rate"),
+      leUInt(bin, 35, 2).as("bits_per_sample"),
+      dataBytes.as("data_bytes"),
+      when(byteRate > 0,
+        floor(dataBytes * lit(1000.0d) / byteRate).cast("bigint"))
+        .otherwise(lit(null).cast("bigint")).as("duration_ms")))
+      .otherwise(lit(null).cast(WavMetaType))
+  }
+
   /** STUB — deterministic fake image decode. Production: this exact
     * struct comes from a `mapPartitions` batch decode with a real codec
     * (libjpeg/ffmpeg), one partition per worker-locality batch; the fake

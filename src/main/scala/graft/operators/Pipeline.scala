@@ -336,9 +336,16 @@ object Pipeline {
       documents: DataFrame,
       n: Int = 5,
       broadcastMaxRows: Long = 2000000L): DataFrame = {
+    // grams ride as 8-byte fused shingle HASHES (Native.ShingleHashes,
+    // distinct-sorted per doc): the probe join keys on a long instead of
+    // an n-token string — at 100 TB that is the difference between
+    // shuffling grams and shuffling fingerprints. Hash-distinct ≡
+    // string-distinct modulo ~2⁻⁶⁴ (the DuckDB oracle groups by string
+    // and pins the equality).
     val grams = documents
       .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
-        explode(array_distinct(Funcs.wordShingles(Funcs.tokens(col("text")), n))).as("gram"))
+        explode(graft.functions.Native.shingleHashes(
+          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
     // conservative guard: row count BEFORE distinct (no shuffle to compute,

@@ -80,6 +80,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)), "corrupt payload produced non-null dims")
   }
 
+  test("wavMeta parses canonical PCM headers; non-WAV payloads yield null") {
+    val built = Seq((1L, 44100L, 16L, 88200L), (2L, 8000L, 8L, 4000L))
+      .toDF("c", "r", "bits", "db")
+      .select($"c", $"r", $"bits", $"db",
+        concat(Multimodal.wavHeader($"c", $"r", $"bits", $"db"),
+          lit("pcm".getBytes("UTF-8"))).as("wav"))
+    val got = built.select($"c", $"r", $"bits", $"db", Multimodal.wavMeta($"wav").as("m"))
+      .select($"c", $"r", $"bits", $"db",
+        $"m.n_channels", $"m.sample_rate", $"m.bits_per_sample", $"m.data_bytes", $"m.duration_ms")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (c, r, bits, db, pc, pr, pb, pdb, dur) =>
+      assert((pc, pr, pb, pdb) == ((c, r, bits, db)))
+      assert(dur == db * 1000L / (r * c * bits / 8)) // 88200/(44100*1*2)=1000ms; 4000/8000=500ms
+    }
+    // not WAV: RIFF magic alone (no WAVEfmt), or a PNG → null, no throw
+    val bad = Seq(
+      Multimodal.RiffMagic ++ "AVI LIST".getBytes("UTF-8") ++ Array.fill[Byte](40)(0),
+      "plain".getBytes("UTF-8"))
+    assert(bad.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("i", "b")
+      .select(Multimodal.wavMeta($"b").as("m")).collect().forall(_.isNullAt(0)))
+  }
+
   test("decodeImageStub is deterministic with plausible bounds (codec plug-in point)") {
     val rows = Seq((1L, "payload-a".getBytes("UTF-8")), (2L, "payload-b".getBytes("UTF-8")))
       .toDF("doc_id", "media")

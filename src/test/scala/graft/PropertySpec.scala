@@ -141,4 +141,39 @@ class PropertySpec extends AnyFunSuite {
     val oneShot = graft.operators.Dedup.exact(all).select($"keep_id")
     assert(incremental.except(oneShot).isEmpty && oneShot.except(incremental).isEmpty)
   }
+
+  test("duplicatedSpans law: distributed gaps-and-islands ≡ brute-force interval merge on random corpora") {
+    val n = 3
+    // tiny vocabulary forces heavy in-doc and cross-doc gram repeats;
+    // lengths below n exercise the whole-doc-shingle branch
+    val docGen = Gen.chooseNum(1, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val docs = sample(docGen, 120, 11L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), n)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // brute force: string grams, exact frequency, linear interval merge
+    val grams = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val gs = if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      gs.zipWithIndex.map { case (g, i) => (id, i, g) }
+    }
+    val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.foreach { case (id, text) =>
+      val nt = text.split(" ").length.toLong
+      val dup = grams.collect { case (d, p, g) if d == id && freq(g) >= 2 => p.toLong }.sorted
+      var regions = 0L; var cov = 0L; var curStart = -1L; var curEnd = -1L
+      dup.foreach { p =>
+        val e = math.min(p + n, nt)
+        if (curEnd < 0 || p > curEnd) {
+          if (curEnd >= 0) cov += curEnd - curStart
+          regions += 1; curStart = p; curEnd = e
+        } else curEnd = math.max(curEnd, e)
+      }
+      if (curEnd >= 0) cov += curEnd - curStart
+      assert(got(id) == ((nt, dup.size.toLong, regions, cov)),
+        s"doc $id: got ${got(id)}, brute ${(nt, dup.size, regions, cov)} for '$text'")
+    }
+  }
 }
