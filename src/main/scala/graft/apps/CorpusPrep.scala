@@ -115,9 +115,11 @@ object CorpusPrep {
     *   pair-verified canonicalization stays a periodic batch job — the
     *   documented online/offline recall split) → append to train shards.
     *
-    * Store layout under `storeDir` — three APPEND-ONLY parquet relations
+    * Store layout under `storeDir` — four APPEND-ONLY parquet relations
     * (`fp`: accepted content fingerprints, `sig`: accepted simhash
-    * signatures, `shards`: the pos-ordered training shards). Appends are
+    * signatures, `shards`: the pos-ordered training shards, `meta`: one
+    * accepted-count row per batch, so the stored-corpus size is a
+    * tiny-relation sum rather than a shard rescan). Appends are
     * the only writes, so replaying an already-ingested batch is
     * idempotent by construction: every fingerprint anti-joins away,
     * nothing is appended, and the shards are byte-identical (pinned by
@@ -174,8 +176,16 @@ object CorpusPrep {
     val acceptedCount = acceptedSigs.count()
 
     // append accepted docs to the shards, positions continuing after the
-    // stored corpus (batch-internal order = the md5 hash order)
-    val base = if (exists(shardsPath)) spark.read.parquet(shardsPath).count() else 0L
+    // stored corpus (batch-internal order = the md5 hash order). The
+    // stored size comes from the append-only META relation (one row per
+    // batch), NOT a count over the shards — a per-batch full corpus scan
+    // is exactly the rescan this operator exists to avoid at 100 TB.
+    val metaPath = s"$storeDir/meta"
+    val base =
+      if (exists(metaPath))
+        spark.read.schema("accepted BIGINT").parquet(metaPath)
+          .agg(sum(col("accepted"))).collect()(0).getLong(0)
+      else 0L
     if (acceptedCount > 0) {
       val ordered = Pipeline.globalOrderShards(accepted, shardSize)
         .withColumn("pos", col("pos") + base)
@@ -190,6 +200,9 @@ object CorpusPrep {
       novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
         .select("fp", "keep_id").write.mode("append").parquet(fpPath)
       acceptedSigs.select("sig").write.mode("append").parquet(sigPath)
+      import spark.implicits._
+      Seq(acceptedCount).toDF("accepted")
+        .coalesce(1).write.mode("append").parquet(metaPath)
     }
     gated.unpersist()
     IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,

@@ -151,9 +151,14 @@ object Relational {
     * ISO-instant → ISO-date → epoch → fallback chain. */
   def eventTimeParse(events: DataFrame): DataFrame = {
     import graft.functions.Funcs
-    events.select(
-      col("event_id"),
-      Funcs.eventTimeChain(get_json_object(col("props"), "$.k"), col("ts")).as("event_time"))
+    // JSON extraction hoisted behind a projection boundary: the parse
+    // chain references `raw` four times, and CollapseProject keeps the
+    // producer separate rather than re-running get_json_object per branch
+    events
+      .select(col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").as("raw"))
+      .select(col("event_id"),
+        Funcs.eventTimeChain(col("raw"), col("ts")).as("event_time"))
   }
 
   /** As-of (temporal) join — the batch form of a versioned-KTable lookup:
