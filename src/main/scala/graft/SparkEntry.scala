@@ -181,6 +181,8 @@ object SparkEntry {
     "dedup_components" -> ((s, d) =>
       Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), n = 5)),
+    "dedup_remove_spans" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
 
@@ -457,6 +459,33 @@ object SparkEntry {
          SELECT lab.doc_id, lab.component_id, best.keeper_id,
                 CAST(lab.doc_id = best.keeper_id AS BIGINT) AS is_keeper
          FROM lab JOIN best USING (component_id)""",
+    // span REMOVAL: non-first occurrences (by packed doc_id·2³²+pos key)
+    // of ≥2-frequency grams mark intervals; a token survives iff no
+    // marked interval of its doc covers its position (correlated NOT
+    // EXISTS — the set-based mirror of the engine's region filter)
+    "dedup_remove_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           i AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM t),
+           g AS (SELECT doc_id, n_toks, CAST(i - 1 AS BIGINT) AS pos,
+                   doc_id * 4294967296 + CAST(i - 1 AS BIGINT) AS okey,
+                   array_to_string(w[i : least(i + 4, len(w))], ' ') AS gram FROM i),
+           s AS (SELECT gram, min(okey) AS first_okey FROM g
+                 GROUP BY 1 HAVING count(*) >= 2),
+           d AS (SELECT doc_id, pos, least(pos + 5, n_toks) AS e
+                 FROM g JOIN s USING (gram) WHERE g.okey != s.first_okey),
+           tok AS (SELECT doc_id, unnest(w) AS token,
+                     unnest(range(0, len(w))) AS p FROM t),
+           kept AS (SELECT doc_id, token, p FROM tok
+                    WHERE NOT EXISTS (SELECT 1 FROM d
+                      WHERE d.doc_id = tok.doc_id AND tok.p >= d.pos AND tok.p < d.e))
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(k.text_clean, '') AS text_clean
+         FROM t LEFT JOIN (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(token, ' ' ORDER BY p) AS text_clean
+           FROM kept GROUP BY 1) k USING (doc_id)""",
     // duplicated 5-gram spans by STRING frequency (the Spark side counts
     // by xxhash64 — identical modulo a 2⁻⁶⁴ collision), merged into
     // maximal per-doc regions via gaps-and-islands

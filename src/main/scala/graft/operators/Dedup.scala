@@ -633,6 +633,59 @@ object Dedup {
         col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Duplicated-span REMOVAL — [[duplicatedSpans]]' acting sibling (the
+    * actual Lee-et-al treatment: cut the repeated substrings, keep the
+    * corpus-first occurrence): every n-gram occurrence except the first
+    * (in packed (doc_id, pos) order) of a ≥2-frequency gram marks its
+    * token span; spans merge per doc and the covered tokens are dropped
+    * from the text. Emits (doc_id, n_tokens, n_kept, text_clean).
+    *
+    * Scale shape: "first occurrence" is a plain `min` over a packed
+    * BIGINT key in a partial-aggregated groupBy — no window over the
+    * gram partition, so a boilerplate gram repeated millions of times
+    * costs one combiner cell, not a single-partition sort. Everything
+    * downstream (islands, filter-by-region) is doc-partitioned; the
+    * final text rebuild is one higher-order `filter` per doc inside
+    * codegen. */
+  def removeDuplicatedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Funcs.tokens(col("text"))
+    val grams = documents
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        posexplode(Native.shingleHashes(toks, n, sortedDistinct = false)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint").as("pos"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (doc_id, pos) packed into one BIGINT so the corpus-first occurrence
+    // is a plain min (same arithmetic in the DuckDB oracle)
+    val okey = shiftleft(col("doc_id"), 32) + col("pos")
+    val stats = grams.select(col("h"), okey.as("okey"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"), min(col("okey")).as("first_okey"))
+      .filter(col("cnt") >= 2)
+    val marked = grams.join(stats, Seq("h"))
+      .filter(okey =!= col("first_okey"))
+      .withColumn("e", least(col("pos") + n, col("n_tokens")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val regions = marked
+      .withColumn("brk",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("rid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("regions"))
+    documents
+      .join(regions, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        when(col("regions").isNull, toks)
+          .otherwise(filter(toks, (_, i) => !exists(col("regions"),
+            r => i.cast("bigint") >= r.getField("s") && i.cast("bigint") < r.getField("e"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

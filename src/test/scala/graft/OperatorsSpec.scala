@@ -511,6 +511,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == ((10L, 2L, 1L, 10L, 1.0)))
   }
 
+  test("removeDuplicatedSpans keeps the corpus-first occurrence and cuts the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                 // first occurrence of both grams → untouched
+      (2L, "a b c d e f"),                 // exact copy → fully removed
+      (3L, "z0 z1 z2 z3 z4 a b c d e"),    // shared gram at pos 5 → tail cut
+      (4L, "u0 u1 u2 u3 u4 u5"))           // unique → untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 6L, "a b c d e f")))
+    assert(got(2L) == ((6L, 0L, "")))
+    assert(got(3L) == ((10L, 5L, "z0 z1 z2 z3 z4")))
+    assert(got(4L) == ((6L, 6L, "u0 u1 u2 u3 u4 u5")))
+  }
+
   test("saltedJoin ≡ plain inner join; dim side replicated per salt") {
     val orders = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
