@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * library" flow a pretraining data team runs nightly, chaining the
   * north-star operators in their production order:
   *
-  *   ingest → normalize → quality gate (Gopher rules) → exact dedup →
-  *   near-dup canonicalization → decontaminate vs the held-out split →
+  *   ingest → normalize → quality gate (Gopher rules) → duplicated-span
+  *   cut (corpus-first occurrence kept) → exact dedup → near-dup
+  *   canonicalization → decontaminate vs the held-out split →
   *   train/val/test split → sequence packing → shard write
   *
   * Every stage is the already-tested operator; this object only wires
@@ -27,6 +28,7 @@ object CorpusPrep {
   case class Report(
       ingested: Long,
       qualityKept: Long,
+      spanKept: Long, //        after duplicated-span cut + re-gate
       exactKept: Long,
       nearDupKept: Long,
       decontaminated: Long, // survivors of decontamination, pre-split
@@ -40,7 +42,7 @@ object CorpusPrep {
   def run(spark: SparkSession, documents: DataFrame, outDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       jaccard: Double = 0.8, ngram: Int = 3, contamN: Int = 8,
-      shardSize: Long = 64L): Report = {
+      spanN: Int = 8, shardSize: Long = 64L): Report = {
     val ingested = documents.count()
 
     // 1. normalize text once; all downstream stages read the normal form
@@ -61,9 +63,21 @@ object CorpusPrep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualityKept = gated.count()
 
+    // 2.5 cut corpus-duplicated spans (keep the corpus-first occurrence
+    //     — the Lee-et-al substring-dedup treatment, run BEFORE document
+    //     dedup so excerpt-boilerplate collapses make later stages bite),
+    //     then re-apply the token floor: a doc cut below minTokens drops
+    val cleaned = gated
+      .join(Dedup.removeDuplicatedSpans(gated, n = spanN)
+        .select(col("doc_id"), col("text_clean"), col("n_kept")), Seq("doc_id"))
+      .filter(col("n_kept") >= minTokens)
+      .drop("text", "n_kept").withColumnRenamed("text_clean", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanKept = cleaned.count()
+
     // 3. exact dedup: keep the digest keepers
-    val keepers = Dedup.exact(gated).select(col("keep_id").as("doc_id"))
-    val exact = gated.join(keepers, Seq("doc_id"))
+    val keepers = Dedup.exact(cleaned).select(col("keep_id").as("doc_id"))
+    val exact = cleaned.join(keepers, Seq("doc_id"))
     val exactKept = exact.count()
 
     // 4. near-dup canonicalization: keep one doc per component
@@ -94,8 +108,9 @@ object CorpusPrep {
     val shardsWritten = spark.read.parquet(outDir).select("shard").distinct().count()
 
     gated.unpersist()
-    Report(ingested, qualityKept, exactKept, nearDupKept, decontaminated,
-      trainRows, shardsWritten)
+    cleaned.unpersist()
+    Report(ingested, qualityKept, spanKept, exactKept, nearDupKept,
+      decontaminated, trainRows, shardsWritten)
   }
 
   /** Per-batch counts of one [[runIncremental]] invocation. */

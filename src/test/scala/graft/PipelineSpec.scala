@@ -191,8 +191,9 @@ class PipelineSpec extends AnyFunSuite {
     val r = graft.apps.CorpusPrep.run(spark, docs, out)
     assert(r.ingested > 0)
     // each stage only ever drops rows
-    assert(r.qualityKept <= r.ingested && r.exactKept <= r.qualityKept &&
-      r.nearDupKept <= r.exactKept && r.decontaminated <= r.nearDupKept)
+    assert(r.qualityKept <= r.ingested && r.spanKept <= r.qualityKept &&
+      r.exactKept <= r.spanKept && r.nearDupKept <= r.exactKept &&
+      r.decontaminated <= r.nearDupKept)
     // decontaminated counts PRE-split; the train split then drops val/test
     assert(r.trainRows <= r.decontaminated) // packing is 1:1 per doc
     assert(r.trainRows > 0 && r.shardsWritten > 0)
