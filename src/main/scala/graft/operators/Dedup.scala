@@ -596,34 +596,49 @@ object Dedup {
     * doc — bounded by document length, never corpus-wide. The exploded
     * gram relation is persisted (feeds both the frequency count and the
     * join-back; see the object-level cache-lifecycle note). */
-  def duplicatedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Positional gram-hash relation (doc_id, n_tokens, pos, h): fused
+    * tokenize→shingle→hash ([[Native.ShingleHashes]], positional order) —
+    * gram STRINGS are never materialized; one loop per doc emits the
+    * 8-byte keys directly. Persisted: the frequency aggregate and the
+    * occurrence join-back both read it (object-level cache-lifecycle
+    * note applies). */
+  private def positionalGramHashes(documents: DataFrame, n: Int): DataFrame = {
     val toks = Funcs.tokens(col("text"))
-    // fused tokenize→shingle→hash ([[Native.ShingleHashes]], positional
-    // order): gram STRINGS are never materialized — one loop per doc
-    // emits the 8-byte keys directly
-    val grams = documents
+    documents
       .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
         posexplode(Native.shingleHashes(toks, n, sortedDistinct = false)).as(Seq("pos", "h")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint").as("pos"), col("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2)
-    // duplicated occurrences with their (capped) spans [pos, e)
-    val spans = grams.join(dup.select("h"), Seq("h"))
-      .withColumn("e", least(col("pos") + n, col("n_tokens")))
+  }
+
+  /** Gaps-and-islands merge of marked spans [pos, e) into maximal
+    * per-doc regions (start, end, grams) — windows partition by doc, so
+    * the merge is bounded by document length, never corpus-wide. */
+  private def mergeSpanIslands(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val regions = spans
+    spans
       .withColumn("brk",
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
       .withColumn("rid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("rid"))
       .agg(min(col("pos")).as("start"), max(col("e")).as("end"), count(lit(1)).as("grams"))
+  }
+
+  def duplicatedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    val grams = positionalGramHashes(documents, n)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2)
+    // duplicated occurrences with their (capped) spans [pos, e)
+    val spans = grams.join(dup.select("h"), Seq("h"))
+      .withColumn("e", least(col("pos") + n, col("n_tokens")))
+    val regions = mergeSpanIslands(spans)
       .groupBy("doc_id")
       .agg(sum(col("grams")).as("n_dup_grams"),
         count(lit(1)).as("n_dup_regions"),
         sum(col("end") - col("start")).as("dup_tokens"))
-    documents.select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+    documents
+      .select(col("doc_id"), size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .join(regions, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
@@ -648,13 +663,8 @@ object Dedup {
     * final text rebuild is one higher-order `filter` per doc inside
     * codegen. */
   def removeDuplicatedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Funcs.tokens(col("text"))
-    val grams = documents
-      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
-        posexplode(Native.shingleHashes(toks, n, sortedDistinct = false)).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint").as("pos"), col("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = positionalGramHashes(documents, n)
     // (doc_id, pos) packed into one BIGINT so the corpus-first occurrence
     // is a plain min (same arithmetic in the DuckDB oracle)
     val okey = shiftleft(col("doc_id"), 32) + col("pos")
@@ -664,16 +674,10 @@ object Dedup {
     val marked = grams.join(stats, Seq("h"))
       .filter(okey =!= col("first_okey"))
       .withColumn("e", least(col("pos") + n, col("n_tokens")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val regions = marked
-      .withColumn("brk",
-        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
-      .withColumn("rid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("rid"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val regions = mergeSpanIslands(marked)
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("regions"))
+      .agg(sort_array(collect_list(struct(col("start").as("s"), col("end").as("e"))))
+        .as("regions"))
     documents
       .join(regions, Seq("doc_id"), "left")
       .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
