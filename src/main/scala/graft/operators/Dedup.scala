@@ -658,7 +658,10 @@ object Dedup {
     * Scale shape: "first occurrence" is a plain `min` over a packed
     * BIGINT key in a partial-aggregated groupBy — no window over the
     * gram partition, so a boilerplate gram repeated millions of times
-    * costs one combiner cell, not a single-partition sort. Everything
+    * costs one combiner cell, not a single-partition sort. (The packing
+    * assumes doc_id < 2³¹ and positions < 2³²; an id space beyond that
+    * swaps the key for `min(struct(doc_id, pos))` — same plan shape,
+    * wider key.) Everything
     * downstream (islands, filter-by-region) is doc-partitioned; the
     * final text rebuild is one higher-order `filter` per doc inside
     * codegen. */
