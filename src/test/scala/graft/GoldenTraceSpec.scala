@@ -456,6 +456,39 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("f-after" -> "v1"))
   } }
 
+  test("versioned-join law: single-batch streaming replay ≡ batch as-of join on random interleavings") { withRocksDb {
+    // two independent implementations of the same lookup semantics — the
+    // stateful streaming replay and Relational.asofJoin's union-and-carry
+    // batch plan — must agree on any interleaving (retention large enough
+    // that nothing prunes, facts with unique values so rows are keyed)
+    val rnd = new scala.util.Random(13)
+    val base = ts("2025-01-01 10:00:00").getTime
+    val keys = Seq("a", "b", "c")
+    val dimRows = (0 until 30).map(i =>
+      (keys(rnd.nextInt(3)), s"d$i", new java.sql.Timestamp(base + rnd.nextInt(3600) * 1000L)))
+    val factRows = (0 until 100).map(i =>
+      (keys(rnd.nextInt(3)), s"f$i", new java.sql.Timestamp(base + rnd.nextInt(3600) * 1000L)))
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    facts.addData(factRows)
+    dims.addData(dimRows)
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"),
+      retentionMillis = 365L * 24 * 3600 * 1000).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_law").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("vtj_law").as[StreamOps.VersionedJoined].collect()
+      .map(j => j.factValue -> j.dimValue).toMap
+    val batch = graft.operators.Relational.asofJoin(
+      factRows.toDF("k", "fval", "t"),
+      dimRows.toDF("k", "dval", "t"), "k", "t")
+      .select($"fval", $"dval").as[(String, String)].collect().toMap
+    assert(streamed == batch,
+      s"streaming vs batch diverged: only-streaming=${streamed.toSet.diff(batch.toSet)}, " +
+        s"only-batch=${batch.toSet.diff(streamed.toSet)}")
+  } }
+
   test("T9 golden: stream-table enrichment join, inner semantics (StreamTableJoinExample.java:151-163)") {
     val in = MemoryStream[(String, String)]
     in.addData(("1", "order-a"), ("1", "order-b"), ("999", "order-c")) // 999 has no customer
