@@ -109,6 +109,10 @@ object CorpusPrep {
 
     gated.unpersist()
     cleaned.unpersist()
+    // release the sketch relations the composed operators registered
+    // (span grams, LSH bands, decontaminate grams — see operators.Caches):
+    // every count above is materialized, so nothing re-reads them
+    Dedup.releaseCaches(spark)
     Report(ingested, qualityKept, spanKept, exactKept, nearDupKept,
       decontaminated, trainRows, shardsWritten)
   }
@@ -130,17 +134,26 @@ object CorpusPrep {
     *   pair-verified canonicalization stays a periodic batch job — the
     *   documented online/offline recall split) → append to train shards.
     *
-    * Store layout under `storeDir` — four APPEND-ONLY parquet relations
-    * (`fp`: accepted content fingerprints, `sig`: accepted simhash
-    * signatures, `shards`: the pos-ordered training shards, `meta`: one
-    * accepted-count row per batch, so the stored-corpus size is a
-    * tiny-relation sum rather than a shard rescan). Appends are
-    * the only writes, so replaying an already-ingested batch is
-    * idempotent by construction: every fingerprint anti-joins away,
-    * nothing is appended, and the shards are byte-identical (pinned by
-    * test). New docs take positions `totalStored … totalStored+n-1` —
-    * within a batch in the same deterministic md5 order as
-    * [[Pipeline.globalOrderShards]], across batches in arrival order, so
+    * Store layout under `storeDir`: `batches/b_<batchId>/{shards,fp,sig,
+    * meta}` plus an empty `_COMMIT` marker written LAST — one directory
+    * per ingested batch holding that batch's accepted content
+    * fingerprints (`fp`), simhash signatures (`sig`), pos-ordered
+    * training shards (`shards`), and one accepted-count row (`meta`, so
+    * the stored-corpus size is a tiny-relation sum rather than a shard
+    * rescan). Readers union only COMMITTED batch directories, which makes
+    * the multi-relation append atomic without a transaction log:
+    * `batchId` is a deterministic content hash of the batch, so a crash
+    * between the four writes leaves an uncommitted directory that (a) no
+    * reader ever sees and (b) the retry of the same batch OVERWRITES
+    * in-place before committing. Replaying an already-committed batch is
+    * idempotent by construction — every fingerprint anti-joins away,
+    * nothing is written, and the shards are byte-identical (pinned by
+    * test). Single-writer by design (like any append-only ingest log);
+    * concurrent ingests would need an external lock.
+    *
+    * New docs take positions `totalStored … totalStored+n-1` — within a
+    * batch in the same deterministic md5 order as
+    * [[Pipeline.globalOrderShards]], across batches in commit order, so
     * growth never reorders what a resumed loader already streamed.
     *
     * Scale shape: the batch shuffles on digests/signatures only (24
@@ -152,19 +165,36 @@ object CorpusPrep {
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       shardSize: Long = 64L): IncrementalReport = {
     import graft.functions.{Funcs, Native}
-    val fpPath = s"$storeDir/fp"
-    val sigPath = s"$storeDir/sig"
-    val shardsPath = s"$storeDir/shards"
+    val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
       val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      path.getFileSystem(hconf).exists(path)
     }
-    def readOrEmpty(p: String, ddl: String): DataFrame =
-      if (exists(p)) spark.read.schema(ddl).parquet(p)
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
+    val fs = batchesPath.getFileSystem(hconf)
+    // committed batch directories — the only state any reader sees
+    val committed: Seq[String] =
+      if (fs.exists(batchesPath))
+        fs.listStatus(batchesPath).toSeq
+          .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
+          .map(_.getPath.toString)
+      else Seq.empty
+    def readStore(name: String, ddl: String): DataFrame = {
+      val paths = committed.map(d => s"$d/$name").filter(exists)
+      if (paths.nonEmpty) spark.read.schema(ddl).parquet(paths: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
 
     val batchRows = batch.count()
+    // deterministic content id: order-independent hash over (doc_id, text)
+    // plus the row count — a retry of the same batch lands on the same
+    // directory and repairs any crashed partial write by overwriting it
+    val idRow = batch
+      .agg(coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)), count(lit(1)))
+      .collect()(0)
+    val batchId = f"${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    val batchDir = s"$storeDir/batches/b_$batchId"
     val normed = batch
       .join(TextAnalysis.normalizeText(batch).select("doc_id", "text_norm"), Seq("doc_id"))
       .drop("text").withColumnRenamed("text_norm", "text")
@@ -174,13 +204,13 @@ object CorpusPrep {
     val gatedCount = gated.count()
 
     // exact dedup vs the fingerprint store (plus first-in-batch keeper)
-    val fpStore = readOrEmpty(fpPath, "fp STRING, keep_id BIGINT")
+    val fpStore = readStore("fp", "fp STRING, keep_id BIGINT")
     val novelFp = Dedup.exactIncremental(gated, fpStore)._1.localCheckpoint(true)
     val novelDocs = gated.join(novelFp.select(col("keep_id").as("doc_id")), Seq("doc_id"))
 
     // signature near-dup: one sig per novel doc, collapse in-batch by
     // sig (min doc_id keeper), then drop sigs the store has seen
-    val sigStore = readOrEmpty(sigPath, "sig BIGINT")
+    val sigStore = readStore("sig", "sig BIGINT")
     val acceptedSigs = novelDocs
       .select(col("doc_id"), Native.simhash(Funcs.tokens(col("text"))).as("sig"))
       .groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
@@ -190,18 +220,19 @@ object CorpusPrep {
     val accepted = gated.join(acceptedSigs.select("doc_id"), Seq("doc_id"))
     val acceptedCount = acceptedSigs.count()
 
-    // append accepted docs to the shards, positions continuing after the
-    // stored corpus (batch-internal order = the md5 hash order). The
-    // stored size comes from the append-only META relation (one row per
-    // batch), NOT a count over the shards — a per-batch full corpus scan
-    // is exactly the rescan this operator exists to avoid at 100 TB.
-    val metaPath = s"$storeDir/meta"
-    val base =
-      if (exists(metaPath))
-        spark.read.schema("accepted BIGINT").parquet(metaPath)
-          .agg(sum(col("accepted"))).collect()(0).getLong(0)
-      else 0L
+    // write accepted docs as this batch's shard slice, positions
+    // continuing after the stored corpus (batch-internal order = the md5
+    // hash order). The stored size comes from the committed META
+    // relations (one row per batch), coalesced to 0 over an empty store —
+    // NOT a count over the shards: a per-batch full corpus scan is
+    // exactly the rescan this operator exists to avoid at 100 TB.
+    val base = readStore("meta", "accepted BIGINT")
+      .agg(coalesce(sum(col("accepted")), lit(0L))).collect()(0).getLong(0)
     if (acceptedCount > 0) {
+      // all four relations land in this batch's own (uncommitted)
+      // directory in OVERWRITE mode — a retry after a crash replaces any
+      // partial state — and the _COMMIT marker goes last, making the
+      // whole batch visible to readers atomically
       val ordered = Pipeline.globalOrderShards(accepted, shardSize)
         .withColumn("pos", col("pos") + base)
         .withColumn("shard", floor(col("pos") / shardSize).cast("bigint"))
@@ -209,19 +240,43 @@ object CorpusPrep {
       ordered
         .repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col("pos"))
-        .write.partitionBy("shard").mode("append").parquet(shardsPath)
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$batchDir/shards")
       // only ACCEPTED docs' fingerprints enter the store — it tracks the
       // accepted corpus, so a signature-rejected doc stays re-checkable
       novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
-        .select("fp", "keep_id").write.mode("append").parquet(fpPath)
-      acceptedSigs.select("sig").write.mode("append").parquet(sigPath)
+        .select("fp", "keep_id").write.mode("overwrite").parquet(s"$batchDir/fp")
+      acceptedSigs.select("sig").write.mode("overwrite").parquet(s"$batchDir/sig")
       import spark.implicits._
       Seq(acceptedCount).toDF("accepted")
-        .coalesce(1).write.mode("append").parquet(metaPath)
+        .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/meta")
+      fs.create(new org.apache.hadoop.fs.Path(s"$batchDir/_COMMIT"), true).close()
     }
     gated.unpersist()
     IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,
       base + acceptedCount)
+  }
+
+  /** The stored corpus as one DataFrame — the union of every COMMITTED
+    * batch's shard slice (uncommitted crash leftovers are invisible).
+    * This is the reader every consumer of a [[runIncremental]] store
+    * should use; reading `storeDir` recursively would see partial state. */
+  def readShards(spark: SparkSession, storeDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
+    val fs = batchesPath.getFileSystem(hconf)
+    val paths =
+      if (fs.exists(batchesPath))
+        fs.listStatus(batchesPath).toSeq
+          .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
+          .map(s => s"${s.getPath}/shards")
+      else Seq.empty
+    require(paths.nonEmpty, s"no committed batches under $storeDir/batches")
+    // per-batch reads unioned by name: each batch dir carries its own
+    // shard=N partition layout, so a multi-root read would need a common
+    // basePath that the b_<id> level breaks. One scan node per batch is
+    // fine at an ingest cadence; a store with thousands of batches wants
+    // a periodic compaction pass anyway (also the near-dup batch job).
+    paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
   }
 }
 

@@ -16,11 +16,19 @@ import org.apache.spark.storage.StorageLevel
   * Cache lifecycle: the sketch/band relations are `.persist()`ed because
   * each feeds multiple downstream joins and Catalyst does not dedupe
   * common subplans. A lazy DataFrame API cannot unpersist behind itself,
-  * so in a long-lived session the caller owns the release —
-  * `spark.catalog.clearCache()` between corpora (Bench does exactly
-  * this between its warm-up and timed passes).
+  * so every persist routes through the session-scoped [[Caches]]
+  * registry: once the operator's output is materialized, call
+  * [[releaseCaches]] (as `CorpusPrep.run`/`runIncremental` do on exit)
+  * to drop them; `spark.catalog.clearCache()` remains the blunt
+  * alternative (Bench uses it between reps).
   */
 object Dedup {
+
+  /** Blocking-unpersist every sketch relation the operators cached in
+    * this session (see [[Caches]]). Safe anytime — an unpersisted
+    * relation recomputes from source; call it after materializing the
+    * operator outputs. Returns the number of relations released. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int = Caches.release(spark)
 
   /** Skew-guarded candidate pairs from an exploded sketch-key relation —
     * the shared core of every LSH family member ([[minhashLsh]],
@@ -139,7 +147,7 @@ object Dedup {
         Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
       .select(col("id"),
         posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
 
     // skew-guarded candidate generation (see [[guardedCandidatePairs]])
     val candidates = guardedCandidatePairs(banded, Nil, maxBucketSize)
@@ -155,7 +163,7 @@ object Dedup {
       .select(col("doc_id"),
         Native.shingleHashes(Funcs.tokens(col("text")), shingleLen, sortedDistinct = true).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
     def side(id: String, hs: String, sz: String) =
       hashed.select(col("doc_id").as(id), col("hs").as(hs), col("sz").as(sz))
     candidates
@@ -195,7 +203,7 @@ object Dedup {
     val quads = sigs.select(
       col("id"), col("sig"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
     guardedCandidatePairs(quads, Seq("sig"), maxBucketSize)
       .withColumn("hamming", Funcs.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
@@ -234,7 +242,7 @@ object Dedup {
       col("vec_id").as("id"),
       lit(0).as("band"),
       explode(Similarity.probeBuckets(col("embedding"), cents, nprobe)).as("bkey"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
     val candidates = guardedCandidatePairs(keyed, Nil, maxBucketSize)
     // Norms once per vector map-side; cosine inside the verify is a single
     // codegen'd dot per surviving candidate pair.
@@ -267,7 +275,7 @@ object Dedup {
     * 3 longs per (vector, table) for the keys, ints-only candidate pairs;
     * the float arrays enter only the final verify join. The exploded key
     * relation is persisted (see the object-level cache-lifecycle note:
-    * the caller owns the release via `spark.catalog.clearCache()`). */
+    * release via [[releaseCaches]] once the output is materialized). */
   def embeddingNearDupSrp(
       embeddings: DataFrame,
       minCosine: Double,
@@ -280,7 +288,7 @@ object Dedup {
       col("vec_id").as("id"),
       posexplode(Native.srpKeys(col("embedding"), numTables, bitsPerTable))
         .as(Seq("band", "bkey")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
     val candidates = guardedCandidatePairs(keyed, Nil, maxBucketSize)
     def side(ida: String, emb: String, nrm: String) = embeddings.select(
       col("vec_id").as(ida), col("embedding").as(emb),
@@ -331,7 +339,7 @@ object Dedup {
       .select(col("doc_id"),
         Native.shingleHashes(Funcs.tokens(col("text")), n, sortedDistinct = true).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
 
     // global document frequency per shingle (partial-agg'd: the shuffle
     // carries one (hash, count) per distinct hash per map task)
@@ -348,7 +356,7 @@ object Dedup {
       .select(col("doc_id"), col("sz"),
         posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("pos", "e")))
       .select(col("doc_id"), col("sz"), col("pos"), col("e.h").as("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
 
     // PPJoin positional filter: a match at (rare-first) prefix positions
     // (pA, pB) caps the remaining overlap at 1 + min(szA−pA−1, szB−pB−1);
@@ -608,7 +616,7 @@ object Dedup {
       .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
         posexplode(Native.shingleHashes(toks, n, sortedDistinct = false)).as(Seq("pos", "h")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint").as("pos"), col("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
   }
 
   /** Gaps-and-islands merge of marked spans [pos, e) into maximal

@@ -346,7 +346,7 @@ object Pipeline {
       .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
         explode(graft.functions.Native.shingleHashes(
           Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persisted)
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
     // conservative guard: row count BEFORE distinct (no shuffle to compute,
     // never underestimates the broadcast side)

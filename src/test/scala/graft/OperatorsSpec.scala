@@ -193,6 +193,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"banding lost ${brute.diff(got).size} pairs")
   }
 
+  test("releaseCaches drops every sketch relation an operator persisted (no session-lifetime leak)") {
+    val docs = (1 to 30).map(i => (i.toLong, (1 to 20).map(j => s"c${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.releaseCaches(spark) // drain anything earlier tests registered
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // two dedup ops composed in one session, each materialized then released
+    Dedup.minhashLsh(docs, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "minhashLsh should have registered persisted sketch relations")
+    assert(Dedup.releaseCaches(spark) > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release did not return the session to its prior persisted-RDD count")
+    Dedup.simhash(docs).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    Dedup.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // released relations recompute transparently: the operator still works
+    assert(Dedup.minhashLsh(docs, threshold = 0.5).count() >= 0)
+    Dedup.releaseCaches(spark)
+  }
+
   test("ngram Jaccard prefix filtering is exact: matches the brute-force all-pairs result") {
     val docs = Tables.documents(spark, dir)
     val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)

@@ -228,7 +228,7 @@ class PipelineSpec extends AnyFunSuite {
     val r1 = graft.apps.CorpusPrep.runIncremental(spark,
       graft.sources.Sources.jsonl(spark, batch1, ddl), store)
     assert(r1 == graft.apps.CorpusPrep.IncrementalReport(6, 5, 4, 3, 3))
-    val after1 = spark.read.parquet(s"$store/shards")
+    val after1 = graft.apps.CorpusPrep.readShards(spark, store)
       .select("doc_id", "pos", "shard").as[(Long, Long, Long)].collect().sorted.toSeq
     assert(after1.map(_._1).toSet == Set(1L, 4L, 5L))
     assert(after1.map(_._2).toSet == Set(0L, 1L, 2L))
@@ -238,7 +238,7 @@ class PipelineSpec extends AnyFunSuite {
     val r2 = graft.apps.CorpusPrep.runIncremental(spark,
       graft.sources.Sources.jsonl(spark, batch1, ddl), store)
     assert(r2 == graft.apps.CorpusPrep.IncrementalReport(6, 5, 1, 0, 3))
-    val after2 = spark.read.parquet(s"$store/shards")
+    val after2 = graft.apps.CorpusPrep.readShards(spark, store)
       .select("doc_id", "pos", "shard").as[(Long, Long, Long)].collect().sorted.toSeq
     assert(after2 == after1, "replay mutated the shards")
     // batch 2: d7 = exact dup of stored d1 (fp store hit), d8 novel —
@@ -249,9 +249,51 @@ class PipelineSpec extends AnyFunSuite {
     val r3 = graft.apps.CorpusPrep.runIncremental(spark,
       graft.sources.Sources.jsonl(spark, batch2, ddl), store)
     assert(r3 == graft.apps.CorpusPrep.IncrementalReport(2, 2, 1, 1, 4))
-    val after3 = spark.read.parquet(s"$store/shards")
+    val after3 = graft.apps.CorpusPrep.readShards(spark, store)
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(after3.keySet == Set(1L, 4L, 5L, 8L) && after3(8L) == 3L)
+  }
+
+  test("runIncremental: a crashed partial append is invisible and the retry repairs it") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-crash")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val lines = Seq(
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":2,"text":"one two three four five six","source":"s1","lang":"en"}""")
+    val p = Paths.get(s"$tmp/b.jsonl")
+    Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    def ingest() = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, p.toString, ddl), store)
+    val r1 = ingest()
+    assert(r1.accepted == 2L && r1.totalStored == 2L)
+    // simulate a crash between the shards write and the fp write: the
+    // batch dir exists with shards but no fp and NO _COMMIT marker
+    val batchDir = new java.io.File(s"$store/batches").listFiles().head
+    assert(new java.io.File(batchDir, "_COMMIT").delete())
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(batchDir, "fp"))
+    // readers see an empty (zero-committed-batch) store, not partial state
+    intercept[IllegalArgumentException] {
+      graft.apps.CorpusPrep.readShards(spark, store)
+    }
+    // the retry of the byte-identical batch lands on the same batch id,
+    // overwrites the partial attempt, and commits — state as if the crash
+    // never happened
+    val r2 = ingest()
+    assert(r2.accepted == 2L && r2.totalStored == 2L)
+    val back = graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(back == Map(1L -> 0L, 2L -> 1L) ||
+      back == Map(1L -> 1L, 2L -> 0L))
+    // and a further replay is a no-op
+    val r3 = ingest()
+    assert(r3.accepted == 0L && r3.totalStored == 2L)
   }
 
   test("corpusReport: rollup levels are mutually consistent (leaves sum to subtotals sum to total)") {
