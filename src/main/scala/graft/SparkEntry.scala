@@ -135,6 +135,18 @@ object SparkEntry {
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashLsh(docs.union(copies), threshold = 1.0).drop("jaccard")
     }),
+    // raw-threshold companion (rows-only check, deliberately unoracled):
+    // the planted entry above pins the degenerate threshold-1.0 path, so
+    // an S-curve / banding / verification-threshold regression at a REAL
+    // operating point (0.8 on the raw corpus) would not move it. DuckDB
+    // cannot replay the banding miss probability, so this rides the
+    // driver's rows-only check: a verification-stage regression shifts
+    // the pair count and shows up in CORRECTNESS without an oracle. The
+    // exact pair set at a raw threshold stays pinned by the ScalaTest
+    // brute-force comparisons (OperatorsSpec).
+    "dedup_minhash_raw" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        threshold = 0.8).drop("jaccard")),
     // planted re-encode with doc-unique token prefixes: cross-document
     // token overlap vanishes, so distinct docs' simhash signatures are
     // independent 64-bit draws (P[hamming ≤ 3] ≈ 2.4e-15 per pair; the
@@ -199,6 +211,19 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
         k = 10, numCentroids = 16, nprobe = 4)
+    }),
+    // full-probe trick: with nprobe = numCentroids every query probes
+    // every bucket, so the IVF plumbing (train, assign, probe join,
+    // dedup, rank) runs in full but the result is ANALYTICALLY equal to
+    // brute force — which makes the whole IVF code path DuckDB-hash-
+    // oracle-able (same move as the planted-re-encode LSH oracles). The
+    // partial-probe entry above stays for the recall test.
+    "sim_topk_ivf_full" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
+        k = 10, numCentroids = 16, nprobe = 16)
     }),
 
     // --- north-star: multimodal ---
@@ -521,6 +546,18 @@ object SparkEntry {
                 CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.w) AS dup_token_frac
          FROM t LEFT JOIN agg a USING (doc_id)""",
     "sim_topk_bruteforce" ->
+      """SELECT query_id, vec_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rank <= 10""",
+    // nprobe = numCentroids ⇒ exhaustive probe ⇒ identical to brute force
+    // (the oracle is deliberately the same exact-cosine SQL)
+    "sim_topk_ivf_full" ->
       """SELECT query_id, vec_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -862,6 +899,11 @@ object SparkEntry {
     // sketch-internal (k-means probe sets, winnow minima, HLL/t-digest)
     // — not SQL-expressible in DuckDB; driver records rows-only checks.
     // Verified instead by planted-fixture + recall + native≡declarative
-    // ScalaTests (OperatorsSpec, FuncsSpec, PipelineSpec).
+    // ScalaTests (OperatorsSpec, FuncsSpec, PipelineSpec). sim_topk_ivf's
+    // FULL-probe sibling (sim_topk_ivf_full) IS hash-oracled above.
+    // dedup_minhash_raw: deliberately rows-only — the raw-corpus 0.8
+    // operating point whose banding misses DuckDB cannot replay (see the
+    // entry's comment); its planted sibling dedup_minhash_lsh carries the
+    // full hash oracle.
   )
 }

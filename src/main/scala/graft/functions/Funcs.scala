@@ -151,6 +151,15 @@ object Funcs {
   /** Hamming distance between two 64-bit SimHash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hamming distance between two multi-word signatures (ARRAY<LONG>,
+    * equal length — [[Native.simhashWide]]): per-word popcount of the
+    * xor, summed. */
+  def hammingWide(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03) over
     * pre-hashed k-grams: slide a window of `w` hashes, keep each window's
     * minimum, emit the distinct minima in first-seen order. Guarantees at

@@ -109,6 +109,47 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** simhash_wide(ARRAY<STRING>, words) → ARRAY<LONG>: `words` independent
+    * 64-bit simhashes (per-word xxhash64 seed), concatenated as one
+    * words·64-bit signature for Hamming-banded LSH past the 64-bit
+    * band-key ceiling (see `Dedup.simhash`'s `sigBits`). Word 0 uses seed
+    * 42, so `simhash_wide(t, w)[0] == simhash64(t)` — the wide signature
+    * EXTENDS the narrow one rather than replacing it. */
+  case class SimHashWide(child: Expression, words: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64 * words)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        var w = 0
+        while (w < words) {
+          // seed 42 for word 0 (= SimHash64), then a large odd stride so
+          // word hashes are pairwise-independent xxhash64 instances
+          val h = XxHash64Function.hash(s, StringType, 42L + 1000003L * w)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(64 * w + j) += 1
+            else counts(64 * w + j) -= 1
+            j += 1
+          }
+          w += 1
+        }
+        i += 1
+      }
+      val sigs = new Array[Long](words)
+      var k = 0
+      while (k < 64 * words) {
+        if (counts(k) > 0) sigs(k / 64) |= (1L << (k % 64))
+        k += 1
+      }
+      new GenericArrayData(sigs)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** winnow(ARRAY<LONG>, w) → ARRAY<LONG>: sliding-window minima of the
     * k-gram hash sequence, distinct in first-seen order — one O(n) pass
     * with a monotonic deque vs. the declarative form's O(n·w) HoF chain
@@ -336,6 +377,7 @@ object Native {
     "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intLit(exprs(1), "k"))),
     "graft_simhash" -> (exprs => SimHash64(exprs(0))),
+    "graft_simhash_wide" -> (exprs => SimHashWide(exprs(0), intLit(exprs(1), "words"))),
     "graft_winnow" -> (exprs => WinnowMins(exprs(0), intLit(exprs(1), "w"))),
     "graft_max_freq" -> (exprs => MaxFreqCount(exprs(0))),
     "graft_sorted_intersect" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
@@ -372,6 +414,8 @@ object Native {
   def minhashSig(shingles: Column, k: Int = Funcs.DefaultMinHashK): Column =
     call_function("graft_minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def simhashWide(tokens: Column, words: Int): Column =
+    call_function("graft_simhash_wide", tokens, org.apache.spark.sql.functions.lit(words))
   def winnow(hashes: Column, w: Int): Column =
     call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
   def maxFreq(a: Column): Column = call_function("graft_max_freq", a)

@@ -176,27 +176,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup: 64-bit signature per doc; candidate pairs share one
-    * of (maxHamming+1) signature bands (pigeonhole: h flipped bits cannot
-    * touch all h+1 bands, so Hamming ≤ maxHamming ⇒ some band equal —
-    * LOSSLESS recall at any maxHamming ≤ 63), then exact Hamming
-    * verification. Same equi-join-on-sketch-key scaling AND the same
-    * hot-bucket skew guard as MinHash-LSH: an over-cap band key (e.g.
-    * thousands of identical boilerplate docs ⇒ identical sigs) degrades to
-    * O(m) consecutive-id chaining instead of an m² self-join. */
-  def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+  /** SimHash near-dup: `sigBits`-bit signature per doc; candidate pairs
+    * share one of (maxHamming+1) signature bands (pigeonhole: h flipped
+    * bits cannot touch all h+1 bands, so Hamming ≤ maxHamming ⇒ some band
+    * equal — LOSSLESS recall at any maxHamming < sigBits), then exact
+    * Hamming verification. Same equi-join-on-sketch-key scaling AND the
+    * same hot-bucket skew guard as MinHash-LSH: an over-cap band key
+    * (e.g. thousands of identical boilerplate docs ⇒ identical sigs)
+    * degrades to O(m) consecutive-id chaining instead of an m² self-join.
+    *
+    * BAND-KEY CEILING: a band of w bits has 2^w possible keys, so once
+    * the corpus grows past ~maxBucketSize·2^w docs EVERY bucket of that
+    * band is expected over the cap, the skew guard chains everything,
+    * and banded recall silently collapses to near-adjacent ids. With the
+    * default 64-bit signature and maxHamming=3 (4×16-bit bands) that is
+    * ~4M docs at the default cap. Past it, pass `sigBits = 128`
+    * ([[Native.simhashWide]], 4×32-bit bands → ceiling ~10¹¹ docs; note
+    * Hamming distances roughly double for the same similarity, so scale
+    * `maxHamming` accordingly). Pass the (approximate) `corpusSize` to
+    * make the operator REFUSE a saturated configuration instead of
+    * degrading silently.
+    *
+    * @param sigBits    signature width in bits: 64 (single-long, the
+    *                   default) or any multiple of 64 (ARRAY<LONG> wide
+    *                   signature)
+    * @param corpusSize optional document-count hint; when ≥ 0 the
+    *                   operator requires that even the widest band's key
+    *                   space is not saturated (corpusSize ≤
+    *                   maxBucketSize·2^maxWidth) and throws with the
+    *                   remedy otherwise */
+  def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 64,
+      sigBits: Int = 64, corpusSize: Long = -1L): DataFrame = {
     val nBands = maxHamming + 1
-    require(nBands >= 2 && nBands <= 64, s"maxHamming must be in [1, 63], got $maxHamming")
-    // band widths: 64 bits split as evenly as possible over h+1 bands
-    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    require(sigBits >= 64 && sigBits % 64 == 0,
+      s"sigBits must be a positive multiple of 64, got $sigBits")
+    require(nBands >= 2 && nBands <= sigBits,
+      s"maxHamming must be in [1, ${sigBits - 1}], got $maxHamming")
+    // band widths: sigBits split as evenly as possible over h+1 bands
+    val widths = Array.tabulate(nBands)(i => sigBits / nBands + (if (i < sigBits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val bandKeys = (0 until nBands).map { i =>
-      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
-      shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
+    val maxWidth = widths.max
+    if (corpusSize >= 0) {
+      val capacity =
+        if (maxWidth >= 62) Long.MaxValue else maxBucketSize.toLong << maxWidth
+      require(corpusSize <= capacity,
+        s"simhash band keys saturate: $corpusSize docs over $nBands bands of ≤$maxWidth bits " +
+          s"puts every bucket of every band over maxBucketSize=$maxBucketSize, so the skew " +
+          "guard would chain ALL candidates and banded recall would collapse to " +
+          s"near-adjacent ids — widen the signature (sigBits = ${sigBits * 2}) " +
+          "or raise maxBucketSize")
     }
-    val sigs = documents.select(
-      col("doc_id").as("id"),
-      Native.simhash(Funcs.tokens(col("text"))).as("sig"))
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    // band i = bits [starts(i), starts(i)+widths(i)) of the signature;
+    // for wide signatures bit k lives in word k/64, and a band crossing a
+    // word boundary stitches its low part from word w0 and high part from
+    // word w0+1 (widths ≤ 64 always, so at most two words contribute)
+    val bandKeys = (0 until nBands).map { i =>
+      if (sigBits == 64)
+        shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask(widths(i))))
+      else {
+        val w0 = starts(i) / 64
+        val off = starts(i) % 64
+        val fromW0 = math.min(widths(i), 64 - off)
+        val low = shiftright(element_at(col("sig"), w0 + 1), off).bitwiseAND(lit(mask(fromW0)))
+        if (fromW0 == widths(i)) low
+        else low.bitwiseOR(shiftleft(
+          element_at(col("sig"), w0 + 2).bitwiseAND(lit(mask(widths(i) - fromW0))), fromW0))
+      }
+    }
+    val sigExpr =
+      if (sigBits == 64) Native.simhash(Funcs.tokens(col("text")))
+      else Native.simhashWide(Funcs.tokens(col("text")), sigBits / 64)
+    val sigs = documents.select(col("doc_id").as("id"), sigExpr.as("sig"))
     // (band, key) per doc; persisted (3 longs/doc/band) so the
     // tokenize+simhash scan runs once, not once per self-join side; the
     // sig rides along as payload so Hamming verification needs no join-back
@@ -204,8 +255,11 @@ object Dedup {
       col("id"), col("sig"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
       .transform(Caches.persisted)
+    val ham =
+      if (sigBits == 64) Funcs.hamming64(col("sig_a"), col("sig_b"))
+      else Funcs.hammingWide(col("sig_a"), col("sig_b"))
     guardedCandidatePairs(quads, Seq("sig"), maxBucketSize)
-      .withColumn("hamming", Funcs.hamming64(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -193,6 +193,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"banding lost ${brute.diff(got).size} pairs")
   }
 
+  test("simhash refuses a saturated band-key space and the 128-bit signature clears it") {
+    val docs = (1 to 10).map(i => (i.toLong, s"doc $i words w$i")).toDF("doc_id", "text")
+    // 10^10 docs over 4×16-bit bands at cap 64: every bucket of every band
+    // is expected ~40000× over cap — the operator must refuse, not chain
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhash(docs, maxHamming = 3, corpusSize = 10000000000L)
+    }
+    assert(ex.getMessage.contains("saturate") && ex.getMessage.contains("sigBits = 128"))
+    // the advertised remedy works: 128-bit sig → 4×32-bit bands, whose key
+    // space holds ~2.7e11 docs at the same cap
+    assert(Dedup.simhash(docs, maxHamming = 3, sigBits = 128, corpusSize = 10000000000L)
+      .columns.toSeq == Seq("id_a", "id_b", "hamming"))
+  }
+
+  test("128-bit simhash: banding is pigeonhole-lossless vs wide-signature brute force; word 0 extends the 64-bit sig") {
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, (1 to 40).map(j => s"t${(i * 7 + j * 13) % 90}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // 128-bit hamming ≈ double the 64-bit distance for the same
+    // similarity: planted identical docs still land at 0
+    val planted = corpus.unionByName(
+      corpus.filter($"doc_id" <= 3).select(($"doc_id" + 100).as("doc_id"), $"text"))
+    val got = Dedup.simhash(planted, maxHamming = 7, sigBits = 128, maxBucketSize = 1000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sigs = planted.select($"doc_id",
+      graft.functions.Native.simhashWide(graft.functions.Funcs.tokens($"text"), 2).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(graft.functions.Funcs.hammingWide($"a.sig", $"b.sig") <= 7)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"wide banding lost ${brute.diff(got).size} pairs")
+    assert(Set((1L, 101L), (2L, 102L), (3L, 103L)).subsetOf(got))
+    // word 0 of the wide signature IS the 64-bit signature (seed-compatible)
+    val both = planted.select(
+      graft.functions.Native.simhash(graft.functions.Funcs.tokens($"text")).as("s64"),
+      element_at(graft.functions.Native.simhashWide(
+        graft.functions.Funcs.tokens($"text"), 2), 1).as("w0"))
+    assert(both.filter($"s64" =!= $"w0").isEmpty)
+  }
+
   test("releaseCaches drops every sketch relation an operator persisted (no session-lifetime leak)") {
     val docs = (1 to 30).map(i => (i.toLong, (1 to 20).map(j => s"c${i}t$j").mkString(" ")))
       .toDF("doc_id", "text")
