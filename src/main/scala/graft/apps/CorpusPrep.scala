@@ -38,11 +38,20 @@ object CorpusPrep {
   /** Run the full prep over `documents`, writing train shards to
     * `outDir`. Returns the per-stage report. Thresholds are the operator
     * defaults scaled for the tiny synthetic corpus; a production run
-    * passes its own. */
+    * passes its own.
+    *
+    * @param gate the quality gate applied to the normalized corpus —
+    *             any `DataFrame => DataFrame` that filters rows (e.g.
+    *             `d => d.join(TextAnalysis.gopherFilter(d).filter(col(
+    *             "keep") === 1).select("doc_id"), Seq("doc_id"))` for the
+    *             Gopher composite on a prose corpus). Defaults to the
+    *             token-count gate in [minTokens, maxTokens] — the
+    *             synthetic fixture would fail Gopher's stopword rule. */
   def run(spark: SparkSession, documents: DataFrame, outDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       jaccard: Double = 0.8, ngram: Int = 3, contamN: Int = 8,
-      spanN: Int = 8, shardSize: Long = 64L): Report = {
+      spanN: Int = 8, shardSize: Long = 64L,
+      gate: Option[DataFrame => DataFrame] = None): Report = {
     val ingested = documents.count()
 
     // 1. normalize text once; all downstream stages read the normal form
@@ -50,8 +59,9 @@ object CorpusPrep {
       .join(TextAnalysis.normalizeText(documents).select("doc_id", "text_norm"), Seq("doc_id"))
       .drop("text").withColumnRenamed("text_norm", "text")
 
-    // 2. length gate (map-side; the composite Gopher gate is available for
-    //    prose corpora — the synthetic fixture would fail its stopword rule).
+    // 2. quality gate (map-side; pluggable via `gate` — default is the
+    //    token-count gate, the Gopher composite being the documented
+    //    alternative for prose corpora).
     //    Persisted: every later stage (dedup scans, decontamination grams,
     //    packing) reads the gated corpus — without it each per-stage count
     //    action re-runs the ingest+normalize scan.
@@ -59,7 +69,9 @@ object CorpusPrep {
     //    operator uses, so the gate's token count agrees with packing /
     //    decontamination structurally, not just post-normalization.
     val nToks = size(graft.functions.Funcs.tokens(col("text"))).cast("bigint")
-    val gated = normed.filter(nToks >= minTokens && nToks <= maxTokens)
+    val lengthGate: DataFrame => DataFrame =
+      _.filter(nToks >= minTokens && nToks <= maxTokens)
+    val gated = gate.getOrElse(lengthGate)(normed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualityKept = gated.count()
 
@@ -135,9 +147,10 @@ object CorpusPrep {
     *   documented online/offline recall split) → append to train shards.
     *
     * Store layout under `storeDir`: `batches/b_<batchId>/{shards,fp,sig,
-    * meta}` plus an empty `_COMMIT` marker written LAST — one directory
-    * per ingested batch holding that batch's accepted content
-    * fingerprints (`fp`), simhash signatures (`sig`), pos-ordered
+    * mh,meta}` plus an empty `_COMMIT` marker written LAST — one
+    * directory per ingested batch holding that batch's accepted content
+    * fingerprints (`fp`), simhash signatures (`sig`), minhash band keys
+    * + signatures (`mh`, the banded near-dup probe), pos-ordered
     * training shards (`shards`), and one accepted-count row (`meta`, so
     * the stored-corpus size is a tiny-relation sum rather than a shard
     * rescan). Readers union only COMMITTED batch directories, which makes
@@ -163,7 +176,7 @@ object CorpusPrep {
     * re-read a store path mid-append. */
   def runIncremental(spark: SparkSession, batch: DataFrame, storeDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
-      shardSize: Long = 64L): IncrementalReport = {
+      shardSize: Long = 64L, nearDupJaccard: Double = 0.8): IncrementalReport = {
     import graft.functions.{Funcs, Native}
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
@@ -211,11 +224,37 @@ object CorpusPrep {
     // signature near-dup: one sig per novel doc, collapse in-batch by
     // sig (min doc_id keeper), then drop sigs the store has seen
     val sigStore = readStore("sig", "sig BIGINT")
-    val acceptedSigs = novelDocs
+    val sigCands = novelDocs
       .select(col("doc_id"), Native.simhash(Funcs.tokens(col("text"))).as("sig"))
       .groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
       .join(sigStore, Seq("sig"), "left_anti")
       .select(col("doc_id"), col("sig"))
+
+    // banded-minhash near-dup vs the store: the exact-signature stage
+    // only collapses docs whose simhash is IDENTICAL (re-encodes,
+    // reorderings); a small edit changes the signature and would slip
+    // through until the periodic batch pass. Each accepted doc also
+    // stores its minhash band keys + signature (append-only, like fp/
+    // sig); a candidate colliding with a stored doc on ANY band is
+    // verified by the classic signature-agreement Jaccard estimate
+    // (matching positions / k) and rejected at ≥ nearDupJaccard. Online
+    // recall is the banding S-curve's, not exact — the pair-verified
+    // batch canonicalization remains the periodic ground truth (the
+    // documented online/offline split).
+    val mhStore = readStore("mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>")
+    val candMh = gated.join(sigCands.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        Native.minhashFromTokens(Funcs.tokens(col("text")), 3, 16).as("msig"))
+      .select(col("doc_id"), col("msig"),
+        posexplode(Funcs.lshBandKeys(col("msig"), 4, 4)).as(Seq("band", "bkey")))
+    val mhRejected = candMh.join(mhStore, Seq("band", "bkey"))
+      .filter(
+        aggregate(zip_with(col("msig"), col("sig"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / 16.0 >= nearDupJaccard)
+      .select("doc_id").distinct()
+    val acceptedSigs = sigCands.join(mhRejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val acceptedBands = candMh.join(mhRejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val accepted = gated.join(acceptedSigs.select("doc_id"), Seq("doc_id"))
     val acceptedCount = acceptedSigs.count()
@@ -246,6 +285,8 @@ object CorpusPrep {
       novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
         .select("fp", "keep_id").write.mode("overwrite").parquet(s"$batchDir/fp")
       acceptedSigs.select("sig").write.mode("overwrite").parquet(s"$batchDir/sig")
+      acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"))
+        .write.mode("overwrite").parquet(s"$batchDir/mh")
       import spark.implicits._
       Seq(acceptedCount).toDF("accepted")
         .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/meta")

@@ -50,6 +50,16 @@ object Dedup {
     * cluster's other bands. The hot-key list is tiny after the
     * partial-aggregated count, so it broadcasts.
     *
+    * When the guard trips it is OBSERVABLE: the plan carries a
+    * `graft_skew_guard` observation (`hot_buckets`, `hot_rows`) that a
+    * `QueryExecutionListener` (or `observedMetrics` on the
+    * `QueryExecution`) reads after any action — zero runtime cost, no
+    * extra job, and a caller consuming raw pairs can alert on recall
+    * degradation instead of discovering it downstream. ABSENCE of the
+    * observation means zero trips: with no hot keys, AQE's empty-
+    * relation propagation may prune the branch (and its CollectMetrics
+    * node) entirely.
+    *
     * Output: (`id_a`, `id_b`[, `<p>_a`, `<p>_b` per payload column]),
     * deduped on the id pair. */
   private def guardedCandidatePairs(
@@ -59,15 +69,25 @@ object Dedup {
     val hot = keyed.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
+    // the observation wraps only the anti-join instance (a second
+    // CollectMetrics with the same name elsewhere in one query would be
+    // rejected by the analyzer); metrics: over-cap bucket count + the
+    // rows inside them — the population whose pair-level recall is
+    // degraded to chaining
+    val hotObs = hot
+      .observe("graft_skew_guard",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("bsz")), lit(0L)).as("hot_rows"))
       .select("band", "bkey")
+    val hotKeys = hot.select("band", "bkey")
     def sided(suffix: String): Seq[Column] =
       col("id").as(s"id$suffix") +: payload.map(p => col(p).as(s"$p$suffix"))
-    val cold = keyed.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val cold = keyed.join(broadcast(hotObs), Seq("band", "bkey"), "left_anti")
     val coldPairs = cold.select((col("band") +: col("bkey") +: sided("_a")): _*)
       .join(cold.select((col("band") +: col("bkey") +: sided("_b")): _*), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .drop("band", "bkey")
-    val hotPairs = keyed.join(broadcast(hot), Seq("band", "bkey"))
+    val hotPairs = keyed.join(broadcast(hotKeys), Seq("band", "bkey"))
       .withColumn("nxt", lead(struct(col("id") +: payload.map(col): _*), 1).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
@@ -274,6 +294,17 @@ object Dedup {
     * Multi-probe (nprobe ≥ 2) recovers pairs that straddle a cluster
     * boundary. No data-dependent label column is used; numCentroids
     * scales the blocking (≈ √(n / target bucket size)).
+    *
+    * Over-cap buckets and pair-level recall: inside a bucket the skew
+    * guard degrades (> maxBucketSize members), only consecutive-id CHAIN
+    * pairs are emitted, and a chain pair between non-identical neighbors
+    * can fail the cosine verify — so pair-level recall in an over-cap
+    * bucket is guaranteed only for IDENTICAL vectors (identical ⇒ every
+    * chain link verifies at any threshold). Non-identical near-dups in a
+    * dense bucket need [[connectedComponents]] downstream to recover
+    * transitive connectivity; callers consuming RAW pairs should watch
+    * the `graft_skew_guard` observation ([[guardedCandidatePairs]]) and
+    * treat a tripped guard as a recall warning.
     */
   def embeddingNearDup(
       embeddings: DataFrame,

@@ -432,6 +432,14 @@ object StreamOps {
     * key — the same bound Kafka Streams' window store retention gives.
     * Events arriving LATER than that horizon are dropped (grace-0 late
     * rule; counting them against the pruned buffer would undercount).
+    *
+    * Per-batch work is LINEAR in the buffer (plus the sort): the dirty-
+    * anchor test and the per-anchor counts are monotone-pointer sweeps
+    * over the sorted buffer — anchors ascend, so "first incoming ≥ t"
+    * and the [t, t+size) count bounds only ever move forward. (The first
+    * cut recomputed each dirty window with an O(buffer) count — O(dirty
+    * × buffer) per key per trigger, a quadratic a dense hot key pays for
+    * no reason; a dense-key golden pins the fixed cost.)
     */
   def slidingCount(events: Dataset[SlidingEvent], sizeMillis: Long)(
       implicit spark: SparkSession): Dataset[SlidingCount] = {
@@ -446,18 +454,39 @@ object StreamOps {
           // pruned buffer and emit UNDERCOUNTED windows — drop it instead,
           // exactly as the watermark drops late rows in the built-in ops.
           val horizon0 = if (old.isEmpty) Long.MinValue else old.max - sizeMillis
-          val incoming = rows.map(_.eventTime.getTime).filter(_ >= horizon0).toSeq
-          val all = (old ++ incoming).sorted
-          // windows whose counts changed: anchors t with [t, t+size) ∋ any new event
-          val dirty = all.filter(t => incoming.exists(e => e >= t && e < t + sizeMillis)).distinct
-          val out = dirty.map { t =>
-            SlidingCount(key, new java.sql.Timestamp(t),
-              all.count(e => e >= t && e < t + sizeMillis).toLong)
+          val incoming = rows.map(_.eventTime.getTime).filter(_ >= horizon0).toArray
+          java.util.Arrays.sort(incoming)
+          val all = new Array[Long](old.length + incoming.length)
+          old.copyToArray(all)
+          System.arraycopy(incoming, 0, all, old.length, incoming.length)
+          java.util.Arrays.sort(all)
+          // one ascending pass over distinct anchors t: ip = first incoming
+          // ≥ t (anchor is dirty iff that event lands in [t, t+size)),
+          // lo/hi = the buffer indices bounding [t, t+size) — all three
+          // pointers are monotone, so the whole emit pass is O(n)
+          val out = Seq.newBuilder[SlidingCount]
+          var ip = 0
+          var lo = 0
+          var hi = 0
+          var i = 0
+          while (i < all.length) {
+            val t = all(i)
+            if (i == 0 || t != all(i - 1)) {
+              while (ip < incoming.length && incoming(ip) < t) ip += 1
+              if (ip < incoming.length && incoming(ip) < t + sizeMillis) {
+                while (lo < all.length && all(lo) < t) lo += 1
+                while (hi < all.length && all(hi) < t + sizeMillis) hi += 1
+                out += SlidingCount(key, new java.sql.Timestamp(t), (hi - lo).toLong)
+              }
+            }
+            i += 1
           }
           // evict timestamps that can no longer fall into a future window
-          val horizon = if (all.isEmpty) Long.MinValue else all.max - sizeMillis
-          state.update(all.filter(_ >= horizon))
-          out.iterator
+          if (all.nonEmpty) {
+            val horizon = all(all.length - 1) - sizeMillis
+            state.update(all.dropWhile(_ < horizon).toSeq)
+          } else state.update(Seq.empty)
+          out.result().iterator
       }
   }
 }

@@ -150,6 +150,32 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("2025-01-01 12:10:00" -> 1L, "2025-01-01 12:16:00" -> 1L))
   }
 
+  test("T7 dense key: 20k events inside one window span process in linear time with exact counts") {
+    // all events share one key and fit inside a single 5-min window span
+    // (20k × 10 ms = 200 s), so every anchor is dirty every batch — the
+    // adversarial shape for the old O(dirty × buffer) recount (~8×10⁸
+    // comparisons here); the monotone-pointer sweep does one linear pass
+    val in = MemoryStream[StreamOps.SlidingEvent]
+    val base = ts("2025-01-01 12:00:00").getTime
+    val q = StreamOps.slidingCount(in.toDS(), 5 * 60 * 1000L).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("golden_dense").start()
+    q.processAllAvailable() // pay query-start cost outside the timing
+    in.addData((0 until 20000).map(i =>
+      StreamOps.SlidingEvent("hot", new java.sql.Timestamp(base + i * 10L))): _*)
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val got = spark.table("golden_dense")
+      .select($"windowStart", $"cnt").as[(java.sql.Timestamp, Long)].collect().toMap
+    // anchor i's window [t_i, t_i+5min) covers every later event: cnt = 20000 − i
+    assert(got.size == 20000)
+    (0 until 20000 by 997).foreach { i =>
+      assert(got(new java.sql.Timestamp(base + i * 10L)) == (20000 - i).toLong)
+    }
+    assert(secs < 5.0, f"dense-key batch took $secs%.1f s — the recount has gone quadratic again")
+  }
+
   test("T8 golden: stream-stream join matches within ±5 min, drops unmatched (StreamStreamJoinExample.java:48-78,163-168)") {
     val orders = MemoryStream[(String, String, java.sql.Timestamp)]
     val payments = MemoryStream[(String, String, java.sql.Timestamp)]

@@ -232,6 +232,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both.filter($"s64" =!= $"w0").isEmpty)
   }
 
+  test("skew guard trip is observable: graft_skew_guard metrics report over-cap buckets and rows") {
+    // identical-doc flood at cap 8 → every band bucket hot (the planted
+    // shape from the chaining tests); the observation must report it
+    val docs = ((1 to 50).map(i => (i.toLong, "same boilerplate text here")) :+
+      (999L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    @volatile var seen: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get("graft_skew_guard").foreach { row =>
+          seen = Some((row.getAs[Long]("hot_buckets"), row.getAs[Long]("hot_rows")))
+        }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.simhash(docs, maxHamming = 3, maxBucketSize = 8).count()
+      val deadline1 = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline1) Thread.sleep(50)
+      assert(seen.isDefined, "skew-guard observation never surfaced")
+      val (buckets, rows) = seen.get
+      // 50 identical sigs over 4 bands → 4 hot buckets of 50 rows each
+      assert(buckets == 4L && rows == 200L)
+      // quiet corpus: no trip → either a zero row or NO observation at
+      // all (AQE's empty-relation propagation prunes the empty hot-key
+      // branch together with its CollectMetrics node — absence = zero)
+      seen = None
+      Dedup.simhash(docs.filter($"doc_id" > 40), maxHamming = 3, maxBucketSize = 64).count()
+      Thread.sleep(500)
+      assert(seen.isEmpty || seen.contains((0L, 0L)))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("releaseCaches drops every sketch relation an operator persisted (no session-lifetime leak)") {
     val docs = (1 to 30).map(i => (i.toLong, (1 to 20).map(j => s"c${i}t$j").mkString(" ")))
       .toDF("doc_id", "text")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Pipeline
+import graft.operators.{Pipeline, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -204,6 +204,26 @@ class PipelineSpec extends AnyFunSuite {
       .forall(back.columns.contains))
   }
 
+  test("CorpusPrep.run accepts a pluggable quality gate and the stage counts reflect it") {
+    import org.apache.spark.sql.DataFrame
+    val out = java.nio.file.Files.createTempDirectory("graft-prep-gate").toString
+    // the documented Gopher-composite shape, thresholds loosened so the
+    // synthetic corpus passes every rule except the even-id restriction
+    // added on top — the gate is pluggable, not just the length filter
+    val gate: DataFrame => DataFrame = d => d
+      .join(TextAnalysis.gopherFilter(d, minTokens = 1L, maxTokens = 1000000L,
+          minMeanTokLen = 0.0, maxMeanTokLen = 1e9, maxTopUnigramFrac = 1.0,
+          maxDupTokenFrac = 1.0, minStopwords = 0L)
+        .filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+    val r = graft.apps.CorpusPrep.run(spark, docs, out, gate = Some(gate))
+    assert(r.qualityKept == docs.filter(col("doc_id") % 2 === 0).count(),
+      "custom gate was not the one applied")
+    assert(r.qualityKept < r.ingested) // it actually gated
+    assert(r.spanKept <= r.qualityKept && r.exactKept <= r.spanKept &&
+      r.nearDupKept <= r.exactKept && r.trainRows > 0 && r.shardsWritten > 0)
+  }
+
   test("runIncremental: exact + signature dedup vs the store, replay idempotent, positions continue") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-incr")
@@ -252,6 +272,48 @@ class PipelineSpec extends AnyFunSuite {
     val after3 = graft.apps.CorpusPrep.readShards(spark, store)
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(after3.keySet == Set(1L, 4L, 5L, 8L) && after3(8L) == 3L)
+  }
+
+  test("runIncremental: banded-minhash store rejects a NEAR-dup (edited, sig-distinct) later-batch doc; replay no-op") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-mh")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val toks = (1 to 100).map(i => s"tok$i")
+    val orig = toks.mkString(" ")
+    // two edits far apart: Jaccard ≈ 0.89 — near-dup but NOT identical
+    val edited = toks.updated(10, "EDITa").updated(80, "EDITb").mkString(" ")
+    def writeJsonl(name: String, docs: Seq[(Long, String)]): String = {
+      val p = Paths.get(s"$tmp/$name")
+      Files.write(p, docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t","source":"s0","lang":"en"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    def ingest(path: String) = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, path, ddl), store)
+    val rA = ingest(writeJsonl("a.jsonl",
+      Seq(1L -> orig, 2L -> "completely different words here now")))
+    assert(rA.accepted == 2L)
+    // the edit flips the simhash (normalizeText lowercases; use the same
+    // normal form), so the EXACT-sig stage alone cannot reject it — the
+    // rejection below provably comes from the banded-minhash stage
+    val sigs = Seq(orig, edited).toDF("text")
+      .select(graft.functions.Native.simhash(
+        graft.functions.Funcs.tokens(lower($"text")))).as[Long].collect()
+    assert(sigs(0) != sigs(1), "edit did not change the simhash; fixture is too weak")
+    val rB = ingest(writeJsonl("b.jsonl",
+      Seq(3L -> edited, 4L -> "another novel unrelated document entirely")))
+    assert(rB.novelExact == 2L, "edited doc should pass the exact-fp stage")
+    assert(rB.accepted == 1L, "edited near-dup must be rejected by the band store")
+    assert(rB.totalStored == 3L)
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // replay of batch B: doc 4's fp is stored, doc 3 is re-rejected — no-op
+    val rB2 = ingest(writeJsonl("b2.jsonl",
+      Seq(3L -> edited, 4L -> "another novel unrelated document entirely")))
+    assert(rB2.accepted == 0L && rB2.totalStored == 3L)
   }
 
   test("runIncremental: a crashed partial append is invisible and the retry repairs it") {
