@@ -35,6 +35,12 @@ object SparkEntry {
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   private val FmtTsSql = "%Y-%m-%d %H:%M:%S.%f" // DuckDB strftime equivalent
 
+  // 64 deterministic integer milli-weights in [-1000, 1000] for the
+  // text_model_score fixture (Knuth multiplicative scramble); the SAME
+  // literal feeds the Spark query and the DuckDB oracle
+  private val DemoWeightsMilli: Seq[Long] =
+    (0 until 64).map(i => (i * 2654435761L) % 2001L - 1000L)
+
   /** Synthetic multimodal payload over `documents`: text bytes behind a
     * planted container header by doc_id (0→JPEG, 1→PNG, 2→RIFF, 3→none)
     * — the sandbox stand-in for a real media column, built identically in
@@ -289,6 +295,11 @@ object SparkEntry {
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    // model-based quality scoring plumbing: the weights are an arbitrary
+    // deterministic fixture (a real run loads trained ones); the oracle
+    // pins the feature hashing + exact integer scoring arithmetic
+    "text_model_score" -> ((s, d) =>
+      TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
 
     // --- north-star: corpus-prep pipeline ---
     "pipeline_hash_split" -> ((s, d) => Pipeline.hashSplit(Tables.documents(s, d))),
@@ -675,6 +686,15 @@ object SparkEntry {
            FROM documents)""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "text_model_score" ->
+      s"""WITH w AS (SELECT [${DemoWeightsMilli.mkString(", ")}] AS wt),
+            s AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(string_split(text, ' '),
+                      t -> wt[(('0x' || substr(md5(t), 1, 4))::INT % 64) + 1])) AS BIGINT)
+                      AS logit_milli
+                  FROM documents, w)
+          SELECT doc_id, logit_milli,
+                 CAST(logit_milli >= 0 AS BIGINT) AS keep FROM s""",
     "text_normalize" ->
       """SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,

@@ -174,30 +174,54 @@ object CorpusPrep {
     * while small and co-shuffles when grown; the accepted-batch relations
     * are localCheckpoint'ed before any store write so no lineage can
     * re-read a store path mid-append. */
+  /** Committed, non-superseded batch directories — the only state any
+    * store reader sees. A committed compaction directory lists the
+    * source directories it replaced in its `_COMPACTED_FROM` manifest;
+    * those are excluded here even if still on disk, which is what makes
+    * [[compactStore]]'s commit atomic (deleting sources afterwards is
+    * mere garbage collection). */
+  private def committedBatches(spark: SparkSession, storeDir: String): Seq[String] = {
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
+    val fs = batchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(batchesPath)) return Seq.empty
+    val committed = fs.listStatus(batchesPath).toSeq
+      .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
+      .map(_.getPath)
+    val superseded: Set[String] = committed.flatMap { p =>
+      val m = new org.apache.hadoop.fs.Path(p, "_COMPACTED_FROM")
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      } else Nil
+    }.toSet
+    committed.filterNot(p => superseded.contains(p.getName)).map(_.toString)
+  }
+
+  /** Union-read relation `name` across the given batch dirs with an
+    * explicit schema; empty DataFrame when no dir carries it. */
+  private def readStoreIn(spark: SparkSession, dirs: Seq[String],
+      name: String, ddl: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = dirs.map(d => s"$d/$name").filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).exists(path)
+    }
+    if (paths.nonEmpty) spark.read.schema(ddl).parquet(paths: _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
   def runIncremental(spark: SparkSession, batch: DataFrame, storeDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       shardSize: Long = 64L, nearDupJaccard: Double = 0.8): IncrementalReport = {
     import graft.functions.{Funcs, Native}
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def exists(p: String): Boolean = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(hconf).exists(path)
-    }
-    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
-    val fs = batchesPath.getFileSystem(hconf)
-    // committed batch directories — the only state any reader sees
-    val committed: Seq[String] =
-      if (fs.exists(batchesPath))
-        fs.listStatus(batchesPath).toSeq
-          .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
-          .map(_.getPath.toString)
-      else Seq.empty
-    def readStore(name: String, ddl: String): DataFrame = {
-      val paths = committed.map(d => s"$d/$name").filter(exists)
-      if (paths.nonEmpty) spark.read.schema(ddl).parquet(paths: _*)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    }
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedBatches(spark, storeDir)
+    def readStore(name: String, ddl: String): DataFrame =
+      readStoreIn(spark, committed, name, ddl)
 
     val batchRows = batch.count()
     // deterministic content id: order-independent hash over (doc_id, text)
@@ -297,27 +321,73 @@ object CorpusPrep {
       base + acceptedCount)
   }
 
-  /** The stored corpus as one DataFrame — the union of every COMMITTED
-    * batch's shard slice (uncommitted crash leftovers are invisible).
-    * This is the reader every consumer of a [[runIncremental]] store
-    * should use; reading `storeDir` recursively would see partial state. */
+  /** The stored corpus as one DataFrame — the union of every COMMITTED,
+    * non-superseded batch's shard slice (uncommitted crash leftovers and
+    * compacted-away sources are invisible). This is the reader every
+    * consumer of a [[runIncremental]] store should use; reading
+    * `storeDir` recursively would see partial state. */
   def readShards(spark: SparkSession, storeDir: String): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
-    val fs = batchesPath.getFileSystem(hconf)
-    val paths =
-      if (fs.exists(batchesPath))
-        fs.listStatus(batchesPath).toSeq
-          .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
-          .map(s => s"${s.getPath}/shards")
-      else Seq.empty
+    val paths = committedBatches(spark, storeDir).map(d => s"$d/shards")
     require(paths.nonEmpty, s"no committed batches under $storeDir/batches")
     // per-batch reads unioned by name: each batch dir carries its own
     // shard=N partition layout, so a multi-root read would need a common
     // basePath that the b_<id> level breaks. One scan node per batch is
-    // fine at an ingest cadence; a store with thousands of batches wants
-    // a periodic compaction pass anyway (also the near-dup batch job).
+    // fine at an ingest cadence; [[compactStore]] is the periodic pass
+    // that folds them back to one.
     paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+  }
+
+  /** Fold every committed batch into ONE batch directory — the periodic
+    * maintenance pass that keeps [[readShards]] (and the fp/sig/mh probe
+    * reads) at one scan node regardless of how many ingest batches have
+    * accumulated. Returns the number of source batches folded (0 = store
+    * had ≤ 1 active batch; nothing was written).
+    *
+    * Crash safety uses SUPERSESSION, not ordering: the compacted
+    * directory (deterministic name from the sorted source list, so a
+    * retry overwrites the same dir) records its sources in a
+    * `_COMPACTED_FROM` manifest written before its `_COMMIT`. Readers
+    * ([[committedBatches]]) skip any committed directory named by
+    * another committed directory's manifest, so the single `_COMMIT`
+    * create atomically swaps N sources for their union — there is no
+    * window where readers see both or neither. A crash before the commit
+    * leaves the originals authoritative; deleting the sources afterwards
+    * (`gc = true`) is pure garbage collection that can crash or be
+    * skipped with no correctness effect.
+    *
+    * Positions/shards are copied verbatim (they are already globally
+    * assigned and disjoint across batches), re-clustered by shard so the
+    * compacted layout is one pos-sorted partition tree. */
+  def compactStore(spark: SparkSession, storeDir: String, gc: Boolean = true): Int = {
+    val sources = committedBatches(spark, storeDir)
+    if (sources.length <= 1) return 0
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    val cid = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = s"$storeDir/batches/c_$cid"
+    sources.map(p => spark.read.parquet(s"$p/shards")).reduce(_.unionByName(_))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/shards")
+    readStoreIn(spark, sources, "fp", "fp STRING, keep_id BIGINT")
+      .write.mode("overwrite").parquet(s"$dir/fp")
+    readStoreIn(spark, sources, "sig", "sig BIGINT")
+      .write.mode("overwrite").parquet(s"$dir/sig")
+    readStoreIn(spark, sources, "mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>")
+      .write.mode("overwrite").parquet(s"$dir/mh")
+    import spark.implicits._
+    val total = readStoreIn(spark, sources, "meta", "accepted BIGINT")
+      .agg(coalesce(sum(col("accepted")), lit(0L))).collect()(0).getLong(0)
+    Seq(total).toDF("accepted").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMPACTED_FROM"), true)
+    try manifest.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally manifest.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT"), true).close()
+    if (gc) sources.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    sources.length
   }
 }
 

@@ -122,6 +122,33 @@ object TextAnalysis {
       (flagLen && flagWordLen && flagRep && flagStop).cast("bigint").as("keep"))
   }
 
+  /** Hashed linear quality-classifier scoring — the fastText/CCNet/DCLM
+    * deployment shape: a bag-of-words model over `D` hashed feature
+    * buckets whose weights arrive from any offline trainer and ship as a
+    * broadcast LITERAL, so scoring a 100 TB corpus is one map-side
+    * codegen pass — no join, no shuffle, no model service in the loop.
+    * Feature hash = first 16 bits of md5(token) mod D (md5 so the DuckDB
+    * oracle replays it bit-exactly); weights are integer MILLI-units so
+    * the per-document logit is an exact integer sum — no floating-point
+    * association ambiguity between engines or between partitionings.
+    * `keep` = logit ≥ 0 (the classifier's decision threshold; callers
+    * calibrate by shifting a bias into the weights). Training is out of
+    * scope by design — the engine contribution is the scoring plumbing.
+    *
+    * Output: (doc_id, logit_milli BIGINT, keep BIGINT). */
+  def linearQualityScore(documents: DataFrame, weightsMilli: Seq[Long]): DataFrame = {
+    require(weightsMilli.nonEmpty, "weightsMilli must have at least one bucket")
+    val d = weightsMilli.length
+    val w = typedLit(weightsMilli)
+    def bucket(t: Column): Column =
+      conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int") % d
+    documents
+      .select(col("doc_id"),
+        aggregate(Funcs.tokens(col("text")), lit(0L),
+          (acc, t) => acc + element_at(w, bucket(t) + 1)).as("logit_milli"))
+      .withColumn("keep", (col("logit_milli") >= 0L).cast("bigint"))
+  }
+
   /** TF-IDF document scoring: mean and max inverse document frequency over
     * a document's token occurrences — low mean-IDF flags boilerplate made
     * of corpus-ubiquitous words; high max-IDF flags rare-term content.

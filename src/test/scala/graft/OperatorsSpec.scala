@@ -232,6 +232,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both.filter($"s64" =!= $"w0").isEmpty)
   }
 
+  test("linearQualityScore: hashed-bucket logit matches a hand-computed md5 oracle; keep = sign") {
+    val weights: Seq[Long] = (0 until 64).map(i => (i * 37L) % 401L - 200L)
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 64
+    }
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "hello")).toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityScore(docs, weights)
+      .select($"doc_id", $"logit_milli", $"keep").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    Seq(1L -> "hello world",
+        2L -> "the quick brown fox jumps over the lazy dog",
+        3L -> "hello").foreach { case (id, text) =>
+      val expected = text.split(" ").map(t => weights(bucketOf(t))).sum
+      assert(got(id) == ((expected, if (expected >= 0L) 1L else 0L)),
+        s"doc $id: got ${got(id)}, expected $expected")
+    }
+  }
+
   test("skew guard trip is observable: graft_skew_guard metrics report over-cap buckets and rows") {
     // identical-doc flood at cap 8 → every band bucket hot (the planted
     // shape from the chaining tests); the observation must report it

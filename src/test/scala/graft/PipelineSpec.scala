@@ -316,6 +316,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(rB2.accepted == 0L && rB2.totalStored == 3L)
   }
 
+  test("compactStore supersedes its sources atomically; readers and growth are unaffected") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-compact")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    def ingest(name: String, docs: Seq[(Long, String)]) = {
+      val p = Paths.get(s"$tmp/$name")
+      Files.write(p, docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t","source":"s0","lang":"en"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      graft.apps.CorpusPrep.runIncremental(spark,
+        graft.sources.Sources.jsonl(spark, p.toString, ddl), store)
+    }
+    ingest("a.jsonl", Seq(1L -> "alpha beta gamma delta epsilon zeta"))
+    ingest("b.jsonl", Seq(2L -> "one two three four five six"))
+    val r3 = ingest("c.jsonl", Seq(3L -> "seven eight nine ten eleven twelve"))
+    assert(r3.totalStored == 3L)
+    val before = graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    // keep sources on disk: the supersede manifest alone must hide them
+    assert(graft.apps.CorpusPrep.compactStore(spark, store, gc = false) == 3)
+    val after = graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction changed the visible corpus")
+    // exactly one ACTIVE batch now, even with sources still present
+    assert(new java.io.File(s"$store/batches").listFiles().count(_.isDirectory) == 4)
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 0) // nothing left to fold
+    // growth continues against the compacted store: dedup still sees old
+    // fps (replay no-op) and positions continue after the stored corpus
+    val rReplay = ingest("a2.jsonl", Seq(1L -> "alpha beta gamma delta epsilon zeta"))
+    assert(rReplay.accepted == 0L && rReplay.totalStored == 3L)
+    val r4 = ingest("d.jsonl", Seq(9L -> "red orange yellow green blue indigo"))
+    assert(r4.accepted == 1L && r4.totalStored == 4L)
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap.apply(9L) == 3L)
+    // crash before the compacted commit: originals stay authoritative
+    val batches = new java.io.File(s"$store/batches").listFiles().filter(_.isDirectory)
+    val compacted = batches.find(_.getName.startsWith("c_")).get
+    assert(new java.io.File(compacted, "_COMMIT").delete())
+    val fallback = graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fallback == Set(1L, 2L, 3L, 9L), "uncommitted compaction must fall back to sources")
+  }
+
   test("runIncremental: a crashed partial append is invisible and the retry repairs it") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-crash")
