@@ -153,6 +153,15 @@ object SparkEntry {
     "dedup_minhash_raw" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).select(col("doc_id"), col("text")),
         threshold = 0.8).drop("jaccard")),
+    // cross-corpus near-dup (near-dup-level decontamination), oracled by
+    // the planted-re-encode trick: the "held-out" side is every doc
+    // replanted at id+100000; at threshold 1.0 the verified pairs are
+    // exactly the equal-shingle-set (a, b+100000) pairs — SQL-expressible
+    "dedup_cross" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val heldOut = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.crossNearDup(docs, heldOut, threshold = 1.0).drop("jaccard")
+    }),
     // planted re-encode with doc-unique token prefixes: cross-document
     // token overlap vanishes, so distinct docs' simhash signatures are
     // independent 64-bit draws (P[hamming ≤ 3] ≈ 2.4e-15 per pair; the
@@ -428,6 +437,15 @@ object SparkEntry {
                  UNION ALL SELECT doc_id + 100000, s FROM sh)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.s = b.s""",
+    // cross pairs = equal sorted-distinct-shingle sets ACROSS the two
+    // relations (left original ids × right replanted ids, a == b allowed)
+    "dedup_cross" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           sh AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END)) AS s FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id + 100000 AS id_b
+         FROM sh a JOIN sh b ON a.s = b.s""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:
     // exactly one hamming-0 pair per document
     "dedup_simhash" ->

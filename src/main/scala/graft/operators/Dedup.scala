@@ -196,6 +196,82 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs: MinHash-LSH banding on BOTH relations,
+    * candidates from the (band, key) equi-join ACROSS them, exact-Jaccard
+    * verification — near-dup-level benchmark decontamination ("which
+    * train docs are a near-copy of a held-out doc"), where
+    * [[graft.operators.Pipeline.decontaminate]]'s exact n-gram hit is too
+    * strict (a paraphrased or lightly-edited leak shares few exact
+    * 8-grams but a high shingle Jaccard).
+    *
+    * Scale shape: at the decontamination operating point the right side
+    * (the benchmark suite) is tiny, so AQE broadcasts its banded keys and
+    * the 100 TB left side is never shuffled; the banding still bounds the
+    * symmetric big×big case (shuffle = 3 longs per (doc, band), like
+    * [[minhashLsh]]). Skew guard for cross-joins: a (band, key) hot on
+    * EITHER side (> maxBucketSize) would go quadratic, so hot buckets
+    * degrade to pairing every left member with ONE representative right
+    * member (min id) — left-side coverage ("is this train doc
+    * contaminated?") is preserved at O(|left|) per bucket, but a left doc
+    * similar to a non-representative right doc in that bucket relies on
+    * its other bands (same caveat class as [[guardedCandidatePairs]]'
+    * chaining; the `graft_skew_guard` observation is not emitted here —
+    * watch bucket sizes via the same groupBy if needed).
+    *
+    * Output: (`id_a` from `left`, `id_b` from `right`, `jaccard`). */
+  def crossNearDup(
+      left: DataFrame,
+      right: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    // banded keys per side, persisted: each feeds the hot-key count and
+    // two candidate joins (release via releaseCaches, see object note)
+    def banded(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id").as("id"),
+        Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+      .transform(Caches.persisted)
+    val lb = banded(left)
+    val rb = banded(right)
+    def hotOf(df: DataFrame): DataFrame = df.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize).select("band", "bkey")
+    val hot = hotOf(lb).union(hotOf(rb)).distinct()
+    val coldPairs = lb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      .select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(rb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+        .select(col("band"), col("bkey"), col("id").as("id_b")), Seq("band", "bkey"))
+      .drop("band", "bkey")
+    // hot buckets: min-id right representative per key (one row per hot key)
+    val rep = rb.join(broadcast(hot), Seq("band", "bkey"))
+      .groupBy("band", "bkey").agg(min(col("id")).as("id_b"))
+    val hotPairs = lb.join(broadcast(hot), Seq("band", "bkey"))
+      .select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(broadcast(rep), Seq("band", "bkey"))
+      .drop("band", "bkey")
+    val candidates = coldPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
+    // exact verification over h-sorted shingle-hash arrays, one pass per
+    // side (each verify side is read once — no persist needed here)
+    def side(docs: DataFrame, id: String, hs: String, sz: String) = docs
+      .select(col("doc_id").as(id),
+        Native.shingleHashes(Funcs.tokens(col("text")), shingleLen, sortedDistinct = true).as(hs))
+      .withColumn(sz, size(col(hs)))
+    candidates
+      .join(side(left, "id_a", "hs_a", "sz_a"), Seq("id_a"))
+      .join(side(right, "id_b", "hs_b", "sz_b"), Seq("id_b"))
+      .withColumn("c", Native.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-dup: `sigBits`-bit signature per doc; candidate pairs
     * share one of (maxHamming+1) signature bands (pigeonhole: h flipped
     * bits cannot touch all h+1 bands, so Hamming ≤ maxHamming ⇒ some band

@@ -232,6 +232,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both.filter($"s64" =!= $"w0").isEmpty)
   }
 
+  test("crossNearDup finds planted cross-corpus near-dups; hot buckets keep left-side coverage") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val train = Seq((1L, base), (2L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val heldOut = Seq((101L, nearDup), (102L, "totally different held out words")).toDF("doc_id", "text")
+    val got = Dedup.crossNearDup(train, heldOut, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L)))
+    // hot-bucket guard: 100 identical train docs × 100 identical held-out
+    // docs at cap 8 — every band bucket hot on both sides; representative
+    // pairing must still flag EVERY train doc as contaminated
+    val hotTrain = (1 to 100).map(i => (i.toLong, "same boilerplate text here")).toDF("doc_id", "text")
+    val hotHeld = (201 to 300).map(i => (i.toLong, "same boilerplate text here")).toDF("doc_id", "text")
+    val flagged = Dedup.crossNearDup(hotTrain, hotHeld, threshold = 1.0, maxBucketSize = 8)
+      .select($"id_a").as[Long].collect().toSet
+    assert(flagged == (1L to 100L).toSet, "hot-bucket representative pairing lost train coverage")
+  }
+
   test("linearQualityScore: hashed-bucket logit matches a hand-computed md5 oracle; keep = sign") {
     val weights: Seq[Long] = (0 until 64).map(i => (i * 37L) % 401L - 200L)
     def bucketOf(tok: String): Int = {
