@@ -448,45 +448,88 @@ object StreamOps {
       .groupByKey(_.key)
       .flatMapGroupsWithState[Seq[Long], SlidingCount](OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[SlidingEvent], state: GroupState[Seq[Long]]) =>
-          val old = state.getOption.getOrElse(Seq.empty)
-          // Late-data rule (grace-0 parity, and correctness): an event older
-          // than the eviction horizon would be counted against an already-
-          // pruned buffer and emit UNDERCOUNTED windows — drop it instead,
-          // exactly as the watermark drops late rows in the built-in ops.
-          val horizon0 = if (old.isEmpty) Long.MinValue else old.max - sizeMillis
-          val incoming = rows.map(_.eventTime.getTime).filter(_ >= horizon0).toArray
-          java.util.Arrays.sort(incoming)
-          val all = new Array[Long](old.length + incoming.length)
-          old.copyToArray(all)
-          System.arraycopy(incoming, 0, all, old.length, incoming.length)
-          java.util.Arrays.sort(all)
-          // one ascending pass over distinct anchors t: ip = first incoming
-          // ≥ t (anchor is dirty iff that event lands in [t, t+size)),
-          // lo/hi = the buffer indices bounding [t, t+size) — all three
-          // pointers are monotone, so the whole emit pass is O(n)
-          val out = Seq.newBuilder[SlidingCount]
-          var ip = 0
-          var lo = 0
-          var hi = 0
-          var i = 0
-          while (i < all.length) {
-            val t = all(i)
-            if (i == 0 || t != all(i - 1)) {
-              while (ip < incoming.length && incoming(ip) < t) ip += 1
-              if (ip < incoming.length && incoming(ip) < t + sizeMillis) {
-                while (lo < all.length && all(lo) < t) lo += 1
-                while (hi < all.length && all(hi) < t + sizeMillis) hi += 1
-                out += SlidingCount(key, new java.sql.Timestamp(t), (hi - lo).toLong)
-              }
-            }
-            i += 1
-          }
-          // evict timestamps that can no longer fall into a future window
-          if (all.nonEmpty) {
-            val horizon = all(all.length - 1) - sizeMillis
-            state.update(all.dropWhile(_ < horizon).toSeq)
-          } else state.update(Seq.empty)
-          out.result().iterator
+          val (kept, out) = slidingSweep(key,
+            state.getOption.getOrElse(Seq.empty), rows.map(_.eventTime.getTime), sizeMillis)
+          state.update(kept.toSeq)
+          out
       }
+  }
+
+  /** Shared per-batch core of [[slidingCount]] and [[slidingCountTws]]:
+    * admit the batch's events against the grace-0 eviction horizon
+    * (late-data rule: an event older than it would be counted against an
+    * already-pruned buffer and emit UNDERCOUNTED windows — drop it, as
+    * the watermark drops late rows in the built-in ops), merge into the
+    * sorted buffer, then emit every dirty anchor's count in ONE ascending
+    * pass: ip = first incoming ≥ t (anchor dirty iff that event lands in
+    * [t, t+size)), lo/hi = the buffer indices bounding [t, t+size) — all
+    * three pointers are monotone, so the emit pass is O(n) (plus the
+    * sort), never O(dirty × buffer). Returns (new buffer, emissions). */
+  private def slidingSweep(key: String, old: Seq[Long], rawIncoming: Iterator[Long],
+      sizeMillis: Long): (Array[Long], Iterator[SlidingCount]) = {
+    val horizon0 = if (old.isEmpty) Long.MinValue else old.max - sizeMillis
+    val incoming = rawIncoming.filter(_ >= horizon0).toArray
+    java.util.Arrays.sort(incoming)
+    val all = new Array[Long](old.length + incoming.length)
+    old.copyToArray(all)
+    System.arraycopy(incoming, 0, all, old.length, incoming.length)
+    java.util.Arrays.sort(all)
+    val out = Seq.newBuilder[SlidingCount]
+    var ip = 0
+    var lo = 0
+    var hi = 0
+    var i = 0
+    while (i < all.length) {
+      val t = all(i)
+      if (i == 0 || t != all(i - 1)) {
+        while (ip < incoming.length && incoming(ip) < t) ip += 1
+        if (ip < incoming.length && incoming(ip) < t + sizeMillis) {
+          while (lo < all.length && all(lo) < t) lo += 1
+          while (hi < all.length && all(hi) < t + sizeMillis) hi += 1
+          out += SlidingCount(key, new java.sql.Timestamp(t), (hi - lo).toLong)
+        }
+      }
+      i += 1
+    }
+    // evict timestamps that can no longer fall into a future window
+    val kept =
+      if (all.nonEmpty) all.dropWhile(_ < all(all.length - 1) - sizeMillis)
+      else all
+    (kept, out.result().iterator)
+  }
+
+  /** [[slidingCount]] on the Spark-4 `transformWithState` surface —
+    * identical semantics (the same goldens pin both), with the per-key
+    * timestamp buffer in a named `ListState("window-buffer")` on the
+    * RocksDB provider. `TimeMode.None`: the operator implements its own
+    * grace-0 eviction horizon from the per-key max; `TimeMode.EventTime`
+    * would have the WATERMARK drop late rows before the processor sees
+    * them (verified Spark-4 behavior), silently changing the late-data
+    * rule from per-key horizon to global watermark. */
+  def slidingCountTws(events: Dataset[SlidingEvent], sizeMillis: Long)(
+      implicit spark: SparkSession): Dataset[SlidingCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new SlidingCountProcessor(sizeMillis),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[slidingCountTws]]'s stateful core: sorted-buffer maintenance via
+    * the shared [[slidingSweep]]. */
+  class SlidingCountProcessor(sizeMillis: Long)
+      extends StatefulProcessor[String, SlidingEvent, SlidingCount] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState("window-buffer", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SlidingEvent],
+        tv: TimerValues): Iterator[SlidingCount] = {
+      val old = buf.get().toSeq
+      val (kept, out) = slidingSweep(key, old, rows.map(_.eventTime.getTime), sizeMillis)
+      buf.put(kept)
+      out
+    }
   }
 }

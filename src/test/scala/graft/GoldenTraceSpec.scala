@@ -150,6 +150,31 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("2025-01-01 12:10:00" -> 1L, "2025-01-01 12:16:00" -> 1L))
   }
 
+  test("T7 via transformWithState on RocksDB: same golden counts incl. late-batch update") { withRocksDb {
+    val in = MemoryStream[StreamOps.SlidingEvent]
+    val q = StreamOps.slidingCountTws(in.toDS(), 5 * 60 * 1000L).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName("golden_sliding_tws").start()
+    in.addData(
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:01:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:03:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:05:00")),
+      StreamOps.SlidingEvent("card1", ts("2025-01-01 12:07:00")))
+    q.processAllAvailable()
+    // second batch: the 12:04 arrival must bump the earlier anchors
+    in.addData(StreamOps.SlidingEvent("card1", ts("2025-01-01 12:04:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("golden_sliding_tws")
+      .groupBy($"windowStart").agg(max($"cnt").as("cnt"))
+      .select($"windowStart".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(got == Map( // same trace as the flatMapGroupsWithState goldens
+      "2025-01-01 12:01:00" -> 3L, // batch 1; evicted (horizon 12:02) before the 12:04 arrival
+      "2025-01-01 12:03:00" -> 4L, // bumped by 12:04: {12:03,12:04,12:05,12:07}
+      "2025-01-01 12:04:00" -> 3L, // {12:04,12:05,12:07}
+      "2025-01-01 12:05:00" -> 2L, // {12:05,12:07}, not dirty in batch 2
+      "2025-01-01 12:07:00" -> 1L))
+  }}
+
   test("T7 dense key: 20k events inside one window span process in linear time with exact counts") {
     // all events share one key and fit inside a single 5-min window span
     // (20k × 10 ms = 200 s), so every anchor is dirty every batch — the
