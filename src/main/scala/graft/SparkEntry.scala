@@ -304,6 +304,7 @@ object SparkEntry {
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
     // model-based quality scoring plumbing: the weights are an arbitrary
     // deterministic fixture (a real run loads trained ones); the oracle
     // pins the feature hashing + exact integer scoring arithmetic
@@ -704,6 +705,21 @@ object SparkEntry {
            FROM documents)""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents",
+    // parallel unnest zips the two slices positionally (DuckDB semantics);
+    // engine side joins on xxhash64 fingerprints of the same string pairs
+    "text_bigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev,
+                         unnest(toks[2:len(toks)]) AS word
+                  FROM t WHERE len(toks) >= 2),
+           c AS (SELECT prev, word, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+           p AS (SELECT prev, CAST(count(*) AS BIGINT) AS pcnt FROM bg GROUP BY 1)
+         SELECT doc_id,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(pcnt AS DOUBLE))), 6) AS mean_nll,
+           round(max(-ln(CAST(cnt AS DOUBLE) / CAST(pcnt AS DOUBLE))), 6) AS max_nll,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+         FROM bg JOIN c USING (prev, word) JOIN p USING (prev)
+         GROUP BY doc_id""",
     "text_model_score" ->
       s"""WITH w AS (SELECT [${DemoWeightsMilli.mkString(", ")}] AS wt),
             s AS (SELECT doc_id,

@@ -195,6 +195,42 @@ object TextAnalysis {
         round(max(nll), 6).as("max_nll"))
   }
 
+  /** Corpus bigram surprisal — one rung up the CCNet ladder from
+    * [[unigramSurprisal]]: per document, the mean/max negative log of the
+    * corpus conditional bigram probability P(wᵢ | wᵢ₋₁) =
+    * cnt(wᵢ₋₁ wᵢ) / cnt(wᵢ₋₁ ·). High mean-NLL = improbable token
+    * TRANSITIONS (garbled or shuffled text that unigram frequencies miss);
+    * no smoothing needed because scored docs are corpus members, so every
+    * bigram has count ≥ 1. Documents with < 2 tokens have no bigrams and
+    * drop (inner semantics, like any n-gram op at n=2).
+    *
+    * Scale shape: bigrams ride the shuffle as 8-byte xxhash64 keys (pair
+    * key and prefix key), never as string pairs — the same fingerprint
+    * stance as decontaminate/duplicatedSpans (collision ~2⁻⁶⁴; the
+    * string-keyed DuckDB oracle pins the equality). Two partial-agg'd
+    * groupBys + two equi-joins back; AQE broadcasts the count relations
+    * while the vocabulary is small. */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = Funcs.tokens(col("text"))
+    val big = documents
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("prev"), b.as("word")))).as("bg"))
+      .select(col("doc_id"),
+        xxhash64(col("bg.prev"), col("bg.word")).as("bk"),
+        xxhash64(col("bg.prev")).as("pk"))
+    val pair = big.groupBy("bk").agg(count(lit(1)).cast("bigint").as("cnt"))
+    val prefix = big.groupBy("pk").agg(count(lit(1)).cast("bigint").as("pcnt"))
+    val nll = -log(col("cnt").cast("double") / col("pcnt").cast("double"))
+    big.join(pair, Seq("bk")).join(prefix, Seq("pk"))
+      .groupBy("doc_id")
+      .agg(round(avg(nll), 6).as("mean_nll"),
+        round(max(nll), 6).as("max_nll"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+  }
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

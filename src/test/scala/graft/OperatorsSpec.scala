@@ -232,6 +232,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both.filter($"s64" =!= $"w0").isEmpty)
   }
 
+  test("bigramSurprisal matches a hand-computed conditional-NLL fixture") {
+    // corpus: "a b c" + "a b d" → bigram counts: (a,b)=2, (b,c)=1, (b,d)=1;
+    // prefix counts: a·=2, b·=2
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs)
+      .select($"doc_id", $"mean_nll", $"max_nll", $"n_bigrams")
+      .as[(Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val ln2 = math.log(2.0)
+    // doc 1: -ln(2/2)=0 for (a,b); -ln(1/2)=ln2 for (b,c) → mean ln2/2, max ln2
+    assert(got(1L)._2 == BigDecimal(ln2 / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L)._3 == BigDecimal(ln2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L)._4 == 2L && got(2L)._4 == 2L)
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+  }
+
   test("crossNearDup finds planted cross-corpus near-dups; hot buckets keep left-side coverage") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
