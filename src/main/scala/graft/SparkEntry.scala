@@ -162,6 +162,14 @@ object SparkEntry {
       val heldOut = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.crossNearDup(docs, heldOut, threshold = 1.0).drop("jaccard")
     }),
+    // the composed near-dup decontamination stage, planted the same way:
+    // replants land in their own md5 split, so train originals whose
+    // replant fell in the test split are the contaminated set
+    "decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Pipeline.decontaminateNearDup(planted, threshold = 1.0)
+    }),
     // planted re-encode with doc-unique token prefixes: cross-document
     // token overlap vanishes, so distinct docs' simhash signatures are
     // independent 64-bit draws (P[hamming ≤ 3] ≈ 2.4e-15 per pair; the
@@ -447,6 +455,24 @@ object SparkEntry {
                     ELSE [array_to_string(toks, ' ')] END)) AS s FROM t)
          SELECT a.doc_id AS id_a, b.doc_id + 100000 AS id_b
          FROM sh a JOIN sh b ON a.s = b.s""",
+    // equal shingle sets across the md5 train/test split of the planted
+    // (corpus ∪ replants) relation, counted per train doc
+    "decontaminate_neardup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents),
+           s AS (SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                        ELSE 'train' END AS split,
+                   string_split(text, ' ') AS toks
+                 FROM u),
+           sh AS (SELECT doc_id, split, list_sort(list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END)) AS sset FROM s)
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM sh a JOIN sh b ON a.sset = b.sset
+         WHERE a.split = 'train' AND b.split = 'test'
+         GROUP BY 1""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:
     // exactly one hamming-0 pair per document
     "dedup_simhash" ->

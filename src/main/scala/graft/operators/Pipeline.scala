@@ -358,6 +358,30 @@ object Pipeline {
       .agg(count(lit(1)).cast("bigint").as("n_hits"))
   }
 
+  /** Near-dup-level decontamination — [[decontaminate]]'s fuzzy sibling:
+    * flag train-split documents that are a MinHash-LSH NEAR-duplicate
+    * (exact-Jaccard ≥ `threshold`) of any test-split document, catching
+    * paraphrased / lightly-edited leaks whose exact n-grams differ. Same
+    * deterministic md5 split rule as [[decontaminate]]; candidate
+    * generation and verification are [[Dedup.crossNearDup]] (tiny test
+    * side broadcasts; either-side-hot buckets degrade to representative
+    * pairing — see its scaladoc). Output: one row per contaminated train
+    * doc with its count of distinct near-dup test docs. */
+  def decontaminateNearDup(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      shingleLen: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
+    val withSplit = documents.select(
+      col("doc_id"), col("text"), splitAssign(col("doc_id")).as("split"))
+    val train = withSplit.filter(col("split") === "train").select("doc_id", "text")
+    val test = withSplit.filter(col("split") === "test").select("doc_id", "text")
+    Dedup.crossNearDup(train, test, shingleLen = shingleLen,
+      threshold = threshold, maxBucketSize = maxBucketSize)
+      .groupBy("id_a").agg(count(lit(1)).cast("bigint").as("n_hits"))
+      .withColumnRenamed("id_a", "doc_id")
+  }
+
   /** The uniform-[0,1) value behind deterministic sampling: the first 4
     * hex digits of md5(id) as an integer over 65536. Uses the OPPOSITE end
     * of the digest from [[splitAssign]]'s last digit, so sampling is

@@ -204,6 +204,31 @@ class PipelineSpec extends AnyFunSuite {
       .forall(back.columns.contains))
   }
 
+  test("decontaminateNearDup flags the train doc that near-duplicates a test-split doc") {
+    // derive split membership from the SAME md5 rule the operator uses
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.last match {
+        case 'c' | 'd' => "val"
+        case 'e' | 'f' => "test"
+        case _         => "train"
+      }
+    }
+    val testId = (1L to 100L).find(i => splitOf(i) == "test").get
+    val leakId = (1L to 100L).find(i => splitOf(i) == "train").get
+    val otherId = (1L to 100L).filter(i => splitOf(i) == "train").find(_ != leakId).get
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val paraphrase = (1 to 40).map(i => if (i == 20) "EDITED" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (testId, base), //        the held-out doc
+      (leakId, paraphrase), //  train doc: near-dup but NOT exact-n-gram-identical
+      (otherId, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Pipeline.decontaminateNearDup(docs, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(leakId -> 1L))
+  }
+
   test("CorpusPrep.run accepts a pluggable quality gate and the stage counts reflect it") {
     import org.apache.spark.sql.DataFrame
     val out = java.nio.file.Files.createTempDirectory("graft-prep-gate").toString
