@@ -176,4 +176,54 @@ class PropertySpec extends AnyFunSuite {
         s"doc $id: got ${got(id)}, brute ${(nt, dup.size, regions, cov)} for '$text'")
     }
   }
+
+  test("crossNearDup symmetry law: swap(cross(A,B)) ≡ cross(B,A) on cold buckets") {
+    // random small-vocab corpora with heavy overlap so the verified pair
+    // set is non-trivial; cap high enough that no bucket trips the
+    // (asymmetric, documented) representative guard
+    val docGen = Gen.chooseNum(4, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+    val a = sample(docGen, 60, 21L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // B = independent corpus PLUS edited copies of A's first docs, so the
+    // verified cross-pair set is guaranteed non-trivial
+    val b = sample(docGen, 40, 22L).zipWithIndex.map { case (t, i) => (1000L + i, t) } ++
+      a.take(20).map { case (i, t) => (2000L + i, t + " q") }
+    val ab = graft.operators.Dedup.crossNearDup(
+      a.toDF("doc_id", "text"), b.toDF("doc_id", "text"),
+      threshold = 0.4, maxBucketSize = 10000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ba = graft.operators.Dedup.crossNearDup(
+      b.toDF("doc_id", "text"), a.toDF("doc_id", "text"),
+      threshold = 0.4, maxBucketSize = 10000)
+      .select($"id_b", $"id_a").as[(Long, Long)].collect().toSet
+    assert(ab.nonEmpty, "fixture produced no pairs — law checked vacuously")
+    assert(ab == ba)
+  }
+
+  test("bigramSurprisal invariants: mean ≤ max, n_bigrams = n_tokens − 1, all-unique-transitions doc scores ln(pcnt)") {
+    val docGen = Gen.chooseNum(2, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val docs = sample(docGen, 100, 23L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextAnalysis.bigramSurprisal(docs.toDF("doc_id", "text"))
+      .as[(Long, Double, Double, Long)].collect()
+    assert(got.length == docs.size) // every ≥2-token doc present
+    got.foreach { case (id, mean, mx, nb) =>
+      assert(mean <= mx + 1e-9 && mean >= -1e-9, s"doc $id: mean $mean, max $mx")
+      assert(nb == docs(id.toInt)._2.split(" ").length - 1L)
+    }
+  }
+
+  test("linearQualityScore negation law: flipping the weights negates every logit") {
+    val docGen = Gen.chooseNum(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" ")))
+    val docs = sample(docGen, 80, 24L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w: Seq[Long] = (0 until 32).map(i => (i * 73L) % 201L - 100L)
+    val pos = graft.operators.TextAnalysis.linearQualityScore(docs, w)
+      .select($"doc_id", $"logit_milli").as[(Long, Long)].collect().toMap
+    val neg = graft.operators.TextAnalysis.linearQualityScore(docs, w.map(-_))
+      .select($"doc_id", $"logit_milli").as[(Long, Long)].collect().toMap
+    assert(pos.keySet == neg.keySet)
+    pos.foreach { case (id, l) => assert(neg(id) == -l) }
+  }
 }
