@@ -43,6 +43,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(TextAnalysis.normalizeText(Tables.documents(spark, dir))) == 0)
     assert(exchanges(Pipeline.redactPii(Tables.documents(spark, dir))) == 0)
     assert(exchanges(Pipeline.bernoulliSample(Tables.documents(spark, dir), 0.25)) == 0)
+    // model scoring: literal weights, one projection, no join anywhere
+    assert(exchanges(TextAnalysis.linearQualityScore(
+      Tables.documents(spark, dir), (0 until 64).map(_.toLong))) == 0)
+  }
+
+  test("bigramSurprisal shuffles 8-byte fingerprints, never token-pair strings") {
+    val p = plan(TextAnalysis.bigramSurprisal(Tables.documents(spark, dir)))
+    // every Exchange partitions on the hashed keys (bk/pk) or the final
+    // doc_id group — a 'prev'/'word' string column in any Exchange means
+    // the fingerprint projection regressed
+    val exchangeLines = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach { l =>
+      assert(!l.contains("prev") && !l.contains("word"),
+        s"bigram shuffle carries strings: $l")
+    }
   }
 
   test("dedup_exact is exactly one digest-keyed shuffle") {
