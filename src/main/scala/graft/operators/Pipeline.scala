@@ -172,7 +172,31 @@ object Pipeline {
       // satisfied prefix and pos order survives into each file
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+    // manifest: one row per shard (doc/token totals, pos range) written
+    // AFTER the shards — a loader plans epochs, token budgets, and resume
+    // points against this tiny relation instead of listing or scanning
+    // the shard tree (at 100 TB, the listing alone is a job). Computed by
+    // reading BACK the written shards (cheaper than re-running the
+    // ordering pipeline, and it describes the actual on-disk state);
+    // token counts use the same tokenizer as the gates/packing, so
+    // manifest budgets agree with the operators structurally.
+    documents.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(Funcs.tokens(col("text"))).cast("bigint")).as("n_tokens"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
   }
+
+  /** The shard manifest [[writeTrainingShards]] wrote: (shard, n_docs,
+    * n_tokens, min_pos, max_pos), one row per shard. Underscore-prefixed
+    * directory, so plain reads of `path` ignore it. */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema("shard BIGINT, n_docs BIGINT, n_tokens BIGINT, min_pos BIGINT, max_pos BIGINT")
+      .parquet(s"$path/_manifest")
 
   /** Overlapping token-window chunking (the embedding / context-window
     * prep step): each document yields ⌈(n−overlap)/stride⌉ chunks of up to

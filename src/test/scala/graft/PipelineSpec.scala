@@ -204,6 +204,29 @@ class PipelineSpec extends AnyFunSuite {
       .forall(back.columns.contains))
   }
 
+  test("writeTrainingShards manifest agrees with the written shards per shard and in total") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    Pipeline.writeTrainingShards(docs, out, shardSize = 64)
+    val manifest = Pipeline.readShardManifest(spark, out)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val back = spark.read.parquet(out)
+      .groupBy($"shard".cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(graft.functions.Funcs.tokens($"text")).cast("bigint")).as("t"),
+        min($"pos").as("lo"), max($"pos").as("hi"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(manifest == back)
+    assert(manifest.values.map(_._1).sum == docs.count())
+    // pos ranges tile the corpus without overlap
+    val ranges = manifest.toSeq.sortBy(_._1).map { case (_, (_, _, lo, hi)) => (lo, hi) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(lo2 == hi1 + 1)
+      case _                       => ()
+    }
+  }
+
   test("decontaminateNearDup flags the train doc that near-duplicates a test-split doc") {
     // derive split membership from the SAME md5 rule the operator uses
     def splitOf(id: Long): String = {
