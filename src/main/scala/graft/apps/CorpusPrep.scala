@@ -115,9 +115,11 @@ object CorpusPrep {
     val packed = clean.join(Pipeline.packSequences(clean), Seq("doc_id"))
     val trainRows = packed.count()
 
-    // 8. shard write in deterministic global order
+    // 8. shard write in deterministic global order; the report's shard
+    //    count comes from the manifest (one row per shard), not a rescan
+    //    of the corpus it just wrote
     Pipeline.writeTrainingShards(packed, outDir, shardSize)
-    val shardsWritten = spark.read.parquet(outDir).select("shard").distinct().count()
+    val shardsWritten = Pipeline.readShardManifest(spark, outDir).count()
 
     gated.unpersist()
     cleaned.unpersist()
