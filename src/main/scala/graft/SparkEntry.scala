@@ -93,6 +93,16 @@ object SparkEntry {
       Relational.streamStreamJoin(Tables.orders(s, d), Tables.lineitem(s, d))
         .withColumn("o_orderdate", fmtTs(col("o_orderdate")))
         .withColumn("l_shipdate", fmtTs(col("l_shipdate")))),
+    // Kafka Streams leftJoin/outerJoin surface over the same JoinWindows;
+    // null-padded unmatched rows are the whole point of the check
+    "t8_left_join" -> ((s, d) =>
+      Relational.streamStreamJoinOuter(Tables.orders(s, d), Tables.lineitem(s, d), "left_outer")
+        .withColumn("o_orderdate", fmtTs(col("o_orderdate")))
+        .withColumn("l_shipdate", fmtTs(col("l_shipdate")))),
+    "t8_outer_join" -> ((s, d) =>
+      Relational.streamStreamJoinOuter(Tables.orders(s, d), Tables.lineitem(s, d), "full_outer")
+        .withColumn("o_orderdate", fmtTs(col("o_orderdate")))
+        .withColumn("l_shipdate", fmtTs(col("l_shipdate")))),
     "t9_stream_table_join" -> ((s, d) =>
       Relational.enrichmentJoin(Tables.orders(s, d), Tables.customer(s, d))
         .withColumn("o_orderdate", fmtTs(col("o_orderdate")))),
@@ -213,6 +223,17 @@ object SparkEntry {
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupSrp(emb.union(copies), minCosine = 0.9)
     }),
+    // SemDeDup, planted the same way as dedup_embedding: identical copies
+    // share the nearest centroid (assignment is a pure function of the
+    // vector), pair at cosine 1, and no cross pair clears 0.9 — so every
+    // component is exactly {v, v+100000} with the original as keeper, and
+    // the cluster-then-prune path is hash-oracle-able end to end (cluster
+    // ids themselves are k-means-internal and stay out of the projection)
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.semanticDedup(emb.union(copies), minCosine = 0.9).drop("cluster")
+    }),
     "dedup_components" -> ((s, d) =>
       Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), n = 5)),
@@ -313,6 +334,12 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // DSIR importance weighting: target LM = the src0 slice (any
+    // predicate works; the oracle mirrors this one)
+    "text_dsir" -> ((s, d) =>
+      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0")),
+    "sample_importance" -> ((s, d) =>
+      TextAnalysis.importanceTopK(Tables.documents(s, d), col("source") === "src0", k = 100)),
     // model-based quality scoring plumbing: the weights are an arbitrary
     // deterministic fixture (a real run loads trained ones); the oracle
     // pins the feature hashing + exact integer scoring arithmetic
@@ -390,6 +417,18 @@ object SparkEntry {
           strftime(o_orderdate, '$FmtTsSql') AS o_orderdate,
           strftime(l_shipdate, '$FmtTsSql') AS l_shipdate
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 5 DAY""",
+    "t8_left_join" ->
+      s"""SELECT o_orderkey, o_custkey, l_orderkey, l_linenumber, l_extendedprice,
+          strftime(o_orderdate, '$FmtTsSql') AS o_orderdate,
+          strftime(l_shipdate, '$FmtTsSql') AS l_shipdate
+          FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 5 DAY""",
+    "t8_outer_join" ->
+      s"""SELECT o_orderkey, o_custkey, l_orderkey, l_linenumber, l_extendedprice,
+          strftime(o_orderdate, '$FmtTsSql') AS o_orderdate,
+          strftime(l_shipdate, '$FmtTsSql') AS l_shipdate
+          FROM orders FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
           AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 5 DAY""",
     "t9_stream_table_join" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice,
@@ -764,6 +803,10 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings",
     "dedup_embedding" ->
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings",
+    "dedup_semantic" ->
+      """SELECT vec_id, vec_id AS component_id, CAST(1 AS BIGINT) AS is_keeper FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000, vec_id, CAST(0 AS BIGINT) FROM embeddings""",
     "pipeline_global_order" ->
       """SELECT doc_id,
            CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
@@ -834,6 +877,36 @@ object SparkEntry {
            round(max(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS max_nll
          FROM tok JOIN c USING (word) CROSS JOIN n
          GROUP BY doc_id""",
+    "text_dsir" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+                        unnest(string_split(text, ' ')) AS word FROM documents),
+           c AS (SELECT word, CAST(count(*) AS BIGINT) AS c_s,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                 FROM tok GROUP BY 1),
+           t AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s, CAST(sum(c_t) AS BIGINT) AS n_t,
+                   CAST(count(*) AS BIGINT) AS v FROM c)
+         SELECT doc_id,
+           round(avg(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                   - ln(CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))), 6) AS mean_logratio,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM tok JOIN c USING (word) CROSS JOIN t
+         GROUP BY doc_id""",
+    "sample_importance" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+                        unnest(string_split(text, ' ')) AS word FROM documents),
+           c AS (SELECT word, CAST(count(*) AS BIGINT) AS c_s,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                 FROM tok GROUP BY 1),
+           t AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s, CAST(sum(c_t) AS BIGINT) AS n_t,
+                   CAST(count(*) AS BIGINT) AS v FROM c),
+           s AS (SELECT doc_id,
+                   round(avg(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                           - ln(CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))), 6)
+                     AS mean_logratio,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+                 FROM tok JOIN c USING (word) CROSS JOIN t
+                 GROUP BY doc_id)
+         SELECT * FROM s ORDER BY mean_logratio DESC, doc_id LIMIT 100""",
     "word_count" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1""",

@@ -461,6 +461,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster-then-prune over an embedding column, packaged as the same
+    * canonicalized output shape as [[dedupComponents]] — one row per
+    * vector with its near-dup component and a min-id keeper flag, so a
+    * semantic-dedup pass is `filter(is_keeper = 1)`.
+    *
+    * The recipe (and its scale rationale) is the paper's: assign every
+    * vector to its SINGLE nearest k-means centroid, compare pairs only
+    * WITHIN a cluster, and keep one representative per semantic
+    * duplicate group. Single assignment (vs [[embeddingNearDup]]'s
+    * multi-probe candidate generation) is the deliberate trade: candidate
+    * volume is Σ m_c² over clusters of expected size n/C — the paper's
+    * O(n²/C) — at the cost of missing pairs that straddle a cluster
+    * boundary (SemDeDup accepts this; raise C for tighter clusters, or
+    * use the multi-probe sibling when recall beats cost). Assignment is
+    * pure map-side codegen over LITERAL centroids
+    * ([[Similarity.nearestBucket]]) — zero shuffle until the cluster-key
+    * equi-join, which routes through the shared skew-guarded candidate
+    * helper (a degenerate cluster swallowing a zero-vector family
+    * degrades to O(m) chaining, never an m² single-partition join).
+    * Verification is one codegen'd dot product per surviving pair;
+    * components close transitive groups so the keeper is well-defined
+    * even when similarity is not transitive.
+    *
+    * Output: (`vec_id`, `cluster`, `component_id`, `is_keeper`). */
+  def semanticDedup(
+      embeddings: DataFrame,
+      minCosine: Double,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", numCentroids, kmeansIters)
+    // one int pair per vector; persisted because it feeds both self-join
+    // sides and the final per-vector output (release via releaseCaches)
+    val keyed = embeddings.select(
+      col("vec_id").as("id"),
+      lit(0).as("band"),
+      Similarity.nearestBucket(col("embedding"), cents).as("bkey"))
+      .transform(Caches.persisted)
+    val candidates = guardedCandidatePairs(keyed, Nil, maxBucketSize)
+    def side(ida: String, emb: String, nrm: String) = embeddings.select(
+      col("vec_id").as(ida), col("embedding").as(emb),
+      Native.normF(col("embedding")).as(nrm))
+    val pairs = candidates
+      .join(side("id_a", "emb_a", "norm_a"), Seq("id_a"))
+      .join(side("id_b", "emb_b", "norm_b"), Seq("id_b"))
+      .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    keyed.select(col("id").as("vec_id"), col("bkey").as("cluster"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("comp"), col("vec_id")).as("component_id"))
+      .withColumn("is_keeper", (col("vec_id") === col("component_id")).cast("bigint"))
+  }
+
   /** EXACT all-pairs n-gram Jaccard self-join via prefix filtering
     * (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al.
     * WWW'07): provably NO false negatives, unlike the probabilistic

@@ -88,6 +88,29 @@ object Relational {
         col("o_orderkey"), col("o_custkey"), col("l_linenumber"),
         col("l_extendedprice"), col("o_orderdate"), col("l_shipdate"))
 
+  /** Kafka Streams `leftJoin`/`outerJoin` analog of [[streamStreamJoin]]
+    * (KStream#leftJoin / KStream#outerJoin carry the same JoinWindows as
+    * the inner form the reference uses): unmatched left (and, for
+    * full_outer, right) rows survive with null partner columns. Same
+    * planner shape — equi-join on the key with a residual range
+    * predicate, shuffled hash/sort-merge, never a Cartesian; outerness
+    * only changes null-row emission, not the shuffle. Streaming form:
+    * [[graft.streaming.StreamOps.streamStreamJoin]] with
+    * `joinType = "left_outer"` — there the ±window additionally bounds
+    * how long an unmatched row waits before its null emission. */
+  def streamStreamJoinOuter(
+      orders: DataFrame, lineitem: DataFrame, joinType: String): DataFrame =
+    orders.join(
+      lineitem,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 5 DAYS"),
+      joinType)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"),
+        col("o_orderdate"), col("l_shipdate"))
+
   /** T9 ≙ StreamTableJoinExample.java:50-172 — stream-table enrichment join:
     * each order looks up its customer (inner: orders without a customer row
     * drop out). The dimension side carries no hint — at test scale AQE

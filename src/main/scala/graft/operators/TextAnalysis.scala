@@ -231,6 +231,57 @@ object TextAnalysis {
         count(lit(1)).cast("bigint").as("n_bigrams"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the mean
+    * log-likelihood ratio of its tokens under a TARGET unigram LM vs the
+    * full-corpus (source) LM, both add-one smoothed over the shared corpus
+    * vocabulary — score(d) = avgᵥ[ln p̂ₜ(w) − ln p̂ₛ(w)], p̂(w) =
+    * (c(w)+1)/(N+V). Positive = looks more like the target domain;
+    * selection on the weight is importance resampling (deterministic
+    * top-k variant: [[importanceTopK]]).
+    *
+    * Scale shape mirrors the paper's hashed features: tokens ride every
+    * shuffle as 8-byte xxhash64 fingerprints, never strings (same stance
+    * as [[bigramSurprisal]]; the string-keyed DuckDB oracle pins the
+    * equality). BOTH LMs come out of ONE partial-agg'd groupBy — the
+    * target count is a conditional sum riding the corpus count's shuffle,
+    * so adding the second LM costs zero extra passes. The single-row
+    * totals relation broadcasts; the counts join-back is left to AQE
+    * (vocabulary-sized, like [[tfidf]]'s df relation). */
+  def importanceWeight(documents: DataFrame, isTarget: Column): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), isTarget.cast("boolean").as("tgt"),
+        explode(Funcs.tokens(col("text"))).as("word"))
+      .select(col("doc_id"), col("tgt"), xxhash64(col("word")).as("fp"))
+    val counts = tok.groupBy("fp").agg(
+      count(lit(1)).cast("bigint").as("c_s"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("bigint").as("c_t"))
+    val totals = counts.agg(
+      sum(col("c_s")).cast("bigint").as("n_s"),
+      sum(col("c_t")).cast("bigint").as("n_t"),
+      count(lit(1)).cast("bigint").as("v"))
+    val ratio =
+      log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double")) -
+        log((col("c_s") + 1).cast("double") / (col("n_s") + col("v")).cast("double"))
+    tok.join(counts, Seq("fp")).crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round(avg(ratio), 6).as("mean_logratio"),
+        count(lit(1)).cast("bigint").as("n_tokens"))
+  }
+
+  /** Deterministic DSIR selection: the `k` highest-importance documents
+    * by [[importanceWeight]], ties broken by doc_id (the weight is
+    * 6-decimal rounded first, so the tie-break is engine-portable).
+    * orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    * top-k, then a k-row merge — never a global sort (the same plan
+    * stance as the exact top-k vocabulary). The paper samples with
+    * Gumbel noise; a seeded variant would add hash-derived noise to the
+    * weight with an identical plan shape. */
+  def importanceTopK(documents: DataFrame, isTarget: Column, k: Int): DataFrame =
+    importanceWeight(documents, isTarget)
+      .orderBy(col("mean_logratio").desc, col("doc_id").asc)
+      .limit(k)
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

@@ -102,12 +102,21 @@ object StreamOps {
     tumblingCount(stream, windowLen, graceSeconds)
       .filter(col("cnt") > threshold)
 
-  /** T8 ≙ StreamStreamJoinExample — windowed stream-stream inner equi-join:
+  /** T8 ≙ StreamStreamJoinExample — windowed stream-stream equi-join:
     * equal keys, |t_left − t_right| ≤ `withinMinutes`. Watermarks on both
     * sides bound the join state (Spark evicts rows older than
     * watermark + window — the reference's "unmatched rows dropped after the
-    * window expires"). */
-  def streamStreamJoin(left: DataFrame, right: DataFrame, withinMinutes: Int): DataFrame = {
+    * window expires").
+    *
+    * `joinType` extends the surface to Kafka Streams' `leftJoin` /
+    * `outerJoin` ("left_outer" / "full_outer"): an unmatched row emits
+    * with null partner columns only once the watermark proves no partner
+    * can still arrive (its side's state evicts) — the exact analog of
+    * Kafka Streams' grace-deferred null emission, so outer results
+    * trail the inner ones by the watermark delay rather than appearing
+    * eagerly. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, withinMinutes: Int,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("eventTime", s"$withinMinutes minutes")
     val r = right.selectExpr("key AS r_key", "value AS r_value", "eventTime AS r_eventTime")
       .withWatermark("r_eventTime", s"$withinMinutes minutes")
@@ -115,7 +124,7 @@ object StreamOps {
       col("key") === col("r_key") &&
         col("r_eventTime") >= col("eventTime") - expr(s"INTERVAL $withinMinutes MINUTES") &&
         col("r_eventTime") <= col("eventTime") + expr(s"INTERVAL $withinMinutes MINUTES"),
-      "inner")
+      joinType)
   }
 
   /** T8 output shape ≙ models/OrderPayment.java:5-7 via the join combiner

@@ -218,6 +218,39 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Seq("120")) // no output row for key 100, ever
   }
 
+  test("T8 left-outer golden: unmatched order emits null-padded only after the watermark closes its window (KStream#leftJoin grace semantics)") {
+    val orders = MemoryStream[(String, String, java.sql.Timestamp)]
+    val payments = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = StreamOps.streamStreamJoin(
+      orders.toDF().toDF("key", "value", "eventTime"),
+      payments.toDF().toDF("key", "value", "eventTime"),
+      withinMinutes = 5, joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("golden_ssj_left").start()
+    try {
+      orders.addData(
+        ("120", """{"orderId":120,"customerId":1}""", ts("2025-01-01 10:00:00")),
+        ("100", """{"orderId":100,"customerId":2}""", ts("2025-01-01 10:00:00")))
+      payments.addData(("120", """{"orderId":120,"amount":100.0}""", ts("2025-01-01 10:02:00")))
+      q.processAllAvailable()
+      // the match emits eagerly; the null row for 100 must NOT — a payment
+      // could still arrive until the watermark passes its window
+      val eager = spark.table("golden_ssj_left")
+        .select($"key").as[String].collect().toSeq
+      assert(eager == Seq("120"), s"premature outer emission: $eager")
+      // watermark riders on both streams push the global (min) watermark
+      // past 10:05; the next batch flushes 100's evicted state as a null row
+      orders.addData(("900", "{}", ts("2025-01-01 11:00:00")))
+      payments.addData(("901", "{}", ts("2025-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("golden_ssj_left")
+        .select($"key", $"r_value").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("120", """{"orderId":120,"amount":100.0}"""),
+        ("100", null)), s"got $got")
+    } finally q.stop()
+  }
+
   test("T10 golden: fraud processor alerts on every qualifying order past 3 (FraudProcessor.java:41-63)") {
     val in = MemoryStream[StreamOps.FraudInput]
     val base = ts("2025-01-01 00:00:00").getTime

@@ -418,6 +418,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == bases.map { case (i, _) => (i, i + 1000L) }.toSet)
   }
 
+  test("semanticDedup: planted copies — original kept, copy collapsed, singleton rule intact") {
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val copies = emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val got = Dedup.semanticDedup(emb.union(copies), minCosine = 0.9)
+      .select($"vec_id", $"component_id", $"is_keeper")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val n = emb.count()
+    assert(got.size == 2 * n)
+    emb.select($"vec_id").as[Long].collect().foreach { v =>
+      assert(got(v) == ((v, 1L)), s"original $v not its own keeper: ${got(v)}")
+      assert(got(v + 100000L) == ((v, 0L)), s"copy of $v not collapsed: ${got(v + 100000L)}")
+    }
+  }
+
+  test("semanticDedup components ≡ brute-force within-cluster closure at a raw threshold") {
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val got = Dedup.semanticDedup(emb, minCosine = 0.3)
+      .select($"vec_id", $"component_id").as[(Long, Long)].collect().toMap
+    // oracle: identical deterministic assignment (trainCentroids +
+    // nearestBucket are pure functions of the corpus), then exhaustive
+    // within-cluster cosine pairs closed by union-find in test code
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 16, 3)
+    val assigned = emb.select($"vec_id",
+      Similarity.nearestBucket($"embedding", cents).as("cluster"))
+    def side(id: String, e: String, c: String) = emb
+      .select($"vec_id".as(id), $"embedding".as(e))
+      .join(assigned.select($"vec_id".as(id), $"cluster".as(c)), id)
+    val pairs = side("id_a", "ea", "ca").join(side("id_b", "eb", "cb"),
+        $"id_a" < $"id_b" && $"ca" === $"cb")
+      .filter(graft.functions.Funcs.cosineD($"ea", $"eb") >= 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // the fixture must bite
+    val ids = emb.select($"vec_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    ids.foreach { v => assert(got(v) == find(v), s"component mismatch at $v") }
+  }
+
+  test("importanceWeight: target = whole corpus gives identically zero log-ratio") {
+    val docs = Tables.documents(spark, dir)
+    val got = TextAnalysis.importanceWeight(docs, lit(true))
+    assert(got.filter($"mean_logratio" =!= 0.0).isEmpty)
+    assert(got.count() == docs.count())
+  }
+
+  test("importanceWeight separates target-like from source-like documents; topK orders by weight") {
+    // target domain speaks 'aaa', the rest speak 'bbb'; a fresh doc of
+    // each flavor must score on the matching side of zero
+    val docs = Seq(
+      (1L, "aaa aaa aaa", "tgt"), (2L, "aaa aaa aaa", "tgt"),
+      (3L, "bbb bbb bbb", "src"), (4L, "bbb bbb bbb", "src"),
+      (5L, "bbb bbb bbb", "src"),
+      (10L, "aaa aaa aaa aaa", "probe"), (11L, "bbb bbb bbb bbb", "probe"))
+      .toDF("doc_id", "text", "source")
+    val w = TextAnalysis.importanceWeight(docs, $"source" === "tgt")
+      .select($"doc_id", $"mean_logratio").as[(Long, Double)].collect().toMap
+    assert(w(10L) > 0, s"target-flavored probe scored ${w(10L)}")
+    assert(w(11L) < 0, s"source-flavored probe scored ${w(11L)}")
+    val top = TextAnalysis.importanceTopK(docs, $"source" === "tgt", k = 3)
+      .select($"doc_id").as[Long].collect()
+    assert(top.length == 3)
+    assert(top.toSet == Set(1L, 2L, 10L), s"top-3 was ${top.toSeq}") // the aaa speakers
+  }
+
+  test("streamStreamJoinOuter: left keeps unmatched orders null-padded; outer adds unmatched lineitems") {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val inner = Relational.streamStreamJoin(orders, lineitem)
+    val left = Relational.streamStreamJoinOuter(orders, lineitem, "left_outer")
+    val full = Relational.streamStreamJoinOuter(orders, lineitem, "full_outer")
+    val matchedOrders = inner.select($"o_orderkey").distinct().count()
+    // every order appears; unmatched ones exactly once with null right side
+    assert(left.select($"o_orderkey").distinct().count() == orders.count())
+    assert(left.filter($"l_orderkey".isNull).count() == orders.count() - matchedOrders)
+    // full outer additionally carries every unmatched lineitem row
+    val unmatchedLines = full.filter($"o_orderkey".isNull).count()
+    assert(unmatchedLines ==
+      lineitem.count() - inner.count(),
+      "full outer must add one null-left row per unmatched lineitem")
+  }
+
   test("normalizeText lowercases, strips control chars, collapses runs, trims") {
     val fixtures = Seq(
       (1L, "  Hello\tWORLD\n  x  "),
