@@ -334,6 +334,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    "text_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     // DSIR importance weighting: target LM = the src0 slice (any
     // predicate works; the oracle mirrors this one)
     "text_dsir" -> ((s, d) =>
@@ -877,6 +878,21 @@ object SparkEntry {
            round(max(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS max_nll
          FROM tok JOIN c USING (word) CROSS JOIN n
          GROUP BY doc_id""",
+    "text_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+           n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           s AS (SELECT doc_id,
+                   round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS mean_nll
+                 FROM tok JOIN c USING (word) CROSS JOIN n
+                 GROUP BY doc_id),
+           q AS (SELECT quantile_cont(mean_nll, 1.0/3) AS c1,
+                        quantile_cont(mean_nll, 2.0/3) AS c2 FROM s)
+         SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= c1 THEN 'head'
+                WHEN mean_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+         FROM s CROSS JOIN q""",
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
                         unnest(string_split(text, ' ')) AS word FROM documents),

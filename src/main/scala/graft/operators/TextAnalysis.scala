@@ -231,6 +231,34 @@ object TextAnalysis {
         count(lit(1)).cast("bigint").as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head / middle / tail by the tertiles of the per-document
+    * LM surprisal ([[unigramSurprisal]]'s mean NLL standing in for the
+    * paper's KenLM perplexity — swap the score column for a real LM's
+    * output at no plan change). CCNet keeps "head" (lowest perplexity =
+    * most fluent) for pretraining and drops or down-weights the tail.
+    *
+    * Scale note on the EXACT percentile: `percentile()` materializes a
+    * value→count map per partial aggregate, which is normally
+    * unbounded — but the score is rounded to 6 decimals and bounded by
+    * ln(corpus tokens), so the key space is ≤ a few million distinct
+    * values regardless of corpus size and the exact percentile stays
+    * fixed-memory at 100 TB. (With an unrounded or unbounded score, use
+    * `approx_percentile` — the [[Pipeline.corpusStatsApprox]] stance.)
+    * The two cut points broadcast as a single row; bucket assignment is
+    * map-side codegen. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val scored = unigramSurprisal(documents).select(col("doc_id"), col("mean_nll"))
+    val cuts = scored.agg(
+      expr("percentile(mean_nll, 1.0D/3.0D)").as("c1"),
+      expr("percentile(mean_nll, 2.0D/3.0D)").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("mean_nll"),
+        when(col("mean_nll") <= col("c1"), "head")
+          .when(col("mean_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the mean
     * log-likelihood ratio of its tokens under a TARGET unigram LM vs the

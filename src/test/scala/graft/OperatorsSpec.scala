@@ -460,6 +460,24 @@ class OperatorsSpec extends AnyFunSuite {
     ids.foreach { v => assert(got(v) == find(v), s"component mismatch at $v") }
   }
 
+  test("perplexityBuckets: tertiles partition the corpus, head is the most fluent third") {
+    val docs = Tables.documents(spark, dir)
+    val got = TextAnalysis.perplexityBuckets(docs)
+    val n = docs.count()
+    val sizes = got.groupBy($"ppl_bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.sum == n)
+    // tertiles of a near-continuous score: each bucket within ±2 of n/3
+    sizes.values.foreach(s => assert(math.abs(s - n / 3) <= 2, s"skewed split: $sizes"))
+    // ordering: every head score ≤ every middle score ≤ every tail score
+    val maxHead = got.filter($"ppl_bucket" === "head").agg(max($"mean_nll")).as[Double].head()
+    val minMid = got.filter($"ppl_bucket" === "middle").agg(min($"mean_nll")).as[Double].head()
+    val maxMid = got.filter($"ppl_bucket" === "middle").agg(max($"mean_nll")).as[Double].head()
+    val minTail = got.filter($"ppl_bucket" === "tail").agg(min($"mean_nll")).as[Double].head()
+    assert(maxHead <= minMid && maxMid <= minTail)
+  }
+
   test("importanceWeight: target = whole corpus gives identically zero log-ratio") {
     val docs = Tables.documents(spark, dir)
     val got = TextAnalysis.importanceWeight(docs, lit(true))

@@ -134,4 +134,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // participating operator; the Project carrying the dot product must be in one
     assert("Project \\[codegen id".r.findFirstIn(p).isDefined, s"no codegen span:\n$p")
   }
+
+  test("importanceTopK compiles to TakeOrderedAndProject — per-partition top-k, never a global sort") {
+    val p = plan(TextAnalysis.importanceTopK(
+      Tables.documents(spark, dir), col("source") === "src0", k = 100))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    // a standalone global Sort would mean the limit did not fuse
+    assert(!"(?m)^\\s*\\(\\d+\\) Sort".r.findFirstIn(p).isDefined, s"global sort leaked:\n$p")
+  }
+
+  test("semanticDedup assignment is map-side literal-centroid codegen: no centroid relation joins the corpus") {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2)
+    val assigned = emb.select(col("vec_id"),
+      Similarity.nearestBucket(col("embedding"), cents).as("cluster"))
+    assert(exchanges(assigned) == 0, s"assignment shuffled:\n${plan(assigned)}")
+    val p = plan(assigned)
+    assert(!p.contains("Join"), s"assignment joined a centroid relation:\n$p")
+  }
+
+  test("perplexityBuckets: the tertile cuts broadcast — no shuffled cross join of the corpus") {
+    val p = plan(TextAnalysis.perplexityBuckets(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"cuts not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
 }
