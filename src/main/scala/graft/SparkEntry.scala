@@ -57,6 +57,36 @@ object SparkEntry {
       .otherwise(text.cast("binary"))
   }
 
+  /** Deterministic lined-text fixture: the synthetic corpus has no
+    * newlines, so the line-level operators ([[Dedup.lineDedup]],
+    * [[TextAnalysis.c4LineFilter]]) run over a derived lining — tokens
+    * chunked into 3-token lines, a terminal '.' planted on lines where
+    * (doc_id + pos) % 3 ≠ 0 (so the C4 punctuation rule does real work).
+    * 3-token lines over the ~30-word vocabulary make genuine cross-doc
+    * duplicate lines plentiful, so first-occurrence keep/drop logic is
+    * exercised on real collisions. Mirrored verbatim in the DuckDB
+    * oracle's `lined` CTE ([[LinedCte]]). */
+  private def linedText(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(text, " ")
+    val nLines = ceil(size(w).cast("double") / 3.0).cast("int")
+    concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+      i => concat(
+        concat_ws(" ", slice(w, i * 3 + 1, lit(3))),
+        when((docId + i) % 3 =!= 0, lit(".")).otherwise(lit("")))))
+  }
+
+  /** DuckDB mirror of [[linedText]] (shared by the two line-op oracles). */
+  private val LinedCte: String =
+    """lined AS (
+         SELECT doc_id,
+           array_to_string(
+             [array_to_string(w[i*3+1 : i*3+3], ' ') ||
+                (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+              for i in range(0, CAST(ceil(len(w)/3.0) AS BIGINT))],
+             chr(10)) AS text
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -241,6 +271,11 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(Tables.documents(s, d), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    // exact line-level dedup over the lined fixture (see linedText):
+    // string-keyed in the oracle, pinning the xxhash64 line fingerprints
+    "dedup_lines" -> ((s, d) => Dedup.lineDedup(
+      Tables.documents(s, d).select(col("doc_id"),
+        linedText(col("doc_id"), col("text")).as("text")))),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -346,6 +381,12 @@ object SparkEntry {
     // pins the feature hashing + exact integer scoring arithmetic
     "text_model_score" -> ((s, d) =>
       TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
+    // C4 line/doc heuristics over the same lined fixture; "slow" stands
+    // in for C4's "javascript" line-blocklist rule on this vocabulary
+    "c4_clean" -> ((s, d) => TextAnalysis.c4LineFilter(
+      Tables.documents(s, d).select(col("doc_id"),
+        linedText(col("doc_id"), col("text")).as("text")),
+      lineBlocklist = Seq("slow"))),
 
     // --- north-star: corpus-prep pipeline ---
     "pipeline_hash_split" -> ((s, d) => Pipeline.hashSplit(Tables.documents(s, d))),
@@ -607,6 +648,54 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_kept,
                   string_agg(token, ' ' ORDER BY p) AS text_clean
            FROM kept GROUP BY 1) k USING (doc_id)""",
+    // line dedup: corpus-first occurrence by the packed doc_id·2³²+pos
+    // key over STRING-keyed lines (the Spark side groups by xxhash64
+    // fingerprints — identical modulo a 2⁻⁶⁴ collision)
+    "dedup_lines" ->
+      s"""WITH $LinedCte,
+           l AS (SELECT doc_id,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+                 FROM lined),
+           f AS (SELECT line, min(doc_id * 4294967296 + pos) AS first_okey
+                 FROM l GROUP BY 1),
+           agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                   FROM l JOIN f USING (line)
+                   WHERE doc_id * 4294967296 + pos = first_okey
+                   GROUP BY 1),
+           tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(a.text_clean, '') AS text_clean
+         FROM tot t LEFT JOIN agg a USING (doc_id)""",
+    // C4 line/doc rules over the same lined CTE: ≥3 words, terminal
+    // punctuation, no "slow" (the blocklist stand-in); doc keeps iff ≥3
+    // surviving lines and no '{' / 'lorem ipsum' anywhere in the text
+    "c4_clean" ->
+      s"""WITH $LinedCte,
+           l AS (SELECT doc_id,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+                 FROM lined),
+           fl AS (SELECT doc_id, pos, line,
+                    (len(string_split(line, ' ')) >= 3
+                     AND regexp_matches(line, '[.!?"]$$')
+                     AND NOT contains(lower(line), 'slow')) AS kl
+                  FROM l),
+           agg AS (SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN kl THEN 1 ELSE 0 END) AS n_kept
+                   FROM fl GROUP BY 1),
+           txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                   FROM fl WHERE kl GROUP BY 1)
+         SELECT a.doc_id, CAST(a.n_lines AS BIGINT) AS n_lines,
+                CAST(a.n_kept AS BIGINT) AS n_kept,
+                CAST(CASE WHEN a.n_kept >= 3
+                           AND NOT contains(lower(d.text), '{')
+                           AND NOT contains(lower(d.text), 'lorem ipsum')
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                coalesce(t.text_clean, '') AS text_clean
+         FROM agg a JOIN lined d USING (doc_id) LEFT JOIN txt t USING (doc_id)""",
     // duplicated 5-gram spans by STRING frequency (the Spark side counts
     // by xxhash64 — identical modulo a 2⁻⁶⁴ collision), merged into
     // maximal per-doc regions via gaps-and-islands

@@ -919,6 +919,54 @@ object Dedup {
         concat_ws(" ", col("kept")).as("text_clean"))
   }
 
+  /** Exact line-level corpus deduplication (the RefinedWeb / Dolma
+    * recipe): a line that occurs anywhere else in the corpus survives
+    * only at its corpus-FIRST occurrence — packed (doc_id, line_pos)
+    * `min`, the same first-occurrence stance and id-space assumption as
+    * [[removeDuplicatedSpans]] — and every later copy is dropped, each
+    * document's text rebuilt from its surviving lines in order.
+    * Boilerplate (nav bars, cookie banners, license headers) is the
+    * target: it repeats verbatim across pages, so exact line identity
+    * catches it with no near-dup machinery. The doc-LOCAL heuristic
+    * sibling is [[TextAnalysis.c4LineFilter]].
+    *
+    * Scale shape: lines ride every shuffle as 8-byte xxhash64
+    * fingerprints, never strings (the decontaminate/bigram stance; the
+    * string-keyed DuckDB oracle pins the equality) — the line text
+    * itself never leaves its document row. First occurrence is a
+    * partial-agg'd `min` over the packed key, so a million-fold
+    * boilerplate line costs one combiner cell, never a line-partitioned
+    * window; the drop-set join-back is doc-keyed ints; the rebuild is a
+    * doc-local higher-order `filter` in codegen.
+    *
+    * Emits (doc_id, n_lines, n_kept, text_clean); a document whose every
+    * line was seen earlier keeps its row with empty `text_clean`. Blank
+    * lines are lines too — corpus-wide, only the first survives (run a
+    * normalization pass first if blank-line structure must be kept). */
+  def lineDedup(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val hashed = documents
+      .select(col("doc_id"),
+        posexplode(transform(lines, l => xxhash64(l))).as(Seq("pos", "fp")))
+      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
+      .transform(Caches.persisted)
+    val firsts = hashed.groupBy("fp").agg(min(col("okey")).as("first_okey"))
+    val dropped = hashed.join(firsts, Seq("fp"))
+      .filter(col("okey") =!= col("first_okey"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+    documents
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(lines).cast("bigint").as("n_lines"),
+        when(col("drop_pos").isNull, lines)
+          .otherwise(filter(lines, (_, i) => !array_contains(col("drop_pos"), i)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        concat_ws("\n", col("kept")).as("text_clean"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

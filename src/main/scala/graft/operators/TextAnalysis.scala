@@ -310,6 +310,53 @@ object TextAnalysis {
       .orderBy(col("mean_logratio").desc, col("doc_id").asc)
       .limit(k)
 
+  /** C4-style line + document cleaning heuristics (Raffel et al. 2020
+    * §2.2, the rules behind the C4 corpus), parameterized so a pipeline
+    * can re-tune per corpus:
+    *  - a LINE survives iff it has ≥ `minWordsPerLine` words, ends in a
+    *    terminal punctuation mark (`.` `!` `?` `"`) when
+    *    `requireTerminalPunct`, and contains no `lineBlocklist` term
+    *    (case-insensitive substring — C4's "javascript" rule);
+    *  - the DOCUMENT survives (`keep` = 1) iff ≥ `minLines` lines remain
+    *    and no `docBlocklist` term appears anywhere in the raw text
+    *    (C4 drops pages containing `{` — code leakage — or the
+    *    "lorem ipsum" filler).
+    *
+    * Every rule is doc-local array logic, so unlike the corpus-global
+    * [[Dedup.lineDedup]] this is map-side only: scan → project, one
+    * codegen span, no shuffle at any scale. Emits
+    * (doc_id, n_lines, n_kept, keep, text_clean) — `text_clean` keeps
+    * surviving lines in order; the caller filters on `keep` (emitted as
+    * a flag, not pre-applied, so rejection reasons stay auditable — the
+    * [[gopherFilter]] stance). */
+  def c4LineFilter(
+      documents: DataFrame,
+      minWordsPerLine: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      lineBlocklist: Seq[String] = Seq("javascript"),
+      minLines: Int = 3,
+      docBlocklist: Seq[String] = Seq("{", "lorem ipsum")): DataFrame = {
+    val lines = split(col("text"), "\n")
+    def keepLine(l: Column): Column = {
+      val words = size(split(l, " ")) >= minWordsPerLine
+      val punct = if (requireTerminalPunct) l.rlike("[.!?\"]$") else lit(true)
+      val unblocked = lineBlocklist
+        .map(t => !lower(l).contains(lit(t.toLowerCase)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      words && punct && unblocked
+    }
+    val kept = filter(lines, keepLine _)
+    val docUnblocked = docBlocklist
+      .map(t => !lower(col("text")).contains(lit(t.toLowerCase)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    documents.select(
+      col("doc_id"),
+      size(lines).cast("bigint").as("n_lines"),
+      size(kept).cast("bigint").as("n_kept"),
+      (size(kept) >= minLines && docUnblocked).cast("bigint").as("keep"),
+      concat_ws("\n", kept).as("text_clean"))
+  }
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

@@ -873,4 +873,49 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Relational.eventTimeParse(Tables.events(spark, dir))
     assert(got.filter($"event_time".isNull).isEmpty)
   }
+
+  test("lineDedup keeps corpus-first line occurrences only; all-dup doc keeps an empty row") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\ngamma"), // first occurrence of "shared line"
+      (2L, "shared line\ndelta"),             // later copy dropped
+      (3L, "shared line"),                    // entirely duplicated → empty text_clean
+      (4L, "delta")                           // "delta" first seen at (2,1) → dropped here
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs).orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, "alpha beta\nshared line\ngamma"),
+      (2L, 2L, 1L, "delta"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 0L, "")))
+  }
+
+  test("lineDedup duplicate-within-one-doc keeps only the earlier position") {
+    val docs = Seq((7L, "x y\nx y\nz")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs).select($"text_clean").as[String].head()
+    assert(got == "x y\nz")
+  }
+
+  test("c4LineFilter applies each rule: words, punctuation, line blocklist, doc blocklist, minLines") {
+    val docs = Seq(
+      // all four lines pass → keep
+      (1L, "one two three.\nfour five six!\nseven eight nine?\nten eleven twelve.\""),
+      // line 2 too short, line 3 no terminal punct, line 4 blocklisted → 1 kept < 3 → drop
+      (2L, "one two three.\ntoo short.\nno punct here\nbad javascript line."),
+      // enough clean lines but '{' in the doc → drop
+      (3L, "one two three.\nfour five six.\ncode { leak."),
+      // enough clean lines but filler text → drop
+      (4L, "one two three.\nfour five six.\nsee Lorem Ipsum text.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilter(docs).orderBy($"doc_id")
+      .select($"doc_id", $"n_kept", $"keep", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 1L,
+      "one two three.\nfour five six!\nseven eight nine?\nten eleven twelve.\"")))
+    assert(got(1) == ((2L, 1L, 0L, "one two three.")))
+    // doc-blocklisted rows keep their per-line results but flag keep=0
+    assert(got(2)._3 == 0L && got(2)._2 == 3L)
+    assert(got(3)._3 == 0L && got(3)._2 == 3L)
+  }
 }
