@@ -76,6 +76,31 @@ object SparkEntry {
         when((docId + i) % 3 =!= 0, lit(".")).otherwise(lit("")))))
   }
 
+  /** PQ demo codebooks: 8 subspaces × 16 centroids × 8 dims, every
+    * component the small integer ((s·3 + c·5 + j·7) mod 17) − 8. Within
+    * a subspace all 16 centroids are pairwise distinct in EVERY
+    * component (c·5 is injective mod 17 over 0..15), so a planted
+    * reconstruction encodes back to its own code with distance exactly
+    * 0 and no argmin tie. Integer-valued floats keep every dot product
+    * exact in both engines. */
+  private val PqDemoCodebooks: Array[Array[Array[Float]]] =
+    Array.tabulate(8, 16, 8)((s, c, j) => (((s * 3 + c * 5 + j * 7) % 17) - 8).toFloat)
+
+  /** Planted PQ vector: the reconstruction of code(s) = (id·m1 + s·m2 +
+    * a) mod 16 under [[PqDemoCodebooks]] — component i belongs to
+    * subspace s = i>>3, offset j = i&7. Corpus rows being EXACT
+    * reconstructions makes ADC distance exact, so PQ top-k ≡ brute
+    * force and the whole encode→LUT→ADC→rank path is hash-oracle-able
+    * (the planted-analytic move, PQ edition). Mirrored in the oracle. */
+  private def pqPlantedVec(id: org.apache.spark.sql.Column,
+      m1: Long, m2: Long, a: Long): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(63)), i => {
+      val s = shiftright(i, 3).cast("long")
+      val j = (i % 8).cast("long")
+      val c = (id * m1 + s * m2 + a) % 16
+      (((s * 3 + c * 5 + j * 7) % 17) - 8).cast("float")
+    })
+
   /** DuckDB mirror of [[linedText]] (shared by the two line-op oracles). */
   private val LinedCte: String =
     """lined AS (
@@ -303,6 +328,20 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
         k = 10, numCentroids = 16, nprobe = 16)
+    }),
+    // PQ ADC top-k over planted reconstructions (see pqPlantedVec): the
+    // corpus IS its own PQ reconstruction, so asymmetric distance is
+    // exact and the ADC ranking equals brute-force inner product — the
+    // oracle computes that directly from the same integer formula. Query
+    // vectors use a different code formula so they differ from every
+    // corpus row. Raw-embedding recall stays pinned in OperatorsSpec.
+    "sim_topk_pq" -> ((s, d) => {
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
+      val queries = ids.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
+      Similarity.pqTopK(queries, Similarity.pqEncode(corpus, PqDemoCodebooks),
+        PqDemoCodebooks, k = 10)
     }),
 
     // --- north-star: multimodal ---
@@ -752,6 +791,27 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 8)
          WHERE rank <= 10""",
+    // PQ over planted reconstructions: the oracle rebuilds the SAME
+    // integer vectors from the code formula (corpus: (id·7+s·3)%16,
+    // queries: (id·11+s·5+1)%16; component = ((s·3+c·5+j·7)%17)−8 with
+    // s=i//8, j=i%8) and ranks by exact integer inner product — which
+    // the engine's encode→LUT→ADC path must reproduce bit-for-bit
+    "sim_topk_pq" ->
+      """WITH corp AS (SELECT vec_id,
+             [CAST((((i//8)*3 + ((vec_id*7 + (i//8)*3) % 16)*5 + (i%8)*7) % 17) - 8 AS DOUBLE)
+              for i in range(0, 64)] AS v FROM embeddings),
+           qry AS (SELECT vec_id AS query_id,
+             [CAST((((i//8)*3 + ((vec_id*11 + (i//8)*5 + 1) % 16)*5 + (i%8)*7) % 17) - 8 AS DOUBLE)
+              for i in range(0, 64)] AS q FROM embeddings WHERE vec_id < 8),
+           sc AS (SELECT query_id, vec_id,
+                    list_sum([q[i+1] * v[i+1] for i in range(0, 64)]) AS sim
+                  FROM qry, corp WHERE query_id <> vec_id),
+           r AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS rank
+                 FROM sc)
+         SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
     // JPEG/PNG payloads carry real headers; the oracle re-parses the
     // dimension fields out of the blob at the (known, spec-fixed) header
     // offsets: PNG IHDR w/h at bytes 17-20/21-24, JPEG SOF0 h/w at bytes

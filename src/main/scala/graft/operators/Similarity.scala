@@ -206,6 +206,153 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bounded ANN tier
+  // ---------------------------------------------------------------------
+
+  /** Train PQ codebooks: split the embedding into `m` contiguous
+    * subspaces and run an independent L2 Lloyd loop per subspace over a
+    * bounded driver sample (the [[trainCentroids]] contract: a quantizer
+    * needs thousands of vectors, not the corpus — sampleSize × d floats
+    * on the driver, corpus-side work stays in [[pqEncode]]'s map-side
+    * expressions). Init = first `ksub` sample subvectors; empty clusters
+    * keep their previous centroid; ties break to the lowest code.
+    * Returns codebooks[m][ksub][d/m]. */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      ksub: Int = 16,
+      iters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col(embCol), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = sample.head.length
+    require(d % m == 0, s"embedding dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var cents = subs.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dsub)(0.0)
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var i = 0
+            while (i < dsub) {
+              val df = v(i).toDouble - cents(c)(i).toDouble; dist += df * df; i += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode the corpus: per subspace, the nearest (L2) codebook
+    * centroid's index — `argmin ‖x−c‖² ≡ argmax (2·x·c − ‖c‖²)` with the
+    * row-constant ‖x‖² dropped, so each code is a handful of codegen'd
+    * dot products against LITERAL centroids (the [[nearestBucket]]
+    * stance; ties break to the lowest code via first-match
+    * array_position). Output (idCol, `codes` ARRAY<INT> of length m) —
+    * m BYTES of information per vector: at 100 TB this is the tier that
+    * fits an exabyte-scale embedding corpus in cluster memory (64-dim
+    * float rows shrink 32× at m=8), and the scan side of every
+    * downstream probe reads codes only, never the float arrays. */
+  def pqEncode(
+      corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val codeCols = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(embCol), s * dsub + 1, dsub)
+      val scores = array(cb.toSeq.map { ct =>
+        val n2 = ct.map(x => x.toDouble * x).sum
+        Native.dotF(sub, typedLit(ct.toSeq)) * 2.0 - lit(n2)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus, by inner
+    * product (the MIPS convention: pre-normalize embeddings upstream for
+    * cosine). Each query precomputes a lookup table per subspace —
+    * lut_s[c] = q_sub · codebook[s][c], m × ksub doubles — on the TINY
+    * broadcast query side; scoring a corpus row is then m array lookups
+    * and adds in one codegen span, and the corpus scan touches codes
+    * only (never embeddings). ADC is exact for any corpus vector that
+    * equals its PQ reconstruction and an unbiased approximation
+    * otherwise — [[pqTopKRefined]] adds the standard exact re-rank.
+    *
+    * @param codes  [[pqEncode]] output (vec_id, codes) — or a parquet
+    *               round-trip of it (the persisted-index layout).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val luts = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
+      array(cb.toSeq.map(ct =>
+        Native.dotF(slice(col("q_embedding"), s * dsub + 1, dsub), typedLit(ct.toSeq))): _*)
+        .as(s"lut_$s")
+    }
+    val q = broadcast(queries.select(col("query_id") +: luts: _*))
+    val scored = codes.join(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until m).map(s =>
+          element_at(col(s"lut_$s"), element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _).as("sim"))
+    topK(scored, k)
+  }
+
+  /** PQ shortlist + exact re-rank — the production PQ deployment shape:
+    * ADC over codes builds a `k × refineFactor` shortlist (full-corpus
+    * scan, codes only), then ONLY the shortlist rows — queries × k ×
+    * refineFactor of them, not the corpus — fetch their float embeddings
+    * for an exact inner-product re-rank. Recall lost to quantization
+    * error comes back as long as the true neighbor lands anywhere in the
+    * shortlist; cost stays corpus-scan-in-codes + a shortlist-sized
+    * join. Compose with IVF ([[writeIvfIndex]]) for IVF-PQ: probe prunes
+    * the scan, codes shrink what's scanned, re-rank restores recall. */
+  def pqTopKRefined(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      k: Int,
+      refineFactor: Int = 4): DataFrame = {
+    val shortlist = pqTopK(queries, pqEncode(corpus, codebooks), codebooks, k * refineFactor)
+      .select(col("query_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Native.dotF(col("q_embedding"), col("embedding")).as("sim"))
+    topK(exact, k)
+  }
+
   /** Per-query top-k with deterministic tie-break (sim desc, vec_id asc);
     * integer-only output so the result is bit-stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

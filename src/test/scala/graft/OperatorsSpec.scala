@@ -557,6 +557,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap >= 32, s"IVF recall too low: $overlap/40") // ≥80% at nprobe=4/16 (k-means centroids)
   }
 
+  test("pqEncode recovers planted codes; ADC top-k equals exact inner product on reconstructions") {
+    // same integer formula as SparkEntry's sim_topk_pq fixture
+    val cb: Array[Array[Array[Float]]] =
+      Array.tabulate(8, 16, 8)((s, c, j) => (((s * 3 + c * 5 + j * 7) % 17) - 8).toFloat)
+    def planted(id: Long, m1: Long, m2: Long, a: Long): Seq[Float] =
+      (0 until 64).map { i =>
+        val s = i >> 3; val j = i & 7
+        val c = (id * m1 + s * m2 + a) % 16
+        (((s * 3 + c * 5 + j * 7) % 17) - 8).toFloat
+      }
+    val corpus = (0L until 100L).map(id => (id, planted(id, 7, 3, 0))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, cb)
+    // encoding a reconstruction must return exactly its generating codes
+    val got = codes.filter($"vec_id" === 5L).select($"codes").as[Seq[Int]].head()
+    assert(got == (0 until 8).map(s => ((5L * 7 + s * 3) % 16).toInt))
+    val queries = (0L until 4L).map(id => (id, planted(id, 11, 5, 1))).toDF("query_id", "q_embedding")
+    val pq = Similarity.pqTopK(queries, codes, cb, k = 10)
+    assert(pq.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
+    // exact inner-product oracle over the same planted vectors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exact = corpus.join(queries)
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id",
+        graft.functions.Native.dotF($"q_embedding", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"vec_id", $"rank".cast("long").as("rank"))
+    assert(pq.except(exact).isEmpty && exact.except(pq).isEmpty)
+  }
+
+  test("trained PQ + refined re-rank: high recall vs exact inner product on real embeddings") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8)
+    val refined = Similarity.pqTopKRefined(queries, emb, cb, k = 10, refineFactor = 8)
+    assert(refined.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exact = emb.join(broadcast(queries))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id",
+        graft.functions.Native.dotF($"q_embedding", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+    val overlap = exact.select($"query_id", $"vec_id")
+      .intersect(refined.select($"query_id", $"vec_id")).count()
+    assert(overlap >= 32, s"PQ refined recall too low: $overlap/40")
+  }
+
   test("IVF partitioned index: probe prunes partitions and matches the in-memory path exactly") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
