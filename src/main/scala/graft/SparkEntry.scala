@@ -454,6 +454,8 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) =>
       Pipeline.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, overlap = 8)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
+    "mixture_temperature" -> ((s, d) => Pipeline.temperatureMixture(Tables.documents(s, d))),
+    "span_corrupt" -> ((s, d) => Pipeline.spanCorrupt(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) => Pipeline.corpusReport(Tables.documents(s, d))),
     "pipeline_global_order" -> ((s, d) => Pipeline.globalOrderShards(Tables.documents(s, d))),
     "asof_attribution" -> ((s, d) => {
@@ -1200,6 +1202,59 @@ object SparkEntry {
            round((1.0 / CAST(count(*) OVER () AS DOUBLE)) /
              (CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)), 6) AS weight
          FROM a""",
+    // α-power normalizer folded over the source-SORTED list on both
+    // sides: double addition is order-sensitive in the last ulp, so the
+    // summation order itself is part of the contract
+    "mixture_temperature" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+           b AS (SELECT source, n_docs, total_tokens,
+                   CAST(total_tokens AS DOUBLE) /
+                     CAST(sum(total_tokens) OVER () AS DOUBLE) AS share
+                 FROM a),
+           c AS (SELECT source, n_docs, total_tokens, share,
+                   pow(share, 0.5) AS pa FROM b),
+           d AS (SELECT list_sum(list(pa ORDER BY source)) AS denom FROM c)
+         SELECT source, n_docs, total_tokens,
+                round(share, 6) AS token_share,
+                round(pa / denom, 6) AS weight
+         FROM c, d""",
+    // the masked-run islands rebuilt relationally: lag() marks span
+    // starts, a running sum numbers spans, string_agg assembles input
+    // (unmasked tokens + one sentinel per span) and target (sentinel +
+    // span tokens, closed by the final sentinel — T5 convention)
+    "span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           p AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok FROM t),
+           m AS (SELECT doc_id, pos, tok,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 4))::INT
+                      % 100 < 15) AS mk
+                 FROM p),
+           s AS (SELECT *, CASE WHEN mk AND NOT coalesce(
+                     lag(mk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                   THEN 1 ELSE 0 END AS st FROM m),
+           sp AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span_id
+                  FROM s),
+           inp AS (SELECT doc_id, string_agg(
+                     CASE WHEN NOT mk THEN tok
+                          WHEN st = 1 THEN '<extra_id_' || span_id || '>' END,
+                     ' ' ORDER BY pos) AS input_text
+                   FROM sp GROUP BY 1),
+           tb AS (SELECT doc_id,
+                    string_agg(CASE WHEN st = 1
+                        THEN '<extra_id_' || span_id || '> ' || tok
+                        ELSE tok END, ' ' ORDER BY pos) AS tgt_body,
+                    CAST(count(*) AS BIGINT) AS n_masked,
+                    CAST(max(span_id) + 1 AS BIGINT) AS n_spans
+                  FROM sp WHERE mk GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                coalesce(tb.n_masked, 0) AS n_masked,
+                coalesce(tb.n_spans, 0) AS n_spans,
+                inp.input_text,
+                CASE WHEN tb.tgt_body IS NULL THEN '<extra_id_0>'
+                     ELSE tb.tgt_body || ' <extra_id_' || tb.n_spans || '>' END AS target_text
+         FROM t JOIN inp USING (doc_id) LEFT JOIN tb USING (doc_id)""",
     "corpus_report" ->
       """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
            CAST(count(*) AS BIGINT) AS n_docs,

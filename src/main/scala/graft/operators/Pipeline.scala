@@ -502,4 +502,86 @@ object Pipeline {
         round(share, 6).as("token_share"),
         round((lit(1.0d) / count(lit(1)).over(all).cast("double")) / share, 6).as("weight"))
   }
+
+  /** Temperature-scaled domain mixture (the multilingual-LM / Gopher
+    * sampling-weight recipe): sampling weight qᵢ ∝ pᵢ^α where pᵢ is the
+    * domain's token share — α < 1 flattens the mixture toward uniform
+    * (up-samples small domains), α = 1 is proportional, α > 1 sharpens.
+    *
+    * Determinism note: the α-power normalizer Σⱼ pⱼ^α is a sum of
+    * DOUBLES, and float addition is order-sensitive in the last ulp —
+    * so it is folded over the source-sorted list (both engines sum in
+    * the identical order), never a partition-order aggregate. The
+    * relation is domain-sized (tiny) by the time any double math runs;
+    * everything corpus-sized is exact BIGINT token counting. */
+  def temperatureMixture(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val all = Window.partitionBy()
+    val bySrc = documents
+      .select(col("source"), size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("share",
+        col("total_tokens").cast("double") / sum(col("total_tokens")).over(all).cast("double"))
+      .withColumn("pa", pow(col("share"), lit(alpha)))
+    val denom = bySrc.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("pa")))),
+          x => x.getField("pa")),
+        lit(0.0d), (acc, x) => acc + x).as("denom"))
+    bySrc.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("share"), 6).as("token_share"),
+        round(col("pa") / col("denom"), 6).as("weight"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the denoising
+    * objective's sample constructor): each token is masked by a
+    * deterministic hash draw — md5(doc_id:pos) mod 100 < `ratePercent`,
+    * md5 so the DuckDB oracle replays the draw bit-exactly — and each
+    * maximal RUN of masked tokens becomes one sentinel: the input keeps
+    * unmasked text with `<extra_id_k>` standing in for span k, the
+    * target lists each sentinel followed by the span's tokens and ends
+    * with the closing sentinel `<extra_id_n>` (the T5 convention; an
+    * uncorrupted document's target is just `<extra_id_0>`).
+    *
+    * Scale shape: entirely map-side — one fold over the token array per
+    * document (higher-order `aggregate` with a (k, prev, input, target)
+    * accumulator), no shuffle at any scale. The fold is interpreted
+    * rather than codegen'd (lambda functions don't fuse), which is the
+    * standard HOF trade; a [[graft.functions.Native]] expression is the
+    * drop-in upgrade path if this ever dominates a profile.
+    *
+    * Emits (doc_id, n_tokens, n_masked, n_spans, input_text,
+    * target_text). */
+  def spanCorrupt(documents: DataFrame, ratePercent: Int = 15): DataFrame = {
+    require(ratePercent >= 0 && ratePercent <= 100, "ratePercent must be in [0,100]")
+    val toks = Funcs.tokens(col("text"))
+    def masked(i: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("int") % 100 < ratePercent
+    def sent(k: Column): Column = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val idx = transform(toks, (t, i) => struct(t.as("tok"), masked(i).as("mk")))
+    val init = struct(lit(0).as("k"), lit(false).as("prev"),
+      array().cast("array<string>").as("inp"), array().cast("array<string>").as("tgt"))
+    val folded = aggregate(idx, init, (acc, x) => {
+      val mk = x.getField("mk")
+      val tok = x.getField("tok")
+      val isStart = mk && !acc.getField("prev")
+      val k2 = when(isStart, acc.getField("k") + 1).otherwise(acc.getField("k"))
+      val inp2 = when(!mk, concat(acc.getField("inp"), array(tok)))
+        .when(isStart, concat(acc.getField("inp"), array(sent(acc.getField("k")))))
+        .otherwise(acc.getField("inp"))
+      val tgt2 = when(isStart, concat(acc.getField("tgt"), array(sent(acc.getField("k")), tok)))
+        .when(mk, concat(acc.getField("tgt"), array(tok)))
+        .otherwise(acc.getField("tgt"))
+      struct(k2.as("k"), mk.as("prev"), inp2.as("inp"), tgt2.as("tgt"))
+    })
+    documents
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"), folded.as("f"))
+      .select(col("doc_id"), col("n_tokens"),
+        (size(col("f.tgt")) - col("f.k")).cast("bigint").as("n_masked"),
+        col("f.k").cast("bigint").as("n_spans"),
+        concat_ws(" ", col("f.inp")).as("input_text"),
+        concat_ws(" ", concat(col("f.tgt"), array(sent(col("f.k"))))).as("target_text"))
+  }
 }

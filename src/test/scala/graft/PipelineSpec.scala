@@ -515,4 +515,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isEmpty)
     got.unpersist()
   }
+
+  test("temperatureMixture: weights sum to 1; α=1 is proportional; α<1 up-samples small domains") {
+    val flat = Pipeline.temperatureMixture(docs, alpha = 0.5).cache()
+    assert(math.abs(flat.agg(sum($"weight")).as[Double].head() - 1.0) < 1e-3)
+    val prop = Pipeline.temperatureMixture(docs, alpha = 1.0)
+    assert(prop.filter(abs($"weight" - $"token_share") > 1e-5).isEmpty)
+    // at α<1 the smallest domain's weight must exceed its raw share
+    val smallest = flat.orderBy($"token_share").first()
+    assert(smallest.getAs[Double]("weight") > smallest.getAs[Double]("token_share"))
+    flat.unpersist()
+  }
+
+  test("spanCorrupt: interleaving input and target spans reconstructs the original text") {
+    val got = Pipeline.spanCorrupt(docs, ratePercent = 25)
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"text", $"n_tokens", $"n_masked", $"n_spans",
+        $"input_text", $"target_text")
+      .collect()
+    got.foreach { r =>
+      val sentinel = "<extra_id_(\\d+)>".r
+      val tgt = r.getAs[String]("target_text")
+      val nSpans = r.getAs[Long]("n_spans")
+      // target: spans keyed by sentinel, closed by the final sentinel
+      val ids = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(ids == (0 to nSpans.toInt), s"non-sequential sentinels in $tgt")
+      val spans: Map[Int, Seq[String]] = tgt.split("<extra_id_\\d+>").toSeq
+        .map(_.trim).drop(1).dropRight(if (tgt.endsWith(">")) 0 else 1)
+        .zipWithIndex.map { case (s, i) => i -> s.split(" ").toSeq.filter(_.nonEmpty) }.toMap
+      val rebuilt = r.getAs[String]("input_text").split(" ").toSeq.flatMap { t =>
+        sentinel.findFirstMatchIn(t) match {
+          case Some(m) => spans.getOrElse(m.group(1).toInt, Seq.empty)
+          case None    => Seq(t)
+        }
+      }
+      assert(rebuilt.mkString(" ") == r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")} did not reconstruct")
+      assert(r.getAs[Long]("n_masked") + (r.getAs[Long]("n_tokens") - r.getAs[Long]("n_masked"))
+        == r.getAs[Long]("n_tokens"))
+    }
+  }
 }

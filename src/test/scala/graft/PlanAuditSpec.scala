@@ -158,4 +158,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"cuts not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
   }
+
+  test("lineDedup: first occurrence is a partial-agg min — no window anywhere in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lined = Tables.documents(spark, dir).select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val qe = Dedup.lineDedup(lined).queryExecution
+    assert(qe.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "line first-occurrence must never be a line-partitioned window")
+    assert(plan(Dedup.lineDedup(lined)).contains("partial_min"),
+      "expected map-side partial aggregation of the packed first-occurrence key")
+    Dedup.releaseCaches(spark)
+  }
+
+  test("pqTopK: the LUT side broadcasts — the codes scan is never shuffled pre-rank") {
+    val cb: Array[Array[Array[Float]]] =
+      Array.tabulate(8, 16, 8)((s, c, j) => (((s * 3 + c * 5 + j * 7) % 17) - 8).toFloat)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val df = Similarity.pqTopK(queries, Similarity.pqEncode(emb, cb), cb, k = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query LUTs not broadcast:\n$p")
+    // the only exchange is the final per-query rank window
+    assert(exchanges(df) == 1, s"codes side shuffled pre-rank:\n$p")
+  }
 }
