@@ -420,6 +420,17 @@ object SparkEntry {
     // pins the feature hashing + exact integer scoring arithmetic
     "text_model_score" -> ((s, d) =>
       TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
+    // HTML extraction over a planted page wrapper (script/style blocks,
+    // attributes, all six entities — built identically in the oracle)
+    "html_extract" -> ((s, d) => TextAnalysis.stripHtml(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body class=\"c"),
+          (col("doc_id") % 5).cast("string"),
+          lit("\"><h1>T&amp;C "), col("doc_id").cast("string"),
+          lit("</h1><p>A &quot;quoted&quot; &#39;intro&#39; &amp;&nbsp;more</p><p>"),
+          col("text"),
+          lit("</p></body></html>")).as("text")))),
     // C4 line/doc heuristics over the same lined fixture; "slow" stands
     // in for C4's "javascript" line-blocklist rule on this vocabulary
     "c4_clean" -> ((s, d) => TextAnalysis.c4LineFilter(
@@ -1202,6 +1213,28 @@ object SparkEntry {
            round((1.0 / CAST(count(*) OVER () AS DOUBLE)) /
              (CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)), 6) AS weight
          FROM a""",
+    // same planted page wrapper, same strip chain (block elements →
+    // tags → entities with &amp; last → whitespace collapse); DuckDB
+    // regexp_replace carries the 'g' flag to match Spark's replace-all
+    "html_extract" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body class="c'
+             || CAST(doc_id % 5 AS VARCHAR) || '"><h1>T&amp;C ' || CAST(doc_id AS VARCHAR)
+             || '</h1><p>A &quot;quoted&quot; &#39;intro&#39; &amp;&nbsp;more</p><p>' || text
+             || '</p></body></html>' AS text FROM documents),
+           x AS (SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '[ \t\r\n]+', ' ', 'g')) AS text_plain
+                 FROM h)
+         SELECT doc_id, text_plain,
+                CAST(length(text_plain) AS BIGINT) AS n_chars_plain FROM x""",
     // α-power normalizer folded over the source-SORTED list on both
     // sides: double addition is order-sensitive in the last ulp, so the
     // summation order itself is part of the contract

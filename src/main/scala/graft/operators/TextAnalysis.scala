@@ -357,6 +357,27 @@ object TextAnalysis {
       concat_ws("\n", kept).as("text_clean"))
   }
 
+  /** HTML → text extraction (the raw-crawl ingestion step every web
+    * corpus runs before any quality/dedup pass — the trafilatura-lite
+    * tier): drop `<script>`/`<style>` blocks wholesale, strip remaining
+    * tags, decode the six common entities (`&amp;` LAST, so
+    * double-encoded text degrades gracefully instead of double-decoding),
+    * collapse whitespace. Byte-class regexes only (RE2-compatible — the
+    * identical patterns run under Java regex here and RE2 in the DuckDB
+    * oracle). Map-side: scan → project, one codegen span, no shuffle at
+    * any scale. Emits (doc_id, text_plain, n_chars_plain). */
+  def stripHtml(documents: DataFrame): DataFrame = {
+    val noBlocks = regexp_replace(col("text"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val collapsed = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    documents.select(col("doc_id"), collapsed.as("text_plain"),
+      length(collapsed).cast("bigint").as("n_chars_plain"))
+  }
+
   /** Document fingerprinting: md5 content digest + 64-bit SimHash sketch. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(

@@ -923,6 +923,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter($"event_time".isNull).isEmpty)
   }
 
+  test("stripHtml drops script/style blocks, strips tags, decodes entities (&amp; last), collapses space") {
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script type=\"text/javascript\">if (a < b) alert('x');</script>after"),
+      (3L, "<style>h1 { color: red }</style>styled"),
+      (4L, "a &amp;lt; b"),            // double-encoded: &amp; decodes LAST → "a &lt; b"
+      (5L, "one\n\ttwo   three"),
+      (6L, "5 &lt; 6 &gt; 4 &quot;q&quot; &#39;s&#39;&nbsp;end")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripHtml(docs).orderBy($"doc_id")
+      .select($"text_plain").as[String].collect().toSeq
+    assert(got == Seq(
+      "Hello world",
+      "after",
+      "styled",
+      "a &lt; b",
+      "one two three",
+      "5 < 6 > 4 \"q\" 's' end"))
+  }
+
   test("lineDedup keeps corpus-first line occurrences only; all-dup doc keeps an empty row") {
     val docs = Seq(
       (1L, "alpha beta\nshared line\ngamma"), // first occurrence of "shared line"
