@@ -46,17 +46,30 @@ object CorpusPrep {
     *             "keep") === 1).select("doc_id"), Seq("doc_id"))` for the
     *             Gopher composite on a prose corpus). Defaults to the
     *             token-count gate in [minTokens, maxTokens] — the
-    *             synthetic fixture would fail Gopher's stopword rule. */
+    *             synthetic fixture would fail Gopher's stopword rule.
+    * @param pre  raw-ingest extraction applied BEFORE normalization — the
+    *             hook for format conversion and line-level cleaning on
+    *             crawl data. Must return a frame with the same (doc_id,
+    *             text, …) shape. E.g. HTML extraction + C4 line rules +
+    *             corpus line dedup:
+    *             `d => Dedup.lineDedup(d.drop("text").join(
+    *             TextAnalysis.stripHtml(d).select(col("doc_id"),
+    *             col("text_plain").as("text")), Seq("doc_id")))
+    *             .select(col("doc_id"), col("text_clean").as("text"))`.
+    *             Defaults to identity (the synthetic fixture is already
+    *             plain text). */
   def run(spark: SparkSession, documents: DataFrame, outDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       jaccard: Double = 0.8, ngram: Int = 3, contamN: Int = 8,
       spanN: Int = 8, shardSize: Long = 64L,
-      gate: Option[DataFrame => DataFrame] = None): Report = {
-    val ingested = documents.count()
+      gate: Option[DataFrame => DataFrame] = None,
+      pre: Option[DataFrame => DataFrame] = None): Report = {
+    val raw = pre.map(f => f(documents)).getOrElse(documents)
+    val ingested = raw.count()
 
     // 1. normalize text once; all downstream stages read the normal form
-    val normed = documents
-      .join(TextAnalysis.normalizeText(documents).select("doc_id", "text_norm"), Seq("doc_id"))
+    val normed = raw
+      .join(TextAnalysis.normalizeText(raw).select("doc_id", "text_norm"), Seq("doc_id"))
       .drop("text").withColumnRenamed("text_norm", "text")
 
     // 2. quality gate (map-side; pluggable via `gate` — default is the

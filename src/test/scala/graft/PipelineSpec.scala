@@ -272,6 +272,20 @@ class PipelineSpec extends AnyFunSuite {
       r.nearDupKept <= r.exactKept && r.trainRows > 0 && r.shardsWritten > 0)
   }
 
+  test("CorpusPrep pre-hook: HTML extraction before normalization reproduces the plain-text run") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft-prep-plain").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-prep-html").toString
+    val plain = graft.apps.CorpusPrep.run(spark, docs, out1)
+    // tag-only wrapper: extraction must recover byte-identical text
+    val wrapped = docs.withColumn("text",
+      concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+    val viaHtml = graft.apps.CorpusPrep.run(spark, wrapped, out2,
+      pre = Some(d => d.drop("text").join(
+        TextAnalysis.stripHtml(d).select(col("doc_id"), col("text_plain").as("text")),
+        Seq("doc_id"))))
+    assert(viaHtml == plain, s"pre-hook run diverged: $viaHtml vs $plain")
+  }
+
   test("runIncremental: exact + signature dedup vs the store, replay idempotent, positions continue") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-incr")
