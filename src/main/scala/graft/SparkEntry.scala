@@ -402,6 +402,19 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+    // REAL BPE (train 64 merges on the corpus word table, encode with
+    // the native greedy-merge loop) — rows-only by nature: the iterative
+    // merge algorithm is not SQL-expressible, so this rides the driver's
+    // rows-only check like the sketch-internal ops; the algorithm itself
+    // is pinned by the Sennrich fixture + the lossless-segmentation law
+    // in OperatorsSpec. Scalars only (the raw pieces array would hit the
+    // harness' pandas sort, the text_winnow_fp precedent).
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 64)
+      TextAnalysis.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_pieces"), xxhash64(col("pieces")).as("pieces_xxh"))
+    }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),

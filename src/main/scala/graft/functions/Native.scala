@@ -358,6 +358,63 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** bpe_encode(ARRAY<STRING>) → ARRAY<STRING>: greedy byte-pair
+    * encoding of each pre-token against a LITERAL merge table (rank =
+    * list position; the lowest-ranked adjacent pair merges first until
+    * none applies — the GPT-2 tokenizer's inference algorithm, char-level
+    * rather than byte-level here), pieces concatenated across pre-tokens
+    * in order, so `concat(pieces) == concat(pre-tokens)` always (the
+    * lossless-segmentation law, property-pinned). Merge pairs arrive as
+    * NUL-joined strings (symbols may contain spaces - the pre-tokenizer
+    * emits leading-space pieces - but never NUL); the
+    * rank map is built once per executor, not per row. One interpreted
+    * loop per row (CodegenFallback, like the sketch natives). */
+  case class BpeEncode(child: Expression, merges: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case (p, i) => m.putIfAbsent(p, Integer.valueOf(i)) }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      var t = 0
+      while (t < arr.numElements()) {
+        val word = arr.getUTF8String(t).toString
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var ci = 0
+        while (ci < word.length) {
+          val n = Character.charCount(word.codePointAt(ci))
+          syms += word.substring(ci, ci + n)
+          ci += n
+        }
+        var done = syms.length < 2
+        while (!done) {
+          var bestRank = Int.MaxValue
+          var bestI = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+            if (r != null && r < bestRank) { bestRank = r; bestI = i }
+            i += 1
+          }
+          if (bestI < 0) done = true
+          else {
+            syms(bestI) = syms(bestI) + syms(bestI + 1)
+            syms.remove(bestI + 1)
+            if (syms.length < 2) done = true
+          }
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+        t += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -368,6 +425,11 @@ object Native {
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
     case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+  }
+  private def stringSeqLit(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(a: ArrayData, ArrayType(StringType, _)) =>
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(s"$what must be a string-array literal, got $other")
   }
 
   /** The single source of truth for the function surface: name → builder.
@@ -386,7 +448,8 @@ object Native {
     "graft_minhash_tokens" -> (exprs =>
       MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k"))),
     "graft_srp_keys" -> (exprs =>
-      SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable"))))
+      SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable"))),
+    "graft_bpe" -> (exprs => BpeEncode(exprs(0), stringSeqLit(exprs(1), "merges"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -430,4 +493,7 @@ object Native {
   def srpKeys(emb: Column, numTables: Int, bitsPerTable: Int): Column =
     call_function("graft_srp_keys", emb,
       org.apache.spark.sql.functions.lit(numTables), org.apache.spark.sql.functions.lit(bitsPerTable))
+  def bpe(preTokens: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe", preTokens,
+      org.apache.spark.sql.functions.typedLit(merges.map(p => p._1 + "\u0000" + p._2)))
 }

@@ -401,6 +401,88 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0))).cast("bigint")
         .as("n_bpe_tokens"))
 
+  /** Train a BPE merge table (Sennrich et al. 2016): the classic loop —
+    * count adjacent symbol pairs over the word-frequency table, merge
+    * the most frequent pair, repeat `numMerges` times. Deterministic:
+    * ties break to the lexicographically smallest pair, and the
+    * frequency table is an exact top-`maxWords` by (count desc, word) —
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Driver-side BY DESIGN (the [[Similarity.trainCentroids]] contract):
+    * tokenizers train on a bounded word-frequency table — `maxWords`
+    * rows × word length, not the corpus — while the corpus gets ENCODED
+    * cluster-side ([[bpeEncode]]). At 100 TB the frequency table is the
+    * output of one partial-agg'd groupBy; its tail beyond `maxWords`
+    * cannot dominate pair counts. */
+  def trainBpeMerges(
+      documents: DataFrame,
+      numMerges: Int,
+      maxWords: Int = 4096): Seq[(String, String)] = {
+    val words: Seq[(String, Long)] = documents
+      .select(explode(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab: Seq[(Vector[String], Long)] = words.map { case (w, c) =>
+      val syms = Vector.newBuilder[String]
+      var ci = 0
+      while (ci < w.length) {
+        val n = Character.charCount(w.codePointAt(ci))
+        syms += w.substring(ci, ci + n)
+        ci += n
+      }
+      syms.result() -> c
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val mergedSym = best._1 + best._2
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += mergedSym; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> c
+        }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Real BPE encoding — the acting sibling of [[bpeTokenCount]]'s
+    * pre-token estimate: GPT-2 pre-tokenization ([[BpeIshPattern]]) then
+    * greedy lowest-rank merging of each pre-token against the trained
+    * merge table ([[Native.BpeEncode]], one native loop per row —
+    * map-side, no shuffle at any scale; the merge table rides as a
+    * broadcast literal, the fastText-weights stance). Lossless:
+    * concatenating `pieces` reproduces the document byte-for-byte
+    * (property-pinned). Emits (doc_id, pieces ARRAY<STRING>,
+    * n_pieces). */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents.select(col("doc_id"),
+      Native.bpe(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)), merges)
+        .as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("bigint"))
+
   /** Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
     * hash every `k`-token gram, keep the sliding-window-of-`w` minima
     * ([[Native.winnow]], one O(n) deque pass per doc). Any two documents

@@ -911,6 +911,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(3L, 4L, 2L))
   }
 
+  test("trainBpeMerges reproduces the classic Sennrich example; encode applies ranks greedily") {
+    // one word per doc so pre-tokenization adds no leading-space variants
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 4)
+    // (e,s) ties (s,t) at 9 → lexicographic; then (es,t) 9; (l,o) 7; (lo,w) 7
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    val enc = TextAnalysis.bpeEncode(Seq((0L, "lowest newest")).toDF("doc_id", "text"), merges)
+      .select($"pieces").as[Seq[String]].head()
+    // "lowest" → low|est; " newest" keeps its leading-space symbol unmerged
+    assert(enc == Seq("low", "est", " ", "n", "e", "w", "est"))
+  }
+
+  test("bpeEncode is lossless: concatenated pieces reproduce every document") {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 64)
+    assert(merges.size == 64)
+    val bad = TextAnalysis.bpeEncode(docs, merges)
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .filter(concat_ws("", $"pieces") =!= $"text")
+    assert(bad.isEmpty, "pieces did not concatenate back to the text")
+    // merging actually compresses: fewer pieces than characters
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .agg(sum($"n_pieces")).as[Long].head()
+    val chars = docs.agg(sum(length($"text"))).as[Long].head()
+    assert(got < chars, s"no compression: $got pieces vs $chars chars")
+  }
+
   test("word count totals match token count totals") {
     val docs = Tables.documents(spark, dir)
     val totalWords = TextAnalysis.wordCount(docs).agg(sum($"cnt")).as[Long].head()
