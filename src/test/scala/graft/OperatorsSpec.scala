@@ -989,6 +989,22 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1L, 0L, "")))
   }
 
+  test("lineDedup idempotence: a second pass over surviving non-empty docs drops nothing") {
+    // 1-token lines over the corpus vocabulary → heavy cross-doc duplication
+    val lined = Tables.documents(spark, dir).select($"doc_id",
+      regexp_replace($"text", " ", "\n").as("text"))
+    val once = Dedup.lineDedup(lined)
+    assert(once.agg(sum($"n_kept")).as[Long].head() <
+      once.agg(sum($"n_lines")).as[Long].head(), "fixture produced no duplicate lines")
+    // every surviving line is the unique first occurrence of its value,
+    // so a second pass finds nothing to drop (emptied docs excluded:
+    // their "" lines are themselves corpus-wide duplicates)
+    val again = Dedup.lineDedup(once.filter($"n_kept" > 0)
+      .select($"doc_id", $"text_clean".as("text")))
+    assert(again.filter($"n_kept" =!= $"n_lines").isEmpty)
+    Dedup.releaseCaches(spark)
+  }
+
   test("lineDedup duplicate-within-one-doc keeps only the earlier position") {
     val docs = Seq((7L, "x y\nx y\nz")).toDF("doc_id", "text")
     val got = Dedup.lineDedup(docs).select($"text_clean").as[String].head()
