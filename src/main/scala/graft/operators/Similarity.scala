@@ -353,6 +353,76 @@ object Similarity {
     topK(exact, k)
   }
 
+  /** Materialize an IVF-PQ index: the corpus multi-assigned to its
+    * nearest coarse centroids ([[probeBuckets]], one directory per
+    * bucket — the [[writeIvfIndex]] layout) but carrying PQ CODES
+    * instead of float embeddings: m bytes of payload per row instead of
+    * d floats (32× smaller at m=8 over 64-dim), so the at-scale index
+    * both prunes (partitions) and shrinks (codes). Refine re-reads
+    * embeddings from the CORPUS table by id — the index never stores
+    * floats. */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      cents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      path: String,
+      corpusAssign: Int = 3): Unit =
+    pqEncode(corpus, codebooks)
+      .join(corpus.select(col("vec_id"),
+        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket")), Seq("vec_id"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** IVF-PQ probe: queries probe their `nprobe` coarse buckets with
+    * STATIC partition pruning (the [[ivfTopKIndexed]] contract — the
+    * probed-bucket `isin` reaches the scan as a PartitionFilter), rows
+    * inside the probed buckets are scored by ADC over codes only (the
+    * scan never reads a float array — `ReadSchema` is (vec_id, codes),
+    * plan-pinned), and the ADC shortlist of `k × refineFactor` re-ranks
+    * exactly against the corpus embeddings ([[pqTopKRefined]]'s refine
+    * step). This is the full production ANN stack: prune × compress ×
+    * refine — at 100 TB the probe touches nprobe/C of the files and
+    * reads m bytes per candidate row. */
+  def ivfPqTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexPath: String,
+      corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      cents: Array[Array[Float]],
+      k: Int,
+      nprobe: Int,
+      refineFactor: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val luts = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
+      array(cb.toSeq.map(ct =>
+        Native.dotF(slice(col("q_embedding"), s * dsub + 1, dsub), typedLit(ct.toSeq))): _*)
+        .as(s"lut_$s")
+    }
+    val queryB = queries.select(
+      (col("query_id") +: explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket")
+        +: luts): _*)
+    val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexPath).filter(col("bucket").isin(probed: _*))
+    val shortlist = topK(
+      broadcast(queryB).join(index, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (0 until m).map(s =>
+            element_at(col(s"lut_$s"), element_at(col("codes"), s + 1) + 1))
+            .reduce(_ + _).as("sim"))
+        // multi-assignment can surface a (query, vec) pair in several
+        // shared buckets — dedup before ranking, like ivfTopK
+        .dropDuplicates("query_id", "vec_id"),
+      k * refineFactor).select(col("query_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Native.dotF(col("q_embedding"), col("embedding")).as("sim"))
+    topK(exact, k)
+  }
+
   /** Per-query top-k with deterministic tie-break (sim desc, vec_id asc);
     * integer-only output so the result is bit-stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

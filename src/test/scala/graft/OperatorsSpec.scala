@@ -606,6 +606,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap >= 32, s"PQ refined recall too low: $overlap/40")
   }
 
+  test("IVF-PQ index: probe prunes partitions, scans codes only, refine restores recall") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 8)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    Similarity.writeIvfPqIndex(emb, cents, cb, idx)
+    val got = Similarity.ivfPqTopK(spark, queries, idx, emb, cb, cents,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(got.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // prune: the probe reaches the index scan as a partition filter
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe buckets not partition-pruned:\n$plan")
+    // compress: the index scan reads codes, never a float embedding
+    val idxRead = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1))
+      .find(_.contains("codes")).getOrElse(fail(s"no codes scan in plan:\n$plan"))
+    assert(!idxRead.contains("embedding"), s"index scan reads embeddings: $idxRead")
+    // refine: recall vs exact inner product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exact = emb.join(broadcast(queries))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id",
+        graft.functions.Native.dotF($"q_embedding", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+    val overlap = exact.select($"query_id", $"vec_id")
+      .intersect(got.select($"query_id", $"vec_id")).count()
+    assert(overlap >= 28, s"IVF-PQ recall too low: $overlap/40")
+  }
+
   test("IVF partitioned index: probe prunes partitions and matches the in-memory path exactly") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
