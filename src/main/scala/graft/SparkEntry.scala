@@ -479,6 +479,7 @@ object SparkEntry {
       Pipeline.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, overlap = 8)),
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
     "mixture_temperature" -> ((s, d) => Pipeline.temperatureMixture(Tables.documents(s, d))),
+    "epoch_plan" -> ((s, d) => Pipeline.epochPlan(Tables.documents(s, d), budgetTokens = 1000000L)),
     "span_corrupt" -> ((s, d) => Pipeline.spanCorrupt(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) => Pipeline.corpusReport(Tables.documents(s, d))),
     "pipeline_global_order" -> ((s, d) => Pipeline.globalOrderShards(Tables.documents(s, d))),
@@ -1266,6 +1267,25 @@ object SparkEntry {
                 round(share, 6) AS token_share,
                 round(pa / denom, 6) AS weight
          FROM c, d""",
+    // the mixture CTE extended with the budget arithmetic; round() is
+    // half-away-from-zero in both engines
+    "epoch_plan" ->
+      """WITH a AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+           b AS (SELECT source, total_tokens,
+                   CAST(total_tokens AS DOUBLE) /
+                     CAST(sum(total_tokens) OVER () AS DOUBLE) AS share
+                 FROM a),
+           c AS (SELECT source, total_tokens, pow(share, 0.5) AS pa FROM b),
+           d AS (SELECT list_sum(list(pa ORDER BY source)) AS denom FROM c),
+           e AS (SELECT source, total_tokens, round(pa / denom, 6) AS weight FROM c, d),
+           f AS (SELECT source, total_tokens, weight,
+                   CAST(round(weight * 1000000) AS BIGINT) AS target_tokens FROM e)
+         SELECT source, total_tokens, weight, target_tokens,
+                round(CAST(target_tokens AS DOUBLE) /
+                      CAST(total_tokens AS DOUBLE), 6) AS epochs
+         FROM f""",
     // the masked-run islands rebuilt relationally: lag() marks span
     // starts, a running sum numbers spans, string_agg assembles input
     // (unmasked tokens + one sentinel per span) and target (sentinel +

@@ -534,6 +534,22 @@ object Pipeline {
         round(col("pa") / col("denom"), 6).as("weight"))
   }
 
+  /** Epoch plan for a token budget (the data-constrained-scaling
+    * bookkeeping, Muennighoff et al. 2023): given the
+    * [[temperatureMixture]] sampling weights, each domain's token
+    * allocation is `weight × budget` and its epoch count is
+    * allocation ÷ available tokens — epochs > 1 mean the domain REPEATS
+    * (the paper's regime: up to ~4 epochs repay like fresh data),
+    * epochs < 1 mean subsampling. Pure domain-sized arithmetic on top of
+    * the mixture relation — nothing corpus-sized runs here. Emits
+    * (source, total_tokens, weight, target_tokens, epochs). */
+  def epochPlan(documents: DataFrame, budgetTokens: Long, alpha: Double = 0.5): DataFrame =
+    temperatureMixture(documents, alpha)
+      .select(col("source"), col("total_tokens"), col("weight"),
+        round(col("weight") * budgetTokens).cast("bigint").as("target_tokens"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("total_tokens").cast("double"), 6))
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the denoising
     * objective's sample constructor): each token is masked by a
     * deterministic hash draw — md5(doc_id:pos) mod 100 < `ratePercent`,

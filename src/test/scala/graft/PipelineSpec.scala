@@ -541,6 +541,18 @@ class PipelineSpec extends AnyFunSuite {
     flat.unpersist()
   }
 
+  test("epochPlan: allocations sum to ~budget; epochs = allocation / available") {
+    val budget = 500000L
+    val got = Pipeline.epochPlan(docs, budget).cache()
+    val allocated = got.agg(sum($"target_tokens")).as[Long].head()
+    // per-domain rounding drift only: within #domains half-units of budget
+    assert(math.abs(allocated - budget) <= got.count(), s"allocated $allocated vs $budget")
+    val bad = got.filter(abs($"epochs" -
+      $"target_tokens".cast("double") / $"total_tokens".cast("double")) > 1e-5)
+    assert(bad.isEmpty)
+    got.unpersist()
+  }
+
   test("spanCorrupt: interleaving input and target spans reconstructs the original text") {
     val got = Pipeline.spanCorrupt(docs, ratePercent = 25)
       .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
