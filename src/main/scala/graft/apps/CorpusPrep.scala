@@ -228,6 +228,47 @@ object CorpusPrep {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
+  /** Continuous ingestion: a file-watching stream over `inDir` (JSONL
+    * drops) drives [[runIncremental]] once per micro-batch via
+    * foreachBatch — Structured Streaming supplies file discovery,
+    * checkpointed batch tracking and restart semantics, while the
+    * store's own `_COMMIT` protocol makes each application atomic AND
+    * content-idempotent (a micro-batch replayed after a crash between
+    * store commit and checkpoint advance lands on its existing
+    * content-hash batch id — the pinned replay-no-op property — so the
+    * at-least-once overlap the two logs can disagree about is
+    * harmless). Micro-batches persist across [[runIncremental]]'s
+    * several actions instead of re-reading source files per action.
+    * Returns the started query; the caller owns its lifecycle — pass
+    * `Trigger.AvailableNow()` for drain-and-stop ingest cadence or the
+    * default continuous micro-batching for a live feed. */
+  def streamIncremental(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, storeDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      minTokens: Long = 5L, maxTokens: Long = 10000L,
+      shardSize: Long = 64L,
+      nearDupJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (batch.count() > 0) {
+            runIncremental(spark, batch, storeDir, minTokens, maxTokens,
+              shardSize, nearDupJaccard)
+            ()
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   def runIncremental(spark: SparkSession, batch: DataFrame, storeDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       shardSize: Long = 64L, nearDupJaccard: Double = 0.8): IncrementalReport = {
