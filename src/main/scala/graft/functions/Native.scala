@@ -415,6 +415,66 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** span_corrupt(ARRAY<STRING>, BIGINT doc_id) →
+    * STRUCT<n_masked, n_spans, input_text, target_text> — the T5
+    * span-corruption fold (`Pipeline.spanCorrupt`) as one native pass.
+    * The declarative higher-order `aggregate` twin COPIES its
+    * accumulator arrays on every append (O(n²) copies per document —
+    * quadratic on long documents); this loop is O(n) with StringBuilder
+    * appends, semantically identical (equality pinned by test and by
+    * the DuckDB oracle). Mask draw per position i: the first four hex
+    * chars of md5("<doc_id>:<i>") as an int, mod 100, < ratePercent —
+    * exactly the declarative/oracle arithmetic. */
+  case class SpanCorrupt(left: Expression, right: Expression, ratePercent: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_masked", LongType, nullable = false),
+      StructField("n_spans", LongType, nullable = false),
+      StructField("input_text", StringType, nullable = false),
+      StructField("target_text", StringType, nullable = false)))
+    override def nullSafeEval(toks: Any, docId: Any): Any = {
+      val arr = toks.asInstanceOf[ArrayData]
+      val id = docId.asInstanceOf[Long]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val inp = new java.lang.StringBuilder
+      val tgt = new java.lang.StringBuilder
+      var k = 0
+      var nMasked = 0L
+      var prev = false
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val d = md.digest(s"$id:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val draw = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 100
+        val masked = draw < ratePercent
+        val tok = arr.getUTF8String(i).toString
+        if (!masked) {
+          if (inp.length > 0) inp.append(' ')
+          inp.append(tok)
+        } else {
+          nMasked += 1
+          if (!prev) {
+            if (inp.length > 0) inp.append(' ')
+            inp.append("<extra_id_").append(k).append('>')
+            if (tgt.length > 0) tgt.append(' ')
+            tgt.append("<extra_id_").append(k).append('>')
+            k += 1
+          }
+          tgt.append(' ').append(tok)
+        }
+        prev = masked
+        i += 1
+      }
+      if (tgt.length > 0) tgt.append(' ')
+      tgt.append("<extra_id_").append(k).append('>')
+      org.apache.spark.sql.catalyst.InternalRow(
+        nMasked, k.toLong,
+        UTF8String.fromString(inp.toString), UTF8String.fromString(tgt.toString))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -449,7 +509,9 @@ object Native {
       MinHashFromTokens(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "k"))),
     "graft_srp_keys" -> (exprs =>
       SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable"))),
-    "graft_bpe" -> (exprs => BpeEncode(exprs(0), stringSeqLit(exprs(1), "merges"))))
+    "graft_bpe" -> (exprs => BpeEncode(exprs(0), stringSeqLit(exprs(1), "merges"))),
+    "graft_span_corrupt" -> (exprs =>
+      SpanCorrupt(exprs(0), exprs(1), intLit(exprs(2), "ratePercent"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -496,4 +558,7 @@ object Native {
   def bpe(preTokens: Column, merges: Seq[(String, String)]): Column =
     call_function("graft_bpe", preTokens,
       org.apache.spark.sql.functions.typedLit(merges.map(p => p._1 + "\u0000" + p._2)))
+  def spanCorrupt(tokens: Column, docId: Column, ratePercent: Int): Column =
+    call_function("graft_span_corrupt", tokens, docId,
+      org.apache.spark.sql.functions.lit(ratePercent))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Funcs
+import graft.functions.{Funcs, Native}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -560,16 +560,32 @@ object Pipeline {
     * with the closing sentinel `<extra_id_n>` (the T5 convention; an
     * uncorrupted document's target is just `<extra_id_0>`).
     *
-    * Scale shape: entirely map-side — one fold over the token array per
-    * document (higher-order `aggregate` with a (k, prev, input, target)
-    * accumulator), no shuffle at any scale. The fold is interpreted
-    * rather than codegen'd (lambda functions don't fuse), which is the
-    * standard HOF trade; a [[graft.functions.Native]] expression is the
-    * drop-in upgrade path if this ever dominates a profile.
+    * Scale shape: entirely map-side, one native pass per document
+    * ([[graft.functions.Native.SpanCorrupt]]) — no shuffle at any
+    * scale. The declarative higher-order-`aggregate` twin
+    * ([[spanCorruptDeclarative]]) is kept because it SPECIFIES the fold
+    * (and the test pins the native loop to it), but it copies its
+    * accumulator arrays on every append — O(n²) per document, quadratic
+    * on long documents — so the native loop is the production path.
     *
     * Emits (doc_id, n_tokens, n_masked, n_spans, input_text,
     * target_text). */
   def spanCorrupt(documents: DataFrame, ratePercent: Int = 15): DataFrame = {
+    require(ratePercent >= 0 && ratePercent <= 100, "ratePercent must be in [0,100]")
+    val toks = Funcs.tokens(col("text"))
+    documents
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        Native.spanCorrupt(toks, col("doc_id").cast("long"), ratePercent).as("f"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("f.n_masked").as("n_masked"),
+        col("f.n_spans").as("n_spans"),
+        col("f.input_text").as("input_text"),
+        col("f.target_text").as("target_text"))
+  }
+
+  /** The declarative specification of [[spanCorrupt]] (higher-order
+    * `aggregate` fold) — test-only twin; see the scale note above. */
+  private[graft] def spanCorruptDeclarative(documents: DataFrame, ratePercent: Int = 15): DataFrame = {
     require(ratePercent >= 0 && ratePercent <= 100, "ratePercent must be in [0,100]")
     val toks = Funcs.tokens(col("text"))
     def masked(i: Column): Column =

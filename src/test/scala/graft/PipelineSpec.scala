@@ -592,6 +592,12 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("spanCorrupt: native loop ≡ declarative fold on the corpus") {
+    val native = Pipeline.spanCorrupt(docs, ratePercent = 25)
+    val decl = Pipeline.spanCorruptDeclarative(docs, ratePercent = 25)
+    assert(native.except(decl).isEmpty && decl.except(native).isEmpty)
+  }
+
   test("spanCorrupt: interleaving input and target spans reconstructs the original text") {
     val got = Pipeline.spanCorrupt(docs, ratePercent = 25)
       .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
