@@ -46,6 +46,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // model scoring: literal weights, one projection, no join anywhere
     assert(exchanges(TextAnalysis.linearQualityScore(
       Tables.documents(spark, dir), (0 until 64).map(_.toLong))) == 0)
+    // round-6 map-side family: HTML strip, C4 line rules, span corruption
+    assert(exchanges(TextAnalysis.stripHtml(Tables.documents(spark, dir))) == 0)
+    assert(exchanges(TextAnalysis.c4LineFilter(Tables.documents(spark, dir))) == 0)
+    assert(exchanges(Pipeline.spanCorrupt(Tables.documents(spark, dir))) == 0)
   }
 
   test("bigramSurprisal shuffles 8-byte fingerprints, never token-pair strings") {
