@@ -942,17 +942,25 @@ object Dedup {
     * Emits (doc_id, n_lines, n_kept, text_clean); a document whose every
     * line was seen earlier keeps its row with empty `text_clean`. Blank
     * lines are lines too — corpus-wide, only the first survives (run a
-    * normalization pass first if blank-line structure must be kept). */
-  def lineDedup(documents: DataFrame): DataFrame = {
+    * normalization pass first if blank-line structure must be kept).
+    *
+    * @param dropAllAbove lines occurring at least this many times
+    *                     corpus-wide lose EVERY occurrence, first
+    *                     included — the RefinedWeb treatment of
+    *                     high-frequency boilerplate (a nav bar is noise
+    *                     in its first document too). Default keeps the
+    *                     plain keep-first semantics. */
+  def lineDedup(documents: DataFrame, dropAllAbove: Long = Long.MaxValue): DataFrame = {
     val lines = split(col("text"), "\n")
     val hashed = documents
       .select(col("doc_id"),
         posexplode(transform(lines, l => xxhash64(l))).as(Seq("pos", "fp")))
       .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
       .transform(Caches.persisted)
-    val firsts = hashed.groupBy("fp").agg(min(col("okey")).as("first_okey"))
+    val firsts = hashed.groupBy("fp")
+      .agg(min(col("okey")).as("first_okey"), count(lit(1)).as("cnt"))
     val dropped = hashed.join(firsts, Seq("fp"))
-      .filter(col("okey") =!= col("first_okey"))
+      .filter(col("okey") =!= col("first_okey") || col("cnt") >= dropAllAbove)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
     documents

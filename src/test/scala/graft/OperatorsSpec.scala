@@ -1044,6 +1044,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == "x y\nz")
   }
 
+  test("lineDedup dropAllAbove removes every occurrence of high-frequency boilerplate, first included") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content one"),
+      (2L, "nav bar\nreal content two"),
+      (3L, "nav bar\ntwice line"),
+      (4L, "twice line\nunique tail")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, dropAllAbove = 3L).orderBy($"doc_id")
+      .select($"text_clean").as[String].collect().toSeq
+    // "nav bar" ×3 ≥ threshold → gone everywhere; "twice line" ×2 keeps first
+    assert(got == Seq("real content one", "real content two", "twice line", "unique tail"))
+  }
+
   test("c4LineFilter applies each rule: words, punctuation, line blocklist, doc blocklist, minLines") {
     val docs = Seq(
       // all four lines pass → keep
