@@ -275,7 +275,10 @@ object Similarity {
     * m BYTES of information per vector: at 100 TB this is the tier that
     * fits an exabyte-scale embedding corpus in cluster memory (64-dim
     * float rows shrink 32× at m=8), and the scan side of every
-    * downstream probe reads codes only, never the float arrays. */
+    * downstream probe reads codes only, never the float arrays.
+    * Assumes embedding dim = m × dsub (the codebooks' shape —
+    * [[trainPqCodebooks]] enforces divisibility at train time); a
+    * shorter row would silently score only its overlap. */
   def pqEncode(
       corpus: DataFrame,
       codebooks: Array[Array[Array[Float]]],
