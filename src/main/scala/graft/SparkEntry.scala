@@ -296,6 +296,7 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(Tables.documents(s, d), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables.documents(s, d))),
     // exact line-level dedup over the lined fixture (see linedText):
     // string-keyed in the oracle, pinning the xxhash64 line fingerprints
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(
@@ -714,6 +715,27 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_kept,
                   string_agg(token, ' ' ORDER BY p) AS text_clean
            FROM kept GROUP BY 1) k USING (doc_id)""",
+    // cross-source gram overlap by STRING-keyed distinct shingles (the
+    // Spark side joins on xxhash64 fingerprints); same 3-gram +
+    // whole-short-doc shingling as the ngram-jaccard oracle
+    "source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+           g AS (SELECT DISTINCT source,
+                   unnest(CASE WHEN len(toks) >= 3
+                     THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                     ELSE [array_to_string(toks, ' ')] END) AS gram
+                 FROM t),
+           per AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+           p AS (SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS shared_grams
+                 FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+                 GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+                CAST(p.shared_grams AS BIGINT) AS shared_grams,
+                round(CAST(p.shared_grams AS DOUBLE) /
+                      (pa.n_grams + pb.n_grams - p.shared_grams), 6) AS jaccard
+         FROM p JOIN per pa ON pa.source = p.source_a
+                JOIN per pb ON pb.source = p.source_b""",
     // line dedup: corpus-first occurrence by the packed doc_id·2³²+pos
     // key over STRING-keyed lines (the Spark side groups by xxhash64
     // fingerprints — identical modulo a 2⁻⁶⁴ collision)

@@ -975,6 +975,42 @@ object Dedup {
         concat_ws("\n", col("kept")).as("text_clean"))
   }
 
+  /** Cross-source n-gram overlap matrix — the inter-domain contamination
+    * diagnostic a mixture designer reads before setting weights: for
+    * every source pair, the count of shared distinct n-grams and their
+    * Jaccard. High overlap between a "web" and a "books" slice means the
+    * slices are not the independent domains the mixture math assumes
+    * (or one leaks into the other).
+    *
+    * Scale shape: the unit of work is the DISTINCT (source, gram-fp)
+    * pair — grams ride as 8-byte xxhash64 fingerprints (string-keyed in
+    * the DuckDB oracle), and after the distinct every fingerprint
+    * appears at most |sources| times, so the fp self-join is linear in
+    * the gram vocabulary with a per-key fan-out bounded by sources² —
+    * no hot-bucket guard needed, unlike document-level LSH. Output is
+    * sources²-sized (tiny). Short documents follow [[Funcs.wordShingles]]'
+    * whole-doc rule. */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = documents
+      .select(col("source"),
+        explode(Funcs.wordShingles(Funcs.tokens(col("text")), n)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("fp"))
+      .distinct()
+      .transform(Caches.persisted)
+    val perSource = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(perSource.select(col("source").as("source_a"), col("n_grams").as("na")), Seq("source_a"))
+      .join(perSource.select(col("source").as("source_b"), col("n_grams").as("nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("shared_grams").cast("bigint").as("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")).cast("double"), 6).as("jaccard"))
+  }
+
   /** N-gram Jaccard similarity for explicit pairs (verification primitive
     * shared by tests; the LSH path above inlines the same expression). */
   def jaccardNgram(pairs: DataFrame, textA: String, textB: String, n: Int): DataFrame = {

@@ -985,6 +985,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter($"event_time".isNull).isEmpty)
   }
 
+  test("sourceOverlap: identical sources share everything, disjoint sources never meet") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d e", "s2"), // identical gram sets
+      (3L, "x y z w v", "s3")                           // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, n = 3)
+      .select($"source_a", $"source_b", $"jaccard").as[(String, String, Double)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 1.0))) // disjoint pairs emit no row
+    Dedup.releaseCaches(spark)
+  }
+
   test("stripHtml drops script/style blocks, strips tags, decodes entities (&amp; last), collapses space") {
     val docs = Seq(
       (1L, "<p>Hello <b>world</b></p>"),
