@@ -982,26 +982,30 @@ object Dedup {
     * slices are not the independent domains the mixture math assumes
     * (or one leaks into the other).
     *
-    * Scale shape: the unit of work is the DISTINCT (source, gram-fp)
-    * pair — grams ride as 8-byte xxhash64 fingerprints (string-keyed in
-    * the DuckDB oracle), and after the distinct every fingerprint
-    * appears at most |sources| times, so the fp self-join is linear in
-    * the gram vocabulary with a per-key fan-out bounded by sources² —
-    * no hot-bucket guard needed, unlike document-level LSH. Output is
-    * sources²-sized (tiny). Short documents follow [[Funcs.wordShingles]]'
-    * whole-doc rule. */
+    * Scale shape: ONE shuffle on the gram fingerprint — grams ride as
+    * 8-byte xxhash64 keys (string-keyed in the DuckDB oracle) into a
+    * partial-aggregated `collect_set(source)` (set size ≤ |sources|, so
+    * map-side partials shrink the shuffle below the distinct-pair
+    * volume), and each fingerprint's sorted source set expands to its
+    * own ≤ C(|sources|,2) pairs in codegen — never a gram self-join.
+    * Everything after the fp aggregate is vocabulary-sized, the output
+    * sources²-sized (tiny). Short documents follow
+    * [[Funcs.wordShingles]]' whole-doc rule. */
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
-    val grams = documents
+    val srcSets = documents
       .select(col("source"),
         explode(Funcs.wordShingles(Funcs.tokens(col("text")), n)).as("g"))
       .select(col("source"), xxhash64(col("g")).as("fp"))
-      .distinct()
+      .groupBy("fp").agg(array_sort(collect_set(col("source"))).as("ss"))
       .transform(Caches.persisted)
-    val perSource = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    grams.as("a")
-      .join(grams.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val perSource = srcSets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    srcSets
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("sa"), b.as("sb")))))).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .join(perSource.select(col("source").as("source_a"), col("n_grams").as("na")), Seq("source_a"))
       .join(perSource.select(col("source").as("source_b"), col("n_grams").as("nb")), Seq("source_b"))
