@@ -417,6 +417,8 @@ object SparkEntry {
         .select(col("doc_id"), col("n_pieces"), xxhash64(col("pieces")).as("pieces_xxh"))
     }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
@@ -469,6 +471,10 @@ object SparkEntry {
     "corpus_stats_approx" -> ((s, d) => Pipeline.corpusStatsApprox(Tables.documents(s, d))),
     "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
+    // identical semantics to decontaminate (the verify join removes bloom
+    // false positives), so it shares that oracle SQL verbatim — the hash
+    // match pins that the map-side bloom prune loses nothing
+    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(Tables.documents(s, d), n = 5)),
     "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
@@ -1186,6 +1192,41 @@ object SparkEntry {
            t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM g JOIN t USING (gram) WHERE g.split = 'train' GROUP BY 1""",
+    // same SQL as decontaminate: the bloom variant is semantically
+    // identical (exact verify join removes the filter's false positives)
+    "decontaminate_bloom" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split,
+             string_split(text, ' ') AS w
+           FROM documents),
+           i AS (SELECT doc_id, split, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM s),
+           g AS (SELECT DISTINCT doc_id, split,
+                   array_to_string(w[i : least(i + 4, len(w))], ' ') AS gram FROM i),
+           t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN t USING (gram) WHERE g.split = 'train' GROUP BY 1""",
+    "text_heavy_hitters" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM s WHERE len(w) >= 3),
+           g AS (SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS gram FROM i)
+         SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM g GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50""",
+    // fold order pinned on both sides: ORDER BY ch under DuckDB's binary
+    // collation == ascending code point == the native TreeMap iteration
+    "text_char_entropy" ->
+      """WITH i AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+                    FROM documents),
+           c AS (SELECT doc_id, substr(text, i, 1) AS ch FROM i),
+           f AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2),
+           tot AS (SELECT doc_id, sum(n) AS t FROM f GROUP BY 1)
+         SELECT f.doc_id, CAST(t AS BIGINT) AS n_chars,
+                round(list_sum(list(-(n / t) * log2(n / t) ORDER BY ch)), 6) + 0.0 AS entropy
+         FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id, t""",
     "sample_bernoulli" ->
       """SELECT doc_id, source, lang FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER / 65536.0 < 0.25""",

@@ -358,6 +358,71 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** bloom_contains(BINARY, LONG) → BOOLEAN: membership probe of a long
+    * key against a serialized `org.apache.spark.util.sketch.BloomFilter`
+    * (the filter Spark's own `DataFrameStatFunctions.bloomFilter` builds).
+    * The filter argument must be FOLDABLE — it is deserialized once per
+    * executor (transient lazy), never per row, and the literal ships in
+    * the task binary exactly once. Built for small-probe/huge-stream
+    * pruning (benchmark-decontamination shape): a filter over the small
+    * side lets the huge side drop non-members map-side, BEFORE any
+    * shuffle; an exact join over the survivors then removes the ~fpp
+    * false positives, so composed semantics stay exact. At very large
+    * probe sets (filter ≫ tens of MB) a broadcast variable behind a
+    * custom plan node would replace the literal — out of scope here, the
+    * shuffle equi-join path already covers that regime. */
+  case class BloomContainsLong(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    require(left.foldable, "bloom filter bytes must be a literal")
+    override def dataType: DataType = BooleanType
+    // the name PlanAuditSpec greps for — the filter bytes would otherwise
+    // render the whole literal into the plan string via the default name
+    override def prettyName: String = "graft_bloom_contains"
+    @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+      val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+      org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    override def nullSafeEval(b: Any, h: Any): Any =
+      java.lang.Boolean.valueOf(filter.mightContainLong(h.asInstanceOf[Long]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** char_entropy(STRING) → DOUBLE: Shannon entropy (bits) of the
+    * character distribution — the repetition/diversity quality signal
+    * (low entropy = boilerplate or degenerate repetition; used alongside
+    * the Gopher ratios). One pass over the code points into a sorted
+    * count map, then one fold in ASCENDING CODE POINT order — the fold
+    * order is pinned so the DuckDB oracle (list_sum over `ORDER BY ch`,
+    * binary collation = code-point order) adds the same doubles in the
+    * same sequence. Zero shuffle: per-row map-side work, O(n) per doc. */
+  case class CharEntropy(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val counts = new java.util.TreeMap[Integer, Long]()
+      var i = 0
+      var total = 0L
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => a + b)
+        total += 1
+        i += Character.charCount(cp)
+      }
+      if (total == 0L) return java.lang.Double.valueOf(0.0)
+      val t = total.toDouble
+      var h = 0.0
+      val it = counts.values().iterator()
+      val log2 = math.log(2.0)
+      while (it.hasNext) {
+        val p = it.next().toDouble / t
+        h -= p * (math.log(p) / log2)
+      }
+      java.lang.Double.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** bpe_encode(ARRAY<STRING>) → ARRAY<STRING>: greedy byte-pair
     * encoding of each pre-token against a LITERAL merge table (rank =
     * list position; the lowest-ranked adjacent pair merges first until
@@ -511,7 +576,9 @@ object Native {
       SrpTableKeys(exprs(0), intLit(exprs(1), "numTables"), intLit(exprs(2), "bitsPerTable"))),
     "graft_bpe" -> (exprs => BpeEncode(exprs(0), stringSeqLit(exprs(1), "merges"))),
     "graft_span_corrupt" -> (exprs =>
-      SpanCorrupt(exprs(0), exprs(1), intLit(exprs(2), "ratePercent"))))
+      SpanCorrupt(exprs(0), exprs(1), intLit(exprs(2), "ratePercent"))),
+    "graft_bloom_contains" -> (exprs => BloomContainsLong(exprs(0), exprs(1))),
+    "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -561,4 +628,8 @@ object Native {
   def spanCorrupt(tokens: Column, docId: Column, ratePercent: Int): Column =
     call_function("graft_span_corrupt", tokens, docId,
       org.apache.spark.sql.functions.lit(ratePercent))
+  def bloomContains(filterBytes: Array[Byte], hash: Column): Column =
+    call_function("graft_bloom_contains",
+      org.apache.spark.sql.functions.lit(filterBytes), hash)
+  def charEntropy(text: Column): Column = call_function("graft_char_entropy", text)
 }

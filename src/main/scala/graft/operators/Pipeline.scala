@@ -382,6 +382,40 @@ object Pipeline {
       .agg(count(lit(1)).cast("bigint").as("n_hits"))
   }
 
+  /** [[decontaminate]]'s map-side-pruned sibling for the regime where the
+    * probe side CANNOT broadcast as an exact relation but the corpus side
+    * is enormous: a driver-built Bloom filter over the distinct test-gram
+    * hashes (~1.2 bytes/gram at 1% fpp — 10× smaller than the exact
+    * long set) prunes the train grams IN THE SCAN STAGE, so the exact
+    * verify join only ever shuffles `hits + fpp·|train grams|` rows
+    * instead of every train gram. Composed semantics are EXACT — the
+    * verify join removes the Bloom's false positives — so this shares
+    * [[decontaminate]]'s DuckDB oracle verbatim. At 100 TB: the filter
+    * rides the task binary once per executor, the corpus side never
+    * shuffles non-candidate grams, and the exact join's shuffle is
+    * proportional to contamination, not corpus size. */
+  def decontaminateBloom(
+      documents: DataFrame,
+      n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
+        explode(graft.functions.Native.shingleHashes(
+          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
+      .transform(Caches.persisted)
+    val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+      .transform(Caches.persisted)
+    val nTest = testGrams.count()
+    val filter = testGrams.stat.bloomFilter("gram", math.max(nTest, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    grams.filter(col("split") === "train")
+      .filter(graft.functions.Native.bloomContains(bos.toByteArray, col("gram")))
+      .join(testGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+  }
+
   /** Near-dup-level decontamination — [[decontaminate]]'s fuzzy sibling:
     * flag train-split documents that are a MinHash-LSH NEAR-duplicate
     * (exact-Jaccard ≥ `threshold`) of any test-split document, catching

@@ -525,4 +525,39 @@ object TextAnalysis {
       .select(explode(Funcs.tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-wide heavy hitters: the `k` most frequent word n-grams with
+    * collection frequency (every occurrence) and document frequency — the
+    * boilerplate/contamination radar that tells you WHICH spans [[graft.operators.Dedup.lineDedup]]
+    * and span removal should worry about. Docs shorter than `n` tokens
+    * contribute nothing. One shuffle with map-side partial aggregation
+    * (gram strings reduce per-partition before moving), then the global
+    * top-k compiles to TakeOrderedAndProject — only k rows ever reach the
+    * driver, no global sort. Ties break on the gram string so top-k is
+    * deterministic. */
+  def heavyHitters(documents: DataFrame, n: Int = 3, k: Int = 50): DataFrame = {
+    val toks = Funcs.tokens(col("text"))
+    documents
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        count_distinct(col("doc_id")).cast("bigint").as("df"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * degenerate-text detector: keyboard mash, repeated-char padding, and
+    * base64 blobs all sit far from natural-language entropy (~4.1 bits
+    * for English). One native pass per row ([[Native.CharEntropy]]),
+    * map-side, zero shuffle at any scale. The `+ 0.0` normalizes IEEE
+    * negative zero (single-distinct-char docs) to match the oracle. */
+  def charEntropy(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      (round(Native.charEntropy(col("text")), 6) + lit(0.0)).as("entropy"))
 }

@@ -533,6 +533,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == (("a b", 3L)))
   }
 
+  test("heavyHitters counts every occurrence, tracks doc frequency, breaks ties on the gram") {
+    val fixture = Seq(
+      (1L, "a b c a b c"), // trigrams: "a b c" ×2, "b c a", "c a b"
+      (2L, "a b c"),
+      (3L, "x y")          // shorter than n → contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(fixture, n = 3, k = 2)
+      .as[(String, Long, Long)].collect()
+    assert(got(0) == (("a b c", 3L, 2L)))
+    // "b c a" and "c a b" tie at cnt 1 — the gram-ascending tiebreak is
+    // what makes top-k deterministic across runs and partitionings
+    assert(got(1) == (("b c a", 1L, 1L)))
+  }
+
+  test("charEntropy: uniform distributions hit exact bits, degenerate text hits exact zero") {
+    val fixture = Seq(
+      (1L, "aabb"),  // 2 symbols, uniform → 1 bit
+      (2L, "abcd"),  // 4 symbols, uniform → 2 bits
+      (3L, "aaaa"),  // single symbol → 0, and +0.0 (not IEEE -0.0)
+      (4L, "")       // empty → defined as 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(fixture)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 1.0)))
+    assert(got(2L) == ((4L, 2.0)))
+    assert(got(3L)._2 == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(got(3L)._2) == 0L, "must normalize -0.0")
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
   test("brute-force top-k: planted nearest neighbor ranks first") {
     val mk = (s: Float) => Array(1.0f * s, 2.0f * s, 3.0f * s)
     val corpus = Seq(

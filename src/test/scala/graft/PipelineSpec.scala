@@ -127,6 +127,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(trainIds(1)) >= 1L)
   }
 
+  test("decontaminateBloom ≡ decontaminate: the bloom prune plus exact verify loses nothing") {
+    val exact = Pipeline.decontaminate(docs, n = 5)
+    // a deliberately high fpp floods the verify join with false positives —
+    // the exact join must still remove every one of them
+    val bloom = Pipeline.decontaminateBloom(docs, n = 5, fpp = 0.5)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("bernoulliSample is deterministic, respects p ordering, and never invents rows") {
     val s25 = Pipeline.bernoulliSample(docs, 0.25).cache()
     val s50 = Pipeline.bernoulliSample(docs, 0.50).cache()

@@ -99,6 +99,17 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontaminateBloom: the bloom prune is a Filter on the train-gram side, before any join") {
+    val p = plan(Pipeline.decontaminateBloom(Tables.documents(spark, dir), n = 5))
+    // the prune must survive as a Filter feeding the join — if Catalyst
+    // ever reordered it above the join, the corpus side would shuffle
+    // every gram and the operator's whole point would be gone
+    val filterIdx = p.indexOf("graft_bloom_contains")
+    assert(filterIdx >= 0, s"no bloom prune in plan:\n$p")
+    assert("(?i)join".r.findFirstIn(p).isDefined, s"no exact verify join:\n$p")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("globalOrderShards: the only unpartitioned window runs over the per-bucket offsets, never the corpus") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
