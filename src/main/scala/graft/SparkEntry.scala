@@ -389,6 +389,24 @@ object SparkEntry {
           col("m.duration_ms").as("duration_ms"))
     }),
 
+    // decode→aggregate composition over the same WAV fixture: per
+    // (source, sample_rate) clip inventory. The oracle computes the
+    // fields analytically from the fixture formula — byte-level decode
+    // parity is already pinned by multimodal_audio's blob-slicing oracle.
+    "multimodal_report" -> ((s, d) => {
+      val wav = concat(
+        Multimodal.wavHeader(
+          (col("doc_id") % 2 + 1).cast("bigint"),
+          (lit(8000L) + (col("doc_id") % 8) * 1000L).cast("bigint"),
+          lit(16L),
+          length(col("text")).cast("bigint")),
+        col("text").cast("binary"))
+      Multimodal.audioReport(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 4 === 2)
+          .select(col("source"), wav.as("wav")))
+    }),
+
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -436,6 +454,20 @@ object SparkEntry {
     // pins the feature hashing + exact integer scoring arithmetic
     "text_model_score" -> ((s, d) =>
       TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
+    // the closed train→deploy loop: distill the Gopher gate into a hashed
+    // linear model (distributed LBFGS), then score through the SAME
+    // literal-weights codegen path text_model_score pins. Rows-only by
+    // nature (LBFGS is not SQL-expressible — the text_bpe_encode
+    // precedent); the train/deploy loop itself is pinned by the
+    // separable-fixture + determinism test in OperatorsSpec.
+    "text_train_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.join(
+        TextAnalysis.gopherFilter(docs).select(col("doc_id"), col("keep").as("label")),
+        "doc_id")
+      val (w, bias) = TextAnalysis.trainQualityWeights(labeled, dim = 256)
+      TextAnalysis.linearQualityScore(docs, w, bias)
+    }),
     // HTML extraction over a planted page wrapper (script/style blocks,
     // attributes, all six entities — built identically in the oracle)
     "html_extract" -> ((s, d) => TextAnalysis.stripHtml(
@@ -447,6 +479,21 @@ object SparkEntry {
           lit("</h1><p>A &quot;quoted&quot; &#39;intro&#39; &amp;&nbsp;more</p><p>"),
           col("text"),
           lit("</p></body></html>")).as("text")))),
+    // URL gate over a derived deterministic URL fixture (the corpus has
+    // no url column; the same expression builds it in the oracle).
+    // doc_id%3 picks the registered domain (blocklist hits ~1/3),
+    // doc_id%7 plants a blocked path word, doc_id%5 a harmless query
+    // string — every rule path is exercised.
+    "url_filter" -> ((s, d) => TextAnalysis.urlFilter(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example"),
+          (col("doc_id") % 3).cast("string"), lit(".com/"), col("lang"),
+          lit("/page"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/casino-bonus")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+          .as("url")),
+      blockedDomains = Seq("example0.com"),
+      blockedWords = Seq("casino", "tracker"))),
     // C4 line/doc heuristics over the same lined fixture; "slow" stands
     // in for C4's "javascript" line-blocklist rule on this vocabulary
     "c4_clean" -> ((s, d) => TextAnalysis.c4LineFilter(
@@ -475,6 +522,7 @@ object SparkEntry {
     // false positives), so it shares that oracle SQL verbatim — the hash
     // match pins that the map-side bloom prune loses nothing
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(Tables.documents(s, d), n = 5)),
+    "contamination_report" -> ((s, d) => Pipeline.contaminationReport(Tables.documents(s, d), n = 5)),
     "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
@@ -766,6 +814,29 @@ object SparkEntry {
     // C4 line/doc rules over the same lined CTE: ≥3 words, terminal
     // punctuation, no "slow" (the blocklist stand-in); doc keeps iff ≥3
     // surviving lines and no '{' / 'lorem ipsum' anywhere in the text
+    "url_filter" ->
+      """WITH u AS (SELECT doc_id,
+             lower('https://www.' || source || '.example' ||
+               CAST(doc_id % 3 AS VARCHAR) || '.com/' || lang ||
+               '/page' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 7 = 0 THEN '/casino-bonus' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+               AS url
+           FROM documents),
+           h AS (SELECT doc_id, url,
+                   regexp_extract(url,
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)', 1) AS host
+                 FROM u),
+           d2 AS (SELECT doc_id, url, host,
+                    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+                  FROM h)
+         SELECT doc_id, host, domain,
+           CAST(domain = 'example0.com' AS BIGINT) AS flag_domain,
+           CAST(contains(url, 'casino') OR contains(url, 'tracker') AS BIGINT)
+             AS flag_word,
+           CAST(NOT (domain = 'example0.com' OR contains(url, 'casino')
+                     OR contains(url, 'tracker')) AS BIGINT) AS keep
+         FROM d2""",
     "c4_clean" ->
       s"""WITH $LinedCte,
            l AS (SELECT doc_id,
@@ -934,8 +1005,20 @@ object SparkEntry {
          SELECT doc_id, n_channels, sample_rate, bits_per_sample, data_bytes,
            CAST(floor(data_bytes * 1000.0 / byte_rate) AS BIGINT) AS duration_ms
          FROM f""",
+    "multimodal_report" ->
+      """WITH src AS (SELECT source,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS c,
+             CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS r,
+             CAST(octet_length(encode(text)) AS BIGINT) AS db
+           FROM documents WHERE doc_id % 4 = 2)
+         SELECT source, r AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(db) AS BIGINT) AS sum_bytes,
+           CAST(sum(CAST(floor(db * 1000.0 / (r * c * 2)) AS BIGINT)) AS BIGINT)
+             AS sum_duration_ms
+         FROM src GROUP BY 1, 2""",
     "text_token_stats" ->
-      """SELECT doc_id,
+"""SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_computed,
@@ -1192,6 +1275,26 @@ object SparkEntry {
            t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM g JOIN t USING (gram) WHERE g.split = 'train' GROUP BY 1""",
+    // the transposed view: per TEST doc, distinct train docs sharing a
+    // gram + total gram-occurrence hits (engine counts by xxhash64;
+    // string grouping here pins hash-distinct ≡ string-distinct)
+    "contamination_report" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split,
+             string_split(text, ' ') AS w
+           FROM documents),
+           i AS (SELECT doc_id, split, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM s),
+           g AS (SELECT DISTINCT doc_id, split,
+                   array_to_string(w[i : least(i + 4, len(w))], ' ') AS gram FROM i),
+           t AS (SELECT doc_id AS test_id, gram FROM g WHERE split = 'test'),
+           tr AS (SELECT doc_id AS train_id, gram FROM g WHERE split = 'train')
+         SELECT t.test_id AS doc_id,
+           CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs,
+           CAST(count(*) AS BIGINT) AS n_gram_hits
+         FROM t JOIN tr USING (gram) GROUP BY 1""",
     // same SQL as decontaminate: the bloom variant is semantically
     // identical (exact verify join removes the filter's false positives)
     "decontaminate_bloom" ->

@@ -277,6 +277,30 @@ object Multimodal {
     * join is keyed (doc_id = vec_id) so Catalyst plans a shuffle-keyed or
     * broadcast equi-join — no payload ever crosses the network more than
     * once. */
+  /** Corpus-level audio inventory — the decode→aggregate composition a
+    * multimodal pipeline runs before mixing audio into training data:
+    * decode every clip's header ([[wavMeta]], map-side, no codec), then
+    * roll up per (source, sample_rate) — clip count, total payload
+    * bytes, total duration. This is the table that answers "how many
+    * hours of 16 kHz audio does source X actually have" without touching
+    * sample data. Scale shape: header decode fuses into the scan, the
+    * rollup is ONE partial-agg'd groupBy keyed by (source,
+    * sample_rate) — low cardinality, so the shuffle is bounded by the
+    * key space, not the corpus. Integer sums only (no double
+    * accumulation ambiguity). `clips` carries (source, wav BINARY);
+    * undecodable payloads group under sample_rate NULL so corruption is
+    * visible in the report rather than silently dropped. */
+  def audioReport(clips: DataFrame): DataFrame =
+    clips
+      .select(col("source"), wavMeta(col("wav")).as("m"))
+      .select(col("source"), col("m.sample_rate").as("sample_rate"),
+        col("m.data_bytes").as("db"), col("m.duration_ms").as("dm"))
+      .groupBy("source", "sample_rate")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_clips"),
+        sum(col("db")).cast("bigint").as("sum_bytes"),
+        sum(col("dm")).cast("bigint").as("sum_duration_ms"))
+
   def assembleSamples(documents: DataFrame, media: DataFrame, embeddings: DataFrame): DataFrame =
     documents
       .join(media, Seq("doc_id"))

@@ -416,6 +416,47 @@ object Pipeline {
       .agg(count(lit(1)).cast("bigint").as("n_hits"))
   }
 
+  /** Per-benchmark-document contamination report — [[decontaminate]]
+    * transposed: instead of flagging leaking TRAIN docs, score each
+    * TEST-split document by how widely its n-grams appear in the train
+    * split (how many distinct train docs overlap it, and how many gram
+    * occurrences in total). This is the eval-integrity view an ML team
+    * actually reads before trusting a benchmark number: a test doc with
+    * hundreds of train-side hits is burned regardless of which train
+    * docs get dropped. Same deterministic md5 split and 8-byte fused
+    * gram hashes as [[decontaminate]] (hash-distinct ≡ string-distinct
+    * modulo ~2⁻⁶⁴; the oracle groups by string and pins the equality).
+    *
+    * Scale shape: the gram join shuffles hashes keyed by the long
+    * fingerprint; the test side is benchmark-sized (tiny vs the corpus)
+    * so it broadcasts under the same row-count guard as
+    * [[decontaminate]], leaving ONE corpus-side shuffle into the final
+    * per-test-doc aggregate. `n_train_docs` is a count-distinct over
+    * (test_id, train_id) — Spark plans it as the standard two-phase
+    * expand/partial-agg, never a driver-side set. */
+  def contaminationReport(
+      documents: DataFrame,
+      n: Int = 5,
+      broadcastMaxRows: Long = 2000000L): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
+        explode(graft.functions.Native.shingleHashes(
+          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
+      .transform(Caches.persisted)
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("gram"))
+    val testUpperBound = testGrams.count()
+    val probe = if (testUpperBound <= broadcastMaxRows) broadcast(testGrams) else testGrams
+    grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("gram"))
+      .join(probe, Seq("gram"))
+      .groupBy("test_id")
+      .agg(
+        countDistinct(col("train_id")).cast("bigint").as("n_train_docs"),
+        count(lit(1)).cast("bigint").as("n_gram_hits"))
+      .withColumnRenamed("test_id", "doc_id")
+  }
+
   /** Near-dup-level decontamination — [[decontaminate]]'s fuzzy sibling:
     * flag train-split documents that are a MinHash-LSH NEAR-duplicate
     * (exact-Jaccard ≥ `threshold`) of any test-split document, catching

@@ -136,17 +136,72 @@ object TextAnalysis {
     * scope by design — the engine contribution is the scoring plumbing.
     *
     * Output: (doc_id, logit_milli BIGINT, keep BIGINT). */
-  def linearQualityScore(documents: DataFrame, weightsMilli: Seq[Long]): DataFrame = {
+  def linearQualityScore(documents: DataFrame, weightsMilli: Seq[Long],
+      biasMilli: Long = 0L): DataFrame = {
     require(weightsMilli.nonEmpty, "weightsMilli must have at least one bucket")
     val d = weightsMilli.length
     val w = typedLit(weightsMilli)
-    def bucket(t: Column): Column =
-      conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int") % d
     documents
       .select(col("doc_id"),
-        aggregate(Funcs.tokens(col("text")), lit(0L),
-          (acc, t) => acc + element_at(w, bucket(t) + 1)).as("logit_milli"))
+        aggregate(Funcs.tokens(col("text")), lit(biasMilli),
+          (acc, t) => acc + element_at(w, featureBucket(t, d) + 1)).as("logit_milli"))
       .withColumn("keep", (col("logit_milli") >= 0L).cast("bigint"))
+  }
+
+  /** The hashed-bag-of-words feature bucket shared by [[linearQualityScore]]
+    * (deploy side) and [[trainQualityWeights]] (train side): first 16 bits
+    * of md5(token) mod `d`. One hash definition on both sides is what makes
+    * a trained model deployable as a literal — and md5 keeps the DuckDB
+    * oracle replaying the deploy side bit-exactly. */
+  private def featureBucket(t: Column, d: Int): Column =
+    conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int") % d
+
+  private case class LPoint(label: Double, features: org.apache.spark.ml.linalg.Vector)
+
+  /** Train the quality classifier [[linearQualityScore]] deploys — the
+    * full FineWeb-Edu/DCLM loop closed inside the engine: hashed
+    * bag-of-words features (the SAME md5 bucket as the scorer), distributed
+    * logistic regression (MLlib LBFGS — each iteration is one treeAggregate
+    * pass over the corpus, so training scales to the full 100 TB rather
+    * than a driver sample), coefficients quantized to integer MILLI-units
+    * on return. The result plugs into [[linearQualityScore]] as a
+    * constant-folded literal: train once here, then score any corpus with
+    * a map-side codegen pass — no model service, no UDF in the hot path.
+    *
+    * `documents` must carry (doc_id, text) plus a 0/1 `label` column (weak
+    * labels from [[gopherFilter]].`keep`, an upstream LM judge, or human
+    * annotation — the classifier distills whatever gate produced them).
+    * Featurization counts per-bucket token occurrences; the sparse vector
+    * assembly runs in a typed map on the train path only (bounded by
+    * `dim`, never in the scoring path). Returns (weightsMilli, biasMilli)
+    * sized for the scorer. Regularization keeps quantized weights small;
+    * standardization is off so coefficients stay in the scorer's raw
+    * count space. */
+  def trainQualityWeights(
+      documents: DataFrame,
+      dim: Int = 256,
+      regParam: Double = 1e-3,
+      maxIter: Int = 100): (Seq[Long], Long) = {
+    import documents.sparkSession.implicits._
+    val counts = documents
+      .select(col("doc_id"), col("label").cast("double").as("label"),
+        explode(Funcs.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("label"), featureBucket(col("tok"), dim).as("b"))
+      .groupBy("doc_id", "label", "b").agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id", "label")
+      .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
+    val data = counts.select(col("label"), col("bc"))
+      .as[(Double, Seq[(Int, Double)])]
+      .map { case (label, bc) =>
+        val sorted = bc.sortBy(_._1)
+        LPoint(label, org.apache.spark.ml.linalg.Vectors.sparse(
+          dim, sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
+      .fit(data.toDF("label", "features"))
+    (model.coefficients.toArray.toSeq.map(w => math.round(w * 1000.0)),
+      math.round(model.intercept * 1000.0))
   }
 
   /** TF-IDF document scoring: mean and max inverse document frequency over
@@ -355,6 +410,43 @@ object TextAnalysis {
       size(kept).cast("bigint").as("n_kept"),
       (size(kept) >= minLines && docUnblocked).cast("bigint").as("keep"),
       concat_ws("\n", kept).as("text_clean"))
+  }
+
+  /** URL filtering (the RefinedWeb §3.1 / C4-style crawl-side gate — the
+    * FIRST filter a web pipeline runs, before any text is even fetched):
+    * a registered-domain blocklist (the adult/fraud/malware list) plus a
+    * URL-substring word flag (the "soft" signal RefinedWeb scores —
+    * emitted here as an auditable any-hit flag). Host extraction is one
+    * byte-class regex — scheme and `www.` stripped, cut at the first
+    * `/ : ? #` — and the registered domain is the host's last two labels
+    * (the eTLD+1 approximation; a real deployment swaps in the public
+    * suffix list, which changes only the regex constant). Blocklists ship
+    * as constant-folded literals, so at 100 TB this is a pure map-side
+    * gate: scan → project, one codegen span, no join, no shuffle — a
+    * million-entry production blocklist would move to a broadcast join on
+    * `domain`, which still never shuffles the corpus side.
+    *
+    * Emits per-rule flags, not a pre-applied filter (the [[gopherFilter]]
+    * auditability stance): (doc_id, host, domain, flag_domain, flag_word,
+    * keep). */
+  def urlFilter(
+      documents: DataFrame,
+      blockedDomains: Seq[String],
+      blockedWords: Seq[String]): DataFrame = {
+    val u = lower(col("url"))
+    val host = regexp_extract(u, "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)", 1)
+    val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val flagDomain = blockedDomains.map(b => domain === lit(b.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val flagWord = blockedWords.map(w => u.contains(lit(w.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    documents.select(
+      col("doc_id"),
+      host.as("host"),
+      domain.as("domain"),
+      flagDomain.cast("bigint").as("flag_domain"),
+      flagWord.cast("bigint").as("flag_word"),
+      (!flagDomain && !flagWord).cast("bigint").as("keep"))
   }
 
   /** HTML → text extraction (the raw-crawl ingestion step every web

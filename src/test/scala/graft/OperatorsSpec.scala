@@ -1119,4 +1119,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2)._3 == 0L && got(2)._2 == 3L)
     assert(got(3)._3 == 0L && got(3)._2 == 3L)
   }
+
+  test("trainQualityWeights → linearQualityScore closes the train/deploy loop on a separable fixture") {
+    // two vocabularies landing in disjoint md5 buckets at dim=256 (checked
+    // below, so a silent hash change can't quietly weaken the assertion)
+    val good = Seq("insightful", "rigorous", "thorough", "elegant",
+      "clear", "coherent", "precise", "nuanced")
+    val spam = Seq("buy", "cheap", "click", "winner", "casino", "pills", "free", "bonus")
+    def bucketOf(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16) % 256
+    }
+    assert(good.map(bucketOf).toSet.intersect(spam.map(bucketOf).toSet).isEmpty)
+    // 64 docs per class, deterministic word choice by doc id
+    val fixture = (0L until 64L).flatMap { i =>
+      val g = (0 to 4).map(j => good(((i + j) % 8).toInt)).mkString(" ")
+      val s = (0 to 4).map(j => spam(((i + j) % 8).toInt)).mkString(" ")
+      Seq((i, g, 1), (i + 64L, s, 0))
+    }.toDF("doc_id", "text", "label")
+    val (w, bias) = TextAnalysis.trainQualityWeights(fixture, dim = 256)
+    assert(w.length == 256)
+    // deploy through the literal-weights scorer: perfect separation survives
+    // milli quantization on a separable fixture
+    val scored = TextAnalysis.linearQualityScore(fixture, w, bias)
+      .join(fixture.select($"doc_id", $"label"), "doc_id")
+    assert(scored.filter($"keep" =!= $"label").isEmpty)
+    // determinism: retraining on the same input reproduces the weights
+    val (w2, bias2) = TextAnalysis.trainQualityWeights(fixture, dim = 256)
+    assert(w2 == w && bias2 == bias)
+  }
+
+  test("urlFilter: host/domain extraction, domain blocklist, URL-word flag, scheme/www/port variants") {
+    val docs = Seq(
+      (1L, "https://www.news.example.com/tech/story1"),    // clean
+      (2L, "http://ads.example.com/banner"),               // subdomain of clean domain → clean
+      (3L, "https://casino-palace.biz/win"),               // blocked domain
+      (4L, "https://www.blog.org/review-casino-night"),    // blocked word in path
+      (5L, "example.com:8080/path?q=1"),                   // no scheme, port cut from host
+      (6L, "HTTPS://WWW.MiXeD.ExAmPlE.com/UPPER")          // case-normalized
+    ).toDF("doc_id", "url")
+    val got = TextAnalysis.urlFilter(docs,
+        blockedDomains = Seq("casino-palace.biz"), blockedWords = Seq("casino"))
+      .orderBy($"doc_id")
+      .select($"host", $"domain", $"flag_domain", $"flag_word", $"keep")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got(0) == (("news.example.com", "example.com", 0L, 0L, 1L)))
+    assert(got(1) == (("ads.example.com", "example.com", 0L, 0L, 1L)))
+    // blocked domain also trips the word flag (the domain IS the word here)
+    assert(got(2) == (("casino-palace.biz", "casino-palace.biz", 1L, 1L, 0L)))
+    assert(got(3) == (("blog.org", "blog.org", 0L, 1L, 0L)))
+    assert(got(4) == (("example.com", "example.com", 0L, 0L, 1L)))
+    assert(got(5) == (("mixed.example.com", "example.com", 0L, 0L, 1L)))
+  }
 }

@@ -127,6 +127,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(trainIds(1)) >= 1L)
   }
 
+  test("contaminationReport: identical texts make every test doc hit every train doc on both grams") {
+    val ids = (0L to 300L)
+    val trainIds = ids.filter(splitOf(_) == "train").take(5)
+    val testIds = ids.filter(splitOf(_) == "test").take(3)
+    // 6 tokens, n=5 → exactly 2 distinct grams per doc, shared corpus-wide
+    val fixture = (trainIds ++ testIds).map((_, "a b c d e f")).toDF("doc_id", "text")
+    val got = Pipeline.contaminationReport(fixture, n = 5)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nDocs, nHits) => id -> ((nDocs, nHits)) }.toMap
+    assert(got.keySet == testIds.toSet)
+    testIds.foreach { t =>
+      assert(got(t) == ((trainIds.size.toLong, 2L * trainIds.size)))
+    }
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("decontaminateBloom ≡ decontaminate: the bloom prune plus exact verify loses nothing") {
     val exact = Pipeline.decontaminate(docs, n = 5)
     // a deliberately high fpp floods the verify join with false positives —
