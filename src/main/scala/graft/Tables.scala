@@ -18,24 +18,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[graft.Sessions]]); here the long nanos become a µs timestamp —
-    * truncation, matching DuckDB's ns→µs conversion on the oracle side. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as raw Long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, see
+    * [[graft.Sessions]]) and as TIMESTAMP(MICROS) without timezone (read as
+    * TIMESTAMP_NTZ). Both are normalized to a plain µs TIMESTAMP here so
+    * every downstream consumer — `unix_micros`, `withWatermark`, window
+    * frames — sees one canonical type regardless of fixture vintage. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    nanosLongToMicros(load(spark, dir, "events"), "ts")
+    normalizeEventTime(load(spark, dir, "events"), "ts")
 
-  /** The single home of the TIMESTAMP(NANOS) rule: when `colName` arrived
-    * as raw nanos (LongType under `nanosAsLong`), truncate to a µs
-    * timestamp — matching DuckDB's ns→µs conversion on the oracle side.
-    * Used by both the batch loader above and the streaming topologies. */
-  def nanosLongToMicros(df: DataFrame, colName: String): DataFrame =
+  /** The single home of the event-time normalization rule; used by both the
+    * batch loader above and the streaming topologies:
+    *  - raw nanos (LongType under `nanosAsLong`): truncate to µs timestamp,
+    *    matching DuckDB's ns→µs conversion on the oracle side;
+    *  - TIMESTAMP_NTZ (parquet µs with no tz): cast to TIMESTAMP — the
+    *    session timezone is pinned to UTC (see [[graft.Sessions]]), so the
+    *    instant is unchanged and `unix_micros`/`withWatermark` accept it;
+    *  - already TIMESTAMP: pass through. */
+  def normalizeEventTime(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(colName,
           org.apache.spark.sql.functions.expr(s"timestamp_micros($colName DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          df(colName).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+
+  /** Pre-r7 name, kept so older call sites and specs keep compiling. */
+  def nanosLongToMicros(df: DataFrame, colName: String): DataFrame =
+    normalizeEventTime(df, colName)
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
