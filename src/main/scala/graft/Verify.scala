@@ -18,13 +18,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Fail loudly: collect failures and exit non-zero after the dump — a
-    // broken query must fail the gate, not silently skip its parquet.
+    // broken query must fail the gate, not silently skip its parquet. Each
+    // failure also leaves `<outDir>/<name>/_FAILED` with the message, so
+    // the correctness JSON can carry an explicit err row for the key
+    // instead of omitting it (an absent key reads as progress in a diff).
     var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val failDir = Paths.get(outDir, name)
+        Files.createDirectories(failDir)
+        Files.writeString(failDir.resolve("_FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}")
         failures ::= name
       }
     }
