@@ -156,17 +156,27 @@ object TextAnalysis {
   private def featureBucket(t: Column, d: Int): Column =
     conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int") % d
 
-  private case class LPoint(label: Double, features: org.apache.spark.ml.linalg.Vector)
-
   /** Train the quality classifier [[linearQualityScore]] deploys — the
     * full FineWeb-Edu/DCLM loop closed inside the engine: hashed
     * bag-of-words features (the SAME md5 bucket as the scorer), distributed
-    * logistic regression (MLlib LBFGS — each iteration is one treeAggregate
-    * pass over the corpus, so training scales to the full 100 TB rather
-    * than a driver sample), coefficients quantized to integer MILLI-units
-    * on return. The result plugs into [[linearQualityScore]] as a
-    * constant-folded literal: train once here, then score any corpus with
-    * a map-side codegen pass — no model service, no UDF in the hot path.
+    * logistic regression (MLlib LBFGS), coefficients quantized to integer
+    * MILLI-units on return. The result plugs into [[linearQualityScore]]
+    * as a constant-folded literal: train once here, then score any corpus
+    * with a map-side codegen pass — no model service, no UDF in the hot
+    * path.
+    *
+    * **Bounded-training contract** (same shape as
+    * [[Similarity.trainCentroids]]): every LBFGS iteration is a full
+    * treeAggregate pass over the TRAIN set, so the train set must be a
+    * bounded sample, never the raw corpus — at 100 TB, `maxIter` passes
+    * over the corpus is a non-starter, and a few hundred thousand labeled
+    * rows saturate a `dim`-bucket linear model anyway. Training input is
+    * therefore capped at `maxTrainRows`, selected DETERMINISTICALLY as the
+    * lowest `xxhash64(doc_id)` rows (a seedless uniform sample,
+    * reproducible across runs/cluster sizes; per-partition top-k + merge,
+    * no full sort). Pass a larger `maxTrainRows` consciously if the label
+    * set is genuinely bigger. Scoring cost is unaffected — the deploy side
+    * is the plan-pinned map-side literal path.
     *
     * `documents` must carry (doc_id, text) plus a 0/1 `label` column (weak
     * labels from [[gopherFilter]].`keep`, an upstream LM judge, or human
@@ -181,9 +191,13 @@ object TextAnalysis {
       documents: DataFrame,
       dim: Int = 256,
       regParam: Double = 1e-3,
-      maxIter: Int = 100): (Seq[Long], Long) = {
+      maxIter: Int = 100,
+      maxTrainRows: Int = 200000): (Seq[Long], Long) = {
+    require(maxTrainRows > 0, s"maxTrainRows must be positive, got $maxTrainRows")
     import documents.sparkSession.implicits._
-    val counts = documents
+    val bounded = documents
+      .orderBy(xxhash64(col("doc_id"))).limit(maxTrainRows)
+    val counts = bounded
       .select(col("doc_id"), col("label").cast("double").as("label"),
         explode(Funcs.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("label"), featureBucket(col("tok"), dim).as("b"))
@@ -192,9 +206,12 @@ object TextAnalysis {
       .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
     val data = counts.select(col("label"), col("bc"))
       .as[(Double, Seq[(Int, Double)])]
+      // tuple row, not a nested case class: an object-nested private case
+      // class can't be constructed by the encoder's generated code (janino
+      // falls back to interpreter mode on the whole projection)
       .map { case (label, bc) =>
         val sorted = bc.sortBy(_._1)
-        LPoint(label, org.apache.spark.ml.linalg.Vectors.sparse(
+        (label, org.apache.spark.ml.linalg.Vectors.sparse(
           dim, sorted.map(_._1).toArray, sorted.map(_._2).toArray))
       }
     val model = new org.apache.spark.ml.classification.LogisticRegression()

@@ -1150,6 +1150,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w2 == w && bias2 == bias)
   }
 
+  test("trainQualityWeights bounds its train set to maxTrainRows (deterministic hash sample)") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val fixture = (0L until 200L).map { i =>
+      (i, (0 to 3).map(j => words(((i + j) % 6).toInt)).mkString(" "), (i % 2).toInt)
+    }.toDF("doc_id", "text", "label")
+    // the sample rule is public contract: lowest xxhash64(doc_id) rows
+    val sampleIds = fixture.orderBy(xxhash64($"doc_id")).limit(40)
+      .select($"doc_id").as[Long].collect().toSet
+    val manual = fixture.filter($"doc_id".isin(sampleIds.toSeq: _*))
+    // capped training ≡ training on exactly that pre-limited subset —
+    // proving the bound is applied and which rows it selects
+    val capped = TextAnalysis.trainQualityWeights(fixture, dim = 64, maxTrainRows = 40)
+    val onSubset = TextAnalysis.trainQualityWeights(manual, dim = 64, maxTrainRows = 40)
+    assert(capped == onSubset)
+    // and the cap changes the model vs training on everything (i.e. it
+    // actually dropped rows rather than no-opping)
+    val full = TextAnalysis.trainQualityWeights(fixture, dim = 64)
+    assert(capped != full)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityWeights(fixture, maxTrainRows = 0)
+    }
+  }
+
   test("urlFilter: host/domain extraction, domain blocklist, URL-word flag, scheme/www/port variants") {
     val docs = Seq(
       (1L, "https://www.news.example.com/tech/story1"),    // clean
