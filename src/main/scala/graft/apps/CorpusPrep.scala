@@ -249,7 +249,9 @@ object CorpusPrep {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       minTokens: Long = 5L, maxTokens: Long = 10000L,
       shardSize: Long = 64L,
-      nearDupJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      nearDupJaccard: Double = 0.8,
+      lineLevelDedup: Boolean = false,
+      pre: Option[DataFrame => DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("mode", "PERMISSIVE")
@@ -262,16 +264,26 @@ object CorpusPrep {
         try {
           if (batch.count() > 0) {
             runIncremental(spark, batch, storeDir, minTokens, maxTokens,
-              shardSize, nearDupJaccard)
+              shardSize, nearDupJaccard, lineLevelDedup, pre)
             ()
           }
         } finally { batch.unpersist(); () }
       }
       .start()
 
+  /** @param pre raw-ingest extraction applied to the batch BEFORE the
+    *             content-hash batch id, line dedup, and normalization —
+    *             the same hook as [[run]]'s `pre` (HTML strip, C4 line
+    *             rules); map-side-only transforms keep the per-batch
+    *             cost one codegen pass. Identity by default.
+    * @param lineLevelDedup dedup batch lines against the committed
+    *             `lfp` line-claim store (RefinedWeb ingest), raw-text
+    *             side — see the stage comment below. */
   def runIncremental(spark: SparkSession, batch: DataFrame, storeDir: String,
       minTokens: Long = 5L, maxTokens: Long = 10000L,
-      shardSize: Long = 64L, nearDupJaccard: Double = 0.8): IncrementalReport = {
+      shardSize: Long = 64L, nearDupJaccard: Double = 0.8,
+      lineLevelDedup: Boolean = false,
+      pre: Option[DataFrame => DataFrame] = None): IncrementalReport = {
     import graft.functions.{Funcs, Native}
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -280,16 +292,38 @@ object CorpusPrep {
       readStoreIn(spark, committed, name, ddl)
 
     val batchRows = batch.count()
+    // raw-ingest extraction first, so every store decision (content id,
+    // line claims, fingerprints) is over what actually enters the corpus
+    val extracted = pre.map(f => f(batch)).getOrElse(batch)
     // deterministic content id: order-independent hash over (doc_id, text)
     // plus the row count — a retry of the same batch lands on the same
     // directory and repairs any crashed partial write by overwriting it
-    val idRow = batch
+    val idRow = extracted
       .agg(coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)), count(lit(1)))
       .collect()(0)
     val batchId = f"${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
     val batchDir = s"$storeDir/batches/b_$batchId"
-    val normed = batch
-      .join(TextAnalysis.normalizeText(batch).select("doc_id", "text_norm"), Seq("doc_id"))
+
+    // optional line-level dedup vs the accepted-line store (the
+    // RefinedWeb ingest treatment, batch-incrementally), on the RAW
+    // text — BEFORE normalization, which folds newlines into spaces:
+    // batch lines already claimed by ANY committed batch drop,
+    // keep-first applies within the batch, and a doc cut to zero lines
+    // drops here. The novel line claims are written to the `lfp`
+    // relation at commit time, filtered (like the doc fp store) to
+    // finally-ACCEPTED docs.
+    val (lined, lineNovel) = if (lineLevelDedup) {
+      val lfpStore = readStore("lfp", "fp BIGINT, keep_okey BIGINT")
+      val (cleaned, novel, _) = Dedup.lineDedupIncremental(extracted, lfpStore)
+      val survivors = extracted.drop("text")
+        .join(cleaned.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_clean").as("text")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (survivors, novel)
+    } else (extracted, null)
+
+    val normed = lined
+      .join(TextAnalysis.normalizeText(lined).select("doc_id", "text_norm"), Seq("doc_id"))
       .drop("text").withColumnRenamed("text_norm", "text")
     val nToks = size(graft.functions.Funcs.tokens(col("text"))).cast("bigint")
     val gated = normed.filter(nToks >= minTokens && nToks <= maxTokens)
@@ -367,12 +401,23 @@ object CorpusPrep {
       acceptedSigs.select("sig").write.mode("overwrite").parquet(s"$batchDir/sig")
       acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"))
         .write.mode("overwrite").parquet(s"$batchDir/mh")
+      if (lineLevelDedup) {
+        // the line-fp mirror of the doc-fp rule: only lines claimed by
+        // finally-accepted docs enter the store, so a rejected doc's
+        // lines stay claimable by a later batch
+        lineNovel
+          .withColumn("doc_id", shiftrightunsigned(col("keep_okey"), 32))
+          .join(acceptedSigs.select("doc_id"), Seq("doc_id"))
+          .select("fp", "keep_okey")
+          .write.mode("overwrite").parquet(s"$batchDir/lfp")
+      }
       import spark.implicits._
       Seq(acceptedCount).toDF("accepted")
         .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/meta")
       fs.create(new org.apache.hadoop.fs.Path(s"$batchDir/_COMMIT"), true).close()
     }
     gated.unpersist()
+    if (lined ne extracted) lined.unpersist()
     IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,
       base + acceptedCount)
   }

@@ -975,6 +975,64 @@ object Dedup {
         concat_ws("\n", col("kept")).as("text_clean"))
   }
 
+  /** Incremental line-level dedup — [[lineDedup]]'s corpus-GROWTH shape
+    * (the [[exactIncremental]] contract at line granularity, i.e. the
+    * RefinedWeb ingest treatment applied batch-by-batch): a new batch's
+    * lines are deduplicated against the fingerprints of every line
+    * already ACCEPTED, plus keep-first within the batch itself, without
+    * rescanning accepted text. Returns (cleaned batch, updated store).
+    *
+    * Scale shape: the store is an `(fp, keep_okey) BIGINT` pair — 16
+    * bytes per distinct line ever accepted, not the corpus — and the only
+    * operations are one fp-keyed groupBy of the (small) batch and one
+    * left-anti equi-join on fp; AQE broadcasts whichever side is small.
+    * Replay safety: a replayed batch contributes no new store fps (its
+    * lines all anti-join away), so the store is idempotent under
+    * at-least-once delivery — pair with the content-addressed `_COMMIT`
+    * batch protocol ([[graft.apps.CorpusPrep.runIncremental]]) for
+    * exactly-once OUTPUT semantics too.
+    *
+    * Returns (cleaned, novel, updatedStore):
+    *  - `cleaned` is the [[lineDedup]] shape (doc_id, n_lines, n_kept,
+    *    text_clean); a batch doc whose every line was seen before keeps
+    *    its row with n_kept = 0 and empty text_clean (callers gate);
+    *  - `novel` is the batch's newly-claimed line fingerprints
+    *    (fp, keep_okey) — keep_okey packs the claiming doc and line
+    *    position as doc_id·2³² + pos, the [[exactIncremental]] keeper
+    *    convention at line grain, so callers can filter the store
+    *    contribution to finally-accepted docs (keep_okey >> 32);
+    *  - `updatedStore` = store ∪ novel, for callers without their own
+    *    store protocol. */
+  def lineDedupIncremental(
+      newDocuments: DataFrame,
+      store: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val lines = split(col("text"), "\n")
+    val hashed = newDocuments
+      .select(col("doc_id"),
+        posexplode(transform(lines, l => xxhash64(l))).as(Seq("pos", "fp")))
+      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
+      .transform(Caches.persisted)
+    // batch-first occurrence per fp, then only fps the store hasn't seen
+    val novel = hashed.groupBy("fp").agg(min(col("okey")).as("keep_okey"))
+      .join(store.select("fp"), Seq("fp"), "left_anti")
+      .transform(Caches.persisted)
+    val keptPos = hashed.join(novel, Seq("fp"))
+      .filter(col("okey") === col("keep_okey"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
+    val cleaned = newDocuments
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(lines).cast("bigint").as("n_lines"),
+        when(col("keep_pos").isNull, array().cast("array<string>"))
+          .otherwise(filter(lines, (_, i) => array_contains(col("keep_pos"), i)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        concat_ws("\n", col("kept")).as("text_clean"))
+    (cleaned, novel, store.unionByName(novel))
+  }
+
   /** Cross-source n-gram overlap matrix — the inter-domain contamination
     * diagnostic a mixture designer reads before setting weights: for
     * every source pair, the count of shared distinct n-grams and their

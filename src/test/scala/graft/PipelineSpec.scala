@@ -651,4 +651,113 @@ class PipelineSpec extends AnyFunSuite {
         == r.getAs[Long]("n_tokens"))
     }
   }
+
+  private def emptyLineStore = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType.fromDDL("fp BIGINT, keep_okey BIGINT"))
+
+  test("lineDedupIncremental: cross-batch line claims, in-batch keep-first, replay no-op") {
+    import graft.operators.Dedup
+    val b1 = Seq((1L, "A\nB\nC"), (2L, "B\nD")).toDF("doc_id", "text")
+    val (c1, n1, s1) = Dedup.lineDedupIncremental(b1, emptyLineStore)
+    val got1 = c1.orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got1 == Seq((1L, 3L, 3L, "A\nB\nC"), (2L, 2L, 1L, "D")))
+    // four distinct lines claimed; B belongs to doc 1 (keep-first by okey)
+    val claims = n1.as[(Long, Long)].collect().toMap
+    assert(claims.size == 4 && s1.count() == 4)
+    val bFp = Seq("B").toDF("l").select(xxhash64($"l")).as[Long].head()
+    assert(claims(bFp) == (1L << 32) + 1L)
+    // batch 2: stored lines drop, novel lines kept; a fully-seen doc
+    // keeps its row with n_kept = 0
+    val b2 = Seq((3L, "C\nE"), (4L, "A\nB")).toDF("doc_id", "text")
+    val (c2, n2, s2) = Dedup.lineDedupIncremental(b2, s1)
+    val got2 = c2.orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got2 == Seq((3L, 2L, 1L, "E"), (4L, 2L, 0L, "")))
+    assert(n2.count() == 1 && s2.count() == 5)
+    // replay batch 1 against the grown store: no new claims, store
+    // unchanged, every line already claimed
+    val (c3, n3, s3) = Dedup.lineDedupIncremental(b1, s2)
+    assert(n3.isEmpty && s3.count() == 5)
+    assert(c3.agg(sum($"n_kept")).as[Long].head() == 0L)
+  }
+
+  test("runIncremental(lineLevelDedup): raw-line claims gate later batches; replay no-op; lfp store tracks accepted docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ldd")
+    val store = s"$tmp/store"
+    def ingest(docs: Seq[(Long, String)]) = graft.apps.CorpusPrep.runIncremental(
+      spark,
+      docs.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("en")),
+      store, minTokens = 2L, lineLevelDedup = true)
+    // d2's first line duplicates d1's second → cut in-batch; survives on
+    // its own second line
+    val r1 = ingest(Seq(
+      1L -> "alpha beta gamma\ndelta epsilon zeta",
+      2L -> "delta epsilon zeta\nred orange yellow"))
+    assert(r1.accepted == 2L)
+    val shards1 = graft.apps.CorpusPrep.readShards(spark, store)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // stored text is the line-cleaned then NORMALIZED form (newline → space)
+    assert(shards1(1L) == "alpha beta gamma delta epsilon zeta")
+    assert(shards1(2L) == "red orange yellow")
+    // batch 2: d3 repeats a claimed line, survives on its novel one;
+    // d4 is fully claimed → dropped by the line stage
+    val r2 = ingest(Seq(
+      3L -> "alpha beta gamma\nsix seven eight",
+      4L -> "alpha beta gamma\ndelta epsilon zeta"))
+    assert(r2.accepted == 1L)
+    val shards2 = graft.apps.CorpusPrep.readShards(spark, store)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(shards2(3L) == "six seven eight")
+    // replay batch 1: every line already claimed → no survivors, no new
+    // batch dir, shards untouched
+    val r3 = ingest(Seq(
+      1L -> "alpha beta gamma\ndelta epsilon zeta",
+      2L -> "delta epsilon zeta\nred orange yellow"))
+    assert(r3.accepted == 0L)
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .count() == shards2.size)
+    // the lfp relations carry exactly the accepted docs' novel claims:
+    // b1 → d1's 2 lines + d2's 1 surviving line, b2 → d3's novel line
+    val lfp = spark.read.parquet(s"$store/batches/*/lfp")
+      .select($"fp", $"keep_okey").as[(Long, Long)].collect().toSeq
+    assert(lfp.size == 4, s"lfp store: $lfp")
+    assert(lfp.map(_._2 >> 32).groupBy(identity).view.mapValues(_.size).toMap
+      == Map(1L -> 2, 2L -> 1, 3L -> 1))
+  }
+
+  test("runIncremental(pre + lineLevelDedup): C4 extraction feeds line claims — the composed streaming-ingest shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pre")
+    val store = s"$tmp/store"
+    // the documented `pre` composition: C4 line/doc rules, survivors carry
+    // their cleaned text (keep re-joined so source/lang ride through)
+    val c4pre: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.drop("text").join(
+        TextAnalysis.c4LineFilter(d).filter($"keep" === 1)
+          .select($"doc_id", $"text_clean".as("text")), Seq("doc_id"))
+    def ingest(docs: Seq[(Long, String)]) = graft.apps.CorpusPrep.runIncremental(
+      spark,
+      docs.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("en")),
+      store, lineLevelDedup = true, pre = Some(c4pre))
+    // d2 fails every C4 line rule (short / no punct / blocklist) → cut by
+    // the pre hook before any store interaction
+    val b1 = Seq(
+      1L -> "alpha beta gamma.\ndelta epsilon zeta.\neta theta iota.",
+      2L -> "one two.\nshort\nbad javascript line here.")
+    val r1 = ingest(b1)
+    assert(r1.batchRows == 2L && r1.accepted == 1L)
+    // d3's first line was claimed by d1 in batch 1 → line dedup cuts it;
+    // the stored text is the remaining lines, normalized
+    val r2 = ingest(Seq(
+      3L -> "delta epsilon zeta.\nkappa lambda mu.\nnu xi omicron.\npi rho sigma."))
+    assert(r2.accepted == 1L)
+    val shards = graft.apps.CorpusPrep.readShards(spark, store)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(shards(1L) == "alpha beta gamma. delta epsilon zeta. eta theta iota.")
+    assert(shards(3L) == "kappa lambda mu. nu xi omicron. pi rho sigma.")
+    // replay either batch: every surviving line is already claimed → no-op
+    assert(ingest(b1).accepted == 0L)
+    assert(graft.apps.CorpusPrep.readShards(spark, store).count() == 2)
+  }
 }
