@@ -421,18 +421,33 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
-    // REAL BPE (train 64 merges on the corpus word table, encode with
-    // the native greedy-merge loop) — rows-only by nature: the iterative
-    // merge algorithm is not SQL-expressible, so this rides the driver's
-    // rows-only check like the sketch-internal ops; the algorithm itself
-    // is pinned by the Sennrich fixture + the lossless-segmentation law
-    // in OperatorsSpec. Scalars only (the raw pieces array would hit the
-    // harness' pandas sort, the text_winnow_fp precedent).
+    // REAL BPE (train merges on the corpus word table, encode with the
+    // native greedy-merge loop), hash-oracled by the planted-analytic
+    // move, BPE edition: the corpus is replanted from doc_id as one of
+    // four disjoint-alphabet words repeated a class-weighted number of
+    // times ("aaaa"×6, "bbbb"×5, "cccc"×4, "dddd"×3; class = doc_id % 4).
+    // Class weighting makes every pair count strictly ordered for ANY
+    // corpus size (doc_id%4 ⇒ n_a ≥ n_b ≥ n_c ≥ n_d, lex tie-breaks
+    // cover equality), so the Sennrich loop's merge ORDER is analytically
+    // forced: 1(a,a) 2(b,b) 3(c,c) 4(d,d) 5(aa,aa) 6(␠,aaaa) 7(bb,bb)
+    // 8(␠,bbbb) 9(cc,cc) 10(␠,cccc) 11(dd,dd) 12(␠,dddd). numMerges=10
+    // cuts the table mid-sequence, so class d encodes PARTIALLY
+    // (["dd","dd"] / [" ","dd","dd"]) — one hash pins training order,
+    // tie-breaks, the cutoff, and the greedy encode. Pieces ride as a
+    // -joined string so DuckDB rebuilds them exactly; the
+    // real-corpus encode stays pinned by the Sennrich fixture + the
+    // lossless-segmentation law in OperatorsSpec.
     "text_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 64)
-      TextAnalysis.bpeEncode(docs, merges)
-        .select(col("doc_id"), col("n_pieces"), xxhash64(col("pieces")).as("pieces_xxh"))
+      val cls = col("doc_id") % 4
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(cls === 0, lit("aaaa" + " aaaa" * 5))
+          .when(cls === 1, lit("bbbb" + " bbbb" * 4))
+          .when(cls === 2, lit("cccc" + " cccc" * 3))
+          .otherwise(lit("dddd" + " dddd" * 2)).as("text"))
+      val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
+      TextAnalysis.bpeEncode(planted, merges)
+        .select(col("doc_id"), col("n_pieces"),
+          concat_ws("\u0001", col("pieces")).as("pieces_str"))
     }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
@@ -457,9 +472,9 @@ object SparkEntry {
     // the closed train→deploy loop: distill the Gopher gate into a hashed
     // linear model (distributed LBFGS), then score through the SAME
     // literal-weights codegen path text_model_score pins. Rows-only by
-    // nature (LBFGS is not SQL-expressible — the text_bpe_encode
-    // precedent); the train/deploy loop itself is pinned by the
-    // separable-fixture + determinism test in OperatorsSpec.
+    // nature (LBFGS is not SQL-expressible); the train/deploy loop itself
+    // is pinned by the separable-fixture + determinism test in
+    // OperatorsSpec, and the maxTrainRows bound by its own spec.
     "text_train_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val labeled = docs.join(
@@ -527,6 +542,65 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(Tables.documents(s, d))),
+    // The COMPOSED prep DAG end-to-end — every stage is the separately
+    // oracled operator, chained in production order over the lined
+    // fixture: C4 line/doc rules → URL gate → Gopher composite (all
+    // rules active; thresholds are caller-tuned to the fixture's
+    // post-C4 shape, as a production run tunes to its corpus) → corpus
+    // line dedup (keep-first) → exact dedup → hash split +
+    // 3-gram decontamination of the train slice → sequence packing.
+    // The DuckDB oracle replays the identical chain as one WITH
+    // cascade, so the hash pins stage ORDER and interplay (each
+    // stage's input is the previous stage's actual output), not just
+    // the stages in isolation. Stage-drop profile at sf0.001:
+    // 500 → 478 (C4) → 285 (URL) → 130 (Gopher) → 128 (line dedup)
+    // → 128 (exact — no full-doc dups survive line dedup on this
+    // fixture; the stage still pins pass-through fidelity) → 88
+    // (split + 2 contaminated dropped) → packed.
+    "pipeline_full_prep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = docs.select(col("doc_id"), linedText(col("doc_id"), col("text")).as("text"))
+      val afterC4 = TextAnalysis.c4LineFilter(raw, lineBlocklist = Seq("slow"))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val urlKeep = TextAnalysis.urlFilter(
+          docs.select(col("doc_id"),
+            concat(lit("https://www."), col("source"), lit(".example"),
+              (col("doc_id") % 3).cast("string"), lit(".com/"), col("lang"),
+              lit("/page"), col("doc_id").cast("string"),
+              when(col("doc_id") % 7 === 0, lit("/casino-bonus")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+              .as("url")),
+          blockedDomains = Seq("example0.com"),
+          blockedWords = Seq("casino", "tracker"))
+        .filter(col("keep") === 1).select("doc_id")
+      // every stage below both DERIVES a key set from its input and JOINS
+      // it back, so multi-consumer boundaries are persisted (the Caches
+      // registry) — without them Catalyst re-executes the whole upstream
+      // chain once per branch and the composed plan goes superlinear in
+      // stage depth (measured 15 s → ~2 s at sf0.1)
+      val afterUrl = afterC4.join(urlKeep, Seq("doc_id"))
+        .transform(Caches.persisted)
+      val gopherKeep = TextAnalysis.gopherFilter(afterUrl,
+          minTokens = 10L, maxTokens = 60L, minMeanTokLen = 7.5,
+          maxMeanTokLen = 9.2, maxTopUnigramFrac = 0.15,
+          maxDupTokenFrac = 0.3, minStopwords = 1L)
+        .filter(col("keep") === 1).select("doc_id")
+      val gated = afterUrl.join(gopherKeep, Seq("doc_id"))
+      val lineDeduped = Dedup.lineDedup(gated)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .transform(Caches.persisted)
+      val exact = lineDeduped.join(
+        Dedup.exact(lineDeduped).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .transform(Caches.persisted)
+      val contaminated = Pipeline.decontaminate(exact, n = 3).select("doc_id")
+      val train = exact
+        .join(Pipeline.hashSplit(exact).filter(col("split") === "train")
+          .select("doc_id"), Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Pipeline.packSequences(train, budgetTokens = 128L, numBuckets = 8)
+    }),
     "cap_per_source" -> ((s, d) => Pipeline.capPerSource(Tables.documents(s, d), k = 10)),
     "sample_token_budget" -> ((s, d) =>
       Pipeline.sampleToTokenBudget(Tables.documents(s, d), budgetTokens = 800L)),
@@ -1104,6 +1178,21 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
          FROM documents""",
+    // planted-analytic BPE (see the queries entry): the merge table and
+    // the greedy encode of each class are derived by hand, so the oracle
+    // just rebuilds the expected piece strings from doc_id % 4.
+    "text_bpe_encode" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 2 THEN 4
+                ELSE 8 END AS BIGINT) AS n_pieces,
+           CASE doc_id % 4
+             WHEN 0 THEN 'aaaa' || repeat(chr(1) || ' aaaa', 5)
+             WHEN 1 THEN 'bbbb' || repeat(chr(1) || ' bbbb', 4)
+             WHEN 2 THEN 'cccc' || repeat(chr(1) || ' cccc', 3)
+             ELSE 'dd' || chr(1) || 'dd' ||
+                  repeat(chr(1) || ' ' || chr(1) || 'dd' || chr(1) || 'dd', 2)
+           END AS pieces_str
+         FROM documents""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            b AS (SELECT doc_id, toks,
@@ -1349,6 +1438,105 @@ object SparkEntry {
          SELECT doc_id, bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
                 CAST(cum_before % 512 AS BIGINT) AS tok_offset
          FROM c""",
+    // the composed prep DAG: one WITH cascade replaying every stage of
+    // pipeline_full_prep in order — C4 (lined fixture) → URL gate →
+    // Gopher(10..60 tokens, mean len 7.5..9.2, top-uni ≤ .15, dup ≤ .3,
+    // ≥1 stopword) → keep-first line dedup → exact dedup → split +
+    // 3-gram decontamination → pack(budget 128, 8 buckets)
+    "pipeline_full_prep" ->
+      s"""WITH $LinedCte,
+           l AS (SELECT doc_id,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+                 FROM lined),
+           fl AS (SELECT doc_id, pos, line,
+                    (len(string_split(line, ' ')) >= 3
+                     AND regexp_matches(line, '[.!?"]$$')
+                     AND NOT contains(lower(line), 'slow')) AS kl
+                  FROM l),
+           agg AS (SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN kl THEN 1 ELSE 0 END) AS n_kept
+                   FROM fl GROUP BY 1),
+           c4txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                     FROM fl WHERE kl GROUP BY 1),
+           afterc4 AS (SELECT a.doc_id, t.text
+                       FROM agg a JOIN lined d USING (doc_id)
+                            JOIN c4txt t USING (doc_id)
+                       WHERE a.n_kept >= 3 AND NOT contains(lower(d.text), '{')
+                         AND NOT contains(lower(d.text), 'lorem ipsum')),
+           u AS (SELECT d.doc_id,
+                   lower('https://www.' || d.source || '.example' ||
+                     CAST(d.doc_id % 3 AS VARCHAR) || '.com/' || d.lang ||
+                     '/page' || CAST(d.doc_id AS VARCHAR) ||
+                     CASE WHEN d.doc_id % 7 = 0 THEN '/casino-bonus' ELSE '' END ||
+                     CASE WHEN d.doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+                     AS url
+                 FROM documents d),
+           afterurl AS (SELECT doc_id FROM (
+                 SELECT doc_id, url,
+                   regexp_extract(regexp_extract(url,
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)', 1),
+                     '([^.]+\\.[^.]+)$$', 1) AS domain
+                 FROM u)
+               WHERE NOT (domain = 'example0.com' OR contains(url, 'casino')
+                          OR contains(url, 'tracker'))),
+           g AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM afterc4 JOIN afterurl USING (doc_id)),
+           gs AS (SELECT doc_id, text,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    CAST(length(text) AS DOUBLE)/CAST(len(toks) AS DOUBLE) AS mean_len,
+                    CAST(list_max(list_transform(list_distinct(toks),
+                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) AS top_uni,
+                    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) AS dup_frac,
+                    len(list_filter(toks,
+                      x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop
+                  FROM g),
+           gated AS (SELECT doc_id, text FROM gs
+                     WHERE n_tokens BETWEEN 10 AND 60
+                       AND mean_len >= 7.5 AND mean_len <= 9.2
+                       AND top_uni <= 0.15 AND dup_frac <= 0.3 AND n_stop >= 1),
+           l2 AS (SELECT doc_id,
+                    unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                    unnest(string_split(text, chr(10))) AS line
+                  FROM gated),
+           f2 AS (SELECT line, min(doc_id * 4294967296 + pos) AS first_okey
+                  FROM l2 GROUP BY 1),
+           ld AS (SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos) AS text
+                  FROM l2 JOIN f2 USING (line)
+                  WHERE doc_id * 4294967296 + pos = first_okey
+                  GROUP BY 1),
+           exact AS (SELECT doc_id, text FROM ld
+                     WHERE doc_id IN (SELECT min(doc_id) FROM ld GROUP BY md5(text))),
+           sp AS (SELECT doc_id, text,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                         ELSE 'train' END AS split,
+                    string_split(text, ' ') AS w
+                  FROM exact),
+           gi AS (SELECT doc_id, split, w,
+                    unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM sp),
+           gg AS (SELECT DISTINCT doc_id, split,
+                    array_to_string(w[i : least(i + 2, len(w))], ' ') AS gram FROM gi),
+           tg AS (SELECT DISTINCT gram FROM gg WHERE split = 'test'),
+           contaminated AS (SELECT DISTINCT gg.doc_id
+                            FROM gg JOIN tg USING (gram) WHERE gg.split = 'train'),
+           train AS (SELECT doc_id, text FROM sp
+                     WHERE split = 'train'
+                       AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           pk AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    doc_id % 8 AS bucket
+                  FROM train),
+           pc AS (SELECT doc_id, bucket, n_tokens,
+                    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                  FROM pk)
+         SELECT doc_id, bucket, CAST(floor(cum_before / 128.0) AS BIGINT) AS seq_id,
+                CAST(cum_before % 128 AS BIGINT) AS tok_offset
+         FROM pc""",
     "cap_per_source" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,
