@@ -293,8 +293,13 @@ object CorpusPrep {
 
     val batchRows = batch.count()
     // raw-ingest extraction first, so every store decision (content id,
-    // line claims, fingerprints) is over what actually enters the corpus
-    val extracted = pre.map(f => f(batch)).getOrElse(batch)
+    // line claims, fingerprints) is over what actually enters the corpus;
+    // persisted because the content-hash agg, the line-claim pass, and
+    // the survivors join each action it — without the persist an
+    // expensive extraction (HTML strip over crawl text) runs per action
+    val extracted = pre.map(f => f(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(batch)
     // deterministic content id: order-independent hash over (doc_id, text)
     // plus the row count — a retry of the same batch lands on the same
     // directory and repairs any crashed partial write by overwriting it
@@ -418,6 +423,11 @@ object CorpusPrep {
     }
     gated.unpersist()
     if (lined ne extracted) lined.unpersist()
+    if (extracted ne batch) extracted.unpersist()
+    // line-claim internals persist through the Caches registry; a
+    // long-running ingest stream calls this once per micro-batch, so the
+    // registry must drain here or cached blocks accumulate without bound
+    Dedup.releaseCaches(spark)
     IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,
       base + acceptedCount)
   }
@@ -479,6 +489,17 @@ object CorpusPrep {
       .write.mode("overwrite").parquet(s"$dir/sig")
     readStoreIn(spark, sources, "mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>")
       .write.mode("overwrite").parquet(s"$dir/mh")
+    // line-claim store: only written when some source batch ran with
+    // lineLevelDedup — an empty union writes an empty (but present)
+    // relation, which readStoreIn reads back as empty; skipping the write
+    // entirely when NO source carries lfp keeps a line-dedup-free store
+    // free of the relation
+    val lfp = readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT")
+    if (sources.exists { p =>
+        val path = new org.apache.hadoop.fs.Path(s"$p/lfp")
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      })
+      lfp.write.mode("overwrite").parquet(s"$dir/lfp")
     import spark.implicits._
     val total = readStoreIn(spark, sources, "meta", "accepted BIGINT")
       .agg(coalesce(sum(col("accepted")), lit(0L))).collect()(0).getLong(0)
@@ -497,15 +518,7 @@ object CorpusPrepMain {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft-corpus-prep"
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.Native.register(spark)
+    val spark = graft.Sessions.local()
     val report = CorpusPrep.run(spark, Tables.documents(spark, dir), out)
     println(report)
     spark.stop()

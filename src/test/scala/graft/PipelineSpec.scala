@@ -760,4 +760,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ingest(b1).accepted == 0L)
     assert(graft.apps.CorpusPrep.readShards(spark, store).count() == 2)
   }
+
+  test("compactStore carries the lfp line-claim store — claims survive compaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lfpc")
+    val store = s"$tmp/store"
+    def ingest(docs: Seq[(Long, String)]) = graft.apps.CorpusPrep.runIncremental(
+      spark,
+      docs.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("en")),
+      store, minTokens = 2L, lineLevelDedup = true)
+    ingest(Seq(1L -> "alpha beta gamma\ndelta epsilon zeta"))
+    ingest(Seq(2L -> "red orange yellow\ngreen blue indigo"))
+    val claimsBefore = spark.read.parquet(s"$store/batches/*/lfp").count()
+    assert(claimsBefore == 4L)
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 2)
+    // the folded batch carries every claim; with gc the originals are gone
+    assert(spark.read.parquet(s"$store/batches/*/lfp").count() == claimsBefore)
+    // a post-compaction batch repeating a pre-compaction line still dedups
+    val r = ingest(Seq(3L -> "alpha beta gamma\nsix seven eight"))
+    assert(r.accepted == 1L)
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .filter($"doc_id" === 3L).select($"text").as[String].head()
+      == "six seven eight")
+  }
 }
