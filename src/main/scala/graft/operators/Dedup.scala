@@ -951,24 +951,52 @@ object Dedup {
     *                     in its first document too). Default keeps the
     *                     plain keep-first semantics. */
   def lineDedup(documents: DataFrame, dropAllAbove: Long = Long.MaxValue): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val hashed = documents
-      .select(col("doc_id"),
-        posexplode(transform(lines, l => xxhash64(l))).as(Seq("pos", "fp")))
-      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
-      .transform(Caches.persisted)
+    val hashed = hashedLines(documents).transform(Caches.persisted)
     val firsts = hashed.groupBy("fp")
       .agg(min(col("okey")).as("first_okey"), count(lit(1)).as("cnt"))
     val dropped = hashed.join(firsts, Seq("fp"))
       .filter(col("okey") =!= col("first_okey") || col("cnt") >= dropAllAbove)
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+      .agg(sort_array(collect_list(col("pos"))).as("pos_list"))
+    rebuildLines(documents, dropped, keepListed = false)
+  }
+
+  /** The shared line representation of [[lineDedup]] /
+    * [[lineDedupIncremental]]: one row per (doc, line) with the line's
+    * 8-byte xxhash64 fingerprint and the packed corpus-order key
+    * `okey = doc_id·2³² + pos`.
+    *
+    * OKEY CONTRACT (also binds the `keep_okey` column in the incremental
+    * line store and its `>> 32` doc recovery): doc_id must be
+    * non-negative and fit in 31 bits, pos in 32 — a doc_id ≥ 2³¹ silently
+    * wraps the packing and corrupts first-occurrence order. 64-bit
+    * (hash-derived) doc ids must be densely re-keyed first — the same
+    * id-space assumption [[removeDuplicatedSpans]] documents. */
+  private def hashedLines(documents: DataFrame): DataFrame =
     documents
-      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        posexplode(transform(split(col("text"), "\n"), l => xxhash64(l)))
+          .as(Seq("pos", "fp")))
+      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
+
+  /** Rebuild each document from a per-doc sorted `pos_list` relation:
+    * `keepListed = false` drops the listed positions (a doc absent from
+    * the relation keeps everything — [[lineDedup]]'s drop-set shape);
+    * `keepListed = true` keeps ONLY the listed positions (an absent doc
+    * keeps nothing — the incremental keep-set shape). Emits the shared
+    * (doc_id, n_lines, n_kept, text_clean) schema. */
+  private def rebuildLines(documents: DataFrame, positions: DataFrame,
+      keepListed: Boolean): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val whenAbsent = if (keepListed) array().cast("array<string>") else lines
+    val listed = (i: Column) => array_contains(col("pos_list"), i)
+    documents
+      .join(positions, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(lines).cast("bigint").as("n_lines"),
-        when(col("drop_pos").isNull, lines)
-          .otherwise(filter(lines, (_, i) => !array_contains(col("drop_pos"), i)))
+        when(col("pos_list").isNull, whenAbsent)
+          .otherwise(filter(lines,
+            (_, i) => if (keepListed) listed(i) else !listed(i)))
           .as("kept"))
       .select(col("doc_id"), col("n_lines"),
         size(col("kept")).cast("bigint").as("n_kept"),
@@ -1006,12 +1034,7 @@ object Dedup {
   def lineDedupIncremental(
       newDocuments: DataFrame,
       store: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val lines = split(col("text"), "\n")
-    val hashed = newDocuments
-      .select(col("doc_id"),
-        posexplode(transform(lines, l => xxhash64(l))).as(Seq("pos", "fp")))
-      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
-      .transform(Caches.persisted)
+    val hashed = hashedLines(newDocuments).transform(Caches.persisted)
     // batch-first occurrence per fp, then only fps the store hasn't seen
     val novel = hashed.groupBy("fp").agg(min(col("okey")).as("keep_okey"))
       .join(store.select("fp"), Seq("fp"), "left_anti")
@@ -1019,18 +1042,9 @@ object Dedup {
     val keptPos = hashed.join(novel, Seq("fp"))
       .filter(col("okey") === col("keep_okey"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
-    val cleaned = newDocuments
-      .join(keptPos, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(lines).cast("bigint").as("n_lines"),
-        when(col("keep_pos").isNull, array().cast("array<string>"))
-          .otherwise(filter(lines, (_, i) => array_contains(col("keep_pos"), i)))
-          .as("kept"))
-      .select(col("doc_id"), col("n_lines"),
-        size(col("kept")).cast("bigint").as("n_kept"),
-        concat_ws("\n", col("kept")).as("text_clean"))
-    (cleaned, novel, store.unionByName(novel))
+      .agg(sort_array(collect_list(col("pos"))).as("pos_list"))
+    (rebuildLines(newDocuments, keptPos, keepListed = true),
+      novel, store.unionByName(novel))
   }
 
   /** Cross-source n-gram overlap matrix — the inter-domain contamination
