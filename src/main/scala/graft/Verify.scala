@@ -1,21 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — read as long, convert in Tables.events
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     // Fail loudly: collect failures and exit non-zero after the dump — a
     // broken query must fail the gate, not silently skip its parquet. Each
@@ -29,6 +19,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         val failDir = Paths.get(outDir, name)
+        // an analysis-time failure throws BEFORE overwrite clears prior
+        // output — scrub the dir so stale parquet from an earlier run
+        // can't sit next to the marker and read as current results
+        if (Files.exists(failDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(failDir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        }
         Files.createDirectories(failDir)
         Files.writeString(failDir.resolve("_FAILED"),
           s"${e.getClass.getName}: ${e.getMessage}")
