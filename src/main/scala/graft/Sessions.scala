@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session recipe every harness main shares (Verify, Bench,
+  * TimeQuery, the app runners). Hand-rolled copies drifted — one main ran
+  * AQE, another didn't — and the next fixture-vintage flag would have to
+  * be added N times; session config is load-bearing here (`nanosAsLong`
+  * decides how `events.parquet` parses, the UTC pin is what makes the
+  * TIMESTAMP_NTZ normalization instant-preserving), so it lives in one
+  * place.
+  */
+object Sessions {
+  /** local[cpus] session with the harness invariants: shuffle parallelism
+    * = cpus (not the 200 default), AQE on, UTC session timezone, legacy
+    * nanos-as-long parquet reads, native functions registered. */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet has shipped as TIMESTAMP(NANOS): read as raw long,
+      // normalized in Tables.normalizeEventTime
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.Native.register(s)
+    s
+  }
+}

@@ -426,13 +426,16 @@ object SparkEntry {
     // move, BPE edition: the corpus is replanted from doc_id as one of
     // four disjoint-alphabet words repeated a class-weighted number of
     // times ("aaaa"×6, "bbbb"×5, "cccc"×4, "dddd"×3; class = doc_id % 4).
-    // Class weighting makes every pair count strictly ordered for ANY
-    // corpus size (doc_id%4 ⇒ n_a ≥ n_b ≥ n_c ≥ n_d, lex tie-breaks
-    // cover equality), so the Sennrich loop's merge ORDER is analytically
-    // forced: 1(a,a) 2(b,b) 3(c,c) 4(d,d) 5(aa,aa) 6(␠,aaaa) 7(bb,bb)
-    // 8(␠,bbbb) 9(cc,cc) 10(␠,cccc) 11(dd,dd) 12(␠,dddd). numMerges=10
-    // cuts the table mid-sequence, so class d encodes PARTIALLY
-    // (["dd","dd"] / [" ","dd","dd"]) — one hash pins training order,
+    // Class weighting plus lex tie-breaks analytically force the
+    // Sennrich loop's first-10 merge SET for ANY corpus size — nominally
+    // 1(a,a) 2(b,b) 3(c,c) 4(d,d) 5(aa,aa) 6(␠,aaaa) 7(bb,bb) 8(␠,bbbb)
+    // 9(cc,cc) 10(␠,cccc), then 11(dd,dd) 12(␠,dddd); adjacent
+    // same-weight merges may swap when doc_id%4 class counts differ by
+    // one, but each class's own merges stay rank-increasing and (dd,dd)
+    // can never enter the top 10 (3n_d ≤ 3n_c with " " < "d" on ties),
+    // so every class's ENCODE is invariant. numMerges=10 cuts the table
+    // mid-sequence: class d encodes PARTIALLY (["dd","dd"] /
+    // [" ","dd","dd"]) — one hash pins the training weighting,
     // tie-breaks, the cutoff, and the greedy encode. Pieces ride as a
     // -joined string so DuckDB rebuilds them exactly; the
     // real-corpus encode stays pinned by the Sennrich fixture + the

@@ -176,14 +176,7 @@ object AppMain {
   def main(args: Array[String]): Unit = {
     val topology = args.headOption.getOrElse("t1")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local()
     val (out, mode) = Topologies.build(topology, spark, sfDir)
     val q = out.writeStream.outputMode(mode)
       .format("console").option("numRows", 20).option("truncate", true)

@@ -198,4 +198,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // the only exchange is the final per-query rank window
     assert(exchanges(df) == 1, s"codes side shuffled pre-rank:\n$p")
   }
+
+  test("pipeline_full_prep: equi-joins only, persisted multi-consumer boundaries") {
+    val df = SparkEntry.queries("pipeline_full_prep")(spark, dir)
+    val p = plan(df)
+    // eight chained stages with derive-then-join-back shapes must never
+    // degrade to a cartesian — every stage joins on doc_id or a gram key
+    assert(!p.contains("CartesianProduct"), s"cartesian in the composed DAG:\n$p")
+    // the multi-consumer boundaries are cached: without them Catalyst
+    // re-executes the upstream chain once per branch (15 s → 4 s at sf0.1)
+    assert(p.contains("InMemoryRelation"),
+      "composed DAG lost its persisted stage boundaries")
+    Dedup.releaseCaches(spark)
+  }
+
+  test("lineDedupIncremental: store probe is a left-anti fp join, claims partial-aggregate") {
+    import spark.implicits._
+    val store = Seq((1L, 1L)).toDF("fp", "keep_okey")
+    val batch = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val (cleaned, novel, _) = Dedup.lineDedupIncremental(batch, store)
+    val np = plan(novel)
+    assert(np.contains("LeftAnti"), s"store probe is not an anti join:\n$np")
+    // batch-first claim is a partial-agg'd min over the packed okey —
+    // the lineDedup rule; a window here would single-partition the lines
+    assert(np.contains("partial_min"), s"no map-side first-claim partial:\n$np")
+    assert(!plan(cleaned).contains("CartesianProduct"))
+    Dedup.releaseCaches(spark)
+  }
 }
