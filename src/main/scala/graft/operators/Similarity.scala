@@ -26,6 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine similarity with a zero-norm guard shared by every scoring
+    * path: a zero-norm embedding (empty document, zeroed row) has no
+    * direction, so its similarity is DEFINED as 0 instead of letting the
+    * division throw — Spark 4 runs ANSI mode by default, where a single
+    * zero-norm row would otherwise fail the whole job with
+    * DIVIDE_BY_ZERO. Same stance [[centroidSims]]/[[trainCentroids]]
+    * already take on zero vectors. */
+  private def cosine(q: Column, c: Column, qn: Column, cn: Column): Column =
+    when(qn * cn === 0.0d, lit(0.0d))
+      .otherwise(Native.dotF(q, c) / (qn * cn))
+
+  /** Bounded deterministic training sample shared by the quantizer
+    * trainers ([[trainCentroids]], [[trainPqCodebooks]]): the lowest
+    * `sampleSize` rows by xxhash64(id) — per-partition top-k + merge,
+    * never a full sort. Fails with the CAUSE on an empty corpus instead
+    * of a bare head crash, and refuses a sample smaller than the
+    * centroid count the caller asked for — silently training fewer
+    * buckets would falsify the caller's nprobe/recall arithmetic. */
+  private def trainingSample(corpus: DataFrame, idCol: String, embCol: String,
+      sampleSize: Int, minCentroids: Int): Array[Array[Float]] = {
+    val sample = corpus
+      .select(col(embCol), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty,
+      "quantizer training: empty corpus sample - no embeddings to train on")
+    require(sample.length >= minCentroids,
+      s"quantizer training: sample size ${sample.length} < requested centroid count " +
+        s"$minCentroids - lower the centroid count or raise sampleSize")
+    sample
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * @param queries (query_id, q_embedding) — small; broadcast.
@@ -40,7 +74,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"), col("vec_id"),
-        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
     topK(scored, k)
   }
 
@@ -65,12 +99,7 @@ object Similarity {
       numCentroids: Int,
       iters: Int = 3,
       sampleSize: Int = 4096): Array[Array[Float]] = {
-    val sample: Array[Array[Float]] = corpus
-      .select(col(embCol), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h"))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainingSample(corpus, idCol, embCol, sampleSize, numCentroids)
     val d = sample.head.length
     var cents = sample.take(numCentroids).map(_.clone())
     def cosineToCent(v: Array[Float], c: Array[Float], cNorm: Double): Double = {
@@ -161,7 +190,7 @@ object Similarity {
     val scored = queryB.join(corpusB, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
       // a (query, vec) pair can meet in several shared buckets — dedup
       // before ranking so multi-assignment never double-counts a neighbor
       .dropDuplicates("query_id", "vec_id")
@@ -201,7 +230,7 @@ object Similarity {
     val scored = broadcast(queryB).join(index, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (Native.dotF(col("q_embedding"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
       .dropDuplicates("query_id", "vec_id")
     topK(scored, k)
   }
@@ -226,12 +255,7 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 5,
       sampleSize: Int = 4096): Array[Array[Array[Float]]] = {
-    val sample: Array[Array[Float]] = corpus
-      .select(col(embCol), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h"))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainingSample(corpus, idCol, embCol, sampleSize, ksub)
     val d = sample.head.length
     require(d % m == 0, s"embedding dim $d must divide into m=$m subspaces")
     val dsub = d / m
@@ -283,17 +307,24 @@ object Similarity {
       corpus: DataFrame,
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), pqCodes(col(embCol), codebooks).as("codes"))
+
+  /** The PQ code-assignment expression (argmin L2 per subspace via the
+    * 2·dot − ‖c‖² identity), shared by [[pqEncode]] and
+    * [[writeIvfPqIndex]] so the index writer can emit codes and coarse
+    * buckets from ONE corpus scan. */
+  private def pqCodes(embCol: Column, codebooks: Array[Array[Array[Float]]]): Column = {
     val dsub = codebooks.head.head.length
     val codeCols = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col(embCol), s * dsub + 1, dsub)
+      val sub = slice(embCol, s * dsub + 1, dsub)
       val scores = array(cb.toSeq.map { ct =>
         val n2 = ct.map(x => x.toDouble * x).sum
         Native.dotF(sub, typedLit(ct.toSeq)) * 2.0 - lit(n2)
       }: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus, by inner
@@ -309,18 +340,25 @@ object Similarity {
     * @param codes  [[pqEncode]] output (vec_id, codes) — or a parquet
     *               round-trip of it (the persisted-index layout).
     */
+  /** Per-query ADC lookup tables — lut_s[c] = q_sub · codebook[s][c],
+    * m × ksub doubles on the (tiny, broadcast) query side; shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def queryLuts(codebooks: Array[Array[Array[Float]]]): Seq[Column] = {
+    val dsub = codebooks.head.head.length
+    codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
+      array(cb.toSeq.map(ct =>
+        Native.dotF(slice(col("q_embedding"), s * dsub + 1, dsub), typedLit(ct.toSeq))): _*)
+        .as(s"lut_$s")
+    }
+  }
+
   def pqTopK(
       queries: DataFrame,
       codes: DataFrame,
       codebooks: Array[Array[Array[Float]]],
       k: Int): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val luts = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
-      array(cb.toSeq.map(ct =>
-        Native.dotF(slice(col("q_embedding"), s * dsub + 1, dsub), typedLit(ct.toSeq))): _*)
-        .as(s"lut_$s")
-    }
+    val luts = queryLuts(codebooks)
     val q = broadcast(queries.select(col("query_id") +: luts: _*))
     val scored = codes.join(q)
       .filter(col("query_id") =!= col("vec_id"))
@@ -348,12 +386,7 @@ object Similarity {
       refineFactor: Int = 4): DataFrame = {
     val shortlist = pqTopK(queries, pqEncode(corpus, codebooks), codebooks, k * refineFactor)
       .select(col("query_id"), col("vec_id"))
-    val exact = shortlist
-      .join(corpus, Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        Native.dotF(col("q_embedding"), col("embedding")).as("sim"))
-    topK(exact, k)
+    exactRerank(shortlist, corpus, queries, k)
   }
 
   /** Materialize an IVF-PQ index: the corpus multi-assigned to its
@@ -370,9 +403,12 @@ object Similarity {
       codebooks: Array[Array[Array[Float]]],
       path: String,
       corpusAssign: Int = 3): Unit =
-    pqEncode(corpus, codebooks)
-      .join(corpus.select(col("vec_id"),
-        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket")), Seq("vec_id"))
+    // ONE corpus scan, zero shuffle: codes and coarse buckets are both
+    // per-row expressions, so a self-join on vec_id (two scans + a
+    // corpus-sized shuffle) is pure waste at index-build scale
+    corpus.select(col("vec_id"),
+        pqCodes(col("embedding"), codebooks).as("codes"),
+        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** IVF-PQ probe: queries probe their `nprobe` coarse buckets with
@@ -396,12 +432,7 @@ object Similarity {
       nprobe: Int,
       refineFactor: Int = 4): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val luts = codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
-      array(cb.toSeq.map(ct =>
-        Native.dotF(slice(col("q_embedding"), s * dsub + 1, dsub), typedLit(ct.toSeq))): _*)
-        .as(s"lut_$s")
-    }
+    val luts = queryLuts(codebooks)
     val queryB = queries.select(
       (col("query_id") +: explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket")
         +: luts): _*)
@@ -418,13 +449,19 @@ object Similarity {
         // shared buckets — dedup before ranking, like ivfTopK
         .dropDuplicates("query_id", "vec_id"),
       k * refineFactor).select(col("query_id"), col("vec_id"))
-    val exact = shortlist
+    exactRerank(shortlist, corpus, queries, k)
+  }
+
+  /** Exact inner-product re-rank of an ADC shortlist against the corpus
+    * embeddings — shortlist-sized joins, never a corpus scan; shared by
+    * [[pqTopKRefined]] and [[ivfPqTopK]]. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame =
+    topK(shortlist
       .join(corpus, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Native.dotF(col("q_embedding"), col("embedding")).as("sim"))
-    topK(exact, k)
-  }
+        Native.dotF(col("q_embedding"), col("embedding")).as("sim")), k)
 
   /** Per-query top-k with deterministic tie-break (sim desc, vec_id asc);
     * integer-only output so the result is bit-stable across engines. */

@@ -575,6 +575,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(2L, 3L)) // self excluded; colinear vec 2 first
   }
 
+  test("cosine scoring survives zero-norm embeddings under ANSI mode (sim defined as 0)") {
+    // Spark 4 defaults ANSI on: an unguarded divide would fail the JOB on
+    // one zero vector (empty doc embedding). Guarded: it scores 0 and
+    // ranks last, and a zero-norm QUERY returns rows instead of throwing.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 0.0f)))
+      .toDF("query_id", "q_embedding")
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(got.size == 6)
+    // zero-norm corpus vector ranks last for the real query
+    assert(got.take(3).last == ((10L, 2L)))
+    // quantizer training refuses rather than silently under-training
+    val msg = intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(corpus, "vec_id", "embedding", numCentroids = 64)
+    }.getMessage
+    assert(msg.contains("sample size") && msg.contains("64"))
+  }
+
   test("IVF top-k returns k ranked rows per query with high recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < 4)
@@ -848,6 +870,10 @@ class OperatorsSpec extends AnyFunSuite {
       got((1L, 1L))._3.split(" ").take(8).toSeq) // shared overlap region
     assert(got((1L, 1L))._3.endsWith("t40"))     // tail covered
     assert(got((2L, 0L)) == ((0L, 4L, "only four small tokens")))
+    // a negative overlap would silently skip tokens between chunks
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkDocuments(docs, chunkTokens = 32, overlap = -8)
+    }
   }
 
   test("unigramSurprisal: corpus-frequency NLL matches hand computation") {
