@@ -91,11 +91,15 @@ object Pipeline {
     * buckets pass through map-side; overspent buckets are filtered
     * map-side. The row-level window never sees a whole source. */
   def sampleToTokenBudget(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    // persisted: the tokenize+hash scan feeds the bucket-totals aggregate
+    // AND both union branches — Catalyst does not dedupe common subplans,
+    // so without this the corpus is tokenized three times per action
     val base = documents
       .select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"),
         size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .transform(Caches.persisted)
     val wb = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketTotals = base.groupBy("source", "bucket")
@@ -214,6 +218,7 @@ object Pipeline {
       documents: DataFrame,
       chunkTokens: Int = 32,
       overlap: Int = 8): DataFrame = {
+    require(overlap >= 0, "negative overlap would silently skip tokens between chunks")
     require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
     val stride = chunkTokens - overlap
     val toks = Funcs.tokens(col("text"))
@@ -336,6 +341,19 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** The persisted split-tagged gram relation every decontamination
+    * entry point probes — ONE definition so the shingle representation
+    * (8-byte fused hashes, sortedDistinct per doc) cannot diverge
+    * between [[decontaminate]], [[decontaminateBloom]], and
+    * [[contaminationReport]], whose results (and shared DuckDB oracle)
+    * are defined to agree. */
+  private def gramRelation(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
+        explode(graft.functions.Native.shingleHashes(
+          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
+      .transform(Caches.persisted)
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with the (hash-split) test set — the standard pre-training
     * hygiene pass (e.g. GPT-3 appendix C uses 13-gram overlap; the n is a
@@ -366,11 +384,7 @@ object Pipeline {
     // shuffling grams and shuffling fingerprints. Hash-distinct ≡
     // string-distinct modulo ~2⁻⁶⁴ (the DuckDB oracle groups by string
     // and pins the equality).
-    val grams = documents
-      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
-        explode(graft.functions.Native.shingleHashes(
-          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
-      .transform(Caches.persisted)
+    val grams = gramRelation(documents, n)
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
     // conservative guard: row count BEFORE distinct (no shuffle to compute,
     // never underestimates the broadcast side)
@@ -398,11 +412,7 @@ object Pipeline {
       documents: DataFrame,
       n: Int = 5,
       fpp: Double = 0.01): DataFrame = {
-    val grams = documents
-      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
-        explode(graft.functions.Native.shingleHashes(
-          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
-      .transform(Caches.persisted)
+    val grams = gramRelation(documents, n)
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
       .transform(Caches.persisted)
     val nTest = testGrams.count()
@@ -438,11 +448,7 @@ object Pipeline {
       documents: DataFrame,
       n: Int = 5,
       broadcastMaxRows: Long = 2000000L): DataFrame = {
-    val grams = documents
-      .select(col("doc_id"), splitAssign(col("doc_id")).as("split"),
-        explode(graft.functions.Native.shingleHashes(
-          Funcs.tokens(col("text")), n, sortedDistinct = true)).as("gram"))
-      .transform(Caches.persisted)
+    val grams = gramRelation(documents, n)
     val testGrams = grams.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("gram"))
     val testUpperBound = testGrams.count()
@@ -591,6 +597,10 @@ object Pipeline {
     * everything corpus-sized is exact BIGINT token counting. */
   def temperatureMixture(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
     val all = Window.partitionBy()
+    // persisted: the domain-sized aggregate feeds both the denominator
+    // fold and the final select — without it the corpus-wide tokenize
+    // scan underneath runs twice per action (the relation itself is
+    // #sources rows, so the cache is a few KB)
     val bySrc = documents
       .select(col("source"), size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .groupBy("source")
@@ -598,6 +608,7 @@ object Pipeline {
       .withColumn("share",
         col("total_tokens").cast("double") / sum(col("total_tokens")).over(all).cast("double"))
       .withColumn("pa", pow(col("share"), lit(alpha)))
+      .transform(Caches.persisted)
     val denom = bySrc.agg(
       aggregate(
         transform(array_sort(collect_list(struct(col("source"), col("pa")))),
