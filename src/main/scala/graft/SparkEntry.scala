@@ -585,8 +585,8 @@ object SparkEntry {
       val afterUrl = afterC4.join(urlKeep, Seq("doc_id"))
         .transform(Caches.persisted)
       val gopherKeep = TextAnalysis.gopherFilter(afterUrl,
-          minTokens = 10L, maxTokens = 60L, minMeanTokLen = 7.5,
-          maxMeanTokLen = 9.2, maxTopUnigramFrac = 0.15,
+          minTokens = 10L, maxTokens = 60L, minMeanTokLen = 6.5,
+          maxMeanTokLen = 8.2, maxTopUnigramFrac = 0.15,
           maxDupTokenFrac = 0.3, minStopwords = 1L)
         .filter(col("keep") === 1).select("doc_id")
       val gated = afterUrl.join(gopherKeep, Seq("doc_id"))
@@ -901,8 +901,9 @@ object SparkEntry {
                AS url
            FROM documents),
            h AS (SELECT doc_id, url,
-                   regexp_extract(url,
-                     '^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)', 1) AS host
+                   regexp_replace(regexp_extract(url,
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\.)?([^/:?#]+)', 1),
+                     '\.+$', '') AS host
                  FROM u),
            d2 AS (SELECT doc_id, url, host,
                     regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
@@ -1109,9 +1110,9 @@ object SparkEntry {
            len(list_filter(string_split(text, ' '),
              t -> t IN ('the','a','of','and','to','in','is','on')))
              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
-           (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+           (length(text) - length(regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g')))
              / CAST(length(text) AS DOUBLE) AS punct_ratio,
-           (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+           (length(text) - length(regexp_replace(text, '\p{Lu}', '', 'g')))
              / CAST(length(text) AS DOUBLE) AS upper_ratio
          FROM documents""",
     "text_lang_id" ->
@@ -1217,7 +1218,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            s AS (SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_len,
+                   (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                     / CAST(len(toks) AS DOUBLE) AS mean_len,
                    CAST(list_max(list_transform(list_distinct(toks),
                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
                      / CAST(len(toks) AS DOUBLE) AS top_uni,
@@ -1228,11 +1230,11 @@ object SparkEntry {
                  FROM t)
          SELECT doc_id,
            CAST(n_tokens >= 30 AND n_tokens <= 90 AS BIGINT) AS flag_len,
-           CAST(mean_len >= 4.0 AND mean_len <= 5.6 AS BIGINT) AS flag_word_len,
+           CAST(mean_len >= 3.0 AND mean_len <= 4.6 AS BIGINT) AS flag_word_len,
            CAST(top_uni <= 0.12 AND dup_frac <= 0.5 AS BIGINT) AS flag_rep,
            CAST(n_stop >= 2 AS BIGINT) AS flag_stop,
            CAST(n_tokens >= 30 AND n_tokens <= 90
-                AND mean_len >= 4.0 AND mean_len <= 5.6
+                AND mean_len >= 3.0 AND mean_len <= 4.6
                 AND top_uni <= 0.12 AND dup_frac <= 0.5
                 AND n_stop >= 2 AS BIGINT) AS keep
          FROM s""",
@@ -1477,8 +1479,9 @@ object SparkEntry {
                  FROM documents d),
            afterurl AS (SELECT doc_id FROM (
                  SELECT doc_id, url,
-                   regexp_extract(regexp_extract(url,
-                     '^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)', 1),
+                   regexp_extract(regexp_replace(regexp_extract(url,
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\\.)?([^/:?#]+)', 1),
+                     '\\.+$$', ''),
                      '([^.]+\\.[^.]+)$$', 1) AS domain
                  FROM u)
                WHERE NOT (domain = 'example0.com' OR contains(url, 'casino')
@@ -1487,7 +1490,8 @@ object SparkEntry {
                  FROM afterc4 JOIN afterurl USING (doc_id)),
            gs AS (SELECT doc_id, text,
                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                    CAST(length(text) AS DOUBLE)/CAST(len(toks) AS DOUBLE) AS mean_len,
+                    (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                      / CAST(len(toks) AS DOUBLE) AS mean_len,
                     CAST(list_max(list_transform(list_distinct(toks),
                       u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
                       / CAST(len(toks) AS DOUBLE) AS top_uni,
@@ -1498,7 +1502,7 @@ object SparkEntry {
                   FROM g),
            gated AS (SELECT doc_id, text FROM gs
                      WHERE n_tokens BETWEEN 10 AND 60
-                       AND mean_len >= 7.5 AND mean_len <= 9.2
+                       AND mean_len >= 6.5 AND mean_len <= 8.2
                        AND top_uni <= 0.15 AND dup_frac <= 0.3 AND n_stop >= 1),
            l2 AS (SELECT doc_id,
                     unnest(range(0, len(string_split(text, chr(10))))) AS pos,
@@ -1597,8 +1601,10 @@ object SparkEntry {
                    trim(regexp_replace(
                      replace(replace(replace(replace(replace(replace(
                        regexp_replace(
-                         regexp_replace(text,
-                           '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                         regexp_replace(
+                           regexp_replace(text,
+                             '(?s)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
+                           '(?s)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
                          '<[^>]*>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),

@@ -26,7 +26,12 @@ object TextAnalysis {
 
   /** Quality scoring: length, mean token length, stopword ratio,
     * punctuation ratio, uppercase ratio. Ratios are exact IEEE divisions of
-    * integer counts → deterministic across engines. */
+    * integer counts → deterministic across engines. Character classes are
+    * UNICODE (`\p{L}`/`\p{N}`/`\p{Lu}`, supported identically by Java
+    * regex and RE2): ASCII-only classes would count every accented or
+    * non-Latin letter as "punctuation" and miss 'É' as uppercase,
+    * systematically mis-scoring exactly the non-English text [[langId]]
+    * advertises support for. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = Funcs.tokens(col("text"))
     val nToks = size(toks).cast("double")
@@ -36,8 +41,8 @@ object TextAnalysis {
       size(toks).cast("bigint").as("n_tokens"),
       (nChars / nToks).as("mean_token_len"),
       (Funcs.tokenCountIn(toks, Funcs.StopwordsEn).cast("double") / nToks).as("stopword_ratio"),
-      ((nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))) / nChars).as("punct_ratio"),
-      ((nChars - length(regexp_replace(col("text"), "[A-Z]", ""))) / nChars).as("upper_ratio"))
+      ((nChars - length(regexp_replace(col("text"), "[^\\p{L}\\p{N} ]", ""))) / nChars).as("punct_ratio"),
+      ((nChars - length(regexp_replace(col("text"), "\\p{Lu}", ""))) / nChars).as("upper_ratio"))
   }
 
   /** Marker words per language for the n-gram/stopword language-ID
@@ -97,14 +102,20 @@ object TextAnalysis {
       documents: DataFrame,
       minTokens: Long = 30L,
       maxTokens: Long = 90L,
-      minMeanTokLen: Double = 4.0,
-      maxMeanTokLen: Double = 5.6,
+      minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 4.6,
       maxTopUnigramFrac: Double = 0.12,
       maxDupTokenFrac: Double = 0.5,
       minStopwords: Long = 2L): DataFrame = {
     val toks = Funcs.tokens(col("text"))
     val nToks = size(toks).cast("bigint")
-    val meanLen = length(col("text")).cast("double") / size(toks).cast("double")
+    // mean WORD length, the Rae et al. definition: separator spaces
+    // ((nToks−1) of them) are excluded, so thresholds ported from the
+    // paper's published [3, 10] bounds mean what they say — chars/nToks
+    // would sit ~+1 above true word length and silently shift every
+    // ported threshold by one character. Defaults shifted accordingly.
+    val meanLen = (length(col("text")).cast("double") - (size(toks).cast("double") - 1.0)) /
+      size(toks).cast("double")
     val topUni = Native.maxFreq(Native.shingleHashes(toks, 1, sortedDistinct = false))
       .cast("double") / size(toks).cast("double")
     val dupFrac = (size(toks) - size(array_distinct(toks))).cast("double") /
@@ -451,7 +462,15 @@ object TextAnalysis {
       blockedDomains: Seq[String],
       blockedWords: Seq[String]): DataFrame = {
     val u = lower(col("url"))
-    val host = regexp_extract(u, "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)", 1)
+    // userinfo ('user:pass@') is stripped BEFORE the host capture — an
+    // '@' would otherwise ride into the host ('foo@blocked.com' ≠
+    // 'blocked.com') or a ':' cut it at the password, both trivially
+    // bypassing the domain blocklist; trailing dots (valid FQDN spelling
+    // 'blocked.com.') are stripped so the domain anchor still matches
+    val host = regexp_replace(
+      regexp_extract(u,
+        "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\\.)?([^/:?#]+)", 1),
+      "\\.+$", "")
     val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val flagDomain = blockedDomains.map(b => domain === lit(b.toLowerCase))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -476,8 +495,14 @@ object TextAnalysis {
     * oracle). Map-side: scan → project, one codegen span, no shuffle at
     * any scale. Emits (doc_id, text_plain, n_chars_plain). */
   def stripHtml(documents: DataFrame): DataFrame = {
-    val noBlocks = regexp_replace(col("text"),
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // one pattern per block tag, each with a word-boundary-safe opener
+    // and a NAME-MATCHED closer (RE2 has no backreferences, so a single
+    // alternation would let '<styled>…</style>' swallow legitimate text
+    // and '<script>…</style>' close a script block early, leaking code)
+    val noScript = regexp_replace(col("text"),
+      "(?s)<script(\\s[^>]*)?>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?s)<style(\\s[^>]*)?>.*?</style\\s*>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -647,10 +672,11 @@ object TextAnalysis {
   def heavyHitters(documents: DataFrame, n: Int = 3, k: Int = 50): DataFrame = {
     val toks = Funcs.tokens(col("text"))
     documents
+      // the ≥ n filter keeps wordShingles on its all-n-grams branch (its
+      // short-doc whole-doc rule is NOT wanted here: a 2-token doc is no
+      // 3-gram heavy hitter)
       .filter(size(toks) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as("gram"))
+      .select(col("doc_id"), explode(Funcs.wordShingles(toks, n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).cast("bigint").as("cnt"),
         count_distinct(col("doc_id")).cast("bigint").as("df"))
