@@ -221,12 +221,21 @@ object StreamOps {
     * the round-4 divergence (per-key-only pruning retained cold-key
     * history indefinitely).
     *
-    * `latenessMillis` is the stream-side grace (KIP-914's join grace
-    * period): it becomes the watermark delay, so Spark admits facts up to
-    * that much behind the global max event time and drops older arrivals
-    * before the operator — the explicit admission/pruning split a
-    * versioned join needs (admission = lateness, history depth =
-    * retention). Implemented on `transformWithState` (Spark 4 stateful
+    * `latenessMillis` is the ADMISSION bound for BOTH sides (it becomes
+    * the single union watermark delay): Spark drops facts AND dim
+    * updates arriving more than that behind the global max event time,
+    * before the operator. This is a documented divergence from KIP-914,
+    * whose versioned STORE accepts out-of-order dim puts all the way to
+    * history retention — here a dim version arriving later than the join
+    * grace (but within retention) is lost, and a subsequent fact
+    * floor-joins the previous version. Callers needing deep dim
+    * re-delivery must raise `latenessMillis` (at the cost of more
+    * in-flight state engine-wide); admitting dims to `retentionMillis`
+    * exactly would need per-side watermarks plus processor-side fact
+    * admission and a wm→stream-time conversion that survives the
+    * min-watermark policy — a deliberate non-goal for now, recorded in
+    * SURVEY §8. History DEPTH, by contrast, is always `retentionMillis`.
+    * Implemented on `transformWithState` (Spark 4 stateful
     * surface; requires the RocksDB state-store provider). */
   def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long,
       latenessMillis: Long = 3600000L)(
@@ -355,24 +364,37 @@ object StreamOps {
       .groupByKey(_.key)
       .flatMapGroupsWithState[Long, Alert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[FraudInput], state: GroupState[Long]) =>
-          var count = state.getOption.getOrElse(0L)
-          val alerts = rows.toSeq
-            .filter(r => parseAmount(r.totalAmount).exists(_ >= minAmount))
-            .sortBy(r => (r.eventTime.getTime, r.orderKey))
-            .flatMap { r =>
-              count += 1
-              if (count > countThreshold)
-                Some(Alert(key, r.orderKey, count,
-                  s"Fraud alert! Customer $key placed $count high-value orders."))
-              else None
-            }
+          val (alerts, count) = fraudSweep(key, rows,
+            state.getOption.getOrElse(0L), minAmount, countThreshold)
           state.update(count)
-          alerts.iterator
+          alerts
       }
   }
 
   private def parseAmount(s: String): Option[Double] =
     try Option(s).map(_.toDouble) catch { case _: NumberFormatException => None }
+
+  /** The fraud-counting core shared by [[fraudDetector]] (fMGWS) and
+    * [[FraudProcessorTws]] (`transformWithState`) — the [[slidingSweep]]
+    * stance: ONE definition of the filter/order/threshold/alert rule, so
+    * the two stateful surfaces the goldens pin as semantically identical
+    * cannot drift apart. Returns (alerts in deterministic
+    * (eventTime, orderKey) order, updated running count). */
+  private def fraudSweep(key: String, rows: Iterator[FraudInput], count0: Long,
+      minAmount: Double, countThreshold: Long): (Iterator[Alert], Long) = {
+    var count = count0
+    val alerts = rows.toSeq
+      .filter(r => parseAmount(r.totalAmount).exists(_ >= minAmount))
+      .sortBy(r => (r.eventTime.getTime, r.orderKey))
+      .flatMap { r =>
+        count += 1
+        if (count > countThreshold)
+          Some(Alert(key, r.orderKey, count,
+            s"Fraud alert! Customer $key placed $count high-value orders."))
+        else None
+      }
+    (alerts.iterator, count)
+  }
 
   /** ≙ FraudProcessor as a Spark 4 `StatefulProcessor` — the modern
     * `transformWithState` surface (successor of flatMapGroupsWithState):
@@ -390,19 +412,10 @@ object StreamOps {
 
     override def handleInputRows(key: String, rows: Iterator[FraudInput],
         timerValues: TimerValues): Iterator[Alert] = {
-      var count = if (countState.exists()) countState.get() else 0L
-      val alerts = rows.toSeq
-        .filter(r => parseAmount(r.totalAmount).exists(_ >= minAmount))
-        .sortBy(r => (r.eventTime.getTime, r.orderKey))
-        .flatMap { r =>
-          count += 1
-          if (count > countThreshold)
-            Some(Alert(key, r.orderKey, count,
-              s"Fraud alert! Customer $key placed $count high-value orders."))
-          else None
-        }
+      val (alerts, count) = fraudSweep(key, rows,
+        if (countState.exists()) countState.get() else 0L, minAmount, countThreshold)
       countState.update(count)
-      alerts.iterator
+      alerts
     }
   }
 
