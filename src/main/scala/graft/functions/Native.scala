@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,17 @@ object Native {
     * on DOUBLE[]). Codegen'd: the loop inlines into the WholeStageCodegen
     * stage, no boxing. */
   case class FloatDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    // fail at ANALYSIS on an ARRAY<DOUBLE> embedding column (the default
+    // for JSON numbers): getFloat over 8-byte-stride storage would
+    // otherwise return silent garbage cosines corpus-wide
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_dot expects ARRAY<FLOAT> inputs, got ${l.catalogString} / " +
+            s"${r.catalogString} - cast the embedding column to array<float>")
+      }
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -283,6 +295,13 @@ object Native {
   case class SrpTableKeys(child: Expression, numTables: Int, bitsPerTable: Int)
       extends UnaryExpression with CodegenFallback {
     require(bitsPerTable >= 1 && bitsPerTable <= 64, s"bitsPerTable must be in [1,64]")
+    // analysis-time guard against ARRAY<DOUBLE> inputs (see FloatDotProduct)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_srp_keys expects ARRAY<FLOAT> input, got ${other.catalogString} - " +
+          "cast the embedding column to array<float>")
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

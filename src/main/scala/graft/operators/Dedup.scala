@@ -66,9 +66,14 @@ object Dedup {
       keyed: DataFrame,
       payload: Seq[String],
       maxBucketSize: Int): DataFrame = {
+    // persisted: the hot-key aggregation is a full pass over the
+    // (corpus-sized) keyed relation and is read twice below (observation
+    // anti-join + hot-pair join) — the filtered list itself is tiny by
+    // construction, so the cache is a few KB
     val hot = keyed.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
+      .transform(Caches.persisted)
     // the observation wraps only the anti-join instance (a second
     // CollectMetrics with the same name elsewhere in one query would be
     // rejected by the analyzer); metrics: over-cap bucket count + the
@@ -242,7 +247,10 @@ object Dedup {
     val rb = banded(right)
     def hotOf(df: DataFrame): DataFrame = df.groupBy("band", "bkey")
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize).select("band", "bkey")
-    val hot = hotOf(lb).union(hotOf(rb)).distinct()
+    // persisted: `hot` feeds two anti-joins, the representative pick, and
+    // the hot-pair join — four references, each of which would otherwise
+    // re-run BOTH corpus-sized groupBy aggregations (tiny by construction)
+    val hot = hotOf(lb).union(hotOf(rb)).distinct().transform(Caches.persisted)
     val coldPairs = lb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       .select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(rb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
@@ -313,8 +321,11 @@ object Dedup {
     val starts = widths.scanLeft(0)(_ + _)
     val maxWidth = widths.max
     if (corpusSize >= 0) {
-      val capacity =
-        if (maxWidth >= 62) Long.MaxValue else maxBucketSize.toLong << maxWidth
+      // BigInt: maxBucketSize << maxWidth overflows Long well before the
+      // width-62 mark (64 << 57 is already negative), and a negative or
+      // zero "capacity" would spuriously refuse perfectly valid wide
+      // signatures
+      val capacity = (BigInt(maxBucketSize) << maxWidth).min(BigInt(Long.MaxValue)).toLong
       require(corpusSize <= capacity,
         s"simhash band keys saturate: $corpusSize docs over $nBands bands of ≤$maxWidth bits " +
           s"puts every bucket of every band over maxBucketSize=$maxBucketSize, so the skew " +
@@ -537,8 +548,6 @@ object Dedup {
     * the verify. Exact Jaccard then re-shingles only candidate rows.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def shingles(text: Column): Column =
-      array_distinct(Funcs.wordShingles(Funcs.tokens(text), n))
     // FP-safe slack: t·sz computed in doubles can land a hair ABOVE the
     // exact rational (e.g. 0.3*10 = 3.0000000000000004), which would
     // shorten the prefix / tighten the length filter and break the
@@ -896,7 +905,10 @@ object Dedup {
     val grams = positionalGramHashes(documents, n)
     // (doc_id, pos) packed into one BIGINT so the corpus-first occurrence
     // is a plain min (same arithmetic in the DuckDB oracle)
-    val okey = shiftleft(col("doc_id"), 32) + col("pos")
+    // cast first: ShiftLeft on an INT column masks the shift count to 5
+    // bits, so shiftleft(intCol, 32) is the IDENTITY and the packed key
+    // silently collides (doc 1/pos 4 == doc 2/pos 3)
+    val okey = shiftleft(col("doc_id").cast("long"), 32) + col("pos")
     val stats = grams.select(col("h"), okey.as("okey"))
       .groupBy("h").agg(count(lit(1)).as("cnt"), min(col("okey")).as("first_okey"))
       .filter(col("cnt") >= 2)
@@ -977,7 +989,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(transform(split(col("text"), "\n"), l => xxhash64(l)))
           .as(Seq("pos", "fp")))
-      .withColumn("okey", shiftleft(col("doc_id"), 32) + col("pos"))
+      .withColumn("okey", shiftleft(col("doc_id").cast("long"), 32) + col("pos"))
 
   /** Rebuild each document from a per-doc sorted `pos_list` relation:
     * `keepListed = false` drops the listed positions (a doc absent from
