@@ -1024,7 +1024,12 @@ object SparkEntry {
       """SELECT doc_id, octet_length(bin) AS n_bytes, md5(hex(bin)) AS content_md5,
            CASE WHEN left(hex(bin), 6) = 'FFD8FF' THEN 'image/jpeg'
                 WHEN left(hex(bin), 8) = '89504E47' THEN 'image/png'
-                WHEN left(hex(bin), 8) = '52494646' THEN 'audio/riff'
+                WHEN left(hex(bin), 8) = '52494646' THEN
+                  CASE substr(hex(bin), 17, 8)
+                    WHEN '57415645' THEN 'audio/wav'
+                    WHEN '57454250' THEN 'image/webp'
+                    WHEN '41564920' THEN 'video/avi'
+                    ELSE 'application/riff' END
                 ELSE 'application/octet-stream' END AS modality,
            CASE WHEN doc_id % 4 = 1 THEN ('0x' || substr(hex(bin), 33, 8))::BIGINT
                 WHEN doc_id % 4 = 0 THEN ('0x' || substr(hex(bin), 55, 4))::BIGINT
@@ -1091,7 +1096,7 @@ object SparkEntry {
            FROM documents WHERE doc_id % 4 = 2)
          SELECT source, r AS sample_rate,
            CAST(count(*) AS BIGINT) AS n_clips,
-           CAST(sum(db) AS BIGINT) AS sum_bytes,
+           CAST(sum(db + 44) AS BIGINT) AS sum_bytes,
            CAST(sum(CAST(floor(db * 1000.0 / (r * c * 2)) AS BIGINT)) AS BIGINT)
              AS sum_duration_ms
          FROM src GROUP BY 1, 2""",

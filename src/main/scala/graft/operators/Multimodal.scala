@@ -26,14 +26,22 @@ object Multimodal {
   val PngMagic: Array[Byte] = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
   val RiffMagic: Array[Byte] = Array(0x52, 0x49, 0x46, 0x46).map(_.toByte) // "RIFF" (wav/avi)
 
-  /** Content-type sniff from leading magic bytes — hex-prefix compare on
-    * the first 4 bytes only, so the whole (possibly huge) payload never
-    * feeds the predicate. */
+  /** Content-type sniff from leading magic bytes — hex-prefix compares on
+    * bounded substrings only, so the whole (possibly huge) payload never
+    * feeds the predicate. RIFF is a CONTAINER magic shared by WAV, WebP,
+    * and AVI — the form tag at bytes 9-12 disambiguates (a web-scraped
+    * corpus is full of WebP images; labeling them "audio" would route
+    * images down audio paths and understate image counts). */
   def modality(bin: Column): Column = {
     val head = hex(substring(bin, 1, 4))
+    val riffForm = substring(bin, 9, 4).cast("string")
     when(head.startsWith("FFD8FF"), lit("image/jpeg"))        // JPEG = FF D8 FF
       .when(head.startsWith("89504E47"), lit("image/png"))
-      .when(head.startsWith("52494646"), lit("audio/riff"))
+      .when(head.startsWith("52494646"),
+        when(riffForm === "WAVE", lit("audio/wav"))
+          .when(riffForm === "WEBP", lit("image/webp"))
+          .when(riffForm === "AVI ", lit("video/avi"))
+          .otherwise(lit("application/riff")))
       .otherwise(lit("application/octet-stream"))
   }
 
@@ -54,9 +62,18 @@ object Multimodal {
   private def hexBytes(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** `v` as `nBytes` big-endian bytes (binary column). */
-  private def beBytes(v: Column, nBytes: Int): Column =
-    unhex(lpad(hex(v.cast("bigint")), nBytes * 2, "0"))
+  /** `v` as `nBytes` big-endian bytes (binary column). The value is
+    * masked to the field width FIRST: a bare lpad would keep the MOST
+    * significant hex digits of an overflowing value (hex(70000)='11170'
+    * lpad-4 → '1117' = 4375 — neither the value nor value mod 2¹⁶),
+    * silently building headers whose fields round-trip wrong. Masking
+    * matches [[leBytes]]' per-byte shift/mask arithmetic. */
+  private def beBytes(v: Column, nBytes: Int): Column = {
+    val masked =
+      if (nBytes >= 8) v.cast("bigint")
+      else v.cast("bigint").bitwiseAND(lit((1L << (nBytes * 8)) - 1))
+    unhex(lpad(hex(masked), nBytes * 2, "0"))
+  }
 
   /** Big-endian unsigned int read from `n` bytes at 1-based `pos` —
     * hex/conv arithmetic over a bounded substring, so the (possibly
@@ -182,6 +199,11 @@ object Multimodal {
     val isWav = length(bin) >= 44 &&
       hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(bin, 9, 8)) === "57415645666D7420" && // "WAVEfmt "
+      // audio-format tag must be PCM (1): an IEEE-float or A-law/mu-law
+      // WAV with a 16-byte fmt chunk would otherwise parse "successfully"
+      // and downstream consumers would misread every sample at
+      // bits_per_sample — the canonical-PCM claim must be CHECKED
+      leUInt(bin, 21, 2) === 1L &&
       hex(substring(bin, 37, 4)) === "64617461" // "data"
     val byteRate = leUInt(bin, 29, 4)
     val dataBytes = leUInt(bin, 41, 4)
@@ -259,9 +281,13 @@ object Multimodal {
     * [[decodePartitions]]' pluggable codec). */
   def resizePlan(width: Column, height: Column, maxDim: Int): Column = {
     val scale = least(lit(maxDim) / width.cast("double"), lit(maxDim) / height.cast("double"), lit(1.0))
+    // clamp after ceil: dim·(maxDim/dim) can land a hair ABOVE maxDim in
+    // doubles (147·(10/147) = 10.000000000000002), and ceil would then
+    // emit maxDim+1 — breaking the "fits the box" contract a consumer
+    // sizes buffers against
     struct(
-      ceil(width * scale).cast("int").as("target_width"),
-      ceil(height * scale).cast("int").as("target_height"))
+      least(ceil(width * scale), lit(maxDim)).cast("int").as("target_width"),
+      least(ceil(height * scale), lit(maxDim)).cast("int").as("target_height"))
   }
 
   /** Frame-sample positions for a media payload of `durationMs`, every
@@ -292,13 +318,19 @@ object Multimodal {
     * visible in the report rather than silently dropped. */
   def audioReport(clips: DataFrame): DataFrame =
     clips
-      .select(col("source"), wavMeta(col("wav")).as("m"))
+      .select(col("source"), wavMeta(col("wav")).as("m"),
+        // ACTUAL payload bytes, not the header-declared data size: a
+        // corrupt clip decodes to a null struct but its bytes are still
+        // real (the report exists to show how much data is corrupt — a
+        // NULL sum_bytes on the sample_rate=NULL group hides exactly
+        // that), and a lying header cannot skew the valid groups either
+        length(col("wav")).cast("bigint").as("nb"))
       .select(col("source"), col("m.sample_rate").as("sample_rate"),
-        col("m.data_bytes").as("db"), col("m.duration_ms").as("dm"))
+        col("nb"), col("m.duration_ms").as("dm"))
       .groupBy("source", "sample_rate")
       .agg(
         count(lit(1)).cast("bigint").as("n_clips"),
-        sum(col("db")).cast("bigint").as("sum_bytes"),
+        sum(col("nb")).cast("bigint").as("sum_bytes"),
         sum(col("dm")).cast("bigint").as("sum_duration_ms"))
 
   def assembleSamples(documents: DataFrame, media: DataFrame, embeddings: DataFrame): DataFrame =

@@ -13,19 +13,27 @@ class MultimodalSpec extends AnyFunSuite {
   private def withMagic(magic: Array[Byte], payload: String): Array[Byte] =
     magic ++ payload.getBytes("UTF-8")
 
-  test("modality sniffs JPEG/PNG/RIFF magic bytes and falls back to octet-stream") {
+  test("modality sniffs magic bytes; RIFF containers disambiguate by form tag") {
+    // RIFF layout: 'RIFF' + 4-byte size + 4-byte form tag + payload
+    def riff(form: String): Array[Byte] =
+      Multimodal.RiffMagic ++ Array[Byte](0, 0, 0, 0) ++
+        form.getBytes("US-ASCII") ++ "payload".getBytes("US-ASCII")
     val rows = Seq(
       (1L, withMagic(Multimodal.JpegMagic, "jpegdata")),
       (2L, withMagic(Multimodal.PngMagic, "pngdata")),
-      (3L, withMagic(Multimodal.RiffMagic, "wavdata")),
+      (3L, riff("WAVE")),
       (4L, "plain text".getBytes("UTF-8")),
-      (5L, Array[Byte](0x00, 0x01))) // shorter than 4 bytes of magic match
+      (5L, Array[Byte](0x00, 0x01)), // shorter than 4 bytes of magic match
+      (6L, riff("WEBP")),            // WebP image rides the RIFF container
+      (7L, riff("AVI ")),
+      (8L, withMagic(Multimodal.RiffMagic, "xx"))) // truncated: no form tag
       .toDF("doc_id", "media")
     val got = rows.select($"doc_id", Multimodal.modality($"media").as("m"))
       .as[(Long, String)].collect().toMap
     assert(got == Map(
-      1L -> "image/jpeg", 2L -> "image/png", 3L -> "audio/riff",
-      4L -> "application/octet-stream", 5L -> "application/octet-stream"))
+      1L -> "image/jpeg", 2L -> "image/png", 3L -> "audio/wav",
+      4L -> "application/octet-stream", 5L -> "application/octet-stream",
+      6L -> "image/webp", 7L -> "video/avi", 8L -> "application/riff"))
   }
 
   test("mediaMeta: byte count, stable hash, modality in one struct") {
@@ -147,6 +155,18 @@ class MultimodalSpec extends AnyFunSuite {
     val got = dims.select(Multimodal.resizePlan($"w", $"h", 512).as("r"))
       .select($"r.target_width", $"r.target_height").as[(Int, Int)].collect().toSeq
     assert(got == Seq((512, 288), (100, 50), (256, 512)))
+    // FP edge: dim·(maxDim/dim) can exceed maxDim in the last ulp and
+    // ceil would emit maxDim+1 without the clamp (147 @ maxDim 10,
+    // 293 @ 224 are such cases)
+    val edges = Seq((147, 100, 10), (293, 100, 224)).toDF("w", "h", "m")
+    val boxed = edges.collect().map { r =>
+      val m = r.getInt(2)
+      val plan = dims.sparkSession.range(1).select(
+        Multimodal.resizePlan(lit(r.getInt(0)), lit(r.getInt(1)), m).as("r"))
+        .select($"r.target_width").as[Int].head()
+      plan <= m
+    }
+    assert(boxed.forall(identity), "resize target escaped the maxDim box")
   }
 
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {
