@@ -112,6 +112,21 @@ object SparkEntry {
              chr(10)) AS text
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
 
+  /** The planted-analytic BPE corpus (see the `text_bpe_encode` entry for
+    * the full derivation): doc_id % 4 picks one of four disjoint-alphabet
+    * words repeated a class-weighted number of times, which forces the
+    * Sennrich merge order analytically for ANY corpus size. Shared by the
+    * BPE encode and token-histogram queries so both pin the same trained
+    * table. */
+  private def plantedBpeCorpus(docs: DataFrame): DataFrame = {
+    val cls = col("doc_id") % 4
+    docs.select(col("doc_id"),
+      when(cls === 0, lit("aaaa" + " aaaa" * 5))
+        .when(cls === 1, lit("bbbb" + " bbbb" * 4))
+        .when(cls === 2, lit("cccc" + " cccc" * 3))
+        .otherwise(lit("dddd" + " dddd" * 2)).as("text"))
+  }
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -302,6 +317,29 @@ object SparkEntry {
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(
       Tables.documents(s, d).select(col("doc_id"),
         linedText(col("doc_id"), col("text")).as("text")))),
+    // URL-level dedup over a derived URL fixture that exercises every
+    // canonicalization rule: mixed-case scheme (%2), userinfo (%11),
+    // www (%3), default port (%4), trailing slash (%7), tracking params
+    // + param ORDER (%5 ∈ {0,1} spell the same surviving 'a=1&b=2' two
+    // ways), fragment (%6). Collision groups = (source, doc_id%25,
+    // has-params) — the same page crawled under many spellings; keeper =
+    // longest capture, ties to smallest doc_id. Oracle builds the same
+    // URL and canonicalizes with the same anchored regexes.
+    "dedup_url" -> ((s, d) => Dedup.urlDedup(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+          when(col("doc_id") % 11 === 0, lit("crawler:secret@")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.com"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/item/"), (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 5 === 1, lit("?a=1&b=2&fbclid=xyz"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url")))),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -309,6 +347,20 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), k = 10)
+    }),
+    // hard-negative mining over the planted-copy corpus: each query's own
+    // re-encode (vec_id+100000, cosine exactly 1) sits in the positive
+    // band and MUST be excluded by the sim < 0.95 filter, while no cross
+    // pair reaches 0.95 (measured max cross cosine ≤ 0.61 at sf ≤ 0.1) —
+    // so the exclusion set is analytic and the oracle expresses it as
+    // c.vec_id != q.vec_id + 100000; ranking parity over the remaining
+    // pairs is the same exact-cosine row_number the bruteforce oracle pins
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.hardNegatives(queries, emb.union(copies), k = 10, posThreshold = 0.95)
     }),
     "sim_topk_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -441,16 +493,22 @@ object SparkEntry {
     // real-corpus encode stays pinned by the Sennrich fixture + the
     // lossless-segmentation law in OperatorsSpec.
     "text_bpe_encode" -> ((s, d) => {
-      val cls = col("doc_id") % 4
-      val planted = Tables.documents(s, d).select(col("doc_id"),
-        when(cls === 0, lit("aaaa" + " aaaa" * 5))
-          .when(cls === 1, lit("bbbb" + " bbbb" * 4))
-          .when(cls === 2, lit("cccc" + " cccc" * 3))
-          .otherwise(lit("dddd" + " dddd" * 2)).as("text"))
+      val planted = plantedBpeCorpus(Tables.documents(s, d))
       val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
       TextAnalysis.bpeEncode(planted, merges)
         .select(col("doc_id"), col("n_pieces"),
           concat_ws("\u0001", col("pieces")).as("pieces_str"))
+    }),
+    // token-distribution audit under the SAME planted-analytic trained
+    // tokenizer: each class's pieces are known in closed form (class a:
+    // 'aaaa' + 5 x ' aaaa'; b: 'bbbb' + 4 x ' bbbb'; c: 'cccc' + 3 x
+    // ' cccc'; d cut mid-table: 6 x 'dd' + 2 x ' '), so collection and
+    // document frequency per piece are exact arithmetic over the
+    // doc_id % 4 class sizes - the oracle rebuilds the multiset
+    "text_token_hist" -> ((s, d) => {
+      val planted = plantedBpeCorpus(Tables.documents(s, d))
+      val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
+      TextAnalysis.bpeVocabHist(planted, merges)
     }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
@@ -888,6 +946,57 @@ object SparkEntry {
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
                 coalesce(a.text_clean, '') AS text_clean
          FROM tot t LEFT JOIN agg a USING (doc_id)""",
+    // URL dedup: the oracle rebuilds the derived URL fixture, then runs
+    // the same anchored-regex canonicalization chain (scheme → fragment →
+    // userinfo → www → default port → param drop/sort → trailing slash)
+    // and keeps the longest capture per canonical URL. The Spark side
+    // windows over xxhash64(canon_url) — identical modulo a 2⁻⁶⁴
+    // collision (the dedup_lines stance).
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+              CASE WHEN doc_id % 11 = 0 THEN 'crawler:secret@' ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+              source || '.example.com' ||
+              CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+              '/item/' || CAST(doc_id % 25 AS VARCHAR) ||
+              CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   WHEN doc_id % 5 = 1 THEN '?a=1&b=2&fbclid=xyz' ELSE '' END ||
+              CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+           s1 AS (SELECT doc_id, n_chars,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(lower(trim(url)),
+                        '^[a-z][a-z0-9+.-]*://', ''),
+                      '#.*$', ''),
+                      '^[^/?#]*@', ''),
+                      '^www\.', ''),
+                      '^([^/:?#]+):(?:80|443)([/?]|$)', '\1\2') AS r
+                  FROM u),
+           s2 AS (SELECT doc_id, n_chars, r, strpos(r, '?') AS qp FROM s1),
+           s3 AS (SELECT doc_id, n_chars,
+                    regexp_replace(CASE WHEN qp > 0 THEN substr(r, 1, qp - 1)
+                                        ELSE r END, '/+$', '') AS path,
+                    CASE WHEN qp > 0 THEN substr(r, qp + 1) ELSE '' END AS query
+                  FROM s2),
+           s4 AS (SELECT doc_id, n_chars, path,
+                    list_sort(list_filter(string_split(query, '&'),
+                      p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) AS params
+                  FROM s3),
+           c AS (SELECT doc_id, n_chars,
+                   path || CASE WHEN len(params) > 0
+                             THEN '?' || array_to_string(params, '&')
+                             ELSE '' END AS canon_url
+                 FROM s4)
+         SELECT doc_id, canon_url,
+           first_value(doc_id) OVER (PARTITION BY canon_url
+             ORDER BY n_chars DESC, doc_id) AS keeper_id,
+           CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups,
+           CAST(doc_id = first_value(doc_id) OVER (PARTITION BY canon_url
+             ORDER BY n_chars DESC, doc_id) AS BIGINT) AS is_keeper
+         FROM c""",
     // C4 line/doc rules over the same lined CTE: ≥3 words, terminal
     // punctuation, no "slow" (the blocklist stand-in); doc keeps iff ≥3
     // surviving lines and no '{' / 'lorem ipsum' anywhere in the text
@@ -981,6 +1090,25 @@ object SparkEntry {
                                            CAST(c.embedding AS DOUBLE[])) DESC,
                     c.vec_id) AS rank
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rank <= 10""",
+    // hard negatives over the planted-copy corpus: the positive band
+    // (sim ≥ 0.95) contains EXACTLY the query's own re-encode — no cross
+    // pair reaches 0.95 — so the engine's cosine-band filter reduces to
+    // the analytic exclusion c.vec_id != q.vec_id + 100000; rank parity
+    // over the remainder is the bruteforce oracle's exact-cosine ordering
+    "sim_hard_negatives" ->
+      """SELECT query_id, vec_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+           FROM embeddings q
+           JOIN (SELECT vec_id, embedding FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 100000, embedding FROM embeddings) c
+             ON c.vec_id != q.vec_id AND c.vec_id != q.vec_id + 100000
            WHERE q.vec_id < 8)
          WHERE rank <= 10""",
     // nprobe = numCentroids ⇒ exhaustive probe ⇒ identical to brute force
@@ -1202,6 +1330,23 @@ object SparkEntry {
                   repeat(chr(1) || ' ' || chr(1) || 'dd' || chr(1) || 'dd', 2)
            END AS pieces_str
          FROM documents""",
+    // planted-analytic BPE token histogram: each class's piece multiset
+    // is known in closed form (see text_bpe_encode), so collection and
+    // document frequencies are exact arithmetic over the class sizes
+    "text_token_hist" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 4 AS c FROM documents),
+           p AS (
+             SELECT doc_id, 'aaaa' AS piece, 1 AS n FROM cls WHERE c = 0
+             UNION ALL SELECT doc_id, ' aaaa', 5 FROM cls WHERE c = 0
+             UNION ALL SELECT doc_id, 'bbbb', 1 FROM cls WHERE c = 1
+             UNION ALL SELECT doc_id, ' bbbb', 4 FROM cls WHERE c = 1
+             UNION ALL SELECT doc_id, 'cccc', 1 FROM cls WHERE c = 2
+             UNION ALL SELECT doc_id, ' cccc', 3 FROM cls WHERE c = 2
+             UNION ALL SELECT doc_id, 'dd', 6 FROM cls WHERE c = 3
+             UNION ALL SELECT doc_id, ' ', 2 FROM cls WHERE c = 3)
+         SELECT piece, CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            b AS (SELECT doc_id, toks,

@@ -137,6 +137,38 @@ object Dedup {
     (novel, store.unionByName(novel))
   }
 
+  /** URL-level dedup — the cheapest dedup tier a web pipeline runs, BEFORE
+    * any content pass (CCNet §2 dedups re-crawls by URL; RefinedWeb §3.2
+    * likewise): group documents by [[TextAnalysis.canonicalUrl]] and keep
+    * the best capture per page (longest text wins — the fullest crawl —
+    * ties to the smallest doc_id).
+    *
+    * Scale shape: ONE hash shuffle, keyed by the canonical URL's xxhash64
+    * fingerprint (8 bytes/row in the exchange; the text never moves — only
+    * (fp, doc_id, n_chars, canon_url) rows). Keeper and group size come
+    * from two window specs over the SAME partitioning, so Catalyst plans a
+    * single Exchange; no join-back pass. Emits one row per input doc:
+    * (doc_id, canon_url, keeper_id, n_dups, is_keeper) — flags, not a
+    * pre-applied filter, the [[TextAnalysis.gopherFilter]] auditability
+    * stance.
+    *
+    * @param documents (doc_id, url, n_chars) — derive `url` upstream;
+    *                  the corpus table carries no URL column. */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = documents.select(
+      col("doc_id"), col("n_chars"),
+      TextAnalysis.canonicalUrl(col("url")).as("canon_url"))
+      .withColumn("fp", xxhash64(col("canon_url")))
+    val byFp = Window.partitionBy(col("fp"))
+    val ordered = byFp.orderBy(col("n_chars").desc, col("doc_id").asc)
+    canon.select(
+      col("doc_id"), col("canon_url"),
+      first(col("doc_id")).over(ordered).as("keeper_id"),
+      count(lit(1)).over(byFp).as("n_dups"))
+      .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("bigint"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
     *
     * shingle → k-minhash signature (map-side) → explode band keys →

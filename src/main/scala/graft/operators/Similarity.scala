@@ -78,6 +78,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining — the retrieval/contrastive-training selection
+    * pass (DPR, Karpukhin et al. 2020 §4.2; Contriever): for each query,
+    * the top-k corpus rows that score HIGH but are NOT positives. The
+    * positive band is excluded by cosine: any row with `sim ≥
+    * posThreshold` is treated as a duplicate/positive of the query (its
+    * own copy, near-dup re-crawls) and skipped, so the mined negatives
+    * are the confusable-but-wrong examples a bi-encoder actually learns
+    * from — taking plain top-k instead silently trains on unlabeled
+    * positives.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * ONE corpus scan, per-pair work is a codegen'd dot product, and the
+    * band filter is applied before the top-k reduction so excluded rows
+    * never reach the shuffle. At 100 TB swap the scan for the IVF/PQ
+    * shortlist tiers ([[ivfPqTopK]]) and re-rank: the band filter
+    * composes unchanged on the re-ranked scores. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      posThreshold: Double = 0.95): DataFrame = {
+    val q = broadcast(queries.withColumn("q_norm", Native.normF(col("q_embedding"))))
+    val c = corpus.withColumn("c_norm", Native.normF(col("embedding")))
+    val scored = c.join(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
+      .filter(col("sim") < posThreshold)
+    topK(scored, k)
+  }
+
   // ---------------------------------------------------------------------
   // K-means centroid training (IVF coarse quantizer)
   // ---------------------------------------------------------------------

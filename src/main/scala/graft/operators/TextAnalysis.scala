@@ -485,6 +485,39 @@ object TextAnalysis {
       (!flagDomain && !flagWord).cast("bigint").as("keep"))
   }
 
+  /** Canonical URL form — the URL-level dedup key every crawl pipeline
+    * (CCNet §2, RefinedWeb §3.2) derives before its first content pass,
+    * because re-crawls of one page arrive under dozens of URL spellings.
+    * Rules, applied in order (each one a single anchored byte-class regex
+    * or list op, so the whole chain is one map-side codegen span):
+    * lowercase; strip the scheme; strip the fragment; strip userinfo;
+    * strip a leading `www.`; strip an explicit default port (`:80`/`:443`);
+    * split path from query at the first `?`; drop tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`, `ref`) and empty params, SORT the
+    * survivors (param order never distinguishes pages); strip trailing
+    * slashes from the path. Non-default ports and meaningful params
+    * survive. Pure expression — composes into [[Dedup.urlDedup]]'s
+    * grouping without materializing anything. */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(lower(trim(url)), "^[a-z][a-z0-9+.-]*://", "")
+    // fragment BEFORE userinfo: an '@' inside the fragment must not be
+    // mistaken for an authority delimiter (the [^/?#] class already
+    // guards the path/query cases)
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val noUser = regexp_replace(noFrag, "^[^/?#]*@", "")
+    val noWww = regexp_replace(noUser, "^www\\.", "")
+    val noPort = regexp_replace(noWww, "^([^/:?#]+):(?:80|443)([/?]|$)", "$1$2")
+    val parts = split(noPort, "\\?", 2)
+    val path = regexp_replace(element_at(parts, 1), "/+$", "")
+    val params = when(size(parts) > 1,
+      array_sort(filter(split(element_at(parts, 2), "&"),
+        p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))))
+      .otherwise(typedLit(Seq.empty[String]))
+    concat(path,
+      when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+        .otherwise(lit("")))
+  }
+
   /** HTML → text extraction (the raw-crawl ingestion step every web
     * corpus runs before any quality/dedup pass — the trafilatura-lite
     * tier): drop `<script>`/`<style>` blocks wholesale, strip remaining
@@ -616,6 +649,28 @@ object TextAnalysis {
       Native.bpe(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)), merges)
         .as("pieces"))
       .withColumn("n_pieces", size(col("pieces")).cast("bigint"))
+
+  /** Token-distribution audit under a trained tokenizer — the standard
+    * pre-training sanity pass (vocabulary coverage, fertility, dead
+    * merges): encode the corpus with [[bpeEncode]] and histogram the
+    * emitted pieces, with both collection frequency (`n_tokens`) and
+    * document frequency (`n_docs`) per piece.
+    *
+    * Scale shape: the encode is map-side (one native loop per row, merge
+    * table as a broadcast literal); the histogram is a partial-agg'd
+    * groupBy whose FINAL relation is at most vocab-sized (≤ alphabet +
+    * merges rows), so the reduce side is trivially small at any corpus
+    * size. The exact `n_docs` rides as a (piece, doc_id) distinct
+    * expansion — bounded by corpus tokens; a 100 TB run that only needs
+    * approximate document frequency swaps in approx_count_distinct and
+    * drops that expansion. */
+  def bpeVocabHist(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(documents, merges)
+      .select(col("doc_id"), explode(col("pieces")).as("piece"))
+      .groupBy("piece")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
 
   /** Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
     * hash every `k`-token gram, keep the sliding-window-of-`w` minima

@@ -1259,4 +1259,64 @@ class OperatorsSpec extends AnyFunSuite {
       s"accented prose flagged as punctuation: ${r.getAs[Double]("punct_ratio")}")
     assert(r.getAs[Double]("upper_ratio") > 0.0, "É not counted as uppercase")
   }
+
+  test("canonicalUrl folds equivalent spellings and preserves meaningful differences") {
+    // every spelling of the same page — scheme/case/userinfo/www/default
+    // port/trailing slash/param order/tracking params/fragment — must
+    // land on ONE canonical form
+    val same = Seq(
+      "https://www.Example.com/a/b/?b=2&a=1&utm_source=x#frag",
+      "HTTP://user:pw@example.com:80/a/b?a=1&b=2&fbclid=z",
+      "example.com:443/a/b/?gclid=1&a=1&ref=rss&b=2").toDF("url")
+    val canon = same.select(TextAnalysis.canonicalUrl($"url").as("c"))
+      .distinct().as[String].collect().toSeq
+    assert(canon == Seq("example.com/a/b?a=1&b=2"), canon.toString)
+    // …while real distinctions (non-default port, param VALUE, subdomain,
+    // paramless) survive canonicalization
+    val diff = Seq(
+      "https://example.com/a/b?a=1&b=2",
+      "https://example.com:8080/a/b?a=1&b=2",
+      "https://example.com/a/b?a=2&b=2",
+      "https://sub.example.com/a/b?a=1&b=2",
+      "https://example.com/a/b").toDF("url")
+    assert(diff.select(TextAnalysis.canonicalUrl($"url").as("c")).distinct().count() == 5)
+  }
+
+  test("urlDedup groups the spellings of one page and keeps the longest capture") {
+    val docs = Seq(
+      (1L, "https://www.page.com/x", 100L),
+      (2L, "http://page.com/x/", 300L), // longest-tie winner: smaller id than 3
+      (3L, "page.com/x?utm_source=a", 300L),
+      (4L, "https://page.com/y", 50L)).toDF("doc_id", "url", "n_chars")
+    val got = Dedup.urlDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == (("page.com/x", 2L, 3L, 0L)))
+    assert(got(2L) == (("page.com/x", 2L, 3L, 1L)))
+    assert(got(3L) == (("page.com/x", 2L, 3L, 0L)))
+    assert(got(4L) == (("page.com/y", 4L, 1L, 1L)))
+  }
+
+  test("hardNegatives drops self and the positive band, ranks the remainder by cosine") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),     // the query itself — self-excluded
+      (11L, Array(1f, 0.01f)),  // cosine ≈ 0.99995 — positive band, excluded
+      (12L, Array(1f, 1f)),     // cosine ≈ 0.707 — hardest negative
+      (13L, Array(0f, 1f)),     // cosine 0
+      (14L, Array(-1f, 0f))     // cosine −1
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f))).toDF("query_id", "q_embedding")
+    val got = Similarity.hardNegatives(queries, corpus, k = 3, posThreshold = 0.95)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((12L, 1L), (13L, 2L), (14L, 3L)))
+  }
+
+  test("bpeVocabHist: collection and document frequencies over encoded pieces") {
+    val docs = Seq((0L, "low low lower"), (1L, "low")).toDF("doc_id", "text")
+    // merges fold 'low' into one piece; ' '/'e'/'r' stay singletons
+    val got = TextAnalysis.bpeVocabHist(docs, Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "low" -> ((4L, 2L)), " " -> ((2L, 1L)), "e" -> ((1L, 1L)), "r" -> ((1L, 1L))))
+  }
 }

@@ -212,6 +212,42 @@ class PlanAuditSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("urlDedup: ONE fp-keyed exchange — keeper and group size share the partitioning") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://a.com/x", 10L)).toDF("doc_id", "url", "n_chars")
+    val df = Dedup.urlDedup(docs)
+    // two window specs (ordered first_value, unordered count) over the
+    // same xxhash64(canon_url) partitioning must plan a single Exchange —
+    // a second one means the specs diverged and the corpus shuffles twice
+    assert(exchanges(df) == 1, s"urlDedup shuffles more than once:\n${plan(df)}")
+    // the shuffle key is the 8-byte fingerprint, not the URL string
+    val exchangeLine = plan(df).linesIterator
+      .find(_.contains("Arguments: hashpartitioning")).getOrElse("")
+    assert(exchangeLine.contains("fp"), s"exchange not fp-keyed: $exchangeLine")
+  }
+
+  test("hardNegatives: query side broadcasts; corpus is never shuffled pre-rank") {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val df = Similarity.hardNegatives(queries, emb, k = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"queries not broadcast:\n$p")
+    // only the final per-query rank window shuffles — the band filter is
+    // applied in the scan stage, before any exchange
+    assert(exchanges(df) == 1, s"corpus shuffled pre-rank:\n$p")
+  }
+
+  test("bpeVocabHist: histogram is partial-aggregated before its exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low")).toDF("doc_id", "text")
+    val df = TextAnalysis.bpeVocabHist(docs, Seq(("l", "o"), ("lo", "w")))
+    val p = plan(df)
+    // map-side combine on (piece, doc_id) then piece — a missing partial
+    // phase would shuffle one row per corpus TOKEN unreduced
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("lineDedupIncremental: store probe is a left-anti fp join, claims partial-aggregate") {
     import spark.implicits._
     val store = Seq((1L, 1L)).toDF("fp", "keep_okey")
