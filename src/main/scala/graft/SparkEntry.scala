@@ -603,6 +603,14 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(Tables.documents(s, d))),
+    // packing-efficiency diagnostics over the same default layout
+    "pack_report" -> ((s, d) => Pipeline.packingReport(Tables.documents(s, d))),
+    // short-to-long curriculum: stage = fixed length-band cutoffs (225/390
+    // chars ≈ corpus tertiles; literals so the oracle mirrors them) —
+    // stage-ascending global order, hash-shuffled within each stage
+    "pipeline_curriculum" -> ((s, d) => Pipeline.curriculumOrder(
+      Tables.documents(s, d),
+      when(col("n_chars") < 225, 0).when(col("n_chars") < 390, 1).otherwise(2))),
     // The COMPOSED prep DAG end-to-end — every stage is the separately
     // oracled operator, chained in production order over the lined
     // fixture: C4 line/doc rules → URL gate → Gopher composite (all
@@ -1593,6 +1601,38 @@ object SparkEntry {
          SELECT doc_id, bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
                 CAST(cum_before % 512 AS BIGINT) AS tok_offset
          FROM c""",
+    // packing-efficiency report over the same layout: n_seqs = ceil
+    // division, fill = one IEEE division of exact BIGINTs, split = the
+    // in-sequence offset + length overruns the budget
+    "pack_report" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS bucket
+           FROM documents),
+           c AS (SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+                CAST(sum(n_tokens) AS DOUBLE) /
+                  CAST(((sum(n_tokens) + 511) // 512) * 512 AS DOUBLE) AS fill_frac,
+                CAST(sum(CASE WHEN (cum_before % 512) + n_tokens > 512
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         FROM c GROUP BY 1""",
+    // curriculum order: naive global window — rank by (stage, h, doc_id);
+    // the engine's two-phase bucketed rank must agree exactly
+    "pipeline_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN n_chars < 225 THEN 0 WHEN n_chars < 390 THEN 1
+                  ELSE 2 END AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents)
+         SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos,
+           CAST((row_number() OVER (ORDER BY stage, h, doc_id) - 1) // 100 AS BIGINT) AS shard
+         FROM s""",
     // the composed prep DAG: one WITH cascade replaying every stage of
     // pipeline_full_prep in order — C4 (lined fixture) → URL gate →
     // Gopher(10..60 tokens, mean len 7.5..9.2, top-uni ≤ .15, dup ≤ .3,

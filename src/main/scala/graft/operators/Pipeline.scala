@@ -156,6 +156,44 @@ object Pipeline {
         floor(col("pos") / shardSize).cast("bigint").as("shard"))
   }
 
+  /** Curriculum ordering — [[globalOrderShards]] with a leading curriculum
+    * stage: documents are globally ordered by (stage asc, md5(doc_id),
+    * doc_id), so stage 0 is seen first and, WITHIN a stage, the order is
+    * the same deterministic hash shuffle as the flat pipeline (a
+    * length/quality curriculum that still decorrelates neighbors — the
+    * short-to-long and clean-to-noisy recipes both reduce to a stage
+    * column). Emits (doc_id, stage, pos, shard).
+    *
+    * Scale shape: the two-phase trick generalizes because (stage, bucket)
+    * is a PREFIX of the sort key (stage, h, doc_id) — contiguous groups in
+    * the target order. The only unpartitioned window runs over the
+    * per-(stage, bucket) count relation (≤ stages × 16^prefixChars rows,
+    * never the corpus); each group then ranks its own slice under a
+    * partitioned window, and pos = group offset + rank.
+    *
+    * @param stage small non-negative INT expression (tertile, gate tier,
+    *              length band); cardinality is assumed ≪ corpus. */
+  def curriculumOrder(
+      documents: DataFrame,
+      stage: Column,
+      shardSize: Long = 100L,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 7, "prefix must stay in int range")
+    val base = documents.select(col("doc_id"), stage.cast("int").as("stage"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, prefixChars), 16, 10).cast("int"))
+    val wb = Window.orderBy("stage", "bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("stage", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wb), lit(0L)))
+      .select("stage", "bucket", "offset")
+    val wr = Window.partitionBy("stage", "bucket").orderBy("h", "doc_id")
+    base.join(broadcast(offsets), Seq("stage", "bucket"))
+      .withColumn("pos", (col("offset") + row_number().over(wr) - 1).cast("bigint"))
+      .select(col("doc_id"), col("stage").cast("bigint").as("stage"), col("pos"),
+        floor(col("pos") / shardSize).cast("bigint").as("shard"))
+  }
+
   /** Materialize the corpus as training shards in the [[globalOrderShards]]
     * order: one parquet directory per shard, rows inside each file sorted
     * by `pos` — the layout a data loader streams sequentially with no
@@ -546,6 +584,46 @@ object Pipeline {
       .select(col("doc_id"), col("bucket"),
         floor(col("cum_before") / budgetTokens).cast("bigint").as("seq_id"),
         (col("cum_before") % budgetTokens).as("tok_offset"))
+  }
+
+  /** Packing-efficiency report over the [[packSequences]] layout: per
+    * bucket, how many fixed-budget sequences the concat-and-split packing
+    * produces (`n_seqs` = ⌈tokens/budget⌉ — contiguous cuts waste only the
+    * final partial sequence), the fill fraction of the allocated capacity,
+    * and how many documents straddle a sequence boundary (`n_split_docs` —
+    * the attention-contamination/truncation cost a packing run monitors;
+    * a doc splits iff its in-sequence start offset + length overruns the
+    * budget).
+    *
+    * Scale shape: the running total reuses [[packSequences]]'s per-bucket
+    * window (never a global one); the report itself is a partial-agg'd
+    * groupBy to numBuckets rows. `fill_frac` is one IEEE division of two
+    * exact BIGINTs — deterministic across engines. */
+  def packingReport(
+      documents: DataFrame,
+      budgetTokens: Long = 512L,
+      numBuckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = documents
+      .select(col("doc_id"),
+        size(Funcs.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        (col("doc_id") % numBuckets).as("bucket"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("split",
+        ((col("cum_before") % budgetTokens) + col("n_tokens") > budgetTokens)
+          .cast("bigint"))
+    val nSeqs = (col("total_tokens") + lit(budgetTokens - 1)).divide(lit(budgetTokens))
+    packed.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("split")).as("n_split_docs"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        floor(nSeqs).cast("bigint").as("n_seqs"),
+        (col("total_tokens").cast("double") /
+          (floor(nSeqs) * budgetTokens).cast("double")).as("fill_frac"),
+        col("n_split_docs"))
   }
 
   /** Hierarchical corpus report: doc/token totals per (source, lang), per

@@ -211,6 +211,46 @@ class PipelineSpec extends AnyFunSuite {
       == ((0L, n - 1, n)))
   }
 
+  test("curriculumOrder: two-phase rank ≡ naive (stage, h) row_number; stages contiguous") {
+    import org.apache.spark.sql.expressions.Window
+    val stage = when($"n_chars" < 225, 0).when($"n_chars" < 390, 1).otherwise(2)
+    val got = Pipeline.curriculumOrder(docs, stage, shardSize = 7L)
+    val naive = docs
+      .select($"doc_id", stage.cast("bigint").as("stage"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("pos",
+        (row_number().over(Window.orderBy($"stage", $"h", $"doc_id")) - 1).cast("bigint"))
+      .select($"doc_id", $"stage", $"pos", floor($"pos" / 7L).cast("bigint").as("shard"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // pos is a permutation of 0..n-1 and stage is non-decreasing along it
+    val n = docs.count()
+    assert(got.agg(min($"pos"), max($"pos"), countDistinct($"pos")).as[(Long, Long, Long)].head()
+      == ((0L, n - 1, n)))
+    val regress = got.withColumn("prev",
+        lag($"stage", 1).over(Window.orderBy($"pos")))
+      .filter($"prev".isNotNull && $"stage" < $"prev")
+    assert(regress.isEmpty, "a later position regressed to an earlier stage")
+  }
+
+  test("packingReport: totals conserved, fill ≤ 1, n_seqs matches packSequences") {
+    val rep = Pipeline.packingReport(docs).cache()
+    assert(rep.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    assert(rep.filter($"fill_frac" > 1.0 || $"fill_frac" <= 0.0).isEmpty)
+    assert(rep.filter($"n_split_docs" > $"n_docs").isEmpty)
+    // n_seqs agrees with the actual packed layout: the last doc of each
+    // bucket ends at cum tokens = total, so max seq touched = ceil-1 when
+    // the final sequence is partial
+    val packed = Pipeline.packSequences(docs)
+      .join(docs.select($"doc_id",
+        size(split($"text", " ")).cast("bigint").as("n_toks")), "doc_id")
+      .withColumn("end_seq",
+        floor(($"seq_id" * 512 + $"tok_offset" + $"n_toks" - 1) / 512.0).cast("bigint"))
+      .groupBy($"bucket").agg((max($"end_seq") + 1L).as("n_seqs_packed"))
+    val mism = rep.join(packed, "bucket").filter($"n_seqs" =!= $"n_seqs_packed")
+    assert(mism.isEmpty, mism.collect().mkString(","))
+    rep.unpersist()
+  }
+
   test("CorpusPrep end-to-end: stage counts monotone, shards complete and loadable") {
     val out = java.nio.file.Files.createTempDirectory("graft-prep").toString
     val r = graft.apps.CorpusPrep.run(spark, docs, out)

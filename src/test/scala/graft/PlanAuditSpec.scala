@@ -212,6 +212,25 @@ class PlanAuditSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("curriculumOrder: the only unpartitioned window runs over the (stage, bucket) offsets") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val sp = Pipeline.curriculumOrder(Tables.documents(spark, dir),
+        when(col("n_chars") < 225, 0).when(col("n_chars") < 390, 1).otherwise(2))
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w }
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "expected the (stage, bucket)-partitioned rank window")
+    assert(unpart.size == 1, s"expected exactly one unpartitioned window, got ${unpart.size}")
+    val grouped = unpart.head.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.nonEmpty       => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.nonEmpty => a
+      case a: SortAggregateExec if a.groupingExpressions.nonEmpty       => a
+    }
+    assert(grouped.isDefined,
+      s"unpartitioned window runs over an unaggregated input:\n${unpart.head}")
+  }
+
   test("urlDedup: ONE fp-keyed exchange — keeper and group size share the partitioning") {
     import spark.implicits._
     val docs = Seq((1L, "https://a.com/x", 10L)).toDF("doc_id", "url", "n_chars")
