@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   *     emitted per-query in the JSON, so a reader can tell regression
   *     from noise without re-running anything;
   *   - after the pass, any query whose median exceeded `spreadCap` (3×)
-  *     its own fastest rep, or whose recorded loadavg exceeded `loadCap`
-  *     (4.0), is automatically re-measured once and the cleaner (lower-
-  *     median) result kept, flagged in the `rerun` list.
+  *     its own fastest rep is automatically re-measured once and the
+  *     cleaner (lower-median) result kept, flagged in the `rerun` list;
+  *   - the external-load gate keys on the AMBIENT loadavg sampled before
+  *     Spark starts (`ambient_load` in the JSON): if the machine was
+  *     already busy past `loadCap` (4.0), every query re-measures. Mid-run
+  *     samples are deliberately NOT gated on — a 32-thread bench drives
+  *     the 1-min loadavg past any fixed cap by itself, and gating on its
+  *     own work flagged 83/91 queries on an idle box.
   */
 object Bench {
 
@@ -33,6 +38,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // AMBIENT load, sampled before Spark exists: the external-load gate
+    // keys on this, not on mid-run samples — a 32-thread bench drives the
+    // 1-min loadavg well past any fixed cap all by itself, so a mid-run
+    // sample cannot distinguish "machine was busy" from "bench was
+    // working" and would flag nearly every query (observed: 83/91 flagged
+    // on an idle box). Per-query samples stay in the JSON for post-hoc
+    // reads; the per-query contamination signal is the rep SPREAD, which
+    // is internal evidence and immune to self-load.
+    val ambient = loadavg1()
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     // warm-up: one untimed pass of EVERY query so the timed pass measures
@@ -88,7 +102,7 @@ object Bench {
     // not a plan property. Re-measure once; keep whichever run has the
     // lower median, and flag the query so the report is honest about it.
     val results = firstPass.map { case (name, fn, s0) =>
-      val suspicious = (s0.min > 0 && s0.median > spreadCap * s0.min) || s0.load > loadCap
+      val suspicious = (s0.min > 0 && s0.median > spreadCap * s0.min) || ambient > loadCap
       if (!suspicious) (name, s0, false)
       else {
         System.err.println(
@@ -108,7 +122,7 @@ object Bench {
     val reruns = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2.median).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")
