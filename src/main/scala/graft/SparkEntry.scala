@@ -127,6 +127,16 @@ object SparkEntry {
         .otherwise(lit("dddd" + " dddd" * 2)).as("text"))
   }
 
+  /** Planted 9×8 grayscale bitmap (72 bytes, row-major): byte i = the
+    * first md5 byte of "<doc_id>-<i>" — uniform iid bytes, so distinct
+    * docs' dHash bits are fair coins (analytic cross-pair safety for
+    * [[queries]]' dedup_image) while any re-key copy is bit-identical.
+    * 9×8 makes the dHash block-average an identity (grid == bitmap), so
+    * the oracle recomputes the hash with pure integer arithmetic. */
+  private def plantedBitmap(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat((0 until 72).map(i =>
+      substring(md5(concat(docId.cast("string"), lit(s"-$i")).cast("binary")), 1, 2)): _*))
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -457,6 +467,28 @@ object SparkEntry {
         Tables.documents(s, d)
           .filter(col("doc_id") % 4 === 2)
           .select(col("source"), wav.as("wav")))
+    }),
+
+    // perceptual image hash over the planted 9×8 bitmaps (identity
+    // resize ⇒ the oracle recomputes the hash analytically; the REAL
+    // block-average path for larger bitmaps is pinned by the
+    // upscale-invariance test in MultimodalSpec). Emitted as the 16-char
+    // two's-complement hex so the sign bit never meets SQL arithmetic.
+    "multimodal_dhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        lpad(hex(Multimodal.dHash(plantedBitmap(col("doc_id")), 9, 8)), 16, "0")
+          .as("dhash_hex"))),
+    // image near-dup: re-keyed copies share bitmaps bit-for-bit (hamming
+    // 0, every band equal ⇒ paired with probability 1); distinct docs'
+    // dhash bits are iid fair coins (md5 bytes), so P[hamming ≤ 2] ≈
+    // 2.1e3/2⁻⁶⁴ per cross pair — zero expected collisions at any tested
+    // sf, making the pair set analytic
+    "dedup_image" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), plantedBitmap(col("doc_id")).as("img"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("img"))
+      Multimodal.imageNearDup(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
     }),
 
     // --- north-star: text analysis ---
@@ -818,6 +850,29 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.sset = b.sset
          WHERE a.split = 'train' AND b.split = 'test'
          GROUP BY 1""",
+    // identity-size planted bitmaps: the oracle recomputes the dHash with
+    // pure integer arithmetic on the same md5 byte formula (px[i] = first
+    // md5 byte of "<doc_id>-<i>"), packs row bytes, and prints the same
+    // 16-char two's-complement hex the engine emits
+    "multimodal_dhash" ->
+      """WITH px AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS p
+           FROM documents),
+           b AS (SELECT doc_id,
+             [CAST(list_sum(list_transform(range(0, 8),
+                c -> CASE WHEN p[r*9+c+1] > p[r*9+c+2] THEN (1<<c) ELSE 0 END)) AS INT)
+              for r in range(0, 8)] AS rws
+           FROM px)
+         SELECT doc_id,
+           upper(array_to_string([lpad(to_hex(rws[8-j]), 2, '0') for j in range(0, 8)], ''))
+             AS dhash_hex
+         FROM b""",
+    // iid-coin dhash bits ⇒ only each image's re-keyed copy is within
+    // hamming 2: exactly one hamming-0 pair per document
+    "dedup_image" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:
     // exactly one hamming-0 pair per document
     "dedup_simhash" ->

@@ -442,6 +442,69 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** dhash64(BINARY, w, h) → LONG: difference hash of a w×h row-major
+    * 8-bit grayscale bitmap — the standard perceptual image fingerprint
+    * (block-average resize to a 9×8 grid of means, then bit r·8+c = 1 iff
+    * mean[r][c] > mean[r][c+1]). Near-identical images (re-encodes,
+    * resizes, slight crops) land within a few bits, so hamming-banded LSH
+    * over this signature is image near-dup at corpus scale. The mean
+    * comparison is exact integer cross-multiplication (sum_a·n_b >
+    * sum_b·n_a) — no float rounding, bit-stable across platforms. A blob
+    * whose length ≠ w·h (truncated/corrupt decode) hashes to NULL rather
+    * than garbage. One interpreted pass per row (CodegenFallback, like
+    * the sketch natives); decode-to-grayscale happens UPSTREAM (the
+    * documented codec plug-in boundary — this expression consumes raw
+    * pixels, the one layout every decoder can emit). */
+  case class DHash64(child: Expression, imgW: Int, imgH: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val GridW = 9
+    private val GridH = 8
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType if imgW >= GridW && imgH >= GridH =>
+        TypeCheckResult.TypeCheckSuccess
+      case BinaryType => TypeCheckResult.TypeCheckFailure(
+        s"graft_dhash needs at least a ${GridW}x$GridH bitmap, got ${imgW}x$imgH")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_dhash expects a BINARY grayscale bitmap, got ${t.catalogString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // corrupt-length blobs hash to NULL
+    override def nullSafeEval(input: Any): Any = {
+      val px = input.asInstanceOf[Array[Byte]]
+      if (px.length != imgW * imgH) return null
+      // block sums over the 9×8 grid; cell (r,c) covers rows
+      // [r·h/GH, (r+1)·h/GH) × cols [c·w/GW, (c+1)·w/GW)
+      val sums = Array.ofDim[Long](GridH, GridW)
+      val counts = Array.ofDim[Long](GridH, GridW)
+      var y = 0
+      while (y < imgH) {
+        val r = y * GridH / imgH
+        var x = 0
+        while (x < imgW) {
+          val c = x * GridW / imgW
+          sums(r)(c) += px(y * imgW + x) & 0xff
+          counts(r)(c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var sig = 0L
+      var r = 0
+      while (r < GridH) {
+        var c = 0
+        while (c < GridW - 1) {
+          // mean[r][c] > mean[r][c+1] via exact cross-multiplication
+          if (sums(r)(c) * counts(r)(c + 1) > sums(r)(c + 1) * counts(r)(c))
+            sig |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** bpe_encode(ARRAY<STRING>) → ARRAY<STRING>: greedy byte-pair
     * encoding of each pre-token against a LITERAL merge table (rank =
     * list position; the lowest-ranked adjacent pair merges first until
@@ -597,7 +660,9 @@ object Native {
     "graft_span_corrupt" -> (exprs =>
       SpanCorrupt(exprs(0), exprs(1), intLit(exprs(2), "ratePercent"))),
     "graft_bloom_contains" -> (exprs => BloomContainsLong(exprs(0), exprs(1))),
-    "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))))
+    "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))),
+    "graft_dhash" -> (exprs =>
+      DHash64(exprs(0), intLit(exprs(1), "width"), intLit(exprs(2), "height"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -651,4 +716,7 @@ object Native {
     call_function("graft_bloom_contains",
       org.apache.spark.sql.functions.lit(filterBytes), hash)
   def charEntropy(text: Column): Column = call_function("graft_char_entropy", text)
+  def dhash(img: Column, width: Int, height: Int): Column =
+    call_function("graft_dhash", img,
+      org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height))
 }

@@ -343,6 +343,26 @@ object Dedup {
     *                   remedy otherwise */
   def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 64,
       sigBits: Int = 64, corpusSize: Long = -1L): DataFrame = {
+    val sigExpr =
+      if (sigBits == 64) Native.simhash(Funcs.tokens(col("text")))
+      else Native.simhashWide(Funcs.tokens(col("text")), sigBits / 64)
+    hammingNearDup(documents.select(col("doc_id").as("id"), sigExpr.as("sig")),
+      maxHamming, maxBucketSize, sigBits, corpusSize)
+  }
+
+  /** Hamming-banded near-dup over a PRECOMPUTED signature relation — the
+    * banding/skew-guard/verify core of [[simhash]], factored out so any
+    * bit-signature modality plugs in: text simhash ([[simhash]]),
+    * perceptual image hashes ([[Multimodal.imageNearDup]] over
+    * [[Native.DHash64]]), audio chromaprints. Same pigeonhole guarantee
+    * (hamming ≤ maxHamming ⇒ some band equal — lossless recall), same
+    * band-key ceiling and `corpusSize` refusal contract documented on
+    * [[simhash]].
+    *
+    * @param sigs (id, sig) — sig LONG when sigBits = 64, ARRAY<LONG>
+    *             (length sigBits/64) otherwise */
+  def hammingNearDup(sigs: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 64,
+      sigBits: Int = 64, corpusSize: Long = -1L): DataFrame = {
     val nBands = maxHamming + 1
     require(sigBits >= 64 && sigBits % 64 == 0,
       s"sigBits must be a positive multiple of 64, got $sigBits")
@@ -383,13 +403,9 @@ object Dedup {
           element_at(col("sig"), w0 + 2).bitwiseAND(lit(mask(widths(i) - fromW0))), fromW0))
       }
     }
-    val sigExpr =
-      if (sigBits == 64) Native.simhash(Funcs.tokens(col("text")))
-      else Native.simhashWide(Funcs.tokens(col("text")), sigBits / 64)
-    val sigs = documents.select(col("doc_id").as("id"), sigExpr.as("sig"))
     // (band, key) per doc; persisted (3 longs/doc/band) so the
-    // tokenize+simhash scan runs once, not once per self-join side; the
-    // sig rides along as payload so Hamming verification needs no join-back
+    // signature scan runs once, not once per self-join side; the sig
+    // rides along as payload so Hamming verification needs no join-back
     val quads = sigs.select(
       col("id"), col("sig"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))

@@ -290,6 +290,32 @@ object Multimodal {
       least(ceil(height * scale), lit(maxDim)).cast("int").as("target_height"))
   }
 
+  /** Perceptual image fingerprint — [[graft.functions.Native.DHash64]]
+    * over a `width`×`height` row-major 8-bit grayscale bitmap (the
+    * post-decode layout every codec can emit; decode itself is the
+    * [[decodeImageStub]] plug-in boundary): block-average to a 9×8 mean
+    * grid, bit r·8+c = mean[r][c] > mean[r][c+1]. Near-identical images
+    * (re-encodes, resizes, slight crops) land within a few bits. Map-side
+    * expression — fuses into the scan at any scale. */
+  def dHash(grayscale: Column, width: Int, height: Int): Column =
+    graft.functions.Native.dhash(grayscale, width, height)
+
+  /** Image near-dup at corpus scale: [[dHash]] per image, then the shared
+    * Hamming-banded LSH core ([[Dedup.hammingNearDup]] — pigeonhole
+    * banding, hot-bucket skew guard, exact Hamming verify). Emits
+    * (id_a, id_b, hamming) pairs with hamming ≤ `maxHamming`; corrupt
+    * bitmaps (NULL dhash) never pair. The signature is 8 bytes/image, so
+    * a billion-image corpus bands over 8 GB of signatures — the pixel
+    * payloads never enter any shuffle.
+    *
+    * @param images (id, img BINARY) — img a width×height grayscale bitmap */
+  def imageNearDup(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"), dHash(col("img"), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
   /** Frame-sample positions for a media payload of `durationMs`, every
     * `everyMs` — the pure-Spark plumbing of a video frame sampler (the
     * per-position pixel grab is codec work, see [[decodeImageStub]]). */

@@ -169,6 +169,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(boxed.forall(identity), "resize target escaped the maxDim box")
   }
 
+  /** Reference dHash (identity 9×8 case) for the fixture bitmaps. */
+  private def refDHash(px: Array[Byte]): Long = {
+    var sig = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if ((px(r * 9 + c) & 0xff) > (px(r * 9 + c + 1) & 0xff))
+        sig |= 1L << (r * 8 + c)
+    sig
+  }
+
+  test("dHash: 9×8 identity case matches the bit-definition reference") {
+    val bitmaps = (0 until 16).map { seed =>
+      seed.toLong -> Array.tabulate(72) { i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed-$i".getBytes("UTF-8"))(0)
+      }
+    }
+    val got = bitmaps.toDF("id", "img")
+      .select($"id", Multimodal.dHash($"img", 9, 8).as("h"))
+      .as[(Long, Long)].collect().toMap
+    bitmaps.foreach { case (id, px) =>
+      assert(got(id) == refDHash(px), s"id=$id")
+    }
+  }
+
+  test("dHash: block-average resize — an integer-upscaled bitmap hashes identically") {
+    // 2× upscale in both axes: every 2×2 block of the 18×16 bitmap is one
+    // original pixel, so the block means ARE the original pixels and the
+    // hash must be invariant (the real-resize correctness of the
+    // averaging path, without needing a codec)
+    val px = Array.tabulate(72) { i =>
+      java.security.MessageDigest.getInstance("MD5").digest(s"up-$i".getBytes("UTF-8"))(0)
+    }
+    val up = Array.tabulate(16 * 18) { j =>
+      val (y, x) = (j / 18, j % 18)
+      px((y / 2) * 9 + (x / 2))
+    }
+    val got = Seq((1L, px, up)).toDF("id", "small", "big")
+      .select(
+        Multimodal.dHash($"small", 9, 8).as("hs"),
+        Multimodal.dHash($"big", 18, 16).as("hb"))
+      .as[(Long, Long)].head()
+    assert(got._1 == got._2, f"small=${got._1}%016X big=${got._2}%016X")
+  }
+
+  test("dHash: a corrupt-length blob hashes to NULL, and imageNearDup drops it") {
+    val rows = Seq(
+      (1L, Array.fill[Byte](72)(7)),
+      (2L, Array.fill[Byte](71)(7))). // truncated
+      toDF("id", "img")
+    val hashed = rows.select(Multimodal.dHash($"img", 9, 8).as("h"))
+      .as[Option[Long]].collect()
+    assert(hashed.count(_.isEmpty) == 1)
+    assert(Multimodal.imageNearDup(rows, 9, 8).isEmpty) // nothing pairs
+  }
+
+  test("imageNearDup pairs bit-identical planted copies at hamming 0, nothing else") {
+    val base = (0L until 40L).map { id =>
+      id -> Array.tabulate(72) { i =>
+        java.security.MessageDigest.getInstance("MD5").digest(s"$id-$i".getBytes("UTF-8"))(0)
+      }
+    }
+    val all = (base ++ base.map { case (id, px) => (id + 1000L) -> px }).toDF("id", "img")
+    val got = Multimodal.imageNearDup(all, 9, 8, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == (0L until 40L).map(id => (id, id + 1000L, 0)).toSet, got.toString)
+  }
+
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {
     val dir = TestSpark.Sf0001
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
