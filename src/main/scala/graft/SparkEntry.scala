@@ -76,6 +76,31 @@ object SparkEntry {
         when((docId + i) % 3 =!= 0, lit(".")).otherwise(lit("")))))
   }
 
+  /** Derived crawl-URL fixture shared by `dedup_url` and `domain_quality`:
+    * the same page crawled under many spellings — mixed-case scheme (%2),
+    * userinfo (%11), www (%3), default port (%4), trailing slash (%7),
+    * tracking params + param ORDER (%5 ∈ {0,1} spell the surviving
+    * 'a=1&b=2' two ways), fragment (%6). Mirrored verbatim in both
+    * oracles' `u` CTE. */
+  private def derivedUrl(docId: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(docId % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(docId % 11 === 0, lit("crawler:secret@")).otherwise(lit("")),
+      when(docId % 3 === 0, lit("www.")).otherwise(lit("")),
+      source, lit(".example.com"),
+      when(docId % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/item/"), (docId % 25).cast("string"),
+      when(docId % 7 === 0, lit("/")).otherwise(lit("")),
+      when(docId % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(docId % 5 === 1, lit("?a=1&b=2&fbclid=xyz"))
+        .otherwise(lit("")),
+      when(docId % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** Fixed bag-of-words query for the `text_bm25` entry — terms from the
+    * synthetic corpus vocabulary, so tf/df vary across documents. */
+  private val Bm25Query = Seq("spark", "join", "window", "stream")
+
   /** PQ demo codebooks: 8 subspaces × 16 centroids × 8 dims, every
     * component the small integer ((s·3 + c·5 + j·7) mod 17) − 8. Within
     * a subspace all 16 centroids are pairwise distinct in EVERY
@@ -337,19 +362,15 @@ object SparkEntry {
     // URL and canonicalizes with the same anchored regexes.
     "dedup_url" -> ((s, d) => Dedup.urlDedup(
       Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
-        concat(
-          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
-          when(col("doc_id") % 11 === 0, lit("crawler:secret@")).otherwise(lit("")),
-          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
-          col("source"), lit(".example.com"),
-          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
-          lit("/item/"), (col("doc_id") % 25).cast("string"),
-          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
-            .when(col("doc_id") % 5 === 1, lit("?a=1&b=2&fbclid=xyz"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
-          .as("url")))),
+        derivedUrl(col("doc_id"), col("source")).as("url")))),
+    // per-domain quality rollup over the same derived-URL fixture: the
+    // canonical domain is '<source>.example.com' (scheme/userinfo/www/port
+    // variants all collapse), so there are exactly #sources domains; the
+    // keep-rate aggregates the Gopher gate text_gopher_filter pins, and
+    // the oracle recomputes every signal from scratch
+    "domain_quality" -> ((s, d) => TextAnalysis.domainQuality(
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+        derivedUrl(col("doc_id"), col("source")).as("url")))),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
@@ -357,6 +378,16 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), k = 10)
+    }),
+    // cluster-capped diversity sampling with the first 8 vectors as
+    // medoids (a bounded 8-row collect, the trainCentroids contract;
+    // cluster index = medoid vec_id, so the oracle reproduces the
+    // assignment as an exact-cosine argmax join)
+    "sample_cluster_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      Pipeline.clusterCapSample(emb, medoids, perCluster = 40)
     }),
     // hard-negative mining over the planted-copy corpus: each query's own
     // re-encode (vec_id+100000, cosine exactly 1) sits in the positive
@@ -547,6 +578,12 @@ object SparkEntry {
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
+    // BM25 retrieval against a fixed bag-of-words query (targeted
+    // selection / decontamination triage); scores rounded to 6dp on both
+    // engines and ties broken by doc_id, so the top-50 cutoff is
+    // deterministic
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), Bm25Query, k = 50)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
@@ -1060,6 +1097,44 @@ object SparkEntry {
            CAST(doc_id = first_value(doc_id) OVER (PARTITION BY canon_url
              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS is_keeper
          FROM c""",
+    // per-domain rollup over the same derived-URL fixture. The canonical
+    // domain of every spelling variant is analytically
+    // '<source>.example.com' (dedup_url's oracle pins the regex chain
+    // that collapses them); the quality/gate arithmetic mirrors
+    // text_quality / text_gopher_filter verbatim, and the flag compares
+    // the ROUNDED keep_rate exactly as the Spark side does
+    "domain_quality" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                    FROM documents),
+           s AS (SELECT source || '.example.com' AS domain,
+                   CAST(length(text) AS DOUBLE) AS n_chars_d,
+                   CAST(len(list_filter(toks,
+                     x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                   CAST((CAST(len(toks) AS BIGINT) >= 30
+                     AND CAST(len(toks) AS BIGINT) <= 90
+                     AND (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                       / CAST(len(toks) AS DOUBLE) >= 3.0
+                     AND (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                       / CAST(len(toks) AS DOUBLE) <= 4.6
+                     AND CAST(list_max(list_transform(list_distinct(toks),
+                       u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) <= 0.12
+                     AND CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) <= 0.5
+                     AND len(list_filter(toks,
+                       x -> x IN ('the','a','of','and','to','in','is','on'))) >= 2)
+                     AS DOUBLE) AS keep_d
+                 FROM t),
+           g AS (SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars_d), 6) AS mean_chars,
+                   round(avg(stop_ratio), 6) AS mean_stopword_ratio,
+                   round(avg(keep_d), 6) AS keep_rate
+                 FROM s GROUP BY domain)
+         SELECT domain, n_docs, mean_chars, mean_stopword_ratio, keep_rate,
+           CAST(keep_rate < 0.5 AND n_docs >= 3 AS BIGINT) AS flagged
+         FROM g""",
     // C4 line/doc rules over the same lined CTE: ≥3 words, terminal
     // punctuation, no "slow" (the blocklist stand-in); doc keeps iff ≥3
     // surviving lines and no '{' / 'lorem ipsum' anywhere in the text
@@ -1155,6 +1230,31 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 8)
          WHERE rank <= 10""",
+    // cluster-capped diversity sampling: medoids = vec_id < 8, cluster
+    // index = medoid vec_id (the Spark side collects medoids in vec_id
+    // order). Assignment = exact-cosine argmax, ties to the lowest
+    // medoid id — the Spark side ranks dot/‖m‖ (the row norm is constant
+    // per vec, so the argmax is identical); the cap is the same
+    // md5-then-id order capPerSource pins
+    "sample_cluster_balance" ->
+      """WITH m AS (SELECT vec_id AS cluster, embedding AS m_emb
+                    FROM embeddings WHERE vec_id < 8),
+           a AS (SELECT e.vec_id, m.cluster,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(m.m_emb AS DOUBLE[])) AS sim
+                 FROM embeddings e CROSS JOIN m),
+           asg AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cluster) AS rn
+                     FROM a)
+                   WHERE rn = 1)
+         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rk FROM (
+           SELECT vec_id, cluster,
+             CAST(row_number() OVER (PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+           FROM asg)
+         WHERE rk <= 40""",
     // hard negatives over the planted-copy corpus: the positive band
     // (sim ≥ 0.95) contains EXACTLY the query's own re-encode — no cross
     // pair reaches 0.95 — so the engine's cosine-band filter reduces to
@@ -1451,6 +1551,32 @@ object SparkEntry {
                 AND top_uni <= 0.12 AND dup_frac <= 0.5
                 AND n_stop >= 2 AS BIGINT) AS keep
          FROM s""",
+    // BM25 (Okapi k1=1.2, b=0.75, non-negative ln(1+…) idf): operand
+    // order mirrors the Spark expression exactly — (k1·(…)) association,
+    // (b·dl)/avgdl grouping — so the 6dp round lands identically
+    "text_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                     FROM documents),
+           stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+           matched AS (SELECT doc_id, word FROM
+                         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                          FROM documents)
+                       WHERE word IN ('spark', 'join', 'window', 'stream')),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                  FROM matched GROUP BY 1, 2),
+           df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                  FROM matched GROUP BY 1)
+         SELECT doc_id, bm25 FROM (
+           SELECT tf.doc_id,
+             round(sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))), 6) AS bm25
+           FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)
+         ORDER BY bm25 DESC, doc_id
+         LIMIT 50""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            df AS (SELECT word, CAST(count(*) AS BIGINT) AS df

@@ -4,7 +4,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query subset (builder-side fast
+    // iteration; the driver always passes exactly two)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     // Fail loudly: collect failures and exit non-zero after the dump — a
@@ -13,7 +17,7 @@ object Verify {
     // the correctness JSON can carry an explicit err row for the key
     // instead of omitting it (an absent key reads as progress in a diff).
     var failures = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -73,6 +73,37 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Cluster-capped diversity sampling — [[capPerSource]]'s embedding-space
+    * sibling (the DiverseEvol/DataComp curation move): assign every vector
+    * to its nearest centroid and keep at most `perCluster` per cluster in
+    * deterministic md5(vec_id) order, so over-represented semantic regions
+    * (boilerplate clusters, template farms) are capped while the long tail
+    * survives intact — a diversity guarantee doc-count sampling cannot
+    * give.
+    *
+    * Scale shape: assignment is [[Similarity.nearestBucket]] — centroids
+    * ride as broadcast LITERALS (driver-trained via
+    * [[Similarity.trainCentroids]] on a bounded sample, or caller-supplied
+    * medoids), so the assignment is pure map-side codegen'd arithmetic,
+    * join-free at any corpus size. The cap is one row_number window
+    * partitioned by cluster — the same single-shuffle shape as
+    * [[capPerSource]]; a cluster is at most corpus-sized only in the
+    * degenerate one-cluster case, and `perCluster` bounds what survives. */
+  def clusterCapSample(
+      embeddings: DataFrame,
+      cents: Array[Array[Float]],
+      perCluster: Int): DataFrame = {
+    require(cents.nonEmpty, "clusterCapSample: no centroids")
+    val assigned = embeddings.select(
+      col("vec_id"),
+      Similarity.nearestBucket(col("embedding"), cents).cast("bigint").as("cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= perCluster)
+  }
+
   /** Token-budget sampling: per source, keep documents in deterministic
     * md5(doc_id) order until the source's token budget fills — "take until
     * full", so a doc is kept iff the tokens BEFORE it are under budget.

@@ -107,6 +107,25 @@ object TextAnalysis {
       maxTopUnigramFrac: Double = 0.12,
       maxDupTokenFrac: Double = 0.5,
       minStopwords: Long = 2L): DataFrame = {
+    val (flagLen, flagWordLen, flagRep, flagStop) = gopherFlags(minTokens, maxTokens,
+      minMeanTokLen, maxMeanTokLen, maxTopUnigramFrac, maxDupTokenFrac, minStopwords)
+    documents.select(
+      col("doc_id"),
+      flagLen.cast("bigint").as("flag_len"),
+      flagWordLen.cast("bigint").as("flag_word_len"),
+      flagRep.cast("bigint").as("flag_rep"),
+      flagStop.cast("bigint").as("flag_stop"),
+      (flagLen && flagWordLen && flagRep && flagStop).cast("bigint").as("keep"))
+  }
+
+  /** The four Gopher gate flags as expressions over `text` — shared by
+    * [[gopherFilter]] (per-document verdict) and [[domainQuality]] (inline
+    * map-side signal, no self-join back to the verdicts). */
+  private def gopherFlags(
+      minTokens: Long, maxTokens: Long,
+      minMeanTokLen: Double, maxMeanTokLen: Double,
+      maxTopUnigramFrac: Double, maxDupTokenFrac: Double,
+      minStopwords: Long): (Column, Column, Column, Column) = {
     val toks = Funcs.tokens(col("text"))
     val nToks = size(toks).cast("bigint")
     // mean WORD length, the Rae et al. definition: separator spaces
@@ -120,17 +139,10 @@ object TextAnalysis {
       .cast("double") / size(toks).cast("double")
     val dupFrac = (size(toks) - size(array_distinct(toks))).cast("double") /
       size(toks).cast("double")
-    val flagLen = (nToks >= minTokens && nToks <= maxTokens)
-    val flagWordLen = (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen)
-    val flagRep = (topUni <= maxTopUnigramFrac && dupFrac <= maxDupTokenFrac)
-    val flagStop = Funcs.tokenCountIn(toks, Funcs.StopwordsEn) >= minStopwords
-    documents.select(
-      col("doc_id"),
-      flagLen.cast("bigint").as("flag_len"),
-      flagWordLen.cast("bigint").as("flag_word_len"),
-      flagRep.cast("bigint").as("flag_rep"),
-      flagStop.cast("bigint").as("flag_stop"),
-      (flagLen && flagWordLen && flagRep && flagStop).cast("bigint").as("keep"))
+    (nToks >= minTokens && nToks <= maxTokens,
+      meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen,
+      topUni <= maxTopUnigramFrac && dupFrac <= maxDupTokenFrac,
+      Funcs.tokenCountIn(toks, Funcs.StopwordsEn) >= minStopwords)
   }
 
   /** Hashed linear quality-classifier scoring — the fastText/CCNet/DCLM
@@ -737,6 +749,97 @@ object TextAnalysis {
         count_distinct(col("doc_id")).cast("bigint").as("df"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+  }
+
+  /** BM25 retrieval scoring (Robertson & Spärck Jones; the Lucene/Okapi
+    * `k1`/`b` form with the non-negative `ln(1 + …)` idf): rank the corpus
+    * against a fixed bag-of-words query — the retrieval tier a data
+    * pipeline uses for targeted selection ("find docs about X to
+    * upsample") and for decontamination triage against benchmark prompts.
+    *
+    *   score(D) = Σ_{q∈Q} ln(1 + (N − df(q) + 0.5)/(df(q) + 0.5))
+    *              · tf(q,D)·(k1+1) / (tf(q,D) + k1·(1 − b + b·|D|/avgdl))
+    *
+    * Scale shape: tokens are FILTERED to the query terms before anything
+    * moves, so the only data-sized shuffle carries the query-term postings
+    * (∝ matches, not corpus); `df` is a ≤|Q|-row relation and `N`/`avgdl`
+    * single-row aggregates, all broadcast back; the final top-k compiles
+    * to TakeOrderedAndProject — no global sort, only `k` rows reach the
+    * driver. Scores are rounded to 6 decimals on both engines and ties
+    * break on doc_id, so the cutoff is deterministic. */
+  def bm25TopK(
+      documents: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 50,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = Funcs.tokens(col("text"))
+    val docs = documents.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("dl"),
+      toks.as("toks"))
+    // global stats ride as one broadcast row (N, avgdl)
+    val stats = docs.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    // postings restricted to the query vocabulary BEFORE the shuffle
+    val matched = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+      .where(col("word").isin(queryTerms: _*))
+    val tf = matched.groupBy("doc_id", "word")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val df = matched.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * norm), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-domain quality rollup — the aggregation that PRODUCES the domain
+    * blocklists/allowlists [[urlFilter]] consumes (the RefinedWeb/CCNet
+    * curation loop: score documents, roll up by registered domain, gate
+    * whole domains whose corpus-wide signal is bad). Per canonical domain:
+    * page count, mean [[qualityScore]] stopword ratio, mean char length,
+    * [[gopherFilter]] keep-rate, and a `flagged` verdict (keep-rate below
+    * `minKeepRate` over at least `minDocs` pages — small domains carry too
+    * little evidence to condemn).
+    *
+    * Scale shape: the quality/gate signals are map-side projections
+    * (one codegen span over the scan); the rollup is ONE partial-agg'd
+    * shuffle on the domain whose final relation is domain-count-sized —
+    * at 100 TB that is millions of rows, not corpus-sized. Domain =
+    * hostname of [[canonicalUrl]] (scheme/userinfo/www/port already
+    * stripped there), so crawl spelling variants roll up together. */
+  def domainQuality(
+      urlDocuments: DataFrame,
+      minKeepRate: Double = 0.5,
+      minDocs: Long = 3L): DataFrame = {
+    val domain = regexp_replace(canonicalUrl(col("url")), "[/?].*$", "")
+    val (fLen, fWordLen, fRep, fStop) =
+      gopherFlags(30L, 90L, 3.0, 4.6, 0.12, 0.5, 2L)
+    urlDocuments
+      .select(
+        domain.as("domain"),
+        length(col("text")).cast("double").as("n_chars_d"),
+        (Funcs.tokenCountIn(Funcs.tokens(col("text")), Funcs.StopwordsEn).cast("double") /
+          size(Funcs.tokens(col("text"))).cast("double")).as("stop_ratio"),
+        (fLen && fWordLen && fRep && fStop).cast("double").as("keep_d"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        round(avg(col("n_chars_d")), 6).as("mean_chars"),
+        round(avg(col("stop_ratio")), 6).as("mean_stopword_ratio"),
+        round(avg(col("keep_d")), 6).as("keep_rate"))
+      .withColumn("flagged",
+        (col("keep_rate") < minKeepRate && col("n_docs") >= minDocs).cast("bigint"))
   }
 
   /** Character-level Shannon entropy per document (bits/char) — the

@@ -1319,4 +1319,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(
       "low" -> ((4L, 2L)), " " -> ((2L, 1L)), "e" -> ((1L, 1L)), "r" -> ((1L, 1L))))
   }
+
+  test("bm25TopK matches the Okapi formula by hand and respects the k cutoff") {
+    val docs = Seq((1L, "x x y"), (2L, "y y y"), (3L, "z z z z")).toDF("doc_id", "text")
+    // query 'x': only doc 1 matches. N=3, df=1, avgdl=10/3, dl=3, tf=2
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    val norm = 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / (10.0 / 3.0)))
+    val expected = BigDecimal(idf * norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bm25TopK(docs, Seq("x"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, expected)))
+    // query 'y': doc 2 (tf=3) outranks doc 1 (tf=1); k=1 keeps only doc 2
+    val top1 = TextAnalysis.bm25TopK(docs, Seq("y"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(2L))
+  }
+
+  test("domainQuality: spelling variants roll up; flag needs BOTH low keep-rate and enough docs") {
+    // a Gopher-passing text: 32 distinct words (30×4 chars + 'the' + 'of'),
+    // mean word length 125/32 ≈ 3.9, top-unigram 1/32, two stopwords
+    val goodText = ((1 to 30).map(i => f"wd$i%02d") ++ Seq("the", "of")).mkString(" ")
+    val docs = Seq(
+      (1L, "https://www.aaa.example.com/x", "a b"),
+      (2L, "HTTP://aaa.example.com:443/y", "a b"),
+      (3L, "https://aaa.example.com/z", "a b"),
+      (4L, "https://bbb.example.com/x", "a b"),
+      (5L, "https://bbb.example.com/y", "a b"),
+      (6L, "https://ccc.example.com/x", goodText)
+    ).toDF("doc_id", "url", "text")
+    val got = TextAnalysis.domainQuality(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4), r.getLong(5)))).toMap
+    // aaa: 3 docs, all fail the gate, flagged; bbb: same rate but only 2
+    // docs — too little evidence; ccc: passes, keep_rate 1
+    assert(got("aaa.example.com") == ((3L, 0.0, 1L)))
+    assert(got("bbb.example.com") == ((2L, 0.0, 0L)))
+    assert(got("ccc.example.com") == ((1L, 1.0, 0L)))
+  }
 }

@@ -823,4 +823,26 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"doc_id" === 3L).select($"text").as[String].head()
       == "six seven eight")
   }
+
+  test("clusterCapSample: nearest-centroid assignment, ties to the lowest id, cap per cluster") {
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val emb = Seq(
+      0L -> Array(1f, 0f),   // cluster 0 (exact medoid)
+      1L -> Array(0f, 1f),   // cluster 1
+      2L -> Array(2f, 0.1f), // cluster 0
+      3L -> Array(0.1f, 3f), // cluster 1
+      4L -> Array(1f, 1f),   // exact tie — first max wins: cluster 0
+      5L -> Array(0.9f, 0.1f) // cluster 0
+    ).toDF("vec_id", "embedding")
+    val all = Pipeline.clusterCapSample(emb, cents, perCluster = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 5L -> 0L, 1L -> 1L, 3L -> 1L))
+    // cap = 2: cluster 0 keeps its two lowest-md5 members, cluster 1 intact
+    val capped = Pipeline.clusterCapSample(emb, cents, perCluster = 2)
+    val byCluster = capped.groupBy($"cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster == Map(0L -> 2L, 1L -> 2L))
+    // the kept rows are a PREFIX of the md5 order (rk dense from 1)
+    assert(capped.filter($"rk" > 2).isEmpty)
+  }
 }

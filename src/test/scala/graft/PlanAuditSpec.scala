@@ -280,4 +280,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan(cleaned).contains("CartesianProduct"))
     Dedup.releaseCaches(spark)
   }
+
+  test("bm25TopK: tiny df/stats relations broadcast; global top-k is TakeOrderedAndProject") {
+    val p = plan(TextAnalysis.bm25TopK(Tables.documents(spark, dir), Seq("spark", "join"), 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+    // df joins as a broadcast hash join, the single-row stats as a
+    // broadcast nested-loop — the corpus-sized tf side never re-shuffles
+    // for either
+    assert(p.contains("BroadcastHashJoin"), s"df relation not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats row not broadcast:\n$p")
+  }
+
+  test("clusterCapSample: literal-centroid assignment is join-free — the only exchange is the cap window") {
+    import spark.implicits._
+    val emb = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("vec_id", "embedding")
+    val df = Pipeline.clusterCapSample(emb, Array(Array(1f, 0f), Array(0f, 1f)), 5)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"assignment joins instead of literal arithmetic:\n$p")
+    assert(exchanges(df) == 1, s"expected exactly the window exchange:\n$p")
+  }
+
+  test("domainQuality: map-side signals, one partial-aggregated rollup exchange, no self-join") {
+    val urlDocs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+      concat(lit("https://"), col("source"), lit(".example.com/p")).as("url"))
+    val df = TextAnalysis.domainQuality(urlDocs)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"gate verdicts joined back instead of inlined:\n$p")
+    assert(exchanges(df) == 1, s"expected one rollup exchange:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
 }
