@@ -101,6 +101,15 @@ object SparkEntry {
     * synthetic corpus vocabulary, so tf/df vary across documents. */
   private val Bm25Query = Seq("spark", "join", "window", "stream")
 
+  /** Benchmark-prompt stand-ins for the multi-query retrieval entries:
+    * three queries over the corpus vocabulary, overlapping tf/df so the
+    * per-query rankings genuinely differ. Mirrored as a VALUES clause in
+    * both oracles. */
+  private val BenchmarkQueries = Seq(
+    (0L, Seq("spark", "join")),
+    (1L, Seq("window", "stream")),
+    (2L, Seq("hash", "scan", "merge")))
+
   /** PQ demo codebooks: 8 subspaces × 16 centroids × 8 dims, every
     * component the small integer ((s·3 + c·5 + j·7) mod 17) − 8. Within
     * a subspace all 16 centroids are pairwise distinct in EVERY
@@ -584,6 +593,20 @@ object SparkEntry {
     // deterministic
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), Bm25Query, k = 50)),
+    // whole-benchmark retrieval triage: top-10 per prompt stand-in
+    "text_bm25_multi" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bm25PerQuery(Tables.documents(s, d),
+        BenchmarkQueries.toDF("query_id", "terms"), k = 10)
+    }),
+    // lexical decontamination: drop every doc in ANY prompt's top-20
+    // retrieval neighborhood (the paraphrase-adjacent complement to the
+    // exact n-gram decontaminate)
+    "decontaminate_bm25" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.decontaminateByRetrieval(Tables.documents(s, d),
+        BenchmarkQueries.toDF("query_id", "terms"), k = 20)
+    }),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
@@ -1577,6 +1600,76 @@ object SparkEntry {
            GROUP BY tf.doc_id)
          ORDER BY bm25 DESC, doc_id
          LIMIT 50""",
+    // multi-query BM25: same arithmetic, tf/df computed once over the
+    // union vocabulary, fanned out by the query-term list, top-10 per
+    // query with the deterministic (bm25 DESC, doc_id) cutoff
+    "text_bm25_multi" ->
+      """WITH q AS (SELECT * FROM (VALUES
+             (0, ['spark', 'join']),
+             (1, ['window', 'stream']),
+             (2, ['hash', 'scan', 'merge'])) AS t(query_id, terms)),
+           qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+           dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+           stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+           matched AS (SELECT doc_id, word FROM
+                         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                          FROM documents)
+                       WHERE word IN (SELECT DISTINCT word FROM qt)),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                  FROM matched GROUP BY 1, 2),
+           df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                  FROM matched GROUP BY 1),
+           sc AS (SELECT qt.query_id, tf.doc_id,
+                    round(sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                      * tf * 2.2
+                      / (tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))), 6) AS bm25
+                  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN qt ON qt.word = tf.word
+                  CROSS JOIN stats
+                  GROUP BY 1, 2)
+         SELECT query_id, doc_id, bm25, rank FROM (
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+           FROM sc)
+         WHERE rank <= 10""",
+    // retrieval decontamination: survivors = docs outside every query's
+    // top-20 neighborhood (same sc CTE as text_bm25_multi)
+    "decontaminate_bm25" ->
+      """WITH q AS (SELECT * FROM (VALUES
+             (0, ['spark', 'join']),
+             (1, ['window', 'stream']),
+             (2, ['hash', 'scan', 'merge'])) AS t(query_id, terms)),
+           qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+           dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+           stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+           matched AS (SELECT doc_id, word FROM
+                         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                          FROM documents)
+                       WHERE word IN (SELECT DISTINCT word FROM qt)),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                  FROM matched GROUP BY 1, 2),
+           df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                  FROM matched GROUP BY 1),
+           sc AS (SELECT qt.query_id, tf.doc_id,
+                    round(sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                      * tf * 2.2
+                      / (tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))), 6) AS bm25
+                  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN qt ON qt.word = tf.word
+                  CROSS JOIN stats
+                  GROUP BY 1, 2)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rank
+             FROM sc)
+           WHERE rank <= 20)""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            df AS (SELECT word, CAST(count(*) AS BIGINT) AS df

@@ -803,6 +803,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Multi-query BM25 — [[bm25TopK]] generalized to a QUERY TABLE
+    * `(query_id, terms ARRAY<STRING>)`: the retrieval-triage shape a
+    * pipeline runs against a whole benchmark suite at once (per-prompt
+    * nearest documents for decontamination review, or per-topic targeted
+    * selection). Emits `(query_id, doc_id, bm25, rank)`, the `k` best
+    * documents per query, rank 1-based, ties to the lower doc_id.
+    *
+    * Scale shape: the query table is tiny and broadcasts everywhere it
+    * appears — the corpus-sized flows are (1) one postings shuffle
+    * restricted to the UNION of all query vocabularies (a broadcast
+    * semi-join prunes tokens before anything moves) and (2) the per-query
+    * top-k window, partitioned by query_id over only the matching
+    * candidates (bounded by the postings of that query's terms — the
+    * corpus itself is never windowed). tf/df are computed ONCE across
+    * queries and fanned out by the broadcast term list, so adding queries
+    * adds broadcast rows, not corpus passes. */
+  def bm25PerQuery(
+      documents: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("word")).distinct()
+    val vocab = qterms.select("word").distinct()
+    val toks = Funcs.tokens(col("text"))
+    val docs = documents.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("dl"),
+      toks.as("toks"))
+    val stats = docs.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val matched = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_semi")
+    val tf = matched.groupBy("doc_id", "word")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val df = matched.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * norm), 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Retrieval-based decontamination — the composition [[bm25PerQuery]]
+    * exists for: treat each benchmark prompt as a query, drop every
+    * document that lands in ANY prompt's top-`k` retrieval neighborhood
+    * (the review-then-remove loop, automated — a lexical complement to
+    * n-gram `decontaminate`, catching paraphrase-adjacent overlap exact
+    * grams miss). Emits surviving documents `(doc_id)`.
+    *
+    * Scale shape: [[bm25PerQuery]]'s shapes, then one LEFT ANTI join of
+    * the corpus against the ≤ #queries·k hit ids — a relation small
+    * enough to broadcast, so the corpus is never shuffled for the
+    * removal. */
+  def decontaminateByRetrieval(
+      documents: DataFrame,
+      queries: DataFrame,
+      k: Int = 20): DataFrame = {
+    val hits = bm25PerQuery(documents, queries, k)
+      .select("doc_id").distinct()
+    documents.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left_anti")
+  }
+
   /** Per-domain quality rollup — the aggregation that PRODUCES the domain
     * blocklists/allowlists [[urlFilter]] consumes (the RefinedWeb/CCNet
     * curation loop: score documents, roll up by registered domain, gate

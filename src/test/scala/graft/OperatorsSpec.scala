@@ -1335,6 +1335,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1 == Seq(2L))
   }
 
+  test("bm25PerQuery ranks per query independently; decontaminateByRetrieval drops the union of neighborhoods") {
+    val docs = Seq((1L, "x x y"), (2L, "y y y"), (3L, "z z z z")).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("x")), (1L, Seq("y"))).toDF("query_id", "terms")
+    val got = TextAnalysis.bm25PerQuery(docs, queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // q0 'x': only doc 1 matches; q1 'y': doc 2 (tf=3) outranks doc 1 (tf=1)
+    assert(got == Set((0L, 1L, 1L), (1L, 2L, 1L), (1L, 1L, 2L)))
+    // k=1 neighborhoods are {doc1} ∪ {doc2} — doc 3 survives
+    val survivors = TextAnalysis.decontaminateByRetrieval(docs, queries, k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(3L))
+  }
+
   test("domainQuality: spelling variants roll up; flag needs BOTH low keep-rate and enough docs") {
     // a Gopher-passing text: 32 distinct words (30×4 chars + 'the' + 'of'),
     // mean word length 125/32 ≈ 3.9, top-unigram 1/32, two stopwords

@@ -291,6 +291,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"stats row not broadcast:\n$p")
   }
 
+  test("bm25PerQuery: every join against the corpus flow is broadcast — no sort-merge anywhere") {
+    import spark.implicits._
+    val queries = Seq((0L, Seq("spark")), (1L, Seq("join", "scan"))).toDF("query_id", "terms")
+    val p = plan(TextAnalysis.bm25PerQuery(Tables.documents(spark, dir), queries, 5))
+    assert(!p.contains("SortMergeJoin"), s"a tiny relation shuffled the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab/df/qterms not broadcast:\n$p")
+    // the removal variant anti-joins the ≤ queries·k hit ids broadcast
+    val pd = plan(TextAnalysis.decontaminateByRetrieval(Tables.documents(spark, dir), queries, 5))
+    assert(pd.contains("LeftAnti") && !pd.contains("SortMergeJoin"),
+      s"hit-id removal shuffles the corpus:\n$pd")
+  }
+
   test("clusterCapSample: literal-centroid assignment is join-free — the only exchange is the cap window") {
     import spark.implicits._
     val emb = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("vec_id", "embedding")
