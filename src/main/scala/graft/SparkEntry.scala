@@ -419,6 +419,19 @@ object SparkEntry {
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
         k = 10, numCentroids = 16, nprobe = 4)
     }),
+    // the PARTIAL-probe path hash-oracled (the trained variant above is
+    // rows-only because kmeans isn't SQL): plant the first 16 vectors as
+    // medoid centroids, so probe sets (top-4 by cosine), ×3 corpus
+    // multi-assignment, the bucket-join candidate set, pair dedup, and
+    // the final rank are ALL reconstructible in DuckDB
+    "sim_topk_ivf_medoid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopKWith(queries, emb, medoids, k = 10, nprobe = 4)
+    }),
     // full-probe trick: with nprobe = numCentroids every query probes
     // every bucket, so the IVF plumbing (train, assign, probe join,
     // dedup, rank) runs in full but the result is ANALYTICALLY equal to
@@ -605,7 +618,7 @@ object SparkEntry {
     "decontaminate_bm25" -> ((s, d) => {
       import s.implicits._
       TextAnalysis.decontaminateByRetrieval(Tables.documents(s, d),
-        BenchmarkQueries.toDF("query_id", "terms"), k = 20)
+        BenchmarkQueries.toDF("query_id", "terms"), k = 20).select("doc_id")
     }),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -1308,6 +1321,46 @@ object SparkEntry {
                     c.vec_id) AS rank
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 8)
+         WHERE rank <= 10""",
+    // partial-probe IVF with planted medoid centroids (vec_id < 16):
+    // corpus ×3 multi-assignment and query top-4 probes are cosine
+    // row_numbers against the medoids (the engine ranks dot/‖m‖ — the
+    // row norm is constant per vector, so the bucket ORDER is
+    // identical), candidates = shared-bucket pairs dedup'd, final rank
+    // = exact cosine with the bruteforce tie-break
+    "sim_topk_ivf_medoid" ->
+      """WITH m AS (SELECT vec_id AS cid, embedding AS m_emb
+                    FROM embeddings WHERE vec_id < 16),
+           ca AS (SELECT e.vec_id, m.cid,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(m.m_emb AS DOUBLE[])) AS sim
+                  FROM embeddings e CROSS JOIN m),
+           cassign AS (SELECT vec_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca)
+                       WHERE rn <= 3),
+           qassign AS (SELECT vec_id AS query_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id < 8)
+                       WHERE rn <= 4),
+           cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                    FROM qassign q JOIN cassign c USING (bucket)
+                    WHERE c.vec_id != q.query_id),
+           scored AS (SELECT cd.query_id, cd.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS sim
+                      FROM cand cd
+                      JOIN embeddings q ON q.vec_id = cd.query_id
+                      JOIN embeddings e ON e.vec_id = cd.vec_id)
+         SELECT query_id, vec_id, rank FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
          WHERE rank <= 10""",
     // PQ over planted reconstructions: the oracle rebuilds the SAME
     // integer vectors from the code formula (corpus: (id·7+s·3)%16,

@@ -209,8 +209,25 @@ object Similarity {
       numCentroids: Int,
       nprobe: Int,
       kmeansIters: Int = 3,
+      corpusAssign: Int = 3): DataFrame =
+    ivfTopKWith(queries, corpus,
+      trainCentroids(corpus, "vec_id", "embedding", numCentroids, kmeansIters),
+      k, nprobe, corpusAssign)
+
+  /** [[ivfTopK]] with CALLER-SUPPLIED centroids (pre-trained elsewhere, or
+    * planted medoids — the move that makes the partial-probe path
+    * hash-oracle-able: with centroids the oracle can reconstruct, the
+    * probe sets and candidate buckets are pure SQL). Identical plan. */
+  def ivfTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cents: Array[Array[Float]],
+      k: Int,
+      nprobe: Int,
       corpusAssign: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, "vec_id", "embedding", numCentroids, kmeansIters)
+    // zero centroids would plan an empty probe join and return an empty
+    // result that reads as "no neighbors" — refuse instead
+    require(cents.nonEmpty, "ivfTopKWith: no centroids")
     val corpusB = corpus.select(
       col("vec_id"), col("embedding"),
       Native.normF(col("embedding")).as("c_norm"),

@@ -863,7 +863,8 @@ object TextAnalysis {
     * document that lands in ANY prompt's top-`k` retrieval neighborhood
     * (the review-then-remove loop, automated — a lexical complement to
     * n-gram `decontaminate`, catching paraphrase-adjacent overlap exact
-    * grams miss). Emits surviving documents `(doc_id)`.
+    * grams miss). Emits the surviving documents with ALL their columns
+    * (composable mid-pipeline).
     *
     * Scale shape: [[bm25PerQuery]]'s shapes, then one LEFT ANTI join of
     * the corpus against the ≤ #queries·k hit ids — a relation small
@@ -875,8 +876,7 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     val hits = bm25PerQuery(documents, queries, k)
       .select("doc_id").distinct()
-    documents.select(col("doc_id"))
-      .join(broadcast(hits), Seq("doc_id"), "left_anti")
+    documents.join(broadcast(hits), Seq("doc_id"), "left_anti")
   }
 
   /** Per-domain quality rollup — the aggregation that PRODUCES the domain
