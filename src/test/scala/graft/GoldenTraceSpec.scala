@@ -95,6 +95,36 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("3" -> 3L, "7" -> 1L))
   }
 
+  test("domain rollup as a live KTable: flagged flips once streamed evidence crosses the doc threshold") {
+    // domainQuality is a plain unwindowed aggregate, so it runs unchanged
+    // as an update-mode streaming rollup (the KTable changelog shape) —
+    // the crawl-monitoring deployment: verdicts sharpen as batches land
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "url", "text")
+    val q = graft.operators.TextAnalysis.domainQuality(stream)
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("golden_domain").start()
+    try {
+      // two gate-failing pages: too little evidence to flag (n_docs < 3)
+      in.addData((1L, "https://aaa.example.com/x", "a b"),
+        (2L, "https://www.aaa.example.com/y", "a b"))
+      q.processAllAvailable()
+      val mid = spark.table("golden_domain")
+        .groupBy($"domain").agg(max($"n_docs").as("n"), max($"flagged").as("f"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap.apply("aaa.example.com")
+      assert(mid == ((2L, 0L)))
+      // the third failing page crosses minDocs — the update flips the flag
+      in.addData((3L, "HTTP://aaa.example.com:443/z", "a b"))
+      q.processAllAvailable()
+      val fin = spark.table("golden_domain")
+        .groupBy($"domain").agg(max($"n_docs").as("n"), max($"flagged").as("f"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap.apply("aaa.example.com")
+      assert(fin == ((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("T7 golden: Kafka-semantics sliding window counts (CreditCardTransactions.java:13-59)") {
     // E1@12:01 E2@12:03 E3@12:05 E4@12:07, size 5 min →
     // [12:01,12:06)={E1,E2,E3}=3, [12:03,12:08)={E2,E3,E4}=3, [12:05,12:10)=2, [12:07,12:12)=1
