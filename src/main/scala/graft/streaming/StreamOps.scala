@@ -221,41 +221,64 @@ object StreamOps {
     * the round-4 divergence (per-key-only pruning retained cold-key
     * history indefinitely).
     *
-    * `latenessMillis` is the ADMISSION bound for BOTH sides (it becomes
-    * the single union watermark delay): Spark drops facts AND dim
-    * updates arriving more than that behind the global max event time,
-    * before the operator. This is a documented divergence from KIP-914,
-    * whose versioned STORE accepts out-of-order dim puts all the way to
-    * history retention — here a dim version arriving later than the join
-    * grace (but within retention) is lost, and a subsequent fact
-    * floor-joins the previous version. Callers needing deep dim
-    * re-delivery must raise `latenessMillis` (at the cost of more
-    * in-flight state engine-wide); admitting dims to `retentionMillis`
-    * exactly would need per-side watermarks plus processor-side fact
-    * admission and a wm→stream-time conversion that survives the
-    * min-watermark policy — a deliberate non-goal for now, recorded in
-    * SURVEY §8. History DEPTH, by contrast, is always `retentionMillis`.
-    * Implemented on `transformWithState` (Spark 4 stateful
+    * Admission. By default `latenessMillis` is the ADMISSION bound for
+    * BOTH sides (it becomes the single union watermark delay): Spark
+    * drops facts AND dim updates arriving more than that behind the
+    * global max event time, before the operator. That diverges from
+    * KIP-914, whose versioned STORE accepts out-of-order dim puts all
+    * the way to history retention — under the default a dim version
+    * arriving later than the join grace (but within retention) is lost,
+    * and a subsequent fact floor-joins the previous version.
+    * `dimAdmissionToRetention = true` closes that divergence: each side
+    * gets its OWN watermark (facts delayed by `latenessMillis`, dims by
+    * `retentionMillis`), and under Spark's default min multiple-watermark
+    * policy the operator's late-row filter becomes
+    * `min(maxFactTime − lateness, maxDimTime − retention)` — so dim
+    * re-delivery is admitted to the full history retention, exactly the
+    * versioned-store rule, and any admitted fact still finds every
+    * version it could legally see (the prune horizon below never runs
+    * ahead of that same watermark). The cost is KIP-914's own cost:
+    * watermark-driven cold-key pruning and engine-wide state eviction
+    * lag at retention rather than lateness (hot keys still prune on
+    * their per-key clock, so history DEPTH stays `retentionMillis`
+    * either way). Implemented on `transformWithState` (Spark 4 stateful
     * surface; requires the RocksDB state-store provider). */
   def versionedTableJoin(facts: DataFrame, dims: DataFrame, retentionMillis: Long,
-      latenessMillis: Long = 3600000L)(
+      latenessMillis: Long = 3600000L, dimAdmissionToRetention: Boolean = false)(
       implicit spark: SparkSession): Dataset[VersionedJoined] = {
     import spark.implicits._
-    val tagged = facts
+    val factSide = facts
       .select(col("key"), lit("fact").as("side"), col("value"), col("eventTime"))
-      .unionByName(dims
-        .select(col("key"), lit("dim").as("side"), col("value"), col("eventTime")))
-      .withWatermark("eventTime", s"$latenessMillis milliseconds")
-      .as[VersionedInput]
+    val dimSide = dims
+      .select(col("key"), lit("dim").as("side"), col("value"), col("eventTime"))
+    val tagged =
+      (if (dimAdmissionToRetention)
+        factSide.withWatermark("eventTime", s"$latenessMillis milliseconds")
+          .unionByName(dimSide.withWatermark("eventTime", s"$retentionMillis milliseconds"))
+      else
+        factSide.unionByName(dimSide)
+          .withWatermark("eventTime", s"$latenessMillis milliseconds"))
+        .as[VersionedInput]
+    // wm→stream-time conversion: the operator watermark trails the max
+    // event time by `latenessMillis` (single union watermark) or by
+    // `retentionMillis` (per-side watermarks under the min policy, dims
+    // being the laggard), so stream time is recovered by adding the same
+    // offset back. With the retention offset the wm-driven prune horizon
+    // (streamTime − retention) equals the admission watermark itself:
+    // nothing still admissible can probe pruned history.
+    val wmOffset = if (dimAdmissionToRetention) retentionMillis else latenessMillis
     tagged
       .groupByKey(_.key)
-      .transformWithState(new VersionedJoinProcessor(retentionMillis, latenessMillis),
+      .transformWithState(new VersionedJoinProcessor(retentionMillis, wmOffset),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** [[versionedTableJoin]]'s stateful core: per-key ascending version
-    * list + a self-rearming event-time prune timer. */
-  class VersionedJoinProcessor(retentionMillis: Long, latenessMillis: Long)
+    * list + a self-rearming event-time prune timer. `wmOffsetMillis` is
+    * the watermark→stream-time conversion (how far the operator watermark
+    * trails the max observed event time — the union watermark delay, or
+    * `retentionMillis` under per-side watermarks + min policy). */
+  class VersionedJoinProcessor(retentionMillis: Long, wmOffsetMillis: Long)
       extends StatefulProcessor[String, VersionedInput, VersionedJoined] {
     @transient private var versions: org.apache.spark.sql.streaming.ListState[(Long, String)] = _
     @transient private var timerAt: ValueState[Long] = _
@@ -270,7 +293,7 @@ object StreamOps {
       * clock advances then. */
     private def streamTime(perKeyMax: Long, tv: TimerValues): Long = {
       val wm = tv.getCurrentWatermarkInMs()
-      if (wm > 0) math.max(perKeyMax, wm + latenessMillis) else perKeyMax
+      if (wm > 0) math.max(perKeyMax, wm + wmOffsetMillis) else perKeyMax
     }
 
     /** Keep in-horizon versions plus the newest at-or-before the horizon
@@ -290,7 +313,7 @@ object StreamOps {
       val prev = if (timerAt.exists()) timerAt.get() else 0L
       val next =
         if (vs.size < 2) 0L
-        else math.max(vs(1)._1 + retentionMillis - latenessMillis + 1,
+        else math.max(vs(1)._1 + retentionMillis - wmOffsetMillis + 1,
           tv.getCurrentWatermarkInMs() + 1)
       if (next != prev) {
         if (prev > 0) getHandle.deleteTimer(prev)

@@ -570,6 +570,39 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("f-after" -> "v1"))
   } }
 
+  test("versioned-KTable join: dimAdmissionToRetention admits a dim update past the join grace (KIP-914 store rule); the default mode drops it") { withRocksDb {
+    // retention 10 min, lateness 1 min. v2 arrives 4.5 min behind the max
+    // event time — beyond the 1-min join grace but well within retention.
+    // KIP-914's versioned store accepts that put; the single-union-
+    // watermark default cannot. Run the SAME feed through both modes.
+    def run(mode: Boolean, name: String): Map[String, String] = {
+      val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+      val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+      val q = StreamOps.versionedTableJoin(
+        facts.toDF().toDF("key", "value", "eventTime"),
+        dims.toDF().toDF("key", "value", "eventTime"),
+        retentionMillis = 600000L, latenessMillis = 60000L,
+        dimAdmissionToRetention = mode).toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+      dims.addData(("k", "v1", ts("2025-01-01 10:00:00")))
+      facts.addData(("k", "f1", ts("2025-01-01 10:05:00"))) // advances max event time to 10:05
+      q.processAllAvailable()
+      // 4.5 min behind max event time: default watermark (10:05 − 1 min =
+      // 10:04) filters it; per-side watermarks (min(10:04, 10:00 − 10 min))
+      // admit it — the dim side's own delay IS retention
+      dims.addData(("k", "v2", ts("2025-01-01 10:00:30")))
+      q.processAllAvailable()
+      // floor lookup ≤ 10:04:30 → v2 if the late put was admitted, else v1
+      facts.addData(("k", "f2", ts("2025-01-01 10:04:30")))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[StreamOps.VersionedJoined].collect()
+        .map(j => j.factValue -> j.dimValue).toMap
+    }
+    assert(run(mode = true, "vtj_dimadm_on") == Map("f1" -> "v1", "f2" -> "v2"))
+    assert(run(mode = false, "vtj_dimadm_off") == Map("f1" -> "v1", "f2" -> "v1"))
+  } }
+
   test("versioned-join law: single-batch streaming replay ≡ batch as-of join on random interleavings") { withRocksDb {
     // two independent implementations of the same lookup semantics — the
     // stateful streaming replay and Relational.asofJoin's union-and-carry
