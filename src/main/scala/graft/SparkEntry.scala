@@ -597,6 +597,15 @@ object SparkEntry {
     }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // per-doc fraction of distinct 3-grams unique to that doc (the
+    // boilerplate/dedup-coverage diagnostic); fp-keyed in the engine,
+    // string-keyed in the oracle
+    "text_novelty" -> ((s, d) => TextAnalysis.novelGramShare(Tables.documents(s, d))),
+    // C4 §2.2 word-blocklist doc gate: token-exact match (vs c4_clean's
+    // substring doc rule); "slow"/"window" exist in the corpus vocabulary
+    // so both keep branches are exercised
+    "text_badwords" -> ((s, d) =>
+      TextAnalysis.badWordFilter(Tables.documents(s, d), Seq("slow", "window"))),
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
@@ -1898,6 +1907,27 @@ object SparkEntry {
          SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          FROM g GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50""",
+    "text_novelty" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           g AS (SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(w) >= 3
+                     THEN [array_to_string(w[i : i + 2], ' ') for i in range(1, len(w) - 1)]
+                     ELSE [array_to_string(w, ' ')] END) AS gram
+                 FROM s),
+           df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                  AS novel_frac
+         FROM g JOIN df USING (gram) GROUP BY 1""",
+    "text_badwords" ->
+      """WITH t AS (SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 tok -> list_contains(['slow', 'window'], tok))) AS nf
+           FROM documents)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_flagged,
+                CAST(CASE WHEN nf = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM t""",
     // fold order pinned on both sides: ORDER BY ch under DuckDB's binary
     // collation == ascending code point == the native TreeMap iteration
     "text_char_entropy" ->

@@ -452,6 +452,27 @@ object TextAnalysis {
       concat_ws("\n", kept).as("text_clean"))
   }
 
+  /** C4's word-blocklist document gate (Raffel et al. 2020 §2.2: "any
+    * page that contained any word on the 'List of Dirty, Naughty …'" is
+    * removed) — the companion of [[c4LineFilter]]'s LINE heuristics,
+    * matching whole alphabetic TOKENS rather than substrings (the
+    * doc-blocklist in c4LineFilter is a substring check; "class" must
+    * not trip a blocklisted "ass"). Tokenization is a letters-only split
+    * on the lowercased text so punctuation-attached occurrences still
+    * match, mirrored verbatim by the oracle's `string_split_regex`.
+    * Map-side only: one codegen span, zero shuffle at any corpus size;
+    * the blocklist folds to a constant-folded IN over each token. */
+  def badWordFilter(documents: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "badWordFilter: empty blocklist")
+    val toks = split(lower(col("text")), "[^a-z]+")
+    val flagged =
+      size(filter(toks, t => t.isin(blocklist.map(w => w.toLowerCase: Any): _*)))
+    documents.select(
+      col("doc_id"),
+      flagged.cast("bigint").as("n_flagged"),
+      (flagged === 0).cast("bigint").as("keep"))
+  }
+
   /** URL filtering (the RefinedWeb §3.1 / C4-style crawl-side gate — the
     * FIRST filter a web pipeline runs, before any text is even fetched):
     * a registered-domain blocklist (the adult/fraud/malware list) plus a
@@ -749,6 +770,38 @@ object TextAnalysis {
         count_distinct(col("doc_id")).cast("bigint").as("df"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+  }
+
+  /** Per-document n-gram novelty — [[heavyHitters]]'s complement and the
+    * dedup family's coverage diagnostic: for each doc, the fraction of
+    * its DISTINCT n-grams that appear in no other document. A corpus
+    * whose mass sits at low novelty is boilerplate-heavy (route it to
+    * [[graft.operators.Dedup.lineDedup]]/span removal); a doc at novelty
+    * ~1 is unique content. The same statistic is the standard "how much
+    * would substring dedup remove" estimator (Lee et al. 2022 §4 report
+    * corpus-level versions of it).
+    *
+    * Scale shape: grams ride every shuffle as 8-byte xxhash64
+    * fingerprints; the distinct (doc, fp) relation is built once,
+    * persisted, and reused for both the doc-frequency rollup and the
+    * join back — all three exchanges are fp- or doc-keyed
+    * partial-aggregated hash shuffles over 16-byte rows, never gram
+    * strings, never a window. */
+  def novelGramShare(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"),
+        explode(Funcs.wordShingles(Funcs.tokens(col("text")), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("fp"))
+      .distinct()
+      .transform(Caches.persisted)
+    val df = grams.groupBy("fp").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast("bigint").as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novel_frac"))
   }
 
   /** BM25 retrieval scoring (Robertson & Spärck Jones; the Lucene/Okapi

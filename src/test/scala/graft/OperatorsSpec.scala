@@ -547,6 +547,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (("b c a", 1L, 1L)))
   }
 
+  test("novelGramShare: shared grams count against novelty; short docs ride the whole-doc gram") {
+    val fixture = Seq(
+      (1L, "a b c d"),   // grams "a b c", "b c d" — "a b c" shared with doc 2
+      (2L, "a b c"),     // one gram, shared → novelty 0
+      (3L, "x y")        // short doc → whole-doc gram "x y", unique → novelty 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelGramShare(fixture, n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    Dedup.releaseCaches(spark)
+  }
+
+  test("badWordFilter matches whole alphabetic tokens, not substrings, through punctuation and case") {
+    val fixture = Seq(
+      (1L, "a Slow, start"),     // case + attached punctuation still match
+      (2L, "slowly is fine"),    // substring must NOT trip the gate
+      (3L, "slow and slow"),     // every occurrence counted
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.badWordFilter(fixture, Seq("slow"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 0L)), 2L -> ((0L, 1L)), 3L -> ((2L, 0L)), 4L -> ((0L, 1L))))
+  }
+
   test("charEntropy: uniform distributions hit exact bits, degenerate text hits exact zero") {
     val fixture = Seq(
       (1L, "aabb"),  // 2 symbols, uniform → 1 bit
