@@ -792,6 +792,13 @@ object SparkEntry {
     "mixture_weights" -> ((s, d) => Pipeline.mixtureWeights(Tables.documents(s, d))),
     "mixture_temperature" -> ((s, d) => Pipeline.temperatureMixture(Tables.documents(s, d))),
     "epoch_plan" -> ((s, d) => Pipeline.epochPlan(Tables.documents(s, d), budgetTokens = 1000000L)),
+    // the mixture MATERIALIZED: per-source targets from the α=0.5
+    // temperature plan, each source filled to its own target in md5
+    // order. At sf0.01 the 24k budget puts small sources over their
+    // availability (keep-all branch) and large ones under (boundary
+    // branch), so both paths hash-pin
+    "mixture_materialize" -> ((s, d) =>
+      Pipeline.materializeMixture(Tables.documents(s, d), budgetTokens = 24000L)),
     "span_corrupt" -> ((s, d) => Pipeline.spanCorrupt(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) => Pipeline.corpusReport(Tables.documents(s, d))),
     "pipeline_global_order" -> ((s, d) => Pipeline.globalOrderShards(Tables.documents(s, d))),
@@ -2196,6 +2203,29 @@ object SparkEntry {
                 round(CAST(target_tokens AS DOUBLE) /
                       CAST(total_tokens AS DOUBLE), 6) AS epochs
          FROM f""",
+    // epoch_plan's weight arithmetic replayed to per-source budgets, then
+    // sample_token_budget's naive cumsum with the budget joined per source
+    "mixture_materialize" ->
+      """WITH a AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+           b AS (SELECT source, total_tokens,
+                   CAST(total_tokens AS DOUBLE) /
+                     CAST(sum(total_tokens) OVER () AS DOUBLE) AS share
+                 FROM a),
+           c AS (SELECT source, total_tokens, pow(share, 0.5) AS pa FROM b),
+           d AS (SELECT list_sum(list(pa ORDER BY source)) AS denom FROM c),
+           e AS (SELECT source, round(pa / denom, 6) AS weight FROM c, d),
+           f AS (SELECT source, CAST(round(weight * 24000) AS BIGINT) AS budget FROM e),
+           t AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+           cum AS (SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                   FROM t)
+         SELECT cum.doc_id, cum.source, cum.n_tokens
+         FROM cum JOIN f USING (source) WHERE cum_before < budget""",
     // the masked-run islands rebuilt relationally: lag() marks span
     // starts, a running sum numbers spans, string_agg assembles input
     // (unmasked tokens + one sentinel per span) and target (sentinel +

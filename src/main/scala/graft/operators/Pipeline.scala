@@ -121,7 +121,24 @@ object Pipeline {
     * row-level running total, over 1/256 of that source. Fully-funded
     * buckets pass through map-side; overspent buckets are filtered
     * map-side. The row-level window never sees a whole source. */
-  def sampleToTokenBudget(documents: DataFrame, budgetTokens: Long): DataFrame = {
+  def sampleToTokenBudget(documents: DataFrame, budgetTokens: Long): DataFrame =
+    sampleToBudgetCore(documents, _.withColumn("budget", lit(budgetTokens)))
+
+  /** [[sampleToTokenBudget]] with a PER-SOURCE budget relation
+    * (`budgets`: one (source, budget_tokens) row per source) — the form a
+    * mixture plan actually emits: each domain fills to its OWN target.
+    * Budgets join the tiny per-(source, bucket) totals relation
+    * (broadcast, ≤ 256·#sources rows), so the corpus-sized flow is
+    * untouched; a source absent from `budgets` is dropped entirely
+    * (budget 0), which is the right default for a curated mixture. */
+  def sampleToTokenBudgets(documents: DataFrame, budgets: DataFrame): DataFrame =
+    sampleToBudgetCore(documents,
+      _.join(budgets.select(col("source"), col("budget_tokens").as("budget")), Seq("source")))
+
+  /** Shared two-phase core: `withBudget` attaches a `budget` column to the
+    * per-(source, bucket) totals relation (constant or per-source join). */
+  private def sampleToBudgetCore(documents: DataFrame,
+      withBudget: DataFrame => DataFrame): DataFrame = {
     // persisted: the tokenize+hash scan feeds the bucket-totals aggregate
     // AND both union branches — Catalyst does not dedupe common subplans,
     // so without this the corpus is tokenized three times per action
@@ -133,19 +150,19 @@ object Pipeline {
       .transform(Caches.persisted)
     val wb = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketTotals = base.groupBy("source", "bucket")
+    val bucketTotals = withBudget(base.groupBy("source", "bucket")
       .agg(sum(col("n_tokens")).as("bucket_toks"))
-      .withColumn("bucket_before", coalesce(sum(col("bucket_toks")).over(wb), lit(0L)))
+      .withColumn("bucket_before", coalesce(sum(col("bucket_toks")).over(wb), lit(0L))))
     val joined = base.join(broadcast(bucketTotals), Seq("source", "bucket"))
     val fullyKept = joined
-      .filter(col("bucket_before") + col("bucket_toks") <= budgetTokens)
+      .filter(col("bucket_before") + col("bucket_toks") <= col("budget"))
     val wr = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val boundary = joined
-      .filter(col("bucket_before") < budgetTokens &&
-        col("bucket_before") + col("bucket_toks") > budgetTokens)
+      .filter(col("bucket_before") < col("budget") &&
+        col("bucket_before") + col("bucket_toks") > col("budget"))
       .withColumn("within_before", coalesce(sum(col("n_tokens")).over(wr), lit(0L)))
-      .filter(col("bucket_before") + col("within_before") < budgetTokens)
+      .filter(col("bucket_before") + col("within_before") < col("budget"))
     fullyKept.select(col("doc_id"), col("source"), col("n_tokens"))
       .union(boundary.select(col("doc_id"), col("source"), col("n_tokens")))
   }
@@ -744,6 +761,24 @@ object Pipeline {
         round(col("weight") * budgetTokens).cast("bigint").as("target_tokens"))
       .withColumn("epochs",
         round(col("target_tokens").cast("double") / col("total_tokens").cast("double"), 6))
+
+  /** Mixture MATERIALIZATION — the step [[epochPlan]] stops short of:
+    * turn the per-domain token targets into an actual sampled corpus by
+    * filling each source to its own target in deterministic md5 order
+    * ([[sampleToTokenBudgets]]). A domain whose target exceeds its
+    * available tokens keeps everything (its epochs > 1 repetition is the
+    * LOADER's job — materializing duplicate rows here would break every
+    * downstream dedup invariant, so this emits each kept doc once).
+    *
+    * Scale shape: the plan side is domain-sized arithmetic; the corpus
+    * side is the two-phase bucketed sampler — two corpus scans total
+    * (one tokenize+aggregate for the mixture, one tokenize+hash for the
+    * sampler), both map-side before tiny keyed shuffles. */
+  def materializeMixture(documents: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5): DataFrame =
+    sampleToTokenBudgets(documents,
+      epochPlan(documents, budgetTokens, alpha)
+        .select(col("source"), col("target_tokens").as("budget_tokens")))
 
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the denoising
     * objective's sample constructor): each token is masked by a

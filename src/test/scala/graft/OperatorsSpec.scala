@@ -836,6 +836,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.join(rich, "source").filter($"toks" < 800L - 200L).isEmpty)
   }
 
+  test("sampleToTokenBudgets: each source fills to its OWN budget; absent sources drop; materializeMixture keeps over-target sources whole, once") {
+    val docs = Seq(
+      (1L, "a b c d", "big"), (2L, "e f g h", "big"), (3L, "i j k l", "big"),
+      (4L, "m n", "small"), (5L, "o p", "small"),
+      (6L, "q r s", "unfunded")
+    ).toDF("doc_id", "text", "source")
+    // big: budget 8 of 12 available → subsample; small: 100 ≫ 4 → keep
+    // all; unfunded: no budget row → dropped entirely
+    val budgets = Seq(("big", 8L), ("small", 100L)).toDF("source", "budget_tokens")
+    val got = Pipeline.sampleToTokenBudgets(docs, budgets)
+      .select($"source", $"n_tokens").as[(String, Long)].collect()
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySrc("small") == 4L)
+    assert(bySrc("big") == 8L) // 4-token docs tile the 8-token budget exactly
+    assert(!bySrc.contains("unfunded"))
+    // materializeMixture: a target past availability keeps the source
+    // whole but emits each doc exactly once (repetition is the loader's)
+    val mm = Pipeline.materializeMixture(docs, budgetTokens = 1000L)
+      .select($"doc_id").as[Long].collect()
+    assert(mm.length == mm.distinct.length)
+    assert(mm.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    Dedup.releaseCaches(spark)
+  }
+
   test("gopherFilter: each rule trips independently on planted fixtures") {
     // "abN" tokens keep the mean WORD length inside the default [3.0, 4.6]
     val prose = ((1 to 40).map(i => s"ab$i") ++ Seq("the", "of")).mkString(" ")
