@@ -606,6 +606,10 @@ object SparkEntry {
     // so both keep branches are exercised
     "text_badwords" -> ((s, d) =>
       TextAnalysis.badWordFilter(Tables.documents(s, d), Seq("slow", "window"))),
+    // the Dolma-style per-doc attributes sidecar: every tagger's signal
+    // in ONE zero-shuffle pass (plan-pinned); the oracle reassembles the
+    // same row from each tagger's proven CTE via joins
+    "text_attributes" -> ((s, d) => TextAnalysis.attributeReport(Tables.documents(s, d))),
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
@@ -1935,6 +1939,70 @@ object SparkEntry {
          SELECT doc_id, CAST(nf AS BIGINT) AS n_flagged,
                 CAST(CASE WHEN nf = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM t""",
+    // each signal's CTE is copied from its own proven oracle
+    // (text_quality / text_gopher_filter / text_lang_id /
+    // text_char_entropy / text_badwords) and joined back per doc
+    "text_attributes" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           base AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               round((CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                 / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+               round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on')))
+                 / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 tok -> list_contains(['slow', 'window'], tok))) AS BIGINT) AS n_badwords
+             FROM t),
+           gs AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                     / CAST(len(toks) AS DOUBLE) AS mean_len,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS top_uni,
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS dup_frac,
+                   len(list_filter(toks,
+                     x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop
+                 FROM t),
+           gopher AS (SELECT doc_id,
+               CAST(n_tokens >= 30 AND n_tokens <= 90
+                    AND mean_len >= 3.0 AND mean_len <= 4.6
+                    AND top_uni <= 0.12 AND dup_frac <= 0.5
+                    AND n_stop >= 2 AS BIGINT) AS gopher_keep
+             FROM gs),
+           lang AS (SELECT doc_id, CASE
+               WHEN c_en = g AND c_en > 0 THEN 'en'
+               WHEN c_de = g AND c_de > 0 THEN 'de'
+               WHEN c_es = g AND c_es > 0 THEN 'es'
+               WHEN c_fr = g AND c_fr > 0 THEN 'fr'
+               ELSE 'und' END AS pred_lang
+             FROM (
+               SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS c_en,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS c_de,
+                 len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS c_es,
+                 len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS c_fr,
+                 greatest(
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to'))),
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))),
+                   len(list_filter(toks, x -> x IN ('el','la','de','y','que'))),
+                   len(list_filter(toks, x -> x IN ('le','la','et','les','des')))) AS g
+               FROM t)),
+           ci AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM t),
+           cc AS (SELECT doc_id, substr(text, i, 1) AS ch FROM ci),
+           cf AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n FROM cc GROUP BY 1, 2),
+           ct AS (SELECT doc_id, sum(n) AS tt FROM cf GROUP BY 1),
+           ent AS (SELECT cf.doc_id,
+                     round(list_sum(list(-(n / tt) * log2(n / tt) ORDER BY ch)), 6) + 0.0
+                       AS entropy
+                   FROM cf JOIN ct USING (doc_id) GROUP BY cf.doc_id, tt)
+         SELECT base.doc_id, base.n_tokens, base.n_chars, base.mean_word_len,
+                base.stopword_ratio, ent.entropy, lang.pred_lang,
+                gopher.gopher_keep, base.n_badwords
+         FROM base JOIN gopher USING (doc_id) JOIN lang USING (doc_id)
+              JOIN ent USING (doc_id)""",
     // fold order pinned on both sides: ORDER BY ch under DuckDB's binary
     // collation == ascending code point == the native TreeMap iteration
     "text_char_entropy" ->

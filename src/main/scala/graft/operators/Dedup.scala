@@ -1009,16 +1009,22 @@ object Dedup {
     *                     included — the RefinedWeb treatment of
     *                     high-frequency boilerplate (a nav bar is noise
     *                     in its first document too). Default keeps the
-    *                     plain keep-first semantics. */
-  def lineDedup(documents: DataFrame, dropAllAbove: Long = Long.MaxValue): DataFrame = {
-    val hashed = hashedLines(documents).transform(Caches.persisted)
+    *                     plain keep-first semantics.
+    * @param sep          segment separator — "\n" (default) dedups lines,
+    *                     "\n\n" dedups PARAGRAPHS (the Dolma paragraph
+    *                     tier: multi-line blocks repeat as units in
+    *                     templated pages, and paragraph grain avoids
+    *                     killing legitimately repeated short lines). */
+  def lineDedup(documents: DataFrame, dropAllAbove: Long = Long.MaxValue,
+      sep: String = "\n"): DataFrame = {
+    val hashed = hashedLines(documents, sep).transform(Caches.persisted)
     val firsts = hashed.groupBy("fp")
       .agg(min(col("okey")).as("first_okey"), count(lit(1)).as("cnt"))
     val dropped = hashed.join(firsts, Seq("fp"))
       .filter(col("okey") =!= col("first_okey") || col("cnt") >= dropAllAbove)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("pos_list"))
-    rebuildLines(documents, dropped, keepListed = false)
+    rebuildLines(documents, dropped, keepListed = false, sep)
   }
 
   /** The shared line representation of [[lineDedup]] /
@@ -1032,10 +1038,11 @@ object Dedup {
     * wraps the packing and corrupts first-occurrence order. 64-bit
     * (hash-derived) doc ids must be densely re-keyed first — the same
     * id-space assumption [[removeDuplicatedSpans]] documents. */
-  private def hashedLines(documents: DataFrame): DataFrame =
+  private def hashedLines(documents: DataFrame, sep: String = "\n"): DataFrame =
     documents
       .select(col("doc_id"),
-        posexplode(transform(split(col("text"), "\n"), l => xxhash64(l)))
+        posexplode(transform(split(col("text"), java.util.regex.Pattern.quote(sep)),
+          l => xxhash64(l)))
           .as(Seq("pos", "fp")))
       .withColumn("okey", shiftleft(col("doc_id").cast("long"), 32) + col("pos"))
 
@@ -1046,8 +1053,8 @@ object Dedup {
     * keeps nothing — the incremental keep-set shape). Emits the shared
     * (doc_id, n_lines, n_kept, text_clean) schema. */
   private def rebuildLines(documents: DataFrame, positions: DataFrame,
-      keepListed: Boolean): DataFrame = {
-    val lines = split(col("text"), "\n")
+      keepListed: Boolean, sep: String = "\n"): DataFrame = {
+    val lines = split(col("text"), java.util.regex.Pattern.quote(sep))
     val whenAbsent = if (keepListed) array().cast("array<string>") else lines
     val listed = (i: Column) => array_contains(col("pos_list"), i)
     documents
@@ -1060,7 +1067,7 @@ object Dedup {
           .as("kept"))
       .select(col("doc_id"), col("n_lines"),
         size(col("kept")).cast("bigint").as("n_kept"),
-        concat_ws("\n", col("kept")).as("text_clean"))
+        concat_ws(sep, col("kept")).as("text_clean"))
   }
 
   /** Incremental line-level dedup — [[lineDedup]]'s corpus-GROWTH shape

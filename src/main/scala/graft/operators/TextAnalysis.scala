@@ -56,17 +56,25 @@ object TextAnalysis {
   /** Language ID: argmax over per-language marker-word counts, ties broken
     * by list order, "und" (undetermined) when no marker hits. */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = Funcs.tokens(col("text"))
     val scored = documents.select(
       (col("doc_id") +: LangMarkers.map { case (lang, words) =>
-        Funcs.tokenCountIn(toks, words).as(s"c_$lang")
+        Funcs.tokenCountIn(Funcs.tokens(col("text")), words).as(s"c_$lang")
       }): _*)
+    scored.select(col("doc_id"),
+      langVerdict(lang => col(s"c_$lang")).as("pred_lang"))
+  }
+
+  /** The argmax-with-list-order-ties verdict over per-language marker
+    * counts, shared by [[langId]] (counts materialized behind a projection
+    * boundary) and [[attributeReport]] (counts inline). `countOf` maps a
+    * language code to its marker-count column. */
+  private def langVerdict(countOf: String => Column): Column = {
+    val g = greatest(LangMarkers.map(m => countOf(m._1)): _*)
     val best = LangMarkers.map(_._1).foldLeft[Column](lit(null).cast("string")) { (acc, lang) =>
       // first language (in list order) achieving the max count wins
-      when(acc.isNull && col(s"c_$lang") === greatest(LangMarkers.map(m => col(s"c_${m._1}")): _*)
-        && col(s"c_$lang") > 0, lit(lang)).otherwise(acc)
+      when(acc.isNull && countOf(lang) === g && countOf(lang) > 0, lit(lang)).otherwise(acc)
     }
-    scored.select(col("doc_id"), coalesce(best, lit("und")).as("pred_lang"))
+    coalesce(best, lit("und"))
   }
 
   /** Repetition quality signals (the Gopher-rules family): fraction of
@@ -471,6 +479,51 @@ object TextAnalysis {
       col("doc_id"),
       flagged.cast("bigint").as("n_flagged"),
       (flagged === 0).cast("bigint").as("keep"))
+  }
+
+  /** Per-document ATTRIBUTE row — the Dolma-style audit sidecar
+    * (Soldaini et al. 2024 publish exactly this shape: one row per doc
+    * with every tagger's signal, decisions deferred to the consumer):
+    * size stats, Gopher-definition mean word length, stopword ratio,
+    * character entropy, language verdict, the composite Gopher keep, and
+    * the word-blocklist hit count, in ONE pass. Filtering is explicitly
+    * NOT done here — the report's value is that thresholds can be tuned
+    * and audited offline without re-running the taggers.
+    *
+    * Scale shape: every signal is map-side (the family invariant:
+    * [[qualityScore]], [[gopherFilter]], [[langId]], [[charEntropy]],
+    * [[badWordFilter]] are each zero-shuffle, and composing them stays
+    * ONE zero-shuffle codegen pass over the corpus — plan-pinned). The
+    * marker counts sit behind the inner projection boundary so the
+    * language argmax does not replicate the token scans in codegen. */
+  def attributeReport(documents: DataFrame,
+      badWords: Seq[String] = Seq("slow", "window")): DataFrame = {
+    require(badWords.nonEmpty, "attributeReport: empty blocklist")
+    val toks = Funcs.tokens(col("text"))
+    val (fLen, fWord, fRep, fStop) = gopherFlags(30L, 90L, 3.0, 4.6, 0.12, 0.5, 2L)
+    val alphaToks = split(lower(col("text")), "[^a-z]+")
+    val base = documents.select(
+      (Seq(
+        col("doc_id"),
+        col("text"),
+        size(toks).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        Funcs.tokenCountIn(toks, Funcs.StopwordsEn).as("n_stop"),
+        (fLen && fWord && fRep && fStop).cast("bigint").as("gopher_keep"),
+        size(filter(alphaToks, t => t.isin(badWords.map(_.toLowerCase: Any): _*)))
+          .cast("bigint").as("n_badwords")) ++
+        LangMarkers.map { case (lang, words) =>
+          Funcs.tokenCountIn(toks, words).as(s"c_$lang")
+        }): _*)
+    base.select(
+      col("doc_id"), col("n_tokens"), col("n_chars"),
+      round((col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) /
+        col("n_tokens").cast("double"), 6).as("mean_word_len"),
+      round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6)
+        .as("stopword_ratio"),
+      (round(Native.charEntropy(col("text")), 6) + lit(0.0)).as("entropy"),
+      langVerdict(lang => col(s"c_$lang")).as("pred_lang"),
+      col("gopher_keep"), col("n_badwords"))
   }
 
   /** URL filtering (the RefinedWeb §3.1 / C4-style crawl-side gate — the

@@ -1139,6 +1139,22 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1L, 0L, "")))
   }
 
+  test("lineDedup paragraph grain: blocks dedup as units, repeated lines inside distinct paragraphs survive") {
+    val docs = Seq(
+      (1L, "ad: buy now\nmore text\n\nunique one"),  // paragraph 0 repeats in doc 2
+      (2L, "ad: buy now\nmore text\n\nunique two"),  // → dropped as a UNIT here
+      (3L, "ad: buy now\nother text")                // same first LINE, different paragraph → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, sep = "\n\n").orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "ad: buy now\nmore text\n\nunique one"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 1L, "ad: buy now\nother text")))
+    Dedup.releaseCaches(spark)
+  }
+
   test("lineDedup idempotence: a second pass over surviving non-empty docs drops nothing") {
     // 1-token lines over the corpus vocabulary → heavy cross-doc duplication
     val lined = Tables.documents(spark, dir).select($"doc_id",

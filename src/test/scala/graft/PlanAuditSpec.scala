@@ -50,6 +50,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(TextAnalysis.stripHtml(Tables.documents(spark, dir))) == 0)
     assert(exchanges(TextAnalysis.c4LineFilter(Tables.documents(spark, dir))) == 0)
     assert(exchanges(Pipeline.spanCorrupt(Tables.documents(spark, dir))) == 0)
+    // round-7 map-side family: token-exact blocklist gate, and the whole
+    // Dolma-style attributes sidecar composing five taggers in one pass
+    assert(exchanges(TextAnalysis.badWordFilter(
+      Tables.documents(spark, dir), Seq("slow"))) == 0)
+    assert(exchanges(TextAnalysis.attributeReport(Tables.documents(spark, dir))) == 0)
   }
 
   test("bigramSurprisal shuffles 8-byte fingerprints, never token-pair strings") {
