@@ -522,6 +522,30 @@ object SparkEntry {
           .select(col("source"), wav.as("wav")))
     }),
 
+    // video sibling of multimodal_audio: doc_id%4==3 rows carry REAL
+    // ISO-BMFF ftyp+moov/mvhd prefixes (movie geometry derived from
+    // doc_id, payload = text bytes); the engine walks the boxes and
+    // decodes the big-endian mvhd fields, the oracle recomputes the
+    // planted values analytically — the builder's byte layout is
+    // independently pinned against hand-computed hex in MultimodalSpec,
+    // so builder and parser cannot share a compensating offset bug
+    "multimodal_video" -> ((s, d) => {
+      val mp4 = concat(
+        Multimodal.mp4Header(
+          (lit(600L) + (col("doc_id") % 10) * 100L).cast("bigint"),
+          ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
+        col("text").cast("binary"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), Multimodal.mp4Meta(mp4).as("m"))
+        .select(col("doc_id"),
+          col("m.major_brand").as("major_brand"),
+          col("m.version").as("version"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.duration_ms").as("duration_ms"))
+    }),
+
     // perceptual image hash over the planted 9×8 bitmaps (identity
     // resize ⇒ the oracle recomputes the hash analytically; the REAL
     // block-average path for larger bitmaps is pinned by the
@@ -1439,6 +1463,18 @@ object SparkEntry {
            FROM documents)""",
     // WAV blob built independently in SQL (LE byte encoding via reversed
     // hex pairs), fields re-extracted by hex slicing at the spec offsets
+    // planted-analytic: the engine must RECOVER the movie geometry the
+    // fixture derived from doc_id through a real box walk; the builder's
+    // byte layout is pinned by the hand-computed-hex golden in
+    // MultimodalSpec, so a compensating builder/parser offset bug cannot
+    // hash-pass
+    "multimodal_video" ->
+      """SELECT doc_id, 'isom' AS major_brand, CAST(0 AS BIGINT) AS version,
+           CAST(600 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+           CAST((doc_id % 50 + 1) * 600 AS BIGINT) AS duration,
+           CAST(floor((doc_id % 50 + 1) * 600 * 1000.0
+                / (600 + (doc_id % 10) * 100)) AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 4 = 3""",
     "multimodal_audio" ->
       """WITH src AS (SELECT doc_id, text,
              CAST(doc_id % 2 + 1 AS BIGINT) AS c,

@@ -42,6 +42,8 @@ object Multimodal {
           .when(riffForm === "WEBP", lit("image/webp"))
           .when(riffForm === "AVI ", lit("video/avi"))
           .otherwise(lit("application/riff")))
+      // ISO-BMFF: the magic is the box TYPE at bytes 5-8, not byte 1
+      .when(substring(bin, 5, 4).cast("string") === "ftyp", lit("video/mp4"))
       .otherwise(lit("application/octet-stream"))
   }
 
@@ -216,6 +218,66 @@ object Multimodal {
         floor(dataBytes * lit(1000.0d) / byteRate).cast("bigint"))
         .otherwise(lit(null).cast("bigint")).as("duration_ms")))
       .otherwise(lit(null).cast(WavMetaType))
+  }
+
+  /** Minimal well-formed ISO-BMFF (MP4) prefix — `ftyp` (isom) followed
+    * by `moov` whose first child is a version-0 `mvhd` carrying the given
+    * movie timescale and duration (rate 1.0, volume 1.0, unity matrix,
+    * next track id 1); append any payload after it. Byte layout is
+    * pinned against hand-computed hex in MultimodalSpec so the builder
+    * and [[mp4Meta]] cannot share a compensating offset bug. */
+  def mp4Header(timescale: Column, duration: Column): Column = concat(
+    lit(hexBytes("000000106674797069736F6D00000200")), // ftyp(16): isom, minor 0x200
+    lit(hexBytes("000000746D6F6F76")),                 // moov(116)
+    lit(hexBytes("0000006C6D76686400000000" +         // mvhd(108), v0 + flags
+      "0000000000000000")),                            // ctime, mtime
+    beBytes(timescale, 4), beBytes(duration, 4),
+    lit(hexBytes("000100000100" + "00" * 10 +          // rate 1.0, volume 1.0, reserved
+      "000100000000000000000000000000000001000000000000000000000000000040000000" + // unity matrix
+      "00" * 24 + "00000001")))                        // pre_defined, next_track_ID
+
+  private val Mp4MetaType =
+    "struct<major_brand:string,version:bigint,timescale:bigint," +
+      "duration:bigint,duration_ms:bigint>"
+
+  /** REAL MP4/ISO-BMFF movie-header decode: a bounded top-level box walk
+    * (`ftyp` first, then up to three hops — real files put `mdat` or
+    * `free` before `moov`) to the `moov` box whose FIRST child must be
+    * `mvhd` (the layout every standard muxer emits; the strict check
+    * keeps this honest rather than misparsing exotic layouts, the
+    * [[wavMeta]] stance). Both mvhd versions parse — v0 (32-bit times)
+    * and v1 (64-bit times, the large-presentation variant) — and
+    * duration_ms derives from duration/timescale. Null, never an error,
+    * on anything else: all reads are bounded substrings over the header
+    * region, so the (possibly huge) mdat tail never feeds an expression
+    * and a truncated payload cannot throw under ANSI. */
+  def mp4Meta(bin: Column): Column = {
+    def boxSize(p: Column) = beUInt(bin, p, 4)
+    def boxType(p: Column) = bin.substr((p + lit(4L)).cast("int"), lit(4)).cast("string")
+    // top-level walk: moov directly after ftyp, or ≤ 3 boxes later —
+    // hops guard on size ≥ 8 so a garbage size can't loop the positions
+    val q1 = lit(1L) + boxSize(lit(1L))
+    val q2 = when(boxSize(q1) >= 8L, q1 + boxSize(q1))
+    val q3 = when(boxSize(q2) >= 8L, q2 + boxSize(q2))
+    val m = when(boxType(q1) === "moov", q1)
+      .when(boxType(q2) === "moov", q2)
+      .when(boxType(q3) === "moov", q3)
+    val isMp4 = length(bin) >= 52L &&
+      boxType(lit(1L)) === "ftyp" && boxSize(lit(1L)) >= 16L &&
+      m.isNotNull && boxType(m + lit(8L)) === "mvhd"
+    val version = beUInt(bin, m + lit(16L), 1)
+    val timescale = when(version === 0L, beUInt(bin, m + lit(28L), 4))
+      .when(version === 1L, beUInt(bin, m + lit(36L), 4))
+    val duration = when(version === 0L, beUInt(bin, m + lit(32L), 4))
+      .when(version === 1L, beUInt(bin, m + lit(40L), 8))
+    when(isMp4 && timescale.isNotNull, struct(
+      bin.substr(9, 4).cast("string").as("major_brand"),
+      version.as("version"),
+      timescale.as("timescale"),
+      duration.as("duration"),
+      when(timescale > 0L, floor(duration * lit(1000.0d) / timescale).cast("bigint"))
+        .otherwise(lit(null).cast("bigint")).as("duration_ms")))
+      .otherwise(lit(null).cast(Mp4MetaType))
   }
 
   /** STUB — deterministic fake image decode. Production: this exact

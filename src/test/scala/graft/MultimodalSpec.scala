@@ -110,6 +110,65 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.wavMeta($"b").as("m")).collect().forall(_.isNullAt(0)))
   }
 
+  test("mp4Header: byte layout matches hand-computed ISO-BMFF hex (the anti-compensating-bug pin)") {
+    // every offset computed by hand from the spec: ftyp(16) 'isom',
+    // moov(116) > mvhd(108) v0, timescale 600 = 0x258, duration 1200 =
+    // 0x4B0, rate 1.0, volume 1.0, unity matrix, next_track_ID 1
+    val expected =
+      "000000106674797069736F6D00000200" +                    // ftyp
+        "000000746D6F6F76" +                                  // moov
+        "0000006C6D76686400000000" +                          // mvhd v0+flags
+        "0000000000000000" +                                  // ctime, mtime
+        "00000258" + "000004B0" +                             // timescale, duration
+        "000100000100" + "00" * 10 +                          // rate, volume, reserved
+        "000100000000000000000000000000000001000000000000000000000000000040000000" +
+        "00" * 24 + "00000001"                                // pre_defined, next_track_ID
+    val got = Seq(1).toDF("i")
+      .select(hex(Multimodal.mp4Header(lit(600L), lit(1200L))).as("h"))
+      .as[String].head()
+    assert(got == expected)
+  }
+
+  test("mp4Meta decodes v0 and v1 mvhd, hops non-moov boxes, nulls on corrupt payloads") {
+    def mvhdTail = "000100000100" + "00" * 10 +
+      "000100000000000000000000000000000001000000000000000000000000000040000000" +
+      "00" * 24 + "00000001"
+    val ftyp = "000000106674797069736F6D00000200"
+    // v1: 64-bit ctime/mtime/duration → mvhd 120 (0x78), moov 128 (0x80)
+    val v1 = ftyp + "000000806D6F6F76" + "000000786D76686401000000" +
+      "00" * 16 + "00000258" + "00000000000004B0" + mvhdTail
+    // a 'free' box (16 bytes) between ftyp and moov — the walker must hop
+    val hop = ftyp + "0000001066726565" + "00" * 8 +
+      "000000746D6F6F76" + "0000006C6D76686400000000" + "00" * 8 +
+      "00000258" + "000004B0" + mvhdTail
+    val rows = Seq(
+      (1L, v1), (2L, hop),
+      (3L, ftyp),                              // ftyp alone: no moov → null
+      (4L, "00000010667265650000000000000000"), // no ftyp → null
+      (5L, ftyp.take(20))                       // truncated → null
+    ).toDF("doc_id", "hx")
+      .select($"doc_id", unhex($"hx").as("b"))
+    val got = rows
+      .select($"doc_id", Multimodal.mp4Meta($"b").as("m"))
+      .select($"doc_id", $"m.version", $"m.timescale", $"m.duration", $"m.duration_ms")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some(1L), Some(600L), Some(1200L), Some(2000L))))
+    assert(got(2L) == ((Some(0L), Some(600L), Some(1200L), Some(2000L))))
+    assert(got(3L) == ((None, None, None, None)))
+    assert(got(4L) == ((None, None, None, None)))
+    assert(got(5L) == ((None, None, None, None)))
+    // a payload appended after the header changes nothing
+    val withTail = Seq((1L, v1 + "DEADBEEF" * 16)).toDF("doc_id", "hx")
+      .select(Multimodal.mp4Meta(unhex($"hx")).as("m")).select($"m.duration_ms")
+      .as[Option[Long]].head()
+    assert(withTail.contains(2000L))
+    // modality sniffs the box-type magic at bytes 5-8
+    val mod = Seq((1L, v1)).toDF("doc_id", "hx")
+      .select(Multimodal.modality(unhex($"hx"))).as[String].head()
+    assert(mod == "video/mp4")
+  }
+
   test("decodeImageStub is deterministic with plausible bounds (codec plug-in point)") {
     val rows = Seq((1L, "payload-a".getBytes("UTF-8")), (2L, "payload-b".getBytes("UTF-8")))
       .toDF("doc_id", "media")
