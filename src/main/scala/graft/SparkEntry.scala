@@ -546,6 +546,26 @@ object SparkEntry {
           col("m.duration_ms").as("duration_ms"))
     }),
 
+    // the video pipeline composed: header decode → frame-sample plan
+    // (one frame every 500 ms of decoded duration) — the per-position
+    // pixel grab stays codec work (decodePartitions), but the PLAN a
+    // 100 TB video pipeline fans out over is this relation
+    "multimodal_frames" -> ((s, d) => {
+      val mp4 = concat(
+        Multimodal.mp4Header(
+          (lit(600L) + (col("doc_id") % 10) * 100L).cast("bigint"),
+          ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
+        col("text").cast("binary"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), Multimodal.mp4Meta(mp4).as("m"))
+        .select(col("doc_id"),
+          posexplode(Multimodal.framePositionsMs(col("m.duration_ms"), 500L))
+            .as(Seq("frame_idx", "pos_ms")))
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          col("pos_ms"))
+    }),
+
     // perceptual image hash over the planted 9×8 bitmaps (identity
     // resize ⇒ the oracle recomputes the hash analytically; the REAL
     // block-average path for larger bitmaps is pinned by the
@@ -1475,6 +1495,17 @@ object SparkEntry {
            CAST(floor((doc_id % 50 + 1) * 600 * 1000.0
                 / (600 + (doc_id % 10) * 100)) AS BIGINT) AS duration_ms
          FROM documents WHERE doc_id % 4 = 3""",
+    // frame positions replayed from the analytic duration: range()
+    // excludes the bound like sequence(0, dm-1) includes dm-1 — equal sets
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id,
+             CAST(floor((doc_id % 50 + 1) * 600 * 1000.0
+                  / (600 + (doc_id % 10) * 100)) AS BIGINT) AS dm
+           FROM documents WHERE doc_id % 4 = 3),
+           p AS (SELECT doc_id, unnest(range(0, dm, 500)) AS pos FROM v)
+         SELECT doc_id, CAST(pos / 500 AS BIGINT) AS frame_idx,
+                CAST(pos AS BIGINT) AS pos_ms
+         FROM p""",
     "multimodal_audio" ->
       """WITH src AS (SELECT doc_id, text,
              CAST(doc_id % 2 + 1 AS BIGINT) AS c,

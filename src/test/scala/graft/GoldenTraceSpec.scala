@@ -58,6 +58,31 @@ class GoldenTraceSpec extends AnyFunSuite {
       "2025-01-01 10:01:00" -> 1L))
   }
 
+  test("tumbling count in APPEND mode ≙ Kafka Streams suppress(untilWindowCloses): final counts only, only after the watermark closes the window") {
+    // Update mode (the T4/T5 golden) is the eager KTable changelog; the
+    // SAME topology in Append mode is the suppress() surface — nothing
+    // emits while a window can still grow, and the one emitted row per
+    // window carries the FINAL count. Beyond reference scope (no
+    // suppress in the repo) but part of the Kafka Streams windowed DSL.
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamOps.tumblingCount(in.toDF().toDF("key", "eventTime"), "1 minute")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("golden_suppress").start()
+    in.addData(
+      ("101", ts("2025-01-01 10:00:05")),
+      ("101", ts("2025-01-01 10:00:25")))
+    q.processAllAvailable()
+    // watermark (grace 0) sits at 10:00:25 — the [10:00,10:01) window is
+    // still open, so suppress semantics demand silence
+    assert(spark.table("golden_suppress").isEmpty)
+    in.addData(("101", ts("2025-01-01 10:01:15")))
+    q.processAllAvailable() // watermark → 10:01:15 closes [10:00,10:01)
+    val afterClose = spark.table("golden_suppress")
+      .select($"window_start".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(afterClose == Map("2025-01-01 10:00:00" -> 2L))
+    q.stop()
+  }
+
   test("T6 golden: 1-minute tumbling fraud threshold alerts exactly on windows with count > 3 (windows/tumbling/FraudDetectionApp.java:38-57)") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     // card 9: 4 txns inside [10:00,10:01) → alert; 2 txns in [10:01,10:02) → none
