@@ -535,9 +535,8 @@ object SparkEntry {
           (lit(600L) + (col("doc_id") % 10) * 100L).cast("bigint"),
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
-      Tables.documents(s, d)
-        .filter(col("doc_id") % 4 === 3)
-        .select(col("doc_id"), Multimodal.mp4Meta(mp4).as("m"))
+      Multimodal.withMp4Meta(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           col("m.major_brand").as("major_brand"),
           col("m.version").as("version"),
@@ -556,9 +555,8 @@ object SparkEntry {
           (lit(600L) + (col("doc_id") % 10) * 100L).cast("bigint"),
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
-      Tables.documents(s, d)
-        .filter(col("doc_id") % 4 === 3)
-        .select(col("doc_id"), Multimodal.mp4Meta(mp4).as("m"))
+      Multimodal.withMp4Meta(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           posexplode(Multimodal.framePositionsMs(col("m.duration_ms"), 500L))
             .as(Seq("frame_idx", "pos_ms")))
