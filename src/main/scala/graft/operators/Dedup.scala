@@ -1131,10 +1131,14 @@ object Dedup {
     * sources²-sized (tiny). Short documents follow
     * [[Funcs.wordShingles]]' whole-doc rule. */
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    // fused native shingle hashing: each doc's distinct gram fps come out
+    // of one loop as a sorted array (bit-identical to xxhash64 over the
+    // declarative wordShingles) — no gram strings materialize, and the
+    // per-doc distinct shrinks the exploded relation before the shuffle
     val srcSets = documents
       .select(col("source"),
-        explode(Funcs.wordShingles(Funcs.tokens(col("text")), n)).as("g"))
-      .select(col("source"), xxhash64(col("g")).as("fp"))
+        explode(Native.shingleHashes(Funcs.tokens(col("text")), n,
+          sortedDistinct = true)).as("fp"))
       .groupBy("fp").agg(array_sort(collect_set(col("source"))).as("ss"))
       .transform(Caches.persisted)
     val perSource = srcSets.select(explode(col("ss")).as("source"))

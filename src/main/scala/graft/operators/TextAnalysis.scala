@@ -834,27 +834,30 @@ object TextAnalysis {
     * would substring dedup remove" estimator (Lee et al. 2022 §4 report
     * corpus-level versions of it).
     *
-    * Scale shape: grams ride every shuffle as 8-byte xxhash64
-    * fingerprints; the distinct (doc, fp) relation is built once,
-    * persisted, and reused for both the doc-frequency rollup and the
-    * join back — all three exchanges are fp- or doc-keyed
-    * partial-aggregated hash shuffles over 16-byte rows, never gram
-    * strings, never a window. */
+    * Scale shape: grams never materialize as strings — each doc's
+    * distinct gram set comes out of ONE [[Native.ShingleHashes]] pass as
+    * a sorted 8-byte-fp array (bit-identical to xxhash64 over the
+    * declarative wordShingles, short-doc rule included), so n_grams is a
+    * map-side `size()` with no distinct shuffle. The only corpus-sized
+    * exchange is the fp doc-frequency rollup; a df = 1 gram belongs to
+    * exactly ONE document (`min(doc_id)` IS that document), so the
+    * novel-gram counts come straight off that rollup and the final join
+    * is doc-sized on both sides — the gram relation never joins back. */
   def novelGramShare(documents: DataFrame, n: Int = 3): DataFrame = {
     val grams = documents
       .select(col("doc_id"),
-        explode(Funcs.wordShingles(Funcs.tokens(col("text")), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("fp"))
-      .distinct()
+        Native.shingleHashes(Funcs.tokens(col("text")), n, sortedDistinct = true).as("fps"))
       .transform(Caches.persisted)
-    val df = grams.groupBy("fp").agg(count(lit(1)).as("df"))
-    grams.join(df, Seq("fp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("bigint").as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).cast("bigint").as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
-          .as("novel_frac"))
+    val perDoc = grams.select(col("doc_id"), size(col("fps")).cast("bigint").as("n_grams"))
+    val novel = grams.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("novel_frac"))
   }
 
   /** BM25 retrieval scoring (Robertson & Spärck Jones; the Lucene/Okapi
