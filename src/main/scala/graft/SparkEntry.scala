@@ -319,10 +319,19 @@ object SparkEntry {
     // nprobe=2 (vs the operator's default 5): identical copies share every
     // probe bucket whatever nprobe is, so the planted recall stays
     // analytic while the candidate volume stays proportional to nprobe
+    // numCentroids right-sized to the corpus per the operator's own
+    // blocking rule (C ≈ n / target-bucket-size: 4k vectors / ~64 → 64):
+    // the default 16 put ~500 vectors in every probe bucket, and the
+    // within-bucket pair join verified ~2M candidates (float arrays
+    // shuffling twice) to find the 2k planted pairs — blocking geometry,
+    // not the verify, was the cost (3.3 s → ~0.9 s at sf0.1). The planted
+    // oracle is invariant: identical copies share every probe bucket at
+    // ANY centroid count
     "dedup_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9, nprobe = 2)
+      Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9,
+        numCentroids = 64, nprobe = 2)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
