@@ -298,18 +298,18 @@ object Multimodal {
     * Each stage's column is non-cheap and referenced more than once, so
     * CollapseProject provably keeps the boundaries. */
   def withMp4Meta(df: DataFrame, bin: Column, out: String): DataFrame = {
-    def boxSize(p: Column) = beUInt(col("_mp4bin"), p, 4)
+    def boxSize(p: Column) = beUInt(col("__graft_mp4_bin"), p, 4)
     def boxType(p: Column) =
-      col("_mp4bin").substr((p + lit(4L)).cast("int"), lit(4)).cast("string")
-    df.withColumn("_mp4bin", bin)
-      .withColumn("_q1", lit(1L) + boxSize(lit(1L)))
-      .withColumn("_q2", when(boxSize(col("_q1")) >= 8L, col("_q1") + boxSize(col("_q1"))))
-      .withColumn("_q3", when(boxSize(col("_q2")) >= 8L, col("_q2") + boxSize(col("_q2"))))
-      .withColumn("_m", when(boxType(col("_q1")) === "moov", col("_q1"))
-        .when(boxType(col("_q2")) === "moov", col("_q2"))
-        .when(boxType(col("_q3")) === "moov", col("_q3")))
-      .withColumn(out, mp4MetaAt(col("_mp4bin"), col("_m")))
-      .drop("_mp4bin", "_q1", "_q2", "_q3", "_m")
+      col("__graft_mp4_bin").substr((p + lit(4L)).cast("int"), lit(4)).cast("string")
+    df.withColumn("__graft_mp4_bin", bin)
+      .withColumn("__graft_mp4_q1", lit(1L) + boxSize(lit(1L)))
+      .withColumn("__graft_mp4_q2", when(boxSize(col("__graft_mp4_q1")) >= 8L, col("__graft_mp4_q1") + boxSize(col("__graft_mp4_q1"))))
+      .withColumn("__graft_mp4_q3", when(boxSize(col("__graft_mp4_q2")) >= 8L, col("__graft_mp4_q2") + boxSize(col("__graft_mp4_q2"))))
+      .withColumn("__graft_mp4_m", when(boxType(col("__graft_mp4_q1")) === "moov", col("__graft_mp4_q1"))
+        .when(boxType(col("__graft_mp4_q2")) === "moov", col("__graft_mp4_q2"))
+        .when(boxType(col("__graft_mp4_q3")) === "moov", col("__graft_mp4_q3")))
+      .withColumn(out, mp4MetaAt(col("__graft_mp4_bin"), col("__graft_mp4_m")))
+      .drop("__graft_mp4_bin", "__graft_mp4_q1", "__graft_mp4_q2", "__graft_mp4_q3", "__graft_mp4_m")
   }
 
   /** STUB — deterministic fake image decode. Production: this exact

@@ -125,12 +125,14 @@ object Pipeline {
     sampleToBudgetCore(documents, _.withColumn("budget", lit(budgetTokens)))
 
   /** [[sampleToTokenBudget]] with a PER-SOURCE budget relation
-    * (`budgets`: one (source, budget_tokens) row per source) — the form a
-    * mixture plan actually emits: each domain fills to its OWN target.
-    * Budgets join the tiny per-(source, bucket) totals relation
-    * (broadcast, ≤ 256·#sources rows), so the corpus-sized flow is
-    * untouched; a source absent from `budgets` is dropped entirely
-    * (budget 0), which is the right default for a curated mixture. */
+    * (`budgets`: one (source, budget_tokens) row per source — MUST be
+    * unique per source; a duplicate budget row would fan the join out
+    * and emit its source's docs once per row) — the form a mixture plan
+    * actually emits: each domain fills to its OWN target. Budgets join
+    * the tiny per-(source, bucket) totals relation (broadcast,
+    * ≤ 256·#sources rows), so the corpus-sized flow is untouched; a
+    * source absent from `budgets` is dropped entirely (budget 0), which
+    * is the right default for a curated mixture. */
   def sampleToTokenBudgets(documents: DataFrame, budgets: DataFrame): DataFrame =
     sampleToBudgetCore(documents,
       _.join(budgets.select(col("source"), col("budget_tokens").as("budget")), Seq("source")))
