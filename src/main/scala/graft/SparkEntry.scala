@@ -688,6 +688,11 @@ object SparkEntry {
     "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
     "text_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    // Stupid Backoff trigram scoring against the non-src0 LM slice: src0
+    // docs carry LM-unseen trigrams/bigrams, so the direct path AND both
+    // backoff levels all bind under the hash
+    "text_backoff_lm" -> ((s, d) =>
+      TextAnalysis.stupidBackoffScore(Tables.documents(s, d), col("source") =!= "src0")),
     // DSIR importance weighting: target LM = the src0 slice (any
     // predicate works; the oracle mirrors this one)
     "text_dsir" -> ((s, d) =>
@@ -1853,6 +1858,48 @@ object SparkEntry {
                 WHEN mean_nll <= c2 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
          FROM s CROSS JOIN q""",
+    // string-gram replay of the Stupid Backoff chain: DuckDB log(x) is
+    // log10, matching Spark's log10; α = 0.4, α² = 0.16 spelled as
+    // literals the same way the engine folds them
+    "text_backoff_lm" ->
+      """WITH lm AS (SELECT string_split(text, ' ') AS toks FROM documents
+                     WHERE source <> 'src0'),
+           lm3 AS (SELECT array_to_string(toks[i : i + 2], ' ') AS g,
+                     CAST(count(*) AS BIGINT) AS c3
+                   FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                         FROM lm WHERE len(toks) >= 3) GROUP BY 1),
+           lm2 AS (SELECT array_to_string(toks[i : i + 1], ' ') AS g,
+                     CAST(count(*) AS BIGINT) AS c2
+                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                         FROM lm WHERE len(toks) >= 2) GROUP BY 1),
+           lm1 AS (SELECT w AS g, CAST(count(*) AS BIGINT) AS c1
+                   FROM (SELECT unnest(toks) AS w FROM lm) GROUP BY 1),
+           nt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_lm FROM lm),
+           pos AS (SELECT doc_id,
+                     toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+                   FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                           unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+                         FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+           sc AS (SELECT doc_id,
+                    CASE
+                      WHEN t3.c3 IS NOT NULL
+                        THEN CAST(t3.c3 AS DOUBLE) / CAST(p2.c2 AS DOUBLE)
+                      WHEN b2.c2 IS NOT NULL
+                        THEN 0.4 * CAST(b2.c2 AS DOUBLE) / CAST(p1.c1 AS DOUBLE)
+                      WHEN u1.c1 IS NOT NULL
+                        THEN 0.16 * CAST(u1.c1 AS DOUBLE) / CAST(nt.n_lm AS DOUBLE)
+                    END AS s
+                  FROM pos
+                  LEFT JOIN lm3 t3 ON t3.g = w1 || ' ' || w2 || ' ' || w3
+                  LEFT JOIN lm2 p2 ON p2.g = w1 || ' ' || w2
+                  LEFT JOIN lm2 b2 ON b2.g = w2 || ' ' || w3
+                  LEFT JOIN lm1 p1 ON p1.g = w2
+                  LEFT JOIN lm1 u1 ON u1.g = w3
+                  CROSS JOIN nt)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+                CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                round(avg(log(s)), 6) AS mean_log10
+         FROM sc GROUP BY 1""",
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
                         unnest(string_split(text, ' ')) AS word FROM documents),

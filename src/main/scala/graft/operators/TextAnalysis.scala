@@ -334,6 +334,88 @@ object TextAnalysis {
         count(lit(1)).cast("bigint").as("n_bigrams"))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4 — THE web-scale n-gram score: no
+    * discounting, no normalization, just relative frequencies with a
+    * fixed backoff penalty, chosen because it distributes where
+    * Kneser–Ney does not): every document is scored against an LM
+    * trained on the `lmPredicate` slice of the corpus,
+    *
+    *   S(w₃|w₁w₂) = c₃/c₂(w₁w₂)          if the trigram is in the LM
+    *              = α · c₂(w₂w₃)/c₁(w₂)  else if the bigram is
+    *              = α² · c₁(w₃)/N        else if the unigram is
+    *              = OOV (excluded, counted) otherwise,
+    *
+    * and the document score is the mean log10 S over its scored
+    * positions — the cross-slice fluency signal (score a crawl against a
+    * trusted slice; in-LM documents take the direct path, novel text
+    * exercises the backoff chain).
+    *
+    * Scale shape: grams ride every shuffle as 8-byte xxhash64 keys
+    * (trigram, both bigrams, both unigrams), never strings; the three
+    * count relations are partial-agg'd groupBys. On a vocab-bounded
+    * corpus AQE broadcasts the counts and scoring is map-side; at
+    * open-web scale (trillions of distinct grams — the paper's regime)
+    * the five lookups degrade gracefully to fp-keyed shuffle equi-joins
+    * of an 8-byte-key position relation, the Brants batch-lookup shape.
+    * Documents with < 3 tokens have no trigram positions and drop (inner
+    * semantics, like any n-gram op at n = 3). */
+  def stupidBackoffScore(documents: DataFrame, lmPredicate: Column,
+      alpha: Double = 0.4): DataFrame = {
+    val toks = Funcs.tokens(col("text"))
+    val lm = documents.filter(lmPredicate)
+    // fused native hashing everywhere: no gram string ever materializes —
+    // Native.ShingleHashes is xxhash64 of the space-joined gram, so the
+    // fp keys are bit-identical to hashing the declarative shingles. The
+    // ≥ n filters keep the short-doc whole-doc rule out of the LM counts.
+    val tri = lm.filter(size(toks) >= 3)
+      .select(explode(Native.shingleHashes(toks, 3, sortedDistinct = false)).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).cast("bigint").as("c3"))
+    val bi = lm.filter(size(toks) >= 2)
+      .select(explode(Native.shingleHashes(toks, 2, sortedDistinct = false)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).cast("bigint").as("c2"))
+    val uni = lm
+      .select(explode(Native.shingleHashes(toks, 1, sortedDistinct = false)).as("uk"))
+      .groupBy("uk").agg(count(lit(1)).cast("bigint").as("c1"))
+    val nTotal = lm.agg(sum(size(toks)).cast("bigint").as("n_lm"))
+    // one row per trigram position, five 8-byte lookup keys: position i's
+    // keys are element lookups into the per-level hash arrays, which sit
+    // behind a projection boundary (each array is non-cheap and read
+    // several times, so CollapseProject keeps the producer separate)
+    val pos = documents
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        Native.shingleHashes(toks, 3, sortedDistinct = false).as("h3"),
+        Native.shingleHashes(toks, 2, sortedDistinct = false).as("h2"),
+        Native.shingleHashes(toks, 1, sortedDistinct = false).as("h1"))
+      .select(col("doc_id"), col("h2"), col("h1"),
+        posexplode(col("h3")).as(Seq("i", "tk")))
+      .select(col("doc_id"), col("tk"),
+        element_at(col("h2"), col("i") + 1).as("bpk"),
+        element_at(col("h2"), col("i") + 2).as("bk"),
+        element_at(col("h1"), col("i") + 2).as("upk"),
+        element_at(col("h1"), col("i") + 3).as("uk"))
+    val joined = pos
+      .join(tri, Seq("tk"), "left")
+      .join(bi.select(col("bk").as("bpk"), col("c2").as("c2p")), Seq("bpk"), "left")
+      .join(bi, Seq("bk"), "left")
+      .join(uni.select(col("uk").as("upk"), col("c1").as("c1p")), Seq("upk"), "left")
+      .join(uni, Seq("uk"), "left")
+      .crossJoin(broadcast(nTotal))
+    val s =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2p").cast("double"))
+        .when(col("c2").isNotNull,
+          lit(alpha) * col("c2").cast("double") / col("c1p").cast("double"))
+        .when(col("c1").isNotNull,
+          lit(alpha * alpha) * col("c1").cast("double") / col("n_lm").cast("double"))
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_positions"),
+        sum(when(s.isNull, 1L).otherwise(0L)).cast("bigint").as("n_oov"),
+        round(avg(log10(s)), 6).as("mean_log10"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     * corpus into head / middle / tail by the tertiles of the per-document
     * LM surprisal ([[unigramSurprisal]]'s mean NLL standing in for the

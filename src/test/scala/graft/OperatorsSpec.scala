@@ -547,6 +547,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (("b c a", 1L, 1L)))
   }
 
+  test("stupidBackoffScore: direct, bigram-backoff, unigram-backoff, and OOV paths hand-checked") {
+    val docs = Seq(
+      (1L, "a b c d", "lm"),          // LM: trigrams {a b c, b c d}, N = 4
+      (10L, "a b c x b c d", "new")   // scored against it
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.stupidBackoffScore(docs, $"source" === "lm")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // LM doc scored against itself: both positions take the direct path
+    assert(got(1L) == ((2L, 0L, Some(0.0))))
+    // positions of doc 10: (a,b,c) direct 1.0; (b,c,x) OOV (x unseen);
+    // (c,x,b) unigram backoff 0.16·1/4 = 0.04; (x,b,c) bigram backoff
+    // 0.4·1/1 = 0.4; (b,c,d) direct 1.0 →
+    // mean log10 = (0 − 1.39794 − 0.39794 + 0)/4 = −0.44897
+    assert(got(10L) == ((5L, 1L, Some(-0.44897))))
+  }
+
   test("novelGramShare: shared grams count against novelty; short docs ride the whole-doc gram") {
     val fixture = Seq(
       (1L, "a b c d"),   // grams "a b c", "b c d" — "a b c" shared with doc 2

@@ -136,6 +136,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpartitioned window runs over an unaggregated input:\n${unpart.head}")
   }
 
+  test("materializeMixture: every window is source-partitioned — per-source budgets never funnel the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.operators.Pipeline.materializeMixture(
+      Tables.documents(spark, dir), budgetTokens = 24000L)
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the bucket running-total windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in the per-source sampler:\n$sp")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("duplicatedSpans: every window is doc-partitioned — the interval merge never funnels the corpus") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = Dedup.duplicatedSpans(Tables.documents(spark, dir))
