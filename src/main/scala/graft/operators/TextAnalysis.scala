@@ -894,17 +894,40 @@ object TextAnalysis {
     * deterministic. */
   def heavyHitters(documents: DataFrame, n: Int = 3, k: Int = 50): DataFrame = {
     val toks = Funcs.tokens(col("text"))
-    documents
-      // the ≥ n filter keeps wordShingles on its all-n-grams branch (its
-      // short-doc whole-doc rule is NOT wanted here: a 2-token doc is no
-      // 3-gram heavy hitter)
+    // the ≥ n filter keeps the shingle loop on its all-n-grams branch
+    // (the short-doc whole-doc rule is NOT wanted here: a 2-token doc is
+    // no 3-gram heavy hitter). Counting runs over 8-byte fps only — at
+    // 100 TB the count shuffle carries no gram text at all; strings
+    // materialize ONCE PER WINNER below, never per occurrence.
+    val positions = documents
       .filter(size(toks) >= n)
-      .select(col("doc_id"), explode(Funcs.wordShingles(toks, n)).as("gram"))
-      .groupBy("gram")
-      .agg(count(lit(1)).cast("bigint").as("cnt"),
+      .select(col("doc_id"),
+        posexplode(Native.shingleHashes(toks, n, sortedDistinct = false))
+          .as(Seq("pos", "fp")))
+    val counts = positions
+      .groupBy("fp").agg(count(lit(1)).cast("bigint").as("cnt"),
         count_distinct(col("doc_id")).cast("bigint").as("df"))
+      .transform(Caches.persisted)
+    // candidate set = every fp tied with or above the kth count, so the
+    // final (cnt DESC, gram ASC) cutoff sees ALL boundary ties and the
+    // gram-ascending tiebreak stays exact
+    val kth = counts.orderBy(col("cnt").desc).limit(k).agg(min(col("cnt")).as("c_min"))
+    val cand = counts.crossJoin(broadcast(kth)).filter(col("cnt") >= col("c_min"))
+    // recover each candidate's STRING from its first occurrence: one
+    // (doc, pos) pointer per winner joins back to the doc row and slices
+    // the gram out of the token array
+    val firstOcc = positions
+      .join(cand.select(col("fp")), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+    val grams = firstOcc
+      .select(col("fp"), col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      .join(documents.select(col("doc_id"), toks.as("tk")), Seq("doc_id"))
+      .select(col("fp"),
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(n))).as("gram"))
+    cand.join(grams, Seq("fp"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+      .select(col("gram"), col("cnt"), col("df"))
   }
 
   /** Per-document n-gram novelty — [[heavyHitters]]'s complement and the
