@@ -83,6 +83,22 @@ class GoldenTraceSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("attributeReport composes onto a stream unchanged — the Dolma tagger family is stateless") {
+    // every signal in the sidecar is a zero-shuffle projection, so the
+    // SAME operator runs in a streaming query with no watermark, no
+    // state, append mode — the online ingest-tagging shape
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "the cat sat on the mat and the dog sat too."),
+      (2L, "zz zz zz"))
+    val got = runToMemory(
+      graft.operators.TextAnalysis.attributeReport(in.toDF().toDF("doc_id", "text")),
+      "golden_attr", OutputMode.Append())
+      .select($"doc_id", $"pred_lang", $"n_badwords").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("en", 0L)), 2L -> (("und", 0L))))
+  }
+
   test("T6 golden: 1-minute tumbling fraud threshold alerts exactly on windows with count > 3 (windows/tumbling/FraudDetectionApp.java:38-57)") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     // card 9: 4 txns inside [10:00,10:01) → alert; 2 txns in [10:01,10:02) → none

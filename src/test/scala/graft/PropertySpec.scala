@@ -213,6 +213,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("per-source budget sampler law: two-phase bucketed selection ≡ naive cumsum with joined budgets, on random corpora") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(47)
+    val docs = (0 until 400).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(30)).mkString(" ")
+      (i.toLong, words, "s" + rnd.nextInt(5))
+    }.toDF("doc_id", "text", "source")
+    // random budgets: some tiny (boundary inside the first bucket), some
+    // past availability (keep-all), one source missing (dropped)
+    val budgets = Seq(("s0", 7L), ("s1", 100L), ("s2", 100000L), ("s3", 0L))
+      .toDF("source", "budget_tokens")
+    val got = graft.operators.Pipeline.sampleToTokenBudgets(docs, budgets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .select($"doc_id", $"source",
+        size(graft.functions.Funcs.tokens($"text")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .join(budgets, Seq("source"))
+      .filter($"cum_before" < $"budget_tokens")
+      .select($"doc_id", $"source", $"n_tokens")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("linearQualityScore negation law: flipping the weights negates every logit") {
     val docGen = Gen.chooseNum(1, 10).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" ")))
