@@ -697,6 +697,12 @@ object SparkEntry {
     // predicate works; the oracle mirrors this one)
     "text_dsir" -> ((s, d) =>
       TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0")),
+    // the selection-ablation table over the DSIR score: docs/token mass
+    // surviving each candidate cutoff, from ONE aggregate pass
+    "quality_sweep" -> ((s, d) => Pipeline.thresholdSweep(
+      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0"),
+      "mean_logratio", "n_tokens",
+      Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))),
     "sample_importance" -> ((s, d) =>
       TextAnalysis.importanceTopK(Tables.documents(s, d), col("source") === "src0", k = 100)),
     // model-based quality scoring plumbing: the weights are an arbitrary
@@ -1900,6 +1906,35 @@ object SparkEntry {
                 CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                 round(avg(log(s)), 6) AS mean_log10
          FROM sc GROUP BY 1""",
+    // the DSIR score CTE replayed, cross-joined with the threshold list,
+    // rolled up per threshold — same arithmetic, same 6dp rounding
+    "quality_sweep" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+                        unnest(string_split(text, ' ')) AS word FROM documents),
+           c AS (SELECT word, CAST(count(*) AS BIGINT) AS c_s,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                 FROM tok GROUP BY 1),
+           t AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s, CAST(sum(c_t) AS BIGINT) AS n_t,
+                   CAST(count(*) AS BIGINT) AS v FROM c),
+           sc AS (SELECT doc_id,
+               round(avg(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                       - ln(CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))), 6) AS s,
+               CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tok JOIN c USING (word) CROSS JOIN t GROUP BY doc_id),
+           th AS (SELECT unnest([-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2]) AS threshold),
+           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_w FROM sc)
+         SELECT th.threshold,
+                CAST(sum(CASE WHEN sc.s >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_keep,
+                round(sum(CASE WHEN sc.s >= th.threshold THEN 1 ELSE 0 END)::DOUBLE
+                      / tot.n_docs, 6) AS keep_rate,
+                CAST(sum(CASE WHEN sc.s >= th.threshold THEN sc.n_tokens ELSE 0 END)
+                  AS BIGINT) AS tokens_keep,
+                round(sum(CASE WHEN sc.s >= th.threshold THEN sc.n_tokens ELSE 0 END)::DOUBLE
+                      / tot.total_w, 6) AS token_keep_rate
+         FROM sc CROSS JOIN th CROSS JOIN tot
+         GROUP BY th.threshold, tot.n_docs, tot.total_w""",
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
                         unnest(string_split(text, ' ')) AS word FROM documents),

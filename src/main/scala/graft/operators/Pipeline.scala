@@ -764,6 +764,45 @@ object Pipeline {
       .withColumn("epochs",
         round(col("target_tokens").cast("double") / col("total_tokens").cast("double"), 6))
 
+  /** Threshold calibration sweep — the selection-ablation table a
+    * score-based filter is tuned from (the DCLM / FineWeb-Edu ablation
+    * shape: "what survives at each cutoff"): for every candidate
+    * threshold, the documents and token mass kept by `score ≥ t`
+    * (`keepBelow` flips to ≤ for lower-is-better scores like
+    * perplexity). Thresholds can be tuned offline from this one table
+    * without re-running the scorer.
+    *
+    * Scale shape: ONE aggregate pass — each threshold contributes two
+    * conditional sums to a single partial-agg'd reduction, so the corpus
+    * is read once and nothing corpus-sized shuffles; the single result
+    * row then unpivots map-side to one row per threshold. */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, weightCol: String,
+      thresholds: Seq[Double], keepBelow: Boolean = false): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: no thresholds")
+    def keep(t: Double): Column =
+      if (keepBelow) col(scoreCol) <= t else col(scoreCol) >= t
+    val aggs =
+      count(lit(1)).cast("bigint").as("n_docs") +:
+        sum(col(weightCol)).cast("bigint").as("total_w") +:
+        thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+          sum(when(keep(t), 1L).otherwise(0L)).cast("bigint").as(s"k_$i"),
+          sum(when(keep(t), col(weightCol)).otherwise(0L)).cast("bigint").as(s"w_$i"))
+        }
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"k_$i").as("n_keep"),
+          round(col(s"k_$i").cast("double") / col("n_docs").cast("double"), 6)
+            .as("keep_rate"),
+          col(s"w_$i").as("tokens_keep"),
+          round(col(s"w_$i").cast("double") / col("total_w").cast("double"), 6)
+            .as("token_keep_rate"))
+      }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"), col("r.n_keep").as("n_keep"),
+        col("r.keep_rate").as("keep_rate"), col("r.tokens_keep").as("tokens_keep"),
+        col("r.token_keep_rate").as("token_keep_rate"))
+  }
+
   /** Mixture MATERIALIZATION — the step [[epochPlan]] stops short of:
     * turn the per-domain token targets into an actual sampled corpus by
     * filling each source to its own target in deterministic md5 order

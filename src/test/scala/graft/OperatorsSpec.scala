@@ -547,6 +547,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (("b c a", 1L, 1L)))
   }
 
+  test("thresholdSweep: monotone in the threshold, exact at the extremes, keepBelow flips the direction") {
+    val scored = Seq(
+      (1L, 0.1, 10L), (2L, 0.5, 20L), (3L, 0.9, 40L)
+    ).toDF("doc_id", "s", "n_tokens")
+    val up = Pipeline.thresholdSweep(scored, "s", "n_tokens", Seq(0.0, 0.5, 1.0))
+      .orderBy($"threshold")
+      .as[(Double, Long, Double, Long, Double)].collect().toSeq
+    assert(up == Seq(
+      (0.0, 3L, 1.0, 70L, 1.0),
+      (0.5, 2L, 0.666667, 60L, 0.857143),
+      (1.0, 0L, 0.0, 0L, 0.0)))
+    val down = Pipeline.thresholdSweep(scored, "s", "n_tokens", Seq(0.5), keepBelow = true)
+      .as[(Double, Long, Double, Long, Double)].head()
+    assert(down == ((0.5, 2L, 0.666667, 30L, 0.428571)))
+  }
+
   test("stupidBackoffScore: direct, bigram-backoff, unigram-backoff, and OOV paths hand-checked") {
     val docs = Seq(
       (1L, "a b c d", "lm"),          // LM: trigrams {a b c, b c d}, N = 4
