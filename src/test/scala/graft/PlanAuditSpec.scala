@@ -57,6 +57,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(TextAnalysis.attributeReport(Tables.documents(spark, dir))) == 0)
   }
 
+  test("stupidBackoffScore: every shuffle partitions on 8-byte fp keys or doc_id, never gram strings") {
+    val p = plan(TextAnalysis.stupidBackoffScore(
+      Tables.documents(spark, dir), col("source") =!= "src0"))
+    val exchangeLines = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach { l =>
+      assert(!l.contains("text") && !l.contains("gram") && !l.contains("word"),
+        s"backoff shuffle carries strings: $l")
+    }
+  }
+
+  test("thresholdSweep: one aggregate reduction, no join, no window — the corpus reads once") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("double").as("s"),
+        col("n_chars").as("n_tokens"))
+    val df = graft.operators.Pipeline.thresholdSweep(
+      scored, "s", "n_tokens", Seq(0.0, 5.0))
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty, "unexpected window")
+    assert(sp.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }.isEmpty, "unexpected join")
+    // the only exchanges are the two-phase aggregate's (partial → final)
+    assert(exchanges(df) <= 2, s"extra exchanges:\n${plan(df)}")
+  }
+
   test("bigramSurprisal shuffles 8-byte fingerprints, never token-pair strings") {
     val p = plan(TextAnalysis.bigramSurprisal(Tables.documents(spark, dir)))
     // every Exchange partitions on the hashed keys (bk/pk) or the final
