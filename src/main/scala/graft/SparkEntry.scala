@@ -531,6 +531,15 @@ object SparkEntry {
           .select(col("source"), wav.as("wav")))
     }),
 
+    // per-(source, modality) media census over the planted container mix
+    // — group keys and counters shuffle, payload bytes never move; the
+    // oracle re-derives each row's modality analytically from the doc_id
+    // routing the fixture plants, so the sniff must agree with the
+    // construction on every row for the rollup to hash-match
+    "multimodal_inventory" -> ((s, d) =>
+      Multimodal.mediaInventory(Tables.documents(s, d)
+        .select(col("source"), multimodalBinary(col("doc_id"), col("text")).as("media")))),
+
     // video sibling of multimodal_audio: doc_id%4==3 rows carry REAL
     // ISO-BMFF ftyp+moov/mvhd prefixes (movie geometry derived from
     // doc_id, payload = text bytes); the engine walks the boxes and
@@ -1501,6 +1510,18 @@ object SparkEntry {
            FROM documents)""",
     // WAV blob built independently in SQL (LE byte encoding via reversed
     // hex pairs), fields re-extracted by hex slicing at the spec offsets
+    // header sizes by construction: JPEG prefix 39 B, PNG 29 B, bare RIFF
+    // magic 4 B, none 0 — so total_bytes is analytic per modality class
+    "multimodal_inventory" ->
+      """SELECT source,
+           CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'application/riff'
+                ELSE 'application/octet-stream' END AS modality,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(octet_length(encode(text)) +
+                CASE doc_id % 4 WHEN 0 THEN 39 WHEN 1 THEN 29 WHEN 2 THEN 4
+                     ELSE 0 END) AS BIGINT) AS total_bytes
+         FROM documents GROUP BY 1, 2""",
     // planted-analytic: the engine must RECOVER the movie geometry the
     // fixture derived from doc_id through a real box walk; the builder's
     // byte layout is pinned by the hand-computed-hex golden in

@@ -312,6 +312,21 @@ object Multimodal {
       .drop("__graft_mp4_bin", "__graft_mp4_q1", "__graft_mp4_q2", "__graft_mp4_q3", "__graft_mp4_m")
   }
 
+  /** Corpus-wide media census — the per-(source, modality) inventory a
+    * multimodal pipeline reads before routing anything to codecs: how
+    * many payloads of each sniffed type each source contributes, and
+    * their byte mass (the decode-cost estimate). One partial-aggregated
+    * shuffle whose group keys are (source, modality) — sources × formats
+    * rows — and whose per-row work is the bounded-substring
+    * [[modality]] sniff: the payload bytes never move, only counters. */
+  def mediaInventory(media: DataFrame): DataFrame =
+    media
+      .select(col("source"), modality(col("media")).as("modality"),
+        length(col("media")).cast("bigint").as("nb"))
+      .groupBy("source", "modality")
+      .agg(count(lit(1)).cast("bigint").as("n_media"),
+        sum(col("nb")).cast("bigint").as("total_bytes"))
+
   /** STUB — deterministic fake image decode. Production: this exact
     * struct comes from a `mapPartitions` batch decode with a real codec
     * (libjpeg/ffmpeg), one partition per worker-locality batch; the fake

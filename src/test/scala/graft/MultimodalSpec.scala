@@ -110,6 +110,22 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.wavMeta($"b").as("m")).collect().forall(_.isNullAt(0)))
   }
 
+  test("mediaInventory groups a mixed corpus by (source, sniffed modality) with byte mass") {
+    val rows = Seq(
+      ("a", withMagic(Multimodal.JpegMagic, "12345")),   // 9 B jpeg
+      ("a", withMagic(Multimodal.JpegMagic, "1")),       // 5 B jpeg
+      ("a", withMagic(Multimodal.PngMagic, "")),         // 4 B png
+      ("b", "plain".getBytes("UTF-8"))                   // 5 B octet-stream
+    ).toDF("source", "media")
+    val got = Multimodal.mediaInventory(rows)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "image/jpeg") -> ((2L, 14L)),
+      ("a", "image/png") -> ((1L, 4L)),
+      ("b", "application/octet-stream") -> ((1L, 5L))))
+  }
+
   test("mp4Header: byte layout matches hand-computed ISO-BMFF hex (the anti-compensating-bug pin)") {
     // every offset computed by hand from the spec: ftyp(16) 'isom',
     // moov(116) > mvhd(108) v0, timescale 600 = 0x258, duration 1200 =
