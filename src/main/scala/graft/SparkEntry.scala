@@ -671,6 +671,11 @@ object SparkEntry {
     // same row from each tagger's proven CTE via joins
     "text_attributes" -> ((s, d) => TextAnalysis.attributeReport(Tables.documents(s, d))),
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // deliberately rows-only (DuckDB has no zlib surface and the exact
+    // ratio is zlib-impl detail): the RPv2 compressibility signal, pinned
+    // by wide-margin property tests in FuncsSpec — degenerate ≪ prose ≪
+    // random, doubling a text lowers its ratio
+    "text_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     // BM25 retrieval against a fixed bag-of-words query (targeted

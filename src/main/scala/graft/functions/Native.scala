@@ -442,6 +442,39 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** deflate_ratio(STRING) → DOUBLE: zlib-compressed size over raw UTF-8
+    * size — the compressibility quality signal RedPajama-V2 ships as
+    * `ccnet_compression_ratio` and CCNet uses alongside perplexity:
+    * boilerplate/templated/looping text compresses far below prose, and
+    * the signal catches LONG-RANGE repetition that per-token and
+    * character-entropy stats miss (a page of repeated paragraphs has
+    * normal unigram stats and near-prose char entropy, but a ratio near
+    * the repetition period's share). Fixed deflate level 6, nowrap —
+    * deterministic for a given zlib implementation; the exact value is
+    * impl-detail, so consumers threshold it (the query surface is
+    * rows-only, pinned by wide-margin property tests, the
+    * [[CharEntropy]]-family stance taken one step further). Zero
+    * shuffle: one streaming deflate pass per row, no buffer of the
+    * whole compressed output (a 4 KB scratch block is drained into a
+    * counter). Empty text → ratio 0. */
+  case class DeflateRatio(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].getBytes
+      if (raw.isEmpty) return java.lang.Double.valueOf(0.0)
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](4096)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        java.lang.Double.valueOf(compressed.toDouble / raw.length)
+      } finally d.end()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** dhash64(BINARY, w, h) → LONG: difference hash of a w×h row-major
     * 8-bit grayscale bitmap — the standard perceptual image fingerprint
     * (block-average resize to a 9×8 grid of means, then bit r·8+c = 1 iff
@@ -661,6 +694,7 @@ object Native {
       SpanCorrupt(exprs(0), exprs(1), intLit(exprs(2), "ratePercent"))),
     "graft_bloom_contains" -> (exprs => BloomContainsLong(exprs(0), exprs(1))),
     "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))),
+    "graft_deflate_ratio" -> (exprs => DeflateRatio(exprs(0))),
     "graft_dhash" -> (exprs =>
       DHash64(exprs(0), intLit(exprs(1), "width"), intLit(exprs(2), "height"))))
 
@@ -716,6 +750,7 @@ object Native {
     call_function("graft_bloom_contains",
       org.apache.spark.sql.functions.lit(filterBytes), hash)
   def charEntropy(text: Column): Column = call_function("graft_char_entropy", text)
+  def deflateRatio(text: Column): Column = call_function("graft_deflate_ratio", text)
   def dhash(img: Column, width: Int, height: Int): Column =
     call_function("graft_dhash", img,
       org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height))

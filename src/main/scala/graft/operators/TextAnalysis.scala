@@ -1143,4 +1143,19 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars"),
       (round(Native.charEntropy(col("text")), 6) + lit(0.0)).as("entropy"))
+
+  /** Compressibility quality signal — RedPajama-V2's
+    * `ccnet_compression_ratio` ([[graft.functions.Native.DeflateRatio]]):
+    * zlib size over raw size per document. Catches LONG-RANGE repetition
+    * (repeated paragraphs, templated pages) that unigram stats and
+    * [[charEntropy]] miss — the deflate window sees 32 KB back, the
+    * other signals one token/character at a time. Zero shuffle; the
+    * exact value is zlib-impl detail, so the harness surface is
+    * rows-only and the signal is pinned by wide-margin property tests
+    * (degenerate ≪ prose ≪ random; doubling a text lowers its ratio). */
+  def compressionRatio(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      round(Native.deflateRatio(col("text")), 6).as("deflate_ratio"))
 }

@@ -9,6 +9,31 @@ class FuncsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("deflateRatio: degenerate ≪ prose-like ≪ random-ish; doubling lowers the ratio; empty is 0") {
+    import graft.functions.Native
+    val rnd = new scala.util.Random(7)
+    val prose = Seq.fill(120)("w" + rnd.nextInt(400)).mkString(" ") // ~600 chars, varied
+    val hexish = (0 until 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x$i".getBytes).map("%02x".format(_)).mkString).mkString // 1280 random hex chars
+    val rows = Seq(
+      (1L, "ab" * 500),       // degenerate repetition
+      (2L, prose),
+      (3L, hexish),
+      (4L, prose + " " + prose), // long-range duplication
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = rows.select($"doc_id", Native.deflateRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.1, s"degenerate ratio ${r(1L)}")
+    assert(r(3L) > 0.3, s"random-ish ratio ${r(3L)}")
+    assert(r(1L) < r(2L) && r(2L) < r(3L), s"ordering: $r")
+    // the whole point vs char-level stats: a doubled text compresses
+    // BETTER than the original (the window sees the first copy)
+    assert(r(4L) < r(2L), s"doubling did not lower the ratio: $r")
+    assert(r(5L) == 0.0)
+  }
+
   test("eventTimeChain parses the reference extractor's format matrix (OrderTimestampStreamApp.java:139-206)") {
     val fallback = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     val rows = Seq(
