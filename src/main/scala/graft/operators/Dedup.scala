@@ -153,15 +153,24 @@ object Dedup {
     * stance.
     *
     * @param documents (doc_id, url, n_chars) — derive `url` upstream;
-    *                  the corpus table carries no URL column. */
-  def urlDedup(documents: DataFrame): DataFrame = {
+    *                  the corpus table carries no URL column.
+    * @param keeperOrder which capture of a page wins: the default is
+    *                  keep-longest (fullest crawl, ties to the smallest
+    *                  doc_id); a re-crawling pipeline passes
+    *                  `Seq(col("fetch_ts").desc, col("doc_id").asc)` for
+    *                  keep-LATEST (the CCNet snapshot rule — newest fetch
+    *                  supersedes, whatever its length). Order columns
+    *                  must exist on `documents`; the plan shape (single
+    *                  fp-keyed Exchange, both windows sharing it) is
+    *                  identical for any ordering. */
+  def urlDedup(documents: DataFrame,
+      keeperOrder: Seq[Column] = Seq(col("n_chars").desc, col("doc_id").asc)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = documents.select(
-      col("doc_id"), col("n_chars"),
-      TextAnalysis.canonicalUrl(col("url")).as("canon_url"))
+    val canon = documents
+      .withColumn("canon_url", TextAnalysis.canonicalUrl(col("url")))
       .withColumn("fp", xxhash64(col("canon_url")))
     val byFp = Window.partitionBy(col("fp"))
-    val ordered = byFp.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ordered = byFp.orderBy(keeperOrder: _*)
     canon.select(
       col("doc_id"), col("canon_url"),
       first(col("doc_id")).over(ordered).as("keeper_id"),

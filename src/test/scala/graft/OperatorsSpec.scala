@@ -1396,6 +1396,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == (("page.com/y", 4L, 1L, 1L)))
   }
 
+  test("urlDedup keep-latest: a re-crawl ordering keeps the newest fetch regardless of length") {
+    val docs = Seq(
+      (1L, "page.com/x", 900L, 100L), // longest but oldest
+      (2L, "page.com/x/", 100L, 300L) // newest fetch wins under keep-latest
+    ).toDF("doc_id", "url", "n_chars", "fetch_ts")
+    val got = Dedup.urlDedup(docs,
+      keeperOrder = Seq($"fetch_ts".desc, $"doc_id".asc))
+      .select($"doc_id", $"keeper_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+    // and the default still keeps the longest on the same input
+    val dflt = Dedup.urlDedup(docs)
+      .select($"doc_id", $"keeper_id").as[(Long, Long)].collect().toMap
+    assert(dflt == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("hardNegatives drops self and the positive band, ranks the remainder by cosine") {
     val corpus = Seq(
       (10L, Array(1f, 0f)),     // the query itself — self-excluded
