@@ -97,4 +97,30 @@ class SchemaDriftSpec extends AnyFunSuite {
       assert(out.isStreaming)
       assert(out.queryExecution.analyzed != null)
     }
+
+  test("documents drift: int32 doc ids — okey-packing operators agree with the int64 run") {
+    // the other plausible re-gen drift (pandas downcasting ids to int32):
+    // shiftleft on an INT column masks the shift count to 5 bits, so
+    // shiftleft(intCol, 32) is the IDENTITY and packed (doc_id, pos) keys
+    // silently collide — the third-review fix casts to LONG first; this
+    // pins the whole id-width class across the packing-keyed operators
+    val rows = Seq(
+      (1, "alpha beta\nshared line\ngamma"),
+      (2, "shared line\ndelta"),
+      (3, "delta\nshared line"))
+    val ints = rows.toDF("doc_id", "text")
+    val longs = rows.map { case (i, t) => (i.toLong, t) }.toDF("doc_id", "text")
+    def lineRun(df: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.lineDedup(df)
+        .select(col("doc_id").cast("long"), col("n_lines"), col("n_kept"), col("text_clean"))
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(lineRun(ints) == lineRun(longs))
+    def spanRun(df: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.removeDuplicatedSpans(df.withColumn("text",
+          regexp_replace(col("text"), "\n", " ")), n = 2)
+        .select(col("doc_id").cast("long"), col("n_kept"), col("text_clean"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(spanRun(ints) == spanRun(longs))
+    operators.Dedup.releaseCaches(spark)
+  }
 }
