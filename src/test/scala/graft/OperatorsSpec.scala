@@ -668,6 +668,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap >= 32, s"IVF recall too low: $overlap/40") // ≥80% at nprobe=4/16 (k-means centroids)
   }
 
+  test("IVF recall is monotone in nprobe — the cost/recall dial behaves as documented") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val corpus = emb.select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select($"query_id", $"vec_id").collect().toSet
+    // ONE centroid training shared across probes: the dial under test is
+    // nprobe alone, not k-means initialization noise
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val recalls = Seq(1, 2, 4, 16).map { np =>
+      Similarity.ivfTopKWith(queries, corpus, cents, 10, nprobe = np)
+        .select($"query_id", $"vec_id").collect().toSet.intersect(bf).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    // full probe = brute force (every bucket scanned, dedup'd): exact
+    assert(recalls.last == bf.size, s"nprobe=C should be exact: ${recalls.last}/${bf.size}")
+  }
+
   test("pqEncode recovers planted codes; ADC top-k equals exact inner product on reconstructions") {
     // same integer formula as SparkEntry's sim_topk_pq fixture
     val cb: Array[Array[Array[Float]]] =
