@@ -22,7 +22,12 @@ import org.apache.spark.sql.SparkSession
   *     already busy past `loadCap` (4.0), every query re-measures. Mid-run
   *     samples are deliberately NOT gated on — a 32-thread bench drives
   *     the 1-min loadavg past any fixed cap by itself, and gating on its
-  *     own work flagged 83/91 queries on an idle box.
+  *     own work flagged 83/91 queries on an idle box;
+  *   - a fixed-cost canary query brackets the timed pass (round-7 lesson:
+  *     ambient 3.9 passed the 4.0 gate yet every query carried a ~+1.25 s
+  *     contention floor). The canary's idle cost is committed; a run whose
+  *     canary exceeds 3× that floor is stamped `contaminated: true` in the
+  *     JSON no matter what the loadavg said.
   */
 object Bench {
 
@@ -32,6 +37,41 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** Canary: a fixed-size, SF-independent query — 2²⁴ xxhash64'd longs over
+    * 32 partitions, summed. It exercises exactly what external load
+    * contaminates (task scheduling across all cores + a codegen'd scan) and
+    * nothing that varies with the data (no I/O, no shuffle). Its idle-box
+    * cost is a committed constant, so a contaminated run is detectable from
+    * the JSON alone — the round-7 lesson: the ambient-loadavg gate (4.0)
+    * passed a run taken at ambient 3.9 that carried a uniform ~+1.25 s
+    * per-query floor, turning a 0.72× engine into an apparent 4.8×. */
+  private[graft] def canaryQuery(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0L, 1L << 24, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      // bit_xor, not sum: 2^24 xxhash64 longs overflow an ANSI BIGINT sum
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.col("h")).as("s"))
+
+  /** Idle-box canary floor (seconds): the canary's median on this box with
+    * ambient load < 1, measured at calibration time and COMMITTED — the
+    * reference point that makes `contaminated` decidable offline. */
+  private[graft] val CanaryFloorSec: Double = 0.11
+
+  /** A canary median this far above its committed idle floor marks the
+    * whole run contaminated, regardless of what ambient loadavg claimed. */
+  private[graft] val CanaryContaminationFactor: Double = 3.0
+
+  /** The flagging rule, pure so the spec can pin it: contaminated iff the
+    * worst canary median observed around the timed pass exceeds
+    * factor × committed idle floor. A non-positive floor (calibration
+    * failure) never flags — the canary must not be able to invalidate runs
+    * by misconfiguration. */
+  private[graft] def isContaminated(
+      canaryMedianSec: Double,
+      floorSec: Double = CanaryFloorSec,
+      factor: Double = CanaryContaminationFactor): Boolean =
+    floorSec > 0 && canaryMedianSec > factor * floorSec
 
   /** median, min, and load sampled immediately before the reps ran. */
   private final case class Sample(median: Double, min: Double, load: Double)
@@ -82,6 +122,14 @@ object Bench {
       Sample(times(times.length / 2), times.head, load)
     }
 
+    // Canary bracketing: one measurement BEFORE the timed pass and one
+    // AFTER, worst median kept — load arriving mid-run is caught by the
+    // closing sample. The canary runs through the same `measure` path
+    // (reps, medians, cache clears) as a real query.
+    def canary(): Double =
+      try measure((s, _) => canaryQuery(s)).median catch { case _: Throwable => -1.0 }
+    val canaryBefore = canary()
+
     // Fail loudly: a failed query gets NO timing entry, and any failure
     // makes the whole bench exit non-zero — a broken build must never look
     // like a fast one (round-1 lesson). Each query reports the MEDIAN of
@@ -122,7 +170,14 @@ object Bench {
     val reruns = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2.median).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
+    val canaryAfter = canary()
+    val canarySec = math.max(canaryBefore, canaryAfter)
+    val contaminated = isContaminated(canarySec)
+    if (contaminated)
+      System.err.println(
+        f"[bench] CONTAMINATED: canary ${canarySec}%.3fs vs idle floor ${CanaryFloorSec}%.3fs " +
+          f"(>${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve gate: runs the heaviest queries at sf0.001 / sf0.01 /
+  * sf0.1 and fits the log-log growth exponent, so superlinear operators
+  * can't hide behind a single-scale benchmark. All correctness and perf
+  * evidence elsewhere is at one scale factor; the bar is "would this plan
+  * survive 100×", and the growth exponent across two decades of data is
+  * the closest measurable proxy this box offers: an operator whose cost is
+  * ~linear in input shows exponent ≈ 1 between the two largest scales; a
+  * pair-explosion (candidate join past its blocking), an accidental
+  * O(n²) window, or a driver-side collect that grows with the corpus all
+  * push it toward 2.
+  *
+  * Two exponents are reported per query:
+  *   - `exp_fit`: least-squares slope of log(t) over log(sf) on all three
+  *     points — robust, but biased LOW by the fixed per-job overhead
+  *     (~0.1 s scheduler/codegen floor dominates sf0.001);
+  *   - `exp_big`: the sf0.01 → sf0.1 pairwise slope — the decision value,
+  *     because the largest decade is where real work dominates overhead.
+  * The gate flags `exp_big >= FlagExponent` (1.3: a 100×-scale-up of a
+  * 1.3-exponent operator is 10^(2·0.3) ≈ 4× worse than linear — past the
+  * 2×-of-baseline perf budget).
+  *
+  * Self-defense mirrors [[Bench]]: median of reps, ambient loadavg
+  * recorded, and the canary bracket stamps `contaminated` so a loaded box
+  * can't fabricate (or mask) a superlinear verdict.
+  *
+  * Output: ONE JSON line on stdout AND `SCALING.json` in the cwd.
+  */
+object ScalingCurve {
+
+  /** The heaviest queries by r7 bench cost, plus the ones whose SHAPE could
+    * hide superlinearity even when cheap today: candidate-pair stages
+    * (minhash/ngram/simhash/embedding near-dup), window-based spans/lines,
+    * multi-query BM25 (postings × queries), and the composed prep DAG. */
+  private[graft] val Targets: Seq[String] = Seq(
+    "pipeline_full_prep",
+    "dedup_spans",
+    "dedup_remove_spans",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_semantic",
+    "text_heavy_hitters",
+    "text_bm25_multi",
+    "text_backoff_lm",
+    "decontaminate_bloom",
+    "decontaminate_neardup",
+    "source_overlap",
+    "text_train_score",
+    "dedup_image",
+    "json_rekey_count",
+    "c4_clean")
+
+  private[graft] val FlagExponent = 1.3
+
+  /** Least-squares slope of y over x. */
+  private[graft] def slope(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val n = xs.length.toDouble
+    val mx = xs.sum / n
+    val my = ys.sum / n
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  private def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val sfs = Seq(0.001, 0.01, 0.1)
+    val dirs = sfs.map(sf => sf -> s"$base/sf$sf")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val ambient = loadavg1()
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val targets = Targets.filter(SparkEntry.queries.contains)
+
+    // warm-up at the largest scale (codegen + page cache), as in Bench
+    targets.foreach { name =>
+      try SparkEntry.queries(name)(spark, dirs.last._2)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+
+    def measure(name: String, dir: String): Double = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    }
+
+    def canary(): Double = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.canaryQuery(spark).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    }
+
+    val canaryBefore = canary()
+    var failures = List.empty[String]
+    val rows = targets.flatMap { name =>
+      try {
+        val ts = dirs.map { case (sf, dir) => sf -> measure(name, dir) }
+        val lx = ts.map { case (sf, _) => math.log(sf) }
+        val ly = ts.map { case (_, t) => math.log(t) }
+        val expFit = slope(lx, ly)
+        val expBig = (ly(2) - ly(1)) / (lx(2) - lx(1))
+        System.err.println(f"[scaling] $name: " +
+          ts.map { case (sf, t) => f"sf$sf=$t%.3fs" }.mkString(" ") +
+          f" exp_fit=$expFit%.2f exp_big=$expBig%.2f" +
+          (if (expBig >= FlagExponent) "  ** FLAG **" else ""))
+        Some((name, ts, expFit, expBig))
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] $name FAILED: ${e.getMessage}")
+        failures ::= name
+        None
+      }
+    }
+    val canaryAfter = canary()
+    val canarySec = math.max(canaryBefore, canaryAfter)
+    val contaminated = Bench.isContaminated(canarySec)
+
+    def fmt(d: Double) = f"$d%.4f"
+    val qjson = rows.map { case (name, ts, expFit, expBig) =>
+      val tj = ts.map { case (sf, t) => "\"sf" + sf + "\":" + fmt(t) }.mkString(",")
+      s""""$name":{$tj,"exp_fit":${fmt(expFit)},"exp_big":${fmt(expBig)},"flag":${expBig >= FlagExponent}}"""
+    }.mkString("{", ",", "}")
+    val flagged = rows.collect { case (n, _, _, e) if e >= FlagExponent => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
+    println(json)
+    val out = java.nio.file.Paths.get("SCALING.json")
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

@@ -603,6 +603,43 @@ object SparkEntry {
       Multimodal.imageNearDup(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // REAL PNG pixel decode, hash-oracled: the planted 9×8 bitmap is
+    // encoded into a GENUINE PNG (signature/IHDR/IDAT/IEND, chunk CRCs,
+    // zlib Adler) with STORED deflate blocks + filter 0, then decoded
+    // back through the real chunk-walk → Inflater → unfilter path.
+    // Two independent pins per doc: `px_hex` (the decoder's output must
+    // equal the analytic plant) and `blob_px_hex` (the same pixels sliced
+    // STRAIGHT out of the blob at the PNG+zlib spec offsets — sig 8 +
+    // IHDR 25 + IDAT hdr 8 + zlib hdr 2 = 43, then per row 5 stored-block
+    // header bytes + 1 filter byte before its 9 pixels — proving the
+    // encoder wrote a spec-layout PNG rather than sharing a compensating
+    // offset bug with the decoder). Full-deflate + all-filter decode is
+    // pinned by dedup_image_png and the MultimodalSpec round-trip.
+    "multimodal_decode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            filterMode = 0, stored = true).as("png"))
+        .select(
+          col("doc_id"),
+          hex(Multimodal.pngDecodeGray8(col("png"))).as("px_hex"),
+          concat((0 until 8).map(r =>
+            hex(col("png").substr(lit(50 + 15 * r), lit(9)))): _*).as("blob_px_hex"))),
+    // image near-dup on REAL PNG bytes end-to-end (decode → dHash →
+    // Hamming-LSH): per-scanline filters cycle 0..4 (filterMode -1) and
+    // the zlib stream is REAL deflate, so the full inflate + all-filter
+    // unfilter path sits inside the oracled query; re-keyed copies share
+    // blobs bit-for-bit → exactly one hamming-0 pair per doc (same
+    // analytic pair set as dedup_image)
+    "dedup_image_png" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            filterMode = -1, stored = false).as("png"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("png"))
+      Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
 
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -1040,6 +1077,23 @@ object SparkEntry {
     // iid-coin dhash bits ⇒ only each image's re-keyed copy is within
     // hamming 2: exactly one hamming-0 pair per document
     "dedup_image" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // both pixel columns must equal the analytic plant (px[i] = first md5
+    // byte of "<doc_id>-<i>"): px_hex via the real decoder, blob_px_hex
+    // via spec-offset slicing of the real PNG blob — the oracle needs no
+    // zlib because the fixture writes STORED deflate blocks
+    "multimodal_decode" ->
+      """SELECT doc_id,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS blob_px_hex
+         FROM documents""",
+    // identical pair-set argument to dedup_image: decode(encode(bitmap))
+    // round-trips bit-exactly, so copies pair at hamming 0 and iid-coin
+    // cross pairs never land within hamming 2
+    "dedup_image_png" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -22,6 +21,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixtures pin both.
   */
 object Native {
+
+  /** Codegen via a bound reference to the expression itself: the CHILD
+    * subtree stays inside whole-stage codegen (projections, splits,
+    * lower() etc. compile inline) and only the final tight native loop is
+    * one virtual call per row. `CodegenFallback`, by contrast, re-evaluates
+    * the ENTIRE subtree interpreted per row — for `ShingleHashes` that
+    * meant an interpreted `split(lower(body))` on every document of every
+    * dedup/novelty/decontamination query. Result-null (e.g. [[DHash64]] on
+    * a corrupt blob) propagates through `ev.isNull`; primitive results are
+    * unboxed explicitly because Janino does not auto-unbox an
+    * Object-to-primitive cast. */
+  trait NativeUnaryCodegen extends UnaryExpression {
+    /** Public bridge for generated code (nullSafeEval is protected). */
+    final def evalForCodegen(input: Any): Any = nullSafeEval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nativeExpr", this, classOf[NativeUnaryCodegen].getName)
+      val jt = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("nativeOut")
+        val assign =
+          if (CodeGenerator.isPrimitiveType(dataType))
+            s"${ev.value} = ((${CodeGenerator.boxedType(dataType)}) $tmp).${jt}Value();"
+          else s"${ev.value} = ($jt) $tmp;"
+        if (nullable)
+          s"""Object $tmp = $ref.evalForCodegen($c);
+             |if ($tmp == null) { ${ev.isNull} = true; } else { $assign }
+             |""".stripMargin
+        else
+          s"""Object $tmp = $ref.evalForCodegen($c);
+             |$assign
+             |""".stripMargin
+      })
+    }
+  }
+
+  /** Two-argument twin of [[NativeUnaryCodegen]]. */
+  trait NativeBinaryCodegen extends BinaryExpression {
+    final def evalForCodegen(a: Any, b: Any): Any = nullSafeEval(a, b)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nativeExpr", this, classOf[NativeBinaryCodegen].getName)
+      val jt = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("nativeOut")
+        val assign =
+          if (CodeGenerator.isPrimitiveType(dataType))
+            s"${ev.value} = ((${CodeGenerator.boxedType(dataType)}) $tmp).${jt}Value();"
+          else s"${ev.value} = ($jt) $tmp;"
+        if (nullable)
+          s"""Object $tmp = $ref.evalForCodegen($a, $b);
+             |if ($tmp == null) { ${ev.isNull} = true; } else { $assign }
+             |""".stripMargin
+        else
+          s"""Object $tmp = $ref.evalForCodegen($a, $b);
+             |$assign
+             |""".stripMargin
+      })
+    }
+  }
 
   /** dot(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE, accumulated in double,
     * sequential order (oracle parity with DuckDB's list_cosine_similarity
@@ -76,7 +133,7 @@ object Native {
     * exactly the declarative [[Funcs.minhashesFromHashes]] ∘
     * [[Funcs.shingleHashes]], as one loop. */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     private val mixes: Array[Long] = Funcs.mixConstantsFor(k)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -98,7 +155,7 @@ object Native {
     * counter; sign bits reassembled. Same algorithm as the declarative
     * [[Funcs.simhash64]], one loop instead of 64 interpreted lambdas per
     * token. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -128,7 +185,7 @@ object Native {
     * 42, so `simhash_wide(t, w)[0] == simhash64(t)` — the wide signature
     * EXTENDS the narrow one rather than replacing it. */
   case class SimHashWide(child: Expression, words: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -167,7 +224,7 @@ object Native {
     * with a monotonic deque vs. the declarative form's O(n·w) HoF chain
     * ([[Funcs.winnowFingerprint]]; pinned equal by the tests). */
   case class WinnowMins(child: Expression, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -228,7 +285,7 @@ object Native {
     * on a 64-bit collision (~2⁻⁶⁴ per pair, and the tests pin equality on
     * the fixture corpus). */
   case class ShingleHashes(child: Expression, n: Int, sortedDistinct: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -256,7 +313,7 @@ object Native {
     * [[MinHashSignature]] over declarative shingles (duplicate shingles
     * cannot change a min, so skipping array_distinct is exact). */
   case class MinHashFromTokens(child: Expression, n: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     private val mixes: Array[Long] = Funcs.mixConstantsFor(k)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -293,7 +350,7 @@ object Native {
     * recall 1 − (1−(1−θ/π)^b)^L — the standard (b, L) S-curve, steep near
     * cosine 1. One O(L·b·d) loop per row, no intermediate arrays. */
   case class SrpTableKeys(child: Expression, numTables: Int, bitsPerTable: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     require(bitsPerTable >= 1 && bitsPerTable <= 64, s"bitsPerTable must be in [1,64]")
     // analysis-time guard against ARRAY<DOUBLE> inputs (see FloatDotProduct)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -336,7 +393,7 @@ object Native {
     * fraction = max_freq(gram hashes) / n_grams). One open-addressing pass
     * per row; the declarative form (distinct × per-element filter) is
     * O(n²) interpreted lambdas, pinned equal by FuncsSpec. Empty array → 0. */
-  case class MaxFreqCount(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class MaxFreqCount(child: Expression) extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -359,7 +416,7 @@ object Native {
     * pair vs array_intersect's hashed build per row. The set-similarity
     * verify primitive: Jaccard = c / (|a|+|b|−c). */
   case class SortedLongIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -391,7 +448,7 @@ object Native {
     * custom plan node would replace the literal — out of scope here, the
     * shuffle equi-join path already covers that regime. */
   case class BloomContainsLong(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with NativeBinaryCodegen {
     require(left.foldable, "bloom filter bytes must be a literal")
     override def dataType: DataType = BooleanType
     // the name PlanAuditSpec greps for — the filter bytes would otherwise
@@ -415,7 +472,7 @@ object Native {
     * order is pinned so the DuckDB oracle (list_sum over `ORDER BY ch`,
     * binary collation = code-point order) adds the same doubles in the
     * same sequence. Zero shuffle: per-row map-side work, O(n) per doc. */
-  case class CharEntropy(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class CharEntropy(child: Expression) extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
@@ -457,22 +514,30 @@ object Native {
     * shuffle: one streaming deflate pass per row, no buffer of the
     * whole compressed output (a 4 KB scratch block is drained into a
     * counter). Empty text → ratio 0. */
-  case class DeflateRatio(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class DeflateRatio(child: Expression) extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any = {
       val raw = input.asInstanceOf[UTF8String].getBytes
       if (raw.isEmpty) return java.lang.Double.valueOf(0.0)
-      val d = new java.util.zip.Deflater(6, true)
-      try {
-        d.setInput(raw)
-        d.finish()
-        val buf = new Array[Byte](4096)
-        var compressed = 0L
-        while (!d.finished()) compressed += d.deflate(buf)
-        java.lang.Double.valueOf(compressed.toDouble / raw.length)
-      } finally d.end()
+      // thread-local Deflater, reset() between rows: a new/end pair per row
+      // sets up and tears down native zlib state per document, which at
+      // corpus scale dominates the actual deflate work. Task threads are
+      // pooled and long-lived, so one native stream per thread amortizes to
+      // zero; reset() restores a fresh level-6/nowrap stream each call.
+      val d = DeflateRatio.deflaters.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      java.lang.Double.valueOf(compressed.toDouble / raw.length)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  object DeflateRatio {
+    private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
   }
 
   /** dhash64(BINARY, w, h) → LONG: difference hash of a w×h row-major
@@ -484,12 +549,12 @@ object Native {
     * comparison is exact integer cross-multiplication (sum_a·n_b >
     * sum_b·n_a) — no float rounding, bit-stable across platforms. A blob
     * whose length ≠ w·h (truncated/corrupt decode) hashes to NULL rather
-    * than garbage. One interpreted pass per row (CodegenFallback, like
-    * the sketch natives); decode-to-grayscale happens UPSTREAM (the
+    * than garbage. One native pass per row (child stays codegen'd via
+    * [[NativeUnaryCodegen]]); decode-to-grayscale happens UPSTREAM (the
     * documented codec plug-in boundary — this expression consumes raw
     * pixels, the one layout every decoder can emit). */
   case class DHash64(child: Expression, imgW: Int, imgH: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     private val GridW = 9
     private val GridH = 8
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -548,9 +613,9 @@ object Native {
     * NUL-joined strings (symbols may contain spaces - the pre-tokenizer
     * emits leading-space pieces - but never NUL); the
     * rank map is built once per executor, not per row. One interpreted
-    * loop per row (CodegenFallback, like the sketch natives). */
+    * loop per row (child codegen'd via [[NativeUnaryCodegen]]). */
   case class BpeEncode(child: Expression, merges: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with NativeUnaryCodegen {
     @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case (p, i) => m.putIfAbsent(p, Integer.valueOf(i)) }
@@ -606,7 +671,7 @@ object Native {
     * chars of md5("<doc_id>:<i>") as an int, mod 100, < ratePercent —
     * exactly the declarative/oracle arithmetic. */
   case class SpanCorrupt(left: Expression, right: Expression, ratePercent: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("n_masked", LongType, nullable = false),
       StructField("n_spans", LongType, nullable = false),
@@ -655,6 +720,240 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** Shared PNG constants (PNG spec, W3C second edition): 8-byte
+    * signature; chunk = len(4 BE) + type(4) + data + crc32(type+data). */
+  private object Png {
+    val Signature: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    /** Pixel cap: a decoder must not let a 25-byte header demand a
+      * multi-GB allocation (decompression-bomb guard). 2²⁶ px = 64 MB
+      * grayscale — far above any fingerprint-pipeline bitmap. */
+    val MaxPixels = 1 << 26
+    def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(b, off, len)
+      c.getValue
+    }
+    def paeth(a: Int, bUp: Int, c: Int): Int = {
+      val p = a + bUp - c
+      val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
+    }
+  }
+
+  /** png_encode_gray8(BINARY pixels, width, filterMode, stored) → BINARY:
+    * a REAL, complete PNG (signature, IHDR, one IDAT, IEND, every chunk
+    * CRC32'd, zlib-wrapped image data with a correct Adler-32) from a
+    * row-major 8-bit grayscale bitmap — bit depth 8, color type 0, no
+    * interlace; height = len/width (null if width doesn't divide the
+    * payload). Any standards-compliant PNG reader decodes it.
+    *
+    * `filterMode` ∈ −1..4: the per-scanline filter (PNG §9) applied
+    * FORWARD before compression — −1 cycles `row % 5` so every filter
+    * type appears (the round-trip property test's configuration);
+    * 0 writes raw scanlines. `stored` selects zlib STORED blocks (BTYPE
+    * 00, one block per scanline) over real deflate: with filterMode 0 the
+    * pixel bytes then sit VERBATIM at analytic offsets inside the blob —
+    * sig(8) + IHDR(25) + IDAT header(8) + zlib header(2), then per row
+    * 5 stored-block bytes + 1 filter byte before its `width` pixels —
+    * which is what lets a SQL oracle with no zlib slice the expected
+    * pixels out of a genuine PNG. Fixture builder (the [[DHash64]]
+    * upstream); production writes PNGs with a codec, not Spark. */
+  case class PngGray8Encode(left: Expression, right: Expression,
+      filterMode: Int, stored: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(filterMode >= -1 && filterMode <= 4, s"filterMode in -1..4, got $filterMode")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      // forward-filter into the raw stream: 1 filter-type byte + w bytes/row
+      val raw = new Array[Byte]((w + 1) * h)
+      var r = 0
+      while (r < h) {
+        val ft = if (filterMode < 0) r % 5 else filterMode
+        raw(r * (w + 1)) = ft.toByte
+        var c = 0
+        while (c < w) {
+          val x = pixels(r * w + c) & 0xff
+          val a = if (c > 0) pixels(r * w + c - 1) & 0xff else 0
+          val up = if (r > 0) pixels((r - 1) * w + c) & 0xff else 0
+          val ul = if (r > 0 && c > 0) pixels((r - 1) * w + c - 1) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - up
+            case 3 => x - (a + up) / 2
+            case 4 => x - Png.paeth(a, up, ul)
+          }
+          raw(r * (w + 1) + 1 + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      // zlib stream over the raw scanlines
+      val z = new java.io.ByteArrayOutputStream()
+      if (stored) {
+        z.write(0x78); z.write(0x01) // zlib header, 32K window, fastest
+        var r2 = 0
+        while (r2 < h) { // one stored block per scanline (≤ w+1 ≤ 65535)
+          val len = w + 1
+          z.write(if (r2 == h - 1) 1 else 0) // BFINAL on the last block
+          z.write(len & 0xff); z.write((len >> 8) & 0xff)
+          z.write(~len & 0xff); z.write((~len >> 8) & 0xff)
+          z.write(raw, r2 * (w + 1), len)
+          r2 += 1
+        }
+        val ad = new java.util.zip.Adler32()
+        ad.update(raw)
+        val a = ad.getValue
+        z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+        z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+      } else {
+        val d = new java.util.zip.Deflater(6, false) // zlib-wrapped
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](4096)
+          while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+        } finally d.end()
+      }
+      val idat = z.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Png.Signature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td)
+        val c = Png.crc32(td, 0, td.length)
+        out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+        out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** png_decode_gray8(BINARY) → BINARY: REAL PNG pixel decode for 8-bit
+    * grayscale (bit depth 8, color type 0, no interlace) — full signature
+    * + IHDR validation with chunk CRC32 checks, multi-IDAT chunk walk,
+    * zlib inflate (`java.util.zip.Inflater`, which also verifies the
+    * Adler-32), and per-scanline unfiltering of ALL five PNG filter types
+    * (None/Sub/Up/Average/Paeth, PNG spec §9). Output is the width×height
+    * row-major pixel array — [[DHash64]]'s exact input layout, closing the
+    * "planted raw bitmaps only" gap: modality → decode → dHash →
+    * Hamming-LSH now runs end-to-end on real PNG bytes.
+    *
+    * Null, never an error, on anything non-conforming: wrong signature,
+    * non-gray8 geometry, bad CRC, truncated/overlong zlib stream, unknown
+    * filter type, or a header demanding more than [[Png.MaxPixels]]
+    * (decompression-bomb guard — a 25-byte header must not be able to
+    * demand a multi-GB allocation on an executor). Color/palette/16-bit/
+    * interlaced PNGs null out rather than misparse ([[graft.operators
+    * .Multimodal]]'s wavMeta stance); they are codec-boundary work.
+    * Scale shape: map-side, one pass per row, no shuffle — fuses into
+    * whatever scan carries the payload column. */
+  case class PngGray8Decode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try decode(input.asInstanceOf[Array[Byte]]) catch { case _: Throwable => null }
+    private def decode(b: Array[Byte]): Array[Byte] = {
+      if (b.length < 8 + 25 + 12 + 12) return null // sig + IHDR + IDAT + IEND
+      var i = 0
+      while (i < 8) { if (b(i) != Png.Signature(i)) return null; i += 1 }
+      // IHDR: mandatory first chunk at offset 8, length 13
+      if (Png.u32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+        return null
+      if (Png.crc32(b, 12, 17) != Png.u32(b, 29)) return null
+      val w = Png.u32(b, 16)
+      val h = Png.u32(b, 20)
+      if (w <= 0 || h <= 0 || w * h > Png.MaxPixels) return null
+      // bit depth 8, color type 0 (grayscale), compression 0, filter 0,
+      // interlace 0 — anything else is out of this decoder's contract
+      if (b(24) != 8 || b(25) != 0 || b(26) != 0 || b(27) != 0 || b(28) != 0) return null
+      val wi = w.toInt; val hi = h.toInt
+      // chunk walk: concatenate IDAT payloads (spec: consecutive IDATs
+      // form ONE zlib stream), stop at IEND, CRC-check every chunk read
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 33
+      var sawEnd = false
+      while (!sawEnd) {
+        if (p + 12 > b.length) return null
+        val len = Png.u32(b, p)
+        if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) return null
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        if (Png.crc32(b, p + 4, 4 + len.toInt) != Png.u32(b, p + 8 + len.toInt)) return null
+        if (typ == "IDAT") idat.write(b, p + 8, len.toInt)
+        else if (typ == "IEND") sawEnd = true
+        p += 12 + len.toInt
+      }
+      // zlib inflate into the exact raw size; any length mismatch is corrupt
+      val raw = new Array[Byte]((wi + 1) * hi)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+          off += n
+        }
+        if (off != raw.length || !inf.finished()) return null
+      } finally inf.end()
+      // unfilter (bpp = 1): each scanline's filter byte selects the
+      // reconstruction over (left a, up b, up-left c) neighbors
+      val out = new Array[Byte](wi * hi)
+      var r = 0
+      while (r < hi) {
+        val ft = raw(r * (wi + 1)) & 0xff
+        if (ft > 4) return null
+        var c = 0
+        while (c < wi) {
+          val x = raw(r * (wi + 1) + 1 + c) & 0xff
+          val a = if (c > 0) out(r * wi + c - 1) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * wi + c) & 0xff else 0
+          val ul = if (r > 0 && c > 0) out((r - 1) * wi + c - 1) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + (a + up) / 2
+            case 4 => x + Png.paeth(a, up, ul)
+          }
+          out(r * wi + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -696,7 +995,11 @@ object Native {
     "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))),
     "graft_deflate_ratio" -> (exprs => DeflateRatio(exprs(0))),
     "graft_dhash" -> (exprs =>
-      DHash64(exprs(0), intLit(exprs(1), "width"), intLit(exprs(2), "height"))))
+      DHash64(exprs(0), intLit(exprs(1), "width"), intLit(exprs(2), "height"))),
+    "graft_png_encode_gray8" -> (exprs =>
+      PngGray8Encode(exprs(0), exprs(1),
+        intLit(exprs(2), "filterMode"), boolLit(exprs(3), "stored"))),
+    "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -754,4 +1057,11 @@ object Native {
   def dhash(img: Column, width: Int, height: Int): Column =
     call_function("graft_dhash", img,
       org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height))
+  def pngEncodeGray8(pixels: Column, width: Column,
+      filterMode: Int = 0, stored: Boolean = false): Column =
+    call_function("graft_png_encode_gray8", pixels, width,
+      org.apache.spark.sql.functions.lit(filterMode),
+      org.apache.spark.sql.functions.lit(stored))
+  def pngDecodeGray8(png: Column): Column =
+    call_function("graft_png_decode_gray8", png)
 }

@@ -277,7 +277,10 @@ object Multimodal {
       .when(version === 1L, beUInt(bin, m + lit(36L), 4))
     val duration = when(version === 0L, beUInt(bin, m + lit(32L), 4))
       .when(version === 1L, beUInt(bin, m + lit(40L), 8))
-    when(isMp4 && timescale.isNotNull, struct(
+    // duration.isNotNull too: a v1 header truncated between timescale
+    // (m+36) and duration (m+40..47) must null the WHOLE struct ([[wavMeta]]
+    // stance: null, never a partially-decoded record)
+    when(isMp4 && timescale.isNotNull && duration.isNotNull, struct(
       bin.substr(9, 4).cast("string").as("major_brand"),
       version.as("version"),
       timescale.as("timescale"),
@@ -422,6 +425,39 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"), dHash(col("img"), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** REAL PNG pixel decode ([[graft.functions.Native.PngGray8Decode]]):
+    * PNG bytes → row-major grayscale-8 bitmap, null on anything
+    * non-conforming (wrong format, bad CRC/Adler, non-gray8 geometry).
+    * This closes the decode gap for the one format the build environment
+    * can decode with the JDK alone (zlib ships in `java.util.zip`);
+    * JPEG/WebP stay behind the [[decodePartitions]] codec boundary. */
+  def pngDecodeGray8(png: Column): Column =
+    graft.functions.Native.pngDecodeGray8(png)
+
+  /** Fixture-grade PNG ENCODE (real signature/IHDR/IDAT/IEND, chunk CRCs,
+    * zlib stream): grayscale-8 bitmap → genuine PNG bytes any compliant
+    * reader decodes. `stored = true` writes STORED deflate blocks so the
+    * pixel bytes sit at analytic offsets (what lets a SQL oracle with no
+    * zlib slice pixels out of a real PNG); `filterMode = -1` cycles all
+    * five scanline filters for round-trip coverage. */
+  def pngEncodeGray8(pixels: Column, width: Column,
+      filterMode: Int = 0, stored: Boolean = false): Column =
+    graft.functions.Native.pngEncodeGray8(pixels, width, filterMode, stored)
+
+  /** Image near-dup on REAL PNG payloads, end-to-end: [[pngDecodeGray8]]
+    * → [[dHash]] → the shared Hamming-banded LSH core — the composition
+    * [[imageNearDup]] runs on pre-decoded bitmaps, now from actual image
+    * bytes. Undecodable payloads (corrupt, non-PNG, non-gray8) drop at
+    * the decode stage, before any shuffle; only the 8-byte signatures
+    * band. `images` carries (id, png BINARY) of `width`×`height` images. */
+  def imageNearDupPng(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(pngDecodeGray8(col("png")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

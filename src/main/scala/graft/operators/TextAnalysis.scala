@@ -554,6 +554,15 @@ object TextAnalysis {
     * the blocklist folds to a constant-folded IN over each token. */
   def badWordFilter(documents: DataFrame, blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "badWordFilter: empty blocklist")
+    // the [^a-z]+ tokenization means an entry with any non-letter (digits,
+    // hyphens, multi-word phrases — common in the real C4 list) could NEVER
+    // match and would be silently inert; reject it loudly instead. Phrase
+    // and punctuated entries belong in c4LineFilter's substring blocklist.
+    val inert = blocklist.filterNot(_.toLowerCase.matches("[a-z]+"))
+    require(inert.isEmpty,
+      s"badWordFilter matches single alphabetic words only (tokenization is " +
+        s"[^a-z]+); these entries can never match: ${inert.mkString(", ")} - " +
+        "use c4LineFilter's substring doc-blocklist for phrases/punctuation")
     val toks = split(lower(col("text")), "[^a-z]+")
     val flagged =
       size(filter(toks, t => t.isin(blocklist.map(w => w.toLowerCase: Any): _*)))

@@ -247,6 +247,20 @@ object StreamOps {
       latenessMillis: Long = 3600000L, dimAdmissionToRetention: Boolean = false)(
       implicit spark: SparkSession): Dataset[VersionedJoined] = {
     import spark.implicits._
+    // The retention-admission mode's wm→stream-time conversion (wmOffset =
+    // retentionMillis below) is derived under Spark's DEFAULT 'min'
+    // multipleWatermarkPolicy: the engine watermark is the dim side's
+    // (the laggard). Under 'max' the recovered stream time would overshoot
+    // by (retention − lateness), running the prune horizon AHEAD of dim
+    // admission — an admitted late dim could floor-join pruned history.
+    // Fail at construction, not with silently wrong joins.
+    if (dimAdmissionToRetention) {
+      val policy = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+      require(policy == "min",
+        s"versionedTableJoin(dimAdmissionToRetention = true) requires " +
+          s"spark.sql.streaming.multipleWatermarkPolicy = 'min' (the default); " +
+          s"got '$policy' - under 'max' the prune horizon runs ahead of dim admission")
+    }
     val factSide = facts
       .select(col("key"), lit("fact").as("side"), col("value"), col("eventTime"))
     val dimSide = dims

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the bench self-defense gates: the canary contamination rule
+  * (round-7 lesson: the ambient-loadavg gate passed a run at ambient 3.9
+  * that carried a uniform ~+1.25 s per-query contention floor) and the
+  * scaling-curve exponent fit. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("canary rule: clean at/below 3x floor, contaminated above") {
+    assert(!Bench.isContaminated(canaryMedianSec = 0.10, floorSec = 0.10))
+    assert(!Bench.isContaminated(canaryMedianSec = 0.30, floorSec = 0.10)) // exactly 3x: clean
+    assert(Bench.isContaminated(canaryMedianSec = 0.31, floorSec = 0.10))
+    // the r7 shape: +1.25 s additive floor on a ~0.1 s query — flagged
+    assert(Bench.isContaminated(canaryMedianSec = 1.35, floorSec = 0.10))
+  }
+
+  test("canary rule: a broken floor can never invalidate a run") {
+    assert(!Bench.isContaminated(canaryMedianSec = 99.0, floorSec = 0.0))
+    assert(!Bench.isContaminated(canaryMedianSec = 99.0, floorSec = -1.0))
+  }
+
+  test("canary query is SF-independent and returns one row") {
+    val spark = TestSpark.spark
+    val rows = Bench.canaryQuery(spark).collect()
+    assert(rows.length == 1)
+    // deterministic: xxhash64 over a fixed range — same sum every run
+    assert(rows(0).getLong(0) == Bench.canaryQuery(spark).collect()(0).getLong(0))
+  }
+
+  test("scaling slope: exact powers recover their exponent") {
+    val sfs = Seq(0.001, 0.01, 0.1).map(math.log)
+    def times(exp: Double) = Seq(0.001, 0.01, 0.1).map(sf => math.log(math.pow(sf, exp)))
+    assert(math.abs(ScalingCurve.slope(sfs, times(1.0)) - 1.0) < 1e-9)
+    assert(math.abs(ScalingCurve.slope(sfs, times(2.0)) - 2.0) < 1e-9)
+    // constant time (fully overhead-dominated) fits exponent 0
+    assert(math.abs(ScalingCurve.slope(sfs, Seq(0.0, 0.0, 0.0))) < 1e-9)
+  }
+
+  test("scaling targets all exist in the query registry") {
+    val missing = ScalingCurve.Targets.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown scaling targets: $missing")
+  }
+}

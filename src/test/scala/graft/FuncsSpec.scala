@@ -229,4 +229,47 @@ class FuncsSpec extends AnyFunSuite {
     assert((fps(0) & fps(1)).nonEmpty)
     assert((fps(0) & fps(2)).isEmpty)
   }
+
+  test("native expressions: codegen'd path ≡ interpreted path (NativeUnary/BinaryCodegen)") {
+    // The reference-call doGenCode keeps the child subtree inside
+    // whole-stage codegen; this pin proves the two execution paths agree
+    // bit-for-bit on every native expression over real corpus text —
+    // the equivalence contract the codegen swap (round 8) rests on.
+    import graft.functions.Native
+    val docs = Tables.documents(spark, TestSpark.Sf0001).limit(64)
+    def battery(): Array[org.apache.spark.sql.Row] = {
+      val toks = split(lower(col("text")), " ")
+      val sortedSh = Native.shingleHashes(toks, 3, sortedDistinct = true)
+      val bitmap = unhex(substring(repeat(md5(col("text").cast("binary")), 5), 1, 144))
+      docs.select(
+        col("doc_id"),
+        Native.shingleHashes(toks, 3, sortedDistinct = false).as("sh"),
+        sortedSh.as("shd"),
+        Native.minhashFromTokens(toks, 3, 16).as("mh"),
+        Native.minhashSig(sortedSh.cast("array<string>")).as("ms"),
+        Native.simhash(toks).as("s64"),
+        Native.simhashWide(toks, 2).as("sw"),
+        Native.maxFreq(Native.shingleHashes(toks, 2, sortedDistinct = false)).as("mf"),
+        Native.winnow(Native.shingleHashes(toks, 3, sortedDistinct = false), 4).as("wn"),
+        Native.sortedIntersectCount(sortedSh, sortedSh).as("ic"),
+        Native.charEntropy(col("text")).as("ce"),
+        Native.deflateRatio(col("text")).as("dr"),
+        Native.srpKeys(transform(sequence(lit(0), lit(7)),
+          i => (xxhash64(col("doc_id"), i) % 100).cast("float")), 2, 16).as("srp"),
+        Native.dhash(bitmap, 9, 8).as("dh"),
+        hex(Native.pngDecodeGray8(
+          Native.pngEncodeGray8(bitmap, lit(9), filterMode = -1, stored = false))).as("png"))
+        .orderBy("doc_id").collect()
+    }
+    val codegen = battery()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = battery()
+      assert(codegen.length == 64 && codegen.sameElements(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

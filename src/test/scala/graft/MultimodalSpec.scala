@@ -311,6 +311,109 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == (0L until 40L).map(id => (id, id + 1000L, 0)).toSet, got.toString)
   }
 
+  test("pngEncodeGray8: byte layout matches hand-computed PNG hex (the anti-compensating-bug pin)") {
+    // 3×2 image, pixels 10..60, filter 0, STORED deflate blocks: every
+    // byte hand-derived from the PNG + zlib specs (sig, IHDR with CRC,
+    // one stored block per scanline, Adler-32, IEND) — pinning the
+    // ENCODER against the spec, so the decode oracle in SparkEntry
+    // genuinely pins the DECODER rather than a shared layout bug
+    val expected =
+      "89504E470D0A1A0A0000000D4948445200000003000000020800000000B81F39C6" +
+        "00000018494441547801000400FBFF000A141E010400FBFF0028323C027400D3E3" +
+        "E8F09C0000000049454E44AE426082"
+    val got = Seq(Tuple1(Array[Byte](10, 20, 30, 40, 50, 60))).toDF("px")
+      .select(hex(Multimodal.pngEncodeGray8($"px", lit(3), filterMode = 0, stored = true)))
+      .as[String].head()
+    assert(got == expected)
+  }
+
+  test("pngDecodeGray8 decodes an EXTERNALLY-encoded PNG (python zlib, mixed filters)") {
+    // 9×8 planted bitmap (doc 7), forward-filtered r%5 and deflated by
+    // CPython's zlib — an independent encoder implementation, so this pin
+    // cannot share any bug with pngEncodeGray8
+    val png =
+      "89504E470D0A1A0A0000000D49484452000000090000000808000000000EA68A69" +
+        "0000005B49444154789C015000AFFF0030A56AD5D73A1DF1E401C04B9516B03190" +
+        "55C302AC2891F6BD0B8DD90203B6EDB41E491DA8707304658BC11143A5F6CCA200" +
+        "2FB510C37DFA7CFAFF01FCB1E633323897F1C802C7156B9324EEC74B7EF4AE2702" +
+        "049C29970000000049454E44AE426082"
+    val expectedPx =
+      "30A56AD5D73A1DF1E4C00BA0B66697277C3F6C3331AC23A2B45541EC7C0A7997B9" +
+        "5EC9F851DC3D8ADA7F54956B2FB510C37DFA7CFAFFFCAD93C6F830C7B880C3C2FE" +
+        "591C1E8E03FE"
+    val got = Seq(Tuple1(png)).toDF("hex")
+      .select(hex(Multimodal.pngDecodeGray8(unhex($"hex"))))
+      .as[String].head()
+    assert(got == expectedPx)
+  }
+
+  test("PNG round-trip: decode(encode(px)) == px for every filter mode, stored and deflated") {
+    // random-ish but deterministic pixels, width NOT a multiple of
+    // anything special, heights exercising every scanline filter
+    def pix(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 2654435761L >> 3) & 0xff).toByte)
+    for {
+      (w, h) <- Seq((13, 7), (9, 8), (1, 1), (32, 5))
+      fm <- Seq(-1, 0, 1, 2, 3, 4)
+      st <- Seq(true, false)
+    } {
+      val px = pix(w * h)
+      val got = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.pngDecodeGray8(
+          Multimodal.pngEncodeGray8($"px", lit(w), filterMode = fm, stored = st)))
+        .as[Array[Byte]].head()
+      assert(got != null && got.sameElements(px), s"round-trip failed w=$w h=$h fm=$fm stored=$st")
+    }
+  }
+
+  test("pngDecodeGray8 nulls on corrupt/out-of-contract payloads, never throws") {
+    val goodPng = Seq(Tuple1(pixBytes)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = 0, stored = true))
+      .as[Array[Byte]].head()
+    def decodes(b: Array[Byte]): Boolean =
+      Seq(Tuple1(b)).toDF("png").select(Multimodal.pngDecodeGray8($"png"))
+        .as[Array[Byte]].head() != null
+    assert(decodes(goodPng))
+    // flipped byte inside IDAT data → CRC mismatch → null
+    val badCrc = goodPng.clone(); badCrc(50) = (badCrc(50) ^ 0x01).toByte
+    assert(!decodes(badCrc))
+    // truncated before IEND → null
+    assert(!decodes(goodPng.take(goodPng.length - 13)))
+    // color type 2 (RGB) → out of the gray8 contract → null
+    val rgb = goodPng.clone(); rgb(25) = 2
+    // (CRC now fails first, which is fine — still null, never a misparse)
+    assert(!decodes(rgb))
+    // not a PNG at all / empty-adjacent sizes
+    assert(!decodes("just text, definitely not a PNG........".getBytes("UTF-8")))
+    assert(!decodes(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    // dimension bomb: hand-build a tiny blob claiming 2^13×2^13+1 px > cap
+    // is caught by MaxPixels (here just assert a huge-claim header nulls)
+    val bomb = goodPng.clone()
+    bomb(16) = 0x7F; bomb(17) = 0xFF.toByte; bomb(18) = 0xFF.toByte; bomb(19) = 0xFF.toByte
+    assert(!decodes(bomb))
+  }
+
+  test("imageNearDupPng pairs identical PNGs at hamming 0 through the real decode path") {
+    val imgs = Seq(
+      (1L, pixBytes),
+      (2L, pixBytes), // bit-identical content re-encoded → hamming 0 pair
+      (3L, pixBytes.map(b => (~b).toByte))) // inverted → far away
+      .toDF("id", "px")
+      .select($"id",
+        Multimodal.pngEncodeGray8($"px", lit(9), filterMode = -1, stored = false).as("png"))
+    val pairs = Multimodal.imageNearDupPng(imgs, 9, 8, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+    // a corrupt payload drops at decode, silently
+    val withBad = imgs.union(Seq((9L, "nope".getBytes("UTF-8"))).toDF("id", "png"))
+    val pairs2 = Multimodal.imageNearDupPng(withBad, 9, 8, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs2 == Set((1L, 2L, 0)))
+  }
+
+  private lazy val pixBytes: Array[Byte] =
+    Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
+
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {
     val dir = TestSpark.Sf0001
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
