@@ -441,6 +441,27 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopKWith(queries, emb, medoids, k = 10, nprobe = 4)
     }),
+    // the INCREMENTAL index path, hash-oracled: the corpus arrives as two
+    // append batches (vec_id parity) into a fresh batch-store index under
+    // the same planted medoid centroids, then the probe unions committed
+    // batches. Shared centroids make the unioned candidate set EXACTLY
+    // the single-index candidate set, so the oracle is the same SQL as
+    // sim_topk_ivf_medoid — pinning append + commit-protocol read + probe
+    // end-to-end. The index is wiped and rebuilt per invocation so reps
+    // measure the full append+probe cost (and Verify runs see a fresh
+    // store, never a stale one).
+    "sim_topk_ivf_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-incr-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), path, medoids)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 1), path, medoids)
+      Similarity.ivfTopKIncremental(s, queries, path, k = 10, nprobe = 4)
+    }),
     // full-probe trick: with nprobe = numCentroids every query probes
     // every bucket, so the IVF plumbing (train, assign, probe join,
     // dedup, rank) runs in full but the result is ANALYTICALLY equal to
@@ -1479,6 +1500,43 @@ object SparkEntry {
     // identical), candidates = shared-bucket pairs dedup'd, final rank
     // = exact cosine with the bruteforce tie-break
     "sim_topk_ivf_medoid" ->
+      """WITH m AS (SELECT vec_id AS cid, embedding AS m_emb
+                    FROM embeddings WHERE vec_id < 16),
+           ca AS (SELECT e.vec_id, m.cid,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(m.m_emb AS DOUBLE[])) AS sim
+                  FROM embeddings e CROSS JOIN m),
+           cassign AS (SELECT vec_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca)
+                       WHERE rn <= 3),
+           qassign AS (SELECT vec_id AS query_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id < 8)
+                       WHERE rn <= 4),
+           cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                    FROM qassign q JOIN cassign c USING (bucket)
+                    WHERE c.vec_id != q.query_id),
+           scored AS (SELECT cd.query_id, cd.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS sim
+                      FROM cand cd
+                      JOIN embeddings q ON q.vec_id = cd.query_id
+                      JOIN embeddings e ON e.vec_id = cd.vec_id)
+         SELECT query_id, vec_id, rank FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
+    // identical derivation to sim_topk_ivf_medoid: the two parity append
+    // batches share the medoid centroids, so the incremental probe's
+    // unioned candidates equal the single-index candidate set exactly
+    "sim_topk_ivf_incr" ->
       """WITH m AS (SELECT vec_id AS cid, embedding AS m_emb
                     FROM embeddings WHERE vec_id < 16),
            ca AS (SELECT e.vec_id, m.cid,

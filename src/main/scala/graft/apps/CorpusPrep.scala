@@ -195,38 +195,14 @@ object CorpusPrep {
     * those are excluded here even if still on disk, which is what makes
     * [[compactStore]]'s commit atomic (deleting sources afterwards is
     * mere garbage collection). */
-  private def committedBatches(spark: SparkSession, storeDir: String): Seq[String] = {
-    val batchesPath = new org.apache.hadoop.fs.Path(s"$storeDir/batches")
-    val fs = batchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(batchesPath)) return Seq.empty
-    val committed = fs.listStatus(batchesPath).toSeq
-      .filter(s => s.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
-      .map(_.getPath)
-    val superseded: Set[String] = committed.flatMap { p =>
-      val m = new org.apache.hadoop.fs.Path(p, "_COMPACTED_FROM")
-      if (fs.exists(m)) {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).toList
-        finally in.close()
-      } else Nil
-    }.toSet
-    committed.filterNot(p => superseded.contains(p.getName)).map(_.toString)
-  }
+  private def committedBatches(spark: SparkSession, storeDir: String): Seq[String] =
+    graft.sources.BatchStore.committedDirs(spark, storeDir)
 
   /** Union-read relation `name` across the given batch dirs with an
     * explicit schema; empty DataFrame when no dir carries it. */
   private def readStoreIn(spark: SparkSession, dirs: Seq[String],
-      name: String, ddl: String): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val paths = dirs.map(d => s"$d/$name").filter { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(hconf).exists(path)
-    }
-    if (paths.nonEmpty) spark.read.schema(ddl).parquet(paths: _*)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
-  }
+      name: String, ddl: String): DataFrame =
+    graft.sources.BatchStore.readRelation(spark, dirs, name, ddl)
 
   /** Continuous ingestion: a file-watching stream over `inDir` (JSONL
     * drops) drives [[runIncremental]] once per micro-batch via

@@ -269,19 +269,145 @@ object Similarity {
     * never opened. Same scoring/top-k as [[ivfTopK]] — pass the same
     * centroids for identical results. */
   def ivfTopKIndexed(spark: SparkSession, queries: DataFrame, indexPath: String,
-      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame =
+    topK(scoreIndexed(spark, queries, indexPath, cents, nprobe)
+      .dropDuplicates("query_id", "vec_id"), k)
+
+  /** The probe-score core of [[ivfTopKIndexed]] (no dedup/top-k): probed
+    * buckets collected driver-side (bounded by queries × nprobe), `isin`
+    * partition filter on the scan, broadcast probe join, exact cosine.
+    * Shared with the incremental probe so both paths plan identically. */
+  private def scoreIndexed(spark: SparkSession, queries: DataFrame, dataPath: String,
+      cents: Array[Array[Float]], nprobe: Int): DataFrame = {
     val queryB = queries.select(
       col("query_id"), col("q_embedding"),
       Native.normF(col("q_embedding")).as("q_norm"),
       explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket"))
     val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(indexPath).filter(col("bucket").isin(probed: _*))
-    val scored = broadcast(queryB).join(index, Seq("bucket"))
+    val index = spark.read.parquet(dataPath).filter(col("bucket").isin(probed: _*))
+    broadcast(queryB).join(index, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
-      .dropDuplicates("query_id", "vec_id")
-    topK(scored, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental IVF index — append-only batches, _COMMIT protocol
+  // ---------------------------------------------------------------------
+
+  private def centroidsDf(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cid", "centroid")
+  }
+
+  /** Centroids persisted inside a committed batch directory, in cid order. */
+  def readIndexCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.schema("cid INT, centroid ARRAY<FLOAT>").parquet(dir)
+      .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
+
+  /** Append one embedding batch to an incremental IVF index — the
+    * append-only growth path [[writeIvfIndex]] lacks (write-once means a
+    * growing corpus would rebuild the whole index per ingest). Uses the
+    * corpus store's batch protocol ([[graft.sources.BatchStore]]): the
+    * batch lands in its own `batches/b_<contentHash>` directory carrying
+    * its rows bucket-partitioned under `data/` AND the centroids that
+    * bucketing used under `centroids/`, with the `_COMMIT` marker written
+    * last. Batch id is a content hash of the vec_ids, so a crashed
+    * partial write is invisible to readers and the retry overwrites it in
+    * place; replaying an already-committed batch is detected and skipped
+    * (returns false — the pinned replay-no-op property).
+    *
+    * Centroids travel WITH the batch so a probe is always consistent:
+    * each batch's candidates come from probing that batch's own
+    * centroids, which keeps results exact-equal to a single-index build
+    * whenever appends share centroids, and merely changes the candidate
+    * sets (never correctness of the exact re-scoring) when they don't.
+    * Centroid re-train is an explicit COMPACTION ([[compactIvfIndex]]),
+    * not an append-time side effect.
+    *
+    * Scale shape: one batch-sized scan (assignment is map-side literal
+    * arithmetic), one partitioned write; the committed index is never
+    * read or rewritten on append. */
+  def appendIvfIndex(spark: SparkSession, batch: DataFrame, path: String,
+      cents: Array[Array[Float]], corpusAssign: Int = 3): Boolean = {
+    require(cents.nonEmpty, "appendIvfIndex: no centroids")
+    val idRow = batch
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)), count(lit(1)))
+      .collect()(0)
+    val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    if (graft.sources.BatchStore.isCommitted(spark, dir)) return false
+    batch.select(
+        col("vec_id"), col("embedding"),
+        Native.normF(col("embedding")).as("c_norm"),
+        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
+    centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.sources.BatchStore.commit(spark, dir)
+    true
+  }
+
+  /** Probe an incremental IVF index: per committed batch, probe THAT
+    * batch's centroids with static partition pruning (the shared
+    * [[scoreIndexed]] core — identical plan shape to [[ivfTopKIndexed]]
+    * per batch), union the scored candidates, dedup (a vector re-appended
+    * in two batches, or multi-assigned into two probed buckets, must not
+    * double-count), and rank once. With all batches sharing centroids the
+    * result is EXACTLY a single-index probe (candidate sets union to the
+    * same set — golden-pinned); the per-batch scan-node count is the
+    * documented compaction motive, same as the corpus store's. */
+  def ivfTopKIncremental(spark: SparkSession, queries: DataFrame, path: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val dirs = graft.sources.BatchStore.committedDirs(spark, path)
+    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+    val scored = dirs.map { d =>
+      scoreIndexed(spark, queries, s"$d/data",
+        readIndexCentroids(spark, s"$d/centroids"), nprobe)
+    }.reduce(_.unionByName(_))
+    topK(scored.dropDuplicates("query_id", "vec_id"), k)
+  }
+
+  /** Fold every committed batch into ONE directory and (optionally)
+    * RE-TRAIN the coarse quantizer — the periodic maintenance pass that
+    * keeps probes at one scan per index regardless of ingest cadence, and
+    * the explicit home of centroid refresh (drifting data slowly degrades
+    * recall under frozen centroids; re-training on every append would
+    * rebucket the whole index per batch). Crash safety is the store
+    * protocol's supersession rule: the compacted directory (deterministic
+    * name from the sorted source list) writes its `_COMPACTED_FROM`
+    * manifest before its `_COMMIT`, so one marker create atomically swaps
+    * the sources for their union; `gc` deletion afterwards is garbage
+    * collection. Multi-assigned rows collapse back to unique vectors
+    * before re-bucketing (otherwise each compaction would multiply the
+    * index by corpusAssign).
+    *
+    * Returns the number of source batches folded (0 = nothing to do). */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      retrainCentroids: Option[Int] = None, kmeansIters: Int = 3,
+      corpusAssign: Int = 3, gc: Boolean = true): Int = {
+    val sources = graft.sources.BatchStore.committedDirs(spark, path)
+    if (sources.length <= 1 && retrainCentroids.isEmpty) return 0
+    val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    val cid = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = s"$path/batches/c_$cid"
+    val rows = sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
+      .select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
+    val cents = retrainCentroids match {
+      case Some(c) => trainCentroids(rows, "vec_id", "embedding", c, kmeansIters)
+      case None => readIndexCentroids(spark, s"${sources.head}/centroids")
+    }
+    rows.select(
+        col("vec_id"), col("embedding"),
+        Native.normF(col("embedding")).as("c_norm"),
+        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
+    centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.sources.BatchStore.writeSupersedes(spark, dir, names)
+    graft.sources.BatchStore.commit(spark, dir)
+    if (gc) graft.sources.BatchStore.delete(spark, sources)
+    sources.length
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The append-only batch-store protocol shared by the incremental corpus
+  * store (`graft.apps.CorpusPrep`) and the incremental ANN index
+  * (`graft.operators.Similarity.appendIvfIndex`): one directory per
+  * ingested batch under `<root>/batches/`, an empty `_COMMIT` marker
+  * written LAST, readers union only committed directories. Atomicity
+  * without a transaction log:
+  *
+  *  - batch ids are deterministic content hashes, so a crash between
+  *    relation writes leaves an uncommitted directory that (a) no reader
+  *    ever sees and (b) a retry of the same batch OVERWRITES in place
+  *    before committing — replay of a committed batch is a detectable
+  *    no-op;
+  *  - compaction SUPERSEDES rather than re-orders: the compacted
+  *    directory records its source directory names in a
+  *    `_COMPACTED_FROM` manifest written before its own `_COMMIT`, and
+  *    [[committedDirs]] skips any committed directory named by another
+  *    committed directory's manifest — the single `_COMMIT` create
+  *    atomically swaps N sources for their union, and deleting sources
+  *    afterwards is mere garbage collection;
+  *  - single-writer by design (an append-only ingest log); concurrent
+  *    ingests would need an external lock.
+  */
+object BatchStore {
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed, non-superseded batch directories under `root/batches` —
+    * the only state any store reader sees. */
+  def committedDirs(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, batchesPath) = hadoopFs(spark, s"$root/batches")
+    if (!fs.exists(batchesPath)) return Seq.empty
+    val committed = fs.listStatus(batchesPath).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMIT")))
+      .map(_.getPath)
+    val superseded: Set[String] = committed.flatMap { p =>
+      val m = new org.apache.hadoop.fs.Path(p, "_COMPACTED_FROM")
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      } else Nil
+    }.toSet
+    committed.filterNot(p => superseded.contains(p.getName)).map(_.toString)
+  }
+
+  /** True iff `dir` already carries a `_COMMIT` marker (replay detection). */
+  def isCommitted(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_COMMIT")
+    fs.exists(p)
+  }
+
+  /** Write the empty `_COMMIT` marker — the LAST write of any batch. */
+  def commit(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_COMMIT")
+    fs.create(p, true).close()
+  }
+
+  /** Write the `_COMPACTED_FROM` supersession manifest (source directory
+    * NAMES, one per line) — before the compacted directory's `_COMMIT`. */
+  def writeSupersedes(spark: SparkSession, dir: String, sourceNames: Seq[String]): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_COMPACTED_FROM")
+    val out = fs.create(p, true)
+    try out.write((sourceNames.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Union-read relation `name` across the given batch dirs with an
+    * explicit schema; empty DataFrame when no dir carries it. */
+  def readRelation(spark: SparkSession, dirs: Seq[String],
+      name: String, ddl: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = dirs.map(d => s"$d/$name").filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).exists(path)
+    }
+    if (paths.nonEmpty) spark.read.schema(ddl).parquet(paths: _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Delete directories (compaction garbage collection). */
+  def delete(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      val (fs, p) = hadoopFs(spark, d)
+      fs.delete(p, true)
+    }
+}

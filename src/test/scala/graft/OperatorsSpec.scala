@@ -790,6 +790,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
   }
 
+  test("incremental IVF index: append ≡ single build, replay no-op, compaction supersedes, retrain ≡ fresh") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+    // two parity appends under the same centroids
+    assert(Similarity.appendIvfIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents))
+    assert(Similarity.appendIvfIndex(spark, emb.filter($"vec_id" % 2 === 1), path, cents))
+    val incr = Similarity.ivfTopKIncremental(spark, queries, path, k = 10, nprobe = 4)
+    // probe buckets reach EVERY batch's scan as partition filters (the
+    // ivfTopKIndexed pin, incremental edition)
+    val plan = incr.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe buckets did not reach the scan as partition filters:\n$plan")
+    // shared centroids ⇒ EXACTLY the write-once single-index results
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-once").toString
+    Similarity.writeIvfIndex(emb, cents, idx)
+    val once = Similarity.ivfTopKIndexed(spark, queries, idx, cents, k = 10, nprobe = 4)
+    assert(incr.exceptAll(once).isEmpty && once.exceptAll(incr).isEmpty)
+    // replaying a committed batch is a detected no-op
+    assert(!Similarity.appendIvfIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents))
+    assert(graft.sources.BatchStore.committedDirs(spark, path).size == 2)
+    // compaction folds to ONE directory with identical results
+    assert(Similarity.compactIvfIndex(spark, path) == 2)
+    assert(graft.sources.BatchStore.committedDirs(spark, path).size == 1)
+    val compacted = Similarity.ivfTopKIncremental(spark, queries, path, k = 10, nprobe = 4)
+    assert(compacted.exceptAll(once).isEmpty && once.exceptAll(compacted).isEmpty)
+    // retrain-compaction: probing the re-trained index equals a FRESH
+    // build with the same deterministic training (recall vs full rebuild
+    // = exact equality, the strongest form)
+    assert(Similarity.compactIvfIndex(spark, path, retrainCentroids = Some(8)) == 1)
+    val retrained = Similarity.ivfTopKIncremental(spark, queries, path, k = 10, nprobe = 4)
+    val cents8 = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 8)
+    val direct8 = Similarity.ivfTopKWith(queries, emb, cents8, k = 10, nprobe = 4)
+    assert(retrained.exceptAll(direct8).isEmpty && direct8.exceptAll(retrained).isEmpty)
+  }
+
   test("repetitionStats: planted repetition fixture scores exactly") {
     val docs = Seq(
       (1L, "a a a b"),         // top unigram a=3/4; top bigram "a a"=2/3; dup (4-2)/4
