@@ -728,6 +728,12 @@ object SparkEntry {
     // in ONE zero-shuffle pass (plan-pinned); the oracle reassembles the
     // same row from each tagger's proven CTE via joins
     "text_attributes" -> ((s, d) => TextAnalysis.attributeReport(Tables.documents(s, d))),
+    // TRAINED language-ID bank (per-language hashed-linear models): the
+    // demo bank's weights are derived from the marker words (+1000 milli
+    // at each marker's md5 bucket), so the oracle re-materializes the
+    // exact weight arrays as literals and replays bucket → logit → argmax
+    // integer-exactly — the text_model_score move, one model per language
+    "text_lang_model" -> ((s, d) => TextAnalysis.langModelScore(Tables.documents(s, d))),
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     // deliberately rows-only (DuckDB has no zlib surface and the exact
     // ratio is zlib-impl detail): the RPv2 compressibility signal, pinned
@@ -1766,6 +1772,25 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_bigrams
          FROM bg JOIN c USING (prev, word) JOIN p USING (prev)
          GROUP BY doc_id""",
+    // each language's literal weight array is the SAME Seq the Spark side
+    // folds into its aggregate (langModels() interpolated on both sides);
+    // verdict CASE order = model order = the engine's tie-break
+    "text_lang_model" ->
+      s"""WITH w AS (SELECT ${TextAnalysis.langModels()
+        .map { case (l, wts, _) => s"[${wts.mkString(", ")}] AS w_$l" }.mkString(", ")}),
+           s AS (SELECT doc_id,
+             ${TextAnalysis.langModels().map { case (l, _, _) =>
+          s"CAST(list_sum(list_transform(string_split(text, ' '), t -> w_$l[(('0x' || substr(md5(t), 1, 4))::INT % 64) + 1])) AS BIGINT) AS logit_$l"
+        }.mkString(",\n             ")}
+           FROM documents, w),
+           g AS (SELECT *, greatest(logit_en, logit_de, logit_es, logit_fr) AS mx FROM s)
+         SELECT doc_id, logit_en, logit_de, logit_es, logit_fr,
+           CASE WHEN logit_en = mx AND logit_en > 0 THEN 'en'
+                WHEN logit_de = mx AND logit_de > 0 THEN 'de'
+                WHEN logit_es = mx AND logit_es > 0 THEN 'es'
+                WHEN logit_fr = mx AND logit_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+         FROM g""",
     "text_model_score" ->
       s"""WITH w AS (SELECT [${DemoWeightsMilli.mkString(", ")}] AS wt),
             s AS (SELECT doc_id,
@@ -2237,7 +2262,7 @@ object SparkEntry {
     // (text_quality / text_gopher_filter / text_lang_id /
     // text_char_entropy / text_badwords) and joined back per doc
     "text_attributes" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            base AS (SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
@@ -2284,6 +2309,20 @@ object SparkEntry {
                    len(list_filter(toks, x -> x IN ('el','la','de','y','que'))),
                    len(list_filter(toks, x -> x IN ('le','la','et','les','des')))) AS g
                FROM t)),
+           wmod AS (SELECT ${TextAnalysis.langModels()
+        .map { case (l, wts, _) => s"[${wts.mkString(", ")}] AS w_$l" }.mkString(", ")}),
+           lgm AS (SELECT doc_id,
+             ${TextAnalysis.langModels().map { case (l, _, _) =>
+          s"CAST(list_sum(list_transform(toks, t -> w_$l[(('0x' || substr(md5(t), 1, 4))::INT % 64) + 1])) AS BIGINT) AS l_$l"
+        }.mkString(",\n             ")}
+           FROM t, wmod),
+           langm AS (SELECT doc_id, CASE
+               WHEN l_en = mx AND l_en > 0 THEN 'en'
+               WHEN l_de = mx AND l_de > 0 THEN 'de'
+               WHEN l_es = mx AND l_es > 0 THEN 'es'
+               WHEN l_fr = mx AND l_fr > 0 THEN 'fr'
+               ELSE 'und' END AS pred_lang_model
+             FROM (SELECT *, greatest(l_en, l_de, l_es, l_fr) AS mx FROM lgm)),
            ci AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM t),
            cc AS (SELECT doc_id, substr(text, i, 1) AS ch FROM ci),
            cf AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n FROM cc GROUP BY 1, 2),
@@ -2294,9 +2333,9 @@ object SparkEntry {
                    FROM cf JOIN ct USING (doc_id) GROUP BY cf.doc_id, tt)
          SELECT base.doc_id, base.n_tokens, base.n_chars, base.mean_word_len,
                 base.stopword_ratio, ent.entropy, lang.pred_lang,
-                gopher.gopher_keep, base.n_badwords
+                langm.pred_lang_model, gopher.gopher_keep, base.n_badwords
          FROM base JOIN gopher USING (doc_id) JOIN lang USING (doc_id)
-              JOIN ent USING (doc_id)""",
+              JOIN langm USING (doc_id) JOIN ent USING (doc_id)""",
     // fold order pinned on both sides: ORDER BY ch under DuckDB's binary
     // collation == ascending code point == the native TreeMap iteration
     "text_char_entropy" ->

@@ -77,6 +77,85 @@ object TextAnalysis {
     coalesce(best, lit("und"))
   }
 
+  /** Demo per-language hashed-linear models, derived deterministically
+    * from [[LangMarkers]]: each marker word contributes +1000 milli to its
+    * md5 feature bucket (the [[linearQualityScore]] bucket definition), so
+    * the models have exactly the shape a real trainer
+    * ([[trainLangWeights]]) produces while every weight is reconstructible
+    * by the SQL oracle. Bias 0. */
+  def langModels(dim: Int = 64): Seq[(String, Seq[Long], Long)] =
+    LangMarkers.map { case (lang, words) =>
+      val w = new Array[Long](dim)
+      words.foreach { word =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(word.getBytes("UTF-8"))
+        val bucket = (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % dim
+        w(bucket) += 1000L
+      }
+      (lang, w.toSeq, 0L)
+    }
+
+  /** TRAINED language ID — the deployment shape of a per-language linear
+    * classifier bank (fastText's architecture reduced to the engine's
+    * hashed-BoW machinery): one integer-milli weight table per language,
+    * each document scored by every model in ONE map-side codegen pass
+    * (logits are exact integer sums — no cross-engine float ambiguity),
+    * verdict = argmax with model-order tie-break, `und` when no logit is
+    * positive (the [[langId]] marker heuristic's rule, model edition).
+    * Models ship as constant-folded literals: like [[linearQualityScore]],
+    * scoring a 100 TB corpus is scan → project, no join, no shuffle, no
+    * model service. Train with [[trainLangWeights]], or use the
+    * [[langModels]] demo bank (oracle-reconstructible weights).
+    *
+    * Output: (doc_id, logit_<lang> BIGINT per model, pred_lang). */
+  def langModelScore(documents: DataFrame,
+      models: Seq[(String, Seq[Long], Long)] = langModels()): DataFrame = {
+    require(models.nonEmpty, "langModelScore: no models")
+    val d = models.head._2.length
+    require(models.forall(_._2.length == d),
+      "langModelScore: all models must share one feature dimension")
+    val withToks = documents.select(col("doc_id"), Funcs.tokens(col("text")).as("__toks"))
+    val scored = withToks.select(
+      (col("doc_id") +: models.map { case (lang, w, b) =>
+        aggregate(col("__toks"), lit(b),
+          (acc, t) => acc + element_at(typedLit(w), featureBucket(t, d) + 1))
+          .as(s"logit_$lang")
+      }): _*)
+    scored.select(
+      (scored.columns.map(col).toSeq :+
+        langBankVerdict(models.map(_._1), l => col(s"logit_$l")).as("pred_lang")): _*)
+  }
+
+  /** Argmax-with-order-ties over per-model logits, positive-only (the
+    * [[langVerdict]] rule generalized to any model bank). */
+  private def langBankVerdict(langs: Seq[String], logitOf: String => Column): Column = {
+    val g = greatest(langs.map(logitOf): _*)
+    val best = langs.foldLeft[Column](lit(null).cast("string")) { (acc, lang) =>
+      when(acc.isNull && logitOf(lang) === g && logitOf(lang) > 0, lit(lang)).otherwise(acc)
+    }
+    coalesce(best, lit("und"))
+  }
+
+  /** Train the language-ID bank [[langModelScore]] deploys: one-vs-rest
+    * logistic regression per language over hashed-BoW features — each
+    * language's model is a [[trainQualityWeights]] run (same md5 bucket,
+    * same LBFGS trainer, same bounded-training contract: the train set is
+    * capped at `maxTrainRows` deterministic-sample rows, so cost never
+    * scales with the corpus) with `label = (lang == l)`. Returns literal
+    * integer-milli models that plug straight into [[langModelScore]] —
+    * train once on labeled data, score any corpus map-side.
+    *
+    * `labeled` carries (doc_id, text, lang). */
+  def trainLangWeights(labeled: DataFrame, langs: Seq[String], dim: Int = 64,
+      regParam: Double = 1e-3, maxIter: Int = 100,
+      maxTrainRows: Int = 200000): Seq[(String, Seq[Long], Long)] =
+    langs.map { l =>
+      val (w, b) = trainQualityWeights(
+        labeled.withColumn("label", (col("lang") === l).cast("int")),
+        dim, regParam, maxIter, maxTrainRows)
+      (l, w, b)
+    }
+
   /** Repetition quality signals (the Gopher-rules family): fraction of
     * tokens taken by the single most frequent unigram / bigram, and the
     * duplicate-token fraction. High values flag boilerplate, keyword-stuffed
@@ -605,6 +684,13 @@ object TextAnalysis {
           .cast("bigint").as("n_badwords")) ++
         LangMarkers.map { case (lang, words) =>
           Funcs.tokenCountIn(toks, words).as(s"c_$lang")
+        } ++
+        // trained-model logits alongside the marker counts (same inner
+        // projection boundary, same map-side cost shape)
+        langModels().map { case (lang, w, b) =>
+          aggregate(toks, lit(b),
+            (acc, t) => acc + element_at(typedLit(w), featureBucket(t, w.length) + 1))
+            .as(s"l_$lang")
         }): _*)
     base.select(
       col("doc_id"), col("n_tokens"), col("n_chars"),
@@ -614,6 +700,9 @@ object TextAnalysis {
         .as("stopword_ratio"),
       (round(Native.charEntropy(col("text")), 6) + lit(0.0)).as("entropy"),
       langVerdict(lang => col(s"c_$lang")).as("pred_lang"),
+      // the model bank's verdict NEXT TO the marker heuristic's, so the
+      // sidecar exposes both signals for offline threshold tuning
+      langBankVerdict(langModels().map(_._1), l => col(s"l_$l")).as("pred_lang_model"),
       col("gopher_keep"), col("n_badwords"))
   }
 

@@ -829,6 +829,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(retrained.exceptAll(direct8).isEmpty && direct8.exceptAll(retrained).isEmpty)
   }
 
+  test("trainLangWeights: one-vs-rest hashed-linear bank classifies planted held-out docs") {
+    // planted per-language corpora: each doc rotates its language's marker
+    // words (so no two docs are identical) plus shared filler tokens that
+    // force the model to learn marker buckets, not length or filler
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    def doc(lang: String, i: Int): String = {
+      val words = TextAnalysis.LangMarkers.find(_._1 == lang).get._2
+      (Seq.tabulate(6)(j => words((i + j) % words.length)) ++
+        Seq("filler", "common")).mkString(" ")
+    }
+    val labeled = (for { l <- langs; i <- 0 until 30 } yield
+      ((langs.indexOf(l) * 1000 + i).toLong, doc(l, i), l)).toDF("doc_id", "text", "lang")
+    val models = TextAnalysis.trainLangWeights(labeled, langs, dim = 64, maxIter = 60)
+    assert(models.map(_._1) == langs && models.forall(_._2.length == 64))
+    // held-out docs (unseen rotations) classify correctly through the
+    // DEPLOY path (langModelScore with the trained literal bank)
+    val held = (for { l <- langs; i <- 30 until 40 } yield
+      ((langs.indexOf(l) * 1000 + i).toLong, doc(l, i), l)).toDF("doc_id", "text", "lang")
+    val preds = TextAnalysis.langModelScore(held.select("doc_id", "text"), models)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    val truth = held.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val wrong = truth.filter { case (id, l) => preds(id) != l }
+    assert(wrong.isEmpty, s"misclassified held-out docs: $wrong")
+    // the demo bank (marker-derived weights) agrees with the marker
+    // heuristic on unambiguous marker-only text
+    val demo = Seq((1L, "the a of and to"), (2L, "der und nicht das die"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.langModelScore(demo)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
   test("repetitionStats: planted repetition fixture scores exactly") {
     val docs = Seq(
       (1L, "a a a b"),         // top unigram a=3/4; top bigram "a a"=2/3; dup (4-2)/4
