@@ -675,6 +675,19 @@ object SparkEntry {
     // native≡declarative tests
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
+    // winnow POSITIONS hash-oracled by the planted-analytic move, tie-rule
+    // edition: the corpus is replanted as one token repeated 5+doc_id%9
+    // times, so every 4-gram hash is equal and the selected positions are
+    // decided PURELY by the rightmost-min tie rule — positions 3…g−1 over
+    // g = m−3 grams (or g−1 when g < 4), no hash in the oracle. A
+    // leftmost-min implementation would emit 0…g−4 instead, so the oracle
+    // discriminates the rule, not just the count. Values stay pinned by
+    // the winnow ≡ hashes[pos] property and text_winnow_fp's rows-only row.
+    "text_winnow_positions" -> ((s, d) =>
+      TextAnalysis.winnowPositions(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), (lit(5) + col("doc_id") % 9).cast("int")),
+            _ => lit("tok"))).as("text")))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
     // REAL BPE (train merges on the corpus word table, encode with the
     // native greedy-merge loop), hash-oracled by the planted-analytic
@@ -1818,6 +1831,14 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
            CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 100 AS BIGINT) AS shard
          FROM documents""",
+    // g = m − 3 grams over m = 5 + doc_id % 9 repeated tokens; rightmost
+    // min in every window ⇒ positions 3…g−1 (range(3, g)), or g−1 alone
+    // for short docs
+    "text_winnow_positions" ->
+      """WITH g AS (SELECT doc_id, (5 + doc_id % 9) - 3 AS g FROM documents)
+         SELECT doc_id,
+           CAST(unnest(CASE WHEN g >= 4 THEN range(3, g) ELSE [g - 1] END) AS BIGINT) AS pos
+         FROM g""",
     "text_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens

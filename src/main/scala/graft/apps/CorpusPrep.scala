@@ -392,6 +392,14 @@ object CorpusPrep {
           .select("fp", "keep_okey")
           .write.mode("overwrite").parquet(s"$batchDir/lfp")
       }
+      // Dolma-style attributes sidecar: every committed batch persists the
+      // attributeReport relation for its ACCEPTED docs (over the
+      // normalized text — the exact form that entered the corpus), so the
+      // audit sidecar grows with the store, is readable without touching
+      // shard text ([[readAttributes]]), and survives [[compactStore]]
+      // like fp/sig/mh/lfp. Map-side pass over the accepted batch only.
+      TextAnalysis.attributeReport(accepted.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$batchDir/attrs")
       import spark.implicits._
       Seq(acceptedCount).toDF("accepted")
         .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/meta")
@@ -423,6 +431,20 @@ object CorpusPrep {
     // that folds them back to one.
     paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
   }
+
+  /** The attributes-sidecar schema ([[TextAnalysis.attributeReport]]'s
+    * output shape), pinned so store reads never infer. */
+  private val AttrsDdl: String =
+    "doc_id BIGINT, n_tokens BIGINT, n_chars BIGINT, mean_word_len DOUBLE, " +
+      "stopword_ratio DOUBLE, entropy DOUBLE, pred_lang STRING, " +
+      "pred_lang_model STRING, gopher_keep BIGINT, n_badwords BIGINT"
+
+  /** The stored corpus's Dolma-style attribute sidecar — one row per
+    * accepted doc, unioned across committed batches. Lets audits and
+    * threshold tuning run over the tiny attributes relation without ever
+    * scanning shard text. */
+  def readAttributes(spark: SparkSession, storeDir: String): DataFrame =
+    readStoreIn(spark, committedBatches(spark, storeDir), "attrs", AttrsDdl)
 
   /** Fold every committed batch into ONE batch directory — the periodic
     * maintenance pass that keeps [[readShards]] (and the fp/sig/mh probe
@@ -470,6 +492,10 @@ object CorpusPrep {
     // relation, which readStoreIn reads back as empty; skipping the write
     // entirely when NO source carries lfp keeps a line-dedup-free store
     // free of the relation
+    // attributes sidecar folds like the probe relations (batches predating
+    // the sidecar simply contribute no rows)
+    readStoreIn(spark, sources, "attrs", AttrsDdl)
+      .write.mode("overwrite").parquet(s"$dir/attrs")
     val lfp = readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT")
     if (sources.exists { p =>
         val path = new org.apache.hadoop.fs.Path(s"$p/lfp")

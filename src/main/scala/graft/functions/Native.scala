@@ -250,6 +250,40 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** winnow_positions(ARRAY<LONG>, w) → ARRAY<INT>: the POSITIONS the
+    * winnow selects — same deque and tie rule as [[WinnowMins]] (rightmost
+    * min: `>=` pops equal values), positions distinct in first-seen order.
+    * The selection-audit form of winnowing: `WinnowMins` equals the
+    * first-seen-distinct of `hashes[position]` over this output
+    * (property-pinned), and on an all-equal hash run the chosen positions
+    * are ANALYTIC (w−1…n−1 — rightmost in every window), which lets a SQL
+    * oracle pin the tie rule without computing a single hash. */
+  case class WinnowPositions(child: Expression, w: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.LinkedHashSet[Integer]()
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        val v = arr.getLong(i)
+        while (!deque.isEmpty && arr.getLong(deque.peekLast()) >= v) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1 || i == n - 1) out.add(deque.peekFirst())
+        i += 1
+      }
+      val pos = new Array[Int](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { pos(j) = it.next(); j += 1 }
+      new GenericArrayData(pos)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared shingle-hash loop: n-token windows joined by " ", xxhash64
     * seed 42 per window — bit-identical to the declarative
     * `transform(Funcs.wordShingles(toks, n), xxhash64)` chain (incl. the
@@ -980,6 +1014,7 @@ object Native {
     "graft_simhash" -> (exprs => SimHash64(exprs(0))),
     "graft_simhash_wide" -> (exprs => SimHashWide(exprs(0), intLit(exprs(1), "words"))),
     "graft_winnow" -> (exprs => WinnowMins(exprs(0), intLit(exprs(1), "w"))),
+    "graft_winnow_pos" -> (exprs => WinnowPositions(exprs(0), intLit(exprs(1), "w"))),
     "graft_max_freq" -> (exprs => MaxFreqCount(exprs(0))),
     "graft_sorted_intersect" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
     "graft_shingle_hashes" -> (exprs =>
@@ -1031,6 +1066,8 @@ object Native {
     call_function("graft_simhash_wide", tokens, org.apache.spark.sql.functions.lit(words))
   def winnow(hashes: Column, w: Int): Column =
     call_function("graft_winnow", hashes, org.apache.spark.sql.functions.lit(w))
+  def winnowPos(hashes: Column, w: Int): Column =
+    call_function("graft_winnow_pos", hashes, org.apache.spark.sql.functions.lit(w))
   def maxFreq(a: Column): Column = call_function("graft_max_freq", a)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)

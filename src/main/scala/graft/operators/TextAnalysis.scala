@@ -955,6 +955,24 @@ object TextAnalysis {
         .as("fp"))
       .withColumn("n_fp", size(col("fp")).cast("bigint"))
 
+  /** Winnow SELECTION audit — the positions (k-gram indices) the winnow
+    * picks, exploded to (doc_id, pos) rows. Same fused gram hashing and
+    * the same deque/tie rule as [[winnowFingerprints]]
+    * ([[Native.WinnowPositions]] shares the loop shape with
+    * [[Native.WinnowMins]]); `WinnowMins ≡ first-seen-distinct of
+    * hashes[pos]` is property-pinned. The positional form is what makes
+    * the SELECTION rule SQL-oracle-able: on a single-repeated-token doc
+    * every gram hash is equal, so the rightmost-min tie rule alone
+    * determines the picks — positions w−1…g−1 (g grams), or g−1 when the
+    * doc has fewer than w grams — with no hash arithmetic in the oracle. */
+  def winnowPositions(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    documents.select(
+      col("doc_id"),
+      explode(Native.winnowPos(
+        Native.shingleHashes(Funcs.tokens(col("text")), k, sortedDistinct = false), w))
+        .as("p"))
+      .select(col("doc_id"), col("p").cast("bigint").as("pos"))
+
   /** Canonical text normalization — the cheap pass every downstream
     * text operator (dedup shingles, token stats, fingerprints) assumes ran
     * first on raw crawl data: lowercase, control characters → space,

@@ -251,6 +251,7 @@ class FuncsSpec extends AnyFunSuite {
         Native.simhashWide(toks, 2).as("sw"),
         Native.maxFreq(Native.shingleHashes(toks, 2, sortedDistinct = false)).as("mf"),
         Native.winnow(Native.shingleHashes(toks, 3, sortedDistinct = false), 4).as("wn"),
+        Native.winnowPos(Native.shingleHashes(toks, 3, sortedDistinct = false), 4).as("wp"),
         Native.sortedIntersectCount(sortedSh, sortedSh).as("ic"),
         Native.charEntropy(col("text")).as("ce"),
         Native.deflateRatio(col("text")).as("dr"),
@@ -270,6 +271,28 @@ class FuncsSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("winnowPositions: winnow values ≡ first-seen-distinct of hashes[pos] (selection audit)") {
+    import graft.functions.Native
+    val docs = Tables.documents(spark, TestSpark.Sf0001).limit(64)
+    val toks = split(lower(col("text")), " ")
+    val hashes = Native.shingleHashes(toks, 3, sortedDistinct = false)
+    val rows = docs.select(
+      Native.winnow(hashes, 4).as("wv"),
+      Native.winnowPos(hashes, 4).as("wp"),
+      hashes.as("h")).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val wv = r.getSeq[Long](0)
+      val wp = r.getSeq[Int](1)
+      val h = r.getSeq[Long](2)
+      // positions are strictly increasing k-gram indices in range
+      assert(wp == wp.sorted && wp.distinct == wp && wp.forall(p => p >= 0 && p < h.length))
+      // mapping selected positions to their hashes and deduping first-seen
+      // reproduces the value-form winnow exactly
+      assert(wv == wp.map(h(_)).distinct, s"wv=$wv wp=$wp")
     }
   }
 }

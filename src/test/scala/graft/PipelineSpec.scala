@@ -824,6 +824,46 @@ class PipelineSpec extends AnyFunSuite {
       == "six seven eight")
   }
 
+  test("runIncremental persists the attributes sidecar per batch; it tracks accepted docs and survives compactStore") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attrs")
+    val store = s"$tmp/store"
+    def ingest(docs: Seq[(Long, String)]) = graft.apps.CorpusPrep.runIncremental(
+      spark,
+      docs.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("en")),
+      store, minTokens = 2L)
+    val r1 = ingest(Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "der schnelle braune fuchs"))
+    assert(r1.accepted == 2L)
+    // one attribute row per accepted doc, with the model verdict column
+    val a1 = graft.apps.CorpusPrep.readAttributes(spark, store)
+    assert(a1.columns.contains("pred_lang_model"))
+    assert(a1.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(a1.filter($"doc_id" === 1L).select($"pred_lang").as[String].head() == "en")
+    // batch 2: a rejected duplicate contributes NO attribute row — the
+    // sidecar tracks the accepted corpus, exactly like fp/sig
+    val r2 = ingest(Seq(
+      3L -> "red orange yellow green",
+      4L -> "the quick brown fox jumps")) // exact dup of doc 1 → rejected
+    assert(r2.accepted == 1L)
+    val a2 = graft.apps.CorpusPrep.readAttributes(spark, store)
+    assert(a2.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // sidecar doc set ≡ stored corpus doc set (provenance invariant)
+    assert(a2.select($"doc_id").as[Long].collect().toSet ==
+      graft.apps.CorpusPrep.readShards(spark, store)
+        .select($"doc_id").as[Long].collect().toSet)
+    // replay is a no-op for the sidecar too
+    ingest(Seq(1L -> "the quick brown fox jumps", 2L -> "der schnelle braune fuchs"))
+    assert(graft.apps.CorpusPrep.readAttributes(spark, store).count() == 3L)
+    // compaction folds the sidecar; rows and values survive verbatim
+    val before = a2.orderBy($"doc_id").collect().toSeq
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 2)
+    val after = graft.apps.CorpusPrep.readAttributes(spark, store)
+      .orderBy($"doc_id").collect().toSeq
+    assert(after == before)
+  }
+
   test("clusterCapSample: nearest-centroid assignment, ties to the lowest id, cap per cluster") {
     val cents = Array(Array(1f, 0f), Array(0f, 1f))
     val emb = Seq(
