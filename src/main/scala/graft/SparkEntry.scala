@@ -489,6 +489,34 @@ object SparkEntry {
       Similarity.pqTopK(queries, Similarity.pqEncode(corpus, PqDemoCodebooks),
         PqDemoCodebooks, k = 10)
     }),
+    // the INCREMENTAL IVF-PQ index, hash-oracled by composing the two
+    // planted-analytic moves: the planted-PQ corpus makes ADC an EXACT
+    // integer inner product (so shortlist sim == refine sim and the final
+    // top-k is analytic), and planted medoid centroids (the first 16
+    // corpus reconstructions) make the probe/assign buckets pure SQL.
+    // Two parity append batches share the quantizers, so the incremental
+    // probe's unioned candidates equal a single-index build's — pinning
+    // append + commit protocol + per-batch ADC + union + exact re-rank
+    // end-to-end. Rebuilt per invocation (the sim_topk_ivf_incr stance).
+    "sim_topk_ivfpq_incr" -> ((s, d) => {
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
+      val queries = ids.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
+      // driver-side mirror of pqPlantedVec(id, 7, 3, 0) for id < 16
+      val medoids = Array.tabulate(16, 64) { (id, i) =>
+        val sub = i >> 3; val j = i & 7
+        val c = (id * 7 + sub * 3) % 16
+        (((sub * 3 + c * 5 + j * 7) % 17) - 8).toFloat
+      }
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-incr-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      Similarity.appendIvfPqIndex(s, corpus.filter(col("vec_id") % 2 === 0),
+        path, medoids, PqDemoCodebooks)
+      Similarity.appendIvfPqIndex(s, corpus.filter(col("vec_id") % 2 === 1),
+        path, medoids, PqDemoCodebooks)
+      Similarity.ivfPqTopKIncremental(s, queries, path, corpus, k = 10, nprobe = 4)
+    }),
 
     // --- north-star: multimodal ---
     // opaque binary payloads (magic-prefixed per doc_id) + typed metadata:
@@ -1604,6 +1632,52 @@ object SparkEntry {
            sc AS (SELECT query_id, vec_id,
                     list_sum([q[i+1] * v[i+1] for i in range(0, 64)]) AS sim
                   FROM qry, corp WHERE query_id <> vec_id),
+           r AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS rank
+                 FROM sc)
+         SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
+    // incremental IVF-PQ: buckets from the planted medoids (the first 16
+    // planted-corpus vectors, the sim_topk_ivf_incr derivation), ADC sim
+    // == exact integer inner product (planted-PQ corpus, the sim_topk_pq
+    // derivation) == the refine sim — so the shortlist truncation at
+    // k·refineFactor cannot change the final top-10 and the whole
+    // append→probe→ADC→union→re-rank cascade folds to candidate ranking
+    "sim_topk_ivfpq_incr" ->
+      """WITH corp AS (SELECT vec_id,
+             [CAST((((i//8)*3 + ((vec_id*7 + (i//8)*3) % 16)*5 + (i%8)*7) % 17) - 8 AS DOUBLE)
+              for i in range(0, 64)] AS v FROM embeddings),
+           qry AS (SELECT vec_id AS query_id,
+             [CAST((((i//8)*3 + ((vec_id*11 + (i//8)*5 + 1) % 16)*5 + (i%8)*7) % 17) - 8 AS DOUBLE)
+              for i in range(0, 64)] AS q FROM embeddings WHERE vec_id < 8),
+           m AS (SELECT vec_id AS cid, v AS m_emb FROM corp WHERE vec_id < 16),
+           ca AS (SELECT c.vec_id, m.cid,
+                    list_cosine_similarity(c.v, m.m_emb) AS sim
+                  FROM corp c CROSS JOIN m),
+           cassign AS (SELECT vec_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca)
+                       WHERE rn <= 3),
+           qa AS (SELECT q.query_id, m.cid,
+                    list_cosine_similarity(q.q, m.m_emb) AS sim
+                  FROM qry q CROSS JOIN m),
+           qassign AS (SELECT query_id, cid AS bucket FROM (
+                         SELECT query_id, cid,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM qa)
+                       WHERE rn <= 4),
+           cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                    FROM qassign q JOIN cassign c USING (bucket)
+                    WHERE c.vec_id != q.query_id),
+           sc AS (SELECT cd.query_id, cd.vec_id,
+                    list_sum([q.q[i+1] * c.v[i+1] for i in range(0, 64)]) AS sim
+                  FROM cand cd
+                  JOIN qry q ON q.query_id = cd.query_id
+                  JOIN corp c ON c.vec_id = cd.vec_id),
            r AS (SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY sim DESC, vec_id) AS rank

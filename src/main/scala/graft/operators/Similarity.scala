@@ -334,6 +334,9 @@ object Similarity {
     val idRow = batch
       .agg(coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)), count(lit(1)))
       .collect()(0)
+    // an empty batch would commit a directory whose parquet reads fail
+    // schema inference — refuse it as "nothing appended"
+    if (idRow.getLong(1) == 0L) return false
     val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
     if (graft.sources.BatchStore.isCommitted(spark, dir)) return false
     batch.select(
@@ -586,6 +589,147 @@ object Similarity {
         explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  private def codebooksDf(spark: SparkSession, cbs: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    (for { s <- cbs.indices; c <- cbs(s).indices }
+      yield (s, c, cbs(s)(c).toSeq)).toDF("s", "c", "centroid")
+  }
+
+  /** Codebooks persisted inside a committed batch directory. */
+  def readIndexCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.schema("s INT, c INT, centroid ARRAY<FLOAT>").parquet(dir)
+      .orderBy("s", "c").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](2).toArray).toArray).toArray
+  }
+
+  /** Append one embedding batch to an incremental IVF-PQ index — the
+    * compressed sibling of [[appendIvfIndex]]: rows land PQ-ENCODED (m
+    * bytes of payload, never floats) and bucket-partitioned, with the
+    * batch's coarse centroids AND codebooks persisted alongside so every
+    * probe is quantizer-consistent per batch. Same `_COMMIT` protocol,
+    * same content-hash replay no-op. Quantizer re-train is compaction's
+    * job and needs the corpus (codes are not invertible) — see
+    * [[compactIvfPqIndex]]. */
+  def appendIvfPqIndex(spark: SparkSession, batch: DataFrame, path: String,
+      cents: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      corpusAssign: Int = 3): Boolean = {
+    require(cents.nonEmpty, "appendIvfPqIndex: no centroids")
+    val idRow = batch
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)), count(lit(1)))
+      .collect()(0)
+    if (idRow.getLong(1) == 0L) return false // empty batch: nothing appended
+    val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    if (graft.sources.BatchStore.isCommitted(spark, dir)) return false
+    batch.select(col("vec_id"),
+        pqCodes(col("embedding"), codebooks).as("codes"),
+        explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
+    centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooksDf(spark, codebooks).coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.sources.BatchStore.commit(spark, dir)
+    true
+  }
+
+  /** Probe an incremental IVF-PQ index: per committed batch, ADC over
+    * codes with that batch's own quantizers and static partition pruning
+    * (the [[ivfPqTopK]] scan shape per batch), shortlists unioned and
+    * dedup'd, ONE exact re-rank against the corpus embeddings at the end.
+    * ADC scores across batches are comparable (each estimates the same
+    * q·x), and with all batches sharing quantizers the unioned candidate
+    * set equals the single-index build's exactly (golden-pinned). */
+  def ivfPqTopKIncremental(spark: SparkSession, queries: DataFrame, path: String,
+      corpus: DataFrame, k: Int, nprobe: Int, refineFactor: Int = 4): DataFrame = {
+    val dirs = graft.sources.BatchStore.committedDirs(spark, path)
+    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+    val scored = dirs.map { d =>
+      adcScoreIndexed(spark, queries, s"$d/data",
+        readIndexCentroids(spark, s"$d/centroids"),
+        readIndexCodebooks(spark, s"$d/codebooks"), nprobe)
+    }.reduce(_.unionByName(_))
+    val shortlist = topK(scored.dropDuplicates("query_id", "vec_id"), k * refineFactor)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(shortlist, corpus, queries, k)
+  }
+
+  /** The probe+ADC core of [[ivfPqTopK]] (no top-k/refine), per data path. */
+  private def adcScoreIndexed(spark: SparkSession, queries: DataFrame, dataPath: String,
+      cents: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      nprobe: Int): DataFrame = {
+    val m = codebooks.length
+    val luts = queryLuts(codebooks)
+    val queryB = queries.select(
+      (col("query_id") +: explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket")
+        +: luts): _*)
+    val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(dataPath).filter(col("bucket").isin(probed: _*))
+    broadcast(queryB).join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until m).map(s =>
+          element_at(col(s"lut_$s"), element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** Fold an incremental IVF-PQ index to ONE directory; optional quantizer
+    * RE-TRAIN re-reads embeddings from `corpus` (PQ codes are not
+    * invertible, so refresh needs the source of truth — the same
+    * corpus-by-id contract as [[ivfPqTopK]]'s refine step). Without
+    * retrain the fold copies rows verbatim under the head batch's
+    * quantizers, which requires every source to share them — enforced by
+    * comparing the persisted quantizer relations, not assumed. Crash
+    * safety = the store protocol's supersession rule. */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+      corpus: Option[DataFrame] = None, retrainCentroids: Option[Int] = None,
+      pqM: Int = 8, kmeansIters: Int = 3, corpusAssign: Int = 3,
+      gc: Boolean = true): Int = {
+    val sources = graft.sources.BatchStore.committedDirs(spark, path)
+    if (sources.length <= 1 && retrainCentroids.isEmpty) return 0
+    val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    val cid = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = s"$path/batches/c_$cid"
+    retrainCentroids match {
+      case Some(c) =>
+        val emb = corpus.getOrElse(throw new IllegalArgumentException(
+          "compactIvfPqIndex: quantizer re-train needs the corpus (codes are not invertible)"))
+        val ids = sources.map(p => spark.read.parquet(s"$p/data").select("vec_id"))
+          .reduce(_.unionByName(_)).distinct()
+        val rows = emb.join(ids, Seq("vec_id"))
+        val cents = trainCentroids(rows, "vec_id", "embedding", c, kmeansIters)
+        val cbs = trainPqCodebooks(rows, "vec_id", "embedding", pqM)
+        rows.select(col("vec_id"),
+            pqCodes(col("embedding"), cbs).as("codes"),
+            explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
+        centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        codebooksDf(spark, cbs).coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      case None =>
+        // verbatim fold is only sound under ONE quantizer pair — check it
+        val headC = readIndexCentroids(spark, s"${sources.head}/centroids")
+        val headB = readIndexCodebooks(spark, s"${sources.head}/codebooks")
+        sources.tail.foreach { p =>
+          require(readIndexCentroids(spark, s"$p/centroids").map(_.toSeq).toSeq
+              == headC.map(_.toSeq).toSeq &&
+            readIndexCodebooks(spark, s"$p/codebooks").map(_.map(_.toSeq).toSeq).toSeq
+              == headB.map(_.map(_.toSeq).toSeq).toSeq,
+            s"compactIvfPqIndex: $p was appended under different quantizers - " +
+              "pass the corpus and retrainCentroids to re-encode")
+        }
+        sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
+          .dropDuplicates("vec_id", "bucket")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
+        centroidsDf(spark, headC).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        codebooksDf(spark, headB).coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    }
+    graft.sources.BatchStore.writeSupersedes(spark, dir, names)
+    graft.sources.BatchStore.commit(spark, dir)
+    if (gc) graft.sources.BatchStore.delete(spark, sources)
+    sources.length
+  }
+
   /** IVF-PQ probe: queries probe their `nprobe` coarse buckets with
     * STATIC partition pruning (the [[ivfTopKIndexed]] contract — the
     * probed-bucket `isin` reaches the scan as a PartitionFilter), rows
@@ -606,22 +750,10 @@ object Similarity {
       k: Int,
       nprobe: Int,
       refineFactor: Int = 4): DataFrame = {
-    val m = codebooks.length
-    val luts = queryLuts(codebooks)
-    val queryB = queries.select(
-      (col("query_id") +: explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket")
-        +: luts): _*)
-    val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(indexPath).filter(col("bucket").isin(probed: _*))
+    // multi-assignment can surface a (query, vec) pair in several shared
+    // buckets — dedup before ranking, like ivfTopK
     val shortlist = topK(
-      broadcast(queryB).join(index, Seq("bucket"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          (0 until m).map(s =>
-            element_at(col(s"lut_$s"), element_at(col("codes"), s + 1) + 1))
-            .reduce(_ + _).as("sim"))
-        // multi-assignment can surface a (query, vec) pair in several
-        // shared buckets — dedup before ranking, like ivfTopK
+      adcScoreIndexed(spark, queries, indexPath, cents, codebooks, nprobe)
         .dropDuplicates("query_id", "vec_id"),
       k * refineFactor).select(col("query_id"), col("vec_id"))
     exactRerank(shortlist, corpus, queries, k)

@@ -790,6 +790,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
   }
 
+  test("incremental IVF-PQ index: append ≡ single build, replay no-op, fold checks quantizers, retrain re-encodes") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 8)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString
+    assert(Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents, cb))
+    assert(Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 === 1), path, cents, cb))
+    val incr = Similarity.ivfPqTopKIncremental(spark, queries, path, emb,
+      k = 10, nprobe = 4, refineFactor = 8)
+    // quantizers round-trip the store bit-exactly
+    val d0 = graft.sources.BatchStore.committedDirs(spark, path).head
+    assert(Similarity.readIndexCodebooks(spark, s"$d0/codebooks")
+      .map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // shared quantizers ⇒ EXACTLY the write-once single-index results
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-once").toString
+    Similarity.writeIvfPqIndex(emb, cents, cb, idx)
+    val once = Similarity.ivfPqTopK(spark, queries, idx, emb, cb, cents,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(incr.exceptAll(once).isEmpty && once.exceptAll(incr).isEmpty)
+    // replay no-op, then verbatim fold preserves results
+    assert(!Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents, cb))
+    assert(Similarity.compactIvfPqIndex(spark, path) == 2)
+    assert(graft.sources.BatchStore.committedDirs(spark, path).size == 1)
+    val folded = Similarity.ivfPqTopKIncremental(spark, queries, path, emb,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(folded.exceptAll(once).isEmpty && once.exceptAll(folded).isEmpty)
+    // retrain-compaction re-encodes from the corpus: equals a fresh build
+    // with the same deterministic training
+    assert(Similarity.compactIvfPqIndex(spark, path, corpus = Some(emb),
+      retrainCentroids = Some(4), pqM = 8) == 1)
+    val retrained = Similarity.ivfPqTopKIncremental(spark, queries, path, emb,
+      k = 10, nprobe = 4, refineFactor = 8)
+    val cents4 = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 4)
+    val idx4 = java.nio.file.Files.createTempDirectory("graft-ivfpq-fresh4").toString
+    Similarity.writeIvfPqIndex(emb, cents4, cb, idx4)
+    val fresh4 = Similarity.ivfPqTopK(spark, queries, idx4, emb, cb, cents4,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(retrained.exceptAll(fresh4).isEmpty && fresh4.exceptAll(retrained).isEmpty)
+    // an empty batch commits nothing (and is reported as such)
+    assert(!Similarity.appendIvfPqIndex(spark,
+      emb.filter($"vec_id" >= 100000L), path, cents4, cb))
+    // a mixed-quantizer fold without the corpus is refused loudly
+    val other = Similarity.trainCentroids(emb.filter($"vec_id" < 32),
+      "vec_id", "embedding", numCentroids = 8)
+    assert(Similarity.appendIvfPqIndex(spark, emb.limit(8)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding"), path, other, cb))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndex(spark, path)
+    }
+    assert(err.getMessage.contains("different quantizers"))
+  }
+
   test("incremental IVF index: append ≡ single build, replay no-op, compaction supersedes, retrain ≡ fresh") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
