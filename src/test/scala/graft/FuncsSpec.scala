@@ -258,6 +258,8 @@ class FuncsSpec extends AnyFunSuite {
         Native.srpKeys(transform(sequence(lit(0), lit(7)),
           i => (xxhash64(col("doc_id"), i) % 100).cast("float")), 2, 16).as("srp"),
         Native.dhash(bitmap, 9, 8).as("dh"),
+        Native.bankLogits(toks, Seq((Seq.tabulate(64)(i => (i * 37L) % 101L - 50L), 7L),
+          (Seq.tabulate(64)(i => (i * 11L) % 53L - 26L), -3L))).as("bk"),
         hex(Native.pngDecodeGray8(
           Native.pngEncodeGray8(bitmap, lit(9), filterMode = -1, stored = false))).as("png"))
         .orderBy("doc_id").collect()
