@@ -277,6 +277,28 @@ object SparkEntry {
     "dedup_minhash_raw" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).select(col("doc_id"), col("text")),
         threshold = 0.8).drop("jaccard")),
+    // LSH blocking + EditSim verification (Lee et al.'s NearDup), planted
+    // like dedup_minhash_lsh: at threshold 1.0 the kept pairs are exactly
+    // the equal-FULL-TEXT pairs (equal text ⇒ identical signatures ⇒ all
+    // bands collide ⇒ candidate; kept ⟺ levenshtein = 0 ⟺ equal) — no
+    // truncation, because prefix-equal-tail-different corpus pairs would
+    // pass a truncated compare without being guaranteed candidates. The
+    // threshold ≥ 1 cutoff makes each verify O(n), not O(n²)
+    "dedup_editsim" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.editSimNearDup(docs.union(copies), threshold = 1.0)
+    }),
+    // the verification stage alone at a REAL operating point: analytic
+    // consecutive-id candidate pairs, so the exact banded-Levenshtein
+    // distances and the threshold algebra hash-oracle against DuckDB's
+    // levenshtein on the same truncated text — real varied distances,
+    // unlike the degenerate threshold-1.0 pin above
+    "dedup_editsim_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+      Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.25, maxChars = 256)
+    }),
     // cross-corpus near-dup (near-dup-level decontamination), oracled by
     // the planted-re-encode trick: the "held-out" side is every doc
     // replanted at id+100000; at threshold 1.0 the verified pairs are
@@ -1097,6 +1119,25 @@ object SparkEntry {
                  UNION ALL SELECT doc_id + 100000, s FROM sh)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.s = b.s""",
+    // kept at threshold 1.0 ⟺ equal full texts among (corpus ∪ replants):
+    // dist 0, edit_sim exactly 1.0
+    "dedup_editsim" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS BIGINT) AS dist, 1.0 AS edit_sim
+         FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text""",
+    // DuckDB's levenshtein over the same 256-char truncation and the
+    // same sim algebra — exact integer distances, same double compare
+    "dedup_editsim_pairs" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents),
+           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+                   greatest(len(a.t), len(b.t), 1) AS ml
+                 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+         SELECT id_a, id_b, dist,
+                1.0 - CAST(dist AS DOUBLE) / CAST(ml AS DOUBLE) AS edit_sim
+         FROM p WHERE 1.0 - CAST(dist AS DOUBLE) / CAST(ml AS DOUBLE) >= 0.25""",
     // cross pairs = equal sorted-distinct-shingle sets ACROSS the two
     // relations (left original ids × right replanted ids, a == b allowed)
     "dedup_cross" ->

@@ -178,6 +178,35 @@ object Dedup {
       .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("bigint"))
   }
 
+  /** MinHash-LSH candidate pairs — the shared blocking front end of
+    * [[minhashLsh]] and [[editSimNearDup]]: shingle → k-minhash signature
+    * (map-side) → explode band keys → skew-guarded self-equi-join on
+    * (band, key). The shuffle moves 3 longs per (doc, band), never text
+    * or shingle arrays. The banded relation is PERSISTED: it appears
+    * three times downstream (hot-bucket count + both sides of the
+    * self-join) and Catalyst does not dedupe common subplans, so without
+    * the persist the shingle+minhash scan — the expensive part — would
+    * run once per occurrence. Persisted size is ~3 longs × bands per
+    * doc, ~1% of corpus at 100 TB. */
+  private def lshCandidates(documents: DataFrame, shingleLen: Int,
+      numHashes: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "a remainder would silently discard trailing signature positions and shift the S-curve")
+    val rowsPerBand = numHashes / bands // LSH S-curve knee ≈ (1/b)^(1/r) ≈ 0.71
+    val banded = documents
+      // fused shingle→hash→k-minima ([[Native.minhashFromTokens]]): the
+      // signature comes straight off the token array in one loop — no
+      // intermediate shingle array, and skipping array_distinct is exact
+      // because duplicate shingles cannot change a minimum
+      .select(col("doc_id").as("id"),
+        Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+      .transform(Caches.persisted)
+    guardedCandidatePairs(banded, Nil, maxBucketSize)
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
     *
     * shingle → k-minhash signature (map-side) → explode band keys →
@@ -192,31 +221,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6,
       maxBucketSize: Int = 64): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
-        "a remainder would silently discard trailing signature positions and shift the S-curve")
-    val rowsPerBand = numHashes / bands // LSH S-curve knee ≈ (1/b)^(1/r) ≈ 0.71
-
-    // Candidate generation on (band, bandkey, id) ONLY — the shuffle moves
-    // 3 longs per (doc, band), never the shingle arrays. The banded
-    // relation is PERSISTED: it appears three times downstream (hot-bucket
-    // count + both sides of the self-join) and Catalyst does not dedupe
-    // common subplans, so without the persist the shingle+minhash scan —
-    // the expensive part — would run once per occurrence. Persisted size
-    // is ~3 longs × bands per doc, ~1% of corpus at 100 TB.
-    val banded = documents
-      // fused shingle→hash→k-minima ([[Native.minhashFromTokens]]): the
-      // signature comes straight off the token array in one loop — no
-      // intermediate shingle array, and skipping array_distinct is exact
-      // because duplicate shingles cannot change a minimum
-      .select(col("doc_id").as("id"),
-        Native.minhashFromTokens(Funcs.tokens(col("text")), shingleLen, numHashes).as("sig"))
-      .select(col("id"),
-        posexplode(Funcs.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
-      .transform(Caches.persisted)
-
-    // skew-guarded candidate generation (see [[guardedCandidatePairs]])
-    val candidates = guardedCandidatePairs(banded, Nil, maxBucketSize)
+    // skew-guarded LSH candidate generation (see [[lshCandidates]])
+    val candidates = lshCandidates(documents, shingleLen, numHashes, bands, maxBucketSize)
 
     // Exact-Jaccard verification over h-sorted distinct shingle-hash
     // arrays (same representation as [[ngramJaccard]]'s verify): one
@@ -241,6 +247,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Edit-similarity verification of candidate pairs — the pairwise
+    * criterion of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", §NearDup): sim = 1 − lev(a, b) / max(|a|,
+    * |b|), robust to word-order and small in-place edits that shingle
+    * Jaccard over-penalizes. Joins the (optionally truncated) text onto
+    * each side of the pair relation and keeps pairs at or above
+    * `threshold`, emitting the exact distance.
+    *
+    * Scale shape: cost is candidates × O(maxChars²) DP cells — the
+    * truncation dial trades fidelity for throughput, exactly why Lee et
+    * al. verify on bounded token windows. When a distance cutoff is
+    * implied (threshold ≥ 1, or a positive threshold with finite
+    * `maxChars`), the built-in BANDED Levenshtein early-exits above it,
+    * so dissimilar candidates cost O(maxChars·cutoff), not
+    * O(maxChars²). The pair relation is candidate-sized; the two text
+    * joins shuffle only candidate rows plus one doc-keyed pass — never
+    * a pairwise text blow-up.
+    *
+    * Output: (id_a, id_b, dist, edit_sim). */
+  def verifyEditSimilarity(pairs: DataFrame, documents: DataFrame,
+      threshold: Double, maxChars: Int = Int.MaxValue): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"verifyEditSimilarity: threshold must be in [0, 1], got $threshold")
+    val t = if (maxChars == Int.MaxValue) col("text")
+            else substring(col("text"), 1, maxChars)
+    val docs = documents.select(col("doc_id"), t.as("t"))
+    def side(id: String, tc: String) =
+      docs.select(col("doc_id").as(id), col("t").as(tc))
+    // a sound static cutoff needs (1−thr)·maxLen bounded: thr ≥ 1 bounds
+    // it at 0 for any length; otherwise finite maxChars bounds maxLen.
+    // +1 absorbs the integer floor at the boundary (a cutoff may only
+    // ever be ≥ the true one, never below)
+    val cutoff: Option[Int] =
+      if (threshold >= 1.0) Some(1)
+      else if (threshold > 0.0 && maxChars != Int.MaxValue)
+        Some(((1.0 - threshold) * maxChars).toInt + 1)
+      else None
+    val dist = cutoff match {
+      case Some(c) => levenshtein(col("t_a"), col("t_b"), c)
+      case None    => levenshtein(col("t_a"), col("t_b"))
+    }
+    pairs.select("id_a", "id_b")
+      .join(side("id_a", "t_a"), Seq("id_a"))
+      .join(side("id_b", "t_b"), Seq("id_b"))
+      .withColumn("dist", dist.cast("bigint"))
+      // the banded form returns −1 above the cutoff — below threshold by
+      // construction, so drop before the sim algebra would misread −1
+      .filter(col("dist") >= 0L)
+      .withColumn("edit_sim",
+        lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("t_a")), length(col("t_b")), lit(1)).cast("double"))
+      .filter(col("edit_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("dist"), col("edit_sim"))
+  }
+
+  /** Near-dup pairs by MinHash-LSH blocking + edit-similarity
+    * verification — [[minhashLsh]] with Lee et al.'s EditSim in place of
+    * exact shingle Jaccard. Same candidate generation (the shuffle moves
+    * 3 longs per (doc, band)); see [[verifyEditSimilarity]] for the
+    * verification cost model and the `maxChars` dial. */
+  def editSimNearDup(documents: DataFrame, shingleLen: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.9,
+      maxChars: Int = Int.MaxValue, maxBucketSize: Int = 64): DataFrame =
+    verifyEditSimilarity(
+      lshCandidates(documents, shingleLen, numHashes, bands, maxBucketSize),
+      documents, threshold, maxChars)
 
   /** Cross-corpus near-dup pairs: MinHash-LSH banding on BOTH relations,
     * candidates from the (band, key) equi-join ACROSS them, exact-Jaccard

@@ -148,6 +148,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("verifyEditSimilarity: exact distances vs a reference DP; banded cutoff ≡ unbounded; threshold algebra") {
+    // reference Levenshtein (full DP) to pin Spark's builtin + the algebra
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat jumps over the lazy dog", // 1 substitution run
+      3L -> "quick brown fox jumps over the lazy dog the", // rotation: same tokens
+      4L -> "completely unrelated text with other words here",
+      5L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    val pairs = (for { (a, _) <- texts; (b, _) <- texts if a < b } yield (a, b)).toDF("id_a", "id_b")
+    val got = Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.0)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 10) // threshold 0 keeps every pair
+    got.foreach { case (a, b, dist, sim) =>
+      val (ta, tb) = (texts.toMap.apply(a), texts.toMap.apply(b))
+      assert(dist == lev(ta, tb), s"pair ($a,$b)")
+      assert(sim == 1.0 - dist.toDouble / math.max(math.max(ta.length, tb.length), 1))
+    }
+    // banded (finite maxChars + positive threshold) returns the SAME kept
+    // rows and exact distances as the unbounded form above the threshold
+    val bounded = Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.3, maxChars = 64)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Double)].collect()
+    val expected = got.filter(_._4 >= 0.3)
+    assert(bounded.toSeq == expected.toSeq)
+    assert(bounded.nonEmpty && bounded.length < got.length) // threshold actually filtered
+  }
+
+  test("editSimNearDup: planted exact copy kept at threshold 1.0; near-dup found at 0.9; unrelated dropped") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "w20x" else s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup),
+      (4L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val exact = Dedup.editSimNearDup(docs, threshold = 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(exact == Seq((1L, 2L))) // only the byte-identical pair
+    val near = Dedup.editSimNearDup(docs, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(near == Set((1L, 2L), (1L, 3L), (2L, 3L))) // 1-char edit passes 0.9
+  }
+
   test("minhash LSH hot-bucket chaining keeps oversized near-dup clusters connected") {
     // 100 near-identical docs (> maxBucketSize=8 here): every band bucket
     // is hot, so the full pairwise join is skipped — but chained pairs

@@ -246,6 +246,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(df) == 1, s"codes side shuffled pre-rank:\n$p")
   }
 
+  test("verifyEditSimilarity: candidate-bounded — equi-joins only, never a pairwise text blow-up") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+    val df = Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.25, maxChars = 256)
+    val p = plan(df)
+    // the DP cost lives in a projection over candidate rows; the joins
+    // that feed it must stay id-keyed equi-joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up:\n${p.take(2000)}")
+    assert(p.contains("levenshtein"), "verification must ride the codegen'd builtin")
+  }
+
   test("pipeline_full_prep: equi-joins only, persisted multi-consumer boundaries") {
     val df = SparkEntry.queries("pipeline_full_prep")(spark, dir)
     val p = plan(df)
