@@ -87,13 +87,18 @@ object Bench {
     // reads; the per-query contamination signal is the rep SPREAD, which
     // is internal evidence and immune to self-load.
     val ambient = loadavg1()
+    // builder-side fast iteration: a comma-separated subset of query names
+    // (the driver never sets this, so its per-round bench stays complete)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     // warm-up: one untimed pass of EVERY query so the timed pass measures
     // steady-state execution (codegen compiled, file/page caches hot, JIT
     // warmed) instead of first-touch noise — the numbers the 2×-of-baseline
     // gate should see. Failures here are ignored; the timed pass reports.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -136,7 +141,7 @@ object Bench {
     // `reps` passes: single-pass timings swung the round-3 total 1.8× on
     // byte-identical code.
     var failures = List.empty[String]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val firstPass = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try Some((name, fn, measure(fn)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -56,7 +56,14 @@ object ScalingCurve {
     "text_train_score",
     "dedup_image",
     "json_rekey_count",
-    "c4_clean")
+    "c4_clean",
+    // round-8 additions: the incremental index builds (full append+probe
+    // cost per invocation — a write-path regression shows up here), the
+    // real-PNG decode composition, and the pair-shaped EditSim verify
+    "sim_topk_ivf_incr",
+    "sim_topk_ivfpq_incr",
+    "dedup_image_png",
+    "dedup_editsim")
 
   private[graft] val FlagExponent = 1.3
 

@@ -258,6 +258,11 @@ object Similarity {
       col("vec_id"), col("embedding"),
       Native.normF(col("embedding")).as("c_norm"),
       explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      // pre-partition by bucket: each bucket dir gets ONE writer's files
+      // instead of one per (input task × bucket) — the no-small-files rule
+      // for a layout that probes later partition-prune; the shuffled rows
+      // are ids + codes/norms, a sliver of the corpus
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** IVF probe over a [[writeIvfIndex]] layout with STATIC partition
@@ -343,6 +348,10 @@ object Similarity {
         col("vec_id"), col("embedding"),
         Native.normF(col("embedding")).as("c_norm"),
         explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      // NO pre-partition on the append path: a batch write is latency-
+      // sensitive and its (task × bucket) files are bounded by the batch,
+      // not the corpus — compaction re-layouts into one-writer-per-bucket
+      // (the LSM split: appends optimize ingest, compaction the read side)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
     centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.BatchStore.commit(spark, dir)
@@ -405,6 +414,7 @@ object Similarity {
         col("vec_id"), col("embedding"),
         Native.normF(col("embedding")).as("c_norm"),
         explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .repartition(col("bucket")) // one writer per bucket dir (see writeIvfIndex)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
     centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.BatchStore.writeSupersedes(spark, dir, names)
@@ -581,12 +591,14 @@ object Similarity {
       codebooks: Array[Array[Array[Float]]],
       path: String,
       corpusAssign: Int = 3): Unit =
-    // ONE corpus scan, zero shuffle: codes and coarse buckets are both
-    // per-row expressions, so a self-join on vec_id (two scans + a
-    // corpus-sized shuffle) is pure waste at index-build scale
+    // ONE corpus scan: codes and coarse buckets are both per-row
+    // expressions, so a self-join on vec_id (two scans) is pure waste at
+    // index-build scale; the only shuffle is the codes-layout repartition
+    // (m bytes + ids per row, a sliver of the embedding corpus)
     corpus.select(col("vec_id"),
         pqCodes(col("embedding"), codebooks).as("codes"),
         explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      .repartition(col("bucket")) // one writer per bucket dir (see writeIvfIndex)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   private def codebooksDf(spark: SparkSession, cbs: Array[Array[Array[Float]]]): DataFrame = {
@@ -624,6 +636,7 @@ object Similarity {
     batch.select(col("vec_id"),
         pqCodes(col("embedding"), codebooks).as("codes"),
         explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      // append path: no pre-partition (see appendIvfIndex's LSM rationale)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
     centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     codebooksDf(spark, codebooks).coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -702,6 +715,7 @@ object Similarity {
         rows.select(col("vec_id"),
             pqCodes(col("embedding"), cbs).as("codes"),
             explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
         centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
         codebooksDf(spark, cbs).coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
