@@ -337,7 +337,12 @@ object Similarity {
       cents: Array[Array[Float]], corpusAssign: Int = 3): Boolean = {
     require(cents.nonEmpty, "appendIvfIndex: no centroids")
     val idRow = batch
-      .agg(coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)), count(lit(1)))
+      // content hash over ids AND vectors (order-independent): a batch of
+      // modified embeddings under old ids is NEW content, not a replay —
+      // it appends, and the probe's max-combine surfaces the best-scoring
+      // stored version until a retrain compaction re-encodes from the
+      // corpus (the refresh story; the store itself is append-only)
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
       .collect()(0)
     // an empty batch would commit a directory whose parquet reads fail
     // schema inference — refuse it as "nothing appended"
@@ -375,7 +380,11 @@ object Similarity {
       scoreIndexed(spark, queries, s"$d/data",
         readIndexCentroids(spark, s"$d/centroids"), nprobe)
     }.reduce(_.unionByName(_))
-    topK(scored.dropDuplicates("query_id", "vec_id"), k)
+    // max, not dropDuplicates: a vector present twice (multi-assignment,
+    // or re-ingested under a different stored version) must combine
+    // DETERMINISTICALLY — an arbitrary pick would make the ranking
+    // depend on task scheduling. Same shuffle as a dropDuplicates.
+    topK(scored.groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")), k)
   }
 
   /** Fold every committed batch into ONE directory and (optionally)
@@ -628,7 +637,12 @@ object Similarity {
       corpusAssign: Int = 3): Boolean = {
     require(cents.nonEmpty, "appendIvfPqIndex: no centroids")
     val idRow = batch
-      .agg(coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)), count(lit(1)))
+      // content hash over ids AND vectors (order-independent): a batch of
+      // modified embeddings under old ids is NEW content, not a replay —
+      // it appends, and the probe's max-combine surfaces the best-scoring
+      // stored version until a retrain compaction re-encodes from the
+      // corpus (the refresh story; the store itself is append-only)
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
       .collect()(0)
     if (idRow.getLong(1) == 0L) return false // empty batch: nothing appended
     val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
@@ -660,8 +674,13 @@ object Similarity {
         readIndexCentroids(spark, s"$d/centroids"),
         readIndexCodebooks(spark, s"$d/codebooks"), nprobe)
     }.reduce(_.unionByName(_))
-    val shortlist = topK(scored.dropDuplicates("query_id", "vec_id"), k * refineFactor)
-      .select(col("query_id"), col("vec_id"))
+    // max, not dropDuplicates: across batches the ADC estimate depends on
+    // each batch's quantizers, so a re-ingested vector can score
+    // differently per batch — combine deterministically (best estimate),
+    // never by task-scheduling order. Same shuffle as a dropDuplicates.
+    val shortlist = topK(
+      scored.groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")),
+      k * refineFactor).select(col("query_id"), col("vec_id"))
     exactRerank(shortlist, corpus, queries, k)
   }
 
