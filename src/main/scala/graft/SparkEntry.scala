@@ -299,6 +299,36 @@ object SparkEntry {
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.25, maxChars = 256)
     }),
+    // TOKEN-level edit distances pinned by three analytic plant classes:
+    // a suffix/prefix of k appended tokens costs exactly k insertions
+    // WHATEVER the tokens are (d(s, s·suffix) = |suffix|), and the
+    // substitute-all plant costs exactly n because every planted token
+    // carries '#' while the corpus is '#'-free (LCS = 0 forces one
+    // substitution per position) — so the native banded DP's outputs are
+    // pure arithmetic in DuckDB
+    "dedup_editsim_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val k = (col("doc_id") % 4 + 1).cast("int")
+      val qTokens = array_join(
+        transform(sequence(lit(1), k), i => concat(lit("q"), i.cast("string"))), " ")
+      val planted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat_ws(" ", col("text"), qTokens))
+          .when(col("doc_id") % 3 === 1,
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit("#"))), " "))
+          .otherwise(concat_ws(" ", qTokens, col("text"))).as("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+      Dedup.verifyTokenEditSimilarity(pairs, docs.union(planted), threshold = 0.0)
+    }),
+    // the composed token-criterion near-dup (Lee et al.'s published
+    // NearDup shape: banded-MinHash candidates, token edit verify) at the
+    // degenerate threshold: kept ⟺ equal token sequences (single-spaced
+    // corpus ⇒ equal text), same oracle family as dedup_editsim
+    "dedup_editsim_tok" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.tokenEditSimNearDup(docs.union(copies), threshold = 1.0)
+    }),
     // cross-corpus near-dup (near-dup-level decontamination), oracled by
     // the planted-re-encode trick: the "held-out" side is every doc
     // replanted at id+100000; at threshold 1.0 the verified pairs are
@@ -1138,6 +1168,28 @@ object SparkEntry {
          SELECT id_a, id_b, dist,
                 1.0 - CAST(dist AS DOUBLE) / CAST(ml AS DOUBLE) AS edit_sim
          FROM p WHERE 1.0 - CAST(dist AS DOUBLE) / CAST(ml AS DOUBLE) >= 0.25""",
+    // the planted token distances are pure arithmetic: k for the
+    // append/prepend classes, n (token count) for substitute-all; the
+    // sim denominator is the longer side's token count
+    "dedup_editsim_tokens" ->
+      """WITH base AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(doc_id % 4 + 1 AS BIGINT) AS k FROM documents),
+           p AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1 THEN n ELSE k END AS dist,
+                   CASE WHEN doc_id % 3 = 1 THEN n ELSE n + k END AS ml
+                 FROM base)
+         SELECT doc_id AS id_a, doc_id + 100000 AS id_b, dist,
+                1.0 - CAST(dist AS DOUBLE) / CAST(ml AS DOUBLE) AS edit_sim
+         FROM p""",
+    // kept at threshold 1.0 ⟺ equal token sequences among (corpus ∪
+    // replants) — the single-spaced corpus makes that equal text
+    "dedup_editsim_tok" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS BIGINT) AS dist, 1.0 AS edit_sim
+         FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text""",
     // cross pairs = equal sorted-distinct-shingle sets ACROSS the two
     // relations (left original ids × right replanted ids, a == b allowed)
     "dedup_cross" ->

@@ -509,6 +509,60 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** token_edit(ARRAY<LONG>, ARRAY<LONG>) → INT: Levenshtein distance over
+    * token-hash sequences — the TOKEN-level edit distance of Lee et al.
+    * 2022's NearDup criterion (`substr`-level Levenshtein over-penalizes a
+    * single long-token substitution and under-penalizes many short ones).
+    * Two-row DP over primitive longs: each cell is one long compare +
+    * three adds, ~ns-scale, vs the builtin string form's per-codepoint
+    * UTF8String walk (measured ~2 ms per 256-char pair). `cutoff > 0`
+    * mirrors the builtin's banded contract — returns −1 as soon as the
+    * row minimum exceeds it (the row minimum is non-decreasing), so
+    * dissimilar candidates exit after ~cutoff rows; `cutoff ≤ 0` is
+    * unbounded. */
+  case class TokenEditDistance(left: Expression, right: Expression, cutoff: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      var x = a.asInstanceOf[ArrayData]
+      var y = b.asInstanceOf[ArrayData]
+      if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
+      val n = x.numElements(); val m = y.numElements()
+      if (cutoff > 0 && m - n > cutoff) return Integer.valueOf(-1)
+      val xs = new Array[Long](n)
+      var i = 0
+      while (i < n) { xs(i) = x.getLong(i); i += 1 }
+      var prev = new Array[Int](n + 1)
+      var cur = new Array[Int](n + 1)
+      i = 0
+      while (i <= n) { prev(i) = i; i += 1 }
+      var j = 1
+      while (j <= m) {
+        val yj = y.getLong(j - 1)
+        cur(0) = j
+        var rowMin = j
+        i = 1
+        while (i <= n) {
+          var v = prev(i - 1) + (if (xs(i - 1) == yj) 0 else 1)
+          val del = prev(i) + 1
+          if (del < v) v = del
+          val ins = cur(i - 1) + 1
+          if (ins < v) v = ins
+          cur(i) = v
+          if (v < rowMin) rowMin = v
+          i += 1
+        }
+        if (cutoff > 0 && rowMin > cutoff) return Integer.valueOf(-1)
+        val t = prev; prev = cur; cur = t
+        j += 1
+      }
+      val d = prev(n)
+      if (cutoff > 0 && d > cutoff) Integer.valueOf(-1) else Integer.valueOf(d)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** bloom_contains(BINARY, LONG) → BOOLEAN: membership probe of a long
     * key against a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (the filter Spark's own `DataFrameStatFunctions.bloomFilter` builds).
@@ -1073,6 +1127,8 @@ object Native {
       longSeqSeqLit(exprs(1), "weights"), longSeqLit(exprs(2), "biases"))),
     "graft_max_freq" -> (exprs => MaxFreqCount(exprs(0))),
     "graft_sorted_intersect" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
+    "graft_token_edit" -> (exprs =>
+      TokenEditDistance(exprs(0), exprs(1), intLit(exprs(2), "cutoff"))),
     "graft_shingle_hashes" -> (exprs =>
       ShingleHashes(exprs(0), intLit(exprs(1), "n"), boolLit(exprs(2), "sortedDistinct"))),
     "graft_minhash_tokens" -> (exprs =>
@@ -1131,6 +1187,8 @@ object Native {
   def maxFreq(a: Column): Column = call_function("graft_max_freq", a)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+  def tokenEditDistance(a: Column, b: Column, cutoff: Int = 0): Column =
+    call_function("graft_token_edit", a, b, org.apache.spark.sql.functions.lit(cutoff))
   def shingleHashes(tokens: Column, n: Int, sortedDistinct: Boolean): Column =
     call_function("graft_shingle_hashes", tokens,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(sortedDistinct))

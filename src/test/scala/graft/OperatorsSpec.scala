@@ -183,6 +183,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bounded.nonEmpty && bounded.length < got.length) // threshold actually filtered
   }
 
+  test("tokenEditDistance: ≡ reference DP on random arrays; cutoff contract exact-or-minus-one") {
+    def ref(a: Seq[Long], b: Seq[Long]): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { _ =>
+      val n = rnd.nextInt(12); val m = rnd.nextInt(12)
+      // small alphabet so matches/substitutions/indels all occur
+      (Seq.fill(n)(rnd.nextInt(4).toLong), Seq.fill(m)(rnd.nextInt(4).toLong))
+    } ++ Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq.empty[Long]))
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+        graft.functions.Native.tokenEditDistance($"a", $"b").as("d"),
+        graft.functions.Native.tokenEditDistance($"a", $"b", cutoff = 3).as("d3"))
+      .as[(Int, Int)].collect()
+    cases.zip(got).foreach { case ((a, b), (d, d3)) =>
+      val expect = ref(a, b)
+      assert(d == expect, s"unbounded: $a vs $b")
+      assert(d3 == (if (expect <= 3) expect else -1), s"cutoff 3: $a vs $b")
+    }
+  }
+
+  test("verifyTokenEditSimilarity: token criterion scores a long-token substitution as ONE edit") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha supercalifragilisticexpialidocious gamma delta"), // 1 token swap
+      (3L, "alpha beta gamma delta epsilon")) // 1 token append
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyTokenEditSimilarity(pairs, docs, threshold = 0.0)
+      .orderBy("id_b").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 1.0 - 1.0 / 4), (1L, 3L, 1L, 1.0 - 1.0 / 5)))
+    // the char-level form reads the same swap as a ~40-char edit
+    val charSim = Dedup.verifyEditSimilarity(pairs.limit(1), docs, threshold = 0.0)
+      .select($"edit_sim").as[Double].collect().head
+    assert(charSim < 0.5, s"char-level sim should be heavily penalized, got $charSim")
+  }
+
   test("editSimNearDup: planted exact copy kept at threshold 1.0; near-dup found at 0.9; unrelated dropped") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "w20x" else s"w$i").mkString(" ")
