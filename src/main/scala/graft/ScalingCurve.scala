@@ -63,7 +63,8 @@ object ScalingCurve {
     "sim_topk_ivf_incr",
     "sim_topk_ivfpq_incr",
     "dedup_image_png",
-    "dedup_editsim")
+    "dedup_editsim",
+    "dedup_editsim_tok")
 
   private[graft] val FlagExponent = 1.3
 

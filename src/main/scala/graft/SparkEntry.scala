@@ -834,6 +834,30 @@ object SparkEntry {
     // random, doubling a text lowers its ratio
     "text_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // the COMPLETE Gopher repetition suite over the lined view with
+    // planted duplication (doc_id%5=0: the whole text repeated as a
+    // second paragraph; else doc_id%3=0: the first line re-appended), so
+    // line/paragraph dup signals and the gram tiers all fire with real
+    // non-trivial values; the oracle recomputes every emitted signal from
+    // the contract in Native.GopherRepetition's scaladoc. The 6
+    // dup-{5..10}-gram coverage signals stay ScalaTest-pinned (their
+    // span-union is the one piece DuckDB can't express tractably) and
+    // are projected out here
+    "text_gopher_repetition" -> ((s, d) => {
+      val lined = linedText(col("doc_id"), col("text"))
+      val planted = when(col("doc_id") % 5 === 0, concat(lined, lit("\n\n"), lined))
+        .when(col("doc_id") % 3 === 0,
+          concat(lined, lit("\n"), element_at(split(lined, "\n"), 1)))
+        .otherwise(lined)
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Native.gopherRepetition(planted).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac"), col("r.dup_line_char_frac"),
+          col("r.dup_para_frac"), col("r.dup_para_char_frac"),
+          col("r.top_2_gram_char_frac").as("top2_cfrac"),
+          col("r.top_3_gram_char_frac").as("top3_cfrac"),
+          col("r.top_4_gram_char_frac").as("top4_cfrac"))
+    }),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     // BM25 retrieval against a fixed bag-of-words query (targeted
     // selection / decontamination triage); scores rounded to 6dp on both
@@ -2059,6 +2083,57 @@ object SparkEntry {
            CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
              / CAST(len(toks) AS DOUBLE) AS dup_token_frac
          FROM b""",
+    // every emitted signal recomputed from the stated contract: splits
+    // keep empty fields, denominators are whole-text character counts,
+    // top gram = (count desc, length desc, gram asc)
+    "text_gopher_repetition" ->
+      s"""WITH $LinedCte,
+           pl AS (SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0
+                           THEN text || chr(10) || chr(10) || text
+                         WHEN doc_id % 3 = 0
+                           THEN text || chr(10) || string_split(text, chr(10))[1]
+                         ELSE text END AS t
+                  FROM lined),
+           base AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS total FROM pl),
+           ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS p FROM base),
+           lg AS (SELECT doc_id, p, count(*) AS c FROM ln GROUP BY 1, 2),
+           lstat AS (SELECT doc_id, sum(c - 1) AS dups,
+                       sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
+                     FROM lg GROUP BY 1),
+           pa AS (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS p FROM base),
+           pg AS (SELECT doc_id, p, count(*) AS c FROM pa GROUP BY 1, 2),
+           pstat AS (SELECT doc_id, sum(c - 1) AS dups,
+                       sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
+                     FROM pg GROUP BY 1),
+           tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM base),
+           g AS (SELECT doc_id, n,
+                   unnest([array_to_string(w[i + 1:i + n], ' ')
+                           for i in range(0, greatest(len(w) - n + 1, 0))]) AS gram
+                 FROM tk, (VALUES (2), (3), (4)) ns(n)),
+           gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+           top1 AS (SELECT doc_id, n, c, len(gram) AS gl FROM (
+                      SELECT doc_id, n, gram, c,
+                        row_number() OVER (PARTITION BY doc_id, n
+                          ORDER BY c DESC, len(gram) DESC, gram ASC) AS rn
+                      FROM gc) WHERE rn = 1),
+           tops AS (SELECT doc_id,
+                      max(CASE WHEN n = 2 THEN CAST(c * gl AS DOUBLE) END) AS t2,
+                      max(CASE WHEN n = 3 THEN CAST(c * gl AS DOUBLE) END) AS t3,
+                      max(CASE WHEN n = 4 THEN CAST(c * gl AS DOUBLE) END) AS t4
+                    FROM top1 GROUP BY 1)
+         SELECT b.doc_id,
+           CAST(l.dups AS DOUBLE) / CAST(l.ntot AS DOUBLE) AS dup_line_frac,
+           CAST(l.dupch AS DOUBLE) / b.total AS dup_line_char_frac,
+           CAST(p.dups AS DOUBLE) / CAST(p.ntot AS DOUBLE) AS dup_para_frac,
+           CAST(p.dupch AS DOUBLE) / b.total AS dup_para_char_frac,
+           coalesce(tp.t2 / b.total, 0.0) AS top2_cfrac,
+           coalesce(tp.t3 / b.total, 0.0) AS top3_cfrac,
+           coalesce(tp.t4 / b.total, 0.0) AS top4_cfrac
+         FROM base b
+         JOIN lstat l USING (doc_id)
+         JOIN pstat p USING (doc_id)
+         LEFT JOIN tops tp USING (doc_id)""",
     "text_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            s AS (SELECT doc_id,

@@ -563,6 +563,106 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** gopher_repetition(STRING) → the COMPLETE 13-signal Gopher repetition
+    * suite (Rae et al. 2021 Table A1; operational semantics after
+    * DataTrove's GopherRepetitionFilter), one pass per document —
+    * map-side, no shuffle, like the rest of the quality-tagger family.
+    * The simplified 3-signal [[MaxFreqCount]]-based `repetitionStats`
+    * remains the cheap tier; this is the published filter.
+    *
+    * The deterministic contract both engines implement (DuckDB mirrors
+    * every rule, so the signals hash-oracle):
+    *  - characters = Unicode codepoints; every fraction's denominator is
+    *    the whole text's codepoint count (0 → fraction 0);
+    *  - lines split on '\n', paragraphs on '\n\n', tokens on ' ' — all
+    *    splits KEEP empty fields (the string_split semantics);
+    *  - dup_{line,para}_frac = occurrences beyond the first of any
+    *    repeated element / element count; the _char_frac twins weigh
+    *    those repeat occurrences by their codepoints;
+    *  - top_{2,3,4}_gram_char_frac = count(top)·codepoints(top)/total,
+    *    top gram = highest count, tie → longest, tie → lexicographically
+    *    least (Counter.most_common's insertion-order tie is not
+    *    reproducible across engines — this ordering is);
+    *  - dup_{5..10}_gram_char_frac = codepoints of tokens covered by any
+    *    occurrence of a gram appearing ≥ 2 times, each token counted
+    *    once (separators excluded), / total. */
+  case class GopherRepetition(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    import GopherRepetition.DupNs
+    override def dataType: DataType = StructType(
+      (Seq("dup_line_frac", "dup_line_char_frac",
+           "dup_para_frac", "dup_para_char_frac") ++
+        Seq(2, 3, 4).map(n => s"top_${n}_gram_char_frac") ++
+        DupNs.map(n => s"dup_${n}_gram_char_frac"))
+        .map(StructField(_, DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val total = text.codePointCount(0, text.length).toDouble
+      def cp(s: String): Int = s.codePointCount(0, s.length)
+      def dupFracs(parts: Array[String]): (Double, Double) = {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        parts.foreach(p => counts.update(p, counts.getOrElse(p, 0) + 1))
+        var dups = 0L; var dupChars = 0L
+        counts.foreach { case (p, c) =>
+          if (c > 1) { dups += c - 1; dupChars += (c - 1).toLong * cp(p) }
+        }
+        (if (parts.length == 0) 0.0 else dups.toDouble / parts.length,
+          if (total == 0) 0.0 else dupChars / total)
+      }
+      val (dlf, dlc) = dupFracs(text.split("\n", -1))
+      val (dpf, dpc) = dupFracs(text.split("\n\n", -1))
+      val toks = text.split(" ", -1)
+      def gramsOf(n: Int): Array[String] =
+        if (toks.length < n) Array.empty
+        else Array.tabulate(toks.length - n + 1) { i =>
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = i + 1
+          while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+          sb.toString
+        }
+      def gramCounts(grams: Array[String]): scala.collection.mutable.HashMap[String, Int] = {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        grams.foreach(g => counts.update(g, counts.getOrElse(g, 0) + 1))
+        counts
+      }
+      def topGramFrac(n: Int): Double = {
+        if (total == 0) return 0.0
+        val counts = gramCounts(gramsOf(n))
+        if (counts.isEmpty) return 0.0
+        var bestCnt = -1; var bestLen = -1; var bestGram: String = null
+        counts.foreach { case (g, c) =>
+          val l = cp(g)
+          if (c > bestCnt || (c == bestCnt && (l > bestLen ||
+              (l == bestLen && g.compareTo(bestGram) < 0)))) {
+            bestCnt = c; bestLen = l; bestGram = g
+          }
+        }
+        bestCnt.toLong * bestLen / total
+      }
+      def dupGramFrac(n: Int): Double = {
+        if (total == 0 || toks.length < n) return 0.0
+        val grams = gramsOf(n)
+        val counts = gramCounts(grams)
+        val covered = new Array[Boolean](toks.length)
+        var i = 0
+        while (i < grams.length) {
+          if (counts(grams(i)) > 1) {
+            var j = i; while (j < i + n) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        var chars = 0L
+        i = 0
+        while (i < toks.length) { if (covered(i)) chars += cp(toks(i)); i += 1 }
+        chars / total
+      }
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        Seq(dlf, dlc, dpf, dpc) ++ Seq(2, 3, 4).map(topGramFrac) ++ DupNs.map(dupGramFrac))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  object GopherRepetition { private[functions] val DupNs: Seq[Int] = 5 to 10 }
+
   /** bloom_contains(BINARY, LONG) → BOOLEAN: membership probe of a long
     * key against a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (the filter Spark's own `DataFrameStatFunctions.bloomFilter` builds).
@@ -1129,6 +1229,7 @@ object Native {
     "graft_sorted_intersect" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
     "graft_token_edit" -> (exprs =>
       TokenEditDistance(exprs(0), exprs(1), intLit(exprs(2), "cutoff"))),
+    "graft_gopher_repetition" -> (exprs => GopherRepetition(exprs(0))),
     "graft_shingle_hashes" -> (exprs =>
       ShingleHashes(exprs(0), intLit(exprs(1), "n"), boolLit(exprs(2), "sortedDistinct"))),
     "graft_minhash_tokens" -> (exprs =>
@@ -1189,6 +1290,8 @@ object Native {
     call_function("graft_sorted_intersect", a, b)
   def tokenEditDistance(a: Column, b: Column, cutoff: Int = 0): Column =
     call_function("graft_token_edit", a, b, org.apache.spark.sql.functions.lit(cutoff))
+  def gopherRepetition(text: Column): Column =
+    call_function("graft_gopher_repetition", text)
   def shingleHashes(tokens: Column, n: Int, sortedDistinct: Boolean): Column =
     call_function("graft_shingle_hashes", tokens,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(sortedDistinct))

@@ -179,6 +179,18 @@ object TextAnalysis {
         .as("dup_token_frac"))
   }
 
+  /** The COMPLETE 13-signal Gopher repetition suite (Rae et al. 2021
+    * Table A1): duplicate line/paragraph fractions (count- and
+    * character-weighted), top-{2,3,4}-gram character fractions, and
+    * duplicate-{5..10}-gram character coverage — the published filter,
+    * where [[repetitionStats]] is the cheap 3-signal tier. One native
+    * pass per document ([[Native.GopherRepetition]], which also states
+    * the deterministic cross-engine contract); map-side, no shuffle. */
+  def gopherRepetitionStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), Native.gopherRepetition(col("text")).as("r"))
+      .select("doc_id", "r.*")
+
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 family):
     * each rule is an independent flag, `keep` is their conjunction —
     * emitted per-rule (not pre-collapsed) so a pipeline can audit WHICH

@@ -183,6 +183,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bounded.nonEmpty && bounded.length < got.length) // threshold actually filtered
   }
 
+  test("gopherRepetition: all 13 signals ≡ an independent reference on planted, random, and degenerate docs") {
+    def refSignals(text: String): Seq[Double] = {
+      val total = text.codePointCount(0, text.length).toDouble
+      def cp(s: String): Double = s.codePointCount(0, s.length).toDouble
+      def dup(parts: Seq[String]): Seq[Double] = {
+        val groups = parts.groupBy(identity).values.toSeq
+        val dups = groups.map(_.size - 1).sum
+        val dupch = groups.map(v => (v.size - 1) * cp(v.head)).sum
+        Seq(if (parts.isEmpty) 0.0 else dups.toDouble / parts.size,
+          if (total == 0) 0.0 else dupch / total)
+      }
+      val toks = text.split(" ", -1).toSeq
+      def grams(n: Int): Seq[String] =
+        if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+      def top(n: Int): Double = {
+        val counts = grams(n).groupBy(identity).map { case (g, v) => g -> v.size }
+        if (total == 0 || counts.isEmpty) 0.0
+        else {
+          val (g, c) = counts.toSeq.sortWith { case ((g1, c1), (g2, c2)) =>
+            c1 > c2 || (c1 == c2 && (cp(g1) > cp(g2) ||
+              (cp(g1) == cp(g2) && g1 < g2)))
+          }.head
+          c * cp(g) / total
+        }
+      }
+      def dupg(n: Int): Double =
+        if (total == 0 || toks.size < n) 0.0
+        else {
+          val gs = grams(n)
+          val counts = gs.groupBy(identity).map { case (g, v) => g -> v.size }
+          val covered = gs.zipWithIndex
+            .flatMap { case (g, i) => if (counts(g) > 1) i until i + n else Seq.empty }
+            .toSet
+          covered.toSeq.map(i => cp(toks(i))).sum / total
+        }
+      dup(text.split("\n", -1).toSeq) ++ dup(text.split("\n\n", -1).toSeq) ++
+        Seq(2, 3, 4).map(top) ++ (5 to 10).map(dupg)
+    }
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      "",                                    // all denominators zero
+      "one",                                 // single token, no grams
+      "a  b",                                // empty token from the double space
+      "x y\nx y\nx y",                       // every line duplicated
+      "p q r.\n\np q r.",                    // duplicate paragraph
+      "spam ham spam ham spam ham spam ham spam ham eggs", // heavy 2-gram repeat
+      ("w1 w2 w3 w4 w5 w6 w7 " * 3).trim    // duplicated 5..10-grams
+    ) ++ (1 to 10).map(_ => (1 to 30).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+    val got = docs.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.Native.gopherRepetition($"text").as("r"))
+      .select($"doc_id", $"r.*").orderBy("doc_id").collect()
+    docs.zip(got).foreach { case (text, row) =>
+      val expect = refSignals(text)
+      val actual = (1 to 13).map(row.getDouble)
+      assert(actual == expect, s"doc '${text.take(40)}': $actual vs $expect")
+    }
+    // the planted cases actually fire the signals they were built for
+    val byDoc = got.map(r => r.getInt(0).toLong -> r).toMap
+    assert(byDoc(3L).getDouble(1) > 0.5, "dup_line_frac on all-dup lines")
+    assert(byDoc(4L).getDouble(3) == 0.5, "dup_para_frac on a doubled paragraph")
+    assert(byDoc(5L).getDouble(5) > 0.5, "top2_cfrac on the spam-ham loop")
+    // covered token chars / whole-text chars (separators in the denominator):
+    // 21 covered 2-char tokens over 62 chars = 42/62
+    assert(byDoc(6L).getDouble(8) > 0.6, "dup_5_gram coverage on a tripled phrase")
+  }
+
   test("tokenEditDistance: ≡ reference DP on random arrays; cutoff contract exact-or-minus-one") {
     def ref(a: Seq[Long], b: Seq[Long]): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
