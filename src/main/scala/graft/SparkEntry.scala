@@ -135,6 +135,106 @@ object SparkEntry {
       (((s * 3 + c * 5 + j * 7) % 17) - 8).cast("float")
     })
 
+  /** The Gopher-repetition fixture: the lined view with PLANTED
+    * duplication (doc_id%5=0: the whole text repeated as a second
+    * paragraph; else doc_id%3=0: the first line re-appended) so the
+    * line/paragraph dup signals and the gram tiers all fire with real
+    * non-trivial values. Mirrored in [[GopherRepCtes]]' `pl` CTE. */
+  private def gopherPlantedDocs(s: SparkSession, d: String): DataFrame = {
+    val lined = linedText(col("doc_id"), col("text"))
+    val planted = when(col("doc_id") % 5 === 0, concat(lined, lit("\n\n"), lined))
+      .when(col("doc_id") % 3 === 0,
+        concat(lined, lit("\n"), element_at(split(lined, "\n"), 1)))
+      .otherwise(lined)
+    Tables.documents(s, d).select(col("doc_id"), planted.as("text"))
+  }
+
+  /** DuckDB mirror of the complete Gopher-repetition signal pipeline over
+    * the planted lined view ([[gopherPlantedDocs]]) — ends in `sig`, one
+    * row per doc with all 13 contract signals. Shared by the stats and
+    * filter oracles. The dup-gram coverage avoids a quadratic
+    * per-position scan by precomputing one dup flag per gram (O(G²)
+    * string compares per doc per n) and testing each token's covering
+    * window against the flag list. */
+  private lazy val GopherRepCtes: String =
+    s"""$LinedCte,
+       pl AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                       THEN text || chr(10) || chr(10) || text
+                     WHEN doc_id % 3 = 0
+                       THEN text || chr(10) || string_split(text, chr(10))[1]
+                     ELSE text END AS t
+              FROM lined),
+       base AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS total FROM pl),
+       ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS p FROM base),
+       lg AS (SELECT doc_id, p, count(*) AS c FROM ln GROUP BY 1, 2),
+       lstat AS (SELECT doc_id, sum(c - 1) AS dups,
+                   sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
+                 FROM lg GROUP BY 1),
+       pa AS (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS p FROM base),
+       pg AS (SELECT doc_id, p, count(*) AS c FROM pa GROUP BY 1, 2),
+       pstat AS (SELECT doc_id, sum(c - 1) AS dups,
+                   sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
+                 FROM pg GROUP BY 1),
+       tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM base),
+       g AS (SELECT doc_id, n,
+               unnest([array_to_string(w[i + 1:i + n], ' ')
+                       for i in range(0, greatest(len(w) - n + 1, 0))]) AS gram
+             FROM tk, (VALUES (2), (3), (4)) ns(n)),
+       gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+       top1 AS (SELECT doc_id, n, c, len(gram) AS gl FROM (
+                  SELECT doc_id, n, gram, c,
+                    row_number() OVER (PARTITION BY doc_id, n
+                      ORDER BY c DESC, len(gram) DESC, gram ASC) AS rn
+                  FROM gc) WHERE rn = 1),
+       tops AS (SELECT doc_id,
+                  max(CASE WHEN n = 2 THEN CAST(c * gl AS DOUBLE) END) AS t2,
+                  max(CASE WHEN n = 3 THEN CAST(c * gl AS DOUBLE) END) AS t3,
+                  max(CASE WHEN n = 4 THEN CAST(c * gl AS DOUBLE) END) AS t4
+                FROM top1 GROUP BY 1),
+       dg AS (SELECT doc_id, n, w,
+                [array_to_string(w[i + 1:i + n], ' ')
+                 for i in range(0, greatest(len(w) - n + 1, 0))] AS gs
+              FROM tk, (VALUES (5), (6), (7), (8), (9), (10)) ns(n)),
+       df AS (SELECT doc_id, n, w,
+                [len(list_filter(gs, x -> x = g)) > 1 for g in gs] AS dup
+              FROM dg),
+       dcov AS (SELECT doc_id, n,
+                  coalesce(list_sum(
+                    [CASE WHEN list_contains(
+                            dup[greatest(p - n + 1, 0) + 1:least(p, len(dup) - 1) + 1],
+                            true)
+                          THEN len(w[p + 1]) ELSE 0 END
+                     for p in range(0, len(w))]), 0) AS covch
+                FROM df),
+       dtops AS (SELECT doc_id,
+                   max(CASE WHEN n = 5 THEN covch END) AS d5,
+                   max(CASE WHEN n = 6 THEN covch END) AS d6,
+                   max(CASE WHEN n = 7 THEN covch END) AS d7,
+                   max(CASE WHEN n = 8 THEN covch END) AS d8,
+                   max(CASE WHEN n = 9 THEN covch END) AS d9,
+                   max(CASE WHEN n = 10 THEN covch END) AS d10
+                 FROM dcov GROUP BY 1),
+       sig AS (SELECT b.doc_id,
+                 CAST(l.dups AS DOUBLE) / CAST(l.ntot AS DOUBLE) AS dup_line_frac,
+                 CAST(l.dupch AS DOUBLE) / b.total AS dup_line_char_frac,
+                 CAST(p.dups AS DOUBLE) / CAST(p.ntot AS DOUBLE) AS dup_para_frac,
+                 CAST(p.dupch AS DOUBLE) / b.total AS dup_para_char_frac,
+                 coalesce(tp.t2 / b.total, 0.0) AS top_2_gram_char_frac,
+                 coalesce(tp.t3 / b.total, 0.0) AS top_3_gram_char_frac,
+                 coalesce(tp.t4 / b.total, 0.0) AS top_4_gram_char_frac,
+                 CAST(dt.d5 AS DOUBLE) / b.total AS dup_5_gram_char_frac,
+                 CAST(dt.d6 AS DOUBLE) / b.total AS dup_6_gram_char_frac,
+                 CAST(dt.d7 AS DOUBLE) / b.total AS dup_7_gram_char_frac,
+                 CAST(dt.d8 AS DOUBLE) / b.total AS dup_8_gram_char_frac,
+                 CAST(dt.d9 AS DOUBLE) / b.total AS dup_9_gram_char_frac,
+                 CAST(dt.d10 AS DOUBLE) / b.total AS dup_10_gram_char_frac
+               FROM base b
+               JOIN lstat l USING (doc_id)
+               JOIN pstat p USING (doc_id)
+               LEFT JOIN tops tp USING (doc_id)
+               JOIN dtops dt USING (doc_id))"""
+
   /** DuckDB mirror of [[linedText]] (shared by the two line-op oracles). */
   private val LinedCte: String =
     """lined AS (
@@ -834,30 +934,15 @@ object SparkEntry {
     // random, doubling a text lowers its ratio
     "text_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
-    // the COMPLETE Gopher repetition suite over the lined view with
-    // planted duplication (doc_id%5=0: the whole text repeated as a
-    // second paragraph; else doc_id%3=0: the first line re-appended), so
-    // line/paragraph dup signals and the gram tiers all fire with real
-    // non-trivial values; the oracle recomputes every emitted signal from
-    // the contract in Native.GopherRepetition's scaladoc. The 6
-    // dup-{5..10}-gram coverage signals stay ScalaTest-pinned (their
-    // span-union is the one piece DuckDB can't express tractably) and
-    // are projected out here
-    "text_gopher_repetition" -> ((s, d) => {
-      val lined = linedText(col("doc_id"), col("text"))
-      val planted = when(col("doc_id") % 5 === 0, concat(lined, lit("\n\n"), lined))
-        .when(col("doc_id") % 3 === 0,
-          concat(lined, lit("\n"), element_at(split(lined, "\n"), 1)))
-        .otherwise(lined)
-      Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.Native.gopherRepetition(planted).as("r"))
-        .select(col("doc_id"),
-          col("r.dup_line_frac"), col("r.dup_line_char_frac"),
-          col("r.dup_para_frac"), col("r.dup_para_char_frac"),
-          col("r.top_2_gram_char_frac").as("top2_cfrac"),
-          col("r.top_3_gram_char_frac").as("top3_cfrac"),
-          col("r.top_4_gram_char_frac").as("top4_cfrac"))
-    }),
+    // the COMPLETE Gopher repetition suite over the planted lined view
+    // (gopherPlantedDocs); the oracle recomputes ALL 13 signals from the
+    // contract in Native.GopherRepetition's scaladoc — including the
+    // dup-{5..10}-gram coverage, via a per-gram dup-flag list
+    "text_gopher_repetition" -> ((s, d) =>
+      TextAnalysis.gopherRepetitionStats(gopherPlantedDocs(s, d))),
+    // the published thresholds as per-rule gates over the same view
+    "text_gopher_rep_filter" -> ((s, d) =>
+      TextAnalysis.gopherRepetitionFilter(gopherPlantedDocs(s, d))),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     // BM25 retrieval against a fixed bag-of-words query (targeted
     // selection / decontamination triage); scores rounded to 6dp on both
@@ -2083,57 +2168,39 @@ object SparkEntry {
            CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
              / CAST(len(toks) AS DOUBLE) AS dup_token_frac
          FROM b""",
-    // every emitted signal recomputed from the stated contract: splits
-    // keep empty fields, denominators are whole-text character counts,
-    // top gram = (count desc, length desc, gram asc)
+    // all 13 signals recomputed from the stated contract: splits keep
+    // empty fields, denominators are whole-text character counts, top
+    // gram = (count desc, length desc, gram asc), dup-gram coverage =
+    // token chars covered by any occurrence of a ≥2-count gram
     "text_gopher_repetition" ->
-      s"""WITH $LinedCte,
-           pl AS (SELECT doc_id,
-                    CASE WHEN doc_id % 5 = 0
-                           THEN text || chr(10) || chr(10) || text
-                         WHEN doc_id % 3 = 0
-                           THEN text || chr(10) || string_split(text, chr(10))[1]
-                         ELSE text END AS t
-                  FROM lined),
-           base AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS total FROM pl),
-           ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS p FROM base),
-           lg AS (SELECT doc_id, p, count(*) AS c FROM ln GROUP BY 1, 2),
-           lstat AS (SELECT doc_id, sum(c - 1) AS dups,
-                       sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
-                     FROM lg GROUP BY 1),
-           pa AS (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS p FROM base),
-           pg AS (SELECT doc_id, p, count(*) AS c FROM pa GROUP BY 1, 2),
-           pstat AS (SELECT doc_id, sum(c - 1) AS dups,
-                       sum((c - 1) * len(p)) AS dupch, sum(c) AS ntot
-                     FROM pg GROUP BY 1),
-           tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM base),
-           g AS (SELECT doc_id, n,
-                   unnest([array_to_string(w[i + 1:i + n], ' ')
-                           for i in range(0, greatest(len(w) - n + 1, 0))]) AS gram
-                 FROM tk, (VALUES (2), (3), (4)) ns(n)),
-           gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
-           top1 AS (SELECT doc_id, n, c, len(gram) AS gl FROM (
-                      SELECT doc_id, n, gram, c,
-                        row_number() OVER (PARTITION BY doc_id, n
-                          ORDER BY c DESC, len(gram) DESC, gram ASC) AS rn
-                      FROM gc) WHERE rn = 1),
-           tops AS (SELECT doc_id,
-                      max(CASE WHEN n = 2 THEN CAST(c * gl AS DOUBLE) END) AS t2,
-                      max(CASE WHEN n = 3 THEN CAST(c * gl AS DOUBLE) END) AS t3,
-                      max(CASE WHEN n = 4 THEN CAST(c * gl AS DOUBLE) END) AS t4
-                    FROM top1 GROUP BY 1)
-         SELECT b.doc_id,
-           CAST(l.dups AS DOUBLE) / CAST(l.ntot AS DOUBLE) AS dup_line_frac,
-           CAST(l.dupch AS DOUBLE) / b.total AS dup_line_char_frac,
-           CAST(p.dups AS DOUBLE) / CAST(p.ntot AS DOUBLE) AS dup_para_frac,
-           CAST(p.dupch AS DOUBLE) / b.total AS dup_para_char_frac,
-           coalesce(tp.t2 / b.total, 0.0) AS top2_cfrac,
-           coalesce(tp.t3 / b.total, 0.0) AS top3_cfrac,
-           coalesce(tp.t4 / b.total, 0.0) AS top4_cfrac
-         FROM base b
-         JOIN lstat l USING (doc_id)
-         JOIN pstat p USING (doc_id)
-         LEFT JOIN tops tp USING (doc_id)""",
+      s"""WITH $GopherRepCtes
+         SELECT * FROM sig""",
+    // the published Table A1 thresholds as per-rule pass flags over the
+    // same signal pipeline; keep = their conjunction
+    "text_gopher_rep_filter" ->
+      s"""WITH $GopherRepCtes
+         SELECT doc_id,
+           CAST(dup_line_frac <= 0.30 AS BIGINT) AS ok_dup_line_frac,
+           CAST(dup_para_frac <= 0.30 AS BIGINT) AS ok_dup_para_frac,
+           CAST(dup_line_char_frac <= 0.20 AS BIGINT) AS ok_dup_line_char_frac,
+           CAST(dup_para_char_frac <= 0.20 AS BIGINT) AS ok_dup_para_char_frac,
+           CAST(top_2_gram_char_frac <= 0.20 AS BIGINT) AS ok_top_2_gram_char_frac,
+           CAST(top_3_gram_char_frac <= 0.18 AS BIGINT) AS ok_top_3_gram_char_frac,
+           CAST(top_4_gram_char_frac <= 0.16 AS BIGINT) AS ok_top_4_gram_char_frac,
+           CAST(dup_5_gram_char_frac <= 0.15 AS BIGINT) AS ok_dup_5_gram_char_frac,
+           CAST(dup_6_gram_char_frac <= 0.14 AS BIGINT) AS ok_dup_6_gram_char_frac,
+           CAST(dup_7_gram_char_frac <= 0.13 AS BIGINT) AS ok_dup_7_gram_char_frac,
+           CAST(dup_8_gram_char_frac <= 0.12 AS BIGINT) AS ok_dup_8_gram_char_frac,
+           CAST(dup_9_gram_char_frac <= 0.11 AS BIGINT) AS ok_dup_9_gram_char_frac,
+           CAST(dup_10_gram_char_frac <= 0.10 AS BIGINT) AS ok_dup_10_gram_char_frac,
+           CAST(dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+            AND top_2_gram_char_frac <= 0.20 AND top_3_gram_char_frac <= 0.18
+            AND top_4_gram_char_frac <= 0.16 AND dup_5_gram_char_frac <= 0.15
+            AND dup_6_gram_char_frac <= 0.14 AND dup_7_gram_char_frac <= 0.13
+            AND dup_8_gram_char_frac <= 0.12 AND dup_9_gram_char_frac <= 0.11
+            AND dup_10_gram_char_frac <= 0.10 AS BIGINT) AS keep
+         FROM sig""",
     "text_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            s AS (SELECT doc_id,

@@ -191,6 +191,33 @@ object TextAnalysis {
       .select(col("doc_id"), Native.gopherRepetition(col("text")).as("r"))
       .select("doc_id", "r.*")
 
+  /** Rae et al. 2021 Table A1's published repetition thresholds, keyed by
+    * the [[gopherRepetitionStats]] column they gate (a doc at the
+    * threshold passes; above it fails). */
+  val GopherRepetitionThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2_gram_char_frac" -> 0.20, "top_3_gram_char_frac" -> 0.18,
+    "top_4_gram_char_frac" -> 0.16,
+    "dup_5_gram_char_frac" -> 0.15, "dup_6_gram_char_frac" -> 0.14,
+    "dup_7_gram_char_frac" -> 0.13, "dup_8_gram_char_frac" -> 0.12,
+    "dup_9_gram_char_frac" -> 0.11, "dup_10_gram_char_frac" -> 0.10)
+
+  /** The repetition GATE at the published thresholds: per-rule pass flags
+    * (the [[gopherFilter]] stance — emit which rule rejected, never just
+    * the conjunction) plus `keep` = all 13. Same single native pass. */
+  def gopherRepetitionFilter(documents: DataFrame): DataFrame = {
+    val flags = GopherRepetitionThresholds.map { case (c, t) =>
+      (col(s"r.$c") <= t).cast("bigint").as(s"ok_$c")
+    }
+    documents
+      .select(col("doc_id"), Native.gopherRepetition(col("text")).as("r"))
+      .select((col("doc_id") +: flags) :+
+        GopherRepetitionThresholds
+          .map { case (c, t) => col(s"r.$c") <= t }
+          .reduce(_ && _).cast("bigint").as("keep"): _*)
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 family):
     * each rule is an independent flag, `keep` is their conjunction —
     * emitted per-rule (not pre-collapsed) so a pipeline can audit WHICH
