@@ -23,11 +23,14 @@ import org.apache.spark.sql.SparkSession
   *     samples are deliberately NOT gated on — a 32-thread bench drives
   *     the 1-min loadavg past any fixed cap by itself, and gating on its
   *     own work flagged 83/91 queries on an idle box;
-  *   - a fixed-cost canary query brackets the timed pass (round-7 lesson:
-  *     ambient 3.9 passed the 4.0 gate yet every query carried a ~+1.25 s
-  *     contention floor). The canary's idle cost is committed; a run whose
-  *     canary exceeds 3× that floor is stamped `contaminated: true` in the
-  *     JSON no matter what the loadavg said.
+  *   - TWO fixed-cost canary queries bracket the timed pass — a CPU-bound
+  *     one (round-7 lesson: ambient 3.9 passed the 4.0 gate yet every
+  *     query carried a ~+1.25 s contention floor) and a memory/shuffle-
+  *     bandwidth one (round-8 lesson: bandwidth contention inflated
+  *     shared queries ~1.16× while the CPU canary stayed clean). Each
+  *     canary's idle cost is committed; either exceeding 3× its floor
+  *     stamps `contaminated: true` in the JSON no matter what the
+  *     loadavg said.
   */
 object Bench {
 
@@ -53,10 +56,33 @@ object Bench {
       .agg(org.apache.spark.sql.functions.bit_xor(
         org.apache.spark.sql.functions.col("h")).as("s"))
 
+  /** BANDWIDTH canary: the round-8 lesson — two same-day full runs read
+    * ~1.16× a same-code checkpoint on shared queries with per-query
+    * attribution that disagreed between them, while the CPU-bound canary
+    * above stayed comfortably under its floor: external MEMORY/shuffle
+    * bandwidth contention is invisible to a scan that never leaves
+    * registers. This probe is dominated by exactly that traffic: ~270 MB
+    * of wide rows through one round-robin shuffle (write + fetch + an
+    * explode over the fetched arrays), fixed-size and SF-independent like
+    * its CPU twin. Both canaries gate `contaminated` — either exceeding
+    * 3× its committed idle floor stamps the run. */
+  private[graft] def bandwidthCanaryQuery(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0L, 1L << 20, 1L, 32)
+      .selectExpr("id", "array_repeat(xxhash64(id), 32) AS a")
+      .repartition(32, org.apache.spark.sql.functions.col("id"))
+      .selectExpr("explode(a) AS v")
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.col("v")).as("s"))
+
   /** Idle-box canary floor (seconds): the canary's median on this box with
     * ambient load < 1, measured at calibration time and COMMITTED — the
     * reference point that makes `contaminated` decidable offline. */
   private[graft] val CanaryFloorSec: Double = 0.11
+
+  /** Idle-box floor for [[bandwidthCanaryQuery]] (same calibration
+    * protocol; shuffle I/O is noisier than the CPU canary, so the floor
+    * is set from the high side of the idle spread). */
+  private[graft] val BandwidthCanaryFloorSec: Double = 0.65
 
   /** A canary median this far above its committed idle floor marks the
     * whole run contaminated, regardless of what ambient loadavg claimed. */
@@ -133,7 +159,10 @@ object Bench {
     // (reps, medians, cache clears) as a real query.
     def canary(): Double =
       try measure((s, _) => canaryQuery(s)).median catch { case _: Throwable => -1.0 }
+    def bwCanary(): Double =
+      try measure((s, _) => bandwidthCanaryQuery(s)).median catch { case _: Throwable => -1.0 }
     val canaryBefore = canary()
+    val bwCanaryBefore = bwCanary()
 
     // Fail loudly: a failed query gets NO timing entry, and any failure
     // makes the whole bench exit non-zero — a broken build must never look
@@ -176,13 +205,19 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2.median).sum
     val canaryAfter = canary()
+    val bwCanaryAfter = bwCanary()
     val canarySec = math.max(canaryBefore, canaryAfter)
-    val contaminated = isContaminated(canarySec)
+    val bwCanarySec = math.max(bwCanaryBefore, bwCanaryAfter)
+    // either canary over its floor stamps the run: CPU contention and
+    // memory-bandwidth contention contaminate different query families
+    val contaminated = isContaminated(canarySec) ||
+      isContaminated(bwCanarySec, BandwidthCanaryFloorSec)
     if (contaminated)
       System.err.println(
-        f"[bench] CONTAMINATED: canary ${canarySec}%.3fs vs idle floor ${CanaryFloorSec}%.3fs " +
-          f"(>${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
+        f"[bench] CONTAMINATED: canary ${canarySec}%.3fs (floor ${CanaryFloorSec}%.3fs), " +
+          f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
+          f"(cap ${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")

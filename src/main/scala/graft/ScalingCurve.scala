@@ -113,16 +113,19 @@ object ScalingCurve {
       times(times.length / 2)
     }
 
-    def canary(): Double = {
+    def canaryWith(q: SparkSession => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        Bench.canaryQuery(spark).write.format("noop").mode("overwrite").save()
+        q(spark).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       times(times.length / 2)
     }
+    def canary(): Double = canaryWith(Bench.canaryQuery)
+    def bwCanary(): Double = canaryWith(Bench.bandwidthCanaryQuery)
 
     val canaryBefore = canary()
+    val bwCanaryBefore = bwCanary()
     var failures = List.empty[String]
     val rows = targets.flatMap { name =>
       try {
@@ -143,8 +146,11 @@ object ScalingCurve {
       }
     }
     val canaryAfter = canary()
+    val bwCanaryAfter = bwCanary()
     val canarySec = math.max(canaryBefore, canaryAfter)
-    val contaminated = Bench.isContaminated(canarySec)
+    val bwCanarySec = math.max(bwCanaryBefore, bwCanaryAfter)
+    val contaminated = Bench.isContaminated(canarySec) ||
+      Bench.isContaminated(bwCanarySec, Bench.BandwidthCanaryFloorSec)
 
     def fmt(d: Double) = f"$d%.4f"
     val qjson = rows.map { case (name, ts, expFit, expBig) =>
@@ -154,7 +160,7 @@ object ScalingCurve {
     val flagged = rows.collect { case (n, _, _, e) if e >= FlagExponent => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
+      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
     println(json)
     val out = java.nio.file.Paths.get("SCALING.json")
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

@@ -29,6 +29,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == Bench.canaryQuery(spark).collect()(0).getLong(0))
   }
 
+  test("bandwidth canary: deterministic one-row result; floor gates via the shared rule") {
+    val spark = TestSpark.spark
+    val rows = Bench.bandwidthCanaryQuery(spark).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) ==
+      Bench.bandwidthCanaryQuery(spark).collect()(0).getLong(0))
+    // the bw canary uses the same contamination rule with its own floor:
+    // either canary over 3x its floor stamps the run
+    assert(!Bench.isContaminated(1.95, floorSec = Bench.BandwidthCanaryFloorSec))
+    assert(Bench.isContaminated(1.96, floorSec = Bench.BandwidthCanaryFloorSec))
+  }
+
   test("scaling slope: exact powers recover their exponent") {
     val sfs = Seq(0.001, 0.01, 0.1).map(math.log)
     def times(exp: Double) = Seq(0.001, 0.01, 0.1).map(sf => math.log(math.pow(sf, exp)))
