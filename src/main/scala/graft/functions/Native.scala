@@ -639,21 +639,49 @@ object Native {
         }
         bestCnt.toLong * bestLen / total
       }
+      // per-token hashes + codepoint lengths once, shared by the six dup
+      // tiers: gram identity there is a 64-bit combination of token
+      // hashes (order-sensitive), so no gram STRING is ever built — the
+      // string assembly was the dominant cost of the 5..10 tiers (~100
+      // grams × ~40 chars × 6 tiers per doc). Equality-by-hash admits a
+      // ~2⁻⁶⁴-per-pair in-doc collision, the same accepted class as the
+      // shingle pipeline; the top tiers keep strings because their tie
+      // rule compares gram text.
+      val tokHash = new Array[Long](toks.length)
+      val tokCp = new Array[Int](toks.length)
+      var ti = 0
+      while (ti < toks.length) {
+        tokHash(ti) = XxHash64Function.hash(
+          UTF8String.fromString(toks(ti)), StringType, 42L)
+        tokCp(ti) = cp(toks(ti))
+        ti += 1
+      }
       def dupGramFrac(n: Int): Double = {
         if (total == 0 || toks.length < n) return 0.0
-        val grams = gramsOf(n)
-        val counts = gramCounts(grams)
-        val covered = new Array[Boolean](toks.length)
+        val g = toks.length - n + 1
+        val keys = new Array[Long](g)
         var i = 0
-        while (i < grams.length) {
-          if (counts(grams(i)) > 1) {
+        while (i < g) {
+          var h = 0x9e3779b97f4a7c15L
+          var j = i
+          while (j < i + n) { h = java.lang.Long.rotateLeft(h, 5) ^ tokHash(j); j += 1 }
+          keys(i) = h
+          i += 1
+        }
+        val counts = new java.util.HashMap[java.lang.Long, Int](g * 2)
+        i = 0
+        while (i < g) { counts.merge(keys(i), 1, (a, b) => a + b); i += 1 }
+        val covered = new Array[Boolean](toks.length)
+        i = 0
+        while (i < g) {
+          if (counts.get(keys(i)) > 1) {
             var j = i; while (j < i + n) { covered(j) = true; j += 1 }
           }
           i += 1
         }
         var chars = 0L
         i = 0
-        while (i < toks.length) { if (covered(i)) chars += cp(toks(i)); i += 1 }
+        while (i < toks.length) { if (covered(i)) chars += tokCp(i); i += 1 }
         chars / total
       }
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(
