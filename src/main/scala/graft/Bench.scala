@@ -68,7 +68,10 @@ object Bench {
     * 3× its committed idle floor stamps the run. */
   private[graft] def bandwidthCanaryQuery(spark: SparkSession): org.apache.spark.sql.DataFrame =
     spark.range(0L, 1L << 20, 1L, 32)
-      .selectExpr("id", "array_repeat(xxhash64(id), 32) AS a")
+      // 31 repeats, deliberately ODD: bit_xor over an even count of equal
+      // values is identically 0, which would make the determinism pin (and
+      // any sanity check on the result) vacuous
+      .selectExpr("id", "array_repeat(xxhash64(id), 31) AS a")
       .repartition(32, org.apache.spark.sql.functions.col("id"))
       .selectExpr("explode(a) AS v")
       .agg(org.apache.spark.sql.functions.bit_xor(
@@ -116,7 +119,16 @@ object Bench {
     // builder-side fast iteration: a comma-separated subset of query names
     // (the driver never sets this, so its per-round bench stays complete)
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // fail loudly on unknown names: a typo would otherwise run a silent
+    // partial (or empty) bench that exits 0 looking like a fast full one
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(1)
+      }
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -217,7 +229,7 @@ object Bench {
         f"[bench] CONTAMINATED: canary ${canarySec}%.3fs (floor ${CanaryFloorSec}%.3fs), " +
           f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
           f"(cap ${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","failed":${failures.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")

@@ -274,8 +274,6 @@ object Dedup {
     val t = if (maxChars == Int.MaxValue) col("text")
             else substring(col("text"), 1, maxChars)
     val docs = documents.select(col("doc_id"), t.as("t"))
-    def side(id: String, tc: String) =
-      docs.select(col("doc_id").as(id), col("t").as(tc))
     // a sound static cutoff needs (1−thr)·maxLen bounded: thr ≥ 1 bounds
     // it at 0 for any length; otherwise finite maxChars bounds maxLen.
     // +1 absorbs the integer floor at the boundary (a cutoff may only

@@ -341,7 +341,11 @@ object Similarity {
       // modified embeddings under old ids is NEW content, not a replay —
       // it appends, and the probe's max-combine surfaces the best-scoring
       // stored version until a retrain compaction re-encodes from the
-      // corpus (the refresh story; the store itself is append-only)
+      // corpus (the refresh story; the store itself is append-only).
+      // Hash-schema note: dirs written by the earlier id-only hash are
+      // still probed (committedDirs lists any committed dir), but
+      // re-appending one of those batches lands under a NEW name and
+      // duplicates it until compaction folds both — compact when migrating
       .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
       .collect()(0)
     // an empty batch would commit a directory whose parquet reads fail
@@ -406,7 +410,9 @@ object Similarity {
       retrainCentroids: Option[Int] = None, kmeansIters: Int = 3,
       corpusAssign: Int = 3, gc: Boolean = true): Int = {
     val sources = graft.sources.BatchStore.committedDirs(spark, path)
-    if (sources.length <= 1 && retrainCentroids.isEmpty) return 0
+    // empty store: nothing to fold OR retrain over (a retrain request on an
+    // empty store would otherwise die in an opaque empty.reduce)
+    if (sources.isEmpty || (sources.length <= 1 && retrainCentroids.isEmpty)) return 0
     val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
     val cid = java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString("\n").getBytes("UTF-8"))
@@ -414,7 +420,12 @@ object Similarity {
     val dir = s"$path/batches/c_$cid"
     val rows = sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
       .select("vec_id", "embedding")
-      .dropDuplicates("vec_id")
+      // max, not dropDuplicates: a vector re-ingested with a modified
+      // embedding exists in several stored versions; the fold must pick
+      // ONE deterministically (arrays order lexicographically) or the
+      // compacted index would vary with task scheduling — the probe-side
+      // max-combine stance applied at rest
+      .groupBy("vec_id").agg(max(col("embedding")).as("embedding"))
     val cents = retrainCentroids match {
       case Some(c) => trainCentroids(rows, "vec_id", "embedding", c, kmeansIters)
       case None => readIndexCentroids(spark, s"${sources.head}/centroids")
@@ -641,7 +652,11 @@ object Similarity {
       // modified embeddings under old ids is NEW content, not a replay —
       // it appends, and the probe's max-combine surfaces the best-scoring
       // stored version until a retrain compaction re-encodes from the
-      // corpus (the refresh story; the store itself is append-only)
+      // corpus (the refresh story; the store itself is append-only).
+      // Hash-schema note: dirs written by the earlier id-only hash are
+      // still probed (committedDirs lists any committed dir), but
+      // re-appending one of those batches lands under a NEW name and
+      // duplicates it until compaction folds both — compact when migrating
       .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
       .collect()(0)
     if (idRow.getLong(1) == 0L) return false // empty batch: nothing appended
@@ -716,7 +731,8 @@ object Similarity {
       pqM: Int = 8, kmeansIters: Int = 3, corpusAssign: Int = 3,
       gc: Boolean = true): Int = {
     val sources = graft.sources.BatchStore.committedDirs(spark, path)
-    if (sources.length <= 1 && retrainCentroids.isEmpty) return 0
+    // empty store: nothing to fold or retrain (see compactIvfIndex)
+    if (sources.isEmpty || (sources.length <= 1 && retrainCentroids.isEmpty)) return 0
     val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
     val cid = java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString("\n").getBytes("UTF-8"))
@@ -751,7 +767,10 @@ object Similarity {
               "pass the corpus and retrainCentroids to re-encode")
         }
         sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
-          .dropDuplicates("vec_id", "bucket")
+          // max per (vec_id, bucket), not dropDuplicates: re-ingested
+          // versions of a vector fold to a deterministic pick instead of
+          // a task-scheduling-dependent one (see compactIvfIndex)
+          .groupBy("vec_id", "bucket").agg(max(col("codes")).as("codes"))
           .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data")
         centroidsDf(spark, headC).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

@@ -713,6 +713,8 @@ object TextAnalysis {
       badWords: Seq[String] = Seq("slow", "window")): DataFrame = {
     require(badWords.nonEmpty, "attributeReport: empty blocklist")
     val toks = Funcs.tokens(col("text"))
+    // built once: each langModels() call re-runs MD5 over every marker word
+    val models = langModels()
     val (fLen, fWord, fRep, fStop) = gopherFlags(30L, 90L, 3.0, 4.6, 0.12, 0.5, 2L)
     val alphaToks = split(lower(col("text")), "[^a-z]+")
     val base = documents.select(
@@ -730,7 +732,7 @@ object TextAnalysis {
         } :+
         // trained-model logit bank alongside the marker counts (same inner
         // projection boundary; ONE native pass for the whole bank)
-        Native.bankLogits(toks, langModels().map { case (_, w, b) => (w, b) })
+        Native.bankLogits(toks, models.map { case (_, w, b) => (w, b) })
           .as("l_bank")): _*)
     base.select(
       col("doc_id"), col("n_tokens"), col("n_chars"),
@@ -742,9 +744,9 @@ object TextAnalysis {
       langVerdict(lang => col(s"c_$lang")).as("pred_lang"),
       // the model bank's verdict NEXT TO the marker heuristic's, so the
       // sidecar exposes both signals for offline threshold tuning
-      langBankVerdict(langModels().map(_._1).zipWithIndex.map(_._1),
+      langBankVerdict(models.map(_._1),
         l => element_at(col("l_bank"),
-          langModels().map(_._1).indexOf(l) + 1)).as("pred_lang_model"),
+          models.map(_._1).indexOf(l) + 1)).as("pred_lang_model"),
       col("gopher_keep"), col("n_badwords"))
   }
 
