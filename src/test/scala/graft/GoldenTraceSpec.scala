@@ -99,6 +99,23 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map(1L -> (("en", 0L)), 2L -> (("und", 0L))))
   }
 
+  test("gopherRepetitionFilter composes onto a stream unchanged — the repetition gate is stateless") {
+    // one native projection per doc, no state: the 13-signal gate runs
+    // as an online ingest filter in append mode, like the Dolma sidecar
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      // long enough that no single gram's characters clear the 16-20%
+      // fractions (the thresholds presume web-document lengths — a short
+      // clean sentence legitimately fails top_2_gram_char_frac)
+      (1L, (1 to 40).map(i => s"word$i").mkString(" ")),
+      (2L, "spam ham spam ham spam ham spam ham spam ham spam ham")) // top-2-gram saturated
+    val got = runToMemory(
+      graft.operators.TextAnalysis.gopherRepetitionFilter(in.toDF().toDF("doc_id", "text")),
+      "golden_gopher_rep", OutputMode.Append())
+      .select($"doc_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("T6 golden: 1-minute tumbling fraud threshold alerts exactly on windows with count > 3 (windows/tumbling/FraudDetectionApp.java:38-57)") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     // card 9: 4 txns inside [10:00,10:01) → alert; 2 txns in [10:01,10:02) → none
