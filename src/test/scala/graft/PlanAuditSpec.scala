@@ -256,6 +256,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise blow-up:\n${p.take(2000)}")
     assert(p.contains("levenshtein"), "verification must ride the codegen'd builtin")
+    val tok = Dedup.verifyTokenEditSimilarity(pairs, docs, threshold = 0.25, maxTokens = 64)
+    val pt = plan(tok)
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up (token):\n${pt.take(2000)}")
+    assert(pt.toLowerCase.contains("tokenedit"), "token verify must ride the native DP")
+    // the barrier must have held: the DP may never sink into a JOIN
+    // condition (the serialized-verify regression this plan shape fixes —
+    // the optimizer rewrote the threshold filters in terms of the DP and
+    // hoisted them into the broadcast join at pre-spread parallelism).
+    // Formatted details list one "(N) Operator" block per node; no
+    // Join block may mention the DP expression.
+    Seq(p -> "levenshtein", pt -> "tokenedit").foreach { case (pl, name) =>
+      assert(pl.contains("RoundRobinPartitioning"),
+        s"explicit spread exchange missing from the $name plan")
+      val joinBlocks = pl.split("(?m)^\\(\\d+\\) ").filter(_.takeWhile(_ != '\n').contains("Join"))
+      assert(joinBlocks.nonEmpty, s"no join detail blocks found in the $name plan")
+      joinBlocks.foreach { b =>
+        assert(!b.toLowerCase.contains(name),
+          s"$name DP sunk into a join condition — barrier failed:\n${b.take(500)}")
+      }
+    }
   }
 
   test("pipeline_full_prep: equi-joins only, persisted multi-consumer boundaries") {
