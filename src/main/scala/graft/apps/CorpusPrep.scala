@@ -278,11 +278,17 @@ object CorpusPrep {
       .getOrElse(batch)
     // deterministic content id: order-independent hash over (doc_id, text)
     // plus the row count — a retry of the same batch lands on the same
-    // directory and repairs any crashed partial write by overwriting it
+    // directory and repairs any crashed partial write by overwriting it.
+    // Wrapping SUM, not bit_xor: xor cancels rows repeated an even number
+    // of times, so two different all-doubled batches would collide on 0
+    // and the later one would be dropped as a replay (the appendIvfIndex
+    // fix, applied here for the same structural reason).
     val idRow = extracted
-      .agg(coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)), count(lit(1)))
+      .agg(coalesce(sum(expr("xxhash64(doc_id, text)").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1)))
       .collect()(0)
-    val batchId = f"${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    val batchId =
+      f"${graft.sources.BatchStore.wrap64(idRow.getDecimal(0))}%016x_${idRow.getLong(1)}"
     val batchDir = s"$storeDir/batches/b_$batchId"
 
     // optional line-level dedup vs the accepted-line store (the

@@ -261,8 +261,10 @@ object Native {
     * bank. Thread-local MessageDigest ([[DeflateRatio]]'s stance). */
   case class HashedBankLogits(child: Expression, weights: Seq[Seq[Long]], biases: Seq[Long])
       extends UnaryExpression with NativeUnaryCodegen {
-    require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
-      "bank_logits: banks must be non-empty and share one dimension")
+    require(weights.nonEmpty && weights.head.nonEmpty &&
+        weights.forall(_.length == weights.head.length),
+      "bank_logits: banks must be non-empty, share one dimension, and the " +
+        "dimension must be > 0 (a zero-dim bank would divide by zero per row)")
     require(weights.length == biases.length, "bank_logits: one bias per bank")
     private val d = weights.head.length
     @transient private lazy val banksArr: Array[Array[Long]] = weights.map(_.toArray).toArray
@@ -625,6 +627,20 @@ object Native {
         grams.foreach(g => counts.update(g, counts.getOrElse(g, 0) + 1))
         counts
       }
+      // Tie-break comparison in CODE-POINT order, not String.compareTo's
+      // UTF-16 code-unit order: they disagree when a supplementary-plane
+      // gram (surrogates 0xD800..0xDFFF) ties with a U+E000..U+FFFF gram,
+      // and the documented contract + the DuckDB oracle's binary collation
+      // are code-point order.
+      def cpLess(a: String, b: String): Boolean = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return ca < cb
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        a.length - i < b.length - j
+      }
       def topGramFrac(n: Int): Double = {
         if (total == 0) return 0.0
         val counts = gramCounts(gramsOf(n))
@@ -633,7 +649,7 @@ object Native {
         counts.foreach { case (g, c) =>
           val l = cp(g)
           if (c > bestCnt || (c == bestCnt && (l > bestLen ||
-              (l == bestLen && g.compareTo(bestGram) < 0)))) {
+              (l == bestLen && cpLess(g, bestGram))))) {
             bestCnt = c; bestLen = l; bestGram = g
           }
         }
@@ -1062,6 +1078,11 @@ object Native {
       // zlib stream over the raw scanlines
       val z = new java.io.ByteArrayOutputStream()
       if (stored) {
+        // a stored deflate block's 2-byte LEN field caps a scanline at
+        // 65535 bytes; wider rows would silently truncate LEN/NLEN and
+        // emit a structurally corrupt PNG — refuse like the other
+        // out-of-contract paths instead
+        if (w + 1 > 65535) return null
         z.write(0x78); z.write(0x01) // zlib header, 32K window, fastest
         var r2 = 0
         while (r2 < h) { // one stored block per scanline (≤ w+1 ≤ 65535)
@@ -1148,7 +1169,11 @@ object Native {
       if (Png.crc32(b, 12, 17) != Png.u32(b, 29)) return null
       val w = Png.u32(b, 16)
       val h = Png.u32(b, 20)
-      if (w <= 0 || h <= 0 || w * h > Png.MaxPixels) return null
+      // reject each dimension BEFORE multiplying: w and h are u32 values
+      // up to 2^32-1, so w*h can wrap past Long.MaxValue and a crafted
+      // header would slip a negative product past the pixel cap
+      if (w <= 0 || h <= 0 || w > Png.MaxPixels || h > Png.MaxPixels ||
+          w * h > Png.MaxPixels) return null
       // bit depth 8, color type 0 (grayscale), compression 0, filter 0,
       // interlace 0 — anything else is out of this decoder's contract
       if (b(24) != 8 || b(25) != 0 || b(26) != 0 || b(27) != 0 || b(28) != 0) return null

@@ -342,16 +342,25 @@ object Similarity {
       // it appends, and the probe's max-combine surfaces the best-scoring
       // stored version until a retrain compaction re-encodes from the
       // corpus (the refresh story; the store itself is append-only).
-      // Hash-schema note: dirs written by the earlier id-only hash are
-      // still probed (committedDirs lists any committed dir), but
+      // Combine per-row hashes with wrapping SUM, not bit_xor: xor cancels
+      // rows appearing an even number of times, so two different batches
+      // of doubled rows ([A,A] vs [B,B]) would collide on hash 0 and the
+      // second append would be silently dropped as a replay — structural
+      // data loss, not the ~2^-64 probabilistic collision the design
+      // accepts. Sum keeps every repeat's contribution.
+      // Hash-schema note: dirs written by the earlier id-only/xor hashes
+      // are still probed (committedDirs lists any committed dir), but
       // re-appending one of those batches lands under a NEW name and
       // duplicates it until compaction folds both — compact when migrating
-      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
+      // decimal(38,0) accumulator because ANSI mode makes a BIGINT sum
+      // throw on overflow; the driver wraps it back to 64 bits below
+      .agg(coalesce(sum(expr("xxhash64(vec_id, embedding)").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1)))
       .collect()(0)
     // an empty batch would commit a directory whose parquet reads fail
     // schema inference — refuse it as "nothing appended"
     if (idRow.getLong(1) == 0L) return false
-    val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    val dir = f"$path/batches/b_${graft.sources.BatchStore.wrap64(idRow.getDecimal(0))}%016x_${idRow.getLong(1)}"
     if (graft.sources.BatchStore.isCommitted(spark, dir)) return false
     batch.select(
         col("vec_id"), col("embedding"),
@@ -653,14 +662,23 @@ object Similarity {
       // it appends, and the probe's max-combine surfaces the best-scoring
       // stored version until a retrain compaction re-encodes from the
       // corpus (the refresh story; the store itself is append-only).
-      // Hash-schema note: dirs written by the earlier id-only hash are
-      // still probed (committedDirs lists any committed dir), but
+      // Combine per-row hashes with wrapping SUM, not bit_xor: xor cancels
+      // rows appearing an even number of times, so two different batches
+      // of doubled rows ([A,A] vs [B,B]) would collide on hash 0 and the
+      // second append would be silently dropped as a replay — structural
+      // data loss, not the ~2^-64 probabilistic collision the design
+      // accepts. Sum keeps every repeat's contribution.
+      // Hash-schema note: dirs written by the earlier id-only/xor hashes
+      // are still probed (committedDirs lists any committed dir), but
       // re-appending one of those batches lands under a NEW name and
       // duplicates it until compaction folds both — compact when migrating
-      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)), count(lit(1)))
+      // decimal(38,0) accumulator because ANSI mode makes a BIGINT sum
+      // throw on overflow; the driver wraps it back to 64 bits below
+      .agg(coalesce(sum(expr("xxhash64(vec_id, embedding)").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1)))
       .collect()(0)
     if (idRow.getLong(1) == 0L) return false // empty batch: nothing appended
-    val dir = f"$path/batches/b_${idRow.getLong(0)}%016x_${idRow.getLong(1)}"
+    val dir = f"$path/batches/b_${graft.sources.BatchStore.wrap64(idRow.getDecimal(0))}%016x_${idRow.getLong(1)}"
     if (graft.sources.BatchStore.isCommitted(spark, dir)) return false
     batch.select(col("vec_id"),
         pqCodes(col("embedding"), codebooks).as("codes"),

@@ -26,6 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BatchStore {
 
+  /** Fold a decimal(38,0) per-row-hash SUM back to 64 bits (two's-
+    * complement wrap). Batch content ids combine per-row xxhash64 values
+    * with a wrapping SUM, not bit_xor — xor cancels rows repeated an even
+    * number of times, so two different all-doubled batches would collide
+    * on 0 and the later append would be silently dropped as a replay.
+    * The sum runs as decimal(38,0) because ANSI mode makes a BIGINT sum
+    * throw on overflow; BigInteger.longValue keeps the low 64 bits. */
+  def wrap64(d: java.math.BigDecimal): Long = d.toBigInteger.longValue
+
   private def hadoopFs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)

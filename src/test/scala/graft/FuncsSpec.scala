@@ -297,4 +297,18 @@ class FuncsSpec extends AnyFunSuite {
       assert(wv == wp.map(h(_)).distinct, s"wv=$wv wp=$wp")
     }
   }
+
+  test("bankLogits rejects a zero-dimension bank at construction, not per row") {
+    // an empty weight vector would make every row throw ArithmeticException
+    // (mod by the bank dimension) at eval time; the require fails fast at
+    // ANALYSIS (call_function resolves the expression lazily, so force it)
+    val err = intercept[Throwable] {
+      Seq(Tuple1(Array("a"))).toDF("toks")
+        .select(graft.functions.Native.bankLogits($"toks", Seq((Seq.empty[Long], 0L))))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(err).exists(_.contains("dimension")), chain(err).mkString(" | "))
+  }
 }

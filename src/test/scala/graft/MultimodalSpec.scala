@@ -383,6 +383,44 @@ class MultimodalSpec extends AnyFunSuite {
     val rgb = goodPng.clone(); rgb(25) = 2
     // (CRC now fails first, which is fine — still null, never a misparse)
     assert(!decodes(rgb))
+    // decompression-bomb guard survives signed overflow: u32 dims whose
+    // PRODUCT wraps past Long.MaxValue (w=2^31+9, h=2^32−1 ⇒ w*h < 0)
+    // must be rejected at the per-dimension check, not reach allocation
+    // with truncated ints — a crafted valid-CRC header, not a corrupt one
+    val overflowBomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def u32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val ihdrBody = u32(0x80000009L) ++ u32(0xffffffffL) ++
+        Array[Byte](8, 0, 0, 0, 0)
+      val ihdr = "IHDR".getBytes("US-ASCII") ++ ihdrBody
+      val crc = new java.util.zip.CRC32(); crc.update(ihdr)
+      out.write(u32(13)); out.write(ihdr); out.write(u32(crc.getValue))
+      // an empty IDAT keeps the payload above the 57-byte structural
+      // minimum so the reject provably happens at the dimension check
+      val idat = "IDAT".getBytes("US-ASCII")
+      val crc1 = new java.util.zip.CRC32(); crc1.update(idat)
+      out.write(u32(0)); out.write(idat); out.write(u32(crc1.getValue))
+      val iend = "IEND".getBytes("US-ASCII")
+      val crc2 = new java.util.zip.CRC32(); crc2.update(iend)
+      out.write(u32(0)); out.write(iend); out.write(u32(crc2.getValue))
+      out.toByteArray
+    }
+    assert(!decodes(overflowBomb))
+    // stored-block encode refuses widths whose scanline exceeds the
+    // 2-byte LEN field (w+1 > 65535) instead of silently truncating
+    val wide = Seq(Tuple1(Array.fill(65535 * 2)(7.toByte))).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(65535), filterMode = 0, stored = true))
+      .as[Array[Byte]].head()
+    assert(wide == null)
+    // ...but the same width through REAL deflate still encodes (the cap
+    // is a stored-block framing limit, not a PNG one)
+    val wideDeflate = Seq(Tuple1(Array.fill(65535 * 2)(7.toByte))).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(65535), filterMode = 0, stored = false))
+      .as[Array[Byte]].head()
+    assert(wideDeflate != null && decodes(wideDeflate))
     // not a PNG at all / empty-adjacent sizes
     assert(!decodes("just text, definitely not a PNG........".getBytes("UTF-8")))
     assert(!decodes(Array[Byte](0x89.toByte, 'P', 'N', 'G')))

@@ -1040,6 +1040,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(retrained.exceptAll(direct8).isEmpty && direct8.exceptAll(retrained).isEmpty)
   }
 
+  test("incremental IVF content hash is duplicate-safe: distinct all-doubled batches both append") {
+    // a bit_xor combine cancels rows repeated an even number of times, so
+    // [A,A] and [B,B] would both hash to 0, collide on one directory name,
+    // and the second append would be dropped as a 'replay' — structural
+    // data loss. The wrapping-sum combine keeps every repeat's
+    // contribution; this pins the fix.
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
+    val a = emb.filter($"vec_id" === 0L)
+    val b = emb.filter($"vec_id" === 1L)
+    assert(Similarity.appendIvfIndex(spark, a.union(a), path, cents))
+    assert(Similarity.appendIvfIndex(spark, b.union(b), path, cents),
+      "second doubled batch was misdetected as a replay of the first")
+    assert(graft.sources.BatchStore.committedDirs(spark, path).size == 2)
+    // a true replay of a doubled batch is still a no-op
+    assert(!Similarity.appendIvfIndex(spark, a.union(a), path, cents))
+  }
+
   test("trainLangWeights: one-vs-rest hashed-linear bank classifies planted held-out docs") {
     // planted per-language corpora: each doc rotates its language's marker
     // words (so no two docs are identical) plus shared filler tokens that
