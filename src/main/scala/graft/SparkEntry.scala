@@ -271,6 +271,33 @@ object SparkEntry {
     unhex(concat((0 until 72).map(i =>
       substring(md5(concat(docId.cast("string"), lit(s"-$i")).cast("binary")), 1, 2)): _*))
 
+  /** DC-category-7 block value from the first md5 byte of
+    * "<doc_id>-<tag><idx>": low = raw mod 128; low < 64 → low+1, else
+    * low+128 — always in [1,64] ∪ [192,255], the [[graft.functions.Native
+    * .JpegGray8Encode]] fixture contract (quantized DC in ±[64,127], the
+    * fixed-length Huffman category). Still ~iid across blocks, so dHash
+    * bits stay fair-coin for the cross-pair safety argument. */
+  private def jpegBlockVal(docId: org.apache.spark.sql.Column, tag: String,
+      idx: Int): org.apache.spark.sql.Column = {
+    val low = conv(substring(md5(concat(docId.cast("string"),
+      lit(s"-$tag$idx")).cast("binary")), 1, 2), 16, 10).cast("int") % 128
+    when(low < 64, low + 1).otherwise(low + 128)
+  }
+  private def hex2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(conv(v.cast("string"), 10, 16), 2, "0")
+
+  /** Planted 72×64 grayscale bitmap whose 8×8 blocks are CONSTANT at
+    * [[jpegBlockVal]](r·9+c) — the per-block-constant shape that makes
+    * DC-only JPEG round-trip bit-exact AND makes the 9×8 dHash grid an
+    * identity over block values (each dHash cell averages exactly one
+    * flat block), so the cross-pair analytics of dedup_image carry over
+    * to real JPEG bytes. */
+  private def plantedJpegBitmap(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat((0 until 8).map { r =>
+      repeat(concat((0 until 9).map(c =>
+        repeat(hex2(jpegBlockVal(docId, "j", r * 9 + c)), 8)): _*), 8)
+    }: _*))
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -841,6 +868,52 @@ object SparkEntry {
       Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // REAL baseline-JPEG pixel decode, hash-oracled (the stored-PNG move,
+    // JPEG edition): a 12×10 per-block-constant plant is encoded into a
+    // GENUINE JPEG (SOI/JFIF/DQT/SOF0/DHT×2/DRI/SOS, Huffman-coded scan,
+    // restart markers, EOI), then decoded back through the real Huffman →
+    // dequant → IDCT → crop path. Two independent pins per doc: `px_hex`
+    // (the decoder's output must equal the analytic plant) and
+    // `blob_px_hex` (the same pixels recomputed from the DC magnitude
+    // bytes sliced STRAIGHT out of the blob at the fixed-header offsets —
+    // 162 + 4·MCU, single-code Huffman tables + restart interval 1 pin
+    // every MCU to an aligned 2-byte cell — proving the encoder wrote a
+    // spec-layout JPEG rather than sharing a compensating bug with the
+    // decoder). General AC/stuffing decode is pinned cross-decoder
+    // against ImageIO in MultimodalSpec.
+    "multimodal_decode_jpeg" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "m", i)
+      val bitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      def blobPx(i: Int) = {
+        val mag = conv(hex(col("jpeg").substr(lit(163 + 4 * i), lit(1))), 16, 10).cast("int")
+        when(mag < 64, mag - 127).otherwise(mag) + 128 // EXTEND⁻¹ + level shift
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("jpeg"))
+        .select(
+          col("doc_id"),
+          upper(hex(Multimodal.jpegDecodeGray8(col("jpeg")))).as("px_hex"),
+          upper(concat(
+            repeat(concat(repeat(hex2(blobPx(0)), 8), repeat(hex2(blobPx(1)), 4)), 8),
+            repeat(concat(repeat(hex2(blobPx(2)), 8), repeat(hex2(blobPx(3)), 4)), 2)))
+            .as("blob_px_hex"))
+    }),
+    // image near-dup on REAL JPEG bytes end-to-end (decode → dHash →
+    // Hamming-LSH): 72×64 block-constant plants make the dHash grid an
+    // identity over ~iid block values; re-keyed copies share blobs
+    // bit-for-bit → exactly one hamming-0 pair per doc (dedup_image's
+    // analytic pair set, now behind a real entropy-coded decode)
+    "dedup_image_jpeg" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.jpegEncodeGray8Dc(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("jpeg"))
+      Multimodal.imageNearDupJpeg(base.union(copies), 72, 64, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
 
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -1364,6 +1437,36 @@ object SparkEntry {
     // round-trips bit-exactly, so copies pair at hamming 0 and iid-coin
     // cross pairs never land within hamming 2
     "dedup_image_png" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // both pixel columns must equal the analytic plant: block value
+    // v(i) from the first md5 byte of "<doc_id>-m<i>" folded into DC
+    // category 7 (low = raw%128; low<64 → low+1 else low+128), laid out
+    // 12×10 over a 2×2 block grid — px_hex via the real Huffman+IDCT
+    // decoder, blob_px_hex via EXTEND⁻¹ of the DC magnitude bytes at the
+    // fixed scan offsets; the oracle needs no Huffman decoder because the
+    // single-code tables + restart-interval-1 layout byte-align every MCU
+    "multimodal_decode_jpeg" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS blob_px_hex
+         FROM hx""",
+    // identical pair-set argument to dedup_image_png, JPEG edition:
+    // decode(encode(block-constant bitmap)) round-trips bit-exactly, so
+    // copies pair at hamming 0 and ~iid-coin cross pairs never land
+    // within hamming 2
+    "dedup_image_jpeg" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:

@@ -1236,6 +1236,374 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Shared JPEG constants (ITU-T T.81 / ISO 10918-1, baseline DCT).
+    * Coefficients travel in zig-zag order; `ZigzagNat(k)` is the natural
+    * (row-major v·8+u) index of zig-zag position k. The cosine table is
+    * the separable IDCT basis ct(u)(x) = ½·C(u)·cos((2x+1)uπ/16) with
+    * C(0)=1/√2, so pixel(y,x) = Σᵥ Σᵤ ct(v)(y)·ct(u)(x)·S(v,u). */
+  private object Jpeg {
+    val ZigzagNat: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10,
+      17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+    val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+      0.5 * (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    /** Same decompression-bomb stance as [[Png.MaxPixels]]. */
+    val MaxPixels = 1 << 26
+    def u16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    /** EXTEND (T.81 F.2.2.1): a t-bit magnitude v decodes to v when its
+      * top bit is set, else v − (2ᵗ − 1). */
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    /** Canonical Huffman table per T.81 Annex C/F: `bits(l)` codes of
+      * length l+1, values in code order. Decode walks mincode/maxcode
+      * (F.2.2.3) — at most 16 iterations per symbol. */
+    final class HuffTab(bits: Array[Int], vals: Array[Int]) {
+      val mincode = new Array[Int](17)
+      val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 16) {
+          if (bits(l - 1) > 0) {
+            valptr(l) = k; mincode(l) = code
+            code += bits(l - 1); k += bits(l - 1)
+            maxcode(l) = code - 1
+          } else maxcode(l) = -1
+          code <<= 1
+          l += 1
+        }
+      }
+      def value(len: Int, code: Int): Int = vals(valptr(len) + code - mincode(len))
+    }
+  }
+
+  /** jpeg_encode_gray8_dc(BINARY pixels, width) → BINARY: a REAL,
+    * complete baseline JPEG (SOI, DQT, SOF0, two DHTs, DRI, SOS,
+    * entropy-coded scan with restart markers, EOI — every segment per
+    * ITU-T T.81) from a row-major 8-bit grayscale bitmap, encoding each
+    * 8×8 block DC-ONLY: the block's real DCT DC coefficient (mean, with
+    * edge replication on partial blocks), all 64 AC coefficients zero.
+    * Any standards-compliant JPEG reader decodes it; for per-block-
+    * CONSTANT bitmaps the decode is bit-exact (flat quant table of 8s
+    * makes the quantized DC exactly v−128).
+    *
+    * The layout is the PNG stored-block move, JPEG edition: single-code
+    * Huffman tables (DC: one length-1 code for category 7; AC: one
+    * length-1 code for EOB) + restart interval 1 make every MCU exactly
+    * 9 bits — DC code '0', 7 magnitude bits, EOB '0' — padded with 1s to
+    * 2 bytes and followed by its RSTₙ marker, so MCU i's magnitude byte
+    * sits VERBATIM at offset 162 + 4·i (the fixed header — SOI, JFIF
+    * APP0, DQT, SOF0, 2×DHT, DRI, SOS — totals 162
+    * bytes) and a SQL oracle with no Huffman decoder can slice the DC —
+    * and therefore every pixel of the block — straight out of the blob.
+    * Neither entropy byte can be 0xFF (both start with a 0 bit), so no
+    * byte stuffing occurs. The price of the fixed-length category: each
+    * block's quantized DC must land in ±[64,127] (category 7 exactly),
+    * i.e. per-block means in [1,64] ∪ [192,255]; anything else returns
+    * null (fixture contract, like the stored-PNG width cap). Fixture
+    * builder for [[JpegGray8Decode]]; production writes JPEGs with a
+    * codec, not Spark. */
+  case class JpegGray8Encode(left: Expression, right: Expression)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (w > 65535 || h > 65535 || w.toLong * h > Jpeg.MaxPixels) return null
+      val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+      val out = new java.io.ByteArrayOutputStream()
+      def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xff))
+      wr(0xFF, 0xD8) // SOI
+      wr(0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // JFIF APP0
+        0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) // v1.1, no density/thumb
+      wr(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: Pq=0 Tq=0, flat table of 8s
+      var i = 0
+      while (i < 64) { out.write(8); i += 1 }
+      wr(0xFF, 0xC0, 0x00, 0x0B, 0x08, // SOF0: precision 8
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        0x01, 0x01, 0x11, 0x00) // 1 component, id 1, 1×1 sampling, Tq 0
+      wr(0xFF, 0xC4, 0x00, 0x14, 0x00, 0x01) // DHT DC 0: one length-1 code
+      wr(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x07) // …for category 7
+      wr(0xFF, 0xC4, 0x00, 0x14, 0x10, 0x01) // DHT AC 0: one length-1 code
+      wr(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00) // …for EOB
+      wr(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01) // DRI: restart every MCU
+      wr(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00) // SOS
+      // scan: per MCU, [magnitude byte][0x7F] then RSTₙ (except the last)
+      val nMcu = bxN * byN
+      var m = 0
+      while (m < nMcu) {
+        val blockY = m / bxN; val blockX = m % bxN
+        var sum = 0L
+        var yy = 0
+        while (yy < 8) {
+          val y = math.min(blockY * 8 + yy, h - 1)
+          var xx = 0
+          while (xx < 8) {
+            val x = math.min(blockX * 8 + xx, w - 1)
+            sum += (pixels(y * w + x) & 0xff) - 128
+            xx += 1
+          }
+          yy += 1
+        }
+        // S(0,0) = Σ/8; quantized by q₀₀ = 8 ⇒ dcq = round(Σ/64)
+        val dcq = math.round(sum / 64.0).toInt
+        if (dcq < -127 || (dcq > -64 && dcq < 64) || dcq > 127) return null
+        out.write(if (dcq >= 64) dcq else dcq + 127) // 7-bit magnitude, top bit 0
+        out.write(0x7F) // EOB '0' + seven 1-pad bits
+        if (m < nMcu - 1) wr(0xFF, 0xD0 + (m % 8))
+        m += 1
+      }
+      wr(0xFF, 0xD9) // EOI
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** jpeg_decode_gray8(BINARY) → BINARY: REAL baseline JPEG pixel decode
+    * for single-component (grayscale) images — full segment walk (DQT in
+    * either precision slot with Pq=0, multiple DHTs, SOF0, DRI, SOS),
+    * canonical Huffman decode (T.81 F.2.2.3) of DC categories + AC
+    * run/size symbols with EOB and ZRL, byte-stuffing (FF 00) removal,
+    * restart-marker verification with DC-predictor reset, dequantization
+    * through the zig-zag, and a double-precision separable IDCT with
+    * level shift and clamping. Output is the width×height row-major
+    * pixel array — [[DHash64]]'s exact input layout — with partial edge
+    * blocks cropped, so modality → decode → dHash → Hamming-LSH runs
+    * end-to-end on real entropy-coded JPEG bytes (the crawl modality
+    * that previously routed to the documented codec stub).
+    *
+    * Null, never an error, on anything out of contract: progressive or
+    * extended-sequential SOFs (C1/C2/…), arithmetic coding, 3-component
+    * color, 16-bit quant tables, subsampling ≠ 1×1, missing tables, bad
+    * restart sequence, truncated or overrunning entropy data, or a
+    * header demanding more than [[Jpeg.MaxPixels]] (bomb guard; SOF dims
+    * are u16 so 65535² still overflows an Int — compared as Long).
+    * Scale shape: map-side, one pass per row, no shuffle — fuses into
+    * whatever scan carries the payload column. IDCT note: T.81 does not
+    * pin IDCT rounding, so third-party encoders round-trip within the
+    * usual ±1 (the cross-decoder property the spec tests); this
+    * decoder's own closed forms (DC-only blocks) are exact. */
+  case class JpegGray8Decode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try decode(input.asInstanceOf[Array[Byte]]) catch { case _: Throwable => null }
+    private def decode(b: Array[Byte]): Array[Byte] = {
+      val n = b.length
+      if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
+      // ---- segment walk up to SOS ----
+      val quantZ = Array.ofDim[Int](4, 64) // zig-zag order, per table id
+      val quantSeen = new Array[Boolean](4)
+      val dcTabs = new Array[Jpeg.HuffTab](4)
+      val acTabs = new Array[Jpeg.HuffTab](4)
+      var w = 0; var h = 0; var sofQ = -1; var ri = 0
+      var sofSeen = false
+      var scanTd = -1; var scanTa = -1
+      var p = 2
+      var inScan = false
+      while (!inScan) {
+        if (p + 4 > n || (b(p) & 0xff) != 0xFF) return null
+        var mk = b(p + 1) & 0xff
+        while (mk == 0xFF) { p += 1; if (p + 2 > n) return null; mk = b(p + 1) & 0xff }
+        p += 2
+        if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
+          return null // SOI again, EOI/RST/TEM before any scan: corrupt
+        if (p + 2 > n) return null
+        val len = Jpeg.u16(b, p)
+        if (len < 2 || p + len > n) return null
+        mk match {
+          case 0xDB => // DQT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              if (q + 65 > p + len) return null
+              val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
+              if (pq != 0) return null // 16-bit tables: out of baseline contract
+              var k = 0
+              while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+              quantSeen(tq) = true
+              q += 65
+            }
+          case 0xC4 => // DHT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              if (q + 17 > p + len) return null
+              val tc = (b(q) & 0xff) >> 4; val th = b(q) & 0x0f
+              if (tc > 1 || th > 3) return null
+              val bits = new Array[Int](16)
+              var total = 0
+              var l = 0
+              while (l < 16) { bits(l) = b(q + 1 + l) & 0xff; total += bits(l); l += 1 }
+              if (total == 0 || total > 256 || q + 17 + total > p + len) return null
+              val vals = new Array[Int](total)
+              var v = 0
+              while (v < total) { vals(v) = b(q + 17 + v) & 0xff; v += 1 }
+              val tab = new Jpeg.HuffTab(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              q += 17 + total
+            }
+          case 0xC0 => // SOF0, baseline sequential
+            if (sofSeen || len != 11) return null
+            if ((b(p + 2) & 0xff) != 8) return null // precision
+            h = Jpeg.u16(b, p + 3); w = Jpeg.u16(b, p + 5)
+            if ((b(p + 7) & 0xff) != 1) return null // single component only
+            if ((b(p + 9) & 0xff) != 0x11) return null // 1×1 sampling
+            sofQ = b(p + 10) & 0x0f
+            if (w <= 0 || h <= 0 || w.toLong * h > Jpeg.MaxPixels || sofQ > 3) return null
+            sofSeen = true
+          case m2 if (m2 >= 0xC1 && m2 <= 0xCF) && m2 != 0xC4 && m2 != 0xC8 =>
+            return null // progressive/extended/lossless/arithmetic: out of contract
+          case 0xDD => // DRI
+            if (len != 4) return null
+            ri = Jpeg.u16(b, p + 2)
+          case 0xDA => // SOS
+            if (!sofSeen || len != 8) return null
+            if ((b(p + 2) & 0xff) != 1) return null // Ns = 1
+            scanTd = (b(p + 4) & 0xff) >> 4; scanTa = b(p + 4) & 0x0f
+            // Ss=0, Se=63, Ah=Al=0 — the baseline spectral window
+            if ((b(p + 5) & 0xff) != 0 || (b(p + 6) & 0xff) != 63 ||
+                (b(p + 7) & 0xff) != 0) return null
+            inScan = true
+          case _ => () // APPn / COM / DNL-free others: skip
+        }
+        p += len
+      }
+      if (scanTd > 3 || scanTa > 3 || !quantSeen(sofQ) ||
+          dcTabs(scanTd) == null || acTabs(scanTa) == null) return null
+      val dcTab = dcTabs(scanTd); val acTab = acTabs(scanTa)
+      val qz = quantZ(sofQ)
+      // ---- entropy-coded scan ----
+      val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+      val out = new Array[Byte](w * h)
+      var pos = p
+      var bitBuf = 0; var bitCnt = 0
+      // readBit: −1 signals corrupt/truncated (checked by callers)
+      def readBit(): Int = {
+        if (bitCnt == 0) {
+          if (pos >= n) return -1
+          val by = b(pos) & 0xff; pos += 1
+          if (by == 0xFF) {
+            if (pos >= n || (b(pos) & 0xff) != 0x00) return -1 // marker mid-entropy
+            pos += 1 // stuffed zero
+          }
+          bitBuf = by; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(t: Int): Int = {
+        var v = 0; var i = 0
+        while (i < t) {
+          val bit = readBit(); if (bit < 0) return -1
+          v = (v << 1) | bit
+          i += 1
+        }
+        v
+      }
+      def huffDecode(tab: Jpeg.HuffTab): Int = {
+        var l = 1
+        var code = readBit(); if (code < 0) return -1
+        while (code > tab.maxcode(l)) {
+          l += 1
+          if (l > 16) return -1
+          val bit = readBit(); if (bit < 0) return -1
+          code = (code << 1) | bit
+        }
+        tab.value(l, code)
+      }
+      val coef = new Array[Int](64) // natural order, dequantized
+      val tmp = Array.ofDim[Double](8, 8)
+      var pred = 0
+      var mcu = 0
+      val nMcu = bxN * byN
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // byte-align, then the next interval's RSTₙ must appear in order
+          bitCnt = 0
+          if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
+          if ((b(pos + 1) & 0xff) != 0xD0 + ((mcu / ri - 1) & 7)) return null
+          pos += 2
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = huffDecode(dcTab)
+        if (t < 0 || t > 15) return null
+        val mag = receive(t); if (mag < 0) return null
+        pred += Jpeg.extend(mag, t)
+        coef(0) = pred * qz(0)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(acTab)
+          if (rs < 0) return null
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 else k = 64 // ZRL / EOB
+          } else {
+            k += r
+            if (k > 63) return null
+            val m2 = receive(s); if (m2 < 0) return null
+            coef(Jpeg.ZigzagNat(k)) = Jpeg.extend(m2, s) * qz(k)
+            k += 1
+          }
+        }
+        // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
+            tmp(v)(x) = acc
+            x += 1
+          }
+          v += 1
+        }
+        val blockY = mcu / bxN; val blockX = mcu % bxN
+        var yy = 0
+        while (yy < 8) {
+          val y = blockY * 8 + yy
+          if (y < h) {
+            var xx = 0
+            while (xx < 8) {
+              val x = blockX * 8 + xx
+              if (x < w) {
+                var acc = 0.0
+                var v2 = 0
+                while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
+                val px = math.round(acc + 128.0).toInt
+                out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        mcu += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -1300,7 +1668,9 @@ object Native {
     "graft_png_encode_gray8" -> (exprs =>
       PngGray8Encode(exprs(0), exprs(1),
         intLit(exprs(2), "filterMode"), boolLit(exprs(3), "stored"))),
-    "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))))
+    "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))),
+    "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
+    "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -1375,4 +1745,8 @@ object Native {
       org.apache.spark.sql.functions.lit(stored))
   def pngDecodeGray8(png: Column): Column =
     call_function("graft_png_decode_gray8", png)
+  def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
+    call_function("graft_jpeg_encode_gray8_dc", pixels, width)
+  def jpegDecodeGray8(jpeg: Column): Column =
+    call_function("graft_jpeg_decode_gray8", jpeg)
 }

@@ -461,6 +461,40 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
+  /** REAL baseline-JPEG pixel decode ([[graft.functions.Native
+    * .JpegGray8Decode]]): single-component (grayscale) SOF0 JPEG bytes →
+    * row-major grayscale-8 bitmap via full Huffman + dequant + IDCT,
+    * null on anything out of contract (progressive, color, truncated,
+    * bad restart sequence). With [[pngDecodeGray8]] this covers both
+    * crawl image formats the JDK's primitives can reach; WebP/AVIF stay
+    * behind the [[decodePartitions]] codec boundary. */
+  def jpegDecodeGray8(jpeg: Column): Column =
+    graft.functions.Native.jpegDecodeGray8(jpeg)
+
+  /** Fixture-grade baseline-JPEG ENCODE (real SOI/DQT/SOF0/DHT/DRI/SOS
+    * segments, Huffman-coded scan, restart markers, EOI): grayscale-8
+    * bitmap → genuine JPEG bytes any compliant reader decodes, each 8×8
+    * block encoded DC-only. Single-code Huffman tables + restart
+    * interval 1 pin every MCU to an aligned 2-byte cell, so block DCs
+    * sit at analytic byte offsets (the stored-PNG move, JPEG edition —
+    * what lets a SQL oracle with no Huffman decoder verify real JPEG
+    * decode). Block means must land in [1,64] ∪ [192,255] (DC category
+    * 7); see the expression scaladoc. */
+  def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
+    graft.functions.Native.jpegEncodeGray8Dc(pixels, width)
+
+  /** Image near-dup on REAL JPEG payloads, end-to-end: [[jpegDecodeGray8]]
+    * → [[dHash]] → the shared Hamming-banded LSH core ([[imageNearDupPng]]'s
+    * exact shape on the other crawl format). Undecodable payloads drop at
+    * the decode stage, before any shuffle; only 8-byte signatures band. */
+  def imageNearDupJpeg(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(jpegDecodeGray8(col("jpeg")), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
   /** Frame-sample positions for a media payload of `durationMs`, every
     * `everyMs` — the pure-Spark plumbing of a video frame sampler (the
     * per-position pixel grab is codec work, see [[decodeImageStub]]). */

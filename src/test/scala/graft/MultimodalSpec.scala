@@ -464,4 +464,167 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one._1 > 0 && one._2 == "application/octet-stream")
     assert(got.count() > 0)
   }
+
+  // ---- baseline JPEG: encode fixture, real decode, cross-decoder pins ----
+
+  /** Per-8×8-block-constant bitmap: pixel (y,x) = vals(blockRow·bx + blockCol). */
+  private def blockBitmap(w: Int, h: Int, vals: Array[Int]): Array[Byte] = {
+    val bx = (w + 7) / 8
+    Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      vals((y / 8) * bx + x / 8).toByte
+    }
+  }
+  /** A value in [1,64] ∪ [192,255] — DC category 7, the fixture contract. */
+  private def cat7(rnd: scala.util.Random): Int = {
+    val low = rnd.nextInt(128)
+    if (low < 64) low + 1 else low + 128
+  }
+  private def encJpeg(px: Array[Byte], w: Int): Array[Byte] =
+    Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(w))).as[Array[Byte]].head()
+  private def decJpeg(b: Array[Byte]): Array[Byte] =
+    Seq(Tuple1(b)).toDF("j")
+      .select(Multimodal.jpegDecodeGray8($"j")).as[Array[Byte]].head()
+  private def imageIoPixels(jpeg: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      Some((img.getWidth, img.getHeight,
+        Array.tabulate(img.getWidth * img.getHeight)(i =>
+          r.getSample(i % img.getWidth, i / img.getWidth, 0))))
+    }
+  }
+
+  test("jpegEncodeGray8Dc emits a real baseline JPEG that round-trips bit-exactly and ImageIO accepts") {
+    val rnd = new scala.util.Random(42)
+    val vals = Array.fill(9 * 8)(cat7(rnd))
+    val px = blockBitmap(72, 64, vals)
+    val jpeg = encJpeg(px, 72)
+    assert(jpeg != null)
+    // a genuine JPEG: modality sniff + the SOF-walking dims parser agree
+    val (mod, dw, dh) = Seq(Tuple1(jpeg)).toDF("j")
+      .select(Multimodal.modality($"j").as("m"), Multimodal.jpegDims($"j").as("d"))
+      .select($"m", $"d.width", $"d.height")
+      .as[(String, Long, Long)].head()
+    assert(mod == "image/jpeg" && dw == 72L && dh == 64L)
+    // our decoder: bit-exact on DC-only blocks (integer closed form)
+    val mine = decJpeg(jpeg)
+    assert(mine != null && mine.sameElements(px))
+    // an INDEPENDENT standards decoder agrees (its fixed-point IDCT may
+    // differ by the usual ±1 — T.81 does not pin IDCT rounding)
+    val Some((iw, ih, ref)) = imageIoPixels(jpeg)
+    assert(iw == 72 && ih == 64)
+    val maxDiff = ref.indices.map(i => math.abs(ref(i) - (px(i) & 0xff))).max
+    assert(maxDiff <= 1, s"ImageIO disagrees by $maxDiff")
+    // analytic layout: MCU i's magnitude byte sits verbatim at 162 + 4i,
+    // its EXTEND inverse is the planted block value (the SQL oracle's move)
+    vals.indices.foreach { i =>
+      val d = jpeg(162 + 4 * i) & 0xff
+      val dc = if (d < 64) d - 127 else d
+      assert(dc + 128 == vals(i), s"block $i")
+      assert((jpeg(163 + 4 * i) & 0xff) == 0x7F)
+    }
+    // restart markers cycle D0..D7 between the aligned MCU cells
+    (0 until vals.length - 1).foreach { i =>
+      assert((jpeg(164 + 4 * i) & 0xff) == 0xFF)
+      assert((jpeg(165 + 4 * i) & 0xff) == 0xD0 + (i % 8), s"RST after MCU $i")
+    }
+  }
+
+  test("jpegDecodeGray8 crops partial edge blocks: 12×10 decodes exactly over a 2×2 block grid") {
+    val rnd = new scala.util.Random(7)
+    val vals = Array.fill(4)(cat7(rnd))
+    val px = blockBitmap(12, 10, vals)
+    val jpeg = encJpeg(px, 12)
+    assert(jpeg != null)
+    val mine = decJpeg(jpeg)
+    assert(mine != null && mine.sameElements(px))
+    val Some((iw, ih, ref)) = imageIoPixels(jpeg)
+    assert(iw == 12 && ih == 10)
+    assert(ref.indices.map(i => math.abs(ref(i) - (px(i) & 0xff))).max <= 1)
+  }
+
+  test("jpegDecodeGray8 decodes third-party (ImageIO) JPEGs with real AC coefficients, stuffing, within IDCT tolerance") {
+    // a gradient+noise gray image through the JDK's own encoder: standard
+    // Annex-K-style tables, AC run/size symbols, EOBs, and (asserted
+    // below) at least one stuffed 0xFF00 in the entropy-coded data — the
+    // decode paths the DC-only fixture can't reach
+    val w = 41; val h = 22 // non-multiples of 8: third-party crop path too
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 128 + 90 * math.sin(x * 0.9) + 30 * math.cos(y * 1.7) + rnd.nextInt(31) - 15
+      img.getRaster.setSample(x, y, 0, math.max(0, math.min(255, v.toInt)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    // find the scan (SOS segment) and confirm a stuffed FF00 exists in it
+    val sos = (0 until jpeg.length - 1).find(i =>
+      (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) == 0xDA).get
+    val hasStuffing = (sos until jpeg.length - 1).exists(i =>
+      (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) == 0x00)
+    assert(hasStuffing, "fixture regression: no byte stuffing in this encode; change the seed")
+    val mine = decJpeg(jpeg)
+    assert(mine != null && mine.length == w * h)
+    val Some((iw, ih, ref)) = imageIoPixels(jpeg)
+    assert(iw == w && ih == h)
+    val diffs = ref.indices.map(i => math.abs(ref(i) - (mine(i) & 0xff)))
+    assert(diffs.max <= 2, s"max cross-decoder diff ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 0.5, "systematic decode bias")
+  }
+
+  test("jpegDecodeGray8/jpegEncodeGray8Dc null out of contract, never throw") {
+    def decodes(b: Array[Byte]): Boolean = decJpeg(b) != null
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(4)(cat7(rnd))
+    val good = encJpeg(blockBitmap(16, 16, vals), 16)
+    assert(decodes(good))
+    // encoder: a mid-gray block mean (DC 0) is outside category 7 — the
+    // documented fixture contract — so the encode refuses, not corrupts
+    assert(encJpeg(Array.fill(64)(128.toByte), 8) == null)
+    // truncated scan
+    assert(!decodes(good.dropRight(6)))
+    // progressive marker (SOF0 → SOF2 patch; CRC-free format, so the
+    // parse must hit the explicit out-of-contract reject)
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xFF && (prog(i + 1) & 0xff) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    assert(!decodes(prog))
+    // a restart marker out of sequence
+    val badRst = good.clone()
+    val rst = (162 until badRst.length - 1).find(i =>
+      (badRst(i) & 0xff) == 0xFF && (badRst(i + 1) & 0xff) >= 0xD0 &&
+        (badRst(i + 1) & 0xff) <= 0xD7).get
+    badRst(rst + 1) = (0xD0 + (((badRst(rst + 1) & 0x0f) + 3) % 8)).toByte
+    assert(!decodes(badRst))
+    // 3-component color JPEG: out of the grayscale contract
+    val cimg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cimg, "jpg", bos)
+    assert(!decodes(bos.toByteArray))
+    // not a JPEG at all
+    assert(!decodes("definitely not a JPEG".getBytes("UTF-8")))
+    assert(!decodes(Array[Byte](0xFF.toByte, 0xD8.toByte)))
+  }
+
+  test("imageNearDupJpeg: decode → dHash → Hamming-LSH pairs bit-identical JPEG copies only") {
+    val rnd = new scala.util.Random(5)
+    def jpegOf(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      encJpeg(blockBitmap(72, 64, Array.fill(72)(cat7(r2))), 72)
+    }
+    val imgs = Seq(
+      (1L, jpegOf(101)), (2L, jpegOf(101)), // bit-identical pair
+      (3L, jpegOf(202)), (4L, jpegOf(303)),
+      (5L, "corrupt".getBytes("UTF-8"))) // drops at decode, never pairs
+      .toDF("id", "jpeg")
+    val pairs = Multimodal.imageNearDupJpeg(imgs, 72, 64, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
