@@ -641,6 +641,51 @@ object SparkEntry {
       Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 1), path, medoids)
       Similarity.ivfTopKIncremental(s, queries, path, k = 10, nprobe = 4)
     }),
+    // FILTERED ANN ("top-k among rows satisfying a predicate" — the
+    // retrieval-under-constraint shape), hash-oracled via the medoid
+    // move: same derivation as sim_topk_ivf_medoid with the corpus
+    // restricted to vec_id % 3 = 0 BEFORE bucket assignment — the
+    // scan-stage placement (a post-rank filter would starve top-k); the
+    // oracle applies the identical restriction inside its corpus-assign
+    // CTE
+    "sim_topk_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopKFilteredWith(queries, emb, medoids,
+        col("vec_id") % 3 === 0, k = 10, nprobe = 4)
+    }),
+    // the INDEXED + ADAPTIVE filtered path, hash-oracled by the all-short
+    // move: the planted predicate (vec_id % 250 = 0) keeps fewer than k
+    // survivors at every SF, so EVERY query comes up short in the narrow
+    // probe and re-probes every bucket — the narrow probe, per-query
+    // counts, widen decision, and union all execute, while the final
+    // result is analytically EXACT search over the filtered corpus (wide
+    // candidate sets contain narrow ones). Index rebuilt per invocation
+    // (the sim_topk_ivf_incr stance). Mixed narrow/wide behavior is
+    // pinned in OperatorsSpec; the scan-stage pushed-filter plan is
+    // pinned there too.
+    "sim_topk_filtered_idx" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-filter-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      Similarity.writeIvfIndex(emb, medoids, path)
+      val out = Similarity.ivfTopKIndexedFiltered(s, queries, path, medoids,
+        col("vec_id") % 250 === 0, k = 10, nprobe = 2)
+      // the adaptive wrapper persists its narrow probe for its two
+      // consumers (count + rank); the widen decision is already baked
+      // into the plan as literals, so release now — the final consumer
+      // just recomputes the probe once — rather than letting a harness
+      // running 120+ queries accumulate cached relations
+      graft.operators.Caches.release(s)
+      out
+    }),
     // full-probe trick: with nprobe = numCentroids every query probes
     // every bucket, so the IVF plumbing (train, assign, probe join,
     // dedup, rank) runs in full but the result is ANALYTICALLY equal to
@@ -1884,6 +1929,59 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY sim DESC, vec_id) AS rank
            FROM scored)
+         WHERE rank <= 10""",
+    // sim_topk_ivf_medoid's derivation with the corpus-assign CTE
+    // restricted to the planted predicate (vec_id % 3 = 0) — the same
+    // scan-stage placement the engine uses (filter BEFORE bucket
+    // assignment); queries stay unrestricted
+    "sim_topk_filtered" ->
+      """WITH m AS (SELECT vec_id AS cid, embedding AS m_emb
+                    FROM embeddings WHERE vec_id < 16),
+           ca AS (SELECT e.vec_id, m.cid,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(m.m_emb AS DOUBLE[])) AS sim
+                  FROM embeddings e CROSS JOIN m),
+           cassign AS (SELECT vec_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id % 3 = 0)
+                       WHERE rn <= 3),
+           qassign AS (SELECT vec_id AS query_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id < 8)
+                       WHERE rn <= 4),
+           cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                    FROM qassign q JOIN cassign c USING (bucket)
+                    WHERE c.vec_id != q.query_id),
+           scored AS (SELECT cd.query_id, cd.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS sim
+                      FROM cand cd
+                      JOIN embeddings q ON q.vec_id = cd.query_id
+                      JOIN embeddings e ON e.vec_id = cd.vec_id)
+         SELECT query_id, vec_id, rank FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
+    // all-short move: under k survivors corpus-wide forces every query
+    // down the wide (every-bucket) re-probe, whose candidate set is the
+    // whole filtered corpus — so the adaptive result equals exact search
+    // over it
+    "sim_topk_filtered_idx" ->
+      """SELECT query_id, vec_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c
+             ON c.vec_id != q.vec_id AND c.vec_id % 250 = 0
+           WHERE q.vec_id < 8)
          WHERE rank <= 10""",
     // identical derivation to sim_topk_ivf_medoid: the two parity append
     // batches share the medoid centroids, so the incremental probe's

@@ -253,11 +253,12 @@ object Similarity {
     * partitions: the scan plans only the probed buckets' files instead of
     * filtering a full corpus scan. */
   def writeIvfIndex(corpus: DataFrame, cents: Array[Array[Float]], path: String,
-      corpusAssign: Int = 3): Unit =
+      corpusAssign: Int = 3, attrCols: Seq[String] = Nil): Unit =
     corpus.select(
-      col("vec_id"), col("embedding"),
-      Native.normF(col("embedding")).as("c_norm"),
-      explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"))
+      Seq(col("vec_id"), col("embedding"),
+        Native.normF(col("embedding")).as("c_norm")) ++
+      attrCols.map(col) :+
+      explode(probeBuckets(col("embedding"), cents, corpusAssign)).as("bucket"): _*)
       // pre-partition by bucket: each bucket dir gets ONE writer's files
       // instead of one per (input task × bucket) — the no-small-files rule
       // for a layout that probes later partition-prune; the shuffled rows
@@ -283,17 +284,72 @@ object Similarity {
     * partition filter on the scan, broadcast probe join, exact cosine.
     * Shared with the incremental probe so both paths plan identically. */
   private def scoreIndexed(spark: SparkSession, queries: DataFrame, dataPath: String,
-      cents: Array[Array[Float]], nprobe: Int): DataFrame = {
+      cents: Array[Array[Float]], nprobe: Int, pred: Option[Column] = None): DataFrame = {
     val queryB = queries.select(
       col("query_id"), col("q_embedding"),
       Native.normF(col("q_embedding")).as("q_norm"),
       explode(probeBuckets(col("q_embedding"), cents, nprobe)).as("bucket"))
     val probed = queryB.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(dataPath).filter(col("bucket").isin(probed: _*))
+    // the attribute predicate composes with the partition filter at the
+    // SCAN (PushedFilters within the pruned bucket dirs — plan-pinned),
+    // never post-rank: a post-rank filter would silently starve top-k
+    // under selective predicates instead of ranking the true survivors
+    val pruned = spark.read.parquet(dataPath).filter(col("bucket").isin(probed: _*))
+    val index = pred.fold(pruned)(pruned.filter)
     broadcast(queryB).join(index, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_embedding"), col("embedding"), col("q_norm"), col("c_norm")).as("sim"))
+  }
+
+  /** Filtered ANN over the in-memory probe path: top-k among corpus rows
+    * satisfying `pred` ("top-k among lang='en' ∧ source=X" — the retrieval
+    * shape real pipelines query). The predicate lands on the CORPUS before
+    * bucket assignment — i.e. in the scan stage — NOT on the ranked
+    * output: post-filtering a k-deep shortlist silently degrades recall
+    * under selective predicates (most of the shortlist dies and nothing
+    * refills it), while a scan-stage filter ranks the true survivors.
+    * Identical probe/rank plan to [[ivfTopKWith]] otherwise; at scale the
+    * filter reaches the parquet scan as a pushed filter. */
+  def ivfTopKFilteredWith(queries: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Float]], pred: Column, k: Int, nprobe: Int,
+      corpusAssign: Int = 3): DataFrame =
+    ivfTopKWith(queries, corpus.filter(pred), cents, k, nprobe, corpusAssign)
+
+  /** Filtered probe over a [[writeIvfIndex]] layout (write the filter
+    * columns via `attrCols`) with ADAPTIVE widening: probe `nprobe`
+    * buckets with the predicate applied in the scan stage; any query
+    * whose surviving candidate count comes up short of `k` re-probes at
+    * `maxNprobe` (default: every bucket — exact search over the filtered
+    * corpus). This is the recall repair for selective predicates: a fixed
+    * nprobe that is fine unfiltered can leave a filtered query with
+    * near-empty buckets, and only widening the probe — not deepening the
+    * shortlist after ranking — restores the true top-k. The count check
+    * is a per-query aggregate over the (broadcast-contract) tiny query
+    * set — a bounded driver decision, not a data-scale collect. Wide
+    * candidates strictly contain narrow ones (probe sets nest), so
+    * replacing short queries' results wholesale is exact. */
+  def ivfTopKIndexedFiltered(spark: SparkSession, queries: DataFrame,
+      indexPath: String, cents: Array[Array[Float]], pred: Column, k: Int,
+      nprobe: Int, maxNprobe: Int = 0): DataFrame = {
+    val wide = if (maxNprobe <= 0) cents.length else maxNprobe
+    val first = scoreIndexed(spark, queries, indexPath, cents, nprobe, Some(pred))
+      .dropDuplicates("query_id", "vec_id")
+      .transform(Caches.persisted) // consumed by the count AND the final rank
+    val counted = first.groupBy("query_id").count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val short = queries.select("query_id").distinct().collect().map(_.get(0))
+      .filter(id => counted.getOrElse(id, 0L) < k)
+    val scored =
+      if (short.isEmpty) first
+      else {
+        val wideScores = scoreIndexed(spark,
+          queries.filter(col("query_id").isin(short: _*)),
+          indexPath, cents, wide, Some(pred))
+          .dropDuplicates("query_id", "vec_id")
+        first.filter(!col("query_id").isin(short: _*)).union(wideScores)
+      }
+    topK(scored, k)
   }
 
   // ---------------------------------------------------------------------

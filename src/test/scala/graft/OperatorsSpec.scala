@@ -947,6 +947,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
   }
 
+  test("filtered ANN: scan-stage predicate keeps recall that post-filtering the shortlist loses") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val pred = $"vec_id" % 2 === 0
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-filter").toString
+    Similarity.writeIvfIndex(emb, cents, idx)
+    val got = Similarity.ivfTopKIndexedFiltered(spark, queries, idx, cents, pred,
+      k = 10, nprobe = 4)
+    // every query fills k rows and every row satisfies the predicate
+    assert(got.groupBy($"query_id").count().filter($"count" =!= 10).isEmpty)
+    assert(got.filter($"vec_id" % 2 =!= 0).isEmpty)
+    // recall vs exact search over the FILTERED corpus
+    val exact = Similarity.bruteForceTopK(queries, emb.filter(pred), 10)
+      .select($"query_id", $"vec_id").collect().toSet
+    val gotSet = got.select($"query_id", $"vec_id").collect().toSet
+    val overlap = gotSet.intersect(exact).size
+    assert(overlap >= 32, s"filtered recall too low: $overlap/40")
+    // the naive alternative — post-filtering an unfiltered k-deep
+    // shortlist — starves under 50% selectivity: it can surface at most
+    // the even rows that happened to rank in the UNFILTERED top-10
+    val post = Similarity.ivfTopKIndexed(spark, queries, idx, cents, k = 10, nprobe = 4)
+      .filter($"vec_id" % 2 === 0)
+    val postSet = post.select($"query_id", $"vec_id").collect().toSet
+    assert(postSet.intersect(exact).size < overlap,
+      s"post-filter recall ${postSet.intersect(exact).size} should trail scan-stage $overlap")
+    // the in-memory filtered path agrees with the same-centroid index path
+    val mem = Similarity.ivfTopKFilteredWith(queries, emb, cents, pred, k = 10, nprobe = 4)
+    assert(mem.exceptAll(got).isEmpty && got.exceptAll(mem).isEmpty)
+    graft.operators.Caches.release(spark)
+  }
+
+  test("filtered ANN adaptive widening: starved queries re-probe wide and recover the exact filtered top-k") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    // attribute column riding the index: survivors are vec 0 and 250 only,
+    // so EVERY query comes up short of k=10 in the narrow probe and the
+    // adaptive re-probe (all buckets) makes the result exactly the
+    // brute-force top-k over the filtered corpus
+    val tagged = emb.withColumn("tag",
+      when($"vec_id" % 250 === 0, "rare").otherwise("common"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-filter-adapt").toString
+    Similarity.writeIvfIndex(tagged, cents, idx, attrCols = Seq("tag"))
+    val got = Similarity.ivfTopKIndexedFiltered(spark, queries, idx, cents,
+      $"tag" === "rare", k = 10, nprobe = 1)
+    val exact = Similarity.bruteForceTopK(queries,
+      tagged.filter($"tag" === "rare").select("vec_id", "embedding"), 10)
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
+      "adaptive wide fallback should equal exact filtered search")
+    // plan pin: the ATTRIBUTE predicate reaches the index parquet scan as
+    // a pushed filter (scan stage), alongside the bucket partition filter
+    // — never as a post-rank filter
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PushedFilters: \\[[^\\]]*tag".r.findFirstIn(plan).isDefined,
+      s"attribute predicate not pushed into the index scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe buckets not partition-pruned:\n$plan")
+    graft.operators.Caches.release(spark)
+  }
+
   test("incremental IVF-PQ index: append ≡ single build, replay no-op, fold checks quantizers, retrain re-encodes") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
