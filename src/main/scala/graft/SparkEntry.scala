@@ -1061,6 +1061,10 @@ object SparkEntry {
     // the published thresholds as per-rule gates over the same view
     "text_gopher_rep_filter" -> ((s, d) =>
       TextAnalysis.gopherRepetitionFilter(gopherPlantedDocs(s, d))),
+    // the length precondition live: under-40-token docs abstain (gated 0,
+    // all flags 1) instead of being judged by web-document thresholds
+    "text_gopher_rep_gate_len" -> ((s, d) =>
+      TextAnalysis.gopherRepetitionFilter(gopherPlantedDocs(s, d), minTokens = 40L)),
     "text_gopher_filter" -> ((s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))),
     // BM25 retrieval against a fixed bag-of-words query (targeted
     // selection / decontamination triage); scores rounded to 6dp on both
@@ -1169,7 +1173,22 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
     // sketch scale-path: HLL/t-digest internals are engine-specific →
     // rows-only here; accuracy pinned vs exact aggregates in PipelineSpec
-    "corpus_stats_approx" -> ((s, d) => Pipeline.corpusStatsApprox(Tables.documents(s, d))),
+    // the sketch path (HLL++ distinct counts + quantile summaries),
+    // hash-oracled by the small-domain move: planted domains (31 ids,
+    // 7 sources, 9-word vocab, 9 token-lengths — constant sets at every
+    // SF) sit deep in the linear-counting / exact-summary regime where
+    // both sketches return EXACTLY the true values, so DuckDB's exact
+    // COUNT(DISTINCT) / quantile_disc are a hash oracle for the sketch
+    // aggregation plan end-to-end. Sketch ACCURACY on real
+    // high-cardinality data stays pinned by the OperatorsSpec
+    // approx-vs-exact test (where estimates are engine-specific).
+    "corpus_stats_approx" -> ((s, d) =>
+      Pipeline.corpusStatsApprox(Tables.documents(s, d).select(
+        (col("doc_id") % 31).as("doc_id"),
+        concat(lit("s"), (col("doc_id") % 7).cast("string")).as("source"),
+        concat_ws(" ", transform(
+          sequence(lit(1), (lit(5) + col("doc_id") % 9).cast("int")),
+          _ => concat(lit("w"), (col("doc_id") % 9).cast("string")))).as("text")))),
     "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
     // identical semantics to decontaminate (the verify join removes bloom
@@ -2400,8 +2419,40 @@ object SparkEntry {
             AND top_4_gram_char_frac <= 0.16 AND dup_5_gram_char_frac <= 0.15
             AND dup_6_gram_char_frac <= 0.14 AND dup_7_gram_char_frac <= 0.13
             AND dup_8_gram_char_frac <= 0.12 AND dup_9_gram_char_frac <= 0.11
-            AND dup_10_gram_char_frac <= 0.10 AS BIGINT) AS keep
+            AND dup_10_gram_char_frac <= 0.10 AS BIGINT) AS keep,
+           CAST(1 AS BIGINT) AS gated
          FROM sig""",
+    // the LENGTH-PRECONDITIONED gate (minTokens = 40): docs under 40
+    // space tokens are not judged — every flag and keep read 1, gated 0
+    // (the gate abstains; the published char-fraction thresholds presume
+    // web-document lengths). Same signal pipeline, plus one token-count
+    // CTE over the identical planted text.
+    "text_gopher_rep_gate_len" ->
+      s"""WITH $GopherRepCtes,
+           tc AS (SELECT doc_id, len(string_split(t, ' ')) AS ntok FROM pl)
+         SELECT s.doc_id,
+           CAST(ntok < 40 OR dup_line_frac <= 0.30 AS BIGINT) AS ok_dup_line_frac,
+           CAST(ntok < 40 OR dup_para_frac <= 0.30 AS BIGINT) AS ok_dup_para_frac,
+           CAST(ntok < 40 OR dup_line_char_frac <= 0.20 AS BIGINT) AS ok_dup_line_char_frac,
+           CAST(ntok < 40 OR dup_para_char_frac <= 0.20 AS BIGINT) AS ok_dup_para_char_frac,
+           CAST(ntok < 40 OR top_2_gram_char_frac <= 0.20 AS BIGINT) AS ok_top_2_gram_char_frac,
+           CAST(ntok < 40 OR top_3_gram_char_frac <= 0.18 AS BIGINT) AS ok_top_3_gram_char_frac,
+           CAST(ntok < 40 OR top_4_gram_char_frac <= 0.16 AS BIGINT) AS ok_top_4_gram_char_frac,
+           CAST(ntok < 40 OR dup_5_gram_char_frac <= 0.15 AS BIGINT) AS ok_dup_5_gram_char_frac,
+           CAST(ntok < 40 OR dup_6_gram_char_frac <= 0.14 AS BIGINT) AS ok_dup_6_gram_char_frac,
+           CAST(ntok < 40 OR dup_7_gram_char_frac <= 0.13 AS BIGINT) AS ok_dup_7_gram_char_frac,
+           CAST(ntok < 40 OR dup_8_gram_char_frac <= 0.12 AS BIGINT) AS ok_dup_8_gram_char_frac,
+           CAST(ntok < 40 OR dup_9_gram_char_frac <= 0.11 AS BIGINT) AS ok_dup_9_gram_char_frac,
+           CAST(ntok < 40 OR dup_10_gram_char_frac <= 0.10 AS BIGINT) AS ok_dup_10_gram_char_frac,
+           CAST(ntok < 40 OR (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+            AND top_2_gram_char_frac <= 0.20 AND top_3_gram_char_frac <= 0.18
+            AND top_4_gram_char_frac <= 0.16 AND dup_5_gram_char_frac <= 0.15
+            AND dup_6_gram_char_frac <= 0.14 AND dup_7_gram_char_frac <= 0.13
+            AND dup_8_gram_char_frac <= 0.12 AND dup_9_gram_char_frac <= 0.11
+            AND dup_10_gram_char_frac <= 0.10) AS BIGINT) AS keep,
+           CAST(ntok >= 40 AS BIGINT) AS gated
+         FROM sig s JOIN tc USING (doc_id)""",
     "text_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            s AS (SELECT doc_id,
@@ -3205,12 +3256,27 @@ object SparkEntry {
              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT f.event_id, f.user_id, strftime(f.ts, '$FmtTsSql') AS ts,
                 d.click_id, strftime(d.ts, '$FmtTsSql') AS click_ts
-         FROM f ASOF JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts"""
-    // sim_topk_ivf / text_winnow_fp / corpus_stats_approx: genuinely
-    // sketch-internal (k-means probe sets, winnow minima, HLL/t-digest)
-    // — not SQL-expressible in DuckDB; driver records rows-only checks.
-    // Verified instead by planted-fixture + recall + native≡declarative
-    // ScalaTests (OperatorsSpec, FuncsSpec, PipelineSpec). sim_topk_ivf's
+         FROM f ASOF JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts""",
+    // small-domain move: the planted distinct sets (31/7/9) are constant
+    // at every SF and sit deep in the sketches' exact regime, so the
+    // exact aggregates ARE the sketch outputs (see the query comment)
+    "corpus_stats_approx" ->
+      """WITH pl AS (SELECT doc_id % 31 AS pid,
+                            's' || CAST(doc_id % 7 AS VARCHAR) AS src,
+                            5 + doc_id % 9 AS ntok,
+                            'w' || CAST(doc_id % 9 AS VARCHAR) AS wrd
+                     FROM documents)
+         SELECT CAST(count(DISTINCT pid) AS BIGINT) AS n_docs_approx,
+                CAST(count(DISTINCT src) AS BIGINT) AS n_sources_approx,
+                CAST(quantile_disc(ntok, 0.5) AS BIGINT) AS p50_tokens_approx,
+                CAST(quantile_disc(ntok, 0.99) AS BIGINT) AS p99_tokens_approx,
+                CAST(count(DISTINCT wrd) AS BIGINT) AS n_distinct_words_approx
+         FROM pl"""
+    // sim_topk_ivf / text_winnow_fp: genuinely sketch-internal (k-means
+    // probe sets, winnow minima) — not SQL-expressible in DuckDB; driver
+    // records rows-only checks. Verified instead by planted-fixture +
+    // recall + native≡declarative ScalaTests (OperatorsSpec, FuncsSpec,
+    // PipelineSpec). sim_topk_ivf's
     // FULL-probe sibling (sim_topk_ivf_full) IS hash-oracled above.
     // dedup_minhash_raw: deliberately rows-only — the raw-corpus 0.8
     // operating point whose banding misses DuckDB cannot replay (see the

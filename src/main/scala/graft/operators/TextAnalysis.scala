@@ -205,17 +205,33 @@ object TextAnalysis {
 
   /** The repetition GATE at the published thresholds: per-rule pass flags
     * (the [[gopherFilter]] stance — emit which rule rejected, never just
-    * the conjunction) plus `keep` = all 13. Same single native pass. */
-  def gopherRepetitionFilter(documents: DataFrame): DataFrame = {
+    * the conjunction) plus `keep` = all 13. Same single native pass.
+    *
+    * `minTokens` is the gate's documented LENGTH PRECONDITION: the Rae
+    * et al. char-fraction thresholds presume web-document lengths — a
+    * short clean sentence legitimately exceeds `top_2_gram_char_frac`
+    * 0.20 because one repeated greeting covers most of a tweet-length
+    * doc (the failure mode GoldenTraceSpec's streaming golden records).
+    * Documents under `minTokens` whitespace tokens are NOT judged: their
+    * `gated` flag is 0, every per-rule flag and `keep` read 1 (the gate
+    * ABSTAINS — pass-through, auditable). Compose with [[gopherFilter]]'s
+    * length rule when short docs should die instead. The default 0 gates
+    * everything (the published behavior, and the existing oracle
+    * contract); Rae et al. applied their suite after a 50-token minimum,
+    * so `minTokens = 50` is the faithful composition. */
+  def gopherRepetitionFilter(documents: DataFrame, minTokens: Long = 0L): DataFrame = {
+    val gated = size(Funcs.tokens(col("text"))).cast("bigint") >= minTokens
     val flags = GopherRepetitionThresholds.map { case (c, t) =>
-      (col(s"r.$c") <= t).cast("bigint").as(s"ok_$c")
+      (!col("gated").cast("boolean") || col(s"r.$c") <= t).cast("bigint").as(s"ok_$c")
     }
     documents
-      .select(col("doc_id"), Native.gopherRepetition(col("text")).as("r"))
-      .select((col("doc_id") +: flags) :+
-        GopherRepetitionThresholds
+      .select(col("doc_id"), Native.gopherRepetition(col("text")).as("r"),
+        gated.cast("bigint").as("gated"))
+      .select((col("doc_id") +: flags) ++ Seq(
+        (!col("gated").cast("boolean") || GopherRepetitionThresholds
           .map { case (c, t) => col(s"r.$c") <= t }
-          .reduce(_ && _).cast("bigint").as("keep"): _*)
+          .reduce(_ && _)).cast("bigint").as("keep"),
+        col("gated")): _*)
   }
 
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 family):

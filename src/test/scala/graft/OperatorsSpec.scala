@@ -249,6 +249,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDoc(6L).getDouble(8) > 0.6, "dup_5_gram coverage on a tripled phrase")
   }
 
+  test("gopherRepetitionFilter length precondition: short docs abstain at minTokens > 0, are judged at 0") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"), // 6 tokens: top-2-gram saturated
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    def keepGated(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getAs[Long]("keep"), r.getAs[Long]("gated")))).toMap
+    // default (minTokens = 0): the published behavior — everything is
+    // judged, and the short clean-ish spam doc fails the 2-gram rule
+    val judged = keepGated(graft.operators.TextAnalysis.gopherRepetitionFilter(docs))
+    assert(judged(1L) == ((0L, 1L)) && judged(2L) == ((1L, 1L)))
+    // with the precondition: the same doc ABSTAINS — keep 1, gated 0,
+    // and every per-rule flag reads pass (nothing was judged)
+    val gatedDf = graft.operators.TextAnalysis.gopherRepetitionFilter(docs, minTokens = 30L)
+    val gated = keepGated(gatedDf)
+    assert(gated(1L) == ((1L, 0L)) && gated(2L) == ((1L, 1L)))
+    val shortRow = gatedDf.filter($"doc_id" === 1L).collect()(0)
+    gatedDf.columns.filter(_.startsWith("ok_")).foreach { c =>
+      assert(shortRow.getAs[Long](c) == 1L, s"$c should abstain-pass on the ungated doc")
+    }
+  }
+
   test("tokenEditDistance: ≡ reference DP on random arrays; cutoff contract exact-or-minus-one") {
     def ref(a: Seq[Long], b: Seq[Long]): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
