@@ -1267,6 +1267,64 @@ object SparkEntry {
         .join(contaminated, Seq("doc_id"), "left_anti")
       Pipeline.packSequences(train, budgetTokens = 128L, numBuckets = 8)
     }),
+    // pipeline_full_prep with the production near-dup tier composed in —
+    // the RefinedWeb chain runs near-dup + component canonicalization
+    // BETWEEN exact dedup and decontamination. Exact dedup collapses
+    // bit-identical texts only, so the near-dup fixture is a planted
+    // perturbed RE-CRAWL: every 10th surviving doc re-enters re-keyed
+    // with one appended token — different bytes (exact dedup keeps it)
+    // but 3-gram Jaccard (n−2)/(n−1) ≥ 0.5 (the component stage MUST
+    // collapse it back onto its original, the smaller component id). The
+    // pair stage is the losslessly-prefix-filtered ngramJaccard (the
+    // SSJoin lemma), so the oracle replays it quadratically and the CC +
+    // keeper + downstream interplay is hash-pinned end-to-end.
+    "pipeline_full_prep_nd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = docs.select(col("doc_id"), linedText(col("doc_id"), col("text")).as("text"))
+      val afterC4 = TextAnalysis.c4LineFilter(raw, lineBlocklist = Seq("slow"))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val urlKeep = TextAnalysis.urlFilter(
+          docs.select(col("doc_id"),
+            concat(lit("https://www."), col("source"), lit(".example"),
+              (col("doc_id") % 3).cast("string"), lit(".com/"), col("lang"),
+              lit("/page"), col("doc_id").cast("string"),
+              when(col("doc_id") % 7 === 0, lit("/casino-bonus")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+              .as("url")),
+          blockedDomains = Seq("example0.com"),
+          blockedWords = Seq("casino", "tracker"))
+        .filter(col("keep") === 1).select("doc_id")
+      val afterUrl = afterC4.join(urlKeep, Seq("doc_id"))
+        .transform(Caches.persisted)
+      val gopherKeep = TextAnalysis.gopherFilter(afterUrl,
+          minTokens = 10L, maxTokens = 60L, minMeanTokLen = 6.5,
+          maxMeanTokLen = 8.2, maxTopUnigramFrac = 0.15,
+          maxDupTokenFrac = 0.3, minStopwords = 1L)
+        .filter(col("keep") === 1).select("doc_id")
+      val gated = afterUrl.join(gopherKeep, Seq("doc_id"))
+      val lineDeduped = Dedup.lineDedup(gated)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .transform(Caches.persisted)
+      val exact = lineDeduped.join(
+        Dedup.exact(lineDeduped).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .transform(Caches.persisted)
+      // planted perturbed re-crawls (see the query comment above)
+      val copies = exact.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text"))
+      val ndIn = exact.unionByName(copies).transform(Caches.persisted)
+      val ndKeep = Dedup.dedupComponents(ndIn, n = 3, threshold = 0.5)
+        .filter(col("is_keeper") === 1).select("doc_id")
+      val nd = ndIn.join(ndKeep, Seq("doc_id")).transform(Caches.persisted)
+      val contaminated = Pipeline.decontaminate(nd, n = 3).select("doc_id")
+      val train = nd
+        .join(Pipeline.hashSplit(nd).filter(col("split") === "train")
+          .select("doc_id"), Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Pipeline.packSequences(train, budgetTokens = 128L, numBuckets = 8)
+    }),
     "cap_per_source" -> ((s, d) => Pipeline.capPerSource(Tables.documents(s, d), k = 10)),
     "sample_token_budget" -> ((s, d) =>
       Pipeline.sampleToTokenBudget(Tables.documents(s, d), budgetTokens = 800L)),
@@ -3060,6 +3118,131 @@ object SparkEntry {
                          ELSE 'train' END AS split,
                     string_split(text, ' ') AS w
                   FROM exact),
+           gi AS (SELECT doc_id, split, w,
+                    unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM sp),
+           gg AS (SELECT DISTINCT doc_id, split,
+                    array_to_string(w[i : least(i + 2, len(w))], ' ') AS gram FROM gi),
+           tg AS (SELECT DISTINCT gram FROM gg WHERE split = 'test'),
+           contaminated AS (SELECT DISTINCT gg.doc_id
+                            FROM gg JOIN tg USING (gram) WHERE gg.split = 'train'),
+           train AS (SELECT doc_id, text FROM sp
+                     WHERE split = 'train'
+                       AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           pk AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    doc_id % 8 AS bucket
+                  FROM train),
+           pc AS (SELECT doc_id, bucket, n_tokens,
+                    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                  FROM pk)
+         SELECT doc_id, bucket, CAST(floor(cum_before / 128.0) AS BIGINT) AS seq_id,
+                CAST(cum_before % 128 AS BIGINT) AS tok_offset
+         FROM pc""",
+    // the same cascade with the near-dup component tier spliced between
+    // exact dedup and decontamination: planted perturbed re-crawls
+    // (+200000 re-key, one appended token) enter, the quadratic 3-gram
+    // Jaccard pairs + recursive transitive closure collapse them back
+    // onto their originals (keeper = min component id), and everything
+    // downstream consumes the survivors
+    "pipeline_full_prep_nd" ->
+      s"""WITH RECURSIVE $LinedCte,
+           l AS (SELECT doc_id,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+                 FROM lined),
+           fl AS (SELECT doc_id, pos, line,
+                    (len(string_split(line, ' ')) >= 3
+                     AND regexp_matches(line, '[.!?"]$$')
+                     AND NOT contains(lower(line), 'slow')) AS kl
+                  FROM l),
+           agg AS (SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN kl THEN 1 ELSE 0 END) AS n_kept
+                   FROM fl GROUP BY 1),
+           c4txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                     FROM fl WHERE kl GROUP BY 1),
+           afterc4 AS (SELECT a.doc_id, t.text
+                       FROM agg a JOIN lined d USING (doc_id)
+                            JOIN c4txt t USING (doc_id)
+                       WHERE a.n_kept >= 3 AND NOT contains(lower(d.text), '{')
+                         AND NOT contains(lower(d.text), 'lorem ipsum')),
+           u AS (SELECT d.doc_id,
+                   lower('https://www.' || d.source || '.example' ||
+                     CAST(d.doc_id % 3 AS VARCHAR) || '.com/' || d.lang ||
+                     '/page' || CAST(d.doc_id AS VARCHAR) ||
+                     CASE WHEN d.doc_id % 7 = 0 THEN '/casino-bonus' ELSE '' END ||
+                     CASE WHEN d.doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+                     AS url
+                 FROM documents d),
+           afterurl AS (SELECT doc_id FROM (
+                 SELECT doc_id, url,
+                   regexp_extract(regexp_replace(regexp_extract(url,
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\\.)?([^/:?#]+)', 1),
+                     '\\.+$$', ''),
+                     '([^.]+\\.[^.]+)$$', 1) AS domain
+                 FROM u)
+               WHERE NOT (domain = 'example0.com' OR contains(url, 'casino')
+                          OR contains(url, 'tracker'))),
+           g AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM afterc4 JOIN afterurl USING (doc_id)),
+           gs AS (SELECT doc_id, text,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                      / CAST(len(toks) AS DOUBLE) AS mean_len,
+                    CAST(list_max(list_transform(list_distinct(toks),
+                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) AS top_uni,
+                    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) AS dup_frac,
+                    len(list_filter(toks,
+                      x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop
+                  FROM g),
+           gated AS (SELECT doc_id, text FROM gs
+                     WHERE n_tokens BETWEEN 10 AND 60
+                       AND mean_len >= 6.5 AND mean_len <= 8.2
+                       AND top_uni <= 0.15 AND dup_frac <= 0.3 AND n_stop >= 1),
+           l2 AS (SELECT doc_id,
+                    unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                    unnest(string_split(text, chr(10))) AS line
+                  FROM gated),
+           f2 AS (SELECT line, min(doc_id * 4294967296 + pos) AS first_okey
+                  FROM l2 GROUP BY 1),
+           ld AS (SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos) AS text
+                  FROM l2 JOIN f2 USING (line)
+                  WHERE doc_id * 4294967296 + pos = first_okey
+                  GROUP BY 1),
+           exact AS (SELECT doc_id, text FROM ld
+                     WHERE doc_id IN (SELECT min(doc_id) FROM ld GROUP BY md5(text))),
+           cp AS (SELECT doc_id + 200000 AS doc_id,
+                         text || ' zz' || CAST(doc_id AS VARCHAR) AS text
+                  FROM exact WHERE doc_id % 10 = 0),
+           ndin AS (SELECT doc_id, text FROM exact
+                    UNION ALL SELECT doc_id, text FROM cp),
+           nt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ndin),
+           nsh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                     THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                     ELSE [array_to_string(toks, ' ')] END) AS s FROM nt),
+           ne AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM nsh a JOIN nsh b ON a.doc_id < b.doc_id
+                  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)) >= 0.5),
+           nsym AS (SELECT id_a AS src, id_b AS dst FROM ne
+                    UNION ALL SELECT id_b, id_a FROM ne),
+           nwalk(id, comp) AS (
+             SELECT DISTINCT src, src FROM nsym
+             UNION
+             SELECT nsym.dst, nwalk.comp FROM nwalk JOIN nsym ON nwalk.id = nsym.src),
+           nm AS (SELECT id, min(comp) AS comp FROM nwalk GROUP BY id),
+           nd AS (SELECT n.doc_id, n.text FROM ndin n
+                  LEFT JOIN nm ON n.doc_id = nm.id
+                  WHERE n.doc_id = coalesce(nm.comp, n.doc_id)),
+           sp AS (SELECT doc_id, text,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                         ELSE 'train' END AS split,
+                    string_split(text, ' ') AS w
+                  FROM nd),
            gi AS (SELECT doc_id, split, w,
                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM sp),
            gg AS (SELECT DISTINCT doc_id, split,
