@@ -91,6 +91,65 @@ object Bench {
     * whole run contaminated, regardless of what ambient loadavg claimed. */
   private[graft] val CanaryContaminationFactor: Double = 3.0
 
+  /** MICRO canaries: 1/8-size twins of the bracketing canaries, cheap
+    * enough to interleave every [[main]]`.checkpointEvery` queries. The
+    * round-8 blind spot: the bracketing canaries stamp a run
+    * contaminated but cannot say WHEN the contamination arrived, so two
+    * same-day runs disagreed on per-query attribution with both
+    * brackets clean. Checkpoints timestamp contention WITHIN the run:
+    * the windowed rule ([[contaminatedWindows]]) flags only the query
+    * windows whose bracketing checkpoints ran hot, so the rest of the
+    * run stays usable evidence instead of the whole pass dying with the
+    * stamp. One rep each (a checkpoint must cost milliseconds, not a
+    * 3-rep measurement) — their floors are committed from the high side
+    * of the idle spread to absorb single-rep noise. */
+  private[graft] def microCanaryQuery(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0L, 1L << 21, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.col("h")).as("s"))
+
+  /** 1/8-size [[bandwidthCanaryQuery]] (2¹⁷ wide rows through the same
+    * round-robin shuffle + explode). */
+  private[graft] def microBandwidthCanaryQuery(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0L, 1L << 17, 1L, 32)
+      .selectExpr("id", "array_repeat(xxhash64(id), 31) AS a")
+      .repartition(32, org.apache.spark.sql.functions.col("id"))
+      .selectExpr("explode(a) AS v")
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.col("v")).as("s"))
+
+  /** Idle-box single-rep floors for the micro canaries (same calibration
+    * protocol as [[CanaryFloorSec]]; single-rep + small size ⇒ overhead-
+    * dominated, so the floors sit well above the linear 1/8 scaling —
+    * calibrated steady-state medians 0.09 / 0.27 s on the idle reference
+    * box, floors from the high side to absorb single-rep noise). */
+  private[graft] val MicroCanaryFloorSec: Double = 0.12
+  private[graft] val MicroBandwidthCanaryFloorSec: Double = 0.35
+
+  /** The WINDOWED flagging rule, pure so the spec can pin it: checkpoint
+    * samples c₀..cₘ bracket m query windows (window j ran between
+    * checkpoints j and j+1). A window is contaminated iff EITHER of its
+    * bracketing checkpoints exceeds factor × its committed floor for
+    * EITHER canary kind — contention present at entry or exit taints
+    * everything measured in between (it cannot be localized finer than a
+    * window), while windows bracketed by two clean checkpoints keep
+    * their evidential value. Returns one flag per window; fewer than two
+    * checkpoints bracket no windows. Broken floors (≤ 0) never flag,
+    * [[isContaminated]]'s stance. */
+  private[graft] def contaminatedWindows(
+      cpu: Seq[Double], bw: Seq[Double],
+      cpuFloor: Double = MicroCanaryFloorSec,
+      bwFloor: Double = MicroBandwidthCanaryFloorSec,
+      factor: Double = CanaryContaminationFactor): Seq[Boolean] = {
+    require(cpu.length == bw.length, "one cpu and one bw sample per checkpoint")
+    val hot = cpu.zip(bw).map { case (c, b) =>
+      isContaminated(c, cpuFloor, factor) || isContaminated(b, bwFloor, factor)
+    }
+    if (hot.length < 2) Seq.empty
+    else hot.sliding(2).map(p => p.head || p.last).toSeq
+  }
+
   /** The flagging rule, pure so the spec can pin it: contaminated iff the
     * worst canary median observed around the timed pass exceeds
     * factor × committed idle floor. A non-positive floor (calibration
@@ -176,46 +235,88 @@ object Bench {
     val canaryBefore = canary()
     val bwCanaryBefore = bwCanary()
 
+    // Micro-canary checkpoints: one single-rep (cpu, bw) sample before
+    // the pass, after every `checkpointEvery` queries, and after the last
+    // — the intra-run timestamps the bracketing canaries can't provide
+    // (round-8 blind spot). Window j = the queries measured between
+    // checkpoints j and j+1.
+    val checkpointEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CHECKPOINT_EVERY", "15").toInt
+    def microCheckpoint(): (Double, Double) = {
+      def t(q: SparkSession => org.apache.spark.sql.DataFrame): Double =
+        try {
+          val t0 = System.nanoTime()
+          q(spark).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      (t(microCanaryQuery), t(microBandwidthCanaryQuery))
+    }
+    val checkpoints = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // the micro plans are NOT in the warm-up pass above (they are not
+    // SparkEntry queries), so pay their codegen/JIT cost once untimed —
+    // a cold first checkpoint read ~2.4× its steady state and would flag
+    // window 0 on an idle box
+    microCheckpoint()
+    checkpoints += microCheckpoint()
+
     // Fail loudly: a failed query gets NO timing entry, and any failure
     // makes the whole bench exit non-zero — a broken build must never look
     // like a fast one (round-1 lesson). Each query reports the MEDIAN of
     // `reps` passes: single-pass timings swung the round-3 total 1.8× on
     // byte-identical code.
     var failures = List.empty[String]
-    val firstPass = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try Some((name, fn, measure(fn)))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failures ::= name
-        None
-      }
+    val sortedQueries = selected.toSeq.sortBy(_._1)
+    val firstPass = sortedQueries.zipWithIndex.flatMap { case ((name, fn), i) =>
+      val r =
+        try Some((name, fn, measure(fn), i / checkpointEvery))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failures ::= name
+          None
+        }
+      if ((i + 1) % checkpointEvery == 0) checkpoints += microCheckpoint()
+      r
     }
+    if (sortedQueries.length % checkpointEvery != 0) checkpoints += microCheckpoint()
 
     // Defense pass: a median 3× above the same query's fastest rep, or a
     // high loadavg at measurement time, is the signature of external load,
     // not a plan property. Re-measure once; keep whichever run has the
     // lower median, and flag the query so the report is honest about it.
-    val results = firstPass.map { case (name, fn, s0) =>
+    val results = firstPass.map { case (name, fn, s0, window) =>
       val suspicious = (s0.min > 0 && s0.median > spreadCap * s0.min) || ambient > loadCap
-      if (!suspicious) (name, s0, false)
+      if (!suspicious) (name, s0, false, window)
       else {
         System.err.println(
           f"[bench] $name suspicious (median ${s0.median}%.2fs, min ${s0.min}%.2fs, load ${s0.load}%.2f) — re-measuring")
         val s1 = try measure(fn) catch { case _: Throwable => s0 }
-        (name, if (s1.median < s0.median) s1 else s0, true)
+        (name, if (s1.median < s0.median) s1 else s0, true, window)
       }
     }
 
     def fmt(d: Double) = f"$d%.4f"
-    val qs = results.map { case (k, s, _) => "\"" + k + "\":" + fmt(s.median) }
+    val qs = results.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.median) }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, s, _) => "\"" + k + "\":" + fmt(s.load) }
+    val loads = results.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.load) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, s, _) => "\"" + k + "\":" + fmt(s.min) }
+    val mins = results.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.min) }
       .mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val reruns = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2.median).sum
+    // windowed contamination: which query windows ran between hot
+    // checkpoints (the per-window localization the run-level stamp lacks)
+    val windowFlags = contaminatedWindows(
+      checkpoints.toSeq.map(_._1), checkpoints.toSeq.map(_._2))
+    val contaminatedQueries = results.collect {
+      case (k, _, _, w) if windowFlags.lift(w).getOrElse(false) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val cpCpu = checkpoints.map(c => fmt(c._1)).mkString("[", ",", "]")
+    val cpBw = checkpoints.map(c => fmt(c._2)).mkString("[", ",", "]")
+    if (windowFlags.exists(identity))
+      System.err.println(
+        s"[bench] windowed contamination: ${windowFlags.count(identity)}/${windowFlags.length} " +
+          "windows bracketed by hot micro-checkpoints — see contaminated_queries")
     val canaryAfter = canary()
     val bwCanaryAfter = bwCanary()
     val canarySec = math.max(canaryBefore, canaryAfter)
@@ -229,7 +330,7 @@ object Bench {
         f"[bench] CONTAMINATED: canary ${canarySec}%.3fs (floor ${CanaryFloorSec}%.3fs), " +
           f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
           f"(cap ${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")

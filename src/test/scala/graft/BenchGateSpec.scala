@@ -41,6 +41,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.isContaminated(1.96, floorSec = Bench.BandwidthCanaryFloorSec))
   }
 
+  test("windowed canary rule: a hot checkpoint taints exactly its adjacent windows") {
+    val f = Bench.MicroCanaryFloorSec
+    val bwF = Bench.MicroBandwidthCanaryFloorSec
+    val clean = f; val hot = 3 * f + 0.01
+    val bwClean = bwF
+    // 4 checkpoints bracket 3 windows; checkpoint 1 hot ⇒ windows 0 and 1
+    // (the windows it brackets) flagged, window 2 stays clean evidence
+    assert(Bench.contaminatedWindows(
+      Seq(clean, hot, clean, clean), Seq.fill(4)(bwClean)) ==
+      Seq(true, true, false))
+    // the bw canary flags through the same rule independently of cpu
+    assert(Bench.contaminatedWindows(
+      Seq.fill(4)(clean), Seq(bwClean, bwClean, 3 * bwF + 0.01, bwClean)) ==
+      Seq(false, true, true))
+    // all clean ⇒ no windows flagged; exactly 3x stays clean (the
+    // isContaminated boundary)
+    assert(Bench.contaminatedWindows(
+      Seq(clean, 3 * f, clean), Seq.fill(3)(bwClean)) == Seq(false, false))
+    // fewer than two checkpoints bracket no windows
+    assert(Bench.contaminatedWindows(Seq(hot), Seq(bwClean)).isEmpty)
+    assert(Bench.contaminatedWindows(Nil, Nil).isEmpty)
+    // a failed checkpoint sample (-1) or broken floor never flags
+    assert(Bench.contaminatedWindows(
+      Seq(-1.0, clean, -1.0), Seq.fill(3)(bwClean)) == Seq(false, false))
+    assert(Bench.contaminatedWindows(
+      Seq(hot, hot), Seq(bwClean, bwClean), cpuFloor = 0.0) == Seq(false))
+  }
+
   test("scaling slope: exact powers recover their exponent") {
     val sfs = Seq(0.001, 0.01, 0.1).map(math.log)
     def times(exp: Double) = Seq(0.001, 0.01, 0.1).map(sf => math.log(math.pow(sf, exp)))
