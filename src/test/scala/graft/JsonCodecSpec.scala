@@ -137,4 +137,68 @@ class JsonCodecSpec extends AnyFunSuite {
       assert(store.fetch("absent", ts("2025-01-01 00:00:00"), ts("2025-01-02 00:00:00")).isEmpty)
     } finally q.stop()
   }
+
+  test("parquet window store: storage-backed fetch matches the heap store live, prunes buckets, survives compaction") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = StreamOps.tumblingCount(in.toDF().toDF("key", "eventTime"), "1 minute")
+    // the SAME changelog feeds both implementations: the heap store is
+    // the reference double, the parquet store is the 100 TB path under test
+    val heap = new Sinks.WindowCountStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-window").toString + "/store"
+    val pq = new Sinks.ParquetWindowStore(spark, dir, numBuckets = 8)
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pinned = batch.persist()
+        heap.upsert(pinned)
+        pq.upsert(pinned, id)
+        pinned.unpersist()
+        ()
+      }
+      .start()
+    def agree(key: String, from: String, to: String): Unit = {
+      val a = heap.fetch(key, ts(from), ts(to)).map { case (w, c) => (w.toString, c) }
+      val b = pq.fetch(key, ts(from), ts(to)).map { case (w, c) => (w.toString, c) }
+      assert(a == b, s"stores disagree for $key: heap=$a parquet=$b")
+    }
+    try {
+      in.addData(("107", ts("2025-01-01 10:00:05")), ("107", ts("2025-01-01 10:00:25")),
+        ("42", ts("2025-01-01 10:00:40")))
+      q.processAllAvailable()
+      // concurrent reader while the query is live, both keys
+      agree("107", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      agree("42", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      assert(pq.fetch("107", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+        .map(_._2) == Seq(2L))
+      // a later batch UPSERTS window 10:00 (2 → 3) and adds 10:01 — the
+      // last-write-wins resolution must surface the new counts, not both
+      in.addData(("107", ts("2025-01-01 10:00:45")), ("107", ts("2025-01-01 10:01:15")))
+      q.processAllAvailable()
+      agree("107", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      assert(pq.fetch("107", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+        .map(_._2) == Seq(3L, 1L))
+      // range narrowing + absent keys behave like the reference double
+      agree("107", "2025-01-01 10:01:00", "2025-01-01 10:05:00")
+      agree("absent", "2025-01-01 00:00:00", "2025-01-02 00:00:00")
+      // scale pin: the literal key's bucket reaches the scan as a
+      // PartitionFilter (1/numBuckets of files planned), never a
+      // post-scan filter
+      val plan = pq.fetchPlan("107", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"bucket not partition-pruned:\n$plan")
+      // compaction folds the append log without changing any answer
+      pq.compact()
+      agree("107", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      agree("42", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      // and appends after compaction still land over compacted state
+      // (in-watermark: the stream's watermark sits at 10:01:15 grace-0,
+      // so a 10:00 event would be legitimately dropped as late)
+      in.addData(("42", ts("2025-01-01 10:02:10")))
+      q.processAllAvailable()
+      agree("42", "2025-01-01 09:58:00", "2025-01-01 10:03:00")
+      assert(pq.fetch("42", ts("2025-01-01 09:58:00"), ts("2025-01-01 10:03:00"))
+        .map(_._2) == Seq(1L, 1L))
+    } finally q.stop()
+  }
 }
