@@ -87,7 +87,19 @@ object ScalingCurve {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val sfs = Seq(0.001, 0.01, 0.1)
-    val dirs = sfs.map(sf => sf -> s"$base/sf$sf")
+    // the FOURTH decade: a synthesized sf1-equivalent ([[SynthScale]] —
+    // ×10 replicas of sf0.1 with honest cardinality scaling), picked up
+    // automatically when present. Two decades top out at ~600k rows,
+    // inside memory-cache scale; the fourth point is where pair
+    // explosions and accidental O(n²) windows that hide behind cache
+    // warmth first become measurable.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "synthdata/sf1")
+    val sf1Present = new java.io.File(s"$sf1Dir/documents.parquet").exists()
+    val dirs = sfs.map(sf => sf -> s"$base/sf$sf") ++
+      (if (sf1Present) Seq(1.0 -> sf1Dir) else Nil)
+    if (!sf1Present)
+      System.err.println(s"[scaling] no sf1 synth corpus at $sf1Dir — " +
+        "3-point fit (run graft.SynthScale to add the fourth decade)")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ambient = loadavg1()
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -133,7 +145,10 @@ object ScalingCurve {
         val lx = ts.map { case (sf, _) => math.log(sf) }
         val ly = ts.map { case (_, t) => math.log(t) }
         val expFit = slope(lx, ly)
-        val expBig = (ly(2) - ly(1)) / (lx(2) - lx(1))
+        // the decision value: the pairwise slope over the LARGEST decade
+        // available (sf0.1 → sf1 when the synth corpus exists)
+        val n = lx.length
+        val expBig = (ly(n - 1) - ly(n - 2)) / (lx(n - 1) - lx(n - 2))
         System.err.println(f"[scaling] $name: " +
           ts.map { case (sf, t) => f"sf$sf=$t%.3fs" }.mkString(" ") +
           f" exp_fit=$expFit%.2f exp_big=$expBig%.2f" +
@@ -160,7 +175,7 @@ object ScalingCurve {
     val flagged = rows.collect { case (n, _, _, e) if e >= FlagExponent => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
+      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"points":${dirs.length},"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
     println(json)
     val out = java.nio.file.Paths.get("SCALING.json")
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

@@ -497,20 +497,18 @@ object SparkEntry {
     // recall test in OperatorsSpec.
     // nprobe=2 (vs the operator's default 5): identical copies share every
     // probe bucket whatever nprobe is, so the planted recall stays
-    // analytic while the candidate volume stays proportional to nprobe
-    // numCentroids right-sized to the corpus per the operator's own
-    // blocking rule (C ≈ n / target-bucket-size: 4k vectors / ~64 → 64):
-    // the default 16 put ~500 vectors in every probe bucket, and the
-    // within-bucket pair join verified ~2M candidates (float arrays
-    // shuffling twice) to find the 2k planted pairs — blocking geometry,
-    // not the verify, was the cost (3.3 s → ~0.9 s at sf0.1). The planted
-    // oracle is invariant: identical copies share every probe bucket at
-    // ANY centroid count
+    // analytic while the candidate volume stays proportional to nprobe.
+    // numCentroids auto (0): the operator right-sizes C to the corpus by
+    // the linear-blocking rule (constant cluster size, C = nprobe·n/128) —
+    // the r7 hand-tuned 64 was this rule evaluated at sf0.1, and the
+    // fourth-decade scaling run showed why the rule must TRACK n: a fixed
+    // C went superlinear (exp 1.58) the decade after it was tuned. The
+    // planted oracle is invariant: identical copies share every probe
+    // bucket at ANY centroid count
     "dedup_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9,
-        numCentroids = 64, nprobe = 2)
+      Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9, nprobe = 2)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),

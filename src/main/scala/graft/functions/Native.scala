@@ -1236,6 +1236,70 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** top_centroids(ARRAY<FLOAT>) → ARRAY<INT>: the `nprobe` nearest
+    * centroid ids by cosine-against-centroid (row norm omitted — constant
+    * per row, cannot change the ranking), ties broken to the lowest id.
+    * BIT-IDENTICAL to [[graft.operators.Similarity]]'s literal-column
+    * probe ranking (property-pinned): per-centroid dot accumulated in
+    * double in sequence order ([[FloatDotProduct]]'s contract), divided
+    * by the centroid norm (0-norm → divisor 1), then sorted by the
+    * NEGATED similarity under Spark's SQL double ordering (−0.0 == 0.0,
+    * NaN greatest ⇒ NaN sims rank last, exactly like the
+    * `array_sort(struct(−sim, cid))` form).
+    *
+    * Exists because literal-per-centroid columns stop scaling: C columns
+    * of inlined dot products explode generated code size past a few
+    * dozen centroids (the fourth-decade scaling run caught
+    * [[graft.operators.Dedup.embeddingNearDup]] going superlinear on a
+    * FIXED centroid count — right-sizing C with the corpus needs
+    * hundreds of centroids, which only a matrix-in-one-expression
+    * evaluation supports). One virtual call per row, O(C·d), the bank
+    * evaluation stance of [[HashedBankLogits]]. */
+  case class TopCentroids(child: Expression, cents: Seq[Seq[Float]], nprobe: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+      "top_centroids: centroids must be non-empty and share one dimension")
+    require(nprobe > 0, "top_centroids: nprobe must be positive")
+    @transient private lazy val matrix: Array[Array[Float]] = cents.map(_.toArray).toArray
+    @transient private lazy val norms: Array[Double] =
+      matrix.map { m =>
+        val n = math.sqrt(m.map(x => x.toDouble * x).sum)
+        if (n == 0.0) 1.0 else n
+      }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val d = matrix.head.length
+      if (arr.numElements() != d) return null
+      val x = new Array[Float](d)
+      var i = 0
+      while (i < d) { x(i) = arr.getFloat(i); i += 1 }
+      val neg = new Array[Double](matrix.length)
+      var c = 0
+      while (c < matrix.length) {
+        val m = matrix(c)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += x(j).toDouble * m(j); j += 1 }
+        neg(c) = -(s / norms(c))
+        c += 1
+      }
+      // sort cids by (negated sim under SQL double ordering, cid): the
+      // primitive == test first makes −0.0 tie with 0.0 (SQL semantics)
+      // while Double.compare alone would order them
+      val ids = Array.range(0, matrix.length).map(Integer.valueOf)
+      java.util.Arrays.sort(ids, (a: Integer, b: Integer) => {
+        val sa = neg(a.intValue); val sb = neg(b.intValue)
+        val bySim = if (sa == sb) 0 else java.lang.Double.compare(sa, sb)
+        if (bySim != 0) bySim else Integer.compare(a.intValue, b.intValue)
+      })
+      val k = math.min(nprobe, ids.length)
+      new GenericArrayData(Array.tabulate(k)(i => ids(i).intValue))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared JPEG constants (ITU-T T.81 / ISO 10918-1, baseline DCT).
     * Coefficients travel in zig-zag order; `ZigzagNat(k)` is the natural
     * (row-major v·8+u) index of zig-zag position k. The cosine table is
@@ -1628,6 +1692,14 @@ object Native {
       }
     case other => throw new IllegalArgumentException(s"$what must be a bigint-array-array literal, got $other")
   }
+  private def floatSeqSeqLit(e: Expression, what: String): Seq[Seq[Float]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(a: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+      (0 until a.numElements()).map { i =>
+        val inner = a.getArray(i)
+        (0 until inner.numElements()).map(inner.getFloat)
+      }
+    case other => throw new IllegalArgumentException(s"$what must be a float-array-array literal, got $other")
+  }
   private def stringSeqLit(e: Expression, what: String): Seq[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(a: ArrayData, ArrayType(StringType, _)) =>
       (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
@@ -1670,7 +1742,9 @@ object Native {
         intLit(exprs(2), "filterMode"), boolLit(exprs(3), "stored"))),
     "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
-    "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))))
+    "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
+    "graft_top_centroids" -> (exprs => TopCentroids(exprs(0),
+      floatSeqSeqLit(exprs(1), "centroids"), intLit(exprs(2), "nprobe"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -1749,4 +1823,8 @@ object Native {
     call_function("graft_jpeg_encode_gray8_dc", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =
     call_function("graft_jpeg_decode_gray8", jpeg)
+  def topCentroids(emb: Column, cents: Seq[Seq[Float]], nprobe: Int): Column =
+    call_function("graft_top_centroids", emb,
+      org.apache.spark.sql.functions.typedLit(cents),
+      org.apache.spark.sql.functions.lit(nprobe))
 }

@@ -598,11 +598,20 @@ object Dedup {
   def embeddingNearDup(
       embeddings: DataFrame,
       minCosine: Double,
-      numCentroids: Int = 16,
+      numCentroids: Int = 0,
       nprobe: Int = 5,
       kmeansIters: Int = 3,
       maxBucketSize: Int = 4096): DataFrame = {
-    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", numCentroids, kmeansIters)
+    // numCentroids = 0 (the default) RIGHT-SIZES the blocking to the
+    // corpus: candidate volume is Σ m_c² over buckets of size
+    // m ≈ nprobe·n/C, so a FIXED C makes the pair join quadratic in n —
+    // the fourth-decade scaling run measured exactly that (exp 1.58 at
+    // sf1 under C=64). Holding the cluster SIZE constant instead
+    // (C = nprobe·n/128) keeps pair volume linear; the count is one
+    // cheap aggregate, and the cap is the training-sample contract
+    // (past it, raise sampleSize or switch to the SRP sibling).
+    val c = autoCentroids(embeddings, numCentroids, nprobe)
+    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", c, kmeansIters)
     // two ints per (vector, probe); persisted so the C-dot-product probe
     // assignment runs once, not once per self-join side. Candidate
     // generation goes through the SAME skew-guarded helper as the three
@@ -630,6 +639,25 @@ object Dedup {
       .filter(Native.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= minCosine)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** The linear-blocking rule shared by the centroid-blocked embedding
+    * dedups: hold the expected probe-bucket SIZE constant
+    * ([[TargetClusterSize]]) as the corpus grows, so the within-bucket
+    * pair volume Σ m² stays ∝ n instead of n²/C. The target (128) is
+    * calibrated against the multi-probe recall contract at LOW
+    * thresholds (finer clusters raise boundary-straddle misses — the
+    * ≥0.95-recall pin at cosine 0.3 held at ~n/100 clusters and dropped
+    * at ~n/64); it reproduces the r7 hand-tuned C=64 at sf0.1 exactly.
+    * Floor 16 (tiny corpora don't need blocking); ceiling =
+    * [[Similarity.trainCentroids]]' default sample contract (the sample
+    * must exceed C). An explicit caller value wins unchanged. */
+  private val TargetClusterSize = 128L
+  private def autoCentroids(embeddings: DataFrame, numCentroids: Int, nprobe: Int): Int =
+    if (numCentroids > 0) numCentroids
+    else {
+      val n = embeddings.count()
+      math.min(4096L, math.max(16L, nprobe * n / TargetClusterSize)).toInt
+    }
 
   /** Embedding-cosine near-dup pairs via sign-random-projection LSH
     * ([[graft.functions.Native.SrpTableKeys]]) — the TRAIN-FREE sibling of
@@ -703,10 +731,15 @@ object Dedup {
   def semanticDedup(
       embeddings: DataFrame,
       minCosine: Double,
-      numCentroids: Int = 16,
+      numCentroids: Int = 0,
       kmeansIters: Int = 3,
       maxBucketSize: Int = 4096): DataFrame = {
-    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", numCentroids, kmeansIters)
+    // 0 = auto: C = n / TargetClusterSize — the paper's own scale rule
+    // (SemDeDup §2 holds cluster size roughly constant as n grows); a
+    // fixed C makes the within-cluster pair stage quadratic in n (see
+    // [[embeddingNearDup]]'s blocking note)
+    val c = autoCentroids(embeddings, numCentroids, nprobe = 1)
+    val cents = Similarity.trainCentroids(embeddings, "vec_id", "embedding", c, kmeansIters)
     // one int pair per vector; persisted because it feeds both self-join
     // sides and the final per-vector output (release via releaseCaches)
     val keyed = embeddings.select(

@@ -174,24 +174,43 @@ object Similarity {
       Native.dotF(emb, typedLit(ct)) / lit(if (n == 0.0) 1.0 else n)
     }
 
+  /** Past this many centroids, assignment switches from per-centroid
+    * literal columns (codegen-inlined dots — fastest at small C, and the
+    * form the medoid oracles pin bit-exactly) to ONE native expression
+    * holding the whole centroid matrix ([[Native.TopCentroids]]):
+    * C inlined columns explode generated code size, and right-sizing C
+    * with the corpus (the linear-blocking rule) needs hundreds. The two
+    * paths rank BIT-IDENTICALLY (property-pinned in OperatorsSpec). */
+  private val LiteralCentroidMax = 32
+
   /** Nearest-centroid id (0-based INT) as a pure map-side expression.
     * Ties break to the lowest id (array_position returns the first match,
     * and the max value is taken from the same array, so the equality is
     * bit-exact). */
-  def nearestBucket(emb: Column, cents: Array[Array[Float]]): Column = {
-    val sims = array(centroidSims(emb, cents): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  def nearestBucket(emb: Column, cents: Array[Array[Float]]): Column =
+    if (cents.length <= LiteralCentroidMax) {
+      val sims = array(centroidSims(emb, cents): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    } else element_at(probeBucketsNative(emb, cents, 1), 1)
 
   /** The `nprobe` nearest centroid ids as an ARRAY<INT>, map-side only:
     * sort (−sim, cid) structs (struct ordering = sim desc, cid asc
     * tie-break), take the first nprobe cids. */
-  def probeBuckets(emb: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+  def probeBuckets(emb: Column, cents: Array[Array[Float]], nprobe: Int): Column =
+    if (cents.length <= LiteralCentroidMax) probeBucketsLiteral(emb, cents, nprobe)
+    else probeBucketsNative(emb, cents, nprobe)
+
+  private[graft] def probeBucketsLiteral(emb: Column, cents: Array[Array[Float]],
+      nprobe: Int): Column = {
     val entries = centroidSims(emb, cents).zipWithIndex.map { case (s, i) =>
       struct((-s).as("neg"), lit(i).as("cid"))
     }
     slice(transform(array_sort(array(entries: _*)), e => e.getField("cid")), 1, nprobe)
   }
+
+  private[graft] def probeBucketsNative(emb: Column, cents: Array[Array[Float]],
+      nprobe: Int): Column =
+    Native.topCentroids(emb, cents.toSeq.map(_.toSeq), nprobe)
 
   /** IVF ANN: k-means centroids (deterministic init + `kmeansIters` Lloyd
     * refinements), corpus assigned to its `corpusAssign` nearest buckets

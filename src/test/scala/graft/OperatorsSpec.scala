@@ -969,6 +969,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
   }
 
+  test("probeBuckets: the matrix-native path ranks bit-identically to the literal-column path") {
+    // the dispatch exists because literal-per-centroid columns stop
+    // scaling past a few dozen centroids; correctness requires the two
+    // forms be the SAME ranking, including ties and the nprobe > C cap
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 40)
+    for (np <- Seq(1, 3, 45)) { // 45 > C: both cap at C
+      val both = emb.select(
+        Similarity.probeBucketsLiteral($"embedding", cents, np).as("lit"),
+        Similarity.probeBucketsNative($"embedding", cents, np).as("nat"))
+      assert(both.filter(not($"lit" <=> $"nat")).isEmpty, s"nprobe=$np")
+    }
+    // nearestBucket's native form (C > 32 engages it) = literal argmax
+    val nb = emb.select(
+      Similarity.nearestBucket($"embedding", cents).as("nat"),
+      element_at(Similarity.probeBucketsLiteral($"embedding", cents, 1), 1).as("lit"))
+    assert(nb.filter(not($"lit" <=> $"nat")).isEmpty)
+    // a zero vector ties every centroid at sim 0 (or ±0.0 under sign
+    // cancellation): both paths must break to the lowest ids
+    val zero = Seq(Tuple1(Array.fill(cents.head.length)(0.0f))).toDF("embedding")
+    val z = zero.select(
+      Similarity.probeBucketsLiteral($"embedding", cents, 4).as("lit"),
+      Similarity.probeBucketsNative($"embedding", cents, 4).as("nat"))
+      .as[(Seq[Int], Seq[Int])].head()
+    assert(z._1 == z._2 && z._1 == Seq(0, 1, 2, 3))
+  }
+
   test("filtered ANN: scan-stage predicate keeps recall that post-filtering the shortlist loses") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
