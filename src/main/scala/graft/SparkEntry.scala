@@ -950,9 +950,13 @@ object SparkEntry {
     // bit-for-bit → exactly one hamming-0 pair per doc (dedup_image's
     // analytic pair set, now behind a real entropy-coded decode)
     "dedup_image_jpeg" -> ((s, d) => {
+      // base is persisted: the 72-md5 plant + encode feeds BOTH union
+      // branches (copies re-key the same blobs), and recomputing it
+      // doubled the query's dominant cost
       val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.jpegEncodeGray8Dc(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
+        .transform(Caches.persisted)
       val copies = base.select((col("id") + 100000L).as("id"), col("jpeg"))
       Multimodal.imageNearDupJpeg(base.union(copies), 72, 64, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
@@ -1312,10 +1316,18 @@ object SparkEntry {
       val copies = exact.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text"))
-      val ndIn = exact.unionByName(copies).transform(Caches.persisted)
+      // localCheckpoint, not persist: a persist substitutes the CACHE at
+      // physical planning but every downstream ACTION still re-analyzes
+      // the full 6-stage logical tree — and the ND tier multiplies
+      // actions (pair-stage df computation, the CC driver collect and
+      // its iterations, decontaminate, split, pack), which turned ~3 s
+      // of execution into ~25 s of repeated Catalyst optimization.
+      // Truncating lineage here (the connectedComponents stance) cut the
+      // measured post-checkpoint stages 10× at sf0.1.
+      val ndIn = exact.unionByName(copies).localCheckpoint()
       val ndKeep = Dedup.dedupComponents(ndIn, n = 3, threshold = 0.5)
         .filter(col("is_keeper") === 1).select("doc_id")
-      val nd = ndIn.join(ndKeep, Seq("doc_id")).transform(Caches.persisted)
+      val nd = ndIn.join(ndKeep, Seq("doc_id")).localCheckpoint()
       val contaminated = Pipeline.decontaminate(nd, n = 3).select("doc_id")
       val train = nd
         .join(Pipeline.hashSplit(nd).filter(col("split") === "train")

@@ -1613,6 +1613,7 @@ object Native {
         val mag = receive(t); if (mag < 0) return null
         pred += Jpeg.extend(mag, t)
         coef(0) = pred * qz(0)
+        var acSeen = false
         var k = 1
         while (k < 64) {
           val rs = huffDecode(acTab)
@@ -1625,41 +1626,65 @@ object Native {
             if (k > 63) return null
             val m2 = receive(s); if (m2 < 0) return null
             coef(Jpeg.ZigzagNat(k)) = Jpeg.extend(m2, s) * qz(k)
+            acSeen = true
             k += 1
           }
         }
-        // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
-        var v = 0
-        while (v < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
-            tmp(v)(x) = acc
-            x += 1
-          }
-          v += 1
-        }
         val blockY = mcu / bxN; val blockX = mcu % bxN
-        var yy = 0
-        while (yy < 8) {
-          val y = blockY * 8 + yy
-          if (y < h) {
-            var xx = 0
-            while (xx < 8) {
-              val x = blockX * 8 + xx
-              if (x < w) {
-                var acc = 0.0
-                var v2 = 0
-                while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
-                val px = math.round(acc + 128.0).toInt
-                out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        if (!acSeen) {
+          // DC-only block (flat region — and every block of the aligned
+          // fixture encoder): the IDCT collapses to one constant,
+          // computed with the EXACT multiplication order of the general
+          // path below (ct₀·(ct₀·D)) so the fast path is bit-identical
+          val c00 = Jpeg.Cos(0)(0)
+          val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
+          val b = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
+          var yy = 0
+          while (yy < 8) {
+            val y = blockY * 8 + yy
+            if (y < h) {
+              var xx = 0
+              while (xx < 8) {
+                val x = blockX * 8 + xx
+                if (x < w) out(y * w + x) = b
+                xx += 1
               }
-              xx += 1
             }
+            yy += 1
           }
-          yy += 1
+        } else {
+          // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
+              tmp(v)(x) = acc
+              x += 1
+            }
+            v += 1
+          }
+          var yy = 0
+          while (yy < 8) {
+            val y = blockY * 8 + yy
+            if (y < h) {
+              var xx = 0
+              while (xx < 8) {
+                val x = blockX * 8 + xx
+                if (x < w) {
+                  var acc = 0.0
+                  var v2 = 0
+                  while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
+                  val px = math.round(acc + 128.0).toInt
+                  out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
         }
         mcu += 1
       }
