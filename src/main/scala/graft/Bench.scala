@@ -249,7 +249,18 @@ object Bench {
           q(spark).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      (t(microCanaryQuery), t(microBandwidthCanaryQuery))
+      // MIN of two back-to-back samples per canary: a checkpoint fires
+      // right after a real query, so a single sample can absorb that
+      // query's trailing GC pause and read as contention (observed: one
+      // 0.39 s cpu sample mid-run flagged 30 queries on an idle box
+      // while every neighboring checkpoint sat at ~0.08 s). Sustained
+      // external load inflates BOTH samples; a one-off pause inflates
+      // one — min keeps the floor semantics and filters the pause.
+      def min2(q: SparkSession => org.apache.spark.sql.DataFrame): Double = {
+        val a = t(q); val b = t(q)
+        if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      }
+      (min2(microCanaryQuery), min2(microBandwidthCanaryQuery))
     }
     val checkpoints = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // the micro plans are NOT in the warm-up pass above (they are not
