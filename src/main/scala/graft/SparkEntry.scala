@@ -298,6 +298,17 @@ object SparkEntry {
         repeat(hex2(jpegBlockVal(docId, "j", r * 9 + c)), 8)): _*), 8)
     }: _*))
 
+  /** [[plantedJpegBitmap]]'s 4:2:2 color sibling: 144×64 luma whose 16×8
+    * MCU tiles are CONSTANT at [[jpegBlockVal]](r·9+c) — per-MCU-constant
+    * (the [[graft.operators.Multimodal.jpegEncodeYccDc]] fixture
+    * contract) and one dHash cell per tile at dHash(144, 64), so the same
+    * identity/~iid cross-pair analytics hold over real COLOR JPEG bytes. */
+  private def plantedJpegColorBitmap(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat((0 until 8).map { r =>
+      repeat(concat((0 until 9).map(c =>
+        repeat(hex2(jpegBlockVal(docId, "jc", r * 9 + c)), 16)): _*), 8)
+    }: _*))
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -961,6 +972,73 @@ object SparkEntry {
       Multimodal.imageNearDupJpeg(base.union(copies), 72, 64, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // multimodal_decode_jpeg's COLOR sibling: a real 3-component YCbCr
+    // 4:2:0 baseline JPEG (24×20 luma over a 2×2 grid of 16×16-constant
+    // MCU tiles, chroma planes pinned at 32/224 so the scan carries REAL
+    // nonzero chroma DCs the decoder must entropy-skip) — px_hex via the
+    // full color Huffman walk + luma IDCT, blob_px_hex via EXTEND⁻¹ of
+    // the luma DC magnitude bytes at the fixed offsets 174 + 14·MCU
+    // (173-byte 3-component header; two-code DC table + one-code AC
+    // table byte-align every block to a 2-byte cell, stride = 4 luma
+    // cells + Cb + Cr + RSTₙ = 14)
+    "multimodal_decode_jpeg_color" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "mc", i)
+      val bitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 16), repeat(hex2(vv(1)), 8)), 16),
+        repeat(concat(repeat(hex2(vv(2)), 16), repeat(hex2(vv(3)), 8)), 4)))
+      def blobPx(i: Int) = {
+        val mag = conv(hex(col("jpeg").substr(lit(174 + 14 * i), lit(1))), 16, 10).cast("int")
+        when(mag < 64, mag - 127).otherwise(mag) + 128 // EXTEND⁻¹ + level shift
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.jpegEncodeYccDc(bitmap, lit(24), 2, 2, cb = 32, cr = 224).as("jpeg"))
+        .select(
+          col("doc_id"),
+          upper(hex(Multimodal.jpegDecodeLuma(col("jpeg")))).as("px_hex"),
+          upper(concat(
+            repeat(concat(repeat(hex2(blobPx(0)), 16), repeat(hex2(blobPx(1)), 8)), 16),
+            repeat(concat(repeat(hex2(blobPx(2)), 16), repeat(hex2(blobPx(3)), 8)), 4)))
+            .as("blob_px_hex"))
+    }),
+    // image near-dup on REAL COLOR JPEG bytes end-to-end (luma decode →
+    // dHash → Hamming-LSH): 144×64 luma at 4:2:2, one dHash cell per
+    // constant 16×8 MCU tile (the dedup_image_jpeg identity argument on
+    // 3-component subsampled payloads); re-keyed copies share blobs
+    // bit-for-bit → exactly one hamming-0 pair per doc
+    "dedup_image_jpeg_color" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.jpegEncodeYccDc(
+            plantedJpegColorBitmap(col("doc_id")), lit(144), 2, 1).as("jpeg"))
+        .transform(Caches.persisted)
+      val copies = base.select((col("id") + 100000L).as("id"), col("jpeg"))
+      Multimodal.imageNearDupJpeg(base.union(copies), 144, 64, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+
+    // REAL PCM sample decode + audio-quality gate on planted 16-bit WAVs:
+    // four md5-derived int16 samples (u16 from the first 4 md5 hex chars,
+    // two's-complement) each repeated 16× → 64 mono samples behind a
+    // canonical 44-byte header; every stat is an exact integer DuckDB
+    // recomputes in closed form, and `passes` is the integer-arithmetic
+    // gate verdict (≤1% clipped, ≤90% silent, RMS ≥ 100)
+    "multimodal_wav_pcm" -> ((s, d) => {
+      def u(i: Int) = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-w$i")).cast("binary")), 1, 4), 16, 10).cast("int")
+      def leHex(uu: org.apache.spark.sql.Column) = concat(
+        lpad(conv(uu.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(uu, 8).cast("string"), 10, 16), 2, "0"))
+      val data = unhex(concat((0 until 4).map(i => repeat(leHex(u(i)), 16)): _*))
+      val clips = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(Multimodal.wavHeader(lit(1L), lit(8000L), lit(16L), lit(128L)),
+            data).as("wav"))
+      Multimodal.audioQualityGate(clips)
+        .select(col("doc_id"), col("n_samples"), col("peak_abs"),
+          col("sum_abs"), col("sum_sq"), col("n_clipped"), col("n_silent"),
+          col("passes").cast("bigint").as("passes"))
+    }),
 
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -1601,6 +1679,61 @@ object SparkEntry {
     "dedup_image_jpeg" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // the color sibling: v(i) from md5("<doc_id>-mc<i>") folded into DC
+    // category 7, laid out 24×20 over a 2×2 grid of 16×16 MCU tiles —
+    // both columns are the same analytic luma plane (the Spark side
+    // computes px_hex through the real 3-component Huffman+IDCT decode
+    // and blob_px_hex by slicing luma DC bytes out of the blob at the
+    // byte-aligned offsets, so equality here proves BOTH paths)
+    "multimodal_decode_jpeg_color" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mc' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mc' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mc' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id,
+           repeat(repeat(hh[1], 16) || repeat(hh[2], 8), 16) ||
+             repeat(repeat(hh[3], 16) || repeat(hh[4], 8), 4) AS px_hex,
+           repeat(repeat(hh[1], 16) || repeat(hh[2], 8), 16) ||
+             repeat(repeat(hh[3], 16) || repeat(hh[4], 8), 4) AS blob_px_hex
+         FROM hx""",
+    // same pair-set argument as dedup_image_jpeg on COLOR payloads:
+    // bit-exact luma round-trip ⇒ copies pair at hamming 0; ~iid-coin
+    // cross pairs never land within hamming 2
+    "dedup_image_jpeg_color" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // the audio edition of the aligned-layout codec oracle: PCM has no
+    // entropy coding, so the planted samples are recomputable in closed
+    // form — u16 from md5("<doc_id>-w<i>") hex, two's-complement to
+    // int16, each value covering 16 of the 64 samples; stats are exact
+    // integers and the gate verdict is pure integer arithmetic
+    "multimodal_wav_pcm" ->
+      """WITH u AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-w' || CAST(i AS VARCHAR)), 1, 4))::INT
+              for i in range(0, 4)] AS uu
+           FROM documents),
+           s AS (SELECT doc_id,
+             list_transform(uu, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS ss
+           FROM u),
+           agg AS (SELECT doc_id,
+             CAST(64 AS BIGINT) AS n_samples,
+             CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS peak_abs,
+             CAST(16 * list_sum(list_transform(ss, x -> abs(x))) AS BIGINT) AS sum_abs,
+             CAST(16 * list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS sum_sq,
+             CAST(16 * len(list_filter(ss, x -> x = 32767 OR x = -32768)) AS BIGINT) AS n_clipped,
+             CAST(16 * len(list_filter(ss, x -> abs(x) < 328)) AS BIGINT) AS n_silent
+           FROM s)
+         SELECT doc_id, n_samples, peak_abs, sum_abs, sum_sq, n_clipped, n_silent,
+           CAST(CASE WHEN n_clipped * 100 <= n_samples * 1
+                      AND n_silent * 1000 <= n_samples * 900
+                      AND sum_sq >= n_samples * 10000
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes
+         FROM agg""",
     // doc-unique token prefixes ⇒ only each doc's replant shares content:
     // exactly one hamming-0 pair per document
     "dedup_simhash" ->

@@ -1348,6 +1348,317 @@ object Native {
       }
       def value(len: Int, code: Int): Int = vals(valptr(len) + code - mincode(len))
     }
+
+    /** Shared baseline-sequential decode core behind [[JpegGray8Decode]]
+      * (`allowColor = false`, the historical single-component contract,
+      * bit-identical to its pre-refactor behavior) and [[JpegLumaDecode]]
+      * (`allowColor = true`, which additionally accepts 3-component YCbCr
+      * SOF0 with sampling factors in {1,2} — 4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+      * in one interleaved scan). Returns the LUMA plane only: component 0
+      * must carry the max sampling factors (true of every camera/encoder
+      * output), so its plane is full-resolution w×h; chroma blocks are
+      * entropy-DECODED (the bits must be consumed to stay in sync) but
+      * never dequantized, never IDCT'd, and never stored — for 4:2:0 that
+      * skips 1/3 of the Huffman work's IDCTs and all chroma upsampling,
+      * the right cost shape when the consumer is a grayscale perceptual
+      * hash. Null, never an error, on anything out of contract. */
+    def decodeLumaPlane(b: Array[Byte], allowColor: Boolean): Array[Byte] = {
+      val n = b.length
+      if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
+      // ---- segment walk up to SOS ----
+      val quantZ = Array.ofDim[Int](4, 64) // zig-zag order, per table id
+      val quantSeen = new Array[Boolean](4)
+      val dcTabs = new Array[Jpeg.HuffTab](4)
+      val acTabs = new Array[Jpeg.HuffTab](4)
+      var w = 0; var h = 0; var ri = 0
+      var sofSeen = false
+      var nComp = 0
+      val compId = new Array[Int](3)
+      val compH = new Array[Int](3); val compV = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      val scanTd = new Array[Int](3); val scanTa = new Array[Int](3)
+      var p = 2
+      var inScan = false
+      while (!inScan) {
+        if (p + 4 > n || (b(p) & 0xff) != 0xFF) return null
+        var mk = b(p + 1) & 0xff
+        while (mk == 0xFF) { p += 1; if (p + 2 > n) return null; mk = b(p + 1) & 0xff }
+        p += 2
+        if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
+          return null // SOI again, EOI/RST/TEM before any scan: corrupt
+        if (p + 2 > n) return null
+        val len = Jpeg.u16(b, p)
+        if (len < 2 || p + len > n) return null
+        mk match {
+          case 0xDB => // DQT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              if (q + 65 > p + len) return null
+              val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
+              if (pq != 0) return null // 16-bit tables: out of baseline contract
+              var k = 0
+              while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+              quantSeen(tq) = true
+              q += 65
+            }
+          case 0xC4 => // DHT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              if (q + 17 > p + len) return null
+              val tc = (b(q) & 0xff) >> 4; val th = b(q) & 0x0f
+              if (tc > 1 || th > 3) return null
+              val bits = new Array[Int](16)
+              var total = 0
+              var l = 0
+              while (l < 16) { bits(l) = b(q + 1 + l) & 0xff; total += bits(l); l += 1 }
+              if (total == 0 || total > 256 || q + 17 + total > p + len) return null
+              val vals = new Array[Int](total)
+              var v = 0
+              while (v < total) { vals(v) = b(q + 17 + v) & 0xff; v += 1 }
+              val tab = new Jpeg.HuffTab(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              q += 17 + total
+            }
+          case 0xC0 => // SOF0, baseline sequential
+            if (sofSeen || len < 9) return null // Nf byte must sit inside the segment
+            if ((b(p + 2) & 0xff) != 8) return null // precision
+            h = Jpeg.u16(b, p + 3); w = Jpeg.u16(b, p + 5)
+            nComp = b(p + 7) & 0xff
+            if (nComp != 1 && !(allowColor && nComp == 3)) return null
+            if (len != 8 + 3 * nComp) return null
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(p + 8 + 3 * c) & 0xff
+              val hv = b(p + 9 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = b(p + 10 + 3 * c) & 0x0f
+              if (compQ(c) > 3) return null
+              c += 1
+            }
+            if (nComp == 1) {
+              if (compH(0) != 1 || compV(0) != 1) return null // 1×1 sampling
+            } else {
+              // factors limited to {1,2}; luma must carry the max in both
+              // axes so its plane is full-resolution (4:1:1 etc. rejected)
+              var c2 = 0
+              while (c2 < 3) {
+                if (compH(c2) < 1 || compH(c2) > 2 ||
+                    compV(c2) < 1 || compV(c2) > 2) return null
+                if (compH(c2) > compH(0) || compV(c2) > compV(0)) return null
+                c2 += 1
+              }
+            }
+            if (w <= 0 || h <= 0 || w.toLong * h > Jpeg.MaxPixels) return null
+            sofSeen = true
+          case m2 if (m2 >= 0xC1 && m2 <= 0xCF) && m2 != 0xC4 && m2 != 0xC8 =>
+            return null // progressive/extended/lossless/arithmetic: out of contract
+          case 0xDD => // DRI
+            if (len != 4) return null
+            ri = Jpeg.u16(b, p + 2)
+          case 0xDA => // SOS: one interleaved scan of ALL components, in
+            // SOF order (what every baseline encoder writes; multi-scan
+            // non-interleaved baseline is out of contract)
+            if (!sofSeen || len != 6 + 2 * nComp) return null
+            if ((b(p + 2) & 0xff) != nComp) return null
+            var c = 0
+            while (c < nComp) {
+              if ((b(p + 3 + 2 * c) & 0xff) != compId(c)) return null
+              scanTd(c) = (b(p + 4 + 2 * c) & 0xff) >> 4
+              scanTa(c) = b(p + 4 + 2 * c) & 0x0f
+              if (scanTd(c) > 3 || scanTa(c) > 3) return null
+              c += 1
+            }
+            // Ss=0, Se=63, Ah=Al=0 — the baseline spectral window
+            if ((b(p + 3 + 2 * nComp) & 0xff) != 0 ||
+                (b(p + 4 + 2 * nComp) & 0xff) != 63 ||
+                (b(p + 5 + 2 * nComp) & 0xff) != 0) return null
+            inScan = true
+          case _ => () // APPn / COM / DNL-free others: skip
+        }
+        p += len
+      }
+      if (!quantSeen(compQ(0))) return null // chroma quant never read
+      var ci = 0
+      while (ci < nComp) {
+        if (dcTabs(scanTd(ci)) == null || acTabs(scanTa(ci)) == null) return null
+        ci += 1
+      }
+      val qz = quantZ(compQ(0))
+      // ---- entropy-coded scan ----
+      val hMax = compH(0); val vMax = compV(0)
+      val mcuxN = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcuyN = (h + 8 * vMax - 1) / (8 * vMax)
+      val out = new Array[Byte](w * h)
+      var pos = p
+      var bitBuf = 0; var bitCnt = 0
+      // readBit: −1 signals corrupt/truncated (checked by callers)
+      def readBit(): Int = {
+        if (bitCnt == 0) {
+          if (pos >= n) return -1
+          val by = b(pos) & 0xff; pos += 1
+          if (by == 0xFF) {
+            if (pos >= n || (b(pos) & 0xff) != 0x00) return -1 // marker mid-entropy
+            pos += 1 // stuffed zero
+          }
+          bitBuf = by; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(t: Int): Int = {
+        var v = 0; var i = 0
+        while (i < t) {
+          val bit = readBit(); if (bit < 0) return -1
+          v = (v << 1) | bit
+          i += 1
+        }
+        v
+      }
+      def huffDecode(tab: Jpeg.HuffTab): Int = {
+        var l = 1
+        var code = readBit(); if (code < 0) return -1
+        while (code > tab.maxcode(l)) {
+          l += 1
+          if (l > 16) return -1
+          val bit = readBit(); if (bit < 0) return -1
+          code = (code << 1) | bit
+        }
+        tab.value(l, code)
+      }
+      val coef = new Array[Int](64) // natural order, dequantized
+      val tmp = Array.ofDim[Double](8, 8)
+      // only the luma predictor is materialized: chroma DIFFS decode
+      // without their running value, and the values are never used
+      var predY = 0
+      var mcu = 0
+      val nMcu = mcuxN * mcuyN
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // byte-align, then the next interval's RSTₙ must appear in order
+          bitCnt = 0
+          if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
+          if ((b(pos + 1) & 0xff) != 0xD0 + ((mcu / ri - 1) & 7)) return null
+          pos += 2
+          predY = 0
+        }
+        var c = 0
+        while (c < nComp) {
+          val dcTab = dcTabs(scanTd(c)); val acTab = acTabs(scanTa(c))
+          var bv = 0
+          while (bv < compV(c)) {
+            var bh = 0
+            while (bh < compH(c)) {
+              if (c > 0) {
+                // chroma: consume the symbols, store nothing
+                val t = huffDecode(dcTab)
+                if (t < 0 || t > 15) return null
+                if (receive(t) < 0) return null
+                var k = 1
+                while (k < 64) {
+                  val rs = huffDecode(acTab)
+                  if (rs < 0) return null
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                  } else {
+                    k += r
+                    if (k > 63) return null
+                    if (receive(s) < 0) return null
+                    k += 1
+                  }
+                }
+              } else {
+                java.util.Arrays.fill(coef, 0)
+                val t = huffDecode(dcTab)
+                if (t < 0 || t > 15) return null
+                val mag = receive(t); if (mag < 0) return null
+                predY += Jpeg.extend(mag, t)
+                coef(0) = predY * qz(0)
+                var acSeen = false
+                var k = 1
+                while (k < 64) {
+                  val rs = huffDecode(acTab)
+                  if (rs < 0) return null
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                  } else {
+                    k += r
+                    if (k > 63) return null
+                    val m2 = receive(s); if (m2 < 0) return null
+                    coef(Jpeg.ZigzagNat(k)) = Jpeg.extend(m2, s) * qz(k)
+                    acSeen = true
+                    k += 1
+                  }
+                }
+                val blockY = mcu / mcuxN * vMax + bv
+                val blockX = mcu % mcuxN * hMax + bh
+                if (!acSeen) {
+                  // DC-only block (flat region — and every block of the aligned
+                  // fixture encoders): the IDCT collapses to one constant,
+                  // computed with the EXACT multiplication order of the general
+                  // path below (ct₀·(ct₀·D)) so the fast path is bit-identical
+                  val c00 = Jpeg.Cos(0)(0)
+                  val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
+                  val pb = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
+                  var yy = 0
+                  while (yy < 8) {
+                    val y = blockY * 8 + yy
+                    if (y < h) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val x = blockX * 8 + xx
+                        if (x < w) out(y * w + x) = pb
+                        xx += 1
+                      }
+                    }
+                    yy += 1
+                  }
+                } else {
+                  // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
+                  var v = 0
+                  while (v < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      var acc = 0.0
+                      var u = 0
+                      while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
+                      tmp(v)(x) = acc
+                      x += 1
+                    }
+                    v += 1
+                  }
+                  var yy = 0
+                  while (yy < 8) {
+                    val y = blockY * 8 + yy
+                    if (y < h) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val x = blockX * 8 + xx
+                        if (x < w) {
+                          var acc = 0.0
+                          var v2 = 0
+                          while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
+                          val px = math.round(acc + 128.0).toInt
+                          out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                        }
+                        xx += 1
+                      }
+                    }
+                    yy += 1
+                  }
+                }
+              }
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      out
+    }
   }
 
   /** jpeg_encode_gray8_dc(BINARY pixels, width) → BINARY: a REAL,
@@ -1470,225 +1781,240 @@ object Native {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
-      try decode(input.asInstanceOf[Array[Byte]]) catch { case _: Throwable => null }
-    private def decode(b: Array[Byte]): Array[Byte] = {
-      val n = b.length
-      if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
-      // ---- segment walk up to SOS ----
-      val quantZ = Array.ofDim[Int](4, 64) // zig-zag order, per table id
-      val quantSeen = new Array[Boolean](4)
-      val dcTabs = new Array[Jpeg.HuffTab](4)
-      val acTabs = new Array[Jpeg.HuffTab](4)
-      var w = 0; var h = 0; var sofQ = -1; var ri = 0
-      var sofSeen = false
-      var scanTd = -1; var scanTa = -1
-      var p = 2
-      var inScan = false
-      while (!inScan) {
-        if (p + 4 > n || (b(p) & 0xff) != 0xFF) return null
-        var mk = b(p + 1) & 0xff
-        while (mk == 0xFF) { p += 1; if (p + 2 > n) return null; mk = b(p + 1) & 0xff }
-        p += 2
-        if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
-          return null // SOI again, EOI/RST/TEM before any scan: corrupt
-        if (p + 2 > n) return null
-        val len = Jpeg.u16(b, p)
-        if (len < 2 || p + len > n) return null
-        mk match {
-          case 0xDB => // DQT: one or more tables
-            var q = p + 2
-            while (q < p + len) {
-              if (q + 65 > p + len) return null
-              val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
-              if (pq != 0) return null // 16-bit tables: out of baseline contract
-              var k = 0
-              while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
-              quantSeen(tq) = true
-              q += 65
-            }
-          case 0xC4 => // DHT: one or more tables
-            var q = p + 2
-            while (q < p + len) {
-              if (q + 17 > p + len) return null
-              val tc = (b(q) & 0xff) >> 4; val th = b(q) & 0x0f
-              if (tc > 1 || th > 3) return null
-              val bits = new Array[Int](16)
-              var total = 0
-              var l = 0
-              while (l < 16) { bits(l) = b(q + 1 + l) & 0xff; total += bits(l); l += 1 }
-              if (total == 0 || total > 256 || q + 17 + total > p + len) return null
-              val vals = new Array[Int](total)
-              var v = 0
-              while (v < total) { vals(v) = b(q + 17 + v) & 0xff; v += 1 }
-              val tab = new Jpeg.HuffTab(bits, vals)
-              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
-              q += 17 + total
-            }
-          case 0xC0 => // SOF0, baseline sequential
-            if (sofSeen || len != 11) return null
-            if ((b(p + 2) & 0xff) != 8) return null // precision
-            h = Jpeg.u16(b, p + 3); w = Jpeg.u16(b, p + 5)
-            if ((b(p + 7) & 0xff) != 1) return null // single component only
-            if ((b(p + 9) & 0xff) != 0x11) return null // 1×1 sampling
-            sofQ = b(p + 10) & 0x0f
-            if (w <= 0 || h <= 0 || w.toLong * h > Jpeg.MaxPixels || sofQ > 3) return null
-            sofSeen = true
-          case m2 if (m2 >= 0xC1 && m2 <= 0xCF) && m2 != 0xC4 && m2 != 0xC8 =>
-            return null // progressive/extended/lossless/arithmetic: out of contract
-          case 0xDD => // DRI
-            if (len != 4) return null
-            ri = Jpeg.u16(b, p + 2)
-          case 0xDA => // SOS
-            if (!sofSeen || len != 8) return null
-            if ((b(p + 2) & 0xff) != 1) return null // Ns = 1
-            scanTd = (b(p + 4) & 0xff) >> 4; scanTa = b(p + 4) & 0x0f
-            // Ss=0, Se=63, Ah=Al=0 — the baseline spectral window
-            if ((b(p + 5) & 0xff) != 0 || (b(p + 6) & 0xff) != 63 ||
-                (b(p + 7) & 0xff) != 0) return null
-            inScan = true
-          case _ => () // APPn / COM / DNL-free others: skip
-        }
-        p += len
+      try Jpeg.decodeLumaPlane(input.asInstanceOf[Array[Byte]], allowColor = false)
+      catch { case _: Throwable => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** jpeg_decode_luma(BINARY) → BINARY: [[JpegGray8Decode]] widened to the
+    * format real crawls actually carry — 3-component YCbCr baseline SOF0
+    * (4:4:4, 4:2:2, 4:4:0, 4:2:0 — every sampling a mainstream encoder
+    * writes) in one interleaved scan — returning the full-resolution LUMA
+    * plane as a w×h row-major gray8 bitmap ([[DHash64]]'s exact input).
+    * Single-component files decode identically to [[JpegGray8Decode]]
+    * (shared core), so this is a strict superset and the one decode an
+    * image-dedup pipeline needs: perceptual hashes are luminance
+    * functions, so chroma blocks are entropy-decoded only to keep the bit
+    * stream in sync — no chroma dequant, no chroma IDCT, no upsampling,
+    * which for 4:2:0 skips a third of the per-MCU IDCT work and ALL the
+    * chroma interpolation a full RGB decode would pay. Null, never an
+    * error, on anything out of contract (progressive SOFs, sampling
+    * factors outside {1,2}, luma not carrying the max factors,
+    * non-interleaved multi-scan files, 16-bit quant tables, truncated
+    * entropy data, bomb-guard dims — see the core's scaladoc). Scale
+    * shape: map-side, one pass per row, no shuffle. */
+  case class JpegLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try Jpeg.decodeLumaPlane(input.asInstanceOf[Array[Byte]], allowColor = true)
+      catch { case _: Throwable => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** jpeg_encode_ycc_dc(BINARY luma, width; hSamp, vSamp, cb, cr) →
+    * BINARY: the COLOR edition of [[JpegGray8Encode]] — a real, complete
+    * 3-component YCbCr baseline JPEG (SOI, JFIF APP0, DQT, 3-component
+    * SOF0 with Y sampling hSamp×vSamp and 1×1 chroma, two DHTs, DRI=1,
+    * one interleaved SOS, restart markers, EOI) whose luma channel is the
+    * given bitmap encoded DC-only and whose chroma channels are the
+    * constant planes cb/cr. Any standards-compliant reader decodes it;
+    * `(hSamp, vSamp)` of (2,2)/(2,1)/(1,2)/(1,1) yields 4:2:0 / 4:2:2 /
+    * 4:4:0 / 4:4:4.
+    *
+    * The byte-aligned-oracle move, color edition: the gray fixture's
+    * single length-1 codes can't byte-align a multi-block MCU, so the DC
+    * table here carries TWO codes — category 7 at length 1 (code '0') and
+    * category 0 at length 8 (code '10000000') — and the AC table one
+    * length-8 EOB (code '00000000'). Every block is then EXACTLY 16 bits:
+    * a first-in-MCU luma block is [0+7 magnitude bits][EOB] = [mag byte,
+    * 0x00], a repeated block is [0x80, 0x00], so with restart interval 1
+    * MCU i's luma DC magnitude byte sits VERBATIM at offset 173 + s·i
+    * (fixed 173-byte header; stride s = 2·(hSamp·vSamp+2) + 2 covers the
+    * MCU cell plus its RSTₙ) and a SQL oracle with no Huffman decoder
+    * slices the luma of every pixel straight out of the blob. No entropy
+    * byte can be 0xFF, so no stuffing occurs. Fixture contract (null
+    * otherwise): each MCU's luma blocks must share one quantized DC in
+    * ±[64,127] (per-MCU-constant bitmaps at block granularity; means in
+    * [1,64] ∪ [192,255]), and cb/cr must each be 128 (category-0 diff) or
+    * have mean−128 in ±[64,127]. Fixture builder for [[JpegLumaDecode]];
+    * production writes JPEGs with a codec, not Spark. */
+  case class JpegYccEncodeDc(left: Expression, right: Expression,
+      hSamp: Int, vSamp: Int, cb: Int, cr: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"sampling factors must be in {1,2}, got ${hSamp}x$vSamp")
+    private def chromaOk(v: Int): Boolean =
+      v == 128 || (v >= 1 && v <= 64) || (v >= 192 && v <= 255)
+    require(chromaOk(cb) && chromaOk(cr),
+      s"chroma constants must be 128 or in [1,64] ∪ [192,255], got cb=$cb cr=$cr")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
       }
-      if (scanTd > 3 || scanTa > 3 || !quantSeen(sofQ) ||
-          dcTabs(scanTd) == null || acTabs(scanTa) == null) return null
-      val dcTab = dcTabs(scanTd); val acTab = acTabs(scanTa)
-      val qz = quantZ(sofQ)
-      // ---- entropy-coded scan ----
-      val bxN = (w + 7) / 8; val byN = (h + 7) / 8
-      val out = new Array[Byte](w * h)
-      var pos = p
-      var bitBuf = 0; var bitCnt = 0
-      // readBit: −1 signals corrupt/truncated (checked by callers)
-      def readBit(): Int = {
-        if (bitCnt == 0) {
-          if (pos >= n) return -1
-          val by = b(pos) & 0xff; pos += 1
-          if (by == 0xFF) {
-            if (pos >= n || (b(pos) & 0xff) != 0x00) return -1 // marker mid-entropy
-            pos += 1 // stuffed zero
-          }
-          bitBuf = by; bitCnt = 8
-        }
-        bitCnt -= 1
-        (bitBuf >> bitCnt) & 1
-      }
-      def receive(t: Int): Int = {
-        var v = 0; var i = 0
-        while (i < t) {
-          val bit = readBit(); if (bit < 0) return -1
-          v = (v << 1) | bit
-          i += 1
-        }
-        v
-      }
-      def huffDecode(tab: Jpeg.HuffTab): Int = {
-        var l = 1
-        var code = readBit(); if (code < 0) return -1
-        while (code > tab.maxcode(l)) {
-          l += 1
-          if (l > 16) return -1
-          val bit = readBit(); if (bit < 0) return -1
-          code = (code << 1) | bit
-        }
-        tab.value(l, code)
-      }
-      val coef = new Array[Int](64) // natural order, dequantized
-      val tmp = Array.ofDim[Double](8, 8)
-      var pred = 0
-      var mcu = 0
-      val nMcu = bxN * byN
-      while (mcu < nMcu) {
-        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
-          // byte-align, then the next interval's RSTₙ must appear in order
-          bitCnt = 0
-          if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
-          if ((b(pos + 1) & 0xff) != 0xD0 + ((mcu / ri - 1) & 7)) return null
-          pos += 2
-          pred = 0
-        }
-        java.util.Arrays.fill(coef, 0)
-        val t = huffDecode(dcTab)
-        if (t < 0 || t > 15) return null
-        val mag = receive(t); if (mag < 0) return null
-        pred += Jpeg.extend(mag, t)
-        coef(0) = pred * qz(0)
-        var acSeen = false
-        var k = 1
-        while (k < 64) {
-          val rs = huffDecode(acTab)
-          if (rs < 0) return null
-          val r = rs >> 4; val s = rs & 15
-          if (s == 0) {
-            if (r == 15) k += 16 else k = 64 // ZRL / EOB
-          } else {
-            k += r
-            if (k > 63) return null
-            val m2 = receive(s); if (m2 < 0) return null
-            coef(Jpeg.ZigzagNat(k)) = Jpeg.extend(m2, s) * qz(k)
-            acSeen = true
-            k += 1
-          }
-        }
-        val blockY = mcu / bxN; val blockX = mcu % bxN
-        if (!acSeen) {
-          // DC-only block (flat region — and every block of the aligned
-          // fixture encoder): the IDCT collapses to one constant,
-          // computed with the EXACT multiplication order of the general
-          // path below (ct₀·(ct₀·D)) so the fast path is bit-identical
-          val c00 = Jpeg.Cos(0)(0)
-          val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
-          val b = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
-          var yy = 0
-          while (yy < 8) {
-            val y = blockY * 8 + yy
-            if (y < h) {
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (w > 65535 || h > 65535 || w.toLong * h > Jpeg.MaxPixels) return null
+      val mw = 8 * hSamp; val mh = 8 * vSamp
+      val mxN = (w + mw - 1) / mw; val myN = (h + mh - 1) / mh
+      val out = new java.io.ByteArrayOutputStream()
+      def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xff))
+      wr(0xFF, 0xD8) // SOI
+      wr(0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // JFIF APP0
+        0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) // v1.1, no density/thumb
+      wr(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: Pq=0 Tq=0, flat table of 8s
+      var i = 0                        // (all three components reference Tq0)
+      while (i < 64) { out.write(8); i += 1 }
+      wr(0xFF, 0xC0, 0x00, 0x11, 0x08, // SOF0: precision 8, 3 components
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        0x03,
+        0x01, (hSamp << 4) | vSamp, 0x00, // Y: hSamp×vSamp, Tq 0
+        0x02, 0x11, 0x00,                 // Cb: 1×1, Tq 0
+        0x03, 0x11, 0x00)                 // Cr: 1×1, Tq 0
+      wr(0xFF, 0xC4, 0x00, 0x15, 0x00) // DHT DC 0: two codes —
+      wr(1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0) // len 1 + len 8
+      wr(0x07, 0x00) // …category 7 ('0'), category 0 ('10000000')
+      wr(0xFF, 0xC4, 0x00, 0x14, 0x10) // DHT AC 0: one length-8 code
+      wr(0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0)
+      wr(0x00) // …for EOB ('00000000')
+      wr(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01) // DRI: restart every MCU
+      wr(0xFF, 0xDA, 0x00, 0x0C, 0x03, // SOS: all three components, one scan
+        0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x3F, 0x00)
+      // scan: per MCU, hSamp·vSamp 2-byte luma cells + Cb + Cr, then RSTₙ
+      val cbD = cb - 128; val crD = cr - 128
+      val nMcu = mxN * myN
+      var m = 0
+      while (m < nMcu) {
+        val my = m / mxN; val mx = m % mxN
+        var dc0 = 0
+        var bi = 0
+        var bv = 0
+        while (bv < vSamp) {
+          var bh = 0
+          while (bh < hSamp) {
+            var sum = 0L
+            var yy = 0
+            while (yy < 8) {
+              val y = math.min(my * mh + bv * 8 + yy, h - 1)
               var xx = 0
               while (xx < 8) {
-                val x = blockX * 8 + xx
-                if (x < w) out(y * w + x) = b
+                val x = math.min(mx * mw + bh * 8 + xx, w - 1)
+                sum += (pixels(y * w + x) & 0xff) - 128
                 xx += 1
               }
+              yy += 1
             }
-            yy += 1
-          }
-        } else {
-          // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var u = 0
-              while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
-              tmp(v)(x) = acc
-              x += 1
+            // S(0,0) = Σ/8; quantized by q₀₀ = 8 ⇒ dcq = round(Σ/64)
+            val dcq = math.round(sum / 64.0).toInt
+            if (bi == 0) {
+              if (dcq < -127 || (dcq > -64 && dcq < 64) || dcq > 127) return null
+              dc0 = dcq
+              out.write(if (dcq >= 64) dcq else dcq + 127) // cat 7: '0' + 7 bits
+              out.write(0x00) // EOB
+            } else {
+              if (dcq != dc0) return null // per-MCU-constant fixture contract
+              out.write(0x80) // cat 0: zero diff, no magnitude bits
+              out.write(0x00) // EOB
             }
-            v += 1
+            bi += 1
+            bh += 1
           }
-          var yy = 0
-          while (yy < 8) {
-            val y = blockY * 8 + yy
-            if (y < h) {
-              var xx = 0
-              while (xx < 8) {
-                val x = blockX * 8 + xx
-                if (x < w) {
-                  var acc = 0.0
-                  var v2 = 0
-                  while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
-                  val px = math.round(acc + 128.0).toInt
-                  out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                }
-                xx += 1
-              }
-            }
-            yy += 1
-          }
+          bv += 1
         }
-        mcu += 1
+        // chroma: DRI=1 resets predictors every MCU, so each MCU's Cb/Cr
+        // diff is the full constant-plane DC — same two cells every time
+        var cc = 0
+        while (cc < 2) {
+          val d = if (cc == 0) cbD else crD
+          if (d == 0) { out.write(0x80); out.write(0x00) }
+          else { out.write(if (d >= 64) d else d + 127); out.write(0x00) }
+          cc += 1
+        }
+        if (m < nMcu - 1) wr(0xFF, 0xD0 + (m % 8))
+        m += 1
       }
-      out
+      wr(0xFF, 0xD9) // EOI
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** wav_pcm16_stats(BINARY; silenceThreshold) → STRUCT: REAL PCM sample
+    * decode for canonical 16-bit PCM WAV (the [[graft.operators.Multimodal
+    * .wavMeta]] layout contract: RIFF/"WAVEfmt "/PCM tag 1/data at 36,
+    * now read PAST the header into the samples) — one pass over the
+    * little-endian int16 stream producing the integer audio-quality
+    * aggregates a speech/multimodal pipeline gates on BEFORE paying for
+    * transcription or feature extraction:
+    *
+    *   - `n_samples`  — interleaved sample count (frames × channels)
+    *   - `peak_abs`   — max |amplitude| (−32768 counts as 32768)
+    *   - `sum_abs`    — Σ|s|  (mean level = sum_abs / n_samples)
+    *   - `sum_sq`     — Σs²   (RMS² = sum_sq / n_samples)
+    *   - `n_clipped`  — samples at full scale (±32767 / −32768), the
+    *                    distortion signal
+    *   - `n_silent`   — samples with |s| < silenceThreshold, the
+    *                    dead-air signal
+    *
+    * All-integer on purpose: every field is EXACTLY recomputable by a SQL
+    * oracle from planted sample bytes (the aligned-layout move, audio
+    * edition — PCM needs no entropy coding, so the bytes ARE the
+    * samples), and downstream gates derive fractions/RMS without any
+    * cross-engine float drift. Null, never an error, off contract:
+    * non-WAV, non-PCM (float/A-law), bits ≠ 16, odd or overrunning
+    * declared data size. Scale shape: map-side, one pass per row, no
+    * shuffle, no allocation beyond the 6-field row — fuses into whatever
+    * scan carries the payload column. */
+  case class WavPcm16Stats(child: Expression, silenceThreshold: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(silenceThreshold >= 0 && silenceThreshold <= 32768,
+      s"silenceThreshold must be in [0, 32768], got $silenceThreshold")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("n_silent", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 44) return null
+      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E' ||
+          b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ') return null
+      if (u32(16) != 16L || u16(20) != 1) return null // fmt size 16, PCM tag
+      if (u16(34) != 16) return null // 16-bit samples only
+      if (b(36) != 'd' || b(37) != 'a' || b(38) != 't' || b(39) != 'a') return null
+      val dataBytes = u32(40)
+      if (dataBytes % 2 != 0 || 44L + dataBytes > b.length) return null
+      val n = (dataBytes / 2).toInt // bounded by the payload length just checked
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+      var clipped = 0L; var silent = 0L
+      var i = 0
+      while (i < n) {
+        // low byte unsigned, high byte sign-extended: the int16 value
+        val s = (b(44 + 2 * i) & 0xff) | (b(45 + 2 * i) << 8)
+        val a = if (s < 0) -s.toLong else s.toLong
+        if (a > peak) peak = a
+        sumAbs += a
+        sumSq += a * a
+        if (s == 32767 || s == -32768) clipped += 1
+        if (a < silenceThreshold) silent += 1
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        n.toLong, peak, sumAbs, sumSq, clipped, silent)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -1768,6 +2094,12 @@ object Native {
     "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
+    "graft_jpeg_encode_ycc_dc" -> (exprs => JpegYccEncodeDc(exprs(0), exprs(1),
+      intLit(exprs(2), "hSamp"), intLit(exprs(3), "vSamp"),
+      intLit(exprs(4), "cb"), intLit(exprs(5), "cr"))),
+    "graft_jpeg_decode_luma" -> (exprs => JpegLumaDecode(exprs(0))),
+    "graft_wav_pcm16_stats" -> (exprs =>
+      WavPcm16Stats(exprs(0), intLit(exprs(1), "silenceThreshold"))),
     "graft_top_centroids" -> (exprs => TopCentroids(exprs(0),
       floatSeqSeqLit(exprs(1), "centroids"), intLit(exprs(2), "nprobe"))))
 
@@ -1848,6 +2180,16 @@ object Native {
     call_function("graft_jpeg_encode_gray8_dc", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =
     call_function("graft_jpeg_decode_gray8", jpeg)
+  def jpegEncodeYccDc(pixels: Column, width: Column,
+      hSamp: Int, vSamp: Int, cb: Int, cr: Int): Column =
+    call_function("graft_jpeg_encode_ycc_dc", pixels, width,
+      org.apache.spark.sql.functions.lit(hSamp), org.apache.spark.sql.functions.lit(vSamp),
+      org.apache.spark.sql.functions.lit(cb), org.apache.spark.sql.functions.lit(cr))
+  def jpegDecodeLuma(jpeg: Column): Column =
+    call_function("graft_jpeg_decode_luma", jpeg)
+  def wavPcm16Stats(wav: Column, silenceThreshold: Int): Column =
+    call_function("graft_wav_pcm16_stats", wav,
+      org.apache.spark.sql.functions.lit(silenceThreshold))
   def topCentroids(emb: Column, cents: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_top_centroids", emb,
       org.apache.spark.sql.functions.typedLit(cents),

@@ -483,15 +483,42 @@ object Multimodal {
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
     graft.functions.Native.jpegEncodeGray8Dc(pixels, width)
 
-  /** Image near-dup on REAL JPEG payloads, end-to-end: [[jpegDecodeGray8]]
+  /** LUMA-plane decode for baseline JPEGs, gray OR color ([[graft.functions
+    * .Native.JpegLumaDecode]]): 1-component files decode exactly like
+    * [[jpegDecodeGray8]] (shared core); 3-component YCbCr SOF0 at any
+    * mainstream subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) yields the
+    * full-resolution Y plane with chroma blocks entropy-skipped — no
+    * chroma IDCT, no upsampling, the right cost shape when the consumer
+    * is a grayscale perceptual hash. This is the decode a crawl-image
+    * dedup pipeline actually needs: real crawls are overwhelmingly color
+    * JPEG, and dHash is a luminance function. */
+  def jpegDecodeLuma(jpeg: Column): Column =
+    graft.functions.Native.jpegDecodeLuma(jpeg)
+
+  /** Fixture-grade COLOR (YCbCr) baseline-JPEG ENCODE ([[graft.functions
+    * .Native.JpegYccEncodeDc]]): luma bitmap + constant chroma planes →
+    * genuine 3-component JPEG bytes at the chosen subsampling, every
+    * block DC-only and byte-aligned so luma DCs sit at analytic byte
+    * offsets (stride 2·(hSamp·vSamp+2)+2 from the 173-byte header) — what
+    * lets a SQL oracle verify real COLOR JPEG decode with no Huffman
+    * decoder. Per-MCU-constant luma contract; see the expression
+    * scaladoc. */
+  def jpegEncodeYccDc(pixels: Column, width: Column,
+      hSamp: Int, vSamp: Int, cb: Int = 128, cr: Int = 128): Column =
+    graft.functions.Native.jpegEncodeYccDc(pixels, width, hSamp, vSamp, cb, cr)
+
+  /** Image near-dup on REAL JPEG payloads, end-to-end: [[jpegDecodeLuma]]
     * → [[dHash]] → the shared Hamming-banded LSH core ([[imageNearDupPng]]'s
-    * exact shape on the other crawl format). Undecodable payloads drop at
-    * the decode stage, before any shuffle; only 8-byte signatures band. */
+    * exact shape on the other crawl format). Decodes the luma plane of
+    * grayscale AND color baseline JPEGs — the full crawl-image population
+    * — skipping all chroma IDCT/upsampling work (dHash only reads
+    * luminance). Undecodable payloads drop at the decode stage, before
+    * any shuffle; only 8-byte signatures band. */
   def imageNearDupJpeg(images: DataFrame, width: Int, height: Int,
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(jpegDecodeGray8(col("jpeg")), width, height).as("sig"))
+        dHash(jpegDecodeLuma(col("jpeg")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -546,4 +573,45 @@ object Multimodal {
         col("doc_id"),
         struct(col("text"), col("media"), mediaMeta(col("media")).as("meta"),
           col("embedding")).as("sample"))
+
+  /** REAL PCM sample decode for canonical 16-bit WAV ([[graft.functions
+    * .Native.WavPcm16Stats]]): one map-side pass over the int16 stream →
+    * integer audio-quality aggregates (sample count, peak, Σ|s|, Σs²,
+    * clipped count, sub-threshold count). [[wavMeta]] reads the header;
+    * this reads the AUDIO — the third modality tier to get a real
+    * byte-level decode after PNG and JPEG. Default threshold 328 ≈ 1% of
+    * full scale (−40 dBFS), the usual dead-air line. */
+  def wavPcm16Stats(wav: Column, silenceThreshold: Int = 328): Column =
+    graft.functions.Native.wavPcm16Stats(wav, silenceThreshold)
+
+  /** Audio-quality gate — the per-clip screen a speech/multimodal
+    * pipeline runs BEFORE paying for transcription or feature
+    * extraction: decode PCM stats in the scan ([[wavPcm16Stats]]), derive
+    * clip/silence fractions and RMS, and gate on all three. Clips that
+    * don't decode (corrupt, non-PCM, non-16-bit) FAIL the gate with null
+    * stats rather than disappearing — the drop report must see them.
+    * Thresholds are the published-ish defaults (≤1% clipped, ≤90%
+    * silence, RMS ≥ 100 ≈ −50 dBFS); `passes` is computed in INTEGER
+    * arithmetic (n_clipped·100 ≤ n, n_silent·10 ≤ 9n, Σs² ≥ n·minRms²)
+    * so the verdict is exact and engine-portable. Scale shape: map-side
+    * only, no shuffle — the gate fuses into the payload scan. */
+  def audioQualityGate(clips: DataFrame, maxClipPct: Int = 1,
+      maxSilentPctX10: Int = 900, minRms: Int = 100,
+      silenceThreshold: Int = 328): DataFrame = {
+    val s = wavPcm16Stats(col("wav"), silenceThreshold)
+    clips
+      .withColumn("stats", s)
+      .select(clips.columns.map(col) :+
+        col("stats.n_samples").as("n_samples") :+
+        col("stats.peak_abs").as("peak_abs") :+
+        col("stats.sum_abs").as("sum_abs") :+
+        col("stats.sum_sq").as("sum_sq") :+
+        col("stats.n_clipped").as("n_clipped") :+
+        col("stats.n_silent").as("n_silent"): _*)
+      .withColumn("passes",
+        col("n_samples").isNotNull && col("n_samples") > 0 &&
+          col("n_clipped") * 100 <= col("n_samples") * maxClipPct &&
+          col("n_silent") * 1000 <= col("n_samples") * maxSilentPctX10 &&
+          col("sum_sq") >= col("n_samples") * (minRms.toLong * minRms))
+  }
 }

@@ -627,4 +627,277 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  // ---------- color (YCbCr) baseline JPEG: luma decode path ----------
+
+  /** Per-MCU-constant bitmap for luma sampling hs×vs: pixel (y,x) =
+    * vals(mcuRow·mxN + mcuCol) — the [[Multimodal.jpegEncodeYccDc]]
+    * fixture contract shape. */
+  private def mcuBitmap(w: Int, h: Int, hs: Int, vs: Int, vals: Array[Int]): Array[Byte] = {
+    val mxN = (w + 8 * hs - 1) / (8 * hs)
+    Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      vals((y / (8 * vs)) * mxN + x / (8 * hs)).toByte
+    }
+  }
+  private def encYcc(px: Array[Byte], w: Int, hs: Int, vs: Int,
+      cb: Int = 128, cr: Int = 128): Array[Byte] =
+    Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeYccDc($"px", lit(w), hs, vs, cb, cr))
+      .as[Array[Byte]].head()
+  private def decLuma(b: Array[Byte]): Array[Byte] =
+    Seq(Tuple1(b)).toDF("j")
+      .select(Multimodal.jpegDecodeLuma($"j")).as[Array[Byte]].head()
+
+  test("jpegEncodeYccDc round-trips bit-exactly through jpegDecodeLuma at all four samplings, partial edge MCUs included") {
+    val rnd = new scala.util.Random(17)
+    for ((hs, vs) <- Seq((1, 1), (2, 1), (1, 2), (2, 2))) {
+      // dims chosen to leave a partial MCU on both axes for the 2× factors
+      val w = 8 * hs * 2 + 5; val h = 8 * vs * 2 + 3
+      val mxN = (w + 8 * hs - 1) / (8 * hs); val myN = (h + 8 * vs - 1) / (8 * vs)
+      val px = mcuBitmap(w, h, hs, vs, Array.fill(mxN * myN)(cat7(rnd)))
+      val jpeg = encYcc(px, w, hs, vs, cb = 32, cr = 224)
+      assert(jpeg != null, s"encode refused at ${hs}x$vs")
+      // genuine JPEG: sniff + the SOF-walking dims parser agree
+      val (mod, dw, dh) = Seq(Tuple1(jpeg)).toDF("j")
+        .select(Multimodal.modality($"j").as("m"), Multimodal.jpegDims($"j").as("d"))
+        .select($"m", $"d.width", $"d.height")
+        .as[(String, Long, Long)].head()
+      assert(mod == "image/jpeg" && dw == w && dh == h, s"dims at ${hs}x$vs")
+      val mine = decLuma(jpeg)
+      assert(mine != null && mine.sameElements(px), s"round-trip at ${hs}x$vs")
+      // the gray decoder keeps its documented single-component contract
+      assert(decJpeg(jpeg) == null, s"gray decoder must refuse color at ${hs}x$vs")
+    }
+  }
+
+  test("jpegEncodeYccDc with neutral chroma: an INDEPENDENT standards decoder (ImageIO) sees the luma as gray, within IDCT tolerance") {
+    val rnd = new scala.util.Random(23)
+    val px = mcuBitmap(48, 32, 2, 2, Array.fill(3 * 2)(cat7(rnd)))
+    // Cb = Cr = 128 ⇒ YCbCr→RGB is the identity on Y, so ImageIO's RGB
+    // must be (Y,Y,Y) up to its fixed-point IDCT's usual ±1
+    val jpeg = encYcc(px, 48, 2, 2)
+    assert(jpeg != null)
+    val Some((iw, ih, ref)) = imageIoPixels(jpeg) // band 0 = R
+    assert(iw == 48 && ih == 32)
+    val maxDiff = ref.indices.map(i => math.abs(ref(i) - (px(i) & 0xff))).max
+    assert(maxDiff <= 1, s"ImageIO disagrees by $maxDiff")
+  }
+
+  test("jpegEncodeYccDc byte layout: luma DC magnitudes at 173 + stride·i, repeat/chroma cells, RST cycle (the anti-compensating-bug pin)") {
+    val rnd = new scala.util.Random(31)
+    val vals = Array.fill(2 * 2)(cat7(rnd))
+    val px = mcuBitmap(24, 20, 2, 2, vals) // 2×2 MCU grid, partial edges
+    val jpeg = encYcc(px, 24, 2, 2, cb = 32, cr = 224)
+    assert(jpeg != null)
+    val stride = 2 * (2 * 2 + 2) + 2 // four Y cells + Cb + Cr, then RSTₙ
+    vals.indices.foreach { i =>
+      val base = 173 + stride * i
+      // first luma cell: EXTEND⁻¹ of the magnitude byte is the planted value
+      val d = jpeg(base) & 0xff
+      val dc = if (d < 64) d - 127 else d
+      assert(dc + 128 == vals(i), s"MCU $i DC")
+      assert((jpeg(base + 1) & 0xff) == 0x00, s"MCU $i EOB")
+      // repeated luma blocks: category-0 cells
+      (1 to 3).foreach { j =>
+        assert((jpeg(base + 2 * j) & 0xff) == 0x80, s"MCU $i repeat $j")
+        assert((jpeg(base + 2 * j + 1) & 0xff) == 0x00)
+      }
+      // chroma cells: cb−128 = −96 → mag 31; cr−128 = 96 → mag 96
+      assert((jpeg(base + 8) & 0xff) == 31, s"MCU $i Cb")
+      assert((jpeg(base + 10) & 0xff) == 96, s"MCU $i Cr")
+      if (i < vals.length - 1) {
+        assert((jpeg(base + 12) & 0xff) == 0xFF)
+        assert((jpeg(base + 13) & 0xff) == 0xD0 + (i % 8), s"RST after MCU $i")
+      }
+    }
+    assert((jpeg(jpeg.length - 2) & 0xff) == 0xFF && (jpeg(jpeg.length - 1) & 0xff) == 0xD9)
+  }
+
+  test("jpegDecodeLuma decodes third-party (ImageIO) COLOR JPEGs — real subsampled chroma, AC coefficients — within cross-decoder tolerance") {
+    // gray-content COLOR image (R=G=B ⇒ Cb≈Cr≈128): the JDK writer emits a
+    // real 3-component subsampled YCbCr JPEG, and converting its decoded
+    // RGB back to luma is exact up to rounding — isolating OUR luma path
+    // from chroma reconstruction differences
+    val w = 37; val h = 26
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rnd = new scala.util.Random(13)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255,
+        (128 + 80 * math.sin(x * 0.7) + 40 * math.cos(y * 1.3) + rnd.nextInt(21) - 10).toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    // confirm it really is 3-component (SOF0 Nf byte)
+    val sof = (0 until jpeg.length - 1).find(i =>
+      (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) == 0xC0).get
+    assert((jpeg(sof + 9) & 0xff) == 3, "fixture regression: JDK wrote a non-color JPEG")
+    val mine = decLuma(jpeg)
+    assert(mine != null && mine.length == w * h, "luma decode refused a JDK color JPEG")
+    val ref = {
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      Array.tabulate(w * h) { i =>
+        val rgb = back.getRGB(i % w, i / w)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+        math.round(0.299 * r + 0.587 * g + 0.114 * bl).toInt
+      }
+    }
+    val diffs = ref.indices.map(i => math.abs(ref(i) - (mine(i) & 0xff)))
+    assert(diffs.max <= 3, s"max cross-decoder luma diff ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 1.0, "systematic luma decode bias")
+    // and the gray decoder keeps refusing color — the luma expression is
+    // the documented superset, not a changed contract
+    assert(decJpeg(jpeg) == null)
+  }
+
+  test("jpegEncodeYccDc/jpegDecodeLuma null out of contract, never throw") {
+    val rnd = new scala.util.Random(41)
+    val px = mcuBitmap(32, 32, 2, 2, Array.fill(4)(cat7(rnd)))
+    val good = encYcc(px, 32, 2, 2)
+    assert(decLuma(good) != null)
+    // encoder: luma not per-MCU-constant — block (0,0) at 224 while the
+    // rest of its MCU sits at 40 puts two different block DCs in one MCU
+    val uneven = Array.tabulate(32 * 32) { j =>
+      val y = j / 32; val x = j % 32
+      (if (y < 8 && x < 8) 224 else 40).toByte
+    }
+    assert(encYcc(uneven, 32, 2, 2) == null)
+    // encoder: out-of-category chroma rejected at construction (require)
+    intercept[Exception] { encYcc(px, 32, 2, 2, cb = 100) }
+    // decoder: luma sampling factor outside {1,2}
+    val badSamp = good.clone()
+    val sof = (0 until badSamp.length - 1).find(j =>
+      (badSamp(j) & 0xff) == 0xFF && (badSamp(j + 1) & 0xff) == 0xC0).get
+    badSamp(sof + 11) = 0x33.toByte // Y sampling 3×3
+    assert(decLuma(badSamp) == null)
+    // decoder: chroma sampling exceeding luma's (luma must carry the max)
+    val badMax = good.clone()
+    badMax(sof + 11) = 0x11.toByte // Y 1×1 while Cb stays… also 1×1 — craft Cb 2×1
+    badMax(sof + 14) = 0x21.toByte
+    assert(decLuma(badMax) == null)
+    // truncated color scan
+    assert(decLuma(good.dropRight(6)) == null)
+    // a color restart marker out of sequence
+    val badRst = good.clone()
+    val rst = (173 until badRst.length - 1).find(j =>
+      (badRst(j) & 0xff) == 0xFF && (badRst(j + 1) & 0xff) >= 0xD0 &&
+        (badRst(j + 1) & 0xff) <= 0xD7).get
+    badRst(rst + 1) = (0xD0 + (((badRst(rst + 1) & 0x0f) + 3) % 8)).toByte
+    assert(decLuma(badRst) == null)
+    // not a JPEG at all
+    assert(decLuma("nope".getBytes("UTF-8")) == null)
+  }
+
+  test("imageNearDupJpeg pairs identical COLOR JPEGs at hamming 0 through the luma decode path") {
+    val rnd = new scala.util.Random(59)
+    def colorJpegOf(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      // 144×128 at 4:2:0: a 9×8 grid of 16×16 constant MCU tiles — the
+      // dHash grid is then an identity over tile values
+      encYcc(mcuBitmap(144, 128, 2, 2, Array.fill(72)(cat7(r2))), 144, 2, 2)
+    }
+    val imgs = Seq(
+      (1L, colorJpegOf(7)), (2L, colorJpegOf(7)), // bit-identical pair
+      (3L, colorJpegOf(8)), (4L, colorJpegOf(9)),
+      (5L, "corrupt".getBytes("UTF-8")))
+      .toDF("id", "jpeg")
+    val pairs = Multimodal.imageNearDupJpeg(imgs, 144, 128, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
+  // ---------- WAV: real PCM sample decode ----------
+
+  /** Hand-built canonical 16-bit PCM WAV — independent of [[Multimodal
+    * .wavHeader]] so the expression and the fixture builder can't share a
+    * compensating layout bug. */
+  private def wavOf(samples: Array[Short], channels: Int, rate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit = (0 until n).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    bos.write("RIFF".getBytes("US-ASCII")); le(36L + data.length, 4)
+    bos.write("WAVEfmt ".getBytes("US-ASCII")); le(16L, 4)
+    le(1L, 2); le(channels, 2); le(rate, 4)
+    le(rate.toLong * channels * 2, 4); le(channels * 2, 2); le(16L, 2)
+    bos.write("data".getBytes("US-ASCII")); le(data.length, 4)
+    bos.write(data)
+    bos.toByteArray
+  }
+  private def pcmStats(wav: Array[Byte], thr: Int = 328): Option[(Long, Long, Long, Long, Long, Long)] = {
+    val r = Seq(Tuple1(wav)).toDF("wav")
+      .select(Multimodal.wavPcm16Stats($"wav", thr).as("s"))
+      .select($"s.n_samples", $"s.peak_abs", $"s.sum_abs", $"s.sum_sq",
+        $"s.n_clipped", $"s.n_silent")
+      .collect().head
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+  }
+
+  test("wavPcm16Stats matches a plain-Scala reference on random PCM, and javax.sound agrees on the geometry") {
+    val rnd = new scala.util.Random(67)
+    val samples = Array.fill(257)((rnd.nextInt(65536) - 32768).toShort) ++
+      Array[Short](32767, -32768, 0, 5, -327) // force clip + silence hits
+    val wav = wavOf(samples, channels = 1, rate = 16000)
+    // an INDEPENDENT reader accepts it and sees the same frame geometry
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFrameLength == samples.length)
+    assert(ais.getFormat.getSampleSizeInBits == 16 && ais.getFormat.getChannels == 1)
+    val Some((n, peak, sumAbs, sumSq, clipped, silent)) = pcmStats(wav)
+    val abs = samples.map(s => math.abs(s.toLong))
+    assert(n == samples.length)
+    assert(peak == abs.max)
+    assert(sumAbs == abs.sum)
+    assert(sumSq == abs.map(a => a * a).sum)
+    assert(clipped == samples.count(s => s == 32767 || s == -32768))
+    assert(silent == abs.count(_ < 328))
+  }
+
+  test("wavPcm16Stats counts interleaved stereo samples across both channels") {
+    val samples = Array[Short](1000, -1000, 2000, -2000, 32767, 3)
+    val Some((n, peak, sumAbs, _, clipped, silent)) =
+      pcmStats(wavOf(samples, channels = 2, rate = 8000))
+    assert(n == 6 && peak == 32767 && sumAbs == 1000 + 1000 + 2000 + 2000 + 32767 + 3)
+    assert(clipped == 1 && silent == 1)
+  }
+
+  test("wavPcm16Stats nulls off contract: float WAV, 8-bit, odd/overrunning data, non-WAV") {
+    val good = wavOf(Array[Short](100, -100, 200), 1, 8000)
+    assert(pcmStats(good).isDefined)
+    val floatWav = good.clone(); floatWav(20) = 3 // fmt tag: IEEE float
+    assert(pcmStats(floatWav).isEmpty)
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(pcmStats(bits8).isEmpty)
+    val odd = good.clone(); odd(40) = 5 // declared data size odd
+    assert(pcmStats(odd).isEmpty)
+    val overrun = good.clone(); overrun(40) = 64 // declares more than present
+    assert(pcmStats(overrun).isEmpty)
+    assert(pcmStats("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(pcmStats(Array[Byte]()).isEmpty)
+  }
+
+  test("audioQualityGate: clean clips pass; clipped, silent, and corrupt clips fail with visible stats") {
+    def tone(amp: Int, n: Int) = Array.tabulate(n)(i =>
+      (if (i % 2 == 0) amp else -amp).toShort)
+    val clips = Seq(
+      (1L, wavOf(tone(5000, 64), 1, 8000)),   // clean: loud, no clip, no silence
+      (2L, wavOf(tone(32767, 64), 1, 8000)),  // every sample at full scale
+      (3L, wavOf(Array.fill[Short](64)(0), 1, 8000)), // dead air
+      (4L, "not audio".getBytes("UTF-8")))    // undecodable
+      .toDF("id", "wav")
+    val got = Multimodal.audioQualityGate(clips)
+      .select($"id", $"passes", $"n_samples".isNull.as("undecoded"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (id, p, u) => id -> ((p, u)) }.toMap
+    assert(got(1L) == ((true, false)))
+    assert(got(2L) == ((false, false))) // clip fraction 100%
+    assert(got(3L) == ((false, false))) // silent and zero RMS
+    assert(got(4L) == ((false, true)))  // fails but stays in the report
+  }
 }
