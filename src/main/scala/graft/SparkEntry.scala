@@ -1040,6 +1040,33 @@ object SparkEntry {
           col("passes").cast("bigint").as("passes"))
     }),
 
+    // audio near-dup on REAL WAV bytes end-to-end (PCM decode → 72-bucket
+    // energy envelope → dHash → Hamming-LSH — dedup_image's argument on
+    // the audio modality): 72 planted constant 16-sample segments give an
+    // envelope of ~iid uniform bytes (v>>7 for v uniform in [0,32768)),
+    // so the 9×8 dHash grid is an identity over segment loudness and
+    // re-keyed copies pair at exactly hamming 0
+    "dedup_audio" -> ((s, d) => {
+      // 8 segment values per md5 (4 hex chars each): 9 digests per doc,
+      // not 72 — the plant is fixture cost, and the pair-set oracle never
+      // recomputes it, so cheap + deterministic + uniform is all it owes
+      def v(i: Int) = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-a${i / 8}")).cast("binary")), 1 + 4 * (i % 8), 4), 16, 10)
+        .cast("int"), lit(32768))
+      def leHex(vv: org.apache.spark.sql.Column) = concat(
+        lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
+      val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          concat(Multimodal.wavHeader(lit(1L), lit(16000L), lit(16L), lit(2304L)),
+            data).as("wav"))
+        .transform(Caches.persisted)
+      val copies = base.select((col("id") + 100000L).as("id"), col("wav"))
+      Multimodal.audioNearDup(base.union(copies), maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+
     // --- north-star: text analysis ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -1705,6 +1732,13 @@ object SparkEntry {
     // bit-exact luma round-trip ⇒ copies pair at hamming 0; ~iid-coin
     // cross pairs never land within hamming 2
     "dedup_image_jpeg_color" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // dedup_image's pair-set argument on audio: copies share WAV bytes
+    // bit-for-bit → envelope/dHash identical → exactly one hamming-0
+    // pair per doc; ~iid uniform envelope bytes keep cross pairs out of
+    // the hamming-2 ball
+    "dedup_audio" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // the audio edition of the aligned-layout codec oracle: PCM has no

@@ -1973,6 +1973,26 @@ object Native {
     * declared data size. Scale shape: map-side, one pass per row, no
     * shuffle, no allocation beyond the 6-field row — fuses into whatever
     * scan carries the payload column. */
+  /** Shared header validation for the 16-bit-PCM WAV expressions: the
+    * [[graft.operators.Multimodal]].wavMeta layout contract (RIFF /
+    * "WAVEfmt " / PCM tag 1 / data at 36), bits-per-sample pinned to 16,
+    * declared data size even and fully present. Returns the interleaved
+    * sample count, or −1 off contract. */
+  private def wavPcm16SampleCount(b: Array[Byte]): Int = {
+    if (b.length < 44) return -1
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E' ||
+        b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ') return -1
+    if (u32(16) != 16L || u16(20) != 1) return -1 // fmt size 16, PCM tag
+    if (u16(34) != 16) return -1 // 16-bit samples only
+    if (b(36) != 'd' || b(37) != 'a' || b(38) != 't' || b(39) != 'a') return -1
+    val dataBytes = u32(40)
+    if (dataBytes % 2 != 0 || 44L + dataBytes > b.length) return -1
+    (dataBytes / 2).toInt // bounded by the payload length just checked
+  }
+
   case class WavPcm16Stats(child: Expression, silenceThreshold: Int)
       extends UnaryExpression with NativeUnaryCodegen {
     require(silenceThreshold >= 0 && silenceThreshold <= 32768,
@@ -1987,18 +2007,8 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (b.length < 44) return null
-      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-      def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
-      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E' ||
-          b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ') return null
-      if (u32(16) != 16L || u16(20) != 1) return null // fmt size 16, PCM tag
-      if (u16(34) != 16) return null // 16-bit samples only
-      if (b(36) != 'd' || b(37) != 'a' || b(38) != 't' || b(39) != 'a') return null
-      val dataBytes = u32(40)
-      if (dataBytes % 2 != 0 || 44L + dataBytes > b.length) return null
-      val n = (dataBytes / 2).toInt // bounded by the payload length just checked
+      val n = wavPcm16SampleCount(b)
+      if (n < 0) return null
       var peak = 0L; var sumAbs = 0L; var sumSq = 0L
       var clipped = 0L; var silent = 0L
       var i = 0
@@ -2015,6 +2025,50 @@ object Native {
       }
       org.apache.spark.sql.catalyst.InternalRow(
         n.toLong, peak, sumAbs, sumSq, clipped, silent)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** wav_envelope(BINARY; nBuckets) → BINARY: the audio fingerprint
+    * front-end — decode the canonical 16-bit-PCM sample stream (same
+    * contract as [[WavPcm16Stats]]) and reduce it to an nBuckets-byte
+    * ENERGY ENVELOPE: bucket b covers the sample range
+    * [b·n/N, (b+1)·n/N) and carries mean(|s|) >> 7 (full scale 32768 →
+    * 256, capped at 255) — a length-normalized, amplitude-coarse loudness
+    * contour. The point of the byte layout: the envelope IS a grayscale
+    * bitmap, so [[DHash64]] consumes it directly (nBuckets = 72 → a 9×8
+    * dHash grid, one cell per bucket) and audio near-dup rides the exact
+    * image pipeline — dHash → Hamming-banded LSH — with zero new shuffle
+    * machinery. Clips shorter than nBuckets samples can't fingerprint
+    * (empty buckets) → null, as does anything off the WAV contract.
+    * Scale shape: map-side, one pass per row, no shuffle. */
+  case class WavEnvelope(child: Expression, nBuckets: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets must be in [1, 4096], got $nBuckets")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val n = wavPcm16SampleCount(b)
+      if (n < nBuckets) return null // off contract, or too short to bucket
+      val out = new Array[Byte](nBuckets)
+      var k = 0
+      while (k < nBuckets) {
+        val start = (k.toLong * n / nBuckets).toInt
+        val end = ((k + 1).toLong * n / nBuckets).toInt
+        var sumAbs = 0L
+        var i = start
+        while (i < end) {
+          val s = (b(44 + 2 * i) & 0xff) | (b(45 + 2 * i) << 8)
+          sumAbs += (if (s < 0) -s.toLong else s.toLong)
+          i += 1
+        }
+        val mean = (sumAbs / (end - start)) >> 7
+        out(k) = (if (mean > 255) 255 else mean).toInt.toByte
+        k += 1
+      }
+      out
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -2100,6 +2154,8 @@ object Native {
     "graft_jpeg_decode_luma" -> (exprs => JpegLumaDecode(exprs(0))),
     "graft_wav_pcm16_stats" -> (exprs =>
       WavPcm16Stats(exprs(0), intLit(exprs(1), "silenceThreshold"))),
+    "graft_wav_envelope" -> (exprs =>
+      WavEnvelope(exprs(0), intLit(exprs(1), "nBuckets"))),
     "graft_top_centroids" -> (exprs => TopCentroids(exprs(0),
       floatSeqSeqLit(exprs(1), "centroids"), intLit(exprs(2), "nprobe"))))
 
@@ -2190,6 +2246,9 @@ object Native {
   def wavPcm16Stats(wav: Column, silenceThreshold: Int): Column =
     call_function("graft_wav_pcm16_stats", wav,
       org.apache.spark.sql.functions.lit(silenceThreshold))
+  def wavEnvelope(wav: Column, nBuckets: Int): Column =
+    call_function("graft_wav_envelope", wav,
+      org.apache.spark.sql.functions.lit(nBuckets))
   def topCentroids(emb: Column, cents: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_top_centroids", emb,
       org.apache.spark.sql.functions.typedLit(cents),

@@ -584,6 +584,31 @@ object Multimodal {
   def wavPcm16Stats(wav: Column, silenceThreshold: Int = 328): Column =
     graft.functions.Native.wavPcm16Stats(wav, silenceThreshold)
 
+  /** Length-normalized energy-envelope fingerprint front-end ([[graft
+    * .functions.Native.WavEnvelope]]): PCM sample stream → nBuckets-byte
+    * loudness contour, laid out so [[dHash]] consumes it as a bitmap. */
+  def wavEnvelope(wav: Column, nBuckets: Int = 72): Column =
+    graft.functions.Native.wavEnvelope(wav, nBuckets)
+
+  /** Audio near-dup on REAL WAV payloads, end-to-end — the AUDIO sibling
+    * of [[imageNearDupPng]]/[[imageNearDupJpeg]]: decode the PCM stream
+    * into a 72-bucket energy envelope ([[wavEnvelope]]), hash the
+    * envelope as a 9×8 bitmap ([[dHash]] — one grid cell per bucket, so
+    * the signature reacts to the loudness CONTOUR, not absolute gain
+    * bytes), then the shared Hamming-banded LSH core. Catches re-encoded
+    * or re-keyed copies of the same recording (same contour); it is a
+    * duplicate detector, not a cover-song matcher. Undecodable or
+    * too-short clips drop at the decode stage, before any shuffle; only
+    * 8-byte signatures band. Scale shape: identical to the image tiers —
+    * map-side decode fused into the scan, ONE signature-keyed shuffle. */
+  def audioNearDup(clips: DataFrame, maxHamming: Int = 2,
+      maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      clips.select(col("id"),
+        dHash(wavEnvelope(col("wav"), 72), 9, 8).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
   /** Audio-quality gate — the per-clip screen a speech/multimodal
     * pipeline runs BEFORE paying for transcription or feature
     * extraction: decode PCM stats in the scan ([[wavPcm16Stats]]), derive

@@ -882,6 +882,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pcmStats(Array[Byte]()).isEmpty)
   }
 
+  test("wavEnvelope: bucket boundaries and mean-|s|>>7 values match a plain-Scala reference; too-short and non-WAV null") {
+    val rnd = new scala.util.Random(73)
+    val samples = Array.fill(701)((rnd.nextInt(65536) - 32768).toShort) // 701 ∤ 72: uneven buckets
+    val wav = wavOf(samples, channels = 1, rate = 16000)
+    val got = Seq(Tuple1(wav)).toDF("wav")
+      .select(Multimodal.wavEnvelope($"wav", 72)).as[Array[Byte]].head()
+    assert(got != null && got.length == 72)
+    val want = Array.tabulate(72) { k =>
+      val start = (k.toLong * samples.length / 72).toInt
+      val end = ((k + 1).toLong * samples.length / 72).toInt
+      val mean = (start until end).map(i => math.abs(samples(i).toLong)).sum / (end - start)
+      math.min(mean >> 7, 255L).toByte
+    }
+    assert(got.sameElements(want))
+    // too short to bucket (fewer samples than buckets) → null, not junk
+    val short = wavOf(Array.fill(50)(1000.toShort), 1, 8000)
+    assert(Seq(Tuple1(short)).toDF("wav")
+      .select(Multimodal.wavEnvelope($"wav", 72)).as[Array[Byte]].head() == null)
+    assert(Seq(Tuple1("not audio".getBytes("UTF-8"))).toDF("wav")
+      .select(Multimodal.wavEnvelope($"wav", 72)).as[Array[Byte]].head() == null)
+  }
+
+  test("audioNearDup pairs bit-identical WAV copies at hamming 0 through the envelope → dHash path, nothing else") {
+    def clipOf(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      // 72 constant 16-sample segments — one envelope bucket per segment
+      wavOf(Array.tabulate(72 * 16)(i => (r2.nextInt(32768)).toShort)
+        .grouped(16).toArray.flatMap(g => Array.fill(16)(g.head)), 1, 16000)
+    }
+    val clips = Seq(
+      (1L, clipOf(11)), (2L, clipOf(11)), // bit-identical pair
+      (3L, clipOf(22)), (4L, clipOf(33)),
+      (5L, "static".getBytes("UTF-8"))) // undecodable: drops before the shuffle
+      .toDF("id", "wav")
+    val pairs = Multimodal.audioNearDup(clips, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("audioQualityGate: clean clips pass; clipped, silent, and corrupt clips fail with visible stats") {
     def tone(amp: Int, n: Int) = Array.tabulate(n)(i =>
       (if (i % 2 == 0) amp else -amp).toShort)
