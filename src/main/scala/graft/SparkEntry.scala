@@ -309,6 +309,48 @@ object SparkEntry {
         repeat(hex2(jpegBlockVal(docId, "jc", r * 9 + c)), 16)): _*), 8)
     }: _*))
 
+  /** DC-category-7 tile value `i` for the video plants: folded from byte
+    * i%8 of md5("<doc_id>-vr<i/8>") — 8 tile values per digest, 9 digests
+    * per DOC (not per frame: the plant is fixture cost, so frames share
+    * one tile vector and differ by rotation — see [[plantedVideoFrame]]).
+    * Same folding and ~iid argument as [[jpegBlockVal]]. */
+  private def videoBlockVal(docId: org.apache.spark.sql.Column,
+      i: Int): org.apache.spark.sql.Column = {
+    val low = conv(substring(md5(concat(docId.cast("string"),
+      lit(s"-vr${i / 8}")).cast("binary")), 1 + 2 * (i % 8), 2), 16, 10).cast("int") % 128
+    when(low < 64, low + 1).otherwise(low + 128)
+  }
+
+  /** Planted 72×64 luma frame `f`: 8×8 tiles constant at
+    * [[videoBlockVal]]((r·9+c + 19·f) mod 72) — [[plantedJpegBitmap]]'s
+    * shape, one dHash cell per tile. Frames are distinct ROTATIONS of one
+    * per-doc ~iid tile vector: bit-identical across re-keyed copies,
+    * well-spread across docs, and the shared digests keep the fixture
+    * from dominating the query it exists to feed. */
+  private def plantedVideoFrame(docId: org.apache.spark.sql.Column,
+      f: Int): org.apache.spark.sql.Column =
+    unhex(concat((0 until 8).map { r =>
+      repeat(concat((0 until 9).map(c =>
+        repeat(hex2(videoBlockVal(docId, (r * 9 + c + 19 * f) % 72)), 8)): _*), 8)
+    }: _*))
+
+  /** Half-height (72×32) planted video frame for the PAIR-SET query,
+    * where per-doc decode volume is fixture cost: 9×4 8×8-constant
+    * blocks, tile values videoBlockVal(f·36 + r·9 + c) — fully
+    * INDEPENDENT across frames (a first cut rotated one shared tile
+    * vector across frames; correlated per-frame agreement let 12 cross
+    * pairs inside the hamming ball at sf0.01). dHash cells align with
+    * block COLUMNS (8 px), so each grid row carries 8 fair-coin bits;
+    * rows pair up vertically (4 px cells over 8 px tiles) leaving 32
+    * effective coins per frame — 64 independent coins per 2-frame clip,
+    * so at maxHamming 1 a cross pair needs P ≈ 65/2⁶⁴ ≈ 4e-18. */
+  private def plantedVideoFrameSmall(docId: org.apache.spark.sql.Column,
+      f: Int): org.apache.spark.sql.Column =
+    unhex(concat((0 until 4).map { r =>
+      repeat(concat((0 until 9).map(c =>
+        repeat(hex2(videoBlockVal(docId, f * 36 + r * 9 + c)), 8)): _*), 8)
+    }: _*))
+
   /** Wraps every query so the session carries the native function registry
     * (idempotent) regardless of who built the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1040,6 +1082,38 @@ object SparkEntry {
           col("passes").cast("bigint").as("passes"))
     }),
 
+    // REAL video content through container AND codec: a 2-frame MJPEG AVI
+    // per doc (72×64 4:4:4 color JPEG frames from md5-planted tiles), the
+    // walker counts frames and the first frame luma-decodes to the
+    // analytic plant — proving RIFF walk → '00dc' extraction → 3-component
+    // Huffman+IDCT end-to-end against a DuckDB recompute
+    "multimodal_avi" -> ((s, d) => {
+      val frames = array((0 until 2).map(f =>
+        Multimodal.jpegEncodeYccDc(plantedVideoFrame(col("doc_id"), f), lit(72), 1, 1)): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.aviMjpegEncode(frames, 72, 64).as("avi"))
+        .select(col("doc_id"),
+          size(Multimodal.aviMjpegFrames(col("avi"))).cast("bigint").as("n_frames"),
+          upper(hex(Multimodal.jpegDecodeLuma(
+            element_at(Multimodal.aviMjpegFrames(col("avi")), 1)))).as("f0_px_hex"))
+    }),
+    // video near-dup on REAL MJPEG AVI bytes end-to-end (container walk →
+    // sampled frame luma decodes → per-frame dHash → ONE wide 128-bit
+    // signature through the shared banded LSH, each band = one frame's
+    // hash): re-keyed copies share footage bit-for-bit → exactly one
+    // hamming-0 pair per doc; independent ~iid tile plants keep cross
+    // pairs out of the hamming-1 ball (~4e-18 per pair)
+    "dedup_video" -> ((s, d) => {
+      val frames = array((0 until 2).map(f =>
+        Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.aviMjpegEncode(frames, 72, 32).as("avi"))
+        .transform(Caches.persisted)
+      val copies = base.select((col("id") + 100000L).as("id"), col("avi"))
+      Multimodal.videoNearDup(base.union(copies), 72, 32, nSample = 2, maxHamming = 1)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // audio near-dup on REAL WAV bytes end-to-end (PCM decode → 72-bucket
     // energy envelope → dHash → Hamming-LSH — dedup_image's argument on
     // the audio modality): 72 planted constant 16-sample segments give an
@@ -1732,6 +1806,30 @@ object SparkEntry {
     // bit-exact luma round-trip ⇒ copies pair at hamming 0; ~iid-coin
     // cross pairs never land within hamming 2
     "dedup_image_jpeg_color" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // frame-0 luma recomputed in closed form from the md5 tile plants
+    // (same folding as the jpeg oracles, 8 tile values per digest), laid
+    // out 72×64 over 8×8 tiles; n_frames is the planted count
+    "multimodal_avi" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 + 128 END
+              for i in range(0, 72)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+           array_to_string([repeat(array_to_string([repeat(hh[9 * r + c + 1], 8)
+                                                     for c in range(0, 9)], ''), 8)
+                            for r in range(0, 8)], '') AS f0_px_hex
+         FROM hx""",
+    // dedup_image's pair-set argument on video: copies share AVI bytes
+    // bit-for-bit → identical sampled-frame signatures → exactly one
+    // hamming-0 pair per doc
+    "dedup_video" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // dedup_image's pair-set argument on audio: copies share WAV bytes

@@ -843,6 +843,16 @@ object Native {
     override def nullSafeEval(input: Any): Any = {
       val px = input.asInstanceOf[Array[Byte]]
       if (px.length != imgW * imgH) return null
+      java.lang.Long.valueOf(DHash64.hash64(px, imgW, imgH))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  object DHash64 {
+    /** The hash core, callable from sibling expressions ([[MjpegClipSig]])
+      * without routing bytes back through a Column. Caller guarantees
+      * px.length == w·h. */
+    private[functions] def hash64(px: Array[Byte], imgW: Int, imgH: Int): Long = {
+      val GridW = 9; val GridH = 8
       // block sums over the 9×8 grid; cell (r,c) covers rows
       // [r·h/GH, (r+1)·h/GH) × cols [c·w/GW, (c+1)·w/GW)
       val sums = Array.ofDim[Long](GridH, GridW)
@@ -871,9 +881,8 @@ object Native {
         }
         r += 1
       }
-      java.lang.Long.valueOf(sig)
+      sig
     }
-    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** bpe_encode(ARRAY<STRING>) → ARRAY<STRING>: greedy byte-pair
@@ -2073,6 +2082,197 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** avi_mjpeg_encode(ARRAY<BINARY> frames; width, height, fps) → BINARY:
+    * a REAL, complete Motion-JPEG AVI (RIFF 'AVI ' with the canonical
+    * hdrl — avih main header, one 'vids'/'MJPG' stream with strh + strf
+    * BITMAPINFOHEADER — and a movi LIST of one '00dc' chunk per frame,
+    * odd-length payloads padded per RIFF). MJPEG is the one mainstream
+    * video codec whose frames are just baseline JPEGs, so the container
+    * plus [[JpegLumaDecode]] gives a REAL end-to-end video pixel path
+    * with no codec library. Fixture builder for [[AviMjpegFrames]] (the
+    * video sibling of [[JpegYccEncodeDc]]/the WAV header builder); layout
+    * is pinned against hand-computed hex in MultimodalSpec so builder and
+    * walker cannot share a compensating offset bug. Null on empty/null
+    * frames, non-positive dims, or fps outside [1, 1000]. */
+  case class AviMjpegEncode(child: Expression, frameW: Int, frameH: Int, fps: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(frameW > 0 && frameH > 0 && frameW <= 65535 && frameH <= 65535,
+      s"dims must be in [1, 65535], got ${frameW}x$frameH")
+    require(fps >= 1 && fps <= 1000, s"fps must be in [1, 1000], got $fps")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val frames = new Array[Array[Byte]](n)
+      var i = 0
+      var maxLen = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        frames(i) = arr.getBinary(i)
+        if (frames(i).length > maxLen) maxLen = frames(i).length
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def fcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Long): Unit = (0 until 4).foreach(j => out.write(((v >> (8 * j)) & 0xff).toInt))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      var moviContent = 4L // 'movi' type tag
+      frames.foreach(f => moviContent += 8L + f.length + (f.length & 1))
+      val hdrlList = 200L // LIST(8) + 'hdrl'(4) + avih(64) + strl LIST(124)
+      val riffSize = 4L + hdrlList + 8L + moviContent // 'AVI ' + hdrl + movi chunk
+      fcc("RIFF"); le32(riffSize); fcc("AVI ")
+      fcc("LIST"); le32(192L); fcc("hdrl") // 192 = 'hdrl'-less content + 4
+      fcc("avih"); le32(56L)
+      le32(1000000L / fps); le32(0L); le32(0L); le32(0L) // µs/frame, bytes/s, pad, flags
+      le32(n.toLong); le32(0L); le32(1L); le32(maxLen.toLong) // frames, initial, streams, bufsize
+      le32(frameW.toLong); le32(frameH.toLong)
+      le32(0L); le32(0L); le32(0L); le32(0L) // dwReserved[4]
+      fcc("LIST"); le32(116L); fcc("strl")
+      fcc("strh"); le32(56L)
+      fcc("vids"); fcc("MJPG")
+      le32(0L); le32(0L) // flags, priority+language
+      le32(0L); le32(1L); le32(fps.toLong) // initial frames, scale, rate
+      le32(0L); le32(n.toLong); le32(maxLen.toLong) // start, length, bufsize
+      le32(0xFFFFFFFFL); le32(0L) // quality (default), sample size
+      le16(0); le16(0); le16(frameW); le16(frameH) // rcFrame
+      fcc("strf"); le32(40L) // BITMAPINFOHEADER
+      le32(40L); le32(frameW.toLong); le32(frameH.toLong)
+      le16(1); le16(24) // planes, bit count
+      fcc("MJPG"); le32(frameW.toLong * frameH * 3)
+      le32(0L); le32(0L); le32(0L); le32(0L) // pels/meter, clr used/important
+      fcc("LIST"); le32(moviContent); fcc("movi")
+      frames.foreach { f =>
+        fcc("00dc"); le32(f.length.toLong)
+        out.write(f, 0, f.length)
+        if ((f.length & 1) == 1) out.write(0) // RIFF even-byte padding
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** avi_mjpeg_frames(BINARY; maxFrames) → ARRAY<BINARY>: REAL AVI
+    * container walk — RIFF signature + 'AVI ' form, top-level chunk hops
+    * (hdrl, idx1, JUNK, whatever else a muxer wrote) to the movi LIST,
+    * then one entry per video-frame chunk ('##dc' compressed / '##db'
+    * uncompressed, any stream number), each payload a standalone JPEG for
+    * MJPEG files ready for [[JpegLumaDecode]]. Chunk sizes are bounds-
+    * checked against the buffer and odd sizes consume their RIFF pad
+    * byte; anything structurally off (bad magic, overrunning chunk,
+    * missing movi) → null, never an error. `maxFrames` caps the output
+    * (decompression-bomb stance: a lying frame-count header can't demand
+    * unbounded allocation — extraction stops at the cap). Scale shape:
+    * map-side, one pass per row, no shuffle; frames feed per-frame
+    * expressions (decode, dHash) inside the same stage. */
+  case class AviMjpegFrames(child: Expression, maxFrames: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(maxFrames >= 1 && maxFrames <= 65536,
+      s"maxFrames must be in [1, 65536], got $maxFrames")
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val frames = Avi.framePayloads(input.asInstanceOf[Array[Byte]], maxFrames)
+      if (frames == null) null else new GenericArrayData(frames.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Shared AVI container walk behind [[AviMjpegFrames]] and
+    * [[MjpegClipSig]]. Returns the frame payload slices, or null off
+    * contract (same rules as the expression scaladoc). */
+  private object Avi {
+    private def fcc2(s: String): Int = {
+      val a = s.getBytes("US-ASCII")
+      (a(0) & 0xff) | ((a(1) & 0xff) << 8) | ((a(2) & 0xff) << 16) | ((a(3) & 0xff) << 24)
+    }
+    private val RIFF = fcc2("RIFF"); private val AVI = fcc2("AVI ")
+    private val LIST = fcc2("LIST"); private val MOVI = fcc2("movi")
+    def framePayloads(b: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
+      val n = b.length
+      if (n < 12) return null
+      def fcc(off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      def u32(off: Int): Long = fcc(off).toLong & 0xffffffffL
+      if (fcc(0) != RIFF || fcc(8) != AVI) return null
+      if (8L + u32(4) > n) return null // declared RIFF size overruns the buffer
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var p = 12
+      var moviSeen = false
+      while (p + 8 <= n && !moviSeen) {
+        val id = fcc(p); val size = u32(p + 4)
+        if (p + 8 + size > n) return null
+        if (id == LIST && size >= 4 && fcc(p + 8) == MOVI) {
+          moviSeen = true
+          var q = p + 12
+          val end = p + 8 + size.toInt
+          while (q + 8 <= end && frames.length < maxFrames) {
+            val cid = fcc(q); val csize = u32(q + 4)
+            if (q + 8 + csize > end) return null
+            // '##dc' / '##db': byte 2 = 'd', byte 3 = 'c' or 'b'
+            val b2 = (cid >> 16) & 0xff; val b3 = (cid >>> 24) & 0xff
+            if (b2 == 'd' && (b3 == 'c' || b3 == 'b')) {
+              val f = new Array[Byte](csize.toInt)
+              System.arraycopy(b, q + 8, f, 0, csize.toInt)
+              frames += f
+            }
+            q += 8 + csize.toInt + (csize & 1).toInt // RIFF pad to even
+          }
+        }
+        p += 8 + size.toInt + (size & 1).toInt
+      }
+      if (!moviSeen || frames.isEmpty) return null
+      frames.toArray
+    }
+  }
+
+  /** mjpeg_clip_sig(BINARY; frameW, frameH, nSample) → ARRAY<LONG>: the
+    * whole video-fingerprint front end — AVI walk, even frame sampling
+    * (index k·n/nSample, length-normalized), per-frame luma decode
+    * ([[Jpeg.decodeLumaPlane]]), per-frame [[DHash64]] — in ONE native
+    * pass per row. Null if the container is off contract, a sampled frame
+    * fails decode, or a frame's dims aren't frameW×frameH (all-or-nothing,
+    * same contract as the composed form).
+    *
+    * Why one expression instead of composing aviMjpegFrames → transform(
+    * jpegDecodeLuma → dHash): higher-order functions are CodegenFallback,
+    * so each of the signature's MANY references (the null-scrub reads it,
+    * the banded join's key array reads it once per band, the verify
+    * payload again) re-evaluates the ENTIRE subtree interpreted — and the
+    * lambda re-runs the container walk per sampled element. Measured on
+    * the sf0.1 corpus, the composed form evaluated the walk ~100× and the
+    * frame decodes ~36× per row (plan-level duplication, not a cache
+    * miss). This expression is a codegen-participating scalar, so
+    * subexpression elimination collapses every reference to ONE
+    * walk + nSample decodes per row. The composed form remains
+    * ([[graft.operators.Multimodal.videoFrameSigs]]) as the
+    * bit-agreement pin. */
+  case class MjpegClipSig(child: Expression, frameW: Int, frameH: Int, nSample: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(frameW >= 9 && frameH >= 8, s"frames must be ≥ 9×8, got ${frameW}x$frameH")
+    require(nSample >= 2 && nSample <= 64, s"nSample must be in [2, 64], got $nSample")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val frames = Avi.framePayloads(input.asInstanceOf[Array[Byte]], 65536)
+        if (frames == null || frames.length < nSample) return null
+        val sig = new Array[Long](nSample)
+        var k = 0
+        while (k < nSample) {
+          val idx = (k.toLong * frames.length / nSample).toInt
+          val px = Jpeg.decodeLumaPlane(frames(idx), allowColor = true)
+          if (px == null || px.length != frameW * frameH) return null
+          sig(k) = DHash64.hash64(px, frameW, frameH)
+          k += 1
+        }
+        new GenericArrayData(sig)
+      } catch { case _: Throwable => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotently register the native functions in the session's registry
     * (the public extension path when the session pre-exists; for
     * builder-owned sessions `withExtensions` would work equally). */
@@ -2156,6 +2356,12 @@ object Native {
       WavPcm16Stats(exprs(0), intLit(exprs(1), "silenceThreshold"))),
     "graft_wav_envelope" -> (exprs =>
       WavEnvelope(exprs(0), intLit(exprs(1), "nBuckets"))),
+    "graft_avi_mjpeg_encode" -> (exprs => AviMjpegEncode(exprs(0),
+      intLit(exprs(1), "width"), intLit(exprs(2), "height"), intLit(exprs(3), "fps"))),
+    "graft_avi_mjpeg_frames" -> (exprs =>
+      AviMjpegFrames(exprs(0), intLit(exprs(1), "maxFrames"))),
+    "graft_mjpeg_clip_sig" -> (exprs => MjpegClipSig(exprs(0),
+      intLit(exprs(1), "frameW"), intLit(exprs(2), "frameH"), intLit(exprs(3), "nSample"))),
     "graft_top_centroids" -> (exprs => TopCentroids(exprs(0),
       floatSeqSeqLit(exprs(1), "centroids"), intLit(exprs(2), "nprobe"))))
 
@@ -2249,6 +2455,17 @@ object Native {
   def wavEnvelope(wav: Column, nBuckets: Int): Column =
     call_function("graft_wav_envelope", wav,
       org.apache.spark.sql.functions.lit(nBuckets))
+  def aviMjpegEncode(frames: Column, width: Int, height: Int, fps: Int): Column =
+    call_function("graft_avi_mjpeg_encode", frames,
+      org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height),
+      org.apache.spark.sql.functions.lit(fps))
+  def aviMjpegFrames(avi: Column, maxFrames: Int): Column =
+    call_function("graft_avi_mjpeg_frames", avi,
+      org.apache.spark.sql.functions.lit(maxFrames))
+  def mjpegClipSig(avi: Column, frameW: Int, frameH: Int, nSample: Int): Column =
+    call_function("graft_mjpeg_clip_sig", avi,
+      org.apache.spark.sql.functions.lit(frameW), org.apache.spark.sql.functions.lit(frameH),
+      org.apache.spark.sql.functions.lit(nSample))
   def topCentroids(emb: Column, cents: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_top_centroids", emb,
       org.apache.spark.sql.functions.typedLit(cents),

@@ -584,6 +584,77 @@ object Multimodal {
   def wavPcm16Stats(wav: Column, silenceThreshold: Int = 328): Column =
     graft.functions.Native.wavPcm16Stats(wav, silenceThreshold)
 
+  /** Fixture-grade Motion-JPEG AVI ENCODE ([[graft.functions.Native
+    * .AviMjpegEncode]]): array of baseline-JPEG frame payloads → a real
+    * RIFF 'AVI ' container (hdrl with avih + 'vids'/'MJPG' stream
+    * headers, movi LIST of '00dc' chunks). MJPEG frames are standalone
+    * JPEGs, so this plus [[jpegDecodeLuma]] is a complete video pixel
+    * path with no codec library. */
+  def aviMjpegEncode(frames: Column, width: Int, height: Int, fps: Int = 25): Column =
+    graft.functions.Native.aviMjpegEncode(frames, width, height, fps)
+
+  /** REAL AVI container walk ([[graft.functions.Native.AviMjpegFrames]]):
+    * hop top-level chunks to the movi LIST and return the video-frame
+    * chunk payloads ('##dc'/'##db') as ARRAY<BINARY> — for MJPEG each
+    * element is a standalone baseline JPEG. Null off contract; output
+    * capped at `maxFrames` (bomb guard). */
+  def aviMjpegFrames(avi: Column, maxFrames: Int = 4096): Column =
+    graft.functions.Native.aviMjpegFrames(avi, maxFrames)
+
+  /** Fixed-width video fingerprint: sample `nSample` frames evenly across
+    * the clip (index k·n/nSample — length-normalized, so a re-muxed copy
+    * with the same content samples the same frames), luma-decode each
+    * ([[jpegDecodeLuma]]) and dHash it, yielding ARRAY<BIGINT>(nSample) —
+    * a 64·nSample-bit signature in exactly the wide-signature layout
+    * [[graft.operators.Dedup.hammingNearDup]] bands. All-or-nothing: a
+    * clip with fewer than nSample frames or any undecodable sampled
+    * frame yields null (it cannot be fingerprinted, not a zero-distance
+    * match). Map-side only — the container walk, decodes, and hashes all
+    * fuse into the payload scan. */
+  def videoFrameSigs(avi: Column, width: Int, height: Int, nSample: Int): Column = {
+    val frames = aviMjpegFrames(avi)
+    val n = size(frames)
+    val sig = transform(sequence(lit(0), lit(nSample - 1)),
+      k => dHash(jpegDecodeLuma(
+        element_at(frames, (floor(k * n / nSample) + 1).cast("int"))), width, height))
+    when(frames.isNotNull && n >= nSample && !exists(sig, _.isNull), sig)
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /** One-pass native form of [[videoFrameSigs]] ([[graft.functions.Native
+    * .MjpegClipSig]]): same sampling, decode, and null contract, but as a
+    * single codegen-participating scalar so the banded join's many
+    * signature references collapse to ONE walk + nSample decodes per row
+    * (the composed HOF form re-evaluates its whole subtree per reference
+    * — measured ~100 walks/row on the sf0.1 corpus; MultimodalSpec pins
+    * the two forms bit-equal). */
+  def mjpegClipSig(avi: Column, width: Int, height: Int, nSample: Int): Column =
+    graft.functions.Native.mjpegClipSig(avi, width, height, nSample)
+
+  /** Video near-dup on REAL MJPEG AVI payloads, end-to-end — the VIDEO
+    * sibling of the image/audio tiers: container walk → evenly-sampled
+    * frame luma decodes → per-frame dHash → ONE wide Hamming signature
+    * (64·nSample bits) through the shared banded-LSH core. With the
+    * default maxHamming = nSample−1 each band is exactly one sampled
+    * frame's dHash, so candidate blocking reads as "some sampled frame
+    * matches bit-for-bit", then the full-signature Hamming verify
+    * tolerates per-frame re-encode jitter. Catches re-keyed/re-muxed
+    * copies of the same footage; it is a duplicate detector, not a
+    * scene-level matcher. Undecodable clips drop at the scan; only the
+    * nSample-long signatures band. */
+  def videoNearDup(clips: DataFrame, width: Int, height: Int, nSample: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+    require(nSample >= 2, s"nSample must be >= 2 (wide signature), got $nSample")
+    require(maxHamming + 1 >= nSample,
+      s"maxHamming must be >= nSample - 1 so every band fits one 64-bit word " +
+        s"(got maxHamming=$maxHamming, nSample=$nSample)")
+    Dedup.hammingNearDup(
+      clips.select(col("id"),
+        mjpegClipSig(col("avi"), width, height, nSample).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize, sigBits = 64 * nSample)
+  }
+
   /** Length-normalized energy-envelope fingerprint front-end ([[graft
     * .functions.Native.WavEnvelope]]): PCM sample stream → nBuckets-byte
     * loudness contour, laid out so [[dHash]] consumes it as a bitmap. */

@@ -921,6 +921,158 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  // ---------- video: MJPEG AVI container + frame decode ----------
+
+  private def encAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 25): Array[Byte] =
+    Seq(Tuple1(frames)).toDF("f")
+      .select(Multimodal.aviMjpegEncode($"f", w, h, fps)).as[Array[Byte]].head()
+  private def decAvi(avi: Array[Byte], maxFrames: Int = 4096): Seq[Array[Byte]] = {
+    val r = Seq(Tuple1(avi)).toDF("a")
+      .select(Multimodal.aviMjpegFrames($"a", maxFrames)).collect().head
+    if (r.isNullAt(0)) null else r.getSeq[Array[Byte]](0)
+  }
+
+  test("aviMjpegEncode: byte layout matches hand-computed RIFF hex (the anti-compensating-bug pin)") {
+    // two toy payloads, the second odd-length to force the RIFF pad byte
+    val avi = encAvi(Seq(Array[Byte](0xAB.toByte, 0xCD.toByte), Array[Byte](1, 2, 3)), 320, 240, 25)
+    assert(avi != null)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    // movi content = 'movi'(4) + (8+2) + (8+3+1pad) = 26; riff = 4 + 200 + 8 + 26 = 238
+    val want =
+      "52494646" + "EE000000" + "41564920" +            // RIFF 238 'AVI '
+      "4C495354" + "C0000000" + "6864726C" +            // LIST 192 'hdrl'
+      "61766968" + "38000000" +                         // avih 56
+      "409C0000" + "00000000" + "00000000" + "00000000" + // 40000 µs/frame, 0, 0, 0
+      "02000000" + "00000000" + "01000000" + "03000000" + // 2 frames, 0, 1 stream, buf 3
+      "40010000" + "F0000000" +                         // 320 × 240
+      "00000000" * 4 +                                  // reserved
+      "4C495354" + "74000000" + "7374726C" +            // LIST 116 'strl'
+      "73747268" + "38000000" +                         // strh 56
+      "76696473" + "4D4A5047" +                         // 'vids' 'MJPG'
+      "00000000" + "00000000" + "00000000" +            // flags, prio/lang, initial
+      "01000000" + "19000000" +                         // scale 1, rate 25
+      "00000000" + "02000000" + "03000000" +            // start, length 2, buf 3
+      "FFFFFFFF" + "00000000" +                         // quality −1, sample size 0
+      "00000000" + "4001F000" +                         // rcFrame (0,0,320,240)
+      "73747266" + "28000000" +                         // strf 40
+      "28000000" + "40010000" + "F0000000" +            // biSize 40, 320, 240
+      "01001800" + "4D4A5047" + "00840300" +            // planes 1/bits 24, 'MJPG', 320·240·3
+      "00000000" * 4 +                                  // pels, clr
+      "4C495354" + "1A000000" + "6D6F7669" +            // LIST 26 'movi'
+      "30306463" + "02000000" + "ABCD" +                // 00dc 2
+      "30306463" + "03000000" + "010203" + "00"         // 00dc 3 + pad
+    assert(hex(avi) == want)
+  }
+
+  test("AVI round-trip: frames out == frames in, JPEG payloads included; walker hops junk and caps at maxFrames") {
+    val rnd = new scala.util.Random(83)
+    val jpegs = (0 until 5).map(_ =>
+      encYcc(mcuBitmap(16, 16, 1, 1, Array.fill(4)(cat7(rnd))), 16, 1, 1))
+    assert(jpegs.forall(_ != null))
+    val avi = encAvi(jpegs, 16, 16)
+    val got = decAvi(avi)
+    assert(got != null && got.length == 5)
+    got.zip(jpegs).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // each extracted frame is itself a decodable color JPEG
+    assert(decLuma(got.head) != null)
+    // a JUNK chunk spliced before the movi LIST is hopped, not fatal
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = avi.take(212) ++ junk ++ avi.drop(212) // 212 = RIFF(12) + hdrl LIST(200)
+    // RIFF size field must grow by the splice
+    val riffSize = (avi(4) & 0xff) | ((avi(5) & 0xff) << 8) | ((avi(6) & 0xff) << 16)
+    val newSize = riffSize + 12
+    spliced(4) = (newSize & 0xff).toByte; spliced(5) = ((newSize >> 8) & 0xff).toByte
+    spliced(6) = ((newSize >> 16) & 0xff).toByte
+    val hopped = decAvi(spliced)
+    assert(hopped != null && hopped.length == 5 && hopped.head.sameElements(jpegs.head))
+    // bomb stance: maxFrames caps extraction instead of allocating for a liar
+    assert(decAvi(avi, maxFrames = 2).length == 2)
+  }
+
+  test("aviMjpegFrames nulls off contract, never throws") {
+    val rnd = new scala.util.Random(89)
+    val jpeg = encYcc(mcuBitmap(16, 16, 1, 1, Array.fill(4)(cat7(rnd))), 16, 1, 1)
+    val avi = encAvi(Seq(jpeg), 16, 16)
+    assert(decAvi(avi) != null)
+    assert(decAvi("RIFFxxxxAVI but not really".getBytes("UTF-8")) == null)
+    assert(decAvi(Array[Byte](1, 2, 3)) == null)
+    // truncated mid-movi
+    assert(decAvi(avi.dropRight(10)) == null)
+    // a WAV is RIFF but not 'AVI ' form
+    assert(decAvi(wavOf(Array[Short](1, 2, 3, 4), 1, 8000)) == null)
+    // declared RIFF size overrunning the buffer
+    val lying = avi.clone(); lying(4) = (lying(4) + 64).toByte
+    assert(decAvi(lying) == null)
+  }
+
+  test("videoFrameSigs: identity at n == nSample, even sampling at n > nSample, null on short or corrupt clips") {
+    val rnd = new scala.util.Random(97)
+    val frames = (0 until 8).map(_ =>
+      encYcc(mcuBitmap(72, 64, 1, 1, Array.fill(72)(cat7(rnd))), 72, 1, 1))
+    val avi8 = encAvi(frames, 72, 64)
+    val avi4 = encAvi(Seq(0, 2, 4, 6).map(frames), 72, 64)
+    val df = Seq((1L, avi8), (2L, avi4)).toDF("id", "avi")
+      .select($"id", Multimodal.videoFrameSigs($"avi", 72, 64, 4).as("sig"))
+    val got = df.as[(Long, Seq[Long])].collect().toMap
+    // sampling 8 frames at nSample=4 picks exactly indices 0,2,4,6
+    assert(got(1L) == got(2L) && got(1L).length == 4)
+    // per-frame dHash equals the direct single-frame hash
+    val direct = Seq(Tuple1(frames.head)).toDF("j")
+      .select(Multimodal.dHash(Multimodal.jpegDecodeLuma($"j"), 72, 64)).as[Long].head()
+    assert(got(1L).head == direct)
+    // too few frames
+    val avi2 = encAvi(frames.take(2), 72, 64)
+    val short = Seq(Tuple1(avi2)).toDF("avi")
+      .select(Multimodal.videoFrameSigs($"avi", 72, 64, 4)).collect().head
+    assert(short.isNullAt(0))
+    // one sampled frame corrupt → whole signature null (all-or-nothing)
+    val corrupt = encAvi(frames.take(3) :+ "bad".getBytes("UTF-8"), 72, 64)
+    val cres = Seq(Tuple1(corrupt)).toDF("avi")
+      .select(Multimodal.videoFrameSigs($"avi", 72, 64, 4)).collect().head
+    assert(cres.isNullAt(0))
+  }
+
+  test("mjpegClipSig (one-pass native) agrees bit-for-bit with the composed videoFrameSigs form, nulls included") {
+    val rnd = new scala.util.Random(103)
+    def frame() = encYcc(mcuBitmap(72, 64, 1, 1, Array.fill(72)(cat7(rnd))), 72, 1, 1)
+    val clips = Seq(
+      (1L, encAvi((0 until 4).map(_ => frame()), 72, 64)),   // identity sampling
+      (2L, encAvi((0 until 7).map(_ => frame()), 72, 64)),   // uneven sampling
+      (3L, encAvi((0 until 2).map(_ => frame()), 72, 64)),   // too short → null
+      (4L, encAvi(Seq(frame(), frame(), "x".getBytes, frame()), 72, 64)), // corrupt frame → null
+      (5L, "not a container".getBytes("UTF-8")))             // off contract → null
+      .toDF("id", "avi")
+    val got = clips.select($"id",
+      Multimodal.videoFrameSigs($"avi", 72, 64, 4).as("composed"),
+      Multimodal.mjpegClipSig($"avi", 72, 64, 4).as("native"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null disagreement for id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"sig disagreement for id ${r.getLong(0)}")
+    }
+    assert(got.count(!_.isNullAt(2)) == 2)
+  }
+
+  test("videoNearDup pairs bit-identical MJPEG clips at hamming 0; a clip with one different frame stays out") {
+    val rnd = new scala.util.Random(101)
+    def frame(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      encYcc(mcuBitmap(72, 64, 1, 1, Array.fill(72)(cat7(r2))), 72, 1, 1)
+    }
+    def clip(seeds: Int*): Array[Byte] = encAvi(seeds.map(frame), 72, 64)
+    val clips = Seq(
+      (1L, clip(1, 2, 3, 4)), (2L, clip(1, 2, 3, 4)), // identical footage
+      (3L, clip(1, 2, 3, 9)), // shares 3 sampled frames — blocked as candidate, fails verify
+      (4L, clip(5, 6, 7, 8)),
+      (5L, "no video".getBytes("UTF-8")))
+      .toDF("id", "avi")
+    val pairs = Multimodal.videoNearDup(clips, 72, 64, nSample = 4, maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("bigint"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
   test("audioQualityGate: clean clips pass; clipped, silent, and corrupt clips fail with visible stats") {
     def tone(amp: Int, n: Int) = Array.tabulate(n)(i =>
       (if (i % 2 == 0) amp else -amp).toShort)
