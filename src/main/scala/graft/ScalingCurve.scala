@@ -64,7 +64,14 @@ object ScalingCurve {
     "sim_topk_ivfpq_incr",
     "dedup_image_png",
     "dedup_editsim",
-    "dedup_editsim_tok")
+    "dedup_editsim_tok",
+    // round-9 additions: the three new modality near-dup compositions —
+    // each is map-side decode (entropy-coded for JPEG/AVI) into the shared
+    // banded LSH, so the expected shape is scan-bound ~linear; anything
+    // superlinear means the candidate join or a plant degenerated
+    "dedup_image_jpeg_color",
+    "dedup_audio",
+    "dedup_video")
 
   private[graft] val FlagExponent = 1.3
 
