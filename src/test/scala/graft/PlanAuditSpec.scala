@@ -401,4 +401,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(df) == 1, s"expected one rollup exchange:\n$p")
     assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
   }
+
+  test("videoNearDup: the clip signature is the ONE-PASS native expression — no per-frame decode surfaces in the plan") {
+    // the HOF composition (aviMjpegFrames → transform(jpegDecodeLuma →
+    // dHash)) re-evaluates its whole CodegenFallback subtree once per
+    // signature REFERENCE (null scrub, each band key, verify payload) and
+    // re-walks the container per lambda element — measured ~100 walks and
+    // ~36 decodes per row before MjpegClipSig replaced it. This pin makes
+    // that recomposition unrepresentable: the decode must appear ONLY
+    // inside the native clip-sig expression, never as a standalone
+    // jpeg-decode node the optimizer can duplicate.
+    val clips = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("avi"))
+    val p = plan(Multimodal.videoNearDup(clips, 72, 32, nSample = 2, maxHamming = 1))
+      .toLowerCase
+    assert(p.contains("mjpegclipsig") || p.contains("graft_mjpeg_clip_sig"),
+      s"clip signature is not the native one-pass expression:\n$p")
+    assert(!p.contains("jpeglumadecode") && !p.contains("avimjpegframes"),
+      s"standalone walk/decode nodes in the near-dup plan — the HOF recomposition regression:\n$p")
+  }
+
+  test("modality decode tiers are map-side: WAV stats/gate and the AVI frame walk plan zero shuffles") {
+    val clips = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("wav"))
+    assert(exchanges(Multimodal.audioQualityGate(clips)) == 0)
+    val avis = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("avi"))
+    assert(exchanges(avis.select(
+      Multimodal.mjpegClipSig(col("avi"), 72, 32, 2),
+      size(Multimodal.aviMjpegFrames(col("avi"))))) == 0)
+    assert(exchanges(avis.select(
+      Multimodal.jpegDecodeLuma(col("avi")),
+      Multimodal.wavPcm16Stats(col("avi")))) == 0)
+  }
 }
