@@ -242,6 +242,9 @@ object Bench {
     // checkpoints j and j+1.
     val checkpointEvery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CHECKPOINT_EVERY", "15").toInt
+    require(checkpointEvery > 0,
+      s"SPARK_GRAFT_BENCH_CHECKPOINT_EVERY must be positive, got $checkpointEvery " +
+        "(0 divides the window index; negatives corrupt window attribution)")
     def microCheckpoint(): (Double, Double) = {
       def t(q: SparkSession => org.apache.spark.sql.DataFrame): Double =
         try {
@@ -301,7 +304,11 @@ object Bench {
         System.err.println(
           f"[bench] $name suspicious (median ${s0.median}%.2fs, min ${s0.min}%.2fs, load ${s0.load}%.2f) — re-measuring")
         val s1 = try measure(fn) catch { case _: Throwable => s0 }
-        (name, if (s1.median < s0.median) s1 else s0, true, window)
+        // if the RERUN timing is kept, it ran after the last checkpoint, so
+        // the first-pass window no longer brackets it — mark the window
+        // unknown (-1) instead of misattributing contamination
+        if (s1.median < s0.median) (name, s1, true, -1)
+        else (name, s0, true, window)
       }
     }
 
@@ -341,8 +348,29 @@ object Bench {
         f"[bench] CONTAMINATED: canary ${canarySec}%.3fs (floor ${CanaryFloorSec}%.3fs), " +
           f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
           f"(cap ${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}""")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
+    // Parse-proof delivery (nine rounds of `parsed: null` driver artifacts):
+    // the full record goes to a FILE the driver/judge can always read, and
+    // stdout gets BOTH the full line and — LAST — a compact line that is
+    // complete inside a 2000-char stdout tail (the full line is ~5 KB with
+    // 133 queries, so any tail-window parser sees only its truncated back
+    // half). Both print AFTER spark.stop() so no Spark shutdown logging can
+    // interleave mid-line when the caller merges stderr into stdout. The
+    // compact line's queries dict is explicitly partial — the `queries_total`
+    // vs `queries_included` pair and the `full` pointer say so (no silent
+    // caps); `value` is still the ALL-queries total.
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH.json"))
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+    val topQ = results.sortBy { case (_, s, _, _) => -s.median }.take(15)
+    val qsTop = topQ.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.median) }
+      .mkString("{", ",", "}")
+    val compactJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQ.size},"queries_total":${results.size},"sf":"$sfDir","contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"subset":${only.isDefined},"failed":${failures.size},"full":"BENCH.json"}"""
     spark.stop()
+    println(fullJson)
+    println(compactJson)
+    System.out.flush()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.sorted.mkString(", ")}")
       sys.exit(1)

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.util.control.NonFatal
+
 /** Native Catalyst expressions for the per-element hot loops where the
   * built-in higher-order functions (`transform`/`aggregate`) are the
   * bottleneck: HoFs evaluate one interpreted expression tree PER ARRAY
@@ -1167,7 +1169,7 @@ object Native {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
-      try decode(input.asInstanceOf[Array[Byte]]) catch { case _: Throwable => null }
+      try decode(input.asInstanceOf[Array[Byte]]) catch { case NonFatal(_) => null }
     private def decode(b: Array[Byte]): Array[Byte] = {
       if (b.length < 8 + 25 + 12 + 12) return null // sig + IHDR + IDAT + IEND
       var i = 0
@@ -1405,6 +1407,7 @@ object Native {
               if (q + 65 > p + len) return null
               val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
               if (pq != 0) return null // 16-bit tables: out of baseline contract
+              if (tq > 3) return null // T.81 B.2.4.1: Tq ∈ 0..3; 4-slot table
               var k = 0
               while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
               quantSeen(tq) = true
@@ -1791,7 +1794,7 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try Jpeg.decodeLumaPlane(input.asInstanceOf[Array[Byte]], allowColor = false)
-      catch { case _: Throwable => null }
+      catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -1818,7 +1821,7 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try Jpeg.decodeLumaPlane(input.asInstanceOf[Array[Byte]], allowColor = true)
-      catch { case _: Throwable => null }
+      catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -2168,8 +2171,8 @@ object Native {
     * expressions (decode, dHash) inside the same stage. */
   case class AviMjpegFrames(child: Expression, maxFrames: Int)
       extends UnaryExpression with NativeUnaryCodegen {
-    require(maxFrames >= 1 && maxFrames <= 65536,
-      s"maxFrames must be in [1, 65536], got $maxFrames")
+    require(maxFrames >= 1 && maxFrames <= ClipMaxFrames,
+      s"maxFrames must be in [1, $ClipMaxFrames], got $maxFrames")
     override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
@@ -2178,6 +2181,14 @@ object Native {
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** The ONE frame-walk cap shared by every video path — [[AviMjpegFrames]]'s
+    * upper bound and [[MjpegClipSig]]'s fixed walk depth. A single constant
+    * because the composed form ([[graft.operators.Multimodal.videoFrameSigs]])
+    * and the fused native form are pinned bit-equal: sampling index k·n/nSample
+    * depends on the frame COUNT, so two different caps would make the two
+    * forms sample different frames on long clips. */
+  val ClipMaxFrames = 65536
 
   /** Shared AVI container walk behind [[AviMjpegFrames]] and
     * [[MjpegClipSig]]. Returns the frame payload slices, or null off
@@ -2257,7 +2268,7 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try {
-        val frames = Avi.framePayloads(input.asInstanceOf[Array[Byte]], 65536)
+        val frames = Avi.framePayloads(input.asInstanceOf[Array[Byte]], ClipMaxFrames)
         if (frames == null || frames.length < nSample) return null
         val sig = new Array[Long](nSample)
         var k = 0
@@ -2269,7 +2280,7 @@ object Native {
           k += 1
         }
         new GenericArrayData(sig)
-      } catch { case _: Throwable => null }
+      } catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

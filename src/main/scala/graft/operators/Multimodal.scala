@@ -612,7 +612,10 @@ object Multimodal {
     * match). Map-side only — the container walk, decodes, and hashes all
     * fuse into the payload scan. */
   def videoFrameSigs(avi: Column, width: Int, height: Int, nSample: Int): Column = {
-    val frames = aviMjpegFrames(avi)
+    // same walk cap as the fused native form: the sampling index k·n/nSample
+    // depends on the frame COUNT, so a smaller cap here would make the two
+    // bit-equal-pinned forms sample different frames on >4096-frame clips
+    val frames = aviMjpegFrames(avi, graft.functions.Native.ClipMaxFrames)
     val n = size(frames)
     val sig = transform(sequence(lit(0), lit(nSample - 1)),
       k => dHash(jpegDecodeLuma(

@@ -129,6 +129,13 @@ object Sinks {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    /** Sibling of the store root (NOT inside it — compact() deletes the
+      * root), taken atomically by [[compact]] for its whole read→rewrite→
+      * delete→rename span. */
+    private def lockPath = new org.apache.hadoop.fs.Path(path + "__COMPACT_LOCK")
+    private def fileSystem() =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
     /** The raw append log (with `bucket` and `batch_id`); an unborn store
       * reads as empty rather than failing schema inference. */
     private def raw(): DataFrame =
@@ -149,13 +156,26 @@ object Sinks {
 
     /** Append one micro-batch delta (key, window_start, cnt) under
       * `batchId`. One writer per bucket directory (no-small-files rule);
-      * the delta never joins or reads existing state. */
-    def upsert(batch: DataFrame, batchId: Long): Unit =
+      * the delta never joins or reads existing state.
+      *
+      * Refuses (loudly) while a [[compact]] lock is held: a writer racing
+      * compact's non-atomic delete→rename window could append files that
+      * the delete removes or that land in the doomed old root — a SILENT
+      * loss of a committed micro-batch. Throwing instead makes the
+      * streaming engine retry the micro-batch with the same batchId once
+      * the lock clears, which last-write-wins resolution absorbs
+      * (retry rows are byte-identical). */
+    def upsert(batch: DataFrame, batchId: Long): Unit = {
+      if (fileSystem().exists(lockPath))
+        throw new IllegalStateException(
+          s"ParquetWindowStore: compact() in progress ($lockPath held) — " +
+            "refusing to append; the streaming engine will retry this batch")
       batch.select(col("key"), col("window_start"), col("cnt"),
           lit(batchId).as("batch_id"))
         .withColumn("bucket", bucketOf(col("key")))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("append").parquet(path)
+    }
 
     /** The resolved current state as a DataFrame — the concurrent-reader
       * surface (any session-side SQL composes over it). */
@@ -183,26 +203,46 @@ object Sinks {
       * batch_ids retained, so later appends still win) into a fresh
       * directory and swap it in. Maintenance op — a reader racing the
       * swap can observe the store momentarily empty (the [[raw]] guard),
-      * never a half-merged state; run it between reads like any LSM
-      * compaction. */
+      * never a half-merged state.
+      *
+      * WRITER exclusion is enforced, not just documented: the whole
+      * read→rewrite→delete→rename span runs under an atomically-created
+      * lock file ([[lockPath]]) that [[upsert]] checks — an upsert racing
+      * the non-atomic delete/rename window would otherwise append a
+      * committed micro-batch delta into the doomed old root and lose it
+      * silently. A concurrent compact() finding the lock held throws
+      * (FileAlreadyExists semantics of `create(…, overwrite = false)`);
+      * a job FAILURE releases the lock (the store root is only touched
+      * after the rewrite fully succeeds, so it is intact), while a JVM
+      * crash leaves the lock held — deliberate, because a dead compactor
+      * needs an operator's eye; delete the lock file to release. */
     def compact(): Unit = {
       if (!exists()) return
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key"), col("window_start"))
-        .orderBy(col("batch_id").desc)
-      val tmp = path + "__compacting"
-      spark.read.schema(schema).parquet(path)
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("key"), col("window_start"), col("cnt"), col("batch_id"))
-        .withColumn("bucket", bucketOf(col("key")))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val p = new org.apache.hadoop.fs.Path(path)
-      val t = new org.apache.hadoop.fs.Path(tmp)
-      val fs = p.getFileSystem(conf)
-      fs.delete(p, true)
-      fs.rename(t, p)
+      val fs = fileSystem()
+      // atomic take: create with overwrite=false fails iff already held
+      val lock = try fs.create(lockPath, false) catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"ParquetWindowStore: compact lock $lockPath already held " +
+              "(concurrent compact, or a crashed one — inspect and delete to release)", e)
+      }
+      lock.close()
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"), col("window_start"))
+          .orderBy(col("batch_id").desc)
+        val tmp = path + "__compacting"
+        spark.read.schema(schema).parquet(path)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("key"), col("window_start"), col("cnt"), col("batch_id"))
+          .withColumn("bucket", bucketOf(col("key")))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val t = new org.apache.hadoop.fs.Path(tmp)
+        fs.delete(p, true)
+        fs.rename(t, p)
+      } finally fs.delete(lockPath, false)
     }
   }
 

@@ -201,4 +201,29 @@ class JsonCodecSpec extends AnyFunSuite {
         .map(_._2) == Seq(1L, 1L))
     } finally q.stop()
   }
+
+  test("parquet window store: compact lock excludes writers loudly, never silently") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-lock").toString + "/store"
+    val pq = new Sinks.ParquetWindowStore(spark, dir, numBuckets = 4)
+    val delta = spark.range(1).select(lit("k").as("key"),
+      lit(ts("2025-01-01 10:00:00")).as("window_start"), lit(1L).as("cnt"))
+    pq.upsert(delta, 0L)
+    // a held lock makes upsert THROW (the streaming engine would retry the
+    // batch), never append into a root compact() is about to delete
+    val lock = new org.apache.hadoop.fs.Path(dir + "__COMPACT_LOCK")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] { pq.upsert(delta, 1L) }
+    assert(e.getMessage.contains("compact() in progress"))
+    // a second compactor cannot take the held lock either
+    intercept[IllegalStateException] { pq.compact() }
+    fs.delete(lock, false)
+    // lock released ⇒ both proceed, and compact leaves no lock behind
+    pq.upsert(delta, 1L)
+    pq.compact()
+    assert(!fs.exists(lock), "compact() must release its lock")
+    assert(pq.fetch("k", ts("2025-01-01 09:00:00"), ts("2025-01-01 11:00:00"))
+      .map(_._2) == Seq(1L))
+  }
 }
