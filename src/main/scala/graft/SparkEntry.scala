@@ -271,6 +271,17 @@ object SparkEntry {
     unhex(concat((0 until 72).map(i =>
       substring(md5(concat(docId.cast("string"), lit(s"-$i")).cast("binary")), 1, 2)): _*))
 
+  /** [[plantedBitmap]]'s COLOR sibling: 9×8 interleaved RGB(A) — pixel i's
+    * channels are the first 3 (4 with alpha) md5 bytes of "<doc_id>-pc<i>".
+    * Channels stay iid across pixels, so the derived ITU-R 601 luma plane
+    * is ~iid too and the dedup_image cross-pair analytics carry over to
+    * real truecolor PNG bytes. */
+  private def plantedRgbBitmap(docId: org.apache.spark.sql.Column,
+      alpha: Boolean = false): org.apache.spark.sql.Column =
+    unhex(concat((0 until 72).map(i =>
+      substring(md5(concat(docId.cast("string"), lit(s"-pc$i")).cast("binary")),
+        1, if (alpha) 8 else 6)): _*))
+
   /** DC-category-7 block value from the first md5 byte of
     * "<doc_id>-<tag><idx>": low = raw mod 128; low < 64 → low+1, else
     * low+128 — always in [1,64] ∪ [192,255], the [[graft.functions.Native
@@ -960,6 +971,46 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             filterMode = -1, stored = false).as("png"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("png"))
+      Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+    // REAL COLOR PNG pixel decode, hash-oracled (the stored-block move,
+    // truecolor edition): the planted 9×8 RGB bitmap is encoded into a
+    // GENUINE color-type-2 PNG (stored deflate + filter 0), then decoded
+    // through the real chunk-walk → Inflater → bpp-aware unfilter →
+    // exact-integer ITU-R 601 luma path. Two independent pins per doc:
+    // `px_hex` (the decoder's luma must equal the oracle's OWN luma
+    // recomputation from the planted channel bytes — the formula lives in
+    // BOTH engines) and `blob_rgb_hex` (the interleaved RGB bytes sliced
+    // straight out of the blob at the PNG+zlib spec offsets — 43-byte
+    // header, then per row 5 stored-block bytes + 1 filter byte before
+    // its 27 channel bytes — proving the encoder wrote a spec-layout
+    // truecolor PNG rather than sharing a compensating bug with the
+    // decoder). RGBA + all-filter + real-deflate decode is pinned by
+    // dedup_image_png_color and the MultimodalSpec round-trips.
+    "multimodal_decode_png_color" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
+            filterMode = 0, stored = true).as("png"))
+        .select(
+          col("doc_id"),
+          hex(Multimodal.pngDecodeLuma(col("png"))).as("px_hex"),
+          concat((0 until 8).map(r =>
+            hex(col("png").substr(lit(50 + 33 * r), lit(27)))): _*).as("blob_rgb_hex"))),
+    // image near-dup on REAL TRUECOLOR PNG bytes end-to-end (RGBA decode →
+    // luma → dHash → Hamming-LSH): color type 6 with a planted alpha
+    // channel (ignored by luma — pinned here, because a decoder that read
+    // alpha as a color channel would shift every luma byte), per-scanline
+    // filters cycling 0..4 and REAL deflate, so the full color inflate +
+    // bpp-aware unfilter path sits inside the oracled query; re-keyed
+    // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
+    "dedup_image_png_color" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id"), alpha = true), lit(9),
+            filterMode = -1, stored = false, alpha = true).as("png"))
       val copies = base.select((col("id") + 100000L).as("id"), col("png"))
       Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
@@ -1748,6 +1799,34 @@ object SparkEntry {
     // round-trips bit-exactly, so copies pair at hamming 0 and iid-coin
     // cross pairs never land within hamming 2
     "dedup_image_png" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // color edition of the multimodal_decode pin, with the two columns now
+    // INDEPENDENT: px_hex must equal the oracle's own exact-integer ITU-R
+    // 601 luma over the planted channel bytes (channel ch of pixel i = md5
+    // hex chars 2ch+1..2ch+2 of "<doc_id>-pc<i>"), and blob_rgb_hex must
+    // equal the raw planted RGB bytes — the stored-block layout lets the
+    // oracle slice them with no zlib
+    "multimodal_decode_png_color" ->
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS r,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
+              for i in range(0, 72)] AS g,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
+              for i in range(0, 72)] AS b
+           FROM documents)
+         SELECT doc_id,
+           upper(array_to_string([lpad(to_hex((299 * r[i+1] + 587 * g[i+1] + 114 * b[i+1] + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 6)
+             for i in range(0, 72)], '')) AS blob_rgb_hex
+         FROM c""",
+    // identical pair-set argument to dedup_image_png on TRUECOLOR payloads:
+    // decode(encode(RGBA bitmap)) luma round-trips bit-exactly, so copies
+    // pair at hamming 0 and ~iid-luma cross pairs never land within
+    // hamming 2
+    "dedup_image_png_color" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // both pixel columns must equal the analytic plant: block value

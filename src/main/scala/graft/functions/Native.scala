@@ -1026,6 +1026,108 @@ object Native {
       val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
     }
+    /** bytes-per-pixel for the supported bit-depth-8 color types; -1 for
+      * anything out of contract (palette 3, gray+alpha 4, 16-bit). */
+    def bppOf(colorType: Int): Int = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB truecolor
+      case 6 => 4 // RGBA truecolor + alpha
+      case _ => -1
+    }
+    /** ITU-R 601 luma in exact integer arithmetic — the ONE formula shared
+      * by the decoder, the fixture oracles, and the tests, chosen because a
+      * SQL oracle can recompute it verbatim: (299·R + 587·G + 114·B + 500)
+      * / 1000 with truncating division (coefficients sum to 1000, so the
+      * result is always in 0..255). */
+    def luma601(r: Int, g: Int, bch: Int): Int = (299 * r + 587 * g + 114 * bch + 500) / 1000
+
+    /** Shared REAL-decode core: full signature + IHDR validation with chunk
+      * CRC32 checks, multi-IDAT walk, zlib inflate, per-scanline unfilter of
+      * all five filter types with bpp-aware left/up-left neighbors (PNG §9:
+      * `a`/`c` are the bytes one PIXEL left, i.e. bpp bytes back). Returns
+      * (width, height, colorType, interleaved pixel bytes), or null on
+      * anything off contract: wrong signature, bad CRC, bit depth ≠ 8,
+      * color type outside {0, 2, 6}, interlace, truncated/overlong zlib,
+      * unknown filter, or a header demanding more than [[MaxPixels]] BYTES
+      * (the bomb cap is on the allocation, so color types divide the pixel
+      * budget by their bpp). */
+    def decodeImage(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      if (b.length < 8 + 25 + 12 + 12) return null // sig + IHDR + IDAT + IEND
+      var i = 0
+      while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
+      // IHDR: mandatory first chunk at offset 8, length 13
+      if (u32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+        return null
+      if (crc32(b, 12, 17) != u32(b, 29)) return null
+      val w = u32(b, 16)
+      val h = u32(b, 20)
+      val colorType = b(25) & 0xff
+      val bpp = bppOf(colorType)
+      // bit depth 8, supported color type, compression 0, filter 0,
+      // interlace 0 — anything else is out of this decoder's contract
+      if (b(24) != 8 || bpp < 0 || b(26) != 0 || b(27) != 0 || b(28) != 0) return null
+      // reject each dimension BEFORE multiplying: w and h are u32 values
+      // up to 2^32-1, so w*h can wrap past Long.MaxValue and a crafted
+      // header would slip a negative product past the byte cap
+      if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels ||
+          w * h > MaxPixels.toLong / bpp) return null
+      val wi = w.toInt; val hi = h.toInt
+      // chunk walk: concatenate IDAT payloads (spec: consecutive IDATs
+      // form ONE zlib stream), stop at IEND, CRC-check every chunk read
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 33
+      var sawEnd = false
+      while (!sawEnd) {
+        if (p + 12 > b.length) return null
+        val len = u32(b, p)
+        if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) return null
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        if (crc32(b, p + 4, 4 + len.toInt) != u32(b, p + 8 + len.toInt)) return null
+        if (typ == "IDAT") idat.write(b, p + 8, len.toInt)
+        else if (typ == "IEND") sawEnd = true
+        p += 12 + len.toInt
+      }
+      // zlib inflate into the exact raw size; any length mismatch is corrupt
+      val rowBytes = wi * bpp
+      val raw = new Array[Byte]((rowBytes + 1) * hi)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+          off += n
+        }
+        if (off != raw.length || !inf.finished()) return null
+      } finally inf.end()
+      // unfilter: each scanline's filter byte selects the reconstruction
+      // over (left a, up b, up-left c) — a and c sit bpp BYTES back
+      val out = new Array[Byte](rowBytes * hi)
+      var r = 0
+      while (r < hi) {
+        val ft = raw(r * (rowBytes + 1)) & 0xff
+        if (ft > 4) return null
+        var c = 0
+        while (c < rowBytes) {
+          val x = raw(r * (rowBytes + 1) + 1 + c) & 0xff
+          val a = if (c >= bpp) out(r * rowBytes + c - bpp) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * rowBytes + c) & 0xff else 0
+          val ul = if (r > 0 && c >= bpp) out((r - 1) * rowBytes + c - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + (a + up) / 2
+            case 4 => x + paeth(a, up, ul)
+          }
+          out(r * rowBytes + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      (wi, hi, colorType, out)
+    }
   }
 
   /** png_encode_gray8(BINARY pixels, width, filterMode, stored) → BINARY:
@@ -1145,6 +1247,119 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** png_encode_rgb(BINARY pixels, width; filterMode, stored, alpha) →
+    * BINARY: [[PngGray8Encode]]'s COLOR edition — a real, complete
+    * truecolor PNG (color type 2, or 6 with `alpha`) from interleaved
+    * RGB(A) bytes, height = len/(width·bpp). Same two fixture modes: the
+    * default real-deflate path with a per-scanline `filterMode` (−1
+    * cycles `row % 5` — the round-trip property configuration; the
+    * forward filter's `a`/`c` neighbors sit bpp bytes back per PNG §9),
+    * and `stored` zlib STORED blocks (one per scanline) which with
+    * filterMode 0 put the RGB(A) bytes VERBATIM at analytic offsets —
+    * sig(8) + IHDR(25) + IDAT hdr(8) + zlib hdr(2) = 43, then per row 5
+    * stored-block bytes + 1 filter byte before its width·bpp pixel bytes
+    * — the stored-block oracle move, color edition: a SQL oracle with no
+    * zlib slices R, G, B straight out of the blob and recomputes
+    * [[Png.luma601]] itself. Any standards-compliant reader decodes the
+    * output (ImageIO cross-pins it). Fixture builder; production writes
+    * PNGs with a codec, not Spark. */
+  case class PngRgbEncode(left: Expression, right: Expression,
+      filterMode: Int, stored: Boolean, alpha: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(filterMode >= -1 && filterMode <= 4, s"filterMode in -1..4, got $filterMode")
+    private val bpp = if (alpha) 4 else 3
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % (w * bpp) != 0) return null
+      val h = pixels.length / (w * bpp)
+      val rowBytes = w * bpp
+      // forward-filter into the raw stream: 1 filter-type byte + rowBytes/row
+      val raw = new Array[Byte]((rowBytes + 1) * h)
+      var r = 0
+      while (r < h) {
+        val ft = if (filterMode < 0) r % 5 else filterMode
+        raw(r * (rowBytes + 1)) = ft.toByte
+        var c = 0
+        while (c < rowBytes) {
+          val x = pixels(r * rowBytes + c) & 0xff
+          val a = if (c >= bpp) pixels(r * rowBytes + c - bpp) & 0xff else 0
+          val up = if (r > 0) pixels((r - 1) * rowBytes + c) & 0xff else 0
+          val ul = if (r > 0 && c >= bpp) pixels((r - 1) * rowBytes + c - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - up
+            case 3 => x - (a + up) / 2
+            case 4 => x - Png.paeth(a, up, ul)
+          }
+          raw(r * (rowBytes + 1) + 1 + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      // zlib stream over the raw scanlines (same framing as the gray fixture)
+      val z = new java.io.ByteArrayOutputStream()
+      if (stored) {
+        if (rowBytes + 1 > 65535) return null // stored LEN is u16 — refuse, don't truncate
+        z.write(0x78); z.write(0x01)
+        var r2 = 0
+        while (r2 < h) {
+          val len = rowBytes + 1
+          z.write(if (r2 == h - 1) 1 else 0)
+          z.write(len & 0xff); z.write((len >> 8) & 0xff)
+          z.write(~len & 0xff); z.write((~len >> 8) & 0xff)
+          z.write(raw, r2 * (rowBytes + 1), len)
+          r2 += 1
+        }
+        val ad = new java.util.zip.Adler32()
+        ad.update(raw)
+        val a = ad.getValue
+        z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+        z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+      } else {
+        val d = new java.util.zip.Deflater(6, false)
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](4096)
+          while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+        } finally d.end()
+      }
+      val idat = z.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Png.Signature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td)
+        val c = Png.crc32(td, 0, td.length)
+        out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+        out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = 8; ihdr(9) = (if (alpha) 6 else 2).toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** png_decode_gray8(BINARY) → BINARY: REAL PNG pixel decode for 8-bit
     * grayscale (bit depth 8, color type 0, no interlace) — full signature
     * + IHDR validation with chunk CRC32 checks, multi-IDAT chunk walk,
@@ -1169,81 +1384,51 @@ object Native {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
-      try decode(input.asInstanceOf[Array[Byte]]) catch { case NonFatal(_) => null }
-    private def decode(b: Array[Byte]): Array[Byte] = {
-      if (b.length < 8 + 25 + 12 + 12) return null // sig + IHDR + IDAT + IEND
-      var i = 0
-      while (i < 8) { if (b(i) != Png.Signature(i)) return null; i += 1 }
-      // IHDR: mandatory first chunk at offset 8, length 13
-      if (Png.u32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
-        return null
-      if (Png.crc32(b, 12, 17) != Png.u32(b, 29)) return null
-      val w = Png.u32(b, 16)
-      val h = Png.u32(b, 20)
-      // reject each dimension BEFORE multiplying: w and h are u32 values
-      // up to 2^32-1, so w*h can wrap past Long.MaxValue and a crafted
-      // header would slip a negative product past the pixel cap
-      if (w <= 0 || h <= 0 || w > Png.MaxPixels || h > Png.MaxPixels ||
-          w * h > Png.MaxPixels) return null
-      // bit depth 8, color type 0 (grayscale), compression 0, filter 0,
-      // interlace 0 — anything else is out of this decoder's contract
-      if (b(24) != 8 || b(25) != 0 || b(26) != 0 || b(27) != 0 || b(28) != 0) return null
-      val wi = w.toInt; val hi = h.toInt
-      // chunk walk: concatenate IDAT payloads (spec: consecutive IDATs
-      // form ONE zlib stream), stop at IEND, CRC-check every chunk read
-      val idat = new java.io.ByteArrayOutputStream()
-      var p = 33
-      var sawEnd = false
-      while (!sawEnd) {
-        if (p + 12 > b.length) return null
-        val len = Png.u32(b, p)
-        if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) return null
-        val typ = new String(b, p + 4, 4, "US-ASCII")
-        if (Png.crc32(b, p + 4, 4 + len.toInt) != Png.u32(b, p + 8 + len.toInt)) return null
-        if (typ == "IDAT") idat.write(b, p + 8, len.toInt)
-        else if (typ == "IEND") sawEnd = true
-        p += 12 + len.toInt
-      }
-      // zlib inflate into the exact raw size; any length mismatch is corrupt
-      val raw = new Array[Byte]((wi + 1) * hi)
-      val inf = new java.util.zip.Inflater()
       try {
-        inf.setInput(idat.toByteArray)
-        var off = 0
-        while (off < raw.length && !inf.finished()) {
-          val n = inf.inflate(raw, off, raw.length - off)
-          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
-          off += n
+        // the shared core decodes types 0/2/6; THIS expression's published
+        // contract is gray8-only, so color results null out here
+        val d = Png.decodeImage(input.asInstanceOf[Array[Byte]])
+        if (d == null || d._3 != 0) null else d._4
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** png_decode_luma(BINARY) → BINARY: [[PngGray8Decode]] widened to the
+    * PNGs real crawls actually carry — bit-depth-8 color types 0
+    * (grayscale), 2 (RGB), and 6 (RGBA) through the SAME validated
+    * chunk-walk → Inflater → bpp-aware unfilter core ([[Png.decodeImage]])
+    * — returning the width×height row-major LUMA plane ([[DHash64]]'s
+    * exact input). Grayscale decodes byte-identically to
+    * [[PngGray8Decode]]; color converts per pixel with [[Png.luma601]]
+    * (exact integer ITU-R 601, so the hash — and the SQL oracle — are
+    * bit-stable); RGBA ignores alpha (perceptual hashes are luminance
+    * functions; compositing against an assumed background would invent
+    * data). Null, never an error, off contract: palette (type 3),
+    * gray+alpha (4), 16-bit, interlace, bad CRC/zlib/filter, or a header
+    * demanding more than [[Png.MaxPixels]] BYTES. This is the image-dedup
+    * default decode for PNG payloads; the gray8 expression remains as the
+    * narrow-contract pin. Scale shape: map-side, one pass per row, no
+    * shuffle — fuses into whatever scan carries the payload column. */
+  case class PngLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val d = Png.decodeImage(input.asInstanceOf[Array[Byte]])
+        if (d == null) return null
+        val (w, h, colorType, px) = d
+        if (colorType == 0) return px
+        val bpp = Png.bppOf(colorType)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          val o = i * bpp
+          out(i) = Png.luma601(px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff).toByte
+          i += 1
         }
-        if (off != raw.length || !inf.finished()) return null
-      } finally inf.end()
-      // unfilter (bpp = 1): each scanline's filter byte selects the
-      // reconstruction over (left a, up b, up-left c) neighbors
-      val out = new Array[Byte](wi * hi)
-      var r = 0
-      while (r < hi) {
-        val ft = raw(r * (wi + 1)) & 0xff
-        if (ft > 4) return null
-        var c = 0
-        while (c < wi) {
-          val x = raw(r * (wi + 1) + 1 + c) & 0xff
-          val a = if (c > 0) out(r * wi + c - 1) & 0xff else 0
-          val up = if (r > 0) out((r - 1) * wi + c) & 0xff else 0
-          val ul = if (r > 0 && c > 0) out((r - 1) * wi + c - 1) & 0xff else 0
-          val v = ft match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + up
-            case 3 => x + (a + up) / 2
-            case 4 => x + Png.paeth(a, up, ul)
-          }
-          out(r * wi + c) = (v & 0xff).toByte
-          c += 1
-        }
-        r += 1
-      }
-      out
-    }
+        out
+      } catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -2357,6 +2542,10 @@ object Native {
       PngGray8Encode(exprs(0), exprs(1),
         intLit(exprs(2), "filterMode"), boolLit(exprs(3), "stored"))),
     "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))),
+    "graft_png_encode_rgb" -> (exprs =>
+      PngRgbEncode(exprs(0), exprs(1), intLit(exprs(2), "filterMode"),
+        boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
+    "graft_png_decode_luma" -> (exprs => PngLumaDecode(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
     "graft_jpeg_encode_ycc_dc" -> (exprs => JpegYccEncodeDc(exprs(0), exprs(1),
@@ -2449,6 +2638,14 @@ object Native {
       org.apache.spark.sql.functions.lit(stored))
   def pngDecodeGray8(png: Column): Column =
     call_function("graft_png_decode_gray8", png)
+  def pngEncodeRgb(pixels: Column, width: Column,
+      filterMode: Int = 0, stored: Boolean = false, alpha: Boolean = false): Column =
+    call_function("graft_png_encode_rgb", pixels, width,
+      org.apache.spark.sql.functions.lit(filterMode),
+      org.apache.spark.sql.functions.lit(stored),
+      org.apache.spark.sql.functions.lit(alpha))
+  def pngDecodeLuma(png: Column): Column =
+    call_function("graft_png_decode_luma", png)
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
     call_function("graft_jpeg_encode_gray8_dc", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =

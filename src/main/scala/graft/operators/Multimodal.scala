@@ -447,17 +447,38 @@ object Multimodal {
       filterMode: Int = 0, stored: Boolean = false): Column =
     graft.functions.Native.pngEncodeGray8(pixels, width, filterMode, stored)
 
-  /** Image near-dup on REAL PNG payloads, end-to-end: [[pngDecodeGray8]]
+  /** LUMA-plane decode for PNGs, gray OR color ([[graft.functions.Native
+    * .PngLumaDecode]]): color type 0 decodes byte-identically to
+    * [[pngDecodeGray8]] (shared core); types 2 (RGB) and 6 (RGBA) convert
+    * per pixel with exact-integer ITU-R 601 luma (alpha ignored — dHash is
+    * a luminance function). This is the decode a crawl-image dedup
+    * pipeline actually needs: real crawl PNGs are overwhelmingly color. */
+  def pngDecodeLuma(png: Column): Column =
+    graft.functions.Native.pngDecodeLuma(png)
+
+  /** [[pngEncodeGray8]]'s COLOR edition ([[graft.functions.Native
+    * .PngRgbEncode]]): interleaved RGB (or RGBA with `alpha`) bytes →
+    * genuine truecolor PNG; `stored = true` puts the channel bytes at
+    * analytic offsets for the SQL oracle, `filterMode = -1` cycles all
+    * five scanline filters for round-trip coverage. */
+  def pngEncodeRgb(pixels: Column, width: Column,
+      filterMode: Int = 0, stored: Boolean = false, alpha: Boolean = false): Column =
+    graft.functions.Native.pngEncodeRgb(pixels, width, filterMode, stored, alpha)
+
+  /** Image near-dup on REAL PNG payloads, end-to-end: [[pngDecodeLuma]]
     * → [[dHash]] → the shared Hamming-banded LSH core — the composition
     * [[imageNearDup]] runs on pre-decoded bitmaps, now from actual image
-    * bytes. Undecodable payloads (corrupt, non-PNG, non-gray8) drop at
-    * the decode stage, before any shuffle; only the 8-byte signatures
-    * band. `images` carries (id, png BINARY) of `width`×`height` images. */
+    * bytes. Covers grayscale AND truecolor (RGB/RGBA) PNGs — the full
+    * crawl-PNG population; the gray8-only decode previously nulled the
+    * color payloads real crawls overwhelmingly carry. Undecodable
+    * payloads (corrupt, non-PNG, palette/16-bit/interlaced) drop at the
+    * decode stage, before any shuffle; only the 8-byte signatures band.
+    * `images` carries (id, png BINARY) of `width`×`height` images. */
   def imageNearDupPng(images: DataFrame, width: Int, height: Int,
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(pngDecodeGray8(col("png")), width, height).as("sig"))
+        dHash(pngDecodeLuma(col("png")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

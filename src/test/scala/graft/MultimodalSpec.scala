@@ -452,6 +452,129 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val pixBytes: Array[Byte] =
     Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
 
+  // ---- truecolor PNG: RGB(A) encode fixture, luma decode, ImageIO pins ----
+
+  /** The decoder's exact luma formula (Native.Png.luma601) re-stated
+    * independently — integer ITU-R 601 with truncating division. */
+  private def luma601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b + 500) / 1000
+  /** Deterministic interleaved RGB(A) test pixels. */
+  private def rgbPix(n: Int, bpp: Int): Array[Byte] =
+    Array.tabulate(n * bpp)(i => ((i * 2654435761L >> 5) & 0xff).toByte)
+  private def lumaOf(px: Array[Byte], bpp: Int): Array[Byte] =
+    Array.tabulate(px.length / bpp) { i =>
+      luma601(px(i * bpp) & 0xff, px(i * bpp + 1) & 0xff, px(i * bpp + 2) & 0xff).toByte
+    }
+  private def encRgb(px: Array[Byte], w: Int, fm: Int, st: Boolean, alpha: Boolean): Array[Byte] =
+    Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.pngEncodeRgb($"px", lit(w), fm, st, alpha)).as[Array[Byte]].head()
+  private def decPngLuma(b: Array[Byte]): Array[Byte] =
+    Seq(Tuple1(b)).toDF("png")
+      .select(Multimodal.pngDecodeLuma($"png")).as[Array[Byte]].head()
+
+  test("color PNG round-trip: decodeLuma(encodeRgb(px)) == exact-integer luma, all filters, RGB and RGBA, stored and deflated") {
+    for {
+      (w, h) <- Seq((13, 7), (9, 8), (1, 1), (32, 5))
+      fm <- Seq(-1, 0, 1, 2, 3, 4)
+      st <- Seq(true, false)
+      alpha <- Seq(false, true)
+    } {
+      val bpp = if (alpha) 4 else 3
+      val px = rgbPix(w * h, bpp)
+      val got = decPngLuma(encRgb(px, w, fm, st, alpha))
+      assert(got != null && got.sameElements(lumaOf(px, bpp)),
+        s"color round-trip failed w=$w h=$h fm=$fm stored=$st alpha=$alpha")
+    }
+  }
+
+  test("pngDecodeLuma on GRAYSCALE PNGs is byte-identical to pngDecodeGray8 (shared core, superset contract)") {
+    for (fm <- Seq(-1, 0, 4); st <- Seq(true, false)) {
+      val png = Seq(Tuple1(pixBytes)).toDF("px")
+        .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = fm, stored = st))
+        .as[Array[Byte]].head()
+      val viaGray = Seq(Tuple1(png)).toDF("png")
+        .select(Multimodal.pngDecodeGray8($"png")).as[Array[Byte]].head()
+      val viaLuma = decPngLuma(png)
+      assert(viaGray != null && viaLuma != null && viaGray.sameElements(viaLuma))
+    }
+  }
+
+  test("alpha never leaks into luma: RGBA images differing ONLY in alpha decode identically") {
+    val w = 9; val h = 8
+    val rgba = rgbPix(w * h, 4)
+    val rgbaOtherAlpha = rgba.clone()
+    var i = 3
+    while (i < rgbaOtherAlpha.length) { rgbaOtherAlpha(i) = (~rgbaOtherAlpha(i)).toByte; i += 4 }
+    val a = decPngLuma(encRgb(rgba, w, -1, st = false, alpha = true))
+    val b = decPngLuma(encRgb(rgbaOtherAlpha, w, -1, st = false, alpha = true))
+    assert(a != null && b != null && a.sameElements(b))
+  }
+
+  test("pngEncodeRgb emits a REAL truecolor PNG: ImageIO reads back the exact planted channels (both color types)") {
+    for (alpha <- Seq(false, true)) {
+      val bpp = if (alpha) 4 else 3
+      val w = 13; val h = 7
+      val px = rgbPix(w * h, bpp)
+      val png = encRgb(px, w, -1, st = false, alpha = alpha)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, "ImageIO rejected the encoder's output")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * bpp
+        assert(((argb >> 16) & 0xff) == (px(o) & 0xff), s"R mismatch at ($x,$y) alpha=$alpha")
+        assert(((argb >> 8) & 0xff) == (px(o + 1) & 0xff), s"G mismatch at ($x,$y) alpha=$alpha")
+        assert((argb & 0xff) == (px(o + 2) & 0xff), s"B mismatch at ($x,$y) alpha=$alpha")
+        if (alpha)
+          assert(((argb >>> 24) & 0xff) == (px(o + 3) & 0xff), s"A mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("pngDecodeLuma decodes an EXTERNALLY-encoded color PNG (ImageIO writer) to the exact luma — lossless, no tolerance") {
+    val w = 17; val h = 9
+    val px = rgbPix(w * h, 3)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y,
+        ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) | (px(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val got = decPngLuma(bos.toByteArray)
+    // PNG is lossless and the luma formula is exact integer arithmetic, so
+    // cross-decoder equality is EXACT (unlike the ±1 IDCT JPEG pins)
+    assert(got != null && got.sameElements(lumaOf(px, 3)),
+      "third-party color PNG decoded wrong")
+  }
+
+  test("pngDecodeLuma nulls on palette and 16-bit PNGs (out of contract), never misparses") {
+    // ImageIO writes TYPE_BYTE_INDEXED as a palette (color type 3) PNG and
+    // TYPE_USHORT_GRAY as 16-bit — both outside the bit-depth-8 0/2/6
+    // contract; a decoder that misparsed them would emit garbage luma
+    for (imgType <- Seq(java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)) {
+      val img = new java.awt.image.BufferedImage(8, 8, imgType)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      assert(decPngLuma(bos.toByteArray) == null, s"type $imgType must null out")
+    }
+    // and the usual corrupt-payload stance
+    assert(decPngLuma("not a png at all, truly".getBytes("UTF-8")) == null)
+  }
+
+  test("imageNearDupPng pairs identical TRUECOLOR PNGs at hamming 0 through the real color decode path") {
+    val rgba = rgbPix(72, 4)
+    val inverted = rgba.map(b => (~b).toByte)
+    val imgs = Seq((1L, rgba), (2L, rgba), (3L, inverted)).toDF("id", "px")
+      .select($"id",
+        Multimodal.pngEncodeRgb($"px", lit(9), filterMode = -1, stored = false,
+          alpha = true).as("png"))
+    val pairs = Multimodal.imageNearDupPng(imgs, 9, 8, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("assembleSamples joins text + media + embedding into one sample struct per doc") {
     val dir = TestSpark.Sf0001
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
