@@ -1015,6 +1015,55 @@ object SparkEntry {
       Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // decode-drop observability over PLANTED corrupt classes: six payload
+    // classes by doc_id — a valid truecolor PNG (must contribute NO row),
+    // junk bytes (bad_magic), a mid-stream-cut PNG (corrupt — header
+    // completes, decode fails), a palette-flagged PNG (unsupported_profile
+    // — profile fields are read before CRC, as a cheap classifier must),
+    // a bomb-width PNG (bomb_guard), and an 8-bit WAV header
+    // (unsupported_profile under audio/wav). Three planted sources prove
+    // the group keys; the oracle recomputes every counter from the class
+    // arithmetic alone
+    "multimodal_drop_report" -> ((s, d) => {
+      val cls = col("doc_id") % 6
+      val png = Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
+        filterMode = 0, stored = true)
+      val media = when(cls === 0, png)
+        .when(cls === 1, concat(lit(Array[Byte](0)),
+          unhex(md5(col("doc_id").cast("string").cast("binary")))))
+        .when(cls === 2, substring(png, 1, 40))
+        .when(cls === 3, concat(substring(png, 1, 25), lit(Array[Byte](3)),
+          substring(png, 27, 1 << 20)))
+        .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
+          substring(png, 21, 1 << 20)))
+        .otherwise(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)))
+      // source from doc_id/6 so every class appears under every source
+      // (doc_id%3 would pin each class to one source: doc_id≡k mod 6
+      // forces doc_id≡k mod 3) — 15 grouped rows, not 5
+      Multimodal.decodeDropReport(
+        Tables.documents(s, d).select(
+          concat(lit("s"),
+            ((col("doc_id") / lit(6)).cast("bigint") % 3).cast("string")).as("source"),
+          media.as("media")))
+        .select(col("source"), col("modality"), col("reason"), col("n_dropped"))
+    }),
+    // the per-partition codec boundary on REAL bytes, hash-oracled: the
+    // DEFAULT decodePartitions codec (realCodec — no stub anywhere in the
+    // path) decodes genuine truecolor PNGs through mapPartitions and must
+    // report the TRUE geometry (9×8, 1 luma channel) and the exact 8-bin
+    // luma histogram, which the oracle recomputes from the planted
+    // channel bytes (counts recovered from the normalized floats by
+    // round(f·72) — exact for counts ≤ 72 at float precision)
+    "multimodal_codec_decode" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
+            filterMode = -1, stored = false).as("media"))
+      Multimodal.decodePartitions(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws("-", transform(col("feature"),
+            f => round(f.cast("double") * lit(72.0)).cast("bigint"))).as("hist"))
+    }),
     // REAL baseline-JPEG pixel decode, hash-oracled (the stored-PNG move,
     // JPEG edition): a 12×10 per-block-constant plant is encoded into a
     // GENUINE JPEG (SOI/JFIF/DQT/SOF0/DHT×2/DRI/SOS, Huffman-coded scan,
@@ -1829,6 +1878,38 @@ object SparkEntry {
     "dedup_image_png_color" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // every (source, modality, reason) counter recomputed from the planted
+    // class arithmetic: class 0 decodes (no row), classes 1-5 map to fixed
+    // (modality, reason) pairs
+    "multimodal_drop_report" ->
+      """WITH m AS (SELECT doc_id,
+             's' || CAST((doc_id // 6) % 3 AS VARCHAR) AS source,
+             CASE doc_id % 6
+               WHEN 1 THEN 'application/octet-stream'
+               WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/png'
+               WHEN 4 THEN 'image/png' WHEN 5 THEN 'audio/wav' END AS modality,
+             CASE doc_id % 6
+               WHEN 1 THEN 'bad_magic' WHEN 2 THEN 'corrupt'
+               WHEN 3 THEN 'unsupported_profile' WHEN 4 THEN 'bomb_guard'
+               WHEN 5 THEN 'unsupported_profile' END AS reason
+           FROM documents WHERE doc_id % 6 <> 0)
+         SELECT source, modality, reason, CAST(count(*) AS BIGINT) AS n_dropped
+         FROM m GROUP BY 1, 2, 3""",
+    // the codec-boundary pin: true geometry constants plus the 8-bin luma
+    // histogram recomputed from the planted channel bytes (the decoder's
+    // luma formula restated in SQL, then bin counts via list_filter)
+    "multimodal_codec_decode" ->
+      """WITH c AS (SELECT doc_id,
+             [(299 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
+               + 587 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
+               + 114 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
+               + 500) // 1000
+              for i in range(0, 72)] AS luma
+           FROM documents)
+         SELECT doc_id, 9 AS width, 8 AS height, 1 AS channels,
+           array_to_string([CAST(len(list_filter(luma, x -> x // 32 = k)) AS BIGINT)
+             for k in range(0, 8)], '-') AS hist
+         FROM c""",
     // both pixel columns must equal the analytic plant: block value
     // v(i) from the first md5 byte of "<doc_id>-m<i>" folded into DC
     // category 7 (low = raw%128; low<64 → low+1 else low+128), laid out

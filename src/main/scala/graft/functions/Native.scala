@@ -1128,6 +1128,25 @@ object Native {
       }
       (wi, hi, colorType, out)
     }
+    /** [[decodeImage]] reduced to the luma plane — type 0 passes through,
+      * types 2/6 convert per pixel with [[luma601]] (alpha ignored). The
+      * ONE luma path shared by [[PngLumaDecode]] and the plain-JVM codec
+      * entry point. */
+    def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val d = decodeImage(b)
+      if (d == null) return null
+      val (w, h, colorType, px) = d
+      if (colorType == 0) return (w, h, px)
+      val bpp = bppOf(colorType)
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        val o = i * bpp
+        out(i) = luma601(px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff).toByte
+        i += 1
+      }
+      (w, h, out)
+    }
   }
 
   /** png_encode_gray8(BINARY pixels, width, filterMode, stored) → BINARY:
@@ -1415,19 +1434,8 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try {
-        val d = Png.decodeImage(input.asInstanceOf[Array[Byte]])
-        if (d == null) return null
-        val (w, h, colorType, px) = d
-        if (colorType == 0) return px
-        val bpp = Png.bppOf(colorType)
-        val out = new Array[Byte](w * h)
-        var i = 0
-        while (i < w * h) {
-          val o = i * bpp
-          out(i) = Png.luma601(px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff).toByte
-          i += 1
-        }
-        out
+        val d = Png.decodeLuma(input.asInstanceOf[Array[Byte]])
+        if (d == null) null else d._3
       } catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -1559,6 +1567,13 @@ object Native {
       * the right cost shape when the consumer is a grayscale perceptual
       * hash. Null, never an error, on anything out of contract. */
     def decodeLumaPlane(b: Array[Byte], allowColor: Boolean): Array[Byte] = {
+      val d = decodeLumaPlaneWithDims(b, allowColor)
+      if (d == null) null else d._3
+    }
+    /** [[decodeLumaPlane]] plus the SOF dimensions — the per-partition
+      * codec boundary ([[graft.operators.Multimodal.decodePartitions]])
+      * needs (w, h, plane) without re-parsing the header. */
+    def decodeLumaPlaneWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) = {
       val n = b.length
       if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
       // ---- segment walk up to SOS ----
@@ -1854,7 +1869,7 @@ object Native {
         }
         mcu += 1
       }
-      out
+      (w, h, out)
     }
   }
 
@@ -2245,30 +2260,159 @@ object Native {
       s"nBuckets must be in [1, 4096], got $nBuckets")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
-    override def nullSafeEval(input: Any): Any = {
-      val b = input.asInstanceOf[Array[Byte]]
-      val n = wavPcm16SampleCount(b)
-      if (n < nBuckets) return null // off contract, or too short to bucket
-      val out = new Array[Byte](nBuckets)
-      var k = 0
-      while (k < nBuckets) {
-        val start = (k.toLong * n / nBuckets).toInt
-        val end = ((k + 1).toLong * n / nBuckets).toInt
-        var sumAbs = 0L
-        var i = start
-        while (i < end) {
-          val s = (b(44 + 2 * i) & 0xff) | (b(45 + 2 * i) << 8)
-          sumAbs += (if (s < 0) -s.toLong else s.toLong)
-          i += 1
-        }
-        val mean = (sumAbs / (end - start)) >> 7
-        out(k) = (if (mean > 255) 255 else mean).toInt.toByte
-        k += 1
-      }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      wavEnvelopeCore(input.asInstanceOf[Array[Byte]], nBuckets)
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** The ONE envelope computation behind [[WavEnvelope]] and the plain-JVM
+    * codec entry point ([[wavEnvelopeBytes]]); null off contract or when
+    * the clip is shorter than nBuckets samples. */
+  private def wavEnvelopeCore(b: Array[Byte], nBuckets: Int): Array[Byte] = {
+    val n = wavPcm16SampleCount(b)
+    if (n < nBuckets) return null // off contract, or too short to bucket
+    val out = new Array[Byte](nBuckets)
+    var k = 0
+    while (k < nBuckets) {
+      val start = (k.toLong * n / nBuckets).toInt
+      val end = ((k + 1).toLong * n / nBuckets).toInt
+      var sumAbs = 0L
+      var i = start
+      while (i < end) {
+        val s = (b(44 + 2 * i) & 0xff) | (b(45 + 2 * i) << 8)
+        sumAbs += (if (s < 0) -s.toLong else s.toLong)
+        i += 1
+      }
+      val mean = (sumAbs / (end - start)) >> 7
+      out(k) = (if (mean > 255) 255 else mean).toInt.toByte
+      k += 1
+    }
+    out
+  }
+
+  /** decode_drop_reason(BINARY) → STRING: the crawl-scale observability
+    * companion to the near-dup tiers' silent pre-shuffle drops — WHY a
+    * payload would fail the real decoders, or null when it decodes fine.
+    * Best-effort classification, cheap by design (header fields before
+    * checksums, full decode only once the profile is in contract):
+    *
+    *   - `bad_magic`            — no recognized container signature
+    *   - `truncated`            — recognized container cut off before its
+    *                              structural header completes
+    *   - `unsupported_profile`  — valid container, out-of-contract coding
+    *                              (palette/16-bit PNG, progressive JPEG,
+    *                              float/8-bit WAV, WebP/MP4 — recognized
+    *                              formats with no JVM decoder)
+    *   - `bomb_guard`           — header demands more than the decoder's
+    *                              allocation cap
+    *   - `corrupt`              — profile in contract but the real decode
+    *                              fails (bad CRC/Adler, entropy overrun,
+    *                              mid-stream truncation)
+    *
+    * The reason STRINGS are the operator contract (a pipeline owner
+    * alerts on them); which of `truncated`/`corrupt` a given mangled
+    * payload lands in is best-effort. Scale shape: map-side; the payload
+    * bytes feed one classification pass and never shuffle — only
+    * (source, modality, reason) counters do ([[graft.operators
+    * .Multimodal.decodeDropReport]]). */
+  case class DecodeDropReason(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    private def s(v: String): UTF8String = UTF8String.fromString(v)
+    override def nullSafeEval(input: Any): Any =
+      try classify(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => s("corrupt") }
+    private def classify(b: Array[Byte]): UTF8String = {
+      val n = b.length
+      if (n < 12) return s(if (n >= 2 && looksLikeStart(b)) "truncated" else "bad_magic")
+      // ---- PNG ----
+      if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+        if (n < 33) return s("truncated")
+        if (b(24) != 8 || Png.bppOf(b(25) & 0xff) < 0 ||
+            b(26) != 0 || b(27) != 0 || b(28) != 0) return s("unsupported_profile")
+        val w = Png.u32(b, 16); val h = Png.u32(b, 20)
+        val bpp = Png.bppOf(b(25) & 0xff)
+        if (w <= 0 || h <= 0 || w > Png.MaxPixels || h > Png.MaxPixels ||
+            w * h > Png.MaxPixels.toLong / bpp) return s("bomb_guard")
+        return if (Png.decodeLuma(b) == null) s("corrupt") else null
+      }
+      // ---- JPEG ----
+      if ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) {
+        var p = 2
+        while (p + 4 <= n) {
+          if ((b(p) & 0xff) != 0xFF) return s("corrupt")
+          val mk = b(p + 1) & 0xff
+          if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
+            return s("corrupt") // SOI again / EOI / RST before any frame header
+          if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
+            if (mk != 0xC0) return s("unsupported_profile") // progressive & friends
+            if (p + 10 > n) return s("truncated")
+            val hh = Jpeg.u16(b, p + 5); val ww = Jpeg.u16(b, p + 7)
+            if (ww <= 0 || hh <= 0 || ww.toLong * hh > Jpeg.MaxPixels)
+              return s("bomb_guard")
+            val nComp = b(p + 9) & 0xff
+            if (nComp != 1 && nComp != 3) return s("unsupported_profile")
+            if (p + 10 + 3 * nComp > n) return s("truncated")
+            var ci = 0
+            while (ci < nComp) {
+              val hv = b(p + 11 + 3 * ci) & 0xff
+              val hf = hv >> 4; val vf = hv & 0x0f
+              if (hf < 1 || hf > 2 || vf < 1 || vf > 2) return s("unsupported_profile")
+              ci += 1
+            }
+            return if (Jpeg.decodeLumaPlane(b, allowColor = true) == null) s("corrupt")
+            else null
+          }
+          val len = Jpeg.u16(b, p + 2)
+          if (len < 2 || p + 2 + len > n) return s("truncated")
+          p += 2 + len
+        }
+        return s("truncated") // ran out before any SOF
+      }
+      // ---- RIFF containers ----
+      if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+        val form = new String(b, 8, 4, "US-ASCII")
+        form match {
+          case "WAVE" =>
+            if (n < 44) return s("truncated")
+            def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+            if (b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ')
+              return s("corrupt")
+            if (u16(20) != 1 || u16(34) != 16) return s("unsupported_profile")
+            if (wavPcm16SampleCount(b) < 0) s("corrupt") else null
+          case "AVI " =>
+            if (Avi.framePayloads(b, 1) == null) s("corrupt") else null
+          case "WEBP" => s("unsupported_profile") // recognized, no JVM decoder
+          case _ => s("bad_magic") // a RIFF form this pipeline doesn't know
+        }
+      }
+      // ---- ISO-BMFF (MP4): header metadata only, no pixel decoder ----
+      else if (n >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        s("unsupported_profile")
+      else s("bad_magic")
+    }
+    /** A prefix of a known signature (for the sub-12-byte edge). */
+    private def looksLikeStart(b: Array[Byte]): Boolean =
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P') ||
+        ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) ||
+        (b(0) == 'R' && b(1) == 'I')
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Plain-JVM decode entry points for the per-partition codec boundary
+    * ([[graft.operators.Multimodal.decodePartitions]]'s default codec):
+    * the SAME validated cores as the Catalyst expressions, callable from a
+    * `mapPartitions` closure where no expression tree exists. None, never
+    * a throw, off contract — identical null semantics to the expressions
+    * they share cores with. */
+  def pngLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Png.decodeLuma(b)) catch { case NonFatal(_) => None }
+  def jpegLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Jpeg.decodeLumaPlaneWithDims(b, allowColor = true))
+    catch { case NonFatal(_) => None }
+  def wavEnvelopeBytes(b: Array[Byte], nBuckets: Int): Option[Array[Byte]] =
+    try Option(wavEnvelopeCore(b, nBuckets)) catch { case NonFatal(_) => None }
 
   /** avi_mjpeg_encode(ARRAY<BINARY> frames; width, height, fps) → BINARY:
     * a REAL, complete Motion-JPEG AVI (RIFF 'AVI ' with the canonical
@@ -2546,6 +2690,7 @@ object Native {
       PngRgbEncode(exprs(0), exprs(1), intLit(exprs(2), "filterMode"),
         boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
     "graft_png_decode_luma" -> (exprs => PngLumaDecode(exprs(0))),
+    "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
     "graft_jpeg_encode_ycc_dc" -> (exprs => JpegYccEncodeDc(exprs(0), exprs(1),
@@ -2646,6 +2791,8 @@ object Native {
       org.apache.spark.sql.functions.lit(alpha))
   def pngDecodeLuma(png: Column): Column =
     call_function("graft_png_decode_luma", png)
+  def decodeDropReason(media: Column): Column =
+    call_function("graft_decode_drop_reason", media)
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
     call_function("graft_jpeg_encode_gray8_dc", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =

@@ -353,15 +353,17 @@ object Multimodal {
     * `mapInPandas` batch decode: one pluggable `codec` call per payload,
     * executed per partition so a native library handle (libjpeg/ffmpeg
     * context) is acquired once per task, not per row. Rows whose payloads
-    * fail to decode are dropped (codec returns None). The default codec is
-    * the deterministic fake ([[decodeImageStub]]'s math + a hash-derived
-    * feature vector) so schema, batching, and downstream joins are
-    * testable without native libs; swap `codec` for the real thing in
-    * production — nothing else changes.
+    * fail to decode are dropped (codec returns None). The default codec
+    * is [[realCodec]] — actual JVM decoders for PNG, baseline JPEG, and
+    * PCM WAV, modality-dispatched on the magic bytes — so the default
+    * path decodes real payloads; [[fakeCodec]] remains only as an
+    * explicitly-passed test double for formats the JVM cannot decode
+    * unaided (WebP/AVIF-class plumbing tests). Swap `codec` for a
+    * native-library codec in production — nothing else changes.
     */
   def decodePartitions(
       media: DataFrame,
-      codec: Array[Byte] => Option[(Int, Int, Int, Array[Float])] = fakeCodec): DataFrame = {
+      codec: Array[Byte] => Option[(Int, Int, Int, Array[Float])] = realCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
@@ -375,9 +377,48 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB codec: plausible dimensions + an 8-dim feature vector derived
-    * from the payload hash. Deterministic; null/empty payloads fail to
-    * decode (None) like a real codec would. */
+  /** REAL default codec for [[decodePartitions]], dispatched on magic
+    * bytes: PNG (gray + truecolor RGB/RGBA) and baseline JPEG (gray +
+    * YCbCr) decode to their luma bitmap with TRUE dimensions (channels =
+    * 1 — the luma plane); canonical 16-bit-PCM WAV decodes to its
+    * 72-bucket energy envelope (width = 72, height = 1). The feature
+    * vector is the 8-bin normalized luma/energy histogram — a real
+    * image/audio statistic (each bin = fraction of bytes in [32k, 32k+32)),
+    * integer-exact underneath so an oracle can recompute it. Anything
+    * else — WebP, AVIF, MP4, corrupt bytes — fails to decode (None):
+    * those formats stay codec-library work behind the pluggable `codec`
+    * parameter. Same decode cores as the column expressions
+    * ([[graft.functions.Native]]), so decode semantics cannot fork
+    * between the expression path and the partition path. */
+  def realCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 4) return None
+    def feat(px: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < px.length) { hist((px(i) & 0xff) >> 5) += 1f; i += 1 }
+      var j = 0
+      while (j < 8) { hist(j) /= px.length; j += 1 }
+      hist
+    }
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+    if (b0 == 0x89 && b1 == 'P')
+      graft.functions.Native.pngLumaBytes(bytes)
+        .map { case (w, h, px) => (w, h, 1, feat(px)) }
+    else if (b0 == 0xFF && b1 == 0xD8)
+      graft.functions.Native.jpegLumaBytes(bytes)
+        .map { case (w, h, px) => (w, h, 1, feat(px)) }
+    else if (b0 == 'R' && b1 == 'I')
+      graft.functions.Native.wavEnvelopeBytes(bytes, 72)
+        .map(env => (env.length, 1, 1, feat(env)))
+    else None
+  }
+
+  /** STUB codec — an explicitly-passed TEST DOUBLE, never a default:
+    * plausible dimensions + an 8-dim feature vector derived from the
+    * payload hash, for exercising the [[decodePartitions]] plumbing with
+    * formats the JVM cannot decode unaided (WebP/AVIF-class).
+    * Deterministic; null/empty payloads fail to decode (None) like a
+    * real codec would. */
   def fakeCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.isEmpty) None
     else {
@@ -386,6 +427,28 @@ object Multimodal {
       Some(((h % 1920 + 1).toInt, (h % 1080 + 1).toInt, 3, feature))
     }
   }
+
+  /** Decode-drop observability — the report the near-dup tiers owe their
+    * pipeline owner: those tiers (correctly) drop undecodable payloads
+    * BEFORE any shuffle, which at crawl scale silently hides "40% of
+    * source X's PNGs fail decode". One pass over the same media relation
+    * produces (source, modality, reason) → (n_dropped, dropped_bytes)
+    * counters, with the reason from the cheap best-effort classifier
+    * ([[graft.functions.Native.DecodeDropReason]]: bad_magic / truncated /
+    * unsupported_profile / bomb_guard / corrupt). Decodable payloads
+    * contribute NO row. Scale shape: map-side classification fused into
+    * the payload scan; one partial-aggregated shuffle whose rows are
+    * counters over sources × modalities × 5 reasons — the payload bytes
+    * never move. `media` carries (source, media BINARY). */
+  def decodeDropReport(media: DataFrame): DataFrame =
+    media
+      .select(col("source"), modality(col("media")).as("modality"),
+        graft.functions.Native.decodeDropReason(col("media")).as("reason"),
+        length(col("media")).cast("bigint").as("nb"))
+      .filter(col("reason").isNotNull)
+      .groupBy("source", "modality", "reason")
+      .agg(count(lit(1)).cast("bigint").as("n_dropped"),
+        sum(col("nb")).cast("bigint").as("dropped_bytes"))
 
   /** STUB — resize plan: the target geometry preserving aspect ratio
     * within a `maxDim` box, computed from decoded dimensions. Pure column

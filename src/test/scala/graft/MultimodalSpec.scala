@@ -204,25 +204,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1) == Seq.empty)
   }
 
-  test("decodePartitions: per-partition batch decode with pluggable codec, failed payloads dropped") {
+  test("decodePartitions: the DEFAULT codec really decodes PNG/JPEG/WAV; junk drops; the stub is opt-in only") {
+    // real payloads of each dispatched modality, built by the repo's own
+    // byte-pinned fixture encoders (which ImageIO/hand-hex tests pin)
+    val grayPx = Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
+    val png = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = -1, stored = false))
+      .as[Array[Byte]].head()
+    val rgba = Array.tabulate(72 * 4)(i => ((i * 2654435761L >> 5) & 0xff).toByte)
+    val pngColor = Seq(Tuple1(rgba)).toDF("px")
+      .select(Multimodal.pngEncodeRgb($"px", lit(9), filterMode = -1, stored = false,
+        alpha = true)).as[Array[Byte]].head()
+    val jpegPx = Array.tabulate(96 * 16)(i => if (((i / 8 + i / (96 * 8)) % 2) == 0) 30.toByte else 220.toByte)
+    val jpeg = Seq(Tuple1(jpegPx)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(96))).as[Array[Byte]].head()
+    val wav = wavOf(Array.tabulate(720)(i => (i * 41 % 2000 - 1000).toShort), 1, 8000)
     val rows = Seq(
-      (1L, "real-looking payload".getBytes("UTF-8")),
-      (2L, Array.empty[Byte]),                        // fails to decode → dropped
-      (3L, "another payload".getBytes("UTF-8")))
+      (1L, png), (2L, pngColor), (3L, jpeg), (4L, wav),
+      (5L, "not any media format".getBytes("UTF-8")), // → dropped
+      (6L, Array.empty[Byte]))                        // → dropped
       .toDF("doc_id", "media").repartition(2)
     val got = Multimodal.decodePartitions(rows)
     assert(got.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
     val decoded = got.orderBy($"doc_id")
       .select($"doc_id", $"width", $"height", $"channels").as[(Long, Int, Int, Int)].collect()
-    assert(decoded.map(_._1).toSeq == Seq(1L, 3L)) // doc 2 dropped
-    assert(decoded.forall { case (_, w, h, c) => w >= 1 && h >= 1 && c == 3 })
-    // feature vectors are deterministic and bounded
+    // TRUE dimensions from the real decoders, not hash-derived fakes
+    assert(decoded.toSeq == Seq((1L, 9, 8, 1), (2L, 9, 8, 1), (3L, 96, 16, 1), (4L, 72, 1, 1)),
+      decoded.mkString(", "))
+    // features are real normalized luma/energy histograms: 8 bins summing to 1
     val feats = got.select($"feature").as[Seq[Float]].collect()
-    assert(feats.forall(f => f.length == 8 && f.forall(v => v >= 0f && v <= 1f)))
-    // custom codec plugs in without changing the pipeline
+    assert(feats.forall(f => f.length == 8 && math.abs(f.sum - 1f) < 1e-4 &&
+      f.forall(v => v >= 0f && v <= 1f)))
+    // the PNG row's histogram equals the analytic bin counts of the luma
+    val lumaHist = new Array[Int](8)
+    grayPx.foreach(b => lumaHist((b & 0xff) >> 5) += 1)
+    val pngFeat = got.filter($"doc_id" === 1L).select($"feature").as[Seq[Float]].head()
+    assert((0 until 8).forall(k => math.abs(pngFeat(k) - lumaHist(k) / 72f) < 1e-6))
+    // custom codec (including the stub, now opt-in) plugs in without
+    // changing the pipeline
     val custom = Multimodal.decodePartitions(rows,
       b => if (b.length > 15) Some((640, 480, 1, Array(1f))) else None)
     assert(custom.select($"width").as[Int].collect().toSet == Set(640))
+    val viaStub = Multimodal.decodePartitions(
+      Seq((7L, "webp-ish payload".getBytes("UTF-8"))).toDF("doc_id", "media"),
+      Multimodal.fakeCodec)
+    assert(viaStub.count() == 1 && viaStub.select($"channels").as[Int].head() == 3)
+  }
+
+  test("decodeDropReport: planted corrupt classes land in their reasons with exact counters; decodable payloads contribute nothing") {
+    val grayPx = Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
+    val png = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = 0, stored = true))
+      .as[Array[Byte]].head()
+    val wav = wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000)
+    val avi = Seq(Tuple1(Seq(png))).toDF("f") // any payload bytes walk as frames
+      .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
+    val palettePng = png.clone(); palettePng(25) = 3
+    val bombPng = png.clone()
+    bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
+    val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val junk = "garbage payload bytes".getBytes("UTF-8")
+    val truncAvi = avi.take(avi.length - 9)
+    val rows = Seq(
+      ("a", png), ("a", wav), ("a", avi),            // all decodable → NO rows
+      ("a", junk), ("b", junk),                      // bad_magic, split by source
+      ("a", palettePng), ("a", bombPng),
+      ("a", png.take(40)),                           // header ok, decode fails → corrupt
+      ("b", mp4ish), ("b", webp), ("b", truncAvi))
+      .toDF("source", "media")
+    val got = Multimodal.decodeDropReport(rows)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    val expected = Set(
+      ("a", "application/octet-stream", "bad_magic", 1L, junk.length.toLong),
+      ("b", "application/octet-stream", "bad_magic", 1L, junk.length.toLong),
+      ("a", "image/png", "unsupported_profile", 1L, palettePng.length.toLong),
+      ("a", "image/png", "bomb_guard", 1L, bombPng.length.toLong),
+      ("a", "image/png", "corrupt", 1L, 40L),
+      ("b", "video/mp4", "unsupported_profile", 1L, mp4ish.length.toLong),
+      ("b", "image/webp", "unsupported_profile", 1L, webp.length.toLong),
+      ("b", "video/avi", "corrupt", 1L, truncAvi.length.toLong))
+    assert(got == expected, s"got $got")
   }
 
   test("resizePlan fits within the max box preserving aspect ratio, never upscales") {
