@@ -1197,6 +1197,42 @@ object SparkEntry {
           upper(hex(Multimodal.jpegDecodeLuma(
             element_at(Multimodal.aviMjpegFrames(col("avi")), 1)))).as("f0_px_hex"))
     }),
+    // REAL video content through the DOMINANT crawl container: the same
+    // 2-frame MJPEG plants muxed into a genuine ISO-BMFF MP4 (ftyp/mdat/
+    // moov with full stsd/stts/stsc/stsz/stco sample tables, one chunk
+    // per frame so the walker must resolve every frame through
+    // stsc×stco×stsz), the walker counts frames, frame 0 luma-decodes to
+    // the analytic plant, and mdat's first payload bytes are pinned at
+    // the analytic offset (ftyp 20 + mdat header 8 → SOI at byte 29)
+    "multimodal_mp4_frames" -> ((s, d) => {
+      val frames = array((0 until 2).map(f =>
+        Multimodal.jpegEncodeYccDc(plantedVideoFrame(col("doc_id"), f), lit(72), 1, 1)): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.mp4MjpegEncode(frames, 72, 64).as("mp4"))
+        .select(col("doc_id"),
+          size(Multimodal.mp4MjpegFrames(col("mp4"))).cast("bigint").as("n_frames"),
+          upper(hex(Multimodal.jpegDecodeLuma(
+            element_at(Multimodal.mp4MjpegFrames(col("mp4")), 1)))).as("f0_px_hex"),
+          upper(hex(substring(col("mp4"), 29, 2))).as("mdat_magic"))
+    }),
+    // cross-container video near-dup: base clips are MJPEG AVIs, their
+    // re-keyed copies are the SAME frames re-MUXED into MP4 — the pair
+    // set proves the signature expression's container dispatch (identical
+    // footage pairs at hamming 0 across containers; a single-container
+    // walk would null one side and emit nothing)
+    "dedup_video_mp4" -> ((s, d) => {
+      val frames = array((0 until 2).map(f =>
+        Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), frames.as("frames"))
+        .transform(Caches.persisted)
+      val base = src.select(col("doc_id").as("id"),
+        Multimodal.aviMjpegEncode(col("frames"), 72, 32).as("avi"))
+      val copies = src.select((col("doc_id") + 100000L).as("id"),
+        Multimodal.mp4MjpegEncode(col("frames"), 72, 32).as("avi"))
+      Multimodal.videoNearDup(base.union(copies), 72, 32, nSample = 2, maxHamming = 1)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // video near-dup on REAL MJPEG AVI bytes end-to-end (container walk →
     // sampled frame luma decodes → per-frame dHash → ONE wide 128-bit
     // signature through the shared banded LSH, each band = one frame's
@@ -1986,6 +2022,31 @@ object SparkEntry {
                                                      for c in range(0, 9)], ''), 8)
                             for r in range(0, 8)], '') AS f0_px_hex
          FROM hx""",
+    // the MP4 edition of the multimodal_avi pin: same planted tiles, so
+    // the same closed-form frame-0 luma; mdat_magic pins the first frame's
+    // SOI at the analytic ftyp+mdat-header offset
+    "multimodal_mp4_frames" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-vr' || CAST(i // 8 AS VARCHAR)), 1 + 2 * (i % 8), 2))::INT % 128 + 128 END
+              for i in range(0, 72)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+           array_to_string([repeat(array_to_string([repeat(hh[9 * r + c + 1], 8)
+                                                     for c in range(0, 9)], ''), 8)
+                            for r in range(0, 8)], '') AS f0_px_hex,
+           'FFD8' AS mdat_magic
+         FROM hx""",
+    // cross-container pair set: every doc's AVI pairs its MP4 re-mux at
+    // hamming 0 (identical frame bytes → identical per-frame signatures,
+    // whichever container carries them); nothing else pairs
+    "dedup_video_mp4" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // dedup_image's pair-set argument on video: copies share AVI bytes
     // bit-for-bit → identical sampled-frame signatures → exactly one
     // hamming-0 pair per doc

@@ -2568,8 +2568,288 @@ object Native {
     }
   }
 
+  /** Shared ISO-BMFF (MP4) walk behind [[Mp4MjpegFrames]] and the
+    * container dispatch in [[MjpegClipSig]] — the sample-table path to
+    * frame payloads for MJPEG-in-MP4, the dominant real-crawl container:
+    * top-level boxes → moov → (each) trak → mdia → minf → stbl; a trak
+    * qualifies when its stsd's first sample entry is an MJPEG format
+    * ('jpeg'/'mjpa'/'mjpb'/'MJPG'); frame offsets resolve through the
+    * REAL sample tables — stsc chunk runs × stco/co64 chunk offsets ×
+    * stsz sizes (uniform or table) — not any "frames are contiguous"
+    * shortcut. 64-bit box sizes and co64 are handled (a 100 TB crawl's
+    * mdat regularly exceeds 4 GB even though a single in-memory payload
+    * here cannot). Every slice is bounds-checked against the buffer;
+    * anything structurally off (missing/short boxes, stsc/stco/stsz
+    * disagreement, overrunning sample) → null, never an error. */
+  private object Mp4 {
+    private val Formats = Set("jpeg", "mjpa", "mjpb", "MJPG")
+    def framePayloads(b: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
+      val n = b.length
+      if (n < 16) return null
+      def u32(off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+      def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+      // first box of `typ` in [start, end) at/after `from`: (payloadStart,
+      // boxEnd), or null — box sizes validated before any use
+      def findBox(from: Int, end: Int, typ: String): (Int, Int) = {
+        var p = from
+        while (p + 8 <= end) {
+          var size = u32(p)
+          var hdr = 8
+          if (size == 1L) {
+            if (p + 16 > end) return null
+            size = u64(p + 8); hdr = 16
+          } else if (size == 0L) size = (end - p).toLong // extends to end
+          if (size < hdr || size > end - p) return null
+          if (fourcc(p + 4) == typ) return (p + hdr, p + size.toInt)
+          p += size.toInt
+        }
+        null
+      }
+      if (findBox(0, n, "ftyp") == null) return null
+      val moov = findBox(0, n, "moov")
+      if (moov == null) return null
+      var cursor = moov._1
+      while (cursor < moov._2) {
+        val trak = findBox(cursor, moov._2, "trak")
+        if (trak == null) return null // traks exhausted, no MJPEG track
+        val got = trakFrames(b, trak._1, trak._2, maxFrames, u32 _, u64 _, fourcc _,
+          findBox)
+        if (got != null) return if (got.isEmpty) null else got
+        cursor = trak._2
+      }
+      null
+    }
+    /** Frames of one trak, or null when the trak is not an MJPEG video
+      * track (caller moves on) — structural damage inside a QUALIFYING
+      * trak returns an empty array so the caller can distinguish
+      * "not this trak" from "broken file". */
+    private def trakFrames(b: Array[Byte], trakStart: Int, trakEnd: Int,
+        maxFrames: Int, u32: Int => Long, u64: Int => Long, fourcc: Int => String,
+        findBox: (Int, Int, String) => (Int, Int)): Array[Array[Byte]] = {
+      val mdia = findBox(trakStart, trakEnd, "mdia"); if (mdia == null) return null
+      val minf = findBox(mdia._1, mdia._2, "minf"); if (minf == null) return null
+      val stbl = findBox(minf._1, minf._2, "stbl"); if (stbl == null) return null
+      val stsd = findBox(stbl._1, stbl._2, "stsd"); if (stsd == null) return null
+      // stsd payload: ver/flags(4) count(4), then entry: size(4) format(4)
+      if (stsd._1 + 16 > stsd._2 || u32(stsd._1 + 4) < 1) return null
+      if (!Formats.contains(fourcc(stsd._1 + 12))) return null // not MJPEG: next trak
+      def broken = Array.empty[Array[Byte]]
+      val stsz = findBox(stbl._1, stbl._2, "stsz"); if (stsz == null) return broken
+      if (stsz._1 + 12 > stsz._2) return broken
+      val uniform = u32(stsz._1 + 4)
+      val nSamples64 = u32(stsz._1 + 8)
+      if (nSamples64 == 0 || nSamples64 > Int.MaxValue) return broken
+      val nSamples = nSamples64.toInt
+      def sampleSize(i: Int): Long =
+        if (uniform != 0L) uniform
+        else if (stsz._1 + 12 + 4L * i + 4 > stsz._2) -1L
+        else u32(stsz._1 + 12 + 4 * i)
+      // chunk offsets: stco (u32) or co64 (u64)
+      val stco = findBox(stbl._1, stbl._2, "stco")
+      val co64 = if (stco == null) findBox(stbl._1, stbl._2, "co64") else null
+      if (stco == null && co64 == null) return broken
+      val (coP, coWide) = if (stco != null) (stco, false) else (co64, true)
+      if (coP._1 + 8 > coP._2) return broken
+      val nChunks64 = u32(coP._1 + 4)
+      if (nChunks64 == 0 || nChunks64 > Int.MaxValue) return broken
+      val nChunks = nChunks64.toInt
+      def chunkOffset(i: Int): Long = {
+        val w = if (coWide) 8 else 4
+        val off = coP._1 + 8 + w * i
+        if (off + w > coP._2) -1L else if (coWide) u64(off) else u32(off)
+      }
+      // stsc runs: (first_chunk, samples_per_chunk); descriptor index unused
+      val stsc = findBox(stbl._1, stbl._2, "stsc"); if (stsc == null) return broken
+      if (stsc._1 + 8 > stsc._2) return broken
+      val nRuns64 = u32(stsc._1 + 4)
+      if (nRuns64 == 0 || nRuns64 > Int.MaxValue) return broken
+      val nRuns = nRuns64.toInt
+      if (stsc._1 + 8 + 12L * nRuns > stsc._2) return broken
+      def runFirstChunk(k: Int): Long = u32(stsc._1 + 8 + 12 * k)
+      def runSpc(k: Int): Long = u32(stsc._1 + 8 + 12 * k + 4)
+      if (runFirstChunk(0) != 1L) return broken
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var run = 0
+      var chunk = 1 // 1-based, per spec
+      var s = 0
+      while (chunk <= nChunks && s < nSamples && frames.length < maxFrames) {
+        if (run + 1 < nRuns && chunk >= runFirstChunk(run + 1)) run += 1
+        val spc = runSpc(run)
+        if (spc <= 0 || spc > nSamples) return broken
+        var off = chunkOffset(chunk - 1)
+        if (off < 0) return broken
+        var j = 0L
+        while (j < spc && s < nSamples && frames.length < maxFrames) {
+          val sz = sampleSize(s)
+          if (sz < 0 || sz > b.length || off < 0 || off + sz > b.length) return broken
+          val f = new Array[Byte](sz.toInt)
+          System.arraycopy(b, off.toInt, f, 0, sz.toInt)
+          frames += f
+          off += sz
+          s += 1; j += 1
+        }
+        chunk += 1
+      }
+      // all samples placed (or the cap hit): anything less is inconsistent
+      if (s < nSamples && frames.length < maxFrames) return broken
+      frames.toArray
+    }
+  }
+
+  /** mp4_mjpeg_frames(BINARY; maxFrames) → ARRAY<BINARY>: [[AviMjpegFrames]]
+    * for the container real crawl video actually ships in — extract the
+    * MJPEG track's frame payloads from an ISO-BMFF (MP4/MOV) file through
+    * the REAL sample tables (see [[Mp4]]). Each element is a standalone
+    * baseline JPEG ready for [[JpegLumaDecode]]. Null off contract;
+    * output capped at `maxFrames` (bomb guard). Scale shape: map-side,
+    * one pass per row, no shuffle. */
+  case class Mp4MjpegFrames(child: Expression, maxFrames: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(maxFrames >= 1 && maxFrames <= ClipMaxFrames,
+      s"maxFrames must be in [1, $ClipMaxFrames], got $maxFrames")
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val frames = Mp4.framePayloads(input.asInstanceOf[Array[Byte]], maxFrames)
+      if (frames == null) null else new GenericArrayData(frames.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** mp4_mjpeg_encode(ARRAY<BINARY> frames; width, height, fps) → BINARY:
+    * [[AviMjpegEncode]]'s ISO-BMFF sibling — a REAL, complete MP4 (ftyp,
+    * mdat carrying the frame payloads verbatim, moov with mvhd and one
+    * video trak: tkhd, mdhd/hdlr, vmhd/dinf, and a FULL sample table —
+    * 'jpeg' VisualSampleEntry stsd, stts, one-sample-per-chunk stsc, stsz
+    * size table, stco chunk offsets) that any ISO-BMFF demuxer accepts.
+    * One chunk per frame on purpose: the walker must resolve EVERY frame
+    * through stsc×stco×stsz, so a walker that ignored the sample tables
+    * and assumed contiguity could not round-trip the fixture. mdat sits
+    * before moov, so frame i's payload is VERBATIM at analytic offset
+    * 28 + Σ previous sizes (ftyp 20 + mdat header 8) — the stored-block
+    * oracle move, MP4 edition. Null on empty/null frames, non-positive
+    * dims, or fps outside [1, 1000]. Fixture builder; production writes
+    * MP4s with a muxer, not Spark. */
+  case class Mp4MjpegEncode(child: Expression, frameW: Int, frameH: Int, fps: Int)
+      extends UnaryExpression with NativeUnaryCodegen {
+    require(frameW > 0 && frameH > 0 && frameW <= 65535 && frameH <= 65535,
+      s"dims must be in [1, 65535], got ${frameW}x$frameH")
+    require(fps >= 1 && fps <= 1000, s"fps must be in [1, 1000], got $fps")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val frames = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        frames(i) = arr.getBinary(i)
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        (3 to 0 by -1).foreach(j => out.write(((v >> (8 * j)) & 0xff).toInt))
+      def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def fcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      // ---- ftyp (20) ----
+      be32(20); fcc("ftyp"); fcc("isom"); be32(0x200); fcc("isom")
+      // ---- mdat: frames verbatim; offsets are analytic (28 + cumsum) ----
+      var mdatPayload = 0L
+      frames.foreach(f => mdatPayload += f.length)
+      be32(8 + mdatPayload); fcc("mdat")
+      val frameOffsets = new Array[Long](n)
+      var off = 20L + 8L
+      i = 0
+      while (i < n) { frameOffsets(i) = off; off += frames(i).length; i += 1 }
+      frames.foreach(out.write)
+      // ---- moov (sizes bottom-up) ----
+      val stsdSize = 16 + 86 // full-box hdr + count + VisualSampleEntry('jpeg')
+      val sttsSize = 24
+      val stscSize = 28 // one run: (1, 1, 1) — one sample per chunk
+      val stszSize = 20 + 4 * n
+      val stcoSize = 16 + 4 * n // fixture offsets fit u32 (payloads are in-memory)
+      val stblSize = 8 + stsdSize + sttsSize + stscSize + stszSize + stcoSize
+      val drefSize = 28; val dinfSize = 8 + drefSize
+      val vmhdSize = 20
+      val minfSize = 8 + vmhdSize + dinfSize + stblSize
+      val hdlrSize = 33 // 8 + 24 + 1-byte empty name
+      val mdhdSize = 32
+      val mdiaSize = 8 + mdhdSize + hdlrSize + minfSize
+      val tkhdSize = 92
+      val trakSize = 8 + tkhdSize + mdiaSize
+      val mvhdSize = 108
+      val moovSize = 8 + mvhdSize + trakSize
+      val durTicks = n.toLong // mdhd timescale = fps, delta = 1
+      be32(moovSize); fcc("moov")
+      // mvhd v0: timescale = fps so duration = frame count
+      be32(mvhdSize); fcc("mvhd"); be32(0) // version/flags
+      be32(0); be32(0) // creation, modification
+      be32(fps); be32(durTicks) // timescale, duration
+      be32(0x00010000); be16(0x0100); be16(0) // rate 1.0, volume, reserved
+      be32(0); be32(0) // reserved(8)
+      // identity matrix
+      be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0)
+      be32(0); be32(0); be32(0x40000000)
+      (0 until 6).foreach(_ => be32(0)) // pre_defined(24)
+      be32(2) // next_track_ID
+      // trak
+      be32(trakSize); fcc("trak")
+      be32(tkhdSize); fcc("tkhd"); be32(7) // v0, flags: enabled|in_movie|in_preview
+      be32(0); be32(0) // creation, modification
+      be32(1); be32(0) // track_ID, reserved
+      be32(durTicks) // duration (movie timescale = fps here too)
+      be32(0); be32(0) // reserved(8)
+      be16(0); be16(0); be16(0); be16(0) // layer, alt_group, volume, reserved
+      be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0)
+      be32(0); be32(0); be32(0x40000000)
+      be32(frameW << 16); be32(frameH << 16) // 16.16 fixed
+      // mdia
+      be32(mdiaSize); fcc("mdia")
+      be32(mdhdSize); fcc("mdhd"); be32(0)
+      be32(0); be32(0) // creation, modification
+      be32(fps); be32(durTicks) // timescale, duration
+      be16(0x55C4); be16(0) // language 'und', pre_defined
+      be32(hdlrSize); fcc("hdlr"); be32(0)
+      be32(0); fcc("vide"); be32(0); be32(0); be32(0) // pre_defined, handler, reserved
+      out.write(0) // empty name, null-terminated
+      // minf
+      be32(minfSize); fcc("minf")
+      be32(vmhdSize); fcc("vmhd"); be32(1) // v0, flags = 1 (spec)
+      be16(0); be16(0); be16(0); be16(0) // graphicsmode, opcolor
+      be32(dinfSize); fcc("dinf")
+      be32(drefSize); fcc("dref"); be32(0); be32(1) // one entry
+      be32(12); fcc("url "); be32(1) // self-contained
+      // stbl
+      be32(stblSize); fcc("stbl")
+      be32(stsdSize); fcc("stsd"); be32(0); be32(1)
+      be32(86); fcc("jpeg") // VisualSampleEntry
+      out.write(new Array[Byte](6)); be16(1) // reserved(6), data_reference_index
+      be16(0); be16(0); (0 until 3).foreach(_ => be32(0)) // pre/rsvd/pre_defined(12)
+      be16(frameW); be16(frameH)
+      be32(0x00480000); be32(0x00480000) // 72 dpi
+      be32(0); be16(1) // reserved, frame_count
+      out.write(new Array[Byte](32)) // compressorname
+      be16(0x0018); be16(0xFFFF) // depth 24, pre_defined -1
+      be32(sttsSize); fcc("stts"); be32(0); be32(1); be32(n); be32(1) // n × delta 1
+      be32(stscSize); fcc("stsc"); be32(0); be32(1)
+      be32(1); be32(1); be32(1) // from chunk 1: one sample per chunk, sdi 1
+      be32(stszSize); fcc("stsz"); be32(0); be32(0); be32(n) // size table follows
+      frames.foreach(f => be32(f.length))
+      be32(stcoSize); fcc("stco"); be32(0); be32(n)
+      frameOffsets.foreach(be32)
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** mjpeg_clip_sig(BINARY; frameW, frameH, nSample) → ARRAY<LONG>: the
-    * whole video-fingerprint front end — AVI walk, even frame sampling
+    * whole video-fingerprint front end — container walk (AVI or MP4,
+    * dispatched on the magic bytes), even frame sampling
     * (index k·n/nSample, length-normalized), per-frame luma decode
     * ([[Jpeg.decodeLumaPlane]]), per-frame [[DHash64]] — in ONE native
     * pass per row. Null if the container is off contract, a sampled frame
@@ -2597,7 +2877,14 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try {
-        val frames = Avi.framePayloads(input.asInstanceOf[Array[Byte]], ClipMaxFrames)
+        val b = input.asInstanceOf[Array[Byte]]
+        // container dispatch on magic: RIFF → AVI walk, ISO-BMFF → the
+        // sample-table walk — one signature expression covers both crawl
+        // containers, so videoNearDup takes either transparently
+        val frames =
+          if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+            Avi.framePayloads(b, ClipMaxFrames)
+          else Mp4.framePayloads(b, ClipMaxFrames)
         if (frames == null || frames.length < nSample) return null
         val sig = new Array[Long](nSample)
         var k = 0
@@ -2705,6 +2992,10 @@ object Native {
       intLit(exprs(1), "width"), intLit(exprs(2), "height"), intLit(exprs(3), "fps"))),
     "graft_avi_mjpeg_frames" -> (exprs =>
       AviMjpegFrames(exprs(0), intLit(exprs(1), "maxFrames"))),
+    "graft_mp4_mjpeg_encode" -> (exprs => Mp4MjpegEncode(exprs(0),
+      intLit(exprs(1), "width"), intLit(exprs(2), "height"), intLit(exprs(3), "fps"))),
+    "graft_mp4_mjpeg_frames" -> (exprs =>
+      Mp4MjpegFrames(exprs(0), intLit(exprs(1), "maxFrames"))),
     "graft_mjpeg_clip_sig" -> (exprs => MjpegClipSig(exprs(0),
       intLit(exprs(1), "frameW"), intLit(exprs(2), "frameH"), intLit(exprs(3), "nSample"))),
     "graft_top_centroids" -> (exprs => TopCentroids(exprs(0),
@@ -2816,6 +3107,13 @@ object Native {
       org.apache.spark.sql.functions.lit(fps))
   def aviMjpegFrames(avi: Column, maxFrames: Int): Column =
     call_function("graft_avi_mjpeg_frames", avi,
+      org.apache.spark.sql.functions.lit(maxFrames))
+  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int): Column =
+    call_function("graft_mp4_mjpeg_encode", frames,
+      org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height),
+      org.apache.spark.sql.functions.lit(fps))
+  def mp4MjpegFrames(mp4: Column, maxFrames: Int): Column =
+    call_function("graft_mp4_mjpeg_frames", mp4,
       org.apache.spark.sql.functions.lit(maxFrames))
   def mjpegClipSig(avi: Column, frameW: Int, frameH: Int, nSample: Int): Column =
     call_function("graft_mjpeg_clip_sig", avi,

@@ -685,6 +685,21 @@ object Multimodal {
   def aviMjpegFrames(avi: Column, maxFrames: Int = 4096): Column =
     graft.functions.Native.aviMjpegFrames(avi, maxFrames)
 
+  /** [[aviMjpegEncode]]'s ISO-BMFF sibling ([[graft.functions.Native
+    * .Mp4MjpegEncode]]): frames → a real, complete MP4 with a FULL sample
+    * table (stsd/stts/stsc/stsz/stco), one chunk per frame so the walker
+    * cannot shortcut the tables. Fixture builder for [[mp4MjpegFrames]]. */
+  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int = 25): Column =
+    graft.functions.Native.mp4MjpegEncode(frames, width, height, fps)
+
+  /** REAL ISO-BMFF walk ([[graft.functions.Native.Mp4MjpegFrames]]): MP4
+    * bytes → the MJPEG track's frame payloads as ARRAY<BINARY>, resolved
+    * through the real stsc×stco/co64×stsz sample tables — the container
+    * real crawl video actually ships in. Null off contract; output capped
+    * at `maxFrames` (bomb guard). */
+  def mp4MjpegFrames(mp4: Column, maxFrames: Int = 4096): Column =
+    graft.functions.Native.mp4MjpegFrames(mp4, maxFrames)
+
   /** Fixed-width video fingerprint: sample `nSample` frames evenly across
     * the clip (index k·n/nSample — length-normalized, so a re-muxed copy
     * with the same content samples the same frames), luma-decode each
@@ -696,10 +711,13 @@ object Multimodal {
     * match). Map-side only — the container walk, decodes, and hashes all
     * fuse into the payload scan. */
   def videoFrameSigs(avi: Column, width: Int, height: Int, nSample: Int): Column = {
-    // same walk cap as the fused native form: the sampling index k·n/nSample
-    // depends on the frame COUNT, so a smaller cap here would make the two
-    // bit-equal-pinned forms sample different frames on >4096-frame clips
-    val frames = aviMjpegFrames(avi, graft.functions.Native.ClipMaxFrames)
+    // same walk cap AND the same container dispatch as the fused native
+    // form: the sampling index k·n/nSample depends on the frame COUNT, so
+    // a smaller cap (or a single-container walk) would make the two
+    // bit-equal-pinned forms diverge
+    val frames = when(substring(avi, 1, 4).cast("string") === "RIFF",
+      aviMjpegFrames(avi, graft.functions.Native.ClipMaxFrames))
+      .otherwise(mp4MjpegFrames(avi, graft.functions.Native.ClipMaxFrames))
     val n = size(frames)
     val sig = transform(sequence(lit(0), lit(nSample - 1)),
       k => dHash(jpegDecodeLuma(
@@ -718,8 +736,11 @@ object Multimodal {
   def mjpegClipSig(avi: Column, width: Int, height: Int, nSample: Int): Column =
     graft.functions.Native.mjpegClipSig(avi, width, height, nSample)
 
-  /** Video near-dup on REAL MJPEG AVI payloads, end-to-end — the VIDEO
-    * sibling of the image/audio tiers: container walk → evenly-sampled
+  /** Video near-dup on REAL MJPEG payloads in EITHER crawl container
+    * (AVI or MP4 — the signature expression dispatches on the magic, so
+    * one relation can mix both and a re-MUXED copy still pairs), end-to-
+    * end — the VIDEO sibling of the image/audio tiers: container walk →
+    * evenly-sampled
     * frame luma decodes → per-frame dHash → ONE wide Hamming signature
     * (64·nSample bits) through the shared banded-LSH core. With the
     * default maxHamming = nSample−1 each band is exactly one sampled
