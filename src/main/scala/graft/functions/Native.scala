@@ -1289,7 +1289,9 @@ object Native {
     private val bpp = if (alpha) 4 else 3
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
-    override def nullSafeEval(px: Any, width: Any): Any = {
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
       val pixels = px.asInstanceOf[Array[Byte]]
       val w = width match {
         case i: java.lang.Integer => i.intValue
@@ -1297,7 +1299,12 @@ object Native {
         case s: java.lang.Short => s.intValue
         case _ => return null
       }
-      if (w <= 0 || pixels.length == 0 || pixels.length % (w * bpp) != 0) return null
+      // bound w BEFORE w*bpp: a large non-literal width overflows the Int
+      // product to a negative divisor, and Java's % (dividend-signed) can
+      // then pass the divisibility guard and write a negative height into
+      // IHDR — the decoder's bomb cap, mirrored on the encode side
+      if (w <= 0 || w > Png.MaxPixels / bpp) return null
+      if (pixels.length == 0 || pixels.length % (w * bpp) != 0) return null
       val h = pixels.length / (w * bpp)
       val rowBytes = w * bpp
       // forward-filter into the raw stream: 1 filter-type byte + rowBytes/row
@@ -2387,9 +2394,19 @@ object Native {
           case _ => s("bad_magic") // a RIFF form this pipeline doesn't know
         }
       }
-      // ---- ISO-BMFF (MP4): header metadata only, no pixel decoder ----
+      // ---- ISO-BMFF (MP4): mirror the AVI branch through the REAL
+      // sample-table walk ([[Mp4.probe]] — the same code path
+      // [[Mp4MjpegFrames]]/videoNearDup decode through, so the report can
+      // never count a clip as dropped that the near-dup tier happily
+      // pairs): frames extract → decodable (no row); sound ISO-BMFF whose
+      // traks carry another codec → unsupported_profile; structural
+      // damage → corrupt ----
       else if (n >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
-        s("unsupported_profile")
+        Mp4.probe(b) match {
+          case 2 => null
+          case 1 => s("unsupported_profile")
+          case _ => s("corrupt")
+        }
       else s("bad_magic")
     }
     /** A prefix of a known signature (for the sub-12-byte edge). */
@@ -2413,6 +2430,24 @@ object Native {
     catch { case NonFatal(_) => None }
   def wavEnvelopeBytes(b: Array[Byte], nBuckets: Int): Option[Array[Byte]] =
     try Option(wavEnvelopeCore(b, nBuckets)) catch { case NonFatal(_) => None }
+  /** First-frame luma of an MJPEG clip (RIFF-AVI or ISO-BMFF/MP4,
+    * dispatched on magic) — the video entry of the partition-codec
+    * boundary, through the SAME container walks ([[Avi]]/[[Mp4]]) and
+    * JPEG luma core as the expression path, so `decodePartitions` and
+    * [[MjpegClipSig]] cannot disagree about whether a clip decodes.
+    * None for anything else (including RIFF-WEBP). */
+  def videoFirstFrameLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val frames =
+        if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+          Avi.framePayloads(b, 1)
+        else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+          Mp4.framePayloads(b, 1)
+        else null
+      if (frames == null || frames.isEmpty) None
+      else Option(Jpeg.decodeLumaPlaneWithDims(frames(0), allowColor = true))
+    } catch { case NonFatal(_) => None }
 
   /** avi_mjpeg_encode(ARRAY<BINARY> frames; width, height, fps) → BINARY:
     * a REAL, complete Motion-JPEG AVI (RIFF 'AVI ' with the canonical
@@ -2583,9 +2618,23 @@ object Native {
     * disagreement, overrunning sample) → null, never an error. */
   private object Mp4 {
     private val Formats = Set("jpeg", "mjpa", "mjpb", "MJPG")
-    def framePayloads(b: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
+    /** Sentinel (reference-compared): a trak whose stsd PARSED but whose
+      * sample format is outside the MJPEG set — the caller moves on, and
+      * [[probe]] counts it toward `unsupported_profile` rather than
+      * `corrupt`. */
+    private val NotMjpeg = new Array[Array[Byte]](0)
+    /** Three-way classification for the drop report ([[DecodeDropReason]]):
+      * 2 = MJPEG frames extract (the payload DECODES — not a drop),
+      * 1 = structurally-sound ISO-BMFF whose traks carry no MJPEG samples
+      * (`unsupported_profile`), 0 = structural damage (`corrupt`). Mirrors
+      * what [[framePayloads]] actually does, so the report can never
+      * contradict the decode surface. */
+    def probe(b: Array[Byte]): Int = probeWalk(b, 1)._1
+    def framePayloads(b: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
+      probeWalk(b, maxFrames)._2
+    private def probeWalk(b: Array[Byte], maxFrames: Int): (Int, Array[Array[Byte]]) = {
       val n = b.length
-      if (n < 16) return null
+      if (n < 16) return (0, null)
       def u32(off: Int): Long =
         ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
           ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
@@ -2608,19 +2657,25 @@ object Native {
         }
         null
       }
-      if (findBox(0, n, "ftyp") == null) return null
+      if (findBox(0, n, "ftyp") == null) return (0, null)
       val moov = findBox(0, n, "moov")
-      if (moov == null) return null
+      if (moov == null) return (0, null)
+      var sawNonMjpeg = false
       var cursor = moov._1
       while (cursor < moov._2) {
         val trak = findBox(cursor, moov._2, "trak")
-        if (trak == null) return null // traks exhausted, no MJPEG track
+        if (trak == null) // traks exhausted, no MJPEG track
+          return (if (sawNonMjpeg) 1 else 0, null)
         val got = trakFrames(b, trak._1, trak._2, maxFrames, u32 _, u64 _, fourcc _,
           findBox)
-        if (got != null) return if (got.isEmpty) null else got
+        if (got != null) {
+          if (got eq NotMjpeg) sawNonMjpeg = true // another codec's trak: move on
+          else if (got.isEmpty) return (0, null) // broken QUALIFYING trak
+          else return (2, got)
+        }
         cursor = trak._2
       }
-      null
+      (if (sawNonMjpeg) 1 else 0, null)
     }
     /** Frames of one trak, or null when the trak is not an MJPEG video
       * track (caller moves on) — structural damage inside a QUALIFYING
@@ -2635,7 +2690,7 @@ object Native {
       val stsd = findBox(stbl._1, stbl._2, "stsd"); if (stsd == null) return null
       // stsd payload: ver/flags(4) count(4), then entry: size(4) format(4)
       if (stsd._1 + 16 > stsd._2 || u32(stsd._1 + 4) < 1) return null
-      if (!Formats.contains(fourcc(stsd._1 + 12))) return null // not MJPEG: next trak
+      if (!Formats.contains(fourcc(stsd._1 + 12))) return NotMjpeg // parsed, other codec
       def broken = Array.empty[Array[Byte]]
       val stsz = findBox(stbl._1, stbl._2, "stsz"); if (stsz == null) return broken
       if (stsz._1 + 12 > stsz._2) return broken
@@ -2733,11 +2788,16 @@ object Native {
     * oracle move, MP4 edition. Null on empty/null frames, non-positive
     * dims, or fps outside [1, 1000]. Fixture builder; production writes
     * MP4s with a muxer, not Spark. */
-  case class Mp4MjpegEncode(child: Expression, frameW: Int, frameH: Int, fps: Int)
+  case class Mp4MjpegEncode(child: Expression, frameW: Int, frameH: Int, fps: Int,
+      format: String = "jpeg")
       extends UnaryExpression with NativeUnaryCodegen {
     require(frameW > 0 && frameH > 0 && frameW <= 65535 && frameH <= 65535,
       s"dims must be in [1, 65535], got ${frameW}x$frameH")
     require(fps >= 1 && fps <= 1000, s"fps must be in [1, 1000], got $fps")
+    // `format` parameterizes the stsd sample-entry fourcc so fixtures can
+    // plant a structurally-VALID MP4 carrying another codec (e.g. 'avc1')
+    // — the drop report must classify it unsupported_profile, not corrupt
+    require(format.length == 4, s"stsd format must be a fourcc, got '$format'")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
@@ -2827,7 +2887,7 @@ object Native {
       // stbl
       be32(stblSize); fcc("stbl")
       be32(stsdSize); fcc("stsd"); be32(0); be32(1)
-      be32(86); fcc("jpeg") // VisualSampleEntry
+      be32(86); fcc(format) // VisualSampleEntry ('jpeg' unless a fixture plants another codec)
       out.write(new Array[Byte](6)); be16(1) // reserved(6), data_reference_index
       be16(0); be16(0); (0 until 3).foreach(_ => be32(0)) // pre/rsvd/pre_defined(12)
       be16(frameW); be16(frameH)
@@ -2906,6 +2966,10 @@ object Native {
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
@@ -2993,7 +3057,8 @@ object Native {
     "graft_avi_mjpeg_frames" -> (exprs =>
       AviMjpegFrames(exprs(0), intLit(exprs(1), "maxFrames"))),
     "graft_mp4_mjpeg_encode" -> (exprs => Mp4MjpegEncode(exprs(0),
-      intLit(exprs(1), "width"), intLit(exprs(2), "height"), intLit(exprs(3), "fps"))),
+      intLit(exprs(1), "width"), intLit(exprs(2), "height"), intLit(exprs(3), "fps"),
+      if (exprs.length > 4) strLit(exprs(4), "format") else "jpeg")),
     "graft_mp4_mjpeg_frames" -> (exprs =>
       Mp4MjpegFrames(exprs(0), intLit(exprs(1), "maxFrames"))),
     "graft_mjpeg_clip_sig" -> (exprs => MjpegClipSig(exprs(0),
@@ -3108,10 +3173,11 @@ object Native {
   def aviMjpegFrames(avi: Column, maxFrames: Int): Column =
     call_function("graft_avi_mjpeg_frames", avi,
       org.apache.spark.sql.functions.lit(maxFrames))
-  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int): Column =
+  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int,
+      format: String = "jpeg"): Column =
     call_function("graft_mp4_mjpeg_encode", frames,
       org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height),
-      org.apache.spark.sql.functions.lit(fps))
+      org.apache.spark.sql.functions.lit(fps), org.apache.spark.sql.functions.lit(format))
   def mp4MjpegFrames(mp4: Column, maxFrames: Int): Column =
     call_function("graft_mp4_mjpeg_frames", mp4,
       org.apache.spark.sql.functions.lit(maxFrames))

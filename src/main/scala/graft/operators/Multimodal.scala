@@ -381,15 +381,22 @@ object Multimodal {
     * bytes: PNG (gray + truecolor RGB/RGBA) and baseline JPEG (gray +
     * YCbCr) decode to their luma bitmap with TRUE dimensions (channels =
     * 1 — the luma plane); canonical 16-bit-PCM WAV decodes to its
-    * 72-bucket energy envelope (width = 72, height = 1). The feature
-    * vector is the 8-bin normalized luma/energy histogram — a real
-    * image/audio statistic (each bin = fraction of bytes in [32k, 32k+32)),
-    * integer-exact underneath so an oracle can recompute it. Anything
-    * else — WebP, AVIF, MP4, corrupt bytes — fails to decode (None):
-    * those formats stay codec-library work behind the pluggable `codec`
-    * parameter. Same decode cores as the column expressions
-    * ([[graft.functions.Native]]), so decode semantics cannot fork
-    * between the expression path and the partition path. */
+    * 72-bucket energy envelope (width = 72, height = 1); MJPEG video
+    * (RIFF-AVI or ISO-BMFF/MP4, through the same container walks the
+    * expression path uses) decodes to its FIRST frame's luma — so every
+    * modality the expression surface decodes, the partition boundary
+    * decodes too, and the drop report cannot disagree with this path
+    * about whether a payload "decodes". RIFF payloads dispatch on the
+    * form tag at bytes 8–11 (WAVE → audio, AVI → video), never blindly
+    * to the WAV core. The feature vector is the 8-bin normalized
+    * luma/energy histogram — a real image/audio statistic (each bin =
+    * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
+    * oracle can recompute it. Anything else — WebP, AVIF, corrupt
+    * bytes — fails to decode (None): those formats stay codec-library
+    * work behind the pluggable `codec` parameter. Same decode cores as
+    * the column expressions ([[graft.functions.Native]]), so decode
+    * semantics cannot fork between the expression path and the partition
+    * path. */
   def realCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 4) return None
     def feat(px: Array[Byte]): Array[Float] = {
@@ -400,16 +407,24 @@ object Multimodal {
       while (j < 8) { hist(j) /= px.length; j += 1 }
       hist
     }
+    def lumaOf(d: Option[(Int, Int, Array[Byte])]) =
+      d.map { case (w, h, px) => (w, h, 1, feat(px)) }
     val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
     if (b0 == 0x89 && b1 == 'P')
-      graft.functions.Native.pngLumaBytes(bytes)
-        .map { case (w, h, px) => (w, h, 1, feat(px)) }
+      lumaOf(graft.functions.Native.pngLumaBytes(bytes))
     else if (b0 == 0xFF && b1 == 0xD8)
-      graft.functions.Native.jpegLumaBytes(bytes)
-        .map { case (w, h, px) => (w, h, 1, feat(px)) }
-    else if (b0 == 'R' && b1 == 'I')
-      graft.functions.Native.wavEnvelopeBytes(bytes, 72)
-        .map(env => (env.length, 1, 1, feat(env)))
+      lumaOf(graft.functions.Native.jpegLumaBytes(bytes))
+    else if (b0 == 'R' && b1 == 'I') {
+      // disambiguate the RIFF form (bytes 8-11) BEFORE picking a core:
+      // AVI and WebP payloads must never reach the WAV sample walk
+      if (bytes.length >= 12 && bytes(8) == 'W' && bytes(9) == 'A' &&
+          bytes(10) == 'V' && bytes(11) == 'E')
+        graft.functions.Native.wavEnvelopeBytes(bytes, 72)
+          .map(env => (env.length, 1, 1, feat(env)))
+      else lumaOf(graft.functions.Native.videoFirstFrameLumaBytes(bytes))
+    } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p')
+      lumaOf(graft.functions.Native.videoFirstFrameLumaBytes(bytes))
     else None
   }
 
@@ -689,8 +704,9 @@ object Multimodal {
     * .Mp4MjpegEncode]]): frames → a real, complete MP4 with a FULL sample
     * table (stsd/stts/stsc/stsz/stco), one chunk per frame so the walker
     * cannot shortcut the tables. Fixture builder for [[mp4MjpegFrames]]. */
-  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int = 25): Column =
-    graft.functions.Native.mp4MjpegEncode(frames, width, height, fps)
+  def mp4MjpegEncode(frames: Column, width: Int, height: Int, fps: Int = 25,
+      format: String = "jpeg"): Column =
+    graft.functions.Native.mp4MjpegEncode(frames, width, height, fps, format)
 
   /** REAL ISO-BMFF walk ([[graft.functions.Native.Mp4MjpegFrames]]): MP4
     * bytes → the MJPEG track's frame payloads as ARRAY<BINARY>, resolved

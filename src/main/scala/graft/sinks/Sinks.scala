@@ -154,27 +154,56 @@ object Sinks {
         .select(col("key"), col("window_start"), col("cnt"))
     }
 
+    /** Writer intent markers — the second flag of the writer/compactor
+      * handshake (siblings of the root, like [[lockPath]], because
+      * compact() deletes the root). One per in-flight [[upsert]]. */
+    private def newIntentPath() = new org.apache.hadoop.fs.Path(
+      path + "__WRITE_INTENT." + java.util.UUID.randomUUID().toString)
+    private[graft] def liveIntents(): Int = {
+      val g = fileSystem().globStatus(
+        new org.apache.hadoop.fs.Path(path + "__WRITE_INTENT.*"))
+      if (g == null) 0 else g.length
+    }
+
     /** Append one micro-batch delta (key, window_start, cnt) under
       * `batchId`. One writer per bucket directory (no-small-files rule);
       * the delta never joins or reads existing state.
       *
-      * Refuses (loudly) while a [[compact]] lock is held: a writer racing
-      * compact's non-atomic delete→rename window could append files that
-      * the delete removes or that land in the doomed old root — a SILENT
-      * loss of a committed micro-batch. Throwing instead makes the
-      * streaming engine retry the micro-batch with the same batchId once
-      * the lock clears, which last-write-wins resolution absorbs
-      * (retry rows are byte-identical). */
+      * Refuses (loudly) while a [[compact]] lock is held, and the refusal
+      * is MUTUAL EXCLUSION, not a check-then-act: the writer first drops
+      * an intent marker (atomic create of a sibling file), THEN re-checks
+      * the lock — while compact() takes its lock first and then refuses
+      * if any intent exists. Whatever the interleaving, either the writer
+      * observes the lock (created before its re-check) and backs off, or
+      * the compactor observes the intent (created before its scan) and
+      * backs off — a write that proceeds is never concurrent with a
+      * compaction's delete→rename window, so a committed micro-batch can
+      * no longer be lost silently mid-write. Throwing makes the streaming
+      * engine retry the micro-batch with the same batchId once the lock
+      * clears, which last-write-wins resolution absorbs (retry rows are
+      * byte-identical). The intent is removed in a finally; a JVM crash
+      * mid-write leaves it behind, blocking compaction (not appends)
+      * until an operator inspects and deletes it — the same deliberate
+      * crashed-holder policy as the compact lock itself. */
     def upsert(batch: DataFrame, batchId: Long): Unit = {
-      if (fileSystem().exists(lockPath))
-        throw new IllegalStateException(
-          s"ParquetWindowStore: compact() in progress ($lockPath held) — " +
-            "refusing to append; the streaming engine will retry this batch")
-      batch.select(col("key"), col("window_start"), col("cnt"),
-          lit(batchId).as("batch_id"))
-        .withColumn("bucket", bucketOf(col("key")))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(path)
+      val fs = fileSystem()
+      def refuse(): Nothing = throw new IllegalStateException(
+        s"ParquetWindowStore: compact() in progress ($lockPath held) — " +
+          "refusing to append; the streaming engine will retry this batch")
+      if (fs.exists(lockPath)) refuse() // fast path; the handshake is below
+      val intent = newIntentPath()
+      fs.create(intent, false).close()
+      try {
+        // re-check AFTER the intent create: a compactor that took the
+        // lock before our intent landed must be visible here (and one
+        // that takes it after will see our intent and back off)
+        if (fs.exists(lockPath)) refuse()
+        batch.select(col("key"), col("window_start"), col("cnt"),
+            lit(batchId).as("batch_id"))
+          .withColumn("bucket", bucketOf(col("key")))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("append").parquet(path)
+      } finally fs.delete(intent, false)
     }
 
     /** The resolved current state as a DataFrame — the concurrent-reader
@@ -207,15 +236,23 @@ object Sinks {
       *
       * WRITER exclusion is enforced, not just documented: the whole
       * read→rewrite→delete→rename span runs under an atomically-created
-      * lock file ([[lockPath]]) that [[upsert]] checks — an upsert racing
-      * the non-atomic delete/rename window would otherwise append a
-      * committed micro-batch delta into the doomed old root and lose it
-      * silently. A concurrent compact() finding the lock held throws
-      * (FileAlreadyExists semantics of `create(…, overwrite = false)`);
-      * a job FAILURE releases the lock (the store root is only touched
-      * after the rewrite fully succeeds, so it is intact), while a JVM
-      * crash leaves the lock held — deliberate, because a dead compactor
-      * needs an operator's eye; delete the lock file to release. */
+      * lock file ([[lockPath]]), and after taking it compact() refuses if
+      * any writer INTENT marker exists — the two-flag handshake with
+      * [[upsert]] (intent-then-check-lock vs lock-then-check-intents)
+      * guarantees one side always observes the other, closing the window
+      * where an upsert past its lock check but still mid-write would
+      * append a committed micro-batch delta into the doomed old root and
+      * lose it silently. A concurrent compact() finding the lock held
+      * throws (FileAlreadyExists semantics of `create(…, overwrite =
+      * false)`); a rewrite FAILURE releases the lock (the store root is
+      * only touched after the rewrite fully succeeds, so it is intact).
+      * Two cases deliberately leave the lock HELD for an operator's eye:
+      * a JVM crash, and a `delete`/`rename` that REPORTS failure (Hadoop
+      * FileSystems commonly return false instead of throwing) — in the
+      * latter the store root may already be gone with the compacted data
+      * stranded in `__compacting`, and releasing the lock would let
+      * appends silently rebuild an empty store. Delete the lock file to
+      * release after repairing. */
     def compact(): Unit = {
       if (!exists()) return
       val fs = fileSystem()
@@ -227,7 +264,14 @@ object Sinks {
               "(concurrent compact, or a crashed one — inspect and delete to release)", e)
       }
       lock.close()
+      var poisoned = false // a reported delete/rename failure keeps the lock
       try {
+        val inflight = liveIntents()
+        if (inflight > 0)
+          throw new IllegalStateException(
+            s"ParquetWindowStore: $inflight writer(s) in flight " +
+              s"(${path}__WRITE_INTENT.*) — refusing to compact; retry once they drain " +
+              "(a marker that never drains is a crashed writer: inspect and delete)")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"), col("window_start"))
           .orderBy(col("batch_id").desc)
@@ -240,9 +284,22 @@ object Sinks {
           .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         val p = new org.apache.hadoop.fs.Path(path)
         val t = new org.apache.hadoop.fs.Path(tmp)
-        fs.delete(p, true)
-        fs.rename(t, p)
-      } finally fs.delete(lockPath, false)
+        if (!fs.delete(p, true)) {
+          poisoned = true
+          throw new IllegalStateException(
+            s"ParquetWindowStore: delete($path) returned false mid-compaction — " +
+              s"store state is suspect and the compacted data is in $tmp; " +
+              "lock left HELD, repair manually then delete the lock file")
+        }
+        if (!fs.rename(t, p)) {
+          poisoned = true
+          throw new IllegalStateException(
+            s"ParquetWindowStore: rename($tmp, $path) returned false — the store " +
+              s"root is deleted and the compacted data is stranded in $tmp; " +
+              "lock left HELD (appends would rebuild an empty store), " +
+              "rename manually then delete the lock file")
+        }
+      } finally if (!poisoned) fs.delete(lockPath, false)
     }
   }
 

@@ -226,4 +226,34 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(pq.fetch("k", ts("2025-01-01 09:00:00"), ts("2025-01-01 11:00:00"))
       .map(_._2) == Seq(1L))
   }
+
+  test("parquet window store: writer intent markers make the exclusion mutual — compact refuses while a writer is in flight") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-intent").toString + "/store"
+    val pq = new Sinks.ParquetWindowStore(spark, dir, numBuckets = 4)
+    val delta = spark.range(1).select(lit("k").as("key"),
+      lit(ts("2025-01-01 10:00:00")).as("window_start"), lit(1L).as("cnt"))
+    pq.upsert(delta, 0L)
+    // a completed upsert leaves NO marker behind (they drain per write)
+    assert(pq.liveIntents() == 0, "upsert must remove its intent marker")
+    // an in-flight writer — simulated by its intent marker, the state an
+    // upsert holds for its whole write span — makes compact() THROW and
+    // release its lock: the check-then-act hole (writer past its lock
+    // check, compactor deleting the root mid-write) is closed from the
+    // compactor's side too
+    val intent = new org.apache.hadoop.fs.Path(dir + "__WRITE_INTENT.in-flight")
+    val fs = intent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(intent, false).close()
+    val e = intercept[IllegalStateException] { pq.compact() }
+    assert(e.getMessage.contains("writer(s) in flight"))
+    val lock = new org.apache.hadoop.fs.Path(dir + "__COMPACT_LOCK")
+    assert(!fs.exists(lock), "a writer-blocked compact must release its lock so the retry can take it")
+    // writer drains ⇒ compaction proceeds and the data both sides wrote survives
+    fs.delete(intent, false)
+    pq.upsert(delta, 1L)
+    pq.compact()
+    assert(pq.liveIntents() == 0 && !fs.exists(lock))
+    assert(pq.fetch("k", ts("2025-01-01 09:00:00"), ts("2025-01-01 11:00:00"))
+      .map(_._2) == Seq(1L))
+  }
 }

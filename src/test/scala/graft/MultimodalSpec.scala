@@ -219,18 +219,34 @@ class MultimodalSpec extends AnyFunSuite {
     val jpeg = Seq(Tuple1(jpegPx)).toDF("px")
       .select(Multimodal.jpegEncodeGray8Dc($"px", lit(96))).as[Array[Byte]].head()
     val wav = wavOf(Array.tabulate(720)(i => (i * 41 % 2000 - 1000).toShort), 1, 8000)
+    // MJPEG clips (first frame = the real 96×16 JPEG above): the video
+    // entry of the codec boundary, both containers — and a RIFF-WEBP
+    // that must NOT reach the WAV core (form-tag dispatch) but drop
+    val aviClip = encAvi(Seq(jpeg, jpeg), 96, 16)
+    val mp4Clip = encMp4(Seq(jpeg, jpeg), 96, 16)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
     val rows = Seq(
       (1L, png), (2L, pngColor), (3L, jpeg), (4L, wav),
       (5L, "not any media format".getBytes("UTF-8")), // → dropped
-      (6L, Array.empty[Byte]))                        // → dropped
+      (6L, Array.empty[Byte]),                        // → dropped
+      (7L, aviClip), (8L, mp4Clip),                   // → first-frame luma
+      (9L, webp))                                     // → dropped, never WAV-walked
       .toDF("doc_id", "media").repartition(2)
     val got = Multimodal.decodePartitions(rows)
     assert(got.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
     val decoded = got.orderBy($"doc_id")
       .select($"doc_id", $"width", $"height", $"channels").as[(Long, Int, Int, Int)].collect()
     // TRUE dimensions from the real decoders, not hash-derived fakes
-    assert(decoded.toSeq == Seq((1L, 9, 8, 1), (2L, 9, 8, 1), (3L, 96, 16, 1), (4L, 72, 1, 1)),
+    assert(decoded.toSeq == Seq((1L, 9, 8, 1), (2L, 9, 8, 1), (3L, 96, 16, 1), (4L, 72, 1, 1),
+      (7L, 96, 16, 1), (8L, 96, 16, 1)),
       decoded.mkString(", "))
+    // the clips' features equal the plain JPEG row's (same first frame)
+    val jpegFeat = got.filter($"doc_id" === 3L).select($"feature").as[Seq[Float]].head()
+    Seq(7L, 8L).foreach { id =>
+      val f = got.filter($"doc_id" === id).select($"feature").as[Seq[Float]].head()
+      assert(f == jpegFeat, s"clip $id feature diverged from its frame's")
+    }
     // features are real normalized luma/energy histograms: 8 bins summing to 1
     val feats = got.select($"feature").as[Seq[Float]].collect()
     assert(feats.forall(f => f.length == 8 && math.abs(f.sum - 1f) < 1e-4 &&
@@ -262,17 +278,23 @@ class MultimodalSpec extends AnyFunSuite {
     val palettePng = png.clone(); palettePng(25) = 3
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
+    // a bare ftyp with NO moov is structural damage, not an unsupported
+    // codec — the classifier now walks the real sample tables
     val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++ new Array[Byte](12)
     val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
       "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
     val junk = "garbage payload bytes".getBytes("UTF-8")
     val truncAvi = avi.take(avi.length - 9)
+    val mp4 = encMp4(Seq(png), 9, 8)  // any payload bytes walk as frames
+    val mp4Avc = encMp4(Seq(png), 9, 8, format = "avc1")
+    val truncMp4 = mp4.take(40) // ftyp survives, moov (written last) gone
     val rows = Seq(
-      ("a", png), ("a", wav), ("a", avi),            // all decodable → NO rows
+      ("a", png), ("a", wav), ("a", avi), ("a", mp4), // all decodable → NO rows
       ("a", junk), ("b", junk),                      // bad_magic, split by source
       ("a", palettePng), ("a", bombPng),
       ("a", png.take(40)),                           // header ok, decode fails → corrupt
-      ("b", mp4ish), ("b", webp), ("b", truncAvi))
+      ("b", mp4ish), ("b", webp), ("b", truncAvi),
+      ("b", mp4Avc), ("b", truncMp4))
       .toDF("source", "media")
     val got = Multimodal.decodeDropReport(rows)
       .as[(String, String, String, Long, Long)].collect().toSet
@@ -282,10 +304,34 @@ class MultimodalSpec extends AnyFunSuite {
       ("a", "image/png", "unsupported_profile", 1L, palettePng.length.toLong),
       ("a", "image/png", "bomb_guard", 1L, bombPng.length.toLong),
       ("a", "image/png", "corrupt", 1L, 40L),
-      ("b", "video/mp4", "unsupported_profile", 1L, mp4ish.length.toLong),
+      ("b", "video/mp4", "corrupt", 2L, mp4ish.length.toLong + 40L),
       ("b", "image/webp", "unsupported_profile", 1L, webp.length.toLong),
-      ("b", "video/avi", "corrupt", 1L, truncAvi.length.toLong))
+      ("b", "video/avi", "corrupt", 1L, truncAvi.length.toLong),
+      ("b", "video/mp4", "unsupported_profile", 1L, mp4Avc.length.toLong))
     assert(got == expected, s"got $got")
+  }
+
+  test("a decodable MJPEG MP4 pairs in videoNearDup AND contributes no decodeDropReport row — the surfaces agree") {
+    def frame(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      encYcc(mcuBitmap(72, 64, 1, 1, Array.fill(72)(cat7(r2))), 72, 1, 1)
+    }
+    val footage = Seq(frame(11), frame(12))
+    val clips = Seq(
+      (1L, encMp4(footage, 72, 64)),
+      (2L, encMp4(footage, 72, 64))) // identical footage, re-keyed
+      .toDF("id", "avi")
+    val pairs = Multimodal.videoNearDup(clips, 72, 64, nSample = 2, maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming".cast("bigint"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+    // the SAME payloads through the drop report: decodable → zero rows
+    // (pre-r11 the MP4 branch called every ISO-BMFF payload
+    // unsupported_profile — a clip the near-dup tier pairs would have
+    // been counted dropped)
+    val dropped = Multimodal.decodeDropReport(
+      clips.select(lit("s").as("source"), $"avi".as("media")))
+    assert(dropped.count() == 0L)
   }
 
   test("resizePlan fits within the max box preserving aspect ratio, never upscales") {
@@ -570,6 +616,26 @@ class MultimodalSpec extends AnyFunSuite {
     val a = decPngLuma(encRgb(rgba, w, -1, st = false, alpha = true))
     val b = decPngLuma(encRgb(rgbaOtherAlpha, w, -1, st = false, alpha = true))
     assert(a != null && b != null && a.sameElements(b))
+  }
+
+  test("pngEncodeRgb refuses overflow-scale widths: null, never a negative-height IHDR") {
+    // w·bpp overflows Int to a small/negative divisor; Java's % follows
+    // the dividend's sign, so a divisible pixel length would pass the old
+    // guard and a nonsense height would land in IHDR. The encoder must
+    // bound w at the decoder's bomb cap instead (MaxPixels / bpp).
+    val px = rgbPix(6, 3)
+    for (w <- Seq(1431655766, Int.MaxValue, (1 << 26) / 3 + 1)) {
+      val got = Seq((px, w)).toDF("px", "w")
+        .select(Multimodal.pngEncodeRgb($"px", $"w", filterMode = 0, stored = true))
+        .as[Array[Byte]].head()
+      assert(got == null, s"width $w must refuse to encode")
+    }
+    // the cap itself still encodes (bound, not off-by-one under it)
+    val okW = 6
+    val ok = Seq((px, okW)).toDF("px", "w")
+      .select(Multimodal.pngEncodeRgb($"px", $"w", filterMode = 0, stored = true))
+      .as[Array[Byte]].head()
+    assert(ok != null)
   }
 
   test("pngEncodeRgb emits a REAL truecolor PNG: ImageIO reads back the exact planted channels (both color types)") {
@@ -1112,6 +1178,10 @@ class MultimodalSpec extends AnyFunSuite {
   private def encAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 25): Array[Byte] =
     Seq(Tuple1(frames)).toDF("f")
       .select(Multimodal.aviMjpegEncode($"f", w, h, fps)).as[Array[Byte]].head()
+  private def encMp4(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 25,
+      format: String = "jpeg"): Array[Byte] =
+    Seq(Tuple1(frames)).toDF("f")
+      .select(Multimodal.mp4MjpegEncode($"f", w, h, fps, format)).as[Array[Byte]].head()
   private def decAvi(avi: Array[Byte], maxFrames: Int = 4096): Seq[Array[Byte]] = {
     val r = Seq(Tuple1(avi)).toDF("a")
       .select(Multimodal.aviMjpegFrames($"a", maxFrames)).collect().head
