@@ -266,6 +266,19 @@ object CorpusPrep {
     val committed = committedBatches(spark, storeDir)
     def readStore(name: String, ddl: String): DataFrame =
       readStoreIn(spark, committed, name, ddl)
+    // committed retractions release the claims of removed docs: every
+    // probe relation (fp/lfp/sig/mh) anti-joins tombstoned keepers below,
+    // so content re-ingested AFTER a takedown is accepted afresh instead
+    // of silently deduped against removed text. Skipped on a
+    // tombstone-free store so the common-case plan is unchanged.
+    val tombed = graft.sources.BatchStore.dirsWithRelation(spark, committed, "tomb").nonEmpty
+    def untombed(rel: DataFrame, keeperDocId: org.apache.spark.sql.Column): DataFrame =
+      if (!tombed) rel
+      // renamed join key: shard relations can carry arbitrary ingest
+      // columns, so a bare `id` would risk ambiguity
+      else rel.join(graft.sources.BatchStore.readTombstones(spark, storeDir)
+          .select(col("id").as("__tomb_id")),
+        keeperDocId === col("__tomb_id"), "left_anti")
 
     val batchRows = batch.count()
     // raw-ingest extraction first, so every store decision (content id,
@@ -300,7 +313,8 @@ object CorpusPrep {
     // relation at commit time, filtered (like the doc fp store) to
     // finally-ACCEPTED docs.
     val (lined, lineNovel) = if (lineLevelDedup) {
-      val lfpStore = readStore("lfp", "fp BIGINT, keep_okey BIGINT")
+      val lfpStore = untombed(readStore("lfp", "fp BIGINT, keep_okey BIGINT"),
+        shiftrightunsigned(col("keep_okey"), 32))
       val (cleaned, novel, _) = Dedup.lineDedupIncremental(extracted, lfpStore)
       val survivors = extracted.drop("text")
         .join(cleaned.filter(col("n_kept") > 0)
@@ -317,14 +331,17 @@ object CorpusPrep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gatedCount = gated.count()
 
-    // exact dedup vs the fingerprint store (plus first-in-batch keeper)
-    val fpStore = readStore("fp", "fp STRING, keep_id BIGINT")
+    // exact dedup vs the fingerprint store (plus first-in-batch keeper),
+    // retracted keepers' claims released
+    val fpStore = untombed(readStore("fp", "fp STRING, keep_id BIGINT"), col("keep_id"))
     val novelFp = Dedup.exactIncremental(gated, fpStore)._1.localCheckpoint(true)
     val novelDocs = gated.join(novelFp.select(col("keep_id").as("doc_id")), Seq("doc_id"))
 
     // signature near-dup: one sig per novel doc, collapse in-batch by
-    // sig (min doc_id keeper), then drop sigs the store has seen
-    val sigStore = readStore("sig", "sig BIGINT")
+    // sig (min doc_id keeper), then drop sigs the store has seen — each
+    // stored sig carries its keeper so retraction can release the claim
+    val sigStore = untombed(readStore("sig", "sig BIGINT, keep_id BIGINT"),
+      col("keep_id"))
     val sigCands = novelDocs
       .select(col("doc_id"), Native.simhash(Funcs.tokens(col("text"))).as("sig"))
       .groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
@@ -342,7 +359,9 @@ object CorpusPrep {
     // recall is the banding S-curve's, not exact — the pair-verified
     // batch canonicalization remains the periodic ground truth (the
     // documented online/offline split).
-    val mhStore = readStore("mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>")
+    val mhStore = untombed(
+      readStore("mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>, keep_id BIGINT"),
+      col("keep_id"))
     val candMh = gated.join(sigCands.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"),
         Native.minhashFromTokens(Funcs.tokens(col("text")), 3, 16).as("msig"))
@@ -385,8 +404,10 @@ object CorpusPrep {
       // accepted corpus, so a signature-rejected doc stays re-checkable
       novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
         .select("fp", "keep_id").write.mode("overwrite").parquet(s"$batchDir/fp")
-      acceptedSigs.select("sig").write.mode("overwrite").parquet(s"$batchDir/sig")
-      acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"))
+      acceptedSigs.select(col("sig"), col("doc_id").as("keep_id"))
+        .write.mode("overwrite").parquet(s"$batchDir/sig")
+      acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"),
+          col("doc_id").as("keep_id"))
         .write.mode("overwrite").parquet(s"$batchDir/mh")
       if (lineLevelDedup) {
         // the line-fp mirror of the doc-fp rule: only lines claimed by
@@ -422,20 +443,52 @@ object CorpusPrep {
       base + acceptedCount)
   }
 
+  /** Retract documents from the store (takedown / robots revocation):
+    * appends a committed TOMBSTONE batch ([[graft.sources.BatchStore
+    * .appendTombstones]]) whose ids every reader anti-joins from that
+    * commit on — [[readShards]], [[readAttributes]], and ALL FOUR claim
+    * stores ([[runIncremental]]'s `fp`/`lfp`/`sig`/`mh` probes, each row
+    * of which carries its keeper's doc_id for exactly this), so content
+    * re-ingested AFTER a retraction is accepted afresh rather than
+    * silently deduped against removed text. [[compactStore]] later makes
+    * the absence PHYSICAL across shards/attrs/fp/lfp/sig/mh and consumes
+    * the tombstones. Retraction is id-sized both ways: the tombstone
+    * relation broadcasts into every anti-join, and no reader plan changes
+    * shape on a tombstone-free store. Returns false when `docIds` is
+    * empty or this exact retraction set is a replay. */
+  def retract(spark: SparkSession, storeDir: String, docIds: DataFrame): Boolean =
+    graft.sources.BatchStore.appendTombstones(spark, storeDir, docIds)
+
+  /** The store's committed tombstoned doc_ids (empty when none). */
+  private def tombstones(spark: SparkSession, storeDir: String): DataFrame =
+    graft.sources.BatchStore.readTombstones(spark, storeDir)
+      .select(col("id").as("doc_id"))
+  private def hasTombstones(spark: SparkSession, storeDir: String): Boolean =
+    graft.sources.BatchStore
+      .dirsWithRelation(spark, committedBatches(spark, storeDir), "tomb").nonEmpty
+
   /** The stored corpus as one DataFrame — the union of every COMMITTED,
     * non-superseded batch's shard slice (uncommitted crash leftovers and
-    * compacted-away sources are invisible). This is the reader every
+    * compacted-away sources are invisible), minus any committed
+    * retractions ([[retract]] — the anti-join is id-sized and broadcast,
+    * and is skipped entirely on a tombstone-free store so the plan shape
+    * is unchanged for the common case). This is the reader every
     * consumer of a [[runIncremental]] store should use; reading
     * `storeDir` recursively would see partial state. */
   def readShards(spark: SparkSession, storeDir: String): DataFrame = {
-    val paths = committedBatches(spark, storeDir).map(d => s"$d/shards")
-    require(paths.nonEmpty, s"no committed batches under $storeDir/batches")
+    val dirs = committedBatches(spark, storeDir)
+    val paths = graft.sources.BatchStore.dirsWithRelation(spark, dirs, "shards")
+      .map(d => s"$d/shards")
+    require(paths.nonEmpty, s"no committed data batches under $storeDir/batches")
     // per-batch reads unioned by name: each batch dir carries its own
     // shard=N partition layout, so a multi-root read would need a common
     // basePath that the b_<id> level breaks. One scan node per batch is
     // fine at an ingest cadence; [[compactStore]] is the periodic pass
     // that folds them back to one.
-    paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+    val all = paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+    if (hasTombstones(spark, storeDir))
+      all.join(tombstones(spark, storeDir), Seq("doc_id"), "left_anti")
+    else all
   }
 
   /** The attributes-sidecar schema ([[TextAnalysis.attributeReport]]'s
@@ -446,11 +499,16 @@ object CorpusPrep {
       "pred_lang_model STRING, gopher_keep BIGINT, n_badwords BIGINT"
 
   /** The stored corpus's Dolma-style attribute sidecar — one row per
-    * accepted doc, unioned across committed batches. Lets audits and
-    * threshold tuning run over the tiny attributes relation without ever
-    * scanning shard text. */
-  def readAttributes(spark: SparkSession, storeDir: String): DataFrame =
-    readStoreIn(spark, committedBatches(spark, storeDir), "attrs", AttrsDdl)
+    * accepted doc, unioned across committed batches, minus committed
+    * retractions (the sidecar describes removed text, so it must go with
+    * it). Lets audits and threshold tuning run over the tiny attributes
+    * relation without ever scanning shard text. */
+  def readAttributes(spark: SparkSession, storeDir: String): DataFrame = {
+    val attrs = readStoreIn(spark, committedBatches(spark, storeDir), "attrs", AttrsDdl)
+    if (hasTombstones(spark, storeDir))
+      attrs.join(tombstones(spark, storeDir), Seq("doc_id"), "left_anti")
+    else attrs
+  }
 
   /** Fold every committed batch into ONE batch directory — the periodic
     * maintenance pass that keeps [[readShards]] (and the fp/sig/mh probe
@@ -474,8 +532,21 @@ object CorpusPrep {
     * assigned and disjoint across batches), re-clustered by shard so the
     * compacted layout is one pos-sorted partition tree. */
   def compactStore(spark: SparkSession, storeDir: String, gc: Boolean = true): Int = {
-    val sources = committedBatches(spark, storeDir)
-    if (sources.length <= 1) return 0
+    val all = committedBatches(spark, storeDir)
+    // retraction batches fold IN, not alongside: their ids are dropped
+    // PHYSICALLY from every doc-keyed relation below and the consumed
+    // tombstone dirs are deleted outright (not superseded — a crash
+    // between the compacted commit and this GC leaves them active, which
+    // merely re-filters ids that are already physically absent)
+    val (tombDirs, sources) =
+      all.partition(p => graft.sources.BatchStore.hasRelation(spark, p, "tomb"))
+    if (sources.isEmpty || (sources.length <= 1 && tombDirs.isEmpty)) return 0
+    val tombs = graft.sources.BatchStore
+      .readRelation(spark, tombDirs, "tomb", "id BIGINT")
+    def drop(rel: DataFrame, keeperDocId: org.apache.spark.sql.Column): DataFrame =
+      if (tombDirs.isEmpty) rel
+      else rel.join(tombs.select(col("id").as("__tomb_id")),
+        keeperDocId === col("__tomb_id"), "left_anti")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
@@ -483,15 +554,23 @@ object CorpusPrep {
       .digest(names.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = s"$storeDir/batches/c_$cid"
-    sources.map(p => spark.read.parquet(s"$p/shards")).reduce(_.unionByName(_))
+    drop(sources.map(p => spark.read.parquet(s"$p/shards")).reduce(_.unionByName(_)),
+        col("doc_id"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/shards")
-    readStoreIn(spark, sources, "fp", "fp STRING, keep_id BIGINT")
+    drop(readStoreIn(spark, sources, "fp", "fp STRING, keep_id BIGINT"), col("keep_id"))
       .write.mode("overwrite").parquet(s"$dir/fp")
-    readStoreIn(spark, sources, "sig", "sig BIGINT")
+    // the near-dup claim relations drop their retracted keepers like
+    // fp/lfp do (each row carries keep_id for exactly this); batches
+    // written before the keep_id column read it as null, which no
+    // tombstone id equals — their claims survive until a periodic batch
+    // canonicalization rebuild
+    drop(readStoreIn(spark, sources, "sig", "sig BIGINT, keep_id BIGINT"),
+        col("keep_id"))
       .write.mode("overwrite").parquet(s"$dir/sig")
-    readStoreIn(spark, sources, "mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>")
+    drop(readStoreIn(spark, sources, "mh",
+        "band INT, bkey BIGINT, sig ARRAY<BIGINT>, keep_id BIGINT"), col("keep_id"))
       .write.mode("overwrite").parquet(s"$dir/mh")
     // line-claim store: only written when some source batch ran with
     // lineLevelDedup — an empty union writes an empty (but present)
@@ -500,15 +579,21 @@ object CorpusPrep {
     // free of the relation
     // attributes sidecar folds like the probe relations (batches predating
     // the sidecar simply contribute no rows)
-    readStoreIn(spark, sources, "attrs", AttrsDdl)
+    drop(readStoreIn(spark, sources, "attrs", AttrsDdl), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/attrs")
-    val lfp = readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT")
+    val lfp = drop(readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT"),
+      shiftrightunsigned(col("keep_okey"), 32))
     if (sources.exists { p =>
         val path = new org.apache.hadoop.fs.Path(s"$p/lfp")
         path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
       })
       lfp.write.mode("overwrite").parquet(s"$dir/lfp")
     import spark.implicits._
+    // meta stays the CUMULATIVE accepted count even when retractions
+    // shrank the corpus: it is the position high-water mark the next
+    // batch's `pos` values continue after — positions are never reused,
+    // a retraction leaves pos holes (repack via Pipeline materialization
+    // if a loader needs density)
     val total = readStoreIn(spark, sources, "meta", "accepted BIGINT")
       .agg(coalesce(sum(col("accepted")), lit(0L))).collect()(0).getLong(0)
     Seq(total).toDF("accepted").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -516,6 +601,9 @@ object CorpusPrep {
     try manifest.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
     finally manifest.close()
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT"), true).close()
+    // consumed tombstones always go (their absence is now physical);
+    // superseded sources go under the gc flag as before
+    tombDirs.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     if (gc) sources.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     sources.length
   }

@@ -451,20 +451,46 @@ object Similarity {
     true
   }
 
+  /** Retract vectors from an incremental index (takedown of the source
+    * documents' embeddings): appends a committed TOMBSTONE batch
+    * ([[graft.sources.BatchStore.appendTombstones]]). From that commit
+    * on, [[ivfTopKIncremental]]/[[ivfPqTopKIncremental]] anti-join the
+    * retracted vec_ids out of every candidate set (id-sized broadcast,
+    * skipped when no tombstones exist), and the next
+    * [[compactIvfIndex]]/[[compactIvfPqIndex]] makes the absence
+    * PHYSICAL and consumes the tombstones. Returns false on an empty or
+    * replayed retraction set. */
+  def retractVectors(spark: SparkSession, path: String, vecIds: DataFrame): Boolean =
+    graft.sources.BatchStore.appendTombstones(spark, path, vecIds)
+
+  /** Committed retracted vec_ids of an index, as a `vec_id` relation. */
+  private def indexTombstones(spark: SparkSession, path: String): DataFrame =
+    graft.sources.BatchStore.readTombstones(spark, path)
+      .select(col("id").as("vec_id"))
+
+  /** Anti-join committed retractions out of a (…, vec_id, …) relation;
+    * identity when the index carries no tombstone batch. */
+  private def dropRetracted(spark: SparkSession, path: String, dirs: Seq[String],
+      rel: DataFrame): DataFrame =
+    if (graft.sources.BatchStore.dirsWithRelation(spark, dirs, "tomb").isEmpty) rel
+    else rel.join(indexTombstones(spark, path), Seq("vec_id"), "left_anti")
+
   /** Probe an incremental IVF index: per committed batch, probe THAT
     * batch's centroids with static partition pruning (the shared
     * [[scoreIndexed]] core — identical plan shape to [[ivfTopKIndexed]]
-    * per batch), union the scored candidates, dedup (a vector re-appended
-    * in two batches, or multi-assigned into two probed buckets, must not
-    * double-count), and rank once. With all batches sharing centroids the
-    * result is EXACTLY a single-index probe (candidate sets union to the
-    * same set — golden-pinned); the per-batch scan-node count is the
-    * documented compaction motive, same as the corpus store's. */
+    * per batch), union the scored candidates, drop committed retractions
+    * ([[retractVectors]]), dedup (a vector re-appended in two batches, or
+    * multi-assigned into two probed buckets, must not double-count), and
+    * rank once. With all batches sharing centroids the result is EXACTLY
+    * a single-index probe (candidate sets union to the same set —
+    * golden-pinned); the per-batch scan-node count is the documented
+    * compaction motive, same as the corpus store's. */
   def ivfTopKIncremental(spark: SparkSession, queries: DataFrame, path: String,
       k: Int, nprobe: Int): DataFrame = {
     val dirs = graft.sources.BatchStore.committedDirs(spark, path)
-    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
-    val scored = dirs.map { d =>
+    val dataDirs = graft.sources.BatchStore.dirsWithRelation(spark, dirs, "data")
+    require(dataDirs.nonEmpty, s"no committed index batches under $path/batches")
+    val scored = dataDirs.map { d =>
       scoreIndexed(spark, queries, s"$d/data",
         readIndexCentroids(spark, s"$d/centroids"), nprobe)
     }.reduce(_.unionByName(_))
@@ -472,7 +498,8 @@ object Similarity {
     // or re-ingested under a different stored version) must combine
     // DETERMINISTICALLY — an arbitrary pick would make the ranking
     // depend on task scheduling. Same shuffle as a dropDuplicates.
-    topK(scored.groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")), k)
+    topK(dropRetracted(spark, path, dirs, scored)
+      .groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")), k)
   }
 
   /** Fold every committed batch into ONE directory and (optionally)
@@ -493,16 +520,24 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, path: String,
       retrainCentroids: Option[Int] = None, kmeansIters: Int = 3,
       corpusAssign: Int = 3, gc: Boolean = true): Int = {
-    val sources = graft.sources.BatchStore.committedDirs(spark, path)
+    val all = graft.sources.BatchStore.committedDirs(spark, path)
+    // retraction batches fold IN: their vec_ids drop physically from the
+    // compacted data and the consumed tombstone dirs are deleted outright
+    // (not superseded — a crash before that GC leaves them harmlessly
+    // re-filtering already-absent ids)
+    val (tombDirs, sources) =
+      all.partition(p => graft.sources.BatchStore.hasRelation(spark, p, "tomb"))
     // empty store: nothing to fold OR retrain over (a retrain request on an
     // empty store would otherwise die in an opaque empty.reduce)
-    if (sources.isEmpty || (sources.length <= 1 && retrainCentroids.isEmpty)) return 0
+    if (sources.isEmpty ||
+      (sources.length <= 1 && retrainCentroids.isEmpty && tombDirs.isEmpty)) return 0
     val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
     val cid = java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = s"$path/batches/c_$cid"
-    val rows = sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
+    val rows = dropRetracted(spark, path, all,
+        sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_)))
       .select("vec_id", "embedding")
       // max, not dropDuplicates: a vector re-ingested with a modified
       // embedding exists in several stored versions; the fold must pick
@@ -523,6 +558,7 @@ object Similarity {
     centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.BatchStore.writeSupersedes(spark, dir, names)
     graft.sources.BatchStore.commit(spark, dir)
+    graft.sources.BatchStore.delete(spark, tombDirs) // consumed — absence is physical now
     if (gc) graft.sources.BatchStore.delete(spark, sources)
     sources.length
   }
@@ -776,8 +812,9 @@ object Similarity {
   def ivfPqTopKIncremental(spark: SparkSession, queries: DataFrame, path: String,
       corpus: DataFrame, k: Int, nprobe: Int, refineFactor: Int = 4): DataFrame = {
     val dirs = graft.sources.BatchStore.committedDirs(spark, path)
-    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
-    val scored = dirs.map { d =>
+    val dataDirs = graft.sources.BatchStore.dirsWithRelation(spark, dirs, "data")
+    require(dataDirs.nonEmpty, s"no committed index batches under $path/batches")
+    val scored = dataDirs.map { d =>
       adcScoreIndexed(spark, queries, s"$d/data",
         readIndexCentroids(spark, s"$d/centroids"),
         readIndexCodebooks(spark, s"$d/codebooks"), nprobe)
@@ -786,8 +823,11 @@ object Similarity {
     // each batch's quantizers, so a re-ingested vector can score
     // differently per batch — combine deterministically (best estimate),
     // never by task-scheduling order. Same shuffle as a dropDuplicates.
+    // Retractions drop BEFORE the shortlist so a tombstoned vector can
+    // never crowd a live one out of the k·refineFactor re-rank set.
     val shortlist = topK(
-      scored.groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")),
+      dropRetracted(spark, path, dirs, scored)
+        .groupBy("query_id", "vec_id").agg(max(col("sim")).as("sim")),
       k * refineFactor).select(col("query_id"), col("vec_id"))
     exactRerank(shortlist, corpus, queries, k)
   }
@@ -823,9 +863,13 @@ object Similarity {
       corpus: Option[DataFrame] = None, retrainCentroids: Option[Int] = None,
       pqM: Int = 8, kmeansIters: Int = 3, corpusAssign: Int = 3,
       gc: Boolean = true): Int = {
-    val sources = graft.sources.BatchStore.committedDirs(spark, path)
+    val all = graft.sources.BatchStore.committedDirs(spark, path)
+    // retractions fold in physically, tombstones consumed (see compactIvfIndex)
+    val (tombDirs, sources) =
+      all.partition(p => graft.sources.BatchStore.hasRelation(spark, p, "tomb"))
     // empty store: nothing to fold or retrain (see compactIvfIndex)
-    if (sources.isEmpty || (sources.length <= 1 && retrainCentroids.isEmpty)) return 0
+    if (sources.isEmpty ||
+      (sources.length <= 1 && retrainCentroids.isEmpty && tombDirs.isEmpty)) return 0
     val names = sources.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
     val cid = java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString("\n").getBytes("UTF-8"))
@@ -835,8 +879,9 @@ object Similarity {
       case Some(c) =>
         val emb = corpus.getOrElse(throw new IllegalArgumentException(
           "compactIvfPqIndex: quantizer re-train needs the corpus (codes are not invertible)"))
-        val ids = sources.map(p => spark.read.parquet(s"$p/data").select("vec_id"))
-          .reduce(_.unionByName(_)).distinct()
+        val ids = dropRetracted(spark, path, all,
+          sources.map(p => spark.read.parquet(s"$p/data").select("vec_id"))
+            .reduce(_.unionByName(_))).distinct()
         val rows = emb.join(ids, Seq("vec_id"))
         val cents = trainCentroids(rows, "vec_id", "embedding", c, kmeansIters)
         val cbs = trainPqCodebooks(rows, "vec_id", "embedding", pqM)
@@ -859,7 +904,8 @@ object Similarity {
             s"compactIvfPqIndex: $p was appended under different quantizers - " +
               "pass the corpus and retrainCentroids to re-encode")
         }
-        sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_))
+        dropRetracted(spark, path, all,
+            sources.map(p => spark.read.parquet(s"$p/data")).reduce(_.unionByName(_)))
           // max per (vec_id, bucket), not dropDuplicates: re-ingested
           // versions of a vector fold to a deterministic pick instead of
           // a task-scheduling-dependent one (see compactIvfIndex)
@@ -871,6 +917,7 @@ object Similarity {
     }
     graft.sources.BatchStore.writeSupersedes(spark, dir, names)
     graft.sources.BatchStore.commit(spark, dir)
+    graft.sources.BatchStore.delete(spark, tombDirs) // consumed — absence is physical now
     if (gc) graft.sources.BatchStore.delete(spark, sources)
     sources.length
   }

@@ -22,7 +22,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    atomically swaps N sources for their union, and deleting sources
   *    afterwards is mere garbage collection;
   *  - single-writer by design (an append-only ingest log); concurrent
-  *    ingests would need an external lock.
+  *    ingests would need an external lock;
+  *  - RETRACTION is a first-class batch kind, not an in-place delete
+  *    ([[appendTombstones]]): a takedown/robots-revocation lands as a
+  *    committed `t_<hash>_<n>` directory whose single `tomb` relation
+  *    lists the retracted ids. Readers anti-join committed tombstones
+  *    (id-sized, so the filter is a broadcast at any corpus size);
+  *    compaction physically drops the retracted rows AND consumes the
+  *    tombstone directories (deleted outright rather than superseded —
+  *    a crash between the compacted commit and the tombstone GC leaves
+  *    them active, which merely re-filters ids that are already
+  *    physically absent). Because tombstone directory names are content
+  *    hashes, re-retracting an id set that a compaction already consumed
+  *    is a replay no-op UNTIL new data for those ids arrives — at which
+  *    point the same ids in a new retraction batch get a fresh commit
+  *    and filter again.
   */
 object BatchStore {
 
@@ -102,4 +116,55 @@ object BatchStore {
       val (fs, p) = hadoopFs(spark, d)
       fs.delete(p, true)
     }
+
+  /** True iff `dir` carries relation `name` (a parquet directory). */
+  def hasRelation(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, s"$dir/$name")
+    fs.exists(p)
+  }
+
+  /** The dirs among `dirs` carrying relation `name` — the split every
+    * tombstone-aware reader needs (a retraction batch has `tomb` and
+    * nothing else, so a blind multi-dir parquet read would fail on it). */
+  def dirsWithRelation(spark: SparkSession, dirs: Seq[String], name: String): Seq[String] =
+    dirs.filter(hasRelation(spark, _, name))
+
+  /** Append a RETRACTION batch: `ids` (one BIGINT column, any name —
+    * doc_id, vec_id) lands distinct as the `tomb` relation of a committed
+    * `t_<contenthash>_<n>` directory. Same atomicity story as data
+    * batches: deterministic content-hash name (a crashed partial write is
+    * invisible and the retry overwrites it in place), `_COMMIT` written
+    * last, replay of a committed retraction returns false and writes
+    * nothing. Returns false for an empty id set too (an empty committed
+    * directory would fail readers' schema inference).
+    *
+    * What retraction MEANS is the store owner's contract; the protocol
+    * only promises: readers that anti-join [[readTombstones]] never see a
+    * retracted id, and a compaction that consumes the tombstones makes
+    * the absence physical. */
+  def appendTombstones(spark: SparkSession, root: String, ids: DataFrame): Boolean = {
+    require(ids.columns.length == 1,
+      s"appendTombstones: one id column expected, got ${ids.columns.mkString(", ")}")
+    import org.apache.spark.sql.functions._
+    val norm = ids.select(ids.col(ids.columns.head).cast("bigint").as("id")).distinct()
+    // order-independent content hash (the wrapping-SUM stance of the data
+    // batches — see wrap64); over the DISTINCT set, so logically-equal
+    // retractions land on one directory regardless of input duplication
+    val idRow = norm
+      .agg(coalesce(sum(expr("xxhash64(id)").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1)))
+      .collect()(0)
+    if (idRow.getLong(1) == 0L) return false
+    val dir = f"$root/batches/t_${wrap64(idRow.getDecimal(0))}%016x_${idRow.getLong(1)}"
+    if (isCommitted(spark, dir)) return false
+    norm.write.mode("overwrite").parquet(s"$dir/tomb")
+    commit(spark, dir)
+    true
+  }
+
+  /** All committed retracted ids under `root` (column `id` BIGINT; empty
+    * when no tombstone batch exists). Distinct by construction per batch;
+    * readers anti-join, so cross-batch repeats are harmless. */
+  def readTombstones(spark: SparkSession, root: String): DataFrame =
+    readRelation(spark, committedDirs(spark, root), "tomb", "id BIGINT")
 }

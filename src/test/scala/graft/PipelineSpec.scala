@@ -440,6 +440,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(after3.keySet == Set(1L, 4L, 5L, 8L) && after3(8L) == 3L)
   }
 
+  test("store retraction: readers exclude from commit, all four claim stores release, compaction drops physically, tombstones consumed") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-retr")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    def writeJsonl(name: String, docs: Seq[(Long, String)]): String = {
+      val p = Paths.get(s"$tmp/$name")
+      Files.write(p, docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t","source":"s0","lang":"en"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    def ingest(path: String) = graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, path, ddl), store)
+    val text2 = "orange violet crimson amber teal maroon"
+    ingest(writeJsonl("b1.jsonl", Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> text2,
+      3L -> "one two three four five six",
+      4L -> "seven eight nine ten eleven twelve")))
+    ingest(writeJsonl("b2.jsonl", Seq(
+      5L -> "red yellow green blue indigo pink",
+      6L -> "monday tuesday wednesday thursday friday saturday")))
+    // retract 2 and 5 (takedown); the same set again is a replay no-op;
+    // an empty set is refused
+    assert(graft.apps.CorpusPrep.retract(spark, store, Seq(2L, 5L).toDF("doc_id")))
+    assert(!graft.apps.CorpusPrep.retract(spark, store, Seq(5L, 2L, 2L).toDF("doc_id")),
+      "a logically-identical retraction set must be a replay no-op")
+    assert(!graft.apps.CorpusPrep.retract(spark, store, Seq.empty[Long].toDF("doc_id")))
+    // read-path exclusion BEFORE any compaction, shards and sidecar both
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L))
+    assert(graft.apps.CorpusPrep.readAttributes(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L))
+    // claims RELEASE: doc 7 re-ingests doc 2's EXACT text after the
+    // takedown and must be accepted afresh — a hit on any of the four
+    // claim stores (fp exact, sig simhash, mh bands, all keyed by the
+    // retracted keeper) would silently dedup new content against text
+    // the store no longer serves
+    val r3 = ingest(writeJsonl("b3.jsonl", Seq(7L -> text2)))
+    assert(r3.accepted == 1L, s"re-ingest after retraction was deduped: $r3")
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L, 7L))
+    // compaction folds the three data batches, drops retracted rows
+    // PHYSICALLY from every relation, and consumes the tombstones
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 3)
+    val dirs = graft.sources.BatchStore.committedDirs(spark, store)
+    assert(dirs.size == 1)
+    def rawIds(rel: String, idCol: String): Set[Long] =
+      spark.read.parquet(s"${dirs.head}/$rel").select(idCol).as[Long].collect().toSet
+    assert(rawIds("shards", "doc_id") == Set(1L, 3L, 4L, 6L, 7L),
+      "retracted docs must be physically absent from the compacted shards")
+    assert(rawIds("attrs", "doc_id") == Set(1L, 3L, 4L, 6L, 7L))
+    assert(rawIds("fp", "keep_id") == Set(1L, 3L, 4L, 6L, 7L))
+    assert(rawIds("sig", "keep_id") == Set(1L, 3L, 4L, 6L, 7L))
+    assert(rawIds("mh", "keep_id") == Set(1L, 3L, 4L, 6L, 7L))
+    assert(graft.sources.BatchStore.readTombstones(spark, store).count() == 0L,
+      "compaction must consume the tombstone batches")
+    // the reader sees the same corpus before and after the physical drop
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L, 7L))
+    // positions are a high-water mark: doc 7 continued after the
+    // PRE-retraction total (holes stay holes, nothing is renumbered)
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .filter($"doc_id" === 7L).select("pos").as[Long].head() == 6L)
+    // after consumption, the SAME id set retracts again as a fresh batch
+    // (content-hash name no longer committed) — and is harmless
+    assert(graft.apps.CorpusPrep.retract(spark, store, Seq(2L, 5L).toDF("doc_id")))
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L, 7L))
+  }
+
   test("runIncremental: banded-minhash store rejects a NEAR-dup (edited, sig-distinct) later-batch doc; replay no-op") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-mh")
