@@ -71,7 +71,20 @@ object ScalingCurve {
     // superlinear means the candidate join or a plant degenerated
     "dedup_image_jpeg_color",
     "dedup_audio",
-    "dedup_video")
+    "dedup_video",
+    // round-10/11 additions: the MP4 sample-table walk rides the same
+    // fused map-side signature (expect the dedup_video exponent); the
+    // retraction queries carry the full store build+retract+compact+read
+    // cycle (expect ~the incremental-index exponents — anything
+    // superlinear means a store read degenerated into a corpus rescan);
+    // the capped EditSim curve is THE point of maxPairsPerDoc — per-doc
+    // DP cost is bounded, so the curve must stay scan-shaped where the
+    // uncapped hub-heavy worst case would bend up
+    "dedup_video_mp4",
+    "multimodal_mp4_frames",
+    "dedup_editsim_cap",
+    "store_retract",
+    "sim_topk_ivf_retract")
 
   private[graft] val FlagExponent = 1.3
 

@@ -480,6 +480,23 @@ object SparkEntry {
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.editSimNearDup(docs.union(copies), threshold = 1.0)
     }),
+    // the PAIR BUDGET under deterministic truncation: identical-text
+    // groups of 6 docs (text = 8 md5 tokens of the group id) give every
+    // member 5 candidate partners; maxPairsPerDoc = 3 keeps each doc's 3
+    // lowest partners, and the both-endpoints-keep rule makes the
+    // surviving set exactly the pairs among each group's first 4 members
+    // (pair (i,j), i<j 0-based survives iff i's rank in j's partner list
+    // ≤ 3 ⇔ i ≤ 2, and j's rank in i's ⇔ j ≤ 3) — C(4,2) = 6 per full
+    // group, a closed form the oracle restates; the 9 truncated pairs per
+    // group surface in the graft_pair_budget observation (spec-pinned)
+    "dedup_editsim_cap" -> ((s, d) => {
+      val grp = (col("doc_id") / 6).cast("bigint")
+      val text = concat_ws(" ", (0 until 8).map(i =>
+        md5(concat(grp.cast("string"), lit(s"-ec$i")).cast("binary"))): _*)
+      Dedup.editSimNearDup(
+        Tables.documents(s, d).select(col("doc_id"), text.as("text")),
+        threshold = 0.9, maxPairsPerDoc = 3)
+    }),
     // the verification stage alone at a REAL operating point: analytic
     // consecutive-id candidate pairs, so the exact banded-Levenshtein
     // distances and the threshold algebra hash-oracle against DuckDB's
@@ -702,6 +719,63 @@ object SparkEntry {
       Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), path, medoids)
       Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 1), path, medoids)
       Similarity.ivfTopKIncremental(s, queries, path, k = 10, nprobe = 4)
+    }),
+    // RETRACTION through the incremental-index protocol, hash-oracled in
+    // BOTH phases via the medoid move: build the two-batch index of
+    // sim_topk_ivf_incr, retract vec_id % 5 = 2 (tombstone batch), probe
+    // (phase 1: the anti-join read path), compact (tombstones consumed,
+    // absence made PHYSICAL), probe again (phase 2: nothing left to
+    // anti-join). Both phases must equal the analytic probe over the
+    // corpus minus the retracted set — a tombstoned vector that leaked
+    // into either candidate set, or a compaction that dropped the wrong
+    // rows, breaks the hash. Phase 1 is checkpointed before compaction
+    // (its lazy plan reads the pre-compaction directories).
+    "sim_topk_ivf_retract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-retr-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), path, medoids)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 2 === 1), path, medoids)
+      Similarity.retractVectors(s, path,
+        emb.filter(col("vec_id") % 5 === 2).select("vec_id"))
+      val before = Similarity.ivfTopKIncremental(s, queries, path, k = 10, nprobe = 4)
+        .withColumn("phase", lit(1)).localCheckpoint(true)
+      Similarity.compactIvfIndex(s, path)
+      val after = Similarity.ivfTopKIncremental(s, queries, path, k = 10, nprobe = 4)
+        .withColumn("phase", lit(2))
+      before.union(after).select(col("phase"), col("query_id"), col("vec_id"), col("rank"))
+    }),
+    // RETRACTION through the incremental CORPUS store, hash-oracled in
+    // both phases: ingest two batches of five-md5-token docs (distinct
+    // content, a fixed point of normalization, so every doc is accepted
+    // and the stored text is recomputable in SQL), retract doc_id % 5 = 2,
+    // read the shards (phase 1: anti-join exclusion), compactStore
+    // (physical drop across shards/fp/attrs, tombstones consumed), read
+    // again (phase 2). Both phases must equal documents-minus-retracted
+    // with the exact planted text.
+    "store_retract" -> ((s, d) => {
+      val text = concat_ws(" ", (0 until 5).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit(s"-st$i")).cast("binary"))): _*)
+      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-retr-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      graft.apps.CorpusPrep.runIncremental(s,
+        docs.filter(col("doc_id") % 2 === 0), path, minTokens = 1)
+      graft.apps.CorpusPrep.runIncremental(s,
+        docs.filter(col("doc_id") % 2 === 1), path, minTokens = 1)
+      graft.apps.CorpusPrep.retract(s, path,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
+      val before = graft.apps.CorpusPrep.readShards(s, path)
+        .select(col("doc_id"), col("text")).withColumn("phase", lit(1))
+        .localCheckpoint(true)
+      graft.apps.CorpusPrep.compactStore(s, path)
+      val after = graft.apps.CorpusPrep.readShards(s, path)
+        .select(col("doc_id"), col("text")).withColumn("phase", lit(2))
+      before.union(after).select(col("phase"), col("doc_id"), col("text"))
     }),
     // FILTERED ANN ("top-k among rows satisfying a predicate" — the
     // retrieval-under-constraint shape), hash-oracled via the medoid
@@ -1015,19 +1089,30 @@ object SparkEntry {
       Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
-    // decode-drop observability over PLANTED corrupt classes: six payload
+    // decode-drop observability over PLANTED corrupt classes: nine payload
     // classes by doc_id — a valid truecolor PNG (must contribute NO row),
     // junk bytes (bad_magic), a mid-stream-cut PNG (corrupt — header
     // completes, decode fails), a palette-flagged PNG (unsupported_profile
     // — profile fields are read before CRC, as a cheap classifier must),
-    // a bomb-width PNG (bomb_guard), and an 8-bit WAV header
-    // (unsupported_profile under audio/wav). Three planted sources prove
-    // the group keys; the oracle recomputes every counter from the class
-    // arithmetic alone
+    // a bomb-width PNG (bomb_guard), an 8-bit WAV header
+    // (unsupported_profile under audio/wav), a VALID MJPEG MP4 (must
+    // contribute NO row — the classifier runs the same sample-table walk
+    // the near-dup tier decodes through, so a clip videoNearDup pairs can
+    // never be counted dropped), an MP4 truncated before moov (corrupt
+    // under video/mp4), and a structurally-valid MP4 whose stsd carries
+    // 'avc1' (unsupported_profile — recognized container, another codec).
+    // Three planted sources prove the group keys; the oracle recomputes
+    // every counter from the class arithmetic alone
     "multimodal_drop_report" -> ((s, d) => {
-      val cls = col("doc_id") % 6
+      val cls = col("doc_id") % 9
       val png = Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
         filterMode = 0, stored = true)
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "dr", i)
+      val frameBitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      def clip(format: String) = Multimodal.mp4MjpegEncode(
+        array(Multimodal.jpegEncodeGray8Dc(frameBitmap, lit(12))), 12, 10, 1, format)
       val media = when(cls === 0, png)
         .when(cls === 1, concat(lit(Array[Byte](0)),
           unhex(md5(col("doc_id").cast("string").cast("binary")))))
@@ -1036,33 +1121,50 @@ object SparkEntry {
           substring(png, 27, 1 << 20)))
         .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
           substring(png, 21, 1 << 20)))
-        .otherwise(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)))
-      // source from doc_id/6 so every class appears under every source
-      // (doc_id%3 would pin each class to one source: doc_id≡k mod 6
-      // forces doc_id≡k mod 3) — 15 grouped rows, not 5
+        .when(cls === 5, Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)))
+        .when(cls === 6, clip("jpeg"))
+        // cut inside mdat: ftyp (20 bytes) survives, moov (written last)
+        // is gone — a structural failure the walker must call corrupt
+        .when(cls === 7, substring(clip("jpeg"), 1, 40))
+        .otherwise(clip("avc1"))
+      // source from doc_id/9 so every class appears under every source
+      // (doc_id%3 would pin each class to one source: doc_id≡k mod 9
+      // forces doc_id≡k mod 3) — 21 grouped rows, not 7
       Multimodal.decodeDropReport(
         Tables.documents(s, d).select(
           concat(lit("s"),
-            ((col("doc_id") / lit(6)).cast("bigint") % 3).cast("string")).as("source"),
+            ((col("doc_id") / lit(9)).cast("bigint") % 3).cast("string")).as("source"),
           media.as("media")))
         .select(col("source"), col("modality"), col("reason"), col("n_dropped"))
     }),
     // the per-partition codec boundary on REAL bytes, hash-oracled: the
     // DEFAULT decodePartitions codec (realCodec — no stub anywhere in the
-    // path) decodes genuine truecolor PNGs through mapPartitions and must
-    // report the TRUE geometry (9×8, 1 luma channel) and the exact 8-bin
-    // luma histogram, which the oracle recomputes from the planted
-    // channel bytes (counts recovered from the normalized floats by
-    // round(f·72) — exact for counts ≤ 72 at float precision)
+    // path) decodes genuine truecolor PNGs AND (odd doc_ids) genuine
+    // MJPEG MP4 clips — container walk to frame 0, baseline JPEG luma
+    // decode — through mapPartitions and must report the TRUE geometry
+    // (9×8 luma for the PNGs, 12×10 first-frame luma for the clips,
+    // 1 channel) and the exact 8-bin luma histogram, which the oracle
+    // recomputes from the planted channel bytes / DC block values
+    // (counts recovered from the normalized floats by round(f·n) —
+    // exact for counts ≤ n at float precision)
     "multimodal_codec_decode" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "cd", i)
+      val frameBitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      val png = Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
+        filterMode = -1, stored = false)
+      val clip = Multimodal.mp4MjpegEncode(
+        array(Multimodal.jpegEncodeGray8Dc(frameBitmap, lit(12))), 12, 10, 1)
       val media = Tables.documents(s, d)
         .select(col("doc_id"),
-          Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
-            filterMode = -1, stored = false).as("media"))
+          when(col("doc_id") % 2 === 0, png).otherwise(clip).as("media"))
       Multimodal.decodePartitions(media)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           concat_ws("-", transform(col("feature"),
-            f => round(f.cast("double") * lit(72.0)).cast("bigint"))).as("hist"))
+            f => round(f.cast("double") *
+              when(col("doc_id") % 2 === 0, lit(72.0)).otherwise(lit(120.0)))
+              .cast("bigint"))).as("hist"))
     }),
     // REAL baseline-JPEG pixel decode, hash-oracled (the stored-PNG move,
     // JPEG edition): a 12×10 per-block-constant plant is encoded into a
@@ -1786,6 +1888,16 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(0 AS BIGINT) AS dist, 1.0 AS edit_sim
          FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text""",
+    // the budgeted pair set in closed form: pairs among each identical-
+    // text group's first 4 members (cap 3 + both-endpoints-keep — see the
+    // query comment), distance 0 / similarity 1 since the group shares
+    // one planted text
+    "dedup_editsim_cap" ->
+      """WITH g AS (SELECT doc_id, doc_id % 6 AS pos, doc_id // 6 AS grp
+                    FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS BIGINT) AS dist, 1.0 AS edit_sim
+         FROM g a JOIN g b ON a.grp = b.grp AND a.pos < b.pos AND b.pos <= 3""",
     // DuckDB's levenshtein over the same 256-char truncation and the
     // same sim algebra — exact integer distances, same double compare
     "dedup_editsim_pairs" ->
@@ -1915,36 +2027,57 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // every (source, modality, reason) counter recomputed from the planted
-    // class arithmetic: class 0 decodes (no row), classes 1-5 map to fixed
+    // class arithmetic: classes 0 and 6 decode (NO row — 6 is the valid
+    // MJPEG MP4, the oracle's blind-spot close), the rest map to fixed
     // (modality, reason) pairs
     "multimodal_drop_report" ->
       """WITH m AS (SELECT doc_id,
-             's' || CAST((doc_id // 6) % 3 AS VARCHAR) AS source,
-             CASE doc_id % 6
+             's' || CAST((doc_id // 9) % 3 AS VARCHAR) AS source,
+             CASE doc_id % 9
                WHEN 1 THEN 'application/octet-stream'
                WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/png'
-               WHEN 4 THEN 'image/png' WHEN 5 THEN 'audio/wav' END AS modality,
-             CASE doc_id % 6
+               WHEN 4 THEN 'image/png' WHEN 5 THEN 'audio/wav'
+               WHEN 7 THEN 'video/mp4' WHEN 8 THEN 'video/mp4' END AS modality,
+             CASE doc_id % 9
                WHEN 1 THEN 'bad_magic' WHEN 2 THEN 'corrupt'
                WHEN 3 THEN 'unsupported_profile' WHEN 4 THEN 'bomb_guard'
-               WHEN 5 THEN 'unsupported_profile' END AS reason
-           FROM documents WHERE doc_id % 6 <> 0)
+               WHEN 5 THEN 'unsupported_profile'
+               WHEN 7 THEN 'corrupt' WHEN 8 THEN 'unsupported_profile' END AS reason
+           FROM documents WHERE doc_id % 9 NOT IN (0, 6))
          SELECT source, modality, reason, CAST(count(*) AS BIGINT) AS n_dropped
          FROM m GROUP BY 1, 2, 3""",
-    // the codec-boundary pin: true geometry constants plus the 8-bin luma
-    // histogram recomputed from the planted channel bytes (the decoder's
-    // luma formula restated in SQL, then bin counts via list_filter)
+    // the codec-boundary pin: true geometry per modality (9×8 PNG luma /
+    // 12×10 MP4 first-frame luma) plus the 8-bin luma histogram — PNG
+    // docs recompute it from the planted channel bytes (the decoder's
+    // luma formula restated in SQL, bin counts via list_filter); clip
+    // docs from the four DC block values with their 12×10 layout
+    // multiplicities (64/32/16/8 pixels)
     "multimodal_codec_decode" ->
       """WITH c AS (SELECT doc_id,
              [(299 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
                + 587 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
                + 114 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
                + 500) // 1000
-              for i in range(0, 72)] AS luma
+              for i in range(0, 72)] AS luma,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-cd' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-cd' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-cd' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
            FROM documents)
-         SELECT doc_id, 9 AS width, 8 AS height, 1 AS channels,
-           array_to_string([CAST(len(list_filter(luma, x -> x // 32 = k)) AS BIGINT)
-             for k in range(0, 8)], '-') AS hist
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 12 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 10 END AS height,
+           1 AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN
+             array_to_string([CAST(len(list_filter(luma, x -> x // 32 = k)) AS BIGINT)
+               for k in range(0, 8)], '-')
+           ELSE
+             array_to_string([CAST(64 * (CASE WHEN vv[1] // 32 = k THEN 1 ELSE 0 END)
+                 + 32 * (CASE WHEN vv[2] // 32 = k THEN 1 ELSE 0 END)
+                 + 16 * (CASE WHEN vv[3] // 32 = k THEN 1 ELSE 0 END)
+                 + 8 * (CASE WHEN vv[4] // 32 = k THEN 1 ELSE 0 END) AS BIGINT)
+               for k in range(0, 8)], '-')
+           END AS hist
          FROM c""",
     // both pixel columns must equal the analytic plant: block value
     // v(i) from the first md5 byte of "<doc_id>-m<i>" folded into DC
@@ -2593,6 +2726,60 @@ object SparkEntry {
                ORDER BY sim DESC, vec_id) AS rank
            FROM scored)
          WHERE rank <= 10""",
+    // sim_topk_ivf_incr's derivation with the retracted set (vec_id % 5 =
+    // 2) excluded from the corpus-assignment CTE — queries still probe
+    // (retraction removes index rows, not query rights) — and each ranked
+    // row duplicated across both phases (anti-join read before
+    // compaction, physical drop after: identical results by contract)
+    "sim_topk_ivf_retract" ->
+      """WITH m AS (SELECT vec_id AS cid, embedding AS m_emb
+                    FROM embeddings WHERE vec_id < 16),
+           ca AS (SELECT e.vec_id, m.cid,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(m.m_emb AS DOUBLE[])) AS sim
+                  FROM embeddings e CROSS JOIN m),
+           cassign AS (SELECT vec_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id % 5 <> 2)
+                       WHERE rn <= 3),
+           qassign AS (SELECT vec_id AS query_id, cid AS bucket FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rn
+                         FROM ca WHERE vec_id < 8)
+                       WHERE rn <= 4),
+           cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                    FROM qassign q JOIN cassign c USING (bucket)
+                    WHERE c.vec_id != q.query_id),
+           scored AS (SELECT cd.query_id, cd.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS sim
+                      FROM cand cd
+                      JOIN embeddings q ON q.vec_id = cd.query_id
+                      JOIN embeddings e ON e.vec_id = cd.vec_id),
+           ranked AS (SELECT query_id, vec_id, rank FROM (
+                        SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+                        FROM scored)
+                      WHERE rank <= 10)
+         SELECT p.phase, r.query_id, r.vec_id, r.rank
+         FROM ranked r CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2) p""",
+    // the stored corpus equals documents-minus-retracted with the exact
+    // planted five-md5-token text, in BOTH phases (read-path exclusion
+    // before compaction, physical absence after)
+    "store_retract" ->
+      """WITH t AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '-st0') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-st1') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-st2') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-st3') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-st4') AS text
+           FROM documents WHERE doc_id % 5 <> 2)
+         SELECT p.phase, t.doc_id, t.text
+         FROM t CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2) p""",
     // PQ over planted reconstructions: the oracle rebuilds the SAME
     // integer vectors from the code formula (corpus: (id·7+s·3)%16,
     // queries: (id·11+s·5+1)%16; component = ((s·3+c·5+j·7)%17)−8 with

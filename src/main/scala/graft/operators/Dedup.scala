@@ -268,7 +268,8 @@ object Dedup {
     *
     * Output: (id_a, id_b, dist, edit_sim). */
   def verifyEditSimilarity(pairs: DataFrame, documents: DataFrame,
-      threshold: Double, maxChars: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxChars: Int = Int.MaxValue,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"verifyEditSimilarity: threshold must be in [0, 1], got $threshold")
     val t = if (maxChars == Int.MaxValue) col("text")
@@ -288,7 +289,41 @@ object Dedup {
       case None    => levenshtein(col("t_a"), col("t_b"))
     }
     verifyPairsWith(pairs, docs, dist,
-      greatest(length(col("t_a")), length(col("t_b")), lit(1)), threshold)
+      greatest(length(col("t_a")), length(col("t_b")), lit(1)), threshold,
+      maxPairsPerDoc)
+  }
+
+  /** Deterministic per-doc PAIR BUDGET for the DP verify stages — the
+    * scale dial for the one stage whose cost is ∝ matched pairs, not
+    * corpus size: every doc keeps at most `maxPairsPerDoc` candidate
+    * pairs (its lowest-partner-id ones, so the choice is reproducible,
+    * never sampled), and a pair survives only if BOTH endpoints kept it —
+    * no document's verify cost can exceed `maxPairsPerDoc` DP runs.
+    * Degrades LOUDLY, never silently: the dropped pairs surface in the
+    * `graft_pair_budget` observation (`truncated_pairs`), the same
+    * alerting channel as the skew guard's `graft_skew_guard` — a caller
+    * reads it off any action's `observedMetrics` and knows recall was
+    * degraded to budget, instead of discovering missing dups downstream.
+    * Absence of the observation = zero trips (AQE may prune the empty
+    * branch with its CollectMetrics node). Identity — zero plan change —
+    * when the budget is unset. */
+  private def budgetPairs(pairs: DataFrame, maxPairsPerDoc: Int): DataFrame = {
+    if (maxPairsPerDoc == Int.MaxValue) return pairs
+    require(maxPairsPerDoc > 0, s"maxPairsPerDoc must be positive, got $maxPairsPerDoc")
+    // persisted: the pair relation feeds both explode sides AND the
+    // anti-join below, and candidates come off a corpus-sized LSH pass
+    val p = pairs.select("id_a", "id_b").transform(Caches.persisted)
+    val sided = p.select(col("id_a").as("doc"), col("id_b").as("partner"),
+        col("id_a"), col("id_b"))
+      .union(p.select(col("id_b").as("doc"), col("id_a").as("partner"),
+        col("id_a"), col("id_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("partner"))
+    val dropped = sided.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > maxPairsPerDoc)
+      .select("id_a", "id_b").distinct()
+      .observe("graft_pair_budget", count(lit(1)).as("truncated_pairs"))
+    p.join(dropped, Seq("id_a", "id_b"), "left_anti")
   }
 
   /** The shared verify tail of [[verifyEditSimilarity]] and
@@ -296,12 +331,14 @@ object Dedup {
     * each pair side as `t_a`/`t_b`, spread, compute the distance ONCE
     * per row, apply the sim threshold. `keyed` must expose (doc_id, t);
     * `dist`/`maxLen` are expressions over `t_a`/`t_b` (−1 = above an
-    * engine-side cutoff, dropped). */
+    * engine-side cutoff, dropped). `maxPairsPerDoc` bounds any one doc's
+    * DP count ([[budgetPairs]] — loud truncation, deterministic keep). */
   private def verifyPairsWith(pairs: DataFrame, keyed: DataFrame,
-      dist: Column, maxLen: Column, threshold: Double): DataFrame = {
+      dist: Column, maxLen: Column, threshold: Double,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     def side(id: String, tc: String) =
       keyed.select(col("doc_id").as(id), col("t").as(tc))
-    pairs.select("id_a", "id_b")
+    budgetPairs(pairs.select("id_a", "id_b"), maxPairsPerDoc)
       .join(side("id_a", "t_a"), Seq("id_a"))
       .join(side("id_b", "t_b"), Seq("id_b"))
       // spread the MATCHED candidates before the DP with an explicit
@@ -340,7 +377,8 @@ object Dedup {
     * char form; same cutoff algebra, same spread/barrier plan shape.
     * Output: (id_a, id_b, dist, edit_sim). */
   def verifyTokenEditSimilarity(pairs: DataFrame, documents: DataFrame,
-      threshold: Double, maxTokens: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxTokens: Int = Int.MaxValue,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"verifyTokenEditSimilarity: threshold must be in [0, 1], got $threshold")
     val toks = if (maxTokens == Int.MaxValue) Funcs.tokens(col("text"))
@@ -354,7 +392,8 @@ object Dedup {
       else 0 // unbounded: full DP per pair
     verifyPairsWith(pairs, keyed,
       Native.tokenEditDistance(col("t_a"), col("t_b"), cutoff),
-      greatest(size(col("t_a")), size(col("t_b")), lit(1)), threshold)
+      greatest(size(col("t_a")), size(col("t_b")), lit(1)), threshold,
+      maxPairsPerDoc)
   }
 
   /** Always-false, NON-DETERMINISTIC predicate term: `cond || barrier()`
@@ -368,13 +407,24 @@ object Dedup {
     * verification — [[minhashLsh]] with Lee et al.'s EditSim in place of
     * exact shingle Jaccard. Same candidate generation (the shuffle moves
     * 3 longs per (doc, band)); see [[verifyEditSimilarity]] for the
-    * verification cost model and the `maxChars` dial. */
+    * verification cost model and the `maxChars` dial.
+    *
+    * Corpus-scale dials, in preference order: (1) use
+    * [[tokenEditSimNearDup]] — the token DP is ~an order of magnitude
+    * cheaper per pair and is the criterion Lee et al. actually define;
+    * (2) bound the per-pair DP with `maxChars`/`maxTokens`; (3) bound the
+    * per-DOC pair count with `maxPairsPerDoc` — boilerplate-heavy crawls
+    * produce docs matching thousands of candidates, and this is the knob
+    * that caps the worst doc's cost. Truncation is deterministic and
+    * LOUD (the `graft_pair_budget` observation counts dropped pairs —
+    * see [[budgetPairs]]), never a silent sample. */
   def editSimNearDup(documents: DataFrame, shingleLen: Int = 3,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.9,
-      maxChars: Int = Int.MaxValue, maxBucketSize: Int = 64): DataFrame =
+      maxChars: Int = Int.MaxValue, maxBucketSize: Int = 64,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame =
     verifyEditSimilarity(
       lshCandidates(documents, shingleLen, numHashes, bands, maxBucketSize),
-      documents, threshold, maxChars)
+      documents, threshold, maxChars, maxPairsPerDoc)
 
   /** [[editSimNearDup]] with the TOKEN-level criterion — LSH blocking +
     * [[verifyTokenEditSimilarity]], the closest composition to Lee et
@@ -382,10 +432,11 @@ object Dedup {
     * similarity verify). */
   def tokenEditSimNearDup(documents: DataFrame, shingleLen: Int = 3,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.8,
-      maxTokens: Int = Int.MaxValue, maxBucketSize: Int = 64): DataFrame =
+      maxTokens: Int = Int.MaxValue, maxBucketSize: Int = 64,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame =
     verifyTokenEditSimilarity(
       lshCandidates(documents, shingleLen, numHashes, bands, maxBucketSize),
-      documents, threshold, maxTokens)
+      documents, threshold, maxTokens, maxPairsPerDoc)
 
   /** Cross-corpus near-dup pairs: MinHash-LSH banding on BOTH relations,
     * candidates from the (band, key) equi-join ACROSS them, exact-Jaccard

@@ -148,6 +148,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("verify pair budget: maxPairsPerDoc caps any doc's DP count deterministically and reports truncation loudly") {
+    val t = "aa bb cc dd ee"
+    val docs = Seq((1L, t), (2L, t), (3L, t), (4L, t)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    @volatile var seen: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get("graft_pair_budget").foreach { row =>
+          seen = Some(row.getAs[Long]("truncated_pairs"))
+        }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // doc 1 is over budget at 2: it keeps its two LOWEST partners
+      // (deterministic, reproducible — never a sample) and the third
+      // pair drops with a visible count
+      val kept = Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.9,
+          maxPairsPerDoc = 2)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(kept == Set((1L, 2L), (1L, 3L)), s"got $kept")
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.contains(1L), s"truncation must be observable, got $seen")
+      // unset budget = identity (no plan change, all pairs verified);
+      // a within-budget run trips nothing
+      assert(Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.9).count() == 3L)
+      seen = None
+      assert(Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.9,
+        maxPairsPerDoc = 3).count() == 3L)
+      Thread.sleep(500)
+      assert(seen.isEmpty || seen.contains(0L))
+      // the token-DP twin takes the same knob
+      assert(Dedup.verifyTokenEditSimilarity(pairs, docs, threshold = 0.9,
+        maxPairsPerDoc = 2).count() == 2L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("verifyEditSimilarity: exact distances vs a reference DP; banded cutoff ≡ unbounded; threshold algebra") {
     // reference Levenshtein (full DP) to pin Spark's builtin + the algebra
     def lev(a: String, b: String): Int = {
@@ -1151,6 +1191,72 @@ class OperatorsSpec extends AnyFunSuite {
     val cents8 = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 8)
     val direct8 = Similarity.ivfTopKWith(queries, emb, cents8, k = 10, nprobe = 4)
     assert(retrained.exceptAll(direct8).isEmpty && direct8.exceptAll(retrained).isEmpty)
+  }
+
+  test("IVF retraction: tombstoned vectors leave every probe, compaction drops them physically and consumes the tombstones") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-retr").toString
+    assert(Similarity.appendIvfIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents))
+    assert(Similarity.appendIvfIndex(spark, emb.filter($"vec_id" % 2 === 1), path, cents))
+    val retracted = emb.filter($"vec_id" % 5 === 2).select("vec_id")
+    assert(Similarity.retractVectors(spark, path, retracted))
+    assert(!Similarity.retractVectors(spark, path, retracted), "retraction replay must no-op")
+    assert(!Similarity.retractVectors(spark, path,
+      emb.filter($"vec_id" < 0).select("vec_id")), "empty retraction must refuse")
+    // read-path exclusion: the incremental probe equals a FRESH index
+    // built over corpus-minus-retracted (same centroids)
+    val live = emb.join(retracted, Seq("vec_id"), "left_anti")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-retr-once").toString
+    Similarity.writeIvfIndex(live, cents, idx)
+    val expect = Similarity.ivfTopKIndexed(spark, queries, idx, cents, k = 10, nprobe = 4)
+    val before = Similarity.ivfTopKIncremental(spark, queries, path, k = 10, nprobe = 4)
+    assert(before.exceptAll(expect).isEmpty && expect.exceptAll(before).isEmpty,
+      "pre-compaction probe must exclude retracted vectors")
+    // compaction: physical absence, tombstones consumed, probe unchanged
+    assert(Similarity.compactIvfIndex(spark, path) == 2)
+    val dirs = graft.sources.BatchStore.committedDirs(spark, path)
+    assert(dirs.size == 1)
+    assert(spark.read.parquet(s"${dirs.head}/data").select("vec_id")
+      .join(retracted, Seq("vec_id")).count() == 0L,
+      "retracted vectors must be physically absent from the compacted index")
+    assert(graft.sources.BatchStore.readTombstones(spark, path).count() == 0L,
+      "compaction must consume the tombstone batches")
+    val after = Similarity.ivfTopKIncremental(spark, queries, path, k = 10, nprobe = 4)
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+  }
+
+  test("IVF-PQ retraction: retracted vectors never reach the shortlist or survive compaction") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", numCentroids = 8)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-retr").toString
+    assert(Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 === 0), path, cents, cb))
+    assert(Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 === 1), path, cents, cb))
+    val retracted = emb.filter($"vec_id" % 5 === 2).select("vec_id")
+    assert(Similarity.retractVectors(spark, path, retracted))
+    val live = emb.join(retracted, Seq("vec_id"), "left_anti")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-retr-once").toString
+    Similarity.writeIvfPqIndex(live, cents, cb, idx)
+    val expect = Similarity.ivfPqTopK(spark, queries, idx, emb, cb, cents,
+      k = 10, nprobe = 4, refineFactor = 8)
+    val before = Similarity.ivfPqTopKIncremental(spark, queries, path, emb,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(before.exceptAll(expect).isEmpty && expect.exceptAll(before).isEmpty,
+      "pre-compaction ADC probe must exclude retracted vectors")
+    assert(Similarity.compactIvfPqIndex(spark, path) == 2)
+    val dirs = graft.sources.BatchStore.committedDirs(spark, path)
+    assert(dirs.size == 1)
+    assert(spark.read.parquet(s"${dirs.head}/data").select("vec_id")
+      .join(retracted, Seq("vec_id")).count() == 0L)
+    assert(graft.sources.BatchStore.readTombstones(spark, path).count() == 0L)
+    val after = Similarity.ivfPqTopKIncremental(spark, queries, path, emb,
+      k = 10, nprobe = 4, refineFactor = 8)
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
   }
 
   test("incremental IVF content hash is duplicate-safe: distinct all-doubled batches both append") {
