@@ -84,7 +84,10 @@ object ScalingCurve {
     "multimodal_mp4_frames",
     "dedup_editsim_cap",
     "store_retract",
-    "sim_topk_ivf_retract")
+    "sim_topk_ivf_retract",
+    // the WebP near-dup tier: VP8L decode is map-side like PNG/JPEG —
+    // expect the dedup_image_png exponent
+    "dedup_image_webp")
 
   private[graft] val FlagExponent = 1.3
 

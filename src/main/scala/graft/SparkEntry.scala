@@ -1073,6 +1073,32 @@ object SparkEntry {
           hex(Multimodal.pngDecodeLuma(col("png"))).as("px_hex"),
           concat((0 until 8).map(r =>
             hex(col("png").substr(lit(50 + 33 * r), lit(27)))): _*).as("blob_rgb_hex"))),
+    // REAL WebP (VP8L lossless) pixel decode, hash-oracled: planted RGB
+    // channel bytes → the fixture's spec-valid literal-only VP8L stream →
+    // the FULL decoder (container walk, prefix-code headers, canonical
+    // code reads) → exact-integer luma the oracle recomputes from the
+    // same md5 plants (the PNG-color luma formula, WebP edition); the
+    // transform/LZ77/cache/meta paths the literal fixture cannot reach
+    // are pinned by hand-built spec streams in MultimodalSpec
+    "multimodal_decode_webp" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)).as("webp"))
+        .select(col("doc_id"),
+          hex(Multimodal.webpDecodeLuma(col("webp"))).as("px_hex"))),
+    // image near-dup on REAL WebP bytes end-to-end (VP8L RGBA decode →
+    // luma → dHash → Hamming-LSH): the dedup_image_png_color argument on
+    // the last major crawl image format — re-keyed copies share blobs
+    // bit-for-bit → exactly one hamming-0 pair per doc, alpha ignored
+    "dedup_image_webp" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id"), alpha = true),
+            lit(9), alpha = true).as("webp"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("webp"))
+      Multimodal.imageNearDupWebp(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // image near-dup on REAL TRUECOLOR PNG bytes end-to-end (RGBA decode →
     // luma → dHash → Hamming-LSH): color type 6 with a planted alpha
     // channel (ignored by luma — pinned here, because a decoder that read
@@ -1099,12 +1125,15 @@ object SparkEntry {
     // contribute NO row — the classifier runs the same sample-table walk
     // the near-dup tier decodes through, so a clip videoNearDup pairs can
     // never be counted dropped), an MP4 truncated before moov (corrupt
-    // under video/mp4), and a structurally-valid MP4 whose stsd carries
-    // 'avc1' (unsupported_profile — recognized container, another codec).
+    // under video/mp4), a structurally-valid MP4 whose stsd carries
+    // 'avc1' (unsupported_profile — recognized container, another codec),
+    // a VALID lossless WebP (NO row — the classifier decodes VP8L for
+    // real now), a lossy VP8 WebP (unsupported_profile — true profile
+    // limit), and a VP8L chunk cut mid-header (corrupt under image/webp).
     // Three planted sources prove the group keys; the oracle recomputes
     // every counter from the class arithmetic alone
     "multimodal_drop_report" -> ((s, d) => {
-      val cls = col("doc_id") % 9
+      val cls = col("doc_id") % 12
       val png = Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
         filterMode = 0, stored = true)
       def vv(i: Int) = jpegBlockVal(col("doc_id"), "dr", i)
@@ -1126,14 +1155,21 @@ object SparkEntry {
         // cut inside mdat: ftyp (20 bytes) survives, moov (written last)
         // is gone — a structural failure the walker must call corrupt
         .when(cls === 7, substring(clip("jpeg"), 1, 40))
-        .otherwise(clip("avc1"))
-      // source from doc_id/9 so every class appears under every source
-      // (doc_id%3 would pin each class to one source: doc_id≡k mod 9
-      // forces doc_id≡k mod 3) — 21 grouped rows, not 7
+        .when(cls === 8, clip("avc1"))
+        .when(cls === 9,
+          Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)))
+        // a sound RIFF-WEBP whose only chunk is lossy VP8
+        .when(cls === 10, unhex(lit("52494646140000005745425056503820" + "00" * 12)))
+        // container header intact, VP8L chunk size overruns the payload
+        .otherwise(substring(
+          Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)), 1, 24))
+      // source from doc_id/12 so every class appears under every source
+      // (doc_id%3 would pin each class to one source: doc_id≡k mod 12
+      // forces doc_id≡k mod 3) — 30 grouped rows, not 10
       Multimodal.decodeDropReport(
         Tables.documents(s, d).select(
           concat(lit("s"),
-            ((col("doc_id") / lit(9)).cast("bigint") % 3).cast("string")).as("source"),
+            ((col("doc_id") / lit(12)).cast("bigint") % 3).cast("string")).as("source"),
           media.as("media")))
         .select(col("source"), col("modality"), col("reason"), col("n_dropped"))
     }),
@@ -2004,6 +2040,27 @@ object SparkEntry {
     // hex chars 2ch+1..2ch+2 of "<doc_id>-pc<i>"), and blob_rgb_hex must
     // equal the raw planted RGB bytes — the stored-block layout lets the
     // oracle slice them with no zlib
+    // the WebP decoder's luma must equal the same closed-form ITU-R 601
+    // luma of the planted channel bytes (the png_color formula — both
+    // decoders share the exact-integer luma core)
+    "multimodal_decode_webp" ->
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS r,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
+              for i in range(0, 72)] AS g,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
+              for i in range(0, 72)] AS b
+           FROM documents)
+         SELECT doc_id,
+           upper(array_to_string([lpad(to_hex((299 * r[i+1] + 587 * g[i+1] + 114 * b[i+1] + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex
+         FROM c""",
+    // identical pair-set argument to dedup_image_png_color on WebP
+    // payloads: decode(encode(RGBA bitmap)) luma round-trips bit-exactly
+    "dedup_image_webp" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     "multimodal_decode_png_color" ->
       """WITH c AS (SELECT doc_id,
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
@@ -2027,23 +2084,25 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // every (source, modality, reason) counter recomputed from the planted
-    // class arithmetic: classes 0 and 6 decode (NO row — 6 is the valid
-    // MJPEG MP4, the oracle's blind-spot close), the rest map to fixed
+    // class arithmetic: classes 0, 6 and 9 decode (NO row — the valid
+    // PNG, MJPEG MP4, and lossless WebP), the rest map to fixed
     // (modality, reason) pairs
     "multimodal_drop_report" ->
       """WITH m AS (SELECT doc_id,
-             's' || CAST((doc_id // 9) % 3 AS VARCHAR) AS source,
-             CASE doc_id % 9
+             's' || CAST((doc_id // 12) % 3 AS VARCHAR) AS source,
+             CASE doc_id % 12
                WHEN 1 THEN 'application/octet-stream'
                WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/png'
                WHEN 4 THEN 'image/png' WHEN 5 THEN 'audio/wav'
-               WHEN 7 THEN 'video/mp4' WHEN 8 THEN 'video/mp4' END AS modality,
-             CASE doc_id % 9
+               WHEN 7 THEN 'video/mp4' WHEN 8 THEN 'video/mp4'
+               WHEN 10 THEN 'image/webp' WHEN 11 THEN 'image/webp' END AS modality,
+             CASE doc_id % 12
                WHEN 1 THEN 'bad_magic' WHEN 2 THEN 'corrupt'
                WHEN 3 THEN 'unsupported_profile' WHEN 4 THEN 'bomb_guard'
                WHEN 5 THEN 'unsupported_profile'
-               WHEN 7 THEN 'corrupt' WHEN 8 THEN 'unsupported_profile' END AS reason
-           FROM documents WHERE doc_id % 9 NOT IN (0, 6))
+               WHEN 7 THEN 'corrupt' WHEN 8 THEN 'unsupported_profile'
+               WHEN 10 THEN 'unsupported_profile' WHEN 11 THEN 'corrupt' END AS reason
+           FROM documents WHERE doc_id % 12 NOT IN (0, 6, 9))
          SELECT source, modality, reason, CAST(count(*) AS BIGINT) AS n_dropped
          FROM m GROUP BY 1, 2, 3""",
     // the codec-boundary pin: true geometry per modality (9×8 PNG luma /

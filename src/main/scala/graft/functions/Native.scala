@@ -2390,7 +2390,17 @@ object Native {
             if (wavPcm16SampleCount(b) < 0) s("corrupt") else null
           case "AVI " =>
             if (Avi.framePayloads(b, 1) == null) s("corrupt") else null
-          case "WEBP" => s("unsupported_profile") // recognized, no JVM decoder
+          case "WEBP" =>
+            // the real VP8L walk+decode ([[Webp]] — same path the image
+            // tiers use): lossless decodes → not dropped; a sound WebP
+            // carrying only lossy/extended chunks is a true profile
+            // limitation; anything else is structural damage
+            Webp.probeContainer(b) match {
+              case (2, payload) =>
+                if (Webp.decodeArgb(payload) == null) s("corrupt") else null
+              case (1, _) => s("unsupported_profile")
+              case _ => s("corrupt")
+            }
           case _ => s("bad_magic") // a RIFF form this pipeline doesn't know
         }
       }
@@ -2417,6 +2427,621 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** WebP VP8L (lossless) — the last major crawl image format with no
+    * JVM reader. REAL pure-integer decode implementing the public "WebP
+    * Lossless Bitstream Specification": LSB-first bit stream, canonical
+    * prefix codes (simple and code-length-coded forms, incl. the
+    * max-symbol cap and 16/17/18 repeats), color cache, LZ77 backward
+    * references through the 120-entry 2D distance mapping, the meta
+    * prefix-code (entropy) image, and all four transforms — predictor
+    * (14 modes with the spec's edge rules), color (signed 3.5 fixed-point
+    * deltas), subtract-green, and color-indexing with sub-byte pixel
+    * packing — applied in reverse read order. Lossy VP8 and VP8X files
+    * without a VP8L chunk remain out of scope (`unsupported_profile` in
+    * the drop report). No codec library anywhere. */
+  private object Webp {
+    /** LSB-first bit reader (the VP8L convention: bit 0 of byte 0 first). */
+    final class Br(b: Array[Byte], var pos: Int, val end: Int) {
+      private var bit = 0
+      def read(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) {
+          if (pos >= end) throw new IllegalStateException("vp8l: read past end")
+          v |= ((b(pos) >> bit) & 1) << i
+          bit += 1
+          if (bit == 8) { bit = 0; pos += 1 }
+          i += 1
+        }
+        v
+      }
+    }
+
+    /** Canonical prefix code (codes assigned per length then symbol,
+      * decoded MSB-of-code-first). Rejects over- and under-subscribed
+      * codes; the degenerate one-symbol code decodes without consuming
+      * bits (the spec's 0-bit case). */
+    final class Huff private (lens: Array[Int], val single: Int) {
+      private var maxLen = 0
+      private var cnt: Array[Int] = null
+      private var firstCode: Array[Int] = null
+      private var firstIdx: Array[Int] = null
+      private var syms: Array[Int] = null
+      if (lens != null) {
+        maxLen = lens.max
+        if (maxLen <= 0 || maxLen > 15) throw new IllegalStateException("vp8l: bad code length")
+        cnt = new Array[Int](maxLen + 1)
+        var i = 0
+        while (i < lens.length) { if (lens(i) > 0) cnt(lens(i)) += 1; i += 1 }
+        firstCode = new Array[Int](maxLen + 1)
+        firstIdx = new Array[Int](maxLen + 1)
+        var code = 0; var idx = 0
+        var l = 1
+        while (l <= maxLen) {
+          if (code > (1 << l)) throw new IllegalStateException("vp8l: over-subscribed code")
+          firstCode(l) = code; firstIdx(l) = idx
+          code = (code + cnt(l)) << 1; idx += cnt(l)
+          l += 1
+        }
+        // completeness: the code space must be EXACTLY filled
+        if (firstCode(maxLen) + cnt(maxLen) != (1 << maxLen))
+          throw new IllegalStateException("vp8l: incomplete prefix code")
+        syms = new Array[Int](idx)
+        val fill = firstIdx.clone()
+        i = 0
+        while (i < lens.length) {
+          if (lens(i) > 0) { syms(fill(lens(i))) = i; fill(lens(i)) += 1 }
+          i += 1
+        }
+      }
+      def decode(br: Br): Int = {
+        if (single >= 0) return single
+        var code = 0; var l = 0
+        while (l < maxLen) {
+          code = (code << 1) | br.read(1)
+          l += 1
+          if (cnt(l) > 0 && code >= firstCode(l) && code - firstCode(l) < cnt(l))
+            return syms(firstIdx(l) + code - firstCode(l))
+        }
+        throw new IllegalStateException("vp8l: walked past max code length")
+      }
+    }
+    object Huff {
+      def of(lens: Array[Int]): Huff = {
+        var n = 0; var only = -1
+        var i = 0
+        while (i < lens.length) { if (lens(i) > 0) { n += 1; only = i }; i += 1 }
+        if (n == 0) throw new IllegalStateException("vp8l: empty code")
+        if (n == 1) new Huff(null, only) else new Huff(lens, -1)
+      }
+      def oneSymbol(sym: Int): Huff = new Huff(null, sym)
+    }
+
+    /** The spec's code-length-code symbol order. */
+    private val ClOrder =
+      Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+    /** One prefix code: the `simple` form (1-2 verbatim symbols) or the
+      * normal form (3-bit code-length-code lengths in [[ClOrder]],
+      * optional max-symbol cap, lengths via literals + 16/17/18 repeats). */
+    def readCode(alphabet: Int, br: Br): Huff = {
+      if (br.read(1) == 1) { // simple
+        val nsym = br.read(1) + 1
+        val first8 = br.read(1)
+        val s0 = br.read(if (first8 == 1) 8 else 1)
+        if (nsym == 1) {
+          if (s0 >= alphabet) throw new IllegalStateException("vp8l: symbol out of alphabet")
+          Huff.oneSymbol(s0)
+        } else {
+          val s1 = br.read(8)
+          if (s0 >= alphabet || s1 >= alphabet || s0 == s1)
+            throw new IllegalStateException("vp8l: bad simple code")
+          val lens = new Array[Int](alphabet)
+          lens(s0) = 1; lens(s1) = 1
+          Huff.of(lens)
+        }
+      } else {
+        val nCl = 4 + br.read(4)
+        val clLens = new Array[Int](19)
+        var i = 0
+        while (i < nCl) { clLens(ClOrder(i)) = br.read(3); i += 1 }
+        val cl = Huff.of(clLens)
+        var remaining =
+          if (br.read(1) == 1) {
+            val nbits = 2 + 2 * br.read(3)
+            val ms = 2 + br.read(nbits)
+            if (ms > alphabet) throw new IllegalStateException("vp8l: max symbol beyond alphabet")
+            ms
+          } else alphabet
+        val lens = new Array[Int](alphabet)
+        var prev = 8
+        i = 0
+        while (i < alphabet && remaining > 0) {
+          remaining -= 1
+          val s = cl.decode(br)
+          if (s < 16) { lens(i) = s; i += 1; if (s != 0) prev = s }
+          else {
+            val rep = s match {
+              case 16 => 3 + br.read(2)
+              case 17 => 3 + br.read(3)
+              case _  => 11 + br.read(7)
+            }
+            if (i + rep > alphabet) throw new IllegalStateException("vp8l: repeat overflows alphabet")
+            val v = if (s == 16) prev else 0
+            var j = 0
+            while (j < rep) { lens(i) = v; i += 1; j += 1 }
+          }
+        }
+        Huff.of(lens)
+      }
+    }
+
+    /** The spec's 120-code 2D distance neighborhood, as (dx, dy). */
+    private val DistPairs: Array[Int] = {
+      val pairs = Array(
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+        (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3),
+        (3, 2), (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+        (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2), (4, 4), (-4, 4),
+        (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+        (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6),
+        (6, 3), (-6, 3), (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+        (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7), (-4, 7), (7, 4),
+        (-7, 4), (8, 1), (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+        (8, 4), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+      pairs.flatMap { case (dx, dy) => Array(dx, dy) }
+    }
+
+    /** LZ77 prefix coding: 4 literal codes then (extra-bit count, offset). */
+    private def prefixValue(code: Int, br: Br): Int =
+      if (code < 4) code + 1
+      else {
+        val extra = (code - 2) >> 1
+        ((2 + (code & 1)) << extra) + br.read(extra) + 1
+      }
+
+    private def planeToDist(w: Int, code: Int): Int =
+      if (code > 120) code - 120
+      else {
+        val dx = DistPairs(2 * (code - 1)); val dy = DistPairs(2 * (code - 1) + 1)
+        val d = dy * w + dx
+        if (d < 1) 1 else d
+      }
+
+    private def divCeil(a: Int, b: Int): Int = (a + b - 1) / b
+    private def subSize(n: Int, bits: Int): Int = divCeil(n, 1 << bits)
+
+    /** One entropy-coded ARGB image. Sub-images (predictor modes, color
+      * transform elements, palettes, the entropy image itself) recurse
+      * with `isLevel0 = false`: no transforms, no meta prefix image. */
+    private def entropyImage(w: Int, h: Int, isLevel0: Boolean, br: Br): Array[Int] = {
+      if (w <= 0 || h <= 0 || w.toLong * h > Png.MaxPixels.toLong / 4)
+        throw new IllegalStateException("vp8l: image dims off contract")
+      val cacheBits = if (br.read(1) == 1) br.read(4) else 0
+      if (cacheBits > 11) throw new IllegalStateException("vp8l: cache bits > 11")
+      var metaImg: Array[Int] = null
+      var metaBits = 0; var metaW = 0
+      var nGroups = 1
+      if (isLevel0 && br.read(1) == 1) {
+        metaBits = br.read(3) + 2
+        metaW = subSize(w, metaBits)
+        metaImg = entropyImage(metaW, subSize(h, metaBits), isLevel0 = false, br)
+        var mx = 0
+        var k = 0
+        while (k < metaImg.length) {
+          val m = (metaImg(k) >> 8) & 0xffff
+          if (m > mx) mx = m
+          k += 1
+        }
+        nGroups = mx + 1
+        if (nGroups > 256) throw new IllegalStateException("vp8l: too many meta groups")
+      }
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val greens = new Array[Huff](nGroups)
+      val reds = new Array[Huff](nGroups)
+      val blues = new Array[Huff](nGroups)
+      val alphas = new Array[Huff](nGroups)
+      val dists = new Array[Huff](nGroups)
+      var g = 0
+      while (g < nGroups) {
+        greens(g) = readCode(256 + 24 + cacheSize, br)
+        reds(g) = readCode(256, br)
+        blues(g) = readCode(256, br)
+        alphas(g) = readCode(256, br)
+        dists(g) = readCode(40, br)
+        g += 1
+      }
+      val n = w * h
+      val out = new Array[Int](n)
+      val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+      def insert(argb: Int): Unit =
+        if (cache != null) cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+      var i = 0; var x = 0; var y = 0
+      while (i < n) {
+        val gi =
+          if (metaImg == null) 0
+          else (metaImg((y >> metaBits) * metaW + (x >> metaBits)) >> 8) & 0xffff
+        val s = greens(gi).decode(br)
+        if (s < 256) {
+          val r = reds(gi).decode(br)
+          val b2 = blues(gi).decode(br)
+          val a = alphas(gi).decode(br)
+          val argb = (a << 24) | (r << 16) | (s << 8) | b2
+          out(i) = argb; insert(argb)
+          i += 1; x += 1; if (x == w) { x = 0; y += 1 }
+        } else if (s < 280) {
+          val len = prefixValue(s - 256, br)
+          val dist = planeToDist(w, prefixValue(dists(gi).decode(br), br))
+          if (dist > i || len > n - i)
+            throw new IllegalStateException("vp8l: backward reference off image")
+          var j = 0
+          while (j < len) { val v = out(i - dist); out(i) = v; insert(v); i += 1; j += 1 }
+          x = i % w; y = i / w
+        } else {
+          if (cache == null || s - 280 >= cacheSize)
+            throw new IllegalStateException("vp8l: cache index without/beyond cache")
+          out(i) = cache(s - 280)
+          i += 1; x += 1; if (x == w) { x = 0; y += 1 }
+        }
+      }
+      out
+    }
+
+    // kind 0 predictor / 1 color: data = sub-image, bits = block bits,
+    // extra = sub-image width. kind 2 subtract-green. kind 3 indexing:
+    // data = palette, bits = xbits, extra = unpacked width.
+    private final case class Transform(kind: Int, bits: Int, data: Array[Int], extra: Int)
+
+    private def addPixels(a: Int, b: Int): Int = {
+      val aa = ((a >>> 24) + (b >>> 24)) & 0xff
+      val rr = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff
+      val gg = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff
+      val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+      (aa << 24) | (rr << 16) | (gg << 8) | bb
+    }
+    /** Per-channel floor average (the spec's Average2), SWAR form. */
+    private def avg2(a: Int, b: Int): Int = (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+    private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    private def select(t: Int, l: Int, tl: Int): Int = {
+      var pl = 0; var pt = 0
+      var s = 0
+      while (s < 32) {
+        val cl2 = (l >>> s) & 0xff; val ct = (t >>> s) & 0xff; val ctl = (tl >>> s) & 0xff
+        val pred = cl2 + ct - ctl
+        pl += math.abs(pred - cl2); pt += math.abs(pred - ct)
+        s += 8
+      }
+      if (pl < pt) l else t
+    }
+    private def clampAddSubFull(a: Int, b: Int, c: Int): Int = {
+      var out = 0
+      var s = 0
+      while (s < 32) {
+        val v = clamp255(((a >>> s) & 0xff) + ((b >>> s) & 0xff) - ((c >>> s) & 0xff))
+        out |= v << s
+        s += 8
+      }
+      out
+    }
+    private def clampAddSubHalf(a: Int, c: Int): Int = {
+      var out = 0
+      var s = 0
+      while (s < 32) {
+        val av = (a >>> s) & 0xff
+        val v = clamp255(av + (av - ((c >>> s) & 0xff)) / 2)
+        out |= v << s
+        s += 8
+      }
+      out
+    }
+
+    private def inverseSubtractGreen(p: Array[Int]): Unit = {
+      var i = 0
+      while (i < p.length) {
+        val v = p(i); val g = (v >> 8) & 0xff
+        val r = (((v >> 16) & 0xff) + g) & 0xff
+        val b2 = ((v & 0xff) + g) & 0xff
+        p(i) = (v & 0xff00ff00) | (r << 16) | b2
+        i += 1
+      }
+    }
+
+    private def inversePredictor(p: Array[Int], w: Int, h: Int, tr: Transform): Unit = {
+      val bits = tr.bits; val modes = tr.data; val mw = tr.extra
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) p(i - 1) // top row predicts L
+            else if (x == 0) p(i - w) // left column predicts T
+            else {
+              val l = p(i - 1); val t = p(i - w); val tl = p(i - w - 1)
+              // TR at the rightmost column wraps to the CURRENT row's
+              // first pixel (already decoded) — i-w+1 lands there exactly
+              val tr2 = p(i - w + 1)
+              ((modes((y >> bits) * mw + (x >> bits)) >> 8) & 0xff) match {
+                case 0  => 0xff000000
+                case 1  => l
+                case 2  => t
+                case 3  => tr2
+                case 4  => tl
+                case 5  => avg2(avg2(l, tr2), t)
+                case 6  => avg2(l, tl)
+                case 7  => avg2(l, t)
+                case 8  => avg2(tl, t)
+                case 9  => avg2(t, tr2)
+                case 10 => avg2(avg2(l, tl), avg2(t, tr2))
+                case 11 => select(t, l, tl)
+                case 12 => clampAddSubFull(l, t, tl)
+                case 13 => clampAddSubHalf(avg2(l, t), tl)
+                case _  => throw new IllegalStateException("vp8l: predictor mode > 13")
+              }
+            }
+          p(i) = addPixels(p(i), pred)
+          x += 1; i += 1
+        }
+        y += 1
+      }
+    }
+
+    private def inverseColor(p: Array[Int], w: Int, h: Int, tr: Transform): Unit = {
+      val bits = tr.bits; val img = tr.data; val mw = tr.extra
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cte = img((y >> bits) * mw + (x >> bits))
+          val g2r = (cte & 0xff).toByte // green_to_red rides the blue channel
+          val g2b = ((cte >> 8) & 0xff).toByte
+          val r2b = ((cte >> 16) & 0xff).toByte
+          val v = p(i)
+          val g = ((v >> 8) & 0xff).toByte
+          val r = (((v >> 16) & 0xff) + ((g2r * g) >> 5)) & 0xff
+          var b2 = ((v & 0xff) + ((g2b * g) >> 5)) & 0xff
+          b2 = (b2 + ((r2b * r.toByte) >> 5)) & 0xff
+          p(i) = (v & 0xff00ff00) | (r << 16) | b2
+          x += 1; i += 1
+        }
+        y += 1
+      }
+    }
+
+    private def inverseIndex(p: Array[Int], packedW: Int, h: Int, tr: Transform): Array[Int] = {
+      val pal = tr.data; val xbits = tr.bits; val w0 = tr.extra
+      val idxBits = 8 >> xbits
+      val idxMask = (1 << idxBits) - 1
+      val out = new Array[Int](w0 * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w0) {
+          val packed = p(y * packedW + (x >> xbits))
+          val pos = x & ((1 << xbits) - 1)
+          val idx = (((packed >> 8) & 0xff) >> (pos * idxBits)) & idxMask
+          out(y * w0 + x) = if (idx < pal.length) pal(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Full VP8L payload decode → (width, height, ARGB), or null off
+      * contract (any structural violation — never a throw). */
+    def decodeArgb(payload: Array[Byte]): (Int, Int, Array[Int]) =
+      try {
+        if (payload == null || payload.length < 5 || (payload(0) & 0xff) != 0x2f) return null
+        val br = new Br(payload, 1, payload.length)
+        val w0 = br.read(14) + 1
+        val h0 = br.read(14) + 1
+        br.read(1) // alpha-is-used hint (informational)
+        if (br.read(3) != 0) return null // version must be 0
+        if (w0.toLong * h0 > Png.MaxPixels.toLong / 4) return null // bomb cap
+        var w = w0
+        val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
+        var seen = 0
+        while (br.read(1) == 1) {
+          val t = br.read(2)
+          if ((seen & (1 << t)) != 0) return null // each transform at most once
+          seen |= 1 << t
+          t match {
+            case 2 => transforms += Transform(2, 0, null, 0)
+            case 3 =>
+              val pSize = br.read(8) + 1
+              val pal = entropyImage(pSize, 1, isLevel0 = false, br)
+              var k = 1 // palette entries are component-wise delta-coded
+              while (k < pSize) { pal(k) = addPixels(pal(k), pal(k - 1)); k += 1 }
+              val xbits = if (pSize <= 2) 3 else if (pSize <= 4) 2 else if (pSize <= 16) 1 else 0
+              transforms += Transform(3, xbits, pal, w)
+              w = subSize(w, xbits)
+            case k0 =>
+              val bits = br.read(3) + 2
+              val sw = subSize(w, bits)
+              transforms += Transform(k0, bits,
+                entropyImage(sw, subSize(h0, bits), isLevel0 = false, br), sw)
+          }
+        }
+        var pix = entropyImage(w, h0, isLevel0 = true, br)
+        var curW = w
+        var ti = transforms.length - 1
+        while (ti >= 0) {
+          val tr = transforms(ti)
+          tr.kind match {
+            case 2 => inverseSubtractGreen(pix)
+            case 0 => inversePredictor(pix, curW, h0, tr)
+            case 1 => inverseColor(pix, curW, h0, tr)
+            case 3 => pix = inverseIndex(pix, curW, h0, tr); curW = tr.extra
+          }
+          ti -= 1
+        }
+        if (curW != w0) return null
+        (w0, h0, pix)
+      } catch { case NonFatal(_) => null }
+
+    /** RIFF-WEBP container probe: (2, vp8lPayload) when a VP8L chunk is
+      * found; (1, null) for a structurally-sound WebP carrying only
+      * other known chunks (lossy VP8, extended without lossless —
+      * unsupported profile); (0, null) for structural damage. */
+    def probeContainer(b: Array[Byte]): (Int, Array[Byte]) = {
+      val n = b.length
+      if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return (0, null)
+      var p = 12
+      var sawKnown = false
+      while (p + 8 <= n) {
+        val tag = new String(b, p, 4, "US-ASCII")
+        val size = (b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8) |
+          ((b(p + 6) & 0xffL) << 16) | ((b(p + 7) & 0xffL) << 24)
+        if (size > n - p - 8) return (0, null) // chunk overruns the payload
+        if (tag == "VP8L") {
+          val payload = new Array[Byte](size.toInt)
+          System.arraycopy(b, p + 8, payload, 0, size.toInt)
+          return (2, payload)
+        }
+        if (tag == "VP8 " || tag == "VP8X" || tag == "ALPH" || tag == "ANIM" ||
+            tag == "ANMF" || tag == "ICCP" || tag == "EXIF" || tag == "XMP ")
+          sawKnown = true
+        p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      (if (sawKnown) 1 else 0, null)
+    }
+
+    /** Container walk + VP8L decode + exact-integer ITU-R 601 luma (the
+      * same [[Png.luma601]] the PNG/JPEG tiers use; alpha ignored, like
+      * the PNG RGBA path). Null off contract. */
+    def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (st, payload) = probeContainer(b)
+      if (st != 2) return null
+      val d = decodeArgb(payload)
+      if (d == null) return null
+      val (w, h, px) = d
+      val luma = new Array[Byte](px.length)
+      var i = 0
+      while (i < px.length) {
+        val v = px(i)
+        luma(i) = Png.luma601((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).toByte
+        i += 1
+      }
+      (w, h, luma)
+    }
+  }
+
+  /** webp_decode_luma(BINARY) → BINARY: REAL WebP VP8L (lossless) pixel
+    * decode to the exact-integer luma plane — [[PngLumaDecode]]'s WebP
+    * sibling, per the public lossless bitstream spec ([[Webp]]). Null off
+    * contract: lossy VP8, extended files without a VP8L chunk, structural
+    * damage, or a header demanding more than the shared bomb cap. */
+  case class WebpLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val d = Webp.decodeLuma(input.asInstanceOf[Array[Byte]])
+        if (d == null) null else d._3
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** webp_vp8l_encode(BINARY pixels, width; alpha) → BINARY: a REAL,
+    * complete lossless WebP (RIFF-WEBP container + spec-conformant VP8L
+    * stream) from row-major RGB/RGBA bytes — the fixture builder for
+    * [[WebpLumaDecode]], [[PngRgbEncode]]'s WebP sibling. The stream is
+    * the simplest spec-VALID encoding: no transforms, no color cache, no
+    * meta prefix image, literal-only pixels under canonical 8-bit
+    * prefix codes (each 256-symbol alphabet gets all lengths 8 — a
+    * complete code whose canonical codeword for value v is v itself), so
+    * any compliant reader decodes it. Null off contract (w outside
+    * VP8L's 14-bit dims, length not a multiple of w·bpp). Fixture
+    * builder; production writes WebP with a codec, not Spark. */
+  case class WebpVp8lEncode(left: Expression, right: Expression, alpha: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    private val bpp = if (alpha) 4 else 3
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || w > 16384) return null // VP8L dims are 14-bit
+      if (pixels.length == 0 || pixels.length % (w * bpp) != 0) return null
+      val h = pixels.length / (w * bpp)
+      if (h > 16384) return null
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nb = 0
+      def wb(v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          cur |= ((v >> i) & 1) << nb
+          nb += 1
+          if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+          i += 1
+        }
+      }
+      wb(0x2f, 8) // VP8L signature
+      wb(w - 1, 14); wb(h - 1, 14); wb(if (alpha) 1 else 0, 1); wb(0, 3)
+      wb(0, 1) // no transforms
+      wb(0, 1) // no color cache
+      wb(0, 1) // no meta prefix image
+      // a normal prefix code assigning length 8 to all 256 byte values:
+      // code-length code = {8 → len 1, 18 → len 1} (canonical: 8 → 0,
+      // 18 → 1), then 256 × '8', then for the green alphabet one
+      // 18-repeat covering the 24 unused length/cache symbols
+      def literalCode(trailingZeros: Boolean): Unit = {
+        wb(0, 1) // not simple
+        wb(8, 4) // num_code_lengths = 12 (through ClOrder index of symbol 8)
+        val cl = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1) // 17,18,0..5,16,6,7,8
+        cl.foreach(v => wb(v, 3))
+        wb(0, 1) // no max-symbol cap
+        var i = 0
+        while (i < 256) { wb(0, 1); i += 1 } // symbol 8, 256 times
+        if (trailingZeros) { wb(1, 1); wb(13, 7) } // symbol 18: 11+13 = 24 zeros
+      }
+      literalCode(trailingZeros = true) // green (alphabet 280)
+      literalCode(trailingZeros = false) // red
+      literalCode(trailingZeros = false) // blue
+      literalCode(trailingZeros = false) // alpha
+      wb(1, 1); wb(0, 1); wb(0, 1); wb(0, 1) // distance: simple, one 1-bit symbol 0
+      // literal pixels: canonical code of value v is v, written MSB-first
+      def sym8(v: Int): Unit = { var k = 7; while (k >= 0) { wb((v >> k) & 1, 1); k -= 1 } }
+      var i = 0
+      val np = w * h
+      while (i < np) {
+        val r = pixels(i * bpp) & 0xff
+        val g = pixels(i * bpp + 1) & 0xff
+        val b2 = pixels(i * bpp + 2) & 0xff
+        val a = if (alpha) pixels(i * bpp + 3) & 0xff else 0xff
+        sym8(g); sym8(r); sym8(b2); sym8(a)
+        i += 1
+      }
+      if (nb > 0) out.write(cur)
+      val payload = out.toByteArray
+      val pad = payload.length & 1
+      val riff = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 to 3).foreach(j => riff.write((v >> (8 * j)) & 0xff))
+      riff.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 8 + payload.length + pad)
+      riff.write("WEBP".getBytes("US-ASCII"))
+      riff.write("VP8L".getBytes("US-ASCII"))
+      le32(payload.length)
+      riff.write(payload)
+      if (pad == 1) riff.write(0)
+      riff.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Plain-JVM decode entry points for the per-partition codec boundary
     * ([[graft.operators.Multimodal.decodePartitions]]'s default codec):
     * the SAME validated cores as the Catalyst expressions, callable from a
@@ -2430,6 +3055,15 @@ object Native {
     catch { case NonFatal(_) => None }
   def wavEnvelopeBytes(b: Array[Byte], nBuckets: Int): Option[Array[Byte]] =
     try Option(wavEnvelopeCore(b, nBuckets)) catch { case NonFatal(_) => None }
+  def webpLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Webp.decodeLuma(b)) catch { case NonFatal(_) => None }
+  /** Raw ARGB decode for the spec-vector tests (container + VP8L). */
+  private[graft] def webpArgbForTest(b: Array[Byte]): Array[Int] = {
+    val (st, payload) = Webp.probeContainer(b)
+    if (st != 2) return null
+    val d = Webp.decodeArgb(payload)
+    if (d == null) null else d._3
+  }
   /** First-frame luma of an MJPEG clip (RIFF-AVI or ISO-BMFF/MP4,
     * dispatched on magic) — the video entry of the partition-codec
     * boundary, through the SAME container walks ([[Avi]]/[[Mp4]]) and
@@ -3041,6 +3675,9 @@ object Native {
       PngRgbEncode(exprs(0), exprs(1), intLit(exprs(2), "filterMode"),
         boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
     "graft_png_decode_luma" -> (exprs => PngLumaDecode(exprs(0))),
+    "graft_webp_decode_luma" -> (exprs => WebpLumaDecode(exprs(0))),
+    "graft_webp_vp8l_encode" -> (exprs =>
+      WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
@@ -3147,6 +3784,11 @@ object Native {
       org.apache.spark.sql.functions.lit(alpha))
   def pngDecodeLuma(png: Column): Column =
     call_function("graft_png_decode_luma", png)
+  def webpDecodeLuma(webp: Column): Column =
+    call_function("graft_webp_decode_luma", webp)
+  def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
+    call_function("graft_webp_vp8l_encode", pixels, width,
+      org.apache.spark.sql.functions.lit(alpha))
   def decodeDropReason(media: Column): Column =
     call_function("graft_decode_drop_reason", media)
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =

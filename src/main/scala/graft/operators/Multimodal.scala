@@ -391,12 +391,12 @@ object Multimodal {
     * to the WAV core. The feature vector is the 8-bin normalized
     * luma/energy histogram — a real image/audio statistic (each bin =
     * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
-    * oracle can recompute it. Anything else — WebP, AVIF, corrupt
-    * bytes — fails to decode (None): those formats stay codec-library
-    * work behind the pluggable `codec` parameter. Same decode cores as
-    * the column expressions ([[graft.functions.Native]]), so decode
-    * semantics cannot fork between the expression path and the partition
-    * path. */
+    * oracle can recompute it. Lossless WebP (VP8L) decodes to its luma
+    * like PNG. Anything else — lossy WebP, AVIF, corrupt bytes — fails
+    * to decode (None): those formats stay codec-library work behind the
+    * pluggable `codec` parameter. Same decode cores as the column
+    * expressions ([[graft.functions.Native]]), so decode semantics
+    * cannot fork between the expression path and the partition path. */
   def realCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 4) return None
     def feat(px: Array[Byte]): Array[Float] = {
@@ -421,6 +421,9 @@ object Multimodal {
           bytes(10) == 'V' && bytes(11) == 'E')
         graft.functions.Native.wavEnvelopeBytes(bytes, 72)
           .map(env => (env.length, 1, 1, feat(env)))
+      else if (bytes.length >= 12 && bytes(8) == 'W' && bytes(9) == 'E' &&
+          bytes(10) == 'B' && bytes(11) == 'P')
+        lumaOf(graft.functions.Native.webpLumaBytes(bytes))
       else lumaOf(graft.functions.Native.videoFirstFrameLumaBytes(bytes))
     } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
@@ -560,12 +563,40 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
+  /** REAL WebP VP8L (lossless) pixel decode to the exact-integer luma
+    * plane ([[graft.functions.Native.WebpLumaDecode]]): the full public
+    * lossless bitstream — prefix codes, color cache, LZ77 with the 2D
+    * distance map, meta prefix image, and all four transforms. Null on
+    * lossy VP8, extended files without a VP8L chunk, or damage — those
+    * keep landing in the drop report as unsupported_profile/corrupt. */
+  def webpDecodeLuma(webp: Column): Column =
+    graft.functions.Native.webpDecodeLuma(webp)
+
+  /** Fixture-grade LOSSLESS WebP encode ([[graft.functions.Native
+    * .WebpVp8lEncode]]): interleaved RGB/RGBA bytes → a complete
+    * RIFF-WEBP container holding the simplest spec-valid VP8L stream
+    * (literal-only, canonical 8-bit codes), decodable by any compliant
+    * reader. Fixture builder for the WebP tier's oracles. */
+  def webpEncodeVp8l(pixels: Column, width: Column, alpha: Boolean = false): Column =
+    graft.functions.Native.webpVp8lEncode(pixels, width, alpha)
+
+  /** [[imageNearDupPng]] on WebP payloads: [[webpDecodeLuma]] → [[dHash]]
+    * → the shared Hamming-banded LSH core. Closes the last major crawl
+    * image format that previously dropped undecoded at this tier. */
+  def imageNearDupWebp(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(webpDecodeLuma(col("webp")), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
   /** REAL baseline-JPEG pixel decode ([[graft.functions.Native
     * .JpegGray8Decode]]): single-component (grayscale) SOF0 JPEG bytes →
     * row-major grayscale-8 bitmap via full Huffman + dequant + IDCT,
     * null on anything out of contract (progressive, color, truncated,
     * bad restart sequence). With [[pngDecodeGray8]] this covers both
-    * crawl image formats the JDK's primitives can reach; WebP/AVIF stay
+    * crawl image formats the JDK's primitives can reach; AVIF stays
     * behind the [[decodePartitions]] codec boundary. */
   def jpegDecodeGray8(jpeg: Column): Column =
     graft.functions.Native.jpegDecodeGray8(jpeg)

@@ -226,12 +226,15 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4Clip = encMp4(Seq(jpeg, jpeg), 96, 16)
     val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
       "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val webpLossless = Seq(Tuple1(grayPx.flatMap(v => Array(v, v, v)))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
     val rows = Seq(
       (1L, png), (2L, pngColor), (3L, jpeg), (4L, wav),
       (5L, "not any media format".getBytes("UTF-8")), // → dropped
       (6L, Array.empty[Byte]),                        // → dropped
       (7L, aviClip), (8L, mp4Clip),                   // → first-frame luma
-      (9L, webp))                                     // → dropped, never WAV-walked
+      (9L, webp),                                     // lossy → dropped, never WAV-walked
+      (10L, webpLossless))                            // VP8L → real luma decode
       .toDF("doc_id", "media").repartition(2)
     val got = Multimodal.decodePartitions(rows)
     assert(got.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
@@ -239,7 +242,7 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"doc_id", $"width", $"height", $"channels").as[(Long, Int, Int, Int)].collect()
     // TRUE dimensions from the real decoders, not hash-derived fakes
     assert(decoded.toSeq == Seq((1L, 9, 8, 1), (2L, 9, 8, 1), (3L, 96, 16, 1), (4L, 72, 1, 1),
-      (7L, 96, 16, 1), (8L, 96, 16, 1)),
+      (7L, 96, 16, 1), (8L, 96, 16, 1), (10L, 9, 8, 1)),
       decoded.mkString(", "))
     // the clips' features equal the plain JPEG row's (same first frame)
     val jpegFeat = got.filter($"doc_id" === 3L).select($"feature").as[Seq[Float]].head()
@@ -288,13 +291,17 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4 = encMp4(Seq(png), 9, 8)  // any payload bytes walk as frames
     val mp4Avc = encMp4(Seq(png), 9, 8, format = "avc1")
     val truncMp4 = mp4.take(40) // ftyp survives, moov (written last) gone
+    val webpGood = Seq(Tuple1(grayPx.flatMap(v => Array(v, v, v)))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
+    val truncWebp = webpGood.take(24) // VP8L chunk size overruns the payload
     val rows = Seq(
       ("a", png), ("a", wav), ("a", avi), ("a", mp4), // all decodable → NO rows
+      ("a", webpGood),                               // VP8L decodes → NO row
       ("a", junk), ("b", junk),                      // bad_magic, split by source
       ("a", palettePng), ("a", bombPng),
       ("a", png.take(40)),                           // header ok, decode fails → corrupt
       ("b", mp4ish), ("b", webp), ("b", truncAvi),
-      ("b", mp4Avc), ("b", truncMp4))
+      ("b", mp4Avc), ("b", truncMp4), ("b", truncWebp))
       .toDF("source", "media")
     val got = Multimodal.decodeDropReport(rows)
       .as[(String, String, String, Long, Long)].collect().toSet
@@ -307,7 +314,8 @@ class MultimodalSpec extends AnyFunSuite {
       ("b", "video/mp4", "corrupt", 2L, mp4ish.length.toLong + 40L),
       ("b", "image/webp", "unsupported_profile", 1L, webp.length.toLong),
       ("b", "video/avi", "corrupt", 1L, truncAvi.length.toLong),
-      ("b", "video/mp4", "unsupported_profile", 1L, mp4Avc.length.toLong))
+      ("b", "video/mp4", "unsupported_profile", 1L, mp4Avc.length.toLong),
+      ("b", "image/webp", "corrupt", 1L, truncWebp.length.toLong))
     assert(got == expected, s"got $got")
   }
 
@@ -616,6 +624,107 @@ class MultimodalSpec extends AnyFunSuite {
     val a = decPngLuma(encRgb(rgba, w, -1, st = false, alpha = true))
     val b = decPngLuma(encRgb(rgbaOtherAlpha, w, -1, st = false, alpha = true))
     assert(a != null && b != null && a.sameElements(b))
+  }
+
+  // ---- WebP VP8L ----------------------------------------------------------
+  // spec-derived decoder vectors: each stream is hand-assembled straight
+  // from the public lossless bitstream spec (tools/gen_vp8l_vectors.py —
+  // independent of the Scala decoder AND of the fixture encoder, which
+  // never emits these features), with analytically-stated expected ARGB.
+  private def argbOf(webpHex: String): Seq[Int] = {
+    val d = graft.functions.Native.webpArgbForTest(hexBytesT(webpHex))
+    assert(d != null, s"decode failed for $webpHex")
+    d.toSeq
+  }
+  private def hexBytesT(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("VP8L decode: LZ77 reference, color cache, and simple codes match hand-built spec streams") {
+    // webpLz77: literal then a length-3 distance-1 LZ77 reference (overlapping copy)
+    val webpLz77 = "524946461e000000574542505650384c110000002f03000000009204ffbf76450f9ad0ff1400"
+    val webpLz77Px = Array(0xff070109, 0xff070109, 0xff070109, 0xff070109) // 4x1 ARGB
+    assert(argbOf(webpLz77) == webpLz77Px.toSeq)
+    // webpCache: two literals then a color-cache hit (cache_bits=4, slot 4)
+    val webpCache = "524946461e000000574542505650384c120000002f0200000012214192f0fffce28088fe8706"
+    val webpCachePx = Array(0xff000500, 0xff000600, 0xff000500) // 3x1 ARGB
+    assert(argbOf(webpCache) == webpCachePx.toSeq)
+    // webpMeta: meta prefix image: two groups split the row at x=4
+    val webpMeta = "5249464622000000574542505650384c150000002f070000008403044444d885ccfe472d2a5081fe0700"
+    val webpMetaPx = Array(0xff010b01, 0xff010b01, 0xff010b01, 0xff010b01,
+      0xff021602, 0xff021602, 0xff021602, 0xff021602) // 8x1 ARGB
+    assert(argbOf(webpMeta) == webpMetaPx.toSeq)
+  }
+
+  test("VP8L decode: all four transforms match hand-built spec streams") {
+    // webpSubGreen: subtract-green inverse: r and b shift by green mod 256
+    val webpSubGreen = "5249464618000000574542505650384c0c0000002f010000004515aa5f82fe07"
+    val webpSubGreenPx = Array(0xff040a0e, 0xff040a0e) // 2x1 ARGB
+    assert(argbOf(webpSubGreen) == webpSubGreenPx.toSeq)
+    // webpPredictor: predictor transform, one block, mode 2 (T); top row L, origin black
+    val webpPredictor = "524946461c000000574542505650384c0f0000002f01400000810a4444a0051de8410600"
+    val webpPredictorPx = Array(0x00030507, 0x01060a0e, 0x01060a0e, 0x02090f15) // 2x2 ARGB
+    assert(argbOf(webpPredictor) == webpPredictorPx.toSeq)
+    // webpColor: color transform inverse: signed 3.5 fixed-point channel deltas
+    val webpColor = "524946461e000000574542505650384c120000002f01000000830e94a002112850c92ad3ff00"
+    val webpColorPx = Array(0xff684045, 0xff684045) // 2x1 ARGB
+    assert(argbOf(webpColor) == webpColorPx.toSeq)
+    // webpIndexed: 2-color palette, 8 pixels packed into one green byte 0x96
+    val webpIndexed = "5249464622000000574542505650384c160000002f070000000f70018307207c80e0ff0081875a464400"
+    val webpIndexedPx = Array(0xff010203, 0xff090807, 0xff090807, 0xff010203,
+      0xff090807, 0xff010203, 0xff010203, 0xff090807) // 8x1 ARGB
+    assert(argbOf(webpIndexed) == webpIndexedPx.toSeq)
+  }
+
+  test("WebP round-trip: webpDecodeLuma(webpEncodeVp8l(px)) == exact-integer luma, RGB and RGBA") {
+    for {
+      (w, h) <- Seq((13, 7), (9, 8), (1, 1), (32, 5))
+      alpha <- Seq(false, true)
+    } {
+      val bpp = if (alpha) 4 else 3
+      val px = rgbPix(w * h, bpp)
+      val got = Seq((px, w)).toDF("px", "w")
+        .select(Multimodal.webpDecodeLuma(Multimodal.webpEncodeVp8l($"px", $"w", alpha)))
+        .as[Array[Byte]].head()
+      assert(got != null && got.sameElements(lumaOf(px, bpp)),
+        s"webp round-trip failed w=$w h=$h alpha=$alpha")
+    }
+  }
+
+  test("webpDecodeLuma nulls off contract, never throws: lossy, truncated, junk, version, dims") {
+    val px = rgbPix(6, 3)
+    val good = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(3))).as[Array[Byte]].head()
+    val lossy = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val cases = Seq(
+      lossy,                       // recognized container, no VP8L
+      good.take(25),               // truncated mid-stream
+      good.take(12),               // bare RIFF-WEBP header
+      "RIFFxxxxWEBQ".getBytes("US-ASCII"),
+      Array[Byte](1, 2, 3))
+    cases.foreach { b =>
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.webpDecodeLuma($"b")).collect().head
+      assert(r.isNullAt(0), s"expected null for ${b.take(16).mkString(",")}")
+    }
+    // and the good payload does decode
+    val ok = Seq(Tuple1(good)).toDF("b")
+      .select(Multimodal.webpDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(ok != null && ok.length == 6)
+  }
+
+  test("imageNearDupWebp pairs re-keyed identical lossless WebPs at hamming 0, nothing else") {
+    def img(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      Array.fill(9 * 8 * 3)(r2.nextInt(256).toByte)
+    }
+    val rows = Seq((1L, img(1)), (2L, img(1)), (3L, img(3)), (4L, img(4)))
+      .toDF("id", "px")
+      .select($"id", Multimodal.webpEncodeVp8l($"px", lit(9)).as("webp"))
+    val pairs = Multimodal.imageNearDupWebp(rows, 9, 8, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming".cast("bigint"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
   }
 
   test("pngEncodeRgb refuses overflow-scale widths: null, never a negative-height IHDR") {
