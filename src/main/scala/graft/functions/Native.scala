@@ -2389,7 +2389,14 @@ object Native {
             if (u16(20) != 1 || u16(34) != 16) return s("unsupported_profile")
             if (wavPcm16SampleCount(b) < 0) s("corrupt") else null
           case "AVI " =>
-            if (Avi.framePayloads(b, 1) == null) s("corrupt") else null
+            // structural walk AND a first-frame luma decode — the same
+            // bar realCodec and the near-dup tier hold a clip to (frames
+            // that merely extract but carry undecodable payloads DROP
+            // there, so counting them decodable here would be the
+            // report/surface split this classifier exists to avoid)
+            if (Avi.framePayloads(b, 1) == null) s("corrupt")
+            else if (videoFirstFrameLumaBytes(b).isEmpty) s("corrupt")
+            else null
           case "WEBP" =>
             // the real VP8L walk+decode ([[Webp]] — same path the image
             // tiers use): lossless decodes → not dropped; a sound WebP
@@ -2413,7 +2420,9 @@ object Native {
       // damage → corrupt ----
       else if (n >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
         Mp4.probe(b) match {
-          case 2 => null
+          // frames extracted — decodable only if frame 0 luma-decodes,
+          // the same bar the AVI branch and realCodec hold
+          case 2 => if (videoFirstFrameLumaBytes(b).isEmpty) s("corrupt") else null
           case 1 => s("unsupported_profile")
           case _ => s("corrupt")
         }

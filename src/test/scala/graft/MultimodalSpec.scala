@@ -276,7 +276,13 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = 0, stored = true))
       .as[Array[Byte]].head()
     val wav = wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000)
-    val avi = Seq(Tuple1(Seq(png))).toDF("f") // any payload bytes walk as frames
+    // decodable clips carry REAL JPEG frames — the classifier holds video
+    // to the same first-frame-decodes bar as realCodec and the near-dup
+    // tier; a clip whose frames extract but are not JPEGs is corrupt
+    val frame = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9))).as[Array[Byte]].head()
+    val avi = encAvi(Seq(frame), 9, 8)
+    val junkAvi = Seq(Tuple1(Seq(png))).toDF("f") // png bytes walk as frames, decode fails
       .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
     val palettePng = png.clone(); palettePng(25) = 3
     val bombPng = png.clone()
@@ -288,8 +294,8 @@ class MultimodalSpec extends AnyFunSuite {
       "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
     val junk = "garbage payload bytes".getBytes("UTF-8")
     val truncAvi = avi.take(avi.length - 9)
-    val mp4 = encMp4(Seq(png), 9, 8)  // any payload bytes walk as frames
-    val mp4Avc = encMp4(Seq(png), 9, 8, format = "avc1")
+    val mp4 = encMp4(Seq(frame), 9, 8)
+    val mp4Avc = encMp4(Seq(png), 9, 8, format = "avc1") // never reaches frame decode
     val truncMp4 = mp4.take(40) // ftyp survives, moov (written last) gone
     val webpGood = Seq(Tuple1(grayPx.flatMap(v => Array(v, v, v)))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
@@ -301,7 +307,8 @@ class MultimodalSpec extends AnyFunSuite {
       ("a", palettePng), ("a", bombPng),
       ("a", png.take(40)),                           // header ok, decode fails → corrupt
       ("b", mp4ish), ("b", webp), ("b", truncAvi),
-      ("b", mp4Avc), ("b", truncMp4), ("b", truncWebp))
+      ("b", mp4Avc), ("b", truncMp4), ("b", truncWebp),
+      ("b", junkAvi))
       .toDF("source", "media")
     val got = Multimodal.decodeDropReport(rows)
       .as[(String, String, String, Long, Long)].collect().toSet
@@ -313,10 +320,92 @@ class MultimodalSpec extends AnyFunSuite {
       ("a", "image/png", "corrupt", 1L, 40L),
       ("b", "video/mp4", "corrupt", 2L, mp4ish.length.toLong + 40L),
       ("b", "image/webp", "unsupported_profile", 1L, webp.length.toLong),
-      ("b", "video/avi", "corrupt", 1L, truncAvi.length.toLong),
+      ("b", "video/avi", "corrupt", 2L, truncAvi.length.toLong + junkAvi.length.toLong),
       ("b", "video/mp4", "unsupported_profile", 1L, mp4Avc.length.toLong),
       ("b", "image/webp", "corrupt", 1L, truncWebp.length.toLong))
     assert(got == expected, s"got $got")
+  }
+
+  test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
+    // the invariant the drop report exists for: a payload it counts
+    // dropped must be one the default codec path cannot decode, and vice
+    // versa. One documented divergence class stays out of the battery:
+    // a valid PCM WAV shorter than the 72-bucket envelope (the PAYLOAD
+    // decodes — classifier null — but that one consumer needs ≥72
+    // samples), which is a consumer constraint, not decodability.
+    val grayPx = Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
+    val png = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = 0, stored = true))
+      .as[Array[Byte]].head()
+    val pngColor = Seq(Tuple1(rgbPix(72, 4))).toDF("px")
+      .select(Multimodal.pngEncodeRgb($"px", lit(9), filterMode = -1, stored = false,
+        alpha = true)).as[Array[Byte]].head()
+    val jpeg = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9))).as[Array[Byte]].head()
+    val wav = wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000)
+    val avi = encAvi(Seq(jpeg), 9, 8)
+    val mp4 = encMp4(Seq(jpeg), 9, 8)
+    val webpGood = Seq(Tuple1(rgbPix(72, 3))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
+    val palettePng = png.clone(); palettePng(25) = 3
+    val bombPng = png.clone()
+    bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
+    val lossyWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val junkAvi = Seq(Tuple1(Seq(png))).toDF("f")
+      .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
+    val battery: Seq[(String, Array[Byte])] = Seq(
+      "png" -> png, "pngColor" -> pngColor, "jpeg" -> jpeg, "wav" -> wav,
+      "avi" -> avi, "mp4" -> mp4, "webp" -> webpGood,
+      "junk" -> "garbage payload bytes".getBytes("UTF-8"),
+      "cutPng" -> png.take(40), "palettePng" -> palettePng, "bombPng" -> bombPng,
+      "wav8bit" -> wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000).clone()
+        .patch(34, Array[Byte](8, 0), 2).toArray,
+      "lossyWebp" -> lossyWebp, "cutWebp" -> webpGood.take(24),
+      "cutAvi" -> avi.take(avi.length - 9), "junkFramesAvi" -> junkAvi,
+      "cutMp4" -> mp4.take(40),
+      "avc1Mp4" -> encMp4(Seq(jpeg), 9, 8, format = "avc1"),
+      "tiny" -> Array[Byte](1, 2))
+    battery.foreach { case (name, b) =>
+      val decodes = Multimodal.realCodec(b).isDefined
+      val reason = Seq(Tuple1(b)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      val dropped = !reason.isNullAt(0)
+      assert(decodes != dropped,
+        s"$name: realCodec decodes=$decodes but drop reason=" +
+          s"${if (dropped) reason.getString(0) else "null"}")
+    }
+  }
+
+  test("webpDecodeLuma never throws under seeded mutation/truncation fuzz") {
+    val base = Seq(Tuple1(rgbPix(13 * 7, 3))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(13))).as[Array[Byte]].head()
+    val rnd = new scala.util.Random(4242)
+    var decoded = 0; var refused = 0
+    (0 until 400).foreach { i =>
+      val b: Array[Byte] = i % 3 match {
+        case 0 => // flip 1-4 bytes anywhere (headers, code tables, pixels)
+          val m = base.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m
+        case 1 => base.take(rnd.nextInt(base.length + 1))
+        case 2 =>
+          val m = base.take(12 + rnd.nextInt(base.length - 12 + 1))
+          if (m.nonEmpty && m.length > 20)
+            m(20 + rnd.nextInt(m.length - 20)) = rnd.nextInt(256).toByte
+          m
+      }
+      // plain-JVM entry: must return None or a value, NEVER throw — the
+      // contract a parser over crawl bytes lives or dies by
+      graft.functions.Native.webpLumaBytes(b) match {
+        case Some(_) => decoded += 1
+        case None => refused += 1
+      }
+    }
+    assert(decoded + refused == 400)
+    assert(refused > 0, "fuzz never produced a refusal — mutations too weak")
   }
 
   test("a decodable MJPEG MP4 pairs in videoNearDup AND contributes no decodeDropReport row — the surfaces agree") {

@@ -513,6 +513,30 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 6L, 7L))
   }
 
+  test("tombstone-free stores read with UNCHANGED plans — the retraction anti-join appears only once a retraction lands") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-retr-plan")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val p = Paths.get(s"$tmp/b.jsonl")
+    Files.write(p, Seq(
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":2,"text":"one two three four five six","source":"s0","lang":"en"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, p.toString, ddl), store)
+    // the zero-retraction plan carries NO anti-join — the common case
+    // pays nothing for the tombstone capability
+    val before = graft.apps.CorpusPrep.readShards(spark, store)
+      .queryExecution.optimizedPlan.toString
+    assert(!before.contains("LeftAnti"), s"tombstone-free read grew a join:\n$before")
+    assert(graft.apps.CorpusPrep.retract(spark, store, Seq(2L).toDF("doc_id")))
+    val after = graft.apps.CorpusPrep.readShards(spark, store)
+      .queryExecution.optimizedPlan.toString
+    assert(after.contains("LeftAnti"), s"retraction did not add the exclusion join:\n$after")
+  }
+
   test("runIncremental: banded-minhash store rejects a NEAR-dup (edited, sig-distinct) later-batch doc; replay no-op") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-mh")
