@@ -459,6 +459,17 @@ object CorpusPrep {
   def retract(spark: SparkSession, storeDir: String, docIds: DataFrame): Boolean =
     graft.sources.BatchStore.appendTombstones(spark, storeDir, docIds)
 
+  /** [[retract]] by PREDICATE — the form takedowns actually arrive in
+    * ("this domain revoked robots", "urls matching X"): one distributed
+    * scan of the stored corpus selects the doc_ids, which land as a
+    * normal tombstone batch. The predicate runs over whatever columns
+    * ingest stored in the shards (url, source, text, …); nothing is ever
+    * collected to the driver. Returns false when nothing matches. */
+  def retractWhere(spark: SparkSession, storeDir: String,
+      predicate: org.apache.spark.sql.Column): Boolean =
+    retract(spark, storeDir, readShards(spark, storeDir)
+      .filter(predicate).select("doc_id"))
+
   /** The store's committed tombstoned doc_ids (empty when none). */
   private def tombstones(spark: SparkSession, storeDir: String): DataFrame =
     graft.sources.BatchStore.readTombstones(spark, storeDir)

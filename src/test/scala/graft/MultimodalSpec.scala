@@ -377,6 +377,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decoder fuzz battery: seeded mutations of EVERY format never throw — realCodec and the classifier stay total") {
+    // crawl bytes are adversarial by default; the codec boundary and the
+    // drop classifier must be total functions over arbitrary payloads.
+    // 60 seeded mutations per format (byte flips into headers/tables/
+    // payload, truncations at every depth, flip+cut combos).
+    val grayPx = Array.fill(72)(33.toByte)
+    val png = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = -1, stored = false))
+      .as[Array[Byte]].head()
+    val pngColor = Seq(Tuple1(rgbPix(72, 4))).toDF("px")
+      .select(Multimodal.pngEncodeRgb($"px", lit(9), filterMode = -1, stored = false,
+        alpha = true)).as[Array[Byte]].head()
+    val jpeg = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9))).as[Array[Byte]].head()
+    val wav = wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000)
+    val avi = encAvi(Seq(jpeg), 9, 8)
+    val mp4 = encMp4(Seq(jpeg), 9, 8)
+    val webp = Seq(Tuple1(rgbPix(72, 3))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
+    val rnd = new scala.util.Random(90210)
+    val mutated: Seq[Array[Byte]] =
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp).flatMap { base =>
+        (0 until 60).map { i =>
+          i % 3 match {
+            case 0 =>
+              val m = base.clone()
+              (0 to rnd.nextInt(4)).foreach(_ =>
+                m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+              m
+            case 1 => base.take(rnd.nextInt(base.length + 1))
+            case _ =>
+              val cut = base.take(1 + rnd.nextInt(base.length))
+              if (cut.length > 4)
+                cut(rnd.nextInt(cut.length)) = rnd.nextInt(256).toByte
+              cut
+          }
+        }
+      }
+    // codec totality, driver-side (the same code a mapPartitions task runs)
+    mutated.foreach(b => Multimodal.realCodec(b)) // must not throw
+    // classifier totality through the expression path, one job
+    val reasons = mutated.map(Tuple1(_)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect()
+    assert(reasons.length == mutated.length)
+  }
+
   test("webpDecodeLuma never throws under seeded mutation/truncation fuzz") {
     val base = Seq(Tuple1(rgbPix(13 * 7, 3))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(13))).as[Array[Byte]].head()

@@ -535,6 +535,65 @@ class PipelineSpec extends AnyFunSuite {
     val after = graft.apps.CorpusPrep.readShards(spark, store)
       .queryExecution.optimizedPlan.toString
     assert(after.contains("LeftAnti"), s"retraction did not add the exclusion join:\n$after")
+    // and the exclusion side BROADCASTS — the id-sized anti-join the
+    // scaladoc promises, never a sort-merge of the corpus
+    val df = graft.apps.CorpusPrep.readShards(spark, store)
+    assert(df.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("LeftAnti") && executed.contains("BroadcastHashJoin"),
+      s"retraction anti-join did not broadcast:\n$executed")
+  }
+
+  test("retractWhere: a predicate takedown (by source) excludes and releases like an id retraction") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-retr-where")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val p = Paths.get(s"$tmp/b.jsonl")
+    Files.write(p, Seq(
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta","source":"s0","lang":"en"}""",
+      """{"doc_id":2,"text":"one two three four five six","source":"s1","lang":"en"}""",
+      """{"doc_id":3,"text":"seven eight nine ten eleven twelve","source":"s1","lang":"en"}""",
+      """{"doc_id":4,"text":"red orange yellow green blue indigo","source":"s2","lang":"en"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, p.toString, ddl), store)
+    // "source s1 revoked robots" — the takedown shape, one distributed scan
+    assert(graft.apps.CorpusPrep.retractWhere(spark, store, $"source" === "s1"))
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // the same predicate again selects the SAME already-excluded set —
+    // nothing matches the reader anymore, so nothing new to retract
+    assert(!graft.apps.CorpusPrep.retractWhere(spark, store, $"source" === "s1"))
+    assert(!graft.apps.CorpusPrep.retractWhere(spark, store, $"source" === "zzz"))
+  }
+
+  test("retraction between streaming micro-batches: the next ingest honors released claims, readers exclude") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-retr-stream")
+    val inDir = Files.createDirectory(Paths.get(s"$tmp/in")).toString
+    val store = s"$tmp/store"
+    val ckpt = s"$tmp/ckpt"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val textA = "alpha beta gamma delta epsilon zeta"
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(s"$inDir/$name"), lines.mkString("\n").getBytes("UTF-8"))
+    def jl(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"s0","lang":"en"}"""
+    drop("b1.jsonl", Seq(jl(1, textA), jl(2, "one two three four five six")))
+    graft.apps.CorpusPrep.streamIncremental(spark, inDir, ddl, store, ckpt)
+      .awaitTermination() // AvailableNow: drain, stop
+    // takedown lands between micro-batches (the single-writer cadence)
+    assert(graft.apps.CorpusPrep.retract(spark, store, Seq(1L).toDF("doc_id")))
+    // the next micro-batch re-ingests the retracted doc's EXACT text under
+    // a new id — accepted afresh because every claim store released
+    drop("b2.jsonl", Seq(jl(3, textA), jl(4, "seven eight nine ten eleven twelve")))
+    graft.apps.CorpusPrep.streamIncremental(spark, inDir, ddl, store, ckpt)
+      .awaitTermination()
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
   }
 
   test("runIncremental: banded-minhash store rejects a NEAR-dup (edited, sig-distinct) later-batch doc; replay no-op") {
