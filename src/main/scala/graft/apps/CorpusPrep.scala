@@ -470,6 +470,38 @@ object CorpusPrep {
     retract(spark, storeDir, readShards(spark, storeDir)
       .filter(predicate).select("doc_id"))
 
+  /** Store inventory — the audit/GC view a store owner reads before
+    * compaction or a takedown review: one row per committed,
+    * non-superseded batch directory with its kind (data / retraction /
+    * compacted), relations present, accepted count (from the tiny meta
+    * relation) and retracted-id count. Metadata-only — never touches
+    * shard text; a per-directory driver loop is the right shape for a
+    * batch LISTING (the directory count is ingest-cadence-bounded and
+    * compaction folds it back to one). */
+  def describeStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = committedBatches(spark, storeDir).map { d =>
+      val name = new org.apache.hadoop.fs.Path(d).getName
+      val kind =
+        if (name.startsWith("t_")) "retraction"
+        else if (name.startsWith("c_")) "compacted"
+        else "data"
+      val relations = Seq("shards", "fp", "sig", "mh", "lfp", "attrs", "meta", "tomb")
+        .filter(r => graft.sources.BatchStore.hasRelation(spark, d, r))
+      val accepted =
+        if (relations.contains("meta"))
+          graft.sources.BatchStore.readRelation(spark, Seq(d), "meta", "accepted BIGINT")
+            .agg(coalesce(sum(col("accepted")), lit(0L))).collect()(0).getLong(0)
+        else 0L
+      val retracted =
+        if (relations.contains("tomb"))
+          graft.sources.BatchStore.readRelation(spark, Seq(d), "tomb", "id BIGINT").count()
+        else 0L
+      (name, kind, relations.mkString(","), accepted, retracted)
+    }
+    rows.toDF("batch", "kind", "relations", "accepted", "retracted")
+  }
+
   /** The store's committed tombstoned doc_ids (empty when none). */
   private def tombstones(spark: SparkSession, storeDir: String): DataFrame =
     graft.sources.BatchStore.readTombstones(spark, storeDir)

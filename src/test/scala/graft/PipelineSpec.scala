@@ -567,6 +567,18 @@ class PipelineSpec extends AnyFunSuite {
     // nothing matches the reader anymore, so nothing new to retract
     assert(!graft.apps.CorpusPrep.retractWhere(spark, store, $"source" === "s1"))
     assert(!graft.apps.CorpusPrep.retractWhere(spark, store, $"source" === "zzz"))
+    // the inventory view shows the pending retraction and its size
+    val inv = graft.apps.CorpusPrep.describeStore(spark, store)
+      .select($"kind", $"accepted", $"retracted").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(inv == Seq(("data", 4L, 0L), ("retraction", 0L, 2L)), s"got $inv")
+    // after compaction the inventory folds to ONE compacted batch, the
+    // tombstones consumed; meta keeps the position high-water mark
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 1)
+    val inv2 = graft.apps.CorpusPrep.describeStore(spark, store)
+      .select($"kind", $"accepted", $"retracted").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(inv2 == Seq(("compacted", 4L, 0L)), s"got $inv2")
   }
 
   test("retraction between streaming micro-batches: the next ingest honors released claims, readers exclude") {

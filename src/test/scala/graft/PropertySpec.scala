@@ -239,6 +239,40 @@ class PropertySpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("WebP VP8L round-trip law: decode(encode(px)) luma ≡ exact-integer luma on random dims and channels") {
+    // random geometry AND content, both color types, in one Spark job:
+    // the encoder's spec-valid literal stream and the full decoder must
+    // agree with the closed-form ITU-R 601 luma for EVERY byte
+    val caseGen = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 12)
+      alpha <- Gen.oneOf(false, true)
+      px <- Gen.listOfN(w * h * (if (alpha) 4 else 3), Gen.chooseNum(0, 255))
+    } yield (w, alpha, px.map(_.toByte).toArray)
+    val cases = sample(caseGen, 40, 77L).zipWithIndex
+      .map { case ((w, a, px), i) => (i.toLong, w, a, px) }
+    val rows = cases.map { case (i, w, a, px) => (i, w, a, px) }
+      .toDF("id", "w", "alpha", "px")
+    val got = rows
+      .select($"id",
+        when($"alpha",
+          graft.operators.Multimodal.webpDecodeLuma(
+            graft.operators.Multimodal.webpEncodeVp8l($"px", $"w", alpha = true)))
+          .otherwise(
+            graft.operators.Multimodal.webpDecodeLuma(
+              graft.operators.Multimodal.webpEncodeVp8l($"px", $"w"))).as("luma"))
+      .as[(Long, Array[Byte])].collect().toMap
+    cases.foreach { case (i, w, a, px) =>
+      val bpp = if (a) 4 else 3
+      val expect = Array.tabulate(px.length / bpp) { j =>
+        ((299 * (px(j * bpp) & 0xff) + 587 * (px(j * bpp + 1) & 0xff) +
+          114 * (px(j * bpp + 2) & 0xff) + 500) / 1000).toByte
+      }
+      assert(got(i) != null && got(i).sameElements(expect),
+        s"case $i (w=$w alpha=$a) diverged")
+    }
+  }
+
   test("linearQualityScore negation law: flipping the weights negates every logit") {
     val docGen = Gen.chooseNum(1, 10).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" ")))
