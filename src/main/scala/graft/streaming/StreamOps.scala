@@ -75,13 +75,26 @@ object StreamOps {
     * so results are deterministic under shuffle even for same-timestamp
     * writes; the reference itself is last-write-wins at processing time
     * (SURVEY §7.2). Joinable as a dimension via foreachBatch upsert into a
-    * keyed table. */
-  def latestPerKey(stream: DataFrame): DataFrame =
-    stream
+    * keyed table.
+    *
+    * Kafka TOMBSTONE semantics: a NULL value DELETES its key — a key
+    * whose latest record is a tombstone leaves the table view entirely
+    * (`dropTombstones = true`, the `builder.table` contract; a later
+    * write resurrects the key). Pass `false` to surface the (key, null)
+    * row instead — the changelog form an upsert SINK needs in order to
+    * issue the delete (in streaming update mode the filtered view simply
+    * stops emitting for a deleted key, so a stateful sink must consume
+    * the unfiltered form). A tombstone TIED on event time loses to any
+    * concurrent value (struct ordering puts the null value first),
+    * deterministically. */
+  def latestPerKey(stream: DataFrame, dropTombstones: Boolean = true): DataFrame = {
+    val latest = stream
       .filter(col("key").isNotNull)
       .groupBy(col("key"))
       .agg(max_by(col("value"), struct(col("eventTime"), col("value"))).as("value"),
         max(col("eventTime")).as("eventTime"))
+    if (dropTombstones) latest.filter(col("value").isNotNull) else latest
+  }
 
   /** Debug tap ≙ `print(Printed.toSysOut().withLabel(label))`
     * (OrderCountTumblingWindow.java:81-82) — non-terminal, zero-copy:

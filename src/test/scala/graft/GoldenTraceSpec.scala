@@ -462,6 +462,46 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got == Map("1" -> "alice@new.com", "2" -> "bob@x.com"))
   }
 
+  test("KTable tombstone golden: a null value deletes its key; a later write resurrects it (builder.table semantics)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // batch form of the same aggregate (the dimension-table view): write →
+    // tombstone → gone; write → tombstone → write → back; tombstone TIED
+    // on event time loses to the concurrent value (deterministic)
+    val rows = Seq(
+      ("del", Some("v1"), ts("2025-01-01 10:00:00")),
+      ("del", None, ts("2025-01-01 11:00:00")),           // latest = tombstone → key leaves
+      ("back", Some("v1"), ts("2025-01-01 10:00:00")),
+      ("back", None, ts("2025-01-01 11:00:00")),
+      ("back", Some("v2"), ts("2025-01-01 12:00:00")),    // resurrected
+      ("tie", Some("vX"), ts("2025-01-01 10:00:00")),
+      ("tie", None, ts("2025-01-01 10:00:00")),           // tied tombstone loses
+      ("keep", Some("v9"), ts("2025-01-01 10:00:00")))
+      .map { case (k, v, t) => (k, v.orNull, t) }
+      .toDF("key", "value", "eventTime")
+    val table = StreamOps.latestPerKey(rows)
+      .select($"key", $"value").as[(String, String)].collect().toMap
+    assert(table == Map("back" -> "v2", "tie" -> "vX", "keep" -> "v9"), s"got $table")
+    // the SINK form surfaces the delete row instead of hiding the key
+    val changelog = StreamOps.latestPerKey(rows, dropTombstones = false)
+      .select($"key", $"value").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(changelog("del").isEmpty && changelog("back").contains("v2"))
+    // and the streaming update-mode view honors the same rule
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = StreamOps.latestPerKey(in.toDF().toDF("key", "value", "eventTime"))
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("ktable_tomb").start()
+    in.addData(("1", "v1", ts("2025-01-01 10:00:00")))
+    q.processAllAvailable()
+    in.addData(("1", null, ts("2025-01-01 11:00:00"))) // tombstone: no new emission
+    q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("ktable_tomb")
+      .filter(col("key") === lit("1")).collect()
+    assert(emissions.length == 1 && emissions.head.getString(1) == "v1",
+      "the filtered view must not emit the deleted key again (sinks use dropTombstones = false)")
+  }
+
   test("debug tap surfaces per-batch row counts without disturbing the stream (OrderCountTumblingWindow.java:81-82)") {
     val in = MemoryStream[(String, java.sql.Timestamp)]
     in.addData(("a", ts("2025-01-01 10:00:00")), ("b", ts("2025-01-01 10:00:01")))
