@@ -363,7 +363,13 @@ object StreamOps {
           vs = (vs.filterNot(_._1 == t) :+ (t -> r.value)).sortBy(_._1)
         } else {
           vs.takeWhile(_._1 <= t).lastOption.foreach { case (_, dv) =>
-            out += VersionedJoined(key, r.value, dv, r.eventTime)
+            // KIP-914 tombstone: a NULL dim version deletes the key as of
+            // its timestamp — the versioned store returns null for asOf
+            // lookups at/after it and the inner stream-table join invokes
+            // no joiner, so the fact emits NOTHING (it still emits
+            // against earlier real versions, which the tombstone does not
+            // erase — that is exactly versioned-store history semantics)
+            if (dv != null) out += VersionedJoined(key, r.value, dv, r.eventTime)
           }
         }
       }

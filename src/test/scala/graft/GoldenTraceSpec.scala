@@ -584,6 +584,29 @@ class GoldenTraceSpec extends AnyFunSuite {
     assert(got.map(j => (j.factValue, j.dimValue)) == Seq(("f1", "v-rewrite")))
   } }
 
+  test("versioned-KTable join: a dim TOMBSTONE deletes the key as of its timestamp; earlier facts still join history") { withRocksDb {
+    val facts = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dims = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = StreamOps.versionedTableJoin(
+      facts.toDF().toDF("key", "value", "eventTime"),
+      dims.toDF().toDF("key", "value", "eventTime"), retentionMillis = 3600000L).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("vtj_tomb").start()
+    dims.addData(
+      ("k", "v1", ts("2025-01-01 10:00:00")),
+      ("k", null, ts("2025-01-01 10:02:00")),   // KIP-914 tombstone version
+      ("k", "v2", ts("2025-01-01 10:04:00")))   // resurrection
+    q.processAllAvailable()
+    facts.addData( // all within the join grace of the dim watermark
+      ("k", "f-v1", ts("2025-01-01 10:01:00")), // floor = v1 → joins
+      ("k", "f-del", ts("2025-01-01 10:03:00")), // floor = tombstone → NOTHING (inner join)
+      ("k", "f-v2", ts("2025-01-01 10:05:00"))) // floor = v2 → joins
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vtj_tomb").as[StreamOps.VersionedJoined].collect()
+      .map(j => (j.factValue, j.dimValue)).toSet
+    assert(got == Set(("f-v1", "v1"), ("f-v2", "v2")), s"got $got")
+  } }
+
   test("versioned-KTable join: out-of-order fact resolves against the retained version history") { withRocksDb {
     val facts = MemoryStream[(String, String, java.sql.Timestamp)]
     val dims = MemoryStream[(String, String, java.sql.Timestamp)]
