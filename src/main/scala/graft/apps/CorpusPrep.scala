@@ -455,7 +455,19 @@ object CorpusPrep {
     * the tombstones. Retraction is id-sized both ways: the tombstone
     * relation broadcasts into every anti-join, and no reader plan changes
     * shape on a tombstone-free store. Returns false when `docIds` is
-    * empty or this exact retraction set is a replay. */
+    * empty or this exact retraction set is a replay.
+    *
+    * ID-SUPPRESSION CONTRACT: tombstones filter by doc_id with no notion
+    * of time, so a retracted id stays suppressed until the next
+    * [[compactStore]] consumes the tombstone — INCLUDING a doc
+    * re-ingested under the SAME id in between (it is hidden from readers
+    * and physically dropped at that compaction). "Accepted afresh" above
+    * therefore means fresh CONTENT: the claim stores release the text's
+    * fingerprints so re-ingest is not deduped away, and a feed whose ids
+    * are content-derived (ingest assigns new doc_ids per batch) never
+    * collides. A feed with STABLE external ids (e.g. URL-hash doc_ids)
+    * must compact between a retraction and a same-id re-ingest, or the
+    * re-ingest is swallowed. */
   def retract(spark: SparkSession, storeDir: String, docIds: DataFrame): Boolean =
     graft.sources.BatchStore.appendTombstones(spark, storeDir, docIds)
 
@@ -584,8 +596,10 @@ object CorpusPrep {
     val (tombDirs, sources) =
       all.partition(p => graft.sources.BatchStore.hasRelation(spark, p, "tomb"))
     if (sources.isEmpty || (sources.length <= 1 && tombDirs.isEmpty)) return 0
-    val tombs = graft.sources.BatchStore
-      .readRelation(spark, tombDirs, "tomb", "id BIGINT")
+    // same structural broadcast stance as BatchStore.readTombstones: the
+    // physical drop below anti-joins an id-sized set into corpus scans
+    val tombs = broadcast(graft.sources.BatchStore
+      .readRelation(spark, tombDirs, "tomb", "id BIGINT"))
     def drop(rel: DataFrame, keeperDocId: org.apache.spark.sql.Column): DataFrame =
       if (tombDirs.isEmpty) rel
       else rel.join(tombs.select(col("id").as("__tomb_id")),

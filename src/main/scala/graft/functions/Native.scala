@@ -2404,7 +2404,11 @@ object Native {
             // limitation; anything else is structural damage
             Webp.probeContainer(b) match {
               case (2, payload) =>
-                if (Webp.decodeArgb(payload) == null) s("corrupt") else null
+                // header-dims bomb check BEFORE the full decode, so an
+                // over-cap header lands in `bomb_guard` like the PNG/JPEG
+                // branches rather than being lumped with `corrupt`
+                if (Webp.headerBomb(payload)) s("bomb_guard")
+                else if (Webp.decodeArgb(payload) == null) s("corrupt") else null
               case (1, _) => s("unsupported_profile")
               case _ => s("corrupt")
             }
@@ -2644,7 +2648,9 @@ object Native {
           k += 1
         }
         nGroups = mx + 1
-        if (nGroups > 256) throw new IllegalStateException("vp8l: too many meta groups")
+        // the spec's meta index is 16-bit; group tables are small relative
+        // to the pixel bomb cap, so the full range is admissible
+        if (nGroups > 65536) throw new IllegalStateException("vp8l: too many meta groups")
       }
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       val greens = new Array[Huff](nGroups)
@@ -2840,6 +2846,18 @@ object Native {
 
     /** Full VP8L payload decode → (width, height, ARGB), or null off
       * contract (any structural violation — never a throw). */
+    /** True when a structurally-readable VP8L header's 14-bit dims demand
+      * more than the shared bomb cap — lets the drop classifier report
+      * `bomb_guard` (like the PNG/JPEG branches) without the full decode,
+      * which returns null for bomb and corrupt alike. */
+    def headerBomb(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 5 && (payload(0) & 0xff) == 0x2f && {
+        val br = new Br(payload, 1, payload.length)
+        val w0 = br.read(14) + 1
+        val h0 = br.read(14) + 1
+        w0.toLong * h0 > Png.MaxPixels.toLong / 4
+      }
+
     def decodeArgb(payload: Array[Byte]): (Int, Int, Array[Int]) =
       try {
         if (payload == null || payload.length < 5 || (payload(0) & 0xff) != 0x2f) return null

@@ -310,9 +310,15 @@ object Dedup {
   private def budgetPairs(pairs: DataFrame, maxPairsPerDoc: Int): DataFrame = {
     if (maxPairsPerDoc == Int.MaxValue) return pairs
     require(maxPairsPerDoc > 0, s"maxPairsPerDoc must be positive, got $maxPairsPerDoc")
+    // distinct FIRST: the public verify entry points accept arbitrary
+    // pair relations, and a duplicated (id_a,id_b) row would inflate
+    // row_number so one copy lands in `dropped` and the anti-join then
+    // removes ALL copies — a doc's lowest-ranked (supposedly kept)
+    // partner could vanish entirely. Internal LSH callers already dedup;
+    // one distinct here makes the budget duplicate-safe for everyone.
     // persisted: the pair relation feeds both explode sides AND the
     // anti-join below, and candidates come off a corpus-sized LSH pass
-    val p = pairs.select("id_a", "id_b").transform(Caches.persisted)
+    val p = pairs.select("id_a", "id_b").distinct().transform(Caches.persisted)
     val sided = p.select(col("id_a").as("doc"), col("id_b").as("partner"),
         col("id_a"), col("id_b"))
       .union(p.select(col("id_b").as("doc"), col("id_a").as("partner"),

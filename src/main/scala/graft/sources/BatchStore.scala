@@ -164,7 +164,18 @@ object BatchStore {
 
   /** All committed retracted ids under `root` (column `id` BIGINT; empty
     * when no tombstone batch exists). Distinct by construction per batch;
-    * readers anti-join, so cross-batch repeats are harmless. */
+    * readers anti-join, so cross-batch repeats are harmless.
+    *
+    * Carries an explicit `broadcast()` hint: the retraction contract is
+    * that readers anti-join an ID-SIZED relation into corpus-sized scans,
+    * and that plan must be STRUCTURAL, not an artifact of
+    * `autoBroadcastJoinThreshold`'s size estimate — a takedown set past
+    * the ~10 MB default would otherwise silently degrade every reader to
+    * sort-merge-joining the corpus. The hint's own bound is executor
+    * memory: a tombstone set is 8 bytes/id, so even 100M retracted ids
+    * broadcast in ~800 MB — past THAT, compact the store (which consumes
+    * the tombstones) rather than carrying a corpus-sized takedown. */
   def readTombstones(spark: SparkSession, root: String): DataFrame =
-    readRelation(spark, committedDirs(spark, root), "tomb", "id BIGINT")
+    org.apache.spark.sql.functions.broadcast(
+      readRelation(spark, committedDirs(spark, root), "tomb", "id BIGINT"))
 }

@@ -300,6 +300,12 @@ class MultimodalSpec extends AnyFunSuite {
     val webpGood = Seq(Tuple1(grayPx.flatMap(v => Array(v, v, v)))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
     val truncWebp = webpGood.take(24) // VP8L chunk size overruns the payload
+    // a structurally sound VP8L whose 14-bit header dims (16384×16384)
+    // demand more than the shared bomb cap → bomb_guard, not corrupt —
+    // the same distinction the PNG branch draws
+    val bombWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](18, 0, 0, 0) ++
+      "WEBPVP8L".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](0x2f, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x0f, 0x00)
     val rows = Seq(
       ("a", png), ("a", wav), ("a", avi), ("a", mp4), // all decodable → NO rows
       ("a", webpGood),                               // VP8L decodes → NO row
@@ -308,6 +314,7 @@ class MultimodalSpec extends AnyFunSuite {
       ("a", png.take(40)),                           // header ok, decode fails → corrupt
       ("b", mp4ish), ("b", webp), ("b", truncAvi),
       ("b", mp4Avc), ("b", truncMp4), ("b", truncWebp),
+      ("a", bombWebp),
       ("b", junkAvi))
       .toDF("source", "media")
     val got = Multimodal.decodeDropReport(rows)
@@ -322,7 +329,8 @@ class MultimodalSpec extends AnyFunSuite {
       ("b", "image/webp", "unsupported_profile", 1L, webp.length.toLong),
       ("b", "video/avi", "corrupt", 2L, truncAvi.length.toLong + junkAvi.length.toLong),
       ("b", "video/mp4", "unsupported_profile", 1L, mp4Avc.length.toLong),
-      ("b", "image/webp", "corrupt", 1L, truncWebp.length.toLong))
+      ("b", "image/webp", "corrupt", 1L, truncWebp.length.toLong),
+      ("a", "image/webp", "bomb_guard", 1L, bombWebp.length.toLong))
     assert(got == expected, s"got $got")
   }
 

@@ -185,6 +185,18 @@ class OperatorsSpec extends AnyFunSuite {
       // the token-DP twin takes the same knob
       assert(Dedup.verifyTokenEditSimilarity(pairs, docs, threshold = 0.9,
         maxPairsPerDoc = 2).count() == 2L)
+      // DUPLICATE-SAFE: the public entry points take arbitrary pair
+      // relations, and a duplicated (id_a,id_b) row must not inflate the
+      // rank so a supposedly-kept lowest partner lands in the dropped
+      // set and the anti-join removes every copy of it. Duplicating
+      // (1,2) (doc 1's LOWEST partner, the one the budget must keep)
+      // leaves the kept set exactly as the distinct input's
+      val dupPairs = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 4L))
+        .toDF("id_a", "id_b")
+      val keptDup = Dedup.verifyEditSimilarity(dupPairs, docs, threshold = 0.9,
+          maxPairsPerDoc = 2)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(keptDup == Set((1L, 2L), (1L, 3L)), s"got $keptDup")
     } finally spark.listenerManager.unregister(listener)
   }
 

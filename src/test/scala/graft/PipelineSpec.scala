@@ -535,13 +535,26 @@ class PipelineSpec extends AnyFunSuite {
     val after = graft.apps.CorpusPrep.readShards(spark, store)
       .queryExecution.optimizedPlan.toString
     assert(after.contains("LeftAnti"), s"retraction did not add the exclusion join:\n$after")
-    // and the exclusion side BROADCASTS — the id-sized anti-join the
-    // scaladoc promises, never a sort-merge of the corpus
-    val df = graft.apps.CorpusPrep.readShards(spark, store)
-    assert(df.select("doc_id").as[Long].collect().toSet == Set(1L))
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("LeftAnti") && executed.contains("BroadcastHashJoin"),
-      s"retraction anti-join did not broadcast:\n$executed")
+    // and the exclusion side BROADCASTS — STRUCTURALLY (the explicit
+    // hint in BatchStore.readTombstones), not by the planner's size
+    // estimate: with autoBroadcastJoinThreshold=-1 a BroadcastHashJoin
+    // can only come from the hint, so this pin holds for takedown sets
+    // past the ~10 MB threshold too, where the estimate alone would
+    // silently degrade every reader to sort-merge-joining the corpus
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.apps.CorpusPrep.readShards(spark, store)
+      assert(df.select("doc_id").as[Long].collect().toSet == Set(1L))
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("LeftAnti") && executed.contains("BroadcastHashJoin"),
+        s"retraction anti-join did not broadcast from the hint alone:\n$executed")
+      // the attributes-sidecar reader holds the same contract
+      val attrs = graft.apps.CorpusPrep.readAttributes(spark, store)
+      val attrsPlan = attrs.queryExecution.executedPlan.toString
+      assert(attrsPlan.contains("LeftAnti") && attrsPlan.contains("BroadcastHashJoin"),
+        s"attributes retraction anti-join did not broadcast from the hint alone:\n$attrsPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("retractWhere: a predicate takedown (by source) excludes and releases like an id retraction") {
