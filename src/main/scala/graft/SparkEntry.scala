@@ -1132,6 +1132,83 @@ object SparkEntry {
     // limit), and a VP8L chunk cut mid-header (corrupt under image/webp).
     // Three planted sources prove the group keys; the oracle recomputes
     // every counter from the class arithmetic alone
+    // REAL GIF first-frame pixel decode, hash-oracled: the planted 9×8
+    // gray bitmap → the fixture's spec-valid GIF89a (256-gray global
+    // palette, GCE extension in the walk path, 9-bit literal LZW) → the
+    // FULL decoder (block walk, LZW, palette, luma) — twice: plain, and
+    // interlaced+local-palette (px_hex_i), so the 4-pass reorder and the
+    // LCT path sit inside the oracled query. Two independent pins:
+    // px_hex must equal the analytic plant (the gray palette makes
+    // decode∘encode the identity), and blob_hdr_hex is the magic+LSD
+    // sliced straight off the blob at the spec offsets (proving the
+    // encoder writes a spec-layout header rather than sharing a
+    // compensating bug with the decoder); width/height come through the
+    // declarative gifDims parser. LZW dictionary growth, KwKwK, width
+    // growth, and animation-first-frame are pinned by hand-assembled
+    // spec vectors in MultimodalSpec (the literal fixture can't reach
+    // them, same stance as the VP8L vectors).
+    "multimodal_decode_gif" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("gif"),
+          Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            interlace = true, localPalette = true).as("gif_i"))
+        .select(col("doc_id"),
+          hex(Multimodal.gifDecodeLuma(col("gif"))).as("px_hex"),
+          hex(Multimodal.gifDecodeLuma(col("gif_i"))).as("px_hex_i"),
+          hex(substring(col("gif"), 1, 13)).as("blob_hdr_hex"),
+          Multimodal.gifDims(col("gif")).getField("width").as("width"),
+          Multimodal.gifDims(col("gif")).getField("height").as("height"))),
+    // image near-dup on REAL GIF bytes end-to-end (block walk → LZW →
+    // palette → luma → dHash → Hamming-LSH), INTERLACED so the pass
+    // reorder sits inside the banded-LSH query: re-keyed copies share
+    // blobs bit-for-bit → exactly one hamming-0 pair per doc; iid planted
+    // bytes keep cross pairs outside hamming 2 (the dedup_image argument)
+    "dedup_image_gif" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            interlace = true).as("gif"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("gif"))
+      Multimodal.imageNearDupGif(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+    // the GIF + MAGIC-HONESTY drop report: planted classes cover every
+    // GIF reason (valid → NO row; cut before the palette completes →
+    // truncated; structurally complete stream whose LZW hits EOI before
+    // the raster → corrupt; a frame with no color table anywhere →
+    // unsupported_profile; 65535×65535 header dims → bomb_guard) plus
+    // three recognized-but-undecodable magics (ID3-tagged MP3, Ogg,
+    // TIFF) that must land in unsupported_profile under their REAL mime
+    // — not in bad_magic with junk. Three planted sources prove the
+    // group keys; the oracle recomputes every counter from the class
+    // arithmetic alone.
+    "multimodal_drop_report_gif" -> ((s, d) => {
+      val cls = col("doc_id") % 8
+      val gif = Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9))
+      val corruptGif = unhex(lit( // CLEAR then immediate EOI, 4px raster
+        "47494638396104000100F10000" + "0000000A0A0A1414141E1E1E" +
+          "2C000000000400010000" + "02" + "012C00" + "3B"))
+      val noPaletteGif = unhex(lit(
+        "474946383961040001007000002C00000000040001000002012C003B"))
+      val bombGif = unhex(lit(
+        "474946383961FFFFFFFF7000002C00000000FFFFFFFF003B"))
+      val junk = unhex(md5(col("doc_id").cast("string").cast("binary")))
+      val media = when(cls === 0, gif)
+        .when(cls === 1, substring(gif, 1, 20)) // inside the global palette
+        .when(cls === 2, corruptGif)
+        .when(cls === 3, noPaletteGif)
+        .when(cls === 4, bombGif)
+        .when(cls === 5, concat(lit("ID3".getBytes("US-ASCII")), junk))
+        .when(cls === 6, concat(lit("OggS".getBytes("US-ASCII")), junk))
+        .otherwise(concat(unhex(lit("49492A00")), junk))
+      Multimodal.decodeDropReport(
+        Tables.documents(s, d).select(
+          concat(lit("s"),
+            ((col("doc_id") / lit(8)).cast("bigint") % 3).cast("string")).as("source"),
+          media.as("media")))
+        .select(col("source"), col("modality"), col("reason"), col("n_dropped"))
+    }),
     "multimodal_drop_report" -> ((s, d) => {
       val cls = col("doc_id") % 12
       val png = Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
@@ -2087,6 +2164,45 @@ object SparkEntry {
     // class arithmetic: classes 0, 6 and 9 decode (NO row — the valid
     // PNG, MJPEG MP4, and lossless WebP), the rest map to fixed
     // (modality, reason) pairs
+    // the GIF decoder's luma must equal the analytic gray plant (the
+    // 256-gray palette makes luma601(i,i,i) = i exactly), interlaced or
+    // not; the header slice is the constant spec layout for a 9×8 GIF89a
+    // with a global 256-entry table (magic + w/h LE16 + F7 00 00)
+    "multimodal_decode_gif" ->
+      """SELECT doc_id,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_i,
+           '47494638396109000800F70000' AS blob_hdr_hex,
+           CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+         FROM documents""",
+    // identical pair-set argument to dedup_image_png on GIF payloads:
+    // decode(encode(bitmap)) round-trips bit-exactly (gray palette
+    // identity), so copies pair at hamming 0 and iid-coin cross pairs
+    // never land within hamming 2
+    "dedup_image_gif" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // every counter recomputed from the planted class arithmetic: class 0
+    // decodes (NO row — the valid GIF), 1-4 map to the four GIF reasons,
+    // 5-7 are recognized-magic media under their true mime
+    "multimodal_drop_report_gif" ->
+      """WITH m AS (SELECT doc_id,
+             's' || CAST((doc_id // 8) % 3 AS VARCHAR) AS source,
+             CASE doc_id % 8
+               WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/gif'
+               WHEN 3 THEN 'image/gif' WHEN 4 THEN 'image/gif'
+               WHEN 5 THEN 'audio/mpeg' WHEN 6 THEN 'audio/ogg'
+               WHEN 7 THEN 'image/tiff' END AS modality,
+             CASE doc_id % 8
+               WHEN 1 THEN 'truncated' WHEN 2 THEN 'corrupt'
+               WHEN 3 THEN 'unsupported_profile' WHEN 4 THEN 'bomb_guard'
+               WHEN 5 THEN 'unsupported_profile' WHEN 6 THEN 'unsupported_profile'
+               WHEN 7 THEN 'unsupported_profile' END AS reason
+           FROM documents WHERE doc_id % 8 <> 0)
+         SELECT source, modality, reason, CAST(count(*) AS BIGINT) AS n_dropped
+         FROM m GROUP BY 1, 2, 3""",
     "multimodal_drop_report" ->
       """WITH m AS (SELECT doc_id,
              's' || CAST((doc_id // 12) % 3 AS VARCHAR) AS source,

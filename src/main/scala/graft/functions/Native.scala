@@ -2308,8 +2308,13 @@ object Native {
     *                              structural header completes
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (palette/16-bit PNG, progressive JPEG,
-    *                              float/8-bit WAV, WebP/MP4 — recognized
-    *                              formats with no JVM decoder)
+    *                              float/8-bit WAV, lossy WebP, non-MJPEG
+    *                              MP4), or a RECOGNIZED format magic with
+    *                              no decoder in this pipeline (TIFF, BMP,
+    *                              MP3, Ogg, Matroska/WebM, FLAC) — real
+    *                              media a crawl carries in volume, kept
+    *                              out of `bad_magic` so the per-reason
+    *                              counts match what a corpus owner sees
     *   - `bomb_guard`           — header demands more than the decoder's
     *                              allocation cap
     *   - `corrupt`              — profile in contract but the real decode
@@ -2377,6 +2382,16 @@ object Native {
         }
         return s("truncated") // ran out before any SOF
       }
+      // ---- GIF ----
+      if (Gif.hasMagic(b)) {
+        return Gif.status(b) match {
+          case Gif.Ok => null
+          case Gif.Truncated => s("truncated")
+          case Gif.Bomb => s("bomb_guard")
+          case Gif.Unsupported => s("unsupported_profile") // frame with no color table
+          case _ => s("corrupt")
+        }
+      }
       // ---- RIFF containers ----
       if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
         val form = new String(b, 8, 4, "US-ASCII")
@@ -2430,13 +2445,38 @@ object Native {
           case 1 => s("unsupported_profile")
           case _ => s("corrupt")
         }
+      // ---- recognized-but-unsupported magics (MAGIC HONESTY): formats a
+      // real crawl carries in volume that this pipeline recognizes but
+      // ships no decoder for. Lumping them into `bad_magic` with junk
+      // would misstate the per-reason counts exactly where a corpus
+      // owner reads them — they are real media, dropped for a PROFILE
+      // limitation, so they classify `unsupported_profile` like
+      // progressive JPEG or lossy VP8. ----
+      else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+        s("unsupported_profile") // TIFF (both byte orders)
+      else if (b(0) == 'B' && b(1) == 'M' &&
+        b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
+        s("unsupported_profile") // BMP ("BM" + the 4 reserved zero bytes)
+      else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        s("unsupported_profile") // MP3 with an ID3v2 tag
+      else if ((b(0) & 0xff) == 0xFF && (b(1) & 0xe0) == 0xe0)
+        s("unsupported_profile") // bare MPEG-audio frame sync (JPEG's FFD8 matched above)
+      else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+        s("unsupported_profile") // Ogg container (Vorbis/Opus/Theora)
+      else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3)
+        s("unsupported_profile") // EBML (Matroska/WebM)
+      else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+        s("unsupported_profile") // FLAC
       else s("bad_magic")
     }
     /** A prefix of a known signature (for the sub-12-byte edge). */
     private def looksLikeStart(b: Array[Byte]): Boolean =
       ((b(0) & 0xff) == 0x89 && b(1) == 'P') ||
         ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) ||
-        (b(0) == 'R' && b(1) == 'I')
+        (b(0) == 'R' && b(1) == 'I') ||
+        (b(0) == 'G' && b(1) == 'I')
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -3069,6 +3109,313 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** GIF (87a/89a) — the third-most-common crawl image format, and like
+    * VP8L a format the bare JVM ships no reader for in this sandbox. REAL
+    * pure-integer decode implementing the public GIF89a specification
+    * (CompuServe, 1990): logical screen descriptor, global/local color
+    * tables, the block walk (extensions skipped by sub-block framing,
+    * so GCE/comment/application blocks cost nothing), and the GIF
+    * variant of LZW — variable-width codes read LSB-first, CLEAR/EOI,
+    * dictionary to 4096 entries with deferred clear, width growth at
+    * 2^width — with 4-pass interlace reordering. An animated GIF decodes
+    * its FIRST frame, the same stance as the video tiers (the dHash
+    * consumer wants one representative raster, and frame 0 is the one
+    * every renderer shows). Transparency is ignored like PNG/VP8L alpha:
+    * the transparent index still carries its palette color into luma.
+    * Reference behavior anchor: the reference repo has no media path at
+    * all (kafka-streams-learning is text-only) — this tier is part of
+    * the mandated beyond-reference training-data surface. */
+  private object Gif {
+    /** Walk/decode statuses shared by [[status]] and the classifier. */
+    val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    def hasMagic(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    /** Shared header+block walk and first-frame decode: returns
+      * (status, w, h, luma); luma is non-null only at [[Ok]]. The walk
+      * distinguishes ran-out-of-bytes ([[Truncated]]) from structural
+      * damage ([[Corrupt]]), a frame with NO color table anywhere
+      * (spec-legal but renderer-defined — [[Unsupported]]) and header
+      * dims past the shared bomb cap ([[Bomb]]). */
+    def firstFrame(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val bad = (Corrupt, 0, 0, null: Array[Byte])
+      val trunc = (Truncated, 0, 0, null: Array[Byte])
+      try {
+        val n = b.length
+        if (!hasMagic(b)) return bad
+        if (n < 13) return trunc
+        val packed = b(10) & 0xff
+        val gctFlag = (packed & 0x80) != 0
+        val gctLen = 2 << (packed & 7)
+        var p = 13
+        var gct = -1
+        if (gctFlag) {
+          gct = p; p += 3 * gctLen
+          if (p > n) return trunc
+        }
+        while (true) {
+          if (p >= n) return trunc
+          (b(p) & 0xff) match {
+            case 0x3b => return bad // trailer before any image data
+            case 0x21 => // extension: introducer + label, then sub-blocks
+              p += 2
+              var done = false
+              while (!done) {
+                if (p >= n) return trunc
+                val sz = b(p) & 0xff
+                p += 1 + sz
+                if (sz == 0) done = true
+              }
+            case 0x2c =>
+              if (p + 10 > n) return trunc
+              val fw = u16(b, p + 5); val fh = u16(b, p + 7)
+              val ip = b(p + 9) & 0xff
+              val interlace = (ip & 0x40) != 0
+              val lctFlag = (ip & 0x80) != 0
+              val lctLen = 2 << (ip & 7)
+              p += 10
+              if (fw == 0 || fh == 0) return bad
+              if (fw.toLong * fh > Png.MaxPixels) return (Bomb, 0, 0, null)
+              var pal = -1; var palLen = 0
+              if (lctFlag) {
+                pal = p; palLen = lctLen; p += 3 * lctLen
+                if (p > n) return trunc
+              } else if (gctFlag) { pal = gct; palLen = gctLen }
+              else return (Unsupported, 0, 0, null)
+              if (p >= n) return trunc
+              val minCode = b(p) & 0xff
+              p += 1
+              if (minCode < 2 || minCode > 8) return bad
+              val data = new java.io.ByteArrayOutputStream()
+              var done = false
+              while (!done) {
+                if (p >= n) return trunc
+                val sz = b(p) & 0xff
+                if (sz == 0) { p += 1; done = true }
+                else if (p + 1 + sz > n) return trunc
+                else { data.write(b, p + 1, sz); p += 1 + sz }
+              }
+              val idx = lzw(data.toByteArray, minCode, fw * fh)
+              if (idx == null) return bad
+              // interlace: decoded rows arrive in the spec's 4 passes
+              // (0,8,…; 4,12,…; 2,6,…; 1,3,…) — map to display order
+              val rows =
+                if (!interlace) null
+                else {
+                  val order = new Array[Int](fh)
+                  var r = 0
+                  Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+                    var y = start
+                    while (y < fh) { order(r) = y; r += 1; y += step }
+                  }
+                  order
+                }
+              val luma = new Array[Byte](fw * fh)
+              var i = 0
+              while (i < idx.length) {
+                val ci = idx(i) & 0xff
+                if (ci >= palLen) return bad // index beyond the color table
+                val o = pal + 3 * ci
+                val y = if (rows == null) i / fw else rows(i / fw)
+                luma(y * fw + i % fw) =
+                  Png.luma601(b(o) & 0xff, b(o + 1) & 0xff, b(o + 2) & 0xff).toByte
+                i += 1
+              }
+              return (Ok, fw, fh, luma)
+            case _ => return bad // unknown block introducer
+          }
+        }
+        bad // unreachable
+      } catch { case NonFatal(_) => bad }
+    }
+
+    /** GIF-variant LZW over the concatenated data sub-blocks: `nOut`
+      * indices or null on any violation — data exhausted early, EOI
+      * before the raster completes, a code referencing beyond the
+      * dictionary, an entry overrunning the raster, or a first-after-
+      * clear code that is not a literal. */
+    private def lzw(d: Array[Byte], minCode: Int, nOut: Int): Array[Byte] = {
+      val clear = 1 << minCode; val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val first = new Array[Byte](4096)
+      var i = 0
+      while (i < clear) { suffix(i) = i.toByte; first(i) = i.toByte; i += 1 }
+      var next = eoi + 1
+      var width = minCode + 1
+      var bitPos = 0
+      val nBits = d.length * 8
+      val out = new Array[Byte](nOut)
+      var outPos = 0
+      val stack = new Array[Byte](4097)
+      var prev = -1
+      while (outPos < nOut) {
+        if (bitPos + width > nBits) return null
+        var code = 0; var k = 0
+        while (k < width) {
+          val bp = bitPos + k
+          code |= ((d(bp >> 3) >> (bp & 7)) & 1) << k
+          k += 1
+        }
+        bitPos += width
+        if (code == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+        else if (code == eoi) return null // EOI before the raster completed
+        else if (prev == -1) {
+          if (code >= clear) return null // first code after clear must be a literal
+          out(outPos) = suffix(code); outPos += 1
+          prev = code
+        } else {
+          if (code > next || code == eoi || (code == next && next >= 4096)) return null
+          var sp = 0
+          var cur = code
+          if (code == next) { stack(sp) = first(prev); sp += 1; cur = prev } // KwKwK
+          while (cur > eoi) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+          if (cur >= clear) return null // chain must bottom out at a literal
+          stack(sp) = suffix(cur); sp += 1
+          val fc = suffix(cur) // first char of string(code), both branches
+          if (outPos + sp > nOut) return null // entry overruns the raster
+          while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = fc; first(next) = first(prev)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      out // trailing EOI is optional in the wild; surplus data is ignored
+    }
+
+    /** Classifier probe: the SAME walk+decode [[decodeLuma]] runs, with
+      * the status surfaced instead of the pixels. */
+    def status(b: Array[Byte]): Int = firstFrame(b)._1
+
+    def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (st, w, h, luma) = firstFrame(b)
+      if (st != Ok) null else (w, h, luma)
+    }
+  }
+
+  /** gif_decode_luma(BINARY) → BINARY: REAL GIF (87a/89a) first-frame
+    * pixel decode to the exact-integer luma plane — [[PngLumaDecode]]'s
+    * GIF sibling, per the public GIF89a spec ([[Gif]]): block walk, LZW,
+    * global/local palettes, interlace. Null off contract: structural
+    * damage, LZW violations, a frame with no color table, or header dims
+    * past the shared bomb cap. */
+  case class GifLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val d = Gif.decodeLuma(input.asInstanceOf[Array[Byte]])
+        if (d == null) null else d._3
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** gif_encode_gray8(BINARY pixels, width; interlace, localPalette) →
+    * BINARY: a REAL, complete GIF89a from row-major gray-8 bytes — the
+    * fixture builder for [[GifLumaDecode]], [[WebpVp8lEncode]]'s GIF
+    * sibling. The 256-entry grayscale palette (entry i = (i,i,i)) makes
+    * decode(encode(px)) the IDENTITY on the gray bytes (luma601(i,i,i)
+    * = i exactly), so oracles stay closed-form. The stream is spec-valid
+    * and deliberately exercises the reader's block walk: a GCE extension
+    * block precedes the image descriptor (so every oracled decode walks
+    * the extension-skip path), the palette is global or local by flag,
+    * rows are written in interlace pass order when asked, and the LZW
+    * stream is the simplest valid one — 9-bit literals with a CLEAR
+    * every 250 pixels so the code width never grows. Fixture builder;
+    * production writes GIF with a codec, not Spark. */
+  case class GifGray8Encode(left: Expression, right: Expression,
+      interlace: Boolean, localPalette: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || w > 65535) return null // GIF dims are u16
+      if (pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (h > 65535) return null
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(w); le16(h)
+      // packed: gctFlag | colorRes=7 | sort=0 | gctSize=7 (256 entries)
+      out.write(if (localPalette) 0x70 else 0xF7)
+      out.write(0); out.write(0) // background index, aspect
+      def palette(): Unit = {
+        var i = 0
+        while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      }
+      if (!localPalette) palette()
+      // a GCE (no transparency, zero delay): pure extension-skip fodder
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); le16(0); out.write(0); out.write(0)
+      out.write(0x2C); le16(0); le16(0); le16(w); le16(h)
+      out.write((if (localPalette) 0x87 else 0) | (if (interlace) 0x40 else 0))
+      if (localPalette) palette()
+      out.write(8) // LZW minimum code size
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nb = 0
+      def code(v: Int): Unit = {
+        var k = 0
+        while (k < 9) {
+          cur |= ((v >> k) & 1) << nb
+          nb += 1
+          if (nb == 8) { bits.write(cur); cur = 0; nb = 0 }
+          k += 1
+        }
+      }
+      code(256) // CLEAR
+      var emitted = 0
+      def row(y: Int): Unit = {
+        var x = 0
+        while (x < w) {
+          if (emitted == 250) { code(256); emitted = 0 } // stay at 9 bits
+          code(pixels(y * w + x) & 0xff)
+          emitted += 1
+          x += 1
+        }
+      }
+      if (interlace)
+        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+          var y = start
+          while (y < h) { row(y); y += step }
+        }
+      else { var y = 0; while (y < h) { row(y); y += 1 } }
+      code(257) // EOI
+      if (nb > 0) bits.write(cur)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val sz = math.min(255, data.length - off)
+        out.write(sz)
+        out.write(data, off, sz)
+        off += sz
+      }
+      out.write(0) // block terminator
+      out.write(0x3B) // trailer
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Plain-JVM decode entry points for the per-partition codec boundary
     * ([[graft.operators.Multimodal.decodePartitions]]'s default codec):
     * the SAME validated cores as the Catalyst expressions, callable from a
@@ -3084,6 +3431,8 @@ object Native {
     try Option(wavEnvelopeCore(b, nBuckets)) catch { case NonFatal(_) => None }
   def webpLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try Option(Webp.decodeLuma(b)) catch { case NonFatal(_) => None }
+  def gifLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Gif.decodeLuma(b)) catch { case NonFatal(_) => None }
   /** Raw ARGB decode for the spec-vector tests (container + VP8L). */
   private[graft] def webpArgbForTest(b: Array[Byte]): Array[Int] = {
     val (st, payload) = Webp.probeContainer(b)
@@ -3703,6 +4052,9 @@ object Native {
         boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
     "graft_png_decode_luma" -> (exprs => PngLumaDecode(exprs(0))),
     "graft_webp_decode_luma" -> (exprs => WebpLumaDecode(exprs(0))),
+    "graft_gif_decode_luma" -> (exprs => GifLumaDecode(exprs(0))),
+    "graft_gif_encode_gray8" -> (exprs => GifGray8Encode(exprs(0), exprs(1),
+      boolLit(exprs(2), "interlace"), boolLit(exprs(3), "localPalette"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -3813,6 +4165,13 @@ object Native {
     call_function("graft_png_decode_luma", png)
   def webpDecodeLuma(webp: Column): Column =
     call_function("graft_webp_decode_luma", webp)
+  def gifDecodeLuma(gif: Column): Column =
+    call_function("graft_gif_decode_luma", gif)
+  def gifEncodeGray8(pixels: Column, width: Column,
+      interlace: Boolean = false, localPalette: Boolean = false): Column =
+    call_function("graft_gif_encode_gray8", pixels, width,
+      org.apache.spark.sql.functions.lit(interlace),
+      org.apache.spark.sql.functions.lit(localPalette))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

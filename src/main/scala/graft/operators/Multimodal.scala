@@ -34,6 +34,7 @@ object Multimodal {
     * images down audio paths and understate image counts). */
   def modality(bin: Column): Column = {
     val head = hex(substring(bin, 1, 4))
+    val head6 = substring(bin, 1, 6).cast("string")
     val riffForm = substring(bin, 9, 4).cast("string")
     when(head.startsWith("FFD8FF"), lit("image/jpeg"))        // JPEG = FF D8 FF
       .when(head.startsWith("89504E47"), lit("image/png"))
@@ -44,6 +45,18 @@ object Multimodal {
           .otherwise(lit("application/riff")))
       // ISO-BMFF: the magic is the box TYPE at bytes 5-8, not byte 1
       .when(substring(bin, 5, 4).cast("string") === "ftyp", lit("video/mp4"))
+      .when(head6 === "GIF87a" || head6 === "GIF89a", lit("image/gif"))
+      // MAGIC HONESTY (mirrors DecodeDropReason): formats this pipeline
+      // recognizes but ships no decoder for still sniff as their real
+      // mime, so the drop report's (modality, reason) rows name them
+      .when(head === "49492A00" || head === "4D4D002A", lit("image/tiff"))
+      .when(head.startsWith("424D") &&
+        hex(substring(bin, 7, 4)) === "00000000", lit("image/bmp"))
+      .when(head.startsWith("494433") ||
+        head.startsWith("FFE") || head.startsWith("FFF"), lit("audio/mpeg"))
+      .when(head === "4F676753", lit("audio/ogg"))
+      .when(head === "1A45DFA3", lit("video/webm"))
+      .when(head === "664C6143", lit("audio/flac"))
       .otherwise(lit("application/octet-stream"))
   }
 
@@ -158,9 +171,22 @@ object Multimodal {
       walked.getField("height").as("height"))).otherwise(nullDims)
   }
 
+  /** REAL GIF dimension decode — the logical screen descriptor is fixed
+    * at bytes 6-9 (0-based) right after the 6-byte magic, width/height
+    * as little-endian u16s (GIF89a spec §18). Pure byte arithmetic on
+    * the first 10 bytes; null for anything that is not a GIF. */
+  def gifDims(bin: Column): Column = {
+    val head6 = substring(bin, 1, 6).cast("string")
+    val isGif = length(bin) >= 10 && (head6 === "GIF87a" || head6 === "GIF89a")
+    when(isGif, struct(
+      leUInt(bin, 7, 2).as("width"),
+      leUInt(bin, 9, 2).as("height"))).otherwise(nullDims)
+  }
+
   /** Image dimensions from whichever container matches ([[pngDims]],
-    * [[jpegDims]]); null struct for other modalities. */
-  def imageDims(bin: Column): Column = coalesce(pngDims(bin), jpegDims(bin))
+    * [[jpegDims]], [[gifDims]]); null struct for other modalities. */
+  def imageDims(bin: Column): Column =
+    coalesce(pngDims(bin), jpegDims(bin), gifDims(bin))
 
   /** Little-endian unsigned int from `n` bytes at 1-based `pos`. */
   private def leUInt(bin: Column, pos: Int, n: Int): Column =
@@ -391,8 +417,9 @@ object Multimodal {
     * to the WAV core. The feature vector is the 8-bin normalized
     * luma/energy histogram — a real image/audio statistic (each bin =
     * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
-    * oracle can recompute it. Lossless WebP (VP8L) decodes to its luma
-    * like PNG. Anything else — lossy WebP, AVIF, corrupt bytes — fails
+    * oracle can recompute it. Lossless WebP (VP8L) and GIF (87a/89a,
+    * first frame) decode to their luma like PNG. Anything else — lossy
+    * WebP, TIFF/BMP/MP3/Ogg-class recognized magics, AVIF, corrupt bytes — fails
     * to decode (None): those formats stay codec-library work behind the
     * pluggable `codec` parameter. Same decode cores as the column
     * expressions ([[graft.functions.Native]]), so decode semantics
@@ -414,6 +441,8 @@ object Multimodal {
       lumaOf(graft.functions.Native.pngLumaBytes(bytes))
     else if (b0 == 0xFF && b1 == 0xD8)
       lumaOf(graft.functions.Native.jpegLumaBytes(bytes))
+    else if (b0 == 'G' && b1 == 'I')
+      lumaOf(graft.functions.Native.gifLumaBytes(bytes))
     else if (b0 == 'R' && b1 == 'I') {
       // disambiguate the RIFF form (bytes 8-11) BEFORE picking a core:
       // AVI and WebP payloads must never reach the WAV sample walk
@@ -588,6 +617,36 @@ object Multimodal {
     Dedup.hammingNearDup(
       images.select(col("id"),
         dHash(webpDecodeLuma(col("webp")), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** REAL GIF (87a/89a) first-frame pixel decode to the exact-integer
+    * luma plane ([[graft.functions.Native.GifLumaDecode]]): block walk,
+    * GIF-LZW, global/local palettes, 4-pass interlace. Animated GIFs
+    * decode frame 0 (the video-tier stance). Null on damage, LZW
+    * violations, or a frame with no color table — those land in the
+    * drop report as corrupt/unsupported_profile. */
+  def gifDecodeLuma(gif: Column): Column =
+    graft.functions.Native.gifDecodeLuma(gif)
+
+  /** Fixture-grade GIF89a encode ([[graft.functions.Native
+    * .GifGray8Encode]]): row-major gray-8 bytes → a complete spec-valid
+    * GIF with a 256-entry grayscale palette (decode∘encode = identity on
+    * the gray bytes), optionally interlaced and/or with the palette
+    * written as a local color table. Fixture builder for the GIF tier's
+    * oracles. */
+  def gifEncodeGray8(pixels: Column, width: Column,
+      interlace: Boolean = false, localPalette: Boolean = false): Column =
+    graft.functions.Native.gifEncodeGray8(pixels, width, interlace, localPalette)
+
+  /** [[imageNearDupPng]] on GIF payloads: [[gifDecodeLuma]] → [[dHash]]
+    * → the shared Hamming-banded LSH core. With PNG, JPEG, WebP and GIF
+    * this tier now covers the four most common crawl image formats. */
+  def imageNearDupGif(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(gifDecodeLuma(col("gif")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

@@ -334,6 +334,103 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("GIF round-trip: decode(encode(px)) is the identity across interlace × localPalette, with multi-sub-block streams") {
+    // 40×30 = 1200 px: the 9-bit LZW stream spans several 255-byte data
+    // sub-blocks, so the reader's sub-block reassembly is in the path;
+    // the gray palette makes luma601(i,i,i) = i, hence exact identity
+    val px = Array.tabulate(40 * 30)(i => ((i * 131 + 17) & 0xff).toByte)
+    for (interlace <- Seq(false, true); localPal <- Seq(false, true)) {
+      val gif = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.gifEncodeGray8($"px", lit(40), interlace, localPal))
+        .as[Array[Byte]].head()
+      val got = Seq(Tuple1(gif)).toDF("g")
+        .select(Multimodal.gifDecodeLuma($"g")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(got, px),
+        s"round-trip failed at interlace=$interlace localPalette=$localPal")
+      // dims through the declarative parser
+      val dims = Seq(Tuple1(gif)).toDF("g")
+        .select(Multimodal.gifDims($"g").getField("width"),
+          Multimodal.gifDims($"g").getField("height")).as[(Long, Long)].head()
+      assert(dims == ((40L, 30L)))
+    }
+  }
+
+  test("GIF decode: LZW width growth, KwKwK, animation-first-frame, and corrupt streams match hand-built spec vectors") {
+    def luma(hexStr: String): Array[Byte] =
+      Seq(Tuple1(hexBytesT(hexStr))).toDF("g")
+        .select(Multimodal.gifDecodeLuma($"g")).as[Array[Byte]].head()
+    val gct4 = "0000000A0A0A1414141E1E1E" // palette: luma of entry i = 10·i
+    // width growth: 5×1 raster of index 1, minCode 2 — the decoder's
+    // dictionary hits next == 1<<3 after the third literal, so the last
+    // two literals and EOI arrive at 4 bits (codes 4,1,1,1 @3b then
+    // 1,1,5 @4b, hand-packed LSB-first = 4C 12 51)
+    val growth = "47494638396105000100F10000" + gct4 +
+      "2C000000000500010000" + "02" + "034C1251" + "00" + "3B"
+    assert(luma(growth).toSeq == Seq.fill(5)(10.toByte))
+    // KwKwK: codes 4,0,6,0 — code 6 names the entry being defined
+    // (string(prev)+first(prev)); raster = 4 zeros (data 84 51)
+    val kwkwk = "47494638396104000100F10000" + gct4 +
+      "2C000000000400010000" + "02" + "028451" + "00" + "3B"
+    assert(luma(kwkwk).toSeq == Seq.fill(4)(0.toByte))
+    // animation: a comment extension, a GCE, frame 1 (the growth
+    // stream), then a SECOND frame — decode returns frame 1 only
+    val anim = "47494638396105000100F10000" + gct4 +
+      "21FE03414243" + "00" + // comment "ABC"
+      "21F9040100000000" + // GCE, transparent flag set on index 0
+      "2C000000000500010000" + "02" + "034C1251" + "00" +
+      "2C000000000400010000" + "02" + "028451" + "00" + "3B"
+    assert(luma(anim).toSeq == Seq.fill(5)(10.toByte))
+    def reason(hexStr: String): String = {
+      val r = Seq(Tuple1(hexBytesT(hexStr))).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(reason(growth) == null && reason(anim) == null)
+    // EOI before the raster completes → corrupt
+    val earlyEoi = "47494638396104000100F10000" + gct4 +
+      "2C000000000400010000" + "02" + "012C00" + "3B"
+    assert(luma(earlyEoi) == null && reason(earlyEoi) == "corrupt")
+    // LZW-valid literal 7 with a 4-entry palette → index out of table
+    val badIndex = "47494638396101000100F10000" + gct4 +
+      "2C000000000100010000" + "03" + "0178" + "00" + "3B"
+    assert(luma(badIndex) == null && reason(badIndex) == "corrupt")
+    // trailer before any image descriptor → corrupt, not truncated
+    val noImage = "47494638396101000100F10000" + gct4 + "3B"
+    assert(reason(noImage) == "corrupt")
+    // cut inside the global color table → truncated
+    assert(reason("47494638396104000100F10000" + "0000000A0A") == "truncated")
+    // no color table anywhere → unsupported_profile
+    assert(reason("474946383961040001007000002C00000000040001000002012C003B")
+      == "unsupported_profile")
+    // 65535×65535 frame dims → bomb_guard before any palette/LZW work
+    assert(reason("474946383961FFFFFFFF7000002C00000000FFFFFFFF003B")
+      == "bomb_guard")
+  }
+
+  test("recognized-but-undecodable magics classify unsupported_profile under their real mime — never bad_magic") {
+    val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
+    val cases = Seq(
+      ("49492A00", "image/tiff"), ("4D4D002A", "image/tiff"),
+      ("424D000000000000000000", "image/bmp"), // BM + reserved zeros
+      ("494433", "audio/mpeg"), ("FFFB9000", "audio/mpeg"),
+      ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"),
+      ("664C6143", "audio/flac"))
+    cases.foreach { case (magicHex, mime) =>
+      val b = hexBytesT(magicHex) ++ junk
+      val row = Seq(Tuple1(b)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b"),
+          Multimodal.modality($"b")).collect().head
+      assert(!row.isNullAt(0) && row.getString(0) == "unsupported_profile",
+        s"$mime: got ${if (row.isNullAt(0)) "null" else row.getString(0)}")
+      assert(row.getString(1) == mime, s"$magicHex sniffed as ${row.getString(1)}")
+      assert(Multimodal.realCodec(b).isEmpty) // recognized ≠ decodable
+    }
+    // plain junk still lands in bad_magic — recognition must not leak
+    val junkRow = Seq(Tuple1("garbage payload bytes".getBytes("UTF-8"))).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+    assert(junkRow.getString(0) == "bad_magic")
+  }
+
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
     // the invariant the drop report exists for: a payload it counts
     // dropped must be one the default codec path cannot decode, and vice
@@ -373,6 +470,17 @@ class MultimodalSpec extends AnyFunSuite {
       "cutAvi" -> avi.take(avi.length - 9), "junkFramesAvi" -> junkAvi,
       "cutMp4" -> mp4.take(40),
       "avc1Mp4" -> encMp4(Seq(jpeg), 9, 8, format = "avc1"),
+      "gif" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.gifEncodeGray8($"px", lit(9), interlace = true))
+        .as[Array[Byte]].head(),
+      "cutGif" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.gifEncodeGray8($"px", lit(9))).as[Array[Byte]].head().take(20),
+      "noPaletteGif" -> hexBytesT(
+        "474946383961040001007000002C00000000040001000002012C003B"),
+      "bombGif" -> hexBytesT("474946383961FFFFFFFF7000002C00000000FFFFFFFF003B"),
+      "id3Mp3" -> ("ID3".getBytes("US-ASCII") ++ Array.fill(12)(9.toByte)),
+      "ogg" -> ("OggS".getBytes("US-ASCII") ++ Array.fill(12)(9.toByte)),
+      "tiff" -> (hexBytesT("49492A00") ++ Array.fill(12)(9.toByte)),
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -404,9 +512,12 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4 = encMp4(Seq(jpeg), 9, 8)
     val webp = Seq(Tuple1(rgbPix(72, 3))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
+    val gif = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.gifEncodeGray8($"px", lit(9), interlace = true))
+      .as[Array[Byte]].head()
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
@@ -454,6 +565,36 @@ class MultimodalSpec extends AnyFunSuite {
       // plain-JVM entry: must return None or a value, NEVER throw — the
       // contract a parser over crawl bytes lives or dies by
       graft.functions.Native.webpLumaBytes(b) match {
+        case Some(_) => decoded += 1
+        case None => refused += 1
+      }
+    }
+    assert(decoded + refused == 400)
+    assert(refused > 0, "fuzz never produced a refusal — mutations too weak")
+  }
+
+  test("gifDecodeLuma never throws under seeded mutation/truncation fuzz") {
+    val base = Seq(Tuple1(Array.tabulate(13 * 7)(i => ((i * 89 + 5) & 0xff).toByte)))
+      .toDF("px").select(Multimodal.gifEncodeGray8($"px", lit(13), interlace = true))
+      .as[Array[Byte]].head()
+    val rnd = new scala.util.Random(1337)
+    var decoded = 0; var refused = 0
+    (0 until 400).foreach { i =>
+      val b: Array[Byte] = i % 3 match {
+        case 0 => // flip 1-4 bytes anywhere (LSD, palette, LZW stream)
+          val m = base.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m
+        case 1 => base.take(rnd.nextInt(base.length + 1))
+        case 2 =>
+          val m = base.take(12 + rnd.nextInt(base.length - 12 + 1))
+          if (m.nonEmpty && m.length > 20)
+            m(20 + rnd.nextInt(m.length - 20)) = rnd.nextInt(256).toByte
+          m
+      }
+      graft.functions.Native.gifLumaBytes(b) match {
         case Some(_) => decoded += 1
         case None => refused += 1
       }
