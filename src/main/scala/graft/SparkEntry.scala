@@ -777,6 +777,32 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).withColumn("phase", lit(2))
       before.union(after).select(col("phase"), col("doc_id"), col("text"))
     }),
+    // SIDECAR-PREDICATE takedown, hash-oracled both phases: text carries
+    // 3 + doc_id%7 md5 tokens so the attributes sidecar's n_tokens is
+    // analytic, and retractWhere's predicate spans the JOINED shard +
+    // sidecar column space (n_tokens lives only in the sidecar, text
+    // only in the shards) — "retract everything our classifier scored
+    // X" with no extra scan. Phase 1 pins the logical exclusion (the
+    // anti-join readers), phase 2 the physical drop after compaction.
+    "store_retract_attrs" -> ((s, d) => {
+      val toks = array((0 until 9).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit(s"-sa$i")).cast("binary"))): _*)
+      val text = array_join(
+        slice(toks, lit(1), (lit(3L) + col("doc_id") % 7).cast("int")), " ")
+      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-rattr-${math.abs(d.hashCode)}"
+      graft.sources.BatchStore.delete(s, Seq(path))
+      graft.apps.CorpusPrep.runIncremental(s, docs, path, minTokens = 1)
+      graft.apps.CorpusPrep.retractWhere(s, path,
+        col("n_tokens") >= 7 && col("text").isNotNull)
+      val before = graft.apps.CorpusPrep.readShards(s, path)
+        .select(col("doc_id"), col("text")).withColumn("phase", lit(1))
+        .localCheckpoint(true)
+      graft.apps.CorpusPrep.compactStore(s, path)
+      val after = graft.apps.CorpusPrep.readShards(s, path)
+        .select(col("doc_id"), col("text")).withColumn("phase", lit(2))
+      before.union(after).select(col("phase"), col("doc_id"), col("text"))
+    }),
     // FILTERED ANN ("top-k among rows satisfying a predicate" — the
     // retrieval-under-constraint shape), hash-oracled via the medoid
     // move: same derivation as sim_topk_ivf_medoid with the corpus
@@ -2953,6 +2979,17 @@ object SparkEntry {
              md5(CAST(doc_id AS VARCHAR) || '-st3') || ' ' ||
              md5(CAST(doc_id AS VARCHAR) || '-st4') AS text
            FROM documents WHERE doc_id % 5 <> 2)
+         SELECT p.phase, t.doc_id, t.text
+         FROM t CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2) p""",
+    // kept set = docs whose analytic token count 3 + doc_id%7 stays
+    // under the predicate's 7 (the sidecar n_tokens the engine computed
+    // must agree with the plant for the retraction to land on exactly
+    // doc_id % 7 >= 4); both phases list the kept docs
+    "store_retract_attrs" ->
+      """WITH t AS (SELECT doc_id,
+             array_to_string([md5(CAST(doc_id AS VARCHAR) || '-sa' || CAST(i AS VARCHAR))
+               for i in range(0, CAST(3 + doc_id % 7 AS INTEGER))], ' ') AS text
+           FROM documents WHERE doc_id % 7 < 4)
          SELECT p.phase, t.doc_id, t.text
          FROM t CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2) p""",
     // PQ over planted reconstructions: the oracle rebuilds the SAME

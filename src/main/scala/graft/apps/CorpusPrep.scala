@@ -472,15 +472,29 @@ object CorpusPrep {
     graft.sources.BatchStore.appendTombstones(spark, storeDir, docIds)
 
   /** [[retract]] by PREDICATE — the form takedowns actually arrive in
-    * ("this domain revoked robots", "urls matching X"): one distributed
-    * scan of the stored corpus selects the doc_ids, which land as a
-    * normal tombstone batch. The predicate runs over whatever columns
-    * ingest stored in the shards (url, source, text, …); nothing is ever
-    * collected to the driver. Returns false when nothing matches. */
+    * ("this domain revoked robots", "urls matching X", "everything we
+    * classified language X"): one distributed scan of the stored corpus
+    * selects the doc_ids, which land as a normal tombstone batch. The
+    * predicate runs over the shard columns (url, source, text, …) JOINED
+    * with the attributes sidecar ([[readAttributes]] — pred_lang,
+    * gopher_keep, stopword_ratio, …), so quality- and classifier-level
+    * takedowns need no extra scan of their own; on a shard-column name
+    * collision the shard column wins (the sidecar copy is dropped). The
+    * join is doc_id-equi over two already-committed relations and
+    * nothing is ever collected to the driver. Returns false when nothing
+    * matches. */
   def retractWhere(spark: SparkSession, storeDir: String,
-      predicate: org.apache.spark.sql.Column): Boolean =
-    retract(spark, storeDir, readShards(spark, storeDir)
+      predicate: org.apache.spark.sql.Column): Boolean = {
+    val shards = readShards(spark, storeDir)
+    val attrs = readAttributes(spark, storeDir)
+    // left join: a doc missing its sidecar row stays retractable by
+    // shard predicates (its attrs columns read null)
+    val sidecar = attrs.columns
+      .filter(c => c != "doc_id" && shards.columns.contains(c))
+      .foldLeft(attrs)((d, c) => d.drop(c))
+    retract(spark, storeDir, shards.join(sidecar, Seq("doc_id"), "left")
       .filter(predicate).select("doc_id"))
+  }
 
   /** Store inventory — the audit/GC view a store owner reads before
     * compaction or a takedown review: one row per committed,

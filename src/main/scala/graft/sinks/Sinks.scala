@@ -119,8 +119,9 @@ object Sinks {
     * key/window predicates push into parquet, and the last-write-wins
     * window runs over one key's rows only. */
   final class ParquetWindowStore(spark: org.apache.spark.sql.SparkSession,
-      path: String, numBuckets: Int = 16) {
+      path: String, numBuckets: Int = 16, retentionMs: Option[Long] = None) {
     require(numBuckets > 0, "ParquetWindowStore: numBuckets must be positive")
+    require(retentionMs.forall(_ > 0), "ParquetWindowStore: retentionMs must be positive")
     private val schema = "key STRING, window_start TIMESTAMP, cnt BIGINT, batch_id BIGINT"
     private def bucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       pmod(xxhash64(key), lit(numBuckets.toLong))
@@ -252,7 +253,24 @@ object Sinks {
       * latter the store root may already be gone with the compacted data
       * stranded in `__compacting`, and releasing the lock would let
       * appends silently rebuild an empty store. Delete the lock file to
-      * release after repairing. */
+      * release after repairing.
+      *
+      * RETENTION (when `retentionMs` is set): before the rewrite, windows
+      * with `window_start < max(window_start) − retention` are dropped
+      * PHYSICALLY — the Kafka Streams window-store contract (windows past
+      * retention stop being fetchable; the reference's interactive query
+      * only ever reads now−5min..now, reference
+      * OrderCountTumblingWindow.java:136-137), with Kafka's own
+      * segment-granularity stance: expiry happens at maintenance time
+      * (here: compaction), not per read, so [[fetch]] keeps its pruned
+      * single-key plan and merely serves whatever is physically present.
+      * The horizon keys on observed STREAM time (the max stored window
+      * start), never the wall clock — a replayed or paused stream expires
+      * nothing spuriously. Size `retentionMs` ≥ windowSize + grace + the
+      * query horizon; starts compare against starts, so one store holds
+      * one window size, which a per-aggregation store does by
+      * construction. Without retention a long-running streaming aggregate
+      * grows the store without bound — set it for production streams. */
     def compact(): Unit = {
       if (!exists()) return
       val fs = fileSystem()
@@ -276,9 +294,21 @@ object Sinks {
           .partitionBy(col("key"), col("window_start"))
           .orderBy(col("batch_id").desc)
         val tmp = path + "__compacting"
-        spark.read.schema(schema).parquet(path)
+        val resolved = spark.read.schema(schema).parquet(path)
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select(col("key"), col("window_start"), col("cnt"), col("batch_id"))
+        // retention horizon off observed stream time (max stored window
+        // start — a single-row agg, driver-bounded by construction)
+        val retained = retentionMs match {
+          case None => resolved
+          case Some(r) =>
+            val mx = spark.read.schema(schema).parquet(path)
+              .agg(max(col("window_start"))).collect()(0).getTimestamp(0)
+            if (mx == null) resolved
+            else resolved.filter(col("window_start") >=
+              lit(new Timestamp(mx.getTime - r)))
+        }
+        retained
           .withColumn("bucket", bucketOf(col("key")))
           .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(tmp)

@@ -202,6 +202,45 @@ class JsonCodecSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet window store: retention drops windows past the horizon at compaction, keyed on stream time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-retention").toString + "/store"
+    // retention 10 min: with max stored window start 10:20, the horizon
+    // is 10:10 — 10:00 expires, 10:10 and 10:20 survive
+    val pq = new Sinks.ParquetWindowStore(spark, dir, numBuckets = 4,
+      retentionMs = Some(10L * 60 * 1000))
+    def delta(w: String, c: Long) = spark.range(1).select(lit("k").as("key"),
+      lit(ts(w)).as("window_start"), lit(c).as("cnt"))
+    pq.upsert(delta("2025-01-01 10:00:00", 2L), 0L)
+    pq.upsert(delta("2025-01-01 10:10:00", 3L), 1L)
+    pq.upsert(delta("2025-01-01 10:20:00", 5L), 2L)
+    val all = (ts("2025-01-01 09:00:00"), ts("2025-01-01 11:00:00"))
+    // BEFORE compaction every window is fetchable — expiry is a
+    // maintenance-time (segment-granularity) act, like Kafka's
+    assert(pq.fetch("k", all._1, all._2).map(_._2) == Seq(2L, 3L, 5L))
+    pq.compact()
+    // beyond-retention fetch is empty, in-retention windows survive
+    assert(pq.fetch("k", ts("2025-01-01 09:00:00"), ts("2025-01-01 10:05:00")).isEmpty)
+    assert(pq.fetch("k", all._1, all._2).map { case (w, c) => (w.toString, c) } ==
+      Seq(("2025-01-01 10:10:00.0", 3L), ("2025-01-01 10:20:00.0", 5L)))
+    // stream time, not wall clock: nothing else expires on a re-compact
+    pq.compact()
+    assert(pq.fetch("k", all._1, all._2).map(_._2) == Seq(3L, 5L))
+    // a later append advances the horizon (10:35 − 10min = 10:25): the
+    // next compaction expires 10:10 and 10:20, keeps 10:35
+    pq.upsert(delta("2025-01-01 10:35:00", 1L), 3L)
+    pq.compact()
+    assert(pq.fetch("k", all._1, all._2).map { case (w, c) => (w.toString, c) } ==
+      Seq(("2025-01-01 10:35:00.0", 1L)))
+    // an unset retention store never expires (the default contract)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-noret").toString + "/store"
+    val forever = new Sinks.ParquetWindowStore(spark, dir2, numBuckets = 4)
+    forever.upsert(delta("2025-01-01 10:00:00", 2L), 0L)
+    forever.upsert(delta("2025-01-01 10:20:00", 5L), 1L)
+    forever.compact()
+    assert(forever.fetch("k", all._1, all._2).map(_._2) == Seq(2L, 5L))
+  }
+
   test("parquet window store: compact lock excludes writers loudly, never silently") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-lock").toString + "/store"

@@ -594,6 +594,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(inv2 == Seq(("compacted", 4L, 0L)), s"got $inv2")
   }
 
+  test("retractWhere: a sidecar-predicate takedown (attributes columns) excludes, and mixes with shard columns") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-retr-attrs")
+    val store = s"$tmp/store"
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, lang STRING")
+    val p = Paths.get(s"$tmp/b.jsonl")
+    // doc 1: 3 tokens, doc 2: 6 tokens, doc 3: 8 tokens, doc 4: 6 tokens
+    Files.write(p, Seq(
+      """{"doc_id":1,"text":"alpha beta gamma","source":"s0","lang":"en"}""",
+      """{"doc_id":2,"text":"one two three four five six","source":"s1","lang":"en"}""",
+      """{"doc_id":3,"text":"seven eight nine ten eleven twelve thirteen fourteen","source":"s1","lang":"en"}""",
+      """{"doc_id":4,"text":"red orange yellow green blue indigo","source":"s2","lang":"en"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    graft.apps.CorpusPrep.runIncremental(spark,
+      graft.sources.Sources.jsonl(spark, p.toString, ddl), store, minTokens = 1)
+    // n_tokens lives ONLY in the attributes sidecar — the predicate
+    // space is the shard+sidecar join, so classifier-level takedowns
+    // ("everything scored over X") need no bespoke scan
+    assert(graft.apps.CorpusPrep.retractWhere(spark, store, $"n_tokens" >= 7))
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // and the sidecar reader excludes the retracted doc's attributes row
+    assert(graft.apps.CorpusPrep.readAttributes(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // MIXED predicate: one sidecar column AND one shard column in the
+    // same takedown ("6+ tokens from source s1")
+    assert(graft.apps.CorpusPrep.retractWhere(spark, store,
+      $"n_tokens" >= 6 && $"source" === "s1"))
+    assert(graft.apps.CorpusPrep.readShards(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // physical drop carries the sidecar with it
+    assert(graft.apps.CorpusPrep.compactStore(spark, store) == 1)
+    assert(graft.apps.CorpusPrep.readAttributes(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("retraction between streaming micro-batches: the next ingest honors released claims, readers exclude") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-retr-stream")
