@@ -87,7 +87,14 @@ object ScalingCurve {
     "sim_topk_ivf_retract",
     // the WebP near-dup tier: VP8L decode is map-side like PNG/JPEG —
     // expect the dedup_image_png exponent
-    "dedup_image_webp")
+    "dedup_image_webp",
+    // round-12 additions: the GIF near-dup tier (map-side LZW decode —
+    // expect the dedup_image_webp exponent) and the sidecar-predicate
+    // takedown cycle (a store protocol cycle like store_retract, plus
+    // one shard⋈attrs join — superlinearity would mean the predicate
+    // scan degenerated)
+    "dedup_image_gif",
+    "store_retract_attrs")
 
   private[graft] val FlagExponent = 1.3
 
@@ -127,7 +134,20 @@ object ScalingCurve {
     val ambient = loadavg1()
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
+    // builder-side fast iteration (mirrors SPARK_GRAFT_BENCH_ONLY): the
+    // driver never sets this, so its per-round curve stays complete
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALING_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(Targets.contains)
+      if (unknown.nonEmpty) {
+        System.err.println(s"[scaling] unknown SPARK_GRAFT_SCALING_ONLY names: " +
+          unknown.toSeq.sorted.mkString(", "))
+        sys.exit(1)
+      }
+    }
     val targets = Targets.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     // warm-up at the largest scale (codegen + page cache), as in Bench
     targets.foreach { name =>
@@ -200,7 +220,10 @@ object ScalingCurve {
     val json =
       s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"points":${dirs.length},"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
     println(json)
-    val out = java.nio.file.Paths.get("SCALING.json")
+    // subset runs should not clobber the committed full curve — point
+    // SPARK_GRAFT_SCALING_JSON elsewhere when iterating
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_JSON", "SCALING.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

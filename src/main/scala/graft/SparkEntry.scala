@@ -490,7 +490,20 @@ object SparkEntry {
     // group, a closed form the oracle restates; the 9 truncated pairs per
     // group surface in the graft_pair_budget observation (spec-pinned)
     "dedup_editsim_cap" -> ((s, d) => {
-      val grp = (col("doc_id") / 6).cast("bigint")
+      // groups from a doc_id HASH, not id arithmetic: synthdata sf1
+      // doc_ids are sparse (0..90M for ~5M rows), so doc_id/6 groups
+      // under-form at the big decade and the cap exponent would rest on
+      // extrapolation — md5-bucketing into n/6 groups keeps the mean
+      // group size at 6 whatever the id distribution, so every SCALING
+      // decade exercises real identical-text groups. The closed-form
+      // oracle survives the move rank-based: each doc keeps its 3
+      // lowest-id partners, so a pair survives iff BOTH endpoints rank
+      // ≤ 3 within their group (by doc_id), i.e. the higher rank ≤ 3.
+      val n = Tables.documents(s, d).count()
+      val g = math.max(1L, n / 6L)
+      val grp = conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % g
       val text = concat_ws(" ", (0 until 8).map(i =>
         md5(concat(grp.cast("string"), lit(s"-ec$i")).cast("binary"))): _*)
       Dedup.editSimNearDup(
@@ -2032,11 +2045,16 @@ object SparkEntry {
     // query comment), distance 0 / similarity 1 since the group shares
     // one planted text
     "dedup_editsim_cap" ->
-      """WITH g AS (SELECT doc_id, doc_id % 6 AS pos, doc_id // 6 AS grp
-                    FROM documents)
+      """WITH g AS (SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT %
+                 (SELECT greatest(1, count(*) // 6) FROM documents) AS grp
+             FROM documents),
+           r AS (SELECT doc_id, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id) - 1 AS pos
+             FROM g)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(0 AS BIGINT) AS dist, 1.0 AS edit_sim
-         FROM g a JOIN g b ON a.grp = b.grp AND a.pos < b.pos AND b.pos <= 3""",
+         FROM r a JOIN r b ON a.grp = b.grp AND a.pos < b.pos AND b.pos <= 3""",
     // DuckDB's levenshtein over the same 256-char truncation and the
     // same sim algebra — exact integer distances, same double compare
     "dedup_editsim_pairs" ->

@@ -939,6 +939,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(argbOf(webpMeta) == webpMetaPx.toSeq)
   }
 
+  test("VP8L decode: a meta prefix image may declare MORE than 256 entropy groups (16-bit meta index)") {
+    // generated by tools/gen_vp8l_vectors.py (case_meta_many): 300 group
+    // code tables, every tile mapped to group 299 — a decoder capping
+    // nGroups at 256 refuses this spec-valid stream (the pre-r12 bug);
+    // the bomb cap, not a group cap, is the memory bound
+    val webpMetaMany = "5249464616070000574542505650384c090700002f0700000084ae64444444ffa307d981fe471d2a5083fe472b3ad084fe47394a5086fe47475ad087fe47556a5089fe47637ad08afe47718a508cfe477f9ad08dfe478daa508ffe479bbad090fe47a9ca5092fe47b7dad093fe47c5ea5095fe47d3fad096fe47e10a5198fe47ef1ad199fe47fd2a519bfe470b3bd19cfe47194b519efe47275bd19ffe47356b51a1fe47437bd1a2fe47518b51a4fe475f9bd1a5fe476dab51a7fe477bbbd1a8fe4789cb51aafe4797dbd1abfe47a5eb51adfe47b3fbd1aefe47c10b52b0fe47cf1bd2b1fe47dd2b52b3fe47eb3bd2b4fe47f94b52b6fe47075ad2b7fe47156a52b9fe47237ad2bafe47318a52bcfe473f9ad2bdfe474daa52bffe475bbad2c0fe4769ca52c2fe4777dad2c3fe4785ea52c5fe4793fad2c6fe47a10a53c8fe47af1ad3c9fe47bd2a53cbfe47cb3ad3ccfe47d94a53cefe47e75ad3cffe47f56a53d1fe47037bd3d2fe47118b53d4fe471f9bd3d5fe472dab53d7fe473bbbd3d8fe4749cb53dafe4757dbd3dbfe4765eb53ddfe4773fbd3defe47810b54e0fe478f1bd4e1fe479d2b54e3fe47ab3bd4e4fe47b94b54e6fe47c75bd4e7fe47d56b54e9fe47e37bd4eafe47f18b54ecfe47ff9bd4edfe470daa54effe471bbad4f0fe4729ca54f2fe4737dad4f3fe4745ea54f5fe4753fad4f6fe47610a55f8fe476f1ad5f9fe477d2a55fbfe478b3ad5fcfe47994a55fefe47a75ad5fffe47b56a5581fe47c37ad582fe47d18a5584fe47df9ad585fe47edaa5587fe47fbbad588fe4709cb558afe4717dbd58bfe4725eb558dfe4733fbd58efe47410b5690fe474f1bd691fe475d2b5693fe476b3bd694fe47794b5696fe47875bd697fe47956b5699fe47a37bd69afe47b18b569cfe47bf9bd69dfe47cdab569ffe47dbbbd6a0fe47e9cb56a2fe47f7dbd6a3fe4705ea56a5fe4713fad6a6fe47210a57a8fe472f1ad7a9fe473d2a57abfe474b3ad7acfe47594a57aefe47675ad7affe47756a57b1fe47837ad7b2fe47918a57b4fe479f9ad7b5fe47adaa57b7fe47bbbad7b8fe47c9ca57bafe47d7dad7bbfe47e5ea57bdfe47f3fad7befe47010b58c0fe470f1bd8c1fe471d2b58c3fe472b3bd8c4fe47394b58c6fe47475bd8c7fe47556b58c9fe47637bd8cafe47718b58ccfe477f9bd8cdfe478dab58cffe479bbbd8d0fe47a9cb58d2fe47b7dbd8d3fe47c5eb58d5fe47d3fbd8d6fe47e10b59d8fe47ef1bd9d9fe47fd2b59dbfe470b3ad9dcfe47194a59defe47275ad9dffe47356a59e1fe47437ad9e2fe47518a59e4fe475f9ad9e5fe476daa59e7fe477bbad9e8fe4789ca59eafe4797dad9ebfe47a5ea59edfe47b3fad9eefe47c10a5af0fe47cf1adaf1fe47dd2a5af3fe47eb3adaf4fe47f94a5af6fe47075bdaf7fe47156b5af9fe47237bdafafe47318b5afcfe473f9bdafdfe474dab5afffe475bbb9afd8fd296b504fd8feeb6b507fd8f0ad7b50afd8f26f7b50dfd8f4217b610fd8f5e37b613fd8f7a57b616fd8f9677b619fd8fb297b61cfd8fceb7b61ffd8fead7b622fd8fec6d4bfa1f45286e51fa1f7d686e57fa1fb5a86e5dfa1fede86e63fa1f25296f69fa1f5d696f6ffa1f95a96f75fa1fcde96f7bfa1f052a7081fa1f3d6a7087fa1f75aa708dfa1fadea7093fa1fe52a7199fa1f1d6b719ffa1f55ab71a5fa1f8deb71abfa1fc52b72b1fa1ffd6b72b7fa1f35ac72bdfa1f6dec72c3fa1fa52c73c9fa1fdd6c73cffa1f15ad73d5fa1f4ded73dbfa1f852d74e1fa1fbd6d74e7fa1ff5ad74edfa1f2dee74f3fa1f652e75f9fa1f9d6e75fffa1fd5ae7505fb1f0def750bfb1f452f7611fb1f7d6f7617fb1fb5af761dfb1fedef7623fb1f25287729fb1f5d68772ffb1f95a87735fb1fcde8773bfb1f05297841fb1f3d697847fb1f75a9784dfb1fade97853fb1fe5297959fb1f1d6a795ffb1f55aa7965fb1f8dea796bfb1fc52a7a71fb1ffd6a7a77fb1f35ab7a7dfb1f6deb7a83fb1fa52b7b89fb1fdd6b7b8ffb1f15ac7b95fb1f4dec7b9bfb1f852c7ca1fb1fbd6c7ca7fb1ff5ac7cadfb1f2ded7cb3fb1f652d7db9fb1f9d6d7dbffb1fd5ad7dc5fb1f0dee7dcbfb1f452e7ed1fb1f7d6e7ed7fb1fb5ae7eddfb1fedee7ee3fb1f252f7fe9fb1f5d6f7feffb1f95af7ff5fb1fcdef7ffbfb1f11d1ffe84176a0ff51870ad4a0ffd18a0e34a1ff518e1294a1ffd19116f4a1ff51951a54a2ffd1981eb4a2ff519c2214a3ffd19f2674a3ff51a32ad4a3ffd1a62e34a4ff51aa3294a4ffd1ad36f4a4ff51b13a54a5ffd1b43eb4a5ff51b84214a6ffd1bb4674a6ff51bf4ad4a6ffd1c24e34a7ff51c65294a7ffd1c956f4a7ff51cd5a54a8ffd1d05eb4a8ff51d46214a9ffd1d76674a9ff51db6ad4a9ffd1de6e34aaff51e27294aaffd1e576f4aaff51e97a54abffd1ec7eb4abff51f08214acffd1f38674acff51f78ad4acffd1fa8e34adff51fe9294adffd18196f4adff51859a54aeffd1889eb4aeff518ca214afffd18fa674afff5193aad4afffd1b11ef4a0ff0100"
+    assert(argbOf(webpMetaMany) == Seq.fill(8)(0xff076307))
+  }
+
   test("VP8L decode: all four transforms match hand-built spec streams") {
     // webpSubGreen: subtract-green inverse: r and b shift by green mod 256
     val webpSubGreen = "5249464618000000574542505650384c0c0000002f010000004515aa5f82fe07"

@@ -398,7 +398,36 @@ def case_meta():
         "meta prefix image: two groups split the row at x=4"
 
 
+def case_meta_many():
+    """Past the spec's 8-bit-looking surface: the meta index is 16-bit
+    ((argb >> 8) & 0xffff), so a stream may declare far more than 256
+    entropy groups. 300 groups here — every tile maps to group 299, so
+    the decoder must parse all 300 group code tables and index past the
+    old 256 cap."""
+    w, h = 8, 1
+    bw = BW()
+    header(bw, w, h)
+    bw.w(0, 1)    # no transforms
+    bw.w(0, 1)    # no cache
+    bw.w(1, 1)    # meta prefix image present
+    bw.w(0, 3)    # meta bits = 2 (2x1 tiles for 8x1)
+    # entropy image: constant pixel with (r<<8)|g = 299 -> r=1, g=43
+    bw.w(0, 1)    # no cache in sub-image
+    simple1(bw, 43)   # green
+    simple1(bw, 1)    # red
+    simple1(bw, 0)    # blue
+    simple1(bw, 0)    # alpha
+    simple1(bw, 0)    # distance
+    # 300 group tables; only #299 is ever used by a tile
+    for g in range(299):
+        group_single(bw, (g * 7) % 256, g % 256, (g * 3) % 256, 0xFF)
+    group_single(bw, 99, 7, 7, 0xFF)
+    px = argb(0xFF, 7, 99, 7)
+    return "webpMetaMany", bw.bytes(), w, h, [px] * 8, \
+        "meta prefix image declaring 300 entropy groups (16-bit meta index)"
+
+
 if __name__ == "__main__":
     for case in (case_lz77, case_cache, case_subgreen, case_predictor,
-                 case_color, case_index, case_meta):
+                 case_color, case_index, case_meta, case_meta_many):
         show(*case())
