@@ -94,6 +94,7 @@ object ScalingCurve {
     // one shard⋈attrs join — superlinearity would mean the predicate
     // scan degenerated)
     "dedup_image_gif",
+    "dedup_image_bmp",
     "store_retract_attrs")
 
   private[graft] val FlagExponent = 1.3

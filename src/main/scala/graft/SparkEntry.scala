@@ -1212,6 +1212,38 @@ object SparkEntry {
       Multimodal.imageNearDupGif(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // REAL BMP pixel decode, hash-oracled: the planted 9×8 gray bitmap →
+    // the fixture's 8-bit BI_RGB BMP (256-gray palette, bottom-up rows
+    // with the spec's 4-byte padding: 9-px rows pad to 12) → the full
+    // header walk + palette + padded-row decode — twice: bottom-up, and
+    // the negative-height top-down variant (px_hex_td), so BOTH row
+    // orders sit inside the oracled query. blob_hdr_hex pins the 54-byte
+    // file+info header straight off the blob at the spec layout;
+    // width/height come through the declarative bmpDims parser (which
+    // must report the top-down height's magnitude).
+    "multimodal_decode_bmp" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"),
+          Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            topDown = true).as("bmp_td"))
+        .select(col("doc_id"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp"))).as("px_hex"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_td"))).as("px_hex_td"),
+          hex(substring(col("bmp"), 1, 54)).as("blob_hdr_hex"),
+          Multimodal.bmpDims(col("bmp_td")).getField("width").as("width"),
+          Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))),
+    // image near-dup on REAL BMP bytes end-to-end (header walk → palette
+    // → padded bottom-up rows → luma → dHash → Hamming-LSH): re-keyed
+    // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
+    "dedup_image_bmp" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("bmp"))
+      Multimodal.imageNearDupBmp(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // the GIF + MAGIC-HONESTY drop report: planted classes cover every
     // GIF reason (valid → NO row; cut before the palette completes →
     // truncated; structurally complete stream whose LZW hits EOI before
@@ -2226,6 +2258,24 @@ object SparkEntry {
     // identity), so copies pair at hamming 0 and iid-coin cross pairs
     // never land within hamming 2
     "dedup_image_gif" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // the BMP decoder's luma must equal the analytic gray plant (the
+    // gray palette identity, either row order); the header slice is the
+    // constant spec layout for a 9×8 8-bit BI_RGB BMP (rowBytes 12,
+    // data offset 14+40+1024 = 0x436, file size 0x496)
+    "multimodal_decode_bmp" ->
+      """SELECT doc_id,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_td,
+           '424D960400000000000036040000280000000900000008000000' ||
+             '01000800000000006000000000000000000000000001000000000000' AS blob_hdr_hex,
+           CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+         FROM documents""",
+    // identical pair-set argument to dedup_image_png on BMP payloads
+    "dedup_image_bmp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // every counter recomputed from the planted class arithmetic: class 0

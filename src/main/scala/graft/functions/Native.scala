@@ -2309,8 +2309,9 @@ object Native {
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (palette/16-bit PNG, progressive JPEG,
     *                              float/8-bit WAV, lossy WebP, non-MJPEG
-    *                              MP4), or a RECOGNIZED format magic with
-    *                              no decoder in this pipeline (TIFF, BMP,
+    *                              MP4, RLE/low-depth BMP), or a
+    *                              RECOGNIZED format magic with no decoder
+    *                              in this pipeline (TIFF,
     *                              MP3, Ogg, Matroska/WebM, FLAC) — real
     *                              media a crawl carries in volume, kept
     *                              out of `bad_magic` so the per-reason
@@ -2457,7 +2458,15 @@ object Native {
         s("unsupported_profile") // TIFF (both byte orders)
       else if (b(0) == 'B' && b(1) == 'M' &&
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
-        s("unsupported_profile") // BMP ("BM" + the 4 reserved zero bytes)
+        // BMP decodes for real (BI_RGB 8/24/32 — [[Bmp]]); RLE/bitfields/
+        // low-depth profiles stay recognized-but-unsupported
+        Bmp.status(b) match {
+          case Bmp.Ok => null
+          case Bmp.Truncated => s("truncated")
+          case Bmp.Bomb => s("bomb_guard")
+          case Bmp.Unsupported => s("unsupported_profile")
+          case _ => s("corrupt")
+        }
       else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
         s("unsupported_profile") // MP3 with an ID3v2 tag
       else if ((b(0) & 0xff) == 0xFF && (b(1) & 0xe0) == 0xe0)
@@ -3301,6 +3310,173 @@ object Native {
     }
   }
 
+  /** BMP (Windows DIB, BI_RGB) — the uncompressed workhorse format of
+    * scraped office/clipart content. REAL decode per the public Windows
+    * bitmap layout: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER-or-
+    * later (size ≥ 40; V4/V5 keep the core fields at the same offsets),
+    * 8-bit palette (BGRX quads, `biClrUsed` honored) and 24/32-bit
+    * truecolor (BGR(X) order), 4-byte row padding, bottom-up rows with
+    * the top-down negative-height variant. Out of contract (→
+    * `unsupported_profile`): 1/2/4/16-bit depths, any `biCompression`
+    * other than BI_RGB (RLE4/RLE8/BITFIELDS), and pre-Windows-3
+    * BITMAPCOREHEADER files. */
+  private object Bmp {
+    val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+    /** "BM" plus the four reserved zero bytes — the same guard the
+      * classifier and [[graft.operators.Multimodal.modality]] sniff on,
+      * so no text payload starting "BM…" ever routes here and the
+      * decode/classify surfaces cannot disagree about dispatch. */
+    def hasMagic(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == 'B' && b(1) == 'M' &&
+        b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0
+
+    /** Shared header walk + pixel decode: (status, w, h, luma); luma
+      * non-null only at [[Ok]]. Ran-out-of-bytes is [[Truncated]],
+      * inconsistent fields are [[Corrupt]], out-of-contract coding is
+      * [[Unsupported]], over-cap dims are [[Bomb]]. */
+    def firstFrame(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val bad = (Corrupt, 0, 0, null: Array[Byte])
+      val trunc = (Truncated, 0, 0, null: Array[Byte])
+      try {
+        val n = b.length
+        if (!hasMagic(b)) return bad
+        if (n < 54) return trunc // file header 14 + INFOHEADER 40
+        val off = u32(b, 10)
+        val hdrSize = u32(b, 14)
+        if (hdrSize < 40) return (Unsupported, 0, 0, null) // BITMAPCOREHEADER era
+        val w = i32(b, 18)
+        val h0 = i32(b, 22)
+        val topDown = h0 < 0
+        val h = math.abs(h0)
+        if (u16(b, 26) != 1) return bad // planes must be 1
+        val bpp = u16(b, 28)
+        val compression = u32(b, 30)
+        if (compression != 0) return (Unsupported, 0, 0, null) // RLE/bitfields
+        if (bpp != 8 && bpp != 24 && bpp != 32) return (Unsupported, 0, 0, null)
+        if (w <= 0 || h == 0 || h0 == Int.MinValue) return bad
+        if (w.toLong * h > Png.MaxPixels) return (Bomb, 0, 0, null)
+        var palOff = 0; var palLen = 0
+        if (bpp == 8) {
+          val clrUsed = u32(b, 46)
+          if (clrUsed > 256) return bad
+          palLen = if (clrUsed == 0L) 256 else clrUsed.toInt
+          palOff = 14 + hdrSize.toInt
+          if (14L + hdrSize + 4L * palLen > n) return trunc
+          if (hdrSize > Int.MaxValue - 14) return bad
+        }
+        val rowBytes = ((w.toLong * bpp / 8 + 3) & ~3L)
+        if (off < 14 + hdrSize + (if (bpp == 8) 4L * palLen else 0L)) return bad
+        if (off + rowBytes * h > n) return trunc
+        val base0 = off.toInt
+        val luma = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          val rb = base0 + (srcRow * rowBytes).toInt
+          var x = 0
+          while (x < w) {
+            var r = 0; var g = 0; var bl = 0
+            if (bpp == 8) {
+              val idx = b(rb + x) & 0xff
+              if (idx >= palLen) return bad
+              val q = palOff + 4 * idx // BGRX quad
+              bl = b(q) & 0xff; g = b(q + 1) & 0xff; r = b(q + 2) & 0xff
+            } else {
+              val p = rb + x * (bpp / 8) // BGR(X)
+              bl = b(p) & 0xff; g = b(p + 1) & 0xff; r = b(p + 2) & 0xff
+            }
+            luma(y * w + x) = Png.luma601(r, g, bl).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (Ok, w, h, luma)
+      } catch { case NonFatal(_) => bad }
+    }
+
+    def status(b: Array[Byte]): Int = firstFrame(b)._1
+
+    def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (st, w, h, luma) = firstFrame(b)
+      if (st != Ok) null else (w, h, luma)
+    }
+  }
+
+  /** bmp_decode_luma(BINARY) → BINARY: REAL BMP (BI_RGB) pixel decode to
+    * the exact-integer luma plane — [[PngLumaDecode]]'s BMP sibling
+    * ([[Bmp]]): 8-bit palette and 24/32-bit BGR(X), row padding,
+    * bottom-up and top-down. Null off contract. */
+  case class BmpLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val d = Bmp.decodeLuma(input.asInstanceOf[Array[Byte]])
+        if (d == null) null else d._3
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** bmp_encode_gray8(BINARY pixels, width; topDown) → BINARY: a REAL,
+    * complete 8-bit BI_RGB BMP from row-major gray-8 bytes — the fixture
+    * builder for [[BmpLumaDecode]]. The 256-entry grayscale palette
+    * (BGRX quad i = (i,i,i,0)) makes decode∘encode the identity on the
+    * gray bytes; rows are written bottom-up (or top-down with the
+    * negative-height header when asked) with the spec's 4-byte padding,
+    * so both row orders and the padding walk sit inside every oracled
+    * decode. Fixture builder; production writes BMP with a codec. */
+  case class BmpGray8Encode(left: Expression, right: Expression, topDown: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      val rowBytes = (w + 3) & ~3
+      val dataOff = 14 + 40 + 4 * 256
+      val fileSize = dataOff + rowBytes * h
+      val out = new java.io.ByteArrayOutputStream(fileSize)
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      out.write('B'); out.write('M')
+      le32(fileSize); le32(0); le32(dataOff)
+      le32(40); le32(w); le32(if (topDown) -h else h)
+      le16(1); le16(8); le32(0) // planes, bpp, BI_RGB
+      le32(rowBytes * h); le32(0); le32(0); le32(256); le32(0)
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        out.write(pixels, srcRow * w, w)
+        var p = w
+        while (p < rowBytes) { out.write(0); p += 1 }
+        y += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** gif_decode_luma(BINARY) → BINARY: REAL GIF (87a/89a) first-frame
     * pixel decode to the exact-integer luma plane — [[PngLumaDecode]]'s
     * GIF sibling, per the public GIF89a spec ([[Gif]]): block walk, LZW,
@@ -3433,6 +3609,8 @@ object Native {
     try Option(Webp.decodeLuma(b)) catch { case NonFatal(_) => None }
   def gifLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try Option(Gif.decodeLuma(b)) catch { case NonFatal(_) => None }
+  def bmpLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Bmp.decodeLuma(b)) catch { case NonFatal(_) => None }
   /** Raw ARGB decode for the spec-vector tests (container + VP8L). */
   private[graft] def webpArgbForTest(b: Array[Byte]): Array[Int] = {
     val (st, payload) = Webp.probeContainer(b)
@@ -4055,6 +4233,9 @@ object Native {
     "graft_gif_decode_luma" -> (exprs => GifLumaDecode(exprs(0))),
     "graft_gif_encode_gray8" -> (exprs => GifGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "interlace"), boolLit(exprs(3), "localPalette"))),
+    "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
+    "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
+      boolLit(exprs(2), "topDown"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -4172,6 +4353,12 @@ object Native {
     call_function("graft_gif_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(interlace),
       org.apache.spark.sql.functions.lit(localPalette))
+  def bmpDecodeLuma(bmp: Column): Column =
+    call_function("graft_bmp_decode_luma", bmp)
+  def bmpEncodeGray8(pixels: Column, width: Column,
+      topDown: Boolean = false): Column =
+    call_function("graft_bmp_encode_gray8", pixels, width,
+      org.apache.spark.sql.functions.lit(topDown))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

@@ -183,10 +183,25 @@ object Multimodal {
       leUInt(bin, 9, 2).as("height"))).otherwise(nullDims)
   }
 
+  /** REAL BMP dimension decode — BITMAPINFOHEADER width/height at bytes
+    * 18-21/22-25 (0-based) as little-endian i32s; a negative height is
+    * the top-down variant, so its magnitude is reported. Null for
+    * anything that is not a "BM"+reserved-zeros DIB. */
+  def bmpDims(bin: Column): Column = {
+    val isBmp = length(bin) >= 26 &&
+      substring(bin, 1, 2).cast("string") === "BM" &&
+      hex(substring(bin, 7, 4)) === "00000000"
+    val hRaw = leUInt(bin, 23, 4)
+    val h = when(hRaw >= lit(1L << 31), lit(1L << 32) - hRaw).otherwise(hRaw)
+    when(isBmp, struct(
+      leUInt(bin, 19, 4).as("width"), h.as("height"))).otherwise(nullDims)
+  }
+
   /** Image dimensions from whichever container matches ([[pngDims]],
-    * [[jpegDims]], [[gifDims]]); null struct for other modalities. */
+    * [[jpegDims]], [[gifDims]], [[bmpDims]]); null struct for other
+    * modalities. */
   def imageDims(bin: Column): Column =
-    coalesce(pngDims(bin), jpegDims(bin), gifDims(bin))
+    coalesce(pngDims(bin), jpegDims(bin), gifDims(bin), bmpDims(bin))
 
   /** Little-endian unsigned int from `n` bytes at 1-based `pos`. */
   private def leUInt(bin: Column, pos: Int, n: Int): Column =
@@ -443,6 +458,8 @@ object Multimodal {
       lumaOf(graft.functions.Native.jpegLumaBytes(bytes))
     else if (b0 == 'G' && b1 == 'I')
       lumaOf(graft.functions.Native.gifLumaBytes(bytes))
+    else if (b0 == 'B' && b1 == 'M')
+      lumaOf(graft.functions.Native.bmpLumaBytes(bytes))
     else if (b0 == 'R' && b1 == 'I') {
       // disambiguate the RIFF form (bytes 8-11) BEFORE picking a core:
       // AVI and WebP payloads must never reach the WAV sample walk
@@ -647,6 +664,31 @@ object Multimodal {
     Dedup.hammingNearDup(
       images.select(col("id"),
         dHash(gifDecodeLuma(col("gif")), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** REAL BMP (BI_RGB) pixel decode to the exact-integer luma plane
+    * ([[graft.functions.Native.BmpLumaDecode]]): 8-bit palette and
+    * 24/32-bit BGR(X), 4-byte row padding, bottom-up and top-down rows.
+    * Null on RLE/bitfields/low-depth profiles or damage — those land in
+    * the drop report as unsupported_profile/corrupt. */
+  def bmpDecodeLuma(bmp: Column): Column =
+    graft.functions.Native.bmpDecodeLuma(bmp)
+
+  /** Fixture-grade 8-bit BI_RGB BMP encode ([[graft.functions.Native
+    * .BmpGray8Encode]]): row-major gray-8 bytes → a complete BMP with a
+    * 256-entry grayscale palette (decode∘encode = identity), bottom-up
+    * or top-down by flag. Fixture builder for the BMP tier's oracles. */
+  def bmpEncodeGray8(pixels: Column, width: Column, topDown: Boolean = false): Column =
+    graft.functions.Native.bmpEncodeGray8(pixels, width, topDown)
+
+  /** [[imageNearDupPng]] on BMP payloads: [[bmpDecodeLuma]] → [[dHash]]
+    * → the shared Hamming-banded LSH core. */
+  def imageNearDupBmp(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(bmpDecodeLuma(col("bmp")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

@@ -411,7 +411,6 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
     val cases = Seq(
       ("49492A00", "image/tiff"), ("4D4D002A", "image/tiff"),
-      ("424D000000000000000000", "image/bmp"), // BM + reserved zeros
       ("494433", "audio/mpeg"), ("FFFB9000", "audio/mpeg"),
       ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"),
       ("664C6143", "audio/flac"))
@@ -425,10 +424,75 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getString(1) == mime, s"$magicHex sniffed as ${row.getString(1)}")
       assert(Multimodal.realCodec(b).isEmpty) // recognized ≠ decodable
     }
+    // BMP is no longer merely recognized — BI_RGB decodes for real; the
+    // out-of-contract profiles (here RLE8 compression) still classify
+    // unsupported_profile under image/bmp
+    val rleBmp = hexBytesT("424D7604000000000000360400002800000004000000020000000100" +
+      "0800010000000000000000000000000000000000000000000000")
+    val rleRow = Seq(Tuple1(rleBmp)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b"),
+        Multimodal.modality($"b")).collect().head
+    assert(rleRow.getString(0) == "unsupported_profile" && rleRow.getString(1) == "image/bmp")
+    assert(Multimodal.realCodec(rleBmp).isEmpty)
     // plain junk still lands in bad_magic — recognition must not leak
     val junkRow = Seq(Tuple1("garbage payload bytes".getBytes("UTF-8"))).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).collect().head
     assert(junkRow.getString(0) == "bad_magic")
+  }
+
+  test("BMP round-trip: decode(encode(px)) is the identity, bottom-up and top-down, with padded rows") {
+    // width 9: rowBytes pads 9 → 12, so the padding walk is in every path
+    val px = Array.tabulate(9 * 8)(i => ((i * 131 + 17) & 0xff).toByte)
+    for (topDown <- Seq(false, true)) {
+      val bmp = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.bmpEncodeGray8($"px", lit(9), topDown))
+        .as[Array[Byte]].head()
+      val got = Seq(Tuple1(bmp)).toDF("b")
+        .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(got, px), s"round-trip failed at topDown=$topDown")
+      val dims = Seq(Tuple1(bmp)).toDF("b")
+        .select(Multimodal.bmpDims($"b").getField("width"),
+          Multimodal.bmpDims($"b").getField("height")).as[(Long, Long)].head()
+      assert(dims == ((9L, 8L)), s"dims $dims at topDown=$topDown")
+    }
+  }
+
+  test("BMP decode: 24-bit and 32-bit BGR(X) hand vectors, bottom-up row order, failure classes") {
+    def luma(hexStr: String): Array[Byte] =
+      Seq(Tuple1(hexBytesT(hexStr))).toDF("b")
+        .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(hexStr: String): String = {
+      val r = Seq(Tuple1(hexBytesT(hexStr))).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // 2×2 24-bit: file rows bottom-up, BGR order, 2 pad bytes per row —
+    // luma601 of (R,G,B): top row (9,8,7)→8, (12,11,10)→11; bottom row
+    // (3,2,1)→2, (6,5,4)→5
+    val bmp24 = "424D4600000000000000360000002800000002000000020000000100" +
+      "1800000000001000000000000000000000000000000000000000" +
+      "010203040506" + "0000" + "0708090A0B0C" + "0000"
+    assert(luma(bmp24).toSeq == Seq[Byte](8, 11, 2, 5))
+    assert(reason(bmp24) == null)
+    // 1×1 32-bit BGRX: (3,2,1)→2, the X byte ignored
+    val bmp32 = "424D3A00000000000000360000002800000001000000010000000100" +
+      "2000000000000400000000000000000000000000000000000000" + "010203FF"
+    assert(luma(bmp32).toSeq == Seq[Byte](2))
+    // pixel array cut short → truncated
+    assert(reason(bmp24.dropRight(4)) == "truncated")
+    // 65535×65535 header dims → bomb_guard
+    val bombBmp = "424D46000000000000003600000028000000FFFF0000FFFF00000100" +
+      "1800000000001000000000000000000000000000000000000000"
+    assert(reason(bombBmp) == "bomb_guard")
+    // planes ≠ 1 → corrupt
+    val badPlanes = "424D4600000000000000360000002800000002000000020000000200" +
+      "1800000000001000000000000000000000000000000000000000" +
+      "010203040506" + "0000" + "0708090A0B0C" + "0000"
+    assert(reason(badPlanes) == "corrupt" && luma(badPlanes) == null)
+    // BITMAPCOREHEADER (size 12) → unsupported_profile
+    val coreHdr = "424D460000000000000036000000" + "0C000000" +
+      "0200020001001800" + "00" * 30
+    assert(reason(coreHdr) == "unsupported_profile")
   }
 
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
@@ -481,6 +545,14 @@ class MultimodalSpec extends AnyFunSuite {
       "id3Mp3" -> ("ID3".getBytes("US-ASCII") ++ Array.fill(12)(9.toByte)),
       "ogg" -> ("OggS".getBytes("US-ASCII") ++ Array.fill(12)(9.toByte)),
       "tiff" -> (hexBytesT("49492A00") ++ Array.fill(12)(9.toByte)),
+      "bmp" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.bmpEncodeGray8($"px", lit(9), topDown = true))
+        .as[Array[Byte]].head(),
+      "cutBmp" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+        .dropRight(8),
+      "rleBmp" -> hexBytesT("424D760400000000000036040000280000000400000002000000" +
+        "01000800010000000000000000000000000000000000000000000000"),
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -515,9 +587,11 @@ class MultimodalSpec extends AnyFunSuite {
     val gif = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.gifEncodeGray8($"px", lit(9), interlace = true))
       .as[Array[Byte]].head()
+    val bmp = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
