@@ -95,6 +95,7 @@ object ScalingCurve {
     // scan degenerated)
     "dedup_image_gif",
     "dedup_image_bmp",
+    "dedup_image_tiff",
     "store_retract_attrs")
 
   private[graft] val FlagExponent = 1.3

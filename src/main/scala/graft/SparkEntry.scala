@@ -1244,16 +1244,52 @@ object SparkEntry {
       Multimodal.imageNearDupBmp(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // REAL baseline-TIFF pixel decode, hash-oracled: the planted 9×8
+    // gray bitmap → the fixture's single-strip BlackIsZero TIFF — in
+    // BOTH byte orders (px_hex little-endian II, px_hex_be big-endian
+    // MM), so the IFD walk's two int decoders sit inside the oracled
+    // query. Two independent pins: blob_hdr_hex is the 122-byte
+    // header+IFD sliced off the blob at the spec layout (magic, IFD
+    // offset 8, nine entries, strip offset 0x7A), and blob_px_hex is the
+    // pixel strip sliced at that offset — which must equal what the
+    // decoder returns, proving the encoder wrote spec-layout TIFF rather
+    // than sharing a compensating offset bug with the decoder.
+    "multimodal_decode_tiff" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("tiff"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            bigEndian = true).as("tiff_be"))
+        .select(col("doc_id"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
+          hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
+          hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
+    // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
+    // luma → dHash → Hamming-LSH), big-endian so the MM path sits inside
+    // the banded-LSH query: re-keyed copies share blobs bit-for-bit →
+    // exactly one hamming-0 pair per doc
+    "dedup_image_tiff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            bigEndian = true).as("tiff"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("tiff"))
+      Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // the GIF + MAGIC-HONESTY drop report: planted classes cover every
     // GIF reason (valid → NO row; cut before the palette completes →
     // truncated; structurally complete stream whose LZW hits EOI before
     // the raster → corrupt; a frame with no color table anywhere →
     // unsupported_profile; 65535×65535 header dims → bomb_guard) plus
     // three recognized-but-undecodable magics (ID3-tagged MP3, Ogg,
-    // TIFF) that must land in unsupported_profile under their REAL mime
-    // — not in bad_magic with junk. Three planted sources prove the
-    // group keys; the oracle recomputes every counter from the class
-    // arithmetic alone.
+    // EBML/WebM) that must land in unsupported_profile under their REAL
+    // mime — not in bad_magic with junk. (TIFF left this class in r12:
+    // baseline TIFF decodes for real now, so bare-magic-plus-junk TIFF
+    // is structural damage, not a profile limit.) Three planted sources
+    // prove the group keys; the oracle recomputes every counter from
+    // the class arithmetic alone.
     "multimodal_drop_report_gif" -> ((s, d) => {
       val cls = col("doc_id") % 8
       val gif = Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9))
@@ -1272,7 +1308,7 @@ object SparkEntry {
         .when(cls === 4, bombGif)
         .when(cls === 5, concat(lit("ID3".getBytes("US-ASCII")), junk))
         .when(cls === 6, concat(lit("OggS".getBytes("US-ASCII")), junk))
-        .otherwise(concat(unhex(lit("49492A00")), junk))
+        .otherwise(concat(unhex(lit("1A45DFA3")), junk))
       Multimodal.decodeDropReport(
         Tables.documents(s, d).select(
           concat(lit("s"),
@@ -2278,6 +2314,28 @@ object SparkEntry {
     "dedup_image_bmp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // the TIFF decoder's luma must equal the analytic gray plant in both
+    // byte orders (BlackIsZero identity); the header slice is the
+    // constant spec layout (II magic, IFD at 8, nine entries, strip at
+    // 0x7A) and the pixel-strip slice is the plant again, read straight
+    // off the blob with no decoder
+    "multimodal_decode_tiff" ->
+      """SELECT doc_id,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_be,
+           '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
+             '080000000301030001000000010000000601030001000000010000001101040001000000' ||
+             '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||
+             '00000000' AS blob_hdr_hex,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS blob_px_hex
+         FROM documents""",
+    // identical pair-set argument to dedup_image_png on TIFF payloads
+    "dedup_image_tiff" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // every counter recomputed from the planted class arithmetic: class 0
     // decodes (NO row — the valid GIF), 1-4 map to the four GIF reasons,
     // 5-7 are recognized-magic media under their true mime
@@ -2288,7 +2346,7 @@ object SparkEntry {
                WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/gif'
                WHEN 3 THEN 'image/gif' WHEN 4 THEN 'image/gif'
                WHEN 5 THEN 'audio/mpeg' WHEN 6 THEN 'audio/ogg'
-               WHEN 7 THEN 'image/tiff' END AS modality,
+               WHEN 7 THEN 'video/webm' END AS modality,
              CASE doc_id % 8
                WHEN 1 THEN 'truncated' WHEN 2 THEN 'corrupt'
                WHEN 3 THEN 'unsupported_profile' WHEN 4 THEN 'bomb_guard'

@@ -2309,10 +2309,10 @@ object Native {
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (palette/16-bit PNG, progressive JPEG,
     *                              float/8-bit WAV, lossy WebP, non-MJPEG
-    *                              MP4, RLE/low-depth BMP), or a
-    *                              RECOGNIZED format magic with no decoder
-    *                              in this pipeline (TIFF,
-    *                              MP3, Ogg, Matroska/WebM, FLAC) — real
+    *                              MP4, RLE/low-depth BMP, compressed or
+    *                              tiled TIFF), or a RECOGNIZED format
+    *                              magic with no decoder in this pipeline
+    *                              (MP3, Ogg, Matroska/WebM, FLAC) — real
     *                              media a crawl carries in volume, kept
     *                              out of `bad_magic` so the per-reason
     *                              counts match what a corpus owner sees
@@ -2453,9 +2453,17 @@ object Native {
       // owner reads them — they are real media, dropped for a PROFILE
       // limitation, so they classify `unsupported_profile` like
       // progressive JPEG or lossy VP8. ----
-      else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
-        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
-        s("unsupported_profile") // TIFF (both byte orders)
+      else if (Tiff.hasMagic(b))
+        // baseline TIFF decodes for real (uncompressed 8-bit gray/RGB,
+        // strips, both byte orders — [[Tiff]]); LZW/PackBits/tiled/
+        // palette profiles stay recognized-but-unsupported
+        Tiff.status(b) match {
+          case Tiff.Ok => null
+          case Tiff.Truncated => s("truncated")
+          case Tiff.Bomb => s("bomb_guard")
+          case Tiff.Unsupported => s("unsupported_profile")
+          case _ => s("corrupt")
+        }
       else if (b(0) == 'B' && b(1) == 'M' &&
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
         // BMP decodes for real (BI_RGB 8/24/32 — [[Bmp]]); RLE/bitfields/
@@ -2485,7 +2493,10 @@ object Native {
       ((b(0) & 0xff) == 0x89 && b(1) == 'P') ||
         ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) ||
         (b(0) == 'R' && b(1) == 'I') ||
-        (b(0) == 'G' && b(1) == 'I')
+        (b(0) == 'G' && b(1) == 'I') ||
+        (b(0) == 'I' && b(1) == 'I') ||
+        (b(0) == 'M' && b(1) == 'M') ||
+        (b(0) == 'B' && b(1) == 'M')
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -3477,6 +3488,222 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** Baseline TIFF (Rev 6.0) — the scanned-document/archival format of
+    * crawled corpora. REAL decode per the public TIFF 6.0 specification:
+    * both byte orders (II little-endian, MM big-endian), the IFD entry
+    * walk (SHORT/LONG value types, inline-vs-offset values by the spec's
+    * 4-byte rule), strip-based storage (`RowsPerStrip`/`StripOffsets`/
+    * `StripByteCounts`, any strip count), chunky 8-bit grayscale
+    * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB. Out of
+    * contract (→ `unsupported_profile`): any Compression other than 1
+    * (none), tiled layout, palette-color, planar configuration 2, non-8
+    * bit depths, extra samples. */
+  private object Tiff {
+    val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+
+    def hasMagic(b: Array[Byte]): Boolean =
+      b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+    def firstFrame(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val bad = (Corrupt, 0, 0, null: Array[Byte])
+      val trunc = (Truncated, 0, 0, null: Array[Byte])
+      try {
+        val n = b.length
+        if (!hasMagic(b)) return bad
+        val le = b(0) == 'I'
+        def u16(off: Int): Int =
+          if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+          else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        def u32(off: Int): Long =
+          if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+          else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        val ifdOff = u32(4)
+        if (ifdOff < 8 || ifdOff + 2 > n) return trunc
+        val count = u16(ifdOff.toInt)
+        val entriesEnd = ifdOff + 2 + 12L * count + 4
+        if (entriesEnd > n) return trunc
+        // tag → (type, count, offset of the 4-byte value field)
+        val entries = scala.collection.mutable.Map.empty[Int, (Int, Long, Int)]
+        var i = 0
+        while (i < count) {
+          val e = ifdOff.toInt + 2 + 12 * i
+          entries(u16(e)) = (u16(e + 2), u32(e + 4), e + 8)
+          i += 1
+        }
+        def typeSize(t: Int): Int = t match {
+          case 1 | 2 => 1; case 3 => 2; case 4 => 4; case _ => -1
+        }
+        // single unsigned scalar; -1 when absent, -2 off contract
+        def scalar(tag: Int, default: Long): Long = entries.get(tag) match {
+          case None => default
+          case Some((t, c, v)) =>
+            if (c != 1) -2
+            else t match {
+              case 1 => b(v) & 0xffL
+              case 3 => u16(v).toLong
+              case 4 => u32(v)
+              case _ => -2
+            }
+        }
+        // unsigned vector (inline when total size ≤ 4, else via offset)
+        def vector(tag: Int): Array[Long] = entries.get(tag) match {
+          case None => null
+          case Some((t, c, v)) =>
+            val sz = typeSize(t)
+            if (sz < 0 || c > n || c > (1 << 20)) return null
+            val base = if (sz * c <= 4) v.toLong else u32(v)
+            if (base + sz * c > n) throw new ArrayIndexOutOfBoundsException(n)
+            Array.tabulate(c.toInt) { k =>
+              val o = (base + sz.toLong * k).toInt
+              sz match { case 1 => b(o) & 0xffL; case 2 => u16(o).toLong; case _ => u32(o) }
+            }
+        }
+        if (entries.contains(322) || entries.contains(323) ||
+          entries.contains(324) || entries.contains(325))
+          return (Unsupported, 0, 0, null) // tiled layout
+        val compression = scalar(259, 1)
+        if (compression != 1) return (Unsupported, 0, 0, null)
+        val photometric = scalar(262, -1)
+        if (photometric < 0 || photometric > 2) return (Unsupported, 0, 0, null)
+        if (scalar(284, 1) != 1) return (Unsupported, 0, 0, null) // planar
+        val samples = scalar(277, 1)
+        if (samples != 1 && samples != 3) return (Unsupported, 0, 0, null)
+        if ((photometric == 2) != (samples == 3)) return (Unsupported, 0, 0, null)
+        val bits = if (entries.contains(258)) vector(258) else Array(8L)
+        if (bits == null || bits.exists(_ != 8L)) return (Unsupported, 0, 0, null)
+        val wL = scalar(256, -1); val hL = scalar(257, -1)
+        if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
+        if (wL * hL > Png.MaxPixels) return (Bomb, 0, 0, null)
+        val w = wL.toInt; val h = hL.toInt
+        val rps0 = scalar(278, hL)
+        if (rps0 <= 0) return bad
+        val rps = math.min(rps0, hL).toInt
+        val strips = (h + rps - 1) / rps
+        val offs = vector(273); val cnts = vector(279)
+        if (offs == null || cnts == null ||
+          offs.length != strips || cnts.length != strips) return bad
+        val rowBytes = w.toLong * samples
+        val luma = new Array[Byte](w * h)
+        var s = 0
+        while (s < strips) {
+          val r0 = s * rps
+          val r1 = math.min(h, r0 + rps)
+          val need = rowBytes * (r1 - r0)
+          if (cnts(s) < need) return bad // strip shorter than its rows
+          if (offs(s) + need > n) return trunc
+          var r = r0
+          while (r < r1) {
+            val rb = (offs(s) + rowBytes * (r - r0)).toInt
+            var x = 0
+            while (x < w) {
+              val v =
+                if (samples == 1) {
+                  val g = b(rb + x) & 0xff
+                  if (photometric == 0) 255 - g else g // WhiteIsZero inverts
+                } else {
+                  val p = rb + 3 * x
+                  Png.luma601(b(p) & 0xff, b(p + 1) & 0xff, b(p + 2) & 0xff)
+                }
+              luma(r * w + x) = v.toByte
+              x += 1
+            }
+            r += 1
+          }
+          s += 1
+        }
+        (Ok, w, h, luma)
+      } catch {
+        case _: ArrayIndexOutOfBoundsException => trunc // a pointer past the payload
+        case NonFatal(_) => bad
+      }
+    }
+
+    def status(b: Array[Byte]): Int = firstFrame(b)._1
+
+    def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (st, w, h, luma) = firstFrame(b)
+      if (st != Ok) null else (w, h, luma)
+    }
+  }
+
+  /** tiff_decode_luma(BINARY) → BINARY: REAL baseline TIFF pixel decode
+    * to the exact-integer luma plane — [[PngLumaDecode]]'s TIFF sibling
+    * ([[Tiff]]): both byte orders, the IFD walk, strips, 8-bit gray
+    * (either polarity) and RGB. Null off contract. */
+  case class TiffLumaDecode(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val d = Tiff.decodeLuma(input.asInstanceOf[Array[Byte]])
+        if (d == null) null else d._3
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** tiff_encode_gray8(BINARY pixels, width; bigEndian) → BINARY: a
+    * REAL, complete single-strip baseline TIFF (header at 0, one IFD at
+    * 8, pixel data right after) from row-major gray-8 bytes — the
+    * fixture builder for [[TiffLumaDecode]], in EITHER byte order so the
+    * II and MM walks both sit inside oracled decodes. BlackIsZero, so
+    * decode∘encode is the identity. Fixture builder; production writes
+    * TIFF with a codec. */
+  case class TiffGray8Encode(left: Expression, right: Expression, bigEndian: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (h > 65535) return null // SHORT-typed dims in this fixture layout
+      val out = new java.io.ByteArrayOutputStream(122 + pixels.length)
+      def w16(v: Int): Unit =
+        if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit =
+        if (bigEndian) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+        else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      // value field of a count-1 SHORT: the spec packs it into the FIRST
+      // two bytes of the 4-byte field in the file's byte order
+      def short1(v: Int): Unit = { w16(v); w16(0) }
+      out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+      w16(42); w32(8)
+      val dataOff = 8 + 2 + 9 * 12 + 4 // one IFD, nine entries
+      w16(9)
+      def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+        w16(tag); w16(typ); w32(cnt); value
+      }
+      entry(256, 3, 1)(short1(w)) // ImageWidth
+      entry(257, 3, 1)(short1(h)) // ImageLength
+      entry(258, 3, 1)(short1(8)) // BitsPerSample
+      entry(259, 3, 1)(short1(1)) // Compression: none
+      entry(262, 3, 1)(short1(1)) // Photometric: BlackIsZero
+      entry(273, 4, 1)(w32(dataOff)) // StripOffsets
+      entry(277, 3, 1)(short1(1)) // SamplesPerPixel
+      entry(278, 3, 1)(short1(h)) // RowsPerStrip: one strip
+      entry(279, 4, 1)(w32(pixels.length)) // StripByteCounts
+      w32(0) // no next IFD
+      out.write(pixels)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** gif_decode_luma(BINARY) → BINARY: REAL GIF (87a/89a) first-frame
     * pixel decode to the exact-integer luma plane — [[PngLumaDecode]]'s
     * GIF sibling, per the public GIF89a spec ([[Gif]]): block walk, LZW,
@@ -3611,6 +3838,8 @@ object Native {
     try Option(Gif.decodeLuma(b)) catch { case NonFatal(_) => None }
   def bmpLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try Option(Bmp.decodeLuma(b)) catch { case NonFatal(_) => None }
+  def tiffLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try Option(Tiff.decodeLuma(b)) catch { case NonFatal(_) => None }
   /** Raw ARGB decode for the spec-vector tests (container + VP8L). */
   private[graft] def webpArgbForTest(b: Array[Byte]): Array[Int] = {
     val (st, payload) = Webp.probeContainer(b)
@@ -4236,6 +4465,9 @@ object Native {
     "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
     "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "topDown"))),
+    "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
+    "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
+      boolLit(exprs(2), "bigEndian"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -4359,6 +4591,12 @@ object Native {
       topDown: Boolean = false): Column =
     call_function("graft_bmp_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(topDown))
+  def tiffDecodeLuma(tiff: Column): Column =
+    call_function("graft_tiff_decode_luma", tiff)
+  def tiffEncodeGray8(pixels: Column, width: Column,
+      bigEndian: Boolean = false): Column =
+    call_function("graft_tiff_encode_gray8", pixels, width,
+      org.apache.spark.sql.functions.lit(bigEndian))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

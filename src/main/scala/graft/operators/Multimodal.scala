@@ -460,6 +460,8 @@ object Multimodal {
       lumaOf(graft.functions.Native.gifLumaBytes(bytes))
     else if (b0 == 'B' && b1 == 'M')
       lumaOf(graft.functions.Native.bmpLumaBytes(bytes))
+    else if ((b0 == 'I' && b1 == 'I') || (b0 == 'M' && b1 == 'M'))
+      lumaOf(graft.functions.Native.tiffLumaBytes(bytes))
     else if (b0 == 'R' && b1 == 'I') {
       // disambiguate the RIFF form (bytes 8-11) BEFORE picking a core:
       // AVI and WebP payloads must never reach the WAV sample walk
@@ -689,6 +691,30 @@ object Multimodal {
     Dedup.hammingNearDup(
       images.select(col("id"),
         dHash(bmpDecodeLuma(col("bmp")), width, height).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** REAL baseline TIFF pixel decode to the exact-integer luma plane
+    * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders, the
+    * IFD walk, strip storage, 8-bit gray (either polarity) and RGB.
+    * Null on compressed/tiled/palette profiles or damage. */
+  def tiffDecodeLuma(tiff: Column): Column =
+    graft.functions.Native.tiffDecodeLuma(tiff)
+
+  /** Fixture-grade single-strip baseline TIFF encode ([[graft.functions
+    * .Native.TiffGray8Encode]]): row-major gray-8 bytes → a complete
+    * BlackIsZero TIFF in either byte order (decode∘encode = identity).
+    * Fixture builder for the TIFF tier's oracles. */
+  def tiffEncodeGray8(pixels: Column, width: Column, bigEndian: Boolean = false): Column =
+    graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian)
+
+  /** [[imageNearDupPng]] on TIFF payloads: [[tiffDecodeLuma]] → [[dHash]]
+    * → the shared Hamming-banded LSH core. */
+  def imageNearDupTiff(images: DataFrame, width: Int, height: Int,
+      maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      images.select(col("id"),
+        dHash(tiffDecodeLuma(col("tiff")), width, height).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

@@ -410,7 +410,6 @@ class MultimodalSpec extends AnyFunSuite {
   test("recognized-but-undecodable magics classify unsupported_profile under their real mime — never bad_magic") {
     val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
     val cases = Seq(
-      ("49492A00", "image/tiff"), ("4D4D002A", "image/tiff"),
       ("494433", "audio/mpeg"), ("FFFB9000", "audio/mpeg"),
       ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"),
       ("664C6143", "audio/flac"))
@@ -434,6 +433,17 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.modality($"b")).collect().head
     assert(rleRow.getString(0) == "unsupported_profile" && rleRow.getString(1) == "image/bmp")
     assert(Multimodal.realCodec(rleBmp).isEmpty)
+    // TIFF likewise decodes for real now; an LZW-compressed one (the
+    // Compression entry patched 1 → 5 at its spec offset) is the
+    // out-of-contract profile under image/tiff
+    val lzwTiff = Seq(Tuple1(Array.tabulate(9 * 8)(_.toByte))).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    lzwTiff(54) = 5
+    val lzwRow = Seq(Tuple1(lzwTiff)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b"),
+        Multimodal.modality($"b")).collect().head
+    assert(lzwRow.getString(0) == "unsupported_profile" && lzwRow.getString(1) == "image/tiff")
+    assert(Multimodal.realCodec(lzwTiff).isEmpty)
     // plain junk still lands in bad_magic — recognition must not leak
     val junkRow = Seq(Tuple1("garbage payload bytes".getBytes("UTF-8"))).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).collect().head
@@ -495,6 +505,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(coreHdr) == "unsupported_profile")
   }
 
+  test("TIFF round-trip: decode(encode(px)) is the identity in both byte orders") {
+    val px = Array.tabulate(9 * 8)(i => ((i * 131 + 17) & 0xff).toByte)
+    for (be <- Seq(false, true)) {
+      val tiff = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9), be)).as[Array[Byte]].head()
+      val got = Seq(Tuple1(tiff)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(got, px), s"round-trip failed at bigEndian=$be")
+    }
+  }
+
+  test("TIFF decode: RGB, WhiteIsZero inversion, multi-strip storage, and failure classes match hand vectors") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // 2×1 RGB, LE: BitsPerSample count-3 array via OFFSET (122), strip
+    // at 128 — luma601(9,8,7)=8, luma601(12,11,10)=11
+    val rgb = hexBytesT("49492A00080000000900" +
+      "000103000100000002000000" + "010103000100000001000000" +
+      "0201030003000000" + "7A000000" + "030103000100000001000000" +
+      "060103000100000002000000" + "1101040001000000" + "80000000" +
+      "150103000100000003000000" + "160103000100000001000000" +
+      "170104000100000006000000" + "00000000" +
+      "080008000800" + "090807" + "0C0B0A")
+    assert(luma(rgb).toSeq == Seq[Byte](8, 11))
+    assert(reason(rgb) == null)
+    // WhiteIsZero: the gray fixture with Photometric patched 1 → 0 at
+    // its spec offset inverts every sample
+    val px = Array.tabulate(9 * 8)(i => ((i * 37) & 0xff).toByte)
+    val white = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    white(66) = 0 // entry 5 (tag 262) value field
+    assert(luma(white).toSeq == px.toSeq.map(v => (255 - (v & 0xff)).toByte))
+    // 2×2 gray in TWO strips (RowsPerStrip 1): offsets and counts are
+    // count-2 LONG arrays behind offsets; rows land in display order
+    val twoStrip = hexBytesT("49492A00080000000900" +
+      "000103000100000002000000" + "010103000100000002000000" +
+      "020103000100000008000000" + "030103000100000001000000" +
+      "060103000100000001000000" + "1101040002000000" + "7A000000" +
+      "150103000100000001000000" + "160103000100000001000000" +
+      "1701040002000000" + "82000000" + "00000000" +
+      "8A0000008C000000" + "0200000002000000" + "1522" + "3744")
+    assert(luma(twoStrip).toSeq == Seq[Byte](0x15, 0x22, 0x37, 0x44))
+    assert(reason(twoStrip) == null)
+    // strip data cut off → truncated; IFD pointer past the payload → truncated
+    assert(reason(twoStrip.dropRight(2)) == "truncated")
+    assert(reason(hexBytesT("49492A00FF00000000000000")) == "truncated")
+    // 65535×65535 dims → bomb_guard (patch the gray fixture's dims)
+    val bomb = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    bomb(18) = 0xFF.toByte; bomb(19) = 0xFF.toByte // width = 65535
+    bomb(30) = 0xFF.toByte; bomb(31) = 0xFF.toByte // height = 65535
+    assert(reason(bomb) == "bomb_guard")
+    // tiled layout (a TileWidth tag present) → unsupported_profile
+    val tiled = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    tiled(10) = 0x42; tiled(11) = 0x01 // retag entry 0 as 322 TileWidth
+    assert(reason(tiled) == "unsupported_profile")
+  }
+
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
     // the invariant the drop report exists for: a payload it counts
     // dropped must be one the default codec path cannot decode, and vice
@@ -548,6 +623,14 @@ class MultimodalSpec extends AnyFunSuite {
       "bmp" -> Seq(Tuple1(grayPx)).toDF("px")
         .select(Multimodal.bmpEncodeGray8($"px", lit(9), topDown = true))
         .as[Array[Byte]].head(),
+      "tiffLe" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head(),
+      "tiffBe" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9), bigEndian = true))
+        .as[Array[Byte]].head(),
+      "cutTiff" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+        .dropRight(8),
       "cutBmp" -> Seq(Tuple1(grayPx)).toDF("px")
         .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
         .dropRight(8),
@@ -589,9 +672,11 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Array[Byte]].head()
     val bmp = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    val tiff = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
