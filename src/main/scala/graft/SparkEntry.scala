@@ -1259,10 +1259,14 @@ object SparkEntry {
         .select(col("doc_id"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("tiff"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-            bigEndian = true).as("tiff_be"))
+            bigEndian = true).as("tiff_be"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            packBits = true).as("tiff_pb"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
+          // PackBits (real §9 row packing) through the decompressor
+          hex(Multimodal.tiffDecodeLuma(col("tiff_pb"))).as("px_hex_pb"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -2325,6 +2329,8 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_be,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_pb,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||

@@ -3494,10 +3494,12 @@ object Native {
     * walk (SHORT/LONG value types, inline-vs-offset values by the spec's
     * 4-byte rule), strip-based storage (`RowsPerStrip`/`StripOffsets`/
     * `StripByteCounts`, any strip count), chunky 8-bit grayscale
-    * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB. Out of
-    * contract (→ `unsupported_profile`): any Compression other than 1
-    * (none), tiled layout, palette-color, planar configuration 2, non-8
-    * bit depths, extra samples. */
+    * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB,
+    * uncompressed (1) or PackBits (32773 — the spec's own byte-RLE,
+    * §9). Out of contract (→ `unsupported_profile`): any other
+    * Compression (LZW, CCITT, JPEG-in-TIFF, Deflate), tiled layout,
+    * palette-color, planar configuration 2, non-8 bit depths, extra
+    * samples. */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -3566,7 +3568,7 @@ object Native {
           entries.contains(324) || entries.contains(325))
           return (Unsupported, 0, 0, null) // tiled layout
         val compression = scalar(259, 1)
-        if (compression != 1) return (Unsupported, 0, 0, null)
+        if (compression != 1 && compression != 32773) return (Unsupported, 0, 0, null)
         val photometric = scalar(262, -1)
         if (photometric < 0 || photometric > 2) return (Unsupported, 0, 0, null)
         if (scalar(284, 1) != 1) return (Unsupported, 0, 0, null) // planar
@@ -3593,20 +3595,50 @@ object Native {
           val r0 = s * rps
           val r1 = math.min(h, r0 + rps)
           val need = rowBytes * (r1 - r0)
-          if (cnts(s) < need) return bad // strip shorter than its rows
-          if (offs(s) + need > n) return trunc
+          // PackBits: the strip's byte count is the COMPRESSED length;
+          // decompress the self-delimiting control stream continuously
+          // (per-row-packed input concatenates into the same stream)
+          var strip: Array[Byte] = null
+          if (compression == 32773) {
+            if (offs(s) + cnts(s) > n) return trunc
+            strip = new Array[Byte](need.toInt)
+            var ip = offs(s).toInt
+            val end = (offs(s) + cnts(s)).toInt
+            var op = 0
+            while (op < need && ip < end) {
+              val c = b(ip); ip += 1
+              if (c >= 0) { // literal run of c+1 bytes
+                val len = c + 1
+                if (ip + len > end || op + len > need) return bad
+                System.arraycopy(b, ip, strip, op, len)
+                ip += len; op += len
+              } else if (c != -128) { // repeat next byte 1-c times
+                val len = 1 - c
+                if (ip >= end || op + len > need) return bad
+                java.util.Arrays.fill(strip, op, op + len, b(ip))
+                ip += 1; op += len
+              } // -128 is the documented no-op
+            }
+            if (op < need) return bad // control stream ran dry
+          } else {
+            if (cnts(s) < need) return bad // strip shorter than its rows
+            if (offs(s) + need > n) return trunc
+          }
           var r = r0
           while (r < r1) {
-            val rb = (offs(s) + rowBytes * (r - r0)).toInt
+            val rb =
+              if (strip != null) (rowBytes * (r - r0)).toInt
+              else (offs(s) + rowBytes * (r - r0)).toInt
+            val src = if (strip != null) strip else b
             var x = 0
             while (x < w) {
               val v =
                 if (samples == 1) {
-                  val g = b(rb + x) & 0xff
+                  val g = src(rb + x) & 0xff
                   if (photometric == 0) 255 - g else g // WhiteIsZero inverts
                 } else {
                   val p = rb + 3 * x
-                  Png.luma601(b(p) & 0xff, b(p + 1) & 0xff, b(p + 2) & 0xff)
+                  Png.luma601(src(p) & 0xff, src(p + 1) & 0xff, src(p + 2) & 0xff)
                 }
               luma(r * w + x) = v.toByte
               x += 1
@@ -3650,15 +3682,39 @@ object Native {
     * REAL, complete single-strip baseline TIFF (header at 0, one IFD at
     * 8, pixel data right after) from row-major gray-8 bytes — the
     * fixture builder for [[TiffLumaDecode]], in EITHER byte order so the
-    * II and MM walks both sit inside oracled decodes. BlackIsZero, so
+    * II and MM walks both sit inside oracled decodes, and optionally
+    * PackBits-compressed (real §9 row-wise packing with repeat AND
+    * literal packets) so the decompressor does too. BlackIsZero, so
     * decode∘encode is the identity. Fixture builder; production writes
     * TIFF with a codec. */
-  case class TiffGray8Encode(left: Expression, right: Expression, bigEndian: Boolean)
+  case class TiffGray8Encode(left: Expression, right: Expression,
+      bigEndian: Boolean, packBits: Boolean)
       extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
       try encode(px, width) catch { case NonFatal(_) => null }
+    /** Spec §9 PackBits, one ROW per call (TIFF packs rows separately):
+      * runs of ≥3 become repeat packets, the rest literal packets. */
+    private def packRow(row: Array[Byte], off: Int, len: Int,
+        out: java.io.ByteArrayOutputStream): Unit = {
+      var i = 0
+      while (i < len) {
+        var j = i
+        while (j + 1 < len && row(off + j + 1) == row(off + i) && j - i < 127) j += 1
+        val runLen = j - i + 1
+        if (runLen >= 3) { out.write(1 - runLen); out.write(row(off + i)); i = j + 1 }
+        else {
+          var k = i
+          while (k < len && k - i < 128 &&
+            !(k + 2 < len && row(off + k) == row(off + k + 1) &&
+              row(off + k + 1) == row(off + k + 2))) k += 1
+          out.write(k - i - 1)
+          out.write(row, off + i, k - i)
+          i = k
+        }
+      }
+    }
     private def encode(px: Any, width: Any): Any = {
       val pixels = px.asInstanceOf[Array[Byte]]
       val w = width match {
@@ -3670,7 +3726,15 @@ object Native {
       if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
       val h = pixels.length / w
       if (h > 65535) return null // SHORT-typed dims in this fixture layout
-      val out = new java.io.ByteArrayOutputStream(122 + pixels.length)
+      val data: Array[Byte] =
+        if (!packBits) pixels
+        else {
+          val packed = new java.io.ByteArrayOutputStream(pixels.length + h)
+          var r = 0
+          while (r < h) { packRow(pixels, r * w, w, packed); r += 1 }
+          packed.toByteArray
+        }
+      val out = new java.io.ByteArrayOutputStream(122 + data.length)
       def w16(v: Int): Unit =
         if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
         else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -3690,14 +3754,14 @@ object Native {
       entry(256, 3, 1)(short1(w)) // ImageWidth
       entry(257, 3, 1)(short1(h)) // ImageLength
       entry(258, 3, 1)(short1(8)) // BitsPerSample
-      entry(259, 3, 1)(short1(1)) // Compression: none
+      entry(259, 3, 1)(short1(if (packBits) 32773 else 1)) // Compression
       entry(262, 3, 1)(short1(1)) // Photometric: BlackIsZero
       entry(273, 4, 1)(w32(dataOff)) // StripOffsets
       entry(277, 3, 1)(short1(1)) // SamplesPerPixel
       entry(278, 3, 1)(short1(h)) // RowsPerStrip: one strip
-      entry(279, 4, 1)(w32(pixels.length)) // StripByteCounts
+      entry(279, 4, 1)(w32(data.length)) // StripByteCounts
       w32(0) // no next IFD
-      out.write(pixels)
+      out.write(data)
       out.toByteArray
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -4467,7 +4531,7 @@ object Native {
       boolLit(exprs(2), "topDown"))),
     "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "bigEndian"))),
+      boolLit(exprs(2), "bigEndian"), boolLit(exprs(3), "packBits"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -4594,9 +4658,10 @@ object Native {
   def tiffDecodeLuma(tiff: Column): Column =
     call_function("graft_tiff_decode_luma", tiff)
   def tiffEncodeGray8(pixels: Column, width: Column,
-      bigEndian: Boolean = false): Column =
+      bigEndian: Boolean = false, packBits: Boolean = false): Column =
     call_function("graft_tiff_encode_gray8", pixels, width,
-      org.apache.spark.sql.functions.lit(bigEndian))
+      org.apache.spark.sql.functions.lit(bigEndian),
+      org.apache.spark.sql.functions.lit(packBits))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

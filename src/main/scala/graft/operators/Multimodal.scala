@@ -696,8 +696,9 @@ object Multimodal {
 
   /** REAL baseline TIFF pixel decode to the exact-integer luma plane
     * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders, the
-    * IFD walk, strip storage, 8-bit gray (either polarity) and RGB.
-    * Null on compressed/tiled/palette profiles or damage. */
+    * IFD walk, strip storage, 8-bit gray (either polarity) and RGB,
+    * uncompressed or PackBits. Null on LZW/CCITT/tiled/palette profiles
+    * or damage. */
   def tiffDecodeLuma(tiff: Column): Column =
     graft.functions.Native.tiffDecodeLuma(tiff)
 
@@ -705,8 +706,9 @@ object Multimodal {
     * .Native.TiffGray8Encode]]): row-major gray-8 bytes → a complete
     * BlackIsZero TIFF in either byte order (decode∘encode = identity).
     * Fixture builder for the TIFF tier's oracles. */
-  def tiffEncodeGray8(pixels: Column, width: Column, bigEndian: Boolean = false): Column =
-    graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian)
+  def tiffEncodeGray8(pixels: Column, width: Column, bigEndian: Boolean = false,
+      packBits: Boolean = false): Column =
+    graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian, packBits)
 
   /** [[imageNearDupPng]] on TIFF payloads: [[tiffDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */

@@ -505,14 +505,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(coreHdr) == "unsupported_profile")
   }
 
-  test("TIFF round-trip: decode(encode(px)) is the identity in both byte orders") {
-    val px = Array.tabulate(9 * 8)(i => ((i * 131 + 17) & 0xff).toByte)
-    for (be <- Seq(false, true)) {
+  test("TIFF round-trip: decode(encode(px)) is the identity in both byte orders, packed or not") {
+    // run-heavy pixels so the PackBits encoder emits REAL repeat packets
+    // (runs of 5) interleaved with literals — both §9 packet kinds in
+    // every packed round-trip
+    val px = Array.tabulate(9 * 8)(i =>
+      (if ((i / 5) % 2 == 0) 0x40 else i & 0xff).toByte)
+    for (be <- Seq(false, true); pb <- Seq(false, true)) {
       val tiff = Seq(Tuple1(px)).toDF("px")
-        .select(Multimodal.tiffEncodeGray8($"px", lit(9), be)).as[Array[Byte]].head()
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9), be, pb)).as[Array[Byte]].head()
       val got = Seq(Tuple1(tiff)).toDF("b")
         .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
-      assert(java.util.Arrays.equals(got, px), s"round-trip failed at bigEndian=$be")
+      assert(java.util.Arrays.equals(got, px),
+        s"round-trip failed at bigEndian=$be packBits=$pb")
+      if (pb) assert(tiff.length < 122 + px.length, "packBits did not compress runs")
     }
   }
 
@@ -568,6 +574,20 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     tiled(10) = 0x42; tiled(11) = 0x01 // retag entry 0 as 322 TileWidth
     assert(reason(tiled) == "unsupported_profile")
+    // PackBits hand vector (6×1): a -128 no-op, a repeat packet
+    // (-2 → 3×0x41), then a literal packet (3 bytes) — decoded strip
+    // 41 41 41 01 02 03; StripByteCounts is the COMPRESSED length 7
+    val packed = hexBytesT("49492A00080000000900" +
+      "000103000100000006000000" + "010103000100000001000000" +
+      "020103000100000008000000" + "0301030001000000" + "05800000" +
+      "060103000100000001000000" + "11010400010000007A000000" +
+      "150103000100000001000000" + "160103000100000001000000" +
+      "170104000100000007000000" + "00000000" + "80FE4102010203")
+    assert(luma(packed).toSeq == Seq[Byte](0x41, 0x41, 0x41, 1, 2, 3))
+    assert(reason(packed) == null)
+    // control stream runs dry before the raster fills → corrupt
+    assert(reason(packed.dropRight(5) ++
+      Array[Byte](0, 0, 0, 0, 0)) == "corrupt") // counts intact, stream zeroed short
   }
 
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
