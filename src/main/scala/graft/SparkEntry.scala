@@ -1282,6 +1282,31 @@ object SparkEntry {
       Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // GIF animation census, hash-oracled: frames = doc_id%4+1 (static
+    // when 1, animated otherwise) and a NETSCAPE2.0 loop extension
+    // (value doc_id%3) planted on the animated ones — the engine's
+    // structural walk must recover BOTH from the real multi-frame bytes
+    // (12 fixed-flag encoder branches keyed on doc_id%12, since frames/
+    // loop are constructor params), plus dims and the first frame's
+    // decode (animation must not break the pixel tier). loop_count is
+    // NULL for static GIFs — absence of the extension, not zero.
+    "multimodal_gif_meta" -> ((s, d) => {
+      val cls = col("doc_id") % 12
+      val px = plantedBitmap(col("doc_id"))
+      val gif = (0 until 12).foldLeft(lit(null).cast("binary")) { (acc, k) =>
+        val f = k % 4 + 1
+        when(cls === k,
+          Multimodal.gifEncodeGray8(px, lit(9),
+            frames = f, loop = if (f == 1) -1 else k % 3)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), gif.as("gif"))
+        .select(col("doc_id"),
+          Multimodal.gifFrameCount(col("gif")).cast("bigint").as("n_frames"),
+          Multimodal.gifLoopCount(col("gif")).cast("bigint").as("loop_count"),
+          Multimodal.gifDims(col("gif")).getField("width").as("width"),
+          hex(Multimodal.gifDecodeLuma(col("gif"))).as("first_frame_hex"))
+    }),
     // the GIF + MAGIC-HONESTY drop report: planted classes cover every
     // GIF reason (valid → NO row; cut before the palette completes →
     // truncated; structurally complete stream whose LZW hits EOI before
@@ -2341,6 +2366,17 @@ object SparkEntry {
     // identical pair-set argument to dedup_image_png on TIFF payloads
     "dedup_image_tiff" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // frame and loop counts are pure class arithmetic; the first frame
+    // decodes to the planted gray bytes whatever the frame count
+    "multimodal_gif_meta" ->
+      """SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS BIGINT) AS n_frames,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE CAST(doc_id % 3 AS BIGINT) END AS loop_count,
+           CAST(9 AS BIGINT) AS width,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS first_frame_hex
          FROM documents""",
     // every counter recomputed from the planted class arithmetic: class 0
     // decodes (NO row — the valid GIF), 1-4 map to the four GIF reasons,

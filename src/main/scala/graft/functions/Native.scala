@@ -3315,10 +3315,113 @@ object Native {
       * the status surfaced instead of the pixels. */
     def status(b: Array[Byte]): Int = firstFrame(b)._1
 
+    /** STRUCTURAL animation census: walk the whole block chain to the
+      * trailer, counting image descriptors and capturing the NETSCAPE2.0
+      * loop extension. Returns (frames, loop) — loop −1 when no loop
+      * extension exists — or null unless the file is structurally
+      * complete (magic, every block delimited, trailer present, ≥ 1
+      * frame). Deliberately does NOT entropy-decode: a census over
+      * billions of images is a header pass, and [[decodeLuma]]'s oracle
+      * already holds the pixel path. */
+    def census(b: Array[Byte]): (Int, Int) = {
+      try {
+        val n = b.length
+        if (!hasMagic(b) || n < 13) return null
+        val packed = b(10) & 0xff
+        var p = 13
+        if ((packed & 0x80) != 0) {
+          p += 3 * (2 << (packed & 7))
+          if (p > n) return null
+        }
+        var frames = 0
+        var loop = -1
+        while (true) {
+          if (p >= n) return null
+          (b(p) & 0xff) match {
+            case 0x3b =>
+              return if (frames == 0) null else (frames, loop)
+            case 0x21 =>
+              val label = if (p + 1 < n) b(p + 1) & 0xff else -1
+              p += 2
+              var first = true
+              var done = false
+              while (!done) {
+                if (p >= n) return null
+                val sz = b(p) & 0xff
+                // NETSCAPE2.0 application extension: 11-byte app block,
+                // then a sub-block [0x01, loop_lo, loop_hi]
+                if (label == 0xff && first && sz == 11 && p + 12 <= n &&
+                  new String(b, p + 1, 11, "US-ASCII") == "NETSCAPE2.0") {
+                  val q = p + 12
+                  if (q + 3 < n && (b(q) & 0xff) == 3 && (b(q + 1) & 0xff) == 1)
+                    loop = (b(q + 2) & 0xff) | ((b(q + 3) & 0xff) << 8)
+                }
+                first = false
+                p += 1 + sz
+                if (sz == 0) done = true
+              }
+            case 0x2c =>
+              if (p + 10 > n) return null
+              val ip = b(p + 9) & 0xff
+              p += 10
+              if ((ip & 0x80) != 0) {
+                p += 3 * (2 << (ip & 7))
+                if (p > n) return null
+              }
+              if (p >= n) return null
+              p += 1 // LZW minimum code size
+              var done = false
+              while (!done) {
+                if (p >= n) return null
+                val sz = b(p) & 0xff
+                p += 1 + sz
+                if (sz == 0) done = true
+              }
+              frames += 1
+            case _ => return null
+          }
+        }
+        null // unreachable
+      } catch { case NonFatal(_) => null }
+    }
+
     def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       val (st, w, h, luma) = firstFrame(b)
       if (st != Ok) null else (w, h, luma)
     }
+  }
+
+  /** gif_frame_count(BINARY) → INT: structural GIF animation census —
+    * the number of image descriptors in a structurally-complete GIF
+    * ([[Gif.census]]: full block walk to the trailer, no entropy
+    * decode). Null for anything else. The static-vs-animated signal a
+    * crawl pipeline routes on before paying for pixel work. */
+  case class GifFrameCount(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val c = Gif.census(input.asInstanceOf[Array[Byte]])
+        if (c == null) null else java.lang.Integer.valueOf(c._1)
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** gif_loop_count(BINARY) → INT: the NETSCAPE2.0 loop count of a
+    * structurally-complete GIF (0 = loop forever, per the public
+    * extension), or null when the extension is absent (a static or
+    * play-once GIF) or the file is off contract. */
+  case class GifLoopCount(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val c = Gif.census(input.asInstanceOf[Array[Byte]])
+        if (c == null || c._2 < 0) null else java.lang.Integer.valueOf(c._2)
+      } catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** BMP (Windows DIB, BI_RGB) — the uncompressed workhorse format of
@@ -3800,8 +3903,10 @@ object Native {
     * every 250 pixels so the code width never grows. Fixture builder;
     * production writes GIF with a codec, not Spark. */
   case class GifGray8Encode(left: Expression, right: Expression,
-      interlace: Boolean, localPalette: Boolean)
+      interlace: Boolean, localPalette: Boolean,
+      frames: Int = 1, loop: Int = -1)
       extends BinaryExpression with NativeBinaryCodegen {
+    require(frames >= 1, "gif_encode_gray8: frames must be >= 1")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -3830,13 +3935,12 @@ object Native {
         while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
       }
       if (!localPalette) palette()
-      // a GCE (no transparency, zero delay): pure extension-skip fodder
-      out.write(0x21); out.write(0xF9); out.write(4)
-      out.write(0); le16(0); out.write(0); out.write(0)
-      out.write(0x2C); le16(0); le16(0); le16(w); le16(h)
-      out.write((if (localPalette) 0x87 else 0) | (if (interlace) 0x40 else 0))
-      if (localPalette) palette()
-      out.write(8) // LZW minimum code size
+      // NETSCAPE2.0 loop extension for animated fixtures (loop ≥ 0)
+      if (loop >= 0) {
+        out.write(0x21); out.write(0xFF); out.write(11)
+        out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+        out.write(3); out.write(1); le16(loop); out.write(0)
+      }
       val bits = new java.io.ByteArrayOutputStream()
       var cur = 0; var nb = 0
       def code(v: Int): Unit = {
@@ -3868,14 +3972,25 @@ object Native {
       code(257) // EOI
       if (nb > 0) bits.write(cur)
       val data = bits.toByteArray
-      var off = 0
-      while (off < data.length) {
-        val sz = math.min(255, data.length - off)
-        out.write(sz)
-        out.write(data, off, sz)
-        off += sz
+      var f = 0
+      while (f < frames) { // animated fixture = the same raster repeated
+        // a GCE (no transparency, zero delay): pure extension-skip fodder
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(0); le16(0); out.write(0); out.write(0)
+        out.write(0x2C); le16(0); le16(0); le16(w); le16(h)
+        out.write((if (localPalette) 0x87 else 0) | (if (interlace) 0x40 else 0))
+        if (localPalette) palette()
+        out.write(8) // LZW minimum code size
+        var off = 0
+        while (off < data.length) {
+          val sz = math.min(255, data.length - off)
+          out.write(sz)
+          out.write(data, off, sz)
+          off += sz
+        }
+        out.write(0) // block terminator
+        f += 1
       }
-      out.write(0) // block terminator
       out.write(0x3B) // trailer
       out.toByteArray
     }
@@ -4525,7 +4640,10 @@ object Native {
     "graft_webp_decode_luma" -> (exprs => WebpLumaDecode(exprs(0))),
     "graft_gif_decode_luma" -> (exprs => GifLumaDecode(exprs(0))),
     "graft_gif_encode_gray8" -> (exprs => GifGray8Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "interlace"), boolLit(exprs(3), "localPalette"))),
+      boolLit(exprs(2), "interlace"), boolLit(exprs(3), "localPalette"),
+      intLit(exprs(4), "frames"), intLit(exprs(5), "loop"))),
+    "graft_gif_frame_count" -> (exprs => GifFrameCount(exprs(0))),
+    "graft_gif_loop_count" -> (exprs => GifLoopCount(exprs(0))),
     "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
     "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "topDown"))),
@@ -4645,10 +4763,17 @@ object Native {
   def gifDecodeLuma(gif: Column): Column =
     call_function("graft_gif_decode_luma", gif)
   def gifEncodeGray8(pixels: Column, width: Column,
-      interlace: Boolean = false, localPalette: Boolean = false): Column =
+      interlace: Boolean = false, localPalette: Boolean = false,
+      frames: Int = 1, loop: Int = -1): Column =
     call_function("graft_gif_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(interlace),
-      org.apache.spark.sql.functions.lit(localPalette))
+      org.apache.spark.sql.functions.lit(localPalette),
+      org.apache.spark.sql.functions.lit(frames),
+      org.apache.spark.sql.functions.lit(loop))
+  def gifFrameCount(gif: Column): Column =
+    call_function("graft_gif_frame_count", gif)
+  def gifLoopCount(gif: Column): Column =
+    call_function("graft_gif_loop_count", gif)
   def bmpDecodeLuma(bmp: Column): Column =
     call_function("graft_bmp_decode_luma", bmp)
   def bmpEncodeGray8(pixels: Column, width: Column,

@@ -655,8 +655,18 @@ object Multimodal {
     * written as a local color table. Fixture builder for the GIF tier's
     * oracles. */
   def gifEncodeGray8(pixels: Column, width: Column,
-      interlace: Boolean = false, localPalette: Boolean = false): Column =
-    graft.functions.Native.gifEncodeGray8(pixels, width, interlace, localPalette)
+      interlace: Boolean = false, localPalette: Boolean = false,
+      frames: Int = 1, loop: Int = -1): Column =
+    graft.functions.Native.gifEncodeGray8(pixels, width, interlace, localPalette,
+      frames, loop)
+
+  /** Structural GIF animation census ([[graft.functions.Native
+    * .GifFrameCount]]/[[GifLoopCount]]): frame count over the full block
+    * walk and the NETSCAPE2.0 loop count (null when absent) — the
+    * static-vs-animated routing signal, computed without any entropy
+    * decode. Null structs for structurally-incomplete files. */
+  def gifFrameCount(gif: Column): Column = graft.functions.Native.gifFrameCount(gif)
+  def gifLoopCount(gif: Column): Column = graft.functions.Native.gifLoopCount(gif)
 
   /** [[imageNearDupPng]] on GIF payloads: [[gifDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. With PNG, JPEG, WebP and GIF

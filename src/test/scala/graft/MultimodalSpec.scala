@@ -405,6 +405,32 @@ class MultimodalSpec extends AnyFunSuite {
     // 65535×65535 frame dims → bomb_guard before any palette/LZW work
     assert(reason("474946383961FFFFFFFF7000002C00000000FFFFFFFF003B")
       == "bomb_guard")
+    // STRUCTURAL census: the hand-built two-frame stream counts 2
+    // frames with no loop extension (null), a truncated file nulls out
+    def census(hexStr: String): (Option[Int], Option[Int]) = {
+      val r = Seq(Tuple1(hexBytesT(hexStr))).toDF("g")
+        .select(Multimodal.gifFrameCount($"g"), Multimodal.gifLoopCount($"g"))
+        .collect().head
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)))
+    }
+    assert(census(anim) == ((Some(2), None)))
+    assert(census(growth) == ((Some(1), None)))
+    assert(census(anim.dropRight(4)) == ((None, None))) // no trailer → incomplete
+    assert(census(noImage) == ((None, None))) // zero frames
+    // encoder-planted animation: 3 identical frames, NETSCAPE loop 7 —
+    // census recovers both, the pixel tier still decodes frame 0
+    val animGif = Seq(Tuple1(hexBytesT("00010203040506070809101112131415" * 9).take(72)))
+      .toDF("px").select(Multimodal.gifEncodeGray8($"px", lit(9), frames = 3, loop = 7))
+      .as[Array[Byte]].head()
+    val row = Seq(Tuple1(animGif)).toDF("g")
+      .select(Multimodal.gifFrameCount($"g"), Multimodal.gifLoopCount($"g"),
+        Multimodal.gifDecodeLuma($"g")).collect().head
+    assert(row.getInt(0) == 3 && row.getInt(1) == 7 && !row.isNullAt(2))
+    // and the classifier counts an animated GIF decodable (frame-0 bar)
+    val animReason = Seq(Tuple1(animGif)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+    assert(animReason.isNullAt(0))
   }
 
   test("recognized-but-undecodable magics classify unsupported_profile under their real mime — never bad_magic") {
@@ -758,6 +784,7 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Array[Byte]].head()
     val rnd = new scala.util.Random(1337)
     var decoded = 0; var refused = 0
+    val fuzzed = scala.collection.mutable.ArrayBuffer.empty[Tuple1[Array[Byte]]]
     (0 until 400).foreach { i =>
       val b: Array[Byte] = i % 3 match {
         case 0 => // flip 1-4 bytes anywhere (LSD, palette, LZW stream)
@@ -777,9 +804,13 @@ class MultimodalSpec extends AnyFunSuite {
         case Some(_) => decoded += 1
         case None => refused += 1
       }
+      fuzzed.append(Tuple1(b)) // census totality checked below in one job
     }
     assert(decoded + refused == 400)
     assert(refused > 0, "fuzz never produced a refusal — mutations too weak")
+    val censusRows = fuzzed.toSeq.toDF("b")
+      .select(Multimodal.gifFrameCount($"b"), Multimodal.gifLoopCount($"b")).count()
+    assert(censusRows == 400)
   }
 
   test("a decodable MJPEG MP4 pairs in videoNearDup AND contributes no decodeDropReport row — the surfaces agree") {
