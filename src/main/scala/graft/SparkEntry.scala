@@ -1282,6 +1282,31 @@ object SparkEntry {
       Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // FLAC STREAMINFO census, hash-oracled (the audio sibling of
+    // multimodal_audio for a format whose FRAMES stay undecoded): the
+    // spec-packed bit fields — sample rate 20 bits, channels−1 3 bits,
+    // bits−1 5 bits, total samples 36 bits, straddling byte boundaries —
+    // are built from planted doc_id geometry and parsed back through the
+    // declarative bit arithmetic; the builder's byte layout is pinned
+    // against hand-computed hex in MultimodalSpec, so builder and parser
+    // cannot share a compensating offset bug.
+    "multimodal_flac_meta" -> ((s, d) => {
+      val flac = concat(
+        Multimodal.flacHeader(
+          (lit(8000L) + (col("doc_id") % 10) * 4410L).cast("bigint"),
+          (col("doc_id") % 8 + 1).cast("bigint"),
+          (lit(16L) + (col("doc_id") % 2) * 8L).cast("bigint"),
+          ((col("doc_id") % 1000000L) * 1000L + 12345L).cast("bigint")),
+        col("text").cast("binary"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.flacMeta(flac).as("m"))
+        .select(col("doc_id"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_channels").as("n_channels"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.total_samples").as("total_samples"),
+          col("m.duration_ms").as("duration_ms"))
+    }),
     // GIF animation census, hash-oracled: frames = doc_id%4+1 (static
     // when 1, animated otherwise) and a NETSCAPE2.0 loop extension
     // (value doc_id%3) planted on the animated ones — the engine's
@@ -2366,6 +2391,17 @@ object SparkEntry {
     // identical pair-set argument to dedup_image_png on TIFF payloads
     "dedup_image_tiff" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // every field is the planted geometry formula restated; duration is
+    // the same double floor both engines compute
+    "multimodal_flac_meta" ->
+      """SELECT doc_id,
+           CAST(8000 + (doc_id % 10) * 4410 AS BIGINT) AS sample_rate,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS n_channels,
+           CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS bits_per_sample,
+           CAST((doc_id % 1000000) * 1000 + 12345 AS BIGINT) AS total_samples,
+           CAST(floor(((doc_id % 1000000) * 1000 + 12345) * 1000.0 /
+             (8000 + (doc_id % 10) * 4410)) AS BIGINT) AS duration_ms
          FROM documents""",
     // frame and loop counts are pure class arithmetic; the first frame
     // decodes to the planted gray bytes whatever the frame count

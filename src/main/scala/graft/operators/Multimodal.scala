@@ -261,6 +261,69 @@ object Multimodal {
       .otherwise(lit(null).cast(WavMetaType))
   }
 
+  /** Minimal well-formed FLAC prefix — "fLaC" followed by the mandatory
+    * STREAMINFO metadata block (the spec REQUIRES it first), marked
+    * last-block, carrying the given geometry in the spec's packed bit
+    * layout (sample rate 20 bits, channels−1 3 bits, bits−1 5 bits,
+    * total samples 36 bits); block sizes pinned 4096, frame sizes and
+    * the signature MD5 left unset (0 = unknown, spec-legal). Append the
+    * (undecoded) frame payload after it. FLAC frames stay out of decode
+    * scope (`unsupported_profile` in the drop report) — this builder
+    * exists so the METADATA census has real bytes to parse. */
+  def flacHeader(sampleRate: Column, channels: Column, bitsPerSample: Column,
+      totalSamples: Column): Column = {
+    val rate = sampleRate.cast("bigint")
+    val ch1 = channels.cast("bigint") - 1L
+    val bp1 = bitsPerSample.cast("bigint") - 1L
+    val tot = totalSamples.cast("bigint")
+    concat(
+      lit("fLaC".getBytes("US-ASCII")),
+      unhex(lit("80000022")), // last-block | STREAMINFO, length 34
+      beBytes(lit(4096L), 2), beBytes(lit(4096L), 2), // min/max blocksize
+      unhex(lit("000000000000")), // min/max framesize: unknown
+      beBytes(shiftright(rate, 12), 1),
+      beBytes(shiftright(rate, 4), 1),
+      beBytes(rate.bitwiseAND(lit(15L)) * 16L + ch1 * 2L + shiftright(bp1, 4), 1),
+      beBytes(bp1.bitwiseAND(lit(15L)) * 16L +
+        shiftright(tot, 32).bitwiseAND(lit(15L)), 1),
+      beBytes(tot, 4),
+      lit(new Array[Byte](16))) // signature MD5 unset (spec-legal)
+  }
+
+  private val FlacMetaType =
+    "struct<sample_rate:bigint,n_channels:bigint,bits_per_sample:bigint," +
+      "total_samples:bigint,duration_ms:bigint>"
+
+  /** REAL FLAC STREAMINFO metadata decode — the audio census for a
+    * format whose FRAMES stay undecoded (recognized-but-unsupported in
+    * the drop report, like MP3/Ogg): the spec mandates STREAMINFO as the
+    * first metadata block, so the packed fields sit at fixed offsets —
+    * sample rate 20 bits, channels−1 3 bits, bits−1 5 bits, total
+    * samples 36 bits, straddling byte boundaries exactly as published.
+    * Null (never an error) for anything that is not a FLAC whose first
+    * block is a length-34 STREAMINFO. */
+  def flacMeta(bin: Column): Column = {
+    val isFlac = length(bin) >= 42 &&
+      hex(substring(bin, 1, 4)) === "664C6143" && // "fLaC"
+      beUInt(bin, lit(5), 1).bitwiseAND(lit(0x7fL)) === 0L && // STREAMINFO first
+      beUInt(bin, lit(6), 3) === 34L
+    val rate = beUInt(bin, lit(19), 2) * 16L +
+      shiftright(beUInt(bin, lit(21), 1), 4)
+    val ch = shiftright(beUInt(bin, lit(21), 1), 1).bitwiseAND(lit(7L)) + 1L
+    val bits = beUInt(bin, lit(21), 1).bitwiseAND(lit(1L)) * 16L +
+      shiftright(beUInt(bin, lit(22), 1), 4) + 1L
+    val total = beUInt(bin, lit(22), 1).bitwiseAND(lit(15L)) * 4294967296L +
+      beUInt(bin, lit(23), 4)
+    when(isFlac, struct(
+      rate.as("sample_rate"),
+      ch.as("n_channels"),
+      bits.as("bits_per_sample"),
+      total.as("total_samples"),
+      when(rate > 0, floor(total * lit(1000.0d) / rate).cast("bigint"))
+        .otherwise(lit(null).cast("bigint")).as("duration_ms")))
+      .otherwise(lit(null).cast(FlacMetaType))
+  }
+
   /** Minimal well-formed ISO-BMFF (MP4) prefix — `ftyp` (isom) followed
     * by `moov` whose first child is a version-0 `mvhd` carrying the given
     * movie timescale and duration (rate 1.0, volume 1.0, unity matrix,

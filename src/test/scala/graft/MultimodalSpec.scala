@@ -616,6 +616,40 @@ class MultimodalSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 0, 0)) == "corrupt") // counts intact, stream zeroed short
   }
 
+  test("flacHeader writes the spec's STREAMINFO byte layout (hand-computed hex) and flacMeta inverts it") {
+    // 44100 Hz stereo 16-bit, 1e6 samples — every packed field computed
+    // by hand from the published layout: rate 0x0AC44 → 0A C4 4·,
+    // channels−1=1 → ·2, bits−1=15 → F·, total 0x0F4240
+    val hdr = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.flacHeader(lit(44100L), lit(2L), lit(16L), lit(1000000L)))
+      .as[Array[Byte]].head()
+    val expect = "664C6143" + "80000022" + "10001000" + "000000000000" +
+      "0AC442F0" + "000F4240" + "00" * 16
+    assert(hdr.map("%02X".format(_)).mkString == expect)
+    // parse-back across the packed-field edges: 8 channels, 24 bits, a
+    // 36-bit total that straddles into byte 3's low nibble
+    val big = 4294967296L * 2 + 5 // 2^33 + 5
+    val blob = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.flacHeader(lit(96000L), lit(8L), lit(24L), lit(big))
+        .as("f"))
+      .select(Multimodal.flacMeta($"f").as("m"))
+      .select($"m.sample_rate", $"m.n_channels", $"m.bits_per_sample",
+        $"m.total_samples", $"m.duration_ms")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(blob == ((96000L, 8L, 24L, big, big * 1000 / 96000L)))
+    // null, never a misparse: junk, a non-first STREAMINFO, a short blob
+    val badFirst = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.flacHeader(lit(44100L), lit(2L), lit(16L), lit(0L)))
+      .as[Array[Byte]].head()
+    badFirst(4) = 0x84.toByte // first block type = 4 (VORBIS_COMMENT)
+    val nulls = Seq(
+      Tuple1("fLaC but not really".getBytes("UTF-8")),
+      Tuple1(badFirst),
+      Tuple1(Array[Byte]('f', 'L', 'a', 'C', 0x00.toByte)))
+      .toDF("b").select(Multimodal.flacMeta($"b")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
     // the invariant the drop report exists for: a payload it counts
     // dropped must be one the default codec path cannot decode, and vice
