@@ -2476,9 +2476,13 @@ object Native {
           case _ => s("corrupt")
         }
       else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
-        s("unsupported_profile") // MP3 with an ID3v2 tag
-      else if ((b(0) & 0xff) == 0xFF && (b(1) & 0xe0) == 0xe0)
-        s("unsupported_profile") // bare MPEG-audio frame sync (JPEG's FFD8 matched above)
+        // MP3 recognition requires the ID3v2 tag (how real MP3s ship):
+        // a bare 2-byte frame sync (FF Ex) over-matches badly — UTF-16LE
+        // text begins FF FE, 0xFF padding saturates it — and counting
+        // crawl text as audio would corrupt the very per-reason counts
+        // this recognition exists to keep honest. Bare-frame MP3s stay
+        // bad_magic: at sniff depth they are indistinguishable from junk.
+        s("unsupported_profile")
       else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
         s("unsupported_profile") // Ogg container (Vorbis/Opus/Theora)
       else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
@@ -2496,7 +2500,11 @@ object Native {
         (b(0) == 'G' && b(1) == 'I') ||
         (b(0) == 'I' && b(1) == 'I') ||
         (b(0) == 'M' && b(1) == 'M') ||
-        (b(0) == 'B' && b(1) == 'M')
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'O' && b(1) == 'g') ||
+        (b(0) == 'I' && b(1) == 'D') ||
+        (b(0) == 'f' && b(1) == 'L') ||
+        ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45)
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -3682,7 +3690,11 @@ object Native {
         if (bits == null || bits.exists(_ != 8L)) return (Unsupported, 0, 0, null)
         val wL = scalar(256, -1); val hL = scalar(257, -1)
         if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
-        if (wL * hL > Png.MaxPixels) return (Bomb, 0, 0, null)
+        // cap divided by samples (the PNG stance, line ~1072): the cap
+        // must bound BYTES allocated, and RGB strips are 3 bytes/px —
+        // without the divisor a crafted PackBits header could demand a
+        // 3×-cap strip buffer before the control stream even runs
+        if (wL * hL > Png.MaxPixels / samples) return (Bomb, 0, 0, null)
         val w = wL.toInt; val h = hL.toInt
         val rps0 = scalar(278, hL)
         if (rps0 <= 0) return bad

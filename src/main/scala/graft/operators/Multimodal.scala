@@ -52,8 +52,9 @@ object Multimodal {
       .when(head === "49492A00" || head === "4D4D002A", lit("image/tiff"))
       .when(head.startsWith("424D") &&
         hex(substring(bin, 7, 4)) === "00000000", lit("image/bmp"))
-      .when(head.startsWith("494433") ||
-        head.startsWith("FFE") || head.startsWith("FFF"), lit("audio/mpeg"))
+      // ID3v2-tagged only (mirrors DecodeDropReason): a bare FF-Ex frame
+      // sync over-matches UTF-16LE text and 0xFF padding
+      .when(head.startsWith("494433"), lit("audio/mpeg"))
       .when(head === "4F676753", lit("audio/ogg"))
       .when(head === "1A45DFA3", lit("video/webm"))
       .when(head === "664C6143", lit("audio/flac"))
@@ -495,9 +496,11 @@ object Multimodal {
     * to the WAV core. The feature vector is the 8-bin normalized
     * luma/energy histogram — a real image/audio statistic (each bin =
     * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
-    * oracle can recompute it. Lossless WebP (VP8L) and GIF (87a/89a,
-    * first frame) decode to their luma like PNG. Anything else — lossy
-    * WebP, TIFF/BMP/MP3/Ogg-class recognized magics, AVIF, corrupt bytes — fails
+    * oracle can recompute it. Lossless WebP (VP8L), GIF (87a/89a, first
+    * frame), BI_RGB BMP, and baseline TIFF (both byte orders,
+    * uncompressed or PackBits) decode to their luma like PNG. Anything
+    * else — lossy WebP, compressed/tiled TIFF and RLE BMP profiles,
+    * MP3/Ogg/WebM/FLAC-class recognized magics, AVIF, corrupt bytes — fails
     * to decode (None): those formats stay codec-library work behind the
     * pluggable `codec` parameter. Same decode cores as the column
     * expressions ([[graft.functions.Native]]), so decode semantics

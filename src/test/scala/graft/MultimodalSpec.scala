@@ -436,7 +436,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("recognized-but-undecodable magics classify unsupported_profile under their real mime — never bad_magic") {
     val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
     val cases = Seq(
-      ("494433", "audio/mpeg"), ("FFFB9000", "audio/mpeg"),
+      ("494433", "audio/mpeg"),
       ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"),
       ("664C6143", "audio/flac"))
     cases.foreach { case (magicHex, mime) =>
@@ -474,6 +474,24 @@ class MultimodalSpec extends AnyFunSuite {
     val junkRow = Seq(Tuple1("garbage payload bytes".getBytes("UTF-8"))).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).collect().head
     assert(junkRow.getString(0) == "bad_magic")
+    // a bare MPEG frame sync is NOT recognized (UTF-16LE text and 0xFF
+    // padding begin the same way — only ID3v2-tagged MP3s sniff as
+    // audio); both stay bad_magic junk
+    Seq(hexBytesT("FFFB9000") ++ junk, hexBytesT("FFFE") ++ "Hello".getBytes("UTF-16LE"))
+      .foreach { b =>
+        val r = Seq(Tuple1(b)).toDF("b")
+          .select(graft.functions.Native.decodeDropReason($"b"),
+            Multimodal.modality($"b")).collect().head
+        assert(r.getString(0) == "bad_magic" &&
+          r.getString(1) == "application/octet-stream")
+      }
+    // sub-12-byte prefixes of recognized magics classify truncated, not
+    // bad_magic — the same stance the image formats get
+    Seq("4F67675331", "49443304", "664C6143", "1A45DFA3").foreach { h =>
+      val r = Seq(Tuple1(hexBytesT(h))).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      assert(r.getString(0) == "truncated", s"$h: got ${r.getString(0)}")
+    }
   }
 
   test("BMP round-trip: decode(encode(px)) is the identity, bottom-up and top-down, with padded rows") {
@@ -595,6 +613,13 @@ class MultimodalSpec extends AnyFunSuite {
     bomb(18) = 0xFF.toByte; bomb(19) = 0xFF.toByte // width = 65535
     bomb(30) = 0xFF.toByte; bomb(31) = 0xFF.toByte // height = 65535
     assert(reason(bomb) == "bomb_guard")
+    // the cap counts BYTES, not pixels: 5000×5000 RGB is under the pixel
+    // cap but its 3-byte samples put the strip allocation over — the
+    // PackBits buffer must never outgrow the shared bomb bound
+    val bombRgb = rgb.clone()
+    bombRgb(18) = 0x88.toByte; bombRgb(19) = 0x13 // width 5000
+    bombRgb(30) = 0x88.toByte; bombRgb(31) = 0x13 // height 5000
+    assert(reason(bombRgb) == "bomb_guard")
     // tiled layout (a TileWidth tag present) → unsupported_profile
     val tiled = Seq(Tuple1(px)).toDF("px")
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
