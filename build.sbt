@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of
+// re-muxing them through sbt's logger: the default LoggedOutput turns
+// the child's stderr into "[error]"-prefixed STDOUT lines and, at
+// quieter log levels, SWALLOWS the child's stdout entirely — which is
+// how six rounds of Bench's single machine-readable JSON line went
+// missing from the driver's capture. With StdoutOutput, Bench's
+// one-line stdout contract survives the sbt boundary: the JSON line is
+// the only unprefixed stdout line, and Spark logging stays on stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
