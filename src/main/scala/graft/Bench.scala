@@ -91,6 +91,40 @@ object Bench {
     * whole run contaminated, regardless of what ambient loadavg claimed. */
   private[graft] val CanaryContaminationFactor: Double = 3.0
 
+  /** Ambient 1-min loadavg (sampled BEFORE Spark exists) above this cap
+    * stamps the run contaminated even when both canaries pass — the
+    * round-12 blind spot: a run at ambient 2.99 carried a uniform 1.355×
+    * inflation across the shared cohort while both canaries sat under
+    * their floors. The canaries are narrow single-query probes that never
+    * compete for all 32 slots the way the 32-thread workload does, so
+    * moderate multi-core ambient load is invisible to them but not to the
+    * workload. 2.0 is deliberately conservative: record benches are taken
+    * at ambient < 0.5 (the committed convention), so a clean run has an
+    * order of magnitude of headroom, while the observed 2.99 failure mode
+    * stamps. An unreadable loadavg (-1, non-Linux) never stamps —
+    * misconfiguration must not invalidate runs, [[isContaminated]]'s
+    * stance. */
+  private[graft] val AmbientLoadCap: Double = 2.0
+
+  /** The RUN-level contamination decision, pure so the spec can pin it:
+    * contaminated iff the CPU canary, the bandwidth canary, OR the ambient
+    * pre-launch loadavg says so. Three probes because three distinct
+    * failure modes were each observed slipping past the other two: CPU
+    * contention (round 7), memory-bandwidth contention (round 8), and
+    * moderate multi-core ambient load below both canary floors (round 12,
+    * the `ambientLoad` term's reason to exist). */
+  private[graft] def isRunContaminated(
+      cpuCanarySec: Double,
+      bwCanarySec: Double,
+      ambientLoad: Double,
+      cpuFloor: Double = CanaryFloorSec,
+      bwFloor: Double = BandwidthCanaryFloorSec,
+      ambientCap: Double = AmbientLoadCap,
+      factor: Double = CanaryContaminationFactor): Boolean =
+    isContaminated(cpuCanarySec, cpuFloor, factor) ||
+      isContaminated(bwCanarySec, bwFloor, factor) ||
+      (ambientCap > 0 && ambientLoad > ambientCap)
+
   /** MICRO canaries: 1/8-size twins of the bracketing canaries, cheap
     * enough to interleave every [[main]]`.checkpointEvery` queries. The
     * round-8 blind spot: the bracketing canaries stamp a run
@@ -350,16 +384,17 @@ object Bench {
     val bwCanaryAfter = bwCanary()
     val canarySec = math.max(canaryBefore, canaryAfter)
     val bwCanarySec = math.max(bwCanaryBefore, bwCanaryAfter)
-    // either canary over its floor stamps the run: CPU contention and
-    // memory-bandwidth contention contaminate different query families
-    val contaminated = isContaminated(canarySec) ||
-      isContaminated(bwCanarySec, BandwidthCanaryFloorSec)
+    // any of the three probes stamps the run: CPU contention, memory-
+    // bandwidth contention, and moderate multi-core ambient load each
+    // contaminate differently and each slipped past the other two once
+    val contaminated = isRunContaminated(canarySec, bwCanarySec, ambient)
     if (contaminated)
       System.err.println(
         f"[bench] CONTAMINATED: canary ${canarySec}%.3fs (floor ${CanaryFloorSec}%.3fs), " +
           f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
-          f"(cap ${CanaryContaminationFactor}%.1fx) — per-query timings in this run are not evidence")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
+          f"(cap ${CanaryContaminationFactor}%.1fx), ambient load ${ambient}%.2f " +
+          f"(cap ${AmbientLoadCap}%.1f) — per-query timings in this run are not evidence")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
     // Parse-proof delivery (ten rounds of `parsed: null` driver artifacts):
     // the full record goes to a FILE the driver/judge can always read, and
     // stdout gets EXACTLY ONE JSON line — the compact one, printed AFTER

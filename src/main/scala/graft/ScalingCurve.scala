@@ -209,8 +209,7 @@ object ScalingCurve {
     val bwCanaryAfter = bwCanary()
     val canarySec = math.max(canaryBefore, canaryAfter)
     val bwCanarySec = math.max(bwCanaryBefore, bwCanaryAfter)
-    val contaminated = Bench.isContaminated(canarySec) ||
-      Bench.isContaminated(bwCanarySec, Bench.BandwidthCanaryFloorSec)
+    val contaminated = Bench.isRunContaminated(canarySec, bwCanarySec, ambient)
 
     def fmt(d: Double) = f"$d%.4f"
     val qjson = rows.map { case (name, ts, expFit, expBig) =>
@@ -220,12 +219,16 @@ object ScalingCurve {
     val flagged = rows.collect { case (n, _, _, e) if e >= FlagExponent => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"points":${dirs.length},"reps":$reps,"ambient_load":${fmt(ambient)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
+      s"""{"metric":"scaling","queries":$qjson,"flagged":$flagged,"flag_exponent":$FlagExponent,"points":${dirs.length},"reps":$reps,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(Bench.AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(Bench.CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(Bench.BandwidthCanaryFloorSec)},"contaminated":$contaminated,"failed":${failures.size}}"""
     println(json)
-    // subset runs should not clobber the committed full curve — point
-    // SPARK_GRAFT_SCALING_JSON elsewhere when iterating
+    // subset runs must not clobber the committed full curve: when
+    // SPARK_GRAFT_SCALING_ONLY is set and no explicit output path is
+    // given, default to SCALING.partial.json instead of SCALING.json —
+    // before this, a forgotten SPARK_GRAFT_SCALING_JSON silently
+    // overwrote the full 39-target curve with a 2-target one
+    val defaultOut = if (only.isDefined) "SCALING.partial.json" else "SCALING.json"
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_JSON", "SCALING.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_JSON", defaultOut))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

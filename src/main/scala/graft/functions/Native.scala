@@ -2309,8 +2309,8 @@ object Native {
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (palette/16-bit PNG, progressive JPEG,
     *                              float/8-bit WAV, lossy WebP, non-MJPEG
-    *                              MP4, RLE/low-depth BMP, compressed or
-    *                              tiled TIFF), or a RECOGNIZED format
+    *                              MP4, RLE/low-depth BMP, LZW/tiled TIFF
+    *                              — PackBits decodes), or a RECOGNIZED
     *                              magic with no decoder in this pipeline
     *                              (MP3, Ogg, Matroska/WebM, FLAC) — real
     *                              media a crawl carries in volume, kept
@@ -2454,9 +2454,10 @@ object Native {
       // limitation, so they classify `unsupported_profile` like
       // progressive JPEG or lossy VP8. ----
       else if (Tiff.hasMagic(b))
-        // baseline TIFF decodes for real (uncompressed 8-bit gray/RGB,
-        // strips, both byte orders — [[Tiff]]); LZW/PackBits/tiled/
-        // palette profiles stay recognized-but-unsupported
+        // baseline TIFF decodes for real (uncompressed + PackBits 8-bit
+        // gray/RGB, strips, both byte orders — [[Tiff]]); LZW/CCITT/
+        // Deflate/JPEG-in-TIFF/tiled/palette profiles stay
+        // recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
           case Tiff.Truncated => s("truncated")

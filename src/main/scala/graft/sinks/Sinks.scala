@@ -298,20 +298,27 @@ object Sinks {
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select(col("key"), col("window_start"), col("cnt"), col("batch_id"))
         // retention horizon off observed stream time (max stored window
-        // start — a single-row agg, driver-bounded by construction)
+        // start — a single-row agg, driver-bounded by construction). The
+        // max is computed over the CACHED resolved frame so the store is
+        // scanned once per compaction, not twice (the lock excludes
+        // concurrent writers, so both consumers see the same bytes; the
+        // resolved max equals the raw max because row_number keeps ≥1 row
+        // per (key, window_start) group).
         val retained = retentionMs match {
           case None => resolved
           case Some(r) =>
-            val mx = spark.read.schema(schema).parquet(path)
-              .agg(max(col("window_start"))).collect()(0).getTimestamp(0)
+            resolved.cache()
+            val mx = resolved.agg(max(col("window_start"))).collect()(0).getTimestamp(0)
             if (mx == null) resolved
             else resolved.filter(col("window_start") >=
               lit(new Timestamp(mx.getTime - r)))
         }
-        retained
-          .withColumn("bucket", bucketOf(col("key")))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        try {
+          retained
+            .withColumn("bucket", bucketOf(col("key")))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        } finally if (retentionMs.isDefined) resolved.unpersist()
         val p = new org.apache.hadoop.fs.Path(path)
         val t = new org.apache.hadoop.fs.Path(tmp)
         if (!fs.delete(p, true)) {

@@ -21,6 +21,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isContaminated(canaryMedianSec = 99.0, floorSec = -1.0))
   }
 
+  test("run rule: ambient load stamps even when both canaries pass (r12 blind spot)") {
+    // the exact round-12 failure mode, replayed from BENCH.json's numbers:
+    // cpu canary 0.0787 (floor 0.11), bw canary 0.4314 (floor 0.65) — both
+    // comfortably clean — while the run launched at ambient loadavg 2.99
+    // and the shared cohort carried a uniform 1.355× inflation. The run
+    // rule must stamp contaminated: true from the JSON alone.
+    assert(Bench.isRunContaminated(0.0787, 0.4314, ambientLoad = 2.99))
+    // an idle launch with the same clean canaries stays clean
+    assert(!Bench.isRunContaminated(0.0787, 0.4314, ambientLoad = 0.3))
+    // record-bench convention headroom: ambient < 0.5 is well under the cap
+    assert(!Bench.isRunContaminated(0.05, 0.3, ambientLoad = 0.49))
+    // exactly at the cap: clean (the boundary mirrors isContaminated's)
+    assert(!Bench.isRunContaminated(0.05, 0.3, ambientLoad = Bench.AmbientLoadCap))
+    assert(Bench.isRunContaminated(0.05, 0.3, ambientLoad = Bench.AmbientLoadCap + 0.01))
+    // either canary still stamps independently of ambient
+    assert(Bench.isRunContaminated(3 * Bench.CanaryFloorSec + 0.01, 0.3, ambientLoad = 0.1))
+    assert(Bench.isRunContaminated(0.05, 3 * Bench.BandwidthCanaryFloorSec + 0.01, ambientLoad = 0.1))
+    // unreadable loadavg (-1, non-Linux) never stamps; a broken cap never
+    // stamps — misconfiguration must not invalidate runs
+    assert(!Bench.isRunContaminated(0.05, 0.3, ambientLoad = -1.0))
+    assert(!Bench.isRunContaminated(0.05, 0.3, ambientLoad = 99.0, ambientCap = 0.0))
+  }
+
   test("canary query is SF-independent and returns one row") {
     val spark = TestSpark.spark
     val rows = Bench.canaryQuery(spark).collect()
