@@ -96,7 +96,10 @@ object ScalingCurve {
     "dedup_image_gif",
     "dedup_image_bmp",
     "dedup_image_tiff",
-    "store_retract_attrs")
+    "store_retract_attrs",
+    // round-13 addition: the palette/Adam7 PNG near-dup tier (map-side
+    // PLTE expand + deinterlace — expect the dedup_image_png exponent)
+    "dedup_image_png_palette")
 
   private[graft] val FlagExponent = 1.3
 

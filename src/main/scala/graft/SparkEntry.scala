@@ -1112,6 +1112,47 @@ object SparkEntry {
           hex(Multimodal.pngDecodeLuma(col("png"))).as("px_hex"),
           concat((0 until 8).map(r =>
             hex(col("png").substr(lit(50 + 33 * r), lit(27)))): _*).as("blob_rgb_hex"))),
+    // REAL PALETTE PNG pixel decode, hash-oracled: the planted 9×8 bytes
+    // become palette INDICES into the fixture's ANALYTIC 256-entry PLTE
+    // (entry i = (i, 255−i, (7·i) mod 256)), so the oracle recomputes the
+    // expected luma in closed form: luma601(i, 255−i, (7·i) mod 256) —
+    // the PLTE lookup is load-bearing, not an identity. Decoded twice:
+    // plain + tRNS (px_hex — alpha must not alter luma) and
+    // Adam7-INTERLACED (px_hex_i — the 7-pass deinterlace sits inside the
+    // oracled query), filters cycling 0..4 in both. Third independent
+    // pin: blob_plte_hex slices the 768 palette bytes straight out of the
+    // blob at the fixed spec offset (sig 8 + IHDR 25 + chunk hdr 8 = 41)
+    // and must equal the formula — proving the encoder wrote a spec-
+    // layout PLTE rather than sharing a compensating bug with the decoder
+    "multimodal_decode_png_palette" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
+            trns = true, filterMode = -1).as("png"),
+          Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
+            interlace = true, filterMode = -1).as("png_i"))
+        .select(col("doc_id"),
+          hex(Multimodal.pngDecodeLuma(col("png"))).as("px_hex"),
+          hex(Multimodal.pngDecodeLuma(col("png_i"))).as("px_hex_i"),
+          hex(col("png").substr(lit(42), lit(768))).as("blob_plte_hex"))),
+    // image near-dup on REAL PALETTE PNG bytes end-to-end (PLTE expand →
+    // luma → dHash → Hamming-LSH): even docs plain, odd docs Adam7-
+    // interlaced + tRNS, so both stream layouts ride the near-dup path;
+    // re-keyed copies share blobs bit-for-bit → exactly one hamming-0
+    // pair per doc (the dedup_image analytic pair set — palette luma of
+    // iid index bytes stays ~iid across docs)
+    "dedup_image_png_palette" -> ((s, d) => {
+      val png = when(col("doc_id") % 2 === 0,
+        Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
+          filterMode = -1))
+        .otherwise(Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
+          interlace = true, trns = true, filterMode = -1))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), png.as("png"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("png"))
+      Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // REAL WebP (VP8L lossless) pixel decode, hash-oracled: planted RGB
     // channel bytes → the fixture's spec-valid literal-only VP8L stream →
     // the FULL decoder (container walk, prefix-code headers, canonical
@@ -1157,8 +1198,10 @@ object SparkEntry {
     // decode-drop observability over PLANTED corrupt classes: nine payload
     // classes by doc_id — a valid truecolor PNG (must contribute NO row),
     // junk bytes (bad_magic), a mid-stream-cut PNG (corrupt — header
-    // completes, decode fails), a palette-flagged PNG (unsupported_profile
-    // — profile fields are read before CRC, as a cheap classifier must),
+    // completes, decode fails), a gray+alpha-flagged PNG
+    // (unsupported_profile — profile fields are read before CRC, as a
+    // cheap classifier must; was palette-flagged until palette decode
+    // landed — type 4 is the remaining out-of-contract color type),
     // a bomb-width PNG (bomb_guard), an 8-bit WAV header
     // (unsupported_profile under audio/wav), a VALID MJPEG MP4 (must
     // contribute NO row — the classifier runs the same sample-table walk
@@ -1384,7 +1427,7 @@ object SparkEntry {
         .when(cls === 1, concat(lit(Array[Byte](0)),
           unhex(md5(col("doc_id").cast("string").cast("binary")))))
         .when(cls === 2, substring(png, 1, 40))
-        .when(cls === 3, concat(substring(png, 1, 25), lit(Array[Byte](3)),
+        .when(cls === 3, concat(substring(png, 1, 25), lit(Array[Byte](4)),
           substring(png, 27, 1 << 20)))
         .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
           substring(png, 21, 1 << 20)))
@@ -2299,6 +2342,30 @@ object SparkEntry {
            upper(array_to_string([lpad(to_hex((299 * r[i+1] + 587 * g[i+1] + 114 * b[i+1] + 500) // 1000), 2, '0')
              for i in range(0, 72)], '')) AS px_hex
          FROM c""",
+    // the palette decoder's luma must equal the closed-form palette-luma
+    // of the planted index bytes — luma601 over the ANALYTIC PLTE entry
+    // (i, 255−i, (7·i) mod 256) — interlaced or not, tRNS or not; the
+    // blob slice pins the PLTE formula bytes at their fixed spec offset
+    // with no decoder in the loop
+    "multimodal_decode_png_palette" ->
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS idx
+           FROM documents)
+         SELECT doc_id,
+           upper(array_to_string([lpad(to_hex((299 * idx[i+1] + 587 * (255 - idx[i+1]) + 114 * ((7 * idx[i+1]) % 256) + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex,
+           upper(array_to_string([lpad(to_hex((299 * idx[i+1] + 587 * (255 - idx[i+1]) + 114 * ((7 * idx[i+1]) % 256) + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex_i,
+           upper(array_to_string([lpad(to_hex(j), 2, '0') || lpad(to_hex(255 - j), 2, '0') || lpad(to_hex((7 * j) % 256), 2, '0')
+             for j in range(0, 256)], '')) AS blob_plte_hex
+         FROM c""",
+    // identical pair-set argument to dedup_image_png on PALETTE payloads:
+    // decode(encode(idx)) luma round-trips bit-exactly through the PLTE
+    // (either stream layout), so copies pair at hamming 0
+    "dedup_image_png_palette" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // identical pair-set argument to dedup_image_png_color on WebP
     // payloads: decode(encode(RGBA bitmap)) luma round-trips bit-exactly
     "dedup_image_webp" ->

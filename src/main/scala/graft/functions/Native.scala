@@ -1026,14 +1026,31 @@ object Native {
       val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
     }
-    /** bytes-per-pixel for the supported bit-depth-8 color types; -1 for
-      * anything out of contract (palette 3, gray+alpha 4, 16-bit). */
+    /** bytes-per-pixel of the DECODED pixel layout for the supported
+      * bit-depth-8 color types; -1 for anything out of contract
+      * (gray+alpha 4, 16-bit). Palette (3) returns 3 because
+      * [[decodeImage]] expands indices through PLTE into interleaved RGB
+      * — this is also the allocation bound the bomb cap divides by. */
     def bppOf(colorType: Int): Int = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB truecolor
+      case 3 => 3 // palette — expanded to RGB through PLTE
       case 6 => 4 // RGBA truecolor + alpha
       case _ => -1
     }
+    /** bytes-per-pixel of the RAW (pre-palette-expansion) scanline layout:
+      * palette scanlines carry one index byte per pixel. */
+    def rawBppOf(colorType: Int): Int = if (colorType == 3) 1 else bppOf(colorType)
+    /** Adam7 interlace pass geometry (PNG §8.2): (xStart, yStart, xStep,
+      * yStep) for the seven passes, in stream order. Each pass is an
+      * independently-filtered sub-image; passes with zero width or height
+      * at the image's dimensions contribute NO bytes (not even filter
+      * bytes). The non-interlaced stream is the same machinery with the
+      * single trivial pass. */
+    val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val NoInterlace: Array[(Int, Int, Int, Int)] = Array((0, 0, 1, 1))
     /** ITU-R 601 luma in exact integer arithmetic — the ONE formula shared
       * by the decoder, the fixture oracles, and the tests, chosen because a
       * SQL oracle can recompute it verbatim: (299·R + 587·G + 114·B + 500)
@@ -1042,15 +1059,24 @@ object Native {
     def luma601(r: Int, g: Int, bch: Int): Int = (299 * r + 587 * g + 114 * bch + 500) / 1000
 
     /** Shared REAL-decode core: full signature + IHDR validation with chunk
-      * CRC32 checks, multi-IDAT walk, zlib inflate, per-scanline unfilter of
-      * all five filter types with bpp-aware left/up-left neighbors (PNG §9:
-      * `a`/`c` are the bytes one PIXEL left, i.e. bpp bytes back). Returns
-      * (width, height, colorType, interleaved pixel bytes), or null on
-      * anything off contract: wrong signature, bad CRC, bit depth ≠ 8,
-      * color type outside {0, 2, 6}, interlace, truncated/overlong zlib,
-      * unknown filter, or a header demanding more than [[MaxPixels]] BYTES
-      * (the bomb cap is on the allocation, so color types divide the pixel
-      * budget by their bpp). */
+      * CRC32 checks, multi-IDAT walk, zlib inflate, per-pass per-scanline
+      * unfilter of all five filter types with bpp-aware left/up-left
+      * neighbors (PNG §9: `a`/`c` are the bytes one PIXEL left, i.e. bpp
+      * bytes back), Adam7 deinterlace (each pass an independently-filtered
+      * sub-image scattered to its (xStart + i·xStep, yStart + r·yStep)
+      * pixels, PNG §8.2), and PLTE palette expansion for color type 3
+      * (indices → interleaved RGB; a tRNS chunk is structurally validated
+      * — ≤ palette entries, after PLTE, before IDAT — but its alpha never
+      * alters the pixels, the same alpha-ignoring stance as RGBA). Returns
+      * (width, height, colorType, interleaved pixel bytes) with palette
+      * results reported as colorType 2 (they ARE RGB after expansion), or
+      * null on anything off contract: wrong signature, bad CRC, bit depth
+      * ≠ 8, color type outside {0, 2, 3, 6}, interlace method outside
+      * {0, 1}, palette image with no/misplaced/oversized PLTE or an index
+      * beyond the palette, truncated/overlong zlib, unknown filter, or a
+      * header demanding more than [[MaxPixels]] BYTES (the bomb cap is on
+      * the DECODED allocation, so color types divide the pixel budget by
+      * their expanded bpp — 3 for palette). */
     def decodeImage(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
       if (b.length < 8 + 25 + 12 + 12) return null // sig + IHDR + IDAT + IEND
       var i = 0
@@ -1062,10 +1088,13 @@ object Native {
       val w = u32(b, 16)
       val h = u32(b, 20)
       val colorType = b(25) & 0xff
-      val bpp = bppOf(colorType)
+      val bpp = bppOf(colorType)     // decoded/allocation bpp (palette → 3)
+      val rawBpp = rawBppOf(colorType) // scanline bpp (palette → 1 index byte)
       // bit depth 8, supported color type, compression 0, filter 0,
-      // interlace 0 — anything else is out of this decoder's contract
-      if (b(24) != 8 || bpp < 0 || b(26) != 0 || b(27) != 0 || b(28) != 0) return null
+      // interlace 0 (none) or 1 (Adam7) — anything else is out of contract
+      if (b(24) != 8 || bpp < 0 || b(26) != 0 || b(27) != 0 ||
+          (b(28) != 0 && b(28) != 1)) return null
+      val interlaced = b(28) == 1
       // reject each dimension BEFORE multiplying: w and h are u32 values
       // up to 2^32-1, so w*h can wrap past Long.MaxValue and a crafted
       // header would slip a negative product past the byte cap
@@ -1073,8 +1102,13 @@ object Native {
           w * h > MaxPixels.toLong / bpp) return null
       val wi = w.toInt; val hi = h.toInt
       // chunk walk: concatenate IDAT payloads (spec: consecutive IDATs
-      // form ONE zlib stream), stop at IEND, CRC-check every chunk read
+      // form ONE zlib stream), capture PLTE/tRNS with their §11.2 ordering
+      // constraints (PLTE before IDAT, at most one, 1..256 entries; tRNS
+      // after PLTE and before IDAT, ≤ palette entries), stop at IEND,
+      // CRC-check every chunk read
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
+      var sawIdat = false
       var p = 33
       var sawEnd = false
       while (!sawEnd) {
@@ -1083,13 +1117,38 @@ object Native {
         if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) return null
         val typ = new String(b, p + 4, 4, "US-ASCII")
         if (crc32(b, p + 4, 4 + len.toInt) != u32(b, p + 8 + len.toInt)) return null
-        if (typ == "IDAT") idat.write(b, p + 8, len.toInt)
+        if (typ == "IDAT") { idat.write(b, p + 8, len.toInt); sawIdat = true }
         else if (typ == "IEND") sawEnd = true
+        else if (typ == "PLTE") {
+          if (sawIdat || plte != null || len == 0 || len % 3 != 0 || len > 768)
+            return null
+          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len.toInt)
+        } else if (typ == "tRNS" && colorType == 3) {
+          // validated structurally; the alpha itself never alters pixels
+          // (luma is a function of color — the RGBA stance)
+          if (sawIdat || plte == null || len > plte.length / 3) return null
+        }
         p += 12 + len.toInt
       }
+      if (colorType == 3 && plte == null) return null
+      // pass geometry: Adam7, or the same machinery's single trivial pass.
+      // Expected raw stream size = Σ over non-empty passes of
+      // passH · (1 filter byte + passW·rawBpp) — empty passes contribute
+      // NOTHING, including no filter bytes (PNG §8.2)
+      val passes = if (interlaced) Adam7 else NoInterlace
+      var rawLen = 0L
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val pw = if (wi > x0) (wi - x0 + dx - 1) / dx else 0
+        val ph = if (hi > y0) (hi - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) rawLen += ph.toLong * (1L + pw.toLong * rawBpp)
+        pi += 1
+      }
+      // under the byte cap rawLen ≤ bpp·MaxPixels + 2h, but keep it total
+      if (rawLen <= 0 || rawLen > Int.MaxValue) return null
       // zlib inflate into the exact raw size; any length mismatch is corrupt
-      val rowBytes = wi * bpp
-      val raw = new Array[Byte]((rowBytes + 1) * hi)
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       try {
         inf.setInput(idat.toByteArray)
@@ -1101,32 +1160,76 @@ object Native {
         }
         if (off != raw.length || !inf.finished()) return null
       } finally inf.end()
-      // unfilter: each scanline's filter byte selects the reconstruction
-      // over (left a, up b, up-left c) — a and c sit bpp BYTES back
+      // per-pass unfilter + scatter: each scanline's filter byte selects
+      // the reconstruction over (left a, up b, up-left c) — a and c sit
+      // rawBpp BYTES back, and the neighbors live WITHIN the pass (each
+      // pass filters as an independent image)
+      val rowBytes = wi * rawBpp
       val out = new Array[Byte](rowBytes * hi)
-      var r = 0
-      while (r < hi) {
-        val ft = raw(r * (rowBytes + 1)) & 0xff
-        if (ft > 4) return null
-        var c = 0
-        while (c < rowBytes) {
-          val x = raw(r * (rowBytes + 1) + 1 + c) & 0xff
-          val a = if (c >= bpp) out(r * rowBytes + c - bpp) & 0xff else 0
-          val up = if (r > 0) out((r - 1) * rowBytes + c) & 0xff else 0
-          val ul = if (r > 0 && c >= bpp) out((r - 1) * rowBytes + c - bpp) & 0xff else 0
-          val v = ft match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + up
-            case 3 => x + (a + up) / 2
-            case 4 => x + paeth(a, up, ul)
+      var off = 0
+      pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val pw = if (wi > x0) (wi - x0 + dx - 1) / dx else 0
+        val ph = if (hi > y0) (hi - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          val prB = pw * rawBpp
+          val pOut = new Array[Byte](prB * ph)
+          var r = 0
+          while (r < ph) {
+            val ft = raw(off) & 0xff
+            if (ft > 4) return null
+            var c = 0
+            while (c < prB) {
+              val x = raw(off + 1 + c) & 0xff
+              val a = if (c >= rawBpp) pOut(r * prB + c - rawBpp) & 0xff else 0
+              val up = if (r > 0) pOut((r - 1) * prB + c) & 0xff else 0
+              val ul = if (r > 0 && c >= rawBpp) pOut((r - 1) * prB + c - rawBpp) & 0xff else 0
+              val v = ft match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + up
+                case 3 => x + (a + up) / 2
+                case 4 => x + paeth(a, up, ul)
+              }
+              pOut(r * prB + c) = (v & 0xff).toByte
+              c += 1
+            }
+            var px = 0
+            while (px < pw) {
+              var ch = 0
+              while (ch < rawBpp) {
+                out((y0 + r * dy) * rowBytes + (x0 + px * dx) * rawBpp + ch) =
+                  pOut(r * prB + px * rawBpp + ch)
+                ch += 1
+              }
+              px += 1
+            }
+            off += 1 + prB
+            r += 1
           }
-          out(r * rowBytes + c) = (v & 0xff).toByte
-          c += 1
         }
-        r += 1
+        pi += 1
       }
-      (wi, hi, colorType, out)
+      // palette expansion: index bytes → interleaved RGB through PLTE; an
+      // index beyond the table is corrupt (the GIF decoder's stance).
+      // Reported as colorType 2 — after expansion the pixels ARE RGB, so
+      // every downstream consumer (luma, the gray8 narrow pin) sees the
+      // layout the type byte claims.
+      if (colorType == 3) {
+        val entries = plte.length / 3
+        val rgb = new Array[Byte](wi * hi * 3)
+        var j = 0
+        while (j < wi * hi) {
+          val ci = out(j) & 0xff
+          if (ci >= entries) return null
+          rgb(3 * j) = plte(3 * ci)
+          rgb(3 * j + 1) = plte(3 * ci + 1)
+          rgb(3 * j + 2) = plte(3 * ci + 2)
+          j += 1
+        }
+        (wi, hi, 2, rgb)
+      } else (wi, hi, colorType, out)
     }
     /** [[decodeImage]] reduced to the luma plane — type 0 passes through,
       * types 2/6 convert per pixel with [[luma601]] (alpha ignored). The
@@ -1386,8 +1489,136 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** png_encode_pal8(BINARY indices, width; interlace, trns, filterMode)
+    * → BINARY: a REAL, complete PALETTE PNG (color type 3, bit depth 8 —
+    * signature, IHDR, a full 256-entry PLTE, optional tRNS, IDAT, IEND,
+    * every chunk CRC32'd, real-deflate zlib) from a row-major array of
+    * palette INDEX bytes, height = len/width. `interlace` emits a genuine
+    * Adam7 stream (the seven §8.2 passes, each independently forward-
+    * filtered — empty passes emit nothing); `filterMode` −1 cycles the
+    * filter type per emitted scanline (round-trip property configuration).
+    *
+    * The palette is ANALYTIC — entry i = (i, 255−i, (7·i) mod 256) — so a
+    * SQL oracle recomputes the expected luma of index i in closed form:
+    * luma601(i, 255−i, (7·i) mod 256). It also sits at a FIXED offset
+    * (sig 8 + IHDR 25 + chunk hdr 8 = 41), so the oracle can slice the
+    * 768 PLTE bytes straight out of the blob and pin the formula without
+    * any decoder in the loop. `trns` writes a 128-entry tRNS chunk
+    * (alpha_i = (11·i) mod 256, half the palette translucent) — alpha
+    * must never alter the decoded luma, so any output difference against
+    * the trns=false twin is a decoder bug. Any standards-compliant PNG
+    * reader decodes the output (ImageIO cross-pins it). Fixture builder;
+    * production writes PNGs with a codec, not Spark. */
+  case class PngPal8Encode(left: Expression, right: Expression,
+      interlace: Boolean, trns: Boolean, filterMode: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(filterMode >= -1 && filterMode <= 4, s"filterMode in -1..4, got $filterMode")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]] // palette indices, any 0..255
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      // the decoder's bomb cap divides by the EXPANDED bpp (3 for palette)
+      if (w <= 0 || w > Png.MaxPixels / 3) return null
+      if (pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      // forward-filter per pass: gather each pass's pixels, filter the
+      // pass as an independent image (PNG §8.2), bpp = 1 index byte
+      val passes = if (interlace) Png.Adam7 else Png.NoInterlace
+      val rawBuf = new java.io.ByteArrayOutputStream()
+      var globalRow = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          val prev = new Array[Byte](pw)
+          var r = 0
+          while (r < ph) {
+            val cur = new Array[Byte](pw)
+            var i = 0
+            while (i < pw) { cur(i) = pixels((y0 + r * dy) * w + x0 + i * dx); i += 1 }
+            val ft = if (filterMode < 0) globalRow % 5 else filterMode
+            rawBuf.write(ft)
+            var c = 0
+            while (c < pw) {
+              val x = cur(c) & 0xff
+              val a = if (c > 0) cur(c - 1) & 0xff else 0
+              val up = if (r > 0) prev(c) & 0xff else 0
+              val ul = if (r > 0 && c > 0) prev(c - 1) & 0xff else 0
+              val v = ft match {
+                case 0 => x
+                case 1 => x - a
+                case 2 => x - up
+                case 3 => x - (a + up) / 2
+                case 4 => x - Png.paeth(a, up, ul)
+              }
+              rawBuf.write(v & 0xff)
+              c += 1
+            }
+            System.arraycopy(cur, 0, prev, 0, pw)
+            globalRow += 1
+            r += 1
+          }
+        }
+        pi += 1
+      }
+      val raw = rawBuf.toByteArray
+      val z = new java.io.ByteArrayOutputStream()
+      val dfl = new java.util.zip.Deflater(6, false) // zlib-wrapped
+      try {
+        dfl.setInput(raw); dfl.finish()
+        val buf = new Array[Byte](4096)
+        while (!dfl.finished()) z.write(buf, 0, dfl.deflate(buf))
+      } finally dfl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Png.Signature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td)
+        val c = Png.crc32(td, 0, td.length)
+        out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+        out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = 8; ihdr(9) = 3; ihdr(10) = 0; ihdr(11) = 0
+      ihdr(12) = (if (interlace) 1 else 0).toByte
+      chunk("IHDR", ihdr)
+      chunk("PLTE", Array.tabulate(768) { j =>
+        val i = j / 3
+        (j % 3 match {
+          case 0 => i
+          case 1 => 255 - i
+          case 2 => (7 * i) % 256
+        }).toByte
+      })
+      if (trns) chunk("tRNS", Array.tabulate(128)(i => ((11 * i) % 256).toByte))
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** png_decode_gray8(BINARY) → BINARY: REAL PNG pixel decode for 8-bit
-    * grayscale (bit depth 8, color type 0, no interlace) — full signature
+    * grayscale (bit depth 8, color type 0; interlaced grayscale
+    * deinterlaces through the shared core) — full signature
     * + IHDR validation with chunk CRC32 checks, multi-IDAT chunk walk,
     * zlib inflate (`java.util.zip.Inflater`, which also verifies the
     * Adler-32), and per-scanline unfiltering of ALL five PNG filter types
@@ -1400,9 +1631,10 @@ object Native {
     * non-gray8 geometry, bad CRC, truncated/overlong zlib stream, unknown
     * filter type, or a header demanding more than [[Png.MaxPixels]]
     * (decompression-bomb guard — a 25-byte header must not be able to
-    * demand a multi-GB allocation on an executor). Color/palette/16-bit/
-    * interlaced PNGs null out rather than misparse ([[graft.operators
-    * .Multimodal]]'s wavMeta stance); they are codec-boundary work.
+    * demand a multi-GB allocation on an executor). Color/palette/16-bit
+    * PNGs null out of THIS narrow pin rather than misparse (palette
+    * expands to RGB in the shared core, so it fails the type-0 check
+    * here; [[PngLumaDecode]] is the wide entry point).
     * Scale shape: map-side, one pass per row, no shuffle — fuses into
     * whatever scan carries the payload column. */
   case class PngGray8Decode(child: Expression)
@@ -1429,12 +1661,17 @@ object Native {
     * (exact integer ITU-R 601, so the hash — and the SQL oracle — are
     * bit-stable); RGBA ignores alpha (perceptual hashes are luminance
     * functions; compositing against an assumed background would invent
-    * data). Null, never an error, off contract: palette (type 3),
-    * gray+alpha (4), 16-bit, interlace, bad CRC/zlib/filter, or a header
-    * demanding more than [[Png.MaxPixels]] BYTES. This is the image-dedup
-    * default decode for PNG payloads; the gray8 expression remains as the
-    * narrow-contract pin. Scale shape: map-side, one pass per row, no
-    * shuffle — fuses into whatever scan carries the payload column. */
+    * data). Palette (type 3) expands through PLTE into RGB before the
+    * same luma conversion (tRNS alpha ignored, the RGBA stance), and
+    * Adam7-interlaced streams deinterlace for real — the two
+    * highest-frequency crawl profiles the r12 contract still excluded.
+    * Null, never an error, off contract: gray+alpha (4), 16-bit, bad
+    * CRC/zlib/filter, palette violations (no/misplaced PLTE, index beyond
+    * the table), or a header demanding more than [[Png.MaxPixels]] BYTES.
+    * This is the image-dedup default decode for PNG payloads; the gray8
+    * expression remains as the narrow-contract pin. Scale shape:
+    * map-side, one pass per row, no shuffle — fuses into whatever scan
+    * carries the payload column. */
   case class PngLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -1560,6 +1797,67 @@ object Native {
       def value(len: Int, code: Int): Int = vals(valptr(len) + code - mincode(len))
     }
 
+    /** IDCT + level shift + clamp + crop of ONE block into the output
+      * plane — shared verbatim by the baseline and progressive paths so
+      * they are bit-identical per coefficient set. `coef` is the
+      * dequantized block in NATURAL order. The DC-only fast path computes
+      * the flat value with the EXACT multiplication order of the general
+      * path (ct₀·(ct₀·D)), so it is bit-identical to it. */
+    def emitBlock(coef: Array[Int], acSeen: Boolean, blockX: Int, blockY: Int,
+        w: Int, h: Int, out: Array[Byte], tmp: Array[Array[Double]]): Unit = {
+      if (!acSeen) {
+        val c00 = Cos(0)(0)
+        val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
+        val pb = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
+        var yy = 0
+        while (yy < 8) {
+          val y = blockY * 8 + yy
+          if (y < h) {
+            var xx = 0
+            while (xx < 8) {
+              val x = blockX * 8 + xx
+              if (x < w) out(y * w + x) = pb
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+      } else {
+        // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += Cos(u)(x) * coef(v * 8 + u); u += 1 }
+            tmp(v)(x) = acc
+            x += 1
+          }
+          v += 1
+        }
+        var yy = 0
+        while (yy < 8) {
+          val y = blockY * 8 + yy
+          if (y < h) {
+            var xx = 0
+            while (xx < 8) {
+              val x = blockX * 8 + xx
+              if (x < w) {
+                var acc = 0.0
+                var v2 = 0
+                while (v2 < 8) { acc += Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
+                val px = math.round(acc + 128.0).toInt
+                out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+      }
+    }
+
     /** Shared baseline-sequential decode core behind [[JpegGray8Decode]]
       * (`allowColor = false`, the historical single-component contract,
       * bit-identical to its pre-refactor behavior) and [[JpegLumaDecode]]
@@ -1579,8 +1877,45 @@ object Native {
     }
     /** [[decodeLumaPlane]] plus the SOF dimensions — the per-partition
       * codec boundary ([[graft.operators.Multimodal.decodePartitions]])
-      * needs (w, h, plane) without re-parsing the header. */
-    def decodeLumaPlaneWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) = {
+      * needs (w, h, plane) without re-parsing the header. Dispatches on
+      * the stream's SOF marker: baseline sequential (SOF0) to the
+      * sequential core, progressive (SOF2) to the progressive core —
+      * progressive rides the WIDE contract only (`allowColor`, the same
+      * flag that gates color: [[JpegGray8Decode]] stays the narrow
+      * baseline-gray pin). Anything else (extended/lossless/arithmetic)
+      * is null. */
+    def decodeLumaPlaneWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) =
+      sofMarker(b) match {
+        case 0xC0 => decodeBaselineLumaWithDims(b, allowColor)
+        case 0xC2 if allowColor => decodeProgressiveLumaWithDims(b)
+        case _ => null
+      }
+
+    /** First SOF marker of the segment stream (0xC0 baseline, 0xC2
+      * progressive, …), or −1 on anything structurally broken before one
+      * appears — the same walk the drop classifier runs. */
+    def sofMarker(b: Array[Byte]): Int = {
+      val n = b.length
+      if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return -1
+      var p = 2
+      while (p + 4 <= n) {
+        if ((b(p) & 0xff) != 0xFF) return -1
+        var mk = b(p + 1) & 0xff
+        while (mk == 0xFF) { p += 1; if (p + 2 > n) return -1; mk = b(p + 1) & 0xff }
+        if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) return mk
+        if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01) return -1
+        p += 2
+        if (p + 2 > n) return -1
+        val len = u16(b, p)
+        if (len < 2 || p + len > n) return -1
+        p += len
+      }
+      -1
+    }
+
+    /** The baseline-sequential core ([[decodeLumaPlaneWithDims]] routes
+      * SOF0 streams here). */
+    def decodeBaselineLumaWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) = {
       val n = b.length
       if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
       // ---- segment walk up to SOS ----
@@ -1812,61 +2147,7 @@ object Native {
                 }
                 val blockY = mcu / mcuxN * vMax + bv
                 val blockX = mcu % mcuxN * hMax + bh
-                if (!acSeen) {
-                  // DC-only block (flat region — and every block of the aligned
-                  // fixture encoders): the IDCT collapses to one constant,
-                  // computed with the EXACT multiplication order of the general
-                  // path below (ct₀·(ct₀·D)) so the fast path is bit-identical
-                  val c00 = Jpeg.Cos(0)(0)
-                  val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
-                  val pb = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
-                  var yy = 0
-                  while (yy < 8) {
-                    val y = blockY * 8 + yy
-                    if (y < h) {
-                      var xx = 0
-                      while (xx < 8) {
-                        val x = blockX * 8 + xx
-                        if (x < w) out(y * w + x) = pb
-                        xx += 1
-                      }
-                    }
-                    yy += 1
-                  }
-                } else {
-                  // separable IDCT: tmp(v)(x) = Σᵤ ct(u)(x)·S(v,u)
-                  var v = 0
-                  while (v < 8) {
-                    var x = 0
-                    while (x < 8) {
-                      var acc = 0.0
-                      var u = 0
-                      while (u < 8) { acc += Jpeg.Cos(u)(x) * coef(v * 8 + u); u += 1 }
-                      tmp(v)(x) = acc
-                      x += 1
-                    }
-                    v += 1
-                  }
-                  var yy = 0
-                  while (yy < 8) {
-                    val y = blockY * 8 + yy
-                    if (y < h) {
-                      var xx = 0
-                      while (xx < 8) {
-                        val x = blockX * 8 + xx
-                        if (x < w) {
-                          var acc = 0.0
-                          var v2 = 0
-                          while (v2 < 8) { acc += Jpeg.Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
-                          val px = math.round(acc + 128.0).toInt
-                          out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                        }
-                        xx += 1
-                      }
-                    }
-                    yy += 1
-                  }
-                }
+                Jpeg.emitBlock(coef, acSeen, blockX, blockY, w, h, out, tmp)
               }
               bh += 1
             }
@@ -1875,6 +2156,467 @@ object Native {
           c += 1
         }
         mcu += 1
+      }
+      (w, h, out)
+    }
+
+    /** The PROGRESSIVE (SOF2) core: multi-scan spectral-selection +
+      * successive-approximation Huffman decode per T.81 Annex G,
+      * returning the full-resolution LUMA plane. Scan handling:
+      *
+      *   - DC scans (Ss=Se=0), interleaved or single-component: first
+      *     scans (Ah=0) decode DC diffs and store `pred << Al`;
+      *     refinement scans (Ah>0) OR one raw bit per block into bit Al.
+      *     Interleaved scans entropy-decode chroma DC too (the bits must
+      *     be consumed to stay in sync) but never store it.
+      *   - AC scans (Ss>0) are single-component per G.1.1.1.1. Luma
+      *     scans run the G.1.2.2 first-scan algorithm (EOB runs, ZRL,
+      *     `extend << Al` births) or the G.1.2.3 refinement algorithm
+      *     (correction bits on nonzero history, ±2^Al births, EOB-run
+      *     correction sweeps). CHROMA-only scans are never decoded at
+      *     all: entropy data cannot contain a bare FF followed by
+      *     anything but 00/RSTn, so the scan is skipped by seeking the
+      *     next true marker — for 4:2:0 that skips ~half the entropy
+      *     work, the right cost shape when the consumer is a luma hash.
+      *   - Restart markers: byte-align + sequence check every `ri` MCUs
+      *     (interleaved) or blocks (single-component), resetting DC
+      *     predictors and the EOB run.
+      *
+      * Luma coefficients accumulate across scans in zig-zag order (the
+      * successive-approximation history G.1.2.3 requires); dequantization
+      * and the shared [[emitBlock]] IDCT run once, after EOI. Null, never
+      * an error, off contract: non-8-bit precision, >3 components,
+      * sampling outside {1,2}, luma not carrying the max factors, bad
+      * scan headers (interleaved AC, Se<Ss, Ah≠Al+1 refinements),
+      * missing tables, bad restart sequence, truncated entropy data, a
+      * header demanding more than [[MaxPixels]], or more than
+      * [[MaxScans]] scans (the multi-scan bomb stance: each scan costs a
+      * full block sweep even when its entropy data is 2 bytes of EOB
+      * run, so an unbounded scan count would be a cheap-bytes DoS). */
+    val MaxScans = 64
+    def decodeProgressiveLumaWithDims(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val n = b.length
+      if (n < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
+      val quantZ = Array.ofDim[Int](4, 64)
+      val quantSeen = new Array[Boolean](4)
+      val dcTabs = new Array[HuffTab](4)
+      val acTabs = new Array[HuffTab](4)
+      var w = 0; var h = 0; var ri = 0
+      var sofSeen = false
+      var nComp = 0
+      val compId = new Array[Int](3)
+      val compH = new Array[Int](3); val compV = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      var wb = 0; var hb = 0         // luma block grid: ceil(w/8) × ceil(h/8)
+      var coefZ: Array[Int] = null   // luma coefficients, zig-zag order per block
+      var scans = 0
+      // bit reader, reset per scan (same stuffing/marker rules as baseline)
+      var pos = 0
+      var bitBuf = 0; var bitCnt = 0
+      def readBit(): Int = {
+        if (bitCnt == 0) {
+          if (pos >= n) return -1
+          val by = b(pos) & 0xff; pos += 1
+          if (by == 0xFF) {
+            if (pos >= n || (b(pos) & 0xff) != 0x00) return -1
+            pos += 1
+          }
+          bitBuf = by; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(t: Int): Int = {
+        var v = 0; var i = 0
+        while (i < t) {
+          val bit = readBit(); if (bit < 0) return -1
+          v = (v << 1) | bit
+          i += 1
+        }
+        v
+      }
+      def huffDecode(tab: HuffTab): Int = {
+        var l = 1
+        var code = readBit(); if (code < 0) return -1
+        while (code > tab.maxcode(l)) {
+          l += 1
+          if (l > 16) return -1
+          val bit = readBit(); if (bit < 0) return -1
+          code = (code << 1) | bit
+        }
+        tab.value(l, code)
+      }
+      // position `pos` at the next true marker, skipping entropy bytes,
+      // stuffed FF00, fill FFs, and RSTn — how a chroma-only scan is
+      // skipped wholesale and trailing pad bits drain after a decoded one
+      def seekMarker(): Boolean = {
+        while (pos < n) {
+          if ((b(pos) & 0xff) == 0xFF) {
+            if (pos + 1 >= n) return false
+            val m = b(pos + 1) & 0xff
+            if (m == 0x00) pos += 2
+            else if (m >= 0xD0 && m <= 0xD7) pos += 2
+            else if (m == 0xFF) pos += 1
+            else return true
+          } else pos += 1
+        }
+        false
+      }
+      var p = 2
+      var sawEoi = false
+      while (!sawEoi) {
+        if (p + 2 > n || (b(p) & 0xff) != 0xFF) return null
+        var mk = b(p + 1) & 0xff
+        while (mk == 0xFF) { p += 1; if (p + 2 > n) return null; mk = b(p + 1) & 0xff }
+        p += 2
+        if (mk == 0xD9) sawEoi = true
+        else if (mk == 0xD8 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01) return null
+        else {
+          if (p + 2 > n) return null
+          val len = u16(b, p)
+          if (len < 2 || p + len > n) return null
+          mk match {
+            case 0xDB => // DQT (may appear between scans; last state wins,
+              // read at the single post-EOI dequantization)
+              var q = p + 2
+              while (q < p + len) {
+                if (q + 65 > p + len) return null
+                val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
+                if (pq != 0) return null
+                if (tq > 3) return null
+                var k = 0
+                while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+                quantSeen(tq) = true
+                q += 65
+              }
+            case 0xC4 => // DHT (scans redefine tables freely)
+              var q = p + 2
+              while (q < p + len) {
+                if (q + 17 > p + len) return null
+                val tc = (b(q) & 0xff) >> 4; val th = b(q) & 0x0f
+                if (tc > 1 || th > 3) return null
+                val bits = new Array[Int](16)
+                var total = 0
+                var l = 0
+                while (l < 16) { bits(l) = b(q + 1 + l) & 0xff; total += bits(l); l += 1 }
+                if (total == 0 || total > 256 || q + 17 + total > p + len) return null
+                val vals = new Array[Int](total)
+                var v = 0
+                while (v < total) { vals(v) = b(q + 17 + v) & 0xff; v += 1 }
+                val tab = new HuffTab(bits, vals)
+                if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+                q += 17 + total
+              }
+            case 0xDD =>
+              if (len != 4) return null
+              ri = u16(b, p + 2)
+            case 0xC2 =>
+              if (sofSeen || len < 9) return null
+              if ((b(p + 2) & 0xff) != 8) return null
+              h = u16(b, p + 3); w = u16(b, p + 5)
+              nComp = b(p + 7) & 0xff
+              if (nComp != 1 && nComp != 3) return null
+              if (len != 8 + 3 * nComp) return null
+              var c = 0
+              while (c < nComp) {
+                compId(c) = b(p + 8 + 3 * c) & 0xff
+                val hv = b(p + 9 + 3 * c) & 0xff
+                compH(c) = hv >> 4; compV(c) = hv & 0x0f
+                compQ(c) = b(p + 10 + 3 * c) & 0x0f
+                if (compQ(c) > 3) return null
+                c += 1
+              }
+              if (nComp == 1) {
+                if (compH(0) != 1 || compV(0) != 1) return null
+              } else {
+                var c2 = 0
+                while (c2 < 3) {
+                  if (compH(c2) < 1 || compH(c2) > 2 ||
+                      compV(c2) < 1 || compV(c2) > 2) return null
+                  if (compH(c2) > compH(0) || compV(c2) > compV(0)) return null
+                  c2 += 1
+                }
+              }
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+              wb = (w + 7) / 8; hb = (h + 7) / 8
+              coefZ = new Array[Int](wb * hb * 64)
+              sofSeen = true
+            case m2 if (m2 >= 0xC0 && m2 <= 0xCF) && m2 != 0xC4 && m2 != 0xC8 =>
+              return null // a second SOF, or a non-progressive one
+            case 0xDA =>
+              if (!sofSeen) return null
+              scans += 1
+              if (scans > MaxScans) return null
+              val ns = b(p + 2) & 0xff
+              if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return null
+              val sc = new Array[Int](ns)
+              val std = new Array[Int](ns); val sta = new Array[Int](ns)
+              var j = 0
+              while (j < ns) {
+                val cid = b(p + 3 + 2 * j) & 0xff
+                var ci = -1
+                var c3 = 0
+                while (c3 < nComp) { if (compId(c3) == cid) ci = c3; c3 += 1 }
+                if (ci < 0) return null
+                var j2 = 0
+                while (j2 < j) { if (sc(j2) == ci) return null; j2 += 1 }
+                sc(j) = ci
+                std(j) = (b(p + 4 + 2 * j) & 0xff) >> 4
+                sta(j) = b(p + 4 + 2 * j) & 0x0f
+                if (std(j) > 3 || sta(j) > 3) return null
+                j += 1
+              }
+              val ss = b(p + 3 + 2 * ns) & 0xff
+              val se = b(p + 4 + 2 * ns) & 0xff
+              val ahal = b(p + 5 + 2 * ns) & 0xff
+              val ah = ahal >> 4; val al = ahal & 0x0f
+              // G.1.1.1.1: DC scans have Ss=Se=0; AC scans are
+              // single-component; refinements step Al down by one
+              if (ss > 63 || se > 63 || se < ss) return null
+              if (ss == 0 && se != 0) return null
+              if (ss > 0 && ns != 1) return null
+              if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return null
+              pos = p + len
+              bitCnt = 0
+              var isLumaScan = false
+              var j3 = 0
+              while (j3 < ns) { if (sc(j3) == 0) isLumaScan = true; j3 += 1 }
+              if (!isLumaScan) {
+                if (!seekMarker()) return null
+              } else if (ss == 0) {
+                // ---- DC scan ----
+                var j4 = 0
+                while (j4 < ns) {
+                  if (ah == 0 && dcTabs(std(j4)) == null) return null
+                  j4 += 1
+                }
+                val preds = new Array[Int](ns)
+                if (ns > 1) {
+                  var hMax = 1; var vMax = 1
+                  var c4 = 0
+                  while (c4 < nComp) {
+                    if (compH(c4) > hMax) hMax = compH(c4)
+                    if (compV(c4) > vMax) vMax = compV(c4)
+                    c4 += 1
+                  }
+                  val mcuxN = (w + 8 * hMax - 1) / (8 * hMax)
+                  val mcuyN = (h + 8 * vMax - 1) / (8 * vMax)
+                  val nMcu = mcuxN * mcuyN
+                  var mcu = 0
+                  while (mcu < nMcu) {
+                    if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+                      bitCnt = 0
+                      if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
+                      if ((b(pos + 1) & 0xff) != 0xD0 + ((mcu / ri - 1) & 7)) return null
+                      pos += 2
+                      java.util.Arrays.fill(preds, 0)
+                    }
+                    var j5 = 0
+                    while (j5 < ns) {
+                      val ci = sc(j5)
+                      var bv = 0
+                      while (bv < compV(ci)) {
+                        var bh = 0
+                        while (bh < compH(ci)) {
+                          if (ah == 0) {
+                            val t = huffDecode(dcTabs(std(j5)))
+                            if (t < 0 || t > 15) return null
+                            val mag = receive(t); if (mag < 0) return null
+                            preds(j5) += extend(mag, t)
+                            if (ci == 0) {
+                              val blockY = mcu / mcuxN * compV(0) + bv
+                              val blockX = mcu % mcuxN * compH(0) + bh
+                              if (blockX < wb && blockY < hb)
+                                coefZ((blockY * wb + blockX) * 64) = preds(j5) << al
+                            }
+                          } else {
+                            val bit = readBit(); if (bit < 0) return null
+                            if (ci == 0 && bit == 1) {
+                              val blockY = mcu / mcuxN * compV(0) + bv
+                              val blockX = mcu % mcuxN * compH(0) + bh
+                              if (blockX < wb && blockY < hb)
+                                coefZ((blockY * wb + blockX) * 64) |= (1 << al)
+                            }
+                          }
+                          bh += 1
+                        }
+                        bv += 1
+                      }
+                      j5 += 1
+                    }
+                    mcu += 1
+                  }
+                } else {
+                  // single-component luma DC scan: the component's own grid
+                  val nBlk = wb * hb
+                  var blk = 0
+                  while (blk < nBlk) {
+                    if (ri > 0 && blk > 0 && blk % ri == 0) {
+                      bitCnt = 0
+                      if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
+                      if ((b(pos + 1) & 0xff) != 0xD0 + ((blk / ri - 1) & 7)) return null
+                      pos += 2
+                      preds(0) = 0
+                    }
+                    if (ah == 0) {
+                      val t = huffDecode(dcTabs(std(0)))
+                      if (t < 0 || t > 15) return null
+                      val mag = receive(t); if (mag < 0) return null
+                      preds(0) += extend(mag, t)
+                      coefZ(blk * 64) = preds(0) << al
+                    } else {
+                      val bit = readBit(); if (bit < 0) return null
+                      if (bit == 1) coefZ(blk * 64) |= (1 << al)
+                    }
+                    blk += 1
+                  }
+                }
+                if (!seekMarker()) return null
+              } else {
+                // ---- AC scan (single-component, luma) ----
+                val acTab = acTabs(sta(0))
+                if (acTab == null) return null
+                val nBlk = wb * hb
+                var eobrun = 0
+                var blk = 0
+                while (blk < nBlk) {
+                  if (ri > 0 && blk > 0 && blk % ri == 0) {
+                    bitCnt = 0
+                    if (pos + 2 > n || (b(pos) & 0xff) != 0xFF) return null
+                    if ((b(pos + 1) & 0xff) != 0xD0 + ((blk / ri - 1) & 7)) return null
+                    pos += 2
+                    eobrun = 0
+                  }
+                  val base = blk * 64
+                  if (ah == 0) {
+                    // G.1.2.2 — AC first scan
+                    if (eobrun > 0) eobrun -= 1
+                    else {
+                      var k = ss
+                      var broke = false
+                      while (k <= se && !broke) {
+                        val rs = huffDecode(acTab)
+                        if (rs < 0) return null
+                        val r = rs >> 4; val s2 = rs & 15
+                        if (s2 == 0) {
+                          if (r == 15) k += 16 // ZRL
+                          else {
+                            eobrun = (1 << r) - 1
+                            if (r > 0) {
+                              val x = receive(r); if (x < 0) return null
+                              eobrun += x
+                            }
+                            broke = true
+                          }
+                        } else {
+                          k += r
+                          if (k > se) return null
+                          val mag = receive(s2); if (mag < 0) return null
+                          coefZ(base + k) = extend(mag, s2) << al
+                          k += 1
+                        }
+                      }
+                    }
+                  } else {
+                    // G.1.2.3 — AC refinement scan
+                    val pOne = 1 << al
+                    val mOne = -1 << al
+                    var k = ss
+                    if (eobrun == 0) {
+                      var broke = false
+                      while (k <= se && !broke) {
+                        val rs = huffDecode(acTab)
+                        if (rs < 0) return null
+                        var r = rs >> 4; val s2 = rs & 15
+                        var sVal = 0
+                        if (s2 != 0) {
+                          if (s2 != 1) return null // only ±2^Al born here
+                          val bit = readBit(); if (bit < 0) return null
+                          sVal = if (bit == 1) pOne else mOne
+                        } else if (r != 15) {
+                          eobrun = 1 << r // NO −1: the EOB sweep below
+                          if (r > 0) {    // handles this block, then decrements
+                            val x = receive(r); if (x < 0) return null
+                            eobrun += x
+                          }
+                          broke = true
+                        } // s2==0, r==15: ZRL — skip 16 zero-history slots
+                        if (!broke) {
+                          // advance: correction bits on nonzero history;
+                          // count r zero-history slots, land on the last
+                          var stop = false
+                          while (k <= se && !stop) {
+                            val cv = coefZ(base + k)
+                            if (cv != 0) {
+                              val bit = readBit(); if (bit < 0) return null
+                              if (bit == 1 && (cv & pOne) == 0)
+                                coefZ(base + k) = if (cv >= 0) cv + pOne else cv + mOne
+                              k += 1
+                            } else {
+                              r -= 1
+                              if (r < 0) stop = true // k stays ON the slot
+                              else k += 1
+                            }
+                          }
+                          if (sVal != 0) {
+                            if (k > se) return null
+                            coefZ(base + k) = sVal
+                          }
+                          k += 1
+                        }
+                      }
+                    }
+                    if (eobrun > 0) {
+                      // EOB sweep: correction bits for the remaining
+                      // nonzero history of THIS block, then the run
+                      // covers it
+                      while (k <= se) {
+                        val cv = coefZ(base + k)
+                        if (cv != 0) {
+                          val bit = readBit(); if (bit < 0) return null
+                          if (bit == 1 && (cv & pOne) == 0)
+                            coefZ(base + k) = if (cv >= 0) cv + pOne else cv + mOne
+                        }
+                        k += 1
+                      }
+                      eobrun -= 1
+                    }
+                  }
+                  blk += 1
+                }
+                if (!seekMarker()) return null
+              }
+              p = pos // seekMarker left pos at the next marker's FF
+            case _ => () // APPn / COM: skip
+          }
+          if (mk != 0xDA) p += len
+        }
+      }
+      if (!sofSeen || coefZ == null) return null
+      if (!quantSeen(compQ(0))) return null
+      val qz = quantZ(compQ(0))
+      // ---- one dequantize + IDCT pass over the accumulated history ----
+      val out = new Array[Byte](w * h)
+      val coefNat = new Array[Int](64)
+      val tmp = Array.ofDim[Double](8, 8)
+      var byi = 0
+      while (byi < hb) {
+        var bxi = 0
+        while (bxi < wb) {
+          val base = (byi * wb + bxi) * 64
+          java.util.Arrays.fill(coefNat, 0)
+          coefNat(0) = coefZ(base) * qz(0)
+          var acSeen = false
+          var k = 1
+          while (k < 64) {
+            val v = coefZ(base + k)
+            if (v != 0) { coefNat(ZigzagNat(k)) = v * qz(k); acSeen = true }
+            k += 1
+          }
+          emitBlock(coefNat, acSeen, bxi, byi, w, h, out, tmp)
+          bxi += 1
+        }
+        byi += 1
       }
       (w, h, out)
     }
@@ -1964,6 +2706,147 @@ object Native {
         if (m < nMcu - 1) wr(0xFF, 0xD0 + (m % 8))
         m += 1
       }
+      wr(0xFF, 0xD9) // EOI
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** jpeg_encode_gray8_prog(BINARY pixels, width) → BINARY: a REAL,
+    * complete PROGRESSIVE JPEG (SOI, JFIF APP0, DQT, SOF2, two DHTs,
+    * FIVE scans, EOI) from a row-major 8-bit grayscale bitmap — the
+    * [[JpegGray8Encode]] DC-only fixture re-coded as genuine spectral
+    * selection + successive approximation:
+    *
+    *   scan 1  Ss=0 Se=0 Ah=0 Al=1 — DC first: Huffman-coded diffs of
+    *           the point-transformed DC (dcq >> 1)
+    *   scan 2  Ss=0 Se=0 Ah=1 Al=0 — DC refinement: one raw bit per
+    *           block (dcq & 1)
+    *   scan 3  Ss=1 Se=5 Ah=0 Al=1 — AC first over a band
+    *   scan 4  Ss=1 Se=5 Ah=1 Al=0 — AC refinement of that band
+    *   scan 5  Ss=6 Se=63 Ah=0 Al=0 — AC first over the rest
+    *
+    * Blocks are DC-only (per-block mean, edge replication), so every AC
+    * scan is pure EOB-RUN coding — greedy maximal runs (EOBn + extra
+    * bits), which puts the decoder's G.1.2.2/G.1.2.3 EOB-run machinery,
+    * the DC point transform, and the DC refinement OR inside the oracled
+    * query; for per-block-CONSTANT bitmaps the decode is bit-exact (flat
+    * quant 8s ⇒ quantized DC = mean−128 exactly, same closed form as the
+    * baseline fixture — (v>>1)<<1 | (v&1) reassembles v for negatives
+    * too, arithmetic shift). Same cat-7 domain contract as the baseline
+    * fixture: per-block means in [1,64] ∪ [192,255], else null. Huffman
+    * tables: DC categories 0..7 and the 15 EOBn symbols, each at code
+    * length 4. Nonzero-AC births, ZRL, and refinement correction bits —
+    * paths a DC-only fixture cannot reach — are pinned by hand-assembled
+    * spec vectors and the ImageIO progressive cross-decoder tests.
+    * Fixture builder; production writes JPEGs with a codec, not Spark. */
+  case class JpegProgGray8Encode(left: Expression, right: Expression)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (w > 65535 || h > 65535 || w.toLong * h > Jpeg.MaxPixels) return null
+      val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+      val nBlk = bxN * byN
+      // per-block quantized DCs — the baseline fixture's exact math
+      val dcq = new Array[Int](nBlk)
+      var m = 0
+      while (m < nBlk) {
+        val blockY = m / bxN; val blockX = m % bxN
+        var sum = 0L
+        var yy = 0
+        while (yy < 8) {
+          val y = math.min(blockY * 8 + yy, h - 1)
+          var xx = 0
+          while (xx < 8) {
+            val x = math.min(blockX * 8 + xx, w - 1)
+            sum += (pixels(y * w + x) & 0xff) - 128
+            xx += 1
+          }
+          yy += 1
+        }
+        val v = math.round(sum / 64.0).toInt
+        if (v < -127 || (v > -64 && v < 64) || v > 127) return null
+        dcq(m) = v
+        m += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xff))
+      // bit writer with FF byte stuffing; scans pad to a byte with 1s
+      var acc = 0; var nb = 0
+      def putBit(bit: Int): Unit = {
+        acc = (acc << 1) | (bit & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nb = 0
+        }
+      }
+      def putBits(v: Int, t: Int): Unit = {
+        var i = t - 1
+        while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+      }
+      def flushBits(): Unit = while (nb != 0) putBit(1)
+      wr(0xFF, 0xD8) // SOI
+      wr(0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+        0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) // JFIF APP0
+      wr(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: flat table of 8s
+      var i = 0
+      while (i < 64) { out.write(8); i += 1 }
+      wr(0xFF, 0xC2, 0x00, 0x0B, 0x08, // SOF2: progressive, precision 8
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        0x01, 0x01, 0x11, 0x00)
+      wr(0xFF, 0xC4, 0x00, 0x1B, 0x00) // DHT DC 0: cats 0..7, all length 4
+      wr(0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      wr(0, 1, 2, 3, 4, 5, 6, 7)
+      wr(0xFF, 0xC4, 0x00, 0x22, 0x10) // DHT AC 0: EOB0..EOB14, length 4
+      wr(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      i = 0
+      while (i < 15) { out.write(i << 4); i += 1 }
+      def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
+        wr(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, ss, se, (ah << 4) | al)
+      // canonical code of DC category c / EOBn symbol r is its own index
+      def eobRuns(total: Int): Unit = {
+        var rem = total
+        while (rem > 0) {
+          var r = 0
+          while (r < 14 && (1 << (r + 1)) <= rem) r += 1
+          val run = math.min(rem, (1 << (r + 1)) - 1)
+          putBits(r, 4)
+          if (r > 0) putBits(run - (1 << r), r)
+          rem -= run
+        }
+      }
+      sos(0, 0, 0, 1) // DC first at Al=1
+      var pred = 0
+      m = 0
+      while (m < nBlk) {
+        val v = dcq(m) >> 1
+        val d = v - pred; pred = v
+        var cat = 0; var ad = math.abs(d)
+        while (ad > 0) { cat += 1; ad >>= 1 }
+        putBits(cat, 4)
+        if (cat > 0) putBits(if (d > 0) d else d + (1 << cat) - 1, cat)
+        m += 1
+      }
+      flushBits()
+      sos(0, 0, 1, 0) // DC refinement to Al=0
+      m = 0
+      while (m < nBlk) { putBit(dcq(m) & 1); m += 1 }
+      flushBits()
+      sos(1, 5, 0, 1); eobRuns(nBlk); flushBits() // AC first, low band
+      sos(1, 5, 1, 0); eobRuns(nBlk); flushBits() // AC refinement (zero history)
+      sos(6, 63, 0, 0); eobRuns(nBlk); flushBits() // AC first, rest
       wr(0xFF, 0xD9) // EOI
       out.toByteArray
     }
@@ -2307,7 +3190,8 @@ object Native {
     *   - `truncated`            — recognized container cut off before its
     *                              structural header completes
     *   - `unsupported_profile`  — valid container, out-of-contract coding
-    *                              (palette/16-bit PNG, progressive JPEG,
+    *                              (gray+alpha/16-bit PNG — palette and
+    *                              Adam7 decode, progressive JPEG,
     *                              float/8-bit WAV, lossy WebP, non-MJPEG
     *                              MP4, RLE/low-depth BMP, LZW/tiled TIFF
     *                              — PackBits decodes), or a RECOGNIZED
@@ -2342,10 +3226,14 @@ object Native {
       // ---- PNG ----
       if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
         if (n < 33) return s("truncated")
+        // color types 0/2/3/6 and interlace methods 0/1 (Adam7) all
+        // decode for real now ([[Png.decodeImage]]); gray+alpha (4) and
+        // non-8 bit depths remain the profile limit
         if (b(24) != 8 || Png.bppOf(b(25) & 0xff) < 0 ||
-            b(26) != 0 || b(27) != 0 || b(28) != 0) return s("unsupported_profile")
+            b(26) != 0 || b(27) != 0 || (b(28) != 0 && b(28) != 1))
+          return s("unsupported_profile")
         val w = Png.u32(b, 16); val h = Png.u32(b, 20)
-        val bpp = Png.bppOf(b(25) & 0xff)
+        val bpp = Png.bppOf(b(25) & 0xff) // the decoder's allocation bpp
         if (w <= 0 || h <= 0 || w > Png.MaxPixels || h > Png.MaxPixels ||
             w * h > Png.MaxPixels.toLong / bpp) return s("bomb_guard")
         return if (Png.decodeLuma(b) == null) s("corrupt") else null
@@ -2359,7 +3247,9 @@ object Native {
           if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
             return s("corrupt") // SOI again / EOI / RST before any frame header
           if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
-            if (mk != 0xC0) return s("unsupported_profile") // progressive & friends
+            // baseline (C0) AND progressive (C2) decode for real now;
+            // extended-sequential/lossless/arithmetic stay the profile limit
+            if (mk != 0xC0 && mk != 0xC2) return s("unsupported_profile")
             if (p + 10 > n) return s("truncated")
             val hh = Jpeg.u16(b, p + 5); val ww = Jpeg.u16(b, p + 7)
             if (ww <= 0 || hh <= 0 || ww.toLong * hh > Jpeg.MaxPixels)
@@ -4650,6 +5540,9 @@ object Native {
       PngRgbEncode(exprs(0), exprs(1), intLit(exprs(2), "filterMode"),
         boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
     "graft_png_decode_luma" -> (exprs => PngLumaDecode(exprs(0))),
+    "graft_png_encode_pal8" -> (exprs =>
+      PngPal8Encode(exprs(0), exprs(1), boolLit(exprs(2), "interlace"),
+        boolLit(exprs(3), "trns"), intLit(exprs(4), "filterMode"))),
     "graft_webp_decode_luma" -> (exprs => WebpLumaDecode(exprs(0))),
     "graft_gif_decode_luma" -> (exprs => GifLumaDecode(exprs(0))),
     "graft_gif_encode_gray8" -> (exprs => GifGray8Encode(exprs(0), exprs(1),
@@ -4667,6 +5560,7 @@ object Native {
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
+    "graft_jpeg_encode_gray8_prog" -> (exprs => JpegProgGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
     "graft_jpeg_encode_ycc_dc" -> (exprs => JpegYccEncodeDc(exprs(0), exprs(1),
       intLit(exprs(2), "hSamp"), intLit(exprs(3), "vSamp"),
@@ -4771,6 +5665,12 @@ object Native {
       org.apache.spark.sql.functions.lit(alpha))
   def pngDecodeLuma(png: Column): Column =
     call_function("graft_png_decode_luma", png)
+  def pngEncodePal8(pixels: Column, width: Column,
+      interlace: Boolean = false, trns: Boolean = false, filterMode: Int = 0): Column =
+    call_function("graft_png_encode_pal8", pixels, width,
+      org.apache.spark.sql.functions.lit(interlace),
+      org.apache.spark.sql.functions.lit(trns),
+      org.apache.spark.sql.functions.lit(filterMode))
   def webpDecodeLuma(webp: Column): Column =
     call_function("graft_webp_decode_luma", webp)
   def gifDecodeLuma(gif: Column): Column =

@@ -642,14 +642,29 @@ object Multimodal {
       filterMode: Int = 0, stored: Boolean = false): Column =
     graft.functions.Native.pngEncodeGray8(pixels, width, filterMode, stored)
 
-  /** LUMA-plane decode for PNGs, gray OR color ([[graft.functions.Native
-    * .PngLumaDecode]]): color type 0 decodes byte-identically to
-    * [[pngDecodeGray8]] (shared core); types 2 (RGB) and 6 (RGBA) convert
-    * per pixel with exact-integer ITU-R 601 luma (alpha ignored — dHash is
-    * a luminance function). This is the decode a crawl-image dedup
-    * pipeline actually needs: real crawl PNGs are overwhelmingly color. */
+  /** LUMA-plane decode for PNGs, gray OR color OR palette ([[graft
+    * .functions.Native.PngLumaDecode]]): color type 0 decodes
+    * byte-identically to [[pngDecodeGray8]] (shared core); types 2 (RGB)
+    * and 6 (RGBA) convert per pixel with exact-integer ITU-R 601 luma
+    * (alpha ignored — dHash is a luminance function); type 3 (palette)
+    * expands indices through PLTE into RGB first (tRNS alpha ignored, the
+    * RGBA stance); Adam7-interlaced streams of any supported type
+    * deinterlace for real. This is the decode a crawl-image dedup
+    * pipeline actually needs: real crawl PNGs are overwhelmingly color,
+    * and icons/screenshots/charts are overwhelmingly paletted. */
   def pngDecodeLuma(png: Column): Column =
     graft.functions.Native.pngDecodeLuma(png)
+
+  /** [[pngEncodeGray8]]'s PALETTE edition ([[graft.functions.Native
+    * .PngPal8Encode]]): palette-index bytes → genuine color-type-3 PNG
+    * with the ANALYTIC 256-entry palette (entry i = (i, 255−i, (7·i) mod
+    * 256) — a SQL oracle recomputes luma in closed form and can slice the
+    * PLTE bytes from their fixed offset 41); `interlace` emits a real
+    * Adam7 stream, `trns` adds a 128-entry tRNS chunk whose alpha must
+    * never alter the decoded luma. */
+  def pngEncodePal8(pixels: Column, width: Column,
+      interlace: Boolean = false, trns: Boolean = false, filterMode: Int = 0): Column =
+    graft.functions.Native.pngEncodePal8(pixels, width, interlace, trns, filterMode)
 
   /** [[pngEncodeGray8]]'s COLOR edition ([[graft.functions.Native
     * .PngRgbEncode]]): interleaved RGB (or RGBA with `alpha`) bytes →
@@ -663,10 +678,9 @@ object Multimodal {
   /** Image near-dup on REAL PNG payloads, end-to-end: [[pngDecodeLuma]]
     * → [[dHash]] → the shared Hamming-banded LSH core — the composition
     * [[imageNearDup]] runs on pre-decoded bitmaps, now from actual image
-    * bytes. Covers grayscale AND truecolor (RGB/RGBA) PNGs — the full
-    * crawl-PNG population; the gray8-only decode previously nulled the
-    * color payloads real crawls overwhelmingly carry. Undecodable
-    * payloads (corrupt, non-PNG, palette/16-bit/interlaced) drop at the
+    * bytes. Covers grayscale, truecolor (RGB/RGBA), AND paletted PNGs,
+    * interlaced or not — the full crawl-PNG population. Undecodable
+    * payloads (corrupt, non-PNG, gray+alpha/16-bit) drop at the
     * decode stage, before any shuffle; only the 8-byte signatures band.
     * `images` carries (id, png BINARY) of `width`×`height` images. */
   def imageNearDupPng(images: DataFrame, width: Int, height: Int,

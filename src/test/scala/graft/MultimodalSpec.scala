@@ -284,7 +284,7 @@ class MultimodalSpec extends AnyFunSuite {
     val avi = encAvi(Seq(frame), 9, 8)
     val junkAvi = Seq(Tuple1(Seq(png))).toDF("f") // png bytes walk as frames, decode fails
       .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
-    val palettePng = png.clone(); palettePng(25) = 3
+    val grayAlphaPng = png.clone(); grayAlphaPng(25) = 4 // gray+alpha: still out of contract (palette decodes now)
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
     // a bare ftyp with NO moov is structural damage, not an unsupported
@@ -310,7 +310,7 @@ class MultimodalSpec extends AnyFunSuite {
       ("a", png), ("a", wav), ("a", avi), ("a", mp4), // all decodable → NO rows
       ("a", webpGood),                               // VP8L decodes → NO row
       ("a", junk), ("b", junk),                      // bad_magic, split by source
-      ("a", palettePng), ("a", bombPng),
+      ("a", grayAlphaPng), ("a", bombPng),
       ("a", png.take(40)),                           // header ok, decode fails → corrupt
       ("b", mp4ish), ("b", webp), ("b", truncAvi),
       ("b", mp4Avc), ("b", truncMp4), ("b", truncWebp),
@@ -322,7 +322,7 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = Set(
       ("a", "application/octet-stream", "bad_magic", 1L, junk.length.toLong),
       ("b", "application/octet-stream", "bad_magic", 1L, junk.length.toLong),
-      ("a", "image/png", "unsupported_profile", 1L, palettePng.length.toLong),
+      ("a", "image/png", "unsupported_profile", 1L, grayAlphaPng.length.toLong),
       ("a", "image/png", "bomb_guard", 1L, bombPng.length.toLong),
       ("a", "image/png", "corrupt", 1L, 40L),
       ("b", "video/mp4", "corrupt", 2L, mp4ish.length.toLong + 40L),
@@ -696,7 +696,7 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4 = encMp4(Seq(jpeg), 9, 8)
     val webpGood = Seq(Tuple1(rgbPix(72, 3))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
-    val palettePng = png.clone(); palettePng(25) = 3
+    val grayAlphaPng = png.clone(); grayAlphaPng(25) = 4 // gray+alpha: still out of contract (palette decodes now)
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
     val lossyWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
@@ -707,7 +707,7 @@ class MultimodalSpec extends AnyFunSuite {
       "png" -> png, "pngColor" -> pngColor, "jpeg" -> jpeg, "wav" -> wav,
       "avi" -> avi, "mp4" -> mp4, "webp" -> webpGood,
       "junk" -> "garbage payload bytes".getBytes("UTF-8"),
-      "cutPng" -> png.take(40), "palettePng" -> palettePng, "bombPng" -> bombPng,
+      "cutPng" -> png.take(40), "grayAlphaPng" -> grayAlphaPng, "bombPng" -> bombPng,
       "wav8bit" -> wavOf(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000).clone()
         .patch(34, Array[Byte](8, 0), 2).toArray,
       "lossyWebp" -> lossyWebp, "cutWebp" -> webpGood.take(24),
@@ -741,6 +741,20 @@ class MultimodalSpec extends AnyFunSuite {
         .dropRight(8),
       "rleBmp" -> hexBytesT("424D760400000000000036040000280000000400000002000000" +
         "01000800010000000000000000000000000000000000000000000000"),
+      "pal8" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.pngEncodePal8($"px", lit(9), trns = true))
+        .as[Array[Byte]].head(),
+      "pal8Adam7" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.pngEncodePal8($"px", lit(9), interlace = true))
+        .as[Array[Byte]].head(),
+      // palette PNG with its PLTE chunk (fixed 780 bytes at offset 33)
+      // spliced out: header in contract, decode must fail → corrupt
+      "pal8NoPlte" -> {
+        val ok = Seq(Tuple1(grayPx)).toDF("px")
+          .select(Multimodal.pngEncodePal8($"px", lit(9)))
+          .as[Array[Byte]].head()
+        ok.take(33) ++ ok.drop(33 + 780)
+      },
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -779,9 +793,12 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     val tiff = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    val pal8 = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.pngEncodePal8($"px", lit(9), interlace = true, trns = true))
+      .as[Array[Byte]].head()
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
@@ -1179,6 +1196,189 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a != null && b != null && a.sameElements(b))
   }
 
+  // ---- palette + Adam7 PNG ------------------------------------------------
+
+  /** The fixture encoder's analytic PLTE restated independently: index i →
+    * luma601(i, 255−i, (7·i) mod 256). */
+  private def palLuma(idx: Array[Byte]): Array[Byte] =
+    idx.map { b => val i = b & 0xff; luma601(i, 255 - i, (7 * i) % 256).toByte }
+  private def encPal(px: Array[Byte], w: Int, interlace: Boolean, trns: Boolean,
+      fm: Int): Array[Byte] =
+    Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.pngEncodePal8($"px", lit(w), interlace, trns, fm))
+      .as[Array[Byte]].head()
+  /** Hand-assembly helper: signature + IHDR + optional PLTE/tRNS + one
+    * real-deflate IDAT over the given raw (filtered) stream + IEND, every
+    * chunk CRC32'd — independent of BOTH the decoder and the fixture
+    * encoder (no shared pass table, no shared filter code). */
+  private def handPng(w: Int, h: Int, colorType: Int, interlace: Boolean,
+      raw: Array[Byte], plte: Array[Byte] = null,
+      trns: Array[Byte] = null): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    chunk("IHDR", Array[Byte](
+      ((w >> 24) & 0xff).toByte, ((w >> 16) & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      8, colorType.toByte, 0, 0, (if (interlace) 1 else 0).toByte))
+    if (plte != null) chunk("PLTE", plte)
+    if (trns != null) chunk("tRNS", trns)
+    val z = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    } finally d.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("palette PNG round-trip: decodeLuma(encodePal8(idx)) == analytic palette luma across interlace × trns × filters × shapes") {
+    for {
+      (w, h) <- Seq((9, 8), (13, 7), (1, 1), (8, 8), (32, 5), (3, 3), (2, 9))
+      interlace <- Seq(false, true)
+      trns <- Seq(false, true)
+      fm <- Seq(-1, 0, 4)
+    } {
+      val idx = Array.tabulate(w * h)(i => ((i * 41 + 7) & 0xff).toByte)
+      val got = decPngLuma(encPal(idx, w, interlace, trns, fm))
+      assert(got != null && got.sameElements(palLuma(idx)),
+        s"palette round-trip failed w=$w h=$h interlace=$interlace trns=$trns fm=$fm")
+    }
+  }
+
+  test("tRNS never leaks into luma: the trns twin decodes byte-identically; a hand vector with a FULLY transparent entry keeps its palette luma") {
+    val idx = Array.tabulate(72)(i => ((i * 13 + 3) & 0xff).toByte)
+    val a = decPngLuma(encPal(idx, 9, interlace = false, trns = false, fm = -1))
+    val b = decPngLuma(encPal(idx, 9, interlace = false, trns = true, fm = -1))
+    assert(a != null && b != null && a.sameElements(b), "tRNS altered the luma")
+    // hand vector: 2×1, two-entry palette, entry 0 alpha 0 (fully
+    // transparent) — luma must STILL be the palette color's luma
+    // (luma601(10,20,30)=18, luma601(200,100,50)=124); a decoder that
+    // composited or zeroed transparent pixels fails here
+    val hand = handPng(2, 1, 3, interlace = false,
+      raw = Array[Byte](0, 0, 1),
+      plte = Array[Byte](10, 20, 30, 200.toByte, 100, 50),
+      trns = Array[Byte](0))
+    val got = decPngLuma(hand)
+    assert(got != null && got.sameElements(Array[Byte](18, 124.toByte)),
+      s"tRNS hand vector decoded ${if (got == null) "null" else got.toSeq}")
+  }
+
+  test("palette violations refuse, never misparse: missing PLTE, PLTE after IDAT, index beyond the table, oversized tRNS") {
+    val rawPlain = Array[Byte](0, 0, 1) // 2×1, filter 0, indices 0 1
+    val plte2 = Array[Byte](10, 20, 30, 40, 50, 60)
+    // missing PLTE
+    assert(decPngLuma(handPng(2, 1, 3, interlace = false, rawPlain)) == null)
+    // index 2 with a 2-entry palette
+    assert(decPngLuma(handPng(2, 1, 3, interlace = false,
+      Array[Byte](0, 0, 2), plte = plte2)) == null)
+    // tRNS longer than the palette (3 alphas, 2 entries)
+    assert(decPngLuma(handPng(2, 1, 3, interlace = false, rawPlain,
+      plte = plte2, trns = Array[Byte](1, 2, 3))) == null)
+    // PLTE after IDAT: splice the valid fixture's PLTE chunk (fixed 780
+    // bytes at offset 33) to AFTER the IDAT chunk
+    val ok = encPal(Array[Byte](0, 1), 2, interlace = false, trns = false, fm = 0)
+    val plteChunk = ok.slice(33, 33 + 780)
+    val without = ok.take(33) ++ ok.drop(33 + 780)
+    val iendAt = without.length - 12
+    val moved = without.take(iendAt) ++ plteChunk ++ without.drop(iendAt)
+    assert(decPngLuma(ok) != null && decPngLuma(moved) == null)
+  }
+
+  test("Adam7 hand vectors: pass boundaries and scatter match the spec grid (3×3 edge case and the full 8×8 pattern)") {
+    // 3×3 grayscale: passes 2 and 3 are EMPTY (contribute no bytes, not
+    // even filter bytes). Stream hand-laid pass by pass with filter 0;
+    // expected placement hand-written from the spec §8.2 figure.
+    val raw3 = Array[Byte](
+      0, 11,        // pass 1: (0,0)
+                    // pass 2: empty (x0=4 ≥ w)   pass 3: empty (y0=4 ≥ h)
+      0, 41,        // pass 4: (2,0)
+      0, 51, 52,    // pass 5: (0,2) (2,2)
+      0, 61, 0, 62, // pass 6: (1,0) (1,2) — two one-pixel rows
+      0, 71, 72, 73) // pass 7: (0,1) (1,1) (2,1)
+    val got3 = decPngLuma(handPng(3, 3, 0, interlace = true, raw3))
+    val want3 = Array[Byte](11, 61, 41, 71, 72, 73, 51, 62, 52)
+    assert(got3 != null && got3.sameElements(want3),
+      s"3x3 Adam7 decoded ${if (got3 == null) "null" else got3.toSeq}")
+    // 8×8: every pass non-empty. The ownership grid is the spec figure
+    // verbatim (NOT the decoder's pass table); pixel value = 30·pass + k
+    // where k is the pixel's row-major rank within its pass. Any error in
+    // pass order, pass dims, or scatter misplaces at least one value.
+    val grid = Array(
+      Array(1, 6, 4, 6, 2, 6, 4, 6),
+      Array(7, 7, 7, 7, 7, 7, 7, 7),
+      Array(5, 6, 5, 6, 5, 6, 5, 6),
+      Array(7, 7, 7, 7, 7, 7, 7, 7),
+      Array(3, 6, 4, 6, 3, 6, 4, 6),
+      Array(7, 7, 7, 7, 7, 7, 7, 7),
+      Array(5, 6, 5, 6, 5, 6, 5, 6),
+      Array(7, 7, 7, 7, 7, 7, 7, 7))
+    val expected = new Array[Byte](64)
+    val raw8 = new java.io.ByteArrayOutputStream()
+    for (p <- 1 to 7) {
+      var k = 0
+      for (y <- 0 until 8) {
+        val rowCells = (0 until 8).filter(x => grid(y)(x) == p)
+        if (rowCells.nonEmpty) {
+          raw8.write(0) // filter byte per pass scanline
+          rowCells.foreach { x =>
+            val v = (30 * p + k).toByte
+            expected(y * 8 + x) = v
+            raw8.write(v & 0xff)
+            k += 1
+          }
+        }
+      }
+    }
+    val got8 = decPngLuma(handPng(8, 8, 0, interlace = true, raw8.toByteArray))
+    assert(got8 != null && got8.sameElements(expected),
+      s"8x8 Adam7 decoded ${if (got8 == null) "null" else got8.toSeq}")
+  }
+
+  test("Adam7 filters reference WITHIN-pass neighbors: Sub/Up across pass rows round-trip (truecolor via ImageIO progressive writer)") {
+    // ImageIO's PNG writer emits REAL Adam7 streams in progressive mode —
+    // a third-party interlaced encoder, so a decoder bug that the
+    // fixture encoder shares (pass table, within-pass filtering) cannot
+    // hide. 13×11 exercises ragged pass widths.
+    val w = 13; val h = 11
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = rgbPix(w * h, 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y,
+        ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) | (px(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert(bytes(28) == 1, "ImageIO did not write an interlaced PNG")
+    val got = decPngLuma(bytes)
+    assert(got != null && got.sameElements(lumaOf(px, 3)),
+      "third-party Adam7 PNG decoded wrong")
+  }
+
   // ---- WebP VP8L ----------------------------------------------------------
   // spec-derived decoder vectors: each stream is hand-assembled straight
   // from the public lossless bitstream spec (tools/gen_vp8l_vectors.py —
@@ -1348,17 +1548,35 @@ class MultimodalSpec extends AnyFunSuite {
       "third-party color PNG decoded wrong")
   }
 
-  test("pngDecodeLuma nulls on palette and 16-bit PNGs (out of contract), never misparses") {
-    // ImageIO writes TYPE_BYTE_INDEXED as a palette (color type 3) PNG and
-    // TYPE_USHORT_GRAY as 16-bit — both outside the bit-depth-8 0/2/6
-    // contract; a decoder that misparsed them would emit garbage luma
-    for (imgType <- Seq(java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
-        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)) {
-      val img = new java.awt.image.BufferedImage(8, 8, imgType)
-      val bos = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, "png", bos))
-      assert(decPngLuma(bos.toByteArray) == null, s"type $imgType must null out")
+  test("pngDecodeLuma: third-party PALETTE PNGs decode (ImageIO cross-pin); 16-bit stays out of contract") {
+    // ImageIO writes TYPE_BYTE_INDEXED as a palette (color type 3, depth
+    // 8) PNG with its own PLTE — a third-party palette encoder, so a PLTE
+    // lookup bug shared with the fixture encoder cannot hide. Fill with
+    // varied colors and pin our luma against ImageIO's own RGB read.
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 8; x <- 0 until 9)
+      img.setRGB(x, y, ((x * 28) << 16) | ((y * 31) << 8) | ((x * y * 7) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    assert(bytes(25) == 3, "ImageIO did not write a palette PNG")
+    val got = decPngLuma(bytes)
+    // expected luma from ImageIO's own decode of its own bytes (the
+    // round-tripped palette colors, not the setRGB inputs — indexed
+    // images quantize to the palette)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val want = Array.tabulate(72) { i =>
+      val rgb = back.getRGB(i % 9, i / 9)
+      luma601((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff).toByte
     }
+    assert(got != null && got.sameElements(want), "third-party palette PNG decoded wrong")
+    // 16-bit grayscale remains outside the bit-depth-8 contract
+    val img16 = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val bos16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img16, "png", bos16))
+    assert(decPngLuma(bos16.toByteArray) == null, "16-bit must null out")
     // and the usual corrupt-payload stance
     assert(decPngLuma("not a png at all, truly".getBytes("UTF-8")) == null)
   }
