@@ -97,9 +97,12 @@ object ScalingCurve {
     "dedup_image_bmp",
     "dedup_image_tiff",
     "store_retract_attrs",
-    // round-13 addition: the palette/Adam7 PNG near-dup tier (map-side
+    // round-13 additions: the palette/Adam7 PNG near-dup tier (map-side
     // PLTE expand + deinterlace — expect the dedup_image_png exponent)
-    "dedup_image_png_palette")
+    // and the progressive-JPEG tier (map-side multi-scan Annex-G decode
+    // — expect the dedup_image_jpeg exponent)
+    "dedup_image_png_palette",
+    "dedup_image_jpeg_prog")
 
   private[graft] val FlagExponent = 1.3
 

@@ -1516,6 +1516,45 @@ object SparkEntry {
             repeat(concat(repeat(hex2(blobPx(2)), 8), repeat(hex2(blobPx(3)), 4)), 2)))
             .as("blob_px_hex"))
     }),
+    // REAL PROGRESSIVE (SOF2) JPEG decode, hash-oracled: the same 12×10
+    // per-block-constant plant (tag "mp"), encoded by the PROGRESSIVE
+    // fixture — five genuine scans: DC first at Al=1, DC refinement,
+    // two banded AC-first scans and one AC refinement, all EOB-run coded
+    // — and decoded through the full T.81 Annex G machinery (spectral
+    // selection, successive approximation, EOB runs). Two pins per doc:
+    // px_hex (the progressive decode must equal the analytic plant) and
+    // px_base_hex (the BASELINE fixture's decode of the same plant —
+    // cross-path equality proves the two entropy pipelines reconstruct
+    // identical coefficients, sharing only the IDCT). Nonzero-AC births,
+    // ZRL, and refinement correction bits are pinned by hand-assembled
+    // spec vectors + ImageIO cross-decoder tests in MultimodalSpec.
+    "multimodal_decode_jpeg_prog" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "mp", i)
+      val bitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.jpegEncodeGray8Prog(bitmap, lit(12)).as("prog"),
+          Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("base"))
+        .select(
+          col("doc_id"),
+          upper(hex(Multimodal.jpegDecodeLuma(col("prog")))).as("px_hex"),
+          upper(hex(Multimodal.jpegDecodeLuma(col("base")))).as("px_base_hex"))
+    }),
+    // image near-dup on REAL PROGRESSIVE JPEG bytes end-to-end (Annex-G
+    // decode → dHash → Hamming-LSH): dedup_image_jpeg's pair argument on
+    // the multi-scan wire format — re-keyed copies share blobs
+    // bit-for-bit → exactly one hamming-0 pair per doc
+    "dedup_image_jpeg_prog" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.jpegEncodeGray8Prog(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
+        .transform(Caches.persisted)
+      val copies = base.select((col("id") + 100000L).as("id"), col("jpeg"))
+      Multimodal.imageNearDupJpeg(base.union(copies), 72, 64, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     // image near-dup on REAL JPEG bytes end-to-end (decode → dHash →
     // Hamming-LSH): 72×64 block-constant plants make the dHash grid an
     // identity over ~iid block values; re-keyed copies share blobs
@@ -2574,6 +2613,31 @@ object SparkEntry {
            repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
              repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS blob_px_hex
          FROM hx""",
+    // both columns are the same analytic plant: the progressive decode
+    // and the baseline decode of the same per-block-constant bitmap are
+    // each bit-exact (DC-only closed form), tag "mp"
+    "multimodal_decode_jpeg_prog" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mp' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mp' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mp' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_base_hex
+         FROM hx""",
+    // identical pair-set argument to dedup_image_jpeg on PROGRESSIVE
+    // payloads: the Annex-G decode round-trips the DC-only plant
+    // bit-exactly, so copies pair at hamming 0
+    "dedup_image_jpeg_prog" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
     // identical pair-set argument to dedup_image_png, JPEG edition:
     // decode(encode(block-constant bitmap)) round-trips bit-exactly, so
     // copies pair at hamming 0 and ~iid-coin cross pairs never land

@@ -2899,11 +2899,16 @@ object Native {
     * functions, so chroma blocks are entropy-decoded only to keep the bit
     * stream in sync — no chroma dequant, no chroma IDCT, no upsampling,
     * which for 4:2:0 skips a third of the per-MCU IDCT work and ALL the
-    * chroma interpolation a full RGB decode would pay. Null, never an
-    * error, on anything out of contract (progressive SOFs, sampling
-    * factors outside {1,2}, luma not carrying the max factors,
-    * non-interleaved multi-scan files, 16-bit quant tables, truncated
-    * entropy data, bomb-guard dims — see the core's scaladoc). Scale
+    * chroma interpolation a full RGB decode would pay. PROGRESSIVE
+    * (SOF2) streams decode for real through
+    * [[Jpeg.decodeProgressiveLumaWithDims]] — spectral selection,
+    * successive approximation, EOB runs, refinement bits — with
+    * chroma-only AC scans skipped by a marker seek (zero entropy work).
+    * Null, never an error, on anything out of contract
+    * (extended-sequential/lossless/arithmetic SOFs, sampling factors
+    * outside {1,2}, luma not carrying the max factors, non-interleaved
+    * multi-scan BASELINE files, 16-bit quant tables, truncated entropy
+    * data, bomb-guard dims, >64 scans — see the cores' scaladocs). Scale
     * shape: map-side, one pass per row, no shuffle. */
   case class JpegLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
@@ -5707,6 +5712,8 @@ object Native {
     call_function("graft_decode_drop_reason", media)
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
     call_function("graft_jpeg_encode_gray8_dc", pixels, width)
+  def jpegEncodeGray8Prog(pixels: Column, width: Column): Column =
+    call_function("graft_jpeg_encode_gray8_prog", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =
     call_function("graft_jpeg_decode_gray8", jpeg)
   def jpegEncodeYccDc(pixels: Column, width: Column,

@@ -832,17 +832,30 @@ object Multimodal {
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
     graft.functions.Native.jpegEncodeGray8Dc(pixels, width)
 
-  /** LUMA-plane decode for baseline JPEGs, gray OR color ([[graft.functions
-    * .Native.JpegLumaDecode]]): 1-component files decode exactly like
-    * [[jpegDecodeGray8]] (shared core); 3-component YCbCr SOF0 at any
-    * mainstream subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) yields the
-    * full-resolution Y plane with chroma blocks entropy-skipped — no
-    * chroma IDCT, no upsampling, the right cost shape when the consumer
-    * is a grayscale perceptual hash. This is the decode a crawl-image
-    * dedup pipeline actually needs: real crawls are overwhelmingly color
-    * JPEG, and dHash is a luminance function. */
+  /** LUMA-plane decode for JPEGs, gray OR color, baseline OR progressive
+    * ([[graft.functions.Native.JpegLumaDecode]]): 1-component baseline
+    * files decode exactly like [[jpegDecodeGray8]] (shared core);
+    * 3-component YCbCr at any mainstream subsampling (4:4:4 / 4:2:2 /
+    * 4:4:0 / 4:2:0) yields the full-resolution Y plane with chroma
+    * entropy-skipped; PROGRESSIVE (SOF2) streams decode through the full
+    * T.81 Annex G machinery — spectral selection, successive
+    * approximation, EOB runs, refinement correction bits — with
+    * chroma-only AC scans skipped wholesale (a marker seek, zero entropy
+    * work). This is the decode a crawl-image dedup pipeline actually
+    * needs: real crawls are overwhelmingly color JPEG, a double-digit
+    * share of it progressive, and dHash is a luminance function. */
   def jpegDecodeLuma(jpeg: Column): Column =
     graft.functions.Native.jpegDecodeLuma(jpeg)
+
+  /** Fixture-grade PROGRESSIVE-JPEG ENCODE ([[graft.functions.Native
+    * .JpegProgGray8Encode]]): grayscale-8 bitmap → genuine SOF2 JPEG with
+    * five real scans (DC first at Al=1, DC refinement, two banded AC
+    * first scans, one AC refinement), every AC scan greedy EOB-run coded.
+    * Same DC-only block model and [1,64] ∪ [192,255] block-mean contract
+    * as [[jpegEncodeGray8Dc]] — per-block-constant bitmaps decode
+    * bit-exactly, which is what makes the progressive tier hash-oraclable. */
+  def jpegEncodeGray8Prog(pixels: Column, width: Column): Column =
+    graft.functions.Native.jpegEncodeGray8Prog(pixels, width)
 
   /** Fixture-grade COLOR (YCbCr) baseline-JPEG ENCODE ([[graft.functions
     * .Native.JpegYccEncodeDc]]): luma bitmap + constant chroma planes →

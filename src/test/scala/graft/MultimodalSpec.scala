@@ -755,6 +755,19 @@ class MultimodalSpec extends AnyFunSuite {
           .as[Array[Byte]].head()
         ok.take(33) ++ ok.drop(33 + 780)
       },
+      "jpegProg" -> Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+        .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9)))
+        .as[Array[Byte]].head(),
+      // extended-sequential (SOF1): the remaining JPEG profile limit —
+      // flip the progressive fixture's SOF marker
+      "jpegSof1" -> {
+        val ok = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+          .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9)))
+          .as[Array[Byte]].head()
+        val sof = (0 until ok.length - 1).find(i =>
+          (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC2).get
+        val m = ok.clone(); m(sof + 1) = 0xC1.toByte; m
+      },
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -796,9 +809,11 @@ class MultimodalSpec extends AnyFunSuite {
     val pal8 = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.pngEncodePal8($"px", lit(9), interlace = true, trns = true))
       .as[Array[Byte]].head()
+    val jpegProg = Seq(Tuple1(grayPx)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9))).as[Array[Byte]].head()
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
@@ -1751,6 +1766,239 @@ class MultimodalSpec extends AnyFunSuite {
     // not a JPEG at all
     assert(!decodes("definitely not a JPEG".getBytes("UTF-8")))
     assert(!decodes(Array[Byte](0xFF.toByte, 0xD8.toByte)))
+  }
+
+  // ---- progressive (SOF2) JPEG ----
+
+  private def encJpegProg(px: Array[Byte], w: Int): Array[Byte] =
+    Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Prog($"px", lit(w))).as[Array[Byte]].head()
+  private def decJpegLumaT(b: Array[Byte]): Array[Byte] =
+    Seq(Tuple1(b)).toDF("j")
+      .select(Multimodal.jpegDecodeLuma($"j")).as[Array[Byte]].head()
+
+  test("progressive fixture round-trips bit-exactly (5 real scans: DC SA, banded AC, EOB runs); SOF2 present; narrow gray8 pin refuses") {
+    val rnd = new scala.util.Random(23)
+    for ((w, h) <- Seq((72, 64), (12, 10), (8, 8), (96, 96), (17, 9))) {
+      val bx = (w + 7) / 8; val by = (h + 7) / 8
+      val px = blockBitmap(w, h, Array.fill(bx * by)(cat7(rnd)))
+      val jpeg = encJpegProg(px, w)
+      assert(jpeg != null, s"$w x $h encode refused")
+      // genuinely progressive: the stream's SOF marker is C2
+      val sof = (0 until jpeg.length - 1).find(i =>
+        (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) >= 0xC0 &&
+          (jpeg(i + 1) & 0xff) <= 0xCF && (jpeg(i + 1) & 0xff) != 0xC4).get
+      assert((jpeg(sof + 1) & 0xff) == 0xC2)
+      // five scans on the wire
+      val nScans = (0 until jpeg.length - 1).count(i =>
+        (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) == 0xDA)
+      assert(nScans == 5, s"expected 5 scans, found $nScans")
+      // wide decode: bit-exact on DC-only blocks (integer closed form)
+      val mine = decJpegLumaT(jpeg)
+      assert(mine != null && mine.sameElements(px), s"$w x $h round-trip failed")
+      // an independent standards decoder agrees within IDCT tolerance
+      val Some((iw, ih, ref)) = imageIoPixels(jpeg)
+      assert(iw == w && ih == h)
+      assert(ref.indices.map(i => math.abs(ref(i) - (px(i) & 0xff))).max <= 1)
+      // the narrow baseline-gray pin refuses progressive streams
+      assert(decJpeg(jpeg) == null)
+    }
+  }
+
+  /** Hand-assembly: a progressive gray JPEG from explicit scan payloads —
+    * independent of the production encoder (its own bit writer, its own
+    * Huffman tables, written straight from T.81 Annex G). */
+  private object ProgHand {
+    final class BitW {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0; private var nb = 0
+      def bit(v: Int): Unit = {
+        acc = (acc << 1) | (v & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc); if (acc == 0xFF) out.write(0x00); acc = 0; nb = 0
+        }
+      }
+      def bits(v: Int, t: Int): Unit = { var i = t - 1; while (i >= 0) { bit((v >> i) & 1); i -= 1 } }
+      def flush(): Unit = while (nb != 0) bit(1)
+    }
+    // DC table: categories 0..7, all at length 4 → code of cat c is c.
+    // AC table: these symbols, all at length 4 → code of a symbol is its
+    // index here.
+    val AcSyms = Seq(0x00, 0x02, 0x03, 0x11, 0x12, 0x21, 0x22, 0x23, 0x31, 0xE3, 0xF0, 0x10)
+    def dcCat(bw: BitW, c: Int): Unit = bw.bits(c, 4)
+    def ac(bw: BitW, sym: Int): Unit = bw.bits(AcSyms.indexOf(sym), 4)
+    def mag(bw: BitW, v: Int, cat: Int): Unit =
+      bw.bits(if (v > 0) v else v + (1 << cat) - 1, cat)
+    /** 16×8 single-component SOF2 stream with the shared tables, DRI
+      * `ri` (0 = none), and the given scans: (Ss, Se, Ah, Al, payload). */
+    def stream(scans: Seq[(Int, Int, Int, Int, Array[Byte])], ri: Int = 0): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def wr(bytes: Int*): Unit = bytes.foreach(v => o.write(v & 0xff))
+      wr(0xFF, 0xD8)
+      wr(0xFF, 0xDB, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => o.write(8))
+      wr(0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x10, 0x01, 0x01, 0x11, 0x00)
+      wr(0xFF, 0xC4, 0x00, 0x1B, 0x00)
+      wr(0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      wr(0, 1, 2, 3, 4, 5, 6, 7)
+      wr(0xFF, 0xC4, 0x00, 16 + 3 + AcSyms.length, 0x10)
+      wr(0, 0, 0, AcSyms.length, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      AcSyms.foreach(o.write)
+      if (ri > 0) wr(0xFF, 0xDD, 0x00, 0x04, (ri >> 8) & 0xff, ri & 0xff)
+      scans.foreach { case (ss, se, ah, al, payload) =>
+        wr(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, ss, se, (ah << 4) | al)
+        o.write(payload)
+      }
+      wr(0xFF, 0xD9)
+      o.toByteArray
+    }
+  }
+
+  test("progressive spec vectors: one-shot, successive-approximation, and band-split codings of the SAME coefficients decode identically (ZRL, cross-block EOB runs, refinement births and correction bits)") {
+    import ProgHand._
+    // target (zig-zag indices): block0 dc=80, k1=5, k20=7;
+    //                           block1 dc=90, k2=-3, k5=+1
+    // ---- variant A: plain spectral selection, Al=0 throughout ----
+    val a1 = new BitW // DC first Al=0: diffs 80 (cat7), 10 (cat4)
+    dcCat(a1, 7); mag(a1, 80, 7); dcCat(a1, 4); mag(a1, 10, 4); a1.flush()
+    val a2 = new BitW // AC first 1..63 Al=0
+    ac(a2, 0x03); mag(a2, 5, 3)          // b0 k1=5
+    ac(a2, 0xF0)                          // ZRL: 16 zeros
+    ac(a2, 0x23); mag(a2, 7, 3)          // +2 zeros → k20=7
+    ac(a2, 0x00)                          // EOB0
+    ac(a2, 0x12); mag(a2, -3, 2)         // b1: 1 zero → k2=-3
+    ac(a2, 0x21); mag(a2, 1, 1)          // 2 zeros → k5=+1
+    ac(a2, 0x00)                          // EOB0
+    a2.flush()
+    val va = stream(Seq((0, 0, 0, 0, a1.out.toByteArray), (1, 63, 0, 0, a2.out.toByteArray)))
+    // ---- variant B: successive approximation (Al=1 then refine) ----
+    val b1 = new BitW // DC first Al=1: diffs of 40, 45 → 40 (cat6), 5 (cat3)
+    dcCat(b1, 6); mag(b1, 40, 6); dcCat(b1, 3); mag(b1, 5, 3); b1.flush()
+    val b2 = new BitW // DC refine: low bits 0, 0
+    b2.bit(0); b2.bit(0); b2.flush()
+    val b3 = new BitW // AC first Al=1: high halves (5→2, 7→3, -3→-1, 1→0)
+    ac(b3, 0x02); mag(b3, 2, 2)          // b0 k1 high=2
+    ac(b3, 0xF0)
+    ac(b3, 0x22); mag(b3, 3, 2)          // k20 high=3
+    ac(b3, 0x00)
+    ac(b3, 0x11); mag(b3, -1, 1)         // b1 k2 high=-1
+    ac(b3, 0x00)                          // k5 high=0: not coded
+    b3.flush()
+    val b4 = new BitW // AC refine to Al=0
+    // block0: EOB0, then the sweep's correction bits for k1 (5&1=1) and
+    // k20 (7&1=1)
+    ac(b4, 0x00); b4.bit(1); b4.bit(1)
+    // block1: (r=3, s=1) — three zero-HISTORY slots (k1, k3, k4; the
+    // nonzero k2 doesn't count) then birth +1 at k5; the advance crosses
+    // k2 and appends its correction bit (|-3|&1 = 1)
+    ac(b4, 0x31); b4.bit(1) // sign: positive birth
+    b4.bit(1)               // correction bit for k2 → -3
+    ac(b4, 0x00)            // EOB0 for the rest of the band
+    b4.flush()
+    val vb = stream(Seq((0, 0, 0, 1, b1.out.toByteArray), (0, 0, 1, 0, b2.out.toByteArray),
+      (1, 63, 0, 1, b3.out.toByteArray), (1, 63, 1, 0, b4.out.toByteArray)))
+    // ---- variant C: band split with a cross-block EOB run ----
+    val c2 = new BitW // AC first 1..5 Al=0
+    ac(c2, 0x03); mag(c2, 5, 3)          // b0 k1=5
+    ac(c2, 0x00)                          // EOB0 (k2..5 zero)
+    ac(c2, 0x12); mag(c2, -3, 2)         // b1 k2=-3
+    ac(c2, 0x21); mag(c2, 1, 1)          // k5=+1 lands on Se: no EOB follows
+    c2.flush()
+    val c3 = new BitW // AC first 6..63 Al=0
+    ac(c3, 0xE3); mag(c3, 7, 3)          // b0: 14 zeros → k20=7
+    ac(c3, 0x10); c3.bits(0, 1)          // EOB run of 2: covers b0's tail AND b1
+    c3.flush()
+    val vc = stream(Seq((0, 0, 0, 0, a1.out.toByteArray), (1, 5, 0, 0, c2.out.toByteArray),
+      (6, 63, 0, 0, c3.out.toByteArray)))
+    val da = decJpegLumaT(va); val db = decJpegLumaT(vb); val dc = decJpegLumaT(vc)
+    assert(da != null && db != null && dc != null, "a spec vector failed to decode")
+    assert(da.sameElements(db), "successive-approximation coding decoded differently")
+    assert(da.sameElements(dc), "band-split coding decoded differently")
+    // absolute grounding: an independent standards decoder agrees
+    val Some((iw, ih, ref)) = imageIoPixels(va)
+    assert(iw == 16 && ih == 8)
+    assert(ref.indices.map(i => math.abs(ref(i) - (da(i) & 0xff))).max <= 1,
+      "ImageIO disagrees with the spec-vector decode")
+  }
+
+  test("progressive restart markers: byte-align + sequence check + predictor reset; out-of-sequence refuses") {
+    import ProgHand._
+    // DC-only stream, DRI=1, RST0 between the two blocks — each block's
+    // diff is its absolute DC because the predictor resets
+    val s1 = new BitW
+    dcCat(s1, 7); mag(s1, 80, 7); s1.flush()
+    val s1b = new BitW
+    dcCat(s1b, 7); mag(s1b, 90, 7); s1b.flush()
+    val payload = s1.out.toByteArray ++ Array[Byte](0xFF.toByte, 0xD0.toByte) ++ s1b.out.toByteArray
+    val v = stream(Seq((0, 0, 0, 0, payload)), ri = 1)
+    val got = decJpegLumaT(v)
+    // DC-only blocks: flat dcq+128 (the fixture closed form)
+    val want = Array.tabulate(16 * 8)(i => (if (i % 16 < 8) 208 else 218).toByte)
+    assert(got != null && got.sameElements(want),
+      s"restart vector decoded ${if (got == null) "null" else got.toSeq}")
+    // out-of-sequence restart refuses
+    val bad = v.clone()
+    val rst = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xFF && (bad(i + 1) & 0xff) == 0xD0).get
+    bad(rst + 1) = 0xD3.toByte
+    assert(decJpegLumaT(bad) == null)
+  }
+
+  test("progressive via a third-party encoder: ImageIO MODE_DEFAULT multi-scan streams (gray and color) decode within IDCT tolerance") {
+    def progBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def sofOf(b: Array[Byte]): Int = {
+      val i = (0 until b.length - 1).find(j =>
+        (b(j) & 0xff) == 0xFF && (b(j + 1) & 0xff) >= 0xC0 &&
+          (b(j + 1) & 0xff) <= 0xCF && (b(j + 1) & 0xff) != 0xC4).get
+      b(i + 1) & 0xff
+    }
+    // gray: gradient + noise so the scans carry real AC coefficients,
+    // EOB runs, and refinement correction bits
+    val w = 41; val h = 22
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 128 + 90 * math.sin(x * 0.9) + 30 * math.cos(y * 1.7) + rnd.nextInt(31) - 15
+      img.getRaster.setSample(x, y, 0, math.max(0, math.min(255, v.toInt)))
+    }
+    val jpeg = progBytes(img)
+    assert(sofOf(jpeg) == 0xC2, "ImageIO did not write a progressive JPEG")
+    val nScans = (0 until jpeg.length - 1).count(i =>
+      (jpeg(i) & 0xff) == 0xFF && (jpeg(i + 1) & 0xff) == 0xDA)
+    assert(nScans > 1, "not multi-scan")
+    val mine = decJpegLumaT(jpeg)
+    assert(mine != null && mine.length == w * h)
+    val Some((iw, ih, ref)) = imageIoPixels(jpeg)
+    assert(iw == w && ih == h)
+    val diffs = ref.indices.map(i => math.abs(ref(i) - (mine(i) & 0xff)))
+    assert(diffs.max <= 2, s"max cross-decoder diff ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 0.5, "systematic decode bias")
+    // color: 3-component progressive — luma scans decode, chroma-only AC
+    // scans are marker-skipped; our Y vs ImageIO's RGB→luma within the
+    // YCbCr round-trip tolerance
+    val cimg = new java.awt.image.BufferedImage(37, 19, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 19; x <- 0 until 37)
+      cimg.setRGB(x, y, ((x * 7 % 256) << 16) | ((y * 13 % 256) << 8) | ((x * y) % 256))
+    val cjpeg = progBytes(cimg)
+    assert(sofOf(cjpeg) == 0xC2)
+    val cmine = decJpegLumaT(cjpeg)
+    assert(cmine != null && cmine.length == 37 * 19)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cjpeg))
+    val cdiffs = (0 until 37 * 19).map { i =>
+      val rgb = back.getRGB(i % 37, i / 37)
+      val l = luma601((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      math.abs(l - (cmine(i) & 0xff))
+    }
+    assert(cdiffs.max <= 3, s"max color cross-decoder diff ${cdiffs.max}")
   }
 
   test("imageNearDupJpeg: decode → dHash → Hamming-LSH pairs bit-identical JPEG copies only") {
