@@ -102,7 +102,10 @@ object ScalingCurve {
     // and the progressive-JPEG tier (map-side multi-scan Annex-G decode
     // — expect the dedup_image_jpeg exponent)
     "dedup_image_png_palette",
-    "dedup_image_jpeg_prog")
+    "dedup_image_jpeg_prog",
+    // and the FLAC audio near-dup tier (map-side frame decode →
+    // envelope — expect the dedup_audio exponent)
+    "dedup_audio_flac")
 
   private[graft] val FlagExponent = 1.3
 

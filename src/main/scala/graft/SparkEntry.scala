@@ -1714,6 +1714,50 @@ object SparkEntry {
     // envelope of ~iid uniform bytes (v>>7 for v uniform in [0,32768)),
     // so the 9×8 dHash grid is an identity over segment loudness and
     // re-keyed copies pair at exactly hamming 0
+    // REAL FLAC frame decode, hash-oracled END-TO-END: planted PCM16
+    // samples (8 values per md5, each repeated 16× — the dedup_audio
+    // plant shape, tag "fd") → the fixture's genuine FLAC stream (true
+    // STREAMINFO, CRC-8/CRC-16 frames, FIXED-order-2 subframes with real
+    // Rice residual coding) → the full frame decoder → a canonical PCM16
+    // WAV whose EVERY byte the oracle recomputes in closed form (constant
+    // 44-byte header || little-endian sample hex). FLAC is lossless, so
+    // the pin is exact. LPC/escape/wasted-bits/stereo-decorrelation
+    // paths the fixture doesn't emit are pinned by hand-assembled spec
+    // vectors in MultimodalSpec.
+    "multimodal_decode_flac" -> ((s, d) => {
+      def v(i: Int) = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-fd${i / 8}")).cast("binary")), 1 + 4 * (i % 8), 4), 16, 10)
+        .cast("int"), lit(32768))
+      def leHex(vv: org.apache.spark.sql.Column) = concat(
+        lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
+      val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.flacEncodePcm16(data, lit(1), rate = 16000).as("flac"))
+        .select(col("doc_id"),
+          upper(hex(Multimodal.flacDecodeWav(col("flac")))).as("wav_hex"))
+    }),
+    // audio near-dup on REAL FLAC payloads end-to-end (frame decode →
+    // WAV → envelope → dHash → Hamming-LSH): dedup_audio's analytic pair
+    // argument on the compressed wire format — re-keyed copies share
+    // blobs bit-for-bit → exactly one hamming-0 pair per doc
+    "dedup_audio_flac" -> ((s, d) => {
+      def v(i: Int) = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-af${i / 8}")).cast("binary")), 1 + 4 * (i % 8), 4), 16, 10)
+        .cast("int"), lit(32768))
+      def leHex(vv: org.apache.spark.sql.Column) = concat(
+        lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
+      val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.flacEncodePcm16(data, lit(1), rate = 16000).as("flac"))
+        .transform(Caches.persisted)
+      val copies = base.select((col("id") + 100000L).as("id"), col("flac"))
+      Multimodal.audioNearDupFlac(base.union(copies), maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
     "dedup_audio" -> ((s, d) => {
       // 8 segment values per md5 (4 hex chars each): 9 digests per doc,
       // not 72 — the plant is fixture cost, and the pair-set oracle never
@@ -2727,6 +2771,27 @@ object SparkEntry {
     // pair per doc; ~iid uniform envelope bytes keep cross pairs out of
     // the hamming-2 ball
     "dedup_audio" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // the FLAC tier's whole decoded WAV pinned byte-for-byte: constant
+    // canonical 44-byte header (mono, 16 kHz, 16-bit, 2304 data bytes)
+    // followed by the planted samples in little-endian hex — FLAC is
+    // lossless, so decode(encode(plant)) must reproduce every byte
+    "multimodal_decode_flac" ->
+      """WITH v AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fd' || CAST(i // 8 AS VARCHAR)), 1 + 4 * (i % 8), 4))::INT % 32768
+              for i in range(0, 72)] AS vv
+           FROM documents)
+         SELECT doc_id,
+           '52494646240900005741564' || '5666D74201000000001000100803E0000007D000002001000' ||
+             '6461746100090000' ||
+             upper(array_to_string([repeat(lpad(to_hex(vv[i+1] % 256), 2, '0') ||
+               lpad(to_hex(vv[i+1] // 256), 2, '0'), 16) for i in range(0, 72)], '')) AS wav_hex
+         FROM v""",
+    // identical pair-set argument to dedup_audio on FLAC payloads: the
+    // lossless decode hands the envelope the same PCM, so copies pair at
+    // hamming 0
+    "dedup_audio_flac" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // the audio edition of the aligned-layout codec oracle: PCM has no

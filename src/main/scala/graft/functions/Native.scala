@@ -1753,6 +1753,426 @@ object Native {
     * (row-major v·8+u) index of zig-zag position k. The cosine table is
     * the separable IDCT basis ct(u)(x) = ½·C(u)·cos((2x+1)uπ/16) with
     * C(0)=1/√2, so pixel(y,x) = Σᵥ Σᵤ ct(v)(y)·ct(u)(x)·S(v,u). */
+  /** REAL FLAC frame decode, pure JVM, straight from the published
+    * bitstream spec (RFC 9639 / the classic format document): metadata
+    * walk (STREAMINFO first, spec-mandated), then per frame — 14-bit
+    * sync + blocking strategy, block-size/sample-rate/channel/sample-size
+    * codes (including the end-of-header 8/16-bit block-size and
+    * sample-rate forms), UTF-8-coded frame number, header CRC-8 —
+    * subframes CONSTANT / VERBATIM / FIXED(0..4) / LPC(1..32) with
+    * wasted-bits unary prefixes, Rice residuals in both methods (4-bit
+    * RICE and 5-bit RICE2) with partition orders and raw-bits escape
+    * codes, frame CRC-16, and the three stereo decorrelations
+    * (left/side, right/side, mid/side — the side channel carries one
+    * extra bit per the spec).
+    *
+    * DECODE CONTRACT (what the crawl pipeline needs, kept narrow and
+    * honest): 16-bit streams, 1-2 channels. FLAC is lossless, so
+    * decode ∘ encode is EXACT — the fixture-encoder stance that makes
+    * the tier hash-oraclable. Everything else (other bit depths, >2
+    * channels) classifies `unsupported_profile`; structural damage,
+    * CRC mismatches, invalid codes, or out-of-16-bit-range decoded
+    * samples are corrupt (null). Bomb stance: total samples capped at
+    * [[Flac.MaxSamples]] whether declared in STREAMINFO or discovered
+    * frame by frame. */
+  private object Flac {
+    val MaxSamples = 1 << 26
+    def hasMagic(b: Array[Byte]): Boolean =
+      b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+    def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+      var c = 0
+      var i = from
+      while (i < until) {
+        c ^= (b(i) & 0xff)
+        var k = 0
+        while (k < 8) {
+          c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      c
+    }
+    def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+      var c = 0
+      var i = from
+      while (i < until) {
+        c ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      c
+    }
+    def u24(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 16) | ((b(off + 1) & 0xff) << 8) | (b(off + 2) & 0xff)
+    /** MSB-first bit reader; reads return −1 (as Long) past EOF. */
+    final class Br(b: Array[Byte]) {
+      var pos = 0
+      var bit = 0
+      def readBit(): Int = {
+        if (pos >= b.length) return -1
+        val v = (b(pos) >> (7 - bit)) & 1
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        v
+      }
+      /** n ≤ 32 unsigned bits; −1 on EOF (values are < 2³², never −1). */
+      def readBits(n: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < n) {
+          val x = readBit(); if (x < 0) return -1L
+          v = (v << 1) | x
+          i += 1
+        }
+        v
+      }
+      def readSigned(n: Int): Long = {
+        if (n == 0) return 0L
+        val v = readBits(n)
+        if (v < 0) return Long.MinValue
+        (v << (64 - n)) >> (64 - n)
+      }
+      /** Zeros until a 1 (FLAC unary); −1 on EOF or a runaway run. */
+      def readUnary(): Int = {
+        var q = 0
+        while (true) {
+          val x = readBit()
+          if (x < 0) return -1
+          if (x == 1) return q
+          q += 1
+          if (q > (1 << 24)) return -1
+        }
+        -1
+      }
+      def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    }
+    private def readResidual(br: Br, dst: Array[Int], n: Int, order: Int): Boolean = {
+      val method = br.readBits(2)
+      if (method < 0 || method > 1) return false
+      val pBits = if (method == 0L) 4 else 5
+      val escape = if (method == 0L) 15 else 31
+      val po = br.readBits(4)
+      if (po < 0) return false
+      val parts = 1 << po.toInt
+      if (n % parts != 0) return false
+      val perPart = n / parts
+      if (perPart - order < 0) return false // first partition would be negative
+      var idx = order
+      var part = 0
+      while (part < parts) {
+        val cnt = if (part == 0) perPart - order else perPart
+        val prm = br.readBits(pBits)
+        if (prm < 0) return false
+        if (prm == escape) {
+          val rawBits = br.readBits(5)
+          if (rawBits < 0) return false
+          var i = 0
+          while (i < cnt) {
+            val v = br.readSigned(rawBits.toInt)
+            if (v == Long.MinValue) return false
+            dst(idx) = v.toInt
+            idx += 1; i += 1
+          }
+        } else {
+          val p = prm.toInt
+          var i = 0
+          while (i < cnt) {
+            val q = br.readUnary()
+            if (q < 0) return false
+            val rem = if (p > 0) br.readBits(p) else 0L
+            if (rem < 0) return false
+            val u = (q.toLong << p) | rem
+            dst(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+            idx += 1; i += 1
+          }
+        }
+        part += 1
+      }
+      true
+    }
+    private def decodeSubframe(br: Br, dst: Array[Int], n: Int, bps: Int): Boolean = {
+      if (br.readBit() != 0) return false // padding bit
+      val typRaw = br.readBits(6)
+      if (typRaw < 0) return false
+      val typ = typRaw.toInt
+      val wastedFlag = br.readBit()
+      if (wastedFlag < 0) return false
+      var wasted = 0
+      if (wastedFlag == 1) {
+        val u = br.readUnary(); if (u < 0) return false
+        wasted = u + 1
+      }
+      val eb = bps - wasted
+      if (eb <= 0 || eb > 32) return false
+      if (typ == 0) { // CONSTANT
+        val v = br.readSigned(eb)
+        if (v == Long.MinValue) return false
+        val sv = (v << wasted).toInt
+        java.util.Arrays.fill(dst, 0, n, sv)
+      } else if (typ == 1) { // VERBATIM
+        var i = 0
+        while (i < n) {
+          val v = br.readSigned(eb)
+          if (v == Long.MinValue) return false
+          dst(i) = (v << wasted).toInt
+          i += 1
+        }
+      } else if ((typ & 0x38) == 0x08 && (typ & 7) <= 4) { // FIXED
+        val order = typ & 7
+        if (order > n) return false
+        var i = 0
+        while (i < order) {
+          val v = br.readSigned(eb)
+          if (v == Long.MinValue) return false
+          dst(i) = v.toInt
+          i += 1
+        }
+        if (!readResidual(br, dst, n, order)) return false
+        // in-place fixed prediction (the spec's difference polynomials)
+        i = order
+        while (i < n) {
+          order match {
+            case 0 => ()
+            case 1 => dst(i) += dst(i - 1)
+            case 2 => dst(i) += 2 * dst(i - 1) - dst(i - 2)
+            case 3 => dst(i) += 3 * dst(i - 1) - 3 * dst(i - 2) + dst(i - 3)
+            case 4 => dst(i) += 4 * dst(i - 1) - 6 * dst(i - 2) + 4 * dst(i - 3) - dst(i - 4)
+          }
+          i += 1
+        }
+        if (wasted > 0) { i = 0; while (i < n) { dst(i) <<= wasted; i += 1 } }
+      } else if ((typ & 0x20) != 0) { // LPC, order 1..32
+        val order = (typ & 31) + 1
+        if (order > n) return false
+        var i = 0
+        while (i < order) {
+          val v = br.readSigned(eb)
+          if (v == Long.MinValue) return false
+          dst(i) = v.toInt
+          i += 1
+        }
+        val precRaw = br.readBits(4)
+        if (precRaw < 0 || precRaw == 15) return false
+        val prec = precRaw.toInt + 1
+        val shift = br.readSigned(5)
+        if (shift == Long.MinValue || shift < 0) return false // negative: spec-invalid
+        val coefs = new Array[Int](order)
+        i = 0
+        while (i < order) {
+          val c = br.readSigned(prec)
+          if (c == Long.MinValue) return false
+          coefs(i) = c.toInt
+          i += 1
+        }
+        if (!readResidual(br, dst, n, order)) return false
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * dst(i - 1 - j); j += 1 }
+          dst(i) += (acc >> shift.toInt).toInt
+          i += 1
+        }
+        if (wasted > 0) { i = 0; while (i < n) { dst(i) <<= wasted; i += 1 } }
+      } else return false
+      true
+    }
+    /** (sampleRate, channels, interleaved PCM16) or null off contract. */
+    def decodePcm16(b: Array[Byte]): (Int, Int, Array[Short]) = {
+      if (!hasMagic(b) || b.length < 42) return null
+      if ((b(4) & 0x7f) != 0 || u24(b, 5) != 34) return null // STREAMINFO first
+      val rate = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) | ((b(20) & 0xff) >> 4)
+      val ch = (((b(20) & 0xff) >> 1) & 7) + 1
+      val bits = ((((b(20) & 0xff) & 1) << 4) | ((b(21) & 0xff) >> 4)) + 1
+      val total = ((b(21) & 0xffL) & 15L) << 32 | Png.u32(b, 22)
+      if (bits != 16 || ch > 2 || rate <= 0) return null
+      if (total > MaxSamples) return null
+      // metadata walk to the first frame
+      var p = 4
+      var last = false
+      while (!last) {
+        if (p + 4 > b.length) return null
+        last = (b(p) & 0x80) != 0
+        val len = u24(b, p + 1)
+        if (p + 4 + len > b.length) return null
+        p += 4 + len
+      }
+      var out = new Array[Short](if (total > 0) (total * ch).toInt else 4096)
+      var outN = 0
+      while (p < b.length) {
+        val frameStart = p
+        if (p + 5 > b.length) return null
+        if ((b(p) & 0xff) != 0xFF || (b(p + 1) & 0xfc) != 0xf8) return null
+        val bsCode = (b(p + 2) & 0xff) >> 4
+        val srCode = b(p + 2) & 0x0f
+        val chAssign = (b(p + 3) & 0xff) >> 4
+        val ssCode = ((b(p + 3) & 0xff) >> 1) & 7
+        if ((b(p + 3) & 1) != 0) return null // reserved bit
+        // UTF-8-coded frame/sample number
+        var q = p + 4
+        if (q >= b.length) return null
+        val first = b(q) & 0xff
+        val extra =
+          if (first < 0x80) 0
+          else if ((first & 0xE0) == 0xC0) 1
+          else if ((first & 0xF0) == 0xE0) 2
+          else if ((first & 0xF8) == 0xF0) 3
+          else if ((first & 0xFC) == 0xF8) 4
+          else if ((first & 0xFE) == 0xFC) 5
+          else if (first == 0xFE) 6
+          else return null
+        q += 1
+        var e = 0
+        while (e < extra) {
+          if (q >= b.length || (b(q) & 0xC0) != 0x80) return null
+          q += 1; e += 1
+        }
+        var blockSize = bsCode match {
+          case 0 => return null
+          case 1 => 192
+          case x if x >= 2 && x <= 5 => 576 << (x - 2)
+          case 6 => -1
+          case 7 => -2
+          case x => 256 << (x - 8)
+        }
+        if (blockSize == -1) {
+          if (q >= b.length) return null
+          blockSize = (b(q) & 0xff) + 1; q += 1
+        } else if (blockSize == -2) {
+          if (q + 1 >= b.length) return null
+          blockSize = (((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)) + 1; q += 2
+        }
+        srCode match {
+          case 12 => if (q >= b.length) return null else q += 1
+          case 13 | 14 => if (q + 1 >= b.length) return null else q += 2
+          case 15 => return null
+          case _ => () // 0 = STREAMINFO, 1-11 = the fixed table
+        }
+        val fBits = ssCode match {
+          case 0 => bits
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return null
+        }
+        if (fBits != 16) return null
+        if (chAssign > 10) return null
+        val fCh = if (chAssign < 8) chAssign + 1 else 2
+        if (fCh != ch) return null
+        if (q >= b.length || crc8(b, frameStart, q) != (b(q) & 0xff)) return null
+        q += 1
+        if (blockSize <= 0) return null
+        if (outN + blockSize.toLong * ch > MaxSamples) return null
+        val br = new Br(b)
+        br.pos = q
+        val chBuf = Array.ofDim[Int](ch, blockSize)
+        var c = 0
+        while (c < ch) {
+          val sbBits = fBits + (chAssign match {
+            case 8 => if (c == 1) 1 else 0  // left/side
+            case 9 => if (c == 0) 1 else 0  // right/side (side first)
+            case 10 => if (c == 1) 1 else 0 // mid/side
+            case _ => 0
+          })
+          if (!decodeSubframe(br, chBuf(c), blockSize, sbBits)) return null
+          c += 1
+        }
+        br.align()
+        val footer = br.pos
+        if (footer + 2 > b.length) return null
+        if (crc16(b, frameStart, footer) !=
+            (((b(footer) & 0xff) << 8) | (b(footer + 1) & 0xff))) return null
+        p = footer + 2
+        // decorrelate + interleave; a valid stream's output is 16-bit
+        if (outN + blockSize * ch > out.length) {
+          val grown = new Array[Short](math.max(out.length * 2, outN + blockSize * ch))
+          System.arraycopy(out, 0, grown, 0, outN)
+          out = grown
+        }
+        var i = 0
+        while (i < blockSize) {
+          var lv = 0; var rv = 0
+          chAssign match {
+            case 8 => lv = chBuf(0)(i); rv = lv - chBuf(1)(i)
+            case 9 => rv = chBuf(1)(i); lv = rv + chBuf(0)(i)
+            case 10 =>
+              val side = chBuf(1)(i)
+              val m2 = (chBuf(0)(i) << 1) | (side & 1)
+              lv = (m2 + side) >> 1; rv = (m2 - side) >> 1
+            case _ => lv = chBuf(0)(i); if (ch == 2) rv = chBuf(1)(i)
+          }
+          if (lv < -32768 || lv > 32767) return null
+          out(outN) = lv.toShort; outN += 1
+          if (ch == 2) {
+            if (rv < -32768 || rv > 32767) return null
+            out(outN) = rv.toShort; outN += 1
+          }
+          i += 1
+        }
+      }
+      if (total > 0 && outN != total * ch) return null // STREAMINFO is authoritative
+      if (outN == 0) return null
+      val trimmed = if (outN == out.length) out else java.util.Arrays.copyOf(out, outN)
+      (rate, ch, trimmed)
+    }
+    /** Canonical 44-byte-header PCM16 WAV of the decoded stream — the
+      * exact layout the WAV tier consumes, so envelope/stats/near-dup
+      * compose unchanged on FLAC payloads. */
+    def decodeToWav(b: Array[Byte]): Array[Byte] = {
+      val d = decodePcm16(b)
+      if (d == null) return null
+      val (rate, ch, samples) = d
+      val dataBytes = samples.length * 2
+      val outB = new Array[Byte](44 + dataBytes)
+      def le(off: Int, v: Long, n: Int): Unit = {
+        var i = 0
+        while (i < n) { outB(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      }
+      outB(0) = 'R'; outB(1) = 'I'; outB(2) = 'F'; outB(3) = 'F'
+      le(4, 36L + dataBytes, 4)
+      outB(8) = 'W'; outB(9) = 'A'; outB(10) = 'V'; outB(11) = 'E'
+      outB(12) = 'f'; outB(13) = 'm'; outB(14) = 't'; outB(15) = ' '
+      le(16, 16L, 4); le(20, 1L, 2); le(22, ch, 2); le(24, rate, 4)
+      le(28, rate.toLong * ch * 2, 4); le(32, ch * 2, 2); le(34, 16L, 2)
+      outB(36) = 'd'; outB(37) = 'a'; outB(38) = 't'; outB(39) = 'a'
+      le(40, dataBytes, 4)
+      var i = 0
+      while (i < samples.length) {
+        outB(44 + 2 * i) = (samples(i) & 0xff).toByte
+        outB(45 + 2 * i) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      outB
+    }
+    sealed trait Status
+    case object Ok extends Status
+    case object Truncated extends Status
+    case object Bomb extends Status
+    case object Unsupported extends Status
+    case object Corrupt extends Status
+    /** Drop-classifier view: cheap header distinctions first, full decode
+      * once the profile is in contract (the PNG/TIFF stance). */
+    def status(b: Array[Byte]): Status = {
+      if (!hasMagic(b)) return Corrupt
+      if (b.length < 42) return Truncated
+      if ((b(4) & 0x7f) != 0 || u24(b, 5) != 34) return Corrupt
+      val ch = (((b(20) & 0xff) >> 1) & 7) + 1
+      val bits = ((((b(20) & 0xff) & 1) << 4) | ((b(21) & 0xff) >> 4)) + 1
+      val total = ((b(21) & 0xffL) & 15L) << 32 | Png.u32(b, 22)
+      if (bits != 16 || ch > 2) return Unsupported
+      if (total > MaxSamples) return Bomb
+      if (decodePcm16(b) == null) Corrupt else Ok
+    }
+  }
+
   private object Jpeg {
     val ZigzagNat: Array[Int] = Array(
       0, 1, 8, 16, 9, 2, 3, 10,
@@ -3100,6 +3520,177 @@ object Native {
     (dataBytes / 2).toInt // bounded by the payload length just checked
   }
 
+  /** flac_decode_wav(BINARY) → BINARY: REAL FLAC frame decode
+    * ([[Flac.decodePcm16]] — metadata walk, frame headers with CRC-8,
+    * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals both methods
+    * with escapes and wasted bits, stereo decorrelation, frame CRC-16)
+    * re-emitted as a canonical 44-byte-header PCM16 WAV, so the whole
+    * WAV tier — [[WavEnvelope]], [[WavPcm16Stats]], audio near-dup —
+    * composes unchanged on FLAC payloads. FLAC is lossless: decode ∘
+    * encode is exact, which is what makes this tier hash-oraclable.
+    * Null, never an error, off contract: non-16-bit streams, >2
+    * channels, CRC mismatches, invalid codes, truncated frames, >2²⁶
+    * samples (bomb stance). Scale shape: map-side, fuses into the
+    * payload scan, no shuffle. */
+  case class FlacDecodeWav(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try Flac.decodeToWav(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** flac_encode_pcm16(BINARY samples, channels; rate, blockSize) →
+    * BINARY: a REAL, complete FLAC stream (fLaC magic, STREAMINFO with
+    * true geometry, fixed-blocksize frames with spec block-size codes,
+    * UTF-8 frame numbers, CRC-8 headers and CRC-16 footers) from
+    * interleaved little-endian PCM16 bytes. Subframe choice per channel
+    * per frame: CONSTANT when the block is flat, VERBATIM for blocks too
+    * short to predict, otherwise FIXED order 2 with genuine Rice
+    * residual coding (method 0, partition order 0, parameter fitted to
+    * the mean zig-zagged residual) — so the decoder's Rice machinery,
+    * fixed prediction, and both end-of-header block-size forms (8-bit for
+    * ≤256, 16-bit otherwise) sit inside the oracled query. Lossless ⇒
+    * decode(encode(pcm)) is byte-exact. LPC subframes, escapes, wasted
+    * bits, and the three stereo decorrelations — paths this encoder
+    * doesn't emit — are pinned by hand-assembled spec vectors in the
+    * test suite. Fixture builder; production writes FLAC with a codec,
+    * not Spark. */
+  case class FlacPcm16Encode(left: Expression, right: Expression,
+      rate: Int, blockSize: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
+    require(blockSize >= 16 && blockSize <= 32768,
+      s"blockSize in [16, 32768], got $blockSize")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(data: Any, chAny: Any): Any =
+      try encode(data, chAny) catch { case NonFatal(_) => null }
+    private def encode(data: Any, chAny: Any): Any = {
+      val bytes = data.asInstanceOf[Array[Byte]]
+      val ch = chAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (ch < 1 || ch > 2) return null
+      if (bytes.length == 0 || bytes.length % (2 * ch) != 0) return null
+      val nTotal = bytes.length / 2
+      val perCh = nTotal / ch
+      if (perCh > Flac.MaxSamples) return null
+      val samples = new Array[Int](nTotal) // interleaved, sign-extended
+      var i = 0
+      while (i < nTotal) {
+        samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      out.write('f'); out.write('L'); out.write('a'); out.write('C')
+      w8(0x80); w8(0); w8(0); w8(34) // last-block STREAMINFO, length 34
+      w8(blockSize >> 8); w8(blockSize); w8(blockSize >> 8); w8(blockSize)
+      w8(0); w8(0); w8(0); w8(0); w8(0); w8(0) // frame sizes unknown
+      w8(rate >> 12); w8(rate >> 4)
+      w8(((rate & 15) << 4) | ((ch - 1) << 1) | (15 >> 4)) // bits−1 = 15
+      w8(((15 & 15) << 4) | 0) // total samples high nibble (perCh < 2^26)
+      w8(perCh >> 24); w8(perCh >> 16); w8(perCh >> 8); w8(perCh)
+      (0 until 16).foreach(_ => w8(0)) // MD5 unset (spec-legal)
+      var frame = 0
+      var off = 0
+      while (off < perCh) {
+        val n = math.min(blockSize, perCh - off)
+        val hdr = new java.io.ByteArrayOutputStream()
+        hdr.write(0xFF); hdr.write(0xF8) // sync + fixed blocking
+        val bsCode = if (n <= 256) 6 else 7 // end-of-header 8/16-bit forms
+        hdr.write((bsCode << 4) | 0) // sample rate from STREAMINFO
+        hdr.write(((ch - 1) << 4) | (4 << 1)) // independent channels, 16-bit
+        // UTF-8-coded frame number
+        val fn = frame
+        if (fn < 0x80) hdr.write(fn)
+        else if (fn < 0x800) { hdr.write(0xC0 | (fn >> 6)); hdr.write(0x80 | (fn & 63)) }
+        else if (fn < 0x10000) {
+          hdr.write(0xE0 | (fn >> 12)); hdr.write(0x80 | ((fn >> 6) & 63))
+          hdr.write(0x80 | (fn & 63))
+        } else {
+          hdr.write(0xF0 | (fn >> 18)); hdr.write(0x80 | ((fn >> 12) & 63))
+          hdr.write(0x80 | ((fn >> 6) & 63)); hdr.write(0x80 | (fn & 63))
+        }
+        if (bsCode == 6) hdr.write(n - 1)
+        else { hdr.write((n - 1) >> 8); hdr.write((n - 1) & 0xff) }
+        val hb = hdr.toByteArray
+        val fbuf = new java.io.ByteArrayOutputStream()
+        fbuf.write(hb, 0, hb.length)
+        fbuf.write(Flac.crc8(hb, 0, hb.length))
+        // subframes through an MSB-first bit writer, zero-padded at the end
+        var acc = 0; var nb = 0
+        def putBit(v: Int): Unit = {
+          acc = (acc << 1) | (v & 1); nb += 1
+          if (nb == 8) { fbuf.write(acc); acc = 0; nb = 0 }
+        }
+        def putBits(v: Long, t: Int): Unit = {
+          var k = t - 1
+          while (k >= 0) { putBit(((v >> k) & 1L).toInt); k -= 1 }
+        }
+        var c = 0
+        while (c < ch) {
+          val xs = new Array[Int](n)
+          var j = 0
+          while (j < n) { xs(j) = samples((off + j) * ch + c); j += 1 }
+          var flat = true
+          j = 1
+          while (j < n && flat) { if (xs(j) != xs(0)) flat = false; j += 1 }
+          if (flat) {
+            putBit(0); putBits(0L, 6); putBit(0) // CONSTANT, no wasted bits
+            putBits(xs(0) & 0xffffL, 16)
+          } else if (n <= 2) {
+            putBit(0); putBits(1L, 6); putBit(0) // VERBATIM
+            j = 0
+            while (j < n) { putBits(xs(j) & 0xffffL, 16); j += 1 }
+          } else {
+            putBit(0); putBits(0x0AL, 6); putBit(0) // FIXED order 2
+            putBits(xs(0) & 0xffffL, 16); putBits(xs(1) & 0xffffL, 16)
+            val res = new Array[Int](n)
+            var sumU = 0L
+            j = 2
+            while (j < n) {
+              res(j) = xs(j) - 2 * xs(j - 1) + xs(j - 2)
+              sumU += ((res(j) << 1) ^ (res(j) >> 31)).toLong & 0xffffffffL
+              j += 1
+            }
+            val mean = sumU / (n - 2)
+            var p = 0
+            while (p < 14 && (1L << (p + 1)) <= mean + 1) p += 1
+            putBits(0L, 2); putBits(0L, 4) // Rice method 0, partition order 0
+            putBits(p.toLong, 4)
+            j = 2
+            while (j < n) {
+              val u = (((res(j) << 1) ^ (res(j) >> 31)).toLong & 0xffffffffL)
+              val q = (u >>> p).toInt
+              var z = 0
+              while (z < q) { putBit(0); z += 1 }
+              putBit(1)
+              if (p > 0) putBits(u & ((1L << p) - 1), p)
+              j += 1
+            }
+          }
+          c += 1
+        }
+        while (nb != 0) putBit(0) // byte-align with zeros
+        val fb = fbuf.toByteArray
+        out.write(fb, 0, fb.length)
+        val c16 = Flac.crc16(fb, 0, fb.length)
+        w8(c16 >> 8); w8(c16)
+        off += n; frame += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class WavPcm16Stats(child: Expression, silenceThreshold: Int)
       extends UnaryExpression with NativeUnaryCodegen {
     require(silenceThreshold >= 0 && silenceThreshold <= 32768,
@@ -3384,8 +3975,16 @@ object Native {
       else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
         (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3)
         s("unsupported_profile") // EBML (Matroska/WebM)
-      else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
-        s("unsupported_profile") // FLAC
+      else if (Flac.hasMagic(b))
+        // 16-bit 1-2ch FLAC decodes for real ([[Flac]]); other bit
+        // depths / channel counts stay the profile limit
+        Flac.status(b) match {
+          case Flac.Ok => null
+          case Flac.Truncated => s("truncated")
+          case Flac.Bomb => s("bomb_guard")
+          case Flac.Unsupported => s("unsupported_profile")
+          case _ => s("corrupt")
+        }
       else s("bad_magic")
     }
     /** A prefix of a known signature (for the sub-12-byte edge). */
@@ -4919,6 +5518,8 @@ object Native {
     catch { case NonFatal(_) => None }
   def wavEnvelopeBytes(b: Array[Byte], nBuckets: Int): Option[Array[Byte]] =
     try Option(wavEnvelopeCore(b, nBuckets)) catch { case NonFatal(_) => None }
+  def flacWavBytes(b: Array[Byte]): Option[Array[Byte]] =
+    try Option(Flac.decodeToWav(b)) catch { case NonFatal(_) => None }
   def webpLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try Option(Webp.decodeLuma(b)) catch { case NonFatal(_) => None }
   def gifLumaBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
@@ -5573,6 +6174,9 @@ object Native {
     "graft_jpeg_decode_luma" -> (exprs => JpegLumaDecode(exprs(0))),
     "graft_wav_pcm16_stats" -> (exprs =>
       WavPcm16Stats(exprs(0), intLit(exprs(1), "silenceThreshold"))),
+    "graft_flac_decode_wav" -> (exprs => FlacDecodeWav(exprs(0))),
+    "graft_flac_encode_pcm16" -> (exprs => FlacPcm16Encode(exprs(0), exprs(1),
+      intLit(exprs(2), "rate"), intLit(exprs(3), "blockSize"))),
     "graft_wav_envelope" -> (exprs =>
       WavEnvelope(exprs(0), intLit(exprs(1), "nBuckets"))),
     "graft_avi_mjpeg_encode" -> (exprs => AviMjpegEncode(exprs(0),
@@ -5723,6 +6327,13 @@ object Native {
       org.apache.spark.sql.functions.lit(cb), org.apache.spark.sql.functions.lit(cr))
   def jpegDecodeLuma(jpeg: Column): Column =
     call_function("graft_jpeg_decode_luma", jpeg)
+  def flacDecodeWav(flac: Column): Column =
+    call_function("graft_flac_decode_wav", flac)
+  def flacEncodePcm16(samples: Column, channels: Column,
+      rate: Int, blockSize: Int = 1024): Column =
+    call_function("graft_flac_encode_pcm16", samples, channels,
+      org.apache.spark.sql.functions.lit(rate),
+      org.apache.spark.sql.functions.lit(blockSize))
   def wavPcm16Stats(wav: Column, silenceThreshold: Int): Column =
     call_function("graft_wav_pcm16_stats", wav,
       org.apache.spark.sql.functions.lit(silenceThreshold))

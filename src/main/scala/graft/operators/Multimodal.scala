@@ -268,9 +268,10 @@ object Multimodal {
     * layout (sample rate 20 bits, channels−1 3 bits, bits−1 5 bits,
     * total samples 36 bits); block sizes pinned 4096, frame sizes and
     * the signature MD5 left unset (0 = unknown, spec-legal). Append the
-    * (undecoded) frame payload after it. FLAC frames stay out of decode
-    * scope (`unsupported_profile` in the drop report) — this builder
-    * exists so the METADATA census has real bytes to parse. */
+    * (undecoded) frame payload after it. This builder exists so the
+    * METADATA census has real bytes to parse; full frame encoding lives
+    * in [[flacEncodePcm16]] (16-bit frames decode for real now — other
+    * profiles stay `unsupported_profile` in the drop report). */
   def flacHeader(sampleRate: Column, channels: Column, bitsPerSample: Column,
       totalSamples: Column): Column = {
     val rate = sampleRate.cast("bigint")
@@ -498,9 +499,10 @@ object Multimodal {
     * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
     * oracle can recompute it. Lossless WebP (VP8L), GIF (87a/89a, first
     * frame), BI_RGB BMP, and baseline TIFF (both byte orders,
-    * uncompressed or PackBits) decode to their luma like PNG. Anything
+    * uncompressed or PackBits) decode to their luma like PNG; 16-bit
+    * FLAC decodes to PCM and rides the WAV envelope. Anything
     * else — lossy WebP, compressed/tiled TIFF and RLE BMP profiles,
-    * MP3/Ogg/WebM/FLAC-class recognized magics, AVIF, corrupt bytes — fails
+    * MP3/Ogg/WebM-class recognized magics, AVIF, corrupt bytes — fails
     * to decode (None): those formats stay codec-library work behind the
     * pluggable `codec` parameter. Same decode cores as the column
     * expressions ([[graft.functions.Native]]), so decode semantics
@@ -542,6 +544,11 @@ object Multimodal {
     } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
       lumaOf(graft.functions.Native.videoFirstFrameLumaBytes(bytes))
+    else if (b0 == 'f' && b1 == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
+      // FLAC decodes to PCM16 WAV for real, then rides the WAV envelope
+      graft.functions.Native.flacWavBytes(bytes)
+        .flatMap(w => graft.functions.Native.wavEnvelopeBytes(w, 72))
+        .map(env => (env.length, 1, 1, feat(env)))
     else None
   }
 
@@ -1064,6 +1071,36 @@ object Multimodal {
     Dedup.hammingNearDup(
       clips.select(col("id"),
         dHash(wavEnvelope(col("wav"), 72), 9, 8).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** REAL FLAC frame decode to a canonical PCM16 WAV ([[graft.functions
+    * .Native.FlacDecodeWav]]): metadata walk, CRC-checked frame headers,
+    * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals with escapes
+    * and wasted bits, stereo decorrelation. Lossless — decode ∘ encode is
+    * byte-exact. The output rides the existing WAV tier unchanged. */
+  def flacDecodeWav(flac: Column): Column =
+    graft.functions.Native.flacDecodeWav(flac)
+
+  /** Fixture-grade FLAC ENCODE ([[graft.functions.Native
+    * .FlacPcm16Encode]]): interleaved LE PCM16 bytes → a genuine FLAC
+    * stream (true STREAMINFO, fixed-blocksize frames, CRC-8/CRC-16,
+    * CONSTANT/VERBATIM/FIXED-order-2 subframes with real Rice coding). */
+  def flacEncodePcm16(samples: Column, channels: Column,
+      rate: Int, blockSize: Int = 1024): Column =
+    graft.functions.Native.flacEncodePcm16(samples, channels, rate, blockSize)
+
+  /** [[audioNearDup]] on REAL FLAC payloads: frame decode → PCM16 WAV →
+    * the SAME 72-bucket envelope → dHash → Hamming-banded LSH core, so
+    * the audio tier's pair semantics are identical across WAV and FLAC
+    * (a WAV and its lossless FLAC encode hash identically — that is the
+    * point). Undecodable or out-of-contract clips drop at the decode
+    * stage, before any shuffle. */
+  def audioNearDupFlac(clips: DataFrame, maxHamming: Int = 2,
+      maxBucketSize: Int = 64): DataFrame =
+    Dedup.hammingNearDup(
+      clips.select(col("id"),
+        dHash(wavEnvelope(flacDecodeWav(col("flac")), 72), 9, 8).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

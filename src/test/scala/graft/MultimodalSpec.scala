@@ -437,8 +437,7 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
     val cases = Seq(
       ("494433", "audio/mpeg"),
-      ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"),
-      ("664C6143", "audio/flac"))
+      ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"))
     cases.foreach { case (magicHex, mime) =>
       val b = hexBytesT(magicHex) ++ junk
       val row = Seq(Tuple1(b)).toDF("b")
@@ -449,6 +448,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getString(1) == mime, s"$magicHex sniffed as ${row.getString(1)}")
       assert(Multimodal.realCodec(b).isEmpty) // recognized ≠ decodable
     }
+    // FLAC is no longer merely recognized — 16-bit streams decode for
+    // real; a magic+junk prefix shorter than STREAMINFO is now honestly
+    // `truncated` under audio/flac (the cut-PNG stance), and the
+    // out-of-contract 24-bit profile classifies unsupported_profile
+    val flacCut = hexBytesT("664C6143") ++ junk
+    val flacRow = Seq(Tuple1(flacCut)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b"),
+        Multimodal.modality($"b")).collect().head
+    assert(flacRow.getString(0) == "truncated" && flacRow.getString(1) == "audio/flac")
+    assert(Multimodal.realCodec(flacCut).isEmpty)
     // BMP is no longer merely recognized — BI_RGB decodes for real; the
     // out-of-contract profiles (here RLE8 compression) still classify
     // unsupported_profile under image/bmp
@@ -675,6 +684,243 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  // ---- FLAC frame decode ----
+
+  private def encFlac(pcm: Array[Short], ch: Int, rate: Int,
+      blockSize: Int = 1024): Array[Byte] = {
+    val le = new Array[Byte](pcm.length * 2)
+    pcm.indices.foreach { i =>
+      le(2 * i) = (pcm(i) & 0xff).toByte; le(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+    }
+    Seq(Tuple1(le)).toDF("p")
+      .select(Multimodal.flacEncodePcm16($"p", lit(ch), rate, blockSize))
+      .as[Array[Byte]].head()
+  }
+  private def decFlacWav(b: Array[Byte]): Array[Byte] =
+    Seq(Tuple1(b)).toDF("f")
+      .select(Multimodal.flacDecodeWav($"f")).as[Array[Byte]].head()
+  private def wavSamples(wav: Array[Byte]): Array[Short] =
+    Array.tabulate((wav.length - 44) / 2)(i =>
+      ((wav(44 + 2 * i) & 0xff) | (wav(45 + 2 * i) << 8)).toShort)
+
+  test("FLAC round-trip: decode(encode(pcm)) is byte-exact — mono/stereo, multi-frame, both end-of-header block-size forms, CONSTANT/VERBATIM/FIXED subframes") {
+    val rnd = new scala.util.Random(77)
+    val cases = Seq(
+      ("mono multi-frame (1024 + 128: 16-bit AND 8-bit bs codes)",
+        Array.fill(1152)((rnd.nextInt(65536) - 32768).toShort), 1, 16000),
+      ("stereo single frame", Array.fill(1400)((rnd.nextInt(65536) - 32768).toShort), 2, 44100),
+      ("constant block (CONSTANT subframe)", Array.fill(300)(1234.toShort), 1, 8000),
+      ("two samples (VERBATIM subframe)", Array[Short](-5, 17), 1, 8000),
+      ("repeat-heavy (small Rice params)", Array.tabulate(640)(i => ((i / 16) * 100).toShort), 1, 8000))
+    for ((name, pcm, ch, rate) <- cases) {
+      val flac = encFlac(pcm, ch, rate)
+      assert(flac != null, s"$name: encode refused")
+      // a genuine FLAC: magic + the census parser reads the true geometry
+      val meta = Seq(Tuple1(flac)).toDF("f")
+        .select(Multimodal.flacMeta($"f").as("m"))
+        .select($"m.sample_rate", $"m.n_channels", $"m.total_samples")
+        .as[(Long, Long, Long)].head()
+      assert(meta == ((rate.toLong, ch.toLong, (pcm.length / ch).toLong)), name)
+      val wav = decFlacWav(flac)
+      assert(wav != null, s"$name: decode refused")
+      assert(wavSamples(wav).sameElements(pcm), s"$name: samples differ")
+      // and the WAV header is the canonical layout the tier consumes
+      val wm = Seq(Tuple1(wav)).toDF("w")
+        .select(Multimodal.wavMeta($"w").as("m"))
+        .select($"m.n_channels", $"m.sample_rate", $"m.bits_per_sample", $"m.data_bytes")
+        .as[(Long, Long, Long, Long)].head()
+      assert(wm == ((ch.toLong, rate.toLong, 16L, pcm.length * 2L)), name)
+    }
+  }
+
+  test("a WAV and its FLAC encode hash identically through the audio tier (lossless, same envelope)") {
+    val rnd = new scala.util.Random(9)
+    val pcm = Array.fill(1152)((rnd.nextInt(65536) - 32768).toShort)
+    val wavDirect = wavOf(pcm, 1, 16000)
+    val viaFlac = decFlacWav(encFlac(pcm, 1, 16000))
+    assert(viaFlac != null && viaFlac.sameElements(wavDirect),
+      "FLAC round-trip WAV is not byte-identical to the direct WAV")
+  }
+
+  /** FLAC hand-assembly: own bit writer, own CRC implementations —
+    * independent of both the production decoder and the fixture encoder,
+    * written straight from the published bitstream layout. */
+  private object FlacHand {
+    def crc8(b: Seq[Byte]): Int =
+      b.foldLeft(0) { (c0, x) =>
+        var c = c0 ^ (x & 0xff)
+        (0 until 8).foreach(_ => c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff)
+        c
+      }
+    def crc16(b: Seq[Byte]): Int =
+      b.foldLeft(0) { (c0, x) =>
+        var c = c0 ^ ((x & 0xff) << 8)
+        (0 until 8).foreach(_ => c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff)
+        c
+      }
+    final class Bw {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0; private var nb = 0
+      def bit(v: Int): Unit = {
+        acc = (acc << 1) | (v & 1); nb += 1
+        if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+      }
+      def bits(v: Long, n: Int): Unit = { var i = n - 1; while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 } }
+      def unary(q: Int): Unit = { (0 until q).foreach(_ => bit(0)); bit(1) }
+      def rice(v: Int, p: Int): Unit = {
+        val u = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+        unary((u >>> p).toInt)
+        if (p > 0) bits(u & ((1L << p) - 1), p)
+      }
+      def alignZ(): Unit = while (nb != 0) bit(0)
+    }
+    def streaminfo(rate: Int, ch: Int, total: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      "fLaC".getBytes("US-ASCII").foreach(o.write(_))
+      o.write(0x80); o.write(0); o.write(0); o.write(34)
+      o.write(16); o.write(0); o.write(16); o.write(0) // min/max blocksize 4096
+      (0 until 6).foreach(_ => o.write(0))
+      o.write(rate >> 12); o.write((rate >> 4) & 0xff)
+      o.write(((rate & 15) << 4) | ((ch - 1) << 1) | 0) // bits−1=15: top bit 0
+      o.write((15 << 4) | 0)
+      o.write(total >> 24); o.write((total >> 16) & 0xff)
+      o.write((total >> 8) & 0xff); o.write(total & 0xff)
+      (0 until 16).foreach(_ => o.write(0))
+      o.toByteArray
+    }
+    /** One frame: blockSize via the 8-bit end-of-header form, frame 0,
+      * rate from STREAMINFO, 16-bit samples, given channel assignment. */
+    def frame(n: Int, chAssign: Int)(body: Bw => Unit): Array[Byte] = {
+      val hdr = Seq(0xFF, 0xF8, (6 << 4) | 0, (chAssign << 4) | (4 << 1), 0, n - 1)
+        .map(_.toByte)
+      val bw = new Bw
+      body(bw)
+      bw.alignZ()
+      val pre = hdr ++ Seq(crc8(hdr).toByte) ++ bw.out.toByteArray.toSeq
+      val c16 = crc16(pre)
+      (pre ++ Seq((c16 >> 8).toByte, (c16 & 0xff).toByte)).toArray
+    }
+  }
+
+  test("FLAC spec vectors: LPC + wasted bits, Rice2 escape + partitions, and all three stereo decorrelations decode to hand-computed PCM") {
+    import FlacHand._
+    // ---- V1: LPC order 1 (coef 1, shift 0) with ONE wasted bit, mono,
+    // n=8. Shifted-domain samples 50..57 (warmup 50, residuals +1);
+    // decoder shifts left → 100,102,...,114.
+    val v1 = streaminfo(8000, 1, 8) ++ frame(8, 0) { bw =>
+      bw.bit(0); bw.bits(0x20L, 6) // LPC order 1 (100000)
+      bw.bit(1); bw.unary(0)       // wasted-bits flag, unary 0 → wasted=1
+      bw.bits(50L & 0x7fff, 15)    // warmup in eb=15 bits
+      bw.bits(1L, 4)               // precision−1 = 1 → 2-bit coefs
+      bw.bits(0L, 5)               // shift 0
+      bw.bits(1L, 2)               // coef = 1
+      bw.bits(0L, 2); bw.bits(0L, 4); bw.bits(1L, 4) // Rice m0, po 0, p=1
+      (0 until 7).foreach(_ => bw.rice(1, 1))
+    }
+    val d1 = decFlacWav(v1)
+    assert(d1 != null && wavSamples(d1).sameElements(
+      Array.tabulate(8)(i => (100 + 2 * i).toShort)),
+      s"LPC+wasted vector decoded ${if (d1 == null) "null" else wavSamples(d1).toSeq}")
+    // ---- V2: FIXED order 0, Rice2 (method 1, 5-bit params), partition
+    // order 1: partition A escapes to 7-bit raw, partition B is normal
+    // Rice2 with p=2 → PCM [3,-3,50,-50, 5,-5,0,10].
+    val v2 = streaminfo(8000, 1, 8) ++ frame(8, 0) { bw =>
+      bw.bit(0); bw.bits(0x08L, 6); bw.bit(0) // FIXED order 0
+      bw.bits(1L, 2)  // residual method 1 (RICE2)
+      bw.bits(1L, 4)  // partition order 1 → 2 partitions of 4
+      bw.bits(31L, 5) // partition A: escape
+      bw.bits(7L, 5)  // raw bits = 7
+      Seq(3, -3, 50, -50).foreach(v => bw.bits(v.toLong & 0x7f, 7))
+      bw.bits(2L, 5)  // partition B: p=2
+      Seq(5, -5, 0, 10).foreach(v => bw.rice(v, 2))
+    }
+    val d2 = decFlacWav(v2)
+    assert(d2 != null && wavSamples(d2).sameElements(
+      Array[Short](3, -3, 50, -50, 5, -5, 0, 10)),
+      s"Rice2+escape vector decoded ${if (d2 == null) "null" else wavSamples(d2).toSeq}")
+    // ---- V3: stereo decorrelations, CONSTANT subframes, n=4. The side
+    // channel carries eb=17 bits per the spec.
+    def const(bw: Bw, v: Int, eb: Int): Unit = {
+      bw.bit(0); bw.bits(0L, 6); bw.bit(0)
+      bw.bits(v.toLong & ((1L << eb) - 1), eb)
+    }
+    // left/side: left=1000, side=100 → right = 900
+    val ls = streaminfo(8000, 2, 4) ++ frame(4, 8) { bw =>
+      const(bw, 1000, 16); const(bw, 100, 17)
+    }
+    val dls = decFlacWav(ls)
+    assert(dls != null && wavSamples(dls).sameElements(
+      Array.fill(4)(Seq(1000, 900)).flatten.map(_.toShort)), "left/side")
+    // right/side: side=100 (first), right=900 → left = 1000
+    val rs = streaminfo(8000, 2, 4) ++ frame(4, 9) { bw =>
+      const(bw, 100, 17); const(bw, 900, 16)
+    }
+    val drs = decFlacWav(rs)
+    assert(drs != null && wavSamples(drs).sameElements(
+      Array.fill(4)(Seq(1000, 900)).flatten.map(_.toShort)), "right/side")
+    // mid/side: mid=1000, side=2 → left=1001, right=999
+    val ms = streaminfo(8000, 2, 4) ++ frame(4, 10) { bw =>
+      const(bw, 1000, 16); const(bw, 2, 17)
+    }
+    val dms = decFlacWav(ms)
+    assert(dms != null && wavSamples(dms).sameElements(
+      Array.fill(4)(Seq(1001, 999)).flatten.map(_.toShort)), "mid/side")
+  }
+
+  test("FLAC refusals: CRC flips, 24-bit profile, truncation, bomb totals, trailing garbage — null, never misparse") {
+    val rnd = new scala.util.Random(13)
+    val pcm = Array.fill(300)((rnd.nextInt(65536) - 32768).toShort)
+    val good = encFlac(pcm, 1, 8000)
+    assert(decFlacWav(good) != null)
+    // header CRC-8 flip (byte right after the 6-byte frame header at
+    // offset 42: magic 4 + STREAMINFO 38)
+    val badC8 = good.clone(); badC8(48) = (badC8(48) ^ 0x5a).toByte
+    assert(decFlacWav(badC8) == null)
+    // frame CRC-16 flip (last two bytes of the stream)
+    val badC16 = good.clone(); badC16(badC16.length - 1) = (badC16(badC16.length - 1) ^ 1).toByte
+    assert(decFlacWav(badC16) == null)
+    // 24-bit STREAMINFO → unsupported (null), even with valid-ish tail
+    val hdr24 = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.flacHeader(lit(8000L), lit(1L), lit(24L), lit(8L)))
+      .as[Array[Byte]].head()
+    assert(decFlacWav(hdr24 ++ good.drop(42)) == null)
+    // truncated mid-frame
+    assert(decFlacWav(good.dropRight(7)) == null)
+    // trailing garbage after the last frame
+    assert(decFlacWav(good ++ Array[Byte](1, 2, 3)) == null)
+    // bomb: STREAMINFO total past the cap
+    val bomb = good.clone()
+    bomb(21) = (bomb(21) | 0x0f).toByte // total-samples high nibble
+    assert(decFlacWav(bomb) == null)
+    // classifier agreement on the distinctions
+    def reasonOf(b: Array[Byte]): String = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(reasonOf(good) == null)
+    assert(reasonOf(badC16) == "corrupt")
+    assert(reasonOf(hdr24 ++ good.drop(42)) == "unsupported_profile")
+    assert(reasonOf(good.take(20)) == "truncated")
+    assert(reasonOf(bomb) == "bomb_guard")
+  }
+
+  test("audioNearDupFlac pairs identical FLAC clips at hamming 0 through the real frame decode") {
+    val rnd = new scala.util.Random(31)
+    def clip(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      encFlac(Array.tabulate(1152)(i => ((r2.nextInt(8) * 4000 - 16000) + i % 3).toShort), 1, 16000)
+    }
+    val rows = Seq(
+      (1L, clip(5)), (2L, clip(5)),  // bit-identical pair
+      (3L, clip(6)), (4L, clip(7)),
+      (5L, "not flac".getBytes("UTF-8"))) // drops at decode
+      .toDF("id", "flac")
+    val pairs = Multimodal.audioNearDupFlac(rows)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
     // the invariant the drop report exists for: a payload it counts
     // dropped must be one the default codec path cannot decode, and vice
@@ -758,6 +1004,15 @@ class MultimodalSpec extends AnyFunSuite {
       "jpegProg" -> Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
         .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9)))
         .as[Array[Byte]].head(),
+      "flacGood" -> encFlac(Array.tabulate(144)(i => (i * 100).toShort), 1, 8000),
+      // 24-bit profile: recognized, undecodable → unsupported_profile
+      "flac24" -> (Seq(Tuple1(1)).toDF("x")
+        .select(Multimodal.flacHeader(lit(8000L), lit(1L), lit(24L), lit(144L)))
+        .as[Array[Byte]].head() ++ Array.fill(24)(9.toByte)),
+      // 16-bit STREAMINFO with junk where frames should be → corrupt
+      "flacJunkFrames" -> (Seq(Tuple1(1)).toDF("x")
+        .select(Multimodal.flacHeader(lit(8000L), lit(1L), lit(16L), lit(144L)))
+        .as[Array[Byte]].head() ++ Array.fill(24)(9.toByte)),
       // extended-sequential (SOF1): the remaining JPEG profile limit —
       // flip the progressive fixture's SOF marker
       "jpegSof1" -> {
@@ -811,9 +1066,11 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Array[Byte]].head()
     val jpegProg = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9))).as[Array[Byte]].head()
+    val flac = encFlac(Array.tabulate(256)(i => (i * 257 - 32768).toShort), 2, 16000)
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
-      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg).flatMap { base =>
+      Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
+        flac).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
