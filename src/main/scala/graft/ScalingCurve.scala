@@ -53,7 +53,9 @@ object ScalingCurve {
     "decontaminate_bloom",
     "decontaminate_neardup",
     "source_overlap",
-    "text_train_score",
+    // text_train_score left the curve in r13: its train set is now the
+    // SF-independent committed plant (constant cost by construction);
+    // the corpus-scale bounded-training contract is pinned by spec
     "dedup_image",
     "json_rekey_count",
     "c4_clean",

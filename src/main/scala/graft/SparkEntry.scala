@@ -297,6 +297,37 @@ object SparkEntry {
   private def hex2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lpad(conv(v.cast("string"), 10, 16), 2, "0")
 
+  /** The four COMMITTED deflate-fixture classes (text_compress_ratio):
+    * run, periodic, prose, and a fixed high-entropy garble — structures
+    * whose level-6 deflate byte counts differ by an order of magnitude.
+    * The strings are constants on purpose: their exact deflate lengths
+    * are committed in the oracle and in FuncsSpec. */
+  private[graft] val CompressPlantClasses: Seq[String] = Seq(
+    "a" * 400,
+    "abcdefghij" * 40,
+    "The quick brown fox jumps over the lazy dog. " * 10,
+    "q7Kp2xZv9LmWc4Rt8nYb3JhG6dFs1QaEuT5iOoP0kXjNvMlBzCgHySdWqRfTe" +
+      "x2A8mK4cV7bL9nJ1hZ5gD3pQ6wS0yU8rI2oE4tF7uM9aC1vN5bX3zH6kG0jTq" +
+      "W8dP2sR4fY7lO9eI1wQ5xK3nZ6vB0mC8gA2hJ4tD7rU9pL1oS5yE3iF6uV0cT")
+  private def compressPlant(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(typedLit(CompressPlantClasses), (docId % 4).cast("int") + 1)
+
+  /** The eight COMMITTED train-fixture sentences (text_train_score):
+    * distinct marker vocabularies per class; classes 0..3 labeled keep,
+    * 4..7 labeled drop. The 200-row plant is SF-INDEPENDENT (built from
+    * spark.range, not the corpus), so the trained milli-weights — and
+    * therefore every emitted logit — are the same at every scale factor
+    * and can be committed in the oracle. */
+  private[graft] val TrainPlantClasses: Seq[String] = Seq(
+    "crystal harbor lantern voyage crystal harbor lantern",
+    "meadow spruce granite river meadow spruce granite",
+    "copper sparrow orchard velvet copper sparrow orchard",
+    "ember willow saffron breeze ember willow saffron",
+    "static jargon filler noise static jargon filler",
+    "clutter spam boiler plate clutter spam boiler",
+    "random chaff padding junk random chaff padding",
+    "hollow drone residue sludge hollow drone residue")
+
   /** Planted 72×64 grayscale bitmap whose 8×8 blocks are CONSTANT at
     * [[jpegBlockVal]](r·9+c) — the per-block-constant shape that makes
     * DC-only JPEG round-trip bit-exact AND makes the 9×8 dHash grid an
@@ -1865,11 +1896,26 @@ object SparkEntry {
     // integer-exactly — the text_model_score move, one model per language
     "text_lang_model" -> ((s, d) => TextAnalysis.langModelScore(Tables.documents(s, d))),
     "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
-    // deliberately rows-only (DuckDB has no zlib surface and the exact
-    // ratio is zlib-impl detail): the RPv2 compressibility signal, pinned
-    // by wide-margin property tests in FuncsSpec — degenerate ≪ prose ≪
-    // random, doubling a text lowers its ratio
-    "text_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d))),
+    // the RPv2 compressibility signal, hash-oracled via COMMITTED
+    // deflate constants (DuckDB has no zlib, so the oracle cannot
+    // recompute a deflate length — instead the fixture generator ran the
+    // engine's own level-6/nowrap Deflater ONCE over four committed
+    // structure classes and pinned the exact byte counts, the
+    // canary-floor stance; FuncsSpecs's committed-constant test catches
+    // a zlib-build shift loudly, and the wide-margin property tests on
+    // REAL text — degenerate ≪ prose ≪ random, doubling lowers the ratio
+    // — keep the corpus-facing operator behavior pinned). doc_id picks
+    // the class, so every row is oracle-recomputable: class → committed
+    // (n_chars, deflate_len) and the exact integer milli-ratio.
+    "text_compress_ratio" -> ((s, d) => {
+      val plant = compressPlant(col("doc_id"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(plant).cast("bigint").as("n_chars"),
+        graft.functions.Native.deflateLen(plant).as("deflate_len"),
+        (graft.functions.Native.deflateLen(plant) * 1000L /
+          length(plant).cast("bigint")).cast("bigint").as("ratio_milli"))
+    }),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     // the COMPLETE Gopher repetition suite over the planted lined view
     // (gopherPlantedDocs); the oracle recomputes ALL 13 signals from the
@@ -1933,17 +1979,29 @@ object SparkEntry {
       TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
     // the closed train→deploy loop: distill the Gopher gate into a hashed
     // linear model (distributed LBFGS), then score through the SAME
-    // literal-weights codegen path text_model_score pins. Rows-only by
-    // nature (LBFGS is not SQL-expressible); the train/deploy loop itself
-    // is pinned by the separable-fixture + determinism test in
-    // OperatorsSpec, and the maxTrainRows bound by its own spec.
-    "text_train_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val labeled = docs.join(
-        TextAnalysis.gopherFilter(docs).select(col("doc_id"), col("keep").as("label")),
-        "doc_id")
-      val (w, bias) = TextAnalysis.trainQualityWeights(labeled, dim = 256)
-      TextAnalysis.linearQualityScore(docs, w, bias)
+    // literal-weights codegen path text_model_score pins — now
+    // hash-oracled via COMMITTED constants: the 200-row train set is the
+    // SF-independent separable plant (TrainPlantClasses, labels =
+    // class < 4), single-partition so the float gradient reduction has
+    // ONE association order and the converged milli-weights are
+    // bit-reproducible; the fixture generator ran the loop once and
+    // committed the eight per-class logits in the oracle (and in
+    // OperatorsSpec, so an MLlib/BLAS drift fails the suite loudly, the
+    // deflate-constant stance). The corpus-scale train path
+    // (maxTrainRows bound, hash-sampled input) stays pinned by its own
+    // specs; LBFGS itself is not SQL-expressible, which is exactly why
+    // the oracle pins the OUTPUT as committed constants instead.
+    "text_train_score" -> ((s, _) => {
+      val plant = s.range(0, 200).select(
+        col("id").as("doc_id"),
+        (col("id") % 8).cast("int").as("cls"))
+        .withColumn("text", element_at(typedLit(TrainPlantClasses), col("cls") + 1))
+        .withColumn("label", (col("cls") < 4).cast("int"))
+        .repartition(1)
+      val (w, bias) = TextAnalysis.trainQualityWeights(
+        plant.select(col("doc_id"), col("text"), col("label")), dim = 256)
+      TextAnalysis.linearQualityScore(plant, w, bias)
+        .select(col("doc_id"), col("logit_milli"), col("keep"))
     }),
     // HTML extraction over a planted page wrapper (script/style blocks,
     // attributes, all six entities — built identically in the oracle)
@@ -3724,6 +3782,30 @@ object SparkEntry {
          SELECT piece, CAST(sum(n) AS BIGINT) AS n_tokens,
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM p GROUP BY 1""",
+    // COMMITTED deflate constants (the canary-floor stance): DuckDB has
+    // no zlib, so the oracle pins the fixture generator's own level-6/
+    // nowrap Deflater output per committed structure class — 8/17/51/163
+    // bytes for run/periodic/prose/garble. FuncsSpec re-asserts the same
+    // constants, so a zlib-build shift fails the suite before it fails
+    // the oracle.
+    "text_compress_ratio" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 400 WHEN 1 THEN 400 WHEN 2 THEN 450 ELSE 183 END AS BIGINT) AS n_chars,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 17 WHEN 2 THEN 51 ELSE 163 END AS BIGINT) AS deflate_len,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 20 WHEN 1 THEN 42 WHEN 2 THEN 113 ELSE 890 END AS BIGINT) AS ratio_milli
+         FROM documents""",
+    // COMMITTED converged-LBFGS logits: the train set is the
+    // SF-independent 200-row separable plant (single partition ⇒ one
+    // float association order ⇒ bit-reproducible milli-weights, verified
+    // identical across executor counts); the generator ran the loop once
+    // and pinned the eight per-class logits. OperatorsSpec re-asserts
+    // them, so an MLlib/BLAS drift fails the suite loudly.
+    "text_train_score" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(CASE i % 8 WHEN 0 THEN 5858 WHEN 1 THEN 5326 WHEN 2 THEN 5627 WHEN 3 THEN 5627
+                WHEN 4 THEN -5683 WHEN 5 THEN -5683 WHEN 6 THEN -5362 ELSE -5683 END AS BIGINT) AS logit_milli,
+           CAST(CASE WHEN i % 8 < 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM range(200) t(i)""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            b AS (SELECT doc_id, toks,
@@ -4750,15 +4832,20 @@ object SparkEntry {
                 CAST(quantile_disc(ntok, 0.99) AS BIGINT) AS p99_tokens_approx,
                 CAST(count(DISTINCT wrd) AS BIGINT) AS n_distinct_words_approx
          FROM pl"""
-    // sim_topk_ivf / text_winnow_fp: genuinely sketch-internal (k-means
-    // probe sets, winnow minima) — not SQL-expressible in DuckDB; driver
-    // records rows-only checks. Verified instead by planted-fixture +
-    // recall + native≡declarative ScalaTests (OperatorsSpec, FuncsSpec,
-    // PipelineSpec). sim_topk_ivf's
-    // FULL-probe sibling (sim_topk_ivf_full) IS hash-oracled above.
-    // dedup_minhash_raw: deliberately rows-only — the raw-corpus 0.8
-    // operating point whose banding misses DuckDB cannot replay (see the
-    // entry's comment); its planted sibling dedup_minhash_lsh carries the
-    // full hash oracle.
+    // THE REMAINING rows-only queries, each with its inherence argument
+    // (r13 shrank the list from five: text_compress_ratio and
+    // text_train_score now carry committed-constant hash oracles above):
+    //  - sim_topk_ivf: the PARTIAL-probe recall point depends on k-means
+    //    probe-set internals no SQL engine can replay; its FULL-probe
+    //    sibling sim_topk_ivf_full IS hash-oracled above, and recall is
+    //    property-pinned in OperatorsSpec.
+    //  - text_winnow_fp: winnow minima are a rolling-window argmin over
+    //    an engine-internal 64-bit hash sequence — the POSITIONS are
+    //    hash-oracled (text_winnow_positions); the raw fingerprint
+    //    values are the hash function itself, pinned in FuncsSpec.
+    //  - dedup_minhash_raw: deliberately rows-only — the raw-corpus 0.8
+    //    operating point whose banding misses DuckDB cannot replay (see
+    //    the entry's comment); its planted sibling dedup_minhash_lsh
+    //    carries the full hash oracle.
   )
 }

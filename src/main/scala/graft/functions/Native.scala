@@ -811,8 +811,34 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
   object DeflateRatio {
-    private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    private[functions] val deflaters: ThreadLocal[java.util.zip.Deflater] =
       ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+  }
+
+  /** deflate_len(STRING) → BIGINT: the raw level-6/nowrap deflate byte
+    * count of the text — [[DeflateRatio]]'s exact-integer numerator,
+    * exposed so a planted fixture can be hash-oracled against COMMITTED
+    * constants (the deflate output for a fixed input, level, and
+    * strategy is a deterministic function of the zlib build this engine
+    * ships with — the canary-floor stance: computed once by the fixture
+    * generator, pinned in the oracle AND in a spec test so an
+    * environment shift is caught loudly). Same thread-local Deflater
+    * pool as the ratio. */
+  case class DeflateLen(child: Expression) extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].getBytes
+      if (raw.isEmpty) return java.lang.Long.valueOf(0L)
+      val d = DeflateRatio.deflaters.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      java.lang.Long.valueOf(compressed)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** dhash64(BINARY, w, h) → LONG: difference hash of a w×h row-major
@@ -6136,6 +6162,7 @@ object Native {
     "graft_bloom_contains" -> (exprs => BloomContainsLong(exprs(0), exprs(1))),
     "graft_char_entropy" -> (exprs => CharEntropy(exprs(0))),
     "graft_deflate_ratio" -> (exprs => DeflateRatio(exprs(0))),
+    "graft_deflate_len" -> (exprs => DeflateLen(exprs(0))),
     "graft_dhash" -> (exprs =>
       DHash64(exprs(0), intLit(exprs(1), "width"), intLit(exprs(2), "height"))),
     "graft_png_encode_gray8" -> (exprs =>
@@ -6256,6 +6283,7 @@ object Native {
       org.apache.spark.sql.functions.lit(filterBytes), hash)
   def charEntropy(text: Column): Column = call_function("graft_char_entropy", text)
   def deflateRatio(text: Column): Column = call_function("graft_deflate_ratio", text)
+  def deflateLen(text: Column): Column = call_function("graft_deflate_len", text)
   def dhash(img: Column, width: Int, height: Int): Column =
     call_function("graft_dhash", img,
       org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(height))

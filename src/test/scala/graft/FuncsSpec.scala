@@ -34,6 +34,26 @@ class FuncsSpec extends AnyFunSuite {
     assert(r(5L) == 0.0)
   }
 
+  test("deflateLen: the COMMITTED fixture constants hold (the text_compress_ratio oracle's numbers)") {
+    import graft.functions.Native
+    // the exact level-6/nowrap deflate byte counts of the four committed
+    // plant classes, as pinned in the DuckDB oracle — if the JVM's zlib
+    // build ever changes its output, THIS fails before the oracle does
+    val want = Seq(8L, 17L, 51L, 163L)
+    val got = SparkEntry.CompressPlantClasses.zipWithIndex.map { case (s, i) =>
+      Seq(Tuple1(s)).toDF("t").select(Native.deflateLen($"t"))
+        .as[Long].head()
+    }
+    assert(got == want, s"deflate constants drifted: got $got, committed $want")
+    // and the lengths are consistent with the ratio expression's numerator
+    SparkEntry.CompressPlantClasses.zip(want).foreach { case (s, len) =>
+      val ratio = Seq(Tuple1(s)).toDF("t")
+        .select(Native.deflateRatio($"t")).as[Double].head()
+      assert(math.abs(ratio - len.toDouble / s.length) < 1e-12)
+    }
+    assert(Seq(Tuple1("")).toDF("t").select(Native.deflateLen($"t")).as[Long].head() == 0L)
+  }
+
   test("eventTimeChain parses the reference extractor's format matrix (OrderTimestampStreamApp.java:139-206)") {
     val fallback = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     val rows = Seq(

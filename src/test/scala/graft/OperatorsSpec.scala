@@ -1826,6 +1826,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w2 == w && bias2 == bias)
   }
 
+  test("text_train_score's COMMITTED logits hold: the SF-independent plant converges to the oracle's constants") {
+    // replay the query's exact plant (TrainPlantClasses, 200 rows, one
+    // partition) and assert the eight per-class logits the DuckDB oracle
+    // commits — an MLlib/BLAS/zlib-of-floats drift fails HERE before it
+    // fails the oracle
+    import org.apache.spark.sql.functions._
+    val plant = spark.range(0, 200).select(
+      col("id").as("doc_id"), (col("id") % 8).cast("int").as("cls"))
+      .withColumn("text", element_at(typedLit(SparkEntry.TrainPlantClasses), col("cls") + 1))
+      .withColumn("label", (col("cls") < 4).cast("int"))
+      .repartition(1)
+    val (w, bias) = TextAnalysis.trainQualityWeights(
+      plant.select(col("doc_id"), col("text"), col("label")), dim = 256)
+    val got = TextAnalysis.linearQualityScore(plant, w, bias)
+      .join(plant.select(col("doc_id"), col("cls")), "doc_id")
+      .select(col("cls"), col("logit_milli")).distinct()
+      .as[(Int, Long)].collect().toMap
+    val committed = Map(0 -> 5858L, 1 -> 5326L, 2 -> 5627L, 3 -> 5627L,
+      4 -> -5683L, 5 -> -5683L, 6 -> -5362L, 7 -> -5683L)
+    assert(got == committed, s"committed logits drifted: got $got")
+  }
+
   test("trainQualityWeights bounds its train set to maxTrainRows (deterministic hash sample)") {
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     val fixture = (0L until 200L).map { i =>
