@@ -1364,6 +1364,49 @@ object SparkEntry {
     // declarative bit arithmetic; the builder's byte layout is pinned
     // against hand-computed hex in MultimodalSpec, so builder and parser
     // cannot share a compensating offset bug.
+    // REAL EBML/Matroska census, hash-oracled: the fixture's genuine
+    // EBML layout (VINT sizes, float64 Duration whose IEEE bits the
+    // Column builder computes in exact integer arithmetic) → the real
+    // walker — every output field is the planted arithmetic restated.
+    // Frames stay undecoded (the r12 FLAC-census stance, WebM edition).
+    "multimodal_webm_meta" -> ((s, d) => {
+      val webm = Multimodal.webmHeader(
+        ((col("doc_id") % 40) * 8 + 160).cast("bigint"),
+        ((col("doc_id") % 30) * 8 + 90).cast("bigint"),
+        ((col("doc_id") % 60) * 500 + 1000).cast("bigint"),
+        when(col("doc_id") % 2 === 0, lit("V_VP8")).otherwise(lit("V_VP9")),
+        when(col("doc_id") % 3 === 0, lit("A_OPUS")).otherwise(lit("A_FLAC")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.webmMeta(webm).as("m"))
+        .select(col("doc_id"),
+          col("m.doc_type").as("doc_type"),
+          col("m.timescale_ns").as("timescale_ns"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.video_codec").as("video_codec"),
+          col("m.audio_codec").as("audio_codec"))
+    }),
+    // REAL Ogg page census, hash-oracled: the fixture's genuine pages
+    // (published CRC-32 each, BOS/EOS round-robin over 1 or 2 streams)
+    // → the CRC-verifying walker; every counter is closed-form from the
+    // planted page arithmetic (Σ i mod 5 = 10·⌊n/5⌋ + r(r−1)/2)
+    "multimodal_ogg_meta" -> ((s, d) => {
+      val serial = (col("doc_id") % 100000 + 1000).cast("int")
+      val np = (col("doc_id") % 7 + 4).cast("int")
+      val ogg = when(col("doc_id") % 2 === 0,
+        Multimodal.oggPages(serial, np, nStreams = 1))
+        .otherwise(Multimodal.oggPages(serial, np, nStreams = 2))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.oggMeta(ogg).as("m"))
+        .select(col("doc_id"),
+          col("m.n_pages").as("n_pages"),
+          col("m.n_streams").as("n_streams"),
+          col("m.first_serial").as("first_serial"),
+          col("m.last_granule").as("last_granule"),
+          col("m.payload_bytes").as("payload_bytes"))
+    }),
     "multimodal_flac_meta" -> ((s, d) => {
       val flac = concat(
         Multimodal.flacHeader(
@@ -2600,6 +2643,35 @@ object SparkEntry {
     "dedup_image_tiff" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // every field is the planted WebM arithmetic restated (timescale
+    // 1e6 ns makes duration_ms the planted value verbatim; two tracks,
+    // codecs by the planted modulus)
+    "multimodal_webm_meta" ->
+      """SELECT doc_id,
+           'webm' AS doc_type,
+           CAST(1000000 AS BIGINT) AS timescale_ns,
+           CAST((doc_id % 60) * 500 + 1000 AS BIGINT) AS duration_ms,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST((doc_id % 40) * 8 + 160 AS BIGINT) AS width,
+           CAST((doc_id % 30) * 8 + 90 AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP8' ELSE 'V_VP9' END AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' ELSE 'A_FLAC' END AS audio_codec
+         FROM documents""",
+    // every counter is the planted page arithmetic: n pages, 1+parity
+    // streams, serial, granule 441·(n−1), payload 27n + Σ_{i<n}(i mod 5)
+    // with the mod-sum in closed form
+    "multimodal_ogg_meta" ->
+      """WITH p AS (SELECT doc_id,
+             doc_id % 7 + 4 AS np,
+             doc_id % 100000 + 1000 AS serial
+           FROM documents)
+         SELECT doc_id,
+           CAST(np AS BIGINT) AS n_pages,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+           CAST(serial AS BIGINT) AS first_serial,
+           CAST(441 * (np - 1) AS BIGINT) AS last_granule,
+           CAST(27 * np + 10 * (np // 5) + (np % 5) * ((np % 5) - 1) // 2 AS BIGINT) AS payload_bytes
+         FROM p""",
     // every field is the planted geometry formula restated; duration is
     // the same double floor both engines compute
     "multimodal_flac_meta" ->

@@ -3546,6 +3546,307 @@ object Native {
     (dataBytes / 2).toInt // bounded by the payload length just checked
   }
 
+  /** webm_meta(BINARY) → STRUCT: REAL EBML/Matroska metadata census — the
+    * FLAC/GIF census pattern applied to the WebM container: a genuine
+    * EBML walk (variable-length IDs and VINT sizes straight from the
+    * published spec), no entropy decode. Reads the EBML header's DocType,
+    * then inside Segment: Info's TimestampScale (default 1e6 ns per the
+    * spec) and float Duration (4- or 8-byte IEEE), and every Tracks/
+    * TrackEntry's TrackType + CodecID, with PixelWidth/PixelHeight from
+    * the first VIDEO track. Unknown elements are skipped by their
+    * declared size; an unknown-size (all-ones VINT) Segment extends to
+    * the end of the buffer (what streaming muxers emit). Null, never an
+    * error, off contract: bad magic, malformed VINTs, sizes overrunning
+    * the buffer, or more than 4096 elements visited (bomb stance —
+    * element headers are cheap, a crafted file must not buy a long walk
+    * with short bytes). duration_ms = floor(Duration · timescale / 10⁶);
+    * absent fields are null. Cluster payloads stay undecoded —
+    * `unsupported_profile` remains the drop-report stance for the A/V
+    * frames themselves. */
+  case class WebmMeta(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StructType(Seq(
+      StructField("doc_type", StringType, nullable = true),
+      StructField("timescale_ns", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_tracks", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("video_codec", StringType, nullable = true),
+      StructField("audio_codec", StringType, nullable = true)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try eval0(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    private def eval0(b: Array[Byte]): Any = {
+      val n = b.length
+      if (n < 8 || (b(0) & 0xff) != 0x1A || (b(1) & 0xff) != 0x45 ||
+          (b(2) & 0xff) != 0xDF || (b(3) & 0xff) != 0xA3) return null
+      var visited = 0
+      // EBML element ID: length from the leading-1 position, kept RAW
+      // (marker included) — the form IDs are published in
+      def vintLen(first: Int): Int = {
+        var i = 0
+        while (i < 8) { if ((first & (0x80 >> i)) != 0) return i + 1; i += 1 }
+        -1
+      }
+      var p = 0
+      def readId(): Long = {
+        if (p >= n) return -1L
+        val len = vintLen(b(p) & 0xff)
+        if (len < 1 || len > 4 || p + len > n) return -1L
+        var v = 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+        p += len
+        v
+      }
+      /** size VINT: marker stripped; −1 malformed, −2 = unknown size. */
+      def readSize(): Long = {
+        if (p >= n) return -1L
+        val first = b(p) & 0xff
+        val len = vintLen(first)
+        if (len < 1 || len > 8 || p + len > n) return -1L
+        var v = (first & (0xff >>> len)).toLong
+        var i = 1
+        while (i < len) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+        p += len
+        // all value bits set = "unknown size"
+        if (v == (1L << (7 * len)) - 1) -2L else v
+      }
+      def readUint(end: Int): Long = {
+        var v = 0L
+        while (p < end) { v = (v << 8) | (b(p) & 0xff); p += 1 }
+        v
+      }
+      var docType: UTF8String = null
+      var timescale = 1000000L // spec default
+      var durationF = Double.NaN
+      var nTracks = 0L
+      var width = -1L; var height = -1L
+      var videoCodec: UTF8String = null
+      var audioCodec: UTF8String = null
+      var trackType = 0L
+      var lastCodec: UTF8String = null
+      /** Walk children of [p, until), dispatching on the context depth. */
+      def walk(until: Int, ctx: Int): Boolean = {
+        while (p < until) {
+          visited += 1
+          if (visited > 4096) return false
+          val id = readId()
+          if (id < 0) return false
+          val sz = readSize()
+          if (sz == -1L) return false
+          // unknown size is legal only where the spec defines an end
+          // (Segment — what streaming muxers emit); anywhere else it is
+          // malformed, not an invitation to read to EOF
+          if (sz == -2L && id != 0x18538067L) return false
+          val end =
+            if (sz == -2L) until // unknown size: runs to the parent's end
+            else {
+              if (sz > until - p) return false
+              p + sz.toInt
+            }
+          (ctx, id) match {
+            case (0, 0x1A45DFA3L) => if (!walk(end, 1)) return false
+            case (0, 0x18538067L) => if (!walk(end, 2)) return false // Segment
+            case (1, 0x4282L) => // DocType
+              docType = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, p, end))
+              p = end
+            case (2, 0x1549A966L) => if (!walk(end, 3)) return false // Info
+            case (2, 0x1654AE6BL) => if (!walk(end, 4)) return false // Tracks
+            case (3, 0x2AD7B1L) => timescale = readUint(end) // TimestampScale
+            case (3, 0x4489L) => // Duration: 4- or 8-byte IEEE float
+              val len = end - p
+              if (len == 4) durationF =
+                java.lang.Float.intBitsToFloat(readUint(end).toInt).toDouble
+              else if (len == 8) durationF =
+                java.lang.Double.longBitsToDouble(readUint(end))
+              else return false
+            case (4, 0xAEL) => // TrackEntry
+              nTracks += 1
+              if (!walk(end, 5)) return false
+            case (5, 0x83L) => // TrackType: 1 video, 2 audio
+              trackType = readUint(end)
+            case (5, 0x86L) => // CodecID
+              lastCodec = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, p, end))
+              p = end
+            case (5, 0xE0L) => if (!walk(end, 6)) return false // Video
+            case (6, 0xB0L) => if (width < 0) width = readUint(end)
+            case (6, 0xBAL) => if (height < 0) height = readUint(end)
+            case _ => p = end // unknown/uninteresting: skip by size
+          }
+          if ((ctx, id) == ((4, 0xAEL))) {
+            // close the TrackEntry: bind its codec to its type
+            if (trackType == 1L && videoCodec == null) videoCodec = lastCodec
+            if (trackType == 2L && audioCodec == null) audioCodec = lastCodec
+            trackType = 0L; lastCodec = null
+          }
+          if (p != end && sz != -2L) return false // element under/over-read
+        }
+        true
+      }
+      if (!walk(n, 0)) return null
+      val durationMs: Any =
+        if (durationF.isNaN) null
+        else java.lang.Long.valueOf(math.floor(durationF * timescale / 1e6).toLong)
+      org.apache.spark.sql.catalyst.InternalRow(
+        docType, timescale, durationMs, nTracks,
+        if (width < 0) null else java.lang.Long.valueOf(width),
+        if (height < 0) null else java.lang.Long.valueOf(height),
+        videoCodec, audioCodec)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ogg_meta(BINARY) → STRUCT: REAL Ogg page-header census — a page
+    * walk with CRC verification (the published CRC-32/0x04C11DB7,
+    * init 0, unreflected, computed over the page with its CRC field
+    * zeroed), no codec decode. Counts pages and BOS streams, reports the
+    * first serial, the final page's granule position, and total payload
+    * bytes (from the lacing tables). Null, never an error: bad magic,
+    * version ≠ 0, a truncated page, a CRC mismatch, or more than 65536
+    * pages (bomb stance). Vorbis/Opus/Theora packets stay undecoded —
+    * `unsupported_profile` remains the drop-report stance for the
+    * streams themselves. */
+  case class OggMeta(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_pages", LongType, nullable = false),
+      StructField("n_streams", LongType, nullable = false),
+      StructField("first_serial", LongType, nullable = false),
+      StructField("last_granule", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try eval0(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    private def eval0(b: Array[Byte]): Any = {
+      val n = b.length
+      if (n < 28) return null
+      var p = 0
+      var pages = 0L; var streams = 0L
+      var firstSerial = -1L; var lastGranule = 0L; var payload = 0L
+      while (p < n) {
+        if (pages >= 65536) return null
+        if (p + 27 > n) return null
+        if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' || b(p + 3) != 'S')
+          return null
+        if (b(p + 4) != 0) return null // stream structure version
+        val hType = b(p + 5) & 0xff
+        var granule = 0L
+        var i = 0
+        while (i < 8) { granule |= (b(p + 6 + i) & 0xffL) << (8 * i); i += 1 }
+        var serial = 0L
+        i = 0
+        while (i < 4) { serial |= (b(p + 14 + i) & 0xffL) << (8 * i); i += 1 }
+        val nSegs = b(p + 26) & 0xff
+        if (p + 27 + nSegs > n) return null
+        var bodyLen = 0
+        i = 0
+        while (i < nSegs) { bodyLen += b(p + 27 + i) & 0xff; i += 1 }
+        val pageLen = 27 + nSegs + bodyLen
+        if (p + pageLen > n) return null
+        // CRC over the page with the CRC field zeroed
+        var crc = 0
+        i = 0
+        while (i < pageLen) {
+          val by = if (i >= 22 && i < 26) 0 else b(p + i) & 0xff
+          crc ^= by << 24
+          var k = 0
+          while (k < 8) {
+            crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+            k += 1
+          }
+          i += 1
+        }
+        var stored = 0
+        i = 0
+        while (i < 4) { stored |= (b(p + 22 + i) & 0xff) << (8 * i); i += 1 }
+        if (crc != stored) return null
+        if ((hType & 0x02) != 0) streams += 1 // BOS
+        if (firstSerial < 0) firstSerial = serial
+        lastGranule = granule
+        payload += bodyLen
+        pages += 1
+        p += pageLen
+      }
+      if (pages == 0) return null
+      org.apache.spark.sql.catalyst.InternalRow(
+        pages, streams, firstSerial, lastGranule, payload)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ogg_pages(INT serial, INT nPages; nStreams) → BINARY: a REAL Ogg
+    * page sequence (genuine capture pattern, version-0 headers, lacing
+    * tables, and the published CRC-32 over each page) carrying
+    * deterministic filler packets — the fixture for [[OggMeta]]. Pages
+    * round-robin over `nStreams` logical streams (serials serial,
+    * serial+1, …): each stream's first page carries BOS, its last EOS;
+    * page i has granule 441·i, per-stream sequence numbers, and a
+    * 27+(i mod 5)-byte packet whose byte j is (7i+j) mod 256 — every
+    * field closed-form so a SQL oracle can recompute the census. */
+  case class OggPagesEncode(left: Expression, right: Expression, nStreams: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(nStreams >= 1 && nStreams <= 8, s"nStreams in [1,8], got $nStreams")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(serialAny: Any, nPagesAny: Any): Any = {
+      def asInt(a: Any): Int = a match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => Int.MinValue
+      }
+      val serial = asInt(serialAny); val nPages = asInt(nPagesAny)
+      if (serial == Int.MinValue || nPages < nStreams || nPages > 4096) return null
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < nPages) {
+        val bodyLen = 27 + i % 5
+        val page = new Array[Byte](27 + 1 + bodyLen)
+        page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+        page(4) = 0
+        val bos = i < nStreams
+        val eos = i + nStreams >= nPages
+        page(5) = (((if (bos) 2 else 0)) | (if (eos) 4 else 0)).toByte
+        val granule = 441L * i
+        var k = 0
+        while (k < 8) { page(6 + k) = ((granule >> (8 * k)) & 0xff).toByte; k += 1 }
+        val ser = serial + i % nStreams
+        k = 0
+        while (k < 4) { page(14 + k) = ((ser >> (8 * k)) & 0xff).toByte; k += 1 }
+        val seq = i / nStreams
+        k = 0
+        while (k < 4) { page(18 + k) = ((seq >> (8 * k)) & 0xff).toByte; k += 1 }
+        // CRC (22-25) stays zero for the computation
+        page(26) = 1
+        page(27) = bodyLen.toByte
+        k = 0
+        while (k < bodyLen) { page(28 + k) = ((7 * i + k) & 0xff).toByte; k += 1 }
+        var crc = 0
+        k = 0
+        while (k < page.length) {
+          crc ^= (page(k) & 0xff) << 24
+          var j = 0
+          while (j < 8) {
+            crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+            j += 1
+          }
+          k += 1
+        }
+        k = 0
+        while (k < 4) { page(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
+        out.write(page, 0, page.length)
+        i += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** flac_decode_wav(BINARY) → BINARY: REAL FLAC frame decode
     * ([[Flac.decodePcm16]] — metadata walk, frame headers with CRC-8,
     * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals both methods
@@ -6202,6 +6503,10 @@ object Native {
     "graft_wav_pcm16_stats" -> (exprs =>
       WavPcm16Stats(exprs(0), intLit(exprs(1), "silenceThreshold"))),
     "graft_flac_decode_wav" -> (exprs => FlacDecodeWav(exprs(0))),
+    "graft_webm_meta" -> (exprs => WebmMeta(exprs(0))),
+    "graft_ogg_meta" -> (exprs => OggMeta(exprs(0))),
+    "graft_ogg_pages" -> (exprs => OggPagesEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "nStreams"))),
     "graft_flac_encode_pcm16" -> (exprs => FlacPcm16Encode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), intLit(exprs(3), "blockSize"))),
     "graft_wav_envelope" -> (exprs =>
@@ -6357,6 +6662,11 @@ object Native {
     call_function("graft_jpeg_decode_luma", jpeg)
   def flacDecodeWav(flac: Column): Column =
     call_function("graft_flac_decode_wav", flac)
+  def webmMeta(bin: Column): Column = call_function("graft_webm_meta", bin)
+  def oggMeta(bin: Column): Column = call_function("graft_ogg_meta", bin)
+  def oggPages(serial: Column, nPages: Column, nStreams: Int = 1): Column =
+    call_function("graft_ogg_pages", serial, nPages,
+      org.apache.spark.sql.functions.lit(nStreams))
   def flacEncodePcm16(samples: Column, channels: Column,
       rate: Int, blockSize: Int = 1024): Column =
     call_function("graft_flac_encode_pcm16", samples, channels,

@@ -326,6 +326,64 @@ object Multimodal {
       .otherwise(lit(null).cast(FlacMetaType))
   }
 
+  /** IEEE-754 double bit pattern of a POSITIVE integer-valued column —
+    * exact integer arithmetic (exponent from the binary-string length,
+    * mantissa by an exact power-of-two scale, products < 2⁵³), which is
+    * what lets a pure-Column fixture write an EBML float element. */
+  private def doubleBits(v: Column): Column = {
+    val e = (length(bin(v.cast("bigint"))) - 1).cast("bigint")
+    (lit(1023L) + e) * lit(4503599627370496L) +
+      (v.cast("bigint") *
+        pow(lit(2.0), lit(52.0) - e.cast("double")).cast("bigint") -
+        lit(4503599627370496L))
+  }
+
+  /** Minimal well-formed WebM — a REAL EBML layout (header with DocType
+    * "webm", Segment{Info{TimestampScale 10⁶ ns, float64 Duration},
+    * Tracks{video TrackEntry with PixelWidth/Height + CodecID, audio
+    * TrackEntry with CodecID}}), every ID and VINT size straight from
+    * the published spec; byte layout pinned against hand-computed hex in
+    * MultimodalSpec so the builder and [[webmMeta]] cannot share a
+    * compensating offset bug. `videoCodec` must be a 5-byte codec ID
+    * (V_VP8 / V_VP9), `audioCodec` a 6-byte one (A_OPUS / A_FLAC) — the
+    * fixed widths keep every field at a closed-form offset. With
+    * TimestampScale 10⁶, Duration is the duration in milliseconds.
+    * Append (undecoded) Cluster payload after it if desired. */
+  def webmHeader(width: Column, height: Column, durationMs: Column,
+      videoCodec: Column, audioCodec: Column): Column = concat(
+    lit(hexBytes("1A45DFA39F" +                    // EBML header, size 31
+      "4286810142F7810142F2810442F38108" +         // versions / max lengths
+      "4282847765626D" +                           // DocType "webm"
+      "4287810242858102")),                        // DocTypeVersion/Read 2
+    lit(hexBytes("18538067CD")),                   // Segment, size 77
+    lit(hexBytes("1549A96692" + "2AD7B1830F4240" + // Info(18): scale 1e6
+      "448988")),                                  // Duration, float64
+    beBytes(doubleBits(durationMs), 8),
+    lit(hexBytes("1654AE6BB1")),                   // Tracks, size 49
+    lit(hexBytes("AE9B" + "D78101" + "73C58101" + "838101" + "8685")),
+    videoCodec.cast("binary"),                     // video TrackEntry(27)
+    lit(hexBytes("E088B082")), beBytes(width, 2),
+    lit(hexBytes("BA82")), beBytes(height, 2),
+    lit(hexBytes("AE92" + "D78102" + "73C58102" + "838102" + "8686")),
+    audioCodec.cast("binary"))                     // audio TrackEntry(18)
+
+  /** REAL EBML/Matroska metadata census ([[graft.functions.Native
+    * .WebmMeta]]): DocType, TimestampScale, float Duration → ms,
+    * track count, first video track's dims and codec, first audio
+    * track's codec — a genuine VINT walk, frames stay undecoded. */
+  def webmMeta(bin: Column): Column = graft.functions.Native.webmMeta(bin)
+
+  /** REAL Ogg page-header census ([[graft.functions.Native.OggMeta]]):
+    * pages, BOS stream count, first serial, final granule, payload bytes
+    * — CRC-verified page walk, packets stay undecoded. */
+  def oggMeta(bin: Column): Column = graft.functions.Native.oggMeta(bin)
+
+  /** Fixture-grade Ogg page-sequence builder ([[graft.functions.Native
+    * .OggPagesEncode]]): real capture pattern, lacing, published CRC-32
+    * per page; round-robin over `nStreams` serials with BOS/EOS flags. */
+  def oggPages(serial: Column, nPages: Column, nStreams: Int = 1): Column =
+    graft.functions.Native.oggPages(serial, nPages, nStreams)
+
   /** Minimal well-formed ISO-BMFF (MP4) prefix — `ftyp` (isom) followed
     * by `moov` whose first child is a version-0 `mvhd` carrying the given
     * movie timescale and duration (rate 1.0, volume 1.0, unity matrix,

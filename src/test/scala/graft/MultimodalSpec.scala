@@ -684,6 +684,112 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  // ---- WebM (EBML) + Ogg metadata census ----
+
+  test("webmHeader writes a hand-verified EBML byte layout and webmMeta inverts it") {
+    // width 320, height 240, duration 2500 ms, V_VP8 + A_OPUS. Duration's
+    // float64 bits computed BY HAND: 2500 = 1.220703125 × 2^11 →
+    // exponent 1023+11 = 0x40A, mantissa 2500·2^(52−11) − 2^52 =
+    // 0x38A0000000000 → bytes 40A3880000000000... check: 2500 decimal =
+    // 100111000100b (12 bits, e=11); bits = (0x40A << 52) | (2500 <<
+    // 41) − 2^52. 2500<<41 = 0x4E2000000000000... recompute in the
+    // assertion instead: compare against java's own doubleToLongBits.
+    val webm = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.webmHeader(lit(320L), lit(240L), lit(2500L),
+        lit("V_VP8"), lit("A_OPUS"))).as[Array[Byte]].head()
+    val durBits = java.lang.Double.doubleToLongBits(2500.0)
+    val durHex = (0 until 8).map(i => f"${(durBits >> (8 * (7 - i))) & 0xff}%02X").mkString
+    val expect = "1A45DFA39F" +
+      "4286810142F7810142F2810442F38108" +
+      "4282847765626D" + "4287810242858102" +
+      "18538067CD" +
+      "1549A96692" + "2AD7B1830F4240" + "448988" + durHex +
+      "1654AE6BB1" +
+      "AE9B" + "D78101" + "73C58101" + "838101" + "8685" + "565F565038" + // "V_VP8"
+      "E088" + "B082" + "0140" + "BA82" + "00F0" +
+      "AE92" + "D78102" + "73C58102" + "838102" + "8686" + "415F4F505553" // "A_OPUS"
+    assert(webm.map("%02X".format(_)).mkString == expect,
+      "webmHeader byte layout drifted from the hand-computed hex")
+    // the real walker inverts every field
+    val m = Seq(Tuple1(webm)).toDF("w")
+      .select(Multimodal.webmMeta($"w").as("m"))
+      .select($"m.doc_type", $"m.timescale_ns", $"m.duration_ms", $"m.n_tracks",
+        $"m.width", $"m.height", $"m.video_codec", $"m.audio_codec")
+      .as[(String, Long, Long, Long, Long, Long, String, String)].head()
+    assert(m == (("webm", 1000000L, 2500L, 2L, 320L, 240L, "V_VP8", "A_OPUS")))
+  }
+
+  test("webmMeta walks general EBML: unknown elements skipped, unknown-size Segment, 4-byte float Duration, spec default timescale; refusals never misparse") {
+    // hand-built blob: EBML header with an UNKNOWN extra element (7F 81
+    // 00 — a void-ish 1-byte element), Segment with UNKNOWN size (01 FF
+    // FF FF FF FF FF FF), Info with NO TimestampScale (spec default 1e6)
+    // and a FLOAT32 Duration (1500.0 → 0x44BB8000), one audio-only track
+    def hx(s: String) = hexBytesT(s)
+    val blob = hx("1A45DFA3" + "8A") ++ // EBML header, content 10
+      hx("4282847765626D") ++           // DocType "webm"
+      hx("EC8100") ++                   // a Void element, skipped by size
+      hx("18538067" + "01FFFFFFFFFFFFFF") ++ // Segment, UNKNOWN size
+      hx("1549A966" + "87" + "4489" + "84" + "44BB8000") ++ // Info: float32 1500.0
+      hx("1654AE6B" + "8D") ++          // Tracks, content 13
+      hx("AE8B" + "838102" + "8686" + "415F464C4143") // audio track, A_FLAC
+    val m = Seq(Tuple1(blob)).toDF("w")
+      .select(Multimodal.webmMeta($"w").as("m"))
+      .select($"m.doc_type", $"m.timescale_ns", $"m.duration_ms", $"m.n_tracks",
+        $"m.width", $"m.video_codec", $"m.audio_codec")
+      .collect().head
+    assert(m.getString(0) == "webm" && m.getLong(1) == 1000000L &&
+      m.getLong(2) == 1500L && m.getLong(3) == 1L && m.isNullAt(4) &&
+      m.isNullAt(5) && m.getString(6) == "A_FLAC", s"got $m")
+    // refusals: junk, truncated element, a size overrunning the buffer
+    val good = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.webmHeader(lit(320L), lit(240L), lit(2500L),
+        lit("V_VP8"), lit("A_OPUS"))).as[Array[Byte]].head()
+    val overrun = good.clone(); overrun(4) = 0xFF.toByte // EBML header size → 127
+    Seq("junk bytes here!".getBytes("UTF-8"), good.take(30), overrun).foreach { b =>
+      val r = Seq(Tuple1(b)).toDF("w").select(Multimodal.webmMeta($"w")).collect().head
+      assert(r.isNullAt(0), s"must refuse, got $r")
+    }
+  }
+
+  test("oggPages writes real CRC'd pages (independent CRC check) and oggMeta inverts the census; CRC flips and truncation refuse") {
+    val ogg = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.oggPages(lit(777), lit(5), nStreams = 2))
+      .as[Array[Byte]].head()
+    // independent CRC verification of the FIRST page (own implementation)
+    val nSegs = ogg(26) & 0xff
+    val bodyLen = (0 until nSegs).map(i => ogg(27 + i) & 0xff).sum
+    val pageLen = 27 + nSegs + bodyLen
+    var crc = 0
+    (0 until pageLen).foreach { i =>
+      val by = if (i >= 22 && i < 26) 0 else ogg(i) & 0xff
+      crc ^= by << 24
+      (0 until 8).foreach(_ =>
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1)
+    }
+    val stored = (0 until 4).map(i => (ogg(22 + i) & 0xff) << (8 * i)).sum
+    assert(crc == stored, "page 0 CRC does not verify independently")
+    // header fields at the spec offsets: capture pattern, version 0, BOS
+    assert(new String(ogg.take(4), "US-ASCII") == "OggS" && ogg(4) == 0)
+    assert((ogg(5) & 0x02) != 0, "first page must carry BOS")
+    val m = Seq(Tuple1(ogg)).toDF("o")
+      .select(Multimodal.oggMeta($"o").as("m"))
+      .select($"m.n_pages", $"m.n_streams", $"m.first_serial", $"m.last_granule",
+        $"m.payload_bytes")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // payload = Σ_{i<5}(27 + i%5) = 135 + (0+1+2+3+4) = 145
+    assert(m == ((5L, 2L, 777L, 441L * 4, 145L)))
+    // CRC flip in the SECOND page refuses the whole census
+    val flip = ogg.clone(); flip(pageLen + 30) = (flip(pageLen + 30) ^ 1).toByte
+    assert(Seq(Tuple1(flip)).toDF("o").select(Multimodal.oggMeta($"o"))
+      .collect().head.isNullAt(0))
+    // truncation mid-page refuses
+    assert(Seq(Tuple1(ogg.dropRight(3))).toDF("o").select(Multimodal.oggMeta($"o"))
+      .collect().head.isNullAt(0))
+    // junk refuses
+    assert(Seq(Tuple1("OggX junk".getBytes("UTF-8"))).toDF("o")
+      .select(Multimodal.oggMeta($"o")).collect().head.isNullAt(0))
+  }
+
   // ---- FLAC frame decode ----
 
   private def encFlac(pcm: Array[Short], ch: Int, rate: Int,
