@@ -1335,12 +1335,21 @@ object SparkEntry {
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true).as("tiff_be"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-            packBits = true).as("tiff_pb"))
+            packBits = true).as("tiff_pb"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            lzw = true, predictor = true).as("tiff_lzw"),
+          Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            deflate = true).as("tiff_zip"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
           // PackBits (real §9 row packing) through the decompressor
           hex(Multimodal.tiffDecodeLuma(col("tiff_pb"))).as("px_hex_pb"),
+          // §13 MSB-first LZW UNDER the §14 horizontal-differencing
+          // predictor (real code stream, real integrator), and zlib
+          // Deflate — all three decompressors inside the oracled query
+          hex(Multimodal.tiffDecodeLuma(col("tiff_lzw"))).as("px_hex_lzw"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff_zip"))).as("px_hex_zip"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -2632,6 +2641,10 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex_be,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_pb,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_lzw,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_zip,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||

@@ -4114,12 +4114,14 @@ object Native {
     *                              structural header completes
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (gray+alpha/16-bit PNG — palette and
-    *                              Adam7 decode, progressive JPEG,
-    *                              float/8-bit WAV, lossy WebP, non-MJPEG
-    *                              MP4, RLE/low-depth BMP, LZW/tiled TIFF
-    *                              — PackBits decodes), or a RECOGNIZED
+    *                              Adam7 decode, arithmetic/lossless JPEG
+    *                              — progressive decodes, float/8-bit
+    *                              WAV, lossy WebP, non-MJPEG MP4,
+    *                              RLE/low-depth BMP, CCITT/tiled TIFF —
+    *                              PackBits/LZW/Deflate decode), or a
+    *                              RECOGNIZED
     *                              magic with no decoder in this pipeline
-    *                              (MP3, Ogg, Matroska/WebM, FLAC) — real
+    *                              (MP3, Ogg, Matroska/WebM) — real
     *                              media a crawl carries in volume, kept
     *                              out of `bad_magic` so the per-reason
     *                              counts match what a corpus owner sees
@@ -4267,10 +4269,10 @@ object Native {
       // limitation, so they classify `unsupported_profile` like
       // progressive JPEG or lossy VP8. ----
       else if (Tiff.hasMagic(b))
-        // baseline TIFF decodes for real (uncompressed + PackBits 8-bit
-        // gray/RGB, strips, both byte orders — [[Tiff]]); LZW/CCITT/
-        // Deflate/JPEG-in-TIFF/tiled/palette profiles stay
-        // recognized-but-unsupported
+        // baseline TIFF decodes for real (uncompressed + PackBits + LZW
+        // + Deflate 8-bit gray/RGB, optional Predictor 2, strips, both
+        // byte orders — [[Tiff]]); CCITT/JPEG-in-TIFF/tiled/palette
+        // profiles stay recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
           case Tiff.Truncated => s("truncated")
@@ -5428,11 +5430,17 @@ object Native {
     * 4-byte rule), strip-based storage (`RowsPerStrip`/`StripOffsets`/
     * `StripByteCounts`, any strip count), chunky 8-bit grayscale
     * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB,
-    * uncompressed (1) or PackBits (32773 — the spec's own byte-RLE,
-    * §9). Out of contract (→ `unsupported_profile`): any other
-    * Compression (LZW, CCITT, JPEG-in-TIFF, Deflate), tiled layout,
-    * palette-color, planar configuration 2, non-8 bit depths, extra
-    * samples. */
+    * uncompressed (1), PackBits (32773 — the spec's own byte-RLE, §9),
+    * LZW (5 — the §13 MSB-first variant with the spec's EARLY
+    * code-width change, Clear=256/EOI=257) and Deflate (8, plus the
+    * legacy 32946 tag) via the JDK's zlib, each optionally under the
+    * §14 horizontal-differencing Predictor (tag 317 value 2, applied
+    * per sample channel after decompression). Out of contract (→
+    * `unsupported_profile`): any other Compression (CCITT,
+    * JPEG-in-TIFF), tiled layout, palette-color, planar configuration
+    * 2, non-8 bit depths, extra samples, and Predictor 2 on an
+    * UNCOMPRESSED file (the spec scopes differencing to the
+    * compression schemes it helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -5501,7 +5509,12 @@ object Native {
           entries.contains(324) || entries.contains(325))
           return (Unsupported, 0, 0, null) // tiled layout
         val compression = scalar(259, 1)
-        if (compression != 1 && compression != 32773) return (Unsupported, 0, 0, null)
+        if (compression != 1 && compression != 5 && compression != 8 &&
+          compression != 32773 && compression != 32946) return (Unsupported, 0, 0, null)
+        val predictor = scalar(317, 1)
+        if (predictor != 1 && predictor != 2) return (Unsupported, 0, 0, null)
+        // differencing only rides the compression schemes it exists for
+        if (predictor == 2 && compression == 1) return (Unsupported, 0, 0, null)
         val photometric = scalar(262, -1)
         if (photometric < 0 || photometric > 2) return (Unsupported, 0, 0, null)
         if (scalar(284, 1) != 1) return (Unsupported, 0, 0, null) // planar
@@ -5557,9 +5570,33 @@ object Native {
               } // -128 is the documented no-op
             }
             if (op < need) return bad // control stream ran dry
+          } else if (compression == 5) {
+            if (offs(s) + cnts(s) > n) return trunc
+            strip = lzwMsb(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, need.toInt)
+            if (strip == null) return bad
+          } else if (compression == 8 || compression == 32946) {
+            if (offs(s) + cnts(s) > n) return trunc
+            strip = inflateTo(b, offs(s).toInt, cnts(s).toInt, need.toInt)
+            if (strip == null) return bad
           } else {
             if (cnts(s) < need) return bad // strip shorter than its rows
             if (offs(s) + need > n) return trunc
+          }
+          if (predictor == 2) {
+            // §14 horizontal differencing: each byte is stored as the
+            // delta from the previous pixel's SAME sample channel;
+            // integrate per row (strips restart rows, rows restart at 0)
+            var pr = 0
+            val nRows = (r1 - r0)
+            while (pr < nRows) {
+              val base = (rowBytes * pr).toInt
+              var x = samples.toInt
+              while (x < rowBytes) {
+                strip(base + x) = (strip(base + x) + strip(base + x - samples.toInt)).toByte
+                x += 1
+              }
+              pr += 1
+            }
           }
           var r = r0
           while (r < r1) {
@@ -5591,6 +5628,89 @@ object Native {
       }
     }
 
+    /** TIFF §13 LZW over `d[from, to)` → exactly nOut bytes, or null.
+      * The TIFF variant differs from GIF's ([[Gif]]) in every packing
+      * detail — codes are MSB-first, the literal alphabet is fixed at
+      * 8 bits (Clear=256, EOI=257, table entries from 258, width starts
+      * at 9), and the code width grows ONE CODE EARLY (when the next
+      * free entry reaches 2^width − 1, the spec's famous off-by-one that
+      * keeps it interoperable with the original Aldus writer) — so it is
+      * a sibling implementation, not a parameterization. Decoding stops
+      * when the raster is full; EOI before that (or a malformed chain)
+      * is a real decode failure. */
+    private def lzwMsb(d: Array[Byte], from: Int, to: Int, nOut: Int): Array[Byte] = {
+      val clear = 256; val eoi = 257
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val first = new Array[Byte](4096)
+      var i = 0
+      while (i < clear) { suffix(i) = i.toByte; first(i) = i.toByte; i += 1 }
+      var next = eoi + 1
+      var width = 9
+      var bitPos = from.toLong * 8
+      val nBits = to.toLong * 8
+      val out = new Array[Byte](nOut)
+      var outPos = 0
+      val stack = new Array[Byte](4097)
+      var prev = -1
+      while (outPos < nOut) {
+        if (bitPos + width > nBits) return null
+        var code = 0; var k = 0
+        while (k < width) {
+          val bp = bitPos + k
+          code = (code << 1) | ((d((bp >> 3).toInt) >> (7 - (bp & 7L).toInt)) & 1)
+          k += 1
+        }
+        bitPos += width
+        if (code == clear) { next = eoi + 1; width = 9; prev = -1 }
+        else if (code == eoi) return null // EOI before the strip completed
+        else if (prev == -1) {
+          if (code >= clear) return null // first code after clear must be a literal
+          out(outPos) = suffix(code); outPos += 1
+          prev = code
+        } else {
+          if (code > next || code == eoi || (code == next && next >= 4096)) return null
+          var sp = 0
+          var cur = code
+          if (code == next) { stack(sp) = first(prev); sp += 1; cur = prev } // KwKwK
+          while (cur > eoi) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+          if (cur >= clear) return null // chain must bottom out at a literal
+          stack(sp) = suffix(cur); sp += 1
+          val fc = suffix(cur) // first char of string(code), both branches
+          if (outPos + sp > nOut) return null // entry overruns the raster
+          while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = fc; first(next) = first(prev)
+            next += 1
+            // EARLY change: grow when the next free slot hits 2^width−1
+            if (next == (1 << width) - 1 && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+
+    /** zlib-inflate `b[off, off+len)` to exactly nOut bytes (TIFF
+      * Compression 8 / legacy 32946 store a full zlib stream per
+      * strip), or null when the stream is malformed or the wrong
+      * length. */
+    private def inflateTo(b: Array[Byte], off: Int, len: Int, nOut: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(b, off, len)
+        val out = new Array[Byte](nOut)
+        var got = 0
+        while (got < nOut && !inf.finished()) {
+          val k = inf.inflate(out, got, nOut - got)
+          if (k == 0 && inf.needsInput()) return null // stream ran dry
+          got += k
+        }
+        if (got < nOut) null else out
+      } catch { case _: java.util.zip.DataFormatException => null }
+      finally inf.end()
+    }
+
     def status(b: Array[Byte]): Int = firstFrame(b)._1
 
     def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
@@ -5602,7 +5722,8 @@ object Native {
   /** tiff_decode_luma(BINARY) → BINARY: REAL baseline TIFF pixel decode
     * to the exact-integer luma plane — [[PngLumaDecode]]'s TIFF sibling
     * ([[Tiff]]): both byte orders, the IFD walk, strips, 8-bit gray
-    * (either polarity) and RGB. Null off contract. */
+    * (either polarity) and RGB, uncompressed/PackBits/LZW/Deflate with
+    * optional Predictor 2. Null off contract. */
   case class TiffLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -5615,18 +5736,26 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** tiff_encode_gray8(BINARY pixels, width; bigEndian) → BINARY: a
-    * REAL, complete single-strip baseline TIFF (header at 0, one IFD at
-    * 8, pixel data right after) from row-major gray-8 bytes — the
-    * fixture builder for [[TiffLumaDecode]], in EITHER byte order so the
-    * II and MM walks both sit inside oracled decodes, and optionally
-    * PackBits-compressed (real §9 row-wise packing with repeat AND
-    * literal packets) so the decompressor does too. BlackIsZero, so
-    * decode∘encode is the identity. Fixture builder; production writes
-    * TIFF with a codec. */
+  /** tiff_encode_gray8(BINARY pixels, width; bigEndian, compression,
+    * predictor) → BINARY: a REAL, complete single-strip baseline TIFF
+    * (header at 0, one IFD at 8, pixel data right after) from row-major
+    * gray-8 bytes — the fixture builder for [[TiffLumaDecode]], in
+    * EITHER byte order so the II and MM walks both sit inside oracled
+    * decodes, and under any supported Compression tag — 1 (none),
+    * 32773 (real §9 row-wise PackBits with repeat AND literal packets),
+    * 5 (real §13 MSB-first LZW with the early code-width change and
+    * table reset at 4094) or 8 (zlib Deflate) — optionally behind the
+    * §14 horizontal-differencing Predictor, so every decompressor and
+    * the differencing integrator sit inside oracled decodes too.
+    * BlackIsZero, so decode∘encode is the identity. Fixture builder;
+    * production writes TIFF with a codec. */
   case class TiffGray8Encode(left: Expression, right: Expression,
-      bigEndian: Boolean, packBits: Boolean)
+      bigEndian: Boolean, compression: Int, predictor: Boolean)
       extends BinaryExpression with NativeBinaryCodegen {
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773, s"compression in {1,5,8,32773}, got $compression")
+    require(!predictor || compression != 1,
+      "predictor 2 only rides a compression scheme (the decoder's contract)")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -5652,6 +5781,58 @@ object Native {
         }
       }
     }
+    /** §13 LZW, MSB-first, with the early width change mirrored from
+      * the decoder and a table reset (ClearCode) at 4094 entries —
+      * the spec's writer-side convention. */
+    private def lzwCompress(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length + 16)
+      var acc = 0L; var nb = 0; var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code; nb += width
+        while (nb >= 8) { out.write(((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
+      }
+      val table = new java.util.HashMap[Integer, Integer](8192)
+      var next = 258
+      put(256) // every LZW strip opens with a ClearCode
+      var prev = -1
+      var i = 0
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        if (prev < 0) prev = c
+        else {
+          val key = Integer.valueOf((prev << 8) | c)
+          val hit = table.get(key)
+          if (hit != null) prev = hit.intValue
+          else {
+            put(prev)
+            table.put(key, Integer.valueOf(next))
+            next += 1
+            // the writer's table runs ONE entry ahead of the reader's
+            // (the reader learns an entry's content only with the next
+            // code), so the width flips at 2^w here ⟺ 2^w−1 there —
+            // the same early change, seen from the other side
+            if (next == (1 << width) && width < 12) width += 1
+            if (next >= 4094) { put(256); table.clear(); next = 258; width = 9 }
+            prev = c
+          }
+        }
+        i += 1
+      }
+      if (prev >= 0) put(prev)
+      put(257) // EOI
+      if (nb > 0) out.write(((acc << (8 - nb)) & 0xff).toInt) // zero-pad
+      out.toByteArray
+    }
+    private def deflateCompress(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(data); d.finish()
+        val buf = new Array[Byte](data.length + 64)
+        val out = new java.io.ByteArrayOutputStream()
+        while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+        out.toByteArray
+      } finally d.end()
+    }
     private def encode(px: Any, width: Any): Any = {
       val pixels = px.asInstanceOf[Array[Byte]]
       val w = width match {
@@ -5663,14 +5844,32 @@ object Native {
       if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
       val h = pixels.length / w
       if (h > 65535) return null // SHORT-typed dims in this fixture layout
-      val data: Array[Byte] =
-        if (!packBits) pixels
-        else {
-          val packed = new java.io.ByteArrayOutputStream(pixels.length + h)
+      val raw: Array[Byte] =
+        if (!predictor) pixels
+        else { // §14: store each byte as the delta from its left neighbor
+          val dlt = new Array[Byte](pixels.length)
           var r = 0
-          while (r < h) { packRow(pixels, r * w, w, packed); r += 1 }
-          packed.toByteArray
+          while (r < h) {
+            dlt(r * w) = pixels(r * w)
+            var x = 1
+            while (x < w) {
+              dlt(r * w + x) = (pixels(r * w + x) - pixels(r * w + x - 1)).toByte
+              x += 1
+            }
+            r += 1
+          }
+          dlt
         }
+      val data: Array[Byte] = compression match {
+        case 32773 =>
+          val packed = new java.io.ByteArrayOutputStream(raw.length + h)
+          var r = 0
+          while (r < h) { packRow(raw, r * w, w, packed); r += 1 }
+          packed.toByteArray
+        case 5 => lzwCompress(raw)
+        case 8 => deflateCompress(raw)
+        case _ => raw
+      }
       val out = new java.io.ByteArrayOutputStream(122 + data.length)
       def w16(v: Int): Unit =
         if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -5683,20 +5882,22 @@ object Native {
       def short1(v: Int): Unit = { w16(v); w16(0) }
       out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
       w16(42); w32(8)
-      val dataOff = 8 + 2 + 9 * 12 + 4 // one IFD, nine entries
-      w16(9)
+      val nEntries = if (predictor) 10 else 9 // Predictor appends in tag order
+      val dataOff = 8 + 2 + nEntries * 12 + 4
+      w16(nEntries)
       def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
         w16(tag); w16(typ); w32(cnt); value
       }
       entry(256, 3, 1)(short1(w)) // ImageWidth
       entry(257, 3, 1)(short1(h)) // ImageLength
       entry(258, 3, 1)(short1(8)) // BitsPerSample
-      entry(259, 3, 1)(short1(if (packBits) 32773 else 1)) // Compression
+      entry(259, 3, 1)(short1(compression)) // Compression
       entry(262, 3, 1)(short1(1)) // Photometric: BlackIsZero
       entry(273, 4, 1)(w32(dataOff)) // StripOffsets
       entry(277, 3, 1)(short1(1)) // SamplesPerPixel
       entry(278, 3, 1)(short1(h)) // RowsPerStrip: one strip
       entry(279, 4, 1)(w32(data.length)) // StripByteCounts
+      if (predictor) entry(317, 3, 1)(short1(2)) // horizontal differencing
       w32(0) // no next IFD
       out.write(data)
       out.toByteArray
@@ -6489,7 +6690,8 @@ object Native {
       boolLit(exprs(2), "topDown"))),
     "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "bigEndian"), boolLit(exprs(3), "packBits"))),
+      boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "compression"),
+      boolLit(exprs(4), "predictor"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -6638,10 +6840,12 @@ object Native {
   def tiffDecodeLuma(tiff: Column): Column =
     call_function("graft_tiff_decode_luma", tiff)
   def tiffEncodeGray8(pixels: Column, width: Column,
-      bigEndian: Boolean = false, packBits: Boolean = false): Column =
+      bigEndian: Boolean = false, compression: Int = 1,
+      predictor: Boolean = false): Column =
     call_function("graft_tiff_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(bigEndian),
-      org.apache.spark.sql.functions.lit(packBits))
+      org.apache.spark.sql.functions.lit(compression),
+      org.apache.spark.sql.functions.lit(predictor))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

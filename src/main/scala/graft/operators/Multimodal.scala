@@ -852,18 +852,26 @@ object Multimodal {
   /** REAL baseline TIFF pixel decode to the exact-integer luma plane
     * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders, the
     * IFD walk, strip storage, 8-bit gray (either polarity) and RGB,
-    * uncompressed or PackBits. Null on LZW/CCITT/tiled/palette profiles
-    * or damage. */
+    * uncompressed, PackBits, LZW (§13 MSB-first, early width change) or
+    * Deflate, each optionally under the §14 horizontal-differencing
+    * Predictor. Null on CCITT/JPEG-in-TIFF/tiled/palette profiles or
+    * damage. */
   def tiffDecodeLuma(tiff: Column): Column =
     graft.functions.Native.tiffDecodeLuma(tiff)
 
   /** Fixture-grade single-strip baseline TIFF encode ([[graft.functions
     * .Native.TiffGray8Encode]]): row-major gray-8 bytes → a complete
-    * BlackIsZero TIFF in either byte order (decode∘encode = identity).
-    * Fixture builder for the TIFF tier's oracles. */
+    * BlackIsZero TIFF in either byte order (decode∘encode = identity),
+    * PackBits-, LZW- or Deflate-compressed, optionally differenced
+    * (Predictor 2). Fixture builder for the TIFF tier's oracles. */
   def tiffEncodeGray8(pixels: Column, width: Column, bigEndian: Boolean = false,
-      packBits: Boolean = false): Column =
-    graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian, packBits)
+      packBits: Boolean = false, lzw: Boolean = false, deflate: Boolean = false,
+      predictor: Boolean = false): Column = {
+    require(Seq(packBits, lzw, deflate).count(identity) <= 1,
+      "at most one of packBits/lzw/deflate")
+    val compression = if (packBits) 32773 else if (lzw) 5 else if (deflate) 8 else 1
+    graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian, compression, predictor)
+  }
 
   /** [[imageNearDupPng]] on TIFF payloads: [[tiffDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */

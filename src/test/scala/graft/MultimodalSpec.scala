@@ -650,6 +650,133 @@ class MultimodalSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 0, 0)) == "corrupt") // counts intact, stream zeroed short
   }
 
+  test("TIFF LZW + Deflate round-trip: decode(encode) is the identity across byte orders and Predictor 2") {
+    val px = Array.tabulate(9 * 8)(i =>
+      (if ((i / 5) % 2 == 0) 0x40 else i & 0xff).toByte)
+    for (be <- Seq(false, true); lzw <- Seq(false, true); pred <- Seq(false, true)) {
+      val tiff = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(9), bigEndian = be,
+          lzw = lzw, deflate = !lzw, predictor = pred)).as[Array[Byte]].head()
+      val got = Seq(Tuple1(tiff)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(got, px),
+        s"round-trip failed at bigEndian=$be lzw=$lzw predictor=$pred")
+    }
+    // a 64×64 varied raster drives the LZW table past the 511 and 1023
+    // width boundaries AND the 4094-entry ClearCode reset — if encoder
+    // and decoder disagreed on the EARLY width change, every code after
+    // entry 510 would misalign and the round-trip would collapse
+    val big = Array.tabulate(64 * 64)(i => ((i * 131 + 7) % 251).toByte)
+    val tiffBig = Seq(Tuple1(big)).toDF("px")
+      .select(Multimodal.tiffEncodeGray8($"px", lit(64), lzw = true))
+      .as[Array[Byte]].head()
+    val gotBig = Seq(Tuple1(tiffBig)).toDF("b")
+      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(gotBig, big))
+  }
+
+  test("TIFF LZW hand vector: MSB-first 9-bit codes incl. KwKwK decode to the planted strip") {
+    // strip [1,2,2,2,3] compresses to codes 256(Clear),1,2,259,3,257(EOI)
+    // — 259 is emitted BEFORE the decoder has table entry 259 (the KwKwK
+    // case) — hand-packed MSB-first at 9 bits:
+    //   100000000 000000001 000000010 100000011 000000011 100000001 + 00
+    //   = 80 00 40 50 30 1C 04
+    val lzw5 = hexBytesT("49492A00080000000900" +
+      "000103000100000005000000" + "010103000100000001000000" +
+      "020103000100000008000000" + "030103000100000005000000" +
+      "060103000100000001000000" + "11010400010000007A000000" +
+      "150103000100000001000000" + "160103000100000001000000" +
+      "170104000100000007000000" + "00000000" + "80004050301C04")
+    val got = Seq(Tuple1(lzw5)).toDF("b")
+      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(got.toSeq == Seq[Byte](1, 2, 2, 2, 3))
+    // an all-ones code stream (first code 511 — not a literal, no table
+    // entry after Clear-state) → corrupt
+    val broken = lzw5.clone()
+    java.util.Arrays.fill(broken, 122, 129, 0xFF.toByte)
+    val r = Seq(Tuple1(broken)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
+    assert(r == "corrupt")
+  }
+
+  test("TIFF Predictor 2 hand vector: hand-differenced rows integrate back; predictor on uncompressed is out of contract") {
+    // 3×2 pixels [10,20,15 / 7,7,250] stored as per-row deltas
+    // [10,10,-5 / 7,0,243] (hand-computed), zlib-deflated by the JDK —
+    // the differencing semantics are pinned by the hand array, only the
+    // entropy layer rides java.util.zip
+    val diffed = Array[Byte](10, 10, -5, 7, 0, 243.toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(diffed); d.finish()
+    val buf = new Array[Byte](64)
+    val zn = d.deflate(buf); d.end()
+    val z = buf.take(zn)
+    // 10-entry IFD (Predictor tag 317 appended in tag order), strip at
+    // 8+2+120+4 = 134 = 0x86, Compression 8 (zlib)
+    val hdr = hexBytesT("49492A00080000000A00" +
+      "000103000100000003000000" + "010103000100000002000000" +
+      "020103000100000008000000" + "030103000100000008000000" +
+      "060103000100000001000000" + "110104000100000086000000" +
+      "150103000100000001000000" + "160103000100000002000000" +
+      "1701040001000000" + f"${zn}%02X000000" +
+      "3D0103000100000002000000" + "00000000")
+    val tiff = hdr ++ z
+    val got = Seq(Tuple1(tiff)).toDF("b")
+      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(got.toSeq == Seq[Byte](10, 20, 15, 7, 7, 250.toByte))
+    // the same file with Compression patched to 1 (uncompressed +
+    // predictor — outside the decoder's contract) → unsupported_profile
+    val unc = tiff.clone()
+    unc(54) = 1 // entry 3 (tag 259) value field at 10 + 3·12 + 8
+    val r = Seq(Tuple1(unc)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
+    assert(r == "unsupported_profile")
+    // CCITT (Compression 2) stays recognized-but-unsupported
+    val ccitt = tiff.clone()
+    ccitt(54) = 2
+    val r2 = Seq(Tuple1(ccitt)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
+    assert(r2 == "unsupported_profile")
+  }
+
+  test("TIFF LZW/Deflate cross-decoder: ImageIO reads this encoder's streams and this decoder reads ImageIO's") {
+    import javax.imageio.ImageIO
+    val px = Array.tabulate(64 * 64)(i => ((i * 131 + 7) % 251).toByte)
+    // this encoder → ImageIO (pins that the emitted LZW/Deflate streams
+    // are spec-valid to a third-party reader, not just self-consistent)
+    for ((lzw, defl) <- Seq((true, false), (false, true))) {
+      val tiff = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeGray8($"px", lit(64), lzw = lzw,
+          deflate = defl, predictor = lzw)).as[Array[Byte]].head()
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+      assert(img != null, s"ImageIO rejected lzw=$lzw deflate=$defl")
+      val got = new Array[Byte](64 * 64)
+      img.getRaster.getDataElements(0, 0, 64, 64, got)
+      assert(java.util.Arrays.equals(got, px),
+        s"ImageIO misread the encoder's stream at lzw=$lzw deflate=$defl")
+    }
+    // ImageIO's writer → this decoder (pins the decoder — including the
+    // EARLY width change past entry 510 — against an independent encoder)
+    for (ctype <- Seq("LZW", "ZLib", "Deflate")) {
+      val w = ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(ctype)
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, 64, 64, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      val got = Seq(Tuple1(bos.toByteArray)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+      assert(got != null, s"decoder rejected ImageIO's $ctype stream")
+      assert(java.util.Arrays.equals(got, px),
+        s"decoder misread ImageIO's $ctype stream")
+    }
+  }
+
   test("flacHeader writes the spec's STREAMINFO byte layout (hand-computed hex) and flacMeta inverts it") {
     // 44100 Hz stereo 16-bit, 1e6 samples — every packed field computed
     // by hand from the published layout: rate 0x0AC44 → 0A C4 4·,
