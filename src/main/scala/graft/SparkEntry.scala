@@ -1514,7 +1514,15 @@ object SparkEntry {
           substring(png, 27, 1 << 20)))
         .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
           substring(png, 21, 1 << 20)))
-        .when(cls === 5, Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)))
+        // A-law (tag 6, patched at its spec offset): 8-bit/float PCM now
+        // DECODE, so the unsupported-profile plant must be a coding that
+        // is genuinely out of contract
+        .when(cls === 5, concat(
+          substring(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)),
+            1, 20),
+          unhex(lit("0600")),
+          substring(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)),
+            23, 22)))
         .when(cls === 6, clip("jpeg"))
         // cut inside mdat: ftyp (20 bytes) survives, moov (written last)
         // is gone — a structural failure the walker must call corrupt
@@ -1839,6 +1847,78 @@ object SparkEntry {
         .transform(Caches.persisted)
       val copies = base.select((col("id") + 100000L).as("id"), col("flac"))
       Multimodal.audioNearDupFlac(base.union(copies), maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+    // extended-profile WAV decode, hash-oracled: ONE planted PCM16 clip
+    // → six REAL wire profiles (8/24/32-bit integer PCM, IEEE float32,
+    // EXTENSIBLE-wrapped PCM16, a chunk-reordered layout with an
+    // odd-sized junk chunk) → wavCanonical. Every output is a closed
+    // form of the plant (pcm8 keeps the top byte, the rest are exact),
+    // so the chunk walk, the GUID dispatch, the float scaling and the
+    // even-boundary pad rule all sit inside the oracled query.
+    // blob_hdr_f32 pins the float fixture's spec layout (fmt 18 + fact
+    // chunk) straight off the blob, so builder and walker cannot share
+    // a compensating offset bug.
+    "multimodal_decode_wav_profiles" -> ((s, d) => {
+      def v(i: Int) = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-wp${i / 8}")).cast("binary")), 1 + 4 * (i % 8), 4), 16, 10)
+        .cast("int"), lit(32768))
+      def leHex(vv: org.apache.spark.sql.Column) = concat(
+        lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
+      val pcm = unhex(concat((0 until 72).map(i => leHex(v(i))): _*))
+      def prof(p: String) = Multimodal.wavProfileEncode(pcm, lit(1), 16000, p)
+      Tables.documents(s, d)
+        .select(col("doc_id"), prof("pcm8").as("w8"), prof("pcm24").as("w24"),
+          prof("pcm32").as("w32"), prof("float32").as("wf"),
+          prof("extensible").as("wx"), prof("fmt18").as("w18"))
+        .select(col("doc_id"),
+          upper(hex(Multimodal.wavCanonical(col("w8")))).as("wav_hex_pcm8"),
+          upper(hex(Multimodal.wavCanonical(col("w24")))).as("wav_hex_pcm24"),
+          upper(hex(Multimodal.wavCanonical(col("w32")))).as("wav_hex_pcm32"),
+          upper(hex(Multimodal.wavCanonical(col("wf")))).as("wav_hex_f32"),
+          upper(hex(Multimodal.wavCanonical(col("wx")))).as("wav_hex_ext"),
+          upper(hex(Multimodal.wavCanonical(col("w18")))).as("wav_hex_fmt18"),
+          upper(hex(substring(col("wf"), 1, 58))).as("blob_hdr_f32"))
+    }),
+    // IMA/DVI ADPCM decode, oracled by an INDEPENDENT SQL decoder:
+    // planted nibble bytes (md5 closed form — the data is the PLANT,
+    // not an encoder output) wrapped by the fixture muxer into a real
+    // two-block tag-0x11 WAV (per-block predictor/index headers, fact
+    // chunk), decoded by the native step-table walk — and the oracle
+    // recomputes every sample with a recursive CTE over the published
+    // 89-step/8-delta IMA tables in DuckDB. Decoder and oracle share
+    // nothing but the spec — the strongest pin a lossy coding admits.
+    "multimodal_decode_adpcm" -> ((s, d) => {
+      val nib = unhex(concat((0 until 48).map(j =>
+        substring(md5(concat(col("doc_id").cast("string"), lit(s"-an$j"))
+          .cast("binary")), 1, 2)): _*))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.imaAdpcmWav(nib, (col("doc_id") % 89).cast("int"),
+            rate = 8000, blockAlign = 28).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(Multimodal.wavCanonical(col("wav")))).as("wav_hex"))
+    }),
+    // audio near-dup ACROSS wire profiles: the same planted PCM as IEEE
+    // float32 (base) and 24-bit integer (copies) — both normalize to
+    // the identical canonical PCM16, so every doc pairs with its
+    // cross-profile twin at hamming 0 (the WAV≡FLAC lossless argument,
+    // extended across WAV's own profile zoo)
+    "dedup_audio_wavx" -> ((s, d) => {
+      def v(i: Int) = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-ax${i / 8}")).cast("binary")), 1 + 4 * (i % 8), 4), 16, 10)
+        .cast("int"), lit(32768))
+      def leHex(vv: org.apache.spark.sql.Column) = concat(
+        lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
+        lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
+      val pcm = unhex(concat((0 until 72).map(i => leHex(v(i))): _*))
+      val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+        Multimodal.wavProfileEncode(pcm, lit(1), 16000, "float32").as("wav"))
+      val copies = Tables.documents(s, d).select(
+        (col("doc_id") + 100000L).as("id"),
+        Multimodal.wavProfileEncode(pcm, lit(1), 16000, "pcm24").as("wav"))
+      Multimodal.audioNearDup(base.union(copies), maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
     "dedup_audio" -> ((s, d) => {
@@ -2935,6 +3015,87 @@ object SparkEntry {
     // lossless decode hands the envelope the same PCM, so copies pair at
     // hamming 0
     "dedup_audio_flac" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // every profile's canonicalization is the closed-form restatement
+    // of the planted samples behind the constant canonical header
+    // (ch 1, 16 kHz, 144 data bytes); pcm8 keeps only the top byte
+    // ((u8−128)·256); the float header slice is the constant spec
+    // layout (fmt 18 + fact + data at 58)
+    "multimodal_decode_wav_profiles" ->
+      """WITH v AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-wp' || CAST(i // 8 AS VARCHAR)), 1 + 4 * (i % 8), 4))::INT % 32768
+              for i in range(0, 72)] AS vv
+           FROM documents),
+         h AS (SELECT doc_id,
+             upper(array_to_string([lpad(to_hex(vv[i+1] % 256), 2, '0') ||
+               lpad(to_hex(vv[i+1] // 256), 2, '0') for i in range(0, 72)], '')) AS ident,
+             upper(array_to_string(['00' ||
+               lpad(to_hex(vv[i+1] // 256), 2, '0') for i in range(0, 72)], '')) AS p8
+           FROM v)
+         SELECT doc_id,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || p8 AS wav_hex_pcm8,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_pcm24,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_pcm32,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_f32,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_ext,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_fmt18,
+           '524946465201000057415645666D74201200000003000100803E000000FA0000040020000000' ||
+             '6661637404000000480000006461746120010000' AS blob_hdr_f32
+         FROM h""",
+    // the independent SQL IMA decoder: nibbles from the md5 plant (low
+    // nibble first), per-block state (pred 0, index (doc_id+b) mod 89)
+    // advanced through the published step/index tables with the same
+    // clamps, samples two's-complemented into little-endian hex behind
+    // the constant canonical header (ch 1, 8 kHz, 196 data bytes)
+    "multimodal_decode_adpcm" ->
+      """WITH RECURSIVE
+         stept AS (SELECT i AS idx,
+             ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[i+1] AS s
+           FROM generate_series(0, 88) t(i)),
+         nib AS (SELECT doc_id, b, k,
+             CASE WHEN k % 2 = 0
+               THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-an' || CAST(b * 24 + k // 2 AS VARCHAR)), 1, 2))::INT % 16
+               ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-an' || CAST(b * 24 + k // 2 AS VARCHAR)), 1, 2))::INT // 16
+             END AS nv
+           FROM documents, generate_series(0, 1) bb(b), generate_series(0, 47) kk(k)),
+         dec AS (
+           SELECT doc_id, b, -1 AS k, 0 AS pred,
+             CAST((doc_id % 89 + b) % 89 AS INT) AS idx
+           FROM documents, generate_series(0, 1) bb(b)
+           UNION ALL
+           SELECT d.doc_id, d.b, d.k + 1,
+             GREATEST(-32768, LEAST(32767, d.pred +
+               CASE WHEN nb.nv >= 8 THEN -1 ELSE 1 END *
+                 (st.s // 8
+                  + CASE WHEN (nb.nv // 4) % 2 = 1 THEN st.s ELSE 0 END
+                  + CASE WHEN (nb.nv // 2) % 2 = 1 THEN st.s // 2 ELSE 0 END
+                  + CASE WHEN nb.nv % 2 = 1 THEN st.s // 4 ELSE 0 END))) AS pred,
+             GREATEST(0, LEAST(88,
+               d.idx + ([-1,-1,-1,-1,2,4,6,8])[(nb.nv % 8) + 1])) AS idx
+           FROM dec d
+           JOIN nib nb ON nb.doc_id = d.doc_id AND nb.b = d.b AND nb.k = d.k + 1
+           JOIN stept st ON st.idx = d.idx
+           WHERE d.k < 47),
+         hexed AS (SELECT doc_id,
+             string_agg(
+               lpad(to_hex((pred + 65536) % 65536 % 256), 2, '0') ||
+               lpad(to_hex((pred + 65536) % 65536 // 256), 2, '0'),
+               '' ORDER BY b, k) AS datahex
+           FROM dec GROUP BY doc_id)
+         SELECT doc_id,
+           '52494646E800000057415645666D74201000000001000100401F0000803E000002001000' ||
+             '64617461C4000000' || upper(datahex) AS wav_hex
+         FROM hexed""",
+    // one cross-profile pair per doc: float32 and pcm24 canonicalize to
+    // the same PCM, so the envelopes hash identically
+    "dedup_audio_wavx" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // the audio edition of the aligned-layout codec oracle: PCM has no

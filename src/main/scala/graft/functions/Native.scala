@@ -3546,6 +3546,255 @@ object Native {
     (dataBytes / 2).toInt // bounded by the payload length just checked
   }
 
+  /** Extended-profile WAV decode — the REAL RIFF chunk walk the
+    * canonical fast path ([[wavPcm16SampleCount]]) deliberately skips,
+    * normalizing every in-contract profile to the canonical 16-bit-PCM
+    * layout so the whole audio tier (stats, envelope, near-dup)
+    * composes unchanged — the FLAC-decode stance applied to WAV's own
+    * profile zoo. In contract: chunks in any order with unknown chunks
+    * (LIST/cue/bext/…) skipped by size and odd sizes padded per the
+    * spec, fmt sizes 16/18/40, WAVE_FORMAT_EXTENSIBLE (0xFFFE — the
+    * effective coding read from the SubFormat GUID's leading bytes),
+    * integer PCM at 8 (unsigned → (v−128)·256), 16 (verbatim), 24 and
+    * 32 bits (truncated to the top 16 — exact, not dithered, so the
+    * oracle can restate it), IEEE float32 (v = rint(f·32768) clamped to
+    * int16, NaN → 0), and IMA/DVI ADPCM (tag 0x11: per-block per-channel
+    * 4-byte headers — predictor emitted as the block's first sample, the
+    * spec's +1 — then 4-bit nibbles low-first through the published
+    * 89-step/8-delta tables, stereo interleaved in 4-byte words, a fact
+    * chunk trimming the padded final block). Out of contract (→
+    * [[Unsupported]]): every other tag (A-law, µ-law, MS-ADPCM,
+    * MP3-in-WAV, float64), other depths, >2 channels. [[Truncated]] =
+    * any chunk size past the buffer; [[Bomb]] = more than 2²⁶ samples
+    * per channel; structural damage → [[Corrupt]]. */
+  private[graft] object Wav {
+    val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+    val MaxSamples: Int = 1 << 26
+
+    /** The published IMA/DVI step table (89 entries) and index deltas. */
+    private val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+      13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** (status, canonical 16-bit-PCM WAV); the wav is non-null only at
+      * [[Ok]]. */
+    def canonical(b: Array[Byte]): (Int, Array[Byte]) = {
+      val bad = (Corrupt, null: Array[Byte])
+      val trunc = (Truncated, null: Array[Byte])
+      val unsup = (Unsupported, null: Array[Byte])
+      try {
+        val n = b.length
+        if (n < 12) return trunc
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+        if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return bad
+        var p = 12
+        var fmtOff = -1; var fmtLen = 0
+        var dataOff = -1; var dataLen = 0L
+        var factSamples = -1L
+        var chunks = 0
+        while (p + 8 <= n && (fmtOff < 0 || dataOff < 0)) {
+          chunks += 1
+          if (chunks > 4096) return bad // headers are cheap; walks must be too
+          val sz = u32(p + 4)
+          if (p + 8 + sz > n) return trunc // a chunk cut off mid-payload
+          if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+            fmtOff = p + 8; fmtLen = sz.toInt
+          } else if (b(p) == 'f' && b(p + 1) == 'a' && b(p + 2) == 'c' &&
+            b(p + 3) == 't' && sz >= 4) {
+            factSamples = u32(p + 8)
+          } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+            b(p + 3) == 'a') {
+            dataOff = p + 8; dataLen = sz
+          } // anything else (LIST/cue/bext/…) is skipped by size
+          p += 8 + sz.toInt + (sz & 1L).toInt // chunks pad to even
+        }
+        if (fmtOff < 0 || dataOff < 0)
+          return if (n < 44) trunc else bad // ran out of chunks
+        if (fmtLen < 16) return bad
+        var tag = u16(fmtOff)
+        val ch = u16(fmtOff + 2)
+        val rate = u32(fmtOff + 4)
+        val blockAlign = u16(fmtOff + 12)
+        val bits = u16(fmtOff + 14)
+        if (tag == 0xFFFE) {
+          // EXTENSIBLE: the coding is the SubFormat GUID's first 2 bytes
+          if (fmtLen < 40) return bad
+          tag = u16(fmtOff + 24)
+        }
+        if (rate <= 0 || rate > (1L << 20)) return bad
+        if (ch < 1 || ch > 2) return unsup // the audio tier's stereo cap
+        val d0 = dataOff
+        val samples: Array[Short] = tag match {
+          case 1 | 3 => // integer PCM / IEEE float
+            val bytesPer =
+              if (tag == 3) { if (bits != 32) return unsup; 4 }
+              else {
+                if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return unsup
+                bits / 8
+              }
+            if (blockAlign != ch * bytesPer) return bad
+            if (dataLen % bytesPer != 0) return bad
+            val nS = (dataLen / bytesPer).toInt
+            if (nS / ch > MaxSamples) return (Bomb, null)
+            val out = new Array[Short](nS)
+            var i = 0
+            if (tag == 3) {
+              while (i < nS) {
+                val o = d0 + 4 * i
+                val f = java.lang.Float.intBitsToFloat((b(o) & 0xff) |
+                  ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+                  ((b(o + 3) & 0xff) << 24))
+                out(i) =
+                  if (f != f) 0 // NaN
+                  else {
+                    val r = Math.rint(f.toDouble * 32768.0)
+                    if (r > 32767.0) 32767
+                    else if (r < -32768.0) -32768
+                    else r.toInt.toShort
+                  }
+                i += 1
+              }
+            } else bytesPer match {
+              case 1 =>
+                while (i < nS) { out(i) = (((b(d0 + i) & 0xff) - 128) << 8).toShort; i += 1 }
+              case 2 =>
+                while (i < nS) {
+                  val o = d0 + 2 * i
+                  out(i) = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort
+                  i += 1
+                }
+              case 3 =>
+                while (i < nS) {
+                  val o = d0 + 3 * i
+                  out(i) = ((b(o + 1) & 0xff) | (b(o + 2) << 8)).toShort
+                  i += 1
+                }
+              case _ =>
+                while (i < nS) {
+                  val o = d0 + 4 * i
+                  out(i) = ((b(o + 2) & 0xff) | (b(o + 3) << 8)).toShort
+                  i += 1
+                }
+            }
+            out
+          case 0x11 => // IMA/DVI ADPCM
+            if (bits != 4) return unsup
+            val headBytes = 4 * ch
+            val dpb = blockAlign - headBytes // data bytes per block
+            if (dpb <= 0 || (ch == 2 && dpb % 8 != 0)) return bad
+            if (dataLen % blockAlign != 0) return bad
+            val nBlocks = (dataLen / blockAlign).toInt
+            val spb = dpb * 2 / ch + 1 // header sample + 2 per data byte
+            val perCh = nBlocks.toLong * spb
+            if (perCh > MaxSamples) return (Bomb, null)
+            // a fact chunk trims the padded final block (spec shape)
+            val keep =
+              if (factSamples >= 0 && factSamples <= perCh &&
+                factSamples > perCh - spb) factSamples.toInt
+              else perCh.toInt
+            val out = new Array[Short](keep * ch)
+            val pred = new Array[Int](ch)
+            val idx = new Array[Int](ch)
+            var blk = 0
+            while (blk < nBlocks) {
+              val base = d0 + blk * blockAlign
+              var c = 0
+              while (c < ch) {
+                val h = base + 4 * c
+                pred(c) = ((b(h) & 0xff) | (b(h + 1) << 8)).toShort.toInt
+                idx(c) = b(h + 2) & 0xff
+                if (idx(c) > 88) return bad
+                val s0 = blk.toLong * spb // the header IS sample 0
+                if (s0 < keep) out((s0 * ch + c).toInt) = pred(c).toShort
+                c += 1
+              }
+              // nibbles in 4-byte words, channels alternating (mono:
+              // one contiguous run), LOW nibble first within each byte
+              val words = dpb / (4 * ch)
+              var g = 0
+              while (g < words) {
+                c = 0
+                while (c < ch) {
+                  val wOff = base + headBytes + (g * ch + c) * 4
+                  var k = 0
+                  while (k < 8) {
+                    val byteV = b(wOff + (k >> 1)) & 0xff
+                    val nib = if ((k & 1) == 0) byteV & 0xf else byteV >> 4
+                    val step = StepTable(idx(c))
+                    var delta = step >> 3
+                    if ((nib & 4) != 0) delta += step
+                    if ((nib & 2) != 0) delta += step >> 1
+                    if ((nib & 1) != 0) delta += step >> 2
+                    var v = if ((nib & 8) != 0) pred(c) - delta else pred(c) + delta
+                    if (v > 32767) v = 32767 else if (v < -32768) v = -32768
+                    pred(c) = v
+                    var ni = idx(c) + IndexTable(nib & 7)
+                    if (ni < 0) ni = 0 else if (ni > 88) ni = 88
+                    idx(c) = ni
+                    val s = blk.toLong * spb + 1 + g * 8 + k
+                    if (s < keep) out((s * ch + c).toInt) = v.toShort
+                    k += 1
+                  }
+                  c += 1
+                }
+                g += 1
+              }
+              blk += 1
+            }
+            out
+          case _ => return unsup // A-law/µ-law/MS-ADPCM/MP3-in-WAV/…
+        }
+        // canonical 44-byte layout: the contract every tier consumer
+        // ([[wavPcm16SampleCount]]) already holds
+        val dataBytes = samples.length * 2
+        val out = new Array[Byte](44 + dataBytes)
+        def put(o: Int, s: String): Unit = {
+          var i = 0
+          while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+        }
+        def w16(o: Int, v: Int): Unit = {
+          out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        }
+        def w32(o: Int, v: Long): Unit = { w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt) }
+        put(0, "RIFF"); w32(4, 36L + dataBytes)
+        put(8, "WAVEfmt "); w32(16, 16L)
+        w16(20, 1); w16(22, ch); w32(24, rate)
+        w32(28, rate * ch * 2); w16(32, ch * 2); w16(34, 16)
+        put(36, "data"); w32(40, dataBytes.toLong)
+        var i = 0
+        while (i < samples.length) {
+          out(44 + 2 * i) = (samples(i) & 0xff).toByte
+          out(45 + 2 * i) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        (Ok, out)
+      } catch {
+        case _: ArrayIndexOutOfBoundsException => trunc
+        case NonFatal(_) => bad
+      }
+    }
+
+    def status(b: Array[Byte]): Int = canonical(b)._1
+
+    def canonicalBytes(b: Array[Byte]): Array[Byte] = {
+      val (st, w) = canonical(b)
+      if (st == Ok) w else null
+    }
+  }
+
+  /** The canonical fast path, else the full profile walk ([[Wav]]) —
+    * every PCM16 consumer in the tier upgrades through this one seam. */
+  private def wavCanonicalOrSelf(b: Array[Byte]): Array[Byte] =
+    if (wavPcm16SampleCount(b) >= 0) b else Wav.canonicalBytes(b)
+
   /** webm_meta(BINARY) → STRUCT: REAL EBML/Matroska metadata census — the
     * FLAC/GIF census pattern applied to the WebM container: a genuine
     * EBML walk (variable-length IDs and VINT sizes straight from the
@@ -4031,7 +4280,10 @@ object Native {
       StructField("n_silent", LongType, nullable = false)))
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
-      val b = input.asInstanceOf[Array[Byte]]
+      // canonical payloads take the zero-copy fast path; extended
+      // profiles (8/24/32-bit, float, ADPCM, chunked) normalize first
+      val b = wavCanonicalOrSelf(input.asInstanceOf[Array[Byte]])
+      if (b == null) return null
       val n = wavPcm16SampleCount(b)
       if (n < 0) return null
       var peak = 0L; var sumAbs = 0L; var sumSq = 0L
@@ -4055,8 +4307,9 @@ object Native {
   }
 
   /** wav_envelope(BINARY; nBuckets) → BINARY: the audio fingerprint
-    * front-end — decode the canonical 16-bit-PCM sample stream (same
-    * contract as [[WavPcm16Stats]]) and reduce it to an nBuckets-byte
+    * front-end — decode the 16-bit-PCM sample stream (canonical fast
+    * path, with extended profiles normalized through [[Wav]] first —
+    * same contract as [[WavPcm16Stats]]) and reduce it to an nBuckets-byte
     * ENERGY ENVELOPE: bucket b covers the sample range
     * [b·n/N, (b+1)·n/N) and carries mean(|s|) >> 7 (full scale 32768 →
     * 256, capped at 255) — a length-normalized, amplitude-coarse loudness
@@ -4081,7 +4334,9 @@ object Native {
   /** The ONE envelope computation behind [[WavEnvelope]] and the plain-JVM
     * codec entry point ([[wavEnvelopeBytes]]); null off contract or when
     * the clip is shorter than nBuckets samples. */
-  private def wavEnvelopeCore(b: Array[Byte], nBuckets: Int): Array[Byte] = {
+  private def wavEnvelopeCore(b0: Array[Byte], nBuckets: Int): Array[Byte] = {
+    val b = wavCanonicalOrSelf(b0) // extended profiles normalize first
+    if (b == null) return null
     val n = wavPcm16SampleCount(b)
     if (n < nBuckets) return null // off contract, or too short to bucket
     val out = new Array[Byte](nBuckets)
@@ -4101,6 +4356,182 @@ object Native {
       k += 1
     }
     out
+  }
+
+  /** wav_canonical(BINARY) → BINARY: normalize ANY in-contract WAV
+    * profile ([[Wav]]: 8/16/24/32-bit PCM, IEEE float32, IMA ADPCM,
+    * WAVE_FORMAT_EXTENSIBLE, chunk-reordered layouts) to the canonical
+    * 16-bit-PCM WAV the audio tier consumes — [[FlacDecodeWav]]'s WAV
+    * sibling. Already-canonical payloads pass through untouched (no
+    * copy). Null, never an error, off contract. */
+  case class WavCanonical(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try wavCanonicalOrSelf(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** wav_profile_encode(BINARY pcm16, channels; rate, profile) →
+    * BINARY: a REAL WAV of the named extended profile carrying the
+    * given canonical interleaved-PCM16 samples — [[Wav]]'s fixture
+    * builder, constructed so the canonicalized output is a CLOSED FORM
+    * of the input (the oracle restates it without running a decoder):
+    *   - `pcm8`:   u8 = (s>>8)+128 → canonical sample (s & 0xFF00)
+    *   - `pcm24`/`pcm32`: s shifted into the top 16 bits → identity
+    *   - `float32`: f = s/32768 (exact in IEEE) → identity; fmt size 18
+    *     + a fact chunk, the spec's non-PCM shape
+    *   - `extensible`: PCM16 behind the 0xFFFE tag + KSDATAFORMAT PCM
+    *     GUID → identity through the GUID dispatch
+    *   - `fmt18`: plain PCM16 with an 18-byte fmt AND an odd-sized junk
+    *     chunk (pad rule) before data → identity through the chunk walk
+    * Fixture builder; production writes WAV with a codec. */
+  case class WavProfileEncode(left: Expression, right: Expression,
+      rate: Int, profile: String)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
+    require(Seq("pcm8", "pcm24", "pcm32", "float32", "extensible", "fmt18")
+      .contains(profile), s"unknown profile $profile")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(data: Any, chAny: Any): Any =
+      try encode(data, chAny) catch { case NonFatal(_) => null }
+    private def encode(data: Any, chAny: Any): Any = {
+      val pcm = data.asInstanceOf[Array[Byte]]
+      val ch = chAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (ch < 1 || ch > 2) return null
+      if (pcm.length == 0 || pcm.length % (2 * ch) != 0) return null
+      val nS = pcm.length / 2
+      def sample(i: Int): Int = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      val out = new java.io.ByteArrayOutputStream(pcm.length * 2 + 80)
+      def put(s: String): Unit = { var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 } }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      val (tag, bits, fmtLen) = profile match {
+        case "pcm8" => (1, 8, 16)
+        case "pcm24" => (1, 24, 16)
+        case "pcm32" => (1, 32, 16)
+        case "float32" => (3, 32, 18)
+        case "extensible" => (0xFFFE, 16, 40)
+        case _ => (1, 16, 18) // fmt18
+      }
+      val bytesPer = bits / 8
+      val dataBytes = nS * bytesPer
+      val factLen = if (profile == "float32") 12 else 0 // spec: fact for non-PCM
+      val junkLen = if (profile == "fmt18") 8 + 5 + 1 else 0 // odd size pads
+      val riffLen = 4 + 8 + fmtLen + factLen + junkLen + 8 + dataBytes
+      put("RIFF"); w32(riffLen.toLong); put("WAVEfmt ")
+      w32(fmtLen.toLong)
+      w16(tag); w16(ch); w32(rate.toLong)
+      w32(rate.toLong * ch * bytesPer); w16(ch * bytesPer); w16(bits)
+      if (fmtLen == 18) w16(0) // cbSize
+      if (fmtLen == 40) {
+        w16(22); w16(16); w32(0L) // cbSize, valid bits, channel mask
+        // KSDATAFORMAT_SUBTYPE_PCM 00000001-0000-0010-8000-00aa00389b71
+        out.write(Array[Byte](1, 0, 0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0,
+          0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71), 0, 16)
+      }
+      if (factLen > 0) { put("fact"); w32(4L); w32((nS / ch).toLong) }
+      if (junkLen > 0) { // an odd-sized unknown chunk the walk must pad
+        put("LIST"); w32(5L)
+        out.write(Array[Byte]('I', 'N', 'F', 'O', 7), 0, 5)
+        out.write(0) // the spec's even-boundary pad byte
+      }
+      put("data"); w32(dataBytes.toLong)
+      var i = 0
+      profile match {
+        case "pcm8" =>
+          while (i < nS) { out.write(((sample(i) >> 8) + 128) & 0xff); i += 1 }
+        case "pcm24" =>
+          while (i < nS) {
+            val s = sample(i)
+            out.write(0); out.write(s & 0xff); out.write((s >> 8) & 0xff)
+            i += 1
+          }
+        case "pcm32" =>
+          while (i < nS) {
+            val s = sample(i)
+            out.write(0); out.write(0); out.write(s & 0xff); out.write((s >> 8) & 0xff)
+            i += 1
+          }
+        case "float32" =>
+          while (i < nS) {
+            val f = java.lang.Float.floatToIntBits(sample(i) / 32768.0f)
+            out.write(f & 0xff); out.write((f >> 8) & 0xff)
+            out.write((f >> 16) & 0xff); out.write((f >> 24) & 0xff)
+            i += 1
+          }
+        case _ => out.write(pcm, 0, pcm.length) // extensible / fmt18
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ima_adpcm_wav(BINARY nibbleData, initIndex; rate, blockAlign) →
+    * BINARY: a REAL mono IMA-ADPCM WAV (tag 0x11, 4-byte block headers
+    * with predictor 0 and step index (initIndex + blockNo) mod 89, a
+    * fact chunk with the exact sample count) wrapping the given nibble
+    * bytes as block payloads — [[Wav]]'s ADPCM fixture builder. The
+    * nibble DATA is the planted value (not an encoder output), so an
+    * independent SQL implementation of the published step tables can
+    * restate the decoded samples — the strongest oracle the lossy codec
+    * admits. nibbleData length must divide evenly into blocks of
+    * (blockAlign − 4) bytes. */
+  case class ImaAdpcmWavEncode(left: Expression, right: Expression,
+      rate: Int, blockAlign: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
+    require(blockAlign > 4 && blockAlign <= 4096,
+      s"blockAlign in (4, 4096], got $blockAlign")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(data: Any, idxAny: Any): Any =
+      try encode(data, idxAny) catch { case NonFatal(_) => null }
+    private def encode(data: Any, idxAny: Any): Any = {
+      val nib = data.asInstanceOf[Array[Byte]]
+      val initIdx = idxAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (initIdx < 0) return null
+      val dpb = blockAlign - 4
+      if (nib.length == 0 || nib.length % dpb != 0) return null
+      val nBlocks = nib.length / dpb
+      val spb = dpb * 2 + 1
+      val dataBytes = nBlocks * blockAlign
+      val out = new java.io.ByteArrayOutputStream(dataBytes + 72)
+      def put(s: String): Unit = { var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 } }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      put("RIFF"); w32(4L + 8 + 20 + 12 + 8 + dataBytes); put("WAVEfmt ")
+      w32(20L) // fmt size 18 + 2 extra (samplesPerBlock), the spec shape
+      w16(0x11); w16(1); w32(rate.toLong)
+      w32(rate.toLong * blockAlign / spb); w16(blockAlign); w16(4)
+      w16(2); w16(spb) // cbSize 2, wSamplesPerBlock
+      put("fact"); w32(4L); w32(nBlocks.toLong * spb)
+      put("data"); w32(dataBytes.toLong)
+      var blk = 0
+      while (blk < nBlocks) {
+        w16(0) // predictor
+        out.write((initIdx + blk) % 89); out.write(0) // index, reserved
+        out.write(nib, blk * dpb, dpb)
+        blk += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
 
   /** decode_drop_reason(BINARY) → STRING: the crawl-scale observability
@@ -4213,12 +4644,17 @@ object Native {
         val form = new String(b, 8, 4, "US-ASCII")
         form match {
           case "WAVE" =>
-            if (n < 44) return s("truncated")
-            def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-            if (b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ')
-              return s("corrupt")
-            if (u16(20) != 1 || u16(34) != 16) return s("unsupported_profile")
-            if (wavPcm16SampleCount(b) < 0) s("corrupt") else null
+            // the full profile walk ([[Wav]] — the same path the audio
+            // tier consumes): 8/16/24/32-bit PCM, float32, IMA ADPCM and
+            // EXTENSIBLE all decode; A-law/µ-law/MS-ADPCM/MP3-in-WAV
+            // stay recognized-but-unsupported
+            Wav.status(b) match {
+              case Wav.Ok => null
+              case Wav.Truncated => s("truncated")
+              case Wav.Bomb => s("bomb_guard")
+              case Wav.Unsupported => s("unsupported_profile")
+              case _ => s("corrupt")
+            }
           case "AVI " =>
             // structural walk AND a first-frame luma decode — the same
             // bar realCodec and the near-dup tier hold a clip to (frames
@@ -6711,6 +7147,11 @@ object Native {
       intLit(exprs(2), "nStreams"))),
     "graft_flac_encode_pcm16" -> (exprs => FlacPcm16Encode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), intLit(exprs(3), "blockSize"))),
+    "graft_wav_canonical" -> (exprs => WavCanonical(exprs(0))),
+    "graft_wav_profile_encode" -> (exprs => WavProfileEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "rate"), strLit(exprs(3), "profile"))),
+    "graft_ima_adpcm_wav" -> (exprs => ImaAdpcmWavEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "rate"), intLit(exprs(3), "blockAlign"))),
     "graft_wav_envelope" -> (exprs =>
       WavEnvelope(exprs(0), intLit(exprs(1), "nBuckets"))),
     "graft_avi_mjpeg_encode" -> (exprs => AviMjpegEncode(exprs(0),
@@ -6876,6 +7317,18 @@ object Native {
     call_function("graft_flac_encode_pcm16", samples, channels,
       org.apache.spark.sql.functions.lit(rate),
       org.apache.spark.sql.functions.lit(blockSize))
+  def wavCanonical(wav: Column): Column =
+    call_function("graft_wav_canonical", wav)
+  def wavProfileEncode(pcm16: Column, channels: Column,
+      rate: Int, profile: String): Column =
+    call_function("graft_wav_profile_encode", pcm16, channels,
+      org.apache.spark.sql.functions.lit(rate),
+      org.apache.spark.sql.functions.lit(profile))
+  def imaAdpcmWav(nibbleData: Column, initIndex: Column,
+      rate: Int, blockAlign: Int): Column =
+    call_function("graft_ima_adpcm_wav", nibbleData, initIndex,
+      org.apache.spark.sql.functions.lit(rate),
+      org.apache.spark.sql.functions.lit(blockAlign))
   def wavPcm16Stats(wav: Column, silenceThreshold: Int): Column =
     call_function("graft_wav_pcm16_stats", wav,
       org.apache.spark.sql.functions.lit(silenceThreshold))

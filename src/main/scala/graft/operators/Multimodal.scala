@@ -1140,6 +1140,32 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
+  /** Normalize ANY in-contract WAV profile to the canonical 16-bit-PCM
+    * layout ([[graft.functions.Native.WavCanonical]]): 8/24/32-bit
+    * integer PCM, IEEE float32, IMA ADPCM, WAVE_FORMAT_EXTENSIBLE and
+    * chunk-reordered files all land on the exact contract [[wavMeta]],
+    * [[wavPcm16Stats]] and [[wavEnvelope]] consume (those three already
+    * canonicalize internally — this surfaces the normalized bytes
+    * themselves). Null off contract. */
+  def wavCanonical(wav: Column): Column =
+    graft.functions.Native.wavCanonical(wav)
+
+  /** Fixture-grade extended-profile WAV encode ([[graft.functions
+    * .Native.WavProfileEncode]]): canonical PCM16 → a real pcm8 / pcm24
+    * / pcm32 / float32 / extensible / fmt18 WAV whose canonicalized
+    * output is a closed form of the input. */
+  def wavProfileEncode(pcm16: Column, channels: Column, rate: Int,
+      profile: String): Column =
+    graft.functions.Native.wavProfileEncode(pcm16, channels, rate, profile)
+
+  /** Fixture-grade mono IMA-ADPCM WAV builder ([[graft.functions.Native
+    * .ImaAdpcmWavEncode]]) wrapping PLANTED nibble bytes — decoded by
+    * the real step-table walk, restatable by an independent SQL
+    * implementation. */
+  def imaAdpcmWav(nibbleData: Column, initIndex: Column, rate: Int,
+      blockAlign: Int): Column =
+    graft.functions.Native.imaAdpcmWav(nibbleData, initIndex, rate, blockAlign)
+
   /** REAL FLAC frame decode to a canonical PCM16 WAV ([[graft.functions
     * .Native.FlacDecodeWav]]): metadata walk, CRC-checked frame headers,
     * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals with escapes

@@ -468,17 +468,17 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.modality($"b")).collect().head
     assert(rleRow.getString(0) == "unsupported_profile" && rleRow.getString(1) == "image/bmp")
     assert(Multimodal.realCodec(rleBmp).isEmpty)
-    // TIFF likewise decodes for real now; an LZW-compressed one (the
-    // Compression entry patched 1 → 5 at its spec offset) is the
-    // out-of-contract profile under image/tiff
-    val lzwTiff = Seq(Tuple1(Array.tabulate(9 * 8)(_.toByte))).toDF("px")
+    // TIFF likewise decodes for real now — since the LZW/Deflate tier
+    // landed, the out-of-contract pin is CCITT (the Compression entry
+    // patched 1 → 2 at its spec offset) under image/tiff
+    val ccittTiff = Seq(Tuple1(Array.tabulate(9 * 8)(_.toByte))).toDF("px")
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
-    lzwTiff(54) = 5
-    val lzwRow = Seq(Tuple1(lzwTiff)).toDF("b")
+    ccittTiff(54) = 2
+    val ccittRow = Seq(Tuple1(ccittTiff)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b"),
         Multimodal.modality($"b")).collect().head
-    assert(lzwRow.getString(0) == "unsupported_profile" && lzwRow.getString(1) == "image/tiff")
-    assert(Multimodal.realCodec(lzwTiff).isEmpty)
+    assert(ccittRow.getString(0) == "unsupported_profile" && ccittRow.getString(1) == "image/tiff")
+    assert(Multimodal.realCodec(ccittTiff).isEmpty)
     // plain junk still lands in bad_magic — recognition must not leak
     val junkRow = Seq(Tuple1("garbage payload bytes".getBytes("UTF-8"))).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).collect().head
@@ -1152,6 +1152,125 @@ class MultimodalSpec extends AnyFunSuite {
     val pairs = Multimodal.audioNearDupFlac(rows)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0)))
+  }
+
+  test("wavCanonical normalizes every builder profile to the identical canonical PCM16 bytes") {
+    val pcm = Array.tabulate(100)(i => ((i * 331 - 16000) % 32768).toShort)
+    val pcmBytes = new Array[Byte](200)
+    pcm.indices.foreach { i =>
+      pcmBytes(2 * i) = (pcm(i) & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+    }
+    val canon = wavOf(pcm, 1, 16000)
+    // pcm24/pcm32/float32/extensible/fmt18 are exact; pcm8 quantizes to
+    // the top byte
+    for (p <- Seq("pcm24", "pcm32", "float32", "extensible", "fmt18")) {
+      val blob = Seq(Tuple1(pcmBytes)).toDF("b")
+        .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, p))
+        .as[Array[Byte]].head()
+      val got = Seq(Tuple1(blob)).toDF("b")
+        .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(got, canon), s"profile $p")
+      // and the stats/envelope tier consumes the profile directly (the
+      // internal canonicalization seam)
+      val st = Seq(Tuple1(blob)).toDF("b")
+        .select(Multimodal.wavPcm16Stats($"b").getField("n_samples"))
+        .as[Long].head()
+      assert(st == 100L, s"stats through $p")
+    }
+    val p8 = Seq(Tuple1(pcmBytes)).toDF("b")
+      .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, "pcm8"))
+      .as[Array[Byte]].head()
+    val got8 = Seq(Tuple1(p8)).toDF("b")
+      .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    val want8 = wavOf(pcm.map(s => ((s >> 8) << 8).toShort), 1, 16000)
+    assert(java.util.Arrays.equals(got8, want8))
+    // already-canonical payloads pass through byte-identical
+    val self = Seq(Tuple1(canon)).toDF("b")
+      .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(self, canon))
+  }
+
+  test("float32 WAV hand vectors: clamp, NaN, and half-even rounding at the int16 boundary") {
+    // builder output for 6 samples, then the 6 float words at the spec
+    // data offset (58) patched to hand-chosen IEEE bit patterns
+    val blob = Seq(Tuple1(new Array[Byte](12))).toDF("b")
+      .select(Multimodal.wavProfileEncode($"b", lit(1), 8000, "float32"))
+      .as[Array[Byte]].head()
+    val words = Array(
+      0x40000000, // +2.0  → clamps to 32767
+      0xC0000000, // −2.0  → clamps to −32768
+      0x7FC00000, // NaN   → 0
+      0x3E800000, // 0.25  → 8192 exactly
+      0x37800000, // 2⁻¹⁶  → ·32768 = 0.5 → rint half-even → 0
+      0x38400000) // 3·2⁻¹⁶ → 1.5 → rint half-even → 2
+    words.indices.foreach { i =>
+      val o = 58 + 4 * i
+      blob(o) = (words(i) & 0xff).toByte
+      blob(o + 1) = ((words(i) >> 8) & 0xff).toByte
+      blob(o + 2) = ((words(i) >> 16) & 0xff).toByte
+      blob(o + 3) = ((words(i) >>> 24) & 0xff).toByte
+    }
+    val got = Seq(Tuple1(blob)).toDF("b")
+      .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    val samples = (0 until 6).map(i =>
+      ((got(44 + 2 * i) & 0xff) | (got(45 + 2 * i) << 8)).toShort)
+    assert(samples == Seq[Short](32767, -32768, 0, 8192, 0, 2))
+  }
+
+  test("stereo IMA ADPCM hand vector: per-channel headers, 4-byte word interleave, isolated state") {
+    // one block, blockAlign 16: ch0 header (pred 100, idx 0), ch1 header
+    // (pred −50, idx 88), then one all-zero-nibble word per channel.
+    // Nibble 0 adds step>>3 and steps the index down by 1, so ch0 stays
+    // flat (step 7 >> 3 = 0) while ch1 climbs by the hand-computed
+    // deltas 4095, 3724, 3385, 3077, 2798, 2543, 2312, 2102.
+    val hdr = hexBytesT("52494646" + "34000000" + "57415645666D7420" + "10000000" +
+      "1100" + "0200" + "401F0000" + "803E0000" + "1000" + "0400" +
+      "64617461" + "10000000" +
+      "64000000" + "CEFF5800" + "00000000" + "00000000")
+    val got = Seq(Tuple1(hdr)).toDF("b")
+      .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    assert(got != null, "stereo ADPCM did not decode")
+    val n = (0 until 18).map(i =>
+      ((got(44 + 2 * i) & 0xff) | (got(45 + 2 * i) << 8)).toShort.toInt)
+    val ch1 = Seq(-50, 4045, 7769, 11154, 14231, 17029, 19572, 21884, 23986)
+    val expect = (0 until 9).flatMap(k => Seq(100, ch1(k)))
+    assert(n == expect)
+  }
+
+  test("WAV profile refusals and classifier honesty: A-law, MS-ADPCM, float64, 3 channels, cut chunks") {
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val pcmBytes = Array.tabulate(200)(i => (i * 7).toByte)
+    def blob(p: String): Array[Byte] = Seq(Tuple1(pcmBytes)).toDF("b")
+      .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, p))
+      .as[Array[Byte]].head()
+    // decodable profiles classify null — the tier's graduation
+    for (p <- Seq("pcm8", "pcm24", "float32", "extensible", "fmt18"))
+      assert(reason(blob(p)) == null, s"profile $p should decode")
+    // format-tag surgery at the spec offsets → honest refusals
+    val alaw = blob("fmt18"); alaw(20) = 6 // A-law
+    assert(reason(alaw) == "unsupported_profile")
+    val ms = blob("fmt18"); ms(20) = 2 // MS-ADPCM
+    assert(reason(ms) == "unsupported_profile")
+    val f64 = blob("float32"); f64(34) = 64 // bits 32 → 64
+    assert(reason(f64) == "unsupported_profile")
+    val tri = blob("fmt18"); tri(22) = 3 // 3 channels
+    assert(reason(tri) == "unsupported_profile")
+    // the EXTENSIBLE GUID dispatch: a non-PCM SubFormat refuses
+    val guid = blob("extensible"); guid(44) = 6 // GUID tag byte → A-law
+    assert(reason(guid) == "unsupported_profile")
+    // a data chunk whose size runs past the payload → truncated
+    assert(reason(blob("fmt18").dropRight(10)) == "truncated")
+    // a clean chunk walk that ends without fmt/data → corrupt; an
+    // unknown chunk whose size overruns the payload → truncated
+    assert(reason(hexBytesT("5249464640000000" + "57415645" +
+      "4A554E4B" + "34000000" + "00" * 52)) == "corrupt")
+    assert(reason(hexBytesT("5249464640000000" + "57415645" +
+      "4A554E4B" + "FF000000" + "00" * 20)) == "truncated")
   }
 
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
@@ -2746,12 +2865,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(clipped == 1 && silent == 1)
   }
 
-  test("wavPcm16Stats nulls off contract: float WAV, 8-bit, odd/overrunning data, non-WAV") {
+  test("wavPcm16Stats nulls inconsistent geometry: tag/bits flipped without blockAlign, odd/overrunning data, non-WAV") {
+    // NOTE: valid float32 / 8-bit PCM profiles now DECODE (the [[Wav]]
+    // canonicalization seam) — these patched fixtures refuse because the
+    // surgery leaves the geometry inconsistent, not because of the tag
     val good = wavOf(Array[Short](100, -100, 200), 1, 8000)
     assert(pcmStats(good).isDefined)
-    val floatWav = good.clone(); floatWav(20) = 3 // fmt tag: IEEE float
+    val floatWav = good.clone(); floatWav(20) = 3 // float tag but 16 bits
     assert(pcmStats(floatWav).isEmpty)
-    val bits8 = good.clone(); bits8(34) = 8
+    val bits8 = good.clone(); bits8(34) = 8 // 8 bits but blockAlign 2
     assert(pcmStats(bits8).isEmpty)
     val odd = good.clone(); odd(40) = 5 // declared data size odd
     assert(pcmStats(odd).isEmpty)
