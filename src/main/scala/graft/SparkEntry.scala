@@ -1416,6 +1416,61 @@ object SparkEntry {
           col("m.last_granule").as("last_granule"),
           col("m.payload_bytes").as("payload_bytes"))
     }),
+    // Ogg CODEC identification, hash-oracled: four REAL stream shapes
+    // (Vorbis mono/stereo, Opus with and without pre-skip), each a
+    // genuine CRC'd page sequence whose BOS page carries the published
+    // identification-packet layout — codec, channels, rate and the
+    // granule-derived duration are the planted arithmetic restated
+    // (Vorbis granules at the stream rate; Opus at 48 kHz minus
+    // pre-skip). Packets stay undecoded (the census stance).
+    "multimodal_ogg_codec" -> ((s, d) => {
+      val cls = col("doc_id") % 4
+      val serial = (col("doc_id") % 100000 + 1000).cast("int")
+      val np = (col("doc_id") % 7 + 4).cast("int")
+      val ogg = when(cls === 0, Multimodal.oggAudio(serial, np, "vorbis", 1, 8000))
+        .when(cls === 1, Multimodal.oggAudio(serial, np, "vorbis", 2, 44100))
+        .when(cls === 2, Multimodal.oggAudio(serial, np, "opus", 2, 48000,
+          preskip = 312))
+        .otherwise(Multimodal.oggAudio(serial, np, "opus", 1, 24000))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.oggIdent(ogg).as("m"))
+        .select(col("doc_id"),
+          col("m.codec").as("codec"),
+          col("m.n_channels").as("n_channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.duration_ms").as("duration_ms"))
+    }),
+    // MPEG-audio (MP3) frame census, hash-oracled: four REAL stream
+    // shapes (mono/stereo × Xing/none at four bitrate-rate pairs), each
+    // with a genuine ID3v2.3 syncsafe envelope whose size crosses the
+    // 7-bit boundary for some docs, spec frame headers walked by the
+    // published length formula, and a trailing ID3v1 block — every
+    // output field is the planted geometry restated. Frames stay
+    // undecoded (the FLAC-census stance, MPEG edition).
+    "multimodal_mp3_meta" -> ((s, d) => {
+      val cls = col("doc_id") % 4
+      val nf = (col("doc_id") % 10 + 2).cast("int")
+      val id3 = unhex(repeat(md5(concat(col("doc_id").cast("string"),
+        lit("-id3")).cast("binary")), 40))
+        .substr(lit(1), (lit(100) + col("doc_id") % 64).cast("int"))
+      def mk(bIdx: Int, rIdx: Int, mono: Boolean, xing: Boolean) =
+        Multimodal.mp3Frames(id3, nf, bIdx, rIdx, mono, xing)
+      val blob = when(cls === 0, mk(9, 0, mono = true, xing = true))
+        .when(cls === 1, mk(5, 1, mono = false, xing = false))
+        .when(cls === 2, mk(14, 2, mono = false, xing = true))
+        .otherwise(mk(1, 0, mono = true, xing = false))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.mp3Meta(blob).as("m"))
+        .select(col("doc_id"),
+          col("m.version").as("version"),
+          col("m.layer").cast("bigint").as("layer"),
+          col("m.bitrate_kbps").cast("bigint").as("bitrate_kbps"),
+          col("m.sample_rate").cast("bigint").as("sample_rate"),
+          col("m.n_channels").cast("bigint").as("n_channels"),
+          col("m.n_frames").cast("bigint").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.xing_frames").as("xing_frames"))
+    }),
     "multimodal_flac_meta" -> ((s, d) => {
       val flac = concat(
         Multimodal.flacHeader(
@@ -2764,6 +2819,37 @@ object SparkEntry {
            CAST(serial AS BIGINT) AS first_serial,
            CAST(441 * (np - 1) AS BIGINT) AS last_granule,
            CAST(27 * np + 10 * (np // 5) + (np % 5) * ((np % 5) - 1) // 2 AS BIGINT) AS payload_bytes
+         FROM p""",
+    // every field is the planted variant table restated; the duration
+    // is the granule arithmetic (441·(np−1)) at the variant's clock
+    "multimodal_ogg_codec" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS cls, doc_id % 7 + 4 AS np
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN cls IN (0, 1) THEN 'vorbis' ELSE 'opus' END AS codec,
+           CAST(CASE cls WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(CASE cls WHEN 0 THEN 8000 WHEN 1 THEN 44100 WHEN 2 THEN 48000 ELSE 24000 END AS BIGINT) AS sample_rate,
+           CAST(CASE cls
+             WHEN 0 THEN 441 * (np - 1) * 1000 // 8000
+             WHEN 1 THEN 441 * (np - 1) * 1000 // 44100
+             WHEN 2 THEN (441 * (np - 1) - 312) * 1000 // 48000
+             ELSE 441 * (np - 1) * 1000 // 48000 END AS BIGINT) AS duration_ms
+         FROM p""",
+    // every field is the planted MP3 geometry restated: the variant
+    // table (bitrate/rate/channels/Xing by doc_id mod 4), the frame
+    // count, and the exact integer duration floor(frames·1152·1000/rate)
+    "multimodal_mp3_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS cls, doc_id % 10 + 2 AS nf
+           FROM documents)
+         SELECT doc_id,
+           '1' AS version,
+           CAST(3 AS BIGINT) AS layer,
+           CAST(CASE cls WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 320 ELSE 32 END AS BIGINT) AS bitrate_kbps,
+           CAST(CASE cls WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000 ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(CASE cls WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1152 * 1000 // (CASE cls WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000 ELSE 44100 END) AS BIGINT) AS duration_ms,
+           CASE WHEN cls IN (0, 2) THEN CAST(nf AS BIGINT) ELSE NULL END AS xing_frames
          FROM p""",
     // every field is the planted geometry formula restated; duration is
     // the same double floor both engines compute

@@ -4096,6 +4096,429 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** ogg_ident(BINARY) → STRUCT: Ogg CODEC identification — the census
+    * tier's second Ogg pass: the same CRC-verified page walk as
+    * [[OggMeta]], plus a sniff of each BOS page's identification packet
+    * per the published codec mappings ("\x01vorbis" → version 0 check,
+    * channels u8, rate u32le; "OpusHead" → channels u8, pre-skip u16le,
+    * input rate u32le; "\x80theora" / "\x7fFLAC" / "Speex " recognized
+    * by magic). Reports the FIRST audio stream (Vorbis or Opus): codec,
+    * channels, sample rate, and the exact duration from that stream's
+    * final granule position — Vorbis granules count PCM samples at the
+    * stream rate; Opus granules count 48 kHz samples less the pre-skip.
+    * Entropy decode never happens (`unsupported_profile` stays the drop
+    * stance). Null when no recognized audio stream leads the container,
+    * or on any page-walk failure ([[OggMeta]]'s contract). */
+  case class OggIdent(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StructType(Seq(
+      StructField("codec", StringType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try eval0(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    private def eval0(b: Array[Byte]): Any = {
+      val n = b.length
+      if (n < 28) return null
+      var p = 0
+      var pages = 0L
+      var codec: String = null
+      var chosenSerial = 0L
+      var channels = 0L; var rate = 0L; var preskip = 0L
+      var lastGranule = 0L; var sawChosen = false
+      while (p < n) {
+        if (pages >= 65536) return null
+        if (p + 27 > n) return null
+        if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' || b(p + 3) != 'S')
+          return null
+        if (b(p + 4) != 0) return null
+        val hType = b(p + 5) & 0xff
+        var granule = 0L
+        var i = 0
+        while (i < 8) { granule |= (b(p + 6 + i) & 0xffL) << (8 * i); i += 1 }
+        var serial = 0L
+        i = 0
+        while (i < 4) { serial |= (b(p + 14 + i) & 0xffL) << (8 * i); i += 1 }
+        val nSegs = b(p + 26) & 0xff
+        if (p + 27 + nSegs > n) return null
+        var bodyLen = 0
+        i = 0
+        while (i < nSegs) { bodyLen += b(p + 27 + i) & 0xff; i += 1 }
+        val pageLen = 27 + nSegs + bodyLen
+        if (p + pageLen > n) return null
+        var crc = 0
+        i = 0
+        while (i < pageLen) {
+          val by = if (i >= 22 && i < 26) 0 else b(p + i) & 0xff
+          crc ^= by << 24
+          var k = 0
+          while (k < 8) {
+            crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+            k += 1
+          }
+          i += 1
+        }
+        var stored = 0
+        i = 0
+        while (i < 4) { stored |= (b(p + 22 + i) & 0xff) << (8 * i); i += 1 }
+        if (crc != stored) return null
+        val body = p + 27 + nSegs
+        if ((hType & 0x02) != 0 && codec == null) {
+          // BOS page: the identification packet leads the body
+          def is(off: Int, sig: String): Boolean =
+            bodyLen >= off + sig.length && (0 until sig.length).forall(k =>
+              (b(body + off + k) & 0xff) == (sig.charAt(k) & 0xff))
+          if ((b(body) & 0xff) == 1 && is(1, "vorbis") && bodyLen >= 30) {
+            var ver = 0L
+            i = 0
+            while (i < 4) { ver |= (b(body + 7 + i) & 0xffL) << (8 * i); i += 1 }
+            if (ver == 0) {
+              codec = "vorbis"; chosenSerial = serial
+              channels = b(body + 11) & 0xffL
+              i = 0
+              while (i < 4) { rate |= (b(body + 12 + i) & 0xffL) << (8 * i); i += 1 }
+            }
+          } else if (is(0, "OpusHead") && bodyLen >= 19) {
+            codec = "opus"; chosenSerial = serial
+            channels = b(body + 9) & 0xffL
+            preskip = (b(body + 10) & 0xffL) | ((b(body + 11) & 0xffL) << 8)
+            i = 0
+            while (i < 4) { rate |= (b(body + 12 + i) & 0xffL) << (8 * i); i += 1 }
+          }
+          // theora/FLAC-in-Ogg/Speex BOS pages are video/other streams:
+          // keep scanning for a leading audio stream
+        }
+        if (codec != null && serial == chosenSerial) {
+          // granule −1 marks a page with no completed packet — skip
+          if (granule >= 0) { lastGranule = granule; sawChosen = true }
+        }
+        pages += 1
+        p += pageLen
+      }
+      if (pages == 0 || codec == null || !sawChosen) return null
+      if (codec == "vorbis" && rate <= 0) return null
+      val durationMs: Any = codec match {
+        case "vorbis" => java.lang.Long.valueOf(lastGranule * 1000 / rate)
+        case _ =>
+          val s = lastGranule - preskip
+          java.lang.Long.valueOf(if (s < 0) 0L else s * 1000 / 48000)
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(codec), channels, rate, durationMs)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ogg_audio(INT serial, INT nPages; codec, channels, rate, preskip)
+    * → BINARY: a REAL single-stream Ogg sequence whose BOS page carries
+    * a genuine Vorbis or Opus identification packet (the published
+    * layouts: "\x01vorbis" + version 0 + channels + rate + bitrate
+    * fields + blocksizes + framing bit; "OpusHead" + version 1 +
+    * channels + pre-skip + input rate + gain + mapping 0) and whose
+    * page i carries granule 441·i — [[OggIdent]]'s fixture builder,
+    * every field closed-form. */
+  case class OggAudioEncode(left: Expression, right: Expression,
+      codec: String, channels: Int, rate: Int, preskip: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(codec == "vorbis" || codec == "opus", s"codec vorbis|opus, got $codec")
+    require(channels >= 1 && channels <= 8, s"channels in [1,8], got $channels")
+    require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
+    require(preskip >= 0 && preskip <= 65535, s"preskip in [0,65535], got $preskip")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(serialAny: Any, nPagesAny: Any): Any = {
+      def asInt(a: Any): Int = a match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => Int.MinValue
+      }
+      val serial = asInt(serialAny); val nPages = asInt(nPagesAny)
+      if (serial == Int.MinValue || nPages < 1 || nPages > 4096) return null
+      val ident: Array[Byte] =
+        if (codec == "vorbis") {
+          val h = new Array[Byte](30)
+          h(0) = 1; "vorbis".getBytes("US-ASCII").copyToArray(h, 1)
+          // version 0 at 7..10
+          h(11) = channels.toByte
+          var i = 0
+          while (i < 4) { h(12 + i) = ((rate >> (8 * i)) & 0xff).toByte; i += 1 }
+          // bitrate max/nominal/min stay 0 (unset per spec)
+          h(28) = ((8 << 4) | 8).toByte // blocksizes 2^8/2^8
+          h(29) = 1 // framing bit
+          h
+        } else {
+          val h = new Array[Byte](19)
+          "OpusHead".getBytes("US-ASCII").copyToArray(h, 0)
+          h(8) = 1 // version
+          h(9) = channels.toByte
+          h(10) = (preskip & 0xff).toByte; h(11) = ((preskip >> 8) & 0xff).toByte
+          var i = 0
+          while (i < 4) { h(12 + i) = ((rate >> (8 * i)) & 0xff).toByte; i += 1 }
+          // output gain 0, mapping family 0
+          h
+        }
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < nPages) {
+        val body: Array[Byte] =
+          if (i == 0) ident
+          else Array.tabulate(27 + i % 5)(k => ((7 * i + k) & 0xff).toByte)
+        val page = new Array[Byte](27 + 1 + body.length)
+        page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+        page(4) = 0
+        page(5) = ((if (i == 0) 2 else 0) | (if (i == nPages - 1) 4 else 0)).toByte
+        val granule = 441L * i
+        var k = 0
+        while (k < 8) { page(6 + k) = ((granule >> (8 * k)) & 0xff).toByte; k += 1 }
+        k = 0
+        while (k < 4) { page(14 + k) = ((serial >> (8 * k)) & 0xff).toByte; k += 1 }
+        k = 0
+        while (k < 4) { page(18 + k) = ((i >> (8 * k)) & 0xff).toByte; k += 1 }
+        page(26) = 1
+        page(27) = body.length.toByte
+        System.arraycopy(body, 0, page, 28, body.length)
+        var crc = 0
+        k = 0
+        while (k < page.length) {
+          crc ^= (page(k) & 0xff) << 24
+          var j = 0
+          while (j < 8) {
+            crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+            j += 1
+          }
+          k += 1
+        }
+        k = 0
+        while (k < 4) { page(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
+        out.write(page, 0, page.length)
+        i += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MPEG audio (MP3) structural census — the FLAC/GIF/EBML census
+    * pattern applied to the web's dominant audio wire format: a REAL
+    * frame-header walk over the published MPEG-1/2/2.5 Layer I/II/III
+    * header layout (11-bit sync, version/layer fields, the
+    * version×layer bitrate tables, the three sample-rate banks, the
+    * padding bit, the layer-specific frame-length formulas) plus the
+    * ID3v2 envelope (syncsafe size, footer flag) and the trailing
+    * 128-byte ID3v1 block, and the Xing/Info VBR header at its
+    * version×mode side-info offset. NO entropy decode — Layer III
+    * synthesis stays out of contract (`unsupported_profile` in the drop
+    * report, the FLAC-census stance of r12), but a corpus owner gets
+    * codec/geometry/duration without paying for one. Null, never an
+    * error, off contract: free-format bitrate (index 0), reserved
+    * version/layer/rate fields, non-contiguous frames, trailing bytes
+    * that are neither an ID3v1 block nor silence-padding-free, > 2²²
+    * frames (bomb stance). */
+  private[graft] object Mp3 {
+    /** bitrate kbps by [version-group 0=V1 1=V2/2.5][layer 1..3][idx 1..14] */
+    private val Bitrates: Array[Array[Array[Int]]] = Array(
+      Array(null,
+        Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+      Array(null,
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+    /** sample rate by [version code 0=2.5 2=V2 3=V1][rate idx 0..2] */
+    private val Rates: Array[Array[Int]] = Array(
+      Array(11025, 12000, 8000), null,
+      Array(22050, 24000, 16000), Array(44100, 48000, 32000))
+
+    /** (versionCode, layer, bitrateKbps, rate, channels, nFrames,
+      * durationMs, xingFrames | -1 none | -2 Info-CBR-marker-absent…)
+      * packed as a tuple; null off contract. versionCode: 3=MPEG1,
+      * 2=MPEG2, 0=MPEG2.5. */
+    def census(b: Array[Byte]): (Int, Int, Int, Int, Int, Int, Long, Long) = {
+      try {
+        val n = b.length
+        var p = 0
+        // ID3v2 envelope: syncsafe 28-bit size, optional footer
+        if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+          if ((b(6) | b(7) | b(8) | b(9)) < 0) return null // non-syncsafe
+          val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+            ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+          p = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
+          if (p >= n) return null
+        }
+        var nFrames = 0
+        var ver0 = -1; var layer0 = -1; var kbps0 = -1
+        var rate0 = -1; var ch0 = -1
+        var samplesTotal = 0L
+        var xing = -1L
+        while (p + 4 <= n) {
+          if ((b(p) & 0xff) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) {
+            // the only legal non-frame tail is a 128-byte ID3v1 block
+            return if (nFrames > 0 && n - p == 128 && b(p) == 'T' &&
+              b(p + 1) == 'A' && b(p + 2) == 'G') fin(ver0, layer0, kbps0,
+              rate0, ch0, nFrames, samplesTotal, xing)
+            else null
+          }
+          val verC = (b(p + 1) >> 3) & 3
+          if (verC == 1) return null // reserved version
+          val layer = 4 - ((b(p + 1) >> 1) & 3) // code 3→L1, 2→L2, 1→L3
+          if (layer == 4) return null // reserved layer code 0
+          val bIdx = (b(p + 2) >> 4) & 0xf
+          if (bIdx == 0 || bIdx == 15) return null // free-format / bad
+          val rIdx = (b(p + 2) >> 2) & 3
+          if (rIdx == 3) return null
+          val pad = (b(p + 2) >> 1) & 1
+          val kbps = Bitrates(if (verC == 3) 0 else 1)(layer)(bIdx)
+          val rate = Rates(verC)(rIdx)
+          val mono = ((b(p + 3) >> 6) & 3) == 3
+          val spf = // samples per frame
+            if (layer == 1) 384
+            else if (layer == 2) 1152
+            else if (verC == 3) 1152 else 576
+          val len =
+            if (layer == 1) (12000 * kbps / rate + pad) * 4
+            else if (layer == 2 || verC == 3) 144000 * kbps / rate + pad
+            else 72000 * kbps / rate + pad // L3 at half sample rates
+          if (len < 4 || p + len > n) return null // cut mid-frame
+          if (nFrames == 0) {
+            ver0 = verC; layer0 = layer; kbps0 = kbps; rate0 = rate
+            ch0 = if (mono) 1 else 2
+            // Xing/Info after the side info (version×mode offset)
+            val off = p + 4 + (if (verC == 3) { if (mono) 17 else 32 }
+              else { if (mono) 9 else 17 })
+            if (off + 8 <= p + len &&
+              ((b(off) == 'X' && b(off + 1) == 'i' && b(off + 2) == 'n' &&
+                b(off + 3) == 'g') ||
+                (b(off) == 'I' && b(off + 1) == 'n' && b(off + 2) == 'f' &&
+                  b(off + 3) == 'o')) &&
+              (b(off + 7) & 1) == 1 && off + 12 <= p + len) {
+              xing = ((b(off + 8) & 0xffL) << 24) | ((b(off + 9) & 0xffL) << 16) |
+                ((b(off + 10) & 0xffL) << 8) | (b(off + 11) & 0xffL)
+            }
+          } else if (verC != ver0 || layer != layer0) {
+            return null // a real stream never switches version/layer
+          }
+          samplesTotal += spf
+          nFrames += 1
+          if (nFrames > (1 << 22)) return null // bomb stance
+          p += len
+        }
+        if (p != n || nFrames == 0) return null // ran past / no frames
+        fin(ver0, layer0, kbps0, rate0, ch0, nFrames, samplesTotal, xing)
+      } catch { case NonFatal(_) => null }
+    }
+    private def fin(ver: Int, layer: Int, kbps: Int, rate: Int, ch: Int,
+        nFrames: Int, samples: Long, xing: Long) =
+      (ver, layer, kbps, rate, ch, nFrames, samples * 1000 / rate, xing)
+  }
+
+  /** mp3_meta(BINARY) → STRUCT: the [[Mp3]] census surfaced — version
+    * ("1"/"2"/"2.5"), layer, first-frame bitrate kbps, sample rate,
+    * channels, physical frame count, exact duration_ms, and the
+    * Xing/Info VBR frame count (null when the header is absent). */
+  case class Mp3Meta(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StructType(Seq(
+      StructField("version", StringType, nullable = false),
+      StructField("layer", IntegerType, nullable = false),
+      StructField("bitrate_kbps", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("xing_frames", LongType, nullable = true)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val c = Mp3.census(input.asInstanceOf[Array[Byte]])
+      if (c == null) return null
+      val ver = c._1 match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ver),
+        c._2, c._3, c._4, c._5, c._6, c._7,
+        if (c._8 < 0) null else java.lang.Long.valueOf(c._8))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** mp3_frames(BINARY id3Payload, nFrames; bitrateIdx, rateIdx, mono,
+    * xing) → BINARY: a REAL MPEG-1 Layer III stream — ID3v2.3 envelope
+    * with genuine syncsafe size around the given payload bytes, nFrames
+    * frames with spec headers and the version×layer frame-length
+    * formula (padding 0), an optional Xing VBR header with the frame
+    * count at the mono/stereo side-info offset, and a trailing 128-byte
+    * ID3v1 block — [[Mp3]]'s fixture builder. Frame payloads are
+    * deterministic non-sync filler, NOT audio: the census never decodes
+    * them, and emitting real Layer III would require the encoder this
+    * tier deliberately does not claim. Other versions/layers are pinned
+    * by hand vectors. */
+  case class Mp3FramesEncode(left: Expression, right: Expression,
+      bitrateIdx: Int, rateIdx: Int, mono: Boolean, xing: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrateIdx in [1,14], got $bitrateIdx")
+    require(rateIdx >= 0 && rateIdx <= 2, s"rateIdx in [0,2], got $rateIdx")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(payload: Any, nAny: Any): Any =
+      try encode(payload, nAny) catch { case NonFatal(_) => null }
+    private def encode(payload: Any, nAny: Any): Any = {
+      val id3 = payload.asInstanceOf[Array[Byte]]
+      val nFrames = nAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (nFrames < 1 || nFrames > 4096 || id3.length > (1 << 20)) return null
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(bitrateIdx)
+      val rate = Array(44100, 48000, 32000)(rateIdx)
+      val len = 144000 * kbps / rate // padding 0
+      val out = new java.io.ByteArrayOutputStream(10 + id3.length + nFrames * len + 128)
+      // ID3v2.3, no footer, syncsafe size
+      out.write('I'); out.write('D'); out.write('3'); out.write(3); out.write(0)
+      out.write(0)
+      val sz = id3.length
+      out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+      out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+      out.write(id3, 0, id3.length)
+      var f = 0
+      while (f < nFrames) {
+        val frame = new Array[Byte](len)
+        frame(0) = 0xFF.toByte
+        frame(1) = 0xFB.toByte // MPEG1 (11), Layer III (01), no CRC (1)
+        frame(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte // pad 0
+        frame(3) = (if (mono) 0xC0 else 0x00).toByte // mode
+        var k = 4
+        while (k < len) { frame(k) = ((f * 31 + k) % 192).toByte; k += 1 }
+        // filler stays sync-free by construction (bytes < 0xC0 < 0xFF)
+        if (xing && f == 0) {
+          val off = 4 + (if (mono) 17 else 32)
+          frame(off) = 'X'; frame(off + 1) = 'i'; frame(off + 2) = 'n'
+          frame(off + 3) = 'g'
+          frame(off + 4) = 0; frame(off + 5) = 0; frame(off + 6) = 0
+          frame(off + 7) = 1 // flags: frame count present
+          frame(off + 8) = ((nFrames >> 24) & 0xff).toByte
+          frame(off + 9) = ((nFrames >> 16) & 0xff).toByte
+          frame(off + 10) = ((nFrames >> 8) & 0xff).toByte
+          frame(off + 11) = (nFrames & 0xff).toByte
+        }
+        out.write(frame, 0, len)
+        f += 1
+      }
+      out.write('T'); out.write('A'); out.write('G')
+      var k = 0
+      while (k < 125) { out.write((k * 3) & 0x7f); k += 1 }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** flac_decode_wav(BINARY) → BINARY: REAL FLAC frame decode
     * ([[Flac.decodePcm16]] — metadata walk, frame headers with CRC-8,
     * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals both methods
@@ -7147,6 +7570,14 @@ object Native {
       intLit(exprs(2), "nStreams"))),
     "graft_flac_encode_pcm16" -> (exprs => FlacPcm16Encode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), intLit(exprs(3), "blockSize"))),
+    "graft_ogg_ident" -> (exprs => OggIdent(exprs(0))),
+    "graft_ogg_audio" -> (exprs => OggAudioEncode(exprs(0), exprs(1),
+      strLit(exprs(2), "codec"), intLit(exprs(3), "channels"),
+      intLit(exprs(4), "rate"), intLit(exprs(5), "preskip"))),
+    "graft_mp3_meta" -> (exprs => Mp3Meta(exprs(0))),
+    "graft_mp3_frames" -> (exprs => Mp3FramesEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "bitrateIdx"), intLit(exprs(3), "rateIdx"),
+      boolLit(exprs(4), "mono"), boolLit(exprs(5), "xing"))),
     "graft_wav_canonical" -> (exprs => WavCanonical(exprs(0))),
     "graft_wav_profile_encode" -> (exprs => WavProfileEncode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), strLit(exprs(3), "profile"))),
@@ -7317,6 +7748,22 @@ object Native {
     call_function("graft_flac_encode_pcm16", samples, channels,
       org.apache.spark.sql.functions.lit(rate),
       org.apache.spark.sql.functions.lit(blockSize))
+  def oggIdent(bin: Column): Column = call_function("graft_ogg_ident", bin)
+  def oggAudio(serial: Column, nPages: Column, codec: String,
+      channels: Int, rate: Int, preskip: Int = 0): Column =
+    call_function("graft_ogg_audio", serial, nPages,
+      org.apache.spark.sql.functions.lit(codec),
+      org.apache.spark.sql.functions.lit(channels),
+      org.apache.spark.sql.functions.lit(rate),
+      org.apache.spark.sql.functions.lit(preskip))
+  def mp3Meta(bin: Column): Column = call_function("graft_mp3_meta", bin)
+  def mp3Frames(id3Payload: Column, nFrames: Column, bitrateIdx: Int,
+      rateIdx: Int, mono: Boolean = false, xing: Boolean = false): Column =
+    call_function("graft_mp3_frames", id3Payload, nFrames,
+      org.apache.spark.sql.functions.lit(bitrateIdx),
+      org.apache.spark.sql.functions.lit(rateIdx),
+      org.apache.spark.sql.functions.lit(mono),
+      org.apache.spark.sql.functions.lit(xing))
   def wavCanonical(wav: Column): Column =
     call_function("graft_wav_canonical", wav)
   def wavProfileEncode(pcm16: Column, channels: Column,

@@ -384,6 +384,34 @@ object Multimodal {
   def oggPages(serial: Column, nPages: Column, nStreams: Int = 1): Column =
     graft.functions.Native.oggPages(serial, nPages, nStreams)
 
+  /** Ogg CODEC identification ([[graft.functions.Native.OggIdent]]):
+    * the CRC-verified page walk plus the published Vorbis/Opus
+    * identification-packet layouts on BOS pages — codec, channels,
+    * rate, and exact granule-derived duration for the first audio
+    * stream. Packets stay undecoded. */
+  def oggIdent(bin: Column): Column = graft.functions.Native.oggIdent(bin)
+
+  /** Fixture-grade single-stream Ogg audio builder ([[graft.functions
+    * .Native.OggAudioEncode]]): a real Vorbis or Opus identification
+    * packet on the BOS page, granule 441·i per page, published CRC-32. */
+  def oggAudio(serial: Column, nPages: Column, codec: String,
+      channels: Int, rate: Int, preskip: Int = 0): Column =
+    graft.functions.Native.oggAudio(serial, nPages, codec, channels, rate, preskip)
+
+  /** REAL MPEG-audio (MP3) frame-header census ([[graft.functions
+    * .Native.Mp3Meta]]): ID3v2 envelope, every frame header walked by
+    * the version×layer length formulas, Xing/Info VBR frame count,
+    * exact duration — frames stay undecoded (the census stance). */
+  def mp3Meta(bin: Column): Column = graft.functions.Native.mp3Meta(bin)
+
+  /** Fixture-grade MPEG-1 Layer III stream builder ([[graft.functions
+    * .Native.Mp3FramesEncode]]): real ID3v2.3 syncsafe envelope, spec
+    * frame headers, optional Xing header, trailing ID3v1 block. */
+  def mp3Frames(id3Payload: Column, nFrames: Column, bitrateIdx: Int,
+      rateIdx: Int, mono: Boolean = false, xing: Boolean = false): Column =
+    graft.functions.Native.mp3Frames(id3Payload, nFrames, bitrateIdx, rateIdx,
+      mono, xing)
+
   /** Minimal well-formed ISO-BMFF (MP4) prefix — `ftyp` (isom) followed
     * by `moov` whose first child is a version-0 `mvhd` carrying the given
     * movie timescale and duration (rate 1.0, volume 1.0, unity matrix,

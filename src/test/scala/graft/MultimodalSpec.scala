@@ -1154,6 +1154,129 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  test("mp3Meta inverts the builder geometry: all four mono/stereo × Xing variants, syncsafe > 127, ID3v1 tail") {
+    val id3 = Array.tabulate(163)(i => (i * 5 & 0x7f).toByte) // crosses 2^7
+    def meta(bIdx: Int, rIdx: Int, mono: Boolean, xing: Boolean, nf: Int) = {
+      val blob = Seq(Tuple1(id3)).toDF("p")
+        .select(Multimodal.mp3Frames($"p", lit(nf), bIdx, rIdx, mono, xing))
+        .as[Array[Byte]].head()
+      Seq(Tuple1(blob)).toDF("b").select(Multimodal.mp3Meta($"b").as("m"))
+        .select($"m.version", $"m.layer", $"m.bitrate_kbps", $"m.sample_rate",
+          $"m.n_channels", $"m.n_frames", $"m.duration_ms")
+        .as[(String, Int, Int, Int, Int, Int, Long)].head()
+    }
+    assert(meta(9, 0, mono = true, xing = true, 7) ==
+      (("1", 3, 128, 44100, 1, 7, 7L * 1152 * 1000 / 44100)))
+    assert(meta(5, 1, mono = false, xing = false, 3) ==
+      (("1", 3, 64, 48000, 2, 3, 3L * 1152 * 1000 / 48000)))
+    assert(meta(14, 2, mono = false, xing = true, 12) ==
+      (("1", 3, 320, 32000, 2, 12, 12L * 1152 * 1000 / 32000)))
+    // the Xing frame count surfaces only when the header is present
+    val withX = Seq(Tuple1(id3)).toDF("p")
+      .select(Multimodal.mp3Frames($"p", lit(5), 9, 0, mono = true, xing = true))
+      .as[Array[Byte]].head()
+    val noX = Seq(Tuple1(id3)).toDF("p")
+      .select(Multimodal.mp3Frames($"p", lit(5), 9, 0, mono = true))
+      .as[Array[Byte]].head()
+    def xf(b: Array[Byte]): Option[Long] = {
+      val r = Seq(Tuple1(b)).toDF("b").select(Multimodal.mp3Meta($"b").as("m"))
+        .select($"m.xing_frames").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(xf(withX).contains(5L) && xf(noX).isEmpty)
+  }
+
+  test("MP3 hand vectors: MPEG2/2.5, Layer I/II lengths, free-format and reserved refusals, bare streams") {
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      val r = Seq(Tuple1(b)).toDF("b").select(Multimodal.mp3Meta($"b").as("m"))
+        .select($"m.version", $"m.layer", $"m.bitrate_kbps", $"m.sample_rate",
+          $"m.duration_ms").collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    }
+    def frame(b1: Int, b2: Int, b3: Int, len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte; f(1) = b1.toByte; f(2) = b2.toByte; f(3) = b3.toByte
+      f
+    }
+    // MPEG2 Layer III, 8 kbps idx 1, 16 kHz idx 2: len = 72000·8/16000
+    // = 36; 576 samples → 36 ms (hand-computed)
+    val v2 = frame(0xF3, (1 << 4) | (2 << 2), 0xC0, 36)
+    assert(meta(v2).contains(("2", 3, 8, 16000, 36L)))
+    // MPEG2.5 Layer III, 24 kbps idx 3, 11025 Hz idx 0: len =
+    // 72000·24/11025 = 156 (floor); 576 samples → 52 ms (floor)
+    val v25 = frame(0xE3, (3 << 4) | (0 << 2), 0xC0, 156)
+    assert(meta(v25).contains(("2.5", 3, 24, 11025, 576L * 1000 / 11025)))
+    // MPEG1 Layer II, 48 kbps idx 2, 44100 Hz: len = 144000·48/44100
+    // = 156 (floor); 1152 samples
+    val l2 = frame(0xFD, (2 << 4) | (0 << 2), 0xC0, 156)
+    assert(meta(l2).contains(("1", 2, 48, 44100, 1152L * 1000 / 44100)))
+    // MPEG1 Layer I, 32 kbps idx 1, 44100 Hz: len = (12000·32/44100)·4
+    // = 32 (the ×4 slot formula); 384 samples
+    val l1 = frame(0xFF, (1 << 4) | (0 << 2), 0xC0, 32)
+    assert(meta(l1).contains(("1", 1, 32, 44100, 384L * 1000 / 44100)))
+    // two contiguous frames sum their samples (bare stream, no ID3)
+    assert(meta(v2 ++ v2).contains(("2", 3, 8, 16000, 72L)))
+    // free-format (bitrate idx 0), reserved version (bits 01), reserved
+    // rate (idx 3), a frame cut mid-payload, and trailing non-ID3v1
+    // garbage all refuse — null, never a misparse
+    assert(meta(frame(0xF3, 0 << 4 | 2 << 2, 0xC0, 36)).isEmpty)
+    assert(meta(frame(0xEB, 1 << 4 | 2 << 2, 0xC0, 36)).isEmpty)
+    assert(meta(frame(0xF3, 1 << 4 | 3 << 2, 0xC0, 36)).isEmpty)
+    assert(meta(v2.dropRight(5)).isEmpty)
+    assert(meta(v2 ++ Array[Byte](1, 2, 3)).isEmpty)
+    // version/layer switching mid-stream refuses
+    assert(meta(v2 ++ l2).isEmpty)
+  }
+
+  test("oggIdent: chained streams skip unrecognized BOS pages, pre-skip clamps, damage refuses") {
+    def ident(b: Array[Byte]): Option[(String, Long, Long, Long)] = {
+      val r = Seq(Tuple1(b)).toDF("b").select(Multimodal.oggIdent($"b").as("m"))
+        .select($"m.codec", $"m.n_channels", $"m.sample_rate", $"m.duration_ms")
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    def blob(c: org.apache.spark.sql.Column): Array[Byte] =
+      Seq(Tuple1(1)).toDF("x").select(c).as[Array[Byte]].head()
+    // a chained file: an unrecognized filler stream first, then the
+    // Vorbis stream — identification must skip the filler BOS and bind
+    // duration to the VORBIS stream's granules (5 pages → 441·4)
+    val filler = blob(Multimodal.oggPages(lit(900), lit(2), nStreams = 1))
+    val vorbis = blob(Multimodal.oggAudio(lit(901), lit(5), "vorbis", 2, 44100))
+    assert(ident(filler ++ vorbis).contains(
+      ("vorbis", 2L, 44100L, 441L * 4 * 1000 / 44100)))
+    // Opus pre-skip beyond the final granule clamps duration to 0, per
+    // the mapping (granules count 48 kHz samples less pre-skip)
+    val opus = blob(Multimodal.oggAudio(lit(7), lit(2), "opus", 1, 48000,
+      preskip = 1000))
+    assert(ident(opus).contains(("opus", 1L, 48000L, 0L)))
+    // a flipped CRC bit refuses the whole walk (the OggMeta contract)
+    val bad = blob(Multimodal.oggAudio(lit(8), lit(3), "vorbis", 1, 8000))
+    bad(22) = (bad(22) ^ 1).toByte
+    assert(ident(bad).isEmpty)
+    // a Vorbis ident with a nonzero version field is not identified —
+    // re-CRC the patched BOS page so the refusal is the VERSION check,
+    // not the checksum
+    val v1 = blob(Multimodal.oggAudio(lit(9), lit(3), "vorbis", 1, 8000))
+    v1(28 + 7) = 1 // BOS body begins at 28; version u32le at body+7
+    locally {
+      val pageLen = 27 + 1 + 30
+      var crc = 0
+      (0 until pageLen).foreach { i =>
+        val by = if (i >= 22 && i < 26) 0 else v1(i) & 0xff
+        crc ^= by << 24
+        (0 until 8).foreach { _ =>
+          crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+        }
+      }
+      (0 until 4).foreach(k => v1(22 + k) = ((crc >> (8 * k)) & 0xff).toByte)
+    }
+    assert(ident(v1).isEmpty)
+    // filler-only streams carry no recognized audio → null
+    assert(ident(filler).isEmpty)
+  }
+
   test("wavCanonical normalizes every builder profile to the identical canonical PCM16 bytes") {
     val pcm = Array.tabulate(100)(i => ((i * 331 - 16000) % 32768).toShort)
     val pcmBytes = new Array[Byte](200)
