@@ -1300,10 +1300,15 @@ object SparkEntry {
         .select(col("doc_id"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-            topDown = true).as("bmp_td"))
+            topDown = true).as("bmp_td"),
+          Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            rle = true).as("bmp_rle"))
         .select(col("doc_id"),
           hex(Multimodal.bmpDecodeLuma(col("bmp"))).as("px_hex"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_td"))).as("px_hex_td"),
+          // real BI_RLE8 (encoded runs + absolute packets + EOL/EOB)
+          // through the run-length decoder
+          hex(Multimodal.bmpDecodeLuma(col("bmp_rle"))).as("px_hex_rle"),
           hex(substring(col("bmp"), 1, 54)).as("blob_hdr_hex"),
           Multimodal.bmpDims(col("bmp_td")).getField("width").as("width"),
           Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))),
@@ -2755,6 +2760,8 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_td,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_rle,
            '424D960400000000000036040000280000000900000008000000' ||
              '01000800000000006000000000000000000000000001000000000000' AS blob_hdr_hex,
            CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height

@@ -4971,7 +4971,8 @@ object Native {
     *                              Adam7 decode, arithmetic/lossless JPEG
     *                              — progressive decodes, float/8-bit
     *                              WAV, lossy WebP, non-MJPEG MP4,
-    *                              RLE/low-depth BMP, CCITT/tiled TIFF —
+    *                              16-bit/bitfields BMP — RLE decodes,
+    *                              CCITT/tiled TIFF —
     *                              PackBits/LZW/Deflate decode), or a
     *                              RECOGNIZED
     *                              magic with no decoder in this pipeline
@@ -5141,8 +5142,8 @@ object Native {
         }
       else if (b(0) == 'B' && b(1) == 'M' &&
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
-        // BMP decodes for real (BI_RGB 8/24/32 — [[Bmp]]); RLE/bitfields/
-        // low-depth profiles stay recognized-but-unsupported
+        // BMP decodes for real (BI_RGB 1/4/8/24/32 + RLE8/RLE4 —
+        // [[Bmp]]); bitfields/16-bit stay recognized-but-unsupported
         Bmp.status(b) match {
           case Bmp.Ok => null
           case Bmp.Truncated => s("truncated")
@@ -6119,11 +6120,13 @@ object Native {
     * scraped office/clipart content. REAL decode per the public Windows
     * bitmap layout: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER-or-
     * later (size ≥ 40; V4/V5 keep the core fields at the same offsets),
-    * 8-bit palette (BGRX quads, `biClrUsed` honored) and 24/32-bit
-    * truecolor (BGR(X) order), 4-byte row padding, bottom-up rows with
-    * the top-down negative-height variant. Out of contract (→
-    * `unsupported_profile`): 1/2/4/16-bit depths, any `biCompression`
-    * other than BI_RGB (RLE4/RLE8/BITFIELDS), and pre-Windows-3
+    * 1/4/8-bit palette (BGRX quads, `biClrUsed` honored, MSB-first
+    * sub-byte indices) and 24/32-bit truecolor (BGR(X) order), 4-byte
+    * row padding, bottom-up rows with the top-down negative-height
+    * variant, and the real BI_RLE8/BI_RLE4 run-length codings (encoded
+    * runs, word-aligned absolute mode, EOL/EOB/delta escapes, skipped
+    * pixels = index 0). Out of contract (→ `unsupported_profile`):
+    * 2/16-bit depths, BI_BITFIELDS, and pre-Windows-3
     * BITMAPCOREHEADER files. */
   private object Bmp {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
@@ -6164,23 +6167,85 @@ object Native {
         if (u16(b, 26) != 1) return bad // planes must be 1
         val bpp = u16(b, 28)
         val compression = u32(b, 30)
-        if (compression != 0) return (Unsupported, 0, 0, null) // RLE/bitfields
-        if (bpp != 8 && bpp != 24 && bpp != 32) return (Unsupported, 0, 0, null)
+        // BI_RGB at 1/4/8/24/32 bpp, BI_RLE8 (1) at 8, BI_RLE4 (2) at 4;
+        // bitfields (3) and 16-bit stay out of contract
+        val ok = (compression == 0 &&
+          (bpp == 1 || bpp == 4 || bpp == 8 || bpp == 24 || bpp == 32)) ||
+          (compression == 1 && bpp == 8) || (compression == 2 && bpp == 4)
+        if (!ok) return (Unsupported, 0, 0, null)
+        if (compression != 0 && topDown) return bad // RLE is bottom-up only
         if (w <= 0 || h == 0 || h0 == Int.MinValue) return bad
         if (w.toLong * h > Png.MaxPixels) return (Bomb, 0, 0, null)
         var palOff = 0; var palLen = 0
-        if (bpp == 8) {
+        if (bpp <= 8) {
           val clrUsed = u32(b, 46)
           if (clrUsed > 256) return bad
-          palLen = if (clrUsed == 0L) 256 else clrUsed.toInt
+          palLen = if (clrUsed == 0L) 1 << bpp else clrUsed.toInt
           palOff = 14 + hdrSize.toInt
           if (14L + hdrSize + 4L * palLen > n) return trunc
           if (hdrSize > Int.MaxValue - 14) return bad
         }
-        val rowBytes = ((w.toLong * bpp / 8 + 3) & ~3L)
-        if (off < 14 + hdrSize + (if (bpp == 8) 4L * palLen else 0L)) return bad
-        if (off + rowBytes * h > n) return trunc
+        val rowBytes = (((w.toLong * bpp + 7) / 8 + 3) & ~3L)
+        if (off < 14 + hdrSize + (if (bpp <= 8) 4L * palLen else 0L)) return bad
         val base0 = off.toInt
+        // RLE decompresses into a full index plane in FILE row order
+        // (row 0 = bottom); unreached pixels are index 0, the
+        // renderer-consensus default for the spec's "skipped" pixels
+        var rle: Array[Byte] = null
+        if (compression != 0) {
+          val sizeImage = u32(b, 34) // compressed byte count when set
+          val end =
+            if (sizeImage > 0) {
+              if (off + sizeImage > n) return trunc
+              (off + sizeImage).toInt
+            } else n
+          rle = new Array[Byte](w * h)
+          var ip = base0
+          var row = 0; var x = 0
+          var done = false
+          while (!done) {
+            if (ip + 2 > end) return bad // stream ran out before EOB
+            val c = b(ip) & 0xff; val v = b(ip + 1) & 0xff
+            ip += 2
+            if (c > 0) { // encoded run: c pixels of v (RLE4 alternates)
+              if (row >= h || x + c > w) return bad
+              var k = 0
+              while (k < c) {
+                val pix =
+                  if (compression == 1) v
+                  else if ((k & 1) == 0) v >> 4 else v & 0xf
+                rle(row * w + x + k) = pix.toByte
+                k += 1
+              }
+              x += c
+            } else v match {
+              case 0 => row += 1; x = 0 // end of line
+              case 1 => done = true // end of bitmap
+              case 2 => // delta: unsigned dx, dy (dy moves UP the image)
+                if (ip + 2 > end) return bad
+                x += b(ip) & 0xff; row += b(ip + 1) & 0xff
+                ip += 2
+                if (x > w || row > h) return bad
+              case cnt => // absolute mode: cnt literal pixels, word-aligned
+                if (row >= h || x + cnt > w) return bad
+                val bytes =
+                  if (compression == 1) cnt else (cnt + 1) / 2
+                val padded = (bytes + 1) & ~1
+                if (ip + padded > end) return bad
+                var k = 0
+                while (k < cnt) {
+                  val by = b(ip + (if (compression == 1) k else k / 2)) & 0xff
+                  val pix =
+                    if (compression == 1) by
+                    else if ((k & 1) == 0) by >> 4 else by & 0xf
+                  rle(row * w + x + k) = pix.toByte
+                  k += 1
+                }
+                ip += padded
+                x += cnt
+            }
+          }
+        } else if (off + rowBytes * h > n) return trunc
         val luma = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
@@ -6189,8 +6254,14 @@ object Native {
           var x = 0
           while (x < w) {
             var r = 0; var g = 0; var bl = 0
-            if (bpp == 8) {
-              val idx = b(rb + x) & 0xff
+            if (bpp <= 8) {
+              val idx =
+                if (rle != null) rle(srcRow * w + x) & 0xff
+                else if (bpp == 8) b(rb + x) & 0xff
+                else if (bpp == 4) {
+                  val by = b(rb + (x >> 1)) & 0xff
+                  if ((x & 1) == 0) by >> 4 else by & 0xf
+                } else (b(rb + (x >> 3)) >> (7 - (x & 7))) & 1
               if (idx >= palLen) return bad
               val q = palOff + 4 * idx // BGRX quad
               bl = b(q) & 0xff; g = b(q + 1) & 0xff; r = b(q + 2) & 0xff
@@ -6215,10 +6286,11 @@ object Native {
     }
   }
 
-  /** bmp_decode_luma(BINARY) → BINARY: REAL BMP (BI_RGB) pixel decode to
-    * the exact-integer luma plane — [[PngLumaDecode]]'s BMP sibling
-    * ([[Bmp]]): 8-bit palette and 24/32-bit BGR(X), row padding,
-    * bottom-up and top-down. Null off contract. */
+  /** bmp_decode_luma(BINARY) → BINARY: REAL BMP pixel decode to the
+    * exact-integer luma plane — [[PngLumaDecode]]'s BMP sibling
+    * ([[Bmp]]): 1/4/8-bit palette and 24/32-bit BGR(X), row padding,
+    * bottom-up and top-down, BI_RLE8/BI_RLE4 run-length codings. Null
+    * off contract. */
   case class BmpLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -6239,12 +6311,44 @@ object Native {
     * negative-height header when asked) with the spec's 4-byte padding,
     * so both row orders and the padding walk sit inside every oracled
     * decode. Fixture builder; production writes BMP with a codec. */
-  case class BmpGray8Encode(left: Expression, right: Expression, topDown: Boolean)
+  case class BmpGray8Encode(left: Expression, right: Expression,
+      topDown: Boolean, rle: Boolean)
       extends BinaryExpression with NativeBinaryCodegen {
+    require(!(topDown && rle), "RLE BMPs are bottom-up by spec")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
       try encode(px, width) catch { case NonFatal(_) => null }
+    /** Real BI_RLE8 for one row: runs of ≥2 become encoded packets, 1–2
+      * pixel stretches become length-1/2 encoded packets (absolute mode
+      * starts at 3 by spec), longer literals become word-aligned
+      * absolute packets — both §RLE packet kinds in every fixture. */
+    private def rleRow(row: Array[Byte], off: Int, len: Int,
+        out: java.io.ByteArrayOutputStream): Unit = {
+      var i = 0
+      while (i < len) {
+        var j = i
+        while (j + 1 < len && row(off + j + 1) == row(off + i) && j - i < 254) j += 1
+        val runLen = j - i + 1
+        if (runLen >= 2) { out.write(runLen); out.write(row(off + i)); i = j + 1 }
+        else {
+          var k = i
+          while (k < len && k - i < 254 &&
+            !(k + 1 < len && row(off + k) == row(off + k + 1))) k += 1
+          val lit = k - i
+          if (lit >= 3) {
+            out.write(0); out.write(lit)
+            out.write(row, off + i, lit)
+            if ((lit & 1) == 1) out.write(0) // word-align absolute mode
+          } else {
+            var m = 0
+            while (m < lit) { out.write(1); out.write(row(off + i + m)); m += 1 }
+          }
+          i = k
+        }
+      }
+      out.write(0); out.write(0) // end of line
+    }
     private def encode(px: Any, width: Any): Any = {
       val pixels = px.asInstanceOf[Array[Byte]]
       val w = width match {
@@ -6256,25 +6360,38 @@ object Native {
       if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
       val h = pixels.length / w
       val rowBytes = (w + 3) & ~3
+      val data: Array[Byte] =
+        if (!rle) null
+        else {
+          val packed = new java.io.ByteArrayOutputStream(pixels.length + 4 * h)
+          var y = h - 1 // RLE rows are written bottom-up
+          while (y >= 0) { rleRow(pixels, y * w, w, packed); y -= 1 }
+          packed.write(0); packed.write(1) // end of bitmap
+          packed.toByteArray
+        }
       val dataOff = 14 + 40 + 4 * 256
-      val fileSize = dataOff + rowBytes * h
+      val dataBytes = if (rle) data.length else rowBytes * h
+      val fileSize = dataOff + dataBytes
       val out = new java.io.ByteArrayOutputStream(fileSize)
       def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
       def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
       out.write('B'); out.write('M')
       le32(fileSize); le32(0); le32(dataOff)
       le32(40); le32(w); le32(if (topDown) -h else h)
-      le16(1); le16(8); le32(0) // planes, bpp, BI_RGB
-      le32(rowBytes * h); le32(0); le32(0); le32(256); le32(0)
+      le16(1); le16(8); le32(if (rle) 1 else 0) // planes, bpp, compression
+      le32(dataBytes); le32(0); le32(0); le32(256); le32(0)
       var i = 0
       while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
-      var y = 0
-      while (y < h) {
-        val srcRow = if (topDown) y else h - 1 - y
-        out.write(pixels, srcRow * w, w)
-        var p = w
-        while (p < rowBytes) { out.write(0); p += 1 }
-        y += 1
+      if (rle) out.write(data, 0, data.length)
+      else {
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          out.write(pixels, srcRow * w, w)
+          var p = w
+          while (p < rowBytes) { out.write(0); p += 1 }
+          y += 1
+        }
       }
       out.toByteArray
     }
@@ -7546,7 +7663,7 @@ object Native {
     "graft_gif_loop_count" -> (exprs => GifLoopCount(exprs(0))),
     "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
     "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "topDown"))),
+      boolLit(exprs(2), "topDown"), boolLit(exprs(3), "rle"))),
     "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "compression"),
@@ -7706,9 +7823,10 @@ object Native {
   def bmpDecodeLuma(bmp: Column): Column =
     call_function("graft_bmp_decode_luma", bmp)
   def bmpEncodeGray8(pixels: Column, width: Column,
-      topDown: Boolean = false): Column =
+      topDown: Boolean = false, rle: Boolean = false): Column =
     call_function("graft_bmp_encode_gray8", pixels, width,
-      org.apache.spark.sql.functions.lit(topDown))
+      org.apache.spark.sql.functions.lit(topDown),
+      org.apache.spark.sql.functions.lit(rle))
   def tiffDecodeLuma(tiff: Column): Column =
     call_function("graft_tiff_decode_luma", tiff)
   def tiffEncodeGray8(pixels: Column, width: Column,

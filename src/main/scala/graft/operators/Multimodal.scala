@@ -860,12 +860,15 @@ object Multimodal {
   def bmpDecodeLuma(bmp: Column): Column =
     graft.functions.Native.bmpDecodeLuma(bmp)
 
-  /** Fixture-grade 8-bit BI_RGB BMP encode ([[graft.functions.Native
+  /** Fixture-grade 8-bit BMP encode ([[graft.functions.Native
     * .BmpGray8Encode]]): row-major gray-8 bytes → a complete BMP with a
     * 256-entry grayscale palette (decode∘encode = identity), bottom-up
-    * or top-down by flag. Fixture builder for the BMP tier's oracles. */
-  def bmpEncodeGray8(pixels: Column, width: Column, topDown: Boolean = false): Column =
-    graft.functions.Native.bmpEncodeGray8(pixels, width, topDown)
+    * or top-down by flag, BI_RGB or real BI_RLE8 (encoded runs AND
+    * word-aligned absolute packets). Fixture builder for the BMP
+    * tier's oracles. */
+  def bmpEncodeGray8(pixels: Column, width: Column, topDown: Boolean = false,
+      rle: Boolean = false): Column =
+    graft.functions.Native.bmpEncodeGray8(pixels, width, topDown, rle)
 
   /** [[imageNearDupPng]] on BMP payloads: [[bmpDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */

@@ -458,16 +458,16 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.modality($"b")).collect().head
     assert(flacRow.getString(0) == "truncated" && flacRow.getString(1) == "audio/flac")
     assert(Multimodal.realCodec(flacCut).isEmpty)
-    // BMP is no longer merely recognized — BI_RGB decodes for real; the
-    // out-of-contract profiles (here RLE8 compression) still classify
-    // unsupported_profile under image/bmp
-    val rleBmp = hexBytesT("424D7604000000000000360400002800000004000000020000000100" +
-      "0800010000000000000000000000000000000000000000000000")
-    val rleRow = Seq(Tuple1(rleBmp)).toDF("b")
+    // BMP is no longer merely recognized — BI_RGB and the RLE codings
+    // decode for real; the out-of-contract pin is 16-bit BI_BITFIELDS
+    // (bpp 16, compression 3) under image/bmp
+    val bfBmp = hexBytesT("424D7604000000000000360400002800000004000000020000000100" +
+      "1000030000000000000000000000000000000000000000000000")
+    val bfRow = Seq(Tuple1(bfBmp)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b"),
         Multimodal.modality($"b")).collect().head
-    assert(rleRow.getString(0) == "unsupported_profile" && rleRow.getString(1) == "image/bmp")
-    assert(Multimodal.realCodec(rleBmp).isEmpty)
+    assert(bfRow.getString(0) == "unsupported_profile" && bfRow.getString(1) == "image/bmp")
+    assert(Multimodal.realCodec(bfBmp).isEmpty)
     // TIFF likewise decodes for real now — since the LZW/Deflate tier
     // landed, the out-of-contract pin is CCITT (the Compression entry
     // patched 1 → 2 at its spec offset) under image/tiff
@@ -556,6 +556,87 @@ class MultimodalSpec extends AnyFunSuite {
     val coreHdr = "424D460000000000000036000000" + "0C000000" +
       "0200020001001800" + "00" * 30
     assert(reason(coreHdr) == "unsupported_profile")
+  }
+
+  test("BMP RLE8 round-trip: encoded runs, absolute packets and odd-length pads decode to the identity") {
+    // run-heavy pixels force REAL repeat packets; the inter-run noise
+    // forces absolute packets including odd lengths (word-align pad)
+    val px = Array.tabulate(9 * 8)(i =>
+      (if ((i / 5) % 2 == 0) 0x40 else i & 0xff).toByte)
+    val bmp = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.bmpEncodeGray8($"px", lit(9), rle = true))
+      .as[Array[Byte]].head()
+    val got = Seq(Tuple1(bmp)).toDF("b")
+      .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(got, px))
+    assert(bmp(30) == 1 && bmp(28) == 8, "compression/bpp fields")
+    // ImageIO reads the encoder's RLE8 stream back to the same pixels —
+    // the stream is spec-valid to a third-party reader
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null, "ImageIO rejected the RLE8 stream")
+    val back = new Array[Int](72)
+    img.getRaster.getPixels(0, 0, 9, 8, back)
+    assert(back.map(_.toByte).sameElements(px), "ImageIO misread the RLE8 stream")
+  }
+
+  test("BMP RLE8 delta/EOB, RLE4, and 1/4-bit uncompressed decode hand vectors") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    // --- RLE8 delta + early EOB on a 4×3 canvas: splice a hand stream
+    // into the fixture's (oracle-pinned) header+palette, skipped pixels
+    // land on palette index 0 ---
+    val base = Seq(Tuple1(new Array[Byte](12))).toDF("px")
+      .select(Multimodal.bmpEncodeGray8($"px", lit(4), rle = true))
+      .as[Array[Byte]].head()
+    val stream = hexBytesT("0241" + "00020101" + "0142" + "0001")
+    val spliced = base.take(14 + 40 + 1024) ++ stream
+    spliced(2) = ((14 + 40 + 1024 + stream.length) & 0xff).toByte // fileSize lo
+    spliced(34) = stream.length.toByte // biSizeImage
+    assert(luma(spliced).toSeq == Seq[Byte](0, 0, 0, 0,
+      0, 0, 0, 0x42, 0x41, 0x41, 0, 0))
+    // --- RLE4 (5×2, 16-gray palette i·17): an encoded alternating run,
+    // a 3-pixel absolute packet, EOL/EOB escapes ---
+    val pal16 = (0 until 16).map(i => f"${i * 17}%02X" * 3 + "00").mkString
+    val rle4 = hexBytesT("424D84000000000000007600000028000000" +
+      "0500000002000000" + "0100" + "0400" + "02000000" + "0E000000" +
+      "00000000" + "00000000" + "10000000" + "00000000" + pal16 +
+      "0512" + "0000" + "00034560" + "0270" + "0000" + "0001")
+    assert(luma(rle4).toSeq == Seq(68, 85, 102, 119, 0, 17, 34, 17, 34, 17)
+      .map(_.toByte))
+    // --- 4-bit uncompressed (3×1): MSB-first nibbles, padded row ---
+    val flat4 = hexBytesT("424D7A000000000000007600000028000000" +
+      "0300000001000000" + "0100" + "0400" + "00000000" + "04000000" +
+      "00000000" + "00000000" + "10000000" + "00000000" + pal16 +
+      "45600000")
+    assert(luma(flat4).toSeq == Seq(68, 85, 102).map(_.toByte))
+    // --- 1-bit uncompressed (10×1): MSB-first bits, 2-entry palette ---
+    val flat1 = hexBytesT("424D42000000000000003E00000028000000" +
+      "0A00000001000000" + "0100" + "0100" + "00000000" + "04000000" +
+      "00000000" + "00000000" + "02000000" + "00000000" +
+      "00000000" + "FFFFFF00" + "B2C00000")
+    assert(luma(flat1).toSeq ==
+      Seq(255, 0, 255, 255, 0, 0, 255, 0, 255, 255).map(_.toByte))
+    // ImageIO's own 1-bit writer → this decoder (independent encoder)
+    val bin = new java.awt.image.BufferedImage(16, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    (0 until 16).foreach(x => (0 until 4).foreach(y =>
+      bin.setRGB(x, y, if ((x + y) % 3 == 0) 0xFFFFFF else 0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bin, "bmp", bos)
+    val mine = luma(bos.toByteArray)
+    assert(mine != null && mine.length == 64)
+    (0 until 16).foreach(x => (0 until 4).foreach { y =>
+      val want = if ((x + y) % 3 == 0) 255 else 0
+      assert((mine(y * 16 + x) & 0xff) == want, s"1-bit pixel ($x,$y)")
+    })
+    // a top-down RLE BMP is structurally invalid per spec → corrupt
+    val td = base.clone()
+    td(22) = 0xFD.toByte; td(23) = 0xFF.toByte // height 3 → -3
+    td(24) = 0xFF.toByte; td(25) = 0xFF.toByte
+    val r = Seq(Tuple1(td)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
+    assert(r == "corrupt")
   }
 
   test("TIFF round-trip: decode(encode(px)) is the identity in both byte orders, packed or not") {
