@@ -1166,6 +1166,41 @@ object SparkEntry {
           hex(Multimodal.pngDecodeLuma(col("png"))).as("px_hex"),
           hex(Multimodal.pngDecodeLuma(col("png_i"))).as("px_hex_i"),
           hex(col("png").substr(lit(42), lit(768))).as("blob_plte_hex"))),
+    // the remaining PNG depth matrix, hash-oracled: REAL 1/2/4-bit
+    // (MSB-packed, §12 sample scaling v·255/(2^d−1)), 16-bit (planted
+    // nonzero low byte proves the reduction keeps the HIGH byte), and
+    // gray+alpha at depths 8 and 16 (planted nonzero alpha proves luma
+    // ignores it) — filterMode −1 cycles all five filters over the
+    // packed rows, so sub-byte and two/four-byte filter strides sit
+    // inside the oracled decode
+    "multimodal_decode_png_depths" -> ((s, d) => {
+      def reduced(dep: Int) = unhex(concat((0 until 72).map(i =>
+        lpad(conv((conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s"-$i")).cast("binary")), 1, 2), 16, 10).cast("int")
+          % (1 << dep)).cast("string"), 10, 16), 2, "0")): _*))
+      val plant = plantedBitmap(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.pngEncodeGrayDeep(reduced(1), lit(9), 1,
+            filterMode = -1).as("p1"),
+          Multimodal.pngEncodeGrayDeep(reduced(2), lit(9), 2,
+            filterMode = -1).as("p2"),
+          Multimodal.pngEncodeGrayDeep(reduced(4), lit(9), 4,
+            filterMode = -1).as("p4"),
+          Multimodal.pngEncodeGrayDeep(plant, lit(9), 16,
+            filterMode = -1).as("p16"),
+          Multimodal.pngEncodeGrayDeep(plant, lit(9), 8, grayAlpha = true,
+            filterMode = -1).as("pga"),
+          Multimodal.pngEncodeGrayDeep(plant, lit(9), 16, grayAlpha = true,
+            filterMode = -1).as("pga16"))
+        .select(col("doc_id"),
+          hex(Multimodal.pngDecodeLuma(col("p1"))).as("px_hex_d1"),
+          hex(Multimodal.pngDecodeLuma(col("p2"))).as("px_hex_d2"),
+          hex(Multimodal.pngDecodeLuma(col("p4"))).as("px_hex_d4"),
+          hex(Multimodal.pngDecodeLuma(col("p16"))).as("px_hex_d16"),
+          hex(Multimodal.pngDecodeLuma(col("pga"))).as("px_hex_ga"),
+          hex(Multimodal.pngDecodeLuma(col("pga16"))).as("px_hex_ga16"))
+    }),
     // image near-dup on REAL PALETTE PNG bytes end-to-end (PLTE expand →
     // luma → dHash → Hamming-LSH): even docs plain, odd docs Adam7-
     // interlaced + tRNS, so both stream layouts ride the near-dup path;
@@ -1570,7 +1605,10 @@ object SparkEntry {
         .when(cls === 1, concat(lit(Array[Byte](0)),
           unhex(md5(col("doc_id").cast("string").cast("binary")))))
         .when(cls === 2, substring(png, 1, 40))
-        .when(cls === 3, concat(substring(png, 1, 25), lit(Array[Byte](4)),
+        // gray+alpha decodes now — the unsupported plant is the
+        // spec-ILLEGAL pair (type 4 at depth 4), patched at the IHDR
+        // depth+type bytes
+        .when(cls === 3, concat(substring(png, 1, 24), lit(Array[Byte](4, 4)),
           substring(png, 27, 1 << 20)))
         .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
           substring(png, 21, 1 << 20)))
@@ -2692,6 +2730,22 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex_i,
            upper(array_to_string([lpad(to_hex(j), 2, '0') || lpad(to_hex(255 - j), 2, '0') || lpad(to_hex((7 * j) % 256), 2, '0')
              for j in range(0, 256)], '')) AS blob_plte_hex
+         FROM c""",
+    // every depth's decode is the §12 scaling of the reduced plant in
+    // closed form — ·255 at 1 bit, ·85 at 2, ·17 at 4 — and the 16-bit
+    // and gray+alpha variants keep the planted byte verbatim
+    "multimodal_decode_png_depths" ->
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS v
+           FROM documents)
+         SELECT doc_id,
+           upper(array_to_string([lpad(to_hex((v[i+1] % 2) * 255), 2, '0') for i in range(0, 72)], '')) AS px_hex_d1,
+           upper(array_to_string([lpad(to_hex((v[i+1] % 4) * 85), 2, '0') for i in range(0, 72)], '')) AS px_hex_d2,
+           upper(array_to_string([lpad(to_hex((v[i+1] % 16) * 17), 2, '0') for i in range(0, 72)], '')) AS px_hex_d4,
+           upper(array_to_string([lpad(to_hex(v[i+1]), 2, '0') for i in range(0, 72)], '')) AS px_hex_d16,
+           upper(array_to_string([lpad(to_hex(v[i+1]), 2, '0') for i in range(0, 72)], '')) AS px_hex_ga,
+           upper(array_to_string([lpad(to_hex(v[i+1]), 2, '0') for i in range(0, 72)], '')) AS px_hex_ga16
          FROM c""",
     // identical pair-set argument to dedup_image_png on PALETTE payloads:
     // decode(encode(idx)) luma round-trips bit-exactly through the PLTE

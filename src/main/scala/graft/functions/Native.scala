@@ -1052,21 +1052,32 @@ object Native {
       val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
     }
-    /** bytes-per-pixel of the DECODED pixel layout for the supported
-      * bit-depth-8 color types; -1 for anything out of contract
-      * (gray+alpha 4, 16-bit). Palette (3) returns 3 because
+    /** bytes-per-pixel of the DECODED (normalized 8-bit) pixel layout;
+      * -1 for an unknown color type. Palette (3) returns 3 because
       * [[decodeImage]] expands indices through PLTE into interleaved RGB
       * — this is also the allocation bound the bomb cap divides by. */
     def bppOf(colorType: Int): Int = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB truecolor
       case 3 => 3 // palette — expanded to RGB through PLTE
+      case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA truecolor + alpha
       case _ => -1
     }
-    /** bytes-per-pixel of the RAW (pre-palette-expansion) scanline layout:
-      * palette scanlines carry one index byte per pixel. */
-    def rawBppOf(colorType: Int): Int = if (colorType == 3) 1 else bppOf(colorType)
+    /** CHANNELS of the raw scanline layout (palette carries one index
+      * sample per pixel). */
+    def channelsOf(colorType: Int): Int = colorType match {
+      case 0 | 3 => 1; case 4 => 2; case 2 => 3; case 6 => 4; case _ => -1
+    }
+    /** The spec's legal (colorType, bitDepth) matrix (PNG §11.2.2):
+      * sub-byte depths exist only for gray and palette; 16-bit for
+      * everything except palette. */
+    def depthOk(colorType: Int, depth: Int): Boolean = colorType match {
+      case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case _ => false
+    }
     /** Adam7 interlace pass geometry (PNG §8.2): (xStart, yStart, xStep,
       * yStep) for the seven passes, in stream order. Each pass is an
       * independently-filtered sub-image; passes with zero width or height
@@ -1114,13 +1125,17 @@ object Native {
       val w = u32(b, 16)
       val h = u32(b, 20)
       val colorType = b(25) & 0xff
-      val bpp = bppOf(colorType)     // decoded/allocation bpp (palette → 3)
-      val rawBpp = rawBppOf(colorType) // scanline bpp (palette → 1 index byte)
-      // bit depth 8, supported color type, compression 0, filter 0,
+      val depth = b(24) & 0xff
+      val bpp = bppOf(colorType) // decoded/allocation bpp (palette → 3)
+      val channels = channelsOf(colorType)
+      // any spec-legal (type, depth) pair, compression 0, filter 0,
       // interlace 0 (none) or 1 (Adam7) — anything else is out of contract
-      if (b(24) != 8 || bpp < 0 || b(26) != 0 || b(27) != 0 ||
+      if (!depthOk(colorType, depth) || b(26) != 0 || b(27) != 0 ||
           (b(28) != 0 && b(28) != 1)) return null
       val interlaced = b(28) == 1
+      val bitsPP = channels * depth // raw bits per pixel on the scanline
+      // filter neighbors sit one PIXEL back, rounded up to one byte (§9)
+      val rawBpp = math.max(1, bitsPP >> 3)
       // reject each dimension BEFORE multiplying: w and h are u32 values
       // up to 2^32-1, so w*h can wrap past Long.MaxValue and a crafted
       // header would slip a negative product past the byte cap
@@ -1168,7 +1183,8 @@ object Native {
         val (x0, y0, dx, dy) = passes(pi)
         val pw = if (wi > x0) (wi - x0 + dx - 1) / dx else 0
         val ph = if (hi > y0) (hi - y0 + dy - 1) / dy else 0
-        if (pw > 0 && ph > 0) rawLen += ph.toLong * (1L + pw.toLong * rawBpp)
+        if (pw > 0 && ph > 0)
+          rawLen += ph.toLong * (1L + (pw.toLong * bitsPP + 7) / 8)
         pi += 1
       }
       // under the byte cap rawLen ≤ bpp·MaxPixels + 2h, but keep it total
@@ -1190,7 +1206,7 @@ object Native {
       // the reconstruction over (left a, up b, up-left c) — a and c sit
       // rawBpp BYTES back, and the neighbors live WITHIN the pass (each
       // pass filters as an independent image)
-      val rowBytes = wi * rawBpp
+      val rowBytes = wi * channels // normalized 8-bit-per-sample layout
       val out = new Array[Byte](rowBytes * hi)
       var off = 0
       pi = 0
@@ -1199,7 +1215,7 @@ object Native {
         val pw = if (wi > x0) (wi - x0 + dx - 1) / dx else 0
         val ph = if (hi > y0) (hi - y0 + dy - 1) / dy else 0
         if (pw > 0 && ph > 0) {
-          val prB = pw * rawBpp
+          val prB = (pw * bitsPP + 7) / 8
           val pOut = new Array[Byte](prB * ph)
           var r = 0
           while (r < ph) {
@@ -1221,12 +1237,25 @@ object Native {
               pOut(r * prB + c) = (v & 0xff).toByte
               c += 1
             }
+            // sample extraction + scatter: 16-bit keeps the high byte
+            // (the standard bit-depth reduction), sub-byte gray scales
+            // to full range (§12 sample depth scaling: v·255/(2^d−1)),
+            // palette keeps the raw index for the PLTE expansion below
             var px = 0
             while (px < pw) {
               var ch = 0
-              while (ch < rawBpp) {
-                out((y0 + r * dy) * rowBytes + (x0 + px * dx) * rawBpp + ch) =
-                  pOut(r * prB + px * rawBpp + ch)
+              while (ch < channels) {
+                val v8: Int =
+                  if (depth == 8) pOut(r * prB + px * channels + ch) & 0xff
+                  else if (depth == 16) pOut(r * prB + (px * channels + ch) * 2) & 0xff
+                  else {
+                    val bitPos = px * bitsPP // sub-byte ⇒ one channel
+                    val by = pOut(r * prB + (bitPos >> 3)) & 0xff
+                    val v = (by >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
+                    if (colorType == 0) v * 255 / ((1 << depth) - 1) else v
+                  }
+                out((y0 + r * dy) * rowBytes + (x0 + px * dx) * channels + ch) =
+                  v8.toByte
                 ch += 1
               }
               px += 1
@@ -1271,7 +1300,11 @@ object Native {
       var i = 0
       while (i < w * h) {
         val o = i * bpp
-        out(i) = luma601(px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff).toByte
+        // gray+alpha: luma IS the gray channel (alpha ignored, the RGBA
+        // stance); color types take the shared 601 formula
+        out(i) =
+          if (colorType == 4) px(o)
+          else luma601(px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff).toByte
         i += 1
       }
       (w, h, out)
@@ -1388,6 +1421,129 @@ object Native {
       ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
       chunk("IHDR", ihdr)
       chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** png_encode_gray_deep(BINARY samples, width; depth, grayAlpha,
+    * filterMode) → BINARY: the DEPTH edition of [[PngGray8Encode]] — a
+    * real, complete PNG at any non-8 gray depth the spec allows:
+    * sub-byte grayscale (1/2/4 bits, MSB-first row packing; input bytes
+    * must already be < 2^depth), 16-bit grayscale (input v becomes the
+    * sample v·256 + (v XOR 0xA5) — a deliberately nonzero low byte, so
+    * a decoder that kept the wrong byte cannot pass the oracle), and
+    * gray+alpha (color type 4 at depth 8 or 16, alpha = v XOR 0x5A —
+    * nonzero and pixel-dependent, so an alpha-mixing decoder fails).
+    * `filterMode` −1 cycles row % 5 over the PACKED row bytes (the §9
+    * neighbors sit max(1, bits/8) bytes back); 0 writes raw scanlines.
+    * Real deflate; every chunk CRC'd. Fixture builder. */
+  case class PngGrayDeepEncode(left: Expression, right: Expression,
+      depth: Int, grayAlpha: Boolean, filterMode: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(Seq(1, 2, 4, 8, 16).contains(depth), s"depth 1/2/4/8/16, got $depth")
+    require(!grayAlpha || depth >= 8, "gray+alpha exists at depth 8/16 only")
+    require(grayAlpha || depth != 8, "plain 8-bit gray is PngGray8Encode's job")
+    require(filterMode >= -1 && filterMode <= 4, s"filterMode in -1..4, got $filterMode")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      val channels = if (grayAlpha) 2 else 1
+      val bitsPP = channels * depth
+      val rowB = (w * bitsPP + 7) / 8
+      val fbpp = math.max(1, bitsPP >> 3)
+      // pack each row at the target depth
+      val rows = new Array[Byte](rowB * h)
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixels(r * w + x) & 0xff
+          if (depth < 8) {
+            if (v >= (1 << depth)) return null // sample out of range
+            val bitPos = x * depth
+            val o = r * rowB + (bitPos >> 3)
+            rows(o) = (rows(o) | (v << (8 - depth - (bitPos & 7)))).toByte
+          } else if (!grayAlpha) { // 16-bit gray
+            rows(r * rowB + 2 * x) = v.toByte
+            rows(r * rowB + 2 * x + 1) = (v ^ 0xA5).toByte
+          } else if (depth == 8) { // gray+alpha 8
+            rows(r * rowB + 2 * x) = v.toByte
+            rows(r * rowB + 2 * x + 1) = (v ^ 0x5A).toByte
+          } else { // gray+alpha 16
+            val o = r * rowB + 4 * x
+            rows(o) = v.toByte; rows(o + 1) = (v ^ 0xA5).toByte
+            rows(o + 2) = (v ^ 0x5A).toByte; rows(o + 3) = v.toByte
+          }
+          x += 1
+        }
+        r += 1
+      }
+      // forward-filter the packed bytes (neighbors fbpp bytes back)
+      val raw = new Array[Byte]((rowB + 1) * h)
+      r = 0
+      while (r < h) {
+        val ft = if (filterMode < 0) r % 5 else filterMode
+        raw(r * (rowB + 1)) = ft.toByte
+        var c = 0
+        while (c < rowB) {
+          val x = rows(r * rowB + c) & 0xff
+          val a = if (c >= fbpp) rows(r * rowB + c - fbpp) & 0xff else 0
+          val up = if (r > 0) rows((r - 1) * rowB + c) & 0xff else 0
+          val ul = if (r > 0 && c >= fbpp) rows((r - 1) * rowB + c - fbpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - up
+            case 3 => x - (a + up) / 2
+            case 4 => x - Png.paeth(a, up, ul)
+          }
+          raw(r * (rowB + 1) + 1 + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      val z = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+      } finally d.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Png.Signature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td)
+        val c = Png.crc32(td, 0, td.length)
+        out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+        out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = depth.toByte; ihdr(9) = if (grayAlpha) 4 else 0
+      ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+      chunk("IHDR", ihdr)
+      chunk("IDAT", z.toByteArray)
       chunk("IEND", Array.emptyByteArray)
       out.toByteArray
     }
@@ -1669,9 +1825,13 @@ object Native {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       try {
-        // the shared core decodes types 0/2/6; THIS expression's published
-        // contract is gray8-only, so color results null out here
-        val d = Png.decodeImage(input.asInstanceOf[Array[Byte]])
+        // the shared core decodes every legal (type, depth); THIS
+        // expression's published contract is bit-depth-8 gray ONLY, so
+        // color results null out here and the depth byte gates scaled
+        // 1/2/4/16-bit grays before the decode
+        val b = input.asInstanceOf[Array[Byte]]
+        if (b.length < 26 || b(24) != 8) return null
+        val d = Png.decodeImage(b)
         if (d == null || d._3 != 0) null else d._4
       } catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -5006,10 +5166,10 @@ object Native {
       // ---- PNG ----
       if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
         if (n < 33) return s("truncated")
-        // color types 0/2/3/6 and interlace methods 0/1 (Adam7) all
-        // decode for real now ([[Png.decodeImage]]); gray+alpha (4) and
-        // non-8 bit depths remain the profile limit
-        if (b(24) != 8 || Png.bppOf(b(25) & 0xff) < 0 ||
+        // every legal (color type, bit depth) pair and both interlace
+        // methods decode for real now ([[Png.decodeImage]]); only
+        // structurally illegal headers remain the profile limit
+        if (!Png.depthOk(b(25) & 0xff, b(24) & 0xff) ||
             b(26) != 0 || b(27) != 0 || (b(28) != 0 && b(28) != 1))
           return s("unsupported_profile")
         val w = Png.u32(b, 16); val h = Png.u32(b, 20)
@@ -7647,6 +7807,9 @@ object Native {
       PngGray8Encode(exprs(0), exprs(1),
         intLit(exprs(2), "filterMode"), boolLit(exprs(3), "stored"))),
     "graft_png_decode_gray8" -> (exprs => PngGray8Decode(exprs(0))),
+    "graft_png_encode_gray_deep" -> (exprs =>
+      PngGrayDeepEncode(exprs(0), exprs(1), intLit(exprs(2), "depth"),
+        boolLit(exprs(3), "grayAlpha"), intLit(exprs(4), "filterMode"))),
     "graft_png_encode_rgb" -> (exprs =>
       PngRgbEncode(exprs(0), exprs(1), intLit(exprs(2), "filterMode"),
         boolLit(exprs(3), "stored"), boolLit(exprs(4), "alpha"))),
@@ -7790,6 +7953,12 @@ object Native {
       org.apache.spark.sql.functions.lit(stored))
   def pngDecodeGray8(png: Column): Column =
     call_function("graft_png_decode_gray8", png)
+  def pngEncodeGrayDeep(pixels: Column, width: Column, depth: Int,
+      grayAlpha: Boolean = false, filterMode: Int = 0): Column =
+    call_function("graft_png_encode_gray_deep", pixels, width,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(grayAlpha),
+      org.apache.spark.sql.functions.lit(filterMode))
   def pngEncodeRgb(pixels: Column, width: Column,
       filterMode: Int = 0, stored: Boolean = false, alpha: Boolean = false): Column =
     call_function("graft_png_encode_rgb", pixels, width,

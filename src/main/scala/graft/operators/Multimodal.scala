@@ -735,6 +735,15 @@ object Multimodal {
       filterMode: Int = 0, stored: Boolean = false): Column =
     graft.functions.Native.pngEncodeGray8(pixels, width, filterMode, stored)
 
+  /** [[pngEncodeGray8]]'s DEPTH edition ([[graft.functions.Native
+    * .PngGrayDeepEncode]]): real sub-byte (1/2/4-bit MSB-packed),
+    * 16-bit (nonzero planted low byte), and gray+alpha (type 4) PNGs
+    * whose decode is a closed form of the input. */
+  def pngEncodeGrayDeep(pixels: Column, width: Column, depth: Int,
+      grayAlpha: Boolean = false, filterMode: Int = 0): Column =
+    graft.functions.Native.pngEncodeGrayDeep(pixels, width, depth, grayAlpha,
+      filterMode)
+
   /** LUMA-plane decode for PNGs, gray OR color OR palette ([[graft
     * .functions.Native.PngLumaDecode]]): color type 0 decodes
     * byte-identically to [[pngDecodeGray8]] (shared core); types 2 (RGB)

@@ -284,7 +284,9 @@ class MultimodalSpec extends AnyFunSuite {
     val avi = encAvi(Seq(frame), 9, 8)
     val junkAvi = Seq(Tuple1(Seq(png))).toDF("f") // png bytes walk as frames, decode fails
       .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
-    val grayAlphaPng = png.clone(); grayAlphaPng(25) = 4 // gray+alpha: still out of contract (palette decodes now)
+    // gray+alpha DECODES now — the unsupported plant is a spec-illegal
+    // (type, depth) pair: gray+alpha at depth 4
+    val grayAlphaPng = png.clone(); grayAlphaPng(24) = 4; grayAlphaPng(25) = 4
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
     // a bare ftyp with NO moov is structural damage, not an unsupported
@@ -556,6 +558,136 @@ class MultimodalSpec extends AnyFunSuite {
     val coreHdr = "424D460000000000000036000000" + "0C000000" +
       "0200020001001800" + "00" * 30
     assert(reason(coreHdr) == "unsupported_profile")
+  }
+
+  test("PNG depth matrix hand vectors: sub-byte packing, 16-bit high byte, gray+alpha luma") {
+    // assemble real PNGs around HAND-PACKED scanlines: the packing and
+    // reduction semantics are pinned by the hand bytes; only the entropy
+    // layer rides java.util.zip (the TIFF-predictor vector stance)
+    def mkPng(w: Int, h: Int, depth: Int, colorType: Int,
+        raw: Array[Byte]): Array[Byte] = {
+      val z = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+      d.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte), 0, 8)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td, 0, td.length)
+        val c = new java.util.zip.CRC32()
+        c.update(td)
+        val cv = c.getValue
+        out.write(((cv >> 24) & 0xff).toInt); out.write(((cv >> 16) & 0xff).toInt)
+        out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
+      }
+      chunk("IHDR", Array[Byte](
+        (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+        depth.toByte, colorType.toByte, 0, 0, 0))
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    def luma(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.pngDecodeLuma($"b")).as[Array[Byte]].head()
+    // 2-bit 5×1: pixels 3,0,2,1,3 pack MSB-first to 11 00 10 01 | 11…
+    // = C9 C0; §12 scaling ·85
+    val p2 = mkPng(5, 1, 2, 0, Array[Byte](0, 0xC9.toByte, 0xC0.toByte))
+    assert(luma(p2).toSeq == Seq(255, 0, 170, 85, 255).map(_.toByte))
+    // 1-bit 10×1: 1011 0010 | 11 → B2 C0, scaling ·255
+    val p1 = mkPng(10, 1, 1, 0, Array[Byte](0, 0xB2.toByte, 0xC0.toByte))
+    assert(luma(p1).toSeq ==
+      Seq(255, 0, 255, 255, 0, 0, 255, 0, 255, 255).map(_.toByte))
+    // 16-bit 2×1: samples 0x1234, 0xFF01 → the HIGH bytes 12, FF
+    val p16 = mkPng(2, 1, 16, 0,
+      Array[Byte](0, 0x12, 0x34, 0xFF.toByte, 0x01))
+    assert(luma(p16).toSeq == Seq(0x12, 0xFF).map(_.toByte))
+    // gray+alpha 2×1: (g 7, a 200), (g 250, a 0) — alpha ignored even
+    // when fully transparent
+    val pga = mkPng(2, 1, 8, 4,
+      Array[Byte](0, 7, 200.toByte, 250.toByte, 0))
+    assert(luma(pga).toSeq == Seq(7, 250).map(_.toByte))
+    // spec-ILLEGAL pairs refuse: truecolor at depth 4, palette at 16
+    def reason(b: Array[Byte]): String = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(reason(mkPng(2, 1, 4, 2, Array[Byte](0, 0, 0))) == "unsupported_profile")
+    assert(reason(mkPng(2, 1, 16, 3, Array[Byte](0, 0, 0))) == "unsupported_profile")
+    // and a legal exotic pair CLASSIFIES decodable
+    assert(reason(p2) == null)
+  }
+
+  test("PNG depth matrix cross-decoder: ImageIO reads the deep builder; this decoder reads ImageIO's 16-bit and interlaced 1-bit") {
+    import javax.imageio.ImageIO
+    def luma(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.pngDecodeLuma($"b")).as[Array[Byte]].head()
+    // builder → ImageIO at every depth (the emitted streams are valid
+    // to a third-party reader, filters cycled)
+    val vals = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    for ((depth, ga) <- Seq((1, false), (2, false), (4, false), (16, false),
+      (8, true), (16, true))) {
+      val px =
+        if (depth < 8) vals.map(v => ((v & 0xff) % (1 << depth)).toByte)
+        else vals
+      val png = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.pngEncodeGrayDeep($"px", lit(9), depth,
+          grayAlpha = ga, filterMode = -1)).as[Array[Byte]].head()
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected depth=$depth ga=$ga")
+      val got = new Array[Int](72)
+      img.getRaster.getSamples(0, 0, 9, 8, 0, got) // channel 0 = gray
+      val want = px.map { v =>
+        val u = v & 0xff
+        if (depth < 8) u // ImageIO reports raw sub-byte sample values
+        else if (depth == 16 && !ga) (u << 8) | (u ^ 0xA5)
+        else if (depth == 16) (u << 8) | (u ^ 0xA5)
+        else u
+      }
+      assert(got.sameElements(want), s"ImageIO misread depth=$depth ga=$ga")
+    }
+    // ImageIO 16-bit writer → this decoder keeps the high byte
+    val img16 = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val s16 = Array.tabulate(72)(i => (i * 911 + 5) & 0xffff)
+    img16.getRaster.setSamples(0, 0, 9, 8, 0, s16)
+    val bos16 = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img16, "png", bos16)
+    val mine16 = luma(bos16.toByteArray)
+    assert(mine16 != null && mine16.length == 72)
+    assert(mine16.toSeq == s16.map(v => (v >> 8).toByte).toSeq)
+    // ImageIO interlaced 1-bit (TYPE_BYTE_BINARY + progressive mode) →
+    // this decoder: sub-byte packing WITHIN Adam7 pass rows
+    val bin = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    (0 until 13).foreach(x => (0 until 7).foreach(y =>
+      bin.setRGB(x, y, if ((x * 3 + y) % 4 == 0) 0xFFFFFF else 0)))
+    val w = ImageIO.getImageWritersByFormatName("png").next()
+    val pr = w.getDefaultWriteParam
+    pr.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bosB = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bosB)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(bin, null, null), pr)
+    ios.close(); w.dispose()
+    val pngB = bosB.toByteArray
+    assert(pngB(28) == 1, "ImageIO did not write an interlaced PNG")
+    val mineB = luma(pngB)
+    assert(mineB != null && mineB.length == 13 * 7)
+    (0 until 13).foreach(x => (0 until 7).foreach { y =>
+      val want = if ((x * 3 + y) % 4 == 0) 255 else 0
+      assert((mineB(y * 13 + x) & 0xff) == want, s"interlaced 1-bit ($x,$y)")
+    })
   }
 
   test("BMP RLE8 round-trip: encoded runs, absolute packets and odd-length pads decode to the identity") {
@@ -1498,7 +1630,9 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4 = encMp4(Seq(jpeg), 9, 8)
     val webpGood = Seq(Tuple1(rgbPix(72, 3))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
-    val grayAlphaPng = png.clone(); grayAlphaPng(25) = 4 // gray+alpha: still out of contract (palette decodes now)
+    // gray+alpha DECODES now — the unsupported plant is a spec-illegal
+    // (type, depth) pair: gray+alpha at depth 4
+    val grayAlphaPng = png.clone(); grayAlphaPng(24) = 4; grayAlphaPng(25) = 4
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
     val lossyWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
@@ -2399,12 +2533,14 @@ class MultimodalSpec extends AnyFunSuite {
       luma601((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff).toByte
     }
     assert(got != null && got.sameElements(want), "third-party palette PNG decoded wrong")
-    // 16-bit grayscale remains outside the bit-depth-8 contract
+    // 16-bit grayscale DECODES now (high byte — the depth-matrix tests
+    // pin the reduction); a blank 16-bit canvas lands on all-zero luma
     val img16 = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
     val bos16 = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img16, "png", bos16))
-    assert(decPngLuma(bos16.toByteArray) == null, "16-bit must null out")
+    val got16 = decPngLuma(bos16.toByteArray)
+    assert(got16 != null && got16.length == 64 && got16.forall(_ == 0))
     // and the usual corrupt-payload stance
     assert(decPngLuma("not a png at all, truly".getBytes("UTF-8")) == null)
   }
