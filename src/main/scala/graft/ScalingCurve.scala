@@ -107,7 +107,13 @@ object ScalingCurve {
     "dedup_image_jpeg_prog",
     // and the FLAC audio near-dup tier (map-side frame decode →
     // envelope — expect the dedup_audio exponent)
-    "dedup_audio_flac")
+    "dedup_audio_flac",
+    // the extended-profile WAV tier: cross-profile near-dup (float32 vs
+    // pcm24 canonicalization, map-side — expect the dedup_audio
+    // exponent) and the IMA-ADPCM decode (per-nibble step-table walk,
+    // map-side — scan-shaped like the other decode queries)
+    "dedup_audio_wavx",
+    "multimodal_decode_adpcm")
 
   private[graft] val FlagExponent = 1.3
 
