@@ -1379,7 +1379,11 @@ object SparkEntry {
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             lzw = true, predictor = true).as("tiff_lzw"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-            deflate = true).as("tiff_zip"))
+            deflate = true).as("tiff_zip"),
+          Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            mode = "pal8").as("tiff_pal"),
+          Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            bigEndian = true, mode = "gray16").as("tiff_16"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
@@ -1390,6 +1394,10 @@ object SparkEntry {
           // Deflate — all three decompressors inside the oracled query
           hex(Multimodal.tiffDecodeLuma(col("tiff_lzw"))).as("px_hex_lzw"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_zip"))).as("px_hex_zip"),
+          // palette-color (ColorMap lookup — the PNG palette closed
+          // form) and big-endian 16-bit (high-byte reduction)
+          hex(Multimodal.tiffDecodeLuma(col("tiff_pal"))).as("px_hex_pal"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff_16"))).as("px_hex_16"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -2830,7 +2838,11 @@ object SparkEntry {
     // 0x7A) and the pixel-strip slice is the plant again, read straight
     // off the blob with no decoder
     "multimodal_decode_tiff" ->
-      """SELECT doc_id,
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS idx
+           FROM documents)
+         SELECT doc_id,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
@@ -2841,13 +2853,17 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex_lzw,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_zip,
+           upper(array_to_string([lpad(to_hex((299 * idx[i+1] + 587 * (255 - idx[i+1]) + 114 * ((7 * idx[i+1]) % 256) + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex_pal,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_16,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||
              '00000000' AS blob_hdr_hex,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS blob_px_hex
-         FROM documents""",
+         FROM c""",
     // identical pair-set argument to dedup_image_png on TIFF payloads
     "dedup_image_tiff" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming

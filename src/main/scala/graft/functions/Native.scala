@@ -6285,9 +6285,10 @@ object Native {
     * row padding, bottom-up rows with the top-down negative-height
     * variant, and the real BI_RLE8/BI_RLE4 run-length codings (encoded
     * runs, word-aligned absolute mode, EOL/EOB/delta escapes, skipped
-    * pixels = index 0). Out of contract (→ `unsupported_profile`):
-    * 2/16-bit depths, BI_BITFIELDS, and pre-Windows-3
-    * BITMAPCOREHEADER files. */
+    * pixels = index 0), plus the pre-Windows-3 BITMAPCOREHEADER layout
+    * (12-byte header, u16 dims, RGB-triple palette, 1/4/8/24-bit).
+    * Out of contract (→ `unsupported_profile`): 2/16-bit depths,
+    * BI_BITFIELDS, and the OS/2 V2 header family (12 < size < 40). */
   private object Bmp {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -6316,17 +6317,23 @@ object Native {
       try {
         val n = b.length
         if (!hasMagic(b)) return bad
-        if (n < 54) return trunc // file header 14 + INFOHEADER 40
+        if (n < 26) return trunc // file header 14 + COREHEADER 12
         val off = u32(b, 10)
         val hdrSize = u32(b, 14)
-        if (hdrSize < 40) return (Unsupported, 0, 0, null) // BITMAPCOREHEADER era
-        val w = i32(b, 18)
-        val h0 = i32(b, 22)
+        // pre-Windows-3 BITMAPCOREHEADER (size 12): u16 dims (always
+        // bottom-up), RGB-TRIPLE palette, no compression field; V2/V3
+        // (16/64) stay out of contract
+        val core = hdrSize == 12
+        if (!core && hdrSize < 40) return (Unsupported, 0, 0, null)
+        if (!core && n < 54) return trunc // file header 14 + INFOHEADER 40
+        val w = if (core) u16(b, 18) else i32(b, 18)
+        val h0 = if (core) u16(b, 20) else i32(b, 22)
         val topDown = h0 < 0
         val h = math.abs(h0)
-        if (u16(b, 26) != 1) return bad // planes must be 1
-        val bpp = u16(b, 28)
-        val compression = u32(b, 30)
+        if (u16(b, if (core) 22 else 26) != 1) return bad // planes must be 1
+        val bpp = u16(b, if (core) 24 else 28)
+        val compression = if (core) 0L else u32(b, 30)
+        if (core && bpp == 32) return (Unsupported, 0, 0, null) // no core-32
         // BI_RGB at 1/4/8/24/32 bpp, BI_RLE8 (1) at 8, BI_RLE4 (2) at 4;
         // bitfields (3) and 16-bit stay out of contract
         val ok = (compression == 0 &&
@@ -6337,16 +6344,18 @@ object Native {
         if (w <= 0 || h == 0 || h0 == Int.MinValue) return bad
         if (w.toLong * h > Png.MaxPixels) return (Bomb, 0, 0, null)
         var palOff = 0; var palLen = 0
+        val palStride = if (core) 3 else 4 // COREHEADER palettes are RGB triples
         if (bpp <= 8) {
-          val clrUsed = u32(b, 46)
+          val clrUsed = if (core) 0L else u32(b, 46)
           if (clrUsed > 256) return bad
           palLen = if (clrUsed == 0L) 1 << bpp else clrUsed.toInt
           palOff = 14 + hdrSize.toInt
-          if (14L + hdrSize + 4L * palLen > n) return trunc
+          if (14L + hdrSize + palStride.toLong * palLen > n) return trunc
           if (hdrSize > Int.MaxValue - 14) return bad
         }
         val rowBytes = (((w.toLong * bpp + 7) / 8 + 3) & ~3L)
-        if (off < 14 + hdrSize + (if (bpp <= 8) 4L * palLen else 0L)) return bad
+        if (off < 14 + hdrSize +
+          (if (bpp <= 8) palStride.toLong * palLen else 0L)) return bad
         val base0 = off.toInt
         // RLE decompresses into a full index plane in FILE row order
         // (row 0 = bottom); unreached pixels are index 0, the
@@ -6423,7 +6432,7 @@ object Native {
                   if ((x & 1) == 0) by >> 4 else by & 0xf
                 } else (b(rb + (x >> 3)) >> (7 - (x & 7))) & 1
               if (idx >= palLen) return bad
-              val q = palOff + 4 * idx // BGRX quad
+              val q = palOff + palStride * idx // BGRX quad / BGR triple
               bl = b(q) & 0xff; g = b(q + 1) & 0xff; r = b(q + 2) & 0xff
             } else {
               val p = rb + x * (bpp / 8) // BGR(X)
@@ -6559,23 +6568,119 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** tiff_encode_deep(BINARY pixels, width; bigEndian, mode) → BINARY:
+    * [[TiffGray8Encode]]'s depth/palette sibling — a real single-strip
+    * TIFF in either byte order at the two remaining decodable
+    * profiles:
+    *   - `pal8`: photometric 3 with a full 256-entry ColorMap (tag
+    *     320, 768 SHORTs, reds/greens/blues planes) planted as
+    *     (i·256, (255−i)·256, ((7i) mod 256)·256) — the PNG palette
+    *     oracle's map, so the decoded luma is the same closed form and
+    *     a lookup that confuses the three planes cannot pass;
+    *   - `gray16`: BitsPerSample 16, sample v·256 + (v XOR 0xA5) in
+    *     the FILE byte order — the planted nonzero low byte proves the
+    *     reduction keeps the high byte on both the II and MM paths.
+    * Fixture builder; production writes TIFF with a codec. */
+  case class TiffDeepEncode(left: Expression, right: Expression,
+      bigEndian: Boolean, mode: String)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(mode == "pal8" || mode == "gray16", s"mode pal8|gray16, got $mode")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (h > 65535) return null
+      val pal = mode == "pal8"
+      val nEntries = if (pal) 10 else 9
+      val mapOff = 8 + 2 + nEntries * 12 + 4
+      val mapBytes = if (pal) 3 * 256 * 2 else 0
+      val dataOff = mapOff + mapBytes
+      val data: Array[Byte] =
+        if (pal) pixels
+        else {
+          val d = new Array[Byte](pixels.length * 2)
+          var i = 0
+          while (i < pixels.length) {
+            val v = pixels(i) & 0xff
+            val lo = v ^ 0xA5
+            if (bigEndian) { d(2 * i) = v.toByte; d(2 * i + 1) = lo.toByte }
+            else { d(2 * i) = lo.toByte; d(2 * i + 1) = v.toByte }
+            i += 1
+          }
+          d
+        }
+      val out = new java.io.ByteArrayOutputStream(dataOff + data.length)
+      def w16(v: Int): Unit =
+        if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit =
+        if (bigEndian) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+        else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def short1(v: Int): Unit = { w16(v); w16(0) }
+      out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+      w16(42); w32(8)
+      w16(nEntries)
+      def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+        w16(tag); w16(typ); w32(cnt); value
+      }
+      entry(256, 3, 1)(short1(w))
+      entry(257, 3, 1)(short1(h))
+      entry(258, 3, 1)(short1(if (pal) 8 else 16))
+      entry(259, 3, 1)(short1(1)) // uncompressed
+      entry(262, 3, 1)(short1(if (pal) 3 else 1))
+      entry(273, 4, 1)(w32(dataOff))
+      entry(277, 3, 1)(short1(1))
+      entry(278, 3, 1)(short1(h))
+      entry(279, 4, 1)(w32(data.length))
+      if (pal) entry(320, 3, 3 * 256)(w32(mapOff))
+      w32(0) // no next IFD
+      if (pal) {
+        var i = 0
+        while (i < 256) { w16(i << 8); i += 1 } // reds
+        i = 0
+        while (i < 256) { w16((255 - i) << 8); i += 1 } // greens
+        i = 0
+        while (i < 256) { w16(((7 * i) % 256) << 8); i += 1 } // blues
+      }
+      out.write(data, 0, data.length)
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Baseline TIFF (Rev 6.0) — the scanned-document/archival format of
     * crawled corpora. REAL decode per the public TIFF 6.0 specification:
     * both byte orders (II little-endian, MM big-endian), the IFD entry
     * walk (SHORT/LONG value types, inline-vs-offset values by the spec's
     * 4-byte rule), strip-based storage (`RowsPerStrip`/`StripOffsets`/
     * `StripByteCounts`, any strip count), chunky 8-bit grayscale
-    * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB,
-    * uncompressed (1), PackBits (32773 — the spec's own byte-RLE, §9),
-    * LZW (5 — the §13 MSB-first variant with the spec's EARLY
-    * code-width change, Clear=256/EOI=257) and Deflate (8, plus the
-    * legacy 32946 tag) via the JDK's zlib, each optionally under the
-    * §14 horizontal-differencing Predictor (tag 317 value 2, applied
-    * per sample channel after decompression). Out of contract (→
+    * (BlackIsZero AND the inverted WhiteIsZero) and 8-bit RGB, 16-bit
+    * grayscale and RGB (high-byte reduction in the file's own byte
+    * order — the PNG depth-matrix stance), palette-color (photometric
+    * 3 with the tag-320 ColorMap: 3·2^depth SHORTs, reds-then-greens-
+    * then-blues, channel = value high byte), uncompressed (1),
+    * PackBits (32773 — the spec's own byte-RLE, §9), LZW (5 — the §13
+    * MSB-first variant with the spec's EARLY code-width change,
+    * Clear=256/EOI=257) and Deflate (8, plus the legacy 32946 tag) via
+    * the JDK's zlib, each optionally under the §14
+    * horizontal-differencing Predictor (tag 317 value 2, applied per
+    * sample channel after decompression — gated to 8-bit, where the
+    * byte-wise integration is the spec's). Out of contract (→
     * `unsupported_profile`): any other Compression (CCITT,
-    * JPEG-in-TIFF), tiled layout, palette-color, planar configuration
-    * 2, non-8 bit depths, extra samples, and Predictor 2 on an
-    * UNCOMPRESSED file (the spec scopes differencing to the
+    * JPEG-in-TIFF), tiled layout, planar configuration 2, sub-byte or
+    * mixed bit depths, 16-bit palette, extra samples, and Predictor 2
+    * on an UNCOMPRESSED file (the spec scopes differencing to the
     * compression schemes it helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
@@ -6652,20 +6757,39 @@ object Native {
         // differencing only rides the compression schemes it exists for
         if (predictor == 2 && compression == 1) return (Unsupported, 0, 0, null)
         val photometric = scalar(262, -1)
-        if (photometric < 0 || photometric > 2) return (Unsupported, 0, 0, null)
+        if (photometric < 0 || photometric > 3) return (Unsupported, 0, 0, null)
         if (scalar(284, 1) != 1) return (Unsupported, 0, 0, null) // planar
         val samples = scalar(277, 1)
         if (samples != 1 && samples != 3) return (Unsupported, 0, 0, null)
         if ((photometric == 2) != (samples == 3)) return (Unsupported, 0, 0, null)
+        if (photometric == 3 && samples != 1) return (Unsupported, 0, 0, null)
         val bits = if (entries.contains(258)) vector(258) else Array(8L)
-        if (bits == null || bits.exists(_ != 8L)) return (Unsupported, 0, 0, null)
+        if (bits == null || bits.isEmpty ||
+          bits.exists(v => v != bits(0))) return (Unsupported, 0, 0, null)
+        val depth = bits(0).toInt
+        // 8-bit everywhere; 16-bit gray/RGB (high-byte reduction, the
+        // PNG stance) — palette stays 8-bit-indexed, and the §14
+        // predictor's byte-wise integration is only correct at 8 bits
+        if (depth != 8 && depth != 16) return (Unsupported, 0, 0, null)
+        if (depth == 16 && (photometric == 3 || predictor == 2))
+          return (Unsupported, 0, 0, null)
+        // palette-color: the ColorMap (tag 320) holds 3·2^depth SHORTs,
+        // all reds then greens then blues, 16-bit channel values whose
+        // HIGH byte is the 8-bit channel (the spec's 0..65535 range)
+        var colorMap: Array[Long] = null
+        if (photometric == 3) {
+          colorMap = vector(320)
+          if (colorMap == null || colorMap.length != 3 * (1 << depth)) return bad
+        }
+        val bytesPerSample = depth / 8
         val wL = scalar(256, -1); val hL = scalar(257, -1)
         if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
-        // cap divided by samples (the PNG stance, line ~1072): the cap
-        // must bound BYTES allocated, and RGB strips are 3 bytes/px —
-        // without the divisor a crafted PackBits header could demand a
-        // 3×-cap strip buffer before the control stream even runs
-        if (wL * hL > Png.MaxPixels / samples) return (Bomb, 0, 0, null)
+        // cap divided by the STRIP bytes per pixel (the PNG stance): the
+        // cap must bound BYTES allocated — RGB is 3/px, 16-bit doubles it
+        // — without the divisor a crafted PackBits header could demand an
+        // over-cap strip buffer before the control stream even runs
+        if (wL * hL > Png.MaxPixels / (samples * bytesPerSample))
+          return (Bomb, 0, 0, null)
         val w = wL.toInt; val h = hL.toInt
         val rps0 = scalar(278, hL)
         if (rps0 <= 0) return bad
@@ -6674,7 +6798,7 @@ object Native {
         val offs = vector(273); val cnts = vector(279)
         if (offs == null || cnts == null ||
           offs.length != strips || cnts.length != strips) return bad
-        val rowBytes = w.toLong * samples
+        val rowBytes = w.toLong * samples * bytesPerSample
         val luma = new Array[Byte](w * h)
         var s = 0
         while (s < strips) {
@@ -6740,12 +6864,25 @@ object Native {
               if (strip != null) (rowBytes * (r - r0)).toInt
               else (offs(s) + rowBytes * (r - r0)).toInt
             val src = if (strip != null) strip else b
+            // the 8-bit value of 16-bit sample k: the HIGH byte in the
+            // file's own byte order (the PNG depth-matrix stance)
+            def hi16(arr: Array[Byte], k: Int): Int =
+              if (le) arr(rb + 2 * k + 1) & 0xff else arr(rb + 2 * k) & 0xff
             var x = 0
             while (x < w) {
               val v =
-                if (samples == 1) {
-                  val g = src(rb + x) & 0xff
+                if (photometric == 3) {
+                  val idx = src(rb + x) & 0xff // depth gated to 8
+                  val n1 = 1 << depth
+                  Png.luma601((colorMap(idx) >> 8).toInt,
+                    (colorMap(n1 + idx) >> 8).toInt,
+                    (colorMap(2 * n1 + idx) >> 8).toInt)
+                } else if (samples == 1) {
+                  val g = if (depth == 16) hi16(src, x) else src(rb + x) & 0xff
                   if (photometric == 0) 255 - g else g // WhiteIsZero inverts
+                } else if (depth == 16) {
+                  Png.luma601(hi16(src, 3 * x), hi16(src, 3 * x + 1),
+                    hi16(src, 3 * x + 2))
                 } else {
                   val p = rb + 3 * x
                   Png.luma601(src(p) & 0xff, src(p + 1) & 0xff, src(p + 2) & 0xff)
@@ -7831,6 +7968,8 @@ object Native {
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "compression"),
       boolLit(exprs(4), "predictor"))),
+    "graft_tiff_encode_deep" -> (exprs => TiffDeepEncode(exprs(0), exprs(1),
+      boolLit(exprs(2), "bigEndian"), strLit(exprs(3), "mode"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -8005,6 +8144,11 @@ object Native {
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(compression),
       org.apache.spark.sql.functions.lit(predictor))
+  def tiffEncodeDeep(pixels: Column, width: Column,
+      bigEndian: Boolean = false, mode: String = "pal8"): Column =
+    call_function("graft_tiff_encode_deep", pixels, width,
+      org.apache.spark.sql.functions.lit(bigEndian),
+      org.apache.spark.sql.functions.lit(mode))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))

@@ -913,6 +913,14 @@ object Multimodal {
     graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian, compression, predictor)
   }
 
+  /** Fixture-grade palette-color / 16-bit TIFF encode ([[graft
+    * .functions.Native.TiffDeepEncode]]): mode "pal8" (ColorMap lookup)
+    * or "gray16" (high-byte reduction, planted nonzero low byte), either
+    * byte order. */
+  def tiffEncodeDeep(pixels: Column, width: Column, bigEndian: Boolean = false,
+      mode: String = "pal8"): Column =
+    graft.functions.Native.tiffEncodeDeep(pixels, width, bigEndian, mode)
+
   /** [[imageNearDupPng]] on TIFF payloads: [[tiffDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */
   def imageNearDupTiff(images: DataFrame, width: Int, height: Int,

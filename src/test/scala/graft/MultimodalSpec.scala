@@ -554,10 +554,37 @@ class MultimodalSpec extends AnyFunSuite {
       "1800000000001000000000000000000000000000000000000000" +
       "010203040506" + "0000" + "0708090A0B0C" + "0000"
     assert(reason(badPlanes) == "corrupt" && luma(badPlanes) == null)
-    // BITMAPCOREHEADER (size 12) → unsupported_profile
-    val coreHdr = "424D460000000000000036000000" + "0C000000" +
+    // BITMAPCOREHEADER (size 12) DECODES now: a 2×2 24-bit core file,
+    // pixels straight after the header (no palette), bottom-up BGR
+    val core24 = hexBytesT("424D2A000000000000001A000000" + "0C000000" +
+      "0200020001001800" +
+      "102030" + "405060" + "0000" + // file row 0 (display row 1), padded
+      "708090" + "A0B0C0" + "0000")
+    val coreLuma = Seq(Tuple1(core24)).toDF("b")
+      .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    // luma601 of (r,g,b) = (0x30,0x20,0x10), (0x60,0x50,0x40) on top row
+    def l601(r: Int, g: Int, bb: Int) = ((299 * r + 587 * g + 114 * bb + 500) / 1000).toByte
+    assert(coreLuma.toSeq == Seq(
+      l601(0x90, 0x80, 0x70), l601(0xC0, 0xB0, 0xA0),
+      l601(0x30, 0x20, 0x10), l601(0x60, 0x50, 0x40)))
+    // 8-bit core: the palette is RGB TRIPLES (3 bytes, not quads) —
+    // gray triples make decode the identity on the index bytes
+    val palCore = {
+      val o = new java.io.ByteArrayOutputStream()
+      val hdr = hexBytesT("424D000000000000000" + "01A030000" + // off 794
+        "0C000000" + "0300020001000800")
+      o.write(hdr, 0, hdr.length)
+      (0 until 256).foreach { i => o.write(i); o.write(i); o.write(i) }
+      o.write(Array[Byte](1, 2, 3, 0, 4, 5, 6, 0), 0, 8) // 3×2, rowBytes 4
+      o.toByteArray
+    }
+    val palLuma = Seq(Tuple1(palCore)).toDF("b")
+      .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(palLuma.toSeq == Seq[Byte](4, 5, 6, 1, 2, 3))
+    // the OS/2 V2 family (12 < header size < 40) stays unsupported
+    val os2 = "424D460000000000000036000000" + "10000000" +
       "0200020001001800" + "00" * 30
-    assert(reason(coreHdr) == "unsupported_profile")
+    assert(reason(os2) == "unsupported_profile")
   }
 
   test("PNG depth matrix hand vectors: sub-byte packing, 16-bit high byte, gray+alpha luma") {
@@ -949,6 +976,67 @@ class MultimodalSpec extends AnyFunSuite {
     val r2 = Seq(Tuple1(ccitt)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
     assert(r2 == "unsupported_profile")
+  }
+
+  test("TIFF palette and 16-bit decode: builder round-trips, hand-vector 16-bit RGB, honest refusals") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val px = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    // palette: the planted ColorMap (i, 255−i, (7i)%256 per channel
+    // high byte) must land on the PNG palette oracle's luma closed form
+    def lumaOfIdx(i: Int) =
+      ((299 * i + 587 * (255 - i) + 114 * ((7 * i) % 256) + 500) / 1000).toByte
+    for (be <- Seq(false, true)) {
+      val pal = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeDeep($"px", lit(9), bigEndian = be))
+        .as[Array[Byte]].head()
+      assert(luma(pal).toSeq == px.map(v => lumaOfIdx(v & 0xff)).toSeq,
+        s"palette bigEndian=$be")
+      // 16-bit gray: the planted nonzero low byte must be DROPPED
+      val g16 = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeDeep($"px", lit(9), bigEndian = be,
+          mode = "gray16")).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(luma(g16), px), s"gray16 bigEndian=$be")
+      // ImageIO reads both profiles back to the same pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(g16))
+      assert(img != null, s"ImageIO rejected gray16 be=$be")
+      val got = new Array[Int](72)
+      img.getRaster.getSamples(0, 0, 9, 8, 0, got)
+      assert(got.toSeq == px.map(v => ((v & 0xff) << 8) | ((v & 0xff) ^ 0xA5)).toSeq,
+        s"ImageIO misread gray16 be=$be")
+    }
+    // hand-assembled 2×1 16-bit RGB (LE): samples (0x1234,0x5678,0x9ABC)
+    // and (0xFF00,0x0100,0x00FF) → luma601 of the HIGH bytes = 73, 77
+    val rgb16 = hexBytesT("49492A00080000000900" +
+      "000103000100000002000000" + "010103000100000001000000" +
+      "0201030003000000" + "7A000000" + "030103000100000001000000" +
+      "060103000100000002000000" + "1101040001000000" + "80000000" +
+      "150103000100000003000000" + "160103000100000001000000" +
+      "1701040001000000" + "0C000000" + "00000000" +
+      "100010001000" + "34127856BC9A" + "00FF0001FF00")
+    assert(luma(rgb16).toSeq == Seq[Byte](73, 77))
+    assert(reason(rgb16) == null)
+    // refusals: 16-bit palette, predictor on 16-bit, mixed depths
+    val pal16 = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffEncodeDeep($"px", lit(9)))
+      .as[Array[Byte]].head()
+    pal16(42) = 16 // BitsPerSample value field (entry 2 at 10+2·12+8)
+    assert(reason(pal16) == "unsupported_profile")
+    val pred16 = rgb16.clone()
+    // retag entry 8 (278 RowsPerStrip) → 317 Predictor=2: a 16-bit file
+    // claiming byte-wise differencing is out of contract
+    pred16(10 + 8 * 12) = 0x3D; pred16(10 + 8 * 12 + 1) = 0x01
+    pred16(10 + 8 * 12 + 8) = 2
+    assert(reason(pred16) == "unsupported_profile")
+    val mixed = rgb16.clone()
+    mixed(0x7A + 4) = 8 // third BitsPerSample 16 → 8: mixed depths
+    assert(reason(mixed) == "unsupported_profile")
   }
 
   test("TIFF LZW/Deflate cross-decoder: ImageIO reads this encoder's streams and this decoder reads ImageIO's") {
