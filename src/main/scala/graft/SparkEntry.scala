@@ -1383,7 +1383,9 @@ object SparkEntry {
           Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
             mode = "pal8").as("tiff_pal"),
           Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
-            bigEndian = true, mode = "gray16").as("tiff_16"))
+            bigEndian = true, mode = "gray16").as("tiff_16"),
+          Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            mode = "tiles8").as("tiff_tile"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
@@ -1398,6 +1400,9 @@ object SparkEntry {
           // form) and big-endian 16-bit (high-byte reduction)
           hex(Multimodal.tiffDecodeLuma(col("tiff_pal"))).as("px_hex_pal"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_16"))).as("px_hex_16"),
+          // §15 TILE addressing (single zero-padded edge tile here; the
+          // multi-tile grid is pinned in the spec suite)
+          hex(Multimodal.tiffDecodeLuma(col("tiff_tile"))).as("px_hex_tile"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -2857,6 +2862,8 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex_pal,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_16,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_tile,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||

@@ -6579,12 +6579,17 @@ object Native {
     *     a lookup that confuses the three planes cannot pass;
     *   - `gray16`: BitsPerSample 16, sample v·256 + (v XOR 0xA5) in
     *     the FILE byte order — the planted nonzero low byte proves the
-    *     reduction keeps the high byte on both the II and MM paths.
+    *     reduction keeps the high byte on both the II and MM paths;
+    *   - `tiles8`: §15 TILE addressing — 16×16 gray-8 tiles (the
+    *     spec's multiple-of-16 rule), row-major, edge tiles
+    *     zero-padded in the coded data, offset/count arrays inline or
+    *     indirect by the 4-byte rule.
     * Fixture builder; production writes TIFF with a codec. */
   case class TiffDeepEncode(left: Expression, right: Expression,
       bigEndian: Boolean, mode: String)
       extends BinaryExpression with NativeBinaryCodegen {
-    require(mode == "pal8" || mode == "gray16", s"mode pal8|gray16, got $mode")
+    require(mode == "pal8" || mode == "gray16" || mode == "tiles8",
+      s"mode pal8|gray16|tiles8, got $mode")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -6601,13 +6606,41 @@ object Native {
       val h = pixels.length / w
       if (h > 65535) return null
       val pal = mode == "pal8"
-      val nEntries = if (pal) 10 else 9
-      val mapOff = 8 + 2 + nEntries * 12 + 4
+      val tiles = mode == "tiles8"
+      // tiles8: 16×16 gray-8 tiles (the spec's multiple-of-16 rule),
+      // row-major, edge tiles zero-padded to full size in the coded data
+      val tw = 16; val th = 16
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      val nTiles = across * down
+      val nEntries = if (pal || tiles) 10 else 9
+      val arraysOff = 8 + 2 + nEntries * 12 + 4
+      // tile offset/count arrays leave the IFD when count > 1
+      val tileArrBytes = if (tiles && nTiles > 1) 2 * 4 * nTiles else 0
       val mapBytes = if (pal) 3 * 256 * 2 else 0
-      val dataOff = mapOff + mapBytes
+      val dataOff = arraysOff + mapBytes + tileArrBytes
       val data: Array[Byte] =
         if (pal) pixels
-        else {
+        else if (tiles) {
+          val d = new Array[Byte](nTiles * tw * th)
+          var t = 0
+          while (t < nTiles) {
+            val tx0 = (t % across) * tw; val ty0 = (t / across) * th
+            var r = 0
+            while (r < th) {
+              var x = 0
+              while (x < tw) {
+                val yy = ty0 + r; val xx = tx0 + x
+                d(t * tw * th + r * tw + x) =
+                  if (yy < h && xx < w) pixels(yy * w + xx) else 0
+                x += 1
+              }
+              r += 1
+            }
+            t += 1
+          }
+          d
+        } else {
           val d = new Array[Byte](pixels.length * 2)
           var i = 0
           while (i < pixels.length) {
@@ -6635,14 +6668,27 @@ object Native {
       }
       entry(256, 3, 1)(short1(w))
       entry(257, 3, 1)(short1(h))
-      entry(258, 3, 1)(short1(if (pal) 8 else 16))
+      entry(258, 3, 1)(short1(if (mode == "gray16") 16 else 8))
       entry(259, 3, 1)(short1(1)) // uncompressed
       entry(262, 3, 1)(short1(if (pal) 3 else 1))
-      entry(273, 4, 1)(w32(dataOff))
+      if (!tiles) entry(273, 4, 1)(w32(dataOff))
       entry(277, 3, 1)(short1(1))
-      entry(278, 3, 1)(short1(h))
-      entry(279, 4, 1)(w32(data.length))
-      if (pal) entry(320, 3, 3 * 256)(w32(mapOff))
+      if (!tiles) {
+        entry(278, 3, 1)(short1(h))
+        entry(279, 4, 1)(w32(data.length))
+      }
+      if (pal) entry(320, 3, 3 * 256)(w32(arraysOff))
+      if (tiles) {
+        entry(322, 3, 1)(short1(tw))
+        entry(323, 3, 1)(short1(th))
+        if (nTiles == 1) {
+          entry(324, 4, 1)(w32(dataOff))
+          entry(325, 4, 1)(w32(tw * th))
+        } else {
+          entry(324, 4, nTiles)(w32(arraysOff))
+          entry(325, 4, nTiles)(w32(arraysOff + 4 * nTiles))
+        }
+      }
       w32(0) // no next IFD
       if (pal) {
         var i = 0
@@ -6651,6 +6697,12 @@ object Native {
         while (i < 256) { w16((255 - i) << 8); i += 1 } // greens
         i = 0
         while (i < 256) { w16(((7 * i) % 256) << 8); i += 1 } // blues
+      }
+      if (tiles && nTiles > 1) {
+        var t = 0
+        while (t < nTiles) { w32(dataOff + t * tw * th); t += 1 }
+        t = 0
+        while (t < nTiles) { w32(tw * th); t += 1 }
       }
       out.write(data, 0, data.length)
       out.toByteArray
@@ -6676,12 +6728,14 @@ object Native {
     * the JDK's zlib, each optionally under the §14
     * horizontal-differencing Predictor (tag 317 value 2, applied per
     * sample channel after decompression — gated to 8-bit, where the
-    * byte-wise integration is the spec's). Out of contract (→
-    * `unsupported_profile`): any other Compression (CCITT,
-    * JPEG-in-TIFF), tiled layout, planar configuration 2, sub-byte or
-    * mixed bit depths, 16-bit palette, extra samples, and Predictor 2
-    * on an UNCOMPRESSED file (the spec scopes differencing to the
-    * compression schemes it helps). */
+    * byte-wise integration is the spec's), in STRIP or TILE (§15)
+    * addressing — tiles are fixed-size row-major segments, edge tiles
+    * padded in the coded data, sharing the strip path's decompressors
+    * and integrator. Out of contract (→ `unsupported_profile`): any
+    * other Compression (CCITT, JPEG-in-TIFF), planar configuration 2,
+    * sub-byte or mixed bit depths, 16-bit palette, extra samples, and
+    * Predictor 2 on an UNCOMPRESSED file (the spec scopes differencing
+    * to the compression schemes it helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -6746,9 +6800,10 @@ object Native {
               sz match { case 1 => b(o) & 0xffL; case 2 => u16(o).toLong; case _ => u32(o) }
             }
         }
-        if (entries.contains(322) || entries.contains(323) ||
-          entries.contains(324) || entries.contains(325))
-          return (Unsupported, 0, 0, null) // tiled layout
+        // tiled layout (tags 322-325) is handled below alongside strips
+        val tiled = entries.contains(324) || entries.contains(325)
+        if (tiled && (entries.contains(273) || entries.contains(279)))
+          return bad // a file cannot be both strip- and tile-addressed
         val compression = scalar(259, 1)
         if (compression != 1 && compression != 5 && compression != 8 &&
           compression != 32773 && compression != 32946) return (Unsupported, 0, 0, null)
@@ -6791,108 +6846,159 @@ object Native {
         if (wL * hL > Png.MaxPixels / (samples * bytesPerSample))
           return (Bomb, 0, 0, null)
         val w = wL.toInt; val h = hL.toInt
-        val rps0 = scalar(278, hL)
-        if (rps0 <= 0) return bad
-        val rps = math.min(rps0, hL).toInt
-        val strips = (h + rps - 1) / rps
-        val offs = vector(273); val cnts = vector(279)
-        if (offs == null || cnts == null ||
-          offs.length != strips || cnts.length != strips) return bad
-        val rowBytes = w.toLong * samples * bytesPerSample
-        val luma = new Array[Byte](w * h)
-        var s = 0
-        while (s < strips) {
-          val r0 = s * rps
-          val r1 = math.min(h, r0 + rps)
-          val need = rowBytes * (r1 - r0)
-          // PackBits: the strip's byte count is the COMPRESSED length;
-          // decompress the self-delimiting control stream continuously
-          // (per-row-packed input concatenates into the same stream)
-          var strip: Array[Byte] = null
+        // ---- shared segment machinery: a strip and a tile differ only
+        // in geometry; the decompressors, the §14 integrator and the
+        // pixel conversion are ONE code path ----
+        var failSt = Corrupt
+        /** Decompress one strip/tile payload to exactly `need` bytes:
+          * (buffer, base) — the file buffer itself for the uncompressed
+          * path; null with [[failSt]] set on failure. PackBits
+          * decompresses the self-delimiting control stream continuously
+          * (per-row-packed input concatenates into the same stream). */
+        def segment(offV: Long, cntV: Long, need: Long): (Array[Byte], Int) = {
           if (compression == 32773) {
-            if (offs(s) + cnts(s) > n) return trunc
-            strip = new Array[Byte](need.toInt)
-            var ip = offs(s).toInt
-            val end = (offs(s) + cnts(s)).toInt
+            if (offV + cntV > n) { failSt = Truncated; return null }
+            val buf = new Array[Byte](need.toInt)
+            var ip = offV.toInt
+            val end = (offV + cntV).toInt
             var op = 0
             while (op < need && ip < end) {
               val c = b(ip); ip += 1
               if (c >= 0) { // literal run of c+1 bytes
                 val len = c + 1
-                if (ip + len > end || op + len > need) return bad
-                System.arraycopy(b, ip, strip, op, len)
+                if (ip + len > end || op + len > need) { failSt = Corrupt; return null }
+                System.arraycopy(b, ip, buf, op, len)
                 ip += len; op += len
               } else if (c != -128) { // repeat next byte 1-c times
                 val len = 1 - c
-                if (ip >= end || op + len > need) return bad
-                java.util.Arrays.fill(strip, op, op + len, b(ip))
+                if (ip >= end || op + len > need) { failSt = Corrupt; return null }
+                java.util.Arrays.fill(buf, op, op + len, b(ip))
                 ip += 1; op += len
               } // -128 is the documented no-op
             }
-            if (op < need) return bad // control stream ran dry
+            if (op < need) { failSt = Corrupt; return null } // ran dry
+            (buf, 0)
           } else if (compression == 5) {
-            if (offs(s) + cnts(s) > n) return trunc
-            strip = lzwMsb(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, need.toInt)
-            if (strip == null) return bad
+            if (offV + cntV > n) { failSt = Truncated; return null }
+            val buf = lzwMsb(b, offV.toInt, (offV + cntV).toInt, need.toInt)
+            if (buf == null) { failSt = Corrupt; return null }
+            (buf, 0)
           } else if (compression == 8 || compression == 32946) {
-            if (offs(s) + cnts(s) > n) return trunc
-            strip = inflateTo(b, offs(s).toInt, cnts(s).toInt, need.toInt)
-            if (strip == null) return bad
+            if (offV + cntV > n) { failSt = Truncated; return null }
+            val buf = inflateTo(b, offV.toInt, cntV.toInt, need.toInt)
+            if (buf == null) { failSt = Corrupt; return null }
+            (buf, 0)
           } else {
-            if (cnts(s) < need) return bad // strip shorter than its rows
-            if (offs(s) + need > n) return trunc
+            if (cntV < need) { failSt = Corrupt; return null } // short segment
+            if (offV + need > n) { failSt = Truncated; return null }
+            (b, offV.toInt)
           }
-          if (predictor == 2) {
-            // §14 horizontal differencing: each byte is stored as the
-            // delta from the previous pixel's SAME sample channel;
-            // integrate per row (strips restart rows, rows restart at 0)
-            var pr = 0
-            val nRows = (r1 - r0)
-            while (pr < nRows) {
-              val base = (rowBytes * pr).toInt
-              var x = samples.toInt
-              while (x < rowBytes) {
-                strip(base + x) = (strip(base + x) + strip(base + x - samples.toInt)).toByte
-                x += 1
-              }
-              pr += 1
-            }
-          }
-          var r = r0
-          while (r < r1) {
-            val rb =
-              if (strip != null) (rowBytes * (r - r0)).toInt
-              else (offs(s) + rowBytes * (r - r0)).toInt
-            val src = if (strip != null) strip else b
-            // the 8-bit value of 16-bit sample k: the HIGH byte in the
-            // file's own byte order (the PNG depth-matrix stance)
-            def hi16(arr: Array[Byte], k: Int): Int =
-              if (le) arr(rb + 2 * k + 1) & 0xff else arr(rb + 2 * k) & 0xff
-            var x = 0
-            while (x < w) {
-              val v =
-                if (photometric == 3) {
-                  val idx = src(rb + x) & 0xff // depth gated to 8
-                  val n1 = 1 << depth
-                  Png.luma601((colorMap(idx) >> 8).toInt,
-                    (colorMap(n1 + idx) >> 8).toInt,
-                    (colorMap(2 * n1 + idx) >> 8).toInt)
-                } else if (samples == 1) {
-                  val g = if (depth == 16) hi16(src, x) else src(rb + x) & 0xff
-                  if (photometric == 0) 255 - g else g // WhiteIsZero inverts
-                } else if (depth == 16) {
-                  Png.luma601(hi16(src, 3 * x), hi16(src, 3 * x + 1),
-                    hi16(src, 3 * x + 2))
-                } else {
-                  val p = rb + 3 * x
-                  Png.luma601(src(p) & 0xff, src(p + 1) & 0xff, src(p + 2) & 0xff)
-                }
-              luma(r * w + x) = v.toByte
+        }
+        /** §14 horizontal differencing: integrate per row (segments
+          * restart rows, rows restart at 0). Only reached for
+          * decompressed buffers (predictor+uncompressed is gated). */
+        def integrate(buf: Array[Byte], nRows: Int, rowB: Long): Unit = {
+          var pr = 0
+          while (pr < nRows) {
+            val base = (rowB * pr).toInt
+            var x = samples.toInt
+            while (x < rowB) {
+              buf(base + x) = (buf(base + x) + buf(base + x - samples.toInt)).toByte
               x += 1
             }
-            r += 1
+            pr += 1
           }
-          s += 1
+        }
+        val luma = new Array[Byte](w * h)
+        /** Convert `count` pixels of the row at `rowBase` in `src` into
+          * luma starting at out index `outBase`. */
+        def lumaRow(src: Array[Byte], rowBase: Int, count: Int, outBase: Int): Unit = {
+          // the 8-bit value of 16-bit sample k: the HIGH byte in the
+          // file's own byte order (the PNG depth-matrix stance)
+          def hi16(k: Int): Int =
+            if (le) src(rowBase + 2 * k + 1) & 0xff else src(rowBase + 2 * k) & 0xff
+          var x = 0
+          while (x < count) {
+            val v =
+              if (photometric == 3) {
+                val idx = src(rowBase + x) & 0xff // depth gated to 8
+                val n1 = 1 << depth
+                Png.luma601((colorMap(idx) >> 8).toInt,
+                  (colorMap(n1 + idx) >> 8).toInt,
+                  (colorMap(2 * n1 + idx) >> 8).toInt)
+              } else if (samples == 1) {
+                val g = if (depth == 16) hi16(x) else src(rowBase + x) & 0xff
+                if (photometric == 0) 255 - g else g // WhiteIsZero inverts
+              } else if (depth == 16) {
+                Png.luma601(hi16(3 * x), hi16(3 * x + 1), hi16(3 * x + 2))
+              } else {
+                val p = rowBase + 3 * x
+                Png.luma601(src(p) & 0xff, src(p + 1) & 0xff, src(p + 2) & 0xff)
+              }
+            luma(outBase + x) = v.toByte
+            x += 1
+          }
+        }
+        def fail(): (Int, Int, Int, Array[Byte]) =
+          if (failSt == Truncated) trunc else bad
+        if (tiled) {
+          // tile grid (§15): row-major fixed-size tiles, edge tiles
+          // padded to full size in the coded data
+          val twL = scalar(322, -1); val thL = scalar(323, -1)
+          if (twL <= 0 || thL <= 0 || twL > 65535 || thL > 65535) return bad
+          // the bomb cap must also bound ONE tile's buffer
+          if (twL * thL > Png.MaxPixels / (samples * bytesPerSample))
+            return (Bomb, 0, 0, null)
+          val tw = twL.toInt; val th = thL.toInt
+          val across = (w + tw - 1) / tw
+          val down = (h + th - 1) / th
+          val offsT = vector(324); val cntsT = vector(325)
+          if (offsT == null || cntsT == null ||
+            offsT.length != across * down || cntsT.length != offsT.length)
+            return bad
+          val tRowBytes = tw.toLong * samples * bytesPerSample
+          val need = tRowBytes * th
+          var t = 0
+          while (t < offsT.length) {
+            val seg = segment(offsT(t), cntsT(t), need)
+            if (seg == null) return fail()
+            val (src, base) = seg
+            if (predictor == 2) integrate(src, th, tRowBytes)
+            val tx0 = (t % across) * tw
+            val ty0 = (t / across) * th
+            val useW = math.min(tw, w - tx0)
+            val useH = math.min(th, h - ty0)
+            var r = 0
+            while (r < useH) {
+              lumaRow(src, base + (tRowBytes * r).toInt, useW, (ty0 + r) * w + tx0)
+              r += 1
+            }
+            t += 1
+          }
+        } else {
+          val rps0 = scalar(278, hL)
+          if (rps0 <= 0) return bad
+          val rps = math.min(rps0, hL).toInt
+          val strips = (h + rps - 1) / rps
+          val offs = vector(273); val cnts = vector(279)
+          if (offs == null || cnts == null ||
+            offs.length != strips || cnts.length != strips) return bad
+          val rowBytes = w.toLong * samples * bytesPerSample
+          var s = 0
+          while (s < strips) {
+            val r0 = s * rps
+            val r1 = math.min(h, r0 + rps)
+            val seg = segment(offs(s), cnts(s), rowBytes * (r1 - r0))
+            if (seg == null) return fail()
+            val (src, base) = seg
+            if (predictor == 2) integrate(src, r1 - r0, rowBytes)
+            var r = r0
+            while (r < r1) {
+              lumaRow(src, base + (rowBytes * (r - r0)).toInt, w, r * w)
+              r += 1
+            }
+            s += 1
+          }
         }
         (Ok, w, h, luma)
       } catch {

@@ -869,11 +869,14 @@ class MultimodalSpec extends AnyFunSuite {
     bombRgb(18) = 0x88.toByte; bombRgb(19) = 0x13 // width 5000
     bombRgb(30) = 0x88.toByte; bombRgb(31) = 0x13 // height 5000
     assert(reason(bombRgb) == "bomb_guard")
-    // tiled layout (a TileWidth tag present) → unsupported_profile
-    val tiled = Seq(Tuple1(px)).toDF("px")
+    // planar configuration 2 → unsupported_profile (tiles decode now;
+    // retag entry 6, 277 SamplesPerPixel, as 284 PlanarConfiguration=2
+    // — samples then defaults to 1, so the planar field is the refusal)
+    val planar = Seq(Tuple1(px)).toDF("px")
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
-    tiled(10) = 0x42; tiled(11) = 0x01 // retag entry 0 as 322 TileWidth
-    assert(reason(tiled) == "unsupported_profile")
+    planar(10 + 6 * 12) = 0x1C; planar(10 + 6 * 12 + 1) = 0x01
+    planar(10 + 6 * 12 + 8) = 2
+    assert(reason(planar) == "unsupported_profile")
     // PackBits hand vector (6×1): a -128 no-op, a repeat packet
     // (-2 → 3×0x41), then a literal packet (3 bytes) — decoded strip
     // 41 41 41 01 02 03; StripByteCounts is the COMPRESSED length 7
@@ -1037,6 +1040,57 @@ class MultimodalSpec extends AnyFunSuite {
     val mixed = rgb16.clone()
     mixed(0x7A + 4) = 8 // third BitsPerSample 16 → 8: mixed depths
     assert(reason(mixed) == "unsupported_profile")
+  }
+
+  test("TIFF tiled layout: multi-tile grid with edge clipping, ImageIO's tiled LZW writer, refusals") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    // a 20×18 image over 16×16 tiles = a 2×2 grid where BOTH edge
+    // dimensions clip (right tiles 4 px wide, bottom tiles 2 px tall)
+    val px = Array.tabulate(20 * 18)(i => ((i * 53 + 7) & 0xff).toByte)
+    val tiledBlob = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffEncodeDeep($"px", lit(20), mode = "tiles8"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(luma(tiledBlob), px), "2×2 tile grid")
+    // ImageIO reads the builder's tiled file to the same pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiledBlob))
+    assert(img != null, "ImageIO rejected the tiled file")
+    val got = new Array[Byte](20 * 18)
+    img.getRaster.getDataElements(0, 0, 20, 18, got)
+    assert(java.util.Arrays.equals(got, px), "ImageIO misread the tiled file")
+    // ImageIO's own TILED writer (LZW-compressed tiles!) → this decoder:
+    // tile addressing AND the LZW path through an independent encoder
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setTiling(16, 16, 0, 0)
+    val big = Array.tabulate(40 * 33)(i => ((i * 131 + 7) % 251).toByte)
+    val bimg = new java.awt.image.BufferedImage(40, 33,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    bimg.getRaster.setDataElements(0, 0, 40, 33, big)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(bimg, null, null), p)
+    ios.close(); w.dispose()
+    val mine = luma(bos.toByteArray)
+    assert(mine != null, "decoder rejected ImageIO's tiled LZW file")
+    assert(java.util.Arrays.equals(mine, big), "decoder misread ImageIO's tiled LZW file")
+    // a file claiming BOTH strip and tile addressing is corrupt, and a
+    // tile-count mismatch refuses
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val both = tiledBlob.clone()
+    // retag entry 5 (277 SamplesPerPixel) as 273 StripOffsets — now the
+    // file carries tile AND strip addressing
+    both(10 + 5 * 12) = 0x11; both(10 + 5 * 12 + 1) = 0x01
+    assert(reason(both) == "corrupt")
   }
 
   test("TIFF LZW/Deflate cross-decoder: ImageIO reads this encoder's streams and this decoder reads ImageIO's") {
