@@ -1899,10 +1899,35 @@ class MultimodalSpec extends AnyFunSuite {
     val jpegProg = Seq(Tuple1(grayPx)).toDF("px")
       .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9))).as[Array[Byte]].head()
     val flac = encFlac(Array.tabulate(256)(i => (i * 257 - 32768).toShort), 2, 16000)
+    // the round-13 tiers: compressed/tiled/deep TIFF, RLE BMP, deep
+    // PNG, the WAV profile zoo, ADPCM, MP3 and Ogg-audio streams
+    def one(c: org.apache.spark.sql.Column): Array[Byte] =
+      Seq(Tuple1(1)).toDF("x").select(c).as[Array[Byte]].head()
+    val grayCol = lit(grayPx)
+    val tiffLzw = one(Multimodal.tiffEncodeGray8(grayCol, lit(9),
+      lzw = true, predictor = true))
+    val tiffPal = one(Multimodal.tiffEncodeDeep(grayCol, lit(9)))
+    val tiff16 = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "gray16"))
+    val tiffTiled = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "tiles8"))
+    val bmpRle = one(Multimodal.bmpEncodeGray8(grayCol, lit(9), rle = true))
+    val pngDeep = one(Multimodal.pngEncodeGrayDeep(
+      lit(grayPx.map(v => ((v & 0xff) % 4).toByte)), lit(9), 2, filterMode = -1))
+    val pngGa = one(Multimodal.pngEncodeGrayDeep(grayCol, lit(9), 16,
+      grayAlpha = true))
+    val pcm = Array.tabulate(144)(i => ((i * 100) & 0xff).toByte)
+    val wavF32 = one(Multimodal.wavProfileEncode(lit(pcm), lit(1), 8000, "float32"))
+    val wavExt = one(Multimodal.wavProfileEncode(lit(pcm), lit(1), 8000, "extensible"))
+    val adpcm = one(Multimodal.imaAdpcmWav(lit(Array.tabulate(48)(i => (i * 11).toByte)),
+      lit(17), 8000, 28))
+    val mp3 = one(Multimodal.mp3Frames(lit(Array.fill(20)(3.toByte)), lit(4), 9, 0,
+      mono = true, xing = true))
+    val oggV = one(Multimodal.oggAudio(lit(77), lit(4), "vorbis", 2, 44100))
+    val oggO = one(Multimodal.oggAudio(lit(78), lit(3), "opus", 1, 48000, preskip = 312))
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
-        flac).flatMap { base =>
+        flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
+        wavF32, wavExt, adpcm, mp3, oggV, oggO).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
@@ -1925,6 +1950,13 @@ class MultimodalSpec extends AnyFunSuite {
     val reasons = mutated.map(Tuple1(_)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).collect()
     assert(reasons.length == mutated.length)
+    // the census/normalization expressions are total too — one job over
+    // every mutation, all four surfaces at once
+    val censuses = mutated.map(Tuple1(_)).toDF("b")
+      .select(Multimodal.wavCanonical($"b"), Multimodal.mp3Meta($"b"),
+        Multimodal.oggIdent($"b"), Multimodal.tiffDecodeLuma($"b"))
+      .collect()
+    assert(censuses.length == mutated.length)
   }
 
   test("webpDecodeLuma never throws under seeded mutation/truncation fuzz") {
