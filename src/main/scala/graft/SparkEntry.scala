@@ -1625,13 +1625,13 @@ object SparkEntry {
           substring(png, 27, 1 << 20)))
         .when(cls === 4, concat(substring(png, 1, 16), unhex(lit("07FFFFFF")),
           substring(png, 21, 1 << 20)))
-        // A-law (tag 6, patched at its spec offset): 8-bit/float PCM now
-        // DECODE, so the unsupported-profile plant must be a coding that
-        // is genuinely out of contract
+        // MS-ADPCM (tag 2, patched at its spec offset): 8-bit/float PCM
+        // and G.711 now DECODE, so the unsupported-profile plant must be
+        // a coding that is genuinely out of contract
         .when(cls === 5, concat(
           substring(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)),
             1, 20),
-          unhex(lit("0600")),
+          unhex(lit("0200")),
           substring(Multimodal.wavHeader(lit(1L), lit(8000L), lit(8L), lit(0L)),
             23, 22)))
         .when(cls === 6, clip("jpeg"))
@@ -1979,10 +1979,14 @@ object SparkEntry {
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val pcm = unhex(concat((0 until 72).map(i => leHex(v(i))): _*))
       def prof(p: String) = Multimodal.wavProfileEncode(pcm, lit(1), 16000, p)
+      // the G.711 fixtures take the planted BYTES as the code stream
+      def g711(p: String) = Multimodal.wavProfileEncode(
+        plantedBitmap(col("doc_id")), lit(1), 8000, p)
       Tables.documents(s, d)
         .select(col("doc_id"), prof("pcm8").as("w8"), prof("pcm24").as("w24"),
           prof("pcm32").as("w32"), prof("float32").as("wf"),
-          prof("extensible").as("wx"), prof("fmt18").as("w18"))
+          prof("extensible").as("wx"), prof("fmt18").as("w18"),
+          g711("alaw").as("wa"), g711("mulaw").as("wu"))
         .select(col("doc_id"),
           upper(hex(Multimodal.wavCanonical(col("w8")))).as("wav_hex_pcm8"),
           upper(hex(Multimodal.wavCanonical(col("w24")))).as("wav_hex_pcm24"),
@@ -1990,6 +1994,12 @@ object SparkEntry {
           upper(hex(Multimodal.wavCanonical(col("wf")))).as("wav_hex_f32"),
           upper(hex(Multimodal.wavCanonical(col("wx")))).as("wav_hex_ext"),
           upper(hex(Multimodal.wavCanonical(col("w18")))).as("wav_hex_fmt18"),
+          // ITU G.711: the closed-form segment expansions, restated by
+          // the oracle in pure arithmetic over the planted codes
+          upper(hex(substring(Multimodal.wavCanonical(col("wa")), 45, 144)))
+            .as("pcm_hex_alaw"),
+          upper(hex(substring(Multimodal.wavCanonical(col("wu")), 45, 144)))
+            .as("pcm_hex_ulaw"),
           upper(hex(substring(col("wf"), 1, 58))).as("blob_hdr_f32"))
     }),
     // IMA/DVI ADPCM decode, oracled by an INDEPENDENT SQL decoder:
@@ -3197,12 +3207,32 @@ object SparkEntry {
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-wp' || CAST(i // 8 AS VARCHAR)), 1 + 4 * (i % 8), 4))::INT % 32768
               for i in range(0, 72)] AS vv
            FROM documents),
-         h AS (SELECT doc_id,
+         g AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS code
+           FROM documents),
+         gs AS (SELECT doc_id,
+             [CASE WHEN (255 - c) >= 128
+                THEN 132 - ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8))
+                ELSE ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8)) - 132 END
+              for c in code] AS ulaw,
+             [CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+              (CASE ((xor(c, 85) // 16) % 8)
+                 WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+                 WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+                 ELSE ((xor(c, 85) % 16) * 16 + 264) << (((xor(c, 85) // 16) % 8) - 1) END)
+              for c in code] AS alaw
+           FROM g),
+         h AS (SELECT v.doc_id,
              upper(array_to_string([lpad(to_hex(vv[i+1] % 256), 2, '0') ||
                lpad(to_hex(vv[i+1] // 256), 2, '0') for i in range(0, 72)], '')) AS ident,
              upper(array_to_string(['00' ||
-               lpad(to_hex(vv[i+1] // 256), 2, '0') for i in range(0, 72)], '')) AS p8
-           FROM v)
+               lpad(to_hex(vv[i+1] // 256), 2, '0') for i in range(0, 72)], '')) AS p8,
+             upper(array_to_string([lpad(to_hex(((s + 65536) % 65536) % 256), 2, '0') ||
+               lpad(to_hex(((s + 65536) % 65536) // 256), 2, '0') for s in alaw], '')) AS ahex,
+             upper(array_to_string([lpad(to_hex(((s + 65536) % 65536) % 256), 2, '0') ||
+               lpad(to_hex(((s + 65536) % 65536) // 256), 2, '0') for s in ulaw], '')) AS uhex
+           FROM v JOIN gs ON v.doc_id = gs.doc_id)
          SELECT doc_id,
            '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
              '6461746190000000' || p8 AS wav_hex_pcm8,
@@ -3216,6 +3246,8 @@ object SparkEntry {
              '6461746190000000' || ident AS wav_hex_ext,
            '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
              '6461746190000000' || ident AS wav_hex_fmt18,
+           ahex AS pcm_hex_alaw,
+           uhex AS pcm_hex_ulaw,
            '524946465201000057415645666D74201200000003000100803E000000FA0000040020000000' ||
              '6661637404000000480000006461746120010000' AS blob_hdr_f32
          FROM h""",

@@ -3722,9 +3722,11 @@ object Native {
     * 4-byte headers — predictor emitted as the block's first sample, the
     * spec's +1 — then 4-bit nibbles low-first through the published
     * 89-step/8-delta tables, stereo interleaved in 4-byte words, a fact
-    * chunk trimming the padded final block). Out of contract (→
-    * [[Unsupported]]): every other tag (A-law, µ-law, MS-ADPCM,
-    * MP3-in-WAV, float64), other depths, >2 channels. [[Truncated]] =
+    * chunk trimming the padded final block), and ITU G.711 A-law (tag
+    * 6, XOR-0x55 segments) and µ-law (tag 7, bias-0x84 complement
+    * segments) — pure closed-form expansions to ±32256/±32124. Out of
+    * contract (→ [[Unsupported]]): every other tag (MS-ADPCM,
+    * MP3-in-WAV, GSM, float64), other depths, >2 channels. [[Truncated]] =
     * any chunk size past the buffer; [[Bomb]] = more than 2²⁶ samples
     * per channel; structural damage → [[Corrupt]]. */
   private[graft] object Wav {
@@ -3793,6 +3795,33 @@ object Native {
         if (ch < 1 || ch > 2) return unsup // the audio tier's stereo cap
         val d0 = dataOff
         val samples: Array[Short] = tag match {
+          case 6 | 7 => // ITU G.711 A-law / µ-law (one code byte/sample)
+            if (bits != 8) return unsup
+            if (blockAlign != ch) return bad
+            val nS = dataLen.toInt
+            if (nS / ch > MaxSamples) return (Bomb, null)
+            val out = new Array[Short](nS)
+            var i = 0
+            if (tag == 7) { // µ-law: bias 0x84, segment shift, complement
+              while (i < nS) {
+                val u = ~b(d0 + i) & 0xff
+                val t = (((u & 0xf) << 3) + 0x84) << ((u >> 4) & 7)
+                out(i) = (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+                i += 1
+              }
+            } else { // A-law: XOR 0x55, segments, 0x80 = positive
+              while (i < nS) {
+                val a = (b(d0 + i) & 0xff) ^ 0x55
+                val seg = (a >> 4) & 7
+                var t = (a & 0xf) << 4
+                if (seg == 0) t += 8
+                else if (seg == 1) t += 0x108
+                else t = (t + 0x108) << (seg - 1)
+                out(i) = (if ((a & 0x80) != 0) t else -t).toShort
+                i += 1
+              }
+            }
+            out
           case 1 | 3 => // integer PCM / IEEE float
             val bytesPer =
               if (tag == 3) { if (bits != 32) return unsup; 4 }
@@ -3910,7 +3939,7 @@ object Native {
               blk += 1
             }
             out
-          case _ => return unsup // A-law/µ-law/MS-ADPCM/MP3-in-WAV/…
+          case _ => return unsup // MS-ADPCM/MP3-in-WAV/GSM/float64/…
         }
         // canonical 44-byte layout: the contract every tier consumer
         // ([[wavPcm16SampleCount]]) already holds
@@ -4975,12 +5004,16 @@ object Native {
       rate: Int, profile: String)
       extends BinaryExpression with NativeBinaryCodegen {
     require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
-    require(Seq("pcm8", "pcm24", "pcm32", "float32", "extensible", "fmt18")
-      .contains(profile), s"unknown profile $profile")
+    require(Seq("pcm8", "pcm24", "pcm32", "float32", "extensible", "fmt18",
+      "alaw", "mulaw").contains(profile), s"unknown profile $profile")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(data: Any, chAny: Any): Any =
       try encode(data, chAny) catch { case NonFatal(_) => null }
+    /** For the G.711 profiles the input bytes ARE the code stream (one
+      * code per sample) — the planted bytes stay SQL-restatable through
+      * the closed-form expansion. */
+    private def g711 = profile == "alaw" || profile == "mulaw"
     private def encode(data: Any, chAny: Any): Any = {
       val pcm = data.asInstanceOf[Array[Byte]]
       val ch = chAny match {
@@ -4990,8 +5023,8 @@ object Native {
         case _ => return null
       }
       if (ch < 1 || ch > 2) return null
-      if (pcm.length == 0 || pcm.length % (2 * ch) != 0) return null
-      val nS = pcm.length / 2
+      if (pcm.length == 0 || pcm.length % ((if (g711) 1 else 2) * ch) != 0) return null
+      val nS = if (g711) pcm.length else pcm.length / 2
       def sample(i: Int): Int = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
       val out = new java.io.ByteArrayOutputStream(pcm.length * 2 + 80)
       def put(s: String): Unit = { var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 } }
@@ -5003,11 +5036,13 @@ object Native {
         case "pcm32" => (1, 32, 16)
         case "float32" => (3, 32, 18)
         case "extensible" => (0xFFFE, 16, 40)
+        case "alaw" => (6, 8, 18)
+        case "mulaw" => (7, 8, 18)
         case _ => (1, 16, 18) // fmt18
       }
       val bytesPer = bits / 8
       val dataBytes = nS * bytesPer
-      val factLen = if (profile == "float32") 12 else 0 // spec: fact for non-PCM
+      val factLen = if (profile == "float32" || g711) 12 else 0 // fact for non-PCM
       val junkLen = if (profile == "fmt18") 8 + 5 + 1 else 0 // odd size pads
       val riffLen = 4 + 8 + fmtLen + factLen + junkLen + 8 + dataBytes
       put("RIFF"); w32(riffLen.toLong); put("WAVEfmt ")
@@ -5229,9 +5264,9 @@ object Native {
         form match {
           case "WAVE" =>
             // the full profile walk ([[Wav]] — the same path the audio
-            // tier consumes): 8/16/24/32-bit PCM, float32, IMA ADPCM and
-            // EXTENSIBLE all decode; A-law/µ-law/MS-ADPCM/MP3-in-WAV
-            // stay recognized-but-unsupported
+            // tier consumes): 8/16/24/32-bit PCM, float32, IMA ADPCM,
+            // G.711 A-law/µ-law and EXTENSIBLE all decode;
+            // MS-ADPCM/MP3-in-WAV/GSM stay recognized-but-unsupported
             Wav.status(b) match {
               case Wav.Ok => null
               case Wav.Truncated => s("truncated")

@@ -1669,6 +1669,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(self, canon))
   }
 
+  test("G.711 hand anchors: the published A-law/mu-law extreme and zero codes expand exactly") {
+    // the four corners every G.711 table agrees on: mu-law 0xFF→0,
+    // 0x00→−32124, 0x80→+32124; A-law 0x55→−8, 0xD5→+8, 0x2A→−32256,
+    // 0xAA→+32256
+    def decode(profile: String, codes: Array[Byte]): Seq[Int] = {
+      val blob = Seq(Tuple1(codes)).toDF("b")
+        .select(Multimodal.wavProfileEncode($"b", lit(1), 8000, profile))
+        .as[Array[Byte]].head()
+      val canon = Seq(Tuple1(blob)).toDF("b")
+        .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+      codes.indices.map(i =>
+        ((canon(44 + 2 * i) & 0xff) | (canon(45 + 2 * i) << 8)).toShort.toInt)
+    }
+    assert(decode("mulaw", Array[Byte](0xFF.toByte, 0x7F, 0x00, 0x80.toByte)) ==
+      Seq(0, 0, -32124, 32124))
+    assert(decode("alaw", Array[Byte](0x55, 0xD5.toByte, 0x2A, 0xAA.toByte)) ==
+      Seq(-8, 8, -32256, 32256))
+  }
+
   test("float32 WAV hand vectors: clamp, NaN, and half-even rounding at the int16 boundary") {
     // builder output for 6 samples, then the 6 float words at the spec
     // data offset (58) patched to hand-chosen IEEE bit patterns
@@ -1716,7 +1735,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n == expect)
   }
 
-  test("WAV profile refusals and classifier honesty: A-law, MS-ADPCM, float64, 3 channels, cut chunks") {
+  test("WAV profile refusals and classifier honesty: MS-ADPCM, GSM, float64, 3 channels, cut chunks") {
     def reason(bytes: Array[Byte]): String = {
       val r = Seq(Tuple1(bytes)).toDF("b")
         .select(graft.functions.Native.decodeDropReason($"b")).collect().head
@@ -1727,13 +1746,14 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, p))
       .as[Array[Byte]].head()
     // decodable profiles classify null — the tier's graduation
-    for (p <- Seq("pcm8", "pcm24", "float32", "extensible", "fmt18"))
+    for (p <- Seq("pcm8", "pcm24", "float32", "extensible", "fmt18",
+      "alaw", "mulaw"))
       assert(reason(blob(p)) == null, s"profile $p should decode")
     // format-tag surgery at the spec offsets → honest refusals
-    val alaw = blob("fmt18"); alaw(20) = 6 // A-law
-    assert(reason(alaw) == "unsupported_profile")
     val ms = blob("fmt18"); ms(20) = 2 // MS-ADPCM
     assert(reason(ms) == "unsupported_profile")
+    val gsm = blob("fmt18"); gsm(20) = 0x31 // GSM 6.10
+    assert(reason(gsm) == "unsupported_profile")
     val f64 = blob("float32"); f64(34) = 64 // bits 32 → 64
     assert(reason(f64) == "unsupported_profile")
     val tri = blob("fmt18"); tri(22) = 3 // 3 channels
