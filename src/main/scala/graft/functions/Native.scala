@@ -3762,7 +3762,12 @@ object Native {
         var dataOff = -1; var dataLen = 0L
         var factSamples = -1L
         var chunks = 0
-        while (p + 8 <= n && (fmtOff < 0 || dataOff < 0)) {
+        // walk until fmt, data AND fact are all resolved (legal RIFF
+        // order puts fact on either side of data — a trailing fact
+        // trimming a padded final ADPCM block must not be missed), or
+        // the chunk list ends; a chunk cut off mid-payload anywhere in
+        // the walk is real truncation
+        while (p + 8 <= n && (fmtOff < 0 || dataOff < 0 || factSamples < 0)) {
           chunks += 1
           if (chunks > 4096) return bad // headers are cheap; walks must be too
           val sz = u32(p + 4)
@@ -3878,7 +3883,10 @@ object Native {
             if (bits != 4) return unsup
             val headBytes = 4 * ch
             val dpb = blockAlign - headBytes // data bytes per block
-            if (dpb <= 0 || (ch == 2 && dpb % 8 != 0)) return bad
+            // data must pack whole 4-byte words per channel (stereo:
+            // 8-byte channel pairs; mono: 4-byte words) — a blockAlign
+            // leaving tail bytes would silently drop samples spb counts
+            if (dpb <= 0 || dpb % (4 * ch) != 0) return bad
             if (dataLen % blockAlign != 0) return bad
             val nBlocks = (dataLen / blockAlign).toInt
             val spb = dpb * 2 / ch + 1 // header sample + 2 per data byte
@@ -5110,6 +5118,11 @@ object Native {
     require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
     require(blockAlign > 4 && blockAlign <= 4096,
       s"blockAlign in (4, 4096], got $blockAlign")
+    // the decoder walks mono nibbles in whole 4-byte words and rejects
+    // tail bytes — the fixture must not be able to write what the
+    // decoder refuses
+    require((blockAlign - 4) % 4 == 0,
+      s"blockAlign-4 must pack whole 4-byte words, got $blockAlign")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(data: Any, idxAny: Any): Any =
@@ -5162,19 +5175,25 @@ object Native {
     *   - `truncated`            — recognized container cut off before its
     *                              structural header completes
     *   - `unsupported_profile`  — valid container, out-of-contract coding
-    *                              (gray+alpha/16-bit PNG — palette and
-    *                              Adam7 decode, arithmetic/lossless JPEG
-    *                              — progressive decodes, float/8-bit
-    *                              WAV, lossy WebP, non-MJPEG MP4,
-    *                              16-bit/bitfields BMP — RLE decodes,
-    *                              CCITT/tiled TIFF —
-    *                              PackBits/LZW/Deflate decode), or a
-    *                              RECOGNIZED
-    *                              magic with no decoder in this pipeline
-    *                              (MP3, Ogg, Matroska/WebM) — real
-    *                              media a crawl carries in volume, kept
-    *                              out of `bad_magic` so the per-reason
-    *                              counts match what a corpus owner sees
+    *                              (extended-sequential/lossless/
+    *                              arithmetic JPEG — baseline and
+    *                              progressive decode; MS-ADPCM/GSM/
+    *                              MP3-in-WAV — the PCM/float32/IMA/G.711
+    *                              zoo decodes; lossy VP8 WebP; non-MJPEG
+    *                              MP4/AVI; BI_BITFIELDS/16-bit BMP —
+    *                              palette depths and RLE decode;
+    *                              CCITT/JPEG-in-TIFF/sub-byte TIFF —
+    *                              strip+tile LZW/Deflate/PackBits/
+    *                              palette/16-bit decode; structurally
+    *                              illegal PNG headers — every legal
+    *                              depth/color pair decodes), or a
+    *                              RECOGNIZED magic whose frames this
+    *                              pipeline deliberately stops at census
+    *                              depth (MP3, Ogg, Matroska/WebM) —
+    *                              real media a crawl carries in volume,
+    *                              kept out of `bad_magic` so the
+    *                              per-reason counts match what a corpus
+    *                              owner sees
     *   - `bomb_guard`           — header demands more than the decoder's
     *                              allocation cap
     *   - `corrupt`              — profile in contract but the real decode
@@ -5325,8 +5344,9 @@ object Native {
       // progressive JPEG or lossy VP8. ----
       else if (Tiff.hasMagic(b))
         // baseline TIFF decodes for real (uncompressed + PackBits + LZW
-        // + Deflate 8-bit gray/RGB, optional Predictor 2, strips, both
-        // byte orders — [[Tiff]]); CCITT/JPEG-in-TIFF/tiled/palette
+        // + Deflate, 8-bit gray/RGB/palette and 16-bit gray/RGB,
+        // optional Predictor 2, STRIP and §15 TILE addressing, both
+        // byte orders — [[Tiff]]); CCITT/JPEG-in-TIFF/sub-byte/planar-2
         // profiles stay recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
@@ -7135,9 +7155,11 @@ object Native {
 
   /** tiff_decode_luma(BINARY) → BINARY: REAL baseline TIFF pixel decode
     * to the exact-integer luma plane — [[PngLumaDecode]]'s TIFF sibling
-    * ([[Tiff]]): both byte orders, the IFD walk, strips, 8-bit gray
-    * (either polarity) and RGB, uncompressed/PackBits/LZW/Deflate with
-    * optional Predictor 2. Null off contract. */
+    * ([[Tiff]]): both byte orders, the IFD walk, STRIP and §15 TILE
+    * addressing, 8-bit gray (either polarity) / RGB / palette-color
+    * (ColorMap) and 16-bit gray/RGB (high-byte reduction),
+    * uncompressed/PackBits/LZW/Deflate with optional Predictor 2. Null
+    * off contract. */
   case class TiffLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType

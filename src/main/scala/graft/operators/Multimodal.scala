@@ -891,11 +891,12 @@ object Multimodal {
 
   /** REAL baseline TIFF pixel decode to the exact-integer luma plane
     * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders, the
-    * IFD walk, strip storage, 8-bit gray (either polarity) and RGB,
-    * uncompressed, PackBits, LZW (§13 MSB-first, early width change) or
-    * Deflate, each optionally under the §14 horizontal-differencing
-    * Predictor. Null on CCITT/JPEG-in-TIFF/tiled/palette profiles or
-    * damage. */
+    * IFD walk, STRIP and §15 TILE addressing, 8-bit gray (either
+    * polarity) / RGB / palette-color (ColorMap) and 16-bit gray/RGB
+    * (high-byte reduction), uncompressed, PackBits, LZW (§13 MSB-first,
+    * early width change) or Deflate, each optionally under the §14
+    * horizontal-differencing Predictor. Null on CCITT/JPEG-in-TIFF/
+    * sub-byte/planar-2 profiles or damage. */
   def tiffDecodeLuma(tiff: Column): Column =
     graft.functions.Native.tiffDecodeLuma(tiff)
 
@@ -913,10 +914,11 @@ object Multimodal {
     graft.functions.Native.tiffEncodeGray8(pixels, width, bigEndian, compression, predictor)
   }
 
-  /** Fixture-grade palette-color / 16-bit TIFF encode ([[graft
-    * .functions.Native.TiffDeepEncode]]): mode "pal8" (ColorMap lookup)
-    * or "gray16" (high-byte reduction, planted nonzero low byte), either
-    * byte order. */
+  /** Fixture-grade palette-color / 16-bit / tiled TIFF encode ([[graft
+    * .functions.Native.TiffDeepEncode]]): mode "pal8" (ColorMap lookup),
+    * "gray16" (high-byte reduction, planted nonzero low byte) or
+    * "tiles8" (§15 TILE addressing, 16×16 zero-padded edge tiles),
+    * either byte order. */
   def tiffEncodeDeep(pixels: Column, width: Column, bigEndian: Boolean = false,
       mode: String = "pal8"): Column =
     graft.functions.Native.tiffEncodeDeep(pixels, width, bigEndian, mode)
