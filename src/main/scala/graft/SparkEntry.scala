@@ -1337,13 +1337,28 @@ object SparkEntry {
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             topDown = true).as("bmp_td"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-            rle = true).as("bmp_rle"))
+            rle = true).as("bmp_rle"),
+          // r14 depth/mask tiers: 16-bit BI_RGB 555, BI_BITFIELDS 565,
+          // 32-bit BITFIELDS with NON-BGR masks (a decoder ignoring the
+          // masks cannot pass), and the 2-bit WinCE palette
+          Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            "rgb555").as("bmp_555"),
+          Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            "bf565").as("bmp_565"),
+          Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            "bf8888").as("bmp_bf32"),
+          Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            "pal2").as("bmp_pal2"))
         .select(col("doc_id"),
           hex(Multimodal.bmpDecodeLuma(col("bmp"))).as("px_hex"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_td"))).as("px_hex_td"),
           // real BI_RLE8 (encoded runs + absolute packets + EOL/EOB)
           // through the run-length decoder
           hex(Multimodal.bmpDecodeLuma(col("bmp_rle"))).as("px_hex_rle"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_555"))).as("px_hex_555"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_565"))).as("px_hex_565"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_bf32"))).as("px_hex_bf32"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_pal2"))).as("px_hex_pal2"),
           hex(substring(col("bmp"), 1, 54)).as("blob_hdr_hex"),
           Multimodal.bmpDims(col("bmp_td")).getField("width").as("width"),
           Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))),
@@ -1414,6 +1429,56 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true).as("tiff"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("tiff"))
+      Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+    }),
+    // REAL CCITT Group 4 (T.6) decode, hash-oracled: the planted 9×8
+    // gray bitmap THRESHOLDED at 128 (the fixture contract: v < 128 =
+    // black ink) → a real Compression-4 WhiteIsZero TIFF — both byte
+    // orders AND a 3-rows-per-strip layout whose strips are independent
+    // MMR streams — decoded by the spec T.6 machinery (pass/horizontal/
+    // vertical modes, T.4 run alphabet) back to the exact bilevel plant
+    // (00 = ink, FF = paper; the oracle restates the threshold in pure
+    // SQL). The jpeg columns pin Compression 7 end-to-end: the DC-only
+    // 12×10 JPEG plant wrapped as a full-stream strip and as the
+    // libtiff-style JPEGTables split, routed through the SAME T.81
+    // cores — decode must equal the plant closed form. Hand vectors
+    // (pass/vertical boundaries, EOFB) and the JDK-ImageIO
+    // cross-decoder pin live in MultimodalSpec.
+    "multimodal_decode_tiff_ccitt" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "jt", i)
+      val jbitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9)).as("g4"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
+            bigEndian = true).as("g4_be"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
+            rowsPerStrip = 3).as("g4_ms"),
+          Multimodal.tiffJpegEncode(
+            Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12))).as("tj"),
+          Multimodal.tiffJpegEncode(
+            Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12)),
+            split = true).as("tj_sp"))
+        .select(col("doc_id"),
+          hex(Multimodal.tiffDecodeLuma(col("g4"))).as("px_hex_g4"),
+          hex(Multimodal.tiffDecodeLuma(col("g4_be"))).as("px_hex_g4_be"),
+          hex(Multimodal.tiffDecodeLuma(col("g4_ms"))).as("px_hex_g4_ms"),
+          hex(Multimodal.tiffDecodeLuma(col("tj"))).as("px_hex_jpeg"),
+          hex(Multimodal.tiffDecodeLuma(col("tj_sp"))).as("px_hex_jpeg_sp"))
+    }),
+    // image near-dup on REAL G4 bytes end-to-end (T.6 MMR decode →
+    // dHash → Hamming-LSH): re-keyed copies share blobs bit-for-bit →
+    // exactly one hamming-0 pair per doc; bilevel cross-pair bits agree
+    // w.p. 5/8 per cell, so a 62-of-64 cross match is ~7e-11 — analytic
+    // safety holds through the verify scale
+    "dedup_image_tiff_g4" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9)).as("tiff"))
       val copies = base.select((col("id") + 100000L).as("id"), col("tiff"))
       Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
@@ -1985,6 +2050,7 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), prof("pcm8").as("w8"), prof("pcm24").as("w24"),
           prof("pcm32").as("w32"), prof("float32").as("wf"),
+          prof("float64").as("wf64"),
           prof("extensible").as("wx"), prof("fmt18").as("w18"),
           g711("alaw").as("wa"), g711("mulaw").as("wu"))
         .select(col("doc_id"),
@@ -1992,6 +2058,9 @@ object SparkEntry {
           upper(hex(Multimodal.wavCanonical(col("w24")))).as("wav_hex_pcm24"),
           upper(hex(Multimodal.wavCanonical(col("w32")))).as("wav_hex_pcm32"),
           upper(hex(Multimodal.wavCanonical(col("wf")))).as("wav_hex_f32"),
+          // r14: IEEE float64 through the same seam — s/32768 is exact
+          // in double, so canonicalization is the identity again
+          upper(hex(Multimodal.wavCanonical(col("wf64")))).as("wav_hex_f64"),
           upper(hex(Multimodal.wavCanonical(col("wx")))).as("wav_hex_ext"),
           upper(hex(Multimodal.wavCanonical(col("w18")))).as("wav_hex_fmt18"),
           // ITU G.711: the closed-form segment expansions, restated by
@@ -2017,6 +2086,27 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.imaAdpcmWav(nib, (col("doc_id") % 89).cast("int"),
+            rate = 8000, blockAlign = 28).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(Multimodal.wavCanonical(col("wav")))).as("wav_hex"))
+    }),
+    // Microsoft ADPCM decode, oracled by an INDEPENDENT SQL decoder:
+    // planted nibble bytes (md5 closed form) wrapped by the fixture
+    // muxer into a real two-block tag-2 WAV (closed-form per-block
+    // predictor/iDelta/seed headers, the published coefficient table in
+    // fmt, fact chunk), decoded by the native coefficient/adaptation
+    // walk — and the oracle recomputes every sample with a recursive
+    // CTE over the published 7-pair/16-entry MS tables in DuckDB (the
+    // same truncating /256 prediction and 16-floor/2^24-cap iDelta).
+    // Decoder and oracle share nothing but the spec — the IMA stance,
+    // MS edition.
+    "multimodal_decode_msadpcm" -> ((s, d) => {
+      val nib = unhex(concat((0 until 42).map(j =>
+        substring(md5(concat(col("doc_id").cast("string"), lit(s"-mn$j"))
+          .cast("binary")), 1, 2)): _*))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.msAdpcmWav(nib, (col("doc_id") % 911).cast("int"),
             rate = 8000, blockAlign = 28).as("wav"))
         .select(col("doc_id"),
           upper(hex(Multimodal.wavCanonical(col("wav")))).as("wav_hex"))
@@ -2831,18 +2921,38 @@ object SparkEntry {
     // gray palette identity, either row order); the header slice is the
     // constant spec layout for a 9×8 8-bit BI_RGB BMP (rowBytes 12,
     // data offset 14+40+1024 = 0x436, file size 0x496)
+    // identity for the palette paths; the depth/mask tiers are the
+    // documented closed forms — 555: every 5-bit channel is idx>>3
+    // widened by the truncating scale (equal channels ⇒ luma = channel);
+    // 565: the 6-bit green widens at 63; bf32: the non-BGR mask plant
+    // (idx, 255−idx, 7·idx mod 256) through the 601 luma; pal2: index
+    // idx mod 4 over the i·85 gray palette
     "multimodal_decode_bmp" ->
-      """SELECT doc_id,
+      """WITH c AS (SELECT doc_id,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS idx
+           FROM documents)
+         SELECT doc_id,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_td,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_rle,
+           upper(array_to_string([lpad(to_hex(((x // 8) * 255) // 31), 2, '0')
+             for x in idx], '')) AS px_hex_555,
+           upper(array_to_string([lpad(to_hex((413 * (((x // 8) * 255) // 31)
+             + 587 * (((x // 4) * 255) // 63) + 500) // 1000), 2, '0')
+             for x in idx], '')) AS px_hex_565,
+           upper(array_to_string([lpad(to_hex((299 * x + 587 * (255 - x)
+             + 114 * ((7 * x) % 256) + 500) // 1000), 2, '0')
+             for x in idx], '')) AS px_hex_bf32,
+           upper(array_to_string([lpad(to_hex((x % 4) * 85), 2, '0')
+             for x in idx], '')) AS px_hex_pal2,
            '424D960400000000000036040000280000000900000008000000' ||
              '01000800000000006000000000000000000000000001000000000000' AS blob_hdr_hex,
            CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
-         FROM documents""",
+         FROM c""",
     // identical pair-set argument to dedup_image_png on BMP payloads
     "dedup_image_bmp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
@@ -2883,6 +2993,38 @@ object SparkEntry {
          FROM c""",
     // identical pair-set argument to dedup_image_png on TIFF payloads
     "dedup_image_tiff" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM documents""",
+    // the G4 decode must equal the THRESHOLDED plant (v < 128 = ink =
+    // luma 00, else FF) in every layout; the jpeg columns are the
+    // DC-only block plant restated (the multimodal_decode_jpeg closed
+    // form under the '-jt' tag)
+    "multimodal_decode_tiff_ccitt" ->
+      """WITH g AS (SELECT doc_id,
+             array_to_string([CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT < 128
+                                   THEN '00' ELSE 'FF' END
+               for i in range(0, 72)], '') AS bil
+           FROM documents),
+           v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-jt' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-jt' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-jt' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex(x), 2, '0'))) AS hh
+           FROM v)
+         SELECT g.doc_id,
+           g.bil AS px_hex_g4,
+           g.bil AS px_hex_g4_be,
+           g.bil AS px_hex_g4_ms,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex_jpeg,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex_jpeg_sp
+         FROM g JOIN hx ON g.doc_id = hx.doc_id""",
+    // identical pair-set argument to dedup_image_tiff on G4 payloads
+    "dedup_image_tiff_g4" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
     // every field is the planted WebM arithmetic restated (timescale
@@ -3243,6 +3385,8 @@ object SparkEntry {
            '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
              '6461746190000000' || ident AS wav_hex_f32,
            '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
+             '6461746190000000' || ident AS wav_hex_f64,
+           '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
              '6461746190000000' || ident AS wav_hex_ext,
            '52494646B400000057415645666D74201000000001000100803E0000007D000002001000' ||
              '6461746190000000' || ident AS wav_hex_fmt18,
@@ -3294,6 +3438,57 @@ object SparkEntry {
          SELECT doc_id,
            '52494646E800000057415645666D74201000000001000100401F0000803E000002001000' ||
              '64617461C4000000' || upper(datahex) AS wav_hex
+         FROM hexed""",
+    // the independent SQL MS-ADPCM decoder: nibbles HIGH-first from the
+    // md5 plant, per-block closed-form headers (predictor (ip+b) mod 7,
+    // iDelta 16+(31ip+17b) mod 1000, seeds (131ip+37b)/(173ip+59b) mod
+    // 60000 − 30000 with ip = doc_id mod 911), state advanced through
+    // the published coefficient pairs and adaptation table with the
+    // same truncating /256 prediction and 16-floor/2^24-cap iDelta;
+    // seeds emit oldest-first behind the constant canonical header
+    // (ch 1, 8 kHz, 176 data bytes)
+    "multimodal_decode_msadpcm" ->
+      """WITH RECURSIVE
+         init AS (SELECT doc_id, b,
+             CAST((doc_id % 911 + b) % 7 AS INT) AS p,
+             CAST(16 + ((doc_id % 911) * 31 + b * 17) % 1000 AS BIGINT) AS delta,
+             CAST(((doc_id % 911) * 131 + b * 37) % 60000 - 30000 AS BIGINT) AS s1,
+             CAST(((doc_id % 911) * 173 + b * 59) % 60000 - 30000 AS BIGINT) AS s2
+           FROM documents, generate_series(0, 1) bb(b)),
+         nib AS (SELECT doc_id, b, k,
+             CASE WHEN k % 2 = 0
+               THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mn' || CAST(b * 21 + k // 2 AS VARCHAR)), 1, 2))::INT // 16
+               ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mn' || CAST(b * 21 + k // 2 AS VARCHAR)), 1, 2))::INT % 16
+             END AS nv
+           FROM documents, generate_series(0, 1) bb(b), generate_series(0, 41) kk(k)),
+         dec AS (
+           SELECT doc_id, b, -1 AS k, s1, s2, delta, p FROM init
+           UNION ALL
+           SELECT d.doc_id, d.b, d.k + 1,
+             GREATEST(-32768, LEAST(32767,
+               CAST(trunc((d.s1 * ([256,512,0,192,240,460,392])[d.p+1]
+                         + d.s2 * ([0,-256,0,64,0,-208,-232])[d.p+1]) / 256.0) AS BIGINT)
+               + (CASE WHEN nb.nv >= 8 THEN nb.nv - 16 ELSE nb.nv END) * d.delta)) AS s1,
+             d.s1 AS s2,
+             LEAST(16777216, GREATEST(16,
+               (([230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230])[nb.nv+1] * d.delta) // 256)) AS delta,
+             d.p
+           FROM dec d
+           JOIN nib nb ON nb.doc_id = d.doc_id AND nb.b = d.b AND nb.k = d.k + 1
+           WHERE d.k < 41),
+         emitted AS (
+           SELECT doc_id, b, -2 AS k, s2 AS smp FROM init
+           UNION ALL SELECT doc_id, b, -1 AS k, s1 AS smp FROM init
+           UNION ALL SELECT doc_id, b, k, s1 AS smp FROM dec WHERE k >= 0),
+         hexed AS (SELECT doc_id,
+             string_agg(
+               lpad(to_hex((smp + 65536) % 65536 % 256), 2, '0') ||
+               lpad(to_hex((smp + 65536) % 65536 // 256), 2, '0'),
+               '' ORDER BY b, k) AS datahex
+           FROM emitted GROUP BY doc_id)
+         SELECT doc_id,
+           '52494646D400000057415645666D74201000000001000100401F0000803E000002001000' ||
+             '64617461B0000000' || upper(datahex) AS wav_hex
          FROM hexed""",
     // one cross-profile pair per doc: float32 and pcm24 canonicalize to
     // the same PCM, so the envelopes hash identically

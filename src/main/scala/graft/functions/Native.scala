@@ -3722,11 +3722,20 @@ object Native {
     * 4-byte headers — predictor emitted as the block's first sample, the
     * spec's +1 — then 4-bit nibbles low-first through the published
     * 89-step/8-delta tables, stereo interleaved in 4-byte words, a fact
-    * chunk trimming the padded final block), and ITU G.711 A-law (tag
-    * 6, XOR-0x55 segments) and µ-law (tag 7, bias-0x84 complement
-    * segments) — pure closed-form expansions to ±32256/±32124. Out of
-    * contract (→ [[Unsupported]]): every other tag (MS-ADPCM,
-    * MP3-in-WAV, GSM, float64), other depths, >2 channels. [[Truncated]] =
+    * chunk trimming the padded final block), Microsoft ADPCM (tag 2:
+    * per-block per-channel 7-byte headers — predictor index into the
+    * published 7-entry coefficient pairs, initial iDelta and the two
+    * seed samples, emitted oldest-first — then signed 4-bit nibbles
+    * HIGH-first through the published 16-entry adaptation table;
+    * prediction is (s1·c1 + s2·c2)/256 with C-truncating division, and
+    * the running iDelta is carried in 64-bit, floored at 16 and capped
+    * at 2²⁴ — a bomb-guard: past it every nonzero nibble already
+    * saturates, and no real encoder's nibble stream can pump it there),
+    * IEEE float64 (tag 3 at 64 bits, same rint/clamp as float32), and
+    * ITU G.711 A-law (tag 6, XOR-0x55 segments) and µ-law (tag 7,
+    * bias-0x84 complement segments) — pure closed-form expansions to
+    * ±32256/±32124. Out of contract (→ [[Unsupported]]): every other
+    * tag (MP3-in-WAV, GSM), other depths, >2 channels. [[Truncated]] =
     * any chunk size past the buffer; [[Bomb]] = more than 2²⁶ samples
     * per channel; structural damage → [[Corrupt]]. */
   private[graft] object Wav {
@@ -3827,9 +3836,9 @@ object Native {
               }
             }
             out
-          case 1 | 3 => // integer PCM / IEEE float
+          case 1 | 3 => // integer PCM / IEEE float (32- or 64-bit)
             val bytesPer =
-              if (tag == 3) { if (bits != 32) return unsup; 4 }
+              if (tag == 3) { if (bits != 32 && bits != 64) return unsup; bits / 8 }
               else {
                 if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return unsup
                 bits / 8
@@ -3842,14 +3851,22 @@ object Native {
             var i = 0
             if (tag == 3) {
               while (i < nS) {
-                val o = d0 + 4 * i
-                val f = java.lang.Float.intBitsToFloat((b(o) & 0xff) |
-                  ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
-                  ((b(o + 3) & 0xff) << 24))
+                val o = d0 + bytesPer * i
+                val f: Double =
+                  if (bytesPer == 4)
+                    java.lang.Float.intBitsToFloat((b(o) & 0xff) |
+                      ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+                      ((b(o + 3) & 0xff) << 24)).toDouble
+                  else {
+                    var bitsL = 0L
+                    var k = 7
+                    while (k >= 0) { bitsL = (bitsL << 8) | (b(o + k) & 0xffL); k -= 1 }
+                    java.lang.Double.longBitsToDouble(bitsL)
+                  }
                 out(i) =
                   if (f != f) 0 // NaN
                   else {
-                    val r = Math.rint(f.toDouble * 32768.0)
+                    val r = Math.rint(f * 32768.0)
                     if (r > 32767.0) 32767
                     else if (r < -32768.0) -32768
                     else r.toInt.toShort
@@ -3877,6 +3894,76 @@ object Native {
                   out(i) = ((b(o + 2) & 0xff) | (b(o + 3) << 8)).toShort
                   i += 1
                 }
+            }
+            out
+          case 2 => // Microsoft ADPCM (the published 7-coefficient codec)
+            if (bits != 4) return unsup
+            val headBytes = 7 * ch
+            val dpb = blockAlign - headBytes // nibble bytes per block
+            if (dpb <= 0) return bad
+            if (dataLen % blockAlign != 0) return bad
+            val nBlocks = (dataLen / blockAlign).toInt
+            val spb = dpb * 2 / ch + 2 // 2 header samples + 2 per byte/ch
+            val perCh = nBlocks.toLong * spb
+            if (perCh > MaxSamples) return (Bomb, null)
+            val keep =
+              if (factSamples >= 0 && factSamples <= perCh &&
+                factSamples > perCh - spb) factSamples.toInt
+              else perCh.toInt
+            val out = new Array[Short](keep * ch)
+            // the published coefficient pairs and adaptation table
+            val c1 = Array(256, 512, 0, 192, 240, 460, 392)
+            val c2 = Array(0, -256, 0, 64, 0, -208, -232)
+            val adapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+              768, 614, 512, 409, 307, 230, 230, 230)
+            val coefA = new Array[Int](ch); val coefB = new Array[Int](ch)
+            val delta = new Array[Long](ch)
+            val s1 = new Array[Int](ch); val s2 = new Array[Int](ch)
+            var blk = 0
+            while (blk < nBlocks) {
+              val base = d0 + blk * blockAlign
+              var c = 0
+              while (c < ch) {
+                val p = b(base + c) & 0xff
+                if (p > 6) return bad // predictor index past the table
+                coefA(c) = c1(p); coefB(c) = c2(p)
+                val dOff = base + ch + 2 * c
+                delta(c) = ((b(dOff) & 0xff) | (b(dOff + 1) << 8)).toShort.toLong
+                if (delta(c) < 0) return bad // a negative iDelta is damage
+                val o1 = base + 3 * ch + 2 * c
+                val o2 = base + 5 * ch + 2 * c
+                s1(c) = ((b(o1) & 0xff) | (b(o1 + 1) << 8)).toShort.toInt
+                s2(c) = ((b(o2) & 0xff) | (b(o2 + 1) << 8)).toShort.toInt
+                // the two seed samples emit OLDEST first (samp2, samp1)
+                val sBase = blk.toLong * spb
+                if (sBase < keep) out((sBase * ch + c).toInt) = s2(c).toShort
+                if (sBase + 1 < keep) out(((sBase + 1) * ch + c).toInt) = s1(c).toShort
+                c += 1
+              }
+              // signed nibbles HIGH-first, channels alternating per nibble
+              var k = 0
+              val nNib = dpb * 2
+              while (k < nNib) {
+                val byteV = b(base + headBytes + (k >> 1)) & 0xff
+                val nib = if ((k & 1) == 0) byteV >> 4 else byteV & 0xf
+                val c0 = k % ch
+                val snib = if (nib >= 8) nib - 16 else nib
+                // C-truncating division — the published pseudocode's /256
+                val pred = (s1(c0) * coefA(c0) + s2(c0) * coefB(c0)) / 256
+                var v = pred.toLong + snib.toLong * delta(c0)
+                if (v > 32767) v = 32767 else if (v < -32768) v = -32768
+                s2(c0) = s1(c0); s1(c0) = v.toInt
+                var nd = (adapt(nib) * delta(c0)) >> 8
+                if (nd < 16) nd = 16
+                // bomb-guard cap (see the contract doc above): past 2²⁴
+                // every nonzero nibble saturates anyway
+                if (nd > (1L << 24)) nd = 1L << 24
+                delta(c0) = nd
+                val sIdx = blk.toLong * spb + 2 + k / ch
+                if (sIdx < keep) out((sIdx * ch + c0).toInt) = s1(c0).toShort
+                k += 1
+              }
+              blk += 1
             }
             out
           case 0x11 => // IMA/DVI ADPCM
@@ -3947,7 +4034,7 @@ object Native {
               blk += 1
             }
             out
-          case _ => return unsup // MS-ADPCM/MP3-in-WAV/GSM/float64/…
+          case _ => return unsup // MP3-in-WAV/GSM/…
         }
         // canonical 44-byte layout: the contract every tier consumer
         // ([[wavPcm16SampleCount]]) already holds
@@ -5001,8 +5088,9 @@ object Native {
     * of the input (the oracle restates it without running a decoder):
     *   - `pcm8`:   u8 = (s>>8)+128 → canonical sample (s & 0xFF00)
     *   - `pcm24`/`pcm32`: s shifted into the top 16 bits → identity
-    *   - `float32`: f = s/32768 (exact in IEEE) → identity; fmt size 18
-    *     + a fact chunk, the spec's non-PCM shape
+    *   - `float32`/`float64`: f = s/32768 (exact in IEEE at either
+    *     width) → identity; fmt size 18 + a fact chunk, the spec's
+    *     non-PCM shape
     *   - `extensible`: PCM16 behind the 0xFFFE tag + KSDATAFORMAT PCM
     *     GUID → identity through the GUID dispatch
     *   - `fmt18`: plain PCM16 with an 18-byte fmt AND an odd-sized junk
@@ -5012,8 +5100,8 @@ object Native {
       rate: Int, profile: String)
       extends BinaryExpression with NativeBinaryCodegen {
     require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
-    require(Seq("pcm8", "pcm24", "pcm32", "float32", "extensible", "fmt18",
-      "alaw", "mulaw").contains(profile), s"unknown profile $profile")
+    require(Seq("pcm8", "pcm24", "pcm32", "float32", "float64", "extensible",
+      "fmt18", "alaw", "mulaw").contains(profile), s"unknown profile $profile")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(data: Any, chAny: Any): Any =
@@ -5043,6 +5131,7 @@ object Native {
         case "pcm24" => (1, 24, 16)
         case "pcm32" => (1, 32, 16)
         case "float32" => (3, 32, 18)
+        case "float64" => (3, 64, 18)
         case "extensible" => (0xFFFE, 16, 40)
         case "alaw" => (6, 8, 18)
         case "mulaw" => (7, 8, 18)
@@ -5050,7 +5139,9 @@ object Native {
       }
       val bytesPer = bits / 8
       val dataBytes = nS * bytesPer
-      val factLen = if (profile == "float32" || g711) 12 else 0 // fact for non-PCM
+      val factLen =
+        if (profile == "float32" || profile == "float64" || g711) 12
+        else 0 // fact for non-PCM
       val junkLen = if (profile == "fmt18") 8 + 5 + 1 else 0 // odd size pads
       val riffLen = 4 + 8 + fmtLen + factLen + junkLen + 8 + dataBytes
       put("RIFF"); w32(riffLen.toLong); put("WAVEfmt ")
@@ -5092,6 +5183,14 @@ object Native {
             val f = java.lang.Float.floatToIntBits(sample(i) / 32768.0f)
             out.write(f & 0xff); out.write((f >> 8) & 0xff)
             out.write((f >> 16) & 0xff); out.write((f >> 24) & 0xff)
+            i += 1
+          }
+        case "float64" =>
+          while (i < nS) {
+            // s/32768 is exact in IEEE double → canonicalize = identity
+            val f = java.lang.Double.doubleToLongBits(sample(i) / 32768.0)
+            var k = 0
+            while (k < 8) { out.write(((f >> (8 * k)) & 0xff).toInt); k += 1 }
             i += 1
           }
         case _ => out.write(pcm, 0, pcm.length) // extensible / fmt18
@@ -5165,6 +5264,74 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** ms_adpcm_wav(BINARY nibbleData, initPred; rate, blockAlign) →
+    * BINARY: a REAL mono Microsoft-ADPCM WAV (tag 2, the spec fmt shape
+    * with cbSize 32 carrying wSamplesPerBlock + the published 7
+    * coefficient pairs, a fact chunk with the exact sample count)
+    * wrapping the given nibble bytes as block payloads —
+    * [[ImaAdpcmWavEncode]]'s MS sibling. Per-block 7-byte headers are
+    * CLOSED FORMS of (initPred, blockNo): predictor (initPred + blk)
+    * mod 7, iDelta 16 + (initPred·31 + blk·17) mod 1000, seed samples
+    * ((initPred·131 + blk·37) mod 60000) − 30000 and
+    * ((initPred·173 + blk·59) mod 60000) − 30000 — so an independent
+    * SQL implementation of the published coefficient/adaptation tables
+    * can restate every decoded sample. nibbleData length must divide
+    * evenly into blocks of (blockAlign − 7) bytes. */
+  case class MsAdpcmWavEncode(left: Expression, right: Expression,
+      rate: Int, blockAlign: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(rate > 0 && rate < (1 << 20), s"rate in (0, 2^20), got $rate")
+    require(blockAlign > 7 && blockAlign <= 4096,
+      s"blockAlign in (7, 4096], got $blockAlign")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(data: Any, idxAny: Any): Any =
+      try encode(data, idxAny) catch { case NonFatal(_) => null }
+    private def encode(data: Any, idxAny: Any): Any = {
+      val nib = data.asInstanceOf[Array[Byte]]
+      val initPred = idxAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (initPred < 0) return null
+      val dpb = blockAlign - 7
+      if (nib.length == 0 || nib.length % dpb != 0) return null
+      val nBlocks = nib.length / dpb
+      val spb = dpb * 2 + 2
+      val dataBytes = nBlocks * blockAlign
+      val out = new java.io.ByteArrayOutputStream(dataBytes + 110)
+      def put(s: String): Unit = { var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 } }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      val fmtLen = 50 // 16 + cbSize(2) + wSamplesPerBlock(2) + wNumCoef(2) + 7 pairs(28)
+      put("RIFF"); w32(4L + 8 + fmtLen + 12 + 8 + dataBytes); put("WAVEfmt ")
+      w32(fmtLen.toLong)
+      w16(2); w16(1); w32(rate.toLong)
+      w32(rate.toLong * blockAlign / spb); w16(blockAlign); w16(4)
+      w16(32); w16(spb); w16(7) // cbSize, wSamplesPerBlock, wNumCoef
+      val c1 = Array(256, 512, 0, 192, 240, 460, 392)
+      val c2 = Array(0, -256, 0, 64, 0, -208, -232)
+      var ci = 0
+      while (ci < 7) { w16(c1(ci)); w16(c2(ci) & 0xffff); ci += 1 }
+      put("fact"); w32(4L); w32(nBlocks.toLong * spb)
+      put("data"); w32(dataBytes.toLong)
+      var blk = 0
+      while (blk < nBlocks) {
+        out.write((initPred + blk) % 7)
+        w16(16 + (initPred * 31 + blk * 17) % 1000)
+        w16(((initPred * 131 + blk * 37) % 60000 - 30000) & 0xffff)
+        w16(((initPred * 173 + blk * 59) % 60000 - 30000) & 0xffff)
+        out.write(nib, blk * dpb, dpb)
+        blk += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** decode_drop_reason(BINARY) → STRING: the crawl-scale observability
     * companion to the near-dup tiers' silent pre-shuffle drops — WHY a
     * payload would fail the real decoders, or null when it decodes fine.
@@ -5177,14 +5344,15 @@ object Native {
     *   - `unsupported_profile`  — valid container, out-of-contract coding
     *                              (extended-sequential/lossless/
     *                              arithmetic JPEG — baseline and
-    *                              progressive decode; MS-ADPCM/GSM/
-    *                              MP3-in-WAV — the PCM/float32/IMA/G.711
+    *                              progressive decode; GSM/MP3-in-WAV —
+    *                              the PCM/float32+64/IMA/MS-ADPCM/G.711
     *                              zoo decodes; lossy VP8 WebP; non-MJPEG
-    *                              MP4/AVI; BI_BITFIELDS/16-bit BMP —
-    *                              palette depths and RLE decode;
-    *                              CCITT/JPEG-in-TIFF/sub-byte TIFF —
-    *                              strip+tile LZW/Deflate/PackBits/
-    *                              palette/16-bit decode; structurally
+    *                              MP4/AVI; BI_JPEG/BI_PNG-in-BMP — the
+    *                              mask/palette/RLE BMP zoo decodes;
+    *                              CCITT G3/sub-byte TIFF — G4 bilevel,
+    *                              new-JPEG, planar-2 and strip+tile
+    *                              LZW/Deflate/PackBits/palette/16-bit
+    *                              decode; structurally
     *                              illegal PNG headers — every legal
     *                              depth/color pair decodes), or a
     *                              RECOGNIZED magic whose frames this
@@ -5283,9 +5451,9 @@ object Native {
         form match {
           case "WAVE" =>
             // the full profile walk ([[Wav]] — the same path the audio
-            // tier consumes): 8/16/24/32-bit PCM, float32, IMA ADPCM,
-            // G.711 A-law/µ-law and EXTENSIBLE all decode;
-            // MS-ADPCM/MP3-in-WAV/GSM stay recognized-but-unsupported
+            // tier consumes): 8/16/24/32-bit PCM, float32/float64,
+            // IMA ADPCM, MS-ADPCM, G.711 A-law/µ-law and EXTENSIBLE all
+            // decode; MP3-in-WAV/GSM stay recognized-but-unsupported
             Wav.status(b) match {
               case Wav.Ok => null
               case Wav.Truncated => s("truncated")
@@ -5343,11 +5511,13 @@ object Native {
       // limitation, so they classify `unsupported_profile` like
       // progressive JPEG or lossy VP8. ----
       else if (Tiff.hasMagic(b))
-        // baseline TIFF decodes for real (uncompressed + PackBits + LZW
-        // + Deflate, 8-bit gray/RGB/palette and 16-bit gray/RGB,
-        // optional Predictor 2, STRIP and §15 TILE addressing, both
-        // byte orders — [[Tiff]]); CCITT/JPEG-in-TIFF/sub-byte/planar-2
-        // profiles stay recognized-but-unsupported
+        // TIFF decodes for real (uncompressed + PackBits + LZW +
+        // Deflate, 8-bit gray/RGB/palette and 16-bit gray/RGB, optional
+        // Predictor 2, STRIP and §15 TILE addressing, planar-2 RGB
+        // strips, CCITT G4 bilevel, new-JPEG Compression 7 incl.
+        // JPEGTables, both byte orders — [[Tiff]]); CCITT G3,
+        // Compression-6 legacy JPEG and sub-byte gray profiles stay
+        // recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
           case Tiff.Truncated => s("truncated")
@@ -5357,8 +5527,10 @@ object Native {
         }
       else if (b(0) == 'B' && b(1) == 'M' &&
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
-        // BMP decodes for real (BI_RGB 1/4/8/24/32 + RLE8/RLE4 —
-        // [[Bmp]]); bitfields/16-bit stay recognized-but-unsupported
+        // BMP decodes for real (BI_RGB 1/2/4/8/16/24/32, RLE8/RLE4,
+        // BI_BITFIELDS 16/32 mask-driven — [[Bmp]]); BI_JPEG/BI_PNG
+        // embedded streams and the OS/2 V2 header family stay
+        // recognized-but-unsupported
         Bmp.status(b) match {
           case Bmp.Ok => null
           case Bmp.Truncated => s("truncated")
@@ -6335,15 +6507,23 @@ object Native {
     * scraped office/clipart content. REAL decode per the public Windows
     * bitmap layout: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER-or-
     * later (size ≥ 40; V4/V5 keep the core fields at the same offsets),
-    * 1/4/8-bit palette (BGRX quads, `biClrUsed` honored, MSB-first
-    * sub-byte indices) and 24/32-bit truecolor (BGR(X) order), 4-byte
-    * row padding, bottom-up rows with the top-down negative-height
-    * variant, and the real BI_RLE8/BI_RLE4 run-length codings (encoded
-    * runs, word-aligned absolute mode, EOL/EOB/delta escapes, skipped
-    * pixels = index 0), plus the pre-Windows-3 BITMAPCOREHEADER layout
-    * (12-byte header, u16 dims, RGB-triple palette, 1/4/8/24-bit).
-    * Out of contract (→ `unsupported_profile`): 2/16-bit depths,
-    * BI_BITFIELDS, and the OS/2 V2 header family (12 < size < 40). */
+    * 1/2/4/8-bit palette (BGRX quads, `biClrUsed` honored, MSB-first
+    * sub-byte indices) and 24/32-bit truecolor (BGR(X) order), 16-bit
+    * BI_RGB (the implicit X1R5G5B5 masks) and BI_BITFIELDS (3) at
+    * 16/32 bpp with explicit contiguous non-overlapping channel masks
+    * (at byte 54 — both the INFOHEADER+appended-DWORDs layout and the
+    * V4/V5 in-header fields land there), fields widened to 8 bits by
+    * linear truncating scale v·255/(2^k−1) (width ≤ 8) or top-8
+    * truncation (wider), 4-byte row padding, bottom-up rows with the
+    * top-down negative-height variant, and the real BI_RLE8/BI_RLE4
+    * run-length codings (encoded runs, word-aligned absolute mode,
+    * EOL/EOB/delta escapes, skipped pixels = index 0), plus the
+    * pre-Windows-3 BITMAPCOREHEADER layout (12-byte header, u16 dims,
+    * RGB-triple palette, 1/4/8/24-bit). Out of contract
+    * (→ `unsupported_profile`): BI_JPEG/BI_PNG embedded streams
+    * (compression 4/5) and the OS/2 V2 header family
+    * (12 < size < 40); zero/overlapping/non-contiguous bitfield masks
+    * are structural damage (→ `corrupt`). */
   private object Bmp {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -6353,6 +6533,17 @@ object Native {
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
     private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+    /** Widen a masked field ((shift << 8) | width packed) to 8 bits:
+      * linear truncating scale v·255/(2^k−1) for widths ≤ 8, top-8
+      * truncation for wider fields — integer-exact, SQL-restatable. */
+    private def widen(v: Long, f: Int): Int = {
+      val sh = f >> 8; val wd = f & 0xff
+      val x = ((v >>> sh) & ((1L << wd) - 1)).toInt
+      if (wd == 8) x
+      else if (wd < 8) ((x.toLong * 255) / ((1 << wd) - 1)).toInt
+      else x >> (wd - 8)
+    }
 
     /** "BM" plus the four reserved zero bytes — the same guard the
       * classifier and [[graft.operators.Multimodal.modality]] sniff on,
@@ -6388,14 +6579,45 @@ object Native {
         if (u16(b, if (core) 22 else 26) != 1) return bad // planes must be 1
         val bpp = u16(b, if (core) 24 else 28)
         val compression = if (core) 0L else u32(b, 30)
-        if (core && bpp == 32) return (Unsupported, 0, 0, null) // no core-32
-        // BI_RGB at 1/4/8/24/32 bpp, BI_RLE8 (1) at 8, BI_RLE4 (2) at 4;
-        // bitfields (3) and 16-bit stay out of contract
+        // COREHEADER carries only the classic 1/4/8/24 depths
+        if (core && bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24)
+          return (Unsupported, 0, 0, null)
+        // BI_RGB at 1/2/4/8/16/24/32 bpp, BI_RLE8 (1) at 8, BI_RLE4 (2)
+        // at 4, BI_BITFIELDS (3) at 16/32; BI_JPEG/BI_PNG embedded
+        // streams stay out of contract
         val ok = (compression == 0 &&
-          (bpp == 1 || bpp == 4 || bpp == 8 || bpp == 24 || bpp == 32)) ||
-          (compression == 1 && bpp == 8) || (compression == 2 && bpp == 4)
+          (bpp == 1 || bpp == 2 || bpp == 4 || bpp == 8 || bpp == 16 ||
+            bpp == 24 || bpp == 32)) ||
+          (compression == 1 && bpp == 8) || (compression == 2 && bpp == 4) ||
+          (compression == 3 && (bpp == 16 || bpp == 32))
         if (!ok) return (Unsupported, 0, 0, null)
-        if (compression != 0 && topDown) return bad // RLE is bottom-up only
+        // channel masks: explicit for BI_BITFIELDS (byte 54 in both the
+        // INFOHEADER-appended and V4/V5 in-header layouts), the spec's
+        // implicit X1R5G5B5 for 16-bit BI_RGB; zero otherwise (BGR path)
+        var maskR = 0L; var maskG = 0L; var maskB = 0L
+        if (compression == 3) {
+          if (n < 66) return trunc
+          maskR = u32(b, 54); maskG = u32(b, 58); maskB = u32(b, 62)
+        } else if (bpp == 16) {
+          maskR = 0x7C00L; maskG = 0x03E0L; maskB = 0x001FL
+        }
+        // (shift << 8) | width for a contiguous in-range mask, else −1
+        def fieldOf(mask: Long): Int = {
+          if (mask <= 0 || (bpp < 64 && mask > (1L << bpp) - 1)) return -1
+          val sh = java.lang.Long.numberOfTrailingZeros(mask)
+          val wd = java.lang.Long.bitCount(mask)
+          if ((mask >>> sh) != (1L << wd) - 1) return -1
+          (sh << 8) | wd
+        }
+        var fR = 0; var fG = 0; var fB = 0
+        if (maskR != 0 || maskG != 0 || maskB != 0) {
+          fR = fieldOf(maskR); fG = fieldOf(maskG); fB = fieldOf(maskB)
+          if (fR < 0 || fG < 0 || fB < 0 ||
+            (maskR & maskG) != 0 || (maskG & maskB) != 0 ||
+            (maskR & maskB) != 0) return bad
+        }
+        // RLE is bottom-up only; BITFIELDS rides either row order
+        if ((compression == 1 || compression == 2) && topDown) return bad
         if (w <= 0 || h == 0 || h0 == Int.MinValue) return bad
         if (w.toLong * h > Png.MaxPixels) return (Bomb, 0, 0, null)
         var palOff = 0; var palLen = 0
@@ -6409,14 +6631,16 @@ object Native {
           if (hdrSize > Int.MaxValue - 14) return bad
         }
         val rowBytes = (((w.toLong * bpp + 7) / 8 + 3) & ~3L)
-        if (off < 14 + hdrSize +
+        // appended mask DWORDs occupy the 12 bytes after an INFOHEADER
+        val maskBytes = if (compression == 3 && hdrSize == 40) 12L else 0L
+        if (off < 14 + hdrSize + maskBytes +
           (if (bpp <= 8) palStride.toLong * palLen else 0L)) return bad
         val base0 = off.toInt
         // RLE decompresses into a full index plane in FILE row order
         // (row 0 = bottom); unreached pixels are index 0, the
         // renderer-consensus default for the spec's "skipped" pixels
         var rle: Array[Byte] = null
-        if (compression != 0) {
+        if (compression == 1 || compression == 2) {
           val sizeImage = u32(b, 34) // compressed byte count when set
           val end =
             if (sizeImage > 0) {
@@ -6485,10 +6709,20 @@ object Native {
                 else if (bpp == 4) {
                   val by = b(rb + (x >> 1)) & 0xff
                   if ((x & 1) == 0) by >> 4 else by & 0xf
-                } else (b(rb + (x >> 3)) >> (7 - (x & 7))) & 1
+                } else if (bpp == 2) // MSB-first like 1/4-bit
+                  (b(rb + (x >> 2)) >> (6 - 2 * (x & 3))) & 3
+                else (b(rb + (x >> 3)) >> (7 - (x & 7))) & 1
               if (idx >= palLen) return bad
               val q = palOff + palStride * idx // BGRX quad / BGR triple
               bl = b(q) & 0xff; g = b(q + 1) & 0xff; r = b(q + 2) & 0xff
+            } else if (maskR != 0) {
+              // mask-driven 16/32-bit: little-endian sample word, each
+              // field widened to 8 bits ([[widen]])
+              val p = rb + x * (bpp / 8)
+              var v = 0L
+              var k = 0
+              while (k < bpp / 8) { v |= (b(p + k) & 0xffL) << (8 * k); k += 1 }
+              r = widen(v, fR); g = widen(v, fG); bl = widen(v, fB)
             } else {
               val p = rb + x * (bpp / 8) // BGR(X)
               bl = b(p) & 0xff; g = b(p + 1) & 0xff; r = b(p + 2) & 0xff
@@ -6512,9 +6746,10 @@ object Native {
 
   /** bmp_decode_luma(BINARY) → BINARY: REAL BMP pixel decode to the
     * exact-integer luma plane — [[PngLumaDecode]]'s BMP sibling
-    * ([[Bmp]]): 1/4/8-bit palette and 24/32-bit BGR(X), row padding,
-    * bottom-up and top-down, BI_RLE8/BI_RLE4 run-length codings. Null
-    * off contract. */
+    * ([[Bmp]]): 1/2/4/8-bit palette, 24/32-bit BGR(X), 16-bit BI_RGB
+    * (X1R5G5B5) and 16/32-bit BI_BITFIELDS mask-driven channels, row
+    * padding, bottom-up and top-down, BI_RLE8/BI_RLE4 run-length
+    * codings. Null off contract. */
   case class BmpLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -6766,6 +7001,472 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** tiff_g4_encode(BINARY pixels, width; bigEndian, rowsPerStrip) →
+    * BINARY: a REAL CCITT Group 4 TIFF (Compression 4, BitsPerSample 1,
+    * WhiteIsZero) from row-major gray-8 bytes thresholded at 128
+    * (v < 128 = black ink) — [[Ccitt]]'s fixture builder in either
+    * byte order, single- or multi-strip (rowsPerStrip 0 = one strip;
+    * each strip an independent MMR stream per the TIFF §11 contract,
+    * offset/count arrays inline or indirect by the 4-byte rule).
+    * Fixture builder; production writes G4 with a codec. */
+  case class TiffG4Encode(left: Expression, right: Expression,
+      bigEndian: Boolean, rowsPerStrip: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(rowsPerStrip >= 0,
+      s"rowsPerStrip >= 0 (0 = single strip), got $rowsPerStrip")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      if (h > 65535) return null
+      val rps = if (rowsPerStrip <= 0 || rowsPerStrip > h) h else rowsPerStrip
+      val strips = (h + rps - 1) / rps
+      val black = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) { if ((pixels(i) & 0xff) < 128) black(i) = 1; i += 1 }
+      val stripData = new Array[Array[Byte]](strips)
+      var s = 0
+      while (s < strips) {
+        val r0 = s * rps; val r1 = math.min(h, r0 + rps)
+        stripData(s) = Ccitt.encode(
+          java.util.Arrays.copyOfRange(black, r0 * w, r1 * w), w, r1 - r0)
+        s += 1
+      }
+      val nEntries = 9
+      val arraysOff = 8 + 2 + nEntries * 12 + 4
+      val arrBytes = if (strips > 1) 2 * 4 * strips else 0
+      val dataOff = arraysOff + arrBytes
+      var total = 0
+      s = 0
+      while (s < strips) { total += stripData(s).length; s += 1 }
+      val out = new java.io.ByteArrayOutputStream(dataOff + total)
+      def w16(v: Int): Unit =
+        if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit =
+        if (bigEndian) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+        else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def short1(v: Int): Unit = { w16(v); w16(0) }
+      out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+      w16(42); w32(8)
+      w16(nEntries)
+      def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+        w16(tag); w16(typ); w32(cnt); value
+      }
+      entry(256, 3, 1)(short1(w))
+      entry(257, 3, 1)(short1(h))
+      entry(258, 3, 1)(short1(1))
+      entry(259, 3, 1)(short1(4))
+      entry(262, 3, 1)(short1(0)) // WhiteIsZero, the G4 default
+      if (strips == 1) entry(273, 4, 1)(w32(dataOff))
+      else entry(273, 4, strips)(w32(arraysOff))
+      entry(277, 3, 1)(short1(1))
+      entry(278, 3, 1)(short1(rps))
+      if (strips == 1) entry(279, 4, 1)(w32(stripData(0).length))
+      else entry(279, 4, strips)(w32(arraysOff + 4 * strips))
+      w32(0) // no next IFD
+      if (strips > 1) {
+        var off = dataOff
+        s = 0
+        while (s < strips) { w32(off); off += stripData(s).length; s += 1 }
+        s = 0
+        while (s < strips) { w32(stripData(s).length); s += 1 }
+      }
+      s = 0
+      while (s < strips) { out.write(stripData(s), 0, stripData(s).length); s += 1 }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** tiff_jpeg_encode(BINARY jpeg; bigEndian, split) → BINARY: a REAL
+    * TIFF-EP "new JPEG" (Compression 7) wrapping an existing baseline/
+    * progressive JPEG stream as its single strip — and, with `split`,
+    * the libtiff-default ABBREVIATED layout: the stream's DQT/DHT
+    * segments move to the JPEGTables tag (347, an SOI…EOI tables-only
+    * stream) and the strip keeps everything else, so the decoder's
+    * splice path is exercised for real. Photometric and SamplesPerPixel
+    * follow the stream's own SOF (1 component → gray; 3 → YCbCr).
+    * Fixture builder; production writes TIFF/JPEG with a codec. */
+  case class TiffJpegEncode(child: Expression, bigEndian: Boolean, split: Boolean)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try encode(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    private def encode(j: Array[Byte]): Any = {
+      val n = j.length
+      if (n < 4 || (j(0) & 0xff) != 0xFF || (j(1) & 0xff) != 0xD8) return null
+      def u16(o: Int): Int = ((j(o) & 0xff) << 8) | (j(o + 1) & 0xff)
+      var w = -1; var h = -1; var nComp = -1
+      val tabSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = 2
+      var sosAt = -1
+      while (sosAt < 0 && p + 4 <= n) {
+        if ((j(p) & 0xff) != 0xFF) return null
+        val mk = j(p + 1) & 0xff
+        if (mk == 0xDA) sosAt = p // SOS: entropy data follows to EOI
+        else {
+          val len = u16(p + 2)
+          if (len < 2 || p + 2 + len > n) return null
+          if (mk == 0xC0 || mk == 0xC2) {
+            h = u16(p + 5); w = u16(p + 7); nComp = j(p + 9) & 0xff
+          } else if (mk == 0xDB || mk == 0xC4) tabSpans += ((p, 2 + len))
+          p += 2 + len
+        }
+      }
+      if (sosAt < 0 || w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
+      val (strip, tables) =
+        if (!split) (j, null: Array[Byte])
+        else {
+          val tb = new java.io.ByteArrayOutputStream()
+          tb.write(0xFF); tb.write(0xD8)
+          for ((o, l) <- tabSpans) tb.write(j, o, l)
+          tb.write(0xFF); tb.write(0xD9)
+          val st = new java.io.ByteArrayOutputStream(n)
+          st.write(0xFF); st.write(0xD8)
+          var q = 2
+          while (q < sosAt) {
+            val mk = j(q + 1) & 0xff
+            val len = u16(q + 2)
+            if (mk != 0xDB && mk != 0xC4) st.write(j, q, 2 + len)
+            q += 2 + len
+          }
+          st.write(j, sosAt, n - sosAt) // SOS through EOI, verbatim
+          (st.toByteArray, tb.toByteArray)
+        }
+      // a ≤4-byte tables array would inline in the IFD value field —
+      // real JPEGTables are always larger; refuse the degenerate case
+      if (split && tables.length <= 4) return null
+      val nEntries = if (split) 10 else 9
+      val arraysOff = 8 + 2 + nEntries * 12 + 4
+      val bitsBytes = if (nComp == 3) 6 else 0
+      val tabBytes = if (split) (tables.length + 1) & ~1 else 0
+      val dataOff = arraysOff + bitsBytes + tabBytes
+      val out = new java.io.ByteArrayOutputStream(dataOff + strip.length)
+      def w16(v: Int): Unit =
+        if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit =
+        if (bigEndian) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+        else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def short1(v: Int): Unit = { w16(v); w16(0) }
+      out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+      w16(42); w32(8)
+      w16(nEntries)
+      def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+        w16(tag); w16(typ); w32(cnt); value
+      }
+      entry(256, 3, 1)(short1(w))
+      entry(257, 3, 1)(short1(h))
+      if (nComp == 1) entry(258, 3, 1)(short1(8))
+      else entry(258, 3, 3)(w32(arraysOff))
+      entry(259, 3, 1)(short1(7))
+      entry(262, 3, 1)(short1(if (nComp == 1) 1 else 6)) // gray | YCbCr
+      entry(273, 4, 1)(w32(dataOff))
+      entry(277, 3, 1)(short1(nComp))
+      entry(278, 3, 1)(short1(h))
+      entry(279, 4, 1)(w32(strip.length))
+      if (split) entry(347, 7, tables.length)(w32(arraysOff + bitsBytes))
+      w32(0) // no next IFD
+      if (nComp == 3) { w16(8); w16(8); w16(8) }
+      if (split) {
+        out.write(tables, 0, tables.length)
+        if ((tables.length & 1) == 1) out.write(0) // even-boundary pad
+      }
+      out.write(strip, 0, strip.length)
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ITU-T T.6 (CCITT Group 4 / MMR) bilevel coding — the dominant
+    * compression of scanned-document and archival TIFFs (TIFF 6.0 §11,
+    * Compression 4), implemented straight from the published
+    * Recommendations: the three 2-D coding modes (pass `0001`,
+    * horizontal `001`, vertical V0/VR1-3/VL1-3) over changing elements
+    * against a reference line, the T.4 modified-Huffman run alphabet
+    * for horizontal runs (terminating codes 0–63, color-specific
+    * make-up codes 64–1728, shared extended make-up codes 1792–2560,
+    * chained for longer runs), the imaginary all-white reference line
+    * above row 0, and EOFB (two EOLs) termination with byte padding.
+    * Encoder and decoder share only the code TABLES: the encoder walks
+    * precomputed changing-element arrays, the decoder reconstructs each
+    * row from its own b1/b2 search and re-materializes pixels from the
+    * changes it decodes — a compensating-bug pair would still have to
+    * speak spec MMR on the wire, and the ImageIO TIFF cross-decoder
+    * test pins both against the JDK's independent implementation.
+    * Decode hard-fails (null) on: extension/EOL codes mid-strip, runs
+    * overrunning the row, vertical moves that do not advance, bit
+    * starvation, or more than 2·w+8 coding modes in one row (progress
+    * guard — a crafted stream cannot buy unbounded CPU). */
+  private[graft] object Ccitt {
+    // ITU-T T.4 Table 2 — white run-length code words (terminating
+    // codes for runs 0..63, then make-up codes for 64, 128, …, 1728)
+    private val WhiteTerm: Array[String] = Array(
+      "00110101", "000111", "0111", "1000", "1011", "1100", "1110", "1111",
+      "10011", "10100", "00111", "01000", "001000", "000011", "110100", "110101",
+      "101010", "101011", "0100111", "0001100", "0001000", "0010111", "0000011", "0000100",
+      "0101000", "0101011", "0010011", "0100100", "0011000", "00000010", "00000011", "00011010",
+      "00011011", "00010010", "00010011", "00010100", "00010101", "00010110", "00010111", "00101000",
+      "00101001", "00101010", "00101011", "00101100", "00101101", "00000100", "00000101", "00001010",
+      "00001011", "01010010", "01010011", "01010100", "01010101", "00100100", "00100101", "01011000",
+      "01011001", "01011010", "01011011", "01001010", "01001011", "00110010", "00110011", "00110100")
+    private val WhiteMakeup: Array[String] = Array(
+      "11011", "10010", "010111", "0110111", "00110110", "00110111", "01100100", "01100101",
+      "01101000", "01100111", "011001100", "011001101", "011010010", "011010011", "011010100",
+      "011010101", "011010110", "011010111", "011011000", "011011001", "011011010", "011011011",
+      "010011000", "010011001", "010011010", "011000", "010011011")
+    // ITU-T T.4 Table 3 — black run-length code words
+    private val BlackTerm: Array[String] = Array(
+      "0000110111", "010", "11", "10", "011", "0011", "0010", "00011",
+      "000101", "000100", "0000100", "0000101", "0000111", "00000100", "00000111", "000011000",
+      "0000010111", "0000011000", "0000001000", "00001100111", "00001101000", "00001101100", "00000110111", "00000101000",
+      "00000010111", "00000011000", "000011001010", "000011001011", "000011001100", "000011001101", "000001101000", "000001101001",
+      "000001101010", "000001101011", "000011010010", "000011010011", "000011010100", "000011010101", "000011010110", "000011010111",
+      "000001101100", "000001101101", "000011011010", "000011011011", "000001010100", "000001010101", "000001010110", "000001010111",
+      "000001100100", "000001100101", "000001010010", "000001010011", "000000100100", "000000110111", "000000111000", "000000100111",
+      "000000101000", "000001011000", "000001011001", "000000101011", "000000101100", "000001011010", "000001100110", "000001100111")
+    private val BlackMakeup: Array[String] = Array(
+      "0000001111", "000011001000", "000011001001", "000001011011", "000000110011", "000000110100", "000000110101", "0000001101100",
+      "0000001101101", "0000001001010", "0000001001011", "0000001001100", "0000001001101", "0000001110010", "0000001110011",
+      "0000001110100", "0000001110101", "0000001110110", "0000001110111", "0000001010010", "0000001010011", "0000001010100",
+      "0000001010101", "0000001011010", "0000001011011", "0000001100100", "0000001100101")
+    // T.4 Table 4 — extended make-up codes 1792..2560, common to both colors
+    private val ExtMakeup: Array[String] = Array(
+      "00000001000", "00000001100", "00000001101", "000000010010", "000000010011", "000000010100",
+      "000000010101", "000000010110", "000000010111", "000000011100", "000000011101", "000000011110",
+      "000000011111")
+
+    /** code packed as (bitLength << 24) | codeValue. */
+    private def parse(s: String): Int =
+      (s.length << 24) | java.lang.Integer.parseInt(s, 2)
+    private val WhiteTermC = WhiteTerm.map(parse)
+    private val WhiteMakeupC = WhiteMakeup.map(parse)
+    private val BlackTermC = BlackTerm.map(parse)
+    private val BlackMakeupC = BlackMakeup.map(parse)
+    private val ExtMakeupC = ExtMakeup.map(parse)
+
+    /** 13-bit-peek run decode LUT: slot → (codeLen << 16) | runLength;
+      * 0 = no code with that prefix. The longest T.4 code is 13 bits. */
+    private def buildLut(term: Array[String], makeup: Array[String]): Array[Int] = {
+      val lut = new Array[Int](1 << 13)
+      def fill(s: String, run: Int): Unit = {
+        val len = s.length
+        val code = java.lang.Integer.parseInt(s, 2)
+        val lo = code << (13 - len)
+        val hi = lo + (1 << (13 - len))
+        var i = lo
+        while (i < hi) { lut(i) = (len << 16) | run; i += 1 }
+      }
+      var r = 0
+      while (r < 64) { fill(term(r), r); r += 1 }
+      r = 0
+      while (r < makeup.length) { fill(makeup(r), (r + 1) * 64); r += 1 }
+      r = 0
+      while (r < ExtMakeup.length) { fill(ExtMakeup(r), 1792 + 64 * r); r += 1 }
+      lut
+    }
+    private val WhiteLut = buildLut(WhiteTerm, WhiteMakeup)
+    private val BlackLut = buildLut(BlackTerm, BlackMakeup)
+
+    /** Encode h rows of byte-per-pixel black flags (nonzero = black,
+      * row-major, width w) as one T.6 segment: MMR-coded rows against
+      * the imaginary all-white line above row 0, EOFB, byte-padded. */
+    def encode(black: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(w * h / 32 + 16)
+      var acc = 0; var nAcc = 0
+      def bits(code: Int, len: Int): Unit = {
+        var k = len - 1
+        while (k >= 0) {
+          acc = (acc << 1) | ((code >> k) & 1); nAcc += 1
+          if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+          k -= 1
+        }
+      }
+      def emit(packed: Int): Unit = bits(packed & 0xffffff, packed >>> 24)
+      /** one MH run: 2560-make-up chain, make-up, terminating code. */
+      def run(len0: Int, white: Boolean): Unit = {
+        var len = len0
+        val mk = if (white) WhiteMakeupC else BlackMakeupC
+        val tc = if (white) WhiteTermC else BlackTermC
+        while (len >= 2624) { emit(ExtMakeupC(12)); len -= 2560 }
+        if (len >= 1792) { val k = len / 64 - 28; emit(ExtMakeupC(k)); len -= (k + 28) * 64 }
+        else if (len >= 64) { val k = len / 64; emit(mk(k - 1)); len -= k * 64 }
+        emit(tc(len))
+      }
+      def vert(d: Int): Unit = d match {
+        case 0 => bits(1, 1) // V0
+        case 1 => bits(3, 3) // VR1 011
+        case 2 => bits(3, 6) // VR2 000011
+        case 3 => bits(3, 7) // VR3 0000011
+        case -1 => bits(2, 3) // VL1 010
+        case -2 => bits(2, 6) // VL2 000010
+        case _ => bits(2, 7) // VL3 0000010
+      }
+      var refC = new Array[Int](2 * w + 4); var refN = 0
+      var curC = new Array[Int](2 * w + 4)
+      var y = 0
+      while (y < h) {
+        val base = y * w
+        var cn = 0
+        var prev = 0
+        var x = 0
+        while (x < w) {
+          val v = if (black(base + x) != 0) 1 else 0
+          if (v != prev) { curC(cn) = x; cn += 1; prev = v }
+          x += 1
+        }
+        var a0 = -1
+        var colorWhite = true
+        var ci = 0
+        while (a0 < w) {
+          val a1 = if (ci < cn) curC(ci) else w
+          // b1: first reference change > a0 of the transition parity a1
+          // carries (even index = white→black); b2: the next one
+          var j = 0
+          while (j < refN && refC(j) <= a0) j += 1
+          if ((j & 1) != (if (colorWhite) 0 else 1)) j += 1
+          val b1 = if (j < refN) refC(j) else w
+          val b2 = if (j + 1 < refN) refC(j + 1) else w
+          if (b2 < a1) {
+            bits(1, 4) // pass 0001: a0 jumps under the reference run
+            a0 = b2
+          } else if (a1 - b1 <= 3 && b1 - a1 <= 3) {
+            vert(a1 - b1)
+            a0 = a1; colorWhite = !colorWhite; ci += 1
+          } else {
+            val a2 = if (ci + 1 < cn) curC(ci + 1) else w
+            bits(1, 3) // horizontal 001 + two MH runs
+            val s = if (a0 < 0) 0 else a0
+            run(a1 - s, colorWhite); run(a2 - a1, !colorWhite)
+            a0 = a2; ci += 2
+          }
+        }
+        val t = refC; refC = curC; curC = t; refN = cn
+        y += 1
+      }
+      bits(1, 12); bits(1, 12) // EOFB: two EOL codes 000000000001
+      if (nAcc > 0) out.write(acc << (8 - nAcc))
+      out.toByteArray
+    }
+
+    /** Decode one T.6 segment over `d[from, to)` into h rows × w
+      * byte-per-pixel black flags (1 = black), or null on a malformed
+      * stream. Trailing EOFB/padding after the last row is ignored. */
+    def decode(d: Array[Byte], from: Int, to: Int, w: Int, h: Int): Array[Byte] = {
+      if (w <= 0 || h <= 0 || from < 0 || to > d.length || from >= to) return null
+      val nBits = (to - from).toLong * 8
+      var pos = 0L
+      def peek(nb: Int): Int = {
+        var v = 0; var k = 0
+        while (k < nb) {
+          val bp = pos + k
+          val bit =
+            if (bp < nBits) (d(from + (bp >> 3).toInt) >> (7 - (bp & 7L).toInt)) & 1
+            else 0
+          v = (v << 1) | bit
+          k += 1
+        }
+        v
+      }
+      /** one MH run of the given color, or −1: make-up chain + term. */
+      def readRun(white: Boolean): Int = {
+        val lut = if (white) WhiteLut else BlackLut
+        var total = 0
+        var iter = 0
+        while (iter < 64) {
+          iter += 1
+          val e = lut(peek(13))
+          if (e == 0) return -1
+          val len = e >>> 16; val r = e & 0xffff
+          if (pos + len > nBits) return -1
+          pos += len
+          total += r
+          if (total > w) return -1 // a run cannot overrun the row
+          if (r < 64) return total // terminating code ends the chain
+        }
+        -1
+      }
+      val out = new Array[Byte](w * h)
+      var refC = new Array[Int](2 * w + 10); var refN = 0
+      var curC = new Array[Int](2 * w + 10)
+      var y = 0
+      while (y < h) {
+        var cn = 0
+        var a0 = -1
+        var colorWhite = true
+        var guard = 0
+        while (a0 < w) {
+          guard += 1
+          if (guard > 2 * w + 8) return null
+          // mode code (prefix-free over 7 bits; 0000001 = extension,
+          // 0000000… = EOL — both hard-fail mid-strip)
+          val p7 = peek(7)
+          var isH = false; var isP = false; var dv = 0; var consumed = 0
+          if ((p7 & 0x40) != 0) { dv = 0; consumed = 1 }
+          else if ((p7 >> 4) == 1) { isH = true; consumed = 3 }
+          else if ((p7 >> 4) == 3) { dv = 1; consumed = 3 }
+          else if ((p7 >> 4) == 2) { dv = -1; consumed = 3 }
+          else if ((p7 >> 3) == 1) { isP = true; consumed = 4 }
+          else if ((p7 >> 1) == 3) { dv = 2; consumed = 6 }
+          else if ((p7 >> 1) == 2) { dv = -2; consumed = 6 }
+          else if (p7 == 3) { dv = 3; consumed = 7 }
+          else if (p7 == 2) { dv = -3; consumed = 7 }
+          else return null
+          if (pos + consumed > nBits) return null
+          pos += consumed
+          var j = 0
+          while (j < refN && refC(j) <= a0) j += 1
+          if ((j & 1) != (if (colorWhite) 0 else 1)) j += 1
+          val b1 = if (j < refN) refC(j) else w
+          val b2 = if (j + 1 < refN) refC(j + 1) else w
+          if (isP) {
+            if (b2 <= a0) return null
+            a0 = b2 // color unchanged; no coding-line change recorded
+          } else if (isH) {
+            val s = if (a0 < 0) 0 else a0
+            val r1 = readRun(colorWhite); if (r1 < 0) return null
+            val r2 = readRun(!colorWhite); if (r2 < 0) return null
+            val a1 = s + r1; val a2 = a1 + r2
+            if (a2 > w || a1 <= a0 && a0 >= 0 || r1 + r2 == 0) return null
+            curC(cn) = a1; cn += 1; curC(cn) = a2; cn += 1
+            a0 = a2
+          } else {
+            val a1 = b1 + dv
+            if (a1 <= a0 || a1 < 0 || a1 > w) return null
+            curC(cn) = a1; cn += 1
+            a0 = a1; colorWhite = !colorWhite
+          }
+        }
+        // materialize the row: runs alternate starting white at x = 0
+        val rowBase = y * w
+        var k = 0; var x = 0; var blackNow = false
+        while (x < w && k <= cn) {
+          val nxt = if (k < cn) math.min(curC(k), w) else w
+          if (blackNow && nxt > x)
+            java.util.Arrays.fill(out, rowBase + x, rowBase + nxt, 1.toByte)
+          x = nxt; blackNow = !blackNow; k += 1
+        }
+        val t = refC; refC = curC; curC = t; refN = cn
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Baseline TIFF (Rev 6.0) — the scanned-document/archival format of
     * crawled corpora. REAL decode per the public TIFF 6.0 specification:
     * both byte orders (II little-endian, MM big-endian), the IFD entry
@@ -6786,11 +7487,18 @@ object Native {
     * byte-wise integration is the spec's), in STRIP or TILE (§15)
     * addressing — tiles are fixed-size row-major segments, edge tiles
     * padded in the coded data, sharing the strip path's decompressors
-    * and integrator. Out of contract (→ `unsupported_profile`): any
-    * other Compression (CCITT, JPEG-in-TIFF), planar configuration 2,
-    * sub-byte or mixed bit depths, 16-bit palette, extra samples, and
-    * Predictor 2 on an UNCOMPRESSED file (the spec scopes differencing
-    * to the compression schemes it helps). */
+    * and integrator. Beyond the byte-oriented path: CCITT Group 4
+    * (Compression 4 — [[Ccitt]]'s T.6 MMR decode over bilevel strips,
+    * WhiteIsZero or inverted), TIFF-EP "new JPEG" (Compression 7 —
+    * each strip a T.81 stream, optionally abbreviated against the
+    * JPEGTables tag and spliced, routed through [[Jpeg]]'s own cores),
+    * and planar configuration 2 for 8-bit RGB strips (plane-major
+    * offset arrays). Out of contract (→ `unsupported_profile`): CCITT
+    * G3 (Compression 2/3), the legacy Compression-6 JPEG scheme,
+    * sub-byte or mixed bit depths outside G4, 16-bit palette, extra
+    * samples, tiled G4/JPEG/planar-2, and Predictor 2 on an
+    * UNCOMPRESSED file (the spec scopes differencing to the
+    * compression schemes it helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -6828,7 +7536,8 @@ object Native {
           i += 1
         }
         def typeSize(t: Int): Int = t match {
-          case 1 | 2 => 1; case 3 => 2; case 4 => 4; case _ => -1
+          // 7 = UNDEFINED (opaque bytes — JPEGTables ships as it)
+          case 1 | 2 | 7 => 1; case 3 => 2; case 4 => 4; case _ => -1
         }
         // single unsigned scalar; -1 when absent, -2 off contract
         def scalar(tag: Int, default: Long): Long = entries.get(tag) match {
@@ -6860,6 +7569,128 @@ object Native {
         if (tiled && (entries.contains(273) || entries.contains(279)))
           return bad // a file cannot be both strip- and tile-addressed
         val compression = scalar(259, 1)
+        // shared strip geometry for the two dedicated-compression
+        // branches below (G4 and new-JPEG are not byte-oriented, so
+        // they bypass the segment/lumaRow machinery entirely)
+        def stripGeom(wL: Long, hL: Long): (Int, Array[Long], Array[Long]) = {
+          val rps0 = scalar(278, hL)
+          if (rps0 <= 0) return null
+          val rps = math.min(rps0, hL).toInt
+          val strips = ((hL + rps - 1) / rps).toInt
+          val offs = vector(273); val cnts = vector(279)
+          if (offs == null || cnts == null ||
+            offs.length != strips || cnts.length != strips) return null
+          (rps, offs, cnts)
+        }
+        if (compression == 4) {
+          // ---- CCITT T.6 (G4) — bilevel MMR, the scanned-document/
+          // archival profile ([[Ccitt]]). In contract: BitsPerSample 1,
+          // one sample, photometric 0 (WhiteIsZero, the §11 default —
+          // coded white = luma 255) or 1 (inverted), strip-addressed,
+          // each strip an independent MMR stream. Tiled G4 and the T.6
+          // uncompressed-mode extension stay refused. ----
+          if (tiled || scalar(284, 1) != 1 || scalar(277, 1) != 1 ||
+            scalar(317, 1) != 1) return (Unsupported, 0, 0, null)
+          val photometric4 = scalar(262, 0)
+          if (photometric4 != 0 && photometric4 != 1) return (Unsupported, 0, 0, null)
+          val bits4 = if (entries.contains(258)) vector(258) else Array(1L)
+          if (bits4 == null || bits4.length != 1) return bad
+          if (bits4(0) != 1) return (Unsupported, 0, 0, null)
+          val wL = scalar(256, -1); val hL = scalar(257, -1)
+          if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
+          if (wL * hL > Png.MaxPixels) return (Bomb, 0, 0, null)
+          val w = wL.toInt; val h = hL.toInt
+          val geom = stripGeom(wL, hL)
+          if (geom == null) return bad
+          val (rps, offs, cnts) = geom
+          val luma = new Array[Byte](w * h)
+          val whiteL: Byte = if (photometric4 == 0) -1 else 0 // 255 : 0
+          val blackL: Byte = if (photometric4 == 0) 0 else -1
+          var s = 0
+          while (s < offs.length) {
+            val r0 = s * rps
+            val r1 = math.min(h, r0 + rps)
+            if (offs(s) + cnts(s) > n) return trunc
+            val blk = Ccitt.decode(b, offs(s).toInt, (offs(s) + cnts(s)).toInt,
+              w, r1 - r0)
+            if (blk == null) return bad
+            var i = 0
+            val basePix = r0 * w
+            val cnt = (r1 - r0) * w
+            while (i < cnt) {
+              luma(basePix + i) = if (blk(i) != 0) blackL else whiteL
+              i += 1
+            }
+            s += 1
+          }
+          return (Ok, w, h, luma)
+        }
+        if (compression == 7) {
+          // ---- TIFF-EP "new JPEG" (Compression 7): each strip is a
+          // complete ITU T.81 stream, optionally ABBREVIATED against the
+          // shared JPEGTables (tag 347) stream — spliced after the
+          // strip's SOI (the libtiff-default layout) and routed through
+          // the SAME baseline/progressive JPEG cores the .jpg tier
+          // decodes with ([[Jpeg.decodeLumaPlaneWithDims]]). Tiled
+          // new-JPEG and the legacy Compression-6 scheme stay refused.
+          if (tiled || scalar(284, 1) != 1 || scalar(317, 1) != 1)
+            return (Unsupported, 0, 0, null)
+          val photometric7 = scalar(262, -1)
+          // gray (1), RGB (2) or YCbCr (6) — the JPEG core's own gamut
+          if (photometric7 != 1 && photometric7 != 2 && photometric7 != 6)
+            return (Unsupported, 0, 0, null)
+          val bits7 = vector(258)
+          if (bits7 == null || bits7.isEmpty || bits7.exists(_ != 8L))
+            return (Unsupported, 0, 0, null)
+          val wL = scalar(256, -1); val hL = scalar(257, -1)
+          if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
+          if (wL * hL > Png.MaxPixels / 3) return (Bomb, 0, 0, null)
+          val w = wL.toInt; val h = hL.toInt
+          val geom = stripGeom(wL, hL)
+          if (geom == null) return bad
+          val (rps, offs, cnts) = geom
+          // JPEGTables: an abbreviated SOI…EOI stream holding the
+          // shared DQT/DHT segments
+          val tables: Array[Long] =
+            if (!entries.contains(347)) null
+            else {
+              val t = vector(347)
+              if (t == null || t.length < 4 || t(0) != 0xFFL || t(1) != 0xD8L ||
+                t(t.length - 2) != 0xFFL || t(t.length - 1) != 0xD9L) return bad
+              t
+            }
+          val luma = new Array[Byte](w * h)
+          var s = 0
+          while (s < offs.length) {
+            val r0 = s * rps
+            val r1 = math.min(h, r0 + rps)
+            if (offs(s) + cnts(s) > n) return trunc
+            if (cnts(s) < 4) return bad
+            val o0 = offs(s).toInt; val cLen = cnts(s).toInt
+            val jpeg: Array[Byte] =
+              if (tables == null) java.util.Arrays.copyOfRange(b, o0, o0 + cLen)
+              else {
+                // splice: SOI + tables' inner segments + strip[2..]
+                if ((b(o0) & 0xff) != 0xFF || (b(o0 + 1) & 0xff) != 0xD8) return bad
+                val mid = tables.length - 4
+                val m = new Array[Byte](2 + mid + cLen - 2)
+                m(0) = 0xFF.toByte; m(1) = 0xD8.toByte
+                var i = 0
+                while (i < mid) { m(2 + i) = tables(2 + i).toByte; i += 1 }
+                System.arraycopy(b, o0 + 2, m, 2 + mid, cLen - 2)
+                m
+              }
+            val dec = Jpeg.decodeLumaPlaneWithDims(jpeg, allowColor = true)
+            if (dec == null) return bad
+            val (sw, sh, px) = dec
+            // the strip's SOF must state exactly its own geometry — a
+            // mismatched inner stream is structural damage, not padding
+            if (sw != w || sh != r1 - r0) return bad
+            System.arraycopy(px, 0, luma, r0 * w, (r1 - r0) * w)
+            s += 1
+          }
+          return (Ok, w, h, luma)
+        }
         if (compression != 1 && compression != 5 && compression != 8 &&
           compression != 32773 && compression != 32946) return (Unsupported, 0, 0, null)
         val predictor = scalar(317, 1)
@@ -6868,7 +7699,12 @@ object Native {
         if (predictor == 2 && compression == 1) return (Unsupported, 0, 0, null)
         val photometric = scalar(262, -1)
         if (photometric < 0 || photometric > 3) return (Unsupported, 0, 0, null)
-        if (scalar(284, 1) != 1) return (Unsupported, 0, 0, null) // planar
+        val planar = scalar(284, 1)
+        // planar configuration 2 (component planes in separate strips)
+        // rides the strip path's 8-bit RGB profile only — predictor-free,
+        // not tiled; every other planar-2 shape stays refused
+        if (planar != 1 && !(planar == 2 && photometric == 2 && !tiled))
+          return (Unsupported, 0, 0, null)
         val samples = scalar(277, 1)
         if (samples != 1 && samples != 3) return (Unsupported, 0, 0, null)
         if ((photometric == 2) != (samples == 3)) return (Unsupported, 0, 0, null)
@@ -6882,6 +7718,8 @@ object Native {
         // predictor's byte-wise integration is only correct at 8 bits
         if (depth != 8 && depth != 16) return (Unsupported, 0, 0, null)
         if (depth == 16 && (photometric == 3 || predictor == 2))
+          return (Unsupported, 0, 0, null)
+        if (planar == 2 && (depth != 8 || predictor == 2))
           return (Unsupported, 0, 0, null)
         // palette-color: the ColorMap (tag 320) holds 3·2^depth SHORTs,
         // all reds then greens then blues, 16-bit channel values whose
@@ -7030,6 +7868,40 @@ object Native {
             }
             t += 1
           }
+        } else if (planar == 2) {
+          // planar configuration 2: StripOffsets/StripByteCounts hold
+          // SamplesPerPixel × StripsPerImage entries, PLANE-major (all
+          // R-plane strips, then G, then B — the spec's ordering); each
+          // plane strip carries one sample per pixel
+          val rps0 = scalar(278, hL)
+          if (rps0 <= 0) return bad
+          val rps = math.min(rps0, hL).toInt
+          val strips = (h + rps - 1) / rps
+          val offs = vector(273); val cnts = vector(279)
+          if (offs == null || cnts == null ||
+            offs.length != 3 * strips || cnts.length != 3 * strips) return bad
+          val planes = Array.ofDim[Byte](3, w * h)
+          var pi = 0
+          while (pi < 3) {
+            var s = 0
+            while (s < strips) {
+              val r0 = s * rps
+              val r1 = math.min(h, r0 + rps)
+              val seg = segment(offs(pi * strips + s), cnts(pi * strips + s),
+                w.toLong * (r1 - r0))
+              if (seg == null) return fail()
+              val (src, base) = seg
+              System.arraycopy(src, base, planes(pi), r0 * w, (r1 - r0) * w)
+              s += 1
+            }
+            pi += 1
+          }
+          var i = 0
+          while (i < w * h) {
+            luma(i) = Png.luma601(planes(0)(i) & 0xff, planes(1)(i) & 0xff,
+              planes(2)(i) & 0xff).toByte
+            i += 1
+          }
         } else {
           val rps0 = scalar(278, hL)
           if (rps0 <= 0) return bad
@@ -7170,6 +8042,104 @@ object Native {
         if (d == null) null else d._3
       } catch { case NonFatal(_) => null }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** bmp_encode_deep(BINARY pixels, width; mode) → BINARY: [[
+    * BmpGray8Encode]]'s depth/mask sibling — a real BMP at the
+    * remaining decodable profiles, each a CLOSED FORM of the gray-8
+    * input so the oracle restates the decode without running one:
+    *   - `rgb555`: 16-bit BI_RGB (implicit X1R5G5B5) — every channel
+    *     v>>3, so luma = ((v>>3)·255)/31;
+    *   - `bf565`: BI_BITFIELDS 5-6-5 (appended mask DWORDs) — r = b =
+    *     v>>3, g = v>>2 at its wider width;
+    *   - `bf8888`: 32-bit BI_BITFIELDS with the masks DELIBERATELY in
+    *     non-BGR order (R low byte, G second, B third) and distinct
+    *     planted channels (v, 255−v, (7v) mod 256) — a decoder that
+    *     ignores the masks and assumes BGR cannot pass;
+    *   - `pal2`: 2-bit palette (4 BGRX entries i·85) over index v mod 4.
+    * Fixture builder; production writes BMP with a codec. */
+  case class BmpDeepEncode(left: Expression, right: Expression, mode: String)
+      extends BinaryExpression with NativeBinaryCodegen {
+    require(Seq("rgb555", "bf565", "bf8888", "pal2").contains(mode),
+      s"mode rgb555|bf565|bf8888|pal2, got $mode")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any =
+      try encode(px, width) catch { case NonFatal(_) => null }
+    private def encode(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      val h = pixels.length / w
+      val bf = mode == "bf565" || mode == "bf8888"
+      val bpp = mode match {
+        case "rgb555" => 16; case "bf565" => 16; case "bf8888" => 32
+        case _ => 2
+      }
+      val rowBytes = ((w.toLong * bpp + 7) / 8 + 3).toInt & ~3
+      val maskBytes = if (bf) 12 else 0
+      val palBytes = if (mode == "pal2") 4 * 4 else 0
+      val dataOff = 14 + 40 + maskBytes + palBytes
+      val out = new java.io.ByteArrayOutputStream(dataOff + rowBytes * h)
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      out.write('B'); out.write('M')
+      le32(dataOff + rowBytes * h); le32(0); le32(dataOff)
+      le32(40); le32(w); le32(h) // bottom-up
+      le16(1); le16(bpp); le32(if (bf) 3 else 0)
+      le32(rowBytes * h); le32(0); le32(0)
+      le32(if (mode == "pal2") 4 else 0); le32(0)
+      if (mode == "bf565") { le32(0xF800); le32(0x07E0); le32(0x001F) }
+      if (mode == "bf8888") { le32(0x000000FF); le32(0x0000FF00); le32(0x00FF0000) }
+      if (mode == "pal2") {
+        var i = 0
+        while (i < 4) { // BGRX quads, gray i·85
+          out.write(i * 85); out.write(i * 85); out.write(i * 85); out.write(0)
+          i += 1
+        }
+      }
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // bottom-up
+        var written = 0
+        var x = 0
+        if (mode == "pal2") {
+          var acc = 0; var nIdx = 0
+          while (x < w) {
+            acc = (acc << 2) | ((pixels(srcRow * w + x) & 0xff) % 4)
+            nIdx += 1
+            if (nIdx == 4) { out.write(acc); written += 1; acc = 0; nIdx = 0 }
+            x += 1
+          }
+          if (nIdx > 0) { out.write(acc << (2 * (4 - nIdx))); written += 1 }
+        } else {
+          while (x < w) {
+            val v = pixels(srcRow * w + x) & 0xff
+            mode match {
+              case "rgb555" =>
+                val c = v >> 3
+                le16((c << 10) | (c << 5) | c); written += 2
+              case "bf565" =>
+                le16(((v >> 3) << 11) | ((v >> 2) << 5) | (v >> 3)); written += 2
+              case _ => // bf8888: R low byte, G second, B third
+                out.write(v); out.write(255 - v); out.write((7 * v) % 256)
+                out.write(0); written += 4
+            }
+            x += 1
+          }
+        }
+        while (written < rowBytes) { out.write(0); written += 1 }
+        y += 1
+      }
+      out.toByteArray
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
 
   /** tiff_encode_gray8(BINARY pixels, width; bigEndian, compression,
@@ -8127,12 +9097,18 @@ object Native {
     "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
     "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "topDown"), boolLit(exprs(3), "rle"))),
+    "graft_bmp_encode_deep" -> (exprs => BmpDeepEncode(exprs(0), exprs(1),
+      strLit(exprs(2), "mode"))),
     "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "compression"),
       boolLit(exprs(4), "predictor"))),
     "graft_tiff_encode_deep" -> (exprs => TiffDeepEncode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), strLit(exprs(3), "mode"))),
+    "graft_tiff_g4_encode" -> (exprs => TiffG4Encode(exprs(0), exprs(1),
+      boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "rowsPerStrip"))),
+    "graft_tiff_jpeg_encode" -> (exprs => TiffJpegEncode(exprs(0),
+      boolLit(exprs(1), "bigEndian"), boolLit(exprs(2), "split"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
@@ -8164,6 +9140,8 @@ object Native {
     "graft_wav_profile_encode" -> (exprs => WavProfileEncode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), strLit(exprs(3), "profile"))),
     "graft_ima_adpcm_wav" -> (exprs => ImaAdpcmWavEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "rate"), intLit(exprs(3), "blockAlign"))),
+    "graft_ms_adpcm_wav" -> (exprs => MsAdpcmWavEncode(exprs(0), exprs(1),
       intLit(exprs(2), "rate"), intLit(exprs(3), "blockAlign"))),
     "graft_wav_envelope" -> (exprs =>
       WavEnvelope(exprs(0), intLit(exprs(1), "nBuckets"))),
@@ -8298,6 +9276,9 @@ object Native {
     call_function("graft_bmp_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(topDown),
       org.apache.spark.sql.functions.lit(rle))
+  def bmpEncodeDeep(pixels: Column, width: Column, mode: String): Column =
+    call_function("graft_bmp_encode_deep", pixels, width,
+      org.apache.spark.sql.functions.lit(mode))
   def tiffDecodeLuma(tiff: Column): Column =
     call_function("graft_tiff_decode_luma", tiff)
   def tiffEncodeGray8(pixels: Column, width: Column,
@@ -8312,6 +9293,16 @@ object Native {
     call_function("graft_tiff_encode_deep", pixels, width,
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(mode))
+  def tiffG4Encode(pixels: Column, width: Column,
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Column =
+    call_function("graft_tiff_g4_encode", pixels, width,
+      org.apache.spark.sql.functions.lit(bigEndian),
+      org.apache.spark.sql.functions.lit(rowsPerStrip))
+  def tiffJpegEncode(jpeg: Column,
+      bigEndian: Boolean = false, split: Boolean = false): Column =
+    call_function("graft_tiff_jpeg_encode", jpeg,
+      org.apache.spark.sql.functions.lit(bigEndian),
+      org.apache.spark.sql.functions.lit(split))
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))
@@ -8368,6 +9359,11 @@ object Native {
   def imaAdpcmWav(nibbleData: Column, initIndex: Column,
       rate: Int, blockAlign: Int): Column =
     call_function("graft_ima_adpcm_wav", nibbleData, initIndex,
+      org.apache.spark.sql.functions.lit(rate),
+      org.apache.spark.sql.functions.lit(blockAlign))
+  def msAdpcmWav(nibbleData: Column, initPred: Column,
+      rate: Int, blockAlign: Int): Column =
+    call_function("graft_ms_adpcm_wav", nibbleData, initPred,
       org.apache.spark.sql.functions.lit(rate),
       org.apache.spark.sql.functions.lit(blockAlign))
   def wavPcm16Stats(wav: Column, silenceThreshold: Int): Column =

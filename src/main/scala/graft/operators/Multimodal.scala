@@ -861,13 +861,22 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
-  /** REAL BMP (BI_RGB) pixel decode to the exact-integer luma plane
-    * ([[graft.functions.Native.BmpLumaDecode]]): 8-bit palette and
-    * 24/32-bit BGR(X), 4-byte row padding, bottom-up and top-down rows.
-    * Null on RLE/bitfields/low-depth profiles or damage — those land in
-    * the drop report as unsupported_profile/corrupt. */
+  /** REAL BMP pixel decode to the exact-integer luma plane ([[graft
+    * .functions.Native.BmpLumaDecode]]): 1/2/4/8-bit palette, 24/32-bit
+    * BGR(X), 16-bit BI_RGB and 16/32-bit BI_BITFIELDS mask-driven
+    * channels, BI_RLE8/RLE4, 4-byte row padding, bottom-up and top-down
+    * rows, COREHEADER. Null on BI_JPEG/BI_PNG/OS-2-V2 profiles or
+    * damage — those land in the drop report as
+    * unsupported_profile/corrupt. */
   def bmpDecodeLuma(bmp: Column): Column =
     graft.functions.Native.bmpDecodeLuma(bmp)
+
+  /** Fixture-grade deep/mask BMP encode ([[graft.functions.Native
+    * .BmpDeepEncode]]): mode "rgb555" (16-bit BI_RGB), "bf565" /
+    * "bf8888" (BI_BITFIELDS with explicit masks — 8888 in non-BGR
+    * order), or "pal2" (2-bit palette). */
+  def bmpEncodeDeep(pixels: Column, width: Column, mode: String): Column =
+    graft.functions.Native.bmpEncodeDeep(pixels, width, mode)
 
   /** Fixture-grade 8-bit BMP encode ([[graft.functions.Native
     * .BmpGray8Encode]]): row-major gray-8 bytes → a complete BMP with a
@@ -922,6 +931,22 @@ object Multimodal {
   def tiffEncodeDeep(pixels: Column, width: Column, bigEndian: Boolean = false,
       mode: String = "pal8"): Column =
     graft.functions.Native.tiffEncodeDeep(pixels, width, bigEndian, mode)
+
+  /** Fixture-grade CCITT Group 4 TIFF encode ([[graft.functions.Native
+    * .TiffG4Encode]]): gray-8 bytes thresholded at 128 (v < 128 = black
+    * ink) → a real Compression-4 WhiteIsZero TIFF, MMR-coded strips
+    * (rowsPerStrip 0 = single strip), either byte order. */
+  def tiffG4Encode(pixels: Column, width: Column, bigEndian: Boolean = false,
+      rowsPerStrip: Int = 0): Column =
+    graft.functions.Native.tiffG4Encode(pixels, width, bigEndian, rowsPerStrip)
+
+  /** Fixture-grade TIFF-EP "new JPEG" (Compression 7) encode ([[graft
+    * .functions.Native.TiffJpegEncode]]): wraps an existing JPEG stream
+    * as the single strip; `split` moves DQT/DHT into the JPEGTables tag
+    * (the libtiff-default abbreviated layout). */
+  def tiffJpegEncode(jpeg: Column, bigEndian: Boolean = false,
+      split: Boolean = false): Column =
+    graft.functions.Native.tiffJpegEncode(jpeg, bigEndian, split)
 
   /** [[imageNearDupPng]] on TIFF payloads: [[tiffDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */
@@ -1202,8 +1227,8 @@ object Multimodal {
 
   /** Fixture-grade extended-profile WAV encode ([[graft.functions
     * .Native.WavProfileEncode]]): canonical PCM16 → a real pcm8 / pcm24
-    * / pcm32 / float32 / extensible / fmt18 WAV whose canonicalized
-    * output is a closed form of the input. */
+    * / pcm32 / float32 / float64 / extensible / fmt18 WAV whose
+    * canonicalized output is a closed form of the input. */
   def wavProfileEncode(pcm16: Column, channels: Column, rate: Int,
       profile: String): Column =
     graft.functions.Native.wavProfileEncode(pcm16, channels, rate, profile)
@@ -1215,6 +1240,14 @@ object Multimodal {
   def imaAdpcmWav(nibbleData: Column, initIndex: Column, rate: Int,
       blockAlign: Int): Column =
     graft.functions.Native.imaAdpcmWav(nibbleData, initIndex, rate, blockAlign)
+
+  /** Fixture-grade mono Microsoft-ADPCM WAV builder ([[graft.functions
+    * .Native.MsAdpcmWavEncode]]) wrapping PLANTED nibble bytes behind
+    * closed-form block headers — decoded by the real coefficient/
+    * adaptation walk, restatable by an independent SQL implementation. */
+  def msAdpcmWav(nibbleData: Column, initPred: Column, rate: Int,
+      blockAlign: Int): Column =
+    graft.functions.Native.msAdpcmWav(nibbleData, initPred, rate, blockAlign)
 
   /** REAL FLAC frame decode to a canonical PCM16 WAV ([[graft.functions
     * .Native.FlacDecodeWav]]): metadata walk, CRC-checked frame headers,

@@ -48,26 +48,27 @@ class DocConsistencySpec extends AnyFunSuite {
   test("TIFF classifier comment tracks the Tiff decode contract") {
     pin(branch("else if (Tiff.hasMagic(b))", "Tiff.status(b) match"),
       "TIFF classifier",
-      mustMention = Seq("CCITT", "JPEG-in-TIFF", "sub-byte", "planar"),
-      // all of these decode since r13 — they may appear only on the
-      // supported side, which for TIFF lists them before the refusal
-      // clause; forbid the exact stale refusal phrasings instead
+      mustMention = Seq("CCITT G3", "Compression-6", "sub-byte"),
+      // all of these decode (tiled/palette r13; G4/JPEG-in-TIFF/planar-2
+      // r14) — forbid the exact stale refusal phrasings
       mustNotMention = Seq("tiled/palette", "palette profiles stay",
-        "tiled profiles stay"))
+        "tiled profiles stay", "CCITT/JPEG-in-TIFF", "planar-2\n        // profiles stay"))
   }
 
   test("WAV classifier comment tracks the Wav decode contract") {
     pin(branch("case \"WAVE\" =>", "Wav.status(b) match"),
       "WAV classifier",
-      mustMention = Seq("MS-ADPCM", "GSM"),
-      mustNotMention = Seq("float/8-bit WAV stay", "EXTENSIBLE stay"))
+      mustMention = Seq("GSM", "MP3-in-WAV"),
+      mustNotMention = Seq("float/8-bit WAV stay", "EXTENSIBLE stay",
+        "MS-ADPCM/MP3-in-WAV/GSM stay"))
   }
 
   test("BMP classifier comment tracks the Bmp decode contract") {
     pin(branch("else if (b(0) == 'B' && b(1) == 'M'", "Bmp.status(b) match"),
       "BMP classifier",
-      mustMention = Seq("bitfields"),
-      mustNotMention = Seq("RLE8/RLE4 stay", "palette depths stay"))
+      mustMention = Seq("BI_JPEG", "OS/2 V2"),
+      mustNotMention = Seq("RLE8/RLE4 stay", "palette depths stay",
+        "bitfields/16-bit stay"))
   }
 
   test("DecodeDropReason contract doc names no graduated profile as refused") {

@@ -460,11 +460,11 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.modality($"b")).collect().head
     assert(flacRow.getString(0) == "truncated" && flacRow.getString(1) == "audio/flac")
     assert(Multimodal.realCodec(flacCut).isEmpty)
-    // BMP is no longer merely recognized — BI_RGB and the RLE codings
-    // decode for real; the out-of-contract pin is 16-bit BI_BITFIELDS
-    // (bpp 16, compression 3) under image/bmp
+    // BMP is no longer merely recognized — BI_RGB, RLE and (since r14)
+    // the 16-bit/BITFIELDS masks decode for real; the out-of-contract
+    // pin is an embedded BI_PNG stream (compression 5) under image/bmp
     val bfBmp = hexBytesT("424D7604000000000000360400002800000004000000020000000100" +
-      "1000030000000000000000000000000000000000000000000000")
+      "1000050000000000000000000000000000000000000000000000")
     val bfRow = Seq(Tuple1(bfBmp)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b"),
         Multimodal.modality($"b")).collect().head
@@ -940,6 +940,273 @@ class MultimodalSpec extends AnyFunSuite {
     val r = Seq(Tuple1(broken)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
     assert(r == "corrupt")
+  }
+
+  test("BMP 16-bit/BITFIELDS/2-bit decode: 555 hand vector, mask-driven non-BGR extraction, honest mask failures") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // 1×1 16-bit BI_RGB (implicit 555) HAND vector: word 0x555F =
+    // r5 21, g5 10, b5 31 → widened 172/82/255 → luma601 129
+    val bmp555 = hexBytesT("424D3A00000000000000360000002800000001000000010000000100" +
+      "1000000000000400000000000000000000000000000000000000" + "5F550000")
+    assert(luma(bmp555).toSeq == Seq[Byte](129.toByte))
+    assert(reason(bmp555) == null)
+    // fixture round-trips: every deep mode must equal its closed form
+    val px = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    def deep(mode: String): Array[Byte] = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.bmpEncodeDeep($"px", lit(9), mode)).as[Array[Byte]].head()
+    def w5(v: Int) = (v >> 3) * 255 / 31
+    def w6(v: Int) = (v >> 2) * 255 / 63
+    assert(luma(deep("rgb555")).toSeq ==
+      px.map(p => w5(p & 0xff).toByte).toSeq)
+    assert(luma(deep("bf565")).toSeq ==
+      px.map { p => val v = p & 0xff
+        ((413 * w5(v) + 587 * w6(v) + 500) / 1000).toByte }.toSeq)
+    // the NON-BGR 8888 masks: a decoder assuming BGR byte order would
+    // compute luma601(b=(v), g=(255−v), r=(7v%256)) instead and fail
+    assert(luma(deep("bf8888")).toSeq ==
+      px.map { p => val v = p & 0xff
+        ((299 * v + 587 * (255 - v) + 114 * ((7 * v) % 256) + 500) / 1000).toByte }.toSeq)
+    assert(luma(deep("pal2")).toSeq ==
+      px.map(p => (((p & 0xff) % 4) * 85).toByte).toSeq)
+    // mask honesty: non-contiguous red mask → corrupt, overlapping
+    // green/red masks → corrupt (structural damage, not a profile)
+    val nc = deep("bf565"); nc(54) = 0x01; nc(55) = 0xF8.toByte // 0xF801
+    assert(reason(nc) == "corrupt")
+    val ov = deep("bf565"); ov(58) = 0x00; ov(59) = 0xF8.toByte // G = R
+    assert(reason(ov) == "corrupt")
+    // a 16-bit BITFIELDS header cut before its mask DWORDs → truncated
+    assert(reason(deep("bf565").take(60)) == "truncated")
+  }
+
+  test("CCITT G4 hand vectors: all-white rows are V0 bits; H+V rows and pass mode match hand-coded T.6 bytes; EOFB written") {
+    def g4(px: Array[Byte], w: Int, be: Boolean = false, rps: Int = 0): Array[Byte] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(w), bigEndian = be,
+          rowsPerStrip = rps)).as[Array[Byte]].head()
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    def stripBytes(tiff: Array[Byte]): Array[Byte] = {
+      // single-strip fixture layout: 9 entries → strip at 8+2+108+4=122
+      java.util.Arrays.copyOfRange(tiff, 122, tiff.length)
+    }
+    // 1) two all-white rows of 8: each row is one V0 bit (the imaginary
+    //    change at w against the all-white reference), then EOFB —
+    //    hand-packed: 11 000000000001 000000000001 + pad = C0 04 00 40
+    val white = Array.fill[Byte](16)(-1) // 255 = white (>= 128)
+    assert(stripBytes(g4(white, 8)).toSeq ==
+      Seq(0xC0, 0x04, 0x00, 0x40).map(_.toByte))
+    assert(luma(g4(white, 8)).toSeq == Seq.fill(16)(-1: Byte))
+    // 2) row0 black run at cols 2..4 (H: white-2 0111, black-3 10, then
+    //    V0), row1 black at 3..4 (VR1, V0, V0):
+    //    0010111101 01111 EOFB pad → 2F 5E 00 20 02
+    val hv = Array.fill[Byte](16)(-1)
+    hv(2) = 0; hv(3) = 0; hv(4) = 0 // row0 cols 2..4
+    hv(8 + 3) = 0; hv(8 + 4) = 0 // row1 cols 3..4
+    assert(stripBytes(g4(hv, 8)).toSeq ==
+      Seq(0x2F, 0x5E, 0x00, 0x20, 0x02).map(_.toByte))
+    assert(luma(g4(hv, 8)).toSeq == hv.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
+    // 3) pass mode: row0 black at 2..5, row1 all white — row1 must code
+    //    PASS (0001) under the reference black run, then V0:
+    //    00101110111 00011 EOFB pad → 2E E3 00 10 01
+    val pv = Array.fill[Byte](16)(-1)
+    pv(2) = 0; pv(3) = 0; pv(4) = 0; pv(5) = 0
+    assert(stripBytes(g4(pv, 8)).toSeq ==
+      Seq(0x2E, 0xE3, 0x00, 0x10, 0x01).map(_.toByte))
+    assert(luma(g4(pv, 8)).toSeq == pv.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
+  }
+
+  test("CCITT G4 round-trips: pseudorandom bilevel both byte orders, multi-strip, make-up chains past 2560, inverted photometric") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    val rnd = new scala.util.Random(41)
+    val w = 61; val h = 17
+    val px = Array.tabulate(w * h)(_ => if (rnd.nextBoolean()) -1: Byte else 0: Byte)
+    val want = px.toSeq
+    for (be <- Seq(false, true); rps <- Seq(0, 5)) {
+      val tiff = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(w), bigEndian = be,
+          rowsPerStrip = rps)).as[Array[Byte]].head()
+      assert(luma(tiff).toSeq == want, s"be=$be rps=$rps")
+    }
+    // make-up chain: a 2700-wide line forces 2560-extended + 128 make-up
+    // + terminating white codes (and the same for black on row 2)
+    val wide = Array.fill[Byte](2700 * 2)(-1)
+    var i = 2700
+    while (i < 5400) { wide(i) = 0; i += 1 }
+    val tw = Seq(Tuple1(wide)).toDF("px")
+      .select(Multimodal.tiffG4Encode($"px", lit(2700))).as[Array[Byte]].head()
+    assert(luma(tw).toSeq == wide.toSeq)
+    // photometric 1 (BlackIsZero) inverts the emitted luma — patch the
+    // fixture's tag-262 value field (entry 5 of 9: offset 10+4*12+8)
+    val inv = Seq(Tuple1(px.take(w * 3))).toDF("px")
+      .select(Multimodal.tiffG4Encode($"px", lit(w))).as[Array[Byte]].head()
+    val patched = inv.clone()
+    patched(10 + 4 * 12 + 8) = 1
+    assert(luma(patched).toSeq ==
+      px.take(w * 3).toSeq.map(v => if (v == 0) -1: Byte else 0: Byte))
+  }
+
+  test("CCITT G4 cross-decoder: the JDK ImageIO TIFF reader reproduces the fixture's bilevel raster exactly") {
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(43)
+    val w = 64; val h = 32
+    val px = Array.tabulate(w * h)(_ => if (rnd.nextInt(4) == 0) 0: Byte else -1: Byte)
+    val tiff = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffG4Encode($"px", lit(w))).as[Array[Byte]].head()
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+    assert(img != null, "ImageIO could not read the G4 fixture")
+    assert(img.getWidth == w && img.getHeight == h)
+    val mine = Seq(Tuple1(tiff)).toDF("b")
+      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val iio = img.getRGB(x, y) & 0xff
+        assert(iio == (mine(y * w + x) & 0xff), s"($x,$y)")
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("CCITT G4 honest failures: truncated stream and extension code fail; G3 stays refused; drop report agrees") {
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val px = Array.fill[Byte](16)(-1)
+    px(2) = 0; px(3) = 0
+    val tiff = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffG4Encode($"px", lit(8))).as[Array[Byte]].head()
+    assert(reason(tiff) == null) // a sound G4 file decodes
+    // cut the MMR stream mid-row: the strip count still points past the
+    // buffer → truncated
+    assert(reason(tiff.dropRight(3)) == "truncated")
+    // an extension code (0000001…) mid-strip is a hard decode failure
+    val extd = tiff.clone()
+    extd(122) = 0x01 // first strip byte: 0000 0001 → extension prefix
+    assert(reason(extd) == "corrupt")
+    // Compression 2 (G3 1-D) stays recognized-but-unsupported
+    val g3 = tiff.clone()
+    g3(10 + 3 * 12 + 8) = 2 // tag 259 value field (entry 4 of 9)
+    assert(reason(g3) == "unsupported_profile")
+  }
+
+  test("JPEG-in-TIFF (Compression 7): full-stream and JPEGTables-split strips route through the JPEG cores; color rides photometric 6") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    // per-block-constant 12×10 gray plant → DC-only baseline JPEG
+    // (bit-exact round trip, the multimodal_decode_jpeg contract)
+    val rnd = new scala.util.Random(47)
+    val blocks = Array.tabulate(4)(_ => { val v = rnd.nextInt(128)
+      (if (v < 64) v + 1 else v + 128).toByte })
+    val px = new Array[Byte](12 * 10)
+    var y = 0
+    while (y < 10) {
+      var x = 0
+      while (x < 12) {
+        px(y * 12 + x) = blocks((y / 8) * 2 + (x / 8)); x += 1
+      }
+      y += 1
+    }
+    val jpeg = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(12))).as[Array[Byte]].head()
+    val direct = Seq(Tuple1(jpeg)).toDF("b")
+      .select(Multimodal.jpegDecodeGray8($"b")).as[Array[Byte]].head()
+    for (be <- Seq(false, true); split <- Seq(false, true)) {
+      val tiff = Seq(Tuple1(jpeg)).toDF("j")
+        .select(Multimodal.tiffJpegEncode($"j", bigEndian = be, split = split))
+        .as[Array[Byte]].head()
+      assert(luma(tiff).toSeq == direct.toSeq, s"be=$be split=$split")
+      if (split) {
+        // DQT/DHT must have MOVED: the TIFF is smaller than header +
+        // full stream (the strip lost its table segments to tag 347),
+        // and still decodes — proving the splice path really ran
+        var hits = 0
+        var i = 0
+        while (i + 1 < tiff.length) {
+          if ((tiff(i) & 0xff) == 0xFF &&
+            ((tiff(i + 1) & 0xff) == 0xDB || (tiff(i + 1) & 0xff) == 0xC4)) hits += 1
+          i += 1
+        }
+        assert(hits >= 2, "JPEGTables stream lost its DQT/DHT")
+      }
+    }
+    // progressive stream through the same seam
+    val prog = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Prog($"px", lit(12))).as[Array[Byte]].head()
+    val progDirect = Seq(Tuple1(prog)).toDF("b")
+      .select(Multimodal.jpegDecodeLuma($"b")).as[Array[Byte]].head()
+    val progTiff = Seq(Tuple1(prog)).toDF("j")
+      .select(Multimodal.tiffJpegEncode($"j")).as[Array[Byte]].head()
+    assert(luma(progTiff).toSeq == progDirect.toSeq)
+    // color: the YCbCr fixture wraps under photometric 6
+    val cpx = new Array[Byte](32 * 16)
+    java.util.Arrays.fill(cpx, 200.toByte)
+    val cjpeg = Seq(Tuple1(cpx)).toDF("px")
+      .select(Multimodal.jpegEncodeYccDc($"px", lit(32), 2, 1, 32, 224))
+      .as[Array[Byte]].head()
+    val cDirect = Seq(Tuple1(cjpeg)).toDF("b")
+      .select(Multimodal.jpegDecodeLuma($"b")).as[Array[Byte]].head()
+    val cTiff = Seq(Tuple1(cjpeg)).toDF("j")
+      .select(Multimodal.tiffJpegEncode($"j", split = true)).as[Array[Byte]].head()
+    assert(luma(cTiff).toSeq == cDirect.toSeq)
+  }
+
+  test("TIFF planar configuration 2: plane-major strip arrays combine to the 601 luma; planar-2 off the 8-bit RGB profile stays refused") {
+    // hand-built 3×2 RGB, planes in three uncompressed strips
+    val r = Array[Byte](10, 20, 30, 40, 50, 60)
+    val g = Array[Byte](110, 120, 130.toByte, 140.toByte, 150.toByte, 160.toByte)
+    val b = Array[Byte](210.toByte, 220.toByte, 230.toByte, 240.toByte, 250.toByte, 255.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def short1(v: Int): Unit = { w16(v); w16(0) }
+    def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+      w16(tag); w16(typ); w32(cnt); value
+    }
+    val nEntries = 10
+    val arraysOff = 8 + 2 + nEntries * 12 + 4
+    // bits [8,8,8] (6B) + offsets[3] (12B) + counts[3] (12B)
+    val dataOff = arraysOff + 6 + 12 + 12
+    out.write('I'); out.write('I'); w16(42); w32(8)
+    w16(nEntries)
+    entry(256, 3, 1)(short1(3)); entry(257, 3, 1)(short1(2))
+    entry(258, 3, 3)(w32(arraysOff))
+    entry(259, 3, 1)(short1(1)); entry(262, 3, 1)(short1(2))
+    entry(273, 4, 3)(w32(arraysOff + 6))
+    entry(277, 3, 1)(short1(3)); entry(278, 3, 1)(short1(2))
+    entry(279, 4, 3)(w32(arraysOff + 18))
+    entry(284, 3, 1)(short1(2))
+    w32(0)
+    w16(8); w16(8); w16(8)
+    w32(dataOff); w32(dataOff + 6); w32(dataOff + 12)
+    w32(6); w32(6); w32(6)
+    out.write(r); out.write(g); out.write(b)
+    val tiff = out.toByteArray
+    val got = Seq(Tuple1(tiff)).toDF("b")
+      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    val want = (0 until 6).map(i => ((299 * (r(i) & 0xff) + 587 * (g(i) & 0xff) +
+      114 * (b(i) & 0xff) + 500) / 1000).toByte)
+    assert(got.toSeq == want)
+    // planar-2 gray (photometric 1) is off the rider's profile
+    val gray = tiff.clone()
+    gray(10 + 4 * 12 + 8) = 1 // tag 262 → 1
+    val reason = Seq(Tuple1(gray)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+    assert(!reason.isNullAt(0) && reason.getString(0) == "unsupported_profile")
   }
 
   test("TIFF Predictor 2 hand vector: hand-differenced rows integrate back; predictor on uncompressed is out of contract") {
@@ -1735,7 +2002,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n == expect)
   }
 
-  test("WAV profile refusals and classifier honesty: MS-ADPCM, GSM, float64, 3 channels, cut chunks") {
+  test("WAV profile refusals and classifier honesty: GSM, bad geometry, 3 channels, cut chunks") {
     def reason(bytes: Array[Byte]): String = {
       val r = Seq(Tuple1(bytes)).toDF("b")
         .select(graft.functions.Native.decodeDropReason($"b")).collect().head
@@ -1746,16 +2013,19 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, p))
       .as[Array[Byte]].head()
     // decodable profiles classify null — the tier's graduation
-    for (p <- Seq("pcm8", "pcm24", "float32", "extensible", "fmt18",
-      "alaw", "mulaw"))
+    for (p <- Seq("pcm8", "pcm24", "float32", "float64", "extensible",
+      "fmt18", "alaw", "mulaw"))
       assert(reason(blob(p)) == null, s"profile $p should decode")
     // format-tag surgery at the spec offsets → honest refusals
-    val ms = blob("fmt18"); ms(20) = 2 // MS-ADPCM
+    val ms = blob("fmt18"); ms(20) = 2 // tag 2 at 16 bits: not MS-ADPCM's 4
     assert(reason(ms) == "unsupported_profile")
     val gsm = blob("fmt18"); gsm(20) = 0x31 // GSM 6.10
     assert(reason(gsm) == "unsupported_profile")
-    val f64 = blob("float32"); f64(34) = 64 // bits 32 → 64
-    assert(reason(f64) == "unsupported_profile")
+    // bits 32 → 64 WITHOUT fixing blockAlign: float64 itself decodes
+    // now, so a mismatched blockAlign is structural damage, not a
+    // profile refusal
+    val f64 = blob("float32"); f64(34) = 64
+    assert(reason(f64) == "corrupt")
     val tri = blob("fmt18"); tri(22) = 3 // 3 channels
     assert(reason(tri) == "unsupported_profile")
     // the EXTENSIBLE GUID dispatch: a non-PCM SubFormat refuses
@@ -1769,6 +2039,49 @@ class MultimodalSpec extends AnyFunSuite {
       "4A554E4B" + "34000000" + "00" * 52)) == "corrupt")
     assert(reason(hexBytesT("5249464640000000" + "57415645" +
       "4A554E4B" + "FF000000" + "00" * 20)) == "truncated")
+  }
+
+  test("MS-ADPCM hand vectors: coefficient prediction, truncating /256, adaptation floor — decoded samples match hand arithmetic") {
+    def samples(wav: Array[Byte]): Seq[Int] = {
+      val c = Seq(Tuple1(wav)).toDF("b")
+        .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+      (0 until (c.length - 44) / 2).map(i =>
+        ((c(44 + 2 * i) & 0xff) | (c(45 + 2 * i) << 8)).toShort.toInt)
+    }
+    // one block, blockAlign 8 (1 nibble byte), initPred 0: predictor
+    // pair (256, 0), iDelta 16, seeds −30000/−30000; nibbles HIGH-first
+    // from 0x12 → 1 then 2:
+    //   pred = trunc(−30000·256/256) = −30000 → v = −29984; delta stays
+    //   floored at 16 → next pred −29984 → v = −29952
+    val ms1 = Seq(Tuple1(Array[Byte](0x12))).toDF("n")
+      .select(Multimodal.msAdpcmWav($"n", lit(0), 8000, 8)).as[Array[Byte]].head()
+    assert(samples(ms1) == Seq(-30000, -30000, -29984, -29952))
+    // initPred 1: pair (512, −256) exercises the NEGATIVE second
+    // coefficient and exact /256 divisions; iDelta 47, seeds
+    // −29869/−29827; nibbles from 0x8F → −8 then −1:
+    //   pred = (−29869·512 + 29827·256)/256 = −29911 → v = −30287,
+    //   delta → (768·47)>>8 = 141 → pred −30705 → v = −30846
+    val ms2 = Seq(Tuple1(Array[Byte](0x8F.toByte))).toDF("n")
+      .select(Multimodal.msAdpcmWav($"n", lit(1), 8000, 8)).as[Array[Byte]].head()
+    assert(samples(ms2) == Seq(-29827, -29869, -30287, -30846))
+    // float64: s/32768 is exact in IEEE double → canonicalization is
+    // the identity on the planted PCM16
+    val pcm = Array.tabulate(96)(i => ((i * 173 + 7) & 0xff).toByte)
+    val f64 = Seq(Tuple1(pcm)).toDF("b")
+      .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, "float64"))
+      .as[Array[Byte]].head()
+    val canon = Seq(Tuple1(f64)).toDF("b")
+      .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    assert(canon.drop(44).toSeq == pcm.toSeq)
+    // a fact chunk one sample short trims the padded final block —
+    // the ADVICE-r13 walk fix means it is honored even AFTER data
+    // (patch the fixture's fact value: RIFF(12) + fmt(8+50) + fact at
+    // 70, value at 78)
+    val msT = Seq(Tuple1(Array[Byte](0x12, 0x34))).toDF("n")
+      .select(Multimodal.msAdpcmWav($"n", lit(0), 8000, 8)).as[Array[Byte]].head()
+    assert((msT(70 + 8) & 0xff) == 8, "fact layout moved; fix the patch offset")
+    val trimmed = msT.clone(); trimmed(70 + 8) = 7
+    assert(samples(trimmed).length == 7)
   }
 
   test("realCodec and decodeDropReason AGREE on decodability across the full planted battery") {
@@ -1875,6 +2188,18 @@ class MultimodalSpec extends AnyFunSuite {
           (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC2).get
         val m = ok.clone(); m(sof + 1) = 0xC1.toByte; m
       },
+      // r14 graduations: each must DECODE through the default codec
+      // path (the battery's two-sided agreement makes a silent
+      // classifier/codec split impossible)
+      "tiffG4" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(9))).as[Array[Byte]].head(),
+      "tiffJpeg7" -> Seq(Tuple1(jpeg)).toDF("j")
+        .select(Multimodal.tiffJpegEncode($"j", split = true)).as[Array[Byte]].head(),
+      "msAdpcm" -> Seq(Tuple1(Array.tabulate(42)(i => (i * 13).toByte))).toDF("n")
+        .select(Multimodal.msAdpcmWav($"n", lit(7), 8000, 28)).as[Array[Byte]].head(),
+      "wavF64" -> Seq(Tuple1(Array.tabulate(200)(i => (i * 7).toByte))).toDF("b")
+        .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, "float64"))
+        .as[Array[Byte]].head(),
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -1943,11 +2268,27 @@ class MultimodalSpec extends AnyFunSuite {
       mono = true, xing = true))
     val oggV = one(Multimodal.oggAudio(lit(77), lit(4), "vorbis", 2, 44100))
     val oggO = one(Multimodal.oggAudio(lit(78), lit(3), "opus", 1, 48000, preskip = 312))
+    // the round-14 tiers: CCITT G4 (single- and multi-strip) and
+    // new-JPEG Compression 7 (full and JPEGTables-split)
+    val tiffG4 = one(Multimodal.tiffG4Encode(grayCol, lit(9)))
+    val tiffG4ms = one(Multimodal.tiffG4Encode(
+      lit(Array.tabulate(72)(i => if (i % 3 == 0) 0.toByte else -1.toByte)),
+      lit(9), rowsPerStrip = 3))
+    val tiffJpeg = one(Multimodal.tiffJpegEncode(lit(jpeg)))
+    val tiffJpegSplit = one(Multimodal.tiffJpegEncode(lit(jpeg), split = true))
+    val msAdpcm = one(Multimodal.msAdpcmWav(
+      lit(Array.tabulate(42)(i => (i * 13).toByte)), lit(7), 8000, 28))
+    val wavF64 = one(Multimodal.wavProfileEncode(lit(pcm), lit(1), 8000, "float64"))
+    val bmp565 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "bf565"))
+    val bmp8888 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "bf8888"))
+    val bmpPal2 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "pal2"))
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
         flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
-        wavF32, wavExt, adpcm, mp3, oggV, oggO).flatMap { base =>
+        wavF32, wavExt, adpcm, mp3, oggV, oggO,
+        tiffG4, tiffG4ms, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
+        bmp565, bmp8888, bmpPal2).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
