@@ -113,7 +113,15 @@ object ScalingCurve {
     // exponent) and the IMA-ADPCM decode (per-nibble step-table walk,
     // map-side — scan-shaped like the other decode queries)
     "dedup_audio_wavx",
-    "multimodal_decode_adpcm")
+    "multimodal_decode_adpcm",
+    // round-14 additions: the CCITT G4 near-dup tier (map-side T.6 MMR
+    // decode → dHash — expect the dedup_image_tiff exponent), the
+    // G4 + JPEG-in-TIFF decode query (scan-shaped, five decodes per
+    // row), and the MS-ADPCM decode (per-nibble coefficient walk,
+    // map-side — expect the multimodal_decode_adpcm exponent)
+    "dedup_image_tiff_g4",
+    "multimodal_decode_tiff_ccitt",
+    "multimodal_decode_msadpcm")
 
   private[graft] val FlagExponent = 1.3
 

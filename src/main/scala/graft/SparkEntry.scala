@@ -1433,12 +1433,14 @@ object SparkEntry {
       Multimodal.imageNearDupTiff(base.union(copies), 9, 8, maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
-    // REAL CCITT Group 4 (T.6) decode, hash-oracled: the planted 9×8
-    // gray bitmap THRESHOLDED at 128 (the fixture contract: v < 128 =
-    // black ink) → a real Compression-4 WhiteIsZero TIFF — both byte
-    // orders AND a 3-rows-per-strip layout whose strips are independent
-    // MMR streams — decoded by the spec T.6 machinery (pass/horizontal/
-    // vertical modes, T.4 run alphabet) back to the exact bilevel plant
+    // REAL CCITT bilevel decode, hash-oracled: the planted 9×8 gray
+    // bitmap THRESHOLDED at 128 (the fixture contract: v < 128 = black
+    // ink) → a real Compression-4 WhiteIsZero TIFF — both byte orders,
+    // a 3-rows-per-strip layout whose strips are independent MMR
+    // streams, AND the §10 Compression-2 G3-1D Modified-Huffman flavor
+    // (byte-aligned EOL-free rows) — decoded by the spec T.6/T.4
+    // machinery (pass/horizontal/vertical modes, the T.4 run alphabet)
+    // back to the exact bilevel plant
     // (00 = ink, FF = paper; the oracle restates the threshold in pure
     // SQL). The jpeg columns pin Compression 7 end-to-end: the DC-only
     // 12×10 JPEG plant wrapped as a full-stream strip and as the
@@ -1458,6 +1460,10 @@ object SparkEntry {
             bigEndian = true).as("g4_be"),
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
             rowsPerStrip = 3).as("g4_ms"),
+          // r14 second pass: the §10 G3-1D Modified-Huffman flavor
+          // (byte-aligned EOL-free rows) through the same T.4 tables
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
+            g3 = true).as("g3_mh"),
           Multimodal.tiffJpegEncode(
             Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12))).as("tj"),
           Multimodal.tiffJpegEncode(
@@ -1467,6 +1473,7 @@ object SparkEntry {
           hex(Multimodal.tiffDecodeLuma(col("g4"))).as("px_hex_g4"),
           hex(Multimodal.tiffDecodeLuma(col("g4_be"))).as("px_hex_g4_be"),
           hex(Multimodal.tiffDecodeLuma(col("g4_ms"))).as("px_hex_g4_ms"),
+          hex(Multimodal.tiffDecodeLuma(col("g3_mh"))).as("px_hex_g3_mh"),
           hex(Multimodal.tiffDecodeLuma(col("tj"))).as("px_hex_jpeg"),
           hex(Multimodal.tiffDecodeLuma(col("tj_sp"))).as("px_hex_jpeg_sp"))
     }),
@@ -3018,6 +3025,7 @@ object SparkEntry {
            g.bil AS px_hex_g4,
            g.bil AS px_hex_g4_be,
            g.bil AS px_hex_g4_ms,
+           g.bil AS px_hex_g3_mh,
            repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
              repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex_jpeg,
            repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||

@@ -5349,10 +5349,10 @@ object Native {
     *                              zoo decodes; lossy VP8 WebP; non-MJPEG
     *                              MP4/AVI; BI_JPEG/BI_PNG-in-BMP — the
     *                              mask/palette/RLE BMP zoo decodes;
-    *                              CCITT G3/sub-byte TIFF — G4 bilevel,
-    *                              new-JPEG, planar-2 and strip+tile
-    *                              LZW/Deflate/PackBits/palette/16-bit
-    *                              decode; structurally
+    *                              CCITT G3-2D/sub-byte TIFF — G4 MMR,
+    *                              G3-1D MH, new-JPEG, planar-2 and
+    *                              strip+tile LZW/Deflate/PackBits/
+    *                              palette/16-bit decode; structurally
     *                              illegal PNG headers — every legal
     *                              depth/color pair decodes), or a
     *                              RECOGNIZED magic whose frames this
@@ -5514,9 +5514,10 @@ object Native {
         // TIFF decodes for real (uncompressed + PackBits + LZW +
         // Deflate, 8-bit gray/RGB/palette and 16-bit gray/RGB, optional
         // Predictor 2, STRIP and §15 TILE addressing, planar-2 RGB
-        // strips, CCITT G4 bilevel, new-JPEG Compression 7 incl.
-        // JPEGTables, both byte orders — [[Tiff]]); CCITT G3,
-        // Compression-6 legacy JPEG and sub-byte gray profiles stay
+        // strips, CCITT G4 MMR and G3-1D Modified-Huffman bilevel,
+        // new-JPEG Compression 7 incl. JPEGTables, both byte orders —
+        // [[Tiff]]); CCITT G3 2-D/EOL (Compression 3), Compression-6
+        // legacy JPEG and sub-byte gray profiles stay
         // recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
@@ -7001,16 +7002,18 @@ object Native {
       copy(left = l, right = r)
   }
 
-  /** tiff_g4_encode(BINARY pixels, width; bigEndian, rowsPerStrip) →
-    * BINARY: a REAL CCITT Group 4 TIFF (Compression 4, BitsPerSample 1,
-    * WhiteIsZero) from row-major gray-8 bytes thresholded at 128
-    * (v < 128 = black ink) — [[Ccitt]]'s fixture builder in either
-    * byte order, single- or multi-strip (rowsPerStrip 0 = one strip;
-    * each strip an independent MMR stream per the TIFF §11 contract,
-    * offset/count arrays inline or indirect by the 4-byte rule).
-    * Fixture builder; production writes G4 with a codec. */
+  /** tiff_g4_encode(BINARY pixels, width; bigEndian, rowsPerStrip, g3)
+    * → BINARY: a REAL CCITT bilevel TIFF (Compression 4 T.6 MMR, or
+    * with `g3` the §10 Compression-2 Modified-Huffman 1-D flavor with
+    * byte-aligned EOL-free rows; BitsPerSample 1, WhiteIsZero) from
+    * row-major gray-8 bytes thresholded at 128 (v < 128 = black ink) —
+    * [[Ccitt]]'s fixture builder in either byte order, single- or
+    * multi-strip (rowsPerStrip 0 = one strip; each strip an
+    * independent code stream per the TIFF contract, offset/count
+    * arrays inline or indirect by the 4-byte rule). Fixture builder;
+    * production writes CCITT with a codec. */
   case class TiffG4Encode(left: Expression, right: Expression,
-      bigEndian: Boolean, rowsPerStrip: Int)
+      bigEndian: Boolean, rowsPerStrip: Int, g3: Boolean)
       extends BinaryExpression with NativeBinaryCodegen {
     require(rowsPerStrip >= 0,
       s"rowsPerStrip >= 0 (0 = single strip), got $rowsPerStrip")
@@ -7038,8 +7041,10 @@ object Native {
       var s = 0
       while (s < strips) {
         val r0 = s * rps; val r1 = math.min(h, r0 + rps)
-        stripData(s) = Ccitt.encode(
-          java.util.Arrays.copyOfRange(black, r0 * w, r1 * w), w, r1 - r0)
+        val slice = java.util.Arrays.copyOfRange(black, r0 * w, r1 * w)
+        stripData(s) =
+          if (g3) Ccitt.encodeMh(slice, w, r1 - r0)
+          else Ccitt.encode(slice, w, r1 - r0)
         s += 1
       }
       val nEntries = 9
@@ -7066,8 +7071,8 @@ object Native {
       entry(256, 3, 1)(short1(w))
       entry(257, 3, 1)(short1(h))
       entry(258, 3, 1)(short1(1))
-      entry(259, 3, 1)(short1(4))
-      entry(262, 3, 1)(short1(0)) // WhiteIsZero, the G4 default
+      entry(259, 3, 1)(short1(if (g3) 2 else 4))
+      entry(262, 3, 1)(short1(0)) // WhiteIsZero, the CCITT default
       if (strips == 1) entry(273, 4, 1)(w32(dataOff))
       else entry(273, 4, strips)(w32(arraysOff))
       entry(277, 3, 1)(short1(1))
@@ -7363,6 +7368,110 @@ object Native {
       out.toByteArray
     }
 
+    /** Encode h rows as TIFF Compression-2 "Modified Huffman" (CCITT
+      * G3 1-D, the TIFF 6.0 §10 flavor): each row is an independent
+      * run of MH codes starting with a white run (0 allowed), NO EOL
+      * codes, and — the §10 rule — each row's code stream padded with
+      * zero bits to the next byte boundary. */
+    def encodeMh(black: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(w * h / 32 + 16)
+      var acc = 0; var nAcc = 0
+      def bits(code: Int, len: Int): Unit = {
+        var k = len - 1
+        while (k >= 0) {
+          acc = (acc << 1) | ((code >> k) & 1); nAcc += 1
+          if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+          k -= 1
+        }
+      }
+      def emit(packed: Int): Unit = bits(packed & 0xffffff, packed >>> 24)
+      def run(len0: Int, white: Boolean): Unit = {
+        var len = len0
+        val mk = if (white) WhiteMakeupC else BlackMakeupC
+        val tc = if (white) WhiteTermC else BlackTermC
+        while (len >= 2624) { emit(ExtMakeupC(12)); len -= 2560 }
+        if (len >= 1792) { val k = len / 64 - 28; emit(ExtMakeupC(k)); len -= (k + 28) * 64 }
+        else if (len >= 64) { val k = len / 64; emit(mk(k - 1)); len -= k * 64 }
+        emit(tc(len))
+      }
+      var y = 0
+      while (y < h) {
+        val base = y * w
+        var x = 0
+        var white = true
+        while (x < w) {
+          var e = x
+          while (e < w && (black(base + e) == 0) == white) e += 1
+          run(e - x, white)
+          x = e; white = !white
+        }
+        // §10: every row's code stream pads to the next byte boundary
+        if (nAcc > 0) { out.write(acc << (8 - nAcc)); acc = 0; nAcc = 0 }
+        y += 1
+      }
+      out.toByteArray
+    }
+
+    /** Decode one TIFF Compression-2 MH segment over `d[from, to)` into
+      * h rows × w black flags (1 = black), or null on a malformed
+      * stream: runs overrunning the row, bit starvation, or a row not
+      * summing exactly to w. Rows re-align to byte boundaries per the
+      * TIFF 6.0 §10 rule. */
+    def decodeMh(d: Array[Byte], from: Int, to: Int, w: Int, h: Int): Array[Byte] = {
+      if (w <= 0 || h <= 0 || from < 0 || to > d.length || from >= to) return null
+      val nBits = (to - from).toLong * 8
+      var pos = 0L
+      def peek13(): Int = {
+        var v = 0; var k = 0
+        while (k < 13) {
+          val bp = pos + k
+          val bit =
+            if (bp < nBits) (d(from + (bp >> 3).toInt) >> (7 - (bp & 7L).toInt)) & 1
+            else 0
+          v = (v << 1) | bit
+          k += 1
+        }
+        v
+      }
+      def readRun(white: Boolean): Int = {
+        val lut = if (white) WhiteLut else BlackLut
+        var total = 0
+        var iter = 0
+        while (iter < 64) {
+          iter += 1
+          val e = lut(peek13())
+          if (e == 0) return -1
+          val len = e >>> 16; val r = e & 0xffff
+          if (pos + len > nBits) return -1
+          pos += len
+          total += r
+          if (total > w) return -1
+          if (r < 64) return total
+        }
+        -1
+      }
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var white = true
+        var guard = 0
+        while (x < w) {
+          guard += 1
+          if (guard > 2 * w + 4) return null // zero-run loops cannot spin
+          val r = readRun(white)
+          if (r < 0) return null
+          if (!white && r > 0)
+            java.util.Arrays.fill(out, y * w + x, y * w + x + r, 1.toByte)
+          x += r
+          white = !white
+        }
+        pos = (pos + 7) & ~7L // §10: rows begin at byte boundaries
+        y += 1
+      }
+      out
+    }
+
     /** Decode one T.6 segment over `d[from, to)` into h rows × w
       * byte-per-pixel black flags (1 = black), or null on a malformed
       * stream. Trailing EOFB/padding after the last row is ignored. */
@@ -7489,16 +7598,18 @@ object Native {
     * padded in the coded data, sharing the strip path's decompressors
     * and integrator. Beyond the byte-oriented path: CCITT Group 4
     * (Compression 4 — [[Ccitt]]'s T.6 MMR decode over bilevel strips,
-    * WhiteIsZero or inverted), TIFF-EP "new JPEG" (Compression 7 —
-    * each strip a T.81 stream, optionally abbreviated against the
-    * JPEGTables tag and spliced, routed through [[Jpeg]]'s own cores),
-    * and planar configuration 2 for 8-bit RGB strips (plane-major
-    * offset arrays). Out of contract (→ `unsupported_profile`): CCITT
-    * G3 (Compression 2/3), the legacy Compression-6 JPEG scheme,
-    * sub-byte or mixed bit depths outside G4, 16-bit palette, extra
-    * samples, tiled G4/JPEG/planar-2, and Predictor 2 on an
-    * UNCOMPRESSED file (the spec scopes differencing to the
-    * compression schemes it helps). */
+    * WhiteIsZero or inverted) and the §10 Group 3 1-D Modified-Huffman
+    * flavor (Compression 2, byte-aligned EOL-free rows), TIFF-EP "new
+    * JPEG" (Compression 7 — each strip a T.81 stream, optionally
+    * abbreviated against the JPEGTables tag and spliced, routed
+    * through [[Jpeg]]'s own cores), and planar configuration 2 for
+    * 8-bit RGB strips (plane-major offset arrays). Out of contract
+    * (→ `unsupported_profile`): CCITT G3 2-D/EOL (Compression 3), the
+    * legacy Compression-6 JPEG scheme, sub-byte or mixed bit depths
+    * outside CCITT, 16-bit palette, extra samples, tiled
+    * CCITT/JPEG/planar-2, and Predictor 2 on an UNCOMPRESSED file
+    * (the spec scopes differencing to the compression schemes it
+    * helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -7582,13 +7693,16 @@ object Native {
             offs.length != strips || cnts.length != strips) return null
           (rps, offs, cnts)
         }
-        if (compression == 4) {
-          // ---- CCITT T.6 (G4) — bilevel MMR, the scanned-document/
-          // archival profile ([[Ccitt]]). In contract: BitsPerSample 1,
+        if (compression == 4 || compression == 2) {
+          // ---- CCITT bilevel: T.6 G4 MMR (Compression 4) and the §10
+          // "Modified Huffman" G3 1-D flavor (Compression 2, byte-
+          // aligned EOL-free rows) — the scanned-document/archival and
+          // fax profiles ([[Ccitt]]). In contract: BitsPerSample 1,
           // one sample, photometric 0 (WhiteIsZero, the §11 default —
           // coded white = luma 255) or 1 (inverted), strip-addressed,
-          // each strip an independent MMR stream. Tiled G4 and the T.6
-          // uncompressed-mode extension stay refused. ----
+          // each strip independent. Tiled CCITT, Compression 3 (T.4
+          // with EOLs) and the T.6 uncompressed-mode extension stay
+          // refused. ----
           if (tiled || scalar(284, 1) != 1 || scalar(277, 1) != 1 ||
             scalar(317, 1) != 1) return (Unsupported, 0, 0, null)
           val photometric4 = scalar(262, 0)
@@ -7611,8 +7725,11 @@ object Native {
             val r0 = s * rps
             val r1 = math.min(h, r0 + rps)
             if (offs(s) + cnts(s) > n) return trunc
-            val blk = Ccitt.decode(b, offs(s).toInt, (offs(s) + cnts(s)).toInt,
-              w, r1 - r0)
+            val blk =
+              if (compression == 4)
+                Ccitt.decode(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, w, r1 - r0)
+              else
+                Ccitt.decodeMh(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, w, r1 - r0)
             if (blk == null) return bad
             var i = 0
             val basePix = r0 * w
@@ -9106,7 +9223,8 @@ object Native {
     "graft_tiff_encode_deep" -> (exprs => TiffDeepEncode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), strLit(exprs(3), "mode"))),
     "graft_tiff_g4_encode" -> (exprs => TiffG4Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "rowsPerStrip"))),
+      boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "rowsPerStrip"),
+      boolLit(exprs(4), "g3"))),
     "graft_tiff_jpeg_encode" -> (exprs => TiffJpegEncode(exprs(0),
       boolLit(exprs(1), "bigEndian"), boolLit(exprs(2), "split"))),
     "graft_webp_vp8l_encode" -> (exprs =>
@@ -9294,10 +9412,12 @@ object Native {
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(mode))
   def tiffG4Encode(pixels: Column, width: Column,
-      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Column =
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0,
+      g3: Boolean = false): Column =
     call_function("graft_tiff_g4_encode", pixels, width,
       org.apache.spark.sql.functions.lit(bigEndian),
-      org.apache.spark.sql.functions.lit(rowsPerStrip))
+      org.apache.spark.sql.functions.lit(rowsPerStrip),
+      org.apache.spark.sql.functions.lit(g3))
   def tiffJpegEncode(jpeg: Column,
       bigEndian: Boolean = false, split: Boolean = false): Column =
     call_function("graft_tiff_jpeg_encode", jpeg,

@@ -932,13 +932,14 @@ object Multimodal {
       mode: String = "pal8"): Column =
     graft.functions.Native.tiffEncodeDeep(pixels, width, bigEndian, mode)
 
-  /** Fixture-grade CCITT Group 4 TIFF encode ([[graft.functions.Native
+  /** Fixture-grade CCITT bilevel TIFF encode ([[graft.functions.Native
     * .TiffG4Encode]]): gray-8 bytes thresholded at 128 (v < 128 = black
-    * ink) → a real Compression-4 WhiteIsZero TIFF, MMR-coded strips
+    * ink) → a real WhiteIsZero TIFF, Compression-4 T.6 MMR strips or
+    * (g3) Compression-2 Modified-Huffman byte-aligned rows
     * (rowsPerStrip 0 = single strip), either byte order. */
   def tiffG4Encode(pixels: Column, width: Column, bigEndian: Boolean = false,
-      rowsPerStrip: Int = 0): Column =
-    graft.functions.Native.tiffG4Encode(pixels, width, bigEndian, rowsPerStrip)
+      rowsPerStrip: Int = 0, g3: Boolean = false): Column =
+    graft.functions.Native.tiffG4Encode(pixels, width, bigEndian, rowsPerStrip, g3)
 
   /** Fixture-grade TIFF-EP "new JPEG" (Compression 7) encode ([[graft
     * .functions.Native.TiffJpegEncode]]): wraps an existing JPEG stream

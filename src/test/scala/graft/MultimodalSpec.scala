@@ -470,9 +470,11 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.modality($"b")).collect().head
     assert(bfRow.getString(0) == "unsupported_profile" && bfRow.getString(1) == "image/bmp")
     assert(Multimodal.realCodec(bfBmp).isEmpty)
-    // TIFF likewise decodes for real now — since the LZW/Deflate tier
-    // landed, the out-of-contract pin is CCITT (the Compression entry
-    // patched 1 → 2 at its spec offset) under image/tiff
+    // TIFF likewise decodes for real now — CCITT G4/MH bilevel decode
+    // since r14, so the out-of-contract pin is the Compression entry
+    // patched 1 → 2 on this DEPTH-8 file (CCITT is bilevel-only; an
+    // 8-bit CCITT label is a profile this pipeline refuses) under
+    // image/tiff
     val ccittTiff = Seq(Tuple1(Array.tabulate(9 * 8)(_.toByte))).toDF("px")
       .select(Multimodal.tiffEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     ccittTiff(54) = 2
@@ -1021,6 +1023,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stripBytes(g4(pv, 8)).toSeq ==
       Seq(0x2E, 0xE3, 0x00, 0x10, 0x01).map(_.toByte))
     assert(luma(g4(pv, 8)).toSeq == pv.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
+    // 4) G3-1D Modified Huffman (Compression 2): row0 white-2 (0111)
+    //    black-3 (10) white-3 (1000) = 0x7A 0x00 after the §10 byte
+    //    pad; row1 white-8 (10011) = 0x98 — hand-packed
+    def g3(px: Array[Byte], w: Int): Array[Byte] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(w), g3 = true)).as[Array[Byte]].head()
+    val mh = Array.fill[Byte](16)(-1)
+    mh(2) = 0; mh(3) = 0; mh(4) = 0
+    assert(stripBytes(g3(mh, 8)).toSeq == Seq(0x7A, 0x00, 0x98).map(_.toByte))
+    assert(luma(g3(mh, 8)).toSeq == mh.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
   }
 
   test("CCITT G4 round-trips: pseudorandom bilevel both byte orders, multi-strip, make-up chains past 2560, inverted photometric") {
@@ -1031,11 +1043,11 @@ class MultimodalSpec extends AnyFunSuite {
     val w = 61; val h = 17
     val px = Array.tabulate(w * h)(_ => if (rnd.nextBoolean()) -1: Byte else 0: Byte)
     val want = px.toSeq
-    for (be <- Seq(false, true); rps <- Seq(0, 5)) {
+    for (be <- Seq(false, true); rps <- Seq(0, 5); g3 <- Seq(false, true)) {
       val tiff = Seq(Tuple1(px)).toDF("px")
         .select(Multimodal.tiffG4Encode($"px", lit(w), bigEndian = be,
-          rowsPerStrip = rps)).as[Array[Byte]].head()
-      assert(luma(tiff).toSeq == want, s"be=$be rps=$rps")
+          rowsPerStrip = rps, g3 = g3)).as[Array[Byte]].head()
+      assert(luma(tiff).toSeq == want, s"be=$be rps=$rps g3=$g3")
     }
     // make-up chain: a 2700-wide line forces 2560-extended + 128 make-up
     // + terminating white codes (and the same for black on row 2)
@@ -1060,22 +1072,24 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(43)
     val w = 64; val h = 32
     val px = Array.tabulate(w * h)(_ => if (rnd.nextInt(4) == 0) 0: Byte else -1: Byte)
-    val tiff = Seq(Tuple1(px)).toDF("px")
-      .select(Multimodal.tiffG4Encode($"px", lit(w))).as[Array[Byte]].head()
-    val img = ImageIO.read(new java.io.ByteArrayInputStream(tiff))
-    assert(img != null, "ImageIO could not read the G4 fixture")
-    assert(img.getWidth == w && img.getHeight == h)
-    val mine = Seq(Tuple1(tiff)).toDF("b")
-      .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val iio = img.getRGB(x, y) & 0xff
-        assert(iio == (mine(y * w + x) & 0xff), s"($x,$y)")
-        x += 1
+    for (g3 <- Seq(false, true)) {
+      val tiff = Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(w), g3 = g3)).as[Array[Byte]].head()
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+      assert(img != null, s"ImageIO could not read the CCITT fixture (g3=$g3)")
+      assert(img.getWidth == w && img.getHeight == h)
+      val mine = Seq(Tuple1(tiff)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val iio = img.getRGB(x, y) & 0xff
+          assert(iio == (mine(y * w + x) & 0xff), s"($x,$y) g3=$g3")
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
   }
 
@@ -1097,10 +1111,15 @@ class MultimodalSpec extends AnyFunSuite {
     val extd = tiff.clone()
     extd(122) = 0x01 // first strip byte: 0000 0001 → extension prefix
     assert(reason(extd) == "corrupt")
-    // Compression 2 (G3 1-D) stays recognized-but-unsupported
+    // Compression 3 (G3 2-D with EOLs) stays recognized-but-unsupported
     val g3 = tiff.clone()
-    g3(10 + 3 * 12 + 8) = 2 // tag 259 value field (entry 4 of 9)
+    g3(10 + 3 * 12 + 8) = 3 // tag 259 value field (entry 4 of 9)
     assert(reason(g3) == "unsupported_profile")
+    // Compression 2 (MH) DECODES since r14 — but a G4 stream relabeled
+    // MH is not a valid MH stream: honest corruption, not a refusal
+    val mh = tiff.clone()
+    mh(10 + 3 * 12 + 8) = 2
+    assert(reason(mh) == "corrupt")
   }
 
   test("JPEG-in-TIFF (Compression 7): full-stream and JPEGTables-split strips route through the JPEG cores; color rides photometric 6") {
@@ -1240,7 +1259,9 @@ class MultimodalSpec extends AnyFunSuite {
     val r = Seq(Tuple1(unc)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b")).as[String].head()
     assert(r == "unsupported_profile")
-    // CCITT (Compression 2) stays recognized-but-unsupported
+    // a CCITT label (Compression 2) on this 8-BIT file stays
+    // recognized-but-unsupported — CCITT is bilevel-only (the bilevel
+    // MH/MMR profiles themselves decode since r14)
     val ccitt = tiff.clone()
     ccitt(54) = 2
     val r2 = Seq(Tuple1(ccitt)).toDF("b")
@@ -2193,6 +2214,8 @@ class MultimodalSpec extends AnyFunSuite {
       // classifier/codec split impossible)
       "tiffG4" -> Seq(Tuple1(grayPx)).toDF("px")
         .select(Multimodal.tiffG4Encode($"px", lit(9))).as[Array[Byte]].head(),
+      "tiffG3mh" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(9), g3 = true)).as[Array[Byte]].head(),
       "tiffJpeg7" -> Seq(Tuple1(jpeg)).toDF("j")
         .select(Multimodal.tiffJpegEncode($"j", split = true)).as[Array[Byte]].head(),
       "msAdpcm" -> Seq(Tuple1(Array.tabulate(42)(i => (i * 13).toByte))).toDF("n")
@@ -2274,6 +2297,7 @@ class MultimodalSpec extends AnyFunSuite {
     val tiffG4ms = one(Multimodal.tiffG4Encode(
       lit(Array.tabulate(72)(i => if (i % 3 == 0) 0.toByte else -1.toByte)),
       lit(9), rowsPerStrip = 3))
+    val tiffG3 = one(Multimodal.tiffG4Encode(grayCol, lit(9), g3 = true))
     val tiffJpeg = one(Multimodal.tiffJpegEncode(lit(jpeg)))
     val tiffJpegSplit = one(Multimodal.tiffJpegEncode(lit(jpeg), split = true))
     val msAdpcm = one(Multimodal.msAdpcmWav(
@@ -2287,7 +2311,7 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
         flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
         wavF32, wavExt, adpcm, mp3, oggV, oggO,
-        tiffG4, tiffG4ms, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
+        tiffG4, tiffG4ms, tiffG3, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
         bmp565, bmp8888, bmpPal2).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
