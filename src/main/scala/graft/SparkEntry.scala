@@ -1400,7 +1400,14 @@ object SparkEntry {
           Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true, mode = "gray16").as("tiff_16"),
           Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
-            mode = "tiles8").as("tiff_tile"))
+            mode = "tiles8").as("tiff_tile"),
+          // r14: sub-byte gray/palette and ExtraSamples RGBA
+          Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            mode = "gray4").as("tiff_g4b"),
+          Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
+            bigEndian = true, mode = "pal4").as("tiff_p4"),
+          Multimodal.tiffEncodeDeep(plantedRgbBitmap(col("doc_id"), alpha = true),
+            lit(9), mode = "rgba8").as("tiff_rgba"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
@@ -1418,6 +1425,11 @@ object SparkEntry {
           // §15 TILE addressing (single zero-padded edge tile here; the
           // multi-tile grid is pinned in the spec suite)
           hex(Multimodal.tiffDecodeLuma(col("tiff_tile"))).as("px_hex_tile"),
+          // 4-bit gray (·17 scaling), 4-bit palette (big-endian, the
+          // stretched closed form), and RGBA with the alpha skipped
+          hex(Multimodal.tiffDecodeLuma(col("tiff_g4b"))).as("px_hex_gray4"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff_p4"))).as("px_hex_pal4"),
+          hex(Multimodal.tiffDecodeLuma(col("tiff_rgba"))).as("px_hex_rgba"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -2972,7 +2984,13 @@ object SparkEntry {
     "multimodal_decode_tiff" ->
       """WITH c AS (SELECT doc_id,
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
-              for i in range(0, 72)] AS idx
+              for i in range(0, 72)] AS idx,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT
+              for i in range(0, 72)] AS cr,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
+              for i in range(0, 72)] AS cg,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
+              for i in range(0, 72)] AS cb
            FROM documents)
          SELECT doc_id,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
@@ -2991,6 +3009,13 @@ object SparkEntry {
              for i in range(0, 72)], '')) AS px_hex_16,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_tile,
+           upper(array_to_string([lpad(to_hex((x // 16) * 17), 2, '0')
+             for x in idx], '')) AS px_hex_gray4,
+           upper(array_to_string([lpad(to_hex((299 * (17 * (x % 16)) + 587 * (255 - 17 * (x % 16))
+             + 114 * ((119 * (x % 16)) % 256) + 500) // 1000), 2, '0')
+             for x in idx], '')) AS px_hex_pal4,
+           upper(array_to_string([lpad(to_hex((299 * cr[i+1] + 587 * cg[i+1] + 114 * cb[i+1] + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex_rgba,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||

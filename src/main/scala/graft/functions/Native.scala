@@ -5512,12 +5512,13 @@ object Native {
       // progressive JPEG or lossy VP8. ----
       else if (Tiff.hasMagic(b))
         // TIFF decodes for real (uncompressed + PackBits + LZW +
-        // Deflate, 8-bit gray/RGB/palette and 16-bit gray/RGB, optional
-        // Predictor 2, STRIP and §15 TILE addressing, planar-2 RGB
-        // strips, CCITT G4 MMR and G3-1D Modified-Huffman bilevel,
-        // new-JPEG Compression 7 incl. JPEGTables, both byte orders —
-        // [[Tiff]]); CCITT G3 2-D/EOL (Compression 3), Compression-6
-        // legacy JPEG and sub-byte gray profiles stay
+        // Deflate, 1/2/4/8-bit gray/palette, 8-bit RGB(A incl.
+        // ExtraSamples) and 16-bit gray/RGB, optional Predictor 2,
+        // STRIP and §15 TILE addressing, planar-2 RGB strips, CCITT G4
+        // MMR and G3-1D Modified-Huffman bilevel, new-JPEG Compression
+        // 7 incl. JPEGTables, both byte orders — [[Tiff]]); CCITT G3
+        // 2-D/EOL (Compression 3), Compression-6 legacy JPEG, 16-bit
+        // palette and CMYK-shaped samples stay
         // recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
@@ -6874,13 +6875,20 @@ object Native {
     *   - `tiles8`: §15 TILE addressing — 16×16 gray-8 tiles (the
     *     spec's multiple-of-16 rule), row-major, edge tiles
     *     zero-padded in the coded data, offset/count arrays inline or
-    *     indirect by the 4-byte rule.
+    *     indirect by the 4-byte rule;
+    *   - `gray4`: BitsPerSample 4 — sample v>>4 packed MSB-first two
+    *     per byte, rows byte-padded (decode scales ·255/15 = ·17);
+    *   - `pal4`: 4-bit palette-color — index v mod 16 over a 16-entry
+    *     ColorMap carrying the pal8 closed form stretched to e = 17·i;
+    *   - `rgba8`: 4-sample RGBA with the ExtraSamples (338) alpha
+    *     declaration and the spec's count-4 BitsPerSample array — the
+    *     luma must skip the planted alpha byte.
     * Fixture builder; production writes TIFF with a codec. */
   case class TiffDeepEncode(left: Expression, right: Expression,
       bigEndian: Boolean, mode: String)
       extends BinaryExpression with NativeBinaryCodegen {
-    require(mode == "pal8" || mode == "gray16" || mode == "tiles8",
-      s"mode pal8|gray16|tiles8, got $mode")
+    require(Seq("pal8", "gray16", "tiles8", "gray4", "pal4", "rgba8")
+      .contains(mode), s"mode pal8|gray16|tiles8|gray4|pal4|rgba8, got $mode")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -6893,10 +6901,15 @@ object Native {
         case s: java.lang.Short => s.intValue
         case _ => return null
       }
-      if (w <= 0 || w > 65535 || pixels.length == 0 || pixels.length % w != 0) return null
-      val h = pixels.length / w
+      val rgba = mode == "rgba8"
+      val bytesPerPx = if (rgba) 4 else 1
+      if (w <= 0 || w > 65535 || pixels.length == 0 ||
+        pixels.length % (w * bytesPerPx) != 0) return null
+      val h = pixels.length / (w * bytesPerPx)
       if (h > 65535) return null
       val pal = mode == "pal8"
+      val pal4 = mode == "pal4"
+      val gray4 = mode == "gray4"
       val tiles = mode == "tiles8"
       // tiles8: 16×16 gray-8 tiles (the spec's multiple-of-16 rule),
       // row-major, edge tiles zero-padded to full size in the coded data
@@ -6904,15 +6917,35 @@ object Native {
       val across = (w + tw - 1) / tw
       val down = (h + th - 1) / th
       val nTiles = across * down
-      val nEntries = if (pal || tiles) 10 else 9
+      val nEntries = if (pal || pal4 || tiles || rgba) 10 else 9
       val arraysOff = 8 + 2 + nEntries * 12 + 4
       // tile offset/count arrays leave the IFD when count > 1
       val tileArrBytes = if (tiles && nTiles > 1) 2 * 4 * nTiles else 0
-      val mapBytes = if (pal) 3 * 256 * 2 else 0
-      val dataOff = arraysOff + mapBytes + tileArrBytes
+      val mapBytes = if (pal) 3 * 256 * 2 else if (pal4) 3 * 16 * 2 else 0
+      // rgba8 carries BitsPerSample count 4 (the spec shape) indirect
+      val bitsArrBytes = if (rgba) 4 * 2 else 0
+      val dataOff = arraysOff + mapBytes + tileArrBytes + bitsArrBytes
       val data: Array[Byte] =
-        if (pal) pixels
-        else if (tiles) {
+        if (pal || rgba) pixels
+        else if (gray4 || pal4) {
+          // 4-bit samples packed two per byte, MSB-first, rows padded
+          // to byte boundaries: gray4 = v>>4, pal4 = index v mod 16
+          val rowB = (w + 1) / 2
+          val d = new Array[Byte](rowB * h)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              val v0 = pixels(yy * w + xx) & 0xff
+              val nib = if (gray4) v0 >> 4 else v0 % 16
+              val o = yy * rowB + (xx >> 1)
+              d(o) = ((d(o) & 0xff) | (if ((xx & 1) == 0) nib << 4 else nib)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          d
+        } else if (tiles) {
           val d = new Array[Byte](nTiles * tw * th)
           var t = 0
           while (t < nTiles) {
@@ -6959,16 +6992,21 @@ object Native {
       }
       entry(256, 3, 1)(short1(w))
       entry(257, 3, 1)(short1(h))
-      entry(258, 3, 1)(short1(if (mode == "gray16") 16 else 8))
+      if (rgba) entry(258, 3, 4)(w32(arraysOff)) // [8,8,8,8], the spec count
+      else entry(258, 3, 1)(short1(
+        if (mode == "gray16") 16 else if (gray4 || pal4) 4 else 8))
       entry(259, 3, 1)(short1(1)) // uncompressed
-      entry(262, 3, 1)(short1(if (pal) 3 else 1))
+      entry(262, 3, 1)(short1(
+        if (pal || pal4) 3 else if (rgba) 2 else 1))
       if (!tiles) entry(273, 4, 1)(w32(dataOff))
-      entry(277, 3, 1)(short1(1))
+      entry(277, 3, 1)(short1(if (rgba) 4 else 1))
       if (!tiles) {
         entry(278, 3, 1)(short1(h))
         entry(279, 4, 1)(w32(data.length))
       }
       if (pal) entry(320, 3, 3 * 256)(w32(arraysOff))
+      if (pal4) entry(320, 3, 3 * 16)(w32(arraysOff))
+      if (rgba) entry(338, 3, 1)(short1(2)) // unassociated alpha
       if (tiles) {
         entry(322, 3, 1)(short1(tw))
         entry(323, 3, 1)(short1(th))
@@ -6989,6 +7027,16 @@ object Native {
         i = 0
         while (i < 256) { w16(((7 * i) % 256) << 8); i += 1 } // blues
       }
+      if (pal4) {
+        // the pal8 closed form stretched over e = 17·i ∈ {0, 17, … 255}
+        var i = 0
+        while (i < 16) { w16((17 * i) << 8); i += 1 } // reds
+        i = 0
+        while (i < 16) { w16((255 - 17 * i) << 8); i += 1 } // greens
+        i = 0
+        while (i < 16) { w16(((7 * 17 * i) % 256) << 8); i += 1 } // blues
+      }
+      if (rgba) { w16(8); w16(8); w16(8); w16(8) } // BitsPerSample array
       if (tiles && nTiles > 1) {
         var t = 0
         while (t < nTiles) { w32(dataOff + t * tw * th); t += 1 }
@@ -7603,12 +7651,17 @@ object Native {
     * JPEG" (Compression 7 — each strip a T.81 stream, optionally
     * abbreviated against the JPEGTables tag and spliced, routed
     * through [[Jpeg]]'s own cores), and planar configuration 2 for
-    * 8-bit RGB strips (plane-major offset arrays). Out of contract
+    * 8-bit RGB strips (plane-major offset arrays); 1/2/4-bit gray
+    * (scaled v·255/(2^d−1), the PNG stance) and palette under the
+    * byte-oriented decompressors, rows byte-padded MSB-first; and
+    * 4-sample 8-bit RGBA behind an ExtraSamples (338) alpha
+    * declaration, the alpha skipped in the luma. Out of contract
     * (→ `unsupported_profile`): CCITT G3 2-D/EOL (Compression 3), the
-    * legacy Compression-6 JPEG scheme, sub-byte or mixed bit depths
-    * outside CCITT, 16-bit palette, extra samples, tiled
-    * CCITT/JPEG/planar-2, and Predictor 2 on an UNCOMPRESSED file
-    * (the spec scopes differencing to the compression schemes it
+    * legacy Compression-6 JPEG scheme, mixed bit depths, 16-bit
+    * palette, 4-sample files WITHOUT the alpha declaration
+    * (CMYK-shaped), sub-byte under predictor/tiles/multi-sample,
+    * tiled CCITT/JPEG/planar-2, and Predictor 2 on an UNCOMPRESSED
+    * file (the spec scopes differencing to the compression schemes it
     * helps). */
   private object Tiff {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
@@ -7823,21 +7876,36 @@ object Native {
         if (planar != 1 && !(planar == 2 && photometric == 2 && !tiled))
           return (Unsupported, 0, 0, null)
         val samples = scalar(277, 1)
-        if (samples != 1 && samples != 3) return (Unsupported, 0, 0, null)
-        if ((photometric == 2) != (samples == 3)) return (Unsupported, 0, 0, null)
+        // RGBA: 4 samples with an ExtraSamples (338) alpha declaration
+        // ride the RGB path at 8 bits, the alpha channel skipped in the
+        // luma; 4 samples WITHOUT the declaration (CMYK-shaped) refuse
+        val rgba = samples == 4 && photometric == 2 && {
+          val ex = if (entries.contains(338)) vector(338) else null
+          ex != null && ex.length == 1 && ex(0) <= 2
+        }
+        if (samples != 1 && samples != 3 && !rgba) return (Unsupported, 0, 0, null)
+        if ((photometric == 2) != (samples >= 3)) return (Unsupported, 0, 0, null)
         if (photometric == 3 && samples != 1) return (Unsupported, 0, 0, null)
         val bits = if (entries.contains(258)) vector(258) else Array(8L)
         if (bits == null || bits.isEmpty ||
           bits.exists(v => v != bits(0))) return (Unsupported, 0, 0, null)
         val depth = bits(0).toInt
         // 8-bit everywhere; 16-bit gray/RGB (high-byte reduction, the
-        // PNG stance) — palette stays 8-bit-indexed, and the §14
-        // predictor's byte-wise integration is only correct at 8 bits
-        if (depth != 8 && depth != 16) return (Unsupported, 0, 0, null)
+        // PNG stance); 1/2/4-bit gray and palette (MSB-first packing,
+        // rows byte-padded, gray scaled v·255/(2^d−1) — the PNG
+        // depth-matrix stance); the §14 predictor's byte-wise
+        // integration is only correct at 8 bits
+        if (depth != 1 && depth != 2 && depth != 4 && depth != 8 && depth != 16)
+          return (Unsupported, 0, 0, null)
         if (depth == 16 && (photometric == 3 || predictor == 2))
           return (Unsupported, 0, 0, null)
-        if (planar == 2 && (depth != 8 || predictor == 2))
+        // sub-byte: single-sample gray/palette, strip-addressed,
+        // predictor-free (differencing is byte-wise by spec)
+        if (depth < 8 && (samples != 1 || predictor == 2 || tiled))
           return (Unsupported, 0, 0, null)
+        if (planar == 2 && (depth != 8 || predictor == 2 || samples != 3))
+          return (Unsupported, 0, 0, null)
+        if (samples == 4 && depth != 8) return (Unsupported, 0, 0, null)
         // palette-color: the ColorMap (tag 320) holds 3·2^depth SHORTs,
         // all reds then greens then blues, 16-bit channel values whose
         // HIGH byte is the 8-bit channel (the spec's 0..65535 range)
@@ -7850,10 +7918,11 @@ object Native {
         val wL = scalar(256, -1); val hL = scalar(257, -1)
         if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue) return bad
         // cap divided by the STRIP bytes per pixel (the PNG stance): the
-        // cap must bound BYTES allocated — RGB is 3/px, 16-bit doubles it
-        // — without the divisor a crafted PackBits header could demand an
+        // cap must bound BYTES allocated — RGB(A) is 3-4/px, 16-bit
+        // doubles it, sub-byte floors at 1 (the luma plane itself) —
+        // without the divisor a crafted PackBits header could demand an
         // over-cap strip buffer before the control stream even runs
-        if (wL * hL > Png.MaxPixels / (samples * bytesPerSample))
+        if (wL * hL > Png.MaxPixels / math.max(1, samples * bytesPerSample))
           return (Bomb, 0, 0, null)
         val w = wL.toInt; val h = hL.toInt
         // ---- shared segment machinery: a strip and a tile differ only
@@ -7927,22 +7996,34 @@ object Native {
           // file's own byte order (the PNG depth-matrix stance)
           def hi16(k: Int): Int =
             if (le) src(rowBase + 2 * k + 1) & 0xff else src(rowBase + 2 * k) & 0xff
+          // sub-byte sample k of the row: MSB-first within each byte
+          def sub(k: Int): Int = {
+            val bit = k * depth
+            (src(rowBase + (bit >> 3)) >> (8 - depth - (bit & 7))) &
+              ((1 << depth) - 1)
+          }
+          val nSmp = samples.toInt // pixel stride in samples (RGBA skips α)
           var x = 0
           while (x < count) {
             val v =
               if (photometric == 3) {
-                val idx = src(rowBase + x) & 0xff // depth gated to 8
+                val idx =
+                  if (depth == 8) src(rowBase + x) & 0xff else sub(x)
                 val n1 = 1 << depth
                 Png.luma601((colorMap(idx) >> 8).toInt,
                   (colorMap(n1 + idx) >> 8).toInt,
                   (colorMap(2 * n1 + idx) >> 8).toInt)
               } else if (samples == 1) {
-                val g = if (depth == 16) hi16(x) else src(rowBase + x) & 0xff
+                val g =
+                  if (depth == 16) hi16(x)
+                  else if (depth == 8) src(rowBase + x) & 0xff
+                  // the PNG depth-matrix scaling: v·255/(2^d−1), exact
+                  else sub(x) * 255 / ((1 << depth) - 1)
                 if (photometric == 0) 255 - g else g // WhiteIsZero inverts
               } else if (depth == 16) {
-                Png.luma601(hi16(3 * x), hi16(3 * x + 1), hi16(3 * x + 2))
+                Png.luma601(hi16(nSmp * x), hi16(nSmp * x + 1), hi16(nSmp * x + 2))
               } else {
-                val p = rowBase + 3 * x
+                val p = rowBase + nSmp * x
                 Png.luma601(src(p) & 0xff, src(p + 1) & 0xff, src(p + 2) & 0xff)
               }
             luma(outBase + x) = v.toByte
@@ -8027,7 +8108,10 @@ object Native {
           val offs = vector(273); val cnts = vector(279)
           if (offs == null || cnts == null ||
             offs.length != strips || cnts.length != strips) return bad
-          val rowBytes = w.toLong * samples * bytesPerSample
+          // sub-byte rows pack MSB-first and pad to byte boundaries
+          val rowBytes =
+            if (depth >= 8) w.toLong * samples * bytesPerSample
+            else (w.toLong * depth + 7) / 8
           var s = 0
           while (s < strips) {
             val r0 = s * rps
@@ -8142,13 +8226,15 @@ object Native {
     }
   }
 
-  /** tiff_decode_luma(BINARY) → BINARY: REAL baseline TIFF pixel decode
-    * to the exact-integer luma plane — [[PngLumaDecode]]'s TIFF sibling
+  /** tiff_decode_luma(BINARY) → BINARY: REAL TIFF pixel decode to the
+    * exact-integer luma plane — [[PngLumaDecode]]'s TIFF sibling
     * ([[Tiff]]): both byte orders, the IFD walk, STRIP and §15 TILE
-    * addressing, 8-bit gray (either polarity) / RGB / palette-color
-    * (ColorMap) and 16-bit gray/RGB (high-byte reduction),
-    * uncompressed/PackBits/LZW/Deflate with optional Predictor 2. Null
-    * off contract. */
+    * addressing, 1/2/4/8-bit gray (either polarity) / palette-color
+    * (ColorMap), 8-bit RGB(A with ExtraSamples) incl. planar-2 strips,
+    * 16-bit gray/RGB (high-byte reduction),
+    * uncompressed/PackBits/LZW/Deflate with optional Predictor 2,
+    * CCITT G4 MMR + G3-1D MH bilevel, and Compression-7 new-JPEG incl.
+    * JPEGTables. Null off contract. */
   case class TiffLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType

@@ -898,14 +898,17 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
-  /** REAL baseline TIFF pixel decode to the exact-integer luma plane
-    * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders, the
-    * IFD walk, STRIP and §15 TILE addressing, 8-bit gray (either
-    * polarity) / RGB / palette-color (ColorMap) and 16-bit gray/RGB
-    * (high-byte reduction), uncompressed, PackBits, LZW (§13 MSB-first,
-    * early width change) or Deflate, each optionally under the §14
-    * horizontal-differencing Predictor. Null on CCITT/JPEG-in-TIFF/
-    * sub-byte/planar-2 profiles or damage. */
+  /** REAL TIFF pixel decode to the exact-integer luma plane
+    * ([[graft.functions.Native.TiffLumaDecode]]): both byte orders,
+    * the IFD walk, STRIP and §15 TILE addressing, 1/2/4/8-bit gray
+    * (either polarity) / palette-color (ColorMap), 8-bit RGB(A with
+    * ExtraSamples) including planar-2 strips, 16-bit gray/RGB
+    * (high-byte reduction), uncompressed, PackBits, LZW (§13
+    * MSB-first, early width change) or Deflate, each optionally under
+    * the §14 horizontal-differencing Predictor, CCITT G4 MMR + G3-1D
+    * MH bilevel, and Compression-7 new-JPEG incl. JPEGTables. Null on
+    * G3-2D/Compression-6/16-bit-palette/CMYK-shaped profiles or
+    * damage. */
   def tiffDecodeLuma(tiff: Column): Column =
     graft.functions.Native.tiffDecodeLuma(tiff)
 

@@ -1330,6 +1330,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(mixed) == "unsupported_profile")
   }
 
+  test("TIFF sub-byte gray/palette and ExtraSamples RGBA: hand-packed 1/2-bit vectors, 4-bit round-trips, alpha skipped") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    // hand-built 5×1 depth-2 gray (BlackIsZero): samples [0,1,2,3,2]
+    // pack MSB-first to 0x1B 0x80; luma scales ·85
+    val d2 = hexBytesT("49492A00080000000900" +
+      "000103000100000005000000" + "010103000100000001000000" +
+      "020103000100000002000000" + "030103000100000001000000" +
+      "060103000100000001000000" + "11010400010000007A000000" +
+      "150103000100000001000000" + "160103000100000001000000" +
+      "170104000100000002000000" + "00000000" + "1B80")
+    assert(luma(d2).toSeq == Seq[Byte](0, 85, 170.toByte, 255.toByte, 170.toByte))
+    // the same file at depth 1: the first 5 bits of 0x1B = 0,0,0,1,1
+    val d1 = d2.clone(); d1(10 + 2 * 12 + 8) = 1
+    assert(luma(d1).toSeq == Seq[Byte](0, 0, 0, 255.toByte, 255.toByte))
+    // WhiteIsZero inverts the scaled gray
+    val d2inv = d2.clone(); d2inv(10 + 4 * 12 + 8) = 0
+    assert(luma(d2inv).toSeq == Seq[Byte](255.toByte, 170.toByte, 85, 0, 85))
+    // fixture round-trips: gray4 = (v>>4)·17; pal4 = the stretched
+    // palette closed form over e = 17·(v mod 16), big-endian walk
+    val px = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    def deep(mode: String, be: Boolean = false): Array[Byte] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffEncodeDeep($"px", lit(9), bigEndian = be,
+          mode = mode)).as[Array[Byte]].head()
+    assert(luma(deep("gray4")).toSeq ==
+      px.map(p => (((p & 0xff) >> 4) * 17).toByte).toSeq)
+    for (be <- Seq(false, true))
+      assert(luma(deep("pal4", be)).toSeq ==
+        px.map { p => val e = 17 * ((p & 0xff) % 16)
+          ((299 * e + 587 * (255 - e) + 114 * ((7 * e) % 256) + 500) / 1000).toByte
+        }.toSeq, s"pal4 be=$be")
+    // RGBA: planted 4-byte pixels whose ALPHA byte would corrupt the
+    // luma if the stride or the ExtraSamples skip were wrong
+    val rgba = Array.tabulate(9 * 8 * 4) { i =>
+      val p = i / 4
+      (i % 4 match {
+        case 0 => (p * 31 + 5) & 0xff
+        case 1 => (p * 57 + 99) & 0xff
+        case 2 => (p * 83 + 7) & 0xff
+        case _ => 0xEE // alpha: a loud constant
+      }).toByte
+    }
+    val rgbaTiff = Seq(Tuple1(rgba)).toDF("px")
+      .select(Multimodal.tiffEncodeDeep($"px", lit(9), mode = "rgba8"))
+      .as[Array[Byte]].head()
+    val want = Array.tabulate(9 * 8) { p =>
+      ((299 * ((p * 31 + 5) & 0xff) + 587 * ((p * 57 + 99) & 0xff) +
+        114 * ((p * 83 + 7) & 0xff) + 500) / 1000).toByte
+    }
+    assert(luma(rgbaTiff).toSeq == want.toSeq)
+    // ImageIO cross-pins: the JDK reader agrees on gray4 and RGBA
+    for (blob <- Seq(deep("gray4"), rgbaTiff)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img != null && img.getWidth == 9 && img.getHeight == 8)
+      val mine = luma(blob)
+      var i = 0
+      while (i < 72) {
+        val rgb = img.getRGB(i % 9, i / 9)
+        val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff) + 500) / 1000
+        assert(l == (mine(i) & 0xff), s"px $i")
+        i += 1
+      }
+    }
+    // CMYK-shaped 4-sample file WITHOUT ExtraSamples stays refused
+    val cmykish = rgbaTiff.clone()
+    // zero out the ExtraSamples tag id (338 → an unknown tag id keeps
+    // the entry parse valid but removes the alpha declaration)
+    val e338 = (0 until 10).find(k =>
+      (cmykish(10 + 12 * k) & 0xff) == 0x52 && (cmykish(11 + 12 * k) & 0xff) == 0x01).get
+    cmykish(10 + 12 * e338) = 0x99.toByte
+    val reason = Seq(Tuple1(cmykish)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+    assert(!reason.isNullAt(0) && reason.getString(0) == "unsupported_profile")
+  }
+
   test("TIFF tiled layout: multi-tile grid with edge clipping, ImageIO's tiled LZW writer, refusals") {
     def luma(bytes: Array[Byte]): Array[Byte] =
       Seq(Tuple1(bytes)).toDF("b")
@@ -2298,6 +2376,10 @@ class MultimodalSpec extends AnyFunSuite {
       lit(Array.tabulate(72)(i => if (i % 3 == 0) 0.toByte else -1.toByte)),
       lit(9), rowsPerStrip = 3))
     val tiffG3 = one(Multimodal.tiffG4Encode(grayCol, lit(9), g3 = true))
+    val tiffGray4 = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "gray4"))
+    val tiffPal4 = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "pal4"))
+    val tiffRgba = one(Multimodal.tiffEncodeDeep(
+      lit(Array.tabulate(288)(i => (i * 29).toByte)), lit(9), mode = "rgba8"))
     val tiffJpeg = one(Multimodal.tiffJpegEncode(lit(jpeg)))
     val tiffJpegSplit = one(Multimodal.tiffJpegEncode(lit(jpeg), split = true))
     val msAdpcm = one(Multimodal.msAdpcmWav(
@@ -2312,7 +2394,7 @@ class MultimodalSpec extends AnyFunSuite {
         flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
         wavF32, wavExt, adpcm, mp3, oggV, oggO,
         tiffG4, tiffG4ms, tiffG3, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
-        bmp565, bmp8888, bmpPal2).flatMap { base =>
+        bmp565, bmp8888, bmpPal2, tiffGray4, tiffPal4, tiffRgba).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
