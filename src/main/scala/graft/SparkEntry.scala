@@ -1330,7 +1330,11 @@ object SparkEntry {
     // file+info header straight off the blob at the spec layout;
     // width/height come through the declarative bmpDims parser (which
     // must report the top-down height's magnitude).
-    "multimodal_decode_bmp" -> ((s, d) =>
+    "multimodal_decode_bmp" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "bj", i)
+      val jbitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
       Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"),
@@ -1348,7 +1352,14 @@ object SparkEntry {
           Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
             "bf8888").as("bmp_bf32"),
           Multimodal.bmpEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
-            "pal2").as("bmp_pal2"))
+            "pal2").as("bmp_pal2"),
+          // embedded streams: BI_JPEG around the DC plant, BI_PNG
+          // around the stored-PNG identity fixture
+          Multimodal.bmpEncodeStream(
+            Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12)), png = false).as("bmp_jpg"),
+          Multimodal.bmpEncodeStream(
+            Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+              filterMode = 0, stored = true), png = true).as("bmp_png"))
         .select(col("doc_id"),
           hex(Multimodal.bmpDecodeLuma(col("bmp"))).as("px_hex"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_td"))).as("px_hex_td"),
@@ -1359,9 +1370,13 @@ object SparkEntry {
           hex(Multimodal.bmpDecodeLuma(col("bmp_565"))).as("px_hex_565"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_bf32"))).as("px_hex_bf32"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_pal2"))).as("px_hex_pal2"),
+          // embedded BI_JPEG/BI_PNG through the pipeline's own cores
+          hex(Multimodal.bmpDecodeLuma(col("bmp_jpg"))).as("px_hex_jpg"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_png"))).as("px_hex_png"),
           hex(substring(col("bmp"), 1, 54)).as("blob_hdr_hex"),
           Multimodal.bmpDims(col("bmp_td")).getField("width").as("width"),
-          Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))),
+          Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))
+    }),
     // image near-dup on REAL BMP bytes end-to-end (header walk → palette
     // → padded bottom-up rows → luma → dHash → Hamming-LSH): re-keyed
     // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
@@ -2949,8 +2964,15 @@ object SparkEntry {
     "multimodal_decode_bmp" ->
       """WITH c AS (SELECT doc_id,
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2))::INT
-              for i in range(0, 72)] AS idx
-           FROM documents)
+              for i in range(0, 72)] AS idx,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-bj' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-bj' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-bj' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS jv
+           FROM documents),
+         cx AS (SELECT doc_id, idx,
+             list_transform(jv, x -> upper(lpad(to_hex(x), 2, '0'))) AS jh
+           FROM c)
          SELECT doc_id,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex,
@@ -2968,10 +2990,14 @@ object SparkEntry {
              for x in idx], '')) AS px_hex_bf32,
            upper(array_to_string([lpad(to_hex((x % 4) * 85), 2, '0')
              for x in idx], '')) AS px_hex_pal2,
+           repeat(repeat(jh[1], 8) || repeat(jh[2], 4), 8) ||
+             repeat(repeat(jh[3], 8) || repeat(jh[4], 4), 2) AS px_hex_jpg,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_png,
            '424D960400000000000036040000280000000900000008000000' ||
              '01000800000000006000000000000000000000000001000000000000' AS blob_hdr_hex,
            CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
-         FROM c""",
+         FROM cx""",
     // identical pair-set argument to dedup_image_png on BMP payloads
     "dedup_image_bmp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming

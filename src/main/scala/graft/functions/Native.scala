@@ -5347,8 +5347,9 @@ object Native {
     *                              progressive decode; GSM/MP3-in-WAV —
     *                              the PCM/float32+64/IMA/MS-ADPCM/G.711
     *                              zoo decodes; lossy VP8 WebP; non-MJPEG
-    *                              MP4/AVI; BI_JPEG/BI_PNG-in-BMP — the
-    *                              mask/palette/RLE BMP zoo decodes;
+    *                              MP4/AVI; OS/2-V2 BMP — the mask/
+    *                              palette/RLE/embedded-stream BMP zoo
+    *                              decodes;
     *                              CCITT G3-2D/sub-byte TIFF — G4 MMR,
     *                              G3-1D MH, new-JPEG, planar-2 and
     *                              strip+tile LZW/Deflate/PackBits/
@@ -5530,9 +5531,9 @@ object Native {
       else if (b(0) == 'B' && b(1) == 'M' &&
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
         // BMP decodes for real (BI_RGB 1/2/4/8/16/24/32, RLE8/RLE4,
-        // BI_BITFIELDS 16/32 mask-driven — [[Bmp]]); BI_JPEG/BI_PNG
-        // embedded streams and the OS/2 V2 header family stay
-        // recognized-but-unsupported
+        // BI_BITFIELDS 16/32 mask-driven, BI_JPEG/BI_PNG embedded
+        // streams through the pipeline's own JPEG/PNG cores — [[Bmp]]);
+        // the OS/2 V2 header family stays recognized-but-unsupported
         Bmp.status(b) match {
           case Bmp.Ok => null
           case Bmp.Truncated => s("truncated")
@@ -6521,11 +6522,13 @@ object Native {
     * run-length codings (encoded runs, word-aligned absolute mode,
     * EOL/EOB/delta escapes, skipped pixels = index 0), plus the
     * pre-Windows-3 BITMAPCOREHEADER layout (12-byte header, u16 dims,
-    * RGB-triple palette, 1/4/8/24-bit). Out of contract
-    * (→ `unsupported_profile`): BI_JPEG/BI_PNG embedded streams
-    * (compression 4/5) and the OS/2 V2 header family
-    * (12 < size < 40); zero/overlapping/non-contiguous bitfield masks
-    * are structural damage (→ `corrupt`). */
+    * RGB-triple palette, 1/4/8/24-bit), and BI_JPEG/BI_PNG embedded
+    * streams (compression 4/5 at biBitCount 0, decoded by the
+    * pipeline's own JPEG/PNG cores, SOF/IHDR dims required to restate
+    * the header's). Out of contract (→ `unsupported_profile`): the
+    * OS/2 V2 header family (12 < size < 40) and embedded streams at a
+    * nonzero biBitCount; zero/overlapping/non-contiguous bitfield
+    * masks are structural damage (→ `corrupt`). */
   private object Bmp {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
 
@@ -6591,7 +6594,10 @@ object Native {
           (bpp == 1 || bpp == 2 || bpp == 4 || bpp == 8 || bpp == 16 ||
             bpp == 24 || bpp == 32)) ||
           (compression == 1 && bpp == 8) || (compression == 2 && bpp == 4) ||
-          (compression == 3 && (bpp == 16 || bpp == 32))
+          (compression == 3 && (bpp == 16 || bpp == 32)) ||
+          // BI_JPEG (4) / BI_PNG (5): embedded streams — biBitCount 0
+          // per spec ("defined by the embedded format")
+          ((compression == 4 || compression == 5) && bpp == 0)
         if (!ok) return (Unsupported, 0, 0, null)
         // channel masks: explicit for BI_BITFIELDS (byte 54 in both the
         // INFOHEADER-appended and V4/V5 in-header layouts), the spec's
@@ -6622,6 +6628,30 @@ object Native {
         if ((compression == 1 || compression == 2) && topDown) return bad
         if (w <= 0 || h == 0 || h0 == Int.MinValue) return bad
         if (w.toLong * h > Png.MaxPixels) return (Bomb, 0, 0, null)
+        if (compression == 4 || compression == 5) {
+          // the pixel data is a COMPLETE embedded JPEG/PNG stream,
+          // decoded by this pipeline's own cores (the JPEG-in-TIFF
+          // stance, BMP edition); the stream defines its own top-down
+          // orientation, so the header height must be positive and the
+          // embedded SOF/IHDR dims must restate the header's
+          if (topDown) return bad
+          if (off < 14 + hdrSize) return bad
+          val sizeImage = u32(b, 34)
+          val end =
+            if (sizeImage > 0) {
+              if (off + sizeImage > n) return trunc
+              (off + sizeImage).toInt
+            } else n
+          if (off.toInt + 4 > end) return trunc
+          val stream = java.util.Arrays.copyOfRange(b, off.toInt, end)
+          val dec =
+            if (compression == 4) Jpeg.decodeLumaPlaneWithDims(stream, allowColor = true)
+            else Png.decodeLuma(stream)
+          if (dec == null) return bad
+          val (sw, sh, px) = dec
+          if (sw != w || sh != h) return bad
+          return (Ok, w, h, px)
+        }
         var palOff = 0; var palLen = 0
         val palStride = if (core) 3 else 4 // COREHEADER palettes are RGB triples
         if (bpp <= 8) {
@@ -8345,6 +8375,59 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** bmp_encode_stream(BINARY stream; png) → BINARY: a REAL BI_JPEG /
+    * BI_PNG BMP wrapping an existing JPEG or PNG stream as its pixel
+    * data (compression 4/5, biBitCount 0 per the spec, biSizeImage =
+    * stream length, header dims read from the stream's own SOF/IHDR)
+    * — [[TiffJpegEncode]]'s BMP sibling. Fixture builder; production
+    * writes BMP with a codec. */
+  case class BmpStreamEncode(child: Expression, png: Boolean)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try encode(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    private def encode(s: Array[Byte]): Any = {
+      val n = s.length
+      var w = -1; var h = -1
+      if (png) {
+        if (n < 33 || (s(0) & 0xff) != 0x89 || s(1) != 'P') return null
+        val wl = Png.u32(s, 16); val hl = Png.u32(s, 20)
+        if (wl <= 0 || hl <= 0 || wl > 65535 || hl > 65535) return null
+        w = wl.toInt; h = hl.toInt
+      } else {
+        if (n < 4 || (s(0) & 0xff) != 0xFF || (s(1) & 0xff) != 0xD8) return null
+        var p = 2
+        while (w < 0 && p + 4 <= n) {
+          if ((s(p) & 0xff) != 0xFF) return null
+          val mk = s(p + 1) & 0xff
+          if (mk == 0xDA) return null // SOS before any SOF
+          val len = ((s(p + 2) & 0xff) << 8) | (s(p + 3) & 0xff)
+          if (len < 2 || p + 2 + len > n) return null
+          if (mk == 0xC0 || mk == 0xC2) {
+            h = ((s(p + 5) & 0xff) << 8) | (s(p + 6) & 0xff)
+            w = ((s(p + 7) & 0xff) << 8) | (s(p + 8) & 0xff)
+          }
+          p += 2 + len
+        }
+      }
+      if (w <= 0 || h <= 0) return null
+      val dataOff = 14 + 40
+      val out = new java.io.ByteArrayOutputStream(dataOff + n)
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      out.write('B'); out.write('M')
+      le32(dataOff + n); le32(0); le32(dataOff)
+      le32(40); le32(w); le32(h)
+      le16(1); le16(0); le32(if (png) 5 else 4) // planes, bpp 0, BI_PNG/BI_JPEG
+      le32(n); le32(0); le32(0); le32(0); le32(0)
+      out.write(s, 0, n)
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** tiff_encode_gray8(BINARY pixels, width; bigEndian, compression,
     * predictor) → BINARY: a REAL, complete single-strip baseline TIFF
     * (header at 0, one IFD at 8, pixel data right after) from row-major
@@ -9302,6 +9385,8 @@ object Native {
       boolLit(exprs(2), "topDown"), boolLit(exprs(3), "rle"))),
     "graft_bmp_encode_deep" -> (exprs => BmpDeepEncode(exprs(0), exprs(1),
       strLit(exprs(2), "mode"))),
+    "graft_bmp_encode_stream" -> (exprs => BmpStreamEncode(exprs(0),
+      boolLit(exprs(1), "png"))),
     "graft_tiff_decode_luma" -> (exprs => TiffLumaDecode(exprs(0))),
     "graft_tiff_encode_gray8" -> (exprs => TiffGray8Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "compression"),
@@ -9483,6 +9568,9 @@ object Native {
   def bmpEncodeDeep(pixels: Column, width: Column, mode: String): Column =
     call_function("graft_bmp_encode_deep", pixels, width,
       org.apache.spark.sql.functions.lit(mode))
+  def bmpEncodeStream(stream: Column, png: Boolean): Column =
+    call_function("graft_bmp_encode_stream", stream,
+      org.apache.spark.sql.functions.lit(png))
   def tiffDecodeLuma(tiff: Column): Column =
     call_function("graft_tiff_decode_luma", tiff)
   def tiffEncodeGray8(pixels: Column, width: Column,

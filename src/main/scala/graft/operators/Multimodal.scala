@@ -878,6 +878,12 @@ object Multimodal {
   def bmpEncodeDeep(pixels: Column, width: Column, mode: String): Column =
     graft.functions.Native.bmpEncodeDeep(pixels, width, mode)
 
+  /** Fixture-grade BI_JPEG/BI_PNG BMP encode ([[graft.functions.Native
+    * .BmpStreamEncode]]): wraps an existing JPEG or PNG stream as the
+    * BMP's embedded pixel data (compression 4/5, biBitCount 0). */
+  def bmpEncodeStream(stream: Column, png: Boolean): Column =
+    graft.functions.Native.bmpEncodeStream(stream, png)
+
   /** Fixture-grade 8-bit BMP encode ([[graft.functions.Native
     * .BmpGray8Encode]]): row-major gray-8 bytes → a complete BMP with a
     * 256-entry grayscale palette (decode∘encode = identity), bottom-up

@@ -67,9 +67,9 @@ class DocConsistencySpec extends AnyFunSuite {
   test("BMP classifier comment tracks the Bmp decode contract") {
     pin(branch("else if (b(0) == 'B' && b(1) == 'M'", "Bmp.status(b) match"),
       "BMP classifier",
-      mustMention = Seq("BI_JPEG", "OS/2 V2"),
+      mustMention = Seq("OS/2 V2"),
       mustNotMention = Seq("RLE8/RLE4 stay", "palette depths stay",
-        "bitfields/16-bit stay"))
+        "bitfields/16-bit stay", "embedded streams and the OS/2"))
   }
 
   test("DecodeDropReason contract doc names no graduated profile as refused") {

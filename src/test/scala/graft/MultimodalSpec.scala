@@ -461,8 +461,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flacRow.getString(0) == "truncated" && flacRow.getString(1) == "audio/flac")
     assert(Multimodal.realCodec(flacCut).isEmpty)
     // BMP is no longer merely recognized — BI_RGB, RLE and (since r14)
-    // the 16-bit/BITFIELDS masks decode for real; the out-of-contract
-    // pin is an embedded BI_PNG stream (compression 5) under image/bmp
+    // the 16-bit/BITFIELDS masks and embedded streams decode for real;
+    // the out-of-contract pin is a BI_PNG label at a NONZERO biBitCount
+    // (embedded streams require biBitCount 0 per spec) under image/bmp
     val bfBmp = hexBytesT("424D7604000000000000360400002800000004000000020000000100" +
       "1000050000000000000000000000000000000000000000000000")
     val bfRow = Seq(Tuple1(bfBmp)).toDF("b")
@@ -985,6 +986,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(ov) == "corrupt")
     // a 16-bit BITFIELDS header cut before its mask DWORDs → truncated
     assert(reason(deep("bf565").take(60)) == "truncated")
+  }
+
+  test("BMP embedded BI_JPEG/BI_PNG streams decode through the pipeline's own cores; dim mismatch is corruption") {
+    def luma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val gray = Array.tabulate(9 * 8)(i => ((i * 41 + 3) & 0xff).toByte)
+    val png = Seq(Tuple1(gray)).toDF("px")
+      .select(Multimodal.pngEncodeGray8($"px", lit(9), filterMode = 0,
+        stored = true)).as[Array[Byte]].head()
+    val bmpPng = Seq(Tuple1(png)).toDF("s")
+      .select(Multimodal.bmpEncodeStream($"s", png = true)).as[Array[Byte]].head()
+    assert(luma(bmpPng).toSeq == gray.toSeq) // stored PNG is the identity
+    assert(reason(bmpPng) == null)
+    val jpeg = Seq(Tuple1(Array.fill(12 * 10)(200.toByte))).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(12))).as[Array[Byte]].head()
+    val direct = Seq(Tuple1(jpeg)).toDF("b")
+      .select(Multimodal.jpegDecodeGray8($"b")).as[Array[Byte]].head()
+    val bmpJpg = Seq(Tuple1(jpeg)).toDF("s")
+      .select(Multimodal.bmpEncodeStream($"s", png = false)).as[Array[Byte]].head()
+    assert(luma(bmpJpg).toSeq == direct.toSeq)
+    // a header whose dims disagree with the embedded IHDR → corrupt
+    val lied = bmpPng.clone(); lied(18) = 8 // header width 9 → 8
+    assert(reason(lied) == "corrupt")
+    // cut mid-stream: the declared biSizeImage now overruns → truncated
+    assert(reason(bmpPng.dropRight(6)) == "truncated")
   }
 
   test("CCITT G4 hand vectors: all-white rows are V0 bits; H+V rows and pass mode match hand-coded T.6 bytes; EOFB written") {
@@ -2301,6 +2333,10 @@ class MultimodalSpec extends AnyFunSuite {
       "wavF64" -> Seq(Tuple1(Array.tabulate(200)(i => (i * 7).toByte))).toDF("b")
         .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, "float64"))
         .as[Array[Byte]].head(),
+      "bmpPng" -> Seq(Tuple1(png)).toDF("s")
+        .select(Multimodal.bmpEncodeStream($"s", png = true)).as[Array[Byte]].head(),
+      "bmpJpeg" -> Seq(Tuple1(jpeg)).toDF("s")
+        .select(Multimodal.bmpEncodeStream($"s", png = false)).as[Array[Byte]].head(),
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -2388,13 +2424,16 @@ class MultimodalSpec extends AnyFunSuite {
     val bmp565 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "bf565"))
     val bmp8888 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "bf8888"))
     val bmpPal2 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "pal2"))
+    val bmpPngEmb = one(Multimodal.bmpEncodeStream(lit(png), png = true))
+    val bmpJpgEmb = one(Multimodal.bmpEncodeStream(lit(jpeg), png = false))
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
         flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
         wavF32, wavExt, adpcm, mp3, oggV, oggO,
         tiffG4, tiffG4ms, tiffG3, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
-        bmp565, bmp8888, bmpPal2, tiffGray4, tiffPal4, tiffRgba).flatMap { base =>
+        bmp565, bmp8888, bmpPal2, tiffGray4, tiffPal4, tiffRgba,
+        bmpPngEmb, bmpJpgEmb).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
