@@ -1488,9 +1488,15 @@ object SparkEntry {
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
             rowsPerStrip = 3).as("g4_ms"),
           // r14 second pass: the §10 G3-1D Modified-Huffman flavor
-          // (byte-aligned EOL-free rows) through the same T.4 tables
+          // (byte-aligned EOL-free rows) through the same T.4 tables,
+          // and full T.4 Compression 3 — EOL-framed 1-D rows and the
+          // 2-D mixed plan with tag bits (every 4th row 1-D)
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
-            g3 = true).as("g3_mh"),
+            coding = "mh").as("g3_mh"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
+            coding = "t4").as("t4_1d"),
+          Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
+            coding = "t42d").as("t4_2d"),
           Multimodal.tiffJpegEncode(
             Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12))).as("tj"),
           Multimodal.tiffJpegEncode(
@@ -1501,6 +1507,8 @@ object SparkEntry {
           hex(Multimodal.tiffDecodeLuma(col("g4_be"))).as("px_hex_g4_be"),
           hex(Multimodal.tiffDecodeLuma(col("g4_ms"))).as("px_hex_g4_ms"),
           hex(Multimodal.tiffDecodeLuma(col("g3_mh"))).as("px_hex_g3_mh"),
+          hex(Multimodal.tiffDecodeLuma(col("t4_1d"))).as("px_hex_t4"),
+          hex(Multimodal.tiffDecodeLuma(col("t4_2d"))).as("px_hex_t4_2d"),
           hex(Multimodal.tiffDecodeLuma(col("tj"))).as("px_hex_jpeg"),
           hex(Multimodal.tiffDecodeLuma(col("tj_sp"))).as("px_hex_jpeg_sp"))
     }),
@@ -3077,6 +3085,8 @@ object SparkEntry {
            g.bil AS px_hex_g4_be,
            g.bil AS px_hex_g4_ms,
            g.bil AS px_hex_g3_mh,
+           g.bil AS px_hex_t4,
+           g.bil AS px_hex_t4_2d,
            repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
              repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex_jpeg,
            repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||

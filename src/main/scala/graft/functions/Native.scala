@@ -5350,10 +5350,12 @@ object Native {
     *                              MP4/AVI; OS/2-V2 BMP — the mask/
     *                              palette/RLE/embedded-stream BMP zoo
     *                              decodes;
-    *                              CCITT G3-2D/sub-byte TIFF — G4 MMR,
-    *                              G3-1D MH, new-JPEG, planar-2 and
-    *                              strip+tile LZW/Deflate/PackBits/
-    *                              palette/16-bit decode; structurally
+    *                              Compression-6/CMYK-shaped TIFF —
+    *                              the full CCITT family (G4 MMR,
+    *                              G3-1D MH, T.4 1-D/2-D), new-JPEG,
+    *                              planar-2, sub-byte and strip+tile
+    *                              LZW/Deflate/PackBits/palette/16-bit
+    *                              decode; structurally
     *                              illegal PNG headers — every legal
     *                              depth/color pair decodes), or a
     *                              RECOGNIZED magic whose frames this
@@ -5515,12 +5517,13 @@ object Native {
         // TIFF decodes for real (uncompressed + PackBits + LZW +
         // Deflate, 1/2/4/8-bit gray/palette, 8-bit RGB(A incl.
         // ExtraSamples) and 16-bit gray/RGB, optional Predictor 2,
-        // STRIP and §15 TILE addressing, planar-2 RGB strips, CCITT G4
-        // MMR and G3-1D Modified-Huffman bilevel, new-JPEG Compression
-        // 7 incl. JPEGTables, both byte orders — [[Tiff]]); CCITT G3
-        // 2-D/EOL (Compression 3), Compression-6 legacy JPEG, 16-bit
-        // palette and CMYK-shaped samples stay
-        // recognized-but-unsupported
+        // STRIP and §15 TILE addressing, planar-2 RGB strips, the FULL
+        // CCITT family — G4 MMR, G3-1D Modified Huffman, T.4
+        // Compression 3 in 1-D and mixed 2-D — and new-JPEG
+        // Compression 7 incl. JPEGTables, both byte orders —
+        // [[Tiff]]); the T.4/T.6 uncompressed-mode options,
+        // Compression-6 legacy JPEG, 16-bit palette and CMYK-shaped
+        // samples stay recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
           case Tiff.Truncated => s("truncated")
@@ -7080,21 +7083,25 @@ object Native {
       copy(left = l, right = r)
   }
 
-  /** tiff_g4_encode(BINARY pixels, width; bigEndian, rowsPerStrip, g3)
-    * → BINARY: a REAL CCITT bilevel TIFF (Compression 4 T.6 MMR, or
-    * with `g3` the §10 Compression-2 Modified-Huffman 1-D flavor with
-    * byte-aligned EOL-free rows; BitsPerSample 1, WhiteIsZero) from
-    * row-major gray-8 bytes thresholded at 128 (v < 128 = black ink) —
-    * [[Ccitt]]'s fixture builder in either byte order, single- or
-    * multi-strip (rowsPerStrip 0 = one strip; each strip an
-    * independent code stream per the TIFF contract, offset/count
-    * arrays inline or indirect by the 4-byte rule). Fixture builder;
-    * production writes CCITT with a codec. */
+  /** tiff_g4_encode(BINARY pixels, width; bigEndian, rowsPerStrip,
+    * coding) → BINARY: a REAL CCITT bilevel TIFF from row-major gray-8
+    * bytes thresholded at 128 (v < 128 = black ink; BitsPerSample 1,
+    * WhiteIsZero) — [[Ccitt]]'s fixture builder in either byte order,
+    * single- or multi-strip (rowsPerStrip 0 = one strip; each strip an
+    * independent code stream, offset/count arrays inline or indirect
+    * by the 4-byte rule). Codings: `g4` (Compression 4 T.6 MMR),
+    * `mh` (Compression 2, §10 byte-aligned EOL-free Modified Huffman),
+    * `t4` (Compression 3, EOL-framed 1-D rows, default T4Options) and
+    * `t42d` (Compression 3 with T4Options bit 0: tag bits, every 4th
+    * row 1-D, the rest 2-D). Fixture builder; production writes CCITT
+    * with a codec. */
   case class TiffG4Encode(left: Expression, right: Expression,
-      bigEndian: Boolean, rowsPerStrip: Int, g3: Boolean)
+      bigEndian: Boolean, rowsPerStrip: Int, coding: String)
       extends BinaryExpression with NativeBinaryCodegen {
     require(rowsPerStrip >= 0,
       s"rowsPerStrip >= 0 (0 = single strip), got $rowsPerStrip")
+    require(Seq("g4", "mh", "t4", "t42d").contains(coding),
+      s"coding g4|mh|t4|t42d, got $coding")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -7120,12 +7127,15 @@ object Native {
       while (s < strips) {
         val r0 = s * rps; val r1 = math.min(h, r0 + rps)
         val slice = java.util.Arrays.copyOfRange(black, r0 * w, r1 * w)
-        stripData(s) =
-          if (g3) Ccitt.encodeMh(slice, w, r1 - r0)
-          else Ccitt.encode(slice, w, r1 - r0)
+        stripData(s) = coding match {
+          case "mh" => Ccitt.encodeMh(slice, w, r1 - r0)
+          case "t4" => Ccitt.encodeT4(slice, w, r1 - r0, twoDim = false)
+          case "t42d" => Ccitt.encodeT4(slice, w, r1 - r0, twoDim = true)
+          case _ => Ccitt.encode(slice, w, r1 - r0)
+        }
         s += 1
       }
-      val nEntries = 9
+      val nEntries = if (coding == "t42d") 10 else 9 // +T4Options
       val arraysOff = 8 + 2 + nEntries * 12 + 4
       val arrBytes = if (strips > 1) 2 * 4 * strips else 0
       val dataOff = arraysOff + arrBytes
@@ -7149,7 +7159,9 @@ object Native {
       entry(256, 3, 1)(short1(w))
       entry(257, 3, 1)(short1(h))
       entry(258, 3, 1)(short1(1))
-      entry(259, 3, 1)(short1(if (g3) 2 else 4))
+      entry(259, 3, 1)(short1(coding match {
+        case "mh" => 2; case "t4" | "t42d" => 3; case _ => 4
+      }))
       entry(262, 3, 1)(short1(0)) // WhiteIsZero, the CCITT default
       if (strips == 1) entry(273, 4, 1)(w32(dataOff))
       else entry(273, 4, strips)(w32(arraysOff))
@@ -7157,6 +7169,7 @@ object Native {
       entry(278, 3, 1)(short1(rps))
       if (strips == 1) entry(279, 4, 1)(w32(stripData(0).length))
       else entry(279, 4, strips)(w32(arraysOff + 4 * strips))
+      if (coding == "t42d") entry(292, 4, 1)(w32(1)) // T4Options: 2-D
       w32(0) // no next IFD
       if (strips > 1) {
         var off = dataOff
@@ -7550,6 +7563,246 @@ object Native {
       out
     }
 
+    /** Decode one TIFF Compression-3 (ITU T.4 Group 3) segment over
+      * `d[from, to)` into h rows × w black flags, or null. Per the
+      * Recommendation and TIFF 6.0 §11: an EOL (000000000001, with any
+      * number of zero FILL bits before it — the T4Options bit-2 layout
+      * needs no special case) precedes EVERY row; in 2-D mode
+      * (`twoDim`, T4Options bit 0) each EOL carries a tag bit (1 = the
+      * next row is 1-D MH, 0 = 2-D against the previous row). 1-D rows
+      * are MH run chains; 2-D rows use the same pass/horizontal/
+      * vertical modes as T.6. Fill runs longer than 4096 bits, runs
+      * overrunning the row, extension codes, or bit starvation →
+      * null. RTC after the last row is ignored (TIFF writers omit
+      * it). */
+    def decodeT4(d: Array[Byte], from: Int, to: Int, w: Int, h: Int,
+        twoDim: Boolean): Array[Byte] = {
+      if (w <= 0 || h <= 0 || from < 0 || to > d.length || from >= to) return null
+      val nBits = (to - from).toLong * 8
+      var pos = 0L
+      def bit(): Int = {
+        if (pos >= nBits) return -1
+        val v = (d(from + (pos >> 3).toInt) >> (7 - (pos & 7L).toInt)) & 1
+        pos += 1
+        v
+      }
+      def peek(nb: Int): Int = {
+        var v = 0; var k = 0
+        while (k < nb) {
+          val bp = pos + k
+          val b0 =
+            if (bp < nBits) (d(from + (bp >> 3).toInt) >> (7 - (bp & 7L).toInt)) & 1
+            else 0
+          v = (v << 1) | b0
+          k += 1
+        }
+        v
+      }
+      def readRun(white: Boolean): Int = {
+        val lut = if (white) WhiteLut else BlackLut
+        var total = 0
+        var iter = 0
+        while (iter < 64) {
+          iter += 1
+          val e = lut(peek(13))
+          if (e == 0) return -1
+          val len = e >>> 16; val r = e & 0xffff
+          if (pos + len > nBits) return -1
+          pos += len
+          total += r
+          if (total > w) return -1
+          if (r < 64) return total
+        }
+        -1
+      }
+      // EOL: ≥11 zeros (incl. any fill) then a 1; bounded so crafted
+      // zero floods cannot buy a long scan
+      def eol(): Boolean = {
+        var zeros = 0
+        while (zeros < 4096 + 11) {
+          bit() match {
+            case -1 => return false
+            case 0 => zeros += 1
+            case _ => return zeros >= 11
+          }
+        }
+        false
+      }
+      val out = new Array[Byte](w * h)
+      var refC = new Array[Int](2 * w + 10); var refN = 0
+      var curC = new Array[Int](2 * w + 10)
+      var y = 0
+      while (y < h) {
+        if (!eol()) return null
+        val oneD =
+          if (!twoDim) true
+          else bit() match { case 1 => true; case 0 => false; case _ => return null }
+        var cn = 0
+        if (oneD) {
+          var x = 0; var white = true; var guard = 0
+          while (x < w) {
+            guard += 1
+            if (guard > 2 * w + 4) return null
+            val r = readRun(white)
+            if (r < 0) return null
+            x += r
+            if (x > w) return null
+            curC(cn) = x; cn += 1 // the flip after this run (w = sentinel)
+            white = !white
+          }
+        } else {
+          // the T.6 row machinery against the previous row's changes
+          var a0 = -1
+          var colorWhite = true
+          var guard = 0
+          while (a0 < w) {
+            guard += 1
+            if (guard > 2 * w + 8) return null
+            val p7 = peek(7)
+            var isH = false; var isP = false; var dv = 0; var consumed = 0
+            if ((p7 & 0x40) != 0) { dv = 0; consumed = 1 }
+            else if ((p7 >> 4) == 1) { isH = true; consumed = 3 }
+            else if ((p7 >> 4) == 3) { dv = 1; consumed = 3 }
+            else if ((p7 >> 4) == 2) { dv = -1; consumed = 3 }
+            else if ((p7 >> 3) == 1) { isP = true; consumed = 4 }
+            else if ((p7 >> 1) == 3) { dv = 2; consumed = 6 }
+            else if ((p7 >> 1) == 2) { dv = -2; consumed = 6 }
+            else if (p7 == 3) { dv = 3; consumed = 7 }
+            else if (p7 == 2) { dv = -3; consumed = 7 }
+            else return null
+            if (pos + consumed > nBits) return null
+            pos += consumed
+            var j = 0
+            while (j < refN && refC(j) <= a0) j += 1
+            if ((j & 1) != (if (colorWhite) 0 else 1)) j += 1
+            val b1 = if (j < refN) refC(j) else w
+            val b2 = if (j + 1 < refN) refC(j + 1) else w
+            if (isP) {
+              if (b2 <= a0) return null
+              a0 = b2
+            } else if (isH) {
+              val s = if (a0 < 0) 0 else a0
+              val r1 = readRun(colorWhite); if (r1 < 0) return null
+              val r2 = readRun(!colorWhite); if (r2 < 0) return null
+              val a1 = s + r1; val a2 = a1 + r2
+              if (a2 > w || a1 <= a0 && a0 >= 0 || r1 + r2 == 0) return null
+              curC(cn) = a1; cn += 1; curC(cn) = a2; cn += 1
+              a0 = a2
+            } else {
+              val a1 = b1 + dv
+              if (a1 <= a0 || a1 < 0 || a1 > w) return null
+              curC(cn) = a1; cn += 1
+              a0 = a1; colorWhite = !colorWhite
+            }
+          }
+        }
+        val rowBase = y * w
+        var k = 0; var x = 0; var blackNow = false
+        while (x < w && k <= cn) {
+          val nxt = if (k < cn) math.min(curC(k), w) else w
+          if (blackNow && nxt > x)
+            java.util.Arrays.fill(out, rowBase + x, rowBase + nxt, 1.toByte)
+          x = nxt; blackNow = !blackNow; k += 1
+        }
+        val t = refC; refC = curC; curC = t; refN = cn
+        y += 1
+      }
+      out
+    }
+
+    /** Encode h rows as TIFF Compression-3 T.4: an EOL before every
+      * row; with `twoDim` (T4Options bit 0) a tag bit after each EOL
+      * and a mixed row plan (every 4th row 1-D MH, the rest 2-D — both
+      * codings inside every multi-row fixture). */
+    def encodeT4(black: Array[Byte], w: Int, h: Int, twoDim: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(w * h / 32 + 16)
+      var acc = 0; var nAcc = 0
+      def bits(code: Int, len: Int): Unit = {
+        var k = len - 1
+        while (k >= 0) {
+          acc = (acc << 1) | ((code >> k) & 1); nAcc += 1
+          if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+          k -= 1
+        }
+      }
+      def emit(packed: Int): Unit = bits(packed & 0xffffff, packed >>> 24)
+      def run(len0: Int, white: Boolean): Unit = {
+        var len = len0
+        val mk = if (white) WhiteMakeupC else BlackMakeupC
+        val tc = if (white) WhiteTermC else BlackTermC
+        while (len >= 2624) { emit(ExtMakeupC(12)); len -= 2560 }
+        if (len >= 1792) { val k = len / 64 - 28; emit(ExtMakeupC(k)); len -= (k + 28) * 64 }
+        else if (len >= 64) { val k = len / 64; emit(mk(k - 1)); len -= k * 64 }
+        emit(tc(len))
+      }
+      def vert(d0: Int): Unit = d0 match {
+        case 0 => bits(1, 1)
+        case 1 => bits(3, 3)
+        case 2 => bits(3, 6)
+        case 3 => bits(3, 7)
+        case -1 => bits(2, 3)
+        case -2 => bits(2, 6)
+        case _ => bits(2, 7)
+      }
+      var refC = new Array[Int](2 * w + 4); var refN = 0
+      val curC = new Array[Int](2 * w + 4)
+      var y = 0
+      while (y < h) {
+        bits(1, 12) // EOL
+        val oneD = !twoDim || y % 4 == 0
+        if (twoDim) bits(if (oneD) 1 else 0, 1) // the 2-D tag bit
+        val base = y * w
+        var cn = 0
+        var prev = 0
+        var x = 0
+        while (x < w) {
+          val v = if (black(base + x) != 0) 1 else 0
+          if (v != prev) { curC(cn) = x; cn += 1; prev = v }
+          x += 1
+        }
+        if (oneD) {
+          var xx = 0
+          var white = true
+          var ci = 0
+          while (xx < w) {
+            val next = if (ci < cn) curC(ci) else w
+            run(next - xx, white)
+            xx = next; white = !white; ci += 1
+          }
+        } else {
+          var a0 = -1
+          var colorWhite = true
+          var ci = 0
+          while (a0 < w) {
+            val a1 = if (ci < cn) curC(ci) else w
+            var j = 0
+            while (j < refN && refC(j) <= a0) j += 1
+            if ((j & 1) != (if (colorWhite) 0 else 1)) j += 1
+            val b1 = if (j < refN) refC(j) else w
+            val b2 = if (j + 1 < refN) refC(j + 1) else w
+            if (b2 < a1) {
+              bits(1, 4)
+              a0 = b2
+            } else if (a1 - b1 <= 3 && b1 - a1 <= 3) {
+              vert(a1 - b1)
+              a0 = a1; colorWhite = !colorWhite; ci += 1
+            } else {
+              val a2 = if (ci + 1 < cn) curC(ci + 1) else w
+              bits(1, 3)
+              val s = if (a0 < 0) 0 else a0
+              run(a1 - s, colorWhite); run(a2 - a1, !colorWhite)
+              a0 = a2; ci += 2
+            }
+          }
+        }
+        System.arraycopy(curC, 0, refC, 0, cn)
+        refN = cn
+        y += 1
+      }
+      if (nAcc > 0) out.write(acc << (8 - nAcc))
+      out.toByteArray
+    }
+
     /** Decode one T.6 segment over `d[from, to)` into h rows × w
       * byte-per-pixel black flags (1 = black), or null on a malformed
       * stream. Trailing EOFB/padding after the last row is ignored. */
@@ -7674,10 +7927,12 @@ object Native {
     * byte-wise integration is the spec's), in STRIP or TILE (§15)
     * addressing — tiles are fixed-size row-major segments, edge tiles
     * padded in the coded data, sharing the strip path's decompressors
-    * and integrator. Beyond the byte-oriented path: CCITT Group 4
-    * (Compression 4 — [[Ccitt]]'s T.6 MMR decode over bilevel strips,
-    * WhiteIsZero or inverted) and the §10 Group 3 1-D Modified-Huffman
-    * flavor (Compression 2, byte-aligned EOL-free rows), TIFF-EP "new
+    * and integrator. Beyond the byte-oriented path: the FULL CCITT
+    * bilevel family — Group 4 (Compression 4, [[Ccitt]]'s T.6 MMR over
+    * strips, WhiteIsZero or inverted), the §10 Group 3 1-D
+    * Modified-Huffman flavor (Compression 2, byte-aligned EOL-free
+    * rows), and T.4 Group 3 (Compression 3: EOL-framed rows, 1-D or
+    * the T4Options-bit-0 mixed 2-D plan with tag bits) — TIFF-EP "new
     * JPEG" (Compression 7 — each strip a T.81 stream, optionally
     * abbreviated against the JPEGTables tag and spliced, routed
     * through [[Jpeg]]'s own cores), and planar configuration 2 for
@@ -7686,8 +7941,9 @@ object Native {
     * byte-oriented decompressors, rows byte-padded MSB-first; and
     * 4-sample 8-bit RGBA behind an ExtraSamples (338) alpha
     * declaration, the alpha skipped in the luma. Out of contract
-    * (→ `unsupported_profile`): CCITT G3 2-D/EOL (Compression 3), the
-    * legacy Compression-6 JPEG scheme, mixed bit depths, 16-bit
+    * (→ `unsupported_profile`): the T.4 uncompressed-mode option
+    * (T4Options bit 1), the legacy Compression-6 JPEG scheme, mixed
+    * bit depths, 16-bit
     * palette, 4-sample files WITHOUT the alpha declaration
     * (CMYK-shaped), sub-byte under predictor/tiles/multi-sample,
     * tiled CCITT/JPEG/planar-2, and Predictor 2 on an UNCOMPRESSED
@@ -7776,20 +8032,28 @@ object Native {
             offs.length != strips || cnts.length != strips) return null
           (rps, offs, cnts)
         }
-        if (compression == 4 || compression == 2) {
-          // ---- CCITT bilevel: T.6 G4 MMR (Compression 4) and the §10
+        if (compression == 4 || compression == 2 || compression == 3) {
+          // ---- CCITT bilevel: T.6 G4 MMR (Compression 4), the §10
           // "Modified Huffman" G3 1-D flavor (Compression 2, byte-
-          // aligned EOL-free rows) — the scanned-document/archival and
-          // fax profiles ([[Ccitt]]). In contract: BitsPerSample 1,
-          // one sample, photometric 0 (WhiteIsZero, the §11 default —
+          // aligned EOL-free rows), and T.4 Group 3 (Compression 3:
+          // EOL-framed rows, 1-D or — T4Options bit 0 — mixed 1-D/2-D
+          // with tag bits) — the scanned-document/archival and fax
+          // profiles ([[Ccitt]]). In contract: BitsPerSample 1, one
+          // sample, photometric 0 (WhiteIsZero, the §11 default —
           // coded white = luma 255) or 1 (inverted), strip-addressed,
-          // each strip independent. Tiled CCITT, Compression 3 (T.4
-          // with EOLs) and the T.6 uncompressed-mode extension stay
-          // refused. ----
+          // each strip independent. Tiled CCITT, the T.4
+          // uncompressed-mode option (T4Options bit 1) and the T.6
+          // uncompressed-mode extension stay refused. ----
           if (tiled || scalar(284, 1) != 1 || scalar(277, 1) != 1 ||
             scalar(317, 1) != 1) return (Unsupported, 0, 0, null)
           val photometric4 = scalar(262, 0)
           if (photometric4 != 0 && photometric4 != 1) return (Unsupported, 0, 0, null)
+          // T4Options (tag 292): bit 0 = 2-D coding; bit 1 =
+          // uncompressed mode allowed (refused); bit 2 = byte-aligned
+          // EOLs (fill bits — the EOL scanner absorbs them anyway)
+          val t4opts = if (compression == 3) scalar(292, 0) else 0L
+          if (t4opts < 0 || (t4opts & 2L) != 0) return (Unsupported, 0, 0, null)
+          val t4TwoDim = (t4opts & 1L) != 0
           val bits4 = if (entries.contains(258)) vector(258) else Array(1L)
           if (bits4 == null || bits4.length != 1) return bad
           if (bits4(0) != 1) return (Unsupported, 0, 0, null)
@@ -7811,8 +8075,11 @@ object Native {
             val blk =
               if (compression == 4)
                 Ccitt.decode(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, w, r1 - r0)
-              else
+              else if (compression == 2)
                 Ccitt.decodeMh(b, offs(s).toInt, (offs(s) + cnts(s)).toInt, w, r1 - r0)
+              else
+                Ccitt.decodeT4(b, offs(s).toInt, (offs(s) + cnts(s)).toInt,
+                  w, r1 - r0, t4TwoDim)
             if (blk == null) return bad
             var i = 0
             val basePix = r0 * w
@@ -8262,9 +8529,9 @@ object Native {
     * addressing, 1/2/4/8-bit gray (either polarity) / palette-color
     * (ColorMap), 8-bit RGB(A with ExtraSamples) incl. planar-2 strips,
     * 16-bit gray/RGB (high-byte reduction),
-    * uncompressed/PackBits/LZW/Deflate with optional Predictor 2,
-    * CCITT G4 MMR + G3-1D MH bilevel, and Compression-7 new-JPEG incl.
-    * JPEGTables. Null off contract. */
+    * uncompressed/PackBits/LZW/Deflate with optional Predictor 2, the
+    * full CCITT bilevel family (G4 MMR, G3-1D MH, T.4 1-D/2-D), and
+    * Compression-7 new-JPEG incl. JPEGTables. Null off contract. */
   case class TiffLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -9395,7 +9662,7 @@ object Native {
       boolLit(exprs(2), "bigEndian"), strLit(exprs(3), "mode"))),
     "graft_tiff_g4_encode" -> (exprs => TiffG4Encode(exprs(0), exprs(1),
       boolLit(exprs(2), "bigEndian"), intLit(exprs(3), "rowsPerStrip"),
-      boolLit(exprs(4), "g3"))),
+      strLit(exprs(4), "coding"))),
     "graft_tiff_jpeg_encode" -> (exprs => TiffJpegEncode(exprs(0),
       boolLit(exprs(1), "bigEndian"), boolLit(exprs(2), "split"))),
     "graft_webp_vp8l_encode" -> (exprs =>
@@ -9587,11 +9854,11 @@ object Native {
       org.apache.spark.sql.functions.lit(mode))
   def tiffG4Encode(pixels: Column, width: Column,
       bigEndian: Boolean = false, rowsPerStrip: Int = 0,
-      g3: Boolean = false): Column =
+      coding: String = "g4"): Column =
     call_function("graft_tiff_g4_encode", pixels, width,
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(rowsPerStrip),
-      org.apache.spark.sql.functions.lit(g3))
+      org.apache.spark.sql.functions.lit(coding))
   def tiffJpegEncode(jpeg: Column,
       bigEndian: Boolean = false, split: Boolean = false): Column =
     call_function("graft_tiff_jpeg_encode", jpeg,

@@ -911,9 +911,10 @@ object Multimodal {
     * ExtraSamples) including planar-2 strips, 16-bit gray/RGB
     * (high-byte reduction), uncompressed, PackBits, LZW (§13
     * MSB-first, early width change) or Deflate, each optionally under
-    * the §14 horizontal-differencing Predictor, CCITT G4 MMR + G3-1D
-    * MH bilevel, and Compression-7 new-JPEG incl. JPEGTables. Null on
-    * G3-2D/Compression-6/16-bit-palette/CMYK-shaped profiles or
+    * the §14 horizontal-differencing Predictor, the full CCITT
+    * bilevel family (G4 MMR, G3-1D MH, T.4 1-D/2-D), and
+    * Compression-7 new-JPEG incl. JPEGTables. Null on Compression-6/
+    * 16-bit-palette/CMYK-shaped/uncompressed-option profiles or
     * damage. */
   def tiffDecodeLuma(tiff: Column): Column =
     graft.functions.Native.tiffDecodeLuma(tiff)
@@ -943,12 +944,14 @@ object Multimodal {
 
   /** Fixture-grade CCITT bilevel TIFF encode ([[graft.functions.Native
     * .TiffG4Encode]]): gray-8 bytes thresholded at 128 (v < 128 = black
-    * ink) → a real WhiteIsZero TIFF, Compression-4 T.6 MMR strips or
-    * (g3) Compression-2 Modified-Huffman byte-aligned rows
-    * (rowsPerStrip 0 = single strip), either byte order. */
+    * ink) → a real WhiteIsZero TIFF (rowsPerStrip 0 = single strip),
+    * either byte order, coding "g4" (Compression-4 T.6 MMR), "mh"
+    * (Compression-2 byte-aligned Modified Huffman), "t4" (Compression-3
+    * EOL-framed 1-D) or "t42d" (Compression-3 mixed 1-D/2-D with tag
+    * bits). */
   def tiffG4Encode(pixels: Column, width: Column, bigEndian: Boolean = false,
-      rowsPerStrip: Int = 0, g3: Boolean = false): Column =
-    graft.functions.Native.tiffG4Encode(pixels, width, bigEndian, rowsPerStrip, g3)
+      rowsPerStrip: Int = 0, coding: String = "g4"): Column =
+    graft.functions.Native.tiffG4Encode(pixels, width, bigEndian, rowsPerStrip, coding)
 
   /** Fixture-grade TIFF-EP "new JPEG" (Compression 7) encode ([[graft
     * .functions.Native.TiffJpegEncode]]): wraps an existing JPEG stream

@@ -48,12 +48,12 @@ class DocConsistencySpec extends AnyFunSuite {
   test("TIFF classifier comment tracks the Tiff decode contract") {
     pin(branch("else if (Tiff.hasMagic(b))", "Tiff.status(b) match"),
       "TIFF classifier",
-      mustMention = Seq("CCITT G3", "Compression-6", "CMYK-shaped"),
-      // all of these decode (tiled/palette r13; G4/MH/JPEG-in-TIFF/
+      mustMention = Seq("uncompressed-mode", "Compression-6", "CMYK-shaped"),
+      // all of these decode (tiled/palette r13; G4/MH/T.4/JPEG-in-TIFF/
       // planar-2/sub-byte/RGBA r14) — forbid the stale refusal phrasings
       mustNotMention = Seq("tiled/palette", "palette profiles stay",
         "tiled profiles stay", "CCITT/JPEG-in-TIFF",
-        "sub-byte gray profiles stay"))
+        "sub-byte gray profiles stay", "CCITT G3\n        // 2-D/EOL (Compression 3), Compression-6"))
   }
 
   test("WAV classifier comment tracks the Wav decode contract") {

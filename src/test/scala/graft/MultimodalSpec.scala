@@ -1060,11 +1060,34 @@ class MultimodalSpec extends AnyFunSuite {
     //    pad; row1 white-8 (10011) = 0x98 — hand-packed
     def g3(px: Array[Byte], w: Int): Array[Byte] =
       Seq(Tuple1(px)).toDF("px")
-        .select(Multimodal.tiffG4Encode($"px", lit(w), g3 = true)).as[Array[Byte]].head()
+        .select(Multimodal.tiffG4Encode($"px", lit(w), coding = "mh")).as[Array[Byte]].head()
     val mh = Array.fill[Byte](16)(-1)
     mh(2) = 0; mh(3) = 0; mh(4) = 0
     assert(stripBytes(g3(mh, 8)).toSeq == Seq(0x7A, 0x00, 0x98).map(_.toByte))
     assert(luma(g3(mh, 8)).toSeq == mh.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
+    // 5) T.4 1-D (Compression 3): EVERY row EOL-framed — same rows as
+    //    the MH vector, no byte alignment between rows:
+    //    EOL 0111 10 1000 EOL 10011 pad → 00 17 A0 00 66
+    def t4(px: Array[Byte], w: Int, coding: String): Array[Byte] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.tiffG4Encode($"px", lit(w), coding = coding))
+        .as[Array[Byte]].head()
+    assert(stripBytes(t4(mh, 8, "t4")).toSeq ==
+      Seq(0x00, 0x17, 0xA0, 0x00, 0x66).map(_.toByte))
+    assert(luma(t4(mh, 8, "t4")).toSeq ==
+      mh.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
+    // 6) T.4 2-D: row0 1-D behind tag 1, row1 2-D behind tag 0 coded
+    //    VR1 V0 V0 against row0 — EOL 1 0111101000 EOL 0 01111 pad →
+    //    00 1B D0 00 27 80 (strip at 134: the T4Options entry makes a
+    //    10-entry IFD)
+    val hv2 = Array.fill[Byte](16)(-1)
+    hv2(2) = 0; hv2(3) = 0; hv2(4) = 0
+    hv2(8 + 3) = 0; hv2(8 + 4) = 0
+    val t42dBlob = t4(hv2, 8, "t42d")
+    assert(java.util.Arrays.copyOfRange(t42dBlob, 134, t42dBlob.length).toSeq ==
+      Seq(0x00, 0x1B, 0xD0, 0x00, 0x27, 0x80).map(_.toByte))
+    assert(luma(t42dBlob).toSeq ==
+      hv2.toSeq.map(v => if (v == 0) 0: Byte else -1: Byte))
   }
 
   test("CCITT G4 round-trips: pseudorandom bilevel both byte orders, multi-strip, make-up chains past 2560, inverted photometric") {
@@ -1075,11 +1098,12 @@ class MultimodalSpec extends AnyFunSuite {
     val w = 61; val h = 17
     val px = Array.tabulate(w * h)(_ => if (rnd.nextBoolean()) -1: Byte else 0: Byte)
     val want = px.toSeq
-    for (be <- Seq(false, true); rps <- Seq(0, 5); g3 <- Seq(false, true)) {
+    for (be <- Seq(false, true); rps <- Seq(0, 5);
+         coding <- Seq("g4", "mh", "t4", "t42d")) {
       val tiff = Seq(Tuple1(px)).toDF("px")
         .select(Multimodal.tiffG4Encode($"px", lit(w), bigEndian = be,
-          rowsPerStrip = rps, g3 = g3)).as[Array[Byte]].head()
-      assert(luma(tiff).toSeq == want, s"be=$be rps=$rps g3=$g3")
+          rowsPerStrip = rps, coding = coding)).as[Array[Byte]].head()
+      assert(luma(tiff).toSeq == want, s"be=$be rps=$rps coding=$coding")
     }
     // make-up chain: a 2700-wide line forces 2560-extended + 128 make-up
     // + terminating white codes (and the same for black on row 2)
@@ -1104,11 +1128,11 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(43)
     val w = 64; val h = 32
     val px = Array.tabulate(w * h)(_ => if (rnd.nextInt(4) == 0) 0: Byte else -1: Byte)
-    for (g3 <- Seq(false, true)) {
+    for (coding <- Seq("g4", "mh", "t4", "t42d")) {
       val tiff = Seq(Tuple1(px)).toDF("px")
-        .select(Multimodal.tiffG4Encode($"px", lit(w), g3 = g3)).as[Array[Byte]].head()
+        .select(Multimodal.tiffG4Encode($"px", lit(w), coding = coding)).as[Array[Byte]].head()
       val img = ImageIO.read(new java.io.ByteArrayInputStream(tiff))
-      assert(img != null, s"ImageIO could not read the CCITT fixture (g3=$g3)")
+      assert(img != null, s"ImageIO could not read the CCITT fixture ($coding)")
       assert(img.getWidth == w && img.getHeight == h)
       val mine = Seq(Tuple1(tiff)).toDF("b")
         .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
@@ -1117,7 +1141,7 @@ class MultimodalSpec extends AnyFunSuite {
         var x = 0
         while (x < w) {
           val iio = img.getRGB(x, y) & 0xff
-          assert(iio == (mine(y * w + x) & 0xff), s"($x,$y) g3=$g3")
+          assert(iio == (mine(y * w + x) & 0xff), s"($x,$y) $coding")
           x += 1
         }
         y += 1
@@ -1125,7 +1149,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("CCITT G4 honest failures: truncated stream and extension code fail; G3 stays refused; drop report agrees") {
+  test("CCITT honest failures: truncation, extension codes, relabeled streams, T4 uncompressed option; drop report agrees") {
     def reason(bytes: Array[Byte]): String = {
       val r = Seq(Tuple1(bytes)).toDF("b")
         .select(graft.functions.Native.decodeDropReason($"b")).collect().head
@@ -1143,15 +1167,24 @@ class MultimodalSpec extends AnyFunSuite {
     val extd = tiff.clone()
     extd(122) = 0x01 // first strip byte: 0000 0001 → extension prefix
     assert(reason(extd) == "corrupt")
-    // Compression 3 (G3 2-D with EOLs) stays recognized-but-unsupported
-    val g3 = tiff.clone()
-    g3(10 + 3 * 12 + 8) = 3 // tag 259 value field (entry 4 of 9)
-    assert(reason(g3) == "unsupported_profile")
-    // Compression 2 (MH) DECODES since r14 — but a G4 stream relabeled
-    // MH is not a valid MH stream: honest corruption, not a refusal
-    val mh = tiff.clone()
-    mh(10 + 3 * 12 + 8) = 2
-    assert(reason(mh) == "corrupt")
+    // Compressions 2 and 3 DECODE since r14 — but a G4 stream relabeled
+    // MH/T.4 is not a valid stream of either framing (no EOLs, wrong
+    // alphabet positioning): honest corruption, not a refusal
+    for (c <- Seq(2, 3)) {
+      val relabeled = tiff.clone()
+      relabeled(10 + 3 * 12 + 8) = c.toByte // tag 259 value (entry 4 of 9)
+      assert(reason(relabeled) == "corrupt", s"compression $c")
+    }
+    // the T.4 uncompressed-mode option (T4Options bit 1) stays refused:
+    // patch the t42d fixture's tag-292 value (entry 10 of 10) from 1 → 3
+    val t42d = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.tiffG4Encode($"px", lit(8), coding = "t42d"))
+      .as[Array[Byte]].head()
+    assert(reason(t42d) == null)
+    val unc = t42d.clone()
+    assert((unc(10 + 9 * 12 + 8) & 0xff) == 1, "T4Options layout moved")
+    unc(10 + 9 * 12 + 8) = 3
+    assert(reason(unc) == "unsupported_profile")
   }
 
   test("JPEG-in-TIFF (Compression 7): full-stream and JPEGTables-split strips route through the JPEG cores; color rides photometric 6") {
@@ -2325,7 +2358,7 @@ class MultimodalSpec extends AnyFunSuite {
       "tiffG4" -> Seq(Tuple1(grayPx)).toDF("px")
         .select(Multimodal.tiffG4Encode($"px", lit(9))).as[Array[Byte]].head(),
       "tiffG3mh" -> Seq(Tuple1(grayPx)).toDF("px")
-        .select(Multimodal.tiffG4Encode($"px", lit(9), g3 = true)).as[Array[Byte]].head(),
+        .select(Multimodal.tiffG4Encode($"px", lit(9), coding = "mh")).as[Array[Byte]].head(),
       "tiffJpeg7" -> Seq(Tuple1(jpeg)).toDF("j")
         .select(Multimodal.tiffJpegEncode($"j", split = true)).as[Array[Byte]].head(),
       "msAdpcm" -> Seq(Tuple1(Array.tabulate(42)(i => (i * 13).toByte))).toDF("n")
@@ -2411,7 +2444,9 @@ class MultimodalSpec extends AnyFunSuite {
     val tiffG4ms = one(Multimodal.tiffG4Encode(
       lit(Array.tabulate(72)(i => if (i % 3 == 0) 0.toByte else -1.toByte)),
       lit(9), rowsPerStrip = 3))
-    val tiffG3 = one(Multimodal.tiffG4Encode(grayCol, lit(9), g3 = true))
+    val tiffG3 = one(Multimodal.tiffG4Encode(grayCol, lit(9), coding = "mh"))
+    val tiffT4 = one(Multimodal.tiffG4Encode(grayCol, lit(9), coding = "t4"))
+    val tiffT42d = one(Multimodal.tiffG4Encode(grayCol, lit(9), coding = "t42d"))
     val tiffGray4 = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "gray4"))
     val tiffPal4 = one(Multimodal.tiffEncodeDeep(grayCol, lit(9), mode = "pal4"))
     val tiffRgba = one(Multimodal.tiffEncodeDeep(
@@ -2431,7 +2466,7 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
         flac, tiffLzw, tiffPal, tiff16, tiffTiled, bmpRle, pngDeep, pngGa,
         wavF32, wavExt, adpcm, mp3, oggV, oggO,
-        tiffG4, tiffG4ms, tiffG3, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
+        tiffG4, tiffG4ms, tiffG3, tiffT4, tiffT42d, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
         bmp565, bmp8888, bmpPal2, tiffGray4, tiffPal4, tiffRgba,
         bmpPngEmb, bmpJpgEmb).flatMap { base =>
         (0 until 60).map { i =>
