@@ -2492,7 +2492,9 @@ object Native {
       * is null. */
     def decodeLumaPlaneWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) =
       sofMarker(b) match {
-        case 0xC0 => decodeBaselineLumaWithDims(b, allowColor)
+        // SOF1 (extended sequential) at the core's 8-bit precision is
+        // the SAME coding as SOF0 — one more marker, zero new decode
+        case 0xC0 | 0xC1 => decodeBaselineLumaWithDims(b, allowColor)
         case 0xC2 if allowColor => decodeProgressiveLumaWithDims(b)
         case _ => null
       }
@@ -2579,9 +2581,9 @@ object Native {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               q += 17 + total
             }
-          case 0xC0 => // SOF0, baseline sequential
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
             if (sofSeen || len < 9) return null // Nf byte must sit inside the segment
-            if ((b(p + 2) & 0xff) != 8) return null // precision
+            if ((b(p + 2) & 0xff) != 8) return null // precision (12-bit SOF1 refused)
             h = Jpeg.u16(b, p + 3); w = Jpeg.u16(b, p + 5)
             nComp = b(p + 7) & 0xff
             if (nComp != 1 && !(allowColor && nComp == 3)) return null
@@ -5412,10 +5414,13 @@ object Native {
           if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
             return s("corrupt") // SOI again / EOI / RST before any frame header
           if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
-            // baseline (C0) AND progressive (C2) decode for real now;
-            // extended-sequential/lossless/arithmetic stay the profile limit
-            if (mk != 0xC0 && mk != 0xC2) return s("unsupported_profile")
+            // baseline (C0), extended-sequential (C1, 8-bit) AND
+            // progressive (C2) decode for real now; 12-bit SOF1,
+            // lossless and arithmetic coding stay the profile limit
+            if (mk != 0xC0 && mk != 0xC1 && mk != 0xC2) return s("unsupported_profile")
             if (p + 10 > n) return s("truncated")
+            if (mk == 0xC1 && (b(p + 4) & 0xff) != 8)
+              return s("unsupported_profile") // 12-bit extended sequential
             val hh = Jpeg.u16(b, p + 5); val ww = Jpeg.u16(b, p + 7)
             if (ww <= 0 || hh <= 0 || ww.toLong * hh > Jpeg.MaxPixels)
               return s("bomb_guard")

@@ -1187,6 +1187,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(unc) == "unsupported_profile")
   }
 
+  test("JPEG SOF1 (extended sequential) at 8 bits decodes as SOF0's coding; 12-bit stays refused") {
+    val blocks = Array[Byte](33, 220.toByte, 17, 199.toByte)
+    val px = new Array[Byte](12 * 10)
+    var i = 0
+    while (i < px.length) {
+      val x = i % 12; val y = i / 12
+      px(i) = blocks((y / 8) * 2 + (x / 8)); i += 1
+    }
+    val base = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(12))).as[Array[Byte]].head()
+    val sof = (0 until base.length - 1).find(i =>
+      (base(i) & 0xff) == 0xFF && (base(i + 1) & 0xff) == 0xC0).get
+    val sof1 = base.clone(); sof1(sof + 1) = 0xC1.toByte
+    def dec(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.jpegDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(dec(sof1) != null && dec(sof1).toSeq == dec(base).toSeq)
+    val deep = sof1.clone(); deep(sof + 4) = 12
+    val r = Seq(Tuple1(deep)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+    assert(!r.isNullAt(0) && r.getString(0) == "unsupported_profile")
+  }
+
   test("JPEG-in-TIFF (Compression 7): full-stream and JPEGTables-split strips route through the JPEG cores; color rides photometric 6") {
     def luma(bytes: Array[Byte]): Array[Byte] =
       Seq(Tuple1(bytes)).toDF("b")
@@ -2342,14 +2365,24 @@ class MultimodalSpec extends AnyFunSuite {
       "flacJunkFrames" -> (Seq(Tuple1(1)).toDF("x")
         .select(Multimodal.flacHeader(lit(8000L), lit(1L), lit(16L), lit(144L)))
         .as[Array[Byte]].head() ++ Array.fill(24)(9.toByte)),
-      // extended-sequential (SOF1): the remaining JPEG profile limit —
-      // flip the progressive fixture's SOF marker
-      "jpegSof1" -> {
+      // 8-bit SOF1 DECODES since r14 (it is SOF0's coding); the
+      // remaining profile limit is 12-BIT extended sequential — flip
+      // the baseline fixture's marker AND its precision byte
+      "jpegSof1at12" -> {
         val ok = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
-          .select(Multimodal.jpegEncodeGray8Prog($"px", lit(9)))
+          .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9)))
           .as[Array[Byte]].head()
         val sof = (0 until ok.length - 1).find(i =>
-          (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC2).get
+          (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC0).get
+        val m = ok.clone(); m(sof + 1) = 0xC1.toByte; m(sof + 4) = 12; m
+      },
+      // 8-bit SOF1 relabel of a sequential stream: must DECODE
+      "jpegSof1at8" -> {
+        val ok = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+          .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9)))
+          .as[Array[Byte]].head()
+        val sof = (0 until ok.length - 1).find(i =>
+          (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC0).get
         val m = ok.clone(); m(sof + 1) = 0xC1.toByte; m
       },
       // r14 graduations: each must DECODE through the default codec
