@@ -198,6 +198,52 @@ object Bench {
   /** median, min, and load sampled immediately before the reps ran. */
   private final case class Sample(median: Double, min: Double, load: Double)
 
+  // ---- uniform machine-state drift (r15): the signature the ambient/
+  // canary gates twice let through (r13 run-B, r14 finaltree-a) is the
+  // WHOLE shared cohort reading ~1.2x a committed clean record — dozens
+  // of queries whose code did not change do not all slow together for a
+  // code reason. The stamp compares per-query medians against the
+  // committed pace reference (bench_logs/pace_reference.json, refreshed
+  // each round from the latest clean pair) and fires on the shared-
+  // cohort MEDIAN ratio: a moved median means half the cohort moved,
+  // which IS the uniform signature (calibration on r12–r15 records:
+  // every clean run ≤ 1.06, both contaminated finaltree records ≥ 1.22).
+  val UniformDriftFactor = 1.15
+  val MinSharedForDrift = 30
+
+  /** Extract the flat `"queries":{...}` dict of a bench record (keys
+    * have no escapes, values are plain numbers — the format fullJson
+    * itself writes). Empty map when absent/malformed. */
+  def parseQueries(json: String): Map[String, Double] = {
+    val tag = "\"queries\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) return Map.empty
+    val start = i + tag.length
+    val end = json.indexOf('}', start)
+    if (end < 0) return Map.empty
+    json.substring(start, end).split(",").iterator.flatMap { kv =>
+      val c = kv.lastIndexOf(':')
+      if (c <= 0) None
+      else {
+        val k = kv.substring(0, c).trim.stripPrefix("\"").stripSuffix("\"")
+        try Some(k -> kv.substring(c + 1).trim.toDouble)
+        catch { case _: NumberFormatException => None }
+      }
+    }.toMap
+  }
+
+  /** (drift?, shared-cohort median ratio); ratio −1 when the cohorts
+    * share fewer than [[MinSharedForDrift]] queries. */
+  def uniformDrift(current: Map[String, Double],
+      reference: Map[String, Double]): (Boolean, Double) = {
+    val shared = (current.keySet & reference.keySet).toSeq
+      .filter(k => reference(k) > 0)
+    if (shared.size < MinSharedForDrift) return (false, -1.0)
+    val ratios = shared.map(k => current(k) / reference(k)).sorted
+    val med = ratios(ratios.length / 2)
+    (med > UniformDriftFactor, med)
+  }
+
   def main(args: Array[String]): Unit = {
     // r12 delivery escalation (six rounds of `parsed: null` driver
     // artifacts despite a complete sub-2KB line in the tail): make the
@@ -394,7 +440,24 @@ object Bench {
           f"bandwidth canary ${bwCanarySec}%.3fs (floor ${BandwidthCanaryFloorSec}%.3fs) " +
           f"(cap ${CanaryContaminationFactor}%.1fx), ambient load ${ambient}%.2f " +
           f"(cap ${AmbientLoadCap}%.1f) — per-query timings in this run are not evidence")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
+    // uniform machine-state drift vs the committed pace reference (only
+    // meaningful on full runs — a subset's shared cohort is biased)
+    val (uniformDriftStamp, paceRatio) = {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_PACE_REF", "bench_logs/pace_reference.json")
+      val f = new java.io.File(refPath)
+      if (only.isDefined || !f.isFile) (false, -1.0)
+      else try {
+        val ref = parseQueries(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        uniformDrift(results.map { case (k, s, _, _) => k -> s.median }.toMap, ref)
+      } catch { case _: Throwable => (false, -1.0) }
+    }
+    if (uniformDriftStamp)
+      System.err.println(
+        f"[bench] UNIFORM DRIFT: shared-cohort median ${paceRatio}%.3fx the committed " +
+          f"pace reference (cap ${UniformDriftFactor}%.2fx) — the whole cohort moved " +
+          "together, the machine-state signature; treat per-query timings as suspect")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
     // Parse-proof delivery (ten rounds of `parsed: null` driver artifacts):
     // the full record goes to a FILE the driver/judge can always read, and
     // stdout gets EXACTLY ONE JSON line — the compact one, printed AFTER
@@ -414,7 +477,7 @@ object Bench {
     val topQ = results.sortBy { case (_, s, _, _) => -s.median }.take(15)
     val qsTop = topQ.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.median) }
       .mkString("{", ",", "}")
-    val compactJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQ.size},"queries_total":${results.size},"sf":"$sfDir","contaminated":$contaminated,"rerun":$reruns,"reps":$reps,"subset":${only.isDefined},"failed":${failures.size},"full":"BENCH.json"}"""
+    val compactJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQ.size},"queries_total":${results.size},"sf":"$sfDir","contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"rerun":$reruns,"reps":$reps,"subset":${only.isDefined},"failed":${failures.size},"full":"BENCH.json"}"""
     spark.stop()
     realOut.println(compactJson)
     realOut.flush()

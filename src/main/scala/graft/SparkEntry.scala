@@ -282,6 +282,24 @@ object SparkEntry {
       substring(md5(concat(docId.cast("string"), lit(s"-pc$i")).cast("binary")),
         1, if (alpha) 8 else 6)): _*))
 
+  /** Planted 48×40 PER-MB-CONSTANT grayscale bitmap for the lossy VP8
+    * tier: a 3×3 macroblock grid (bottom row cropped to 8 pixel rows)
+    * where every pixel of MB m carries the first md5 byte of
+    * "<doc_id>-vp8<m>". Per-MB-constant images are exactly the class
+    * [[graft.functions.Native.Vp8.encodeDc]] round-trips bit-exactly
+    * (the jpegEncodeGray8Dc stance), and the constants stay iid across
+    * docs so the dedup cross-pair analytics carry over. */
+  private def plantedMbBitmap(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def mbHex(m: Int) = substring(
+      md5(concat(docId.cast("string"), lit(s"-vp8$m")).cast("binary")), 1, 2)
+    val rows = (0 until 40).map { r =>
+      val g = r / 16
+      concat(repeat(mbHex(g * 3), 16), repeat(mbHex(g * 3 + 1), 16),
+        repeat(mbHex(g * 3 + 2), 16))
+    }
+    unhex(concat(rows: _*))
+  }
+
   /** DC-category-7 block value from the first md5 byte of
     * "<doc_id>-<tag><idx>": low = raw mod 128; low < 64 → low+1, else
     * low+128 — always in [1,64] ∪ [192,255], the [[graft.functions.Native
@@ -1232,6 +1250,40 @@ object SparkEntry {
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)).as("webp"))
         .select(col("doc_id"),
           hex(Multimodal.webpDecodeLuma(col("webp"))).as("px_hex"))),
+    // REAL LOSSY WebP (VP8 keyframe) pixel decode, hash-oracled: planted
+    // per-MB-constant 48×40 bitmaps → the fixture's spec-conformant
+    // DC-only VP8 keyframe → the FULL RFC 6386 decoder (boolean decoder,
+    // header, kf mode trees, token decode, IWHT/IDCT, prediction; filter
+    // level 0 in the fixture) → luma the oracle recomputes from the same
+    // md5 plants. Segmentation, prob updates, B_PRED, both loop filters
+    // and real-encoder streams are pinned by the libwebp goldens in
+    // MultimodalSpec (Vp8Vectors — a lossy coding's paths a DC fixture
+    // cannot reach)
+    "multimodal_decode_vp8" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.webpEncodeVp8(plantedMbBitmap(col("doc_id")), lit(48)).as("webp"))
+        .select(col("doc_id"),
+          hex(Multimodal.webpDecodeLuma(col("webp"))).as("px_hex"))),
+    // exact dedup over DECODED lossy-VP8 pixels: the base doc is encoded
+    // with ONE token partition, its copy with TWO — byte-DIFFERENT WebP
+    // files that decode to identical luma, so the pair exists only
+    // through real decoding (a pure byte-hash dedup finds nothing here),
+    // and the multi-partition reader sits inside the oracled path. One
+    // digest shuffle + an equi-join on digest; id-sized output. The
+    // per-MB md5 plants (72 iid bits/doc) make cross-doc digest
+    // collisions impossible at any realistic corpus size
+    "dedup_image_vp8" -> ((s, d) => {
+      def digested(nparts: Int, shift: Long) = Tables.documents(s, d)
+        .select((col("doc_id") + lit(shift)).as("id"),
+          sha2(Multimodal.webpDecodeLuma(
+            Multimodal.webpEncodeVp8(plantedMbBitmap(col("doc_id")), lit(48),
+              nparts = nparts)), 256).as("digest"))
+      val a = digested(nparts = 1, shift = 0L)
+      val b = digested(nparts = 2, shift = 100000L)
+      a.join(b, "digest")
+        .select(a("id").as("id_a"), b("id").as("id_b"))
+    }),
     // image near-dup on REAL WebP bytes end-to-end (VP8L RGBA decode →
     // luma → dHash → Hamming-LSH): the dedup_image_png_color argument on
     // the last major crawl image format — re-keyed copies share blobs
@@ -1276,8 +1328,9 @@ object SparkEntry {
     // under video/mp4), a structurally-valid MP4 whose stsd carries
     // 'avc1' (unsupported_profile — recognized container, another codec),
     // a VALID lossless WebP (NO row — the classifier decodes VP8L for
-    // real now), a lossy VP8 WebP (unsupported_profile — true profile
-    // limit), and a VP8L chunk cut mid-header (corrupt under image/webp).
+    // real now), an inter-frame VP8 WebP (unsupported_profile — lossy
+    // KEYFRAMES decode since r15; no still carries an inter frame),
+    // and a VP8L chunk cut mid-header (corrupt under image/webp).
     // Three planted sources prove the group keys; the oracle recomputes
     // every counter from the class arithmetic alone
     // REAL GIF first-frame pixel decode, hash-oracled: the planted 9×8
@@ -1748,8 +1801,12 @@ object SparkEntry {
         .when(cls === 8, clip("avc1"))
         .when(cls === 9,
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)))
-        // a sound RIFF-WEBP whose only chunk is lossy VP8
-        .when(cls === 10, unhex(lit("52494646140000005745425056503820" + "00" * 12)))
+        // a sound RIFF-WEBP whose VP8 chunk carries an INTER frame
+        // (frame-tag bit 0 set): keyframes decode for real since r15,
+        // and no still WebP carries an inter frame — the remaining
+        // true profile limit, same reason bucket as before
+        .when(cls === 10, unhex(lit("52494646160000005745425056503820" +
+          "0a00000001" + "00" * 9)))
         // container header intact, VP8L chunk size overruns the payload
         .otherwise(substring(
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)), 1, 24))
@@ -2913,6 +2970,27 @@ object SparkEntry {
     "dedup_image_webp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // the lossy VP8 decoder's luma must equal the per-MB md5 plants in
+    // closed form: the DC-only fixture reconstructs each 16x16 MB to its
+    // planted constant EXACTLY (y_ac_qi 0 → Y2 quantizer 8 → level 8r
+    // adds r with zero rounding error), so row r of the 48x40 crop is
+    // the three MB constants of MB row r/16 repeated 16 pixels each
+    "multimodal_decode_vp8" ->
+      """WITH c AS (SELECT doc_id,
+             [upper(substr(md5(CAST(doc_id AS VARCHAR) || '-vp8' || CAST(m AS VARCHAR)), 1, 2))
+              for m in range(0, 9)] AS mb
+           FROM documents)
+         SELECT doc_id,
+           array_to_string([repeat(mb[(r // 16) * 3 + 1], 16) ||
+             repeat(mb[(r // 16) * 3 + 2], 16) ||
+             repeat(mb[(r // 16) * 3 + 3], 16) for r in range(0, 40)], '') AS px_hex
+         FROM c""",
+    // pair-set argument on LOSSY VP8 payloads: decode(encode) is the
+    // identity for per-MB-constant bitmaps at EITHER partition count, so
+    // the 1-partition base and its 2-partition re-encode carry identical
+    // decoded pixels — one digest pair per doc, nothing else
+    "dedup_image_vp8" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents""",
     "multimodal_decode_png_color" ->
       """WITH c AS (SELECT doc_id,
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 1, 2))::INT

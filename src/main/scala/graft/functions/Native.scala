@@ -3738,8 +3738,10 @@ object Native {
     * bias-0x84 complement segments) — pure closed-form expansions to
     * ±32256/±32124. Out of contract (→ [[Unsupported]]): every other
     * tag (MP3-in-WAV, GSM), other depths, >2 channels. [[Truncated]] =
-    * any chunk size past the buffer; [[Bomb]] = more than 2²⁶ samples
-    * per channel; structural damage → [[Corrupt]]. */
+    * a chunk size past the buffer while fmt or data is still
+    * outstanding (a malformed chunk AFTER both reads as end-of-chunks
+    * — trailing garbage is common in real corpora); [[Bomb]] = more
+    * than 2²⁶ samples per channel; structural damage → [[Corrupt]]. */
   private[graft] object Wav {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
     val MaxSamples: Int = 1 << 26
@@ -3776,14 +3778,23 @@ object Native {
         // walk until fmt, data AND fact are all resolved (legal RIFF
         // order puts fact on either side of data — a trailing fact
         // trimming a padded final ADPCM block must not be missed), or
-        // the chunk list ends; a chunk cut off mid-payload anywhere in
-        // the walk is real truncation
-        while (p + 8 <= n && (fmtOff < 0 || dataOff < 0 || factSamples < 0)) {
+        // the chunk list ends; a chunk cut off mid-payload is real
+        // truncation only while fmt or data is still outstanding —
+        // once both are resolved the walk is only fishing for a
+        // trailing fact, and trailing garbage after data is common in
+        // real corpora, so a malformed trailing chunk reads as
+        // end-of-chunks (a WELL-FORMED trailing fact is still taken)
+        var walking = true
+        while (walking && p + 8 <= n &&
+          (fmtOff < 0 || dataOff < 0 || factSamples < 0)) {
           chunks += 1
           if (chunks > 4096) return bad // headers are cheap; walks must be too
           val sz = u32(p + 4)
-          if (p + 8 + sz > n) return trunc // a chunk cut off mid-payload
-          if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+          if (p + 8 + sz > n) {
+            if (fmtOff >= 0 && dataOff >= 0) walking = false
+            else return trunc // a chunk cut off mid-payload
+          }
+          else if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
             fmtOff = p + 8; fmtLen = sz.toInt
           } else if (b(p) == 'f' && b(p + 1) == 'a' && b(p + 2) == 'c' &&
             b(p + 3) == 't' && sz >= 4) {
@@ -3792,7 +3803,8 @@ object Native {
             b(p + 3) == 'a') {
             dataOff = p + 8; dataLen = sz
           } // anything else (LIST/cue/bext/…) is skipped by size
-          p += 8 + sz.toInt + (sz & 1L).toInt // chunks pad to even
+          if (walking)
+            p += 8 + sz.toInt + (sz & 1L).toInt // chunks pad to even
         }
         if (fmtOff < 0 || dataOff < 0)
           return if (n < 44) trunc else bad // ran out of chunks
@@ -5348,7 +5360,9 @@ object Native {
     *                              arithmetic JPEG — baseline and
     *                              progressive decode; GSM/MP3-in-WAV —
     *                              the PCM/float32+64/IMA/MS-ADPCM/G.711
-    *                              zoo decodes; lossy VP8 WebP; non-MJPEG
+    *                              zoo decodes; animation-only WebP — VP8L
+    *                              lossless AND lossy VP8 keyframes
+    *                              decode; non-MJPEG
     *                              MP4/AVI; OS/2-V2 BMP — the mask/
     *                              palette/RLE/embedded-stream BMP zoo
     *                              decodes;
@@ -5479,9 +5493,10 @@ object Native {
             else if (videoFirstFrameLumaBytes(b).isEmpty) s("corrupt")
             else null
           case "WEBP" =>
-            // the real VP8L walk+decode ([[Webp]] — same path the image
-            // tiers use): lossless decodes → not dropped; a sound WebP
-            // carrying only lossy/extended chunks is a true profile
+            // the real walk+decode ([[Webp]]/[[Vp8]] — same path the
+            // image tiers use): VP8L lossless AND lossy VP8 keyframes
+            // both decode → not dropped; a sound WebP carrying only
+            // animation/extended-metadata chunks is a true profile
             // limitation; anything else is structural damage
             Webp.probeContainer(b) match {
               case (2, payload) =>
@@ -5490,6 +5505,14 @@ object Native {
                 // branches rather than being lumped with `corrupt`
                 if (Webp.headerBomb(payload)) s("bomb_guard")
                 else if (Webp.decodeArgb(payload) == null) s("corrupt") else null
+              case (3, payload) =>
+                Vp8.decodeY(payload)._1 match {
+                  case Vp8.Ok => null
+                  case Vp8.Truncated => s("truncated")
+                  case Vp8.Bomb => s("bomb_guard")
+                  case Vp8.Unsupported => s("unsupported_profile") // inter frame
+                  case _ => s("corrupt")
+                }
               case (1, _) => s("unsupported_profile")
               case _ => s("corrupt")
             }
@@ -5517,7 +5540,7 @@ object Native {
       // would misstate the per-reason counts exactly where a corpus
       // owner reads them — they are real media, dropped for a PROFILE
       // limitation, so they classify `unsupported_profile` like
-      // progressive JPEG or lossy VP8. ----
+      // 12-bit JPEG or GSM-in-WAV. ----
       else if (Tiff.hasMagic(b))
         // TIFF decodes for real (uncompressed + PackBits + LZW +
         // Deflate, 1/2/4/8-bit gray/palette, 8-bit RGB(A incl.
@@ -6059,8 +6082,10 @@ object Native {
       } catch { case NonFatal(_) => null }
 
     /** RIFF-WEBP container probe: (2, vp8lPayload) when a VP8L chunk is
-      * found; (1, null) for a structurally-sound WebP carrying only
-      * other known chunks (lossy VP8, extended without lossless —
+      * found, (3, vp8Payload) for a lossy VP8 chunk ([[Vp8]] decodes
+      * it) — both also inside a VP8X extended container; (1, null) for
+      * a structurally-sound WebP carrying only other known chunks
+      * (animation or extended metadata without an image chunk —
       * unsupported profile); (0, null) for structural damage. */
     def probeContainer(b: Array[Byte]): (Int, Array[Byte]) = {
       val n = b.length
@@ -6073,12 +6098,12 @@ object Native {
         val size = (b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8) |
           ((b(p + 6) & 0xffL) << 16) | ((b(p + 7) & 0xffL) << 24)
         if (size > n - p - 8) return (0, null) // chunk overruns the payload
-        if (tag == "VP8L") {
+        if (tag == "VP8L" || tag == "VP8 ") {
           val payload = new Array[Byte](size.toInt)
           System.arraycopy(b, p + 8, payload, 0, size.toInt)
-          return (2, payload)
+          return (if (tag == "VP8L") 2 else 3, payload)
         }
-        if (tag == "VP8 " || tag == "VP8X" || tag == "ALPH" || tag == "ANIM" ||
+        if (tag == "VP8X" || tag == "ALPH" || tag == "ANIM" ||
             tag == "ANMF" || tag == "ICCP" || tag == "EXIF" || tag == "XMP ")
           sawKnown = true
         p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
@@ -6086,11 +6111,18 @@ object Native {
       (if (sawKnown) 1 else 0, null)
     }
 
-    /** Container walk + VP8L decode + exact-integer ITU-R 601 luma (the
-      * same [[Png.luma601]] the PNG/JPEG tiers use; alpha ignored, like
-      * the PNG RGBA path). Null off contract. */
+    /** Container walk + pixel decode + luma. VP8L decodes to ARGB and
+      * takes the exact-integer ITU-R 601 luma (the same [[Png.luma601]]
+      * the PNG/JPEG tiers use; alpha ignored, like the PNG RGBA path);
+      * lossy VP8 yields its coded Y plane directly — VP8 codes BT.601
+      * luma natively, so no RGB round trip exists to take. Null off
+      * contract. */
     def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       val (st, payload) = probeContainer(b)
+      if (st == 3) {
+        val (vst, w, h, y) = Vp8.decodeY(payload)
+        return if (vst == Vp8.Ok) (w, h, y) else null
+      }
       if (st != 2) return null
       val d = decodeArgb(payload)
       if (d == null) return null
@@ -6106,11 +6138,1384 @@ object Native {
     }
   }
 
-  /** webp_decode_luma(BINARY) → BINARY: REAL WebP VP8L (lossless) pixel
-    * decode to the exact-integer luma plane — [[PngLumaDecode]]'s WebP
-    * sibling, per the public lossless bitstream spec ([[Webp]]). Null off
-    * contract: lossy VP8, extended files without a VP8L chunk, structural
-    * damage, or a header demanding more than the shared bomb cap. */
+  /** WebP lossy VP8 — intra keyframe decode per RFC 6386 ("VP8 Data
+    * Format and Decoding Guide"): §7 boolean arithmetic decoder, §9
+    * keyframe header (segmentation incl. per-segment quant/filter,
+    * filter header, token partitions, quant deltas, per-frame token
+    * probability updates), §11.4 keyframe mode trees (16x16 DC/V/H/TM +
+    * the ten B_PRED subblock modes with above/left context), §13 token
+    * decode (context-tracked, EOB-after-zero forbidden, CAT1–6 extra
+    * bits), §14.1 dequant, §14.3 inverse WHT + DCT, §12 intra
+    * prediction (incl. the top-right rules: above-right replicates the
+    * above MB row down all subblock rows; the rightmost MB column
+    * replicates that row's pixel 15), and the §15 NORMAL and SIMPLE
+    * in-loop filters (per-segment level, lf-delta adjust, sharpness,
+    * keyframe hev thresholds).
+    *
+    * Output is the coded Y plane: VP8 codes BT.601 luma natively, so
+    * the luma tier consumes it directly. Chroma coefficients are still
+    * token-decoded (the arithmetic decoder would desync otherwise) but
+    * never reconstructed.
+    *
+    * Validated bit-exact against the system libwebp (the reference
+    * implementation) on real encoder output across quality 0–100,
+    * segmentation on/off, probability updates, B_PRED-heavy frames,
+    * simple/normal filters, nonzero sharpness, autofilter, odd and
+    * sub-MB dims, 1-px-wide frames and 320x240 (tools/vp8_proto.py —
+    * the Python prototype this is a 1:1 port of — and
+    * tools/gen_vp8_vectors.py goldens pinned in MultimodalSpec). The
+    * probability tables are the RFC's published values; the transcription
+    * was cross-checked byte-for-byte against that build's .rodata
+    * (tools/extract_vp8_tables.py). Statuses follow the house contract:
+    * [[Truncated]] = partitions past the buffer; [[Bomb]] = header dims
+    * over the shared cap; [[Unsupported]] = a non-keyframe (no still
+    * WebP carries one); structural damage → [[Corrupt]]. Linear in
+    * coded bits + pixels: every loop is bounded by the 16-coefficient
+    * block, the MB count (≤ cap/256), or the partition byte count, so
+    * crafted payloads cannot buy CPU. */
+  private[graft] object Vp8 {
+    val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+
+    // RFC 6386 quantizer lookups (§14.1) and the three big
+    // published probability tables: §13.4 update flags, §13.5
+    // default token probs (both [4][8][3][11] flat), §11.4 keyframe
+    // subblock-mode probs ([above][left][9], tree-appearance enum
+    // order). Transcription cross-checked byte-for-byte against the
+    // reference build (tools/extract_vp8_tables.py).
+    private val DcQ: Array[Int] = Array(
+    4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17,
+    18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28,
+    29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+    75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+    91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114, 116, 118,
+    122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143, 145, 148, 151, 154, 157)
+
+    private val AcQ: Array[Int] = Array(
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+    36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76,
+    78, 80, 82, 84, 86, 88, 90, 92, 94, 96, 98, 100, 102, 104, 106, 108,
+    110, 112, 114, 116, 119, 122, 125, 128, 131, 134, 137, 140, 143, 146, 149, 152,
+    155, 158, 161, 164, 167, 170, 173, 177, 181, 185, 189, 193, 197, 201, 205, 209,
+    213, 217, 221, 225, 229, 234, 239, 245, 249, 254, 259, 264, 269, 274, 279, 284)
+
+    private val CoeffUpdateProbs: Array[Int] = Array(
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 176, 246, 255, 255, 255, 255, 255, 255, 255, 255, 255, 223, 241, 252, 255,
+    255, 255, 255, 255, 255, 255, 255, 249, 253, 253, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 244, 252, 255, 255, 255, 255, 255, 255, 255, 255, 234, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 253, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 246, 254, 255, 255, 255, 255, 255, 255, 255, 255, 239, 253,
+    254, 255, 255, 255, 255, 255, 255, 255, 255, 254, 255, 254, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255, 251,
+    255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    251, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 254, 255, 254, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 254, 253, 255, 254, 255, 255, 255, 255, 255,
+    255, 250, 255, 254, 255, 254, 255, 255, 255, 255, 255, 255, 254, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 217, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 225, 252, 241, 253, 255, 255, 254, 255, 255, 255, 255, 234, 250,
+    241, 250, 253, 255, 253, 254, 255, 255, 255, 255, 254, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 223, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 238,
+    253, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 248, 254, 255, 255, 255,
+    255, 255, 255, 255, 255, 249, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 253, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 247, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 253, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 252, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 253, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254,
+    253, 255, 255, 255, 255, 255, 255, 255, 255, 250, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    186, 251, 250, 255, 255, 255, 255, 255, 255, 255, 255, 234, 251, 244, 254, 255,
+    255, 255, 255, 255, 255, 255, 251, 251, 243, 253, 254, 255, 254, 255, 255, 255,
+    255, 255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255, 236, 253, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 251, 253, 253, 254, 254, 255, 255, 255, 255,
+    255, 255, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 254, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 248, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 250, 254, 252, 254, 255, 255, 255, 255, 255, 255, 255, 248, 254,
+    249, 253, 255, 255, 255, 255, 255, 255, 255, 255, 253, 253, 255, 255, 255, 255,
+    255, 255, 255, 255, 246, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255, 252,
+    254, 251, 254, 254, 255, 255, 255, 255, 255, 255, 255, 254, 252, 255, 255, 255,
+    255, 255, 255, 255, 255, 248, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255,
+    253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 251, 254, 255, 255,
+    255, 255, 255, 255, 255, 255, 245, 251, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 253, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 251, 253, 255,
+    255, 255, 255, 255, 255, 255, 255, 252, 253, 254, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 252, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 249, 255, 254, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    253, 255, 255, 255, 255, 255, 255, 255, 255, 250, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)
+
+    private val DefaultCoeffProbs: Array[Int] = Array(
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128, 189, 129, 242, 255,
+    227, 213, 255, 219, 128, 128, 128, 106, 126, 227, 252, 214, 209, 255, 255, 128,
+    128, 128, 1, 98, 248, 255, 236, 226, 255, 255, 128, 128, 128, 181, 133, 238,
+    254, 221, 234, 255, 154, 128, 128, 128, 78, 134, 202, 247, 198, 180, 255, 219,
+    128, 128, 128, 1, 185, 249, 255, 243, 255, 128, 128, 128, 128, 128, 184, 150,
+    247, 255, 236, 224, 128, 128, 128, 128, 128, 77, 110, 216, 255, 236, 230, 128,
+    128, 128, 128, 128, 1, 101, 251, 255, 241, 255, 128, 128, 128, 128, 128, 170,
+    139, 241, 252, 236, 209, 255, 255, 128, 128, 128, 37, 116, 196, 243, 228, 255,
+    255, 255, 128, 128, 128, 1, 204, 254, 255, 245, 255, 128, 128, 128, 128, 128,
+    207, 160, 250, 255, 238, 128, 128, 128, 128, 128, 128, 102, 103, 231, 255, 211,
+    171, 128, 128, 128, 128, 128, 1, 152, 252, 255, 240, 255, 128, 128, 128, 128,
+    128, 177, 135, 243, 255, 234, 225, 128, 128, 128, 128, 128, 80, 129, 211, 255,
+    194, 224, 128, 128, 128, 128, 128, 1, 1, 255, 128, 128, 128, 128, 128, 128,
+    128, 128, 246, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128, 255, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 198, 35, 237, 223, 193, 187, 162, 160,
+    145, 155, 62, 131, 45, 198, 221, 172, 176, 220, 157, 252, 221, 1, 68, 47,
+    146, 208, 149, 167, 221, 162, 255, 223, 128, 1, 149, 241, 255, 221, 224, 255,
+    255, 128, 128, 128, 184, 141, 234, 253, 222, 220, 255, 199, 128, 128, 128, 81,
+    99, 181, 242, 176, 190, 249, 202, 255, 255, 128, 1, 129, 232, 253, 214, 197,
+    242, 196, 255, 255, 128, 99, 121, 210, 250, 201, 198, 255, 202, 128, 128, 128,
+    23, 91, 163, 242, 170, 187, 247, 210, 255, 255, 128, 1, 200, 246, 255, 234,
+    255, 128, 128, 128, 128, 128, 109, 178, 241, 255, 231, 245, 255, 255, 128, 128,
+    128, 44, 130, 201, 253, 205, 192, 255, 255, 128, 128, 128, 1, 132, 239, 251,
+    219, 209, 255, 165, 128, 128, 128, 94, 136, 225, 251, 218, 190, 255, 255, 128,
+    128, 128, 22, 100, 174, 245, 186, 161, 255, 199, 128, 128, 128, 1, 182, 249,
+    255, 232, 235, 128, 128, 128, 128, 128, 124, 143, 241, 255, 227, 234, 128, 128,
+    128, 128, 128, 35, 77, 181, 251, 193, 211, 255, 205, 128, 128, 128, 1, 157,
+    247, 255, 236, 231, 255, 255, 128, 128, 128, 121, 141, 235, 255, 225, 227, 255,
+    255, 128, 128, 128, 45, 99, 188, 251, 195, 217, 255, 224, 128, 128, 128, 1,
+    1, 251, 255, 213, 255, 128, 128, 128, 128, 128, 203, 1, 248, 255, 255, 128,
+    128, 128, 128, 128, 128, 137, 1, 177, 255, 224, 255, 128, 128, 128, 128, 128,
+    253, 9, 248, 251, 207, 208, 255, 192, 128, 128, 128, 175, 13, 224, 243, 193,
+    185, 249, 198, 255, 255, 128, 73, 17, 171, 221, 161, 179, 236, 167, 255, 234,
+    128, 1, 95, 247, 253, 212, 183, 255, 255, 128, 128, 128, 239, 90, 244, 250,
+    211, 209, 255, 255, 128, 128, 128, 155, 77, 195, 248, 188, 195, 255, 255, 128,
+    128, 128, 1, 24, 239, 251, 218, 219, 255, 205, 128, 128, 128, 201, 51, 219,
+    255, 196, 186, 128, 128, 128, 128, 128, 69, 46, 190, 239, 201, 218, 255, 228,
+    128, 128, 128, 1, 191, 251, 255, 255, 128, 128, 128, 128, 128, 128, 223, 165,
+    249, 255, 213, 255, 128, 128, 128, 128, 128, 141, 124, 248, 255, 255, 128, 128,
+    128, 128, 128, 128, 1, 16, 248, 255, 255, 128, 128, 128, 128, 128, 128, 190,
+    36, 230, 255, 236, 255, 128, 128, 128, 128, 128, 149, 1, 255, 128, 128, 128,
+    128, 128, 128, 128, 128, 1, 226, 255, 128, 128, 128, 128, 128, 128, 128, 128,
+    247, 192, 255, 128, 128, 128, 128, 128, 128, 128, 128, 240, 128, 255, 128, 128,
+    128, 128, 128, 128, 128, 128, 1, 134, 252, 255, 255, 128, 128, 128, 128, 128,
+    128, 213, 62, 250, 255, 255, 128, 128, 128, 128, 128, 128, 55, 93, 255, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 202, 24, 213, 235, 186, 191, 220, 160,
+    240, 175, 255, 126, 38, 182, 232, 169, 184, 228, 174, 255, 187, 128, 61, 46,
+    138, 219, 151, 178, 240, 170, 255, 216, 128, 1, 112, 230, 250, 199, 191, 247,
+    159, 255, 255, 128, 166, 109, 228, 252, 211, 215, 255, 174, 128, 128, 128, 39,
+    77, 162, 232, 172, 180, 245, 178, 255, 255, 128, 1, 52, 220, 246, 198, 199,
+    249, 220, 255, 255, 128, 124, 74, 191, 243, 183, 193, 250, 221, 255, 255, 128,
+    24, 71, 130, 219, 154, 170, 243, 182, 255, 255, 128, 1, 182, 225, 249, 219,
+    240, 255, 224, 128, 128, 128, 149, 150, 226, 252, 216, 205, 255, 171, 128, 128,
+    128, 28, 108, 170, 242, 183, 194, 254, 223, 255, 255, 128, 1, 81, 230, 252,
+    204, 203, 255, 192, 128, 128, 128, 123, 102, 209, 247, 188, 196, 255, 233, 128,
+    128, 128, 20, 95, 153, 243, 164, 173, 255, 203, 128, 128, 128, 1, 222, 248,
+    255, 216, 213, 128, 128, 128, 128, 128, 168, 175, 246, 252, 235, 205, 255, 255,
+    128, 128, 128, 47, 116, 215, 255, 211, 212, 255, 255, 128, 128, 128, 1, 121,
+    236, 253, 212, 214, 255, 255, 128, 128, 128, 141, 84, 213, 252, 201, 202, 255,
+    219, 128, 128, 128, 42, 80, 160, 240, 162, 185, 255, 205, 128, 128, 128, 1,
+    1, 255, 128, 128, 128, 128, 128, 128, 128, 128, 244, 1, 255, 128, 128, 128,
+    128, 128, 128, 128, 128, 238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128)
+
+    private val KfBModeProbs: Array[Int] = Array(
+    231, 120, 48, 89, 115, 113, 120, 152, 112, 152, 179, 64, 126, 170, 118, 46,
+    70, 95, 175, 69, 143, 80, 85, 82, 72, 155, 103, 56, 58, 10, 171, 218,
+    189, 17, 13, 152, 114, 26, 17, 163, 44, 195, 21, 10, 173, 121, 24, 80,
+    195, 26, 62, 44, 64, 85, 144, 71, 10, 38, 171, 213, 144, 34, 26, 170,
+    46, 55, 19, 136, 160, 33, 206, 71, 63, 20, 8, 114, 114, 208, 12, 9,
+    226, 81, 40, 11, 96, 182, 84, 29, 16, 36, 134, 183, 89, 137, 98, 101,
+    106, 165, 148, 72, 187, 100, 130, 157, 111, 32, 75, 80, 66, 102, 167, 99,
+    74, 62, 40, 234, 128, 41, 53, 9, 178, 241, 141, 26, 8, 107, 74, 43,
+    26, 146, 73, 166, 49, 23, 157, 65, 38, 105, 160, 51, 52, 31, 115, 128,
+    104, 79, 12, 27, 217, 255, 87, 17, 7, 87, 68, 71, 44, 114, 51, 15,
+    186, 23, 47, 41, 14, 110, 182, 183, 21, 17, 194, 66, 45, 25, 102, 197,
+    189, 23, 18, 22, 88, 88, 147, 150, 42, 46, 45, 196, 205, 43, 97, 183,
+    117, 85, 38, 35, 179, 61, 39, 53, 200, 87, 26, 21, 43, 232, 171, 56,
+    34, 51, 104, 114, 102, 29, 93, 77, 39, 28, 85, 171, 58, 165, 90, 98,
+    64, 34, 22, 116, 206, 23, 34, 43, 166, 73, 107, 54, 32, 26, 51, 1,
+    81, 43, 31, 68, 25, 106, 22, 64, 171, 36, 225, 114, 34, 19, 21, 102,
+    132, 188, 16, 76, 124, 62, 18, 78, 95, 85, 57, 50, 48, 51, 193, 101,
+    35, 159, 215, 111, 89, 46, 111, 60, 148, 31, 172, 219, 228, 21, 18, 111,
+    112, 113, 77, 85, 179, 255, 38, 120, 114, 40, 42, 1, 196, 245, 209, 10,
+    25, 109, 88, 43, 29, 140, 166, 213, 37, 43, 154, 61, 63, 30, 155, 67,
+    45, 68, 1, 209, 100, 80, 8, 43, 154, 1, 51, 26, 71, 142, 78, 78,
+    16, 255, 128, 34, 197, 171, 41, 40, 5, 102, 211, 183, 4, 1, 221, 51,
+    50, 17, 168, 209, 192, 23, 25, 82, 138, 31, 36, 171, 27, 166, 38, 44,
+    229, 67, 87, 58, 169, 82, 115, 26, 59, 179, 63, 59, 90, 180, 59, 166,
+    93, 73, 154, 40, 40, 21, 116, 143, 209, 34, 39, 175, 47, 15, 16, 183,
+    34, 223, 49, 45, 183, 46, 17, 33, 183, 6, 98, 15, 32, 183, 57, 46,
+    22, 24, 128, 1, 54, 17, 37, 65, 32, 73, 115, 28, 128, 23, 128, 205,
+    40, 3, 9, 115, 51, 192, 18, 6, 223, 87, 37, 9, 115, 59, 77, 64,
+    21, 47, 104, 55, 44, 218, 9, 54, 53, 130, 226, 64, 90, 70, 205, 40,
+    41, 23, 26, 57, 54, 57, 112, 184, 5, 41, 38, 166, 213, 30, 34, 26,
+    133, 152, 116, 10, 32, 134, 39, 19, 53, 221, 26, 114, 32, 73, 255, 31,
+    9, 65, 234, 2, 15, 1, 118, 73, 75, 32, 12, 51, 192, 255, 160, 43,
+    51, 88, 31, 35, 67, 102, 85, 55, 186, 85, 56, 21, 23, 111, 59, 205,
+    45, 37, 192, 55, 38, 70, 124, 73, 102, 1, 34, 98, 125, 98, 42, 88,
+    104, 85, 117, 175, 82, 95, 84, 53, 89, 128, 100, 113, 101, 45, 75, 79,
+    123, 47, 51, 128, 81, 171, 1, 57, 17, 5, 71, 102, 57, 53, 41, 49,
+    38, 33, 13, 121, 57, 73, 26, 1, 85, 41, 10, 67, 138, 77, 110, 90,
+    47, 114, 115, 21, 2, 10, 102, 255, 166, 23, 6, 101, 29, 16, 10, 85,
+    128, 101, 196, 26, 57, 18, 10, 102, 102, 213, 34, 20, 43, 117, 20, 15,
+    36, 163, 128, 68, 1, 26, 102, 61, 71, 37, 34, 53, 31, 243, 192, 69,
+    60, 71, 38, 73, 119, 28, 222, 37, 68, 45, 128, 34, 1, 47, 11, 245,
+    171, 62, 17, 19, 70, 146, 85, 55, 62, 70, 37, 43, 37, 154, 100, 163,
+    85, 160, 1, 63, 9, 92, 136, 28, 64, 32, 201, 85, 75, 15, 9, 9,
+    64, 255, 184, 119, 16, 86, 6, 28, 5, 64, 255, 25, 248, 1, 56, 8,
+    17, 132, 137, 255, 55, 116, 128, 58, 15, 20, 82, 135, 57, 26, 121, 40,
+    164, 50, 31, 137, 154, 133, 25, 35, 218, 51, 103, 44, 131, 131, 123, 31,
+    6, 158, 86, 40, 64, 135, 148, 224, 45, 183, 128, 22, 26, 17, 131, 240,
+    154, 14, 1, 209, 45, 16, 21, 91, 64, 222, 7, 1, 197, 56, 21, 39,
+    155, 60, 138, 23, 102, 213, 83, 12, 13, 54, 192, 255, 68, 47, 28, 85,
+    26, 85, 85, 128, 128, 32, 146, 171, 18, 11, 7, 63, 144, 171, 4, 4,
+    246, 35, 27, 10, 146, 174, 171, 12, 26, 128, 190, 80, 35, 99, 180, 80,
+    126, 54, 45, 85, 126, 47, 87, 176, 51, 41, 20, 32, 101, 75, 128, 139,
+    118, 146, 116, 128, 85, 56, 41, 15, 176, 236, 85, 37, 9, 62, 71, 30,
+    17, 119, 118, 255, 17, 18, 138, 101, 38, 60, 138, 55, 70, 43, 26, 142,
+    146, 36, 19, 30, 171, 255, 97, 27, 20, 138, 45, 61, 62, 219, 1, 81,
+    188, 64, 32, 41, 20, 117, 151, 142, 20, 21, 163, 112, 19, 12, 61, 195,
+    128, 48, 4, 24)
+
+
+    // RFC 6386 §11.4: keyframe Y-mode probs/tree (leaves: DC V H TM
+    // B_PRED=4) and chroma tree; §11.2 subblock-mode tree. Leaf 0 in
+    // tree arrays is written as 0 (B_DC / DC): the walk checks <= 0
+    // after every step, so index 0 is never re-entered as a node.
+    private val KfYModeProbs = Array(145, 156, 163, 128)
+    private val KfUvProbs = Array(142, 114, 183)
+    private val KfYModeTree = Array(-4, 2, 4, 6, 0, -1, -2, -3)
+    private val UvTree = Array(0, 2, -1, 4, -2, -3)
+    private val BModeTree = Array(
+      0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -5, -6, -4, 14, -7, 16, -8, -9)
+    // KfBModeProbs rows sit in tree-appearance enum order (RD=4, VR=5,
+    // LD=6 — how the reference build lays the table out); RFC enums
+    // (LD=4, RD=5, VR=6) index through this permutation
+    private val RfcToTree = Array(0, 1, 2, 3, 6, 4, 5, 7, 8, 9)
+
+    // §13.2 token tree (leaf 11 = EOB sentinel; leaf 0 = ZERO token),
+    // §13.3 category extra-bit probs/bases, coefficient band map, §8
+    // zigzag scan
+    private val CoeffTree = Array(
+      -11, 2, 0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6,
+      18, 20, -7, -8, -9, -10)
+    private val Cat1 = Array(159)
+    private val Cat2 = Array(165, 145)
+    private val Cat3 = Array(173, 148, 140)
+    private val Cat4 = Array(176, 155, 140, 135)
+    private val Cat5 = Array(180, 157, 141, 134, 130)
+    private val Cat6 = Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129)
+    private val CatProbs = Array(Cat1, Cat2, Cat3, Cat4, Cat5, Cat6)
+    private val CatBase = Array(5, 7, 11, 19, 35, 67)
+    private val Bands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+    private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+    /** RFC 6386 §7 boolean decoder; reads past the partition end as
+      * zero bytes (the spec's 2-byte lookahead allowance). */
+    private final class BoolDec(buf: Array[Byte], start: Int, size: Int) {
+      private[this] var pos = start
+      private[this] val end = start + size
+      private[this] var range = 255
+      private[this] var bitCount = 0
+      private[this] var value = {
+        def nb(): Int = { val v = if (pos < end) buf(pos) & 0xff else 0; pos += 1; v }
+        (nb() << 8) | nb()
+      }
+      private def nextByte(): Int = {
+        val v = if (pos < end) buf(pos) & 0xff else 0
+        pos += 1; v
+      }
+      def bool(prob: Int): Int = {
+        val split = 1 + (((range - 1) * prob) >> 8)
+        val big = split << 8
+        var ret = 0
+        if (value >= big) { ret = 1; range -= split; value -= big }
+        else range = split
+        while (range < 128) {
+          value <<= 1; range <<= 1; bitCount += 1
+          if (bitCount == 8) { bitCount = 0; value |= nextByte() }
+        }
+        ret
+      }
+      def lit(n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) { v = (v << 1) | bool(128); k += 1 }
+        v
+      }
+      def sig(n: Int): Int = { val v = lit(n); if (bool(128) == 1) -v else v }
+      def treeDec(t: Array[Int], probs: Array[Int], off: Int, startAt: Int): Int = {
+        var i = t(startAt + bool(probs(off + (startAt >> 1))))
+        while (i > 0) i = t(i + bool(probs(off + (i >> 1))))
+        -i
+      }
+    }
+
+    private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    private def avg2(a: Int, b: Int): Int = (a + b + 1) >> 1
+    private def avg3(a: Int, b: Int, c: Int): Int = (a + 2 * b + c + 2) >> 2
+
+    /** §14.3 inverse DCT: adds the residual into the predicted pixels
+      * at (ox, oy), clamping. */
+    private def idct4x4(cf: Array[Int], out: Array[Byte], oo: Int, stride: Int): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val a1 = cf(i) + cf(i + 8)
+        val b1 = cf(i) - cf(i + 8)
+        var t1 = (cf(i + 4) * 35468) >> 16
+        var t2 = cf(i + 12) + ((cf(i + 12) * 20091) >> 16)
+        val c1 = t1 - t2
+        t1 = cf(i + 4) + ((cf(i + 4) * 20091) >> 16)
+        t2 = (cf(i + 12) * 35468) >> 16
+        val d1 = t1 + t2
+        tmp(i) = a1 + d1; tmp(i + 12) = a1 - d1
+        tmp(i + 4) = b1 + c1; tmp(i + 8) = b1 - c1
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val b = 4 * i
+        val a1 = tmp(b) + tmp(b + 2)
+        val b1 = tmp(b) - tmp(b + 2)
+        var t1 = (tmp(b + 1) * 35468) >> 16
+        var t2 = tmp(b + 3) + ((tmp(b + 3) * 20091) >> 16)
+        val c1 = t1 - t2
+        t1 = tmp(b + 1) + ((tmp(b + 1) * 20091) >> 16)
+        t2 = (tmp(b + 3) * 35468) >> 16
+        val d1 = t1 + t2
+        val o = oo + i * stride
+        out(o) = clamp255((out(o) & 0xff) + ((a1 + d1 + 4) >> 3)).toByte
+        out(o + 3) = clamp255((out(o + 3) & 0xff) + ((a1 - d1 + 4) >> 3)).toByte
+        out(o + 1) = clamp255((out(o + 1) & 0xff) + ((b1 + c1 + 4) >> 3)).toByte
+        out(o + 2) = clamp255((out(o + 2) & 0xff) + ((b1 - c1 + 4) >> 3)).toByte
+        i += 1
+      }
+    }
+
+    /** §14.3 inverse WHT: the Y2 block's 16 outputs become the DC
+      * coefficients of the 16 Y subblocks, raster order. */
+    private def iwht4x4(ip: Array[Int], out: Array[Int]): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val a1 = ip(i) + ip(i + 12)
+        val b1 = ip(i + 4) + ip(i + 8)
+        val c1 = ip(i + 4) - ip(i + 8)
+        val d1 = ip(i) - ip(i + 12)
+        tmp(i) = a1 + b1; tmp(i + 4) = c1 + d1
+        tmp(i + 8) = a1 - b1; tmp(i + 12) = d1 - c1
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val b = 4 * i
+        val a1 = tmp(b) + tmp(b + 3)
+        val b1 = tmp(b + 1) + tmp(b + 2)
+        val c1 = tmp(b + 1) - tmp(b + 2)
+        val d1 = tmp(b) - tmp(b + 3)
+        out(b) = (a1 + b1 + 3) >> 3
+        out(b + 1) = (c1 + d1 + 3) >> 3
+        out(b + 2) = (a1 - b1 + 3) >> 3
+        out(b + 3) = (d1 - c1 + 3) >> 3
+        i += 1
+      }
+    }
+
+    /** §12.2 16x16 luma prediction into the mb-padded plane. Edge
+      * substitutes per spec: above row off-frame = 127, left column
+      * off-frame = 129, corner follows the above rule first. */
+    private def pred16(p: Array[Byte], stride: Int, ox: Int, oy: Int, mode: Int): Unit = {
+      val up = oy > 0
+      val left = ox > 0
+      def a(c: Int): Int = if (up) p((oy - 1) * stride + ox + c) & 0xff else 127
+      def l(r: Int): Int = if (left) p((oy + r) * stride + ox - 1) & 0xff else 129
+      val corner =
+        if (up) { if (left) p((oy - 1) * stride + ox - 1) & 0xff else 129 }
+        else 127
+      var r = 0
+      if (mode == 0) { // DC
+        var dc = 128
+        if (up && left) {
+          var s = 0; var i = 0
+          while (i < 16) { s += a(i) + l(i); i += 1 }
+          dc = (s + 16) >> 5
+        } else if (up) {
+          var s = 0; var i = 0
+          while (i < 16) { s += a(i); i += 1 }
+          dc = (s + 8) >> 4
+        } else if (left) {
+          var s = 0; var i = 0
+          while (i < 16) { s += l(i); i += 1 }
+          dc = (s + 8) >> 4
+        }
+        val v = dc.toByte
+        while (r < 16) {
+          java.util.Arrays.fill(p, (oy + r) * stride + ox, (oy + r) * stride + ox + 16, v)
+          r += 1
+        }
+      } else if (mode == 1) { // V
+        while (r < 16) {
+          var c = 0
+          while (c < 16) { p((oy + r) * stride + ox + c) = a(c).toByte; c += 1 }
+          r += 1
+        }
+      } else if (mode == 2) { // H
+        while (r < 16) {
+          java.util.Arrays.fill(p, (oy + r) * stride + ox, (oy + r) * stride + ox + 16, l(r).toByte)
+          r += 1
+        }
+      } else { // TM
+        while (r < 16) {
+          val lr = l(r)
+          var c = 0
+          while (c < 16) {
+            p((oy + r) * stride + ox + c) = clamp255(lr + a(c) - corner).toByte
+            c += 1
+          }
+          r += 1
+        }
+      }
+    }
+
+    /** §12.3 4x4 subblock prediction. `ar` = the 4 above-right pixels
+      * when the caller must supply them (col-3 subblocks; null = read
+      * in-plane at (oy-1, ox+4..)). */
+    private def pred4(p: Array[Byte], stride: Int, ox: Int, oy: Int, mode: Int,
+        ar: Array[Int]): Unit = {
+      val up = oy > 0
+      val left = ox > 0
+      val a = new Array[Int](8)
+      var i = 0
+      while (i < 4) {
+        a(i) = if (up) p((oy - 1) * stride + ox + i) & 0xff else 127
+        a(4 + i) =
+          if (ar != null) ar(i)
+          else if (up) p((oy - 1) * stride + ox + 4 + i) & 0xff
+          else 127
+        i += 1
+      }
+      val corner =
+        if (up) { if (left) p((oy - 1) * stride + ox - 1) & 0xff else 129 }
+        else 127
+      val l = new Array[Int](4)
+      i = 0
+      while (i < 4) {
+        l(i) = if (left) p((oy + i) * stride + ox - 1) & 0xff else 129
+        i += 1
+      }
+      val x = new Array[Int](16) // row-major 4x4
+      @inline def set(r: Int, c: Int, v: Int): Unit = x(4 * r + c) = v
+      mode match {
+        case 0 => // B_DC
+          val dc = (a(0) + a(1) + a(2) + a(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+          java.util.Arrays.fill(x, dc)
+        case 1 => // B_TM
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) { set(r, c, clamp255(l(r) + a(c) - corner)); c += 1 }
+            r += 1
+          }
+        case 2 => // B_VE
+          var c = 0
+          while (c < 4) {
+            val v = avg3(if (c == 0) corner else a(c - 1), a(c), a(c + 1))
+            var r = 0
+            while (r < 4) { set(r, c, v); r += 1 }
+            c += 1
+          }
+        case 3 => // B_HE
+          var r = 0
+          while (r < 4) {
+            val v = avg3(if (r == 0) corner else l(r - 1), l(r),
+              if (r == 3) l(3) else l(r + 1))
+            var c = 0
+            while (c < 4) { set(r, c, v); c += 1 }
+            r += 1
+          }
+        case 4 => // B_LD
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val d = r + c
+              set(r, c, if (d < 6) avg3(a(d), a(d + 1), a(d + 2))
+                        else avg3(a(6), a(7), a(7)))
+              c += 1
+            }
+            r += 1
+          }
+        case 5 => // B_RD
+          val e = Array(l(3), l(2), l(1), l(0), corner, a(0), a(1), a(2), a(3))
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) { set(r, c, avg3(e(3 + c - r), e(4 + c - r), e(5 + c - r))); c += 1 }
+            r += 1
+          }
+        case 6 => // B_VR
+          val e = Array(l(3), l(2), l(1), l(0), corner, a(0), a(1), a(2), a(3))
+          set(3, 0, avg3(e(1), e(2), e(3)))
+          set(2, 0, avg3(e(2), e(3), e(4)))
+          val v10 = avg3(e(3), e(4), e(5)); set(3, 1, v10); set(1, 0, v10)
+          val v00 = avg2(e(4), e(5)); set(2, 1, v00); set(0, 0, v00)
+          val v11 = avg3(e(4), e(5), e(6)); set(3, 2, v11); set(1, 1, v11)
+          val v01 = avg2(e(5), e(6)); set(2, 2, v01); set(0, 1, v01)
+          val v12 = avg3(e(5), e(6), e(7)); set(3, 3, v12); set(1, 2, v12)
+          val v02 = avg2(e(6), e(7)); set(2, 3, v02); set(0, 2, v02)
+          set(1, 3, avg3(e(6), e(7), e(8)))
+          set(0, 3, avg2(e(7), e(8)))
+        case 7 => // B_VL
+          set(0, 0, avg2(a(0), a(1)))
+          set(1, 0, avg3(a(0), a(1), a(2)))
+          val v01 = avg2(a(1), a(2)); set(2, 0, v01); set(0, 1, v01)
+          val v30 = avg3(a(1), a(2), a(3)); set(1, 1, v30); set(3, 0, v30)
+          val v02 = avg2(a(2), a(3)); set(2, 1, v02); set(0, 2, v02)
+          val v12 = avg3(a(2), a(3), a(4)); set(3, 1, v12); set(1, 2, v12)
+          val v03 = avg2(a(3), a(4)); set(2, 2, v03); set(0, 3, v03)
+          val v13 = avg3(a(3), a(4), a(5)); set(3, 2, v13); set(1, 3, v13)
+          set(2, 3, avg3(a(4), a(5), a(6)))
+          set(3, 3, avg3(a(5), a(6), a(7)))
+        case 8 => // B_HD
+          val e = Array(l(3), l(2), l(1), l(0), corner, a(0), a(1), a(2), a(3))
+          set(3, 0, avg2(e(0), e(1)))
+          set(3, 1, avg3(e(0), e(1), e(2)))
+          val v20 = avg2(e(1), e(2)); set(2, 0, v20); set(3, 2, v20)
+          val v21 = avg3(e(1), e(2), e(3)); set(2, 1, v21); set(3, 3, v21)
+          val v22 = avg2(e(2), e(3)); set(2, 2, v22); set(1, 0, v22)
+          val v23 = avg3(e(2), e(3), e(4)); set(2, 3, v23); set(1, 1, v23)
+          val v12 = avg2(e(3), e(4)); set(1, 2, v12); set(0, 0, v12)
+          val v13 = avg3(e(3), e(4), e(5)); set(1, 3, v13); set(0, 1, v13)
+          set(0, 2, avg3(e(4), e(5), e(6)))
+          set(0, 3, avg3(e(5), e(6), e(7)))
+        case _ => // B_HU
+          set(0, 0, avg2(l(0), l(1)))
+          set(0, 1, avg3(l(0), l(1), l(2)))
+          val v02 = avg2(l(1), l(2)); set(0, 2, v02); set(1, 0, v02)
+          val v03 = avg3(l(1), l(2), l(3)); set(0, 3, v03); set(1, 1, v03)
+          val v12 = avg2(l(2), l(3)); set(1, 2, v12); set(2, 0, v12)
+          val v13 = avg3(l(2), l(3), l(3)); set(1, 3, v13); set(2, 1, v13)
+          set(2, 2, l(3)); set(2, 3, l(3))
+          set(3, 0, l(3)); set(3, 1, l(3)); set(3, 2, l(3)); set(3, 3, l(3))
+      }
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) { p((oy + r) * stride + ox + c) = x(4 * r + c).toByte; c += 1 }
+        r += 1
+      }
+    }
+
+    // ---- §15 loop filter ops: pixels centered by subtracting 128,
+    // adjustments clamped to int8, masks on unsigned diffs ----
+    private def c8(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+    private def us(p: Array[Byte], i: Int): Int = (p(i) & 0xff) - 128
+    private def su(p: Array[Byte], i: Int, v: Int): Unit =
+      p(i) = (if (v < -128) 0 else if (v > 127) 255 else v + 128).toByte
+
+    private def commonAdjust(useOuter: Boolean, p: Array[Byte], i: Int, st: Int): Int = {
+      val p1 = us(p, i - 2 * st); val p0 = us(p, i - st)
+      val q0 = us(p, i); val q1 = us(p, i + st)
+      val a = c8((if (useOuter) c8(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f = c8(a + 4) >> 3
+      val e = c8(a + 3) >> 3
+      su(p, i, c8(q0 - f))
+      su(p, i - st, c8(p0 + e))
+      f
+    }
+
+    private def filterMask(interior: Int, edge: Int, p: Array[Byte], i: Int, st: Int): Boolean = {
+      val p3 = p(i - 4 * st) & 0xff; val p2 = p(i - 3 * st) & 0xff
+      val p1 = p(i - 2 * st) & 0xff; val p0 = p(i - st) & 0xff
+      val q0 = p(i) & 0xff; val q1 = p(i + st) & 0xff
+      val q2 = p(i + 2 * st) & 0xff; val q3 = p(i + 3 * st) & 0xff
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge &&
+        math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+        math.abs(p1 - p0) <= interior && math.abs(q1 - q0) <= interior &&
+        math.abs(q2 - q1) <= interior && math.abs(q3 - q2) <= interior
+    }
+
+    private def isHev(t: Int, p: Array[Byte], i: Int, st: Int): Boolean =
+      math.abs((p(i - 2 * st) & 0xff) - (p(i - st) & 0xff)) > t ||
+        math.abs((p(i + st) & 0xff) - (p(i) & 0xff)) > t
+
+    private def subblockFilter(t: Int, interior: Int, edge: Int,
+        p: Array[Byte], i: Int, st: Int): Unit =
+      if (filterMask(interior, edge, p, i, st)) {
+        val hv = isHev(t, p, i, st)
+        var a = commonAdjust(hv, p, i, st)
+        if (!hv) {
+          a = (a + 1) >> 1
+          su(p, i + st, c8(us(p, i + st) - a))
+          su(p, i - 2 * st, c8(us(p, i - 2 * st) + a))
+        }
+      }
+
+    private def mbedgeFilter(t: Int, interior: Int, edge: Int,
+        p: Array[Byte], i: Int, st: Int): Unit =
+      if (filterMask(interior, edge, p, i, st)) {
+        if (!isHev(t, p, i, st)) {
+          val p2 = us(p, i - 3 * st); val p1 = us(p, i - 2 * st); val p0 = us(p, i - st)
+          val q0 = us(p, i); val q1 = us(p, i + st); val q2 = us(p, i + 2 * st)
+          val w = c8(c8(p1 - q1) + 3 * (q0 - p0))
+          var a = c8((27 * w + 63) >> 7)
+          su(p, i, c8(q0 - a)); su(p, i - st, c8(p0 + a))
+          a = c8((18 * w + 63) >> 7)
+          su(p, i + st, c8(q1 - a)); su(p, i - 2 * st, c8(p1 + a))
+          a = c8((9 * w + 63) >> 7)
+          su(p, i + 2 * st, c8(q2 - a)); su(p, i - 3 * st, c8(p2 + a))
+        } else commonAdjust(useOuter = true, p, i, st)
+      }
+
+    private def simpleFilter(edge: Int, p: Array[Byte], i: Int, st: Int): Unit = {
+      val p1 = p(i - 2 * st) & 0xff; val p0 = p(i - st) & 0xff
+      val q0 = p(i) & 0xff; val q1 = p(i + st) & 0xff
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge)
+        commonAdjust(useOuter = true, p, i, st)
+    }
+
+    /** (status, width, height, Y plane cropped to width·height); the
+      * plane is non-null only at [[Ok]]. */
+    def decodeY(d: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val bad = (Corrupt, 0, 0, null: Array[Byte])
+      val trunc = (Truncated, 0, 0, null: Array[Byte])
+      try {
+        val n = d.length
+        if (n < 10) return trunc
+        val frameTag = (d(0) & 0xff) | ((d(1) & 0xff) << 8) | ((d(2) & 0xff) << 16)
+        // a still WebP always carries a keyframe; an inter frame is a
+        // profile this tier has no references for
+        if ((frameTag & 1) != 0) return (Unsupported, 0, 0, null)
+        if (((frameTag >> 1) & 7) > 3) return bad // reserved version
+        val part0 = frameTag >>> 5
+        if ((d(3) & 0xff) != 0x9D || (d(4) & 0xff) != 0x01 || (d(5) & 0xff) != 0x2A)
+          return bad
+        val width = ((d(6) & 0xff) | ((d(7) & 0xff) << 8)) & 0x3FFF
+        val height = ((d(8) & 0xff) | ((d(9) & 0xff) << 8)) & 0x3FFF
+        if (width == 0 || height == 0) return bad
+        if (width.toLong * height > Png.MaxPixels) return (Bomb, 0, 0, null)
+        if (10L + part0 > n) return trunc
+        val mbw = (width + 15) >> 4
+        val mbh = (height + 15) >> 4
+
+        // ---- first partition: frame header ----
+        val bd = new BoolDec(d, 10, part0)
+        bd.bool(128) // color space
+        bd.bool(128) // clamping type
+        val segEnabled = bd.bool(128) == 1
+        var segUpdateMap = false
+        var segAbs = false
+        val segQuant = new Array[Int](4)
+        val segLf = new Array[Int](4)
+        val segTreeProbs = Array(255, 255, 255)
+        if (segEnabled) {
+          segUpdateMap = bd.bool(128) == 1
+          val updateData = bd.bool(128) == 1
+          if (updateData) {
+            segAbs = bd.bool(128) == 1
+            var i = 0
+            while (i < 4) { if (bd.bool(128) == 1) segQuant(i) = bd.sig(7); i += 1 }
+            i = 0
+            while (i < 4) { if (bd.bool(128) == 1) segLf(i) = bd.sig(6); i += 1 }
+          }
+          if (segUpdateMap) {
+            var i = 0
+            while (i < 3) { if (bd.bool(128) == 1) segTreeProbs(i) = bd.lit(8); i += 1 }
+          }
+        }
+        val simpleF = bd.bool(128) == 1
+        val filterLevel = bd.lit(6)
+        val sharpness = bd.lit(3)
+        val lfAdj = bd.bool(128) == 1
+        val refLfDeltas = new Array[Int](4)
+        val modeLfDeltas = new Array[Int](4)
+        if (lfAdj && bd.bool(128) == 1) {
+          var i = 0
+          while (i < 4) { if (bd.bool(128) == 1) refLfDeltas(i) = bd.sig(6); i += 1 }
+          i = 0
+          while (i < 4) { if (bd.bool(128) == 1) modeLfDeltas(i) = bd.sig(6); i += 1 }
+        }
+        val nparts = 1 << bd.lit(2)
+        val yAcQi = bd.lit(7)
+        val yDcD = if (bd.bool(128) == 1) bd.sig(4) else 0
+        val y2DcD = if (bd.bool(128) == 1) bd.sig(4) else 0
+        val y2AcD = if (bd.bool(128) == 1) bd.sig(4) else 0
+        val uvDcD = if (bd.bool(128) == 1) bd.sig(4) else 0
+        val uvAcD = if (bd.bool(128) == 1) bd.sig(4) else 0
+        bd.bool(128) // refresh entropy probs
+        val probs = java.util.Arrays.copyOf(DefaultCoeffProbs, 1056)
+        var pi = 0
+        while (pi < 1056) {
+          if (bd.bool(CoeffUpdateProbs(pi)) == 1) probs(pi) = bd.lit(8)
+          pi += 1
+        }
+        val noSkip = bd.bool(128) == 1
+        val skipProb = if (noSkip) bd.lit(8) else 0
+
+        // ---- token partitions ----
+        val p0End = 10 + part0
+        var off = p0End + 3 * (nparts - 1)
+        if (off > n) return trunc
+        val parts = new Array[BoolDec](nparts)
+        pi = 0
+        while (pi < nparts) {
+          val sz =
+            if (pi < nparts - 1) {
+              val o = p0End + 3 * pi
+              (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) | ((d(o + 2) & 0xff) << 16)
+            } else n - off
+          if (sz < 0 || off + sz > n) return trunc
+          parts(pi) = new BoolDec(d, off, sz)
+          off += sz
+          pi += 1
+        }
+
+        // ---- per-MB modes (all in partition 0, raster order) ----
+        val nmb = mbw * mbh
+        val segIds = new Array[Byte](nmb)
+        val skips = new Array[Boolean](nmb)
+        val ymodes = new Array[Byte](nmb)
+        val bmodes = new Array[Byte](nmb * 16) // only meaningful for B_PRED MBs
+        val aboveBm = new Array[Byte](4 * mbw)
+        val leftBm = new Array[Byte](4)
+        var mby = 0
+        while (mby < mbh) {
+          java.util.Arrays.fill(leftBm, 0, 4, 0: Byte)
+          var mbx = 0
+          while (mbx < mbw) {
+            val i = mby * mbw + mbx
+            if (segUpdateMap)
+              segIds(i) =
+                (if (bd.bool(segTreeProbs(0)) == 1) 2 + bd.bool(segTreeProbs(2))
+                 else bd.bool(segTreeProbs(1))).toByte
+            if (noSkip) skips(i) = bd.bool(skipProb) == 1
+            val ym = bd.treeDec(KfYModeTree, KfYModeProbs, 0, 0)
+            ymodes(i) = ym.toByte
+            if (ym == 4) { // B_PRED: 16 context-coded subblock modes
+              var sb = 0
+              while (sb < 16) {
+                val r = sb >> 2; val c = sb & 3
+                val above = if (r == 0) aboveBm(4 * mbx + c) else bmodes(i * 16 + sb - 4)
+                val lft = if (c == 0) leftBm(r) else bmodes(i * 16 + sb - 1)
+                val rowOff = (RfcToTree(above) * 10 + RfcToTree(lft)) * 9
+                bmodes(i * 16 + sb) = bd.treeDec(BModeTree, KfBModeProbs, rowOff, 0).toByte
+                sb += 1
+              }
+              var k = 0
+              while (k < 4) {
+                aboveBm(4 * mbx + k) = bmodes(i * 16 + 12 + k)
+                leftBm(k) = bmodes(i * 16 + 4 * k + 3)
+                k += 1
+              }
+            } else {
+              // implied submodes for neighbor context: DC→B_DC, V→B_VE,
+              // H→B_HE, TM→B_TM
+              val imp = (ym match {
+                case 0 => 0; case 1 => 2; case 2 => 3; case _ => 1
+              }).toByte
+              var k = 0
+              while (k < 4) { aboveBm(4 * mbx + k) = imp; leftBm(k) = imp; k += 1 }
+            }
+            bd.treeDec(UvTree, KfUvProbs, 0, 0) // chroma mode: kept in sync, unused
+            mbx += 1
+          }
+          mby += 1
+        }
+
+        // ---- residuals + reconstruction, single pass ----
+        val planeW = mbw * 16
+        val planeH = mbh * 16
+        val plane = new Array[Byte](planeW * planeH)
+        val hasCoeffs = new Array[Boolean](nmb)
+        // nonzero contexts: per MB column [Y0..Y3, U0, U1, V0, V1, Y2]
+        val aboveNz = new Array[Byte](9 * mbw)
+        val leftNz = new Array[Byte](9)
+        val cf = new Array[Int](16)
+        val y2 = new Array[Int](16)
+        val dc16 = new Array[Int](16)
+        val nzY = new Array[Byte](16)
+        val nzUv = new Array[Byte](4)
+        val arBuf = new Array[Int](4)
+
+        def qIndex(seg: Int, delta: Int): Int = {
+          var q = yAcQi
+          if (segEnabled) q = if (segAbs) segQuant(seg) else q + segQuant(seg)
+          q = if (q < 0) 0 else if (q > 127) 127 else q
+          q += delta
+          if (q < 0) 0 else if (q > 127) 127 else q
+        }
+
+        /** One block's token decode into cf (dequantized); returns true
+          * when any coefficient is nonzero. */
+        def readCoeffs(td: BoolDec, planeId: Int, first: Int, ctx0: Int,
+            qdc: Int, qac: Int, out: Array[Int]): Boolean = {
+          java.util.Arrays.fill(out, 0)
+          var nz = false
+          var c = first
+          var ctx = ctx0
+          var prevZero = false
+          var done = false
+          while (!done && c < 16) {
+            val band = Bands(c)
+            val pOff = ((planeId * 8 + band) * 3 + ctx) * 11
+            val tok =
+              if (prevZero) td.treeDec(CoeffTree, probs, pOff, 2)
+              else td.treeDec(CoeffTree, probs, pOff, 0)
+            if (tok == 11) done = true // EOB
+            else if (tok == 0) { prevZero = true; ctx = 0; c += 1 }
+            else {
+              prevZero = false
+              var v =
+                if (tok <= 4) tok
+                else {
+                  val cat = tok - 5
+                  val cp = CatProbs(cat)
+                  var extra = 0
+                  var k = 0
+                  while (k < cp.length) { extra = (extra << 1) | td.bool(cp(k)); k += 1 }
+                  CatBase(cat) + extra
+                }
+              if (td.bool(128) == 1) v = -v
+              out(Zigzag(c)) = v * (if (c == 0) qdc else qac)
+              nz = true
+              ctx = if (v == 1 || v == -1) 1 else 2
+              c += 1
+            }
+          }
+          nz
+        }
+
+        mby = 0
+        while (mby < mbh) {
+          java.util.Arrays.fill(leftNz, 0, 9, 0: Byte)
+          val td = parts(mby % nparts)
+          var mbx = 0
+          while (mbx < mbw) {
+            val i = mby * mbw + mbx
+            val seg = segIds(i) & 0xff
+            val ym = ymodes(i)
+            val hasY2 = ym != 4
+            val ox = mbx * 16
+            val oy = mby * 16
+            var mbnz = false
+            if (skips(i)) {
+              // §13: a skipped MB zeroes its Y/UV contexts; the Y2
+              // context is zeroed only when this MB HAS a Y2 block
+              var k = 0
+              while (k < 8) { leftNz(k) = 0; aboveNz(9 * mbx + k) = 0; k += 1 }
+              if (hasY2) { leftNz(8) = 0; aboveNz(9 * mbx + 8) = 0 }
+            } else {
+              val y1dc = DcQ(qIndex(seg, yDcD))
+              val y1ac = AcQ(qIndex(seg, 0))
+              if (hasY2) {
+                val y2dc = DcQ(qIndex(seg, y2DcD)) * 2
+                var y2ac = AcQ(qIndex(seg, y2AcD)) * 155 / 100
+                if (y2ac < 8) y2ac = 8
+                val ctx = leftNz(8) + aboveNz(9 * mbx + 8)
+                val nz = readCoeffs(td, 1, 0, ctx, y2dc, y2ac, y2)
+                leftNz(8) = if (nz) 1 else 0
+                aboveNz(9 * mbx + 8) = leftNz(8)
+                mbnz ||= nz
+                iwht4x4(y2, dc16)
+              }
+              val planeId = if (hasY2) 0 else 3
+              val first = if (hasY2) 1 else 0
+              val uvdcRaw = DcQ(qIndex(seg, uvDcD))
+              val uvdc = if (uvdcRaw > 132) 132 else uvdcRaw
+              val uvac = AcQ(qIndex(seg, uvAcD))
+              // ---- 16 Y subblocks: tokens + immediate reconstruction ----
+              var sb = 0
+              while (sb < 16) {
+                val r = sb >> 2; val c = sb & 3
+                val lnz = if (c == 0) leftNz(r) else nzY(sb - 1)
+                val unz = if (r == 0) aboveNz(9 * mbx + c) else nzY(sb - 4)
+                val nz = readCoeffs(td, planeId, first, lnz + unz, y1dc, y1ac, cf)
+                nzY(sb) = if (nz) 1 else 0
+                mbnz ||= nz
+                if (hasY2) cf(0) = dc16(sb)
+                // stash for the recon stage below (prediction first)
+                // recon happens after prediction, per subblock, below
+                val sx = ox + 4 * c
+                val sy = oy + 4 * r
+                if (!hasY2) {
+                  // B_PRED: predict + add residual NOW (later subblocks
+                  // predict from these pixels)
+                  val bm = bmodes(i * 16 + sb)
+                  if (c < 3) pred4(plane, planeW, sx, sy, bm, null)
+                  else {
+                    // col-3 top-right: the above MB row replicated down
+                    // every subblock row; rightmost MB column replicates
+                    // that row's pixel 15; 127s on the top MB row
+                    if (oy == 0) { arBuf(0) = 127; arBuf(1) = 127; arBuf(2) = 127; arBuf(3) = 127 }
+                    else if (mbx == mbw - 1) {
+                      val v = plane((oy - 1) * planeW + sx + 3) & 0xff
+                      arBuf(0) = v; arBuf(1) = v; arBuf(2) = v; arBuf(3) = v
+                    } else {
+                      var k = 0
+                      while (k < 4) { arBuf(k) = plane((oy - 1) * planeW + sx + 4 + k) & 0xff; k += 1 }
+                    }
+                    pred4(plane, planeW, sx, sy, bm, arBuf)
+                  }
+                  idct4x4(cf, plane, sy * planeW + sx, planeW)
+                } else {
+                  // 16x16 mode: prediction is whole-MB; run it before
+                  // the first subblock, then add residuals per subblock
+                  if (sb == 0) pred16(plane, planeW, ox, oy, ym)
+                  idct4x4(cf, plane, sy * planeW + sx, planeW)
+                }
+                sb += 1
+              }
+              var k = 0
+              while (k < 4) {
+                leftNz(k) = nzY(4 * k + 3)
+                aboveNz(9 * mbx + k) = nzY(12 + k)
+                k += 1
+              }
+              // ---- chroma tokens: decoded for sync, never rendered ----
+              var pl = 0
+              while (pl < 2) {
+                val base = 4 + 2 * pl
+                var csb = 0
+                while (csb < 4) {
+                  val r = csb >> 1; val c = csb & 1
+                  val lnz = if (c == 0) leftNz(base + r) else nzUv(csb - 1)
+                  val unz = if (r == 0) aboveNz(9 * mbx + base + c) else nzUv(csb - 2)
+                  val nz = readCoeffs(td, 2, 0, lnz + unz, uvdc, uvac, cf)
+                  nzUv(csb) = if (nz) 1 else 0
+                  mbnz ||= nz
+                  csb += 1
+                }
+                leftNz(base) = nzUv(1)
+                leftNz(base + 1) = nzUv(3)
+                aboveNz(9 * mbx + base) = nzUv(2)
+                aboveNz(9 * mbx + base + 1) = nzUv(3)
+                pl += 1
+              }
+            }
+            if (skips(i)) {
+              // reconstruction of a skipped MB is prediction alone
+              if (hasY2) pred16(plane, planeW, ox, oy, ym)
+              else {
+                var sb = 0
+                while (sb < 16) {
+                  val r = sb >> 2; val c = sb & 3
+                  val sx = ox + 4 * c
+                  val sy = oy + 4 * r
+                  val bm = bmodes(i * 16 + sb)
+                  if (c < 3) pred4(plane, planeW, sx, sy, bm, null)
+                  else {
+                    if (oy == 0) { arBuf(0) = 127; arBuf(1) = 127; arBuf(2) = 127; arBuf(3) = 127 }
+                    else if (mbx == mbw - 1) {
+                      val v = plane((oy - 1) * planeW + sx + 3) & 0xff
+                      arBuf(0) = v; arBuf(1) = v; arBuf(2) = v; arBuf(3) = v
+                    } else {
+                      var k = 0
+                      while (k < 4) { arBuf(k) = plane((oy - 1) * planeW + sx + 4 + k) & 0xff; k += 1 }
+                    }
+                    pred4(plane, planeW, sx, sy, bm, arBuf)
+                  }
+                  sb += 1
+                }
+              }
+            }
+            hasCoeffs(i) = mbnz
+            mbx += 1
+          }
+          mby += 1
+        }
+
+        // ---- §15 in-loop filter, raster MB order ----
+        if (filterLevel > 0) {
+          mby = 0
+          while (mby < mbh) {
+            var mbx = 0
+            while (mbx < mbw) {
+              val i = mby * mbw + mbx
+              var level = filterLevel
+              if (segEnabled)
+                level = if (segAbs) segLf(segIds(i) & 0xff)
+                        else level + segLf(segIds(i) & 0xff)
+              if (lfAdj) {
+                level += refLfDeltas(0) // INTRA_FRAME
+                if (ymodes(i) == 4) level += modeLfDeltas(0) // B_PRED
+              }
+              if (level < 0) level = 0
+              if (level > 63) level = 63
+              if (level > 0) {
+                var interior = level
+                if (sharpness > 0) {
+                  interior >>= (if (sharpness > 4) 2 else 1)
+                  if (interior > 9 - sharpness) interior = 9 - sharpness
+                }
+                if (interior < 1) interior = 1
+                val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+                val mbE = (level + 2) * 2 + interior
+                val sbE = level * 2 + interior
+                val inner = hasCoeffs(i) || ymodes(i) == 4
+                val ox = mbx * 16
+                val oy = mby * 16
+                var k = 0
+                if (!simpleF) {
+                  if (mbx > 0) {
+                    k = 0
+                    while (k < 16) { mbedgeFilter(hevT, interior, mbE, plane, (oy + k) * planeW + ox, 1); k += 1 }
+                  }
+                  if (inner) {
+                    var cx = 4
+                    while (cx <= 12) {
+                      k = 0
+                      while (k < 16) { subblockFilter(hevT, interior, sbE, plane, (oy + k) * planeW + ox + cx, 1); k += 1 }
+                      cx += 4
+                    }
+                  }
+                  if (mby > 0) {
+                    k = 0
+                    while (k < 16) { mbedgeFilter(hevT, interior, mbE, plane, oy * planeW + ox + k, planeW); k += 1 }
+                  }
+                  if (inner) {
+                    var ry = 4
+                    while (ry <= 12) {
+                      k = 0
+                      while (k < 16) { subblockFilter(hevT, interior, sbE, plane, (oy + ry) * planeW + ox + k, planeW); k += 1 }
+                      ry += 4
+                    }
+                  }
+                } else {
+                  if (mbx > 0) {
+                    k = 0
+                    while (k < 16) { simpleFilter(mbE, plane, (oy + k) * planeW + ox, 1); k += 1 }
+                  }
+                  if (inner) {
+                    var cx = 4
+                    while (cx <= 12) {
+                      k = 0
+                      while (k < 16) { simpleFilter(sbE, plane, (oy + k) * planeW + ox + cx, 1); k += 1 }
+                      cx += 4
+                    }
+                  }
+                  if (mby > 0) {
+                    k = 0
+                    while (k < 16) { simpleFilter(mbE, plane, oy * planeW + ox + k, planeW); k += 1 }
+                  }
+                  if (inner) {
+                    var ry = 4
+                    while (ry <= 12) {
+                      k = 0
+                      while (k < 16) { simpleFilter(sbE, plane, (oy + ry) * planeW + ox + k, planeW); k += 1 }
+                      ry += 4
+                    }
+                  }
+                }
+              }
+              mbx += 1
+            }
+            mby += 1
+          }
+        }
+
+        // crop the mb-padded plane to the coded dims
+        val out = new Array[Byte](width * height)
+        var r = 0
+        while (r < height) {
+          System.arraycopy(plane, r * planeW, out, r * width, width)
+          r += 1
+        }
+        (Ok, width, height, out)
+      } catch { case NonFatal(_) => bad }
+    }
+
+    // ---- fixture ENCODER: DC-only keyframes ----
+
+    /** RFC 6386 §7.3 boolean encoder (the exact dual of [[BoolDec]]). */
+    private final class BoolEnc {
+      private[this] var range = 255
+      private[this] var bottom = 0L // 32-bit window, carry at bit 31
+      private[this] var bitCount = 24
+      private[this] val out = new java.io.ByteArrayOutputStream()
+      private[this] var bytes: Array[Byte] = null
+      private def carry(): Unit = {
+        // +1 into the emitted bytes, walking back over 0xFF
+        if (bytes == null) bytes = out.toByteArray
+        var i = bytes.length - 1
+        while (bytes(i) == -1) { bytes(i) = 0; i -= 1 }
+        bytes(i) = (bytes(i) + 1).toByte
+        out.reset(); out.write(bytes, 0, bytes.length)
+      }
+      private def emit(b: Int): Unit = { out.write(b); bytes = null }
+      def bool(prob: Int, bit: Int): Unit = {
+        val split = 1 + (((range - 1) * prob) >> 8)
+        if (bit != 0) { bottom += split; range -= split }
+        else range = split
+        while (range < 128) {
+          range <<= 1
+          if ((bottom & 0x80000000L) != 0) carry()
+          bottom = (bottom << 1) & 0xFFFFFFFFL
+          bitCount -= 1
+          if (bitCount == 0) {
+            emit(((bottom >> 24) & 0xFF).toInt)
+            bottom &= (1L << 24) - 1
+            bitCount = 8
+          }
+        }
+      }
+      def lit(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+      }
+      def flush(): Array[Byte] = {
+        var k = 0
+        while (k < 32) {
+          if ((bottom & 0x80000000L) != 0) carry()
+          bottom = (bottom << 1) & 0xFFFFFFFFL
+          bitCount -= 1
+          if (bitCount == 0) {
+            emit(((bottom >> 24) & 0xFF).toInt)
+            bottom &= (1L << 24) - 1
+            bitCount = 8
+          }
+          k += 1
+        }
+        out.toByteArray
+      }
+      def treeEnc(t: Array[Int], probs: Array[Int], off: Int, leaf: Int): Unit = {
+        // find the root→leaf path, then emit its branch bits in order;
+        // trees are tiny and this is fixture-only
+        val bits = new Array[Int](16)
+        val idxs = new Array[Int](16)
+        var depth = -1
+        def find(i: Int, d: Int): Boolean = {
+          var b = 0
+          while (b < 2) {
+            val nxt = t(i + b)
+            bits(d) = b; idxs(d) = i >> 1
+            if (nxt <= 0) { if (-nxt == leaf) { depth = d; return true } }
+            else if (find(nxt, d + 1)) return true
+            b += 1
+          }
+          false
+        }
+        find(0, 0)
+        var k = 0
+        while (k <= depth) { bool(probs(off + idxs(k)), bits(k)); k += 1 }
+      }
+    }
+
+    /** DC-only VP8 keyframe fixture encode: each 16x16 MB carries the
+      * constant px(mbTopLeft); y_ac_qi = 0 makes the Y2 DC quantizer 8,
+      * so level 8·r reconstructs to exactly +r per pixel — a bit-exact
+      * round trip for per-MB-constant images (the jpegEncodeGray8Dc
+      * stance, VP8 edition). filter_level 0 (no in-loop filter),
+      * segmentation off, default token probs, mb_no_coeff_skip with
+      * zero-residual MBs skipped. `nparts` ∈ {1,2,4,8} exercises the
+      * multi-partition reader. Shares only the published tables and
+      * tree shapes with [[decodeY]]; the streams were validated against
+      * the system libwebp during development (tools/vp8_proto.py
+      * test_encoder — libwebp reproduces the expected plane exactly,
+      * all partition counts). */
+    def encodeDc(px: Array[Byte], w: Int, h: Int, nparts: Int): Array[Byte] = {
+      if (w <= 0 || h <= 0 || w > 16383 || h > 16383) return null
+      if (px.length != w * h) return null
+      if (nparts != 1 && nparts != 2 && nparts != 4 && nparts != 8) return null
+      val mbw = (w + 15) >> 4
+      val mbh = (h + 15) >> 4
+      val nmb = mbw * mbh
+      // exact reconstruction bookkeeping: DC_PRED over already-coded
+      // constants (frame edges: 128 / copy the available side)
+      val recon = new Array[Int](nmb)
+      val levels = new Array[Int](nmb)
+      var y = 0
+      while (y < mbh) {
+        var x = 0
+        while (x < mbw) {
+          val i = y * mbw + x
+          val hasUp = y > 0
+          val hasLeft = x > 0
+          val pred =
+            if (hasUp && hasLeft) (16 * recon(i - mbw) + 16 * recon(i - 1) + 16) >> 5
+            else if (hasUp) recon(i - mbw)
+            else if (hasLeft) recon(i - 1)
+            else 128
+          val c = px(y * 16 * w + x * 16) & 0xff
+          levels(i) = 8 * (c - pred)
+          recon(i) = c
+          x += 1
+        }
+        y += 1
+      }
+      // ---- partition 0: header + per-MB modes ----
+      val be = new BoolEnc
+      be.bool(128, 0) // color space
+      be.bool(128, 0) // clamping
+      be.bool(128, 0) // segmentation off
+      be.bool(128, 0) // filter type (moot at level 0)
+      be.lit(0, 6)    // filter level 0 — no in-loop filter
+      be.lit(0, 3)    // sharpness
+      be.bool(128, 0) // lf_adj off
+      be.lit(Integer.numberOfTrailingZeros(nparts), 2)
+      be.lit(0, 7)    // y_ac_qi = 0 → y2dc quantizer 8
+      var k = 0
+      while (k < 5) { be.bool(128, 0); k += 1 } // no quant deltas
+      be.bool(128, 0) // refresh entropy probs
+      k = 0
+      while (k < 1056) { be.bool(CoeffUpdateProbs(k), 0); k += 1 }
+      be.bool(128, 1) // mb_no_coeff_skip
+      be.lit(128, 8)  // skip prob
+      var i = 0
+      while (i < nmb) {
+        be.bool(128, if (levels(i) == 0) 1 else 0) // skip flag
+        be.treeEnc(KfYModeTree, KfYModeProbs, 0, 0) // DC_PRED
+        be.treeEnc(UvTree, KfUvProbs, 0, 0)         // chroma DC
+        i += 1
+      }
+      val part0 = be.flush()
+      // ---- token partitions (row % nparts) ----
+      val tes = Array.fill(nparts)(new BoolEnc)
+      val aboveNz = new Array[Int](mbw)
+      y = 0
+      while (y < mbh) {
+        val te = tes(y % nparts)
+        var leftNz = 0
+        var x = 0
+        while (x < mbw) {
+          val i2 = y * mbw + x
+          val lvl = levels(i2)
+          if (lvl == 0) { aboveNz(x) = 0; leftNz = 0 }
+          else {
+            // Y2 coefficient at position 0 (plane 1), then EOB at 1
+            val ctx = leftNz + aboveNz(x)
+            val a = math.abs(lvl)
+            val tok =
+              if (a <= 4) a
+              else if (a < 7) 5
+              else if (a < 11) 6
+              else if (a < 19) 7
+              else if (a < 35) 8
+              else if (a < 67) 9
+              else 10
+            te.treeEnc(CoeffTree, DefaultCoeffProbs, (1 * 8 * 3 + ctx) * 11, tok)
+            if (tok > 4) {
+              val cat = tok - 5
+              val cp = CatProbs(cat)
+              val extra = a - CatBase(cat)
+              var b = 0
+              while (b < cp.length) { // MSB-first, probs in table order
+                te.bool(cp(b), (extra >> (cp.length - 1 - b)) & 1)
+                b += 1
+              }
+            }
+            te.bool(128, if (lvl < 0) 1 else 0) // sign
+            val ctx1 = if (a == 1) 1 else 2
+            te.treeEnc(CoeffTree, DefaultCoeffProbs,
+              ((1 * 8 + Bands(1)) * 3 + ctx1) * 11, 11) // EOB
+            aboveNz(x) = 1; leftNz = 1
+            // 16 Y blocks (plane 0, first coeff 1, band 1, ctx 0): EOB
+            var sb = 0
+            while (sb < 16) {
+              te.treeEnc(CoeffTree, DefaultCoeffProbs, ((0 * 8 + Bands(1)) * 3 + 0) * 11, 11)
+              sb += 1
+            }
+            // 8 chroma blocks (plane 2, coeff 0, band 0, ctx 0): EOB
+            sb = 0
+            while (sb < 8) {
+              te.treeEnc(CoeffTree, DefaultCoeffProbs, (2 * 8 * 3 + 0) * 11, 11)
+              sb += 1
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val parts = tes.map(_.flush())
+      // ---- uncompressed header + container ----
+      val tag = (part0.length << 5) | (1 << 4) // keyframe, version 0, show 1
+      val payload = new java.io.ByteArrayOutputStream()
+      payload.write(tag & 0xFF); payload.write((tag >> 8) & 0xFF); payload.write((tag >> 16) & 0xFF)
+      payload.write(0x9D); payload.write(0x01); payload.write(0x2A)
+      payload.write(w & 0xFF); payload.write((w >> 8) & 0x3F)
+      payload.write(h & 0xFF); payload.write((h >> 8) & 0x3F)
+      payload.write(part0, 0, part0.length)
+      var p = 0
+      while (p < nparts - 1) {
+        val s = parts(p).length
+        payload.write(s & 0xFF); payload.write((s >> 8) & 0xFF); payload.write((s >> 16) & 0xFF)
+        p += 1
+      }
+      p = 0
+      while (p < nparts) { payload.write(parts(p), 0, parts(p).length); p += 1 }
+      val pay = payload.toByteArray
+      val riff = new java.io.ByteArrayOutputStream()
+      riff.write("RIFF".getBytes("US-ASCII"))
+      val riffSize = 4 + 8 + pay.length + (pay.length & 1)
+      riff.write(riffSize & 0xFF); riff.write((riffSize >> 8) & 0xFF)
+      riff.write((riffSize >> 16) & 0xFF); riff.write((riffSize >> 24) & 0xFF)
+      riff.write("WEBP".getBytes("US-ASCII"))
+      riff.write("VP8 ".getBytes("US-ASCII"))
+      riff.write(pay.length & 0xFF); riff.write((pay.length >> 8) & 0xFF)
+      riff.write((pay.length >> 16) & 0xFF); riff.write((pay.length >> 24) & 0xFF)
+      riff.write(pay, 0, pay.length)
+      if ((pay.length & 1) != 0) riff.write(0)
+      riff.toByteArray
+    }
+  }
+
+
+  /** webp_vp8_encode(BINARY gray pixels, width; nparts) → BINARY: a
+    * REAL lossy-WebP fixture — RIFF-WEBP holding a spec-conformant
+    * DC-only VP8 keyframe ([[Vp8.encodeDc]]): per-16x16-MB constants,
+    * y_ac_qi 0, filter level 0, default token probs, skip-coded
+    * zero-residual MBs, 1/2/4/8 token partitions. Bit-exact round trip
+    * through [[Vp8.decodeY]] for per-MB-constant images; development-
+    * validated against the system libwebp (tools/vp8_proto.py).
+    * Null: non-positive/oversized width, length not a multiple of
+    * width, nparts not a power of two ≤ 8. */
+  case class Vp8Encode(left: Expression, right: Expression, nparts: Int)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(px: Any, width: Any): Any = {
+      val pixels = px.asInstanceOf[Array[Byte]]
+      val w = width match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      if (w <= 0 || pixels.length == 0 || pixels.length % w != 0) return null
+      try Vp8.encodeDc(pixels, w, pixels.length / w, nparts)
+      catch { case NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** webp_decode_luma(BINARY) → BINARY: REAL WebP pixel decode to the
+    * luma plane — [[PngLumaDecode]]'s WebP sibling. VP8L lossless
+    * decodes per the public lossless bitstream spec ([[Webp]], exact-
+    * integer ITU-R 601 luma of the ARGB); lossy VP8 keyframes decode
+    * per RFC 6386 ([[Vp8]], the coded BT.601 Y plane, loop filter
+    * applied). Null off contract: animation/extended files without an
+    * image chunk, inter frames, structural damage, or a header
+    * demanding more than the shared bomb cap. */
   case class WebpLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType
@@ -6626,7 +8031,11 @@ object Native {
           (sh << 8) | wd
         }
         var fR = 0; var fG = 0; var fB = 0
-        if (maskR != 0 || maskG != 0 || maskB != 0) {
+        // BI_BITFIELDS masks validate UNCONDITIONALLY: an all-zero
+        // triple is structural damage (fieldOf(0) = −1 → corrupt), not
+        // a fall-through to the BGR(X) pixel branch — which would
+        // read 3 bytes at a 2-byte stride for 16bpp
+        if (compression == 3 || maskR != 0 || maskG != 0 || maskB != 0) {
           fR = fieldOf(maskR); fG = fieldOf(maskG); fB = fieldOf(maskB)
           if (fR < 0 || fG < 0 || fB < 0 ||
             (maskR & maskG) != 0 || (maskG & maskB) != 0 ||
@@ -7557,6 +8966,12 @@ object Native {
           if (guard > 2 * w + 4) return null // zero-run loops cannot spin
           val r = readRun(white)
           if (r < 0) return null
+          // readRun caps each CHAIN at w, but x accumulates across
+          // chains — without this a row overrunning w (e.g. white-4
+          // then black-8 at w=8) would fill into the next row's region
+          // (or past the array on the last row) and be accepted;
+          // mirrors decodeT4's 1-D check
+          if (x + r > w) return null
           if (!white && r > 0)
             java.util.Arrays.fill(out, y * w + x, y * w + x + r, 1.toByte)
           x += r
@@ -9672,6 +11087,8 @@ object Native {
       boolLit(exprs(1), "bigEndian"), boolLit(exprs(2), "split"))),
     "graft_webp_vp8l_encode" -> (exprs =>
       WebpVp8lEncode(exprs(0), exprs(1), boolLit(exprs(2), "alpha"))),
+    "graft_webp_vp8_encode" -> (exprs =>
+      Vp8Encode(exprs(0), exprs(1), intLit(exprs(2), "nparts"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
     "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_encode_gray8_prog" -> (exprs => JpegProgGray8Encode(exprs(0), exprs(1))),
@@ -9872,6 +11289,9 @@ object Native {
   def webpVp8lEncode(pixels: Column, width: Column, alpha: Boolean = false): Column =
     call_function("graft_webp_vp8l_encode", pixels, width,
       org.apache.spark.sql.functions.lit(alpha))
+  def webpVp8Encode(pixels: Column, width: Column, nparts: Int = 1): Column =
+    call_function("graft_webp_vp8_encode", pixels, width,
+      org.apache.spark.sql.functions.lit(nparts))
   def decodeDropReason(media: Column): Column =
     call_function("graft_decode_drop_reason", media)
   def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =

@@ -583,16 +583,18 @@ object Multimodal {
     * to the WAV core. The feature vector is the 8-bin normalized
     * luma/energy histogram — a real image/audio statistic (each bin =
     * fraction of bytes in [32k, 32k+32)), integer-exact underneath so an
-    * oracle can recompute it. Lossless WebP (VP8L), GIF (87a/89a, first
-    * frame), BI_RGB BMP, and baseline TIFF (both byte orders,
-    * uncompressed or PackBits) decode to their luma like PNG; 16-bit
-    * FLAC decodes to PCM and rides the WAV envelope. Anything
-    * else — lossy WebP, compressed/tiled TIFF and RLE BMP profiles,
-    * MP3/Ogg/WebM-class recognized magics, AVIF, corrupt bytes — fails
-    * to decode (None): those formats stay codec-library work behind the
-    * pluggable `codec` parameter. Same decode cores as the column
-    * expressions ([[graft.functions.Native]]), so decode semantics
-    * cannot fork between the expression path and the partition path. */
+    * oracle can recompute it. The full image matrix decodes to its luma
+    * through the SAME cores as the column expressions
+    * ([[graft.functions.Native]]): PNG, JPEG (baseline/progressive/
+    * SOF1-8-bit), GIF, the BMP zoo, the TIFF zoo incl. the CCITT
+    * family, and WebP — both VP8L lossless and lossy VP8 keyframes;
+    * WAV-zoo audio and FLAC decode to PCM and ride the WAV envelope;
+    * MJPEG AVI/MP4 decode their first frame. Anything else —
+    * MP3/Ogg/WebM-class recognized magics, AVIF, out-of-contract
+    * profiles, corrupt bytes — fails to decode (None): those stay
+    * codec-library work behind the pluggable `codec` parameter. Shared
+    * cores mean decode semantics cannot fork between the expression
+    * path and the partition path. */
   def realCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 4) return None
     def feat(px: Array[Byte]): Array[Float] = {
@@ -793,12 +795,16 @@ object Multimodal {
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
-  /** REAL WebP VP8L (lossless) pixel decode to the exact-integer luma
-    * plane ([[graft.functions.Native.WebpLumaDecode]]): the full public
-    * lossless bitstream — prefix codes, color cache, LZ77 with the 2D
-    * distance map, meta prefix image, and all four transforms. Null on
-    * lossy VP8, extended files without a VP8L chunk, or damage — those
-    * keep landing in the drop report as unsupported_profile/corrupt. */
+  /** REAL WebP pixel decode to the luma plane
+    * ([[graft.functions.Native.WebpLumaDecode]]). VP8L lossless: the
+    * full public lossless bitstream — prefix codes, color cache, LZ77
+    * with the 2D distance map, meta prefix image, all four transforms.
+    * Lossy VP8 keyframes: the full RFC 6386 intra decode — boolean
+    * decoder, segmentation, token-prob updates, 16x16/B_PRED
+    * prediction, IWHT/IDCT, normal+simple loop filters — to the coded
+    * BT.601 Y plane. Null on animation-only files, inter frames, or
+    * damage — those keep landing in the drop report as
+    * unsupported_profile/corrupt. */
   def webpDecodeLuma(webp: Column): Column =
     graft.functions.Native.webpDecodeLuma(webp)
 
@@ -809,6 +815,15 @@ object Multimodal {
     * reader. Fixture builder for the WebP tier's oracles. */
   def webpEncodeVp8l(pixels: Column, width: Column, alpha: Boolean = false): Column =
     graft.functions.Native.webpVp8lEncode(pixels, width, alpha)
+
+  /** Fixture-grade LOSSY WebP encode ([[graft.functions.Native
+    * .Vp8Encode]]): gray bytes → a complete RIFF-WEBP holding a
+    * spec-conformant DC-only VP8 keyframe (per-16x16-MB constants,
+    * exact round trip for per-MB-constant images; 1/2/4/8 token
+    * partitions). Fixture builder for the lossy-WebP tier's oracles —
+    * development-validated against the system libwebp. */
+  def webpEncodeVp8(pixels: Column, width: Column, nparts: Int = 1): Column =
+    graft.functions.Native.webpVp8Encode(pixels, width, nparts)
 
   /** [[imageNearDupPng]] on WebP payloads: [[webpDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. Closes the last major crawl

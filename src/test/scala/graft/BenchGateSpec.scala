@@ -44,6 +44,50 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isRunContaminated(0.05, 0.3, ambientLoad = 99.0, ambientCap = 0.0))
   }
 
+  test("uniform-drift stamp: fires on the r14 finaltree records replayed, silent on the clean pair") {
+    // replay the exact records that motivated the stamp: both r14
+    // finaltree runs carried a uniform ~1.23x machine-state signature
+    // against r13's committed record while passing every other gate;
+    // the morning pair and the r15 quiet pair read parity
+    def queriesOf(path: String): Map[String, Double] = {
+      val f = new java.io.File(path)
+      assert(f.isFile, s"committed bench record missing: $path")
+      Bench.parseQueries(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    val ref = queriesOf("bench_logs/r13_final_168q_c.json")
+    assert(ref.size >= 160)
+    val (driftA, ratioA) =
+      Bench.uniformDrift(queriesOf("bench_logs/r14_finaltree_171q_a.json"), ref)
+    assert(driftA && ratioA > 1.2, s"finaltree-a must stamp (got $ratioA)")
+    val (driftB, ratioB) =
+      Bench.uniformDrift(queriesOf("bench_logs/r14_finaltree_171q_b.json"), ref)
+    assert(driftB && ratioB > 1.2, s"finaltree-b must stamp (got $ratioB)")
+    for (clean <- Seq("bench_logs/r14_final_171q_1.json",
+        "bench_logs/r14_final_171q_2.json", "bench_logs/r14_bisect_171q.json")) {
+      val (drift, ratio) = Bench.uniformDrift(queriesOf(clean), ref)
+      assert(!drift && ratio > 0 && ratio < Bench.UniformDriftFactor,
+        s"$clean must stay silent (got $ratio)")
+    }
+  }
+
+  test("uniform-drift stamp: small shared cohorts never stamp; zero references are ignored") {
+    val ref = (1 to 29).map(i => s"q$i" -> 1.0).toMap
+    val cur = ref.map { case (k, _) => k -> 10.0 }
+    assert(Bench.uniformDrift(cur, ref) == (false, -1.0)) // 29 < MinSharedForDrift
+    val ref30 = (1 to 30).map(i => s"q$i" -> 1.0).toMap + ("z" -> 0.0)
+    val cur30 = ref30.map { case (k, _) => k -> 2.0 }
+    val (d, r) = Bench.uniformDrift(cur30, ref30) // "z" filtered, 30 remain
+    assert(d && r == 2.0)
+  }
+
+  test("parseQueries reads exactly the dict fullJson writes") {
+    val json = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a_b":0.1234,"c":2.0},"min":{"a_b":0.1}}"""
+    assert(Bench.parseQueries(json) == Map("a_b" -> 0.1234, "c" -> 2.0))
+    assert(Bench.parseQueries("{}").isEmpty)
+    assert(Bench.parseQueries("""{"queries":{}}""").isEmpty)
+  }
+
   test("canary query is SF-independent and returns one row") {
     val spark = TestSpark.spark
     val rows = Bench.canaryQuery(spark).collect()

@@ -72,6 +72,14 @@ class DocConsistencySpec extends AnyFunSuite {
         "bitfields/16-bit stay", "embedded streams and the OS/2"))
   }
 
+  test("WEBP classifier comment tracks the Webp/Vp8 decode contract") {
+    pin(branch("case \"WEBP\" =>", "Webp.probeContainer(b) match"),
+      "WEBP classifier",
+      mustMention = Seq("animation"),
+      // lossy VP8 keyframes decode since r15 — forbid the stale refusal
+      mustNotMention = Seq("carrying only lossy", "lossy/extended chunks"))
+  }
+
   test("DecodeDropReason contract doc names no graduated profile as refused") {
     val s = native.indexOf("`unsupported_profile`")
     val e = native.indexOf("`bomb_guard`", s)
@@ -80,7 +88,7 @@ class DocConsistencySpec extends AnyFunSuite {
     // each of these decodes (or holds a census) today; their appearance
     // in the refused-examples doc would be the r13 drift recurring
     for (stale <- Seq("gray+alpha", "adam7", "float/8-bit wav",
-        "tiled tiff", "no decoder in this pipeline"))
+        "tiled tiff", "no decoder in this pipeline", "lossy vp8 webp"))
       assert(!doc.contains(stale),
         s"DecodeDropReason doc lists '$stale' as refused but it graduated")
   }

@@ -224,8 +224,9 @@ class MultimodalSpec extends AnyFunSuite {
     // that must NOT reach the WAV core (form-tag dispatch) but drop
     val aviClip = encAvi(Seq(jpeg, jpeg), 96, 16)
     val mp4Clip = encMp4(Seq(jpeg, jpeg), 96, 16)
-    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
-      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++
+      (Array[Byte](10, 0, 0, 0, 1) ++ new Array[Byte](9)) // inter frame
     val webpLossless = Seq(Tuple1(grayPx.flatMap(v => Array(v, v, v)))).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
     val rows = Seq(
@@ -233,7 +234,7 @@ class MultimodalSpec extends AnyFunSuite {
       (5L, "not any media format".getBytes("UTF-8")), // → dropped
       (6L, Array.empty[Byte]),                        // → dropped
       (7L, aviClip), (8L, mp4Clip),                   // → first-frame luma
-      (9L, webp),                                     // lossy → dropped, never WAV-walked
+      (9L, webp),                                     // inter-frame VP8 → dropped, never WAV-walked
       (10L, webpLossless))                            // VP8L → real luma decode
       .toDF("doc_id", "media").repartition(2)
     val got = Multimodal.decodePartitions(rows)
@@ -292,8 +293,9 @@ class MultimodalSpec extends AnyFunSuite {
     // a bare ftyp with NO moov is structural damage, not an unsupported
     // codec — the classifier now walks the real sample tables
     val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++ new Array[Byte](12)
-    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
-      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++
+      (Array[Byte](10, 0, 0, 0, 1) ++ new Array[Byte](9)) // inter frame
     val junk = "garbage payload bytes".getBytes("UTF-8")
     val truncAvi = avi.take(avi.length - 9)
     val mp4 = encMp4(Seq(frame), 9, 8)
@@ -1185,6 +1187,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert((unc(10 + 9 * 12 + 8) & 0xff) == 1, "T4Options layout moved")
     unc(10 + 9 * 12 + 8) = 3
     assert(reason(unc) == "unsupported_profile")
+  }
+
+  test("ADVICE r14 pins: MH row overrun, BMP zero BITFIELDS masks, WAV trailing garbage") {
+    // 1) MH: a row whose run chains overrun w must be rejected, not
+    //    filled into the next row's region. Hand-packed per the T.4
+    //    terminating alphabet: white-4 = 1011, black-8 = 000101 →
+    //    row "1011000101" pads to B1 40; x reaches 12 > w=8. A second
+    //    row (white-8 = 10011 → 98) makes the pre-fix stream decode
+    //    end-to-end, which is exactly the bug.
+    val overrun = Array(0xB1, 0x40, 0x98).map(_.toByte)
+    assert(graft.functions.Native.Ccitt.decodeMh(overrun, 0, 3, 8, 2) == null)
+    // last-row variant: pre-fix the fill ran past the output array
+    assert(graft.functions.Native.Ccitt.decodeMh(
+      Array(0xB1, 0x40).map(_.toByte), 0, 2, 8, 1) == null)
+    // positive control: white-8 row then white-4+black-4 (1011 011 → B6)
+    val good = graft.functions.Native.Ccitt.decodeMh(
+      Array(0x98, 0xB6).map(_.toByte), 0, 2, 8, 2)
+    assert(good != null &&
+      good.toSeq == (Seq.fill(12)(0: Byte) ++ Seq.fill(4)(1: Byte)))
+
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // 2) BMP BI_BITFIELDS with all three masks zero is structural
+    //    damage at BOTH depths — pre-fix 16bpp read 3 bytes at a
+    //    2-byte stride and 32bpp silently decoded as BGRX
+    val px = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    def deep(mode: String): Array[Byte] = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.bmpEncodeDeep($"px", lit(9), mode)).as[Array[Byte]].head()
+    for (mode <- Seq("bf565", "bf8888")) {
+      val z = deep(mode)
+      java.util.Arrays.fill(z, 54, 66, 0: Byte)
+      assert(reason(z) == "corrupt", s"zero masks, $mode")
+    }
+
+    // 3) WAV: a malformed trailing chunk after fmt+data (size field
+    //    overrunning the buffer — trailing garbage is common in real
+    //    corpora) must not turn a decodable file into `truncated`
+    val pcm = Array.tabulate(100)(i => (i * 131 - 6000).toShort)
+    val pcmBytes = new Array[Byte](200)
+    pcm.indices.foreach { i =>
+      pcmBytes(2 * i) = (pcm(i) & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+    }
+    val blob = Seq(Tuple1(pcmBytes)).toDF("b")
+      .select(Multimodal.wavProfileEncode($"b", lit(1), 16000, "pcm24"))
+      .as[Array[Byte]].head()
+    def canon(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.wavCanonical($"b")).as[Array[Byte]].head()
+    val clean = canon(blob)
+    assert(clean != null)
+    val junk = blob ++ Array[Byte]('J', 'U', 'N', 'K',
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) ++ Array[Byte](1, 2, 3)
+    // RIFF size at offset 4 need not cover the garbage — the walk keys
+    // on the buffer, so only the trailing chunk header matters
+    assert(java.util.Arrays.equals(canon(junk), clean))
+    // a chunk overrunning BEFORE data is resolved is still truncation
+    val cut = blob.take(50) // inside the data payload
+    val cutHdr = cut.clone()
+    assert(canon(cutHdr) == null)
   }
 
   test("JPEG SOF1 (extended sequential) at 8 bits decodes as SOF0's coding; 12-bit stays refused") {
@@ -2297,8 +2362,9 @@ class MultimodalSpec extends AnyFunSuite {
     val grayAlphaPng = png.clone(); grayAlphaPng(24) = 4; grayAlphaPng(25) = 4
     val bombPng = png.clone()
     bombPng(16) = 0x07; bombPng(17) = 0xFF.toByte; bombPng(18) = 0xFF.toByte; bombPng(19) = 0xFF.toByte
-    val lossyWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
-      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val lossyWebp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++
+      (Array[Byte](10, 0, 0, 0, 1) ++ new Array[Byte](9)) // inter frame
     val junkAvi = Seq(Tuple1(Seq(png))).toDF("f")
       .select(Multimodal.aviMjpegEncode($"f", 9, 8)).as[Array[Byte]].head()
     val battery: Seq[(String, Array[Byte])] = Seq(
@@ -3162,12 +3228,101 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("VP8 lossy goldens: real libwebp-encoded streams decode to libwebp's own Y plane bit-exactly") {
+    // the strongest available check for a lossy coding: the reference
+    // implementation encoded these AND decoded them; our decoder must
+    // reproduce its Y plane to the byte, loop filter included
+    for ((name, webp, luma, (w, h)) <- Vp8Vectors.all) {
+      val got = Seq(Tuple1(webp)).toDF("b")
+        .select(Multimodal.webpDecodeLuma($"b")).as[Array[Byte]].head()
+      assert(got != null, name)
+      assert(got.length == w * h, s"$name dims")
+      assert(java.util.Arrays.equals(got, luma), s"$name pixel mismatch")
+      val r = Seq(Tuple1(webp)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      assert(r.isNullAt(0), s"$name classified dropped")
+      assert(Multimodal.realCodec(webp).isDefined, s"$name realCodec")
+    }
+  }
+
+  test("VP8 fixture encoder round-trips: per-MB-constant images, all partition counts, odd dims, skip coverage") {
+    def enc(px: Array[Byte], w: Int, nparts: Int): Array[Byte] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(Multimodal.webpEncodeVp8($"px", lit(w), nparts)).as[Array[Byte]].head()
+    def dec(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.webpDecodeLuma($"b")).as[Array[Byte]].head()
+    val rnd = new scala.util.Random(19)
+    for ((w, h, nparts) <- Seq((16, 16, 1), (32, 32, 1), (48, 32, 2),
+        (64, 80, 4), (80, 48, 8), (17, 23, 1), (40, 18, 2))) {
+      val mbw = (w + 15) / 16
+      // per-MB constants; force at least one zero residual so the
+      // skip-flag path (and its context clearing) is in the stream
+      val consts = Array.fill((mbw) * ((h + 15) / 16))(rnd.nextInt(256))
+      if (consts.length > 2) consts(2) = if (consts(1) == 0) 128 else consts(1)
+      val px = Array.tabulate(w * h)(i =>
+        consts(((i / w) / 16) * mbw + ((i % w) / 16)).toByte)
+      val webp = enc(px, w, nparts)
+      assert(webp != null, s"${w}x$h parts=$nparts encode")
+      val got = dec(webp)
+      assert(got != null && java.util.Arrays.equals(got, px),
+        s"${w}x$h parts=$nparts round trip")
+      val r = Seq(Tuple1(webp)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      assert(r.isNullAt(0), s"${w}x$h parts=$nparts dropped")
+    }
+  }
+
+  test("VP8 honest failures: truncation, inter frame, reserved version, bad start code, zero/bomb dims") {
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    val webp = Vp8Vectors.vp8Webp_q75
+    assert(new String(webp.slice(12, 16), "US-ASCII") == "VP8 ", "fixture layout")
+    val payload = webp.drop(20)
+    def wrap(p: Array[Byte]): Array[Byte] = {
+      val pad = p.length & 1
+      val riffSize = 4 + 8 + p.length + pad
+      ("RIFF".getBytes("US-ASCII") :+ (riffSize & 0xFF).toByte) ++
+        Array(((riffSize >> 8) & 0xFF).toByte, ((riffSize >> 16) & 0xFF).toByte,
+          ((riffSize >> 24) & 0xFF).toByte) ++
+        "WEBPVP8 ".getBytes("US-ASCII") ++
+        Array((p.length & 0xFF).toByte, ((p.length >> 8) & 0xFF).toByte,
+          ((p.length >> 16) & 0xFF).toByte, ((p.length >> 24) & 0xFF).toByte) ++
+        p ++ (if (pad == 1) Array(0: Byte) else Array.empty[Byte])
+    }
+    assert(reason(wrap(payload)) == null) // the wrap itself is sound
+    // payload cut before the first partition completes → truncated
+    assert(reason(wrap(payload.take(12))) == "truncated")
+    // inter frame (tag bit 0): keyframes decode; no still carries this
+    val inter = payload.clone(); inter(0) = (inter(0) | 1).toByte
+    assert(reason(wrap(inter)) == "unsupported_profile")
+    // reserved version (> 3) → corrupt
+    val ver = payload.clone(); ver(0) = (ver(0) | 0x08).toByte
+    assert(reason(wrap(ver)) == "corrupt")
+    // damaged start code → corrupt
+    val sc = payload.clone(); sc(4) = 0x02
+    assert(reason(wrap(sc)) == "corrupt")
+    // zero width → corrupt
+    val zw = payload.clone(); zw(6) = 0; zw(7) = (zw(7) & 0xC0).toByte
+    assert(reason(wrap(zw)) == "corrupt")
+    // 16383×16383 header dims demand more than the shared cap →
+    // bomb_guard BEFORE any decode work, like the PNG/VP8L branches
+    val bomb = payload.clone()
+    bomb(6) = 0xFF.toByte; bomb(7) = 0x3F
+    bomb(8) = 0xFF.toByte; bomb(9) = 0x3F
+    assert(reason(wrap(bomb)) == "bomb_guard")
+  }
+
   test("webpDecodeLuma nulls off contract, never throws: lossy, truncated, junk, version, dims") {
     val px = rgbPix(6, 3)
     val good = Seq(Tuple1(px)).toDF("px")
       .select(Multimodal.webpEncodeVp8l($"px", lit(3))).as[Array[Byte]].head()
-    val lossy = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
-      "WEBPVP8 ".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val lossy = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++
+      (Array[Byte](10, 0, 0, 0, 1) ++ new Array[Byte](9)) // inter frame
     val cases = Seq(
       lossy,                       // recognized container, no VP8L
       good.take(25),               // truncated mid-stream
