@@ -1412,7 +1412,11 @@ object SparkEntry {
             Multimodal.jpegEncodeGray8Dc(jbitmap, lit(12)), png = false).as("bmp_jpg"),
           Multimodal.bmpEncodeStream(
             Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
-              filterMode = 0, stored = true), png = true).as("bmp_png"))
+              filterMode = 0, stored = true), png = true).as("bmp_png"),
+          // r15: the OS/2 V2 truncated-header family (16-byte header,
+          // no compression/clrUsed fields, 4-byte palette entries)
+          Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
+            os2 = true).as("bmp_os2"))
         .select(col("doc_id"),
           hex(Multimodal.bmpDecodeLuma(col("bmp"))).as("px_hex"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_td"))).as("px_hex_td"),
@@ -1426,6 +1430,7 @@ object SparkEntry {
           // embedded BI_JPEG/BI_PNG through the pipeline's own cores
           hex(Multimodal.bmpDecodeLuma(col("bmp_jpg"))).as("px_hex_jpg"),
           hex(Multimodal.bmpDecodeLuma(col("bmp_png"))).as("px_hex_png"),
+          hex(Multimodal.bmpDecodeLuma(col("bmp_os2"))).as("px_hex_os2"),
           hex(substring(col("bmp"), 1, 54)).as("blob_hdr_hex"),
           Multimodal.bmpDims(col("bmp_td")).getField("width").as("width"),
           Multimodal.bmpDims(col("bmp_td")).getField("height").as("height"))
@@ -1475,7 +1480,11 @@ object SparkEntry {
           Multimodal.tiffEncodeDeep(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true, mode = "pal4").as("tiff_p4"),
           Multimodal.tiffEncodeDeep(plantedRgbBitmap(col("doc_id"), alpha = true),
-            lit(9), mode = "rgba8").as("tiff_rgba"))
+            lit(9), mode = "rgba8").as("tiff_rgba"),
+          // r15: 8-bit CMYK (photometric 5) — the 4 planted md5 bytes
+          // read as C,M,Y,K ink values, §24 undercolor conversion
+          Multimodal.tiffEncodeDeep(plantedRgbBitmap(col("doc_id"), alpha = true),
+            lit(9), bigEndian = true, mode = "cmyk8").as("tiff_cmyk"))
         .select(col("doc_id"),
           hex(Multimodal.tiffDecodeLuma(col("tiff"))).as("px_hex"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_be"))).as("px_hex_be"),
@@ -1498,6 +1507,8 @@ object SparkEntry {
           hex(Multimodal.tiffDecodeLuma(col("tiff_g4b"))).as("px_hex_gray4"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_p4"))).as("px_hex_pal4"),
           hex(Multimodal.tiffDecodeLuma(col("tiff_rgba"))).as("px_hex_rgba"),
+          // CMYK through the §24 undercolor conversion, big-endian
+          hex(Multimodal.tiffDecodeLuma(col("tiff_cmyk"))).as("px_hex_cmyk"),
           hex(substring(col("tiff"), 1, 122)).as("blob_hdr_hex"),
           hex(substring(col("tiff"), 123, 72)).as("blob_px_hex"))),
     // image near-dup on REAL TIFF bytes end-to-end (IFD walk → strip →
@@ -1881,6 +1892,23 @@ object SparkEntry {
             repeat(concat(repeat(hex2(blobPx(0)), 8), repeat(hex2(blobPx(1)), 4)), 8),
             repeat(concat(repeat(hex2(blobPx(2)), 8), repeat(hex2(blobPx(3)), 4)), 2)))
             .as("blob_px_hex"))
+    }),
+    // REAL 12-BIT (SOF1, extended sequential) JPEG decode, hash-oracled:
+    // the per-block plant (tag "m12") coded by the deep fixture — SOF1
+    // precision 12 with a Pq=1 16-bit DQT — through the wide-sample
+    // path: 2048 level shift, 0..4095 clamp, luma stored as the top 8
+    // bits, so each block reconstructs to (plant + 1920) >> 4 in closed
+    // form. Pq/precision mismatch corruption is pinned in MultimodalSpec
+    "multimodal_decode_jpeg12" -> ((s, d) => {
+      def vv(i: Int) = jpegBlockVal(col("doc_id"), "m12", i)
+      val bitmap = unhex(concat(
+        repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
+        repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.jpegEncodeGray8Dc(bitmap, lit(12), deep = true).as("jpeg"))
+        .select(col("doc_id"),
+          upper(hex(Multimodal.jpegDecodeLuma(col("jpeg")))).as("px_hex"))
     }),
     // REAL PROGRESSIVE (SOF2) JPEG decode, hash-oracled: the same 12×10
     // per-block-constant plant (tag "mp"), encoded by the PROGRESSIVE
@@ -3080,6 +3108,8 @@ object SparkEntry {
              repeat(repeat(jh[3], 8) || repeat(jh[4], 4), 2) AS px_hex_jpg,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
              for i in range(0, 72)], '')) AS px_hex_png,
+           upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
+             for i in range(0, 72)], '')) AS px_hex_os2,
            '424D960400000000000036040000280000000900000008000000' ||
              '01000800000000006000000000000000000000000001000000000000' AS blob_hdr_hex,
            CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
@@ -3102,7 +3132,9 @@ object SparkEntry {
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 3, 2))::INT
               for i in range(0, 72)] AS cg,
              [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 5, 2))::INT
-              for i in range(0, 72)] AS cb
+              for i in range(0, 72)] AS cb,
+             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pc' || CAST(i AS VARCHAR)), 7, 2))::INT
+              for i in range(0, 72)] AS ca
            FROM documents)
          SELECT doc_id,
            upper(array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 2)
@@ -3128,6 +3160,11 @@ object SparkEntry {
              for x in idx], '')) AS px_hex_pal4,
            upper(array_to_string([lpad(to_hex((299 * cr[i+1] + 587 * cg[i+1] + 114 * cb[i+1] + 500) // 1000), 2, '0')
              for i in range(0, 72)], '')) AS px_hex_rgba,
+           upper(array_to_string([lpad(to_hex((
+               299 * ((255 - cr[i+1]) * (255 - ca[i+1]) // 255)
+             + 587 * ((255 - cg[i+1]) * (255 - ca[i+1]) // 255)
+             + 114 * ((255 - cb[i+1]) * (255 - ca[i+1]) // 255) + 500) // 1000), 2, '0')
+             for i in range(0, 72)], '')) AS px_hex_cmyk,
            '49492A000800000009000001030001000000090000000101030001000000080000000201030001000000' ||
              '080000000301030001000000010000000601030001000000010000001101040001000000' ||
              '7A000000150103000100000001000000160103000100000008000000170104000100000048000000' ||
@@ -3333,6 +3370,22 @@ object SparkEntry {
     // decoder, blob_px_hex via EXTEND⁻¹ of the DC magnitude bytes at the
     // fixed scan offsets; the oracle needs no Huffman decoder because the
     // single-code tables + restart-interval-1 layout byte-align every MCU
+    // the 12-bit decoder's luma must equal the closed-form wide-sample
+    // reinterpretation of the plants: (v + 1920) >> 4 per block pixel
+    "multimodal_decode_jpeg12" ->
+      """WITH v AS (SELECT doc_id,
+             [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m12' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64
+                   THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m12' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 1
+                   ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m12' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 + 128 END
+              for i in range(0, 4)] AS vv
+           FROM documents),
+           hx AS (SELECT doc_id,
+             list_transform(vv, x -> upper(lpad(to_hex((x + 1920) // 16), 2, '0'))) AS hh
+           FROM v)
+         SELECT doc_id,
+           repeat(repeat(hh[1], 8) || repeat(hh[2], 4), 8) ||
+             repeat(repeat(hh[3], 8) || repeat(hh[4], 4), 2) AS px_hex
+         FROM hx""",
     "multimodal_decode_jpeg" ->
       """WITH v AS (SELECT doc_id,
              [CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-m' || CAST(i AS VARCHAR)), 1, 2))::INT % 128 < 64

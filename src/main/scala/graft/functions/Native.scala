@@ -2410,11 +2410,18 @@ object Native {
       * the flat value with the EXACT multiplication order of the general
       * path (ct₀·(ct₀·D)), so it is bit-identical to it. */
     def emitBlock(coef: Array[Int], acSeen: Boolean, blockX: Int, blockY: Int,
-        w: Int, h: Int, out: Array[Byte], tmp: Array[Array[Double]]): Unit = {
+        w: Int, h: Int, out: Array[Byte], tmp: Array[Array[Double]],
+        deep: Boolean = false): Unit = {
+      // 12-bit samples (`deep`): level shift 2048, clamp 0..4095, and
+      // the stored luma byte is the top 8 bits (>> 4) — the scale the
+      // hash/dedup consumers read every other format at
+      val shift = if (deep) 2048.0 else 128.0
+      val maxV = if (deep) 4095 else 255
+      val down = if (deep) 4 else 0
       if (!acSeen) {
         val c00 = Cos(0)(0)
-        val px0 = math.round(c00 * (c00 * coef(0)) + 128.0).toInt
-        val pb = (if (px0 < 0) 0 else if (px0 > 255) 255 else px0).toByte
+        val px0 = math.round(c00 * (c00 * coef(0)) + shift).toInt
+        val pb = ((if (px0 < 0) 0 else if (px0 > maxV) maxV else px0) >> down).toByte
         var yy = 0
         while (yy < 8) {
           val y = blockY * 8 + yy
@@ -2453,8 +2460,9 @@ object Native {
                 var acc = 0.0
                 var v2 = 0
                 while (v2 < 8) { acc += Cos(v2)(yy) * tmp(v2)(xx); v2 += 1 }
-                val px = math.round(acc + 128.0).toInt
-                out(y * w + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                val px = math.round(acc + shift).toInt
+                out(y * w + x) =
+                  ((if (px < 0) 0 else if (px > maxV) maxV else px) >> down).toByte
               }
               xx += 1
             }
@@ -2488,12 +2496,14 @@ object Native {
       * sequential core, progressive (SOF2) to the progressive core —
       * progressive rides the WIDE contract only (`allowColor`, the same
       * flag that gates color: [[JpegGray8Decode]] stays the narrow
-      * baseline-gray pin). Anything else (extended/lossless/arithmetic)
-      * is null. */
+      * baseline-gray pin). SOF1 decodes at 8-bit (SOF0's coding) AND
+      * 12-bit precision (wide DQT incl. Pq=1 16-bit tables, 2048 level
+      * shift; the luma byte is the sample's top 8 bits). Anything else
+      * (lossless/arithmetic) is null. */
     def decodeLumaPlaneWithDims(b: Array[Byte], allowColor: Boolean): (Int, Int, Array[Byte]) =
       sofMarker(b) match {
-        // SOF1 (extended sequential) at the core's 8-bit precision is
-        // the SAME coding as SOF0 — one more marker, zero new decode
+        // SOF1 (extended sequential): at 8-bit the SAME coding as SOF0;
+        // at 12-bit the wide-sample path inside the same core
         case 0xC0 | 0xC1 => decodeBaselineLumaWithDims(b, allowColor)
         case 0xC2 if allowColor => decodeProgressiveLumaWithDims(b)
         case _ => null
@@ -2529,6 +2539,8 @@ object Native {
       // ---- segment walk up to SOS ----
       val quantZ = Array.ofDim[Int](4, 64) // zig-zag order, per table id
       val quantSeen = new Array[Boolean](4)
+      val quantPq = new Array[Int](4)
+      var prec12 = false
       val dcTabs = new Array[Jpeg.HuffTab](4)
       val acTabs = new Array[Jpeg.HuffTab](4)
       var w = 0; var h = 0; var ri = 0
@@ -2551,17 +2563,25 @@ object Native {
         val len = Jpeg.u16(b, p)
         if (len < 2 || p + len > n) return null
         mk match {
-          case 0xDB => // DQT: one or more tables
+          case 0xDB => // DQT: one or more tables, 8-bit (Pq=0) or
+            // 16-bit (Pq=1 — legal only for 12-bit frames, checked
+            // against the SOF precision before the scan)
             var q = p + 2
             while (q < p + len) {
-              if (q + 65 > p + len) return null
               val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
-              if (pq != 0) return null // 16-bit tables: out of baseline contract
+              if (pq > 1) return null
               if (tq > 3) return null // T.81 B.2.4.1: Tq ∈ 0..3; 4-slot table
+              val step = if (pq == 1) 2 else 1
+              if (q + 1 + 64 * step > p + len) return null
               var k = 0
-              while (k < 64) { quantZ(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+              while (k < 64) {
+                quantZ(tq)(k) =
+                  if (pq == 1) Jpeg.u16(b, q + 1 + 2 * k) else b(q + 1 + k) & 0xff
+                k += 1
+              }
               quantSeen(tq) = true
-              q += 65
+              quantPq(tq) = pq
+              q += 1 + 64 * step
             }
           case 0xC4 => // DHT: one or more tables
             var q = p + 2
@@ -2583,7 +2603,12 @@ object Native {
             }
           case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
             if (sofSeen || len < 9) return null // Nf byte must sit inside the segment
-            if ((b(p + 2) & 0xff) != 8) return null // precision (12-bit SOF1 refused)
+            val prec = b(p + 2) & 0xff
+            // T.81: SOF0 is 8-bit by definition; SOF1 carries 8 or 12.
+            // 12-bit decodes for real (wide quant, 2048 level shift,
+            // luma stored as the top 8 bits)
+            if (prec != 8 && !(prec == 12 && mk == 0xC1)) return null
+            prec12 = prec == 12
             h = Jpeg.u16(b, p + 3); w = Jpeg.u16(b, p + 5)
             nComp = b(p + 7) & 0xff
             if (nComp != 1 && !(allowColor && nComp == 3)) return null
@@ -2640,6 +2665,8 @@ object Native {
         p += len
       }
       if (!quantSeen(compQ(0))) return null // chroma quant never read
+      // T.81 B.2.4.1: 16-bit quant tables are legal only in 12-bit frames
+      if (quantPq(compQ(0)) == 1 && !prec12) return null
       var ci = 0
       while (ci < nComp) {
         if (dcTabs(scanTd(ci)) == null || acTabs(scanTa(ci)) == null) return null
@@ -2755,7 +2782,8 @@ object Native {
                 }
                 val blockY = mcu / mcuxN * vMax + bv
                 val blockX = mcu % mcuxN * hMax + bh
-                Jpeg.emitBlock(coef, acSeen, blockX, blockY, w, h, out, tmp)
+                Jpeg.emitBlock(coef, acSeen, blockX, blockY, w, h, out, tmp,
+                  deep = prec12)
               }
               bh += 1
             }
@@ -3256,7 +3284,8 @@ object Native {
     * null (fixture contract, like the stored-PNG width cap). Fixture
     * builder for [[JpegGray8Decode]]; production writes JPEGs with a
     * codec, not Spark. */
-  case class JpegGray8Encode(left: Expression, right: Expression)
+  case class JpegGray8Encode(left: Expression, right: Expression,
+      deep: Boolean = false)
       extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
@@ -3277,12 +3306,24 @@ object Native {
       wr(0xFF, 0xD8) // SOI
       wr(0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // JFIF APP0
         0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) // v1.1, no density/thumb
-      wr(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: Pq=0 Tq=0, flat table of 8s
-      var i = 0
-      while (i < 64) { out.write(8); i += 1 }
-      wr(0xFF, 0xC0, 0x00, 0x0B, 0x08, // SOF0: precision 8
-        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
-        0x01, 0x01, 0x11, 0x00) // 1 component, id 1, 1×1 sampling, Tq 0
+      if (deep) {
+        // 12-bit profile: Pq=1 DQT (16-bit entries — legal only at this
+        // precision, so the decoder's Pq-vs-precision check is in the
+        // fixture path) and SOF1 at precision 12
+        wr(0xFF, 0xDB, 0x00, 0x83, 0x10) // DQT: Pq=1 Tq=0
+        var i = 0
+        while (i < 64) { wr(0x00, 0x08); i += 1 }
+        wr(0xFF, 0xC1, 0x00, 0x0B, 12, // SOF1: precision 12
+          (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+          0x01, 0x01, 0x11, 0x00)
+      } else {
+        wr(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: Pq=0 Tq=0, flat table of 8s
+        var i = 0
+        while (i < 64) { out.write(8); i += 1 }
+        wr(0xFF, 0xC0, 0x00, 0x0B, 0x08, // SOF0: precision 8
+          (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+          0x01, 0x01, 0x11, 0x00) // 1 component, id 1, 1×1 sampling, Tq 0
+      }
       wr(0xFF, 0xC4, 0x00, 0x14, 0x00, 0x01) // DHT DC 0: one length-1 code
       wr(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x07) // …for category 7
       wr(0xFF, 0xC4, 0x00, 0x14, 0x10, 0x01) // DHT AC 0: one length-1 code
@@ -3513,7 +3554,8 @@ object Native {
     * successive approximation, EOB runs, refinement bits — with
     * chroma-only AC scans skipped by a marker seek (zero entropy work).
     * Null, never an error, on anything out of contract
-    * (extended-sequential/lossless/arithmetic SOFs, sampling factors
+    * (any non-SOF2 frame marker — the dispatcher routes sequential
+    * SOFs to the other core before this one runs —, sampling factors
     * outside {1,2}, luma not carrying the max factors, non-interleaved
     * multi-scan BASELINE files, 16-bit quant tables, truncated entropy
     * data, bomb-guard dims, >64 scans — see the cores' scaladocs). Scale
@@ -5356,17 +5398,18 @@ object Native {
     *   - `truncated`            — recognized container cut off before its
     *                              structural header completes
     *   - `unsupported_profile`  — valid container, out-of-contract coding
-    *                              (extended-sequential/lossless/
-    *                              arithmetic JPEG — baseline and
-    *                              progressive decode; GSM/MP3-in-WAV —
+    *                              (lossless/arithmetic JPEG — baseline,
+    *                              progressive and extended-sequential
+    *                              at 8 AND 12 bit decode; GSM/MP3-in-WAV —
     *                              the PCM/float32+64/IMA/MS-ADPCM/G.711
     *                              zoo decodes; animation-only WebP — VP8L
     *                              lossless AND lossy VP8 keyframes
     *                              decode; non-MJPEG
-    *                              MP4/AVI; OS/2-V2 BMP — the mask/
-    *                              palette/RLE/embedded-stream BMP zoo
-    *                              decodes;
-    *                              Compression-6/CMYK-shaped TIFF —
+    *                              MP4/AVI; OS/2-only BMP codings
+    *                              (Huffman 1D, RLE24) — the mask/
+    *                              palette/RLE/embedded-stream/OS/2-V2
+    *                              BMP zoo decodes;
+    *                              Compression-6/CMYK+spot-ink TIFF —
     *                              the full CCITT family (G4 MMR,
     *                              G3-1D MH, T.4 1-D/2-D), new-JPEG,
     *                              planar-2, sub-byte and strip+tile
@@ -5428,13 +5471,13 @@ object Native {
           if (mk == 0xD8 || mk == 0xD9 || (mk >= 0xD0 && mk <= 0xD7) || mk == 0x01)
             return s("corrupt") // SOI again / EOI / RST before any frame header
           if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
-            // baseline (C0), extended-sequential (C1, 8-bit) AND
-            // progressive (C2) decode for real now; 12-bit SOF1,
-            // lossless and arithmetic coding stay the profile limit
+            // baseline (C0), extended-sequential (C1, 8 AND 12 bit) and
+            // progressive (C2) decode for real now; lossless and
+            // arithmetic coding stay the profile limit
             if (mk != 0xC0 && mk != 0xC1 && mk != 0xC2) return s("unsupported_profile")
             if (p + 10 > n) return s("truncated")
-            if (mk == 0xC1 && (b(p + 4) & 0xff) != 8)
-              return s("unsupported_profile") // 12-bit extended sequential
+            if (mk == 0xC1 && (b(p + 4) & 0xff) != 8 && (b(p + 4) & 0xff) != 12)
+              return s("unsupported_profile") // 16-bit-class precisions
             val hh = Jpeg.u16(b, p + 5); val ww = Jpeg.u16(b, p + 7)
             if (ww <= 0 || hh <= 0 || ww.toLong * hh > Jpeg.MaxPixels)
               return s("bomb_guard")
@@ -5549,9 +5592,10 @@ object Native {
         // CCITT family — G4 MMR, G3-1D Modified Huffman, T.4
         // Compression 3 in 1-D and mixed 2-D — and new-JPEG
         // Compression 7 incl. JPEGTables, both byte orders —
-        // [[Tiff]]); the T.4/T.6 uncompressed-mode options,
-        // Compression-6 legacy JPEG, 16-bit palette and CMYK-shaped
-        // samples stay recognized-but-unsupported
+        // [[Tiff]]) plus 8-bit CMYK (photometric 5, §24 undercolor
+        // conversion); the T.4/T.6 uncompressed-mode options,
+        // Compression-6 legacy JPEG, 16-bit palette and CMYK+spot/alpha
+        // ink shapes stay recognized-but-unsupported
         Tiff.status(b) match {
           case Tiff.Ok => null
           case Tiff.Truncated => s("truncated")
@@ -5563,8 +5607,10 @@ object Native {
         b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0)
         // BMP decodes for real (BI_RGB 1/2/4/8/16/24/32, RLE8/RLE4,
         // BI_BITFIELDS 16/32 mask-driven, BI_JPEG/BI_PNG embedded
-        // streams through the pipeline's own JPEG/PNG cores — [[Bmp]]);
-        // the OS/2 V2 header family stays recognized-but-unsupported
+        // streams through the pipeline's own JPEG/PNG cores, and the
+        // OS/2 V2 truncated-header family at 1/4/8/24 — [[Bmp]]); the
+        // OS/2-only codings (Huffman 1D, RLE24) stay
+        // recognized-but-unsupported
         Bmp.status(b) match {
           case Bmp.Ok => null
           case Bmp.Truncated => s("truncated")
@@ -7985,21 +8031,39 @@ object Native {
         val off = u32(b, 10)
         val hdrSize = u32(b, 14)
         // pre-Windows-3 BITMAPCOREHEADER (size 12): u16 dims (always
-        // bottom-up), RGB-TRIPLE palette, no compression field; V2/V3
-        // (16/64) stay out of contract
+        // bottom-up), RGB-TRIPLE palette, no compression field. OS/2
+        // BITMAPINFOHEADER2 truncates anywhere in 16..64 — the fields
+        // it keeps sit at the INFOHEADER offsets, absent ones default
+        // (compression 0, full palette), the palette entries are
+        // 4-byte like Windows, and rows are bottom-up only. OS/2 sizes
+        // ≥ 40 read as INFOHEADER (same layout for every field this
+        // decoder touches); 13..15 fits no published header → corrupt
         val core = hdrSize == 12
-        if (!core && hdrSize < 40) return (Unsupported, 0, 0, null)
-        if (!core && n < 54) return trunc // file header 14 + INFOHEADER 40
+        // OS/2 2.x allows ANY prefix length 16..64; the sizes Windows
+        // actually published (40 INFOHEADER, 52/56 Adobe V2/V3 with
+        // in-header masks, 108/124 V4/V5) read as Windows — real-world
+        // decoders resolve the 40-byte ambiguity the same way
+        val os2v2 = hdrSize >= 16 && hdrSize <= 64 &&
+          hdrSize != 40 && hdrSize != 52 && hdrSize != 56
+        if (hdrSize > 1024) return bad // no published header comes close
+        if (!core && !os2v2 && hdrSize < 40) return bad
+        if (!core && n < 14 + math.max(hdrSize, 16).toInt) return trunc
         val w = if (core) u16(b, 18) else i32(b, 18)
         val h0 = if (core) u16(b, 20) else i32(b, 22)
         val topDown = h0 < 0
         val h = math.abs(h0)
+        if (os2v2 && topDown) return bad // OS/2 bitmaps are bottom-up
         if (u16(b, if (core) 22 else 26) != 1) return bad // planes must be 1
         val bpp = u16(b, if (core) 24 else 28)
-        val compression = if (core) 0L else u32(b, 30)
-        // COREHEADER carries only the classic 1/4/8/24 depths
-        if (core && bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24)
+        val compression =
+          if (core || (os2v2 && hdrSize < 20)) 0L else u32(b, 30)
+        // COREHEADER and OS/2 V2 carry only the classic 1/4/8/24 depths
+        if ((core || os2v2) && bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24)
           return (Unsupported, 0, 0, null)
+        // OS/2 compressions 1/2 are RLE8/RLE4 with Windows semantics;
+        // 3 (Huffman 1D) and 4 (RLE24) are OS/2-only codings with no
+        // Windows counterpart — recognized, unsupported
+        if (os2v2 && compression > 2) return (Unsupported, 0, 0, null)
         // BI_RGB at 1/2/4/8/16/24/32 bpp, BI_RLE8 (1) at 8, BI_RLE4 (2)
         // at 4, BI_BITFIELDS (3) at 16/32; BI_JPEG/BI_PNG embedded
         // streams stay out of contract
@@ -8072,7 +8136,7 @@ object Native {
         var palOff = 0; var palLen = 0
         val palStride = if (core) 3 else 4 // COREHEADER palettes are RGB triples
         if (bpp <= 8) {
-          val clrUsed = if (core) 0L else u32(b, 46)
+          val clrUsed = if (core || hdrSize < 36) 0L else u32(b, 46)
           if (clrUsed > 256) return bad
           palLen = if (clrUsed == 0L) 1 << bpp else clrUsed.toInt
           palOff = 14 + hdrSize.toInt
@@ -8090,7 +8154,9 @@ object Native {
         // renderer-consensus default for the spec's "skipped" pixels
         var rle: Array[Byte] = null
         if (compression == 1 || compression == 2) {
-          val sizeImage = u32(b, 34) // compressed byte count when set
+          // biSizeImage exists only when the header reaches offset 38
+          // (an OS/2 V2 header may truncate before it -> whole tail)
+          val sizeImage = if (hdrSize < 24) 0L else u32(b, 34)
           val end =
             if (sizeImage > 0) {
               if (off + sizeImage > n) return trunc
@@ -8220,9 +8286,11 @@ object Native {
     * so both row orders and the padding walk sit inside every oracled
     * decode. Fixture builder; production writes BMP with a codec. */
   case class BmpGray8Encode(left: Expression, right: Expression,
-      topDown: Boolean, rle: Boolean)
+      topDown: Boolean, rle: Boolean, os2: Boolean = false)
       extends BinaryExpression with NativeBinaryCodegen {
     require(!(topDown && rle), "RLE BMPs are bottom-up by spec")
+    require(!(os2 && (topDown || rle)),
+      "the OS/2 V2 fixture is plain bottom-up (header has no compression field)")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -8277,7 +8345,11 @@ object Native {
           packed.write(0); packed.write(1) // end of bitmap
           packed.toByteArray
         }
-      val dataOff = 14 + 40 + 4 * 256
+      // OS/2 BITMAPINFOHEADER2 truncated to its minimal 16 bytes:
+      // size/width/height/planes/bpp only — compression and clrUsed
+      // default (0, full palette)
+      val hdr = if (os2) 16 else 40
+      val dataOff = 14 + hdr + 4 * 256
       val dataBytes = if (rle) data.length else rowBytes * h
       val fileSize = dataOff + dataBytes
       val out = new java.io.ByteArrayOutputStream(fileSize)
@@ -8285,9 +8357,12 @@ object Native {
       def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
       out.write('B'); out.write('M')
       le32(fileSize); le32(0); le32(dataOff)
-      le32(40); le32(w); le32(if (topDown) -h else h)
-      le16(1); le16(8); le32(if (rle) 1 else 0) // planes, bpp, compression
-      le32(dataBytes); le32(0); le32(0); le32(256); le32(0)
+      le32(hdr); le32(w); le32(if (topDown) -h else h)
+      le16(1); le16(8) // planes, bpp
+      if (!os2) {
+        le32(if (rle) 1 else 0) // compression
+        le32(dataBytes); le32(0); le32(0); le32(256); le32(0)
+      }
       var i = 0
       while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
       if (rle) out.write(data, 0, data.length)
@@ -8334,8 +8409,9 @@ object Native {
   case class TiffDeepEncode(left: Expression, right: Expression,
       bigEndian: Boolean, mode: String)
       extends BinaryExpression with NativeBinaryCodegen {
-    require(Seq("pal8", "gray16", "tiles8", "gray4", "pal4", "rgba8")
-      .contains(mode), s"mode pal8|gray16|tiles8|gray4|pal4|rgba8, got $mode")
+    require(Seq("pal8", "gray16", "tiles8", "gray4", "pal4", "rgba8", "cmyk8")
+      .contains(mode),
+      s"mode pal8|gray16|tiles8|gray4|pal4|rgba8|cmyk8, got $mode")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(px: Any, width: Any): Any =
@@ -8349,7 +8425,8 @@ object Native {
         case _ => return null
       }
       val rgba = mode == "rgba8"
-      val bytesPerPx = if (rgba) 4 else 1
+      val cmyk = mode == "cmyk8" // interleaved C,M,Y,K ink bytes in
+      val bytesPerPx = if (rgba || cmyk) 4 else 1
       if (w <= 0 || w > 65535 || pixels.length == 0 ||
         pixels.length % (w * bytesPerPx) != 0) return null
       val h = pixels.length / (w * bytesPerPx)
@@ -8364,16 +8441,16 @@ object Native {
       val across = (w + tw - 1) / tw
       val down = (h + th - 1) / th
       val nTiles = across * down
-      val nEntries = if (pal || pal4 || tiles || rgba) 10 else 9
+      val nEntries = if (pal || pal4 || tiles || rgba) 10 else 9 // cmyk: 9
       val arraysOff = 8 + 2 + nEntries * 12 + 4
       // tile offset/count arrays leave the IFD when count > 1
       val tileArrBytes = if (tiles && nTiles > 1) 2 * 4 * nTiles else 0
       val mapBytes = if (pal) 3 * 256 * 2 else if (pal4) 3 * 16 * 2 else 0
       // rgba8 carries BitsPerSample count 4 (the spec shape) indirect
-      val bitsArrBytes = if (rgba) 4 * 2 else 0
+      val bitsArrBytes = if (rgba || cmyk) 4 * 2 else 0
       val dataOff = arraysOff + mapBytes + tileArrBytes + bitsArrBytes
       val data: Array[Byte] =
-        if (pal || rgba) pixels
+        if (pal || rgba || cmyk) pixels
         else if (gray4 || pal4) {
           // 4-bit samples packed two per byte, MSB-first, rows padded
           // to byte boundaries: gray4 = v>>4, pal4 = index v mod 16
@@ -8439,14 +8516,14 @@ object Native {
       }
       entry(256, 3, 1)(short1(w))
       entry(257, 3, 1)(short1(h))
-      if (rgba) entry(258, 3, 4)(w32(arraysOff)) // [8,8,8,8], the spec count
+      if (rgba || cmyk) entry(258, 3, 4)(w32(arraysOff)) // [8,8,8,8]
       else entry(258, 3, 1)(short1(
         if (mode == "gray16") 16 else if (gray4 || pal4) 4 else 8))
       entry(259, 3, 1)(short1(1)) // uncompressed
       entry(262, 3, 1)(short1(
-        if (pal || pal4) 3 else if (rgba) 2 else 1))
+        if (pal || pal4) 3 else if (rgba) 2 else if (cmyk) 5 else 1))
       if (!tiles) entry(273, 4, 1)(w32(dataOff))
-      entry(277, 3, 1)(short1(if (rgba) 4 else 1))
+      entry(277, 3, 1)(short1(if (rgba || cmyk) 4 else 1))
       if (!tiles) {
         entry(278, 3, 1)(short1(h))
         entry(279, 4, 1)(w32(data.length))
@@ -8483,7 +8560,7 @@ object Native {
         i = 0
         while (i < 16) { w16(((7 * 17 * i) % 256) << 8); i += 1 } // blues
       }
-      if (rgba) { w16(8); w16(8); w16(8); w16(8) } // BitsPerSample array
+      if (rgba || cmyk) { w16(8); w16(8); w16(8); w16(8) } // BitsPerSample array
       if (tiles && nTiles > 1) {
         var t = 0
         while (t < nTiles) { w32(dataOff + t * tw * th); t += 1 }
@@ -9585,7 +9662,8 @@ object Native {
         // differencing only rides the compression schemes it exists for
         if (predictor == 2 && compression == 1) return (Unsupported, 0, 0, null)
         val photometric = scalar(262, -1)
-        if (photometric < 0 || photometric > 3) return (Unsupported, 0, 0, null)
+        if (photometric < 0 || (photometric > 3 && photometric != 5))
+          return (Unsupported, 0, 0, null)
         val planar = scalar(284, 1)
         // planar configuration 2 (component planes in separate strips)
         // rides the strip path's 8-bit RGB profile only — predictor-free,
@@ -9600,8 +9678,14 @@ object Native {
           val ex = if (entries.contains(338)) vector(338) else null
           ex != null && ex.length == 1 && ex(0) <= 2
         }
-        if (samples != 1 && samples != 3 && !rgba) return (Unsupported, 0, 0, null)
-        if ((photometric == 2) != (samples >= 3)) return (Unsupported, 0, 0, null)
+        // CMYK (photometric 5, §24 Separated with the default InkSet):
+        // exactly 4 inks at 8 bits; CMYK+spot/alpha shapes stay refused
+        val cmyk = photometric == 5
+        if (cmyk && samples != 4) return (Unsupported, 0, 0, null)
+        if (samples != 1 && samples != 3 && !rgba && !cmyk)
+          return (Unsupported, 0, 0, null)
+        if (!cmyk && (photometric == 2) != (samples >= 3))
+          return (Unsupported, 0, 0, null)
         if (photometric == 3 && samples != 1) return (Unsupported, 0, 0, null)
         val bits = if (entries.contains(258)) vector(258) else Array(8L)
         if (bits == null || bits.isEmpty ||
@@ -9737,6 +9821,16 @@ object Native {
                   // the PNG depth-matrix scaling: v·255/(2^d−1), exact
                   else sub(x) * 255 / ((1 << depth) - 1)
                 if (photometric == 0) 255 - g else g // WhiteIsZero inverts
+              } else if (photometric == 5) {
+                // §24 Separated: ink value 0 = no ink; undercolor per
+                // the standard conversion R = (255−C)(255−K)/255 (and
+                // G/B likewise), then the shared 601 luma
+                val p = rowBase + nSmp * x
+                val ci = src(p) & 0xff; val mi = src(p + 1) & 0xff
+                val yi = src(p + 2) & 0xff; val ki = src(p + 3) & 0xff
+                Png.luma601((255 - ci) * (255 - ki) / 255,
+                  (255 - mi) * (255 - ki) / 255,
+                  (255 - yi) * (255 - ki) / 255)
               } else if (depth == 16) {
                 Png.luma601(hi16(nSmp * x), hi16(nSmp * x + 1), hi16(nSmp * x + 2))
               } else {
@@ -11069,7 +11163,8 @@ object Native {
     "graft_gif_loop_count" -> (exprs => GifLoopCount(exprs(0))),
     "graft_bmp_decode_luma" -> (exprs => BmpLumaDecode(exprs(0))),
     "graft_bmp_encode_gray8" -> (exprs => BmpGray8Encode(exprs(0), exprs(1),
-      boolLit(exprs(2), "topDown"), boolLit(exprs(3), "rle"))),
+      boolLit(exprs(2), "topDown"), boolLit(exprs(3), "rle"),
+      exprs.length > 4 && boolLit(exprs(4), "os2"))),
     "graft_bmp_encode_deep" -> (exprs => BmpDeepEncode(exprs(0), exprs(1),
       strLit(exprs(2), "mode"))),
     "graft_bmp_encode_stream" -> (exprs => BmpStreamEncode(exprs(0),
@@ -11090,7 +11185,8 @@ object Native {
     "graft_webp_vp8_encode" -> (exprs =>
       Vp8Encode(exprs(0), exprs(1), intLit(exprs(2), "nparts"))),
     "graft_decode_drop_reason" -> (exprs => DecodeDropReason(exprs(0))),
-    "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1))),
+    "graft_jpeg_encode_gray8_dc" -> (exprs => JpegGray8Encode(exprs(0), exprs(1),
+      exprs.length > 2 && boolLit(exprs(2), "deep"))),
     "graft_jpeg_encode_gray8_prog" -> (exprs => JpegProgGray8Encode(exprs(0), exprs(1))),
     "graft_jpeg_decode_gray8" -> (exprs => JpegGray8Decode(exprs(0))),
     "graft_jpeg_encode_ycc_dc" -> (exprs => JpegYccEncodeDc(exprs(0), exprs(1),
@@ -11250,10 +11346,12 @@ object Native {
   def bmpDecodeLuma(bmp: Column): Column =
     call_function("graft_bmp_decode_luma", bmp)
   def bmpEncodeGray8(pixels: Column, width: Column,
-      topDown: Boolean = false, rle: Boolean = false): Column =
+      topDown: Boolean = false, rle: Boolean = false,
+      os2: Boolean = false): Column =
     call_function("graft_bmp_encode_gray8", pixels, width,
       org.apache.spark.sql.functions.lit(topDown),
-      org.apache.spark.sql.functions.lit(rle))
+      org.apache.spark.sql.functions.lit(rle),
+      org.apache.spark.sql.functions.lit(os2))
   def bmpEncodeDeep(pixels: Column, width: Column, mode: String): Column =
     call_function("graft_bmp_encode_deep", pixels, width,
       org.apache.spark.sql.functions.lit(mode))
@@ -11294,8 +11392,10 @@ object Native {
       org.apache.spark.sql.functions.lit(nparts))
   def decodeDropReason(media: Column): Column =
     call_function("graft_decode_drop_reason", media)
-  def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
-    call_function("graft_jpeg_encode_gray8_dc", pixels, width)
+  def jpegEncodeGray8Dc(pixels: Column, width: Column,
+      deep: Boolean = false): Column =
+    call_function("graft_jpeg_encode_gray8_dc", pixels, width,
+      org.apache.spark.sql.functions.lit(deep))
   def jpegEncodeGray8Prog(pixels: Column, width: Column): Column =
     call_function("graft_jpeg_encode_gray8_prog", pixels, width)
   def jpegDecodeGray8(jpeg: Column): Column =

@@ -906,8 +906,8 @@ object Multimodal {
     * word-aligned absolute packets). Fixture builder for the BMP
     * tier's oracles. */
   def bmpEncodeGray8(pixels: Column, width: Column, topDown: Boolean = false,
-      rle: Boolean = false): Column =
-    graft.functions.Native.bmpEncodeGray8(pixels, width, topDown, rle)
+      rle: Boolean = false, os2: Boolean = false): Column =
+    graft.functions.Native.bmpEncodeGray8(pixels, width, topDown, rle, os2)
 
   /** [[imageNearDupPng]] on BMP payloads: [[bmpDecodeLuma]] → [[dHash]]
     * → the shared Hamming-banded LSH core. */
@@ -1005,8 +1005,9 @@ object Multimodal {
     * what lets a SQL oracle with no Huffman decoder verify real JPEG
     * decode). Block means must land in [1,64] ∪ [192,255] (DC category
     * 7); see the expression scaladoc. */
-  def jpegEncodeGray8Dc(pixels: Column, width: Column): Column =
-    graft.functions.Native.jpegEncodeGray8Dc(pixels, width)
+  def jpegEncodeGray8Dc(pixels: Column, width: Column,
+      deep: Boolean = false): Column =
+    graft.functions.Native.jpegEncodeGray8Dc(pixels, width, deep)
 
   /** LUMA-plane decode for JPEGs, gray OR color, baseline OR progressive
     * ([[graft.functions.Native.JpegLumaDecode]]): 1-component baseline

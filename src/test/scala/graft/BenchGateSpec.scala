@@ -88,6 +88,14 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parseQueries("""{"queries":{}}""").isEmpty)
   }
 
+  test("the COMMITTED pace reference parses (a spaced-separator rewrite would silently disable the stamp)") {
+    val f = new java.io.File("bench_logs/pace_reference.json")
+    assert(f.isFile, "bench_logs/pace_reference.json missing")
+    val ref = Bench.parseQueries(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(ref.size >= 160, s"pace reference unreadable by parseQueries (got ${ref.size} entries)")
+  }
+
   test("canary query is SF-independent and returns one row") {
     val spark = TestSpark.spark
     val rows = Bench.canaryQuery(spark).collect()

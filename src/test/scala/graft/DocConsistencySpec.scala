@@ -48,12 +48,14 @@ class DocConsistencySpec extends AnyFunSuite {
   test("TIFF classifier comment tracks the Tiff decode contract") {
     pin(branch("else if (Tiff.hasMagic(b))", "Tiff.status(b) match"),
       "TIFF classifier",
-      mustMention = Seq("uncompressed-mode", "Compression-6", "CMYK-shaped"),
+      mustMention = Seq("uncompressed-mode", "Compression-6", "CMYK+spot"),
       // all of these decode (tiled/palette r13; G4/MH/T.4/JPEG-in-TIFF/
-      // planar-2/sub-byte/RGBA r14) — forbid the stale refusal phrasings
+      // planar-2/sub-byte/RGBA r14; plain CMYK r15) — forbid the stale
+      // refusal phrasings
       mustNotMention = Seq("tiled/palette", "palette profiles stay",
         "tiled profiles stay", "CCITT/JPEG-in-TIFF",
-        "sub-byte gray profiles stay", "CCITT G3\n        // 2-D/EOL (Compression 3), Compression-6"))
+        "sub-byte gray profiles stay", "CMYK-shaped",
+        "CCITT G3\n        // 2-D/EOL (Compression 3), Compression-6"))
   }
 
   test("WAV classifier comment tracks the Wav decode contract") {
@@ -67,9 +69,12 @@ class DocConsistencySpec extends AnyFunSuite {
   test("BMP classifier comment tracks the Bmp decode contract") {
     pin(branch("else if (b(0) == 'B' && b(1) == 'M'", "Bmp.status(b) match"),
       "BMP classifier",
-      mustMention = Seq("OS/2 V2"),
+      mustMention = Seq("Huffman 1D", "RLE24"),
+      // the OS/2 V2 header family decodes since r15 — forbid the stale
+      // refusal alongside the older ones
       mustNotMention = Seq("RLE8/RLE4 stay", "palette depths stay",
-        "bitfields/16-bit stay", "embedded streams and the OS/2"))
+        "bitfields/16-bit stay", "embedded streams and the OS/2",
+        "V2 header family stays"))
   }
 
   test("WEBP classifier comment tracks the Webp/Vp8 decode contract") {
@@ -88,7 +93,8 @@ class DocConsistencySpec extends AnyFunSuite {
     // each of these decodes (or holds a census) today; their appearance
     // in the refused-examples doc would be the r13 drift recurring
     for (stale <- Seq("gray+alpha", "adam7", "float/8-bit wav",
-        "tiled tiff", "no decoder in this pipeline", "lossy vp8 webp"))
+        "tiled tiff", "no decoder in this pipeline", "lossy vp8 webp",
+        "extended-sequential/lossless", "os/2-v2 bmp —"))
       assert(!doc.contains(stale),
         s"DecodeDropReason doc lists '$stale' as refused but it graduated")
   }

@@ -586,10 +586,29 @@ class MultimodalSpec extends AnyFunSuite {
     val palLuma = Seq(Tuple1(palCore)).toDF("b")
       .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head()
     assert(palLuma.toSeq == Seq[Byte](4, 5, 6, 1, 2, 3))
-    // the OS/2 V2 family (12 < header size < 40) stays unsupported
-    val os2 = "424D460000000000000036000000" + "10000000" +
-      "0200020001001800" + "00" * 30
-    assert(reason(os2) == "unsupported_profile")
+    // the OS/2 V2 truncated-header family DECODES since r15: a minimal
+    // 16-byte header (i32 dims 2×2, 24bpp, no compression/clrUsed
+    // fields) over 4 hand-planted BGR pixels
+    val os2 = "424D2E00000000000000" + "1E000000" + "10000000" +
+      "02000000" + "02000000" + "0100" + "1800" +
+      // bottom row (y=1 in image order): BGR (255,0,0)=blue, (0,0,255)=red
+      "FF0000" + "0000FF" + "0000" + // rowBytes 8: 2 pad bytes
+      "00FF00" + "FFFFFF" + "0000"   // top row: green, white
+    assert(reason(os2) == null)
+    // luma601: blue 29, red 76, green 150, white 255; file rows are
+    // bottom-up, so image row 0 = the SECOND coded row
+    assert(Seq(Tuple1(hexBytesT(os2))).toDF("b")
+      .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head().toSeq ==
+      Seq[Byte](150.toByte, 255.toByte, 29, 76))
+    // the OS/2-ONLY codings stay refused: a 64-byte V2 header whose
+    // compression field carries 3 (OS/2 Huffman 1D — NOT the Windows
+    // BITFIELDS meaning at this header size)
+    val os2huff = "424D660000000000000052000000" + "40000000" +
+      "02000000020000000100010003000000" + "00" * 48 + "00" * 20
+    assert(reason(os2huff) == "unsupported_profile")
+    // 13..15 fits no published header → corrupt
+    val noHdr = "424D2E0000000000000022000000" + "0E000000" + "00" * 20
+    assert(reason(noHdr) == "corrupt")
   }
 
   test("PNG depth matrix hand vectors: sub-byte packing, 16-bit high byte, gray+alpha luma") {
@@ -1189,6 +1208,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(unc) == "unsupported_profile")
   }
 
+  test("r15 print/legacy tiers: TIFF CMYK hand inks + round trip, BMP OS/2 V2 round trip, honest refusals") {
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    def tiffLuma(bytes: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(Multimodal.tiffDecodeLuma($"b")).as[Array[Byte]].head()
+    // CMYK hand inks: no ink = white; all inks = black; pure cyan kills
+    // red only → luma601(0,255,255) = 179; pure black ink = 0
+    val inks = Array[Byte](0, 0, 0, 0,
+      -1, -1, -1, -1,
+      -1, 0, 0, 0,
+      0, 0, 0, -1)
+    val cmyk = Seq(Tuple1(inks)).toDF("px")
+      .select(Multimodal.tiffEncodeDeep($"px", lit(4), mode = "cmyk8"))
+      .as[Array[Byte]].head()
+    assert(tiffLuma(cmyk).toSeq == Seq[Byte](-1, 0, 179.toByte, 0))
+    assert(reason(cmyk) == null)
+    // round trip on iid ink bytes, both byte orders: decode must equal
+    // the closed-form conversion of the planted inks
+    val rnd = new scala.util.Random(23)
+    val px4 = Array.fill(9 * 8 * 4)(rnd.nextInt(256).toByte)
+    def lumaOf(i: Int): Byte = {
+      val c = px4(4 * i) & 0xff; val m = px4(4 * i + 1) & 0xff
+      val y = px4(4 * i + 2) & 0xff; val k = px4(4 * i + 3) & 0xff
+      (((299 * ((255 - c) * (255 - k) / 255) +
+        587 * ((255 - m) * (255 - k) / 255) +
+        114 * ((255 - y) * (255 - k) / 255) + 500) / 1000)).toByte
+    }
+    for (be <- Seq(false, true)) {
+      val t = Seq(Tuple1(px4)).toDF("px")
+        .select(Multimodal.tiffEncodeDeep($"px", lit(9), bigEndian = be,
+          mode = "cmyk8")).as[Array[Byte]].head()
+      assert(tiffLuma(t).toSeq == (0 until 72).map(lumaOf), s"be=$be")
+    }
+    // CMYK+spot shapes stay refused: patch SamplesPerPixel (entry 6,
+    // value at 10+12·6+8) from 4 to 5
+    val spot = cmyk.clone()
+    assert((spot(90) & 0xff) == 4, "IFD layout moved")
+    spot(90) = 5
+    assert(reason(spot) == "unsupported_profile")
+    // OS/2 V2 fixture round trip: the 16-byte truncated header over the
+    // full 256-gray palette decodes to the identity
+    val gray = Array.tabulate(9 * 8)(i => ((i * 37 + 11) & 0xff).toByte)
+    val os2bmp = Seq(Tuple1(gray)).toDF("px")
+      .select(Multimodal.bmpEncodeGray8($"px", lit(9), os2 = true))
+      .as[Array[Byte]].head()
+    assert((os2bmp(14) & 0xff) == 16, "OS/2 header size")
+    assert(reason(os2bmp) == null)
+    assert(Seq(Tuple1(os2bmp)).toDF("b")
+      .select(Multimodal.bmpDecodeLuma($"b")).as[Array[Byte]].head().toSeq ==
+      gray.toSeq)
+    // and the Windows-path round trip is unchanged by the os2 flag work
+    val winBmp = Seq(Tuple1(gray)).toDF("px")
+      .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
+    assert((winBmp(14) & 0xff) == 40)
+  }
+
   test("ADVICE r14 pins: MH row overrun, BMP zero BITFIELDS masks, WAV trailing garbage") {
     // 1) MH: a row whose run chains overrun w must be rejected, not
     //    filled into the next row's region. Hand-packed per the T.4
@@ -1252,7 +1331,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(canon(cutHdr) == null)
   }
 
-  test("JPEG SOF1 (extended sequential) at 8 bits decodes as SOF0's coding; 12-bit stays refused") {
+  test("JPEG SOF1 decodes at 8 bits (SOF0's coding) AND 12 bits; Pq/precision mismatches are corrupt; SOF3 refused") {
     val blocks = Array[Byte](33, 220.toByte, 17, 199.toByte)
     val px = new Array[Byte](12 * 10)
     var i = 0
@@ -1268,11 +1347,39 @@ class MultimodalSpec extends AnyFunSuite {
     def dec(b: Array[Byte]): Array[Byte] =
       Seq(Tuple1(b)).toDF("b")
         .select(Multimodal.jpegDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
     assert(dec(sof1) != null && dec(sof1).toSeq == dec(base).toSeq)
-    val deep = sof1.clone(); deep(sof + 4) = 12
-    val r = Seq(Tuple1(deep)).toDF("b")
-      .select(graft.functions.Native.decodeDropReason($"b")).collect().head
-    assert(!r.isNullAt(0) && r.getString(0) == "unsupported_profile")
+    // the same Huffman stream RELABELED precision 12 is a VALID 12-bit
+    // file (Pq=0 tables are legal at either precision): DC-only blocks
+    // reconstruct to (dcq + 2048) >> 4 = (plant + 1920) >> 4
+    val relabeled = sof1.clone(); relabeled(sof + 4) = 12
+    assert(reason(relabeled) == null)
+    assert(dec(relabeled).toSeq ==
+      dec(base).toSeq.map(v => (((v & 0xff) + 1920) >> 4).toByte))
+    // the REAL 12-bit fixture: SOF1 precision 12 with a Pq=1 16-bit
+    // DQT; same closed form
+    val deep = Seq(Tuple1(px)).toDF("px")
+      .select(Multimodal.jpegEncodeGray8Dc($"px", lit(12), deep = true))
+      .as[Array[Byte]].head()
+    assert(reason(deep) == null)
+    assert(dec(deep).toSeq ==
+      px.toSeq.map(v => (((v & 0xff) + 1920) >> 4).toByte))
+    // a Pq=1 table under an 8-bit frame is structural damage (T.81
+    // B.2.4.1) — patch the deep fixture's precision back to 8
+    val sofD = (0 until deep.length - 1).find(i =>
+      (deep(i) & 0xff) == 0xFF && (deep(i + 1) & 0xff) == 0xC1).get
+    val mix = deep.clone(); mix(sofD + 4) = 8
+    assert(reason(mix) == "corrupt")
+    // lossless (SOF3) stays the profile limit
+    val sof3 = base.clone(); sof3(sof + 1) = 0xC3.toByte
+    assert(reason(sof3) == "unsupported_profile")
+    // and 16-bit-class precision on SOF1 stays refused
+    val p16 = sof1.clone(); p16(sof + 4) = 16
+    assert(reason(p16) == "unsupported_profile")
   }
 
   test("JPEG-in-TIFF (Compression 7): full-stream and JPEGTables-split strips route through the JPEG cores; color rides photometric 6") {
@@ -2431,9 +2538,9 @@ class MultimodalSpec extends AnyFunSuite {
       "flacJunkFrames" -> (Seq(Tuple1(1)).toDF("x")
         .select(Multimodal.flacHeader(lit(8000L), lit(1L), lit(16L), lit(144L)))
         .as[Array[Byte]].head() ++ Array.fill(24)(9.toByte)),
-      // 8-bit SOF1 DECODES since r14 (it is SOF0's coding); the
-      // remaining profile limit is 12-BIT extended sequential — flip
-      // the baseline fixture's marker AND its precision byte
+      // 8-bit SOF1 decodes since r14 and 12-BIT since r15 (relabeling
+      // the precision byte makes a VALID 12-bit file) — the battery's
+      // two-sided check now holds this entry on the DECODES side
       "jpegSof1at12" -> {
         val ok = Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
           .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9)))
