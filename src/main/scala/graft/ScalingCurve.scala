@@ -121,7 +121,15 @@ object ScalingCurve {
     // map-side — expect the multimodal_decode_adpcm exponent)
     "dedup_image_tiff_g4",
     "multimodal_decode_tiff_ccitt",
-    "multimodal_decode_msadpcm")
+    "multimodal_decode_msadpcm",
+    // round-15 additions: the lossy-VP8 tiers (map-side RFC 6386
+    // keyframe decode — the decode query is scan-shaped; the dedup
+    // query adds one digest shuffle + an equi-join, expect the
+    // dedup_exact shape) and the 12-bit JPEG decode (the sequential
+    // core at wide samples — expect the multimodal-decode scan shape)
+    "multimodal_decode_vp8",
+    "dedup_image_vp8",
+    "multimodal_decode_jpeg12")
 
   private[graft] val FlagExponent = 1.3
 

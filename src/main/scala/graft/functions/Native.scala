@@ -5668,9 +5668,10 @@ object Native {
     * prefix-code (entropy) image, and all four transforms — predictor
     * (14 modes with the spec's edge rules), color (signed 3.5 fixed-point
     * deltas), subtract-green, and color-indexing with sub-byte pixel
-    * packing — applied in reverse read order. Lossy VP8 and VP8X files
-    * without a VP8L chunk remain out of scope (`unsupported_profile` in
-    * the drop report). No codec library anywhere. */
+    * packing — applied in reverse read order. Lossy VP8 keyframes
+    * decode through [[Vp8]] (r15); only animation/extended files
+    * without an image chunk remain out of scope (`unsupported_profile`
+    * in the drop report). No codec library anywhere. */
   private object Webp {
     /** LSB-first bit reader (the VP8L convention: bit 0 of byte 0 first). */
     final class Br(b: Array[Byte], var pos: Int, val end: Int) {

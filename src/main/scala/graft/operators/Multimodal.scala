@@ -643,7 +643,7 @@ object Multimodal {
   /** STUB codec — an explicitly-passed TEST DOUBLE, never a default:
     * plausible dimensions + an 8-dim feature vector derived from the
     * payload hash, for exercising the [[decodePartitions]] plumbing with
-    * formats the JVM cannot decode unaided (WebP/AVIF-class).
+    * formats this pipeline ships no decoder for (AVIF-class).
     * Deterministic; null/empty payloads fail to decode (None) like a
     * real codec would. */
   def fakeCodec(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {

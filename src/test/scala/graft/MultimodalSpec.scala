@@ -2576,6 +2576,20 @@ class MultimodalSpec extends AnyFunSuite {
         .select(Multimodal.bmpEncodeStream($"s", png = true)).as[Array[Byte]].head(),
       "bmpJpeg" -> Seq(Tuple1(jpeg)).toDF("s")
         .select(Multimodal.bmpEncodeStream($"s", png = false)).as[Array[Byte]].head(),
+      // r15 graduations: each must DECODE two-sidedly
+      "vp8Lossy" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.webpEncodeVp8($"px", lit(9), nparts = 2))
+        .as[Array[Byte]].head(),
+      "vp8Real" -> Vp8Vectors.vp8Webp_simple, // a real libwebp stream
+      "jpeg12" -> Seq(Tuple1(Array.fill(9 * 8)(33.toByte))).toDF("px")
+        .select(Multimodal.jpegEncodeGray8Dc($"px", lit(9), deep = true))
+        .as[Array[Byte]].head(),
+      "bmpOs2" -> Seq(Tuple1(grayPx)).toDF("px")
+        .select(Multimodal.bmpEncodeGray8($"px", lit(9), os2 = true))
+        .as[Array[Byte]].head(),
+      "tiffCmyk" -> Seq(Tuple1(Array.tabulate(288)(i => (i * 31).toByte))).toDF("px")
+        .select(Multimodal.tiffEncodeDeep($"px", lit(9), mode = "cmyk8"))
+        .as[Array[Byte]].head(),
       "tiny" -> Array[Byte](1, 2))
     battery.foreach { case (name, b) =>
       val decodes = Multimodal.realCodec(b).isDefined
@@ -2667,6 +2681,14 @@ class MultimodalSpec extends AnyFunSuite {
     val bmpPal2 = one(Multimodal.bmpEncodeDeep(grayCol, lit(9), "pal2"))
     val bmpPngEmb = one(Multimodal.bmpEncodeStream(lit(png), png = true))
     val bmpJpgEmb = one(Multimodal.bmpEncodeStream(lit(jpeg), png = false))
+    // the round-15 tiers: lossy VP8 (fixture + a REAL libwebp stream),
+    // 12-bit JPEG, OS/2 V2 BMP, CMYK TIFF
+    val webpVp8 = one(Multimodal.webpEncodeVp8(grayCol, lit(9), nparts = 2))
+    val webpVp8Real = Vp8Vectors.vp8Webp_q75
+    val jpeg12 = one(Multimodal.jpegEncodeGray8Dc(grayCol, lit(9), deep = true))
+    val bmpOs2 = one(Multimodal.bmpEncodeGray8(grayCol, lit(9), os2 = true))
+    val tiffCmyk = one(Multimodal.tiffEncodeDeep(
+      lit(Array.tabulate(288)(i => (i * 31).toByte)), lit(9), mode = "cmyk8"))
     val rnd = new scala.util.Random(90210)
     val mutated: Seq[Array[Byte]] =
       Seq(png, pngColor, jpeg, wav, avi, mp4, webp, gif, bmp, tiff, pal8, jpegProg,
@@ -2674,7 +2696,8 @@ class MultimodalSpec extends AnyFunSuite {
         wavF32, wavExt, adpcm, mp3, oggV, oggO,
         tiffG4, tiffG4ms, tiffG3, tiffT4, tiffT42d, tiffJpeg, tiffJpegSplit, msAdpcm, wavF64,
         bmp565, bmp8888, bmpPal2, tiffGray4, tiffPal4, tiffRgba,
-        bmpPngEmb, bmpJpgEmb).flatMap { base =>
+        bmpPngEmb, bmpJpgEmb,
+        webpVp8, webpVp8Real, jpeg12, bmpOs2, tiffCmyk).flatMap { base =>
         (0 until 60).map { i =>
           i % 3 match {
             case 0 =>
