@@ -5538,9 +5538,10 @@ object Native {
           case "WEBP" =>
             // the real walk+decode ([[Webp]]/[[Vp8]] — same path the
             // image tiers use): VP8L lossless AND lossy VP8 keyframes
-            // both decode → not dropped; a sound WebP carrying only
-            // animation/extended-metadata chunks is a true profile
-            // limitation; anything else is structural damage
+            // decode, and an animation decodes its FIRST ANMF frame
+            // (the GIF stance) → not dropped; only a sound WebP with
+            // NO image data anywhere (metadata-only) is the remaining
+            // profile limitation; anything else is structural damage
             Webp.probeContainer(b) match {
               case (2, payload) =>
                 // header-dims bomb check BEFORE the full decode, so an
@@ -6130,32 +6131,49 @@ object Native {
 
     /** RIFF-WEBP container probe: (2, vp8lPayload) when a VP8L chunk is
       * found, (3, vp8Payload) for a lossy VP8 chunk ([[Vp8]] decodes
-      * it) — both also inside a VP8X extended container; (1, null) for
-      * a structurally-sound WebP carrying only other known chunks
-      * (animation or extended metadata without an image chunk —
-      * unsupported profile); (0, null) for structural damage. */
+      * it) — both also inside a VP8X extended container, and for
+      * ANIMATED files the FIRST ANMF frame's image sub-chunk (the GIF
+      * first-frame stance; the 16-byte ANMF header carries geometry/
+      * timing this tier doesn't need, and an ALPH sub-chunk before the
+      * image data is skipped like still alpha); (1, null) for a
+      * structurally-sound WebP carrying only metadata chunks with no
+      * image data anywhere; (0, null) for structural damage. */
     def probeContainer(b: Array[Byte]): (Int, Array[Byte]) = {
       val n = b.length
       if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
           b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return (0, null)
-      var p = 12
       var sawKnown = false
-      while (p + 8 <= n) {
-        val tag = new String(b, p, 4, "US-ASCII")
-        val size = (b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8) |
-          ((b(p + 6) & 0xffL) << 16) | ((b(p + 7) & 0xffL) << 24)
-        if (size > n - p - 8) return (0, null) // chunk overruns the payload
-        if (tag == "VP8L" || tag == "VP8 ") {
-          val payload = new Array[Byte](size.toInt)
-          System.arraycopy(b, p + 8, payload, 0, size.toInt)
-          return (if (tag == "VP8L") 2 else 3, payload)
+      // one walk function serves the top level and the inside of the
+      // first ANMF frame (whose payload is itself a chunk sequence)
+      def walk(from: Int, to: Int, depth: Int): (Int, Array[Byte]) = {
+        var p = from
+        while (p + 8 <= to) {
+          val tag = new String(b, p, 4, "US-ASCII")
+          val size = (b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8) |
+            ((b(p + 6) & 0xffL) << 16) | ((b(p + 7) & 0xffL) << 24)
+          if (size > to - p - 8) return (0, null) // chunk overruns the payload
+          if (tag == "VP8L" || tag == "VP8 ") {
+            val payload = new Array[Byte](size.toInt)
+            System.arraycopy(b, p + 8, payload, 0, size.toInt)
+            return (if (tag == "VP8L") 2 else 3, payload)
+          }
+          if (tag == "ANMF" && depth == 0) {
+            // first animation frame: 16 bytes of geometry/duration,
+            // then the frame's own chunk sequence (ALPH? + VP8/VP8L)
+            if (size < 24) return (0, null) // no room for any sub-chunk
+            val r = walk(p + 8 + 16, p + 8 + size.toInt, 1)
+            // a frame with no image sub-chunk is structural damage; a
+            // damaged sub-walk propagates
+            return if (r._1 >= 2) r else (0, null)
+          }
+          if (tag == "VP8X" || tag == "ALPH" || tag == "ANIM" ||
+              tag == "ANMF" || tag == "ICCP" || tag == "EXIF" || tag == "XMP ")
+            sawKnown = true
+          p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
         }
-        if (tag == "VP8X" || tag == "ALPH" || tag == "ANIM" ||
-            tag == "ANMF" || tag == "ICCP" || tag == "EXIF" || tag == "XMP ")
-          sawKnown = true
-        p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        (if (sawKnown) 1 else 0, null)
       }
-      (if (sawKnown) 1 else 0, null)
+      walk(12, n, 0)
     }
 
     /** Container walk + pixel decode + luma. VP8L decodes to ARGB and
@@ -7560,9 +7578,10 @@ object Native {
     * decodes per the public lossless bitstream spec ([[Webp]], exact-
     * integer ITU-R 601 luma of the ARGB); lossy VP8 keyframes decode
     * per RFC 6386 ([[Vp8]], the coded BT.601 Y plane, loop filter
-    * applied). Null off contract: animation/extended files without an
-    * image chunk, inter frames, structural damage, or a header
-    * demanding more than the shared bomb cap. */
+    * applied); an ANIMATED file decodes its FIRST frame (the GIF
+    * stance). Null off contract: metadata-only files, inter frames,
+    * structural damage, or a header demanding more than the shared
+    * bomb cap. */
   case class WebpLumaDecode(child: Expression)
       extends UnaryExpression with NativeUnaryCodegen {
     override def dataType: DataType = BinaryType

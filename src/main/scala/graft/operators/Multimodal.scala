@@ -802,8 +802,9 @@ object Multimodal {
     * Lossy VP8 keyframes: the full RFC 6386 intra decode — boolean
     * decoder, segmentation, token-prob updates, 16x16/B_PRED
     * prediction, IWHT/IDCT, normal+simple loop filters — to the coded
-    * BT.601 Y plane. Null on animation-only files, inter frames, or
-    * damage — those keep landing in the drop report as
+    * BT.601 Y plane; animations decode their FIRST frame (the GIF
+    * stance). Null on metadata-only files, inter frames, or damage —
+    * those keep landing in the drop report as
     * unsupported_profile/corrupt. */
   def webpDecodeLuma(webp: Column): Column =
     graft.functions.Native.webpDecodeLuma(webp)

@@ -80,9 +80,11 @@ class DocConsistencySpec extends AnyFunSuite {
   test("WEBP classifier comment tracks the Webp/Vp8 decode contract") {
     pin(branch("case \"WEBP\" =>", "Webp.probeContainer(b) match"),
       "WEBP classifier",
-      mustMention = Seq("animation"),
-      // lossy VP8 keyframes decode since r15 — forbid the stale refusal
-      mustNotMention = Seq("carrying only lossy", "lossy/extended chunks"))
+      mustMention = Seq("metadata-only"),
+      // lossy VP8 keyframes AND animation first frames decode since
+      // r15 — forbid both stale refusal phrasings
+      mustNotMention = Seq("carrying only lossy", "lossy/extended chunks",
+        "carrying only\n            // animation"))
   }
 
   test("DecodeDropReason contract doc names no graduated profile as refused") {

@@ -3446,6 +3446,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reason(wrap(bomb)) == "bomb_guard")
   }
 
+  test("animated WebP decodes its FIRST frame through the same cores; metadata-only and damaged frames classify honestly") {
+    def luma(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.webpDecodeLuma($"b")).as[Array[Byte]].head()
+    def reason(bytes: Array[Byte]): String = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Native.decodeDropReason($"b")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length
+      tag.getBytes("US-ASCII") ++ Array((sz & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 24) & 0xFF).toByte) ++ payload ++
+        (if ((sz & 1) == 1) Array(0: Byte) else Array.empty[Byte])
+    }
+    def riff(chunks: Array[Byte]): Array[Byte] = {
+      val sz = 4 + chunks.length
+      "RIFF".getBytes("US-ASCII") ++ Array((sz & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 24) & 0xFF).toByte) ++ "WEBP".getBytes("US-ASCII") ++ chunks
+    }
+    // VP8X (anim flag) + ANIM + one ANMF wrapping a real image chunk —
+    // built once around the VP8L fixture and once around a REAL
+    // libwebp-encoded lossy stream (its image chunk re-wrapped)
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+      Array[Byte](8, 0, 0) ++ Array[Byte](7, 0, 0)) // canvas 9×8 (−1 coded)
+    val anim = chunk("ANIM", new Array[Byte](6))
+    val gray = Array.tabulate(9 * 8)(i => ((i * 41 + 3) & 0xff).toByte)
+    val stillL = Seq(Tuple1(gray.flatMap(v => Array(v, v, v)))).toDF("px")
+      .select(Multimodal.webpEncodeVp8l($"px", lit(9))).as[Array[Byte]].head()
+    val vp8lChunk = stillL.drop(12) // the still's VP8L chunk, header stripped
+    val anmfHdr = new Array[Byte](16) // geometry/duration: unused by this tier
+    val animL = riff(vp8x ++ anim ++ chunk("ANMF", anmfHdr ++ vp8lChunk))
+    assert(java.util.Arrays.equals(luma(animL), luma(stillL)),
+      "first-frame VP8L decode must equal the still's")
+    assert(reason(animL) == null)
+    val stillV = Vp8Vectors.vp8Webp_tiny
+    val vp8Chunk = stillV.drop(12)
+    val animV = riff(vp8x ++ anim ++ chunk("ANMF", anmfHdr ++ vp8Chunk))
+    assert(java.util.Arrays.equals(luma(animV), luma(stillV)),
+      "first-frame VP8 decode must equal the still's")
+    assert(reason(animV) == null)
+    // metadata-only extended file: sound chunks, no image data anywhere
+    val metaOnly = riff(vp8x ++ anim)
+    assert(reason(metaOnly) == "unsupported_profile")
+    // an ANMF too small to hold any image sub-chunk, and one whose
+    // payload is junk sub-chunks: structural damage, not a profile
+    val anmfTiny = riff(vp8x ++ anim ++ chunk("ANMF", new Array[Byte](16)))
+    assert(reason(anmfTiny) == "corrupt")
+    val anmfJunk = riff(vp8x ++ anim ++
+      chunk("ANMF", anmfHdr ++ chunk("JUNK", Array[Byte](1, 2, 3, 4))))
+    assert(reason(anmfJunk) == "corrupt")
+  }
+
   test("webpDecodeLuma nulls off contract, never throws: lossy, truncated, junk, version, dims") {
     val px = rgbPix(6, 3)
     val good = Seq(Tuple1(px)).toDF("px")
