@@ -244,6 +244,68 @@ object Bench {
     (med > UniformDriftFactor, med)
   }
 
+  /** Cap on rerun names inlined in the compact stdout line. The r15 driver
+    * run launched at ambient 4.19 (residue of its own correctness pass), so
+    * ALL 174 queries re-measured and all 174 names landed in the compact
+    * line's `rerun` array — blowing the one-line JSON past the driver's
+    * bounded tail window (`parsed: null`). The compact line now carries
+    * `rerun_count` (the true total) plus at most this many names; the full
+    * list stays in BENCH.json. */
+  private[graft] val RerunInlineCap = 5
+
+  /** The ONE stdout line. Every field is bounded regardless of suite size:
+    * `queries` holds at most 15 entries (top by median, stated via
+    * `queries_included`/`queries_total`), `rerun` at most [[RerunInlineCap]]
+    * names with `rerun_count` carrying the true total, and everything else
+    * is scalar — so a full-suite rerun (the r15 failure) emits the same
+    * ≤2 KB shape as a clean run. BenchGateSpec pins the worst-case length. */
+  private[graft] def compactLine(
+      total: Double,
+      topQueries: Seq[(String, Double)],
+      queriesTotal: Int,
+      sfDir: String,
+      contaminated: Boolean,
+      uniformDrift: Boolean,
+      paceRatio: Double,
+      rerunNames: Seq[String],
+      reps: Int,
+      subset: Boolean,
+      failed: Int,
+      settleSec: Double): String = {
+    def fmt(d: Double) = f"$d%.4f"
+    val qsTop = topQueries.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val rerunInline = rerunNames.take(RerunInlineCap)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQueries.size},"queries_total":$queriesTotal,"sf":"$sfDir","contaminated":$contaminated,"uniform_drift":$uniformDrift,"pace_vs_reference":${fmt(paceRatio)},"rerun_count":${rerunNames.size},"rerun":$rerunInline,"reps":$reps,"subset":$subset,"failed":$failed,"settle_sec":${fmt(settleSec)},"full":"BENCH.json"}"""
+  }
+
+  /** Bounded pre-bench settle: poll the 1-min loadavg until it drops under
+    * the contamination cap or `maxSec` elapses, and return (finalAmbient,
+    * waitedSec). The driver launches the bench immediately after its
+    * correctness run, so the loadavg it inherits is residue of work that
+    * already FINISHED — every r13–r15 driver record self-stamped
+    * `contaminated` on that residue alone while both canaries read clean.
+    * Waiting out the decay (loadavg halves ~every minute once idle) turns
+    * those launches into formally-clean records; the wait is recorded as
+    * `settle_sec` so the report shows it happened. */
+  private[graft] def settleAmbient(
+      cap: Double,
+      maxSec: Double,
+      sample: () => Double = loadavg1,
+      sleepMs: Long = 5000): (Double, Double) = {
+    val start = System.nanoTime()
+    var ambient = sample()
+    def waited = (System.nanoTime() - start) / 1e9
+    while (ambient > cap && waited < maxSec) {
+      System.err.println(
+        f"[bench] settling: ambient loadavg $ambient%.2f > cap $cap%.1f — waiting (${waited}%.0f s / ${maxSec}%.0f s max)")
+      Thread.sleep(sleepMs)
+      ambient = sample()
+    }
+    (ambient, waited)
+  }
+
   def main(args: Array[String]): Unit = {
     // r12 delivery escalation (six rounds of `parsed: null` driver
     // artifacts despite a complete sub-2KB line in the tail): make the
@@ -265,7 +327,13 @@ object Bench {
     // on an idle box). Per-query samples stay in the JSON for post-hoc
     // reads; the per-query contamination signal is the rep SPREAD, which
     // is internal evidence and immune to self-load.
-    val ambient = loadavg1()
+    //
+    // r16: settle first — the driver launches this main right after its
+    // correctness run, and the inherited loadavg residue stamped every
+    // r13–r15 driver record `contaminated` despite clean canaries. Bounded
+    // wait, default 180 s, SPARK_GRAFT_BENCH_SETTLE_MAX=0 disables.
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MAX", "180").toDouble
+    val (ambient, settleSec) = settleAmbient(AmbientLoadCap, settleMax)
     // builder-side fast iteration: a comma-separated subset of query names
     // (the driver never sets this, so its per-round bench stays complete)
     val only: Option[Set[String]] =
@@ -457,7 +525,7 @@ object Bench {
         f"[bench] UNIFORM DRIFT: shared-cohort median ${paceRatio}%.3fx the committed " +
           f"pace reference (cap ${UniformDriftFactor}%.2fx) — the whole cohort moved " +
           "together, the machine-state signature; treat per-query timings as suspect")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size},"settle_sec":${fmt(settleSec)}}"""
     // Parse-proof delivery (ten rounds of `parsed: null` driver artifacts):
     // the full record goes to a FILE the driver/judge can always read, and
     // stdout gets EXACTLY ONE JSON line — the compact one, printed AFTER
@@ -475,9 +543,19 @@ object Bench {
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
     val topQ = results.sortBy { case (_, s, _, _) => -s.median }.take(15)
-    val qsTop = topQ.map { case (k, s, _, _) => "\"" + k + "\":" + fmt(s.median) }
-      .mkString("{", ",", "}")
-    val compactJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQ.size},"queries_total":${results.size},"sf":"$sfDir","contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"rerun":$reruns,"reps":$reps,"subset":${only.isDefined},"failed":${failures.size},"full":"BENCH.json"}"""
+    val compactJson = compactLine(
+      total = total,
+      topQueries = topQ.map { case (k, s, _, _) => k -> s.median },
+      queriesTotal = results.size,
+      sfDir = sfDir,
+      contaminated = contaminated,
+      uniformDrift = uniformDriftStamp,
+      paceRatio = paceRatio,
+      rerunNames = results.collect { case (k, _, true, _) => k },
+      reps = reps,
+      subset = only.isDefined,
+      failed = failures.size,
+      settleSec = settleSec)
     spark.stop()
     realOut.println(compactJson)
     realOut.flush()

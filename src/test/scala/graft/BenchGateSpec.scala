@@ -157,4 +157,54 @@ class BenchGateSpec extends AnyFunSuite {
     val missing = ScalingCurve.Targets.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"unknown scaling targets: $missing")
   }
+
+  test("compact line stays bounded under a full-suite rerun (r15 parsed:null)") {
+    // the exact r15 failure replayed: every registered query flagged
+    // suspicious (ambient residue > loadCap), so every name lands in the
+    // rerun list. The compact stdout line must stay one parseable ≤2 KB
+    // object no matter the suite size — names are inlined only up to
+    // RerunInlineCap; the true count travels as rerun_count.
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    assert(allNames.size >= 170, "registry shrank; the scenario lost its teeth")
+    val top15 = allNames.take(15).map(_ -> 123.4567)
+    val line = Bench.compactLine(
+      total = 9999.9, topQueries = top15, queriesTotal = allNames.size,
+      sfDir = "/root/testdata/sf0.1", contaminated = false,
+      uniformDrift = false, paceRatio = 0.95, rerunNames = allNames,
+      reps = 3, subset = false, failed = 0, settleSec = 42.0)
+    assert(!line.contains("\n"))
+    assert(line.length <= 2048, s"compact line ${line.length} chars > 2048")
+    assert(line.contains(s""""rerun_count":${allNames.size}"""))
+    // the inline list is capped, and the cap is visible in the JSON shape
+    val rerunField = line.split("\"rerun\":\\[")(1).split("\\]")(0)
+    assert(rerunField.split(",").length == Bench.RerunInlineCap)
+    // balanced braces/brackets — the crude structural check a tail-window
+    // parser needs (no partial object can satisfy it)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(line.startsWith("{") && line.endsWith("}"))
+  }
+
+  test("settleAmbient waits out loadavg residue and gives up at the bound") {
+    // decaying residue: 4.2 → 2.8 → 1.1 (the driver-launch shape); the
+    // settle loop must return the first under-cap sample and a positive wait
+    val decay = Iterator(4.2, 2.8, 1.1)
+    val (a1, w1) = Bench.settleAmbient(cap = 2.0, maxSec = 60.0,
+      sample = () => decay.next(), sleepMs = 1)
+    assert(a1 == 1.1 && w1 > 0.0)
+    // already clean: no wait, no extra samples drawn
+    var draws = 0
+    val (a2, w2) = Bench.settleAmbient(cap = 2.0, maxSec = 60.0,
+      sample = () => { draws += 1; 0.3 }, sleepMs = 1)
+    assert(a2 == 0.3 && draws == 1 && w2 < 1.0)
+    // never-settling load: gives up at the bound and reports the hot value
+    // honestly (the contamination stamp then fires downstream as before)
+    val (a3, w3) = Bench.settleAmbient(cap = 2.0, maxSec = 0.02,
+      sample = () => 9.9, sleepMs = 1)
+    assert(a3 == 9.9 && w3 >= 0.02)
+    // settle disabled (maxSec 0): single sample, immediate return
+    val (a4, _) = Bench.settleAmbient(cap = 2.0, maxSec = 0.0,
+      sample = () => 9.9, sleepMs = 1)
+    assert(a4 == 9.9)
+  }
 }
