@@ -1,22 +1,114 @@
 #!/usr/bin/env python3
-"""MPEG Audio Layer III decode prototype (MPEG-1 + MPEG-2 LSF, mono focus).
+"""MPEG Audio Layer III decode prototype (MPEG-1 + MPEG-2 LSF), the
+authoring ground for the Scala port in graft/functions/Native.scala.
 
-Validation stance (the VP8 method, adapted): no MP3 library ships in this
-sandbox, so ground truth is (a) the ISO 11172-3 / 13818-3 bitstream
-GRAMMAR, which is exactly self-checking — every granule's scalefactor +
-Huffman read must consume exactly `part2_3_length` bits, an invariant a
-wrong Huffman table essentially cannot survive across a real encoder's
-stream — and (b) the one real encoder-produced stream on the box
-(google-cloud-sdk's gsutil test asset, 45 frames of 22.05 kHz mono LSF).
-
-This prototype is the authoring ground for the Scala port: tables are
-validated here (Kraft equality + prefix-freeness + stream consumption),
-then emitted into Scala/oracle-SQL by tools/gen_mp3_tables.py.
+Validation stance (the VP8 method, adapted to a box with no MP3 library):
+  1. Huffman + scalefactor layer: the bitstream grammar is self-checking —
+     every granule must consume exactly `part2_3_length` bits; tables are
+     machine-validated (Kraft + prefix, tools/mp3_tables.py).
+  2. Synthesis window: the 513-point integer prototype is validated by the
+     NEAR-PERFECT-RECONSTRUCTION property of the ISO polyphase filterbank:
+     analysis→synthesis of random PCM reconstructs the input at 46.6 dB —
+     the spec design's own amplitude-ripple floor — at the canonical
+     481-sample system delay, while every wrong sign/mirror construction
+     scores under 10 dB. A per-64-block smoothness screen (2nd-difference
+     outliers) rules out isolated transcription typos; single-ulp
+     (1/65536) errors sit ~50 dB below the ripple floor, are inaudible by
+     construction, and are documented as the residual uncertainty.
+  3. The one real encoder stream on the box (gsutil's 45-frame LSF mono
+     test asset) pins frame geometry, side info, and the bit reservoir —
+     it is digital silence, so its decode must be EXACTLY zero.
+  4. decode(encode(fixture)) equality against an independent straight-
+     from-the-formula recompute (mirroring the DuckDB oracle SQL).
 """
+import math
 import sys
+
+from mp3_tables import TABLES, COUNT1, validate_all
 
 TEST_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
 
+# ---------------------------------------------------------------- tables
+
+# Scalefactor-band widths (long / short), per sample rate. Sums asserted.
+SFB_LONG = {
+    44100: [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42, 50, 54, 76, 158],
+    48000: [4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34, 40, 46, 54, 54, 192],
+    32000: [4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46, 56, 68, 84, 102, 26],
+    22050: [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54],
+    24000: [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46, 52, 64, 70, 76, 36],
+    16000: [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54],
+}
+SFB_SHORT = {
+    44100: [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56],
+    48000: [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66],
+    32000: [4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12],
+    22050: [4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18],
+    24000: [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12],
+    16000: [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18],
+}
+for hz, w in SFB_LONG.items():
+    assert sum(w) == 576 and len(w) == 22, (hz, sum(w))
+for hz, w in SFB_SHORT.items():
+    assert sum(w) == 192 and len(w) == 13, (hz, sum(w))
+
+SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
+SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3]
+
+# linbits per escape table id (16..31); decode REFUSES these (table data
+# not carried — see mp3_tables.py), kept for classification only.
+LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+           24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
+
+# Alias-reduction butterfly constants: ci published by the spec; cs/ca are
+# derived once here and emitted as shared literals into the Scala/SQL pair.
+ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+ALIAS_CS = [1.0 / math.sqrt(1.0 + c * c) for c in ALIAS_C]
+ALIAS_CA = [c / math.sqrt(1.0 + c * c) for c in ALIAS_C]
+
+# Synthesis-window prototype, integer form (x 1/65536), half 0..256; the
+# full 512-tap window is the mirror extension selected by the PR test.
+WIN_BASE = [
+    0, -1, -1, -1, -1, -1, -1, -2, -2, -2, -2, -3, -3, -4, -4, -5,
+    -5, -6, -7, -7, -8, -9, -10, -11, -13, -14, -16, -17, -19, -21, -24, -26,
+    -29, -31, -35, -38, -41, -45, -49, -53, -58, -63, -68, -73, -79, -85, -91, -97,
+    -104, -111, -117, -125, -132, -139, -147, -154, -161, -169, -176, -183, -190, -196, -202, -208,
+    213, 218, 222, 225, 227, 228, 228, 227, 224, 221, 215, 208, 200, 189, 177, 163,
+    146, 127, 106, 83, 57, 29, -2, -36, -72, -111, -153, -197, -244, -294, -347, -401,
+    -459, -519, -581, -645, -711, -779, -848, -919, -991, -1064, -1137, -1210, -1283, -1356, -1428, -1498,
+    -1567, -1634, -1698, -1759, -1817, -1870, -1919, -1962, -2001, -2032, -2057, -2075, -2085, -2087, -2080, -2063,
+    -2037, -2000, -1952, -1893, -1822, -1739, -1644, -1535, -1414, -1280, -1131, -970, -794, -605, -402, -185,
+    45, 288, 545, 814, 1095, 1388, 1692, 2006, 2330, 2663, 3004, 3351, 3705, 4063, 4425, 4788,
+    5153, 5517, 5879, 6237, 6589, 6935, 7271, 7597, 7910, 8209, 8491, 8755, 8998, 9219, 9416, 9585,
+    9727, 9838, 9916, 9959, 9966, 9935, 9863, 9750, 9592, 9389, 9139, 8840, 8492, 8092, 7640, 7134,
+    6574, 5959, 5288, 4561, 3776, 2935, 2037, 1082, 70, -998, -2122, -3300, -4533, -5818, -7154, -8540,
+    -9975, -11455, -12980, -14548, -16155, -17799, -19478, -21189, -22929, -24694, -26482, -28289, -30112, -31947,
+    -33791, -35640,
+    -37489, -39336, -41176, -43006, -44821, -46617, -48390, -50137, -51853, -53534, -55178, -56778, -58333, -59838,
+    -61289, -62684,
+    -64019, -65290, -66494, -67629, -68692, -69679, -70590, -71420, -72169, -72835, -73415, -73908, -74313, -74630,
+    -74856, -74992,
+    -75038,
+]
+assert len(WIN_BASE) == 257, len(WIN_BASE)
+
+
+def d_window():
+    """512-tap synthesis window, the construction SELECTED BY the
+    perfect-reconstruction grid search (46.6 dB round-trip SNR at the
+    canonical 481-sample delay — the spec design's own amplitude-ripple
+    floor; every wrong sign/mirror variant scores < 10 dB):
+    D[i] = (-1)^(i div 64) * mirror(base)[i] / 65536, with the analysis
+    window C = D/32. Validated as a unit with SynthIso's index shuffle."""
+    d = [0.0] * 512
+    for i in range(512):
+        h = WIN_BASE[i] if i <= 256 else WIN_BASE[512 - i]
+        d[i] = (h if (i // 64) % 2 == 0 else -h) / 65536.0
+    return d
+
+
+# ------------------------------------------------------- bit I/O helpers
 
 class Bits:
     def __init__(self, data, pos_bits=0):
@@ -32,23 +124,43 @@ class Bits:
         return v
 
 
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes_padded(self):
+        bs = bytearray()
+        bits = self.bits + [0] * ((8 - len(self.bits) % 8) % 8)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            bs.append(b)
+        return bytes(bs)
+
+
+# ------------------------------------------------------------ frame walk
+
 BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
 SR_V1 = [44100, 48000, 32000, 0]
 SR_V2 = [22050, 24000, 16000, 0]
-SR_V25 = [11025, 12000, 8000, 0]
 
 
 def parse_header(h):
-    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+    if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         return None
-    ver = (h[1] >> 3) & 3      # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    ver = (h[1] >> 3) & 3      # 3=MPEG1, 2=MPEG2(LSF), 0=MPEG2.5(refused)
     layer = (h[1] >> 1) & 3    # 1 = Layer III
-    prot = h[1] & 1            # 0 = CRC present
+    prot = h[1] & 1
     br = (h[2] >> 4) & 15
     sr = (h[2] >> 2) & 3
     pad = (h[2] >> 1) & 1
-    mode = (h[3] >> 6) & 3     # 3 = mono
+    mode = (h[3] >> 6) & 3
     mode_ext = (h[3] >> 4) & 3
     if layer != 1 or br in (0, 15) or sr == 3 or ver == 1:
         return None
@@ -57,10 +169,10 @@ def parse_header(h):
     elif ver == 2:
         kbps, hz, spf = BITRATE_V2_L3[br], SR_V2[sr], 576
     else:
-        kbps, hz, spf = BITRATE_V2_L3[br], SR_V25[sr], 576
+        return None  # MPEG-2.5: refused
     flen = (spf // 8) * kbps * 1000 // hz + pad
     return dict(ver=ver, prot=prot, kbps=kbps, hz=hz, pad=pad, mode=mode,
-                mode_ext=mode_ext, flen=flen, spf=spf, sr_idx=sr)
+                mode_ext=mode_ext, flen=flen, spf=spf)
 
 
 def frames_of(data):
@@ -80,8 +192,6 @@ def frames_of(data):
 
 
 def side_info(data, h):
-    """Parse side info; returns (main_data_begin, granules) where each granule
-    is a per-channel dict list."""
     off = h["off"] + 4 + (0 if h["prot"] else 2)
     nch = 1 if h["mode"] == 3 else 2
     b = Bits(data, off * 8)
@@ -110,48 +220,666 @@ def side_info(data, h):
                 g["mixed"] = b.read(1)
                 g["table_select"] = [b.read(5), b.read(5)]
                 g["subblock_gain"] = [b.read(3) for _ in range(3)]
-                g["region0_count"] = 7 if g["block_type"] != 2 or g["mixed"] else 7
-                g["region1_count"] = 20 - g["region0_count"]
             else:
                 g["block_type"] = 0
                 g["mixed"] = 0
                 g["table_select"] = [b.read(5), b.read(5), b.read(5)]
                 g["region0_count"] = b.read(4)
                 g["region1_count"] = b.read(3)
-            if h["ver"] == 3:
-                g["preflag"] = b.read(1)
+            g["preflag"] = b.read(1) if h["ver"] == 3 else 0
             g["scalefac_scale"] = b.read(1)
             g["count1table_select"] = b.read(1)
             chs.append(g)
         grs.append(chs)
     si_bytes = (17 if nch == 1 else 32) if h["ver"] == 3 else (9 if nch == 1 else 17)
-    assert (b.p - off * 8) == si_bytes * 8, (b.p - off * 8, si_bytes * 8)
+    assert (b.p - off * 8) == si_bytes * 8
     return mdb, scfsi, grs, off + si_bytes
 
 
+# -------------------------------------------------------- scalefactors
+
+def lsf_slen_nr(scalefac_compress, block_type, mixed):
+    """LSF (13818-3) scalefactor partitioning for non-intensity channels."""
+    blocknumber = 0 if block_type != 2 else (2 if mixed else 1)
+    sfc = scalefac_compress
+    if sfc < 400:
+        slen = [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4]
+        nr = [[6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]][blocknumber]
+        preflag = 0
+    elif sfc < 500:
+        v = sfc - 400
+        slen = [(v >> 2) // 5, (v >> 2) % 5, v % 4, 0]
+        nr = [[6, 5, 7, 3], [9, 9, 12, 6], [6, 9, 12, 6]][blocknumber]
+        preflag = 0
+    else:
+        v = sfc - 500
+        slen = [v // 3, v % 3, 0, 0]
+        nr = [[11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]][blocknumber]
+        preflag = 1
+    return slen, nr, preflag
+
+
+def read_scalefacs(b, g, ver, scfsi_ch, gr, prev_long):
+    """Returns (sf_long[22] or sf_short[13][3], preflag, bits_read)."""
+    p0 = b.p
+    if g["block_type"] == 2 and g["wsf"] and not g["mixed"]:
+        if ver == 3:
+            s1, s2 = SLEN1[g["scalefac_compress"]], SLEN2[g["scalefac_compress"]]
+            sf = [[0] * 3 for _ in range(13)]
+            for sfb in range(6):
+                for w in range(3):
+                    sf[sfb][w] = b.read(s1)
+            for sfb in range(6, 12):
+                for w in range(3):
+                    sf[sfb][w] = b.read(s2)
+            return sf, g["preflag"], b.p - p0
+        else:
+            slen, nr, preflag = lsf_slen_nr(g["scalefac_compress"], 2, 0)
+            sf = [[0] * 3 for _ in range(13)]
+            idx = 0
+            flat = []
+            for part in range(4):
+                for _ in range(nr[part]):
+                    flat.append(b.read(slen[part]))
+            for sfb in range(12):
+                for w in range(3):
+                    sf[sfb][w] = flat[idx]
+                    idx += 1
+            return sf, preflag, b.p - p0
+    # long blocks
+    sf = [0] * 22
+    if ver == 3:
+        s1, s2 = SLEN1[g["scalefac_compress"]], SLEN2[g["scalefac_compress"]]
+        groups = [(0, 6, s1), (6, 11, s1), (11, 16, s2), (16, 21, s2)]
+        for gi, (a, z, sl) in enumerate(groups):
+            if gr == 1 and scfsi_ch[gi]:
+                for sfb in range(a, z):
+                    sf[sfb] = prev_long[sfb]
+            else:
+                for sfb in range(a, z):
+                    sf[sfb] = b.read(sl)
+        return sf, g["preflag"], b.p - p0
+    else:
+        slen, nr, preflag = lsf_slen_nr(g["scalefac_compress"], g["block_type"], g["mixed"])
+        sfb = 0
+        for part in range(4):
+            for _ in range(nr[part]):
+                sf[sfb] = b.read(slen[part])
+                sfb += 1
+        return sf, preflag, b.p - p0
+
+
+# ------------------------------------------------------- huffman decode
+
+def build_decode_map(tid):
+    nx, ny, ls, cs = TABLES[tid]
+    m = {}
+    for x in range(nx):
+        for y in range(ny):
+            i = x * ny + y
+            m[(ls[i], cs[i])] = (x, y)
+    return m, max(ls)
+
+
+DECODE_MAPS = {tid: build_decode_map(tid) for tid in TABLES}
+COUNT1_MAPS = {}
+for tid, (ls, cs) in COUNT1.items():
+    m = {}
+    for i in range(16):
+        m[(ls[i], cs[i])] = i
+    COUNT1_MAPS[tid] = (m, max(ls))
+
+
+class UnsupportedStream(Exception):
+    pass
+
+
+def huff_symbol(b, m, maxlen, limit):
+    l, c = 0, 0
+    while l < maxlen:
+        if b.p >= limit:
+            raise UnsupportedStream("huffman_overrun")
+        c = (c << 1) | b.read(1)
+        l += 1
+        if (l, c) in m:
+            return m[(l, c)]
+    raise UnsupportedStream("huffman_desync")
+
+
+def region_boundaries(g, hz, ver):
+    """Start line of region1 and region2 for big_values decode."""
+    widths = SFB_LONG[hz]
+    bounds = [0]
+    for w in widths:
+        bounds.append(bounds[-1] + w)
+    if g["wsf"]:
+        r1 = 36
+        r2 = 576
+    else:
+        r1 = bounds[g["region0_count"] + 1]
+        r2 = bounds[min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)]
+    return r1, r2
+
+
+def huffman_decode(b, g, hz, ver, limit):
+    """Decode 576 spectral ints; returns (is_[576], count1_lines)."""
+    is_ = [0] * 576
+    r1, r2 = region_boundaries(g, hz, ver)
+    nbig = g["big_values"] * 2
+    i = 0
+    while i < nbig:
+        region = 0 if i < r1 else (1 if i < r2 else 2)
+        tid = g["table_select"][region] if region < len(g["table_select"]) else 0
+        if tid == 0:
+            i += 2
+            continue
+        if tid in LINBITS or tid not in TABLES:
+            raise UnsupportedStream(f"huffman_table_unvalidated_{tid}")
+        m, ml = DECODE_MAPS[tid]
+        x, y = huff_symbol(b, m, ml, limit)
+        for v in (x, y):
+            if i < 576:
+                if v != 0 and b.p < limit:
+                    s = b.read(1)
+                    is_[i] = -v if s else v
+                else:
+                    is_[i] = v
+            i += 1
+    # count1
+    m, ml = COUNT1_MAPS[g["count1table_select"]]
+    while b.p < limit and i + 4 <= 576:
+        q = huff_symbol(b, m, ml, limit)
+        vals = [(q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1]
+        for v in vals:
+            if v and b.p < limit:
+                s = b.read(1)
+                is_[i] = -1 if s else 1
+            else:
+                is_[i] = v
+            i += 1
+    return is_, i
+
+
+# -------------------------------------------------- requantize & friends
+
+POW43 = [v ** (4.0 / 3.0) for v in range(16)]
+
+
+def requantize(is_, g, sf, preflag, hz, ver):
+    xr = [0.0] * 576
+    gain = g["global_gain"] - 210
+    sfs_mult = 0.5 * (1 + g["scalefac_scale"])
+    if g["block_type"] == 2 and g["wsf"] and not g["mixed"]:
+        widths = SFB_SHORT[hz]
+        i = 0
+        for sfb in range(13):
+            for w in range(3):
+                for _ in range(widths[sfb]):
+                    if i >= 576:
+                        break
+                    v = is_[i]
+                    if v:
+                        e = 0.25 * (gain - 8 * g["subblock_gain"][w]) \
+                            - sfs_mult * (sf[min(sfb, 12)][w] if sfb < 13 else 0)
+                        mag = POW43[abs(v)] * (2.0 ** e)
+                        xr[i] = -mag if v < 0 else mag
+                    i += 1
+        return xr
+    widths = SFB_LONG[hz]
+    bounds = [0]
+    for w in widths:
+        bounds.append(bounds[-1] + w)
+    sfb = 0
+    for i in range(576):
+        if i >= bounds[sfb + 1] and sfb < 21:
+            sfb += 1
+        v = is_[i]
+        if v:
+            pre = PRETAB[sfb] if preflag else 0
+            e = 0.25 * gain - sfs_mult * (sf[sfb] + pre)
+            mag = POW43[abs(v)] * (2.0 ** e)
+            xr[i] = -mag if v < 0 else mag
+    return xr
+
+
+def reorder_short(xr, hz):
+    out = [0.0] * 576
+    widths = SFB_SHORT[hz]
+    src = 0
+    start = 0
+    for sfb in range(13):
+        w = widths[sfb]
+        for win in range(3):
+            for k in range(w):
+                out[3 * (start + k) + win] = xr[src]
+                src += 1
+        start += w
+    return out
+
+
+def alias_reduce(xr, block_type, mixed):
+    nb = 32 if block_type != 2 else (1 if mixed else 0)
+    for sb in range(1, nb):
+        for i in range(8):
+            a = xr[18 * sb - 1 - i]
+            bv = xr[18 * sb + i]
+            xr[18 * sb - 1 - i] = a * ALIAS_CS[i] - bv * ALIAS_CA[i]
+            xr[18 * sb + i] = bv * ALIAS_CS[i] + a * ALIAS_CA[i]
+    return xr
+
+
+COS_L = [[math.cos(math.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
+          for k in range(18)] for n in range(36)]
+COS_S = [[math.cos(math.pi / 24.0 * (2 * n + 1 + 6) * (2 * k + 1))
+          for k in range(6)] for n in range(12)]
+WIN_L = [math.sin(math.pi / 36.0 * (n + 0.5)) for n in range(36)]
+WIN_S = [math.sin(math.pi / 12.0 * (n + 0.5)) for n in range(12)]
+WIN_START = [math.sin(math.pi / 36.0 * (n + 0.5)) if n < 18 else
+             (1.0 if n < 24 else
+              (math.sin(math.pi / 12.0 * (n - 18 + 0.5)) if n < 30 else 0.0))
+             for n in range(36)]
+WIN_STOP = [0.0 if n < 6 else
+            (math.sin(math.pi / 12.0 * (n - 6 + 0.5)) if n < 12 else
+             (1.0 if n < 18 else math.sin(math.pi / 36.0 * (n + 0.5))))
+            for n in range(36)]
+
+
+def imdct_block(xr18, block_type):
+    if block_type == 2:
+        out = [0.0] * 36
+        for win in range(3):
+            for n in range(12):
+                s = 0.0
+                for k in range(6):
+                    s += xr18[3 * k + win] * COS_S[n][k]
+                out[6 + 12 * win + n] += s * WIN_S[n]
+        return out
+    w = {0: WIN_L, 1: WIN_START, 3: WIN_STOP}[block_type]
+    out = [0.0] * 36
+    for n in range(36):
+        s = 0.0
+        for k in range(18):
+            s += xr18[k] * COS_L[n][k]
+        out[n] = s * w[n]
+    return out
+
+
+NCOS = [[math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
+         for k in range(32)] for i in range(64)]
+
+
+class SynthIso:
+    """Literal ISO flow: shift V by 64 each slot, build U via the published
+    index shuffle, window by D, sum 16 taps. Kept as the reference shape
+    the Scala port mirrors."""
+
+    def __init__(self, dwin):
+        self.v = [0.0] * 1024
+        self.d = dwin
+
+    def slot(self, s32):
+        self.v = [0.0] * 64 + self.v[:960]
+        for i in range(64):
+            acc = 0.0
+            for k in range(32):
+                acc += NCOS[i][k] * s32[k]
+            self.v[i] = acc
+        u = [0.0] * 512
+        for i in range(8):
+            for j in range(32):
+                u[i * 64 + j] = self.v[i * 128 + j]
+                u[i * 64 + 32 + j] = self.v[i * 128 + 96 + j]
+        pcm = [0.0] * 32
+        for j in range(32):
+            acc = 0.0
+            for i in range(16):
+                acc += u[j + 32 * i] * self.d[j + 32 * i]
+            pcm[j] = acc
+        return pcm
+
+
+# -------------------------------------------------------------- decoder
+
+class Mp3Decoder:
+    def __init__(self):
+        self.store = bytearray()
+        self.overlap = [[0.0] * 18 for _ in range(32)]
+        self.synth = SynthIso(d_window())
+        self.granule_log = []
+
+    def decode_granule(self, b, g, scfsi_ch, gr, hz, ver, prev_sf):
+        limit = b.p + g["part2_3_length"]
+        sf, preflag, sfbits = read_scalefacs(b, g, ver, scfsi_ch, gr, prev_sf)
+        is_, nlines = huffman_decode(b, g, hz, ver, limit)
+        consumed = b.p - (limit - g["part2_3_length"])
+        self.granule_log.append((consumed, g["part2_3_length"]))
+        if b.p > limit:
+            raise UnsupportedStream("part2_3_overrun")
+        b.p = limit  # spec: discard stuffing up to part2_3_length
+        xr = requantize(is_, g, sf, preflag, hz, ver)
+        if g["block_type"] == 2 and g["wsf"] and not g["mixed"]:
+            xr = reorder_short(xr, hz)
+        xr = alias_reduce(xr, g["block_type"] if g["wsf"] else 0, g["mixed"])
+        # per-subband IMDCT + window + overlap-add + frequency inversion
+        out = [0.0] * 576
+        for sb in range(32):
+            block = imdct_block(xr[18 * sb:18 * sb + 18],
+                                g["block_type"] if g["wsf"] else 0)
+            for n in range(18):
+                v = block[n] + self.overlap[sb][n]
+                self.overlap[sb][n] = block[n + 18]
+                if sb % 2 == 1 and n % 2 == 1:
+                    v = -v
+                out[576 - 576 + 18 * 0 + 0] = out[0]  # no-op, clarity anchor
+                out[n * 32 + sb] = v  # time-major for synthesis slots
+        pcm = []
+        for s in range(18):
+            pcm.extend(self.synth.slot(out[32 * s:32 * s + 32]))
+        return pcm, sf
+
+    def decode(self, data, max_frames=None):
+        """Mono decode -> list of float PCM in [-1,1]."""
+        frames = frames_of(data)
+        if max_frames:
+            frames = frames[:max_frames]
+        pcm = []
+        for h in frames:
+            if h["mode"] != 3:
+                raise UnsupportedStream("stereo_unsupported_in_proto")
+            mdb, scfsi, grs, main_off = side_info(data, h)
+            main = data[main_off:h["off"] + h["flen"]]
+            if mdb > len(self.store):
+                # reservoir underrun (stream start): emit silence for frame
+                self.store.extend(main)
+                self.store = self.store[-2880:]
+                pcm.extend([0.0] * (576 * len(grs)))
+                continue
+            start_bit = (len(self.store) - mdb) * 8
+            buf = bytes(self.store) + bytes(main)
+            b = Bits(buf, start_bit)
+            prev_sf = [0] * 22
+            for gr, chs in enumerate(grs):
+                g = chs[0]
+                out, prev_sf = self.decode_granule(
+                    b, g, scfsi[0], gr, h["hz"], h["ver"], prev_sf)
+                pcm.extend(out)
+            self.store.extend(main)
+            self.store = self.store[-2880:]
+        return pcm
+
+
+# ------------------------------------------------------ fixture encoder
+
+def huff_encode_pair(bw, tid, x, y):
+    nx, ny, ls, cs = TABLES[tid]
+    assert 0 <= abs(x) < nx and 0 <= abs(y) < ny, (tid, x, y)
+    i = abs(x) * ny + abs(y)
+    bw.write(cs[i], ls[i])
+    if x != 0:
+        bw.write(1 if x < 0 else 0, 1)
+    if y != 0:
+        bw.write(1 if y < 0 else 0, 1)
+
+
+def encode_granule_v1(spec):
+    """Main-data bits for one MPEG-1 mono long-block granule.
+
+    spec: dict with scalefacs (21 ints honoring slen), scalefac_compress,
+    values (list of spectral ints, len even, |v| within chosen tables),
+    table_select (3), region0_count, region1_count, count1_zero_quads,
+    global_gain, scalefac_scale. Returns (bits_list, side_fields)."""
+    bw = BitWriter()
+    s1, s2 = SLEN1[spec["scalefac_compress"]], SLEN2[spec["scalefac_compress"]]
+    for sfb in range(11):
+        bw.write(spec["scalefacs"][sfb], s1)
+    for sfb in range(11, 21):
+        bw.write(spec["scalefacs"][sfb], s2)
+    vals = spec["values"]
+    assert len(vals) % 2 == 0
+    g = dict(big_values=len(vals) // 2, table_select=spec["table_select"],
+             region0_count=spec["region0_count"],
+             region1_count=spec["region1_count"], wsf=0)
+    r1, r2 = region_boundaries(g, 44100, 3)
+    for i in range(0, len(vals), 2):
+        region = 0 if i < r1 else (1 if i < r2 else 2)
+        huff_encode_pair(bw, spec["table_select"][region], vals[i], vals[i + 1])
+    # count1: zero quads, 1 bit each under table A ((0,0,0,0) -> len-1 code)
+    for _ in range(spec.get("count1_zero_quads", 0)):
+        ls, cs = COUNT1[0]
+        bw.write(cs[0], ls[0])
+    side = dict(part2_3_length=len(bw.bits), big_values=len(vals) // 2,
+                global_gain=spec["global_gain"],
+                scalefac_compress=spec["scalefac_compress"], wsf=0,
+                block_type=0, mixed=0, table_select=spec["table_select"],
+                region0_count=spec["region0_count"],
+                region1_count=spec["region1_count"], preflag=0,
+                scalefac_scale=spec["scalefac_scale"],
+                count1table_select=0)
+    return bw.bits, side
+
+
+def encode_frames_v1_mono(granule_specs, kbps_idx=9, reservoir_bytes=40):
+    """Real MPEG-1 Layer III mono frames (44.1 kHz) from granule specs
+    (2 per frame). The frames' main data is laid out as one packed stream
+    across frame main regions, the real encoder scheme: frame 0's main
+    data is stuffed to (capacity - R) bytes so every later frame's main
+    data starts R bytes back inside the PREVIOUS frame — an honest
+    nonzero main_data_begin that puts the bit-reservoir walk inside the
+    fixture. reservoir_bytes=0 packs frame-aligned (mdb always 0)."""
+    assert len(granule_specs) % 2 == 0
+    kbps = BITRATE_V1_L3[kbps_idx]
+    flen = 144 * kbps * 1000 // 44100
+    cap = flen - 4 - 17
+    R = reservoir_bytes
+    assert 0 <= R <= min(511, cap - 1)
+    nfr = len(granule_specs) // 2
+    mains = []   # per-frame byte-padded main data (incl. ancillary stuffing)
+    sides = []
+    for f in range(nfr):
+        fs = []
+        bw = BitWriter()
+        for g in range(2):
+            bits, s = encode_granule_v1(granule_specs[2 * f + g])
+            for bit in bits:
+                bw.write(bit, 1)
+            fs.append(s)
+        m = bytearray(bw.bytes_padded())
+        target = (cap - R) if (f == 0 and nfr > 1) else cap
+        assert len(m) <= target, (len(m), target, "fixture overflows frame")
+        m += b"\x00" * (target - len(m))
+        mains.append(bytes(m))
+        sides.append(fs)
+    stream = b"".join(mains)
+    assert len(stream) == nfr * cap - (R if nfr > 1 else 0)
+    stream += b"\x00" * (nfr * cap - len(stream))
+    out = bytearray()
+    consumed = 0  # bytes of `stream` packed into emitted regions
+    offset = 0    # start of frame f's main data within `stream`
+    for f in range(nfr):
+        mdb = consumed - offset if f > 0 else 0
+        assert 0 <= mdb <= 511, mdb
+        offset += len(mains[f]) if f < nfr else 0
+        hdr = bytearray(4)
+        hdr[0] = 0xFF
+        hdr[1] = 0xFB          # MPEG-1 Layer III, no CRC
+        hdr[2] = (kbps_idx << 4) | (0 << 2) | 0
+        hdr[3] = 0xC0          # mono
+        bw = BitWriter()
+        bw.write(mdb, 9)
+        bw.write(0, 5)
+        for _ in range(4):
+            bw.write(0, 1)     # scfsi
+        for s in sides[f]:
+            bw.write(s["part2_3_length"], 12)
+            bw.write(s["big_values"], 9)
+            bw.write(s["global_gain"], 8)
+            bw.write(s["scalefac_compress"], 4)
+            bw.write(s["wsf"], 1)
+            for t in s["table_select"]:
+                bw.write(t, 5)
+            bw.write(s["region0_count"], 4)
+            bw.write(s["region1_count"], 3)
+            bw.write(s["preflag"], 1)
+            bw.write(s["scalefac_scale"], 1)
+            bw.write(s["count1table_select"], 1)
+        si = bw.bytes_padded()
+        assert len(si) == 17, len(si)
+        region = stream[consumed:consumed + cap]
+        consumed += cap
+        out += hdr + si + region
+    return bytes(out)
+
+
+# -------------------------------------------- independent recompute path
+
+def recompute_fixture_pcm(granule_specs):
+    """Straight-from-the-formula recompute of the fixture decode, sharing
+    NOTHING with the decoder's control flow: requantize via closed form,
+    IMDCT via the literal cos matrix, explicit overlap-add, and the
+    synthesis reduced to its (D, NCOS) tap mapping:
+      PCM[32s+j] = sum_{i=0}^{15} D[j+32i] * (NCOS[j+32*(i&1)][0] * S0[s-i])
+    (single nonzero subband 0 by fixture construction). This is the exact
+    algebra the DuckDB oracle SQL restates."""
+    dwin = d_window()
+    widths = SFB_LONG[44100]
+    bounds = [0]
+    for w in widths:
+        bounds.append(bounds[-1] + w)
+    slots = []
+    prev_tail = [0.0] * 18
+    for spec in granule_specs:
+        gain = spec["global_gain"] - 210
+        sfs_mult = 0.5 * (1 + spec["scalefac_scale"])
+        xr = [0.0] * 18
+        for i, v in enumerate(spec["values"]):
+            if v == 0 or i >= 18:
+                continue
+            sfb = next(s for s in range(21) if bounds[s] <= i < bounds[s + 1])
+            e = 0.25 * gain - sfs_mult * spec["scalefacs"][sfb]
+            mag = POW43[abs(v)] * (2.0 ** e)
+            xr[i] = -mag if v < 0 else mag
+        win = [0.0] * 36
+        for n in range(36):
+            s = 0.0
+            for k in range(18):
+                s += xr[k] * COS_L[n][k]
+            win[n] = s * WIN_L[n]
+        for n in range(18):
+            slots.append(win[n] + prev_tail[n])
+        prev_tail = win[18:]
+    pcm = [0.0] * (32 * len(slots))
+    for s in range(len(slots)):
+        for j in range(32):
+            acc = 0.0
+            for i in range(16):
+                t = s - i
+                if t >= 0:
+                    acc += dwin[j + 32 * i] * (NCOS[j + 32 * (i & 1)][0] * slots[t])
+            pcm[32 * s + j] = acc
+    return pcm
+
+
+def fixture_specs(seed=5):
+    import random
+    rng = random.Random(seed)
+    specs = []
+    for g in range(4):
+        sf = [0] * 21
+        for b in range(3):
+            sf[b] = rng.randrange(4)
+        for b in (11, 12):
+            sf[b] = rng.randrange(2)
+        vals = [rng.randrange(-5, 6) for _ in range(10)]
+        specs.append(dict(
+            scalefacs=sf, scalefac_compress=8, values=vals,
+            table_select=[7, 8, 0], region0_count=0, region1_count=1,
+            count1_zero_quads=2, global_gain=210 + 4 * rng.randrange(-2, 3),
+            scalefac_scale=1))
+    return specs
+
+
+def roundtrip_check():
+    specs = fixture_specs()
+    data = encode_frames_v1_mono(specs)
+    dec = Mp3Decoder()
+    pcm = dec.decode(data)
+    exact = sum(1 for c, p in dec.granule_log if c == p)
+    ref = recompute_fixture_pcm(specs)
+    assert len(pcm) == len(ref) == 2304, (len(pcm), len(ref))
+    worst = max(abs(a - b) for a, b in zip(pcm, ref))
+    ok = all(a == b for a, b in zip(pcm, ref))
+    print(f"fixture roundtrip: granules exact {exact}/{len(dec.granule_log)}, "
+          f"decode==recompute bit-identical: {ok} (worst |diff| {worst:.3e})")
+    return ok
+
+
+# ----------------------------------------------------- PR / window tests
+
+def analysis_bank(x, dwin):
+    """ISO analysis filterbank (Layer 1/2/3 shared): C = D/32768-ish; we
+    use C[i] = dwin[i]/32.0 relative scaling so that analysis->synthesis
+    has unit gain (the ISO C table is the same prototype scaled)."""
+    M = [[math.cos((2 * k + 1) * (j - 16) * math.pi / 64.0)
+          for j in range(64)] for k in range(32)]
+    c = [dwin[i] / 32.0 for i in range(512)]
+    fifo = [0.0] * 512
+    out = []
+    for pos in range(0, len(x) - 32 + 1, 32):
+        fifo = x[pos:pos + 32][::-1] + fifo[:480]
+        z = [fifo[i] * c[i] for i in range(512)]
+        y = [sum(z[j + 64 * i] for i in range(8)) for j in range(64)]
+        out.append([sum(M[k][j] * y[j] for j in range(64)) for k in range(32)])
+    return out
+
+
+def pr_snr(n=4096, seed=7):
+    """Reconstruction SNR of analysis->synthesis with the decode window.
+    The spec filterbank is NEAR-perfect-reconstruction: its amplitude
+    ripple floors this metric around ~46 dB; wrong sign/mirror variants
+    score under 10 dB, which is what makes it a construction validator."""
+    import random
+    rng = random.Random(seed)
+    x = [rng.uniform(-1, 1) for _ in range(n)]
+    dwin = d_window()
+    sub = analysis_bank(x, dwin)
+    syn = SynthIso(dwin)
+    y = []
+    for s in sub:
+        y.extend(syn.slot(s))
+    # find best alignment delay and measure SNR
+    best = -1e9
+    for delay in range(0, 600):
+        num = den = 0.0
+        cnt = min(len(y) - delay, len(x)) - 64
+        if cnt < 1000:
+            continue
+        for i in range(cnt):
+            e = y[i + delay] - x[i]
+            num += x[i] * x[i]
+            den += e * e
+        snr = 10 * math.log10(num / den) if den > 0 else 999
+        if snr > best:
+            best, bestd = snr, delay
+    return best, bestd
+
+
 def main():
-    data = open(TEST_MP3, "rb").read()
-    fr = frames_of(data)
-    print(f"{len(fr)} frames; ver={fr[0]['ver']} {fr[0]['kbps']}kbps {fr[0]['hz']}Hz mode={fr[0]['mode']}")
-    from collections import Counter
-    tsel = Counter()
-    bt = Counter()
-    c1t = Counter()
-    mdbs = []
-    for h in fr:
-        mdb, scfsi, grs, _ = side_info(data, h)
-        mdbs.append(mdb)
-        for chs in grs:
-            for g in chs:
-                bt[(g["wsf"], g["block_type"], g["mixed"])] += 1
-                c1t[g["count1table_select"]] += 1
-                nt = 2 if g["wsf"] else 3
-                for t in g["table_select"][:nt]:
-                    tsel[t] += 1
-    print("block types (wsf, bt, mixed):", dict(bt))
-    print("table_select census:", dict(sorted(tsel.items())))
-    print("count1 table:", dict(c1t))
-    print("main_data_begin range:", min(mdbs), max(mdbs), "nonzero:", sum(1 for m in mdbs if m))
+    validate_all()
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd in ("pr", "all"):
+        snr, d = pr_snr()
+        print(f"PR SNR: {snr:.1f} dB (delay {d}); floor of the spec design ~46 dB")
+        assert snr > 40 and d == 481, (snr, d)
+    if cmd in ("fixture", "all"):
+        assert roundtrip_check()
+    if cmd in ("silence", "all"):
+        data = open(TEST_MP3, "rb").read()
+        dec = Mp3Decoder()
+        pcm = dec.decode(data)
+        exact = sum(1 for c, p in dec.granule_log if c == p)
+        mx = max(abs(v) for v in pcm) if pcm else -1
+        print(f"test.mp3: {len(pcm)} samples, max|pcm|={mx}, "
+              f"granules consumed-exact: {exact}/{len(dec.granule_log)}")
 
 
 if __name__ == "__main__":
