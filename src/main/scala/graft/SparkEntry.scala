@@ -1760,12 +1760,25 @@ object SparkEntry {
       val bombGif = unhex(lit(
         "474946383961FFFFFFFF7000002C00000000FFFFFFFF003B"))
       val junk = unhex(md5(col("doc_id").cast("string").cast("binary")))
+      // r16: Layer III mono DECODES now, so the audio/mpeg
+      // unsupported_profile plant must be a real refused profile, not
+      // census junk — a valid one-frame fixture with its mode field
+      // flipped to stereo (the documented Mp3L3 refusal), ID3-wrapped
+      // the way the classifier requires real MP3s to ship
+      val mp3Mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+      val mp3Fix = Multimodal.mp3FixtureEncode(
+        lit((for (g <- 0 until 2; j <- 0 until 16)
+          yield ((g * 31 + 7 * j + 3) % mp3Mods(j)).toByte).toArray), lit(0))
+      val stereoMp3 = concat(
+        lit("ID3".getBytes("US-ASCII")), lit(Array[Byte](3, 0, 0, 0, 0, 0, 0)),
+        substring(mp3Fix, 1, 3), lit(Array[Byte](0x00)),
+        substring(mp3Fix, 5, 1 << 20))
       val media = when(cls === 0, gif)
         .when(cls === 1, substring(gif, 1, 20)) // inside the global palette
         .when(cls === 2, corruptGif)
         .when(cls === 3, noPaletteGif)
         .when(cls === 4, bombGif)
-        .when(cls === 5, concat(lit("ID3".getBytes("US-ASCII")), junk))
+        .when(cls === 5, stereoMp3)
         .when(cls === 6, concat(lit("OggS".getBytes("US-ASCII")), junk))
         .otherwise(concat(unhex(lit("1A45DFA3")), junk))
       Multimodal.decodeDropReport(

@@ -4859,6 +4859,65 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** mp3_decode_wav(BINARY) → BINARY: REAL MPEG Audio Layer III decode
+    * ([[Mp3L3]] — frame walk, side info, bit reservoir, scalefactors,
+    * Huffman decode over the machine-validated table subset, requantize,
+    * alias reduction, IMDCT, polyphase synthesis with the PR-validated
+    * window) re-emitted as the canonical 44-byte-header PCM16 mono WAV,
+    * so the whole WAV tier — [[WavEnvelope]], [[WavPcm16Stats]], audio
+    * near-dup — composes unchanged on MP3 payloads. MPEG-1 and MPEG-2
+    * LSF, mono, long blocks (the fixture surface) plus short/start/stop
+    * windows structurally; typed refusals (never wrong answers) for
+    * stereo/intensity, escape-table streams (Huffman code data that
+    * could not be machine-validated in-sandbox: tools/mp3_tables.py),
+    * MPEG-2.5 and free-format. Unlike FLAC this codec is lossy, so the
+    * oracle pins decode(fixture-encode) against a straight-from-the-
+    * formula SQL recompute over the SAME frozen double constants
+    * ([[Mp3Tables]]) rather than against input bytes. Null, never an
+    * error, off contract. Scale shape: map-side, fuses into the payload
+    * scan, no shuffle. */
+  case class Mp3DecodeWav(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      try Mp3L3.decodeToWav(input.asInstanceOf[Array[Byte]])
+      catch { case NonFatal(_) => null }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** mp3_fixture_encode(BINARY spec, INT variant) → BINARY: a REAL
+    * MPEG-1 Layer III mono stream (44.1 kHz, 128 kbps, long blocks) from
+    * 16-byte-per-granule planted parameters ([[Mp3L3.encodeFixture]]):
+    * global_gain, three band scalefactors plus two slen2 bands, and ten
+    * spectral lines per granule, Huffman-coded over two big-values
+    * regions plus count1 quads, with the frames' main data laid out as
+    * one packed stream so every frame after the first carries an honest
+    * nonzero main_data_begin (the bit-reservoir walk sits inside the
+    * oracled query). The two variants emit byte-DIFFERENT codings of the
+    * SAME spectrum — different table selections (7,8 vs 9,9) and
+    * reservoir layouts — that decode bit-identically, which is what
+    * makes real Layer III decode the only path that can pair them
+    * (dedup_audio_mp3). Fixture builder; production encodes MP3 with a
+    * codec, not Spark. */
+  case class Mp3FixtureEncode(left: Expression, right: Expression)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(spec: Any, varAny: Any): Any = {
+      val v = varAny match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case _ => return null
+      }
+      try Mp3L3.encodeFixture(spec.asInstanceOf[Array[Byte]], v)
+      catch { case NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** flac_decode_wav(BINARY) → BINARY: REAL FLAC frame decode
     * ([[Flac.decodePcm16]] — metadata walk, frame headers with CRC-8,
     * CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals both methods
@@ -5417,13 +5476,16 @@ object Native {
     *                              decode; structurally
     *                              illegal PNG headers — every legal
     *                              depth/color pair decodes), or a
-    *                              RECOGNIZED magic whose frames this
-    *                              pipeline deliberately stops at census
-    *                              depth (MP3, Ogg, Matroska/WebM) —
-    *                              real media a crawl carries in volume,
-    *                              kept out of `bad_magic` so the
-    *                              per-reason counts match what a corpus
-    *                              owner sees
+    *                              stereo/escape-table/short-block/
+    *                              MPEG-2.5 MP3 — MPEG-1/2 Layer III
+    *                              mono long-block streams decode for
+    *                              real; or a RECOGNIZED magic whose
+    *                              frames this pipeline deliberately
+    *                              stops at census depth (Ogg,
+    *                              Matroska/WebM) — real media a crawl
+    *                              carries in volume, kept out of
+    *                              `bad_magic` so the per-reason counts
+    *                              match what a corpus owner sees
     *   - `bomb_guard`           — header demands more than the decoder's
     *                              allocation cap
     *   - `corrupt`              — profile in contract but the real decode
@@ -5626,7 +5688,22 @@ object Native {
         // crawl text as audio would corrupt the very per-reason counts
         // this recognition exists to keep honest. Bare-frame MP3s stay
         // bad_magic: at sniff depth they are indistinguishable from junk.
-        s("unsupported_profile")
+        // r16: MPEG-1/2 Layer III mono DECODES for real ([[Mp3L3]]);
+        // stereo/intensity, escape-table streams (Huffman code data that
+        // could not be machine-validated in this sandbox — see
+        // tools/mp3_tables.py), short/mixed blocks and MPEG-2.5 stay the
+        // documented profile limit.
+        Mp3L3.dropReason(b) match {
+          case null => null
+          case "mp3_frame_bomb" | "mp3_output_bomb" => s("bomb_guard")
+          case "mp3_no_frames" | "mp3_truncated_frame" |
+               "mp3_truncated_main_data" => s("truncated")
+          case r if r == "mp3_stereo_unsupported" ||
+            r == "mp3_mixed_blocks_unsupported" ||
+            r.startsWith("mp3_huffman_table_unvalidated") =>
+            s("unsupported_profile")
+          case _ => s("corrupt")
+        }
       else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
         s("unsupported_profile") // Ogg container (Vorbis/Opus/Theora)
       else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
@@ -11227,6 +11304,8 @@ object Native {
       strLit(exprs(2), "codec"), intLit(exprs(3), "channels"),
       intLit(exprs(4), "rate"), intLit(exprs(5), "preskip"))),
     "graft_mp3_meta" -> (exprs => Mp3Meta(exprs(0))),
+    "graft_mp3_decode_wav" -> (exprs => Mp3DecodeWav(exprs(0))),
+    "graft_mp3_fixture_encode" -> (exprs => Mp3FixtureEncode(exprs(0), exprs(1))),
     "graft_mp3_frames" -> (exprs => Mp3FramesEncode(exprs(0), exprs(1),
       intLit(exprs(2), "bitrateIdx"), intLit(exprs(3), "rateIdx"),
       boolLit(exprs(4), "mono"), boolLit(exprs(5), "xing"))),
@@ -11448,6 +11527,9 @@ object Native {
       org.apache.spark.sql.functions.lit(rate),
       org.apache.spark.sql.functions.lit(preskip))
   def mp3Meta(bin: Column): Column = call_function("graft_mp3_meta", bin)
+  def mp3DecodeWav(bin: Column): Column = call_function("graft_mp3_decode_wav", bin)
+  def mp3FixtureEncode(spec: Column, variant: Column): Column =
+    call_function("graft_mp3_fixture_encode", spec, variant)
   def mp3Frames(id3Payload: Column, nFrames: Column, bitrateIdx: Int,
       rateIdx: Int, mono: Boolean = false, xing: Boolean = false): Column =
     call_function("graft_mp3_frames", id3Payload, nFrames,

@@ -404,6 +404,21 @@ object Multimodal {
     * exact duration — frames stay undecoded (the census stance). */
   def mp3Meta(bin: Column): Column = graft.functions.Native.mp3Meta(bin)
 
+  /** REAL MPEG Audio Layer III decode to the canonical PCM16 mono WAV
+    * ([[graft.functions.Native.Mp3DecodeWav]] / [[graft.functions
+    * .Mp3L3]]): frame walk, bit reservoir, scalefactors, Huffman decode
+    * over the machine-validated table subset, requantize, alias
+    * reduction, IMDCT, polyphase synthesis. Typed refusals for stereo,
+    * escape-table streams, short blocks in fixtures, MPEG-2.5. */
+  def mp3DecodeWav(bin: Column): Column = graft.functions.Native.mp3DecodeWav(bin)
+
+  /** Fixture MPEG-1 Layer III mono encoder ([[graft.functions.Native
+    * .Mp3FixtureEncode]]): planted 16-byte-per-granule spec → real
+    * stream with packed main data (nonzero main_data_begin); variants
+    * emit byte-different, decode-identical Huffman codings. */
+  def mp3FixtureEncode(spec: Column, variant: Column): Column =
+    graft.functions.Native.mp3FixtureEncode(spec, variant)
+
   /** Fixture-grade MPEG-1 Layer III stream builder ([[graft.functions
     * .Native.Mp3FramesEncode]]): real ID3v2.3 syncsafe envelope, spec
     * frame headers, optional Xing header, trailing ID3v1 block. */

@@ -87,6 +87,17 @@ class DocConsistencySpec extends AnyFunSuite {
         "carrying only\n            // animation"))
   }
 
+  test("MP3 classifier comment tracks the Mp3L3 decode contract") {
+    pin(branch("// MP3 recognition requires the ID3v2 tag",
+        "Mp3L3.dropReason(b) match"),
+      "MP3 classifier",
+      // the r16 graduation: MPEG-1/2 Layer III mono decodes for real;
+      // the comment must keep naming what is STILL refused
+      mustMention = Seq("stereo", "escape-table", "MPEG-2.5",
+        "mono DECODES"),
+      mustNotMention = Seq("census depth (MP3", "frames stay undecoded"))
+  }
+
   test("DecodeDropReason contract doc names no graduated profile as refused") {
     val s = native.indexOf("`unsupported_profile`")
     val e = native.indexOf("`bomb_guard`", s)

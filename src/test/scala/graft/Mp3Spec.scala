@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Mp3L3, Mp3Tables}
+
+/** Pins for the MPEG Audio Layer III decode core ([[graft.functions
+  * .Mp3L3]]) — the cross-language goldens were produced by the validated
+  * Python prototype (tools/mp3_proto.py), so this suite asserts the
+  * Scala port is BIT-IDENTICAL to it: same fixture stream bytes out of
+  * the encoder, same canonical WAV bytes out of the decoder. The
+  * prototype itself was validated in-sandbox by the format's own
+  * invariants (Kraft/prefix-complete Huffman tables, granule bit-count
+  * exactness on a real encoder stream, the filterbank's near-perfect-
+  * reconstruction property, and decode∘encode equality against an
+  * independent formula recompute) — see the Mp3L3 scaladoc. */
+class Mp3Spec extends AnyFunSuite {
+
+  private def sha256(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** The committed golden spec: 4 granules x 16 bytes, (g*31+7*j+3) mod
+    * the per-field modulus — same closed form in tools and the oracle. */
+  private val goldenSpec: Array[Byte] = {
+    val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+    (for (g <- 0 until 4; j <- 0 until 16)
+      yield ((g * 31 + 7 * j + 3) % mods(j)).toByte).toArray
+  }
+
+  test("fixture encoder matches the prototype byte-for-byte (both variants)") {
+    val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
+    val v1 = Mp3L3.encodeFixture(goldenSpec, 1)
+    assert(v0.length == 834 && v1.length == 834)
+    assert(sha256(v0) == "af38da69ab0a1f0e87ff7f4ecd57416cad8cb5f5548538803714bae57b5cd58c")
+    assert(sha256(v1) == "d6bb882fae07a06af385771b8db72d3a5d57a290eb19eb4d650bfe7e3777eee9")
+    assert(!java.util.Arrays.equals(v0, v1), "variants must be byte-different")
+  }
+
+  test("decode matches the prototype bit-for-bit; variants decode identically") {
+    val w0 = Mp3L3.decodeToWav(Mp3L3.encodeFixture(goldenSpec, 0))
+    val w1 = Mp3L3.decodeToWav(Mp3L3.encodeFixture(goldenSpec, 1))
+    assert(sha256(w0) == "d5faf0c4f7f7e2c34f26287f29b69f6717135dd965e640333925690c9e7b3c97")
+    assert(java.util.Arrays.equals(w0, w1),
+      "byte-different Huffman codings of the same spectrum must decode identically")
+    // spot samples (int16 LE at data offset 44): the prototype's values
+    def s16(w: Array[Byte], i: Int): Int =
+      ((w(44 + 2 * i) & 0xff) | (w(45 + 2 * i) << 8)).toShort.toInt
+    val expect = Array(2314, 2306, 2292, 2273, 2248, 2217, 2181, 2139)
+    for (k <- 0 until 8) assert(s16(w0, 600 + k) == expect(k), s"sample ${600 + k}")
+    assert((0 until 2304).map(i => math.abs(s16(w0, i))).max == 8141)
+  }
+
+  test("nonzero main_data_begin: variant 0 really exercises the bit reservoir") {
+    val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
+    val v1 = Mp3L3.encodeFixture(goldenSpec, 1)
+    // frame 1 header at offset 417; main_data_begin = first 9 bits after it
+    def mdb(b: Array[Byte]): Int = ((b(417 + 4) & 0xff) << 1) | ((b(417 + 5) & 0xff) >> 7)
+    assert(mdb(v0) == 40, "variant 0 carries a 40-byte reservoir")
+    assert(mdb(v1) == 0, "variant 1 is frame-aligned")
+  }
+
+  test("typed refusals: stereo, escape tables, unvalidated tables") {
+    // stereo: flip the mode field of a valid fixture's frames
+    val st = Mp3L3.encodeFixture(goldenSpec, 0).clone()
+    st(3) = 0x00.toByte // mode 0 = stereo
+    assert(Mp3L3.dropReason(st) == "mp3_stereo_unsupported")
+    // table_select forced to 16 (escape) in granule 0: side-info bits
+    // 18(mdb+priv)+4(scfsi)+12+9+8+4+1 = 56 bits in → table_select at bit 56
+    val esc = Mp3L3.encodeFixture(goldenSpec, 0).clone()
+    // byte 4+7=11 of the frame holds bits 56..63 of side info
+    esc(4 + 7) = ((16 << 3) | (esc(4 + 7) & 0x07)).toByte
+    val r = Mp3L3.dropReason(esc)
+    assert(r != null && r.startsWith("mp3_huffman"), r)
+  }
+
+  test("real encoder stream (env asset): geometry, reservoir, exact silence") {
+    val f = new java.io.File(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(f.isFile, "gsutil test asset not present on this box")
+    val data = java.nio.file.Files.readAllBytes(f.toPath)
+    val wav = Mp3L3.decodeToWav(data)
+    assert(wav != null, "the real LSF mono stream must decode")
+    // 45 frames x 576 samples at 22050 Hz, all EXACTLY zero (the asset is
+    // digital silence; its side info still walks a full 255-byte
+    // reservoir, which is what this golden pins)
+    assert(wav.length == 44 + 2 * 45 * 576)
+    var i = 44
+    while (i < wav.length) { assert(wav(i) == 0, s"nonzero at $i"); i += 1 }
+  }
+
+  test("table sanity re-asserted in Scala: Kraft-complete, prefix-free, sfb sums") {
+    val all: Seq[(String, Array[Int], Array[Int])] = Seq(
+      ("t1", Mp3Tables.HuffLen1, Mp3Tables.HuffCode1),
+      ("t2", Mp3Tables.HuffLen2, Mp3Tables.HuffCode2),
+      ("t3", Mp3Tables.HuffLen3, Mp3Tables.HuffCode3),
+      ("t5", Mp3Tables.HuffLen5, Mp3Tables.HuffCode5),
+      ("t6", Mp3Tables.HuffLen6, Mp3Tables.HuffCode6),
+      ("t7", Mp3Tables.HuffLen7, Mp3Tables.HuffCode7),
+      ("t8", Mp3Tables.HuffLen8, Mp3Tables.HuffCode8),
+      ("t9", Mp3Tables.HuffLen9, Mp3Tables.HuffCode9),
+      ("t11", Mp3Tables.HuffLen11, Mp3Tables.HuffCode11),
+      ("t12", Mp3Tables.HuffLen12, Mp3Tables.HuffCode12),
+      ("c1a", Mp3Tables.Count1Len0, Mp3Tables.Count1Code0),
+      ("c1b", Mp3Tables.Count1Len1, Mp3Tables.Count1Code1))
+    for ((name, ls, cs) <- all) {
+      val kraft = ls.map(l => 1L << (19 - l)).sum
+      assert(kraft == (1L << 19), s"$name Kraft")
+      val codes = ls.zip(cs)
+      assert(codes.distinct.length == codes.length, s"$name duplicate")
+      for (((l1, c1), i) <- codes.zipWithIndex; ((l2, c2), j) <- codes.zipWithIndex
+           if i != j && l2 > l1)
+        assert((c2 >> (l2 - l1)) != c1, s"$name prefix violation")
+    }
+    for ((w, hz) <- Seq(
+        (Mp3Tables.SfbLong44100, 44100), (Mp3Tables.SfbLong48000, 48000),
+        (Mp3Tables.SfbLong32000, 32000), (Mp3Tables.SfbLong22050, 22050),
+        (Mp3Tables.SfbLong24000, 24000), (Mp3Tables.SfbLong16000, 16000)))
+      assert(w.sum == 576 && w.length == 22, s"long sfb $hz")
+    for ((w, hz) <- Seq(
+        (Mp3Tables.SfbShort44100, 44100), (Mp3Tables.SfbShort48000, 48000),
+        (Mp3Tables.SfbShort32000, 32000), (Mp3Tables.SfbShort22050, 22050),
+        (Mp3Tables.SfbShort24000, 24000), (Mp3Tables.SfbShort16000, 16000)))
+      assert(w.sum == 192 && w.length == 13, s"short sfb $hz")
+    // the synthesis window's integer prototype: 257 entries, documented
+    // peak, zero head — the PR-test-selected construction derives from it
+    assert(Mp3Tables.WinBase.length == 257)
+    assert(Mp3Tables.WinBase(0) == 0 && Mp3Tables.WinBase(256) == -75038)
+    assert(Mp3Tables.DWindow.length == 512)
+  }
+
+  test("drop-reason classifier: decoded MP3 is null, refusals classify") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def reason(b: Array[Byte]): String = {
+      val r = graft.functions.Native.DecodeDropReason(Literal(b)).eval(null)
+      if (r == null) null else r.toString
+    }
+    // a decodable fixture wrapped in the ID3 envelope the classifier keys on
+    val fix = Mp3L3.encodeFixture(goldenSpec, 0)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0) ++ fix
+    assert(reason(id3) == null, "decodable MP3 must not be dropped")
+    val st = fix.clone(); st(3) = 0x00.toByte
+    assert(reason(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0) ++ st)
+      == "unsupported_profile")
+    // bare ID3 tag with no frames
+    assert(reason(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0, 0, 0))
+      == "truncated")
+  }
+}
