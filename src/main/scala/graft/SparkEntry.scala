@@ -315,6 +315,23 @@ object SparkEntry {
   private def hex2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lpad(conv(v.cast("string"), 10, 16), 2, "0")
 
+  /** Planted Layer III fixture spec: 16 bytes per granule, byte i = the
+    * first md5 byte of "<doc_id>-m3<i>" reduced mod its field modulus
+    * (global-gain step 5; three 2-bit scalefactors; two 1-bit slen2
+    * scalefactors; ten spectral values 0..10, biased −5 by the encoder).
+    * The reductions keep every field in its [[graft.functions.Mp3L3
+    * .encodeFixture]] contract while staying a pure closed form the
+    * oracle restates ([[graft.functions.Mp3Oracle]]). */
+  private def mp3PlantedSpec(docId: org.apache.spark.sql.Column,
+      nGranules: Int): org.apache.spark.sql.Column = {
+    val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+    unhex(concat((0 until 16 * nGranules).map { i =>
+      val b = conv(substring(md5(concat(docId.cast("string"),
+        lit(s"-m3$i")).cast("binary")), 1, 2), 16, 10).cast("int") % mods(i % 16)
+      hex2(b)
+    }: _*))
+  }
+
   /** The four COMMITTED deflate-fixture classes (text_compress_ratio):
     * run, periodic, prose, and a fixed high-entropy garble — structures
     * whose level-6 deflate byte counts differ by an order of magnitude.
@@ -2165,6 +2182,46 @@ object SparkEntry {
       Multimodal.audioNearDupFlac(base.union(copies), maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // REAL MPEG Audio Layer III decode, hash-oracled END-TO-END: planted
+    // per-granule parameters (md5 closed form) → a real MPEG-1 mono
+    // stream from the fixture encoder (two frames whose main data is one
+    // packed stream — frame 2 carries an honest nonzero main_data_begin,
+    // so the bit-reservoir walk sits INSIDE the oracled path) → full
+    // decode (side info, scalefactors, validated-table Huffman,
+    // requantize, IMDCT, window, overlap-add, polyphase synthesis) →
+    // canonical WAV, emitted as header hex + int16 PCM hex. The oracle
+    // restates the whole float chain straight from the formulas over the
+    // same frozen constants (Mp3Oracle.decodeSql): decoder and oracle
+    // share the NUMBERS (evaluated once — libm trig differs per runtime)
+    // but none of the code or control flow. Lossy codec ⇒ this, not
+    // byte-roundtrip, is the strongest pin the format admits.
+    "multimodal_decode_mp3" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(0))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
+    // exact dedup over DECODED Layer III audio: the base doc is coded
+    // with tables (7,8) and a 40-byte bit reservoir, its copy with
+    // tables (9,9) frame-aligned — byte-DIFFERENT MP3 files that decode
+    // to identical PCM, so the pair exists only through real Layer III
+    // decode (a byte-hash dedup finds nothing here). One digest shuffle
+    // + an equi-join on digest; id-sized output (the dedup_image_vp8
+    // stance, audio edition).
+    "dedup_audio_mp3" -> ((s, d) => {
+      def digested(variant: Int, shift: Long) = Tables.documents(s, d)
+        .select((col("doc_id") + lit(shift)).as("id"),
+          sha2(Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(variant))), 256).as("digest"))
+      val a = digested(variant = 0, shift = 0L)
+      val b = digested(variant = 1, shift = 100000L)
+      a.join(b, "digest")
+        .select(a("id").as("id_a"), b("id").as("id_b"))
+    }),
     // extended-profile WAV decode, hash-oracled: ONE planted PCM16 clip
     // → six REAL wire profiles (8/24/32-bit integer PCM, IEEE float32,
     // EXTENSIBLE-wrapped PCM16, a chunk-reordered layout with an
@@ -3552,6 +3609,16 @@ object SparkEntry {
     "dedup_audio_flac" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // the full Layer III float chain restated straight from the spec
+    // formulas over the frozen shared constants — generated from
+    // Mp3Tables by Mp3Oracle (see its scaladoc for the bit-exactness
+    // argument: matched operation order, D*(N*S) two-step rounding,
+    // single-subband tap algebra proven in the prototype)
+    "multimodal_decode_mp3" -> graft.functions.Mp3Oracle.decodeSql,
+    // byte-different codings of the same spectrum decode identically ⇒
+    // exactly one digest pair per doc
+    "dedup_audio_mp3" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents""",
     // every profile's canonicalization is the closed-form restatement
     // of the planted samples behind the constant canonical header
     // (ch 1, 16 kHz, 144 data bytes); pcm8 keeps only the top byte
