@@ -2182,6 +2182,50 @@ object SparkEntry {
       Multimodal.audioNearDupFlac(base.union(copies), maxHamming = 2)
         .withColumn("hamming", col("hamming").cast("bigint"))
     }),
+    // HEIF/AVIF image census, oracled: planted geometry behind REAL
+    // meta/iprp machinery — the census must recover brand, primary item
+    // type, codec id and the primary item's ispe through the actual
+    // ipma property-association walk (validated separately against
+    // libheif/aom/x265-encoded vectors in AvifSpec, incl. a grid-primary
+    // HEIC whose display and tile ispe differ). The fastest-growing
+    // crawl image formats get observability instead of misclassification;
+    // the AV1/HEVC payload is the documented census boundary.
+    "multimodal_avif_meta" -> ((s, d) => {
+      val payload = unhex(md5(col("doc_id").cast("string").cast("binary")))
+      val wh = ((col("doc_id") % 1920 + 1) * 65536 + (col("doc_id") % 1080 + 1))
+        .cast("bigint")
+      val fixture = when(col("doc_id") % 2 === 0,
+        Multimodal.avifEncodeMeta(payload, wh, heic = false))
+        .otherwise(Multimodal.avifEncodeMeta(payload, wh, heic = true))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fixture.as("img"))
+        .select(col("doc_id"),
+          length(col("img")).cast("bigint").as("n_bytes"),
+          Multimodal.avifMeta(col("img")).as("m"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("m.brand").as("brand"),
+          col("m.primary_type").as("primary_type"),
+          col("m.codec").as("codec"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_items").as("n_items"))
+    }),
+    // ISO-BMFF-family inventory: the media census over the container mix
+    // a modern crawl actually carries — AVIF, HEIC, MP4, bare bytes.
+    // Group keys and counters shuffle; payload bytes never move.
+    "multimodal_inventory_bmff" -> ((s, d) => {
+      val wh = ((col("doc_id") % 1920 + 1) * 65536 + (col("doc_id") % 1080 + 1))
+        .cast("bigint")
+      val media = when(col("doc_id") % 4 === 0,
+        Multimodal.avifEncodeMeta(col("text").cast("binary"), wh, heic = false))
+        .when(col("doc_id") % 4 === 1,
+          Multimodal.avifEncodeMeta(col("text").cast("binary"), wh, heic = true))
+        .when(col("doc_id") % 4 === 2,
+          concat(Multimodal.mp4Header(lit(600L), lit(6000L)),
+            col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      Multimodal.mediaInventory(Tables.documents(s, d)
+        .select(col("source"), media.as("media")))
+    }),
     // REAL MPEG Audio Layer III decode, hash-oracled END-TO-END: planted
     // per-granule parameters (md5 closed form) → a real MPEG-1 mono
     // stream from the fixture encoder (two frames whose main data is one
@@ -3609,6 +3653,28 @@ object SparkEntry {
     "dedup_audio_flac" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM documents""",
+    // planted-analytic: brand/type/codec from the parity routing, the
+    // geometry from the doc_id closed form, n_bytes = the builder's
+    // constant 195-byte overhead + the 16-byte md5 payload
+    "multimodal_avif_meta" ->
+      """SELECT doc_id, CAST(211 AS BIGINT) AS n_bytes,
+           CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'heic' END AS brand,
+           CASE doc_id % 2 WHEN 0 THEN 'av01' ELSE 'hvc1' END AS primary_type,
+           CASE doc_id % 2 WHEN 0 THEN 'av01' ELSE 'hevc' END AS codec,
+           CAST(doc_id % 1920 + 1 AS INT) AS width,
+           CAST(doc_id % 1080 + 1 AS INT) AS height,
+           CAST(1 AS INT) AS n_items
+         FROM documents""",
+    "multimodal_inventory_bmff" ->
+      """SELECT source,
+           CASE doc_id % 4 WHEN 0 THEN 'image/avif' WHEN 1 THEN 'image/heic'
+                WHEN 2 THEN 'video/mp4'
+                ELSE 'application/octet-stream' END AS modality,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(octet_length(encode(text)) +
+                CASE doc_id % 4 WHEN 0 THEN 195 WHEN 1 THEN 195
+                     WHEN 2 THEN 132 ELSE 0 END) AS BIGINT) AS total_bytes
+         FROM documents GROUP BY 1, 2""",
     // the full Layer III float chain restated straight from the spec
     // formulas over the frozen shared constants — generated from
     // Mp3Tables by Mp3Oracle (see its scaladoc for the bit-exactness

@@ -5632,14 +5632,22 @@ object Native {
       // pairs): frames extract → decodable (no row); sound ISO-BMFF whose
       // traks carry another codec → unsupported_profile; structural
       // damage → corrupt ----
-      else if (n >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
-        Mp4.probe(b) match {
+      else if (n >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+        // HEIF/AVIF image family first (r16): the meta-box census
+        // ([[Bmff]]) walks a sound container for real — brand, primary
+        // item, property associations — and the AV1/HEVC payload stays
+        // the documented profile limit (census depth, the Ogg stance);
+        // structural damage is corrupt, not unsupported
+        if (Bmff.ImageBrands.contains(new String(b, 8, 4, "US-ASCII"))) {
+          if (Bmff.census(b) != null) s("unsupported_profile") else s("corrupt")
+        } else Mp4.probe(b) match {
           // frames extracted — decodable only if frame 0 luma-decodes,
           // the same bar the AVI branch and realCodec hold
           case 2 => if (videoFirstFrameLumaBytes(b).isEmpty) s("corrupt") else null
           case 1 => s("unsupported_profile")
           case _ => s("corrupt")
         }
+      }
       // ---- recognized-but-unsupported magics (MAGIC HONESTY): formats a
       // real crawl carries in volume that this pipeline recognizes but
       // ships no decoder for. Lumping them into `bad_magic` with junk
@@ -10964,6 +10972,280 @@ object Native {
     * baseline JPEG ready for [[JpegLumaDecode]]. Null off contract;
     * output capped at `maxFrames` (bomb guard). Scale shape: map-side,
     * one pass per row, no shuffle. */
+  /** ISO-BMFF IMAGE census ([[Mp4]]'s still-image sibling): the
+    * HEIF/AVIF `meta`-box walk — ftyp brand, `hdlr` handler, `pitm`
+    * primary item, `iinf`/`infe` item inventory, and the `iprp`
+    * property system resolved PROPERLY: `ipma` associations map the
+    * primary item to 1-based `ipco` child ordinals, so the reported
+    * geometry is the primary item's own `ispe` (a real HEIC's primary
+    * is often a `grid` whose display ispe differs from the tile ispe —
+    * taking "the first ispe" would report the tile). Codec id from the
+    * config-box child (`av1C`→av01, `hvcC`→hevc). Census depth by
+    * design: the AV1/HEVC payload is refused honestly
+    * (`unsupported_profile`), the fastest-growing crawl image formats
+    * get observability rows instead of `corrupt` misclassification.
+    * Validated against REAL libheif-encoded vectors (committed, see
+    * AvifSpec — produced by tools/gen_avif_vectors.py with the box's
+    * aom/x265 encoders). Every slice bounds-checked; null off
+    * contract. */
+  private[graft] object Bmff {
+    val ImageBrands: Set[String] =
+      Set("avif", "avis", "heic", "heix", "heim", "heis", "mif1", "msf1")
+
+    final case class Census(brand: String, primaryType: String,
+        codec: String, width: Int, height: Int, nItems: Int)
+
+    def census(b: Array[Byte]): Census = {
+      try {
+        val n = b.length
+        if (n < 16) return null
+        def u16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        def u32(off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+        def findBox(from: Int, end: Int, typ: String): (Int, Int) = {
+          var p = from
+          while (p + 8 <= end) {
+            var size = u32(p)
+            var hdr = 8
+            if (size == 1L) {
+              if (p + 16 > end) return null
+              size = ((u32(p + 8) << 32) | u32(p + 12))
+              hdr = 16
+            } else if (size == 0L) size = (end - p).toLong
+            if (size < hdr || size > end - p) return null
+            if (fourcc(p + 4) == typ) return (p + hdr, p + size.toInt)
+            p += size.toInt
+          }
+          null
+        }
+        val ftyp = findBox(0, n, "ftyp")
+        if (ftyp == null || ftyp._2 - ftyp._1 < 8) return null
+        val brand = fourcc(ftyp._1)
+        if (!ImageBrands.contains(brand)) return null
+        val meta = findBox(0, n, "meta")
+        if (meta == null || meta._2 - meta._1 < 4) return null
+        val m0 = meta._1 + 4 // FullBox version/flags
+        val mEnd = meta._2
+        // pitm: primary item id
+        val pitm = findBox(m0, mEnd, "pitm")
+        if (pitm == null || pitm._2 - pitm._1 < 6) return null
+        val pitmVer = b(pitm._1) & 0xff
+        val primaryId =
+          if (pitmVer == 0) u16(pitm._1 + 4)
+          else { if (pitm._2 - pitm._1 < 8) return null; u32(pitm._1 + 4).toInt }
+        // iinf/infe: item count + item_ID -> item_type
+        val iinf = findBox(m0, mEnd, "iinf")
+        if (iinf == null || iinf._2 - iinf._1 < 6) return null
+        val iinfVer = b(iinf._1) & 0xff
+        val (nItems, firstInfe) =
+          if (iinfVer == 0) (u16(iinf._1 + 4), iinf._1 + 6)
+          else (u32(iinf._1 + 4).toInt, iinf._1 + 8)
+        if (nItems < 0 || nItems > (1 << 20)) return null
+        var primaryType: String = null
+        var p = firstInfe
+        var seen = 0
+        while (seen < nItems && p != -1) {
+          val infe = findBox(p, iinf._2, "infe")
+          if (infe == null) p = -1
+          else {
+            val v = b(infe._1) & 0xff
+            if (v >= 2 && infe._2 - infe._1 >= 12) {
+              val id = if (v == 2) u16(infe._1 + 4) else u32(infe._1 + 4).toInt
+              val typOff = infe._1 + (if (v == 2) 8 else 10)
+              if (typOff + 4 <= infe._2 && id == primaryId)
+                primaryType = fourcc(typOff)
+            }
+            seen += 1
+            p = infe._2
+          }
+        }
+        // iprp -> ipco children (ordinal list) + ipma associations
+        val iprp = findBox(m0, mEnd, "iprp")
+        var codec: String = null
+        var width = -1
+        var height = -1
+        if (iprp != null) {
+          val ipco = findBox(iprp._1, iprp._2, "ipco")
+          if (ipco != null) {
+            // ordinal (1-based) -> (type, payloadStart, payloadEnd)
+            val props = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+            var q = ipco._1
+            var guard = 0
+            while (q + 8 <= ipco._2 && guard < 4096) {
+              var size = u32(q)
+              var hdr = 8
+              if (size == 1L) { size = (u32(q + 8) << 32) | u32(q + 12); hdr = 16 }
+              else if (size == 0L) size = (ipco._2 - q).toLong
+              if (size < hdr || size > ipco._2 - q) { q = ipco._2 }
+              else {
+                props += ((fourcc(q + 4), q + hdr, q + size.toInt))
+                q += size.toInt
+              }
+              guard += 1
+            }
+            if (props.exists(_._1 == "av1C")) codec = "av01"
+            else if (props.exists(_._1 == "hvcC")) codec = "hevc"
+            // ipma: primary item's property ordinals, in association order
+            val ipma = findBox(iprp._1, iprp._2, "ipma")
+            if (ipma != null && ipma._2 - ipma._1 >= 8) {
+              val ver = b(ipma._1) & 0xff
+              val flags = u32(ipma._1) & 0xffffff
+              val cnt = u32(ipma._1 + 4).toInt
+              var r = ipma._1 + 8
+              var e = 0
+              var done = false
+              while (e < cnt && !done) {
+                if (r + (if (ver < 1) 2 else 4) + 1 > ipma._2) done = true
+                else {
+                  val id = if (ver < 1) u16(r) else u32(r).toInt
+                  r += (if (ver < 1) 2 else 4)
+                  val na = b(r) & 0xff
+                  r += 1
+                  var a = 0
+                  while (a < na && !done) {
+                    val wide = (flags & 1) == 1
+                    if (r + (if (wide) 2 else 1) > ipma._2) done = true
+                    else {
+                      val raw = if (wide) u16(r) else (b(r) & 0xff)
+                      r += (if (wide) 2 else 1)
+                      val ordinal = raw & (if (wide) 0x7fff else 0x7f)
+                      if (id == primaryId && width < 0 && ordinal >= 1 &&
+                          ordinal <= props.length) {
+                        val (typ, ps, pe) = props(ordinal - 1)
+                        if (typ == "ispe" && pe - ps >= 12) {
+                          width = u32(ps + 4).toInt
+                          height = u32(ps + 8).toInt
+                        }
+                      }
+                    }
+                    a += 1
+                  }
+                  e += 1
+                }
+              }
+            }
+          }
+        }
+        if (width > (1 << 16) || height > (1 << 16)) return null // bomb stance
+        Census(brand, primaryType, codec, width, height, nItems)
+      } catch { case NonFatal(_) => null }
+    }
+  }
+
+  /** avif_meta(BINARY) → STRUCT: the [[Bmff]] HEIF/AVIF image census
+    * surfaced — ftyp brand, the PRIMARY item's type and ispe geometry
+    * (resolved through ipma, so a grid-structured HEIC reports its
+    * display size), codec id from the config box, item count. Null when
+    * the payload is not a sound BMFF image container. */
+  case class AvifMeta(child: Expression)
+      extends UnaryExpression with NativeUnaryCodegen {
+    override def dataType: DataType = StructType(Seq(
+      StructField("brand", StringType, nullable = false),
+      StructField("primary_type", StringType, nullable = true),
+      StructField("codec", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_items", IntegerType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val c = Bmff.census(input.asInstanceOf[Array[Byte]])
+      if (c == null) return null
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(c.brand),
+        if (c.primaryType == null) null else UTF8String.fromString(c.primaryType),
+        if (c.codec == null) null else UTF8String.fromString(c.codec),
+        if (c.width < 0) null else java.lang.Integer.valueOf(c.width),
+        if (c.height < 0) null else java.lang.Integer.valueOf(c.height),
+        c.nItems)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** avif_encode_meta(BINARY payload, INT w, INT h; heic) → BINARY: a
+    * minimal sound HEIF/AVIF container — ftyp (avif/mif1 or heic/mif1),
+    * meta (hdlr pict, pitm 1, iinf with one av01/hvc1 infe, iprp with a
+    * config-box stub + ispe and an ipma binding item 1 to both), mdat
+    * with the payload verbatim. The CENSUS fixture builder (the mp4
+    * header stance): the census walk must recover the planted geometry
+    * through the real property-association machinery; payload bytes are
+    * carried, not decoded (the codec layer is the documented census
+    * boundary). Fixed overhead [[AvifMetaEncode.Overhead]] bytes, so the
+    * inventory oracle's size term is a constant. */
+  case class AvifMetaEncode(left: Expression, right: Expression, heic: Boolean)
+      extends BinaryExpression with NativeBinaryCodegen {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    /** right = w * 65536 + h (one packed BIGINT child keeps the binary
+      * expression shape every other fixture builder uses). */
+    override def nullSafeEval(payload: Any, whAny: Any): Any = {
+      val wh = whAny match {
+        case x: java.lang.Long => x.longValue
+        case x: java.lang.Integer => x.longValue
+        case _ => return null
+      }
+      val w = (wh >> 16).toInt
+      val h = (wh & 0xffff).toInt
+      if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return null
+      try AvifMetaEncode.build(payload.asInstanceOf[Array[Byte]], w, h, heic)
+      catch { case NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  object AvifMetaEncode {
+    /** Container bytes beyond the payload (asserted by construction):
+      * ftyp 24 + meta 163 (hdlr 33, pitm 14, iinf 35, iprp 69) + mdat
+      * header 8 — the sizes a real libheif container uses for the same
+      * boxes (cross-checked against the committed vectors). */
+    val Overhead: Int = 24 + 163 + 8
+
+    private[graft] def build(payload: Array[Byte], w: Int, h: Int,
+        heic: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(Overhead + payload.length)
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def fcc(s: String): Unit = { var i = 0; while (i < 4) { out.write(s.charAt(i)); i += 1 } }
+      val brand = if (heic) "heic" else "avif"
+      val itemType = if (heic) "hvc1" else "av01"
+      // ftyp (24): major, minor 0, two compatible brands
+      be32(24); fcc("ftyp"); fcc(brand); be32(0); fcc(brand); fcc("mif1")
+      // meta fullbox (163) = 12 + hdlr 33 + pitm 14 + iinf 35 + iprp 69
+      be32(163); fcc("meta"); be32(0)
+      // hdlr (33): fullbox, pre_defined 0, handler 'pict', 3 reserved, ""
+      be32(33); fcc("hdlr"); be32(0); be32(0); fcc("pict")
+      be32(0); be32(0); be32(0); out.write(0)
+      // pitm (14): version 0 → u16 item id 1
+      be32(14); fcc("pitm"); be32(0); be16(1)
+      // iinf (35): version 0, count 1; infe (21): v2, id 1, prot 0,
+      // item_type, empty null-terminated name
+      be32(35); fcc("iinf"); be32(0); be16(1)
+      be32(21); fcc("infe"); out.write(2); out.write(0); be16(0)
+      be16(1); be16(0); fcc(itemType); out.write(0)
+      // iprp (69) = 8 + ipco (40: cfg-stub 12 + ispe 20) + ipma (21)
+      be32(69); fcc("iprp")
+      be32(40); fcc("ipco")
+      // config-box stub (12): presence carries the codec id; contents are
+      // codec-layer, the documented census boundary
+      be32(12); fcc(if (heic) "hvcC" else "av1C"); be32(1)
+      be32(20); fcc("ispe"); be32(0); be32(w.toLong); be32(h.toLong)
+      // ipma (21): 1 entry, item 1, 2 one-byte associations (props 1, 2)
+      be32(21); fcc("ipma"); be32(0); be32(1); be16(1)
+      out.write(2); out.write(0x81); out.write(0x82)
+      // mdat
+      be32(8L + payload.length); fcc("mdat")
+      out.write(payload, 0, payload.length)
+      val res = out.toByteArray
+      assert(res.length == Overhead + payload.length, res.length.toString)
+      res
+    }
+  }
+
   case class Mp4MjpegFrames(child: Expression, maxFrames: Int)
       extends UnaryExpression with NativeUnaryCodegen {
     require(maxFrames >= 1 && maxFrames <= ClipMaxFrames,
@@ -11304,6 +11586,9 @@ object Native {
       strLit(exprs(2), "codec"), intLit(exprs(3), "channels"),
       intLit(exprs(4), "rate"), intLit(exprs(5), "preskip"))),
     "graft_mp3_meta" -> (exprs => Mp3Meta(exprs(0))),
+    "graft_avif_meta" -> (exprs => AvifMeta(exprs(0))),
+    "graft_avif_encode_meta" -> (exprs =>
+      AvifMetaEncode(exprs(0), exprs(1), boolLit(exprs(2), "heic"))),
     "graft_mp3_decode_wav" -> (exprs => Mp3DecodeWav(exprs(0))),
     "graft_mp3_fixture_encode" -> (exprs => Mp3FixtureEncode(exprs(0), exprs(1))),
     "graft_mp3_frames" -> (exprs => Mp3FramesEncode(exprs(0), exprs(1),
@@ -11528,6 +11813,10 @@ object Native {
       org.apache.spark.sql.functions.lit(preskip))
   def mp3Meta(bin: Column): Column = call_function("graft_mp3_meta", bin)
   def mp3DecodeWav(bin: Column): Column = call_function("graft_mp3_decode_wav", bin)
+  def avifMeta(bin: Column): Column = call_function("graft_avif_meta", bin)
+  def avifEncodeMeta(payload: Column, wh: Column, heic: Boolean): Column =
+    call_function("graft_avif_encode_meta", payload, wh,
+      org.apache.spark.sql.functions.lit(heic))
   def mp3FixtureEncode(spec: Column, variant: Column): Column =
     call_function("graft_mp3_fixture_encode", spec, variant)
   def mp3Frames(id3Payload: Column, nFrames: Column, bitrateIdx: Int,

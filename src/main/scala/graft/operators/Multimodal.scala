@@ -43,8 +43,16 @@ object Multimodal {
           .when(riffForm === "WEBP", lit("image/webp"))
           .when(riffForm === "AVI ", lit("video/avi"))
           .otherwise(lit("application/riff")))
-      // ISO-BMFF: the magic is the box TYPE at bytes 5-8, not byte 1
-      .when(substring(bin, 5, 4).cast("string") === "ftyp", lit("video/mp4"))
+      // ISO-BMFF: the magic is the box TYPE at bytes 5-8, not byte 1;
+      // the HEIF/AVIF image brands sniff as images (r16 — a crawl's
+      // fastest-growing image formats were counting as video/mp4)
+      .when(substring(bin, 5, 4).cast("string") === "ftyp",
+        when(substring(bin, 9, 4).cast("string").isin("avif", "avis"),
+          lit("image/avif"))
+          .when(substring(bin, 9, 4).cast("string")
+            .isin("heic", "heix", "heim", "heis", "mif1", "msf1"),
+            lit("image/heic"))
+          .otherwise(lit("video/mp4")))
       .when(head6 === "GIF87a" || head6 === "GIF89a", lit("image/gif"))
       // MAGIC HONESTY (mirrors DecodeDropReason): formats this pipeline
       // recognizes but ships no decoder for still sniff as their real
@@ -403,6 +411,19 @@ object Multimodal {
     * the version×layer length formulas, Xing/Info VBR frame count,
     * exact duration — frames stay undecoded (the census stance). */
   def mp3Meta(bin: Column): Column = graft.functions.Native.mp3Meta(bin)
+
+  /** HEIF/AVIF image census ([[graft.functions.Native.AvifMeta]] /
+    * [[graft.functions.Native.Bmff]]): ftyp brand, primary item type and
+    * geometry resolved through the real ipma property associations,
+    * codec id, item count. Census depth — the AV1/HEVC payload is the
+    * documented profile boundary. */
+  def avifMeta(bin: Column): Column = graft.functions.Native.avifMeta(bin)
+
+  /** Minimal sound HEIF/AVIF container builder ([[graft.functions.Native
+    * .AvifMetaEncode]]): planted geometry behind the real meta/iprp/ipma
+    * machinery; `wh` packs width*65536+height. */
+  def avifEncodeMeta(payload: Column, wh: Column, heic: Boolean): Column =
+    graft.functions.Native.avifEncodeMeta(payload, wh, heic)
 
   /** REAL MPEG Audio Layer III decode to the canonical PCM16 mono WAV
     * ([[graft.functions.Native.Mp3DecodeWav]] / [[graft.functions
