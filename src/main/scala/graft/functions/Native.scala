@@ -7115,12 +7115,21 @@ object Native {
           if (q < 0) 0 else if (q > 127) 127 else q
         }
 
-        /** One block's token decode into cf (dequantized); returns true
-          * when any coefficient is nonzero. */
+        /** One block's token decode into cf (dequantized); returns the
+          * EXIT POSITION (the libwebp GetCoeffs contract): the index
+          * where EOB was read, or 16 when coefficient 15 was decoded OR
+          * when a zero-run reaches 16 without an EOB. The caller's
+          * neighbor-context and filter flags key on `n > first` — NOT on
+          * "any nonzero value decoded": the two differ exactly on the
+          * zero-run-to-16 shape (EOB can never directly follow a zero
+          * token, so every other consumed chain contains a value), a
+          * legal stream no known encoder emits but one that desynced the
+          * arithmetic decoder for the rest of the frame under the
+          * value-based flag (ADVICE r15; regression vector in
+          * MultimodalSpec via encodeDc's zeroRunMb hook). */
         def readCoeffs(td: BoolDec, planeId: Int, first: Int, ctx0: Int,
-            qdc: Int, qac: Int, out: Array[Int]): Boolean = {
+            qdc: Int, qac: Int, out: Array[Int]): Int = {
           java.util.Arrays.fill(out, 0)
-          var nz = false
           var c = first
           var ctx = ctx0
           var prevZero = false
@@ -7147,12 +7156,11 @@ object Native {
                 }
               if (td.bool(128) == 1) v = -v
               out(Zigzag(c)) = v * (if (c == 0) qdc else qac)
-              nz = true
               ctx = if (v == 1 || v == -1) 1 else 2
               c += 1
             }
           }
-          nz
+          c
         }
 
         mby = 0
@@ -7182,7 +7190,7 @@ object Native {
                 var y2ac = AcQ(qIndex(seg, y2AcD)) * 155 / 100
                 if (y2ac < 8) y2ac = 8
                 val ctx = leftNz(8) + aboveNz(9 * mbx + 8)
-                val nz = readCoeffs(td, 1, 0, ctx, y2dc, y2ac, y2)
+                val nz = readCoeffs(td, 1, 0, ctx, y2dc, y2ac, y2) > 0
                 leftNz(8) = if (nz) 1 else 0
                 aboveNz(9 * mbx + 8) = leftNz(8)
                 mbnz ||= nz
@@ -7199,7 +7207,7 @@ object Native {
                 val r = sb >> 2; val c = sb & 3
                 val lnz = if (c == 0) leftNz(r) else nzY(sb - 1)
                 val unz = if (r == 0) aboveNz(9 * mbx + c) else nzY(sb - 4)
-                val nz = readCoeffs(td, planeId, first, lnz + unz, y1dc, y1ac, cf)
+                val nz = readCoeffs(td, planeId, first, lnz + unz, y1dc, y1ac, cf) > first
                 nzY(sb) = if (nz) 1 else 0
                 mbnz ||= nz
                 if (hasY2) cf(0) = dc16(sb)
@@ -7250,7 +7258,7 @@ object Native {
                   val r = csb >> 1; val c = csb & 1
                   val lnz = if (c == 0) leftNz(base + r) else nzUv(csb - 1)
                   val unz = if (r == 0) aboveNz(9 * mbx + base + c) else nzUv(csb - 2)
-                  val nz = readCoeffs(td, 2, 0, lnz + unz, uvdc, uvac, cf)
+                  val nz = readCoeffs(td, 2, 0, lnz + unz, uvdc, uvac, cf) > 0
                   nzUv(csb) = if (nz) 1 else 0
                   mbnz ||= nz
                   csb += 1
@@ -7447,9 +7455,11 @@ object Native {
         }
         out.toByteArray
       }
-      def treeEnc(t: Array[Int], probs: Array[Int], off: Int, leaf: Int): Unit = {
-        // find the root→leaf path, then emit its branch bits in order;
-        // trees are tiny and this is fixture-only
+      def treeEnc(t: Array[Int], probs: Array[Int], off: Int, leaf: Int,
+          startAt: Int = 0): Unit = {
+        // find the startAt→leaf path, then emit its branch bits in order;
+        // trees are tiny and this is fixture-only (startAt 2 = the
+        // after-zero entry that skips the EOB branch, mirroring treeDec)
         val bits = new Array[Int](16)
         val idxs = new Array[Int](16)
         var depth = -1
@@ -7464,7 +7474,7 @@ object Native {
           }
           false
         }
-        find(0, 0)
+        find(startAt, 0)
         var k = 0
         while (k <= depth) { bool(probs(off + idxs(k)), bits(k)); k += 1 }
       }
@@ -7482,7 +7492,8 @@ object Native {
       * the system libwebp during development (tools/vp8_proto.py
       * test_encoder — libwebp reproduces the expected plane exactly,
       * all partition counts). */
-    def encodeDc(px: Array[Byte], w: Int, h: Int, nparts: Int): Array[Byte] = {
+    def encodeDc(px: Array[Byte], w: Int, h: Int, nparts: Int,
+        zeroRunMb: Int = -1): Array[Byte] = {
       if (w <= 0 || h <= 0 || w > 16383 || h > 16383) return null
       if (px.length != w * h) return null
       if (nparts != 1 && nparts != 2 && nparts != 4 && nparts != 8) return null
@@ -7581,7 +7592,26 @@ object Native {
             // 16 Y blocks (plane 0, first coeff 1, band 1, ctx 0): EOB
             var sb = 0
             while (sb < 16) {
-              te.treeEnc(CoeffTree, DefaultCoeffProbs, ((0 * 8 + Bands(1)) * 3 + 0) * 11, 11)
+              if (i2 == zeroRunMb && sb == 0) {
+                // ADVICE-r15 regression shape: subblock 0 spends its
+                // tokens on a zero-run to coefficient 16 with NO EOB —
+                // all-zero coefficients, yet the neighbor context must
+                // read "consumed"; subblocks 1 and 4 are then coded at
+                // ctx 1, which only a GetCoeffs-faithful decoder reads
+                // back with the right probabilities
+                te.treeEnc(CoeffTree, DefaultCoeffProbs,
+                  ((0 * 8 + Bands(1)) * 3 + 0) * 11, 0)
+                var cc = 2
+                while (cc < 16) {
+                  te.treeEnc(CoeffTree, DefaultCoeffProbs,
+                    ((0 * 8 + Bands(cc)) * 3 + 0) * 11, 0, startAt = 2)
+                  cc += 1
+                }
+              } else {
+                val ctxSb = if (i2 == zeroRunMb && (sb == 1 || sb == 4)) 1 else 0
+                te.treeEnc(CoeffTree, DefaultCoeffProbs,
+                  ((0 * 8 + Bands(1)) * 3 + ctxSb) * 11, 11)
+              }
               sb += 1
             }
             // 8 chroma blocks (plane 2, coeff 0, band 0, ctx 0): EOB
@@ -8095,6 +8125,11 @@ object Native {
     * masks are structural damage (→ `corrupt`). */
   private object Bmp {
     val Corrupt = 0; val Unsupported = 1; val Ok = 2; val Truncated = 3; val Bomb = 4
+    /** Legal OS/2 BITMAPINFOHEADER2 truncation points: field boundaries
+      * only (40/52/56 read as Windows headers and are excluded by the
+      * os2v2 predicate before this set is consulted). */
+    private val BmpOs2FieldEnds: Set[Int] =
+      Set(16, 20, 24, 28, 32, 36, 40, 42, 44, 46, 48, 52, 56, 60, 64)
 
     private def u16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -8152,6 +8187,15 @@ object Native {
           hdrSize != 40 && hdrSize != 52 && hdrSize != 56
         if (hdrSize > 1024) return bad // no published header comes close
         if (!core && !os2v2 && hdrSize < 40) return bad
+        // ADVICE r16: OS/2 V2 headers truncate on FIELD boundaries only —
+        // a size like 18 splits the compression field (1–3 of its bytes
+        // present), which no OS/2 writer emits; treating it as "field
+        // absent, default 0" would silently decode a header whose partial
+        // compression bytes might be nonzero. Splitting sizes are corrupt.
+        // Boundaries: the INFOHEADER u32/u16 field ends through 40, then
+        // the V2 extras (u16 units/reserved/recording/rendering at 40..48,
+        // u32 size1/size2 48..56, u32 colorEncoding/identifier 56..64).
+        if (os2v2 && !BmpOs2FieldEnds.contains(hdrSize.toInt)) return bad
         if (!core && n < 14 + math.max(hdrSize, 16).toInt) return trunc
         val w = if (core) u16(b, 18) else i32(b, 18)
         val h0 = if (core) u16(b, 20) else i32(b, 22)

@@ -1266,6 +1266,14 @@ class MultimodalSpec extends AnyFunSuite {
     val winBmp = Seq(Tuple1(gray)).toDF("px")
       .select(Multimodal.bmpEncodeGray8($"px", lit(9))).as[Array[Byte]].head()
     assert((winBmp(14) & 0xff) == 40)
+    // ADVICE r16: OS/2 V2 headers truncate on field boundaries only — a
+    // size that SPLITS a field (17..19 cut the compression u32, 50 cuts
+    // size1) is corrupt, not a default-the-absent-fields header
+    for (splitting <- Seq(17, 18, 19, 50)) {
+      val cut = os2bmp.clone()
+      cut(14) = splitting.toByte
+      assert(reason(cut) == "corrupt", s"hdrSize $splitting must be corrupt")
+    }
   }
 
   test("ADVICE r14 pins: MH row overrun, BMP zero BITFIELDS masks, WAV trailing garbage") {
@@ -3373,6 +3381,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.isNullAt(0), s"$name classified dropped")
       assert(Multimodal.realCodec(webp).isDefined, s"$name realCodec")
     }
+  }
+
+  test("VP8 zero-run-to-16 without EOB: neighbor context reads 'consumed' (ADVICE r15)") {
+    // a legal token shape no known encoder emits: one Y subblock spends
+    // its budget on a zero-run that reaches coefficient 16 with no EOB.
+    // All its coefficients are zero, yet libwebp's GetCoeffs contract
+    // (n > first) marks the block "consumed" for the neighbor context,
+    // so the encoder codes subblocks 1 and 4 at ctx 1 — a value-based
+    // nonzero flag would read their EOBs with ctx-0 probabilities and
+    // desync the arithmetic decoder for the rest of the frame
+    val w = 32; val h = 32
+    val consts = Array(80, 140, 200, 30)
+    val px = Array.tabulate(w * h)(i =>
+      consts(((i / w) / 16) * 2 + ((i % w) / 16)).toByte)
+    val plain = graft.functions.Native.Vp8.encodeDc(px, w, h, 1)
+    val crafted = graft.functions.Native.Vp8.encodeDc(px, w, h, 1, zeroRunMb = 0)
+    assert(plain != null && crafted != null)
+    assert(!java.util.Arrays.equals(plain, crafted), "streams must differ")
+    def dec(b: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(Multimodal.webpDecodeLuma($"b")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(dec(plain), px))
+    assert(java.util.Arrays.equals(dec(crafted), px),
+      "zero-run-to-16 stream must decode to the same pixels through faithful contexts")
   }
 
   test("VP8 fixture encoder round-trips: per-MB-constant images, all partition counts, odd dims, skip coverage") {
