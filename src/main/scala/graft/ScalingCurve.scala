@@ -129,7 +129,15 @@ object ScalingCurve {
     // core at wide samples — expect the multimodal-decode scan shape)
     "multimodal_decode_vp8",
     "dedup_image_vp8",
-    "multimodal_decode_jpeg12")
+    "multimodal_decode_jpeg12",
+    // round-16 additions: the Layer III tiers (map-side fixture encode +
+    // full decode — scan-shaped like every decode query; the dedup query
+    // adds one digest shuffle + equi-join, expect the dedup_image_vp8
+    // shape) and the HEIF/AVIF census (a bounded meta-box walk per
+    // payload — the cheapest decode-family shape in the suite)
+    "multimodal_decode_mp3",
+    "dedup_audio_mp3",
+    "multimodal_avif_meta")
 
   private[graft] val FlagExponent = 1.3
 

@@ -440,7 +440,6 @@ class MultimodalSpec extends AnyFunSuite {
   test("recognized-but-undecodable magics classify unsupported_profile under their real mime — never bad_magic") {
     val junk = Array.tabulate(16)(i => (i * 7 + 3).toByte)
     val cases = Seq(
-      ("494433", "audio/mpeg"),
       ("4F676753", "audio/ogg"), ("1A45DFA3", "video/webm"))
     cases.foreach { case (magicHex, mime) =>
       val b = hexBytesT(magicHex) ++ junk
@@ -452,6 +451,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getString(1) == mime, s"$magicHex sniffed as ${row.getString(1)}")
       assert(Multimodal.realCodec(b).isEmpty) // recognized ≠ decodable
     }
+    // MP3 graduated in r16: Layer III mono DECODES, so the audio/mpeg
+    // unsupported_profile representative is a real refused profile (a
+    // stereo-flipped valid fixture behind the ID3 envelope); ID3+junk
+    // is honestly truncated now (recognized tag, no frames)
+    val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+    val spec = (for (g <- 0 until 2; j <- 0 until 16)
+      yield ((g * 31 + 7 * j + 3) % mods(j)).toByte).toArray
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+    val stereo = graft.functions.Mp3L3.encodeFixture(spec, 0).clone()
+    stereo(3) = 0x00.toByte
+    val mp3Row = Seq(Tuple1(id3 ++ stereo)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b"),
+        Multimodal.modality($"b")).collect().head
+    assert(mp3Row.getString(0) == "unsupported_profile")
+    assert(mp3Row.getString(1) == "audio/mpeg")
+    val id3JunkRow = Seq(Tuple1(hexBytesT("494433") ++ junk)).toDF("b")
+      .select(graft.functions.Native.decodeDropReason($"b"),
+        Multimodal.modality($"b")).collect().head
+    assert(id3JunkRow.getString(0) == "truncated")
+    assert(id3JunkRow.getString(1) == "audio/mpeg")
     // FLAC is no longer merely recognized — 16-bit streams decode for
     // real; a magic+junk prefix shorter than STREAMINFO is now honestly
     // `truncated` under audio/flac (the cut-PNG stance), and the
