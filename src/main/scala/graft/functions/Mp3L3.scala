@@ -488,6 +488,13 @@ private[graft] object Mp3L3 {
   private def imdctBlock(xr: Array[Double], off: Int, blockType: Int,
       out: Array[Double]): Unit = {
     java.util.Arrays.fill(out, 0.0)
+    // all-zero subband → the full transform yields exact +0.0 everywhere
+    // (products of ±0.0 sum from a +0.0 accumulator, windows are ≥ 0):
+    // skip the 36x18 multiply wall. Most subbands of most granules are
+    // zero in both real frames and the fixture class.
+    var z = 0
+    while (z < 18 && xr(off + z) == 0.0) z += 1
+    if (z == 18) return
     if (blockType == 2) {
       var win = 0
       while (win < 3) {
@@ -527,13 +534,31 @@ private[graft] object Mp3L3 {
     private val v = new Array[Double](1024)
     private val u = new Array[Double](512)
 
+    private val nzIdx = new Array[Int](32)
+
     def slot(s: Array[Double], sOff: Int, pcm: Array[Double], pOff: Int): Unit = {
       System.arraycopy(v, 0, v, 64, 960)
+      // gather the nonzero subbands once: skipping an exactly-zero term
+      // skips an `acc += c * 0.0` — bit-identical except for the sign of
+      // an all-zero accumulator, which no int16 sample can see. Real
+      // Layer III frames rarely excite all 32 subbands and the fixture
+      // class excites one, so this cuts the 64x32 matrixing to 64 x nnz
+      // (the goldens and the DuckDB oracle are unchanged by construction).
+      var nnz = 0
+      var k = 0
+      while (k < 32) {
+        if (s(sOff + k) != 0.0) { nzIdx(nnz) = k; nnz += 1 }
+        k += 1
+      }
       var i = 0
       while (i < 64) {
         var acc = 0.0
-        var k = 0
-        while (k < 32) { acc += NCos(i * 32 + k) * s(sOff + k); k += 1 }
+        var j = 0
+        while (j < nnz) {
+          val kk = nzIdx(j)
+          acc += NCos(i * 32 + kk) * s(sOff + kk)
+          j += 1
+        }
         v(i) = acc
         i += 1
       }
