@@ -2248,6 +2248,23 @@ object SparkEntry {
         .select(col("doc_id"),
           upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
           upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
+    // the MPEG-1 scfsi path, oracled: fixture variant 2 reuses
+    // scalefactor groups 0 and 2 on each frame's SECOND granule (its
+    // side info sets scfsi 1010 and its main data omits those groups'
+    // bits), so the decoder must substitute granule 0's scalefactors —
+    // the oracle restates that as a one-index change (odd granules read
+    // the even granule's sf plant). No real asset exercises scfsi (the
+    // box's one real MP3 is LSF, which has no scfsi), which is exactly
+    // why it needs an oracle row.
+    "multimodal_decode_mp3_scfsi" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(2))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
     // exact dedup over DECODED Layer III audio: the base doc is coded
     // with tables (7,8) and a 40-byte bit reservoir, its copy with
     // tables (9,9) frame-aligned — byte-DIFFERENT MP3 files that decode
@@ -3681,6 +3698,7 @@ object SparkEntry {
     // argument: matched operation order, D*(N*S) two-step rounding,
     // single-subband tap algebra proven in the prototype)
     "multimodal_decode_mp3" -> graft.functions.Mp3Oracle.decodeSql,
+    "multimodal_decode_mp3_scfsi" -> graft.functions.Mp3Oracle.decodeScfsiSql,
     // byte-different codings of the same spectrum decode identically ⇒
     // exactly one digest pair per doc
     "dedup_audio_mp3" ->

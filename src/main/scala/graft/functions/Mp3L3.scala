@@ -754,11 +754,16 @@ private[graft] object Mp3L3 {
   def encodeFixture(spec: Array[Byte], variant: Int): Array[Byte] = {
     require(spec.length % 16 == 0 && spec.length > 0 && spec.length <= 64 * 16,
       s"spec multiple of 16 bytes, got ${spec.length}")
-    require(variant == 0 || variant == 1, s"variant 0|1, got $variant")
+    require(variant >= 0 && variant <= 2, s"variant 0|1|2, got $variant")
     val ngr = spec.length / 16
     require(ngr % 2 == 0, "whole frames only (2 granules each)")
-    val tables = if (variant == 0) Array(7, 8, 0) else Array(9, 9, 0)
-    val reservoir = if (variant == 0) 40 else 0
+    val tables = if (variant == 1) Array(9, 9, 0) else Array(7, 8, 0)
+    val reservoir = if (variant == 1) 0 else 40
+    // variant 2: scfsi groups 0 and 2 reused — granule 1 of each frame
+    // OMITS the scalefactors of bands 0..5 and 11..15 and the decoder
+    // must substitute granule 0's (the MPEG-1 scfsi path, which no real
+    // asset on this box exercises: the one real stream is LSF)
+    val scfsi = if (variant == 2) Array(1, 0, 1, 0) else Array(0, 0, 0, 0)
     val kbpsIdx = 9 // 128 kbps
     val flen = 144 * BitrateV1(kbpsIdx) * 1000 / 44100
     val cap = flen - 4 - 17
@@ -775,10 +780,22 @@ private[graft] object Mp3L3 {
         val s = spec.slice(16 * (2 * f + gr), 16 * (2 * f + gr) + 16)
         val before = bw.lengthBits
         // scalefactors: scalefac_compress=8 → slen1=2 (bands 0..10),
-        // slen2=1 (bands 11..20)
+        // slen2=1 (bands 11..20); scfsi-reused groups are omitted on
+        // granule 1 (groups: 0..5, 6..10 at slen1; 11..15, 16..20 at
+        // slen2 — matching the decoder's bounds)
+        def groupOf(sfb: Int): Int =
+          if (sfb < 6) 0 else if (sfb < 11) 1 else if (sfb < 16) 2 else 3
         var sfb = 0
-        while (sfb < 11) { bw.write(if (sfb < 3) s(1 + sfb) & 3 else 0, 2); sfb += 1 }
-        while (sfb < 21) { bw.write(if (sfb == 11 || sfb == 12) s(sfb - 7) & 1 else 0, 1); sfb += 1 }
+        while (sfb < 11) {
+          if (gr == 0 || scfsi(groupOf(sfb)) == 0)
+            bw.write(if (sfb < 3) s(1 + sfb) & 3 else 0, 2)
+          sfb += 1
+        }
+        while (sfb < 21) {
+          if (gr == 0 || scfsi(groupOf(sfb)) == 0)
+            bw.write(if (sfb == 11 || sfb == 12) s(sfb - 7) & 1 else 0, 1)
+          sfb += 1
+        }
         // big values: 5 pairs over lines 0..9, region0 = lines 0..3
         // (region0_count=0), region1 = lines 4..9 (region1_count=1)
         var i = 0
@@ -838,7 +855,8 @@ private[graft] object Mp3L3 {
       val bw = new BitWriterB
       bw.write(mdb, 9)
       bw.write(0, 5)
-      bw.write(0, 4) // scfsi
+      bw.write(scfsi(0), 1); bw.write(scfsi(1), 1)
+      bw.write(scfsi(2), 1); bw.write(scfsi(3), 1)
       var gr = 0
       while (gr < 2) {
         val g = sides(f)(gr)

@@ -51,8 +51,20 @@ private[graft] object Mp3Oracle {
   }
 
   /** The oracle for 4 granules (2 frames, 2304 samples). */
-  lazy val decodeSql: String = {
+  lazy val decodeSql: String = build(scfsi = false)
+
+  /** The scfsi-variant oracle: fixture variant 2 reuses scalefactor
+    * groups 0 and 2 on each frame's second granule, and the planted
+    * bands (0..2 slen1, 11..12 slen2) all live in those groups — so the
+    * effective scalefactors of an ODD granule are the EVEN granule's
+    * plant, a one-index change in the restatement that only a decoder
+    * actually honoring scfsi can hash-match. */
+  lazy val decodeScfsiSql: String = build(scfsi = true)
+
+  private def build(scfsi: Boolean): String = {
     import Mp3Tables._
+    // granule whose spec bytes supply the scalefactors
+    val sfG = if (scfsi) "(g - g%2)" else "g"
     val nGr = 4
     val nSamples = 576 * nGr
     val nSlots = 18 * nGr
@@ -70,11 +82,11 @@ private[graft] object Mp3Oracle {
     // requantized spectral lines: per granule g (0-based), 18 values, only
     // k<10 nonzero; e = m - 10 - sf(k) is an exact integer exponent
     val xrCell =
-      """CASE WHEN kk >= 10 OR sb[16*g + 7 + kk] = 5 THEN 0.0 ELSE
+      s"""CASE WHEN kk >= 10 OR sb[16*g + 7 + kk] = 5 THEN 0.0 ELSE
         | (CASE WHEN sb[16*g + 7 + kk] < 5 THEN -1.0 ELSE 1.0 END) *
         | (p43[abs(sb[16*g + 7 + kk] - 5) + 1] *
         |  power(2.0, CAST(sb[16*g + 1] - 10 -
-        |    sb[16*g + 2 + (CASE WHEN kk < 4 THEN 0 WHEN kk < 8 THEN 1 ELSE 2 END)]
+        |    sb[16*$sfG + 2 + (CASE WHEN kk < 4 THEN 0 WHEN kk < 8 THEN 1 ELSE 2 END)]
         |    AS DOUBLE))) END""".stripMargin.replace("\n", " ")
     val xr = s"[[ $xrCell for kk in range(0, 18)] for g in range(0, $nGr)]"
     // IMDCT + long window: 18-term left-associated chain, decoder order

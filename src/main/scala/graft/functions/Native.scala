@@ -4894,12 +4894,14 @@ object Native {
     * regions plus count1 quads, with the frames' main data laid out as
     * one packed stream so every frame after the first carries an honest
     * nonzero main_data_begin (the bit-reservoir walk sits inside the
-    * oracled query). The two variants emit byte-DIFFERENT codings of the
-    * SAME spectrum — different table selections (7,8 vs 9,9) and
+    * oracled query). Variants 0 and 1 emit byte-DIFFERENT codings of
+    * the SAME spectrum — different table selections (7,8 vs 9,9) and
     * reservoir layouts — that decode bit-identically, which is what
     * makes real Layer III decode the only path that can pair them
-    * (dedup_audio_mp3). Fixture builder; production encodes MP3 with a
-    * codec, not Spark. */
+    * (dedup_audio_mp3); variant 2 sets scfsi 1010, omitting the reused
+    * scalefactor groups from each frame's second granule (the MPEG-1
+    * reuse path, oracled by multimodal_decode_mp3_scfsi). Fixture
+    * builder; production encodes MP3 with a codec, not Spark. */
   case class Mp3FixtureEncode(left: Expression, right: Expression)
       extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = BinaryType

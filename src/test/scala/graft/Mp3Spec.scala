@@ -51,6 +51,32 @@ class Mp3Spec extends AnyFunSuite {
     assert((0 until 2304).map(i => math.abs(s16(w0, i))).max == 8141)
   }
 
+  test("scfsi variant: reused groups substitute granule 0's scalefactors") {
+    val v2 = Mp3L3.encodeFixture(goldenSpec, 2)
+    val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
+    assert(!java.util.Arrays.equals(v0, v2), "scfsi stream must differ")
+    // side info: mdb(9)+private(5) then 4 scfsi bits → bits 14..17 of the
+    // side info = low bits of byte 5 + high bits of byte 6 of the frame
+    val scfsiBits = (((v2(4 + 1) & 0x03) << 2) | ((v2(4 + 2) & 0xc0) >>> 6))
+    assert(scfsiBits == 0xA, f"scfsi field 0x$scfsiBits%X != 1010")
+    // a spec whose granule-1/3 sf plants EQUAL granule-0/2's decodes
+    // IDENTICALLY under variants 0 and 2 (reuse substitutes the same
+    // values; only the bit layout differs) — the reuse-semantics pin
+    val eqSpec = goldenSpec.clone()
+    for (g <- Seq(1, 3); j <- 1 to 5)
+      eqSpec(16 * g + j) = eqSpec(16 * (g - 1) + j)
+    val wEq0 = Mp3L3.decodeToWav(Mp3L3.encodeFixture(eqSpec, 0))
+    val wEq2 = Mp3L3.decodeToWav(Mp3L3.encodeFixture(eqSpec, 2))
+    assert(java.util.Arrays.equals(wEq0, wEq2),
+      "equal-plant spec must decode identically under scfsi reuse")
+    // and with DIFFERING granule-1 plants the decodes must differ —
+    // proving the reused (not the planted) scalefactors drive granule 1
+    val w0 = Mp3L3.decodeToWav(v0)
+    val w2 = Mp3L3.decodeToWav(v2)
+    assert(!java.util.Arrays.equals(w0, w2),
+      "differing plants: scfsi reuse must change granule-1 audio")
+  }
+
   test("nonzero main_data_begin: variant 0 really exercises the bit reservoir") {
     val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
     val v1 = Mp3L3.encodeFixture(goldenSpec, 1)
