@@ -309,6 +309,10 @@ private[graft] object Mp3L3 {
   }
   private val count1MaxLen = Array(Count1Len0.max, Count1Len1.max)
 
+  /** Refuse when a mandatory sign bit would cross part2_3_length. */
+  private def signBit(b: Bits, limit: Int): Unit =
+    if (b.p >= limit) throw Refused("mp3_truncated_main_data")
+
   private def huffSymbol(b: Bits, m: java.util.HashMap[Integer, Integer],
       maxLen: Int, limit: Int): Int = {
     var l = 0
@@ -323,14 +327,18 @@ private[graft] object Mp3L3 {
     throw Refused("mp3_huffman_desync")
   }
 
-  /** region1/region2 start lines for big_values. */
+  /** region1/region2 start lines for big_values. r16 ADVICE fix: for
+    * window-switching LONG windows (start/stop, block_type 1/3) the
+    * boundary is sfb 8's end from the RATE's long table — 36 only equals
+    * that on MPEG-1 rates (e.g. 54 at 22.05 kHz LSF); 36 is exact for
+    * short blocks (block_type 2) by construction (3 windows x 12). */
   private def regionBounds(g: Granule, hz: Int): (Int, Int) = {
-    if (g.wsf == 1) (36, 576)
+    val widths = sfbLong(hz)
+    val bounds = new Array[Int](23)
+    var i = 0
+    while (i < 22) { bounds(i + 1) = bounds(i) + widths(i); i += 1 }
+    if (g.wsf == 1) (if (g.blockType == 2) 36 else bounds(8), 576)
     else {
-      val widths = sfbLong(hz)
-      val bounds = new Array[Int](23)
-      var i = 0
-      while (i < 22) { bounds(i + 1) = bounds(i) + widths(i); i += 1 }
       val r1 = bounds(math.min(g.region0Count + 1, 22))
       val r2 = bounds(math.min(g.region0Count + 1 + g.region1Count + 1, 22))
       (r1, r2)
@@ -354,12 +362,15 @@ private[graft] object Mp3L3 {
         val xy = huffSymbol(b, m, ml, limit)
         val x = xy >> 8
         val y = xy & 0xff
+        // r16 ADVICE fix: a nonzero value's sign bit is part of the code;
+        // landing exactly on part2_3_length is malformed — refuse, never
+        // silently decode positive (b.p > limit could not catch == limit).
         if (i < 576) {
-          is(i) = if (x != 0 && b.p < limit) { if (b.read(1) == 1) -x else x } else x
+          is(i) = if (x != 0) { signBit(b, limit); if (b.read(1) == 1) -x else x } else x
         }
         i += 1
         if (i < 576) {
-          is(i) = if (y != 0 && b.p < limit) { if (b.read(1) == 1) -y else y } else y
+          is(i) = if (y != 0) { signBit(b, limit); if (b.read(1) == 1) -y else y } else y
         }
         i += 1
       }
@@ -372,7 +383,7 @@ private[graft] object Mp3L3 {
       while (k >= 0) {
         val v = (q >> k) & 1
         if (i < 576) {
-          is(i) = if (v == 1 && b.p < limit) { if (b.read(1) == 1) -1 else 1 } else v
+          is(i) = if (v == 1) { signBit(b, limit); if (b.read(1) == 1) -1 else 1 } else v
         }
         i += 1
         k -= 1

@@ -11233,7 +11233,11 @@ object Native {
       }
       val w = (wh >> 16).toInt
       val h = (wh & 0xffff).toInt
-      if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return null
+      // r16 ADVICE fix: the packed child carries h in 16 bits, so the
+      // representable range is 1..65535 for BOTH dimensions (w > 0xffff
+      // would alias into h's bits); the old h <= 65536 admitted an
+      // unreachable value and disagreed with the packing contract.
+      if (w <= 0 || h <= 0 || w > 0xffff || h > 0xffff) return null
       try AvifMetaEncode.build(payload.asInstanceOf[Array[Byte]], w, h, heic)
       catch { case NonFatal(_) => null }
     }

@@ -54,7 +54,11 @@ for hz, w in SFB_SHORT.items():
 
 SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
 SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
-PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3]
+# ISO 11172-3 Table B.6 preemphasis (r16 ADVICE fix: the first
+# transcription had the nonzero tail shifted 3 bands with a wrong tail —
+# {14 zeros,1,1,1,1,2,2,3,3}; spec is 11 zeros then 1,1,1,1,2,2,3,3,3,2,0).
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+assert len(PRETAB) == 22 and sum(PRETAB) == 19 and PRETAB[11] == 1
 
 # linbits per escape table id (16..31); decode REFUSES these (table data
 # not carried — see mp3_tables.py), kept for classification only.
@@ -353,7 +357,12 @@ def region_boundaries(g, hz, ver):
     for w in widths:
         bounds.append(bounds[-1] + w)
     if g["wsf"]:
-        r1 = 36
+        # r16 ADVICE fix: for window-switching LONG windows (start/stop,
+        # block_type 1/3) the region boundary is sfb 8's end from the
+        # RATE's long table (36 only for MPEG-1 rates; e.g. 54 at
+        # 22.05 kHz LSF). 36 is exact only for short blocks (block_type
+        # 2), where it is 3 x 12 lines by construction.
+        r1 = 36 if g["block_type"] == 2 else bounds[8]
         r2 = 576
     else:
         r1 = bounds[g["region0_count"] + 1]
@@ -379,7 +388,13 @@ def huffman_decode(b, g, hz, ver, limit):
         x, y = huff_symbol(b, m, ml, limit)
         for v in (x, y):
             if i < 576:
-                if v != 0 and b.p < limit:
+                if v != 0:
+                    # r16 ADVICE fix: a nonzero value's sign bit is part
+                    # of the code — landing exactly on part2_3_length
+                    # means the stream is malformed; refuse, never guess
+                    # the sign positive.
+                    if b.p >= limit:
+                        raise UnsupportedStream("mp3_truncated_main_data")
                     s = b.read(1)
                     is_[i] = -v if s else v
                 else:
@@ -391,7 +406,9 @@ def huffman_decode(b, g, hz, ver, limit):
         q = huff_symbol(b, m, ml, limit)
         vals = [(q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1]
         for v in vals:
-            if v and b.p < limit:
+            if v:
+                if b.p >= limit:
+                    raise UnsupportedStream("mp3_truncated_main_data")
                 s = b.read(1)
                 is_[i] = -1 if s else 1
             else:
