@@ -2265,6 +2265,21 @@ object SparkEntry {
         .select(col("doc_id"),
           upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
           upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
+    // r17: the SAME planted spectrum coded under Huffman table 10 (the
+    // id graduated from the refusal list this round — independent
+    // re-transcription, Kraft/prefix/completeness clean). The stream is
+    // byte-different from the variant-0 coding, but the decode must
+    // hash-match the SAME oracle restatement — a decode-side pin on the
+    // new table that no byte-level check could provide.
+    "multimodal_decode_mp3_t10" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(3))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
     // exact dedup over DECODED Layer III audio: the base doc is coded
     // with tables (7,8) and a 40-byte bit reservoir, its copy with
     // tables (9,9) frame-aligned — byte-DIFFERENT MP3 files that decode
@@ -3699,6 +3714,10 @@ object SparkEntry {
     // single-subband tap algebra proven in the prototype)
     "multimodal_decode_mp3" -> graft.functions.Mp3Oracle.decodeSql,
     "multimodal_decode_mp3_scfsi" -> graft.functions.Mp3Oracle.decodeScfsiSql,
+    // table-10 coding of the same planted spectrum: the oracle is the
+    // SAME restatement (decode-identical by construction); only a
+    // decoder actually honoring the re-transcribed table can match it
+    "multimodal_decode_mp3_t10" -> graft.functions.Mp3Oracle.decodeSql,
     // byte-different codings of the same spectrum decode identically ⇒
     // exactly one digest pair per doc
     "dedup_audio_mp3" ->

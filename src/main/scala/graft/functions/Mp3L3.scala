@@ -13,9 +13,12 @@ import scala.util.control.NonFatal
   *
   *   - Huffman tables: prefix-free + Kraft-complete machine checks
   *     (tools/mp3_tables.py). Only the validated subset
-  *     {1,2,3,5,6,7,8,9,11,12}+A/B is carried; streams selecting tables
-  *     10/13/15/16..31 are REFUSED with a typed reason instead of being
-  *     decoded with guessed 256-entry code data.
+  *     {1,2,3,5,6,7,8,9,10,11,12}+A/B is carried (10 graduated in r17 —
+  *     an independent re-transcription passed Kraft/prefix/completeness
+  *     on first contact); streams selecting tables 13/15/16..31 are
+  *     REFUSED with a typed reason instead of being decoded with guessed
+  *     256-entry code data (an r17 attempt at the two escape codebooks
+  *     failed the validator diffusely and was discarded).
   *   - The bitstream grammar is self-checking: every granule must consume
   *     exactly `part2_3_length` bits; the one real encoder-produced MP3
   *     on the box (gsutil's 45-frame 22.05 kHz LSF mono test asset)
@@ -291,12 +294,13 @@ private[graft] object Mp3L3 {
       3 -> build(3, HuffLen3, HuffCode3), 5 -> build(4, HuffLen5, HuffCode5),
       6 -> build(4, HuffLen6, HuffCode6), 7 -> build(6, HuffLen7, HuffCode7),
       8 -> build(6, HuffLen8, HuffCode8), 9 -> build(6, HuffLen9, HuffCode9),
+      10 -> build(8, HuffLen10, HuffCode10),
       11 -> build(8, HuffLen11, HuffCode11), 12 -> build(8, HuffLen12, HuffCode12))
   }
   private val huffMaxLen: Map[Int, Int] = Map(
     1 -> HuffLen1.max, 2 -> HuffLen2.max, 3 -> HuffLen3.max, 5 -> HuffLen5.max,
     6 -> HuffLen6.max, 7 -> HuffLen7.max, 8 -> HuffLen8.max, 9 -> HuffLen9.max,
-    11 -> HuffLen11.max, 12 -> HuffLen12.max)
+    10 -> HuffLen10.max, 11 -> HuffLen11.max, 12 -> HuffLen12.max)
 
   private val count1Maps: Array[java.util.HashMap[Integer, Integer]] = {
     def build(ls: Array[Int], cs: Array[Int]): java.util.HashMap[Integer, Integer] = {
@@ -759,16 +763,22 @@ private[graft] object Mp3L3 {
     * sf11..sf12 (0..1), v0..v9 biased +5 (0..10 → value -5..5). The
     * variant picks byte-DIFFERENT Huffman codings of the SAME values:
     *   0 → tables (7,8), 40-byte bit reservoir;
-    *   1 → tables (9,9), no reservoir
+    *   1 → tables (9,9), no reservoir;
+    *   3 → tables (10,10), 40-byte reservoir (r17: the re-transcribed
+    *       Kraft-validated table 10 — same planted PCM, third byte-
+    *       different coding)
     * — decode-identical streams whose pairing exists only through real
     * Layer III decode (the dedup_audio_mp3 argument). */
   def encodeFixture(spec: Array[Byte], variant: Int): Array[Byte] = {
     require(spec.length % 16 == 0 && spec.length > 0 && spec.length <= 64 * 16,
       s"spec multiple of 16 bytes, got ${spec.length}")
-    require(variant >= 0 && variant <= 2, s"variant 0|1|2, got $variant")
+    require(variant >= 0 && variant <= 3, s"variant 0|1|2|3, got $variant")
     val ngr = spec.length / 16
     require(ngr % 2 == 0, "whole frames only (2 granules each)")
-    val tables = if (variant == 1) Array(9, 9, 0) else Array(7, 8, 0)
+    val tables =
+      if (variant == 1) Array(9, 9, 0)
+      else if (variant == 3) Array(10, 10, 0)
+      else Array(7, 8, 0)
     val reservoir = if (variant == 1) 0 else 40
     // variant 2: scfsi groups 0 and 2 reused — granule 1 of each frame
     // OMITS the scalefactors of bands 0..5 and 11..15 and the decoder
@@ -902,6 +912,7 @@ private[graft] object Mp3L3 {
       case 7 => (6, HuffLen7, HuffCode7)
       case 8 => (6, HuffLen8, HuffCode8)
       case 9 => (6, HuffLen9, HuffCode9)
+      case 10 => (8, HuffLen10, HuffCode10)
       case _ => throw Refused("mp3_fixture_table")
     }
     val ax = math.abs(x); val ay = math.abs(y)

@@ -4900,8 +4900,10 @@ object Native {
     * makes real Layer III decode the only path that can pair them
     * (dedup_audio_mp3); variant 2 sets scfsi 1010, omitting the reused
     * scalefactor groups from each frame's second granule (the MPEG-1
-    * reuse path, oracled by multimodal_decode_mp3_scfsi). Fixture
-    * builder; production encodes MP3 with a codec, not Spark. */
+    * reuse path, oracled by multimodal_decode_mp3_scfsi); variant 3
+    * codes the spectrum under Huffman table 10 (graduated r17, oracled
+    * by multimodal_decode_mp3_t10). Fixture builder; production encodes
+    * MP3 with a codec, not Spark. */
   case class Mp3FixtureEncode(left: Expression, right: Expression)
       extends BinaryExpression with NativeBinaryCodegen {
     override def dataType: DataType = BinaryType

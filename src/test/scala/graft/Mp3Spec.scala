@@ -77,6 +77,30 @@ class Mp3Spec extends AnyFunSuite {
       "differing plants: scfsi reuse must change granule-1 audio")
   }
 
+  test("table-10 variant: third byte-different coding, identical decode") {
+    // r17: table 10 graduated from the refusal list (independent
+    // re-transcription, Kraft/prefix/completeness clean on first
+    // contact). The variant-3 stream codes the SAME planted spectrum
+    // under table 10 — byte-different from both prior codings, and its
+    // decode must land on the SAME committed prototype golden, which
+    // pins the transcription's decode side through the shared-table
+    // encoder: any same-length code permutation that survived the
+    // validator would still decode fixtures consistently (documented
+    // residual), but a wrong LENGTH or misplaced code cannot.
+    val v3 = Mp3L3.encodeFixture(goldenSpec, 3)
+    val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
+    val v1 = Mp3L3.encodeFixture(goldenSpec, 1)
+    assert(!java.util.Arrays.equals(v3, v0) && !java.util.Arrays.equals(v3, v1))
+    // it really selects table 10 in granule 0: table_select(0) sits at
+    // side-info bits 52..56 (mdb 9 + private 5 + scfsi 4 + p23 12 +
+    // big_values 9 + global_gain 8 + sfc 4 + wsf 1 = 52) — the low
+    // nibble of frame byte 10 and the top bit of frame byte 11
+    assert((((v3(4 + 6) & 0x0f) << 1) | ((v3(4 + 7) & 0xff) >>> 7)) == 10)
+    val w3 = Mp3L3.decodeToWav(v3)
+    assert(sha256(w3) == "d5faf0c4f7f7e2c34f26287f29b69f6717135dd965e640333925690c9e7b3c97",
+      "table-10 coding must decode to the committed prototype golden")
+  }
+
   test("nonzero main_data_begin: variant 0 really exercises the bit reservoir") {
     val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
     val v1 = Mp3L3.encodeFixture(goldenSpec, 1)

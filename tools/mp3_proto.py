@@ -816,18 +816,24 @@ def fixture_specs(seed=5):
 
 
 def roundtrip_check():
-    specs = fixture_specs()
-    data = encode_frames_v1_mono(specs)
-    dec = Mp3Decoder()
-    pcm = dec.decode(data)
-    exact = sum(1 for c, p in dec.granule_log if c == p)
-    ref = recompute_fixture_pcm(specs)
-    assert len(pcm) == len(ref) == 2304, (len(pcm), len(ref))
-    worst = max(abs(a - b) for a, b in zip(pcm, ref))
-    ok = all(a == b for a, b in zip(pcm, ref))
-    print(f"fixture roundtrip: granules exact {exact}/{len(dec.granule_log)}, "
-          f"decode==recompute bit-identical: {ok} (worst |diff| {worst:.3e})")
-    return ok
+    ok_all = True
+    for tabsel in ([7, 8, 0], [10, 10, 0]):  # r17: table 10 graduated
+        specs = fixture_specs()
+        for s in specs:
+            s["table_select"] = tabsel
+        data = encode_frames_v1_mono(specs)
+        dec = Mp3Decoder()
+        pcm = dec.decode(data)
+        exact = sum(1 for c, p in dec.granule_log if c == p)
+        ref = recompute_fixture_pcm(specs)
+        assert len(pcm) == len(ref) == 2304, (len(pcm), len(ref))
+        worst = max(abs(a - b) for a, b in zip(pcm, ref))
+        ok = all(a == b for a, b in zip(pcm, ref))
+        print(f"fixture roundtrip {tabsel}: granules exact "
+              f"{exact}/{len(dec.granule_log)}, "
+              f"decode==recompute bit-identical: {ok} (worst |diff| {worst:.3e})")
+        ok_all = ok_all and ok
+    return ok_all
 
 
 # ----------------------------------------------------- PR / window tests

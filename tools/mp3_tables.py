@@ -1,18 +1,30 @@
 #!/usr/bin/env python3
 """ISO 11172-3 Layer III Huffman tables — the machine-VALIDATED subset
-{1,2,3,5,6,7,8,9,11,12} plus count1 tables A/B, transcribed from the
+{1,2,3,5,6,7,8,9,10,11,12} plus count1 tables A/B, transcribed from the
 published spec (Annex B, tables 3-B.7), row-major (x,y) layout. Each
 table is (xmax, ymax, lengths[], codes[]).
 
-Tables 10, 13, 15 and the escape tables 16..31 are deliberately NOT
-carried: transcriptions of 10/13/15 FAILED the validator below (duplicate
-codewords / prefix violations / Kraft imbalance with no unique repair)
-and no ground-truth asset exists in this sandbox to correct them against
-(the one real MP3 on the box is digital silence, which exercises no
-Huffman codes). The decoder refuses streams selecting any uncarried
-table rather than guessing at 256-entry code data. The validator caught
-and localized two single-entry slips in tables 6 and 8 whose unique
-Kraft-restoring corrections were forced.
+Table 10 graduated in r17: an INDEPENDENT re-transcription passed the
+validator on first contact — Kraft sum exactly 1, zero duplicate
+codewords, zero prefix violations. For a COMPLETE prefix code every
+single-entry error necessarily surfaces as a collision or a hole (the
+256 half-open dyadic intervals must tile [0,1) exactly), so a clean pass
+is strong evidence of verbatim fidelity; the residual undetectable class
+is a same-length value permutation, documented here like the carried
+tables' single-ulp window uncertainty.
+
+Tables 13, 15 and the escape tables 16..31 are deliberately NOT carried:
+r16-and-earlier transcriptions of 13/15 FAILED the validator (duplicate
+codewords / prefix violations / Kraft imbalance with no unique repair),
+and an r17 re-transcription attempt at the two escape codebooks (shared
+by ids 16..23 and 24..31) failed it diffusely (Kraft off by thousands of
+2^-19 units, ~50 violations each — noise, not localized slips). No
+ground-truth asset exists in this sandbox to correct them against (no
+MP3 decoder library ships here; the one real MP3 on the box is digital
+silence, which exercises no Huffman codes). The decoder refuses streams
+selecting any uncarried table rather than guessing at 256-entry code
+data. The validator caught and localized two single-entry slips in
+tables 6 and 8 whose unique Kraft-restoring corrections were forced.
 
 Machine-checked properties (run this file):
   - every table is a PREFIX-FREE code (no codeword is a prefix of another);
@@ -50,6 +62,15 @@ TABLES = {
          6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9],
         [7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
          15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0]),
+    10: (8, 8,
+         [1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+          6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+          8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+          8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11],
+         [1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+          11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+          20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+          14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0]),
     11: (8, 8,
          [2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
           5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
