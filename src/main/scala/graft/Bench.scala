@@ -244,6 +244,33 @@ object Bench {
     (med > UniformDriftFactor, med)
   }
 
+  // ---- per-query outlier guard (r17): the r16 driver record carried
+  // multimodal_decode_wav_profiles at 8.12 s vs 2.59 s clean — ×3.1 on
+  // unchanged code — with rerun_count 0, because the spread rule keys on
+  // WITHIN-run spread and a sustained interference window covering all
+  // reps of one query passes it. The committed pace reference supplies
+  // the missing cross-run evidence: when the run's overall pace is sane
+  // (under [[OutlierPaceCeiling]] — a machine-wide slowdown is the
+  // uniform-drift stamp's job), any query over
+  // [[OutlierVsReferenceFactor]] × its reference time re-measures once.
+  val OutlierVsReferenceFactor = 2.5
+  val OutlierPaceCeiling = 1.3
+
+  /** Pure so BenchGateSpec can pin it: names whose current median exceeds
+    * factor × the pace reference's per-query time, gated on a sane run
+    * pace (paceRatio in (0, paceCeiling]); a negative/absent pace ratio
+    * (no reference, subset cohort) or a paced-out run returns nothing. */
+  def referenceOutliers(
+      current: Map[String, Double],
+      reference: Map[String, Double],
+      paceRatio: Double,
+      factor: Double = OutlierVsReferenceFactor,
+      paceCeiling: Double = OutlierPaceCeiling): Set[String] =
+    if (paceRatio <= 0 || paceRatio > paceCeiling) Set.empty
+    else current.collect {
+      case (k, v) if reference.get(k).exists(r => r > 0 && v > factor * r) => k
+    }.toSet
+
   /** Cap on rerun names inlined in the compact stdout line. The r15 driver
     * run launched at ambient 4.19 (residue of its own correctness pass), so
     * ALL 174 queries re-measured and all 174 names landed in the compact
@@ -271,13 +298,14 @@ object Bench {
       reps: Int,
       subset: Boolean,
       failed: Int,
-      settleSec: Double): String = {
+      settleSec: Double,
+      outlierCount: Int = 0): String = {
     def fmt(d: Double) = f"$d%.4f"
     val qsTop = topQueries.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val rerunInline = rerunNames.take(RerunInlineCap)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQueries.size},"queries_total":$queriesTotal,"sf":"$sfDir","contaminated":$contaminated,"uniform_drift":$uniformDrift,"pace_vs_reference":${fmt(paceRatio)},"rerun_count":${rerunNames.size},"rerun":$rerunInline,"reps":$reps,"subset":$subset,"failed":$failed,"settle_sec":${fmt(settleSec)},"full":"BENCH.json"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_included":${topQueries.size},"queries_total":$queriesTotal,"sf":"$sfDir","contaminated":$contaminated,"uniform_drift":$uniformDrift,"pace_vs_reference":${fmt(paceRatio)},"rerun_count":${rerunNames.size},"rerun":$rerunInline,"outlier_count":$outlierCount,"reps":$reps,"subset":$subset,"failed":$failed,"settle_sec":${fmt(settleSec)},"full":"BENCH.json"}"""
   }
 
   /** Bounded pre-bench settle: poll the 1-min loadavg until it drops under
@@ -452,12 +480,37 @@ object Bench {
     }
     if (sortedQueries.length % checkpointEvery != 0) checkpoints += microCheckpoint()
 
+    // Committed pace reference (uniform-drift stamp + the r17 per-query
+    // outlier guard both read it)
+    val paceRef: Map[String, Double] = {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_PACE_REF", "bench_logs/pace_reference.json")
+      val f = new java.io.File(refPath)
+      if (!f.isFile) Map.empty
+      else try parseQueries(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
+    }
+    // r17 outlier guard: the within-run spread rule misses a sustained
+    // interference window covering all reps of one query (the r16
+    // wav_profiles miss); compare each first-pass median against the
+    // committed reference when the run's own pace is sane
+    val firstMedians = firstPass.map { case (name, _, s, _) => name -> s.median }.toMap
+    val firstPace = uniformDrift(firstMedians, paceRef)._2
+    val outliers = referenceOutliers(firstMedians, paceRef, firstPace)
+    if (outliers.nonEmpty)
+      System.err.println(
+        f"[bench] reference outliers at sane pace ($firstPace%.3fx): " +
+          s"${outliers.toSeq.sorted.mkString(", ")} — re-measuring")
+
     // Defense pass: a median 3× above the same query's fastest rep, or a
     // high loadavg at measurement time, is the signature of external load,
-    // not a plan property. Re-measure once; keep whichever run has the
-    // lower median, and flag the query so the report is honest about it.
+    // not a plan property — as is a median far above the committed pace
+    // reference while the rest of the run paces clean (outlier guard).
+    // Re-measure once; keep whichever run has the lower median, and flag
+    // the query so the report is honest about it.
     val results = firstPass.map { case (name, fn, s0, window) =>
-      val suspicious = (s0.min > 0 && s0.median > spreadCap * s0.min) || ambient > loadCap
+      val suspicious = (s0.min > 0 && s0.median > spreadCap * s0.min) ||
+        ambient > loadCap || outliers(name)
       if (!suspicious) (name, s0, false, window)
       else {
         System.err.println(
@@ -510,22 +563,15 @@ object Bench {
           f"(cap ${AmbientLoadCap}%.1f) — per-query timings in this run are not evidence")
     // uniform machine-state drift vs the committed pace reference (only
     // meaningful on full runs — a subset's shared cohort is biased)
-    val (uniformDriftStamp, paceRatio) = {
-      val refPath = sys.env.getOrElse("SPARK_GRAFT_PACE_REF", "bench_logs/pace_reference.json")
-      val f = new java.io.File(refPath)
-      if (only.isDefined || !f.isFile) (false, -1.0)
-      else try {
-        val ref = parseQueries(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        uniformDrift(results.map { case (k, s, _, _) => k -> s.median }.toMap, ref)
-      } catch { case _: Throwable => (false, -1.0) }
-    }
+    val (uniformDriftStamp, paceRatio) =
+      if (only.isDefined || paceRef.isEmpty) (false, -1.0)
+      else uniformDrift(results.map { case (k, s, _, _) => k -> s.median }.toMap, paceRef)
     if (uniformDriftStamp)
       System.err.println(
         f"[bench] UNIFORM DRIFT: shared-cohort median ${paceRatio}%.3fx the committed " +
           f"pace reference (cap ${UniformDriftFactor}%.2fx) — the whole cohort moved " +
           "together, the machine-state signature; treat per-query timings as suspect")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size},"settle_sec":${fmt(settleSec)}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"min":$mins,"load":$loads,"ambient_load":${fmt(ambient)},"ambient_load_cap":${fmt(AmbientLoadCap)},"canary_sec":${fmt(canarySec)},"canary_floor":${fmt(CanaryFloorSec)},"canary_bw_sec":${fmt(bwCanarySec)},"canary_bw_floor":${fmt(BandwidthCanaryFloorSec)},"contaminated":$contaminated,"uniform_drift":$uniformDriftStamp,"pace_vs_reference":${fmt(paceRatio)},"checkpoint_every":$checkpointEvery,"checkpoints_cpu":$cpCpu,"checkpoints_bw":$cpBw,"micro_floor_cpu":${fmt(MicroCanaryFloorSec)},"micro_floor_bw":${fmt(MicroBandwidthCanaryFloorSec)},"contaminated_queries":$contaminatedQueries,"rerun":$reruns,"outliers":${outliers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir","subset":${only.isDefined},"failed":${failures.size},"settle_sec":${fmt(settleSec)}}"""
     // Parse-proof delivery (ten rounds of `parsed: null` driver artifacts):
     // the full record goes to a FILE the driver/judge can always read, and
     // stdout gets EXACTLY ONE JSON line — the compact one, printed AFTER
@@ -555,7 +601,8 @@ object Bench {
       reps = reps,
       subset = only.isDefined,
       failed = failures.size,
-      settleSec = settleSec)
+      settleSec = settleSec,
+      outlierCount = outliers.size)
     spark.stop()
     realOut.println(compactJson)
     realOut.flush()

@@ -1777,18 +1777,18 @@ object SparkEntry {
       val bombGif = unhex(lit(
         "474946383961FFFFFFFF7000002C00000000FFFFFFFF003B"))
       val junk = unhex(md5(col("doc_id").cast("string").cast("binary")))
-      // r16: Layer III mono DECODES now, so the audio/mpeg
-      // unsupported_profile plant must be a real refused profile, not
-      // census junk — a valid one-frame fixture with its mode field
-      // flipped to stereo (the documented Mp3L3 refusal), ID3-wrapped
-      // the way the classifier requires real MP3s to ship
+      // r17: stereo DECODES now (MS graduated), so the audio/mpeg
+      // unsupported_profile plant is the surviving typed refusal — a
+      // valid MS stereo fixture with its mode_ext flipped to 1
+      // (intensity stereo on), ID3-wrapped the way the classifier
+      // requires real MP3s to ship
       val mp3Mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
       val mp3Fix = Multimodal.mp3FixtureEncode(
-        lit((for (g <- 0 until 2; j <- 0 until 16)
-          yield ((g * 31 + 7 * j + 3) % mp3Mods(j)).toByte).toArray), lit(0))
+        lit((for (g <- 0 until 4; j <- 0 until 16)
+          yield ((g * 31 + 7 * j + 3) % mp3Mods(j)).toByte).toArray), lit(5))
       val stereoMp3 = concat(
         lit("ID3".getBytes("US-ASCII")), lit(Array[Byte](3, 0, 0, 0, 0, 0, 0)),
-        substring(mp3Fix, 1, 3), lit(Array[Byte](0x00)),
+        substring(mp3Fix, 1, 3), lit(Array[Byte](0x50)),
         substring(mp3Fix, 5, 1 << 20))
       val media = when(cls === 0, gif)
         .when(cls === 1, substring(gif, 1, 20)) // inside the global palette
@@ -2277,6 +2277,48 @@ object SparkEntry {
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
               lit(3))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
+    // r17 ADVICE follow-through: the preflag=1 class — value pairs moved
+    // to lines 62..71 (sfb 11, pretab 1), so every nonzero exponent
+    // carries the ISO pretab term. The r16 shifted-pretab bug decodes
+    // 0.176 full-scale away from this oracle (proven in the prototype):
+    // the row exists precisely so that bug class can never return
+    // silently. Subband-3/4 synthesis + alias leak restated in the SQL.
+    "multimodal_decode_mp3_preflag" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(4))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
+    // r17: MS joint stereo decodes for real — granule-blocks alternate
+    // M,S channels; the decoder matrixes L=(M+S)·ISqrt2, R=(M−S)·ISqrt2
+    // and interleaves the stereo WAV. Narrows the audio tier's stereo
+    // boundary to intensity-only (most real music is joint stereo).
+    "multimodal_decode_mp3_ms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 8),
+              lit(5))).as("wav"))
+        .select(col("doc_id"),
+          upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
+          upper(hex(substring(col("wav"), 45, 9216))).as("pcm_hex"))),
+    // r17: short blocks (block_type 2) decode for real — the reorder
+    // map, per-window subblock gains, and the triple 12-point IMDCT at
+    // its ISO 6-sample offsets (this round fixed an out-of-range window
+    // placement the long-only fixtures never executed; this row keeps
+    // the path pinned end-to-end).
+    "multimodal_decode_mp3_short" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
+              lit(6))).as("wav"))
         .select(col("doc_id"),
           upper(hex(substring(col("wav"), 1, 44))).as("wav_hdr_hex"),
           upper(hex(substring(col("wav"), 45, 4608))).as("pcm_hex"))),
@@ -3718,6 +3760,9 @@ object SparkEntry {
     // SAME restatement (decode-identical by construction); only a
     // decoder actually honoring the re-transcribed table can match it
     "multimodal_decode_mp3_t10" -> graft.functions.Mp3Oracle.decodeSql,
+    "multimodal_decode_mp3_preflag" -> graft.functions.Mp3Oracle.decodePreflagSql,
+    "multimodal_decode_mp3_ms" -> graft.functions.Mp3Oracle.decodeMsSql,
+    "multimodal_decode_mp3_short" -> graft.functions.Mp3Oracle.decodeShortSql,
     // byte-different codings of the same spectrum decode identically ⇒
     // exactly one digest pair per doc
     "dedup_audio_mp3" ->

@@ -38,9 +38,13 @@ import scala.util.control.NonFatal
   *     oracle restates in SQL), and the ScalaTest goldens pin this port
   *     bit-exactly against the prototype's committed output.
   *
-  * Honest scope (refusals are typed, never wrong answers): mono only
-  * (stereo/intensity refused), long+short+start/stop block types decoded,
-  * escape tables refused, MPEG-2.5 refused, free-format refused. All
+  * Honest scope (refusals are typed, never wrong answers): mono, stereo,
+  * dual-channel and joint stereo with the MS extension decode (r17;
+  * intensity stereo refused); long AND short blocks decode, both
+  * fixture-pinned (r17 — the short path also fixed the ISO 6-sample
+  * window overlap the long-only fixtures never executed); mixed blocks
+  * refused, escape tables refused, MPEG-2.5 refused, free-format
+  * refused. All
   * float work is IEEE double with frozen single-sourced constants
   * (Mp3Tables.scala) so the decoder, the Python prototype and the DuckDB
   * oracle agree bit-for-bit.
@@ -136,16 +140,19 @@ private[graft] object Mp3L3 {
     var count1Table = 0
   }
 
-  /** (mainDataBegin, scfsi(4), granules, mainDataOffset). Mono only. */
-  private def sideInfo(data: Array[Byte], h: Hdr): (Int, Array[Int], Array[Granule], Int) = {
-    if (h.mode != 3) throw Refused("mp3_stereo_unsupported")
+  /** (mainDataBegin, scfsi per channel, granules(gr)(ch), mainDataOffset).
+    * Mono and 2-channel (r17: stereo graduated from blanket refusal). */
+  private def sideInfo(data: Array[Byte], h: Hdr): (Int, Array[Array[Int]], Array[Array[Granule]], Int) = {
+    val nch = if (h.mode == 3) 1 else 2
     val off = h.off + 4 + (if (h.prot == 0) 2 else 0)
     val b = new Bits(data, off * 8)
     val (mdb, ngr) =
-      if (h.ver == 3) { val m = b.read(9); b.read(5); (m, 2) }
-      else { val m = b.read(8); b.read(1); (m, 1) }
-    val scfsi = if (h.ver == 3) Array.fill(4)(b.read(1)) else Array.fill(4)(0)
-    val grs = Array.fill(ngr) {
+      if (h.ver == 3) { val m = b.read(9); b.read(if (nch == 1) 5 else 3); (m, 2) }
+      else { val m = b.read(8); b.read(if (nch == 1) 1 else 2); (m, 1) }
+    val scfsi =
+      if (h.ver == 3) Array.fill(nch)(Array.fill(4)(b.read(1)))
+      else Array.fill(nch)(Array.fill(4)(0))
+    val grs = Array.fill(ngr)(Array.fill(nch) {
       val g = new Granule
       g.part23Length = b.read(12)
       g.bigValues = b.read(9)
@@ -168,8 +175,10 @@ private[graft] object Mp3L3 {
       g.scalefacScale = b.read(1)
       g.count1Table = b.read(1)
       g
-    }
-    val siBytes = if (h.ver == 3) 17 else 9
+    })
+    val siBytes =
+      if (h.ver == 3) { if (nch == 1) 17 else 32 }
+      else { if (nch == 1) 9 else 17 }
     (mdb, scfsi, grs, off + siBytes)
   }
 
@@ -511,6 +520,10 @@ private[graft] object Mp3L3 {
     while (z < 18 && xr(off + z) == 0.0) z += 1
     if (z == 18) return
     if (blockType == 2) {
+      // three 12-point windowed IMDCTs overlapped at 6-sample offsets:
+      // window w spans [6+6w, 6+6w+11] (r17 fix: was 6+12w — an
+      // out-of-range placement the long-only fixtures never executed;
+      // now pinned by the short-block fixture class and its oracle)
       var win = 0
       while (win < 3) {
         var n = 0
@@ -518,7 +531,7 @@ private[graft] object Mp3L3 {
           var s = 0.0
           var k = 0
           while (k < 6) { s += xr(off + 3 * k + win) * CosS(n * 6 + k); k += 1 }
-          out(6 + 12 * win + n) += s * WinShort(n)
+          out(6 + 6 * win + n) += s * WinShort(n)
           n += 1
         }
         win += 1
@@ -602,17 +615,21 @@ private[graft] object Mp3L3 {
 
   private val MaxSamples = 1 << 24
 
-  /** Mono decode → (pcm doubles in [-1,1], sampleRate, granulesDecoded).
-    * Throws [[Refused]] on any unsupported/odd shape; null-contract
-    * callers catch at the expression boundary. */
-  def decodeMono(data: Array[Byte]): (Array[Double], Int, Int) = {
+  /** Decode → (pcm doubles in [-1,1], sampleRate, channels, granules).
+    * Stereo output is interleaved L0,R0,L1,R1,... — the WAV sample
+    * layout. Mono, stereo, dual-channel, and joint stereo with the MS
+    * extension decode (r17); intensity stereo (mode_ext 1/3) refuses
+    * with a typed reason. Throws [[Refused]] on any unsupported/odd
+    * shape; null-contract callers catch at the expression boundary. */
+  def decodeAll(data: Array[Byte]): (Array[Double], Int, Int, Int) = {
     val fs = frames(data)
     if (fs.isEmpty) throw Refused("mp3_no_frames")
     val hz0 = fs.head.hz
     val ver0 = fs.head.ver
+    val nch0 = if (fs.head.mode == 3) 1 else 2
     var store = new Array[Byte](0)
-    val overlap = Array.ofDim[Double](32, 18)
-    val synth = new Synth
+    val overlap = Array.ofDim[Double](nch0, 32, 18)
+    val synths = Array.fill(nch0)(new Synth)
     val block = new Array[Double](36)
     val slotBuf = new Array[Double](576)
     val pcmParts = Vector.newBuilder[Array[Double]]
@@ -620,9 +637,15 @@ private[graft] object Mp3L3 {
     var granules = 0
     val sfLong = new Array[Int](22)
     val sfShort = new Array[Int](36)
-    val prevLong = new Array[Int](22)
+    val prevLong = Array.ofDim[Int](nch0, 22)
+    val xrs = new Array[Array[Double]](nch0)
     for (h <- fs) {
       if (h.hz != hz0 || h.ver != ver0) throw Refused("mp3_mixed_stream")
+      val nch = if (h.mode == 3) 1 else 2
+      if (nch != nch0) throw Refused("mp3_mixed_stream")
+      if (h.mode == 1 && (h.modeExt & 1) != 0)
+        throw Refused("mp3_intensity_stereo_unsupported")
+      val ms = h.mode == 1 && (h.modeExt & 2) != 0
       val (mdb, scfsi, grs, mainOff) = sideInfo(data, h)
       val frameEnd = h.off + h.flen
       if (mainOff > frameEnd || frameEnd > data.length) throw Refused("mp3_truncated_frame")
@@ -630,10 +653,10 @@ private[graft] object Mp3L3 {
       if (mdb > store.length) {
         // reservoir underrun at stream start: silence per spec practice
         store = appendCapped(store, main)
-        val z = new Array[Double](576 * grs.length)
+        val z = new Array[Double](576 * grs.length * nch)
         pcmParts += z
         total += z.length
-        granules += grs.length
+        granules += grs.length * nch
       } else {
         val buf = new Array[Byte](store.length + main.length)
         System.arraycopy(store, 0, buf, 0, store.length)
@@ -641,39 +664,72 @@ private[graft] object Mp3L3 {
         val b = new Bits(buf, (store.length - mdb) * 8)
         var gr = 0
         while (gr < grs.length) {
-          val g = grs(gr)
-          val limit = b.p + g.part23Length
-          if (limit > buf.length * 8) throw Refused("mp3_truncated_main_data")
-          java.util.Arrays.fill(sfLong, 0)
-          java.util.Arrays.fill(sfShort, 0)
-          val preflag = readScalefacs(b, g, h.ver, scfsi, gr, prevLong, sfLong, sfShort)
-          val is = huffmanDecode(b, g, h.hz, limit)
-          if (b.p > limit) throw Refused("mp3_part23_overrun")
-          b.p = limit
-          var xr = requantize(is, g, sfLong, sfShort, preflag, h.hz)
-          if (g.blockType == 2 && g.wsf == 1) xr = reorderShort(xr, h.hz)
-          aliasReduce(xr, if (g.wsf == 1) g.blockType else 0)
-          var sb = 0
-          while (sb < 32) {
-            imdctBlock(xr, 18 * sb, if (g.wsf == 1) g.blockType else 0, block)
-            var n = 0
-            while (n < 18) {
-              var v = block(n) + overlap(sb)(n)
-              overlap(sb)(n) = block(n + 18)
-              if ((sb & 1) == 1 && (n & 1) == 1) v = -v
-              slotBuf(n * 32 + sb) = v
-              n += 1
-            }
-            sb += 1
+          val chs = grs(gr)
+          // all channels' spectra decode first (main-data bit order),
+          // then the joint-stereo matrix, then per-channel rendering
+          var ch = 0
+          while (ch < nch) {
+            val g = chs(ch)
+            val limit = b.p + g.part23Length
+            if (limit > buf.length * 8) throw Refused("mp3_truncated_main_data")
+            java.util.Arrays.fill(sfLong, 0)
+            java.util.Arrays.fill(sfShort, 0)
+            val preflag = readScalefacs(b, g, h.ver, scfsi(ch), gr, prevLong(ch), sfLong, sfShort)
+            val is = huffmanDecode(b, g, h.hz, limit)
+            if (b.p > limit) throw Refused("mp3_part23_overrun")
+            b.p = limit
+            var xr = requantize(is, g, sfLong, sfShort, preflag, h.hz)
+            if (g.blockType == 2 && g.wsf == 1) xr = reorderShort(xr, h.hz)
+            else System.arraycopy(sfLong, 0, prevLong(ch), 0, 22)
+            xrs(ch) = xr
+            ch += 1
           }
-          val pcm = new Array[Double](576)
-          var s = 0
-          while (s < 18) { synth.slot(slotBuf, 32 * s, pcm, 32 * s); s += 1 }
-          pcmParts += pcm
-          total += 576
+          if (ms) {
+            var i = 0
+            while (i < 576) {
+              val m = xrs(0)(i); val s2 = xrs(1)(i)
+              xrs(0)(i) = (m + s2) * ISqrt2
+              xrs(1)(i) = (m - s2) * ISqrt2
+              i += 1
+            }
+          }
+          val outCh = new Array[Array[Double]](nch)
+          ch = 0
+          while (ch < nch) {
+            val g = chs(ch)
+            val xr = xrs(ch)
+            aliasReduce(xr, if (g.wsf == 1) g.blockType else 0)
+            var sb = 0
+            while (sb < 32) {
+              imdctBlock(xr, 18 * sb, if (g.wsf == 1) g.blockType else 0, block)
+              var n = 0
+              while (n < 18) {
+                var v = block(n) + overlap(ch)(sb)(n)
+                overlap(ch)(sb)(n) = block(n + 18)
+                if ((sb & 1) == 1 && (n & 1) == 1) v = -v
+                slotBuf(n * 32 + sb) = v
+                n += 1
+              }
+              sb += 1
+            }
+            val pcm = new Array[Double](576)
+            var s = 0
+            while (s < 18) { synths(ch).slot(slotBuf, 32 * s, pcm, 32 * s); s += 1 }
+            outCh(ch) = pcm
+            granules += 1
+            ch += 1
+          }
+          val out =
+            if (nch == 1) outCh(0)
+            else {
+              val o = new Array[Double](1152)
+              var i = 0
+              while (i < 576) { o(2 * i) = outCh(0)(i); o(2 * i + 1) = outCh(1)(i); i += 1 }
+              o
+            }
+          pcmParts += out
+          total += out.length
           if (total > MaxSamples) throw Refused("mp3_output_bomb")
-          System.arraycopy(sfLong, 0, prevLong, 0, 22)
-          granules += 1
           gr += 1
         }
         store = appendCapped(store, main)
@@ -683,7 +739,15 @@ private[graft] object Mp3L3 {
     val pcm = new Array[Double](total.toInt)
     var o = 0
     for (p <- parts) { System.arraycopy(p, 0, pcm, o, p.length); o += p.length }
-    (pcm, hz0, granules)
+    (pcm, hz0, nch0, granules)
+  }
+
+  /** Mono decode → (pcm, sampleRate, granulesDecoded); kept for the
+    * mono-contract pins. */
+  def decodeMono(data: Array[Byte]): (Array[Double], Int, Int) = {
+    val (pcm, hz, nch, granules) = decodeAll(data)
+    if (nch != 1) throw Refused("mp3_stereo_unsupported")
+    (pcm, hz, granules)
   }
 
   private def appendCapped(store: Array[Byte], main: Array[Byte]): Array[Byte] = {
@@ -694,11 +758,12 @@ private[graft] object Mp3L3 {
     else java.util.Arrays.copyOfRange(cat, cat.length - 2880, cat.length)
   }
 
-  /** Decode to the canonical 44-byte-header PCM16 mono WAV (the same
-    * layout every WAV-tier consumer already holds). Quantization:
+  /** Decode to the canonical 44-byte-header PCM16 WAV (the same layout
+    * every WAV-tier consumer already holds; stereo: 2-channel header,
+    * samples already interleaved by [[decodeAll]]). Quantization:
     * floor(x*32768 + 0.5), clamped — restated identically by the oracle. */
   def decodeToWav(data: Array[Byte]): Array[Byte] = {
-    val (pcm, hz, _) = decodeMono(data)
+    val (pcm, hz, nch, _) = decodeAll(data)
     val n = pcm.length
     val out = new Array[Byte](44 + 2 * n)
     def put(o: Int, s: String): Unit = {
@@ -711,8 +776,8 @@ private[graft] object Mp3L3 {
     def w32(o: Int, v: Long): Unit = { w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt) }
     put(0, "RIFF"); w32(4, 36L + 2 * n)
     put(8, "WAVEfmt "); w32(16, 16L)
-    w16(20, 1); w16(22, 1); w32(24, hz.toLong)
-    w32(28, hz.toLong * 2); w16(32, 2); w16(34, 16)
+    w16(20, 1); w16(22, nch); w32(24, hz.toLong)
+    w32(28, hz.toLong * 2 * nch); w16(32, 2 * nch); w16(34, 16)
     put(36, "data"); w32(40, 2L * n)
     var i = 0
     while (i < n) {
@@ -727,7 +792,7 @@ private[graft] object Mp3L3 {
 
   /** Typed refusal reason, or null when the stream decodes. */
   def dropReason(data: Array[Byte]): String =
-    try { decodeMono(data); null }
+    try { decodeAll(data); null }
     catch {
       case Refused(r) => r
       case NonFatal(_) => "mp3_corrupt"
@@ -758,23 +823,151 @@ private[graft] object Mp3L3 {
     }
   }
 
-  /** One MPEG-1 mono long-block granule of fixture main data. Spec bytes
-    * (16 per granule): m(0..4 → global_gain 210+4*(m-2)), sf0..sf2 (0..3),
-    * sf11..sf12 (0..1), v0..v9 biased +5 (0..10 → value -5..5). The
-    * variant picks byte-DIFFERENT Huffman codings of the SAME values:
-    *   0 → tables (7,8), 40-byte bit reservoir;
-    *   1 → tables (9,9), no reservoir;
-    *   3 → tables (10,10), 40-byte reservoir (r17: the re-transcribed
-    *       Kraft-validated table 10 — same planted PCM, third byte-
-    *       different coding)
-    * — decode-identical streams whose pairing exists only through real
-    * Layer III decode (the dedup_audio_mp3 argument). */
+  /** One granule's 59 side-info bits (MPEG-1), both block layouts. */
+  private def writeSideGranule(bw: BitWriterB, g: Granule): Unit = {
+    bw.write(g.part23Length, 12)
+    bw.write(g.bigValues, 9)
+    bw.write(g.globalGain, 8)
+    bw.write(g.scalefacCompress, 4)
+    bw.write(g.wsf, 1)
+    if (g.wsf == 1) {
+      bw.write(g.blockType, 2)
+      bw.write(g.mixed, 1)
+      bw.write(g.tableSelect(0), 5); bw.write(g.tableSelect(1), 5)
+      bw.write(g.subblockGain(0), 3); bw.write(g.subblockGain(1), 3); bw.write(g.subblockGain(2), 3)
+    } else {
+      bw.write(g.tableSelect(0), 5); bw.write(g.tableSelect(1), 5); bw.write(g.tableSelect(2), 5)
+      bw.write(g.region0Count, 4)
+      bw.write(g.region1Count, 3)
+    }
+    bw.write(g.preflag, 1)
+    bw.write(g.scalefacScale, 1)
+    bw.write(g.count1Table, 1)
+  }
+
+  /** Shared fixture gain plant: 170..186 ≡ 210 (mod 4) — integer requant
+    * exponents (the oracle's exact-dyadic path) at a level that never
+    * clips int16; clipping would let decoder differences hide behind
+    * the clamp. */
+  private def fixtureGain(s: Array[Byte]): Int = 170 + 4 * ((s(0) & 0xff) % 5)
+
+  /** MPEG-1 long-block fixture granule (variants 0..5): scalefactors
+    * with optional scfsi omission, 5 value pairs, two zero count1 quads.
+    * leadZeroPairs > 0 (preflag class) shifts the 5 planted pairs to
+    * lines 2*leadZeroPairs.. via (0,0) pairs under table_select(0). */
+  private def writeLongGranule(bw: BitWriterB, s: Array[Byte], g: Granule,
+      tables: Array[Int], scfsi: Array[Int], gr: Int,
+      leadZeroPairs: Int, preflag: Int): Unit = {
+    def groupOf(sfb: Int): Int =
+      if (sfb < 6) 0 else if (sfb < 11) 1 else if (sfb < 16) 2 else 3
+    // scalefactors: scalefac_compress=8 → slen1=2 (bands 0..10), slen2=1
+    // (bands 11..20); scfsi-reused groups are omitted on granule 1
+    var sfb = 0
+    while (sfb < 11) {
+      if (gr == 0 || scfsi(groupOf(sfb)) == 0)
+        bw.write(if (sfb < 3) s(1 + sfb) & 3 else 0, 2)
+      sfb += 1
+    }
+    while (sfb < 21) {
+      if (gr == 0 || scfsi(groupOf(sfb)) == 0)
+        bw.write(if (sfb == 11 || sfb == 12) s(sfb - 7) & 1 else 0, 1)
+      sfb += 1
+    }
+    val nbig = leadZeroPairs + 5
+    val bounds = new Array[Int](23)
+    val widths = sfbLong(44100)
+    var k = 0
+    while (k < 22) { bounds(k + 1) = bounds(k) + widths(k); k += 1 }
+    val r1 = bounds(math.min(g.region0Count + 1, 22))
+    val r2 = bounds(math.min(g.region0Count + 1 + g.region1Count + 1, 22))
+    var p = 0
+    while (p < nbig) {
+      val line = 2 * p
+      val region = if (line < r1) 0 else if (line < r2) 1 else 2
+      val tid = tables(region)
+      if (p < leadZeroPairs) writePair(bw, tid, 0, 0)
+      else {
+        val i = 2 * (p - leadZeroPairs)
+        writePair(bw, tid, (s(6 + i) & 0xff) - 5, (s(6 + i + 1) & 0xff) - 5)
+      }
+      p += 1
+    }
+    // count1: two zero quads under table A (len-1 code for (0,0,0,0))
+    bw.write(Count1Code0(0), Count1Len0(0))
+    bw.write(Count1Code0(0), Count1Len0(0))
+    g.bigValues = nbig
+    g.globalGain = fixtureGain(s)
+    g.scalefacCompress = 8
+    g.tableSelect(0) = tables(0); g.tableSelect(1) = tables(1); g.tableSelect(2) = tables(2)
+    g.preflag = preflag
+    g.scalefacScale = 1
+  }
+
+  /** MPEG-1 SHORT-block fixture granule (variant 6, block_type 2,
+    * non-mixed): sf_short(0)(w) planted from bytes 1..3, subblock gains
+    * (0, b4&1, b5&1), 5 value pairs at src lines 0..9 (all below line
+    * 36 → region 0), two zero count1 quads. */
+  private def writeShortGranule(bw: BitWriterB, s: Array[Byte], g: Granule): Unit = {
+    var sfb = 0
+    while (sfb < 6) {       // slen1 = 2 bits
+      var w = 0
+      while (w < 3) {
+        bw.write(if (sfb == 0) s(1 + w) & 3 else 0, 2)
+        w += 1
+      }
+      sfb += 1
+    }
+    while (sfb < 12) {      // slen2 = 1 bit
+      var w = 0
+      while (w < 3) { bw.write(0, 1); w += 1 }
+      sfb += 1
+    }
+    var i = 0
+    while (i < 10) {
+      writePair(bw, 7, (s(6 + i) & 0xff) - 5, (s(6 + i + 1) & 0xff) - 5)
+      i += 2
+    }
+    bw.write(Count1Code0(0), Count1Len0(0))
+    bw.write(Count1Code0(0), Count1Len0(0))
+    g.bigValues = 5
+    g.globalGain = fixtureGain(s)
+    g.scalefacCompress = 8
+    g.wsf = 1
+    g.blockType = 2
+    g.mixed = 0
+    g.tableSelect(0) = 7; g.tableSelect(1) = 8
+    g.subblockGain(0) = 0
+    g.subblockGain(1) = s(4) & 1
+    g.subblockGain(2) = s(5) & 1
+    g.scalefacScale = 1
+  }
+
+  /** MPEG-1 Layer III fixture frames. Spec bytes (16 per granule-block):
+    * b0 → global_gain 170+4*(b0%5), b1..b3 → sf plants (0..3), b4..b5 →
+    * slen2 sf plants (0..1; short class: subblock gains), b6..b15 → ten
+    * spectral values biased −5. Variants pick byte-DIFFERENT codings or
+    * distinct decode paths over the SAME closed-form plant:
+    *   0 → long blocks, tables (7,8), 40-byte bit reservoir;
+    *   1 → long, tables (9,9), no reservoir (decode-identical to 0 — the
+    *       dedup_audio_mp3 pairing that exists only through real decode);
+    *   2 → scfsi 1010: each frame's second granule omits the reused
+    *       scalefactor groups (the MPEG-1 reuse path);
+    *   3 → long, tables (10,10) — the r17 Kraft-validated table 10;
+    *   4 → preflag=1 with the 5 value pairs moved to lines 62..71
+    *       (sfb 11, pretab 1 — the r17 ADVICE class: only a decoder with
+    *       the CORRECT ISO pretab hash-matches its oracle);
+    *   5 → joint stereo with MS extension: granule-blocks alternate
+    *       M,S channels (frame = 4 blocks), L=(M+S)·ISqrt2, R=(M−S)·ISqrt2;
+    *   6 → short blocks (block_type 2, non-mixed): the 12-point IMDCT
+    *       triple at 6-sample offsets, subblock gains, reorder map. */
   def encodeFixture(spec: Array[Byte], variant: Int): Array[Byte] = {
     require(spec.length % 16 == 0 && spec.length > 0 && spec.length <= 64 * 16,
       s"spec multiple of 16 bytes, got ${spec.length}")
-    require(variant >= 0 && variant <= 3, s"variant 0|1|2|3, got $variant")
-    val ngr = spec.length / 16
-    require(ngr % 2 == 0, "whole frames only (2 granules each)")
+    require(variant >= 0 && variant <= 6, s"variant 0..6, got $variant")
+    val nch = if (variant == 5) 2 else 1
+    val perFrame = 2 * nch
+    val nblocks = spec.length / 16
+    require(nblocks % perFrame == 0, s"whole frames only ($perFrame blocks each)")
     val tables =
       if (variant == 1) Array(9, 9, 0)
       else if (variant == 3) Array(10, 10, 0)
@@ -787,75 +980,40 @@ private[graft] object Mp3L3 {
     val scfsi = if (variant == 2) Array(1, 0, 1, 0) else Array(0, 0, 0, 0)
     val kbpsIdx = 9 // 128 kbps
     val flen = 144 * BitrateV1(kbpsIdx) * 1000 / 44100
-    val cap = flen - 4 - 17
-    val nfr = ngr / 2
+    val siBytes = if (nch == 1) 17 else 32
+    val cap = flen - 4 - siBytes
+    val nfr = nblocks / perFrame
     // per-frame padded main data + side info fields
     val mains = new Array[Array[Byte]](nfr)
-    val sides = Array.ofDim[Granule](nfr, 2)
+    val sides = Array.ofDim[Granule](nfr, perFrame)
     var f = 0
     while (f < nfr) {
       val bw = new BitWriterB
-      var gr = 0
-      val p23 = new Array[Int](2)
-      while (gr < 2) {
-        val s = spec.slice(16 * (2 * f + gr), 16 * (2 * f + gr) + 16)
+      var slot = 0
+      while (slot < perFrame) {
+        val s = spec.slice(16 * (perFrame * f + slot), 16 * (perFrame * f + slot) + 16)
+        val gr = slot / nch
         val before = bw.lengthBits
-        // scalefactors: scalefac_compress=8 → slen1=2 (bands 0..10),
-        // slen2=1 (bands 11..20); scfsi-reused groups are omitted on
-        // granule 1 (groups: 0..5, 6..10 at slen1; 11..15, 16..20 at
-        // slen2 — matching the decoder's bounds)
-        def groupOf(sfb: Int): Int =
-          if (sfb < 6) 0 else if (sfb < 11) 1 else if (sfb < 16) 2 else 3
-        var sfb = 0
-        while (sfb < 11) {
-          if (gr == 0 || scfsi(groupOf(sfb)) == 0)
-            bw.write(if (sfb < 3) s(1 + sfb) & 3 else 0, 2)
-          sfb += 1
+        val g = new Granule
+        variant match {
+          case 6 => writeShortGranule(bw, s, g)
+          case 4 =>
+            g.region0Count = 11; g.region1Count = 0
+            writeLongGranule(bw, s, g, tables, scfsi, gr,
+              leadZeroPairs = 31, preflag = 1)
+          case _ =>
+            g.region0Count = 0; g.region1Count = 1
+            writeLongGranule(bw, s, g, tables, scfsi, gr,
+              leadZeroPairs = 0, preflag = 0)
         }
-        while (sfb < 21) {
-          if (gr == 0 || scfsi(groupOf(sfb)) == 0)
-            bw.write(if (sfb == 11 || sfb == 12) s(sfb - 7) & 1 else 0, 1)
-          sfb += 1
-        }
-        // big values: 5 pairs over lines 0..9, region0 = lines 0..3
-        // (region0_count=0), region1 = lines 4..9 (region1_count=1)
-        var i = 0
-        while (i < 10) {
-          val tid = if (i < 4) tables(0) else tables(1)
-          val x = (s(6 + i) & 0xff) - 5
-          val y = (s(6 + i + 1) & 0xff) - 5
-          writePair(bw, tid, x, y)
-          i += 2
-        }
-        // count1: two zero quads under table A (len-1 code for (0,0,0,0))
-        bw.write(Count1Code0(0), Count1Len0(0))
-        bw.write(Count1Code0(0), Count1Len0(0))
-        p23(gr) = bw.lengthBits - before
-        gr += 1
+        g.part23Length = bw.lengthBits - before
+        sides(f)(slot) = g
+        slot += 1
       }
       val m = bw.bytesPadded()
       val target = if (f == 0 && nfr > 1) cap - reservoir else cap
       require(m.length <= target, "fixture overflows frame")
       mains(f) = m ++ new Array[Byte](target - m.length)
-      gr = 0
-      while (gr < 2) {
-        val s = spec.slice(16 * (2 * f + gr), 16 * (2 * f + gr) + 16)
-        val g = new Granule
-        g.part23Length = p23(gr)
-        g.bigValues = 5
-        // 170..186 ≡ 210 (mod 4): integer requant exponents (the oracle's
-        // exact-dyadic path) at a level (max |pcm| ≈ 0.25) that never
-        // clips int16 — clipping would let decoder differences hide
-        // behind the clamp
-        g.globalGain = 170 + 4 * ((s(0) & 0xff) % 5)
-        g.scalefacCompress = 8
-        g.tableSelect(0) = tables(0); g.tableSelect(1) = tables(1); g.tableSelect(2) = 0
-        g.region0Count = 0
-        g.region1Count = 1
-        g.scalefacScale = 1
-        sides(f)(gr) = g
-        gr += 1
-      }
       f += 1
     }
     val stream = new scala.collection.mutable.ArrayBuffer[Byte]()
@@ -872,38 +1030,30 @@ private[graft] object Mp3L3 {
       out += 0xff.toByte
       out += 0xfb.toByte
       out += ((kbpsIdx << 4) | 0).toByte
-      out += 0xc0.toByte
+      // mono: mode 3; stereo class: joint stereo (mode 1) with MS ext
+      out += (if (nch == 1) 0xc0 else 0x60).toByte
       val bw = new BitWriterB
       bw.write(mdb, 9)
-      bw.write(0, 5)
-      bw.write(scfsi(0), 1); bw.write(scfsi(1), 1)
-      bw.write(scfsi(2), 1); bw.write(scfsi(3), 1)
-      var gr = 0
-      while (gr < 2) {
-        val g = sides(f)(gr)
-        bw.write(g.part23Length, 12)
-        bw.write(g.bigValues, 9)
-        bw.write(g.globalGain, 8)
-        bw.write(g.scalefacCompress, 4)
-        bw.write(0, 1) // wsf
-        bw.write(g.tableSelect(0), 5); bw.write(g.tableSelect(1), 5); bw.write(g.tableSelect(2), 5)
-        bw.write(g.region0Count, 4)
-        bw.write(g.region1Count, 3)
-        bw.write(0, 1) // preflag
-        bw.write(g.scalefacScale, 1)
-        bw.write(g.count1Table, 1)
-        gr += 1
+      bw.write(0, if (nch == 1) 5 else 3)
+      var ch = 0
+      while (ch < nch) {
+        bw.write(scfsi(0), 1); bw.write(scfsi(1), 1)
+        bw.write(scfsi(2), 1); bw.write(scfsi(3), 1)
+        ch += 1
+      }
+      var slot = 0
+      while (slot < perFrame) {
+        writeSideGranule(bw, sides(f)(slot))
+        slot += 1
       }
       val si = bw.bytesPadded()
-      require(si.length == 17, si.length.toString)
+      require(si.length == siBytes, si.length.toString)
       out ++= si
       var k = consumed
       while (k < consumed + cap) { out += stream(k); k += 1 }
       consumed += cap
       f += 1
     }
-    // re-write scalefactor source bytes honestly: the writer above read
-    // spec bytes with masks; assert the decode invariant in tests, not here
     out.toArray
   }
 

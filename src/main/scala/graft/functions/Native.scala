@@ -4865,10 +4865,12 @@ object Native {
     * alias reduction, IMDCT, polyphase synthesis with the PR-validated
     * window) re-emitted as the canonical 44-byte-header PCM16 mono WAV,
     * so the whole WAV tier — [[WavEnvelope]], [[WavPcm16Stats]], audio
-    * near-dup — composes unchanged on MP3 payloads. MPEG-1 and MPEG-2
-    * LSF, mono, long blocks (the fixture surface) plus short/start/stop
-    * windows structurally; typed refusals (never wrong answers) for
-    * stereo/intensity, escape-table streams (Huffman code data that
+    * near-dup — composes unchanged on MP3 payloads (stereo: 2-channel
+    * header, interleaved samples). MPEG-1 and MPEG-2 LSF; mono, stereo,
+    * dual-channel and joint stereo with the MS extension (r17); long
+    * AND short blocks (both fixture-pinned; start/stop windows
+    * structurally); typed refusals (never wrong answers) for intensity
+    * stereo, mixed blocks, escape-table streams (Huffman code data that
     * could not be machine-validated in-sandbox: tools/mp3_tables.py),
     * MPEG-2.5 and free-format. Unlike FLAC this codec is lossy, so the
     * oracle pins decode(fixture-encode) against a straight-from-the-
@@ -4887,8 +4889,9 @@ object Native {
   }
 
   /** mp3_fixture_encode(BINARY spec, INT variant) → BINARY: a REAL
-    * MPEG-1 Layer III mono stream (44.1 kHz, 128 kbps, long blocks) from
-    * 16-byte-per-granule planted parameters ([[Mp3L3.encodeFixture]]):
+    * MPEG-1 Layer III stream (44.1 kHz, 128 kbps; mono or MS joint
+    * stereo, long or short blocks by variant) from 16-byte-per-granule
+    * planted parameters ([[Mp3L3.encodeFixture]]):
     * global_gain, three band scalefactors plus two slen2 bands, and ten
     * spectral lines per granule, Huffman-coded over two big-values
     * regions plus count1 quads, with the frames' main data laid out as
@@ -5480,9 +5483,10 @@ object Native {
     *                              decode; structurally
     *                              illegal PNG headers — every legal
     *                              depth/color pair decodes), or a
-    *                              stereo/escape-table/short-block/
-    *                              MPEG-2.5 MP3 — MPEG-1/2 Layer III
-    *                              mono long-block streams decode for
+    *                              intensity-stereo/escape-table/
+    *                              mixed-block/MPEG-2.5 MP3 — MPEG-1/2
+    *                              Layer III mono/stereo/MS long- and
+    *                              short-block streams decode for
     *                              real; or a RECOGNIZED magic whose
     *                              frames this pipeline deliberately
     *                              stops at census depth (Ogg,
@@ -5700,17 +5704,18 @@ object Native {
         // crawl text as audio would corrupt the very per-reason counts
         // this recognition exists to keep honest. Bare-frame MP3s stay
         // bad_magic: at sniff depth they are indistinguishable from junk.
-        // r16: MPEG-1/2 Layer III mono DECODES for real ([[Mp3L3]]);
-        // stereo/intensity, escape-table streams (Huffman code data that
+        // r17: MPEG-1/2 Layer III DECODES for real ([[Mp3L3]]) — mono,
+        // stereo/dual, joint stereo with MS, long AND short blocks;
+        // intensity stereo, escape-table streams (Huffman code data that
         // could not be machine-validated in this sandbox — see
-        // tools/mp3_tables.py), short/mixed blocks and MPEG-2.5 stay the
+        // tools/mp3_tables.py), mixed blocks and MPEG-2.5 stay the
         // documented profile limit.
         Mp3L3.dropReason(b) match {
           case null => null
           case "mp3_frame_bomb" | "mp3_output_bomb" => s("bomb_guard")
           case "mp3_no_frames" | "mp3_truncated_frame" |
                "mp3_truncated_main_data" => s("truncated")
-          case r if r == "mp3_stereo_unsupported" ||
+          case r if r == "mp3_intensity_stereo_unsupported" ||
             r == "mp3_mixed_blocks_unsupported" ||
             r.startsWith("mp3_huffman_table_unvalidated") =>
             s("unsupported_profile")

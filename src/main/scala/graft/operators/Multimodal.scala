@@ -425,12 +425,13 @@ object Multimodal {
   def avifEncodeMeta(payload: Column, wh: Column, heic: Boolean): Column =
     graft.functions.Native.avifEncodeMeta(payload, wh, heic)
 
-  /** REAL MPEG Audio Layer III decode to the canonical PCM16 mono WAV
+  /** REAL MPEG Audio Layer III decode to the canonical PCM16 WAV
     * ([[graft.functions.Native.Mp3DecodeWav]] / [[graft.functions
     * .Mp3L3]]): frame walk, bit reservoir, scalefactors, Huffman decode
-    * over the machine-validated table subset, requantize, alias
-    * reduction, IMDCT, polyphase synthesis. Typed refusals for stereo,
-    * escape-table streams, short blocks in fixtures, MPEG-2.5. */
+    * over the machine-validated table subset, requantize, MS stereo
+    * matrixing, alias reduction, long/short IMDCT, polyphase synthesis.
+    * Typed refusals for intensity stereo, escape-table streams, mixed
+    * blocks, MPEG-2.5. */
   def mp3DecodeWav(bin: Column): Column = graft.functions.Native.mp3DecodeWav(bin)
 
   /** Fixture MPEG-1 Layer III mono encoder ([[graft.functions.Native

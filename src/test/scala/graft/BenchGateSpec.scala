@@ -158,6 +158,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"unknown scaling targets: $missing")
   }
 
+  test("reference-outlier guard: the r16 wav_profiles miss replayed fires; sane cases stay silent") {
+    // the exact r16 failure: wav_profiles at 8.12 s vs its 2.21 s
+    // reference (×3.7) inside a run pacing 1.10× overall — the within-run
+    // spread rule saw identical reps and kept it. The guard must flag
+    // exactly that query at that pace.
+    val ref = Map("wav_profiles" -> 2.21, "a" -> 1.0, "b" -> 4.0)
+    val cur = Map("wav_profiles" -> 8.12, "a" -> 1.1, "b" -> 4.4)
+    assert(Bench.referenceOutliers(cur, ref, paceRatio = 1.10) == Set("wav_profiles"))
+    // under the 2.5× factor: silent
+    assert(Bench.referenceOutliers(
+      Map("wav_profiles" -> 5.0, "a" -> 1.1), ref, 1.10).isEmpty)
+    // machine-wide slowdown (pace past the ceiling) is the uniform-drift
+    // stamp's territory — the guard must NOT fire a mass re-measure
+    assert(Bench.referenceOutliers(cur, ref, paceRatio = 1.45).isEmpty)
+    // no reference cohort (subset run, missing file): pace −1 → silent
+    assert(Bench.referenceOutliers(cur, ref, paceRatio = -1.0).isEmpty)
+    // a zero/negative reference time can never divide its way into a flag
+    assert(Bench.referenceOutliers(
+      Map("z" -> 1.0), Map("z" -> 0.0), 1.0).isEmpty)
+    // new queries absent from the reference are never flagged
+    assert(Bench.referenceOutliers(
+      Map("new_q" -> 99.0), ref, 1.0).isEmpty)
+  }
+
   test("compact line stays bounded under a full-suite rerun (r15 parsed:null)") {
     // the exact r15 failure replayed: every registered query flagged
     // suspicious (ambient residue > loadCap), so every name lands in the
@@ -171,10 +195,14 @@ class BenchGateSpec extends AnyFunSuite {
       total = 9999.9, topQueries = top15, queriesTotal = allNames.size,
       sfDir = "/root/testdata/sf0.1", contaminated = false,
       uniformDrift = false, paceRatio = 0.95, rerunNames = allNames,
-      reps = 3, subset = false, failed = 0, settleSec = 42.0)
+      reps = 3, subset = false, failed = 0, settleSec = 42.0,
+      outlierCount = allNames.size)
     assert(!line.contains("\n"))
     assert(line.length <= 2048, s"compact line ${line.length} chars > 2048")
     assert(line.contains(s""""rerun_count":${allNames.size}"""))
+    // the r17 outlier guard's count is a bounded scalar, names stay in
+    // the full record only
+    assert(line.contains(s""""outlier_count":${allNames.size}"""))
     // the inline list is capped, and the cap is visible in the JSON shape
     val rerunField = line.split("\"rerun\":\\[")(1).split("\\]")(0)
     assert(rerunField.split(",").length == Bench.RerunInlineCap)

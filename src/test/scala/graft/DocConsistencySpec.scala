@@ -91,11 +91,13 @@ class DocConsistencySpec extends AnyFunSuite {
     pin(branch("// MP3 recognition requires the ID3v2 tag",
         "Mp3L3.dropReason(b) match"),
       "MP3 classifier",
-      // the r16 graduation: MPEG-1/2 Layer III mono decodes for real;
-      // the comment must keep naming what is STILL refused
-      mustMention = Seq("stereo", "escape-table", "MPEG-2.5",
-        "mono DECODES"),
-      mustNotMention = Seq("census depth (MP3", "frames stay undecoded"))
+      // r16 graduated mono; r17 graduated MS stereo and short blocks —
+      // the comment must keep naming what is STILL refused and must not
+      // carry the stale mono-only scope
+      mustMention = Seq("intensity stereo", "escape-table", "MPEG-2.5",
+        "mixed blocks", "DECODES"),
+      mustNotMention = Seq("census depth (MP3", "frames stay undecoded",
+        "mono DECODES"))
   }
 
   test("DecodeDropReason contract doc names no graduated profile as refused") {

@@ -101,6 +101,56 @@ class Mp3Spec extends AnyFunSuite {
       "table-10 coding must decode to the committed prototype golden")
   }
 
+  /** 8-block golden spec for the stereo class (granules x M,S). */
+  private val goldenSpec8: Array[Byte] = {
+    val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+    (for (g <- 0 until 8; j <- 0 until 16)
+      yield ((g * 31 + 7 * j + 3) % mods(j)).toByte).toArray
+  }
+
+  test("preflag variant: sfb-11 plants through the ISO pretab, prototype goldens") {
+    // variant 4 moves the 5 value pairs to lines 62..71 (sfb 11, pretab
+    // 1) with preflag=1 — the r16 ADVICE class. The prototype proved
+    // decode == independent recompute bit-identically AND that a decoder
+    // with the old shifted pretab lands 0.176 full-scale away, so this
+    // golden (and its DuckDB oracle row) has teeth against exactly that
+    // bug class. Hashes from tools/mp3_proto.py `goldens`.
+    val v4 = Mp3L3.encodeFixture(goldenSpec, 4)
+    assert(sha256(v4) == "460dae2bc4229fb7190ca040fb0ac22de9e9fbfd3679eef075df3791bb722de7",
+      "fixture bytes must match the prototype encoder")
+    val w4 = Mp3L3.decodeToWav(v4)
+    assert(sha256(w4) == "bc9f99fba72f2203e5a13b64b9f876c1523a885508d6d080f2284f1796106f16",
+      "decode must match the prototype bit-for-bit")
+  }
+
+  test("MS stereo variant: joint-stereo decode, interleaved WAV, prototype goldens") {
+    // variant 5: granule-blocks alternate M,S; header mode 1 + mode_ext
+    // 2; decoder matrixes L=(M+S)*ISqrt2, R=(M-S)*ISqrt2 and interleaves.
+    // Decode == independent recompute proven in the prototype
+    // (roundtrip_ms); these hashes pin the port bit-exactly.
+    val v5 = Mp3L3.encodeFixture(goldenSpec8, 5)
+    assert(sha256(v5) == "718bfb4944794aa3c25b21f69d399ee8b5c8c3a30e5a01bbc1f8e47b940121b5")
+    assert((v5(3) & 0xff) == 0x60, "mode 1 (joint), mode_ext 2 (MS)")
+    val w5 = Mp3L3.decodeToWav(v5)
+    assert(sha256(w5) == "f4455c2c4087b34a7b2e1d7c29c3e86f563d3fe7a6cb7b51f86210b0b9d9b5e7")
+    // stereo WAV header fields: channels 2, block align 4
+    assert((w5(22) & 0xff) == 2 && (w5(32) & 0xff) == 4)
+    // 2 frames x 2 granules x 576 x 2ch = 4608 samples
+    assert(w5.length == 44 + 2 * 4608)
+  }
+
+  test("short-block variant: block_type 2 triple-IMDCT path, prototype goldens") {
+    // variant 6: the first fixture to EXECUTE the short-block path — it
+    // carried an out-of-range window placement (6+12w for 6+6w) that the
+    // long-only fixtures never reached (the r16 verdict's scope-claim
+    // gap, now closed with decode == independent recompute in the
+    // prototype and this cross-language pin).
+    val v6 = Mp3L3.encodeFixture(goldenSpec, 6)
+    assert(sha256(v6) == "fb0860bdadd8043b8a3c97a7f45bf53a7d11fcfb55c399544f4f87e7ec9af0b9")
+    val w6 = Mp3L3.decodeToWav(v6)
+    assert(sha256(w6) == "8157c5b658af079f1e6d2d01e5c92a49e9b1bb179856c99d5c23310e8966ed29")
+  }
+
   test("nonzero main_data_begin: variant 0 really exercises the bit reservoir") {
     val v0 = Mp3L3.encodeFixture(goldenSpec, 0)
     val v1 = Mp3L3.encodeFixture(goldenSpec, 1)
@@ -110,11 +160,25 @@ class Mp3Spec extends AnyFunSuite {
     assert(mdb(v1) == 0, "variant 1 is frame-aligned")
   }
 
-  test("typed refusals: stereo, escape tables, unvalidated tables") {
-    // stereo: flip the mode field of a valid fixture's frames
+  test("typed refusals: intensity stereo, escape tables, unvalidated tables") {
+    // r17: stereo DECODES (mono/LR/dual/MS); the typed stereo refusal
+    // narrows to the intensity extension — flip a valid MS fixture's
+    // mode_ext to 1 (intensity on)
+    val msSpec = {
+      val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
+      (for (g <- 0 until 8; j <- 0 until 16)
+        yield ((g * 31 + 7 * j + 3) % mods(j)).toByte).toArray
+    }
+    val it = Mp3L3.encodeFixture(msSpec, 5).clone()
+    assert((it(3) & 0xff) == 0x60, "MS fixture header: mode 1, mode_ext 2")
+    it(3) = 0x50.toByte // mode 1, mode_ext 1 = intensity stereo
+    assert(Mp3L3.dropReason(it) == "mp3_intensity_stereo_unsupported")
+    // a mono stream whose mode field is flipped to stereo no longer gets
+    // the blanket refusal — its 17-byte side info misparses as 32 and
+    // the grammar checks refuse it some typed way, never a wrong answer
     val st = Mp3L3.encodeFixture(goldenSpec, 0).clone()
     st(3) = 0x00.toByte // mode 0 = stereo
-    assert(Mp3L3.dropReason(st) == "mp3_stereo_unsupported")
+    assert(Mp3L3.dropReason(st) != null)
     // table_select forced to 16 (escape) in granule 0: side-info bits
     // 18(mdb+priv)+4(scfsi)+12+9+8+4+1 = 56 bits in → table_select at bit 56
     val esc = Mp3L3.encodeFixture(goldenSpec, 0).clone()

@@ -451,16 +451,17 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getString(1) == mime, s"$magicHex sniffed as ${row.getString(1)}")
       assert(Multimodal.realCodec(b).isEmpty) // recognized ≠ decodable
     }
-    // MP3 graduated in r16: Layer III mono DECODES, so the audio/mpeg
-    // unsupported_profile representative is a real refused profile (a
-    // stereo-flipped valid fixture behind the ID3 envelope); ID3+junk
-    // is honestly truncated now (recognized tag, no frames)
+    // MP3 graduated in r16 (mono) and r17 (MS stereo + short blocks):
+    // the audio/mpeg unsupported_profile representative is the surviving
+    // typed refusal — an MS fixture with mode_ext flipped to intensity,
+    // behind the ID3 envelope; ID3+junk is honestly truncated
+    // (recognized tag, no frames)
     val mods = Array(5, 4, 4, 4, 2, 2) ++ Array.fill(10)(11)
-    val spec = (for (g <- 0 until 2; j <- 0 until 16)
+    val spec = (for (g <- 0 until 4; j <- 0 until 16)
       yield ((g * 31 + 7 * j + 3) % mods(j)).toByte).toArray
     val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
-    val stereo = graft.functions.Mp3L3.encodeFixture(spec, 0).clone()
-    stereo(3) = 0x00.toByte
+    val stereo = graft.functions.Mp3L3.encodeFixture(spec, 5).clone()
+    stereo(3) = 0x50.toByte // mode 1, mode_ext 1 = intensity stereo
     val mp3Row = Seq(Tuple1(id3 ++ stereo)).toDF("b")
       .select(graft.functions.Native.decodeDropReason($"b"),
         Multimodal.modality($"b")).collect().head

@@ -65,6 +65,10 @@ assert len(PRETAB) == 22 and sum(PRETAB) == 19 and PRETAB[11] == 1
 LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
            24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
 
+# MS (mid/side) stereo matrix constant, frozen once (repr) and shared
+# with the Scala port and the DuckDB oracle: L=(M+S)*c, R=(M-S)*c.
+ISQRT2 = math.sqrt(0.5)
+
 # Alias-reduction butterfly constants: ci published by the spec; cs/ca are
 # derived once here and emitted as shared literals into the Scala/SQL pair.
 ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
@@ -503,13 +507,16 @@ WIN_STOP = [0.0 if n < 6 else
 
 def imdct_block(xr18, block_type):
     if block_type == 2:
+        # three 12-point windowed IMDCTs overlapped at 6-sample offsets:
+        # window w spans [6+6w, 6+6w+11] (r17 fix: was 6+12w, an
+        # out-of-range placement the long-only fixtures never executed)
         out = [0.0] * 36
         for win in range(3):
             for n in range(12):
                 s = 0.0
                 for k in range(6):
                     s += xr18[3 * k + win] * COS_S[n][k]
-                out[6 + 12 * win + n] += s * WIN_S[n]
+                out[6 + 6 * win + n] += s * WIN_S[n]
         return out
     w = {0: WIN_L, 1: WIN_START, 3: WIN_STOP}[block_type]
     out = [0.0] * 36
@@ -558,13 +565,18 @@ class SynthIso:
 # -------------------------------------------------------------- decoder
 
 class Mp3Decoder:
+    """Layer III decoder, mono or 2-channel (stereo / dual / joint with
+    MS extension; intensity stereo refused). Stereo output is interleaved
+    L0,R0,L1,R1,... — the WAV sample layout the oracle restates."""
+
     def __init__(self):
         self.store = bytearray()
-        self.overlap = [[0.0] * 18 for _ in range(32)]
-        self.synth = SynthIso(d_window())
+        self.overlap = [[[0.0] * 18 for _ in range(32)] for _ in range(2)]
+        self.synth = [SynthIso(d_window()), SynthIso(d_window())]
         self.granule_log = []
 
-    def decode_granule(self, b, g, scfsi_ch, gr, hz, ver, prev_sf):
+    def decode_spectrum(self, b, g, scfsi_ch, gr, hz, ver, prev_sf):
+        """Bits → requantized (+short-reordered) spectrum; no state."""
         limit = b.p + g["part2_3_length"]
         sf, preflag, sfbits = read_scalefacs(b, g, ver, scfsi_ch, gr, prev_sf)
         is_, nlines = huffman_decode(b, g, hz, ver, limit)
@@ -576,50 +588,71 @@ class Mp3Decoder:
         xr = requantize(is_, g, sf, preflag, hz, ver)
         if g["block_type"] == 2 and g["wsf"] and not g["mixed"]:
             xr = reorder_short(xr, hz)
+        return xr, sf
+
+    def render(self, ch, xr, g):
+        """Alias + IMDCT + overlap-add + inversion + synthesis for one
+        channel's granule spectrum; per-channel state."""
         xr = alias_reduce(xr, g["block_type"] if g["wsf"] else 0, g["mixed"])
-        # per-subband IMDCT + window + overlap-add + frequency inversion
         out = [0.0] * 576
         for sb in range(32):
             block = imdct_block(xr[18 * sb:18 * sb + 18],
                                 g["block_type"] if g["wsf"] else 0)
             for n in range(18):
-                v = block[n] + self.overlap[sb][n]
-                self.overlap[sb][n] = block[n + 18]
+                v = block[n] + self.overlap[ch][sb][n]
+                self.overlap[ch][sb][n] = block[n + 18]
                 if sb % 2 == 1 and n % 2 == 1:
                     v = -v
-                out[576 - 576 + 18 * 0 + 0] = out[0]  # no-op, clarity anchor
                 out[n * 32 + sb] = v  # time-major for synthesis slots
         pcm = []
         for s in range(18):
-            pcm.extend(self.synth.slot(out[32 * s:32 * s + 32]))
-        return pcm, sf
+            pcm.extend(self.synth[ch].slot(out[32 * s:32 * s + 32]))
+        return pcm
 
     def decode(self, data, max_frames=None):
-        """Mono decode -> list of float PCM in [-1,1]."""
+        """Decode → list of float PCM in [-1,1] (stereo: interleaved)."""
         frames = frames_of(data)
         if max_frames:
             frames = frames[:max_frames]
         pcm = []
         for h in frames:
-            if h["mode"] != 3:
-                raise UnsupportedStream("stereo_unsupported_in_proto")
+            nch = 1 if h["mode"] == 3 else 2
+            ms = h["mode"] == 1 and (h["mode_ext"] & 2) != 0
+            if h["mode"] == 1 and (h["mode_ext"] & 1) != 0:
+                raise UnsupportedStream("intensity_stereo_unsupported")
             mdb, scfsi, grs, main_off = side_info(data, h)
             main = data[main_off:h["off"] + h["flen"]]
             if mdb > len(self.store):
                 # reservoir underrun (stream start): emit silence for frame
                 self.store.extend(main)
                 self.store = self.store[-2880:]
-                pcm.extend([0.0] * (576 * len(grs)))
+                pcm.extend([0.0] * (576 * len(grs) * nch))
                 continue
             start_bit = (len(self.store) - mdb) * 8
             buf = bytes(self.store) + bytes(main)
             b = Bits(buf, start_bit)
-            prev_sf = [0] * 22
+            prev_sf = [[0] * 22 for _ in range(nch)]
             for gr, chs in enumerate(grs):
-                g = chs[0]
-                out, prev_sf = self.decode_granule(
-                    b, g, scfsi[0], gr, h["hz"], h["ver"], prev_sf)
-                pcm.extend(out)
+                xrs = []
+                for ch in range(nch):
+                    xr, sf = self.decode_spectrum(
+                        b, chs[ch], scfsi[ch], gr, h["hz"], h["ver"],
+                        prev_sf[ch])
+                    if not (chs[ch]["block_type"] == 2 and chs[ch]["wsf"]):
+                        prev_sf[ch] = sf
+                    xrs.append(xr)
+                if ms and nch == 2:
+                    for i in range(576):
+                        m, s_ = xrs[0][i], xrs[1][i]
+                        xrs[0][i] = (m + s_) * ISQRT2
+                        xrs[1][i] = (m - s_) * ISQRT2
+                outs = [self.render(ch, xrs[ch], chs[ch]) for ch in range(nch)]
+                if nch == 1:
+                    pcm.extend(outs[0])
+                else:
+                    for i in range(576):
+                        pcm.append(outs[0][i])
+                        pcm.append(outs[1][i])
             self.store.extend(main)
             self.store = self.store[-2880:]
         return pcm
@@ -669,34 +702,99 @@ def encode_granule_v1(spec):
                 scalefac_compress=spec["scalefac_compress"], wsf=0,
                 block_type=0, mixed=0, table_select=spec["table_select"],
                 region0_count=spec["region0_count"],
-                region1_count=spec["region1_count"], preflag=0,
+                region1_count=spec["region1_count"],
+                preflag=spec.get("preflag", 0),
                 scalefac_scale=spec["scalefac_scale"],
                 count1table_select=0)
     return bw.bits, side
 
 
-def encode_frames_v1_mono(granule_specs, kbps_idx=9, reservoir_bytes=40):
-    """Real MPEG-1 Layer III mono frames (44.1 kHz) from granule specs
-    (2 per frame). The frames' main data is laid out as one packed stream
-    across frame main regions, the real encoder scheme: frame 0's main
-    data is stuffed to (capacity - R) bytes so every later frame's main
-    data starts R bytes back inside the PREVIOUS frame — an honest
-    nonzero main_data_begin that puts the bit-reservoir walk inside the
-    fixture. reservoir_bytes=0 packs frame-aligned (mdb always 0)."""
-    assert len(granule_specs) % 2 == 0
+def encode_granule_v1_short(spec):
+    """Main-data bits for one MPEG-1 SHORT-block (block_type 2, non-mixed)
+    granule. spec: sf_short (12x3 honoring slen), subblock_gain (3),
+    values (src-order spectral ints, all below line 36 → region 0),
+    table_select (2), count1_zero_quads, global_gain, scalefac_scale,
+    scalefac_compress."""
+    bw = BitWriter()
+    s1 = SLEN1[spec["scalefac_compress"]]
+    s2 = SLEN2[spec["scalefac_compress"]]
+    for sfb in range(6):
+        for w in range(3):
+            bw.write(spec["sf_short"][sfb][w], s1)
+    for sfb in range(6, 12):
+        for w in range(3):
+            bw.write(spec["sf_short"][sfb][w], s2)
+    vals = spec["values"]
+    assert len(vals) % 2 == 0 and len(vals) <= 36
+    for i in range(0, len(vals), 2):
+        huff_encode_pair(bw, spec["table_select"][0], vals[i], vals[i + 1])
+    for _ in range(spec.get("count1_zero_quads", 0)):
+        ls, cs = COUNT1[0]
+        bw.write(cs[0], ls[0])
+    side = dict(part2_3_length=len(bw.bits), big_values=len(vals) // 2,
+                global_gain=spec["global_gain"],
+                scalefac_compress=spec["scalefac_compress"], wsf=1,
+                block_type=2, mixed=0,
+                table_select=list(spec["table_select"][:2]),
+                subblock_gain=list(spec["subblock_gain"]),
+                preflag=0, scalefac_scale=spec["scalefac_scale"],
+                count1table_select=0)
+    return bw.bits, side
+
+
+def write_side_granule(bw, s):
+    """One granule's 59 side-info bits (MPEG-1), both block layouts."""
+    bw.write(s["part2_3_length"], 12)
+    bw.write(s["big_values"], 9)
+    bw.write(s["global_gain"], 8)
+    bw.write(s["scalefac_compress"], 4)
+    bw.write(s["wsf"], 1)
+    if s["wsf"]:
+        bw.write(s["block_type"], 2)
+        bw.write(s["mixed"], 1)
+        for t in s["table_select"][:2]:
+            bw.write(t, 5)
+        for g in s["subblock_gain"]:
+            bw.write(g, 3)
+    else:
+        for t in s["table_select"]:
+            bw.write(t, 5)
+        bw.write(s["region0_count"], 4)
+        bw.write(s["region1_count"], 3)
+    bw.write(s.get("preflag", 0), 1)
+    bw.write(s["scalefac_scale"], 1)
+    bw.write(s["count1table_select"], 1)
+
+
+def encode_frames_v1(granules, kbps_idx=9, reservoir_bytes=40, nch=1,
+                     mode_ext=0, scfsi_bits=None):
+    """Real MPEG-1 Layer III frames (44.1 kHz) from pre-encoded granules:
+    a flat list of (bits, side) in STREAM order (granule-major,
+    channel-minor), length nfr * 2 * nch. The frames' main data is laid
+    out as one packed stream across frame main regions, the real encoder
+    scheme: frame 0's main data is stuffed to (capacity - R) bytes so
+    every later frame's main data starts R bytes back inside the
+    PREVIOUS frame — an honest nonzero main_data_begin that puts the
+    bit-reservoir walk inside the fixture. reservoir_bytes=0 packs
+    frame-aligned (mdb always 0). nch=2 emits joint stereo with the
+    given mode_ext (2 = MS)."""
+    per_frame = 2 * nch
+    assert len(granules) % per_frame == 0
     kbps = BITRATE_V1_L3[kbps_idx]
     flen = 144 * kbps * 1000 // 44100
-    cap = flen - 4 - 17
+    si_bytes = 17 if nch == 1 else 32
+    cap = flen - 4 - si_bytes
     R = reservoir_bytes
     assert 0 <= R <= min(511, cap - 1)
-    nfr = len(granule_specs) // 2
+    nfr = len(granules) // per_frame
+    scfsi = scfsi_bits or [[0, 0, 0, 0] for _ in range(nch)]
     mains = []   # per-frame byte-padded main data (incl. ancillary stuffing)
     sides = []
     for f in range(nfr):
         fs = []
         bw = BitWriter()
-        for g in range(2):
-            bits, s = encode_granule_v1(granule_specs[2 * f + g])
+        for g in range(per_frame):
+            bits, s = granules[per_frame * f + g]
             for bit in bits:
                 bw.write(bit, 1)
             fs.append(s)
@@ -720,31 +818,28 @@ def encode_frames_v1_mono(granule_specs, kbps_idx=9, reservoir_bytes=40):
         hdr[0] = 0xFF
         hdr[1] = 0xFB          # MPEG-1 Layer III, no CRC
         hdr[2] = (kbps_idx << 4) | (0 << 2) | 0
-        hdr[3] = 0xC0          # mono
+        # mono: mode 3; 2ch: joint stereo (mode 1) with the given mode_ext
+        hdr[3] = 0xC0 if nch == 1 else (0x40 | (mode_ext << 4))
         bw = BitWriter()
         bw.write(mdb, 9)
-        bw.write(0, 5)
-        for _ in range(4):
-            bw.write(0, 1)     # scfsi
+        bw.write(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for i in range(4):
+                bw.write(scfsi[ch][i], 1)
         for s in sides[f]:
-            bw.write(s["part2_3_length"], 12)
-            bw.write(s["big_values"], 9)
-            bw.write(s["global_gain"], 8)
-            bw.write(s["scalefac_compress"], 4)
-            bw.write(s["wsf"], 1)
-            for t in s["table_select"]:
-                bw.write(t, 5)
-            bw.write(s["region0_count"], 4)
-            bw.write(s["region1_count"], 3)
-            bw.write(s["preflag"], 1)
-            bw.write(s["scalefac_scale"], 1)
-            bw.write(s["count1table_select"], 1)
+            write_side_granule(bw, s)
         si = bw.bytes_padded()
-        assert len(si) == 17, len(si)
+        assert len(si) == si_bytes, len(si)
         region = stream[consumed:consumed + cap]
         consumed += cap
         out += hdr + si + region
     return bytes(out)
+
+
+def encode_frames_v1_mono(granule_specs, kbps_idx=9, reservoir_bytes=40):
+    """Back-compat wrapper: long-block mono specs → frames."""
+    granules = [encode_granule_v1(s) for s in granule_specs]
+    return encode_frames_v1(granules, kbps_idx, reservoir_bytes, nch=1)
 
 
 # -------------------------------------------- independent recompute path
@@ -796,6 +891,175 @@ def recompute_fixture_pcm(granule_specs):
     return pcm
 
 
+def _synth_taps_1sb(slots, col):
+    """PCM from a single excited subband's slot series via the (D, NCOS)
+    tap algebra; col = that subband's NCOS column. Identical structure to
+    recompute_fixture_pcm's synthesis term (proven bit-exact there)."""
+    dwin = d_window()
+    pcm = [0.0] * (32 * len(slots))
+    for s in range(len(slots)):
+        for j in range(32):
+            acc = 0.0
+            for i in range(16):
+                t = s - i
+                if t >= 0:
+                    acc += dwin[j + 32 * i] * (NCOS[j + 32 * (i & 1)][col] * slots[t])
+            pcm[32 * s + j] = acc
+    return pcm
+
+
+def _sb0_chain(xr18_list):
+    """Slot series for subband-0-only excitation: long IMDCT, long window,
+    overlap-add; no inversion (subband 0 is even)."""
+    slots = []
+    prev_tail = [0.0] * 18
+    for xr in xr18_list:
+        win = [0.0] * 36
+        for n in range(36):
+            s = 0.0
+            for k in range(18):
+                s += xr[k] * COS_L[n][k]
+            win[n] = s * WIN_L[n]
+        for n in range(18):
+            slots.append(win[n] + prev_tail[n])
+        prev_tail = win[18:]
+    return slots
+
+
+def spec_xr18(spec):
+    """Requantized subband-0 lines (0..17) of a long-block spec."""
+    widths = SFB_LONG[44100]
+    bounds = [0]
+    for w in widths:
+        bounds.append(bounds[-1] + w)
+    gain = spec["global_gain"] - 210
+    sfs_mult = 0.5 * (1 + spec["scalefac_scale"])
+    xr = [0.0] * 18
+    for i, v in enumerate(spec["values"]):
+        if v == 0 or i >= 18:
+            continue
+        sfb = next(s for s in range(21) if bounds[s] <= i < bounds[s + 1])
+        e = 0.25 * gain - sfs_mult * spec["scalefacs"][sfb]
+        mag = POW43[abs(v)] * (2.0 ** e)
+        xr[i] = -mag if v < 0 else mag
+    return xr
+
+
+def recompute_preflag_pcm(specs):
+    """Closed-form recompute for the preflag class: values planted at
+    lines 62..71 (sfb 11, pretab 1), exciting subband 3 directly and
+    subband 4 through the boundary-72 alias butterflies; subband 3 is
+    odd, so its overlap-added output is frequency-inverted at odd slots.
+    Independent of the decoder's control flow; the exact algebra the
+    DuckDB oracle restates for multimodal_decode_mp3_preflag."""
+    widths = SFB_LONG[44100]
+    bounds = [0]
+    for w in widths:
+        bounds.append(bounds[-1] + w)
+    slots3, slots4 = [], []
+    prev3, prev4 = [0.0] * 18, [0.0] * 18
+    for spec in specs:
+        gain = spec["global_gain"] - 210
+        sfs_mult = 0.5 * (1 + spec["scalefac_scale"])
+        xr3 = [0.0] * 18   # lines 54..71
+        xr4 = [0.0] * 18   # lines 72..89
+        for idx, v in enumerate(spec["values"]):
+            if v == 0:
+                continue
+            sfb = next(s for s in range(21) if bounds[s] <= idx < bounds[s + 1])
+            e = 0.25 * gain - sfs_mult * (spec["scalefacs"][sfb] + PRETAB[sfb])
+            mag = POW43[abs(v)] * (2.0 ** e)
+            assert 54 <= idx < 72, "preflag class plants sfb 11 only"
+            xr3[idx - 54] = -mag if v < 0 else mag
+        # the only boundary with a nonzero side is 72; decoder expression
+        # kept verbatim (b is zero) for bit-exact ±0.0 behavior
+        for i in range(8):
+            a = xr3[17 - i]
+            b = xr4[i]
+            xr3[17 - i] = a * ALIAS_CS[i] - b * ALIAS_CA[i]
+            xr4[i] = b * ALIAS_CS[i] + a * ALIAS_CA[i]
+        for (xr, prev, slots, inv) in ((xr3, prev3, slots3, True),
+                                       (xr4, prev4, slots4, False)):
+            win = [0.0] * 36
+            for n in range(36):
+                s = 0.0
+                for k in range(18):
+                    s += xr[k] * COS_L[n][k]
+                win[n] = s * WIN_L[n]
+            for n in range(18):
+                v = win[n] + prev[n]
+                if inv and n % 2 == 1:
+                    v = -v
+                slots.append(v)
+            prev[:] = win[18:]
+    dwin = d_window()
+    pcm = [0.0] * (32 * len(slots3))
+    for s in range(len(slots3)):
+        for j in range(32):
+            acc = 0.0
+            for i in range(16):
+                t = s - i
+                if t >= 0:
+                    acc += dwin[j + 32 * i] * (
+                        NCOS[j + 32 * (i & 1)][3] * slots3[t]
+                        + NCOS[j + 32 * (i & 1)][4] * slots4[t])
+            pcm[32 * s + j] = acc
+    return pcm
+
+
+def recompute_ms_pcm(spec_pairs):
+    """Closed-form recompute for the MS stereo class: matrix the two
+    requantized subband-0 spectra per granule (L=(M+S)*ISQRT2,
+    R=(M-S)*ISQRT2), then two independent subband-0 chains, interleaved
+    L0,R0,L1,R1,... (the stereo WAV sample layout)."""
+    xl, xrch = [], []
+    for m_spec, s_spec in spec_pairs:
+        xm = spec_xr18(m_spec)
+        xs = spec_xr18(s_spec)
+        xl.append([(xm[i] + xs[i]) * ISQRT2 for i in range(18)])
+        xrch.append([(xm[i] - xs[i]) * ISQRT2 for i in range(18)])
+    pl = _synth_taps_1sb(_sb0_chain(xl), 0)
+    pr = _synth_taps_1sb(_sb0_chain(xrch), 0)
+    out = []
+    for i in range(len(pl)):
+        out.append(pl[i])
+        out.append(pr[i])
+    return out
+
+
+def recompute_short_pcm(specs):
+    """Closed-form recompute for the short-block class: 10 src-order
+    values land in subband 0 via the reorder map (dst = 3k+w), the three
+    12-point IMDCTs overlap at 6-sample offsets (ISO placement), no alias
+    reduction (block_type 2), no inversion (subband 0)."""
+    slots = []
+    prev = [0.0] * 18
+    for spec in specs:
+        gain = spec["global_gain"] - 210
+        sfs_mult = 0.5 * (1 + spec["scalefac_scale"])
+        xr = [0.0] * 18
+        for i, v in enumerate(spec["values"]):
+            if v == 0:
+                continue
+            w = i // 4 if i < 8 else 2
+            k = i % 4
+            e = 0.25 * (gain - 8 * spec["subblock_gain"][w]) \
+                - sfs_mult * spec["sf_short"][0][w]
+            mag = POW43[abs(v)] * (2.0 ** e)
+            xr[3 * k + w] = -mag if v < 0 else mag
+        win = [0.0] * 36
+        for w in range(3):
+            for n in range(12):
+                s = 0.0
+                for k in range(6):
+                    s += xr[3 * k + w] * COS_S[n][k]
+                win[6 + 6 * w + n] += s * WIN_S[n]
+        for n in range(18):
+            slots.append(win[n] + prev[n])
+        prev = win[18:]
+    return _synth_taps_1sb(slots, 0)
+
+
 def fixture_specs(seed=5):
     import random
     rng = random.Random(seed)
@@ -834,6 +1098,174 @@ def roundtrip_check():
               f"decode==recompute bit-identical: {ok} (worst |diff| {worst:.3e})")
         ok_all = ok_all and ok
     return ok_all
+
+
+def specs_preflag(seed=11):
+    import random
+    rng = random.Random(seed)
+    specs = []
+    for g in range(4):
+        sf = [0] * 21
+        for b in range(3):
+            sf[b] = rng.randrange(4)
+        sf[11] = rng.randrange(2)
+        sf[12] = rng.randrange(2)
+        vals = [0] * 62 + [rng.randrange(-5, 6) for _ in range(10)]
+        specs.append(dict(
+            scalefacs=sf, scalefac_compress=8, values=vals,
+            table_select=[7, 8, 0], region0_count=11, region1_count=0,
+            count1_zero_quads=2, global_gain=170 + 4 * rng.randrange(0, 5),
+            scalefac_scale=1, preflag=1))
+    return specs
+
+
+def specs_ms(seed=13):
+    import random
+    rng = random.Random(seed)
+    specs = []
+    for g in range(8):  # 4 granules x (M, S)
+        sf = [0] * 21
+        for b in range(3):
+            sf[b] = rng.randrange(4)
+        sf[11] = rng.randrange(2)
+        sf[12] = rng.randrange(2)
+        vals = [rng.randrange(-5, 6) for _ in range(10)]
+        specs.append(dict(
+            scalefacs=sf, scalefac_compress=8, values=vals,
+            table_select=[7, 8, 0], region0_count=0, region1_count=1,
+            count1_zero_quads=2, global_gain=170 + 4 * rng.randrange(0, 5),
+            scalefac_scale=1))
+    return specs
+
+
+def specs_short(seed=17):
+    import random
+    rng = random.Random(seed)
+    specs = []
+    for g in range(4):
+        sf_short = [[0] * 3 for _ in range(12)]
+        for w in range(3):
+            sf_short[0][w] = rng.randrange(4)
+        ssg = [0, rng.randrange(2), rng.randrange(2)]
+        vals = [rng.randrange(-5, 6) for _ in range(10)]
+        specs.append(dict(
+            sf_short=sf_short, subblock_gain=ssg, values=vals,
+            table_select=[7, 8], count1_zero_quads=2,
+            global_gain=170 + 4 * rng.randrange(0, 5),
+            scalefac_scale=1, scalefac_compress=8))
+    return specs
+
+
+def roundtrip_class(name, data, ref, expect_len):
+    dec = Mp3Decoder()
+    pcm = dec.decode(data)
+    exact = sum(1 for c, p in dec.granule_log if c == p)
+    assert len(pcm) == len(ref) == expect_len, (name, len(pcm), len(ref))
+    worst = max(abs(a - b) for a, b in zip(pcm, ref))
+    peak = max(abs(v) for v in pcm)
+    ok = all(a == b for a, b in zip(pcm, ref))
+    print(f"{name} roundtrip: granules exact {exact}/{len(dec.granule_log)}, "
+          f"decode==recompute bit-identical: {ok} "
+          f"(worst |diff| {worst:.3e}, peak {peak:.4f})")
+    assert peak > 0.0, (name, "fixture class must produce nonzero audio")
+    return ok
+
+
+def roundtrip_preflag():
+    specs = specs_preflag()
+    data = encode_frames_v1([encode_granule_v1(s) for s in specs])
+    return roundtrip_class("preflag", data, recompute_preflag_pcm(specs), 2304)
+
+
+def roundtrip_ms():
+    specs = specs_ms()
+    data = encode_frames_v1([encode_granule_v1(s) for s in specs],
+                            nch=2, mode_ext=2)
+    pairs = [(specs[2 * i], specs[2 * i + 1]) for i in range(4)]
+    return roundtrip_class("ms-stereo", data, recompute_ms_pcm(pairs), 4608)
+
+
+def roundtrip_short():
+    specs = specs_short()
+    data = encode_frames_v1([encode_granule_v1_short(s) for s in specs])
+    return roundtrip_class("short-block", data, recompute_short_pcm(specs), 2304)
+
+
+def to_wav(pcm, hz, nch):
+    """The Scala decodeToWav serialization: canonical 44-byte header,
+    floor(x*32768+0.5) clamped int16 LE."""
+    import struct
+    n = len(pcm)
+    out = bytearray()
+    out += b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+    out += struct.pack("<I", 16)
+    out += struct.pack("<HHIIHH", 1, nch, hz, hz * 2 * nch, 2 * nch, 16)
+    out += b"data" + struct.pack("<I", 2 * n)
+    for v in pcm:
+        q = int(math.floor(v * 32768.0 + 0.5))
+        q = max(-32768, min(32767, q))
+        out += struct.pack("<h", q)
+    return bytes(out)
+
+
+def golden_spec(nblocks):
+    """The committed driver plant: byte[16g+j] = (g*31+7j+3) mod field."""
+    mods = [5, 4, 4, 4, 2, 2] + [11] * 10
+    return [(g * 31 + 7 * j + 3) % mods[j]
+            for g in range(nblocks) for j in range(16)]
+
+
+def spec_from_block(b, variant):
+    """The Scala encodeFixture field mapping for one 16-byte block."""
+    gain = 170 + 4 * (b[0] % 5)
+    if variant == 6:
+        sf_short = [[0] * 3 for _ in range(12)]
+        for w in range(3):
+            sf_short[0][w] = b[1 + w] & 3
+        return dict(sf_short=sf_short, subblock_gain=[0, b[4] & 1, b[5] & 1],
+                    values=[b[6 + i] - 5 for i in range(10)],
+                    table_select=[7, 8], count1_zero_quads=2,
+                    global_gain=gain, scalefac_scale=1, scalefac_compress=8)
+    sf = [0] * 21
+    for i in range(3):
+        sf[i] = b[1 + i] & 3
+    sf[11] = b[4] & 1
+    sf[12] = b[5] & 1
+    vals = [b[6 + i] - 5 for i in range(10)]
+    tables = {1: [9, 9, 0], 3: [10, 10, 0]}.get(variant, [7, 8, 0])
+    d = dict(scalefacs=sf, scalefac_compress=8, values=vals,
+             table_select=tables, region0_count=0, region1_count=1,
+             count1_zero_quads=2, global_gain=gain, scalefac_scale=1)
+    if variant == 4:
+        d["values"] = [0] * 62 + vals
+        d["region0_count"] = 11
+        d["region1_count"] = 0
+        d["preflag"] = 1
+    return d
+
+
+def golden_hashes():
+    """Fixture + decoded-WAV sha256 per variant for the Scala goldens;
+    variants 0/1 must reproduce the previously committed hashes (the
+    generator's own validation)."""
+    import hashlib
+    for variant, nblocks in [(0, 4), (1, 4), (3, 4), (4, 4), (5, 8), (6, 4)]:
+        spec = golden_spec(nblocks)
+        blocks = [spec[16 * i:16 * i + 16] for i in range(nblocks)]
+        gs = [spec_from_block(b, variant) for b in blocks]
+        if variant == 6:
+            granules = [encode_granule_v1_short(s) for s in gs]
+        else:
+            granules = [encode_granule_v1(s) for s in gs]
+        nch = 2 if variant == 5 else 1
+        data = encode_frames_v1(
+            granules, reservoir_bytes=0 if variant == 1 else 40,
+            nch=nch, mode_ext=2 if variant == 5 else 0)
+        pcm = Mp3Decoder().decode(data)
+        wav = to_wav(pcm, 44100, nch)
+        print(f"variant {variant}: fixture {hashlib.sha256(data).hexdigest()}")
+        print(f"variant {variant}: wav     {hashlib.sha256(wav).hexdigest()}"
+              f" (pcm {len(pcm)})")
 
 
 # ----------------------------------------------------- PR / window tests
@@ -895,6 +1327,11 @@ def main():
         assert snr > 40 and d == 481, (snr, d)
     if cmd in ("fixture", "all"):
         assert roundtrip_check()
+        assert roundtrip_preflag()
+        assert roundtrip_ms()
+        assert roundtrip_short()
+    if cmd == "goldens":
+        golden_hashes()
     if cmd in ("silence", "all"):
         data = open(TEST_MP3, "rb").read()
         dec = Mp3Decoder()
