@@ -2340,6 +2340,22 @@ object SparkEntry {
       a.join(b, "digest")
         .select(a("id").as("id_a"), b("id").as("id_b"))
     }),
+    // r17: the dedup pairing, stereo edition — the same planted STEREO
+    // audio coded MS/(7,8)/reservoir (variant 5) vs MS/(9,9)/aligned
+    // (variant 7): byte-different joint-stereo files whose pairing
+    // exists only through real two-channel Layer III decode. Same
+    // digest-join shape as dedup_audio_mp3.
+    "dedup_audio_mp3_stereo" -> ((s, d) => {
+      def digested(variant: Int, shift: Long) = Tables.documents(s, d)
+        .select((col("doc_id") + lit(shift)).as("id"),
+          sha2(Multimodal.mp3DecodeWav(
+            Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 8),
+              lit(variant))), 256).as("digest"))
+      val a = digested(variant = 5, shift = 0L)
+      val b = digested(variant = 7, shift = 100000L)
+      a.join(b, "digest")
+        .select(a("id").as("id_a"), b("id").as("id_b"))
+    }),
     // extended-profile WAV decode, hash-oracled: ONE planted PCM16 clip
     // → six REAL wire profiles (8/24/32-bit integer PCM, IEEE float32,
     // EXTENSIBLE-wrapped PCM16, a chunk-reordered layout with an
@@ -3766,6 +3782,10 @@ object SparkEntry {
     // byte-different codings of the same spectrum decode identically ⇒
     // exactly one digest pair per doc
     "dedup_audio_mp3" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents""",
+    // stereo edition: same argument — byte-different MS codings of the
+    // same planted stereo audio decode identically ⇒ one pair per doc
+    "dedup_audio_mp3_stereo" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents""",
     // every profile's canonicalization is the closed-form restatement
     // of the planted samples behind the constant canonical header

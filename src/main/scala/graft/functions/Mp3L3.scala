@@ -959,20 +959,23 @@ private[graft] object Mp3L3 {
     *   5 → joint stereo with MS extension: granule-blocks alternate
     *       M,S channels (frame = 4 blocks), L=(M+S)·ISqrt2, R=(M−S)·ISqrt2;
     *   6 → short blocks (block_type 2, non-mixed): the 12-point IMDCT
-    *       triple at 6-sample offsets, subblock gains, reorder map. */
+    *       triple at 6-sample offsets, subblock gains, reorder map;
+    *   7 → MS stereo like 5 but tables (9,9) and frame-aligned (no
+    *       reservoir): a byte-DIFFERENT stereo coding that decodes
+    *       identically to 5 — the dedup pairing, stereo edition. */
   def encodeFixture(spec: Array[Byte], variant: Int): Array[Byte] = {
     require(spec.length % 16 == 0 && spec.length > 0 && spec.length <= 64 * 16,
       s"spec multiple of 16 bytes, got ${spec.length}")
-    require(variant >= 0 && variant <= 6, s"variant 0..6, got $variant")
-    val nch = if (variant == 5) 2 else 1
+    require(variant >= 0 && variant <= 7, s"variant 0..7, got $variant")
+    val nch = if (variant == 5 || variant == 7) 2 else 1
     val perFrame = 2 * nch
     val nblocks = spec.length / 16
     require(nblocks % perFrame == 0, s"whole frames only ($perFrame blocks each)")
     val tables =
-      if (variant == 1) Array(9, 9, 0)
+      if (variant == 1 || variant == 7) Array(9, 9, 0)
       else if (variant == 3) Array(10, 10, 0)
       else Array(7, 8, 0)
-    val reservoir = if (variant == 1) 0 else 40
+    val reservoir = if (variant == 1 || variant == 7) 0 else 40
     // variant 2: scfsi groups 0 and 2 reused — granule 1 of each frame
     // OMITS the scalefactors of bands 0..5 and 11..15 and the decoder
     // must substitute granule 0's (the MPEG-1 scfsi path, which no real

@@ -137,6 +137,14 @@ class Mp3Spec extends AnyFunSuite {
     assert((w5(22) & 0xff) == 2 && (w5(32) & 0xff) == 4)
     // 2 frames x 2 granules x 576 x 2ch = 4608 samples
     assert(w5.length == 44 + 2 * 4608)
+    // variant 7: same planted stereo audio coded under tables (9,9),
+    // frame-aligned — byte-different stream, bit-identical decode (the
+    // dedup_audio_mp3_stereo pairing)
+    val v7 = Mp3L3.encodeFixture(goldenSpec8, 7)
+    assert(sha256(v7) == "5e4d3ea5e7d1f11ab3f996ab1a19777be74ee5a4a39f4d7c7e243b5f9b93fa02")
+    assert(!java.util.Arrays.equals(v7, v5))
+    assert(java.util.Arrays.equals(Mp3L3.decodeToWav(v7), w5),
+      "byte-different stereo codings must decode identically")
   }
 
   test("short-block variant: block_type 2 triple-IMDCT path, prototype goldens") {

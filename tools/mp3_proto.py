@@ -1232,7 +1232,7 @@ def spec_from_block(b, variant):
     sf[11] = b[4] & 1
     sf[12] = b[5] & 1
     vals = [b[6 + i] - 5 for i in range(10)]
-    tables = {1: [9, 9, 0], 3: [10, 10, 0]}.get(variant, [7, 8, 0])
+    tables = {1: [9, 9, 0], 3: [10, 10, 0], 7: [9, 9, 0]}.get(variant, [7, 8, 0])
     d = dict(scalefacs=sf, scalefac_compress=8, values=vals,
              table_select=tables, region0_count=0, region1_count=1,
              count1_zero_quads=2, global_gain=gain, scalefac_scale=1)
@@ -1249,7 +1249,8 @@ def golden_hashes():
     variants 0/1 must reproduce the previously committed hashes (the
     generator's own validation)."""
     import hashlib
-    for variant, nblocks in [(0, 4), (1, 4), (3, 4), (4, 4), (5, 8), (6, 4)]:
+    for variant, nblocks in [(0, 4), (1, 4), (3, 4), (4, 4), (5, 8), (6, 4),
+                             (7, 8)]:
         spec = golden_spec(nblocks)
         blocks = [spec[16 * i:16 * i + 16] for i in range(nblocks)]
         gs = [spec_from_block(b, variant) for b in blocks]
@@ -1257,10 +1258,10 @@ def golden_hashes():
             granules = [encode_granule_v1_short(s) for s in gs]
         else:
             granules = [encode_granule_v1(s) for s in gs]
-        nch = 2 if variant == 5 else 1
+        nch = 2 if variant in (5, 7) else 1
         data = encode_frames_v1(
-            granules, reservoir_bytes=0 if variant == 1 else 40,
-            nch=nch, mode_ext=2 if variant == 5 else 0)
+            granules, reservoir_bytes=0 if variant in (1, 7) else 40,
+            nch=nch, mode_ext=2 if variant in (5, 7) else 0)
         pcm = Mp3Decoder().decode(data)
         wav = to_wav(pcm, 44100, nch)
         print(f"variant {variant}: fixture {hashlib.sha256(data).hexdigest()}")
