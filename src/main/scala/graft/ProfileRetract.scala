@@ -7,6 +7,31 @@ object ProfileRetract {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // per-job attribution: callsite + duration for every Spark job, so the
+    // phase totals below decompose to the actions that spend them
+    if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (System.nanoTime(),
+            j.stageInfos.map(_.name.takeWhile(_ != '(')).mkString("+") + ":" +
+              j.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = starts.remove(j.jobId)
+          if (v != null) println(
+            f"[job] ${j.jobId}%4d ${(System.nanoTime() - v._1) / 1e9}%7.3f s  ${v._2}")
+        }
+      })
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = {
+          val top = qe.optimizedPlan.getClass.getSimpleName
+          println(f"[exec] ${ns / 1e9}%7.3f s  $fn  $top")
+        }
+        override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    }
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

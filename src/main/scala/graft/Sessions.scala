@@ -24,6 +24,20 @@ object Sessions {
       // events.parquet has shipped as TIMESTAMP(NANOS): read as raw long,
       // normalized in Tables.normalizeEventTime
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r17: constraint propagation OFF. Inner equi-joins on DERIVED keys
+      // (the dedup tier joins on sha2(decode(encode(spine))) digests) make
+      // InferFiltersFromConstraints synthesize `isnotnull(<derived key>)`
+      // and push the WHOLE codec chain below the exchange into the scan
+      // stage — every payload decodes TWICE, once of them serialized in
+      // the single-split scan task (measured: dedup_audio_mp3 ×3.5, the
+      // optimization guide's §4.4 duplicate-evaluation pathology with
+      // native expressions in the UDF role). What the inference buys in
+      // exchange — early isnotnull pruning on join keys — is ~nothing
+      // here (fixture keys are never null) and marginal at table scale
+      // (null join keys drop in the join anyway); what it costs scales
+      // with payload bytes. Optimizer-only toggle: join semantics and
+      // every query result are unchanged.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Native.register(s)

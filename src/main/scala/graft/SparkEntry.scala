@@ -438,6 +438,28 @@ object SparkEntry {
       }
     }
 
+  /** Spread a narrow spine across the session's shuffle parallelism before
+    * per-row HEAVY compute (codec encode/decode natives, per-doc scoring).
+    * The sf testdata tables are single-row-group parquet files, so their
+    * scans are ONE task each and a compute fused into the scan stage
+    * serializes on one core of the 32 — the optimization guide's §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read" case. The exchange moves only the projected spine
+    * columns (bytes ≈ nothing next to the decode it unlocks), hashes on
+    * the spine key (thousands of distinct values per partition-count
+    * decade — the §2.5 spread rule; deterministic, unlike a round-robin
+    * of a re-run scan), and its width follows spark.sql.shuffle.partitions
+    * — the conf production sizes per cluster and the harness derives from
+    * SPARK_GRAFT_CPUS, so the driver's low-core scaling runs keep their
+    * meaning. At table scale the scan arrives already split across row
+    * groups and this exchange is a cores-wide rebalance of ids, not a
+    * payload move. Results are partition-placement-independent: same
+    * rows, same hashes. */
+  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col(key))
+
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY §2) ---
     "t1_uppercase" -> ((s, d) => Relational.uppercaseProjection(Tables.documents(s, d))),
@@ -507,7 +529,7 @@ object SparkEntry {
     }),
 
     // --- north-star: dedup ---
-    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_exact" -> ((s, d) => Dedup.exact(spread(Tables.documents(s, d)))),
     // planted re-encodes (the dedup_embedding_srp trick applied to text
     // LSH): every doc is replanted under doc_id+100000. At threshold 1.0
     // the verify keeps exactly the Jaccard-1 pairs = pairs with EQUAL
@@ -518,7 +540,7 @@ object SparkEntry {
     // pairwise cold path runs). The LSH machinery itself — banding,
     // skew guard, verification — is exercised end-to-end.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashLsh(docs.union(copies), threshold = 1.0).drop("jaccard")
     }),
@@ -532,7 +554,7 @@ object SparkEntry {
     // exact pair set at a raw threshold stays pinned by the ScalaTest
     // brute-force comparisons (OperatorsSpec).
     "dedup_minhash_raw" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Dedup.minhashLsh(spread(Tables.documents(s, d)).select(col("doc_id"), col("text")),
         threshold = 0.8).drop("jaccard")),
     // LSH blocking + EditSim verification (Lee et al.'s NearDup), planted
     // like dedup_minhash_lsh: at threshold 1.0 the kept pairs are exactly
@@ -542,7 +564,7 @@ object SparkEntry {
     // pass a truncated compare without being guaranteed candidates. The
     // threshold ≥ 1 cutoff makes each verify O(n), not O(n²)
     "dedup_editsim" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.editSimNearDup(docs.union(copies), threshold = 1.0)
     }),
@@ -565,6 +587,8 @@ object SparkEntry {
       // oracle survives the move rank-based: each doc keeps its 3
       // lowest-id partners, so a pair survives iff BOTH endpoints rank
       // ≤ 3 within their group (by doc_id), i.e. the higher rank ≤ 3.
+      // plain count: parquet answers it from footer metadata, no scan —
+      // a spread here would force a real shuffle just to count
       val n = Tables.documents(s, d).count()
       val g = math.max(1L, n / 6L)
       val grp = conv(substring(
@@ -573,7 +597,7 @@ object SparkEntry {
       val text = concat_ws(" ", (0 until 8).map(i =>
         md5(concat(grp.cast("string"), lit(s"-ec$i")).cast("binary"))): _*)
       Dedup.editSimNearDup(
-        Tables.documents(s, d).select(col("doc_id"), text.as("text")),
+        spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text")),
         threshold = 0.9, maxPairsPerDoc = 3)
     }),
     // the verification stage alone at a REAL operating point: analytic
@@ -582,7 +606,7 @@ object SparkEntry {
     // levenshtein on the same truncated text — real varied distances,
     // unlike the degenerate threshold-1.0 pin above
     "dedup_editsim_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.25, maxChars = 256)
     }),
@@ -594,7 +618,7 @@ object SparkEntry {
     // substitution per position) — so the native banded DP's outputs are
     // pure arithmetic in DuckDB
     "dedup_editsim_tokens" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val k = (col("doc_id") % 4 + 1).cast("int")
       val qTokens = array_join(
         transform(sequence(lit(1), k), i => concat(lit("q"), i.cast("string"))), " ")
@@ -612,7 +636,7 @@ object SparkEntry {
     // degenerate threshold: kept ⟺ equal token sequences (single-spaced
     // corpus ⇒ equal text), same oracle family as dedup_editsim
     "dedup_editsim_tok" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.tokenEditSimNearDup(docs.union(copies), threshold = 1.0)
     }),
@@ -621,7 +645,7 @@ object SparkEntry {
     // replanted at id+100000; at threshold 1.0 the verified pairs are
     // exactly the equal-shingle-set (a, b+100000) pairs — SQL-expressible
     "dedup_cross" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val heldOut = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.crossNearDup(docs, heldOut, threshold = 1.0).drop("jaccard")
     }),
@@ -629,7 +653,7 @@ object SparkEntry {
     // replants land in their own md5 split, so train originals whose
     // replant fell in the test split are the contaminated set
     "decontaminate_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
       val planted = docs.union(docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       Pipeline.decontaminateNearDup(planted, threshold = 1.0)
     }),
@@ -640,7 +664,7 @@ object SparkEntry {
     // SQL-expressible). Each doc pairs exactly with its replant at
     // hamming 0, making the sketch op hash-oracle-able.
     "dedup_simhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"),
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           x => concat(col("doc_id").cast("string"), lit(":"), x))).as("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -666,12 +690,12 @@ object SparkEntry {
     // planted oracle is invariant: identical copies share every probe
     // bucket at ANY centroid count
     "dedup_embedding" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9, nprobe = 2)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
+      Dedup.ngramJaccard(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
     // planted re-encodes: every vector re-keyed +100000 — the train-free
     // SRP-LSH path must pair each copy with its original (cosine exactly
     // 1 ⇒ identical signatures in every table ⇒ candidate with
@@ -679,7 +703,7 @@ object SparkEntry {
     // cosine ≤ 0.61 at sf ≤ 0.1) — so the output is exactly one row per
     // vector and the operator is hash-oracle-able despite being an LSH
     "dedup_embedding_srp" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupSrp(emb.union(copies), minCosine = 0.9)
     }),
@@ -695,17 +719,17 @@ object SparkEntry {
       Dedup.semanticDedup(emb.union(copies), minCosine = 0.9).drop("cluster")
     }),
     "dedup_components" -> ((s, d) =>
-      Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
-    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), n = 5)),
+      Dedup.dedupComponents(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
+    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(spread(Tables.documents(s, d)), n = 5)),
     "dedup_remove_spans" -> ((s, d) =>
-      Dedup.removeDuplicatedSpans(Tables.documents(s, d), n = 5)),
+      Dedup.removeDuplicatedSpans(spread(Tables.documents(s, d)), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
-      Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
-    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables.documents(s, d))),
+      Dedup.dedupKeepBest(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(spread(Tables.documents(s, d)))),
     // exact line-level dedup over the lined fixture (see linedText):
     // string-keyed in the oracle, pinning the xxhash64 line fingerprints
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         linedText(col("doc_id"), col("text")).as("text")))),
     // URL-level dedup over a derived URL fixture that exercises every
     // canonicalization rule: mixed-case scheme (%2), userinfo (%11),
@@ -716,7 +740,7 @@ object SparkEntry {
     // longest capture, ties to smallest doc_id. Oracle builds the same
     // URL and canonicalizes with the same anchored regexes.
     "dedup_url" -> ((s, d) => Dedup.urlDedup(
-      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      spread(Tables.documents(s, d)).select(col("doc_id"), col("n_chars"),
         derivedUrl(col("doc_id"), col("source")).as("url")))),
     // per-domain quality rollup over the same derived-URL fixture: the
     // canonical domain is '<source>.example.com' (scheme/userinfo/www/port
@@ -724,12 +748,12 @@ object SparkEntry {
     // keep-rate aggregates the Gopher gate text_gopher_filter pins, and
     // the oracle recomputes every signal from scratch
     "domain_quality" -> ((s, d) => TextAnalysis.domainQuality(
-      Tables.documents(s, d).select(col("doc_id"), col("text"),
+      spread(Tables.documents(s, d)).select(col("doc_id"), col("text"),
         derivedUrl(col("doc_id"), col("source")).as("url")))),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = spread(Tables.embeddings(s, d), "vec_id")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), k = 10)
@@ -739,7 +763,7 @@ object SparkEntry {
     // cluster index = medoid vec_id, so the oracle reproduces the
     // assignment as an exact-cosine argmax join)
     "sample_cluster_balance" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       Pipeline.clusterCapSample(emb, medoids, perCluster = 40)
@@ -752,14 +776,14 @@ object SparkEntry {
     // c.vec_id != q.vec_id + 100000; ranking parity over the remaining
     // pairs is the same exact-cosine row_number the bruteforce oracle pins
     "sim_hard_negatives" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.hardNegatives(queries, emb.union(copies), k = 10, posThreshold = 0.95)
     }),
     "sim_topk_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = spread(Tables.embeddings(s, d), "vec_id")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
@@ -771,7 +795,7 @@ object SparkEntry {
     // multi-assignment, the bucket-join candidate set, pair dedup, and
     // the final rank are ALL reconstructible in DuckDB
     "sim_topk_ivf_medoid" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -788,7 +812,7 @@ object SparkEntry {
     // measure the full append+probe cost (and Verify runs see a fresh
     // store, never a stale one).
     "sim_topk_ivf_incr" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -810,7 +834,7 @@ object SparkEntry {
     // rows, breaks the hash. Phase 1 is checkpointed before compaction
     // (its lazy plan reads the pre-compaction directories).
     "sim_topk_ivf_retract" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -839,7 +863,7 @@ object SparkEntry {
     "store_retract" -> ((s, d) => {
       val text = concat_ws(" ", (0 until 5).map(i =>
         md5(concat(col("doc_id").cast("string"), lit(s"-st$i")).cast("binary"))): _*)
-      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-retr-${math.abs(d.hashCode)}"
       graft.sources.BatchStore.delete(s, Seq(path))
       graft.apps.CorpusPrep.runIncremental(s,
@@ -868,7 +892,7 @@ object SparkEntry {
         md5(concat(col("doc_id").cast("string"), lit(s"-sa$i")).cast("binary"))): _*)
       val text = array_join(
         slice(toks, lit(1), (lit(3L) + col("doc_id") % 7).cast("int")), " ")
-      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-rattr-${math.abs(d.hashCode)}"
       graft.sources.BatchStore.delete(s, Seq(path))
       graft.apps.CorpusPrep.runIncremental(s, docs, path, minTokens = 1)
@@ -890,7 +914,7 @@ object SparkEntry {
     // oracle applies the identical restriction inside its corpus-assign
     // CTE
     "sim_topk_filtered" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -909,7 +933,7 @@ object SparkEntry {
     // pinned in OperatorsSpec; the scan-stage pushed-filter plan is
     // pinned there too.
     "sim_topk_filtered_idx" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -934,7 +958,7 @@ object SparkEntry {
     // oracle-able (same move as the planted-re-encode LSH oracles). The
     // partial-probe entry above stays for the recall test.
     "sim_topk_ivf_full" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = spread(Tables.embeddings(s, d), "vec_id")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
@@ -947,7 +971,7 @@ object SparkEntry {
     // vectors use a different code formula so they differ from every
     // corpus row. Raw-embedding recall stays pinned in OperatorsSpec.
     "sim_topk_pq" -> ((s, d) => {
-      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      val ids = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"))
       val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
       val queries = ids.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
@@ -964,7 +988,7 @@ object SparkEntry {
     // append + commit protocol + per-batch ADC + union + exact re-rank
     // end-to-end. Rebuilt per invocation (the sim_topk_ivf_incr stance).
     "sim_topk_ivfpq_incr" -> ((s, d) => {
-      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      val ids = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"))
       val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
       val queries = ids.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
@@ -990,7 +1014,7 @@ object SparkEntry {
       val bin = multimodalBinary(col("doc_id"), col("text"))
       // dims struct behind a projection boundary (same codegen-size
       // rationale as multimodal_audio)
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           length(bin).cast("bigint").as("n_bytes"),
           Multimodal.contentHash(bin).as("content_md5"),
@@ -1016,7 +1040,7 @@ object SparkEntry {
       // struct computed ONCE behind a projection boundary: CollapseProject
       // keeps the producer separate because `m` is referenced five times
       // and inlining would quintuple the (large) parse tree in codegen
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .filter(col("doc_id") % 4 === 2)
         .select(col("doc_id"), Multimodal.wavMeta(wav).as("m"))
         .select(col("doc_id"),
@@ -1040,7 +1064,7 @@ object SparkEntry {
           length(col("text")).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.audioReport(
-        Tables.documents(s, d)
+        spread(Tables.documents(s, d))
           .filter(col("doc_id") % 4 === 2)
           .select(col("source"), wav.as("wav")))
     }),
@@ -1051,7 +1075,7 @@ object SparkEntry {
     // routing the fixture plants, so the sniff must agree with the
     // construction on every row for the rollup to hash-match
     "multimodal_inventory" -> ((s, d) =>
-      Multimodal.mediaInventory(Tables.documents(s, d)
+      Multimodal.mediaInventory(spread(Tables.documents(s, d))
         .select(col("source"), multimodalBinary(col("doc_id"), col("text")).as("media")))),
 
     // video sibling of multimodal_audio: doc_id%4==3 rows carry REAL
@@ -1068,7 +1092,7 @@ object SparkEntry {
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.withMp4Meta(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
+        spread(Tables.documents(s, d)).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           col("m.major_brand").as("major_brand"),
           col("m.version").as("version"),
@@ -1088,7 +1112,7 @@ object SparkEntry {
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.withMp4Meta(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
+        spread(Tables.documents(s, d)).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           posexplode(Multimodal.framePositionsMs(col("m.duration_ms"), 500L))
             .as(Seq("frame_idx", "pos_ms")))
@@ -1102,7 +1126,7 @@ object SparkEntry {
     // upscale-invariance test in MultimodalSpec). Emitted as the 16-char
     // two's-complement hex so the sign bit never meets SQL arithmetic.
     "multimodal_dhash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         lpad(hex(Multimodal.dHash(plantedBitmap(col("doc_id")), 9, 8)), 16, "0")
           .as("dhash_hex"))),
     // image near-dup: re-keyed copies share bitmaps bit-for-bit (hamming
@@ -1111,7 +1135,7 @@ object SparkEntry {
     // 2.1e3/2⁻⁶⁴ per cross pair — zero expected collisions at any tested
     // sf, making the pair set analytic
     "dedup_image" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"), plantedBitmap(col("doc_id")).as("img"))
       val copies = base.select((col("id") + 100000L).as("id"), col("img"))
       Multimodal.imageNearDup(base.union(copies), 9, 8, maxHamming = 2)
@@ -1130,7 +1154,7 @@ object SparkEntry {
     // offset bug with the decoder). Full-deflate + all-filter decode is
     // pinned by dedup_image_png and the MultimodalSpec round-trip.
     "multimodal_decode" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             filterMode = 0, stored = true).as("png"))
@@ -1146,7 +1170,7 @@ object SparkEntry {
     // blobs bit-for-bit → exactly one hamming-0 pair per doc (same
     // analytic pair set as dedup_image)
     "dedup_image_png" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             filterMode = -1, stored = false).as("png"))
@@ -1169,7 +1193,7 @@ object SparkEntry {
     // decoder). RGBA + all-filter + real-deflate decode is pinned by
     // dedup_image_png_color and the MultimodalSpec round-trips.
     "multimodal_decode_png_color" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id")), lit(9),
             filterMode = 0, stored = true).as("png"))
@@ -1191,7 +1215,7 @@ object SparkEntry {
     // and must equal the formula — proving the encoder wrote a spec-
     // layout PLTE rather than sharing a compensating bug with the decoder
     "multimodal_decode_png_palette" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
             trns = true, filterMode = -1).as("png"),
@@ -1214,7 +1238,7 @@ object SparkEntry {
           lit(s"-$i")).cast("binary")), 1, 2), 16, 10).cast("int")
           % (1 << dep)).cast("string"), 10, 16), 2, "0")): _*))
       val plant = plantedBitmap(col("doc_id"))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.pngEncodeGrayDeep(reduced(1), lit(9), 1,
             filterMode = -1).as("p1"),
@@ -1248,7 +1272,7 @@ object SparkEntry {
           filterMode = -1))
         .otherwise(Multimodal.pngEncodePal8(plantedBitmap(col("doc_id")), lit(9),
           interlace = true, trns = true, filterMode = -1))
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"), png.as("png"))
       val copies = base.select((col("id") + 100000L).as("id"), col("png"))
       Multimodal.imageNearDupPng(base.union(copies), 9, 8, maxHamming = 2)
@@ -1262,7 +1286,7 @@ object SparkEntry {
     // transform/LZ77/cache/meta paths the literal fixture cannot reach
     // are pinned by hand-built spec streams in MultimodalSpec
     "multimodal_decode_webp" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id")), lit(9)).as("webp"))
         .select(col("doc_id"),
@@ -1277,7 +1301,7 @@ object SparkEntry {
     // MultimodalSpec (Vp8Vectors — a lossy coding's paths a DC fixture
     // cannot reach)
     "multimodal_decode_vp8" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.webpEncodeVp8(plantedMbBitmap(col("doc_id")), lit(48)).as("webp"))
         .select(col("doc_id"),
@@ -1291,7 +1315,7 @@ object SparkEntry {
     // per-MB md5 plants (72 iid bits/doc) make cross-doc digest
     // collisions impossible at any realistic corpus size
     "dedup_image_vp8" -> ((s, d) => {
-      def digested(nparts: Int, shift: Long) = Tables.documents(s, d)
+      def digested(nparts: Int, shift: Long) = spread(Tables.documents(s, d))
         .select((col("doc_id") + lit(shift)).as("id"),
           sha2(Multimodal.webpDecodeLuma(
             Multimodal.webpEncodeVp8(plantedMbBitmap(col("doc_id")), lit(48),
@@ -1306,7 +1330,7 @@ object SparkEntry {
     // the last major crawl image format — re-keyed copies share blobs
     // bit-for-bit → exactly one hamming-0 pair per doc, alpha ignored
     "dedup_image_webp" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id"), alpha = true),
             lit(9), alpha = true).as("webp"))
@@ -1322,7 +1346,7 @@ object SparkEntry {
     // bpp-aware unfilter path sits inside the oracled query; re-keyed
     // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_png_color" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id"), alpha = true), lit(9),
             filterMode = -1, stored = false, alpha = true).as("png"))
@@ -1366,7 +1390,7 @@ object SparkEntry {
     // spec vectors in MultimodalSpec (the literal fixture can't reach
     // them, same stance as the VP8L vectors).
     "multimodal_decode_gif" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("gif"),
           Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
@@ -1383,7 +1407,7 @@ object SparkEntry {
     // blobs bit-for-bit → exactly one hamming-0 pair per doc; iid planted
     // bytes keep cross pairs outside hamming 2 (the dedup_image argument)
     "dedup_image_gif" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             interlace = true).as("gif"))
@@ -1405,7 +1429,7 @@ object SparkEntry {
       val jbitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
@@ -1456,7 +1480,7 @@ object SparkEntry {
     // → padded bottom-up rows → luma → dHash → Hamming-LSH): re-keyed
     // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_bmp" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.bmpEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("bmp"))
       val copies = base.select((col("id") + 100000L).as("id"), col("bmp"))
@@ -1474,7 +1498,7 @@ object SparkEntry {
     // decoder returns, proving the encoder wrote spec-layout TIFF rather
     // than sharing a compensating offset bug with the decoder.
     "multimodal_decode_tiff" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9)).as("tiff"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
@@ -1533,7 +1557,7 @@ object SparkEntry {
     // the banded-LSH query: re-keyed copies share blobs bit-for-bit →
     // exactly one hamming-0 pair per doc
     "dedup_image_tiff" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true).as("tiff"))
@@ -1561,7 +1585,7 @@ object SparkEntry {
       val jbitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9)).as("g4"),
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9),
@@ -1599,7 +1623,7 @@ object SparkEntry {
     // w.p. 5/8 per cell, so a 62-of-64 cross match is ~7e-11 — analytic
     // safety holds through the verify scale
     "dedup_image_tiff_g4" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9)).as("tiff"))
       val copies = base.select((col("id") + 100000L).as("id"), col("tiff"))
@@ -1626,7 +1650,7 @@ object SparkEntry {
         ((col("doc_id") % 60) * 500 + 1000).cast("bigint"),
         when(col("doc_id") % 2 === 0, lit("V_VP8")).otherwise(lit("V_VP9")),
         when(col("doc_id") % 3 === 0, lit("A_OPUS")).otherwise(lit("A_FLAC")))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.webmMeta(webm).as("m"))
         .select(col("doc_id"),
           col("m.doc_type").as("doc_type"),
@@ -1648,7 +1672,7 @@ object SparkEntry {
       val ogg = when(col("doc_id") % 2 === 0,
         Multimodal.oggPages(serial, np, nStreams = 1))
         .otherwise(Multimodal.oggPages(serial, np, nStreams = 2))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.oggMeta(ogg).as("m"))
         .select(col("doc_id"),
           col("m.n_pages").as("n_pages"),
@@ -1673,7 +1697,7 @@ object SparkEntry {
         .when(cls === 2, Multimodal.oggAudio(serial, np, "opus", 2, 48000,
           preskip = 312))
         .otherwise(Multimodal.oggAudio(serial, np, "opus", 1, 24000))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.oggIdent(ogg).as("m"))
         .select(col("doc_id"),
           col("m.codec").as("codec"),
@@ -1700,7 +1724,7 @@ object SparkEntry {
         .when(cls === 1, mk(5, 1, mono = false, xing = false))
         .when(cls === 2, mk(14, 2, mono = false, xing = true))
         .otherwise(mk(1, 0, mono = true, xing = false))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.mp3Meta(blob).as("m"))
         .select(col("doc_id"),
           col("m.version").as("version"),
@@ -1720,7 +1744,7 @@ object SparkEntry {
           (lit(16L) + (col("doc_id") % 2) * 8L).cast("bigint"),
           ((col("doc_id") % 1000000L) * 1000L + 12345L).cast("bigint")),
         col("text").cast("binary"))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.flacMeta(flac).as("m"))
         .select(col("doc_id"),
           col("m.sample_rate").as("sample_rate"),
@@ -1746,7 +1770,7 @@ object SparkEntry {
           Multimodal.gifEncodeGray8(px, lit(9),
             frames = f, loop = if (f == 1) -1 else k % 3)).otherwise(acc)
       }
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), gif.as("gif"))
         .select(col("doc_id"),
           Multimodal.gifFrameCount(col("gif")).cast("bigint").as("n_frames"),
@@ -1799,7 +1823,7 @@ object SparkEntry {
         .when(cls === 6, concat(lit("OggS".getBytes("US-ASCII")), junk))
         .otherwise(concat(unhex(lit("1A45DFA3")), junk))
       Multimodal.decodeDropReport(
-        Tables.documents(s, d).select(
+        spread(Tables.documents(s, d)).select(
           concat(lit("s"),
             ((col("doc_id") / lit(8)).cast("bigint") % 3).cast("string")).as("source"),
           media.as("media")))
@@ -1855,7 +1879,7 @@ object SparkEntry {
       // (doc_id%3 would pin each class to one source: doc_id≡k mod 12
       // forces doc_id≡k mod 3) — 30 grouped rows, not 10
       Multimodal.decodeDropReport(
-        Tables.documents(s, d).select(
+        spread(Tables.documents(s, d)).select(
           concat(lit("s"),
             ((col("doc_id") / lit(12)).cast("bigint") % 3).cast("string")).as("source"),
           media.as("media")))
@@ -1880,7 +1904,7 @@ object SparkEntry {
         filterMode = -1, stored = false)
       val clip = Multimodal.mp4MjpegEncode(
         array(Multimodal.jpegEncodeGray8Dc(frameBitmap, lit(12))), 12, 10, 1)
-      val media = Tables.documents(s, d)
+      val media = spread(Tables.documents(s, d))
         .select(col("doc_id"),
           when(col("doc_id") % 2 === 0, png).otherwise(clip).as("media"))
       Multimodal.decodePartitions(media)
@@ -1912,7 +1936,7 @@ object SparkEntry {
         val mag = conv(hex(col("jpeg").substr(lit(163 + 4 * i), lit(1))), 16, 10).cast("int")
         when(mag < 64, mag - 127).otherwise(mag) + 128 // EXTEND⁻¹ + level shift
       }
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("jpeg"))
         .select(
@@ -1934,7 +1958,7 @@ object SparkEntry {
       val bitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12), deep = true).as("jpeg"))
         .select(col("doc_id"),
@@ -1957,7 +1981,7 @@ object SparkEntry {
       val bitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Prog(bitmap, lit(12)).as("prog"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("base"))
@@ -1971,7 +1995,7 @@ object SparkEntry {
     // the multi-scan wire format — re-keyed copies share blobs
     // bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_jpeg_prog" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.jpegEncodeGray8Prog(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
         .transform(Caches.persisted)
@@ -1988,7 +2012,7 @@ object SparkEntry {
       // base is persisted: the 72-md5 plant + encode feeds BOTH union
       // branches (copies re-key the same blobs), and recomputing it
       // doubled the query's dominant cost
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.jpegEncodeGray8Dc(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
         .transform(Caches.persisted)
@@ -2014,7 +2038,7 @@ object SparkEntry {
         val mag = conv(hex(col("jpeg").substr(lit(174 + 14 * i), lit(1))), 16, 10).cast("int")
         when(mag < 64, mag - 127).otherwise(mag) + 128 // EXTEND⁻¹ + level shift
       }
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.jpegEncodeYccDc(bitmap, lit(24), 2, 2, cb = 32, cr = 224).as("jpeg"))
         .select(
@@ -2031,7 +2055,7 @@ object SparkEntry {
     // 3-component subsampled payloads); re-keyed copies share blobs
     // bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_jpeg_color" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.jpegEncodeYccDc(
             plantedJpegColorBitmap(col("doc_id")), lit(144), 2, 1).as("jpeg"))
@@ -2054,7 +2078,7 @@ object SparkEntry {
         lpad(conv(uu.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(uu, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 4).map(i => repeat(leHex(u(i)), 16)): _*))
-      val clips = Tables.documents(s, d)
+      val clips = spread(Tables.documents(s, d))
         .select(col("doc_id"),
           concat(Multimodal.wavHeader(lit(1L), lit(8000L), lit(16L), lit(128L)),
             data).as("wav"))
@@ -2072,7 +2096,7 @@ object SparkEntry {
     "multimodal_avi" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrame(col("doc_id"), f), lit(72), 1, 1)): _*)
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.aviMjpegEncode(frames, 72, 64).as("avi"))
         .select(col("doc_id"),
           size(Multimodal.aviMjpegFrames(col("avi"))).cast("bigint").as("n_frames"),
@@ -2089,7 +2113,7 @@ object SparkEntry {
     "multimodal_mp4_frames" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrame(col("doc_id"), f), lit(72), 1, 1)): _*)
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), Multimodal.mp4MjpegEncode(frames, 72, 64).as("mp4"))
         .select(col("doc_id"),
           size(Multimodal.mp4MjpegFrames(col("mp4"))).cast("bigint").as("n_frames"),
@@ -2105,7 +2129,7 @@ object SparkEntry {
     "dedup_video_mp4" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
-      val src = Tables.documents(s, d)
+      val src = spread(Tables.documents(s, d))
         .select(col("doc_id"), frames.as("frames"))
         .transform(Caches.persisted)
       val base = src.select(col("doc_id").as("id"),
@@ -2124,7 +2148,7 @@ object SparkEntry {
     "dedup_video" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.aviMjpegEncode(frames, 72, 32).as("avi"))
         .transform(Caches.persisted)
@@ -2156,7 +2180,7 @@ object SparkEntry {
         lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.flacEncodePcm16(data, lit(1), rate = 16000).as("flac"))
         .select(col("doc_id"),
@@ -2174,7 +2198,7 @@ object SparkEntry {
         lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           Multimodal.flacEncodePcm16(data, lit(1), rate = 16000).as("flac"))
         .transform(Caches.persisted)
@@ -2197,7 +2221,7 @@ object SparkEntry {
       val fixture = when(col("doc_id") % 2 === 0,
         Multimodal.avifEncodeMeta(payload, wh, heic = false))
         .otherwise(Multimodal.avifEncodeMeta(payload, wh, heic = true))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), fixture.as("img"))
         .select(col("doc_id"),
           length(col("img")).cast("bigint").as("n_bytes"),
@@ -2223,7 +2247,7 @@ object SparkEntry {
           concat(Multimodal.mp4Header(lit(600L), lit(6000L)),
             col("text").cast("binary")))
         .otherwise(col("text").cast("binary"))
-      Multimodal.mediaInventory(Tables.documents(s, d)
+      Multimodal.mediaInventory(spread(Tables.documents(s, d))
         .select(col("source"), media.as("media")))
     }),
     // REAL MPEG Audio Layer III decode, hash-oracled END-TO-END: planted
@@ -2240,7 +2264,7 @@ object SparkEntry {
     // but none of the code or control flow. Lossy codec ⇒ this, not
     // byte-roundtrip, is the strongest pin the format admits.
     "multimodal_decode_mp3" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2257,7 +2281,7 @@ object SparkEntry {
     // box's one real MP3 is LSF, which has no scfsi), which is exactly
     // why it needs an oracle row.
     "multimodal_decode_mp3_scfsi" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2272,7 +2296,7 @@ object SparkEntry {
     // hash-match the SAME oracle restatement — a decode-side pin on the
     // new table that no byte-level check could provide.
     "multimodal_decode_mp3_t10" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2287,7 +2311,7 @@ object SparkEntry {
     // the row exists precisely so that bug class can never return
     // silently. Subband-3/4 synthesis + alias leak restated in the SQL.
     "multimodal_decode_mp3_preflag" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2300,7 +2324,7 @@ object SparkEntry {
     // and interleaves the stereo WAV. Narrows the audio tier's stereo
     // boundary to intensity-only (most real music is joint stereo).
     "multimodal_decode_mp3_ms" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 8),
@@ -2314,7 +2338,7 @@ object SparkEntry {
     // placement the long-only fixtures never executed; this row keeps
     // the path pinned end-to-end).
     "multimodal_decode_mp3_short" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2330,7 +2354,7 @@ object SparkEntry {
     // + an equi-join on digest; id-sized output (the dedup_image_vp8
     // stance, audio edition).
     "dedup_audio_mp3" -> ((s, d) => {
-      def digested(variant: Int, shift: Long) = Tables.documents(s, d)
+      def digested(variant: Int, shift: Long) = spread(Tables.documents(s, d))
         .select((col("doc_id") + lit(shift)).as("id"),
           sha2(Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 4),
@@ -2346,7 +2370,8 @@ object SparkEntry {
     // exists only through real two-channel Layer III decode. Same
     // digest-join shape as dedup_audio_mp3.
     "dedup_audio_mp3_stereo" -> ((s, d) => {
-      def digested(variant: Int, shift: Long) = Tables.documents(s, d)
+      def digested(variant: Int, shift: Long) = spread(Tables.documents(s, d)
+        .select(col("doc_id")))
         .select((col("doc_id") + lit(shift)).as("id"),
           sha2(Multimodal.mp3DecodeWav(
             Multimodal.mp3FixtureEncode(mp3PlantedSpec(col("doc_id"), 8),
@@ -2378,7 +2403,7 @@ object SparkEntry {
       // the G.711 fixtures take the planted BYTES as the code stream
       def g711(p: String) = Multimodal.wavProfileEncode(
         plantedBitmap(col("doc_id")), lit(1), 8000, p)
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), prof("pcm8").as("w8"), prof("pcm24").as("w24"),
           prof("pcm32").as("w32"), prof("float32").as("wf"),
           prof("float64").as("wf64"),
@@ -2414,7 +2439,7 @@ object SparkEntry {
       val nib = unhex(concat((0 until 48).map(j =>
         substring(md5(concat(col("doc_id").cast("string"), lit(s"-an$j"))
           .cast("binary")), 1, 2)): _*))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.imaAdpcmWav(nib, (col("doc_id") % 89).cast("int"),
             rate = 8000, blockAlign = 28).as("wav"))
@@ -2435,7 +2460,7 @@ object SparkEntry {
       val nib = unhex(concat((0 until 42).map(j =>
         substring(md5(concat(col("doc_id").cast("string"), lit(s"-mn$j"))
           .cast("binary")), 1, 2)): _*))
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"),
           Multimodal.msAdpcmWav(nib, (col("doc_id") % 911).cast("int"),
             rate = 8000, blockAlign = 28).as("wav"))
@@ -2455,9 +2480,9 @@ object SparkEntry {
         lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val pcm = unhex(concat((0 until 72).map(i => leHex(v(i))): _*))
-      val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+      val base = spread(Tables.documents(s, d)).select(col("doc_id").as("id"),
         Multimodal.wavProfileEncode(pcm, lit(1), 16000, "float32").as("wav"))
-      val copies = Tables.documents(s, d).select(
+      val copies = spread(Tables.documents(s, d)).select(
         (col("doc_id") + 100000L).as("id"),
         Multimodal.wavProfileEncode(pcm, lit(1), 16000, "pcm24").as("wav"))
       Multimodal.audioNearDup(base.union(copies), maxHamming = 2)
@@ -2474,7 +2499,7 @@ object SparkEntry {
         lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           concat(Multimodal.wavHeader(lit(1L), lit(16000L), lit(16L), lit(2304L)),
             data).as("wav"))
@@ -2485,17 +2510,17 @@ object SparkEntry {
     }),
 
     // --- north-star: text analysis ---
-    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
-    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
-    "text_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(spread(Tables.documents(s, d)))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(spread(Tables.documents(s, d)))),
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(spread(Tables.documents(s, d)))),
     "text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
-    "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
+    "word_count" -> ((s, d) => TextAnalysis.wordCount(spread(Tables.documents(s, d)))),
     // project harness-sortable scalars only (the raw fp array crashes the
     // driver's pandas sort); the array itself stays pinned by FuncsSpec's
     // native≡declarative tests
-    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
+    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowFingerprints(spread(Tables.documents(s, d)))
       .select(col("doc_id"), col("n_fp"), xxhash64(col("fp")).as("fp_xxh"))),
     // winnow POSITIONS hash-oracled by the planted-analytic move, tie-rule
     // edition: the corpus is replanted as one token repeated 5+doc_id%9
@@ -2507,10 +2532,10 @@ object SparkEntry {
     // the winnow ≡ hashes[pos] property and text_winnow_fp's rows-only row.
     "text_winnow_positions" -> ((s, d) =>
       TextAnalysis.winnowPositions(
-        Tables.documents(s, d).select(col("doc_id"),
+        spread(Tables.documents(s, d)).select(col("doc_id"),
           concat_ws(" ", transform(sequence(lit(1), (lit(5) + col("doc_id") % 9).cast("int")),
             _ => lit("tok"))).as("text")))),
-    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(spread(Tables.documents(s, d)))),
     // REAL BPE (train merges on the corpus word table, encode with the
     // native greedy-merge loop), hash-oracled by the planted-analytic
     // move, BPE edition: the corpus is replanted from doc_id as one of
@@ -2531,7 +2556,7 @@ object SparkEntry {
     // real-corpus encode stays pinned by the Sennrich fixture + the
     // lossless-segmentation law in OperatorsSpec.
     "text_bpe_encode" -> ((s, d) => {
-      val planted = plantedBpeCorpus(Tables.documents(s, d))
+      val planted = plantedBpeCorpus(spread(Tables.documents(s, d)))
       val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
       TextAnalysis.bpeEncode(planted, merges)
         .select(col("doc_id"), col("n_pieces"),
@@ -2544,32 +2569,32 @@ object SparkEntry {
     // document frequency per piece are exact arithmetic over the
     // doc_id % 4 class sizes - the oracle rebuilds the multiset
     "text_token_hist" -> ((s, d) => {
-      val planted = plantedBpeCorpus(Tables.documents(s, d))
+      val planted = plantedBpeCorpus(spread(Tables.documents(s, d)))
       val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
       TextAnalysis.bpeVocabHist(planted, merges)
     }),
     "text_normalize" -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
-    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(spread(Tables.documents(s, d)))),
     // per-doc fraction of distinct 3-grams unique to that doc (the
     // boilerplate/dedup-coverage diagnostic); fp-keyed in the engine,
     // string-keyed in the oracle
-    "text_novelty" -> ((s, d) => TextAnalysis.novelGramShare(Tables.documents(s, d))),
+    "text_novelty" -> ((s, d) => TextAnalysis.novelGramShare(spread(Tables.documents(s, d)))),
     // C4 §2.2 word-blocklist doc gate: token-exact match (vs c4_clean's
     // substring doc rule); "slow"/"window" exist in the corpus vocabulary
     // so both keep branches are exercised
     "text_badwords" -> ((s, d) =>
-      TextAnalysis.badWordFilter(Tables.documents(s, d), Seq("slow", "window"))),
+      TextAnalysis.badWordFilter(spread(Tables.documents(s, d)), Seq("slow", "window"))),
     // the Dolma-style per-doc attributes sidecar: every tagger's signal
     // in ONE zero-shuffle pass (plan-pinned); the oracle reassembles the
     // same row from each tagger's proven CTE via joins
-    "text_attributes" -> ((s, d) => TextAnalysis.attributeReport(Tables.documents(s, d))),
+    "text_attributes" -> ((s, d) => TextAnalysis.attributeReport(spread(Tables.documents(s, d)))),
     // TRAINED language-ID bank (per-language hashed-linear models): the
     // demo bank's weights are derived from the marker words (+1000 milli
     // at each marker's md5 bucket), so the oracle re-materializes the
     // exact weight arrays as literals and replays bucket → logit → argmax
     // integer-exactly — the text_model_score move, one model per language
-    "text_lang_model" -> ((s, d) => TextAnalysis.langModelScore(Tables.documents(s, d))),
-    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    "text_lang_model" -> ((s, d) => TextAnalysis.langModelScore(spread(Tables.documents(s, d)))),
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(spread(Tables.documents(s, d)))),
     // the RPv2 compressibility signal, hash-oracled via COMMITTED
     // deflate constants (DuckDB has no zlib, so the oracle cannot
     // recompute a deflate length — instead the fixture generator ran the
@@ -2583,14 +2608,14 @@ object SparkEntry {
     // (n_chars, deflate_len) and the exact integer milli-ratio.
     "text_compress_ratio" -> ((s, d) => {
       val plant = compressPlant(col("doc_id"))
-      Tables.documents(s, d).select(
+      spread(Tables.documents(s, d)).select(
         col("doc_id"),
         length(plant).cast("bigint").as("n_chars"),
         graft.functions.Native.deflateLen(plant).as("deflate_len"),
         (graft.functions.Native.deflateLen(plant) * 1000L /
           length(plant).cast("bigint")).cast("bigint").as("ratio_milli"))
     }),
-    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(spread(Tables.documents(s, d)))),
     // the COMPLETE Gopher repetition suite over the planted lined view
     // (gopherPlantedDocs); the oracle recomputes ALL 13 signals from the
     // contract in Native.GopherRepetition's scaladoc — including the
@@ -2610,11 +2635,11 @@ object SparkEntry {
     // engines and ties broken by doc_id, so the top-50 cutoff is
     // deterministic
     "text_bm25" -> ((s, d) =>
-      TextAnalysis.bm25TopK(Tables.documents(s, d), Bm25Query, k = 50)),
+      TextAnalysis.bm25TopK(spread(Tables.documents(s, d)), Bm25Query, k = 50)),
     // whole-benchmark retrieval triage: top-10 per prompt stand-in
     "text_bm25_multi" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.bm25PerQuery(Tables.documents(s, d),
+      TextAnalysis.bm25PerQuery(spread(Tables.documents(s, d)),
         BenchmarkQueries.toDF("query_id", "terms"), k = 10)
     }),
     // lexical decontamination: drop every doc in ANY prompt's top-20
@@ -2622,35 +2647,35 @@ object SparkEntry {
     // exact n-gram decontaminate)
     "decontaminate_bm25" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.decontaminateByRetrieval(Tables.documents(s, d),
+      TextAnalysis.decontaminateByRetrieval(spread(Tables.documents(s, d)),
         BenchmarkQueries.toDF("query_id", "terms"), k = 20).select("doc_id")
     }),
-    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(Tables.documents(s, d))),
-    "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
-    "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
-    "text_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(spread(Tables.documents(s, d)))),
+    "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(spread(Tables.documents(s, d)))),
+    "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(spread(Tables.documents(s, d)))),
+    "text_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(spread(Tables.documents(s, d)))),
     // Stupid Backoff trigram scoring against the non-src0 LM slice: src0
     // docs carry LM-unseen trigrams/bigrams, so the direct path AND both
     // backoff levels all bind under the hash
     "text_backoff_lm" -> ((s, d) =>
-      TextAnalysis.stupidBackoffScore(Tables.documents(s, d), col("source") =!= "src0")),
+      TextAnalysis.stupidBackoffScore(spread(Tables.documents(s, d)), col("source") =!= "src0")),
     // DSIR importance weighting: target LM = the src0 slice (any
     // predicate works; the oracle mirrors this one)
     "text_dsir" -> ((s, d) =>
-      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0")),
+      TextAnalysis.importanceWeight(spread(Tables.documents(s, d)), col("source") === "src0")),
     // the selection-ablation table over the DSIR score: docs/token mass
     // surviving each candidate cutoff, from ONE aggregate pass
     "quality_sweep" -> ((s, d) => Pipeline.thresholdSweep(
-      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0"),
+      TextAnalysis.importanceWeight(spread(Tables.documents(s, d)), col("source") === "src0"),
       "mean_logratio", "n_tokens",
       Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))),
     "sample_importance" -> ((s, d) =>
-      TextAnalysis.importanceTopK(Tables.documents(s, d), col("source") === "src0", k = 100)),
+      TextAnalysis.importanceTopK(spread(Tables.documents(s, d)), col("source") === "src0", k = 100)),
     // model-based quality scoring plumbing: the weights are an arbitrary
     // deterministic fixture (a real run loads trained ones); the oracle
     // pins the feature hashing + exact integer scoring arithmetic
     "text_model_score" -> ((s, d) =>
-      TextAnalysis.linearQualityScore(Tables.documents(s, d), DemoWeightsMilli)),
+      TextAnalysis.linearQualityScore(spread(Tables.documents(s, d)), DemoWeightsMilli)),
     // the closed train→deploy loop: distill the Gopher gate into a hashed
     // linear model (distributed LBFGS), then score through the SAME
     // literal-weights codegen path text_model_score pins — now
@@ -2680,7 +2705,7 @@ object SparkEntry {
     // HTML extraction over a planted page wrapper (script/style blocks,
     // attributes, all six entities — built identically in the oracle)
     "html_extract" -> ((s, d) => TextAnalysis.stripHtml(
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         concat(
           lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body class=\"c"),
           (col("doc_id") % 5).cast("string"),
@@ -2694,7 +2719,7 @@ object SparkEntry {
     // doc_id%7 plants a blocked path word, doc_id%5 a harmless query
     // string — every rule path is exercised.
     "url_filter" -> ((s, d) => TextAnalysis.urlFilter(
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example"),
           (col("doc_id") % 3).cast("string"), lit(".com/"), col("lang"),
           lit("/page"), col("doc_id").cast("string"),
@@ -2706,7 +2731,7 @@ object SparkEntry {
     // C4 line/doc heuristics over the same lined fixture; "slow" stands
     // in for C4's "javascript" line-blocklist rule on this vocabulary
     "c4_clean" -> ((s, d) => TextAnalysis.c4LineFilter(
-      Tables.documents(s, d).select(col("doc_id"),
+      spread(Tables.documents(s, d)).select(col("doc_id"),
         linedText(col("doc_id"), col("text")).as("text")),
       lineBlocklist = Seq("slow"))),
 
@@ -2716,11 +2741,11 @@ object SparkEntry {
     // synthetic corpus carries no PII — inject a deterministic contact
     // line per doc (mirrored in the oracle) so the redaction is exercised
     "pii_redact" -> ((s, d) =>
-      Pipeline.redactPii(Tables.documents(s, d).withColumn("text",
+      Pipeline.redactPii(spread(Tables.documents(s, d)).withColumn("text",
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
-    "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(Tables.embeddings(s, d))),
+    "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(spread(Tables.embeddings(s, d), "vec_id"))),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
     // sketch scale-path: HLL/t-digest internals are engine-specific →
     // rows-only here; accuracy pinned vs exact aggregates in PipelineSpec
@@ -2741,12 +2766,12 @@ object SparkEntry {
           sequence(lit(1), (lit(5) + col("doc_id") % 9).cast("int")),
           _ => concat(lit("w"), (col("doc_id") % 9).cast("string")))).as("text")))),
     "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
-    "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
+    "decontaminate" -> ((s, d) => Pipeline.decontaminate(spread(Tables.documents(s, d)), n = 5)),
     // identical semantics to decontaminate (the verify join removes bloom
     // false positives), so it shares that oracle SQL verbatim — the hash
     // match pins that the map-side bloom prune loses nothing
-    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(Tables.documents(s, d), n = 5)),
-    "contamination_report" -> ((s, d) => Pipeline.contaminationReport(Tables.documents(s, d), n = 5)),
+    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(spread(Tables.documents(s, d)), n = 5)),
+    "contamination_report" -> ((s, d) => Pipeline.contaminationReport(spread(Tables.documents(s, d)), n = 5)),
     "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),
@@ -2775,7 +2800,7 @@ object SparkEntry {
     // fixture; the stage still pins pass-through fidelity) → 88
     // (split + 2 contaminated dropped) → packed.
     "pipeline_full_prep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = spread(Tables.documents(s, d))
       val raw = docs.select(col("doc_id"), linedText(col("doc_id"), col("text")).as("text"))
       val afterC4 = TextAnalysis.c4LineFilter(raw, lineBlocklist = Seq("slow"))
         .filter(col("keep") === 1)
@@ -2830,7 +2855,7 @@ object SparkEntry {
     // SSJoin lemma), so the oracle replays it quadratically and the CC +
     // keeper + downstream interplay is hash-pinned end-to-end.
     "pipeline_full_prep_nd" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = spread(Tables.documents(s, d))
       val raw = docs.select(col("doc_id"), linedText(col("doc_id"), col("text")).as("text"))
       val afterC4 = TextAnalysis.c4LineFilter(raw, lineBlocklist = Seq("slow"))
         .filter(col("keep") === 1)

@@ -559,13 +559,21 @@ private[graft] object Mp3L3 {
   /** ISO polyphase synthesis: 1024-slot V FIFO shifted by 64 per slot,
     * published U shuffle, D-windowed 16-tap sum. */
   private final class Synth {
+    // V as a RING: instead of memmoving 960 doubles down every slot (the
+    // ISO figure's literal FIFO — measured as the decoder's hottest cost
+    // at 18 slots/granule), keep a write base that steps back by 64 and
+    // read through `(base + x) & 1023`. Conceptual v[x] of the shifting
+    // formulation = v[(base + x) & 1023] here; every float value and
+    // every accumulation order below is IDENTICAL to the shifting code,
+    // so the goldens and the DuckDB hash oracle are unchanged by
+    // construction (integer index algebra only).
     private val v = new Array[Double](1024)
-    private val u = new Array[Double](512)
+    private var base = 0
 
     private val nzIdx = new Array[Int](32)
 
     def slot(s: Array[Double], sOff: Int, pcm: Array[Double], pOff: Int): Unit = {
-      System.arraycopy(v, 0, v, 64, 960)
+      base = (base - 64) & 1023
       // gather the nonzero subbands once: skipping an exactly-zero term
       // skips an `acc += c * 0.0` — bit-identical except for the sign of
       // an all-zero accumulator, which no int16 sample can see. Real
@@ -578,6 +586,8 @@ private[graft] object Mp3L3 {
         if (s(sOff + k) != 0.0) { nzIdx(nnz) = k; nnz += 1 }
         k += 1
       }
+      // matrixing writes the slot's 64 new values at v[base .. base+63]
+      // (base is a multiple of 64, so the run never wraps)
       var i = 0
       while (i < 64) {
         var acc = 0.0
@@ -587,24 +597,28 @@ private[graft] object Mp3L3 {
           acc += NCos(i * 32 + kk) * s(sOff + kk)
           j += 1
         }
-        v(i) = acc
+        v(base + i) = acc
         i += 1
       }
-      i = 0
-      while (i < 8) {
-        var j = 0
-        while (j < 32) {
-          u(i * 64 + j) = v(i * 128 + j)
-          u(i * 64 + 32 + j) = v(i * 128 + 96 + j)
-          j += 1
-        }
-        i += 1
-      }
+      // D-window directly over the ring — the published U shuffle
+      // u[64t + j] = v[128t + j], u[64t + 32 + j] = v[128t + 96 + j]
+      // is pure re-indexing, so the 16-tap sum reads v through the same
+      // mapping instead of copying 512 doubles per slot. Tap order stays
+      // i = 0,1,2,…,15 (t-th iteration adds taps 2t then 2t+1), so the
+      // accumulation order is exactly the original's.
       var j = 0
       while (j < 32) {
         var acc = 0.0
-        i = 0
-        while (i < 16) { acc += u(j + 32 * i) * DWindow(j + 32 * i); i += 1 }
+        var vIdx = base + j // tap 2t reads v[(base + 128t + j) & 1023]
+        var dIdx = j //        tap 2t uses DWindow[64t + j]
+        var t = 0
+        while (t < 8) {
+          acc += v(vIdx & 1023) * DWindow(dIdx)
+          acc += v((vIdx + 96) & 1023) * DWindow(dIdx + 32)
+          vIdx += 128
+          dIdx += 64
+          t += 1
+        }
         pcm(pOff + j) = acc
         j += 1
       }
@@ -702,10 +716,11 @@ private[graft] object Mp3L3 {
             var sb = 0
             while (sb < 32) {
               imdctBlock(xr, 18 * sb, if (g.wsf == 1) g.blockType else 0, block)
+              val ov = overlap(ch)(sb) // hoisted: 2 array derefs per granule, not 36
               var n = 0
               while (n < 18) {
-                var v = block(n) + overlap(ch)(sb)(n)
-                overlap(ch)(sb)(n) = block(n + 18)
+                var v = block(n) + ov(n)
+                ov(n) = block(n + 18)
                 if ((sb & 1) == 1 && (n & 1) == 1) v = -v
                 slotBuf(n * 32 + sb) = v
                 n += 1
