@@ -38,6 +38,29 @@ object Sessions {
       // with payload bytes. Optimizer-only toggle: join semantics and
       // every query result are unchanged.
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // r17: size-based AQE coalescing. The default parallelismFirst=true
+      // keeps every post-shuffle stage at `cpus` partitions however tiny
+      // the data, so a multi-stage sketch query pays 32 near-empty tasks
+      // of pure scheduling overhead per exchange (measured: 0.2-0.4 s per
+      // stage at sf0.1). Size-first coalescing folds those to the
+      // advisory partition size — the optimization guide's §2.2 stance
+      // ("size partitions 100 MB-1 GB … let AQE coalesce") — while
+      // user-specified repartitions (the codec-tier spreads, the shard
+      // writes) keep their explicit widths. At cluster scale the same
+      // setting is what sizes reduce partitions by bytes instead of by a
+      // core count they outgrew.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // r17: v2 file-output commit — task outputs promote to the final
+      // directory at TASK commit (parallel) instead of one serial
+      // driver-side rename sweep at job commit; the store tier's shard
+      // writes commit ~80 dynamic partition directories per batch, where
+      // the v1 sweep is pure serial wall time. Job-commit atomicity is
+      // not load-bearing anywhere in the engine: the batch-store protocol
+      // has its own atomicity above the filesystem (content-hashed batch
+      // directory + `_COMMIT` marker written last, partial directories
+      // invisible to readers and overwritten by retry), and bench/verify
+      // writes are whole-directory overwrites.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Native.register(s)

@@ -529,7 +529,7 @@ object SparkEntry {
     }),
 
     // --- north-star: dedup ---
-    "dedup_exact" -> ((s, d) => Dedup.exact(spread(Tables.documents(s, d)))),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     // planted re-encodes (the dedup_embedding_srp trick applied to text
     // LSH): every doc is replanted under doc_id+100000. At threshold 1.0
     // the verify keeps exactly the Jaccard-1 pairs = pairs with EQUAL
@@ -540,7 +540,7 @@ object SparkEntry {
     // pairwise cold path runs). The LSH machinery itself — banding,
     // skew guard, verification — is exercised end-to-end.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashLsh(docs.union(copies), threshold = 1.0).drop("jaccard")
     }),
@@ -554,7 +554,7 @@ object SparkEntry {
     // exact pair set at a raw threshold stays pinned by the ScalaTest
     // brute-force comparisons (OperatorsSpec).
     "dedup_minhash_raw" -> ((s, d) =>
-      Dedup.minhashLsh(spread(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+      Dedup.minhashLsh(Tables.documents(s, d).select(col("doc_id"), col("text")),
         threshold = 0.8).drop("jaccard")),
     // LSH blocking + EditSim verification (Lee et al.'s NearDup), planted
     // like dedup_minhash_lsh: at threshold 1.0 the kept pairs are exactly
@@ -564,7 +564,7 @@ object SparkEntry {
     // pass a truncated compare without being guaranteed candidates. The
     // threshold ≥ 1 cutoff makes each verify O(n), not O(n²)
     "dedup_editsim" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.editSimNearDup(docs.union(copies), threshold = 1.0)
     }),
@@ -597,7 +597,7 @@ object SparkEntry {
       val text = concat_ws(" ", (0 until 8).map(i =>
         md5(concat(grp.cast("string"), lit(s"-ec$i")).cast("binary"))): _*)
       Dedup.editSimNearDup(
-        spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text")),
+        Tables.documents(s, d).select(col("doc_id"), text.as("text")),
         threshold = 0.9, maxPairsPerDoc = 3)
     }),
     // the verification stage alone at a REAL operating point: analytic
@@ -606,7 +606,7 @@ object SparkEntry {
     // levenshtein on the same truncated text — real varied distances,
     // unlike the degenerate threshold-1.0 pin above
     "dedup_editsim_pairs" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.verifyEditSimilarity(pairs, docs, threshold = 0.25, maxChars = 256)
     }),
@@ -618,7 +618,7 @@ object SparkEntry {
     // substitution per position) — so the native banded DP's outputs are
     // pure arithmetic in DuckDB
     "dedup_editsim_tokens" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val k = (col("doc_id") % 4 + 1).cast("int")
       val qTokens = array_join(
         transform(sequence(lit(1), k), i => concat(lit("q"), i.cast("string"))), " ")
@@ -636,7 +636,7 @@ object SparkEntry {
     // degenerate threshold: kept ⟺ equal token sequences (single-spaced
     // corpus ⇒ equal text), same oracle family as dedup_editsim
     "dedup_editsim_tok" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.tokenEditSimNearDup(docs.union(copies), threshold = 1.0)
     }),
@@ -645,7 +645,7 @@ object SparkEntry {
     // replanted at id+100000; at threshold 1.0 the verified pairs are
     // exactly the equal-shingle-set (a, b+100000) pairs — SQL-expressible
     "dedup_cross" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val heldOut = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.crossNearDup(docs, heldOut, threshold = 1.0).drop("jaccard")
     }),
@@ -653,7 +653,7 @@ object SparkEntry {
     // replants land in their own md5 split, so train originals whose
     // replant fell in the test split are the contaminated set
     "decontaminate_neardup" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val planted = docs.union(docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       Pipeline.decontaminateNearDup(planted, threshold = 1.0)
     }),
@@ -664,7 +664,7 @@ object SparkEntry {
     // SQL-expressible). Each doc pairs exactly with its replant at
     // hamming 0, making the sketch op hash-oracle-able.
     "dedup_simhash" -> ((s, d) => {
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"),
+      val docs = Tables.documents(s, d).select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           x => concat(col("doc_id").cast("string"), lit(":"), x))).as("text"))
       val copies = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -690,12 +690,12 @@ object SparkEntry {
     // planted oracle is invariant: identical copies share every probe
     // bucket at ANY centroid count
     "dedup_embedding" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDup(emb.union(copies), minCosine = 0.9, nprobe = 2)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
+      Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)),
     // planted re-encodes: every vector re-keyed +100000 — the train-free
     // SRP-LSH path must pair each copy with its original (cosine exactly
     // 1 ⇒ identical signatures in every table ⇒ candidate with
@@ -703,7 +703,7 @@ object SparkEntry {
     // cosine ≤ 0.61 at sf ≤ 0.1) — so the output is exactly one row per
     // vector and the operator is hash-oracle-able despite being an LSH
     "dedup_embedding_srp" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupSrp(emb.union(copies), minCosine = 0.9)
     }),
@@ -719,17 +719,17 @@ object SparkEntry {
       Dedup.semanticDedup(emb.union(copies), minCosine = 0.9).drop("cluster")
     }),
     "dedup_components" -> ((s, d) =>
-      Dedup.dedupComponents(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
-    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(spread(Tables.documents(s, d)), n = 5)),
+      Dedup.dedupComponents(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), n = 5)),
     "dedup_remove_spans" -> ((s, d) =>
       Dedup.removeDuplicatedSpans(spread(Tables.documents(s, d)), n = 5)),
     "dedup_keep_best" -> ((s, d) =>
-      Dedup.dedupKeepBest(spread(Tables.documents(s, d)), n = 3, threshold = 0.5)),
-    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(spread(Tables.documents(s, d)))),
+      Dedup.dedupKeepBest(Tables.documents(s, d), n = 3, threshold = 0.5)),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables.documents(s, d))),
     // exact line-level dedup over the lined fixture (see linedText):
     // string-keyed in the oracle, pinning the xxhash64 line fingerprints
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(
-      spread(Tables.documents(s, d)).select(col("doc_id"),
+      Tables.documents(s, d).select(col("doc_id"),
         linedText(col("doc_id"), col("text")).as("text")))),
     // URL-level dedup over a derived URL fixture that exercises every
     // canonicalization rule: mixed-case scheme (%2), userinfo (%11),
@@ -740,7 +740,7 @@ object SparkEntry {
     // longest capture, ties to smallest doc_id. Oracle builds the same
     // URL and canonicalizes with the same anchored regexes.
     "dedup_url" -> ((s, d) => Dedup.urlDedup(
-      spread(Tables.documents(s, d)).select(col("doc_id"), col("n_chars"),
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
         derivedUrl(col("doc_id"), col("source")).as("url")))),
     // per-domain quality rollup over the same derived-URL fixture: the
     // canonical domain is '<source>.example.com' (scheme/userinfo/www/port
@@ -748,12 +748,12 @@ object SparkEntry {
     // keep-rate aggregates the Gopher gate text_gopher_filter pins, and
     // the oracle recomputes every signal from scratch
     "domain_quality" -> ((s, d) => TextAnalysis.domainQuality(
-      spread(Tables.documents(s, d)).select(col("doc_id"), col("text"),
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
         derivedUrl(col("doc_id"), col("source")).as("url")))),
 
     // --- north-star: similarity search ---
     "sim_topk_bruteforce" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id")
+      val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), k = 10)
@@ -763,7 +763,7 @@ object SparkEntry {
     // cluster index = medoid vec_id, so the oracle reproduces the
     // assignment as an exact-cosine argmax join)
     "sample_cluster_balance" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       Pipeline.clusterCapSample(emb, medoids, perCluster = 40)
@@ -776,14 +776,14 @@ object SparkEntry {
     // c.vec_id != q.vec_id + 100000; ranking parity over the remaining
     // pairs is the same exact-cosine row_number the bruteforce oracle pins
     "sim_hard_negatives" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.hardNegatives(queries, emb.union(copies), k = 10, posThreshold = 0.95)
     }),
     "sim_topk_ivf" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id")
+      val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
@@ -795,7 +795,7 @@ object SparkEntry {
     // multi-assignment, the bucket-join candidate set, pair dedup, and
     // the final rank are ALL reconstructible in DuckDB
     "sim_topk_ivf_medoid" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -812,7 +812,7 @@ object SparkEntry {
     // measure the full append+probe cost (and Verify runs see a fresh
     // store, never a stale one).
     "sim_topk_ivf_incr" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -834,7 +834,7 @@ object SparkEntry {
     // rows, breaks the hash. Phase 1 is checkpointed before compaction
     // (its lazy plan reads the pre-compaction directories).
     "sim_topk_ivf_retract" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -863,7 +863,7 @@ object SparkEntry {
     "store_retract" -> ((s, d) => {
       val text = concat_ws(" ", (0 until 5).map(i =>
         md5(concat(col("doc_id").cast("string"), lit(s"-st$i")).cast("binary"))): _*)
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-retr-${math.abs(d.hashCode)}"
       graft.sources.BatchStore.delete(s, Seq(path))
       graft.apps.CorpusPrep.runIncremental(s,
@@ -892,7 +892,7 @@ object SparkEntry {
         md5(concat(col("doc_id").cast("string"), lit(s"-sa$i")).cast("binary"))): _*)
       val text = array_join(
         slice(toks, lit(1), (lit(3L) + col("doc_id") % 7).cast("int")), " ")
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"), text.as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), text.as("text"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-store-rattr-${math.abs(d.hashCode)}"
       graft.sources.BatchStore.delete(s, Seq(path))
       graft.apps.CorpusPrep.runIncremental(s, docs, path, minTokens = 1)
@@ -914,7 +914,7 @@ object SparkEntry {
     // oracle applies the identical restriction inside its corpus-assign
     // CTE
     "sim_topk_filtered" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -933,7 +933,7 @@ object SparkEntry {
     // pinned in OperatorsSpec; the scan-stage pushed-filter plan is
     // pinned there too.
     "sim_topk_filtered_idx" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"), col("embedding"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val medoids = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).toArray)
       val queries = emb.filter(col("vec_id") < 8)
@@ -958,7 +958,7 @@ object SparkEntry {
     // oracle-able (same move as the planted-re-encode LSH oracles). The
     // partial-probe entry above stays for the recall test.
     "sim_topk_ivf_full" -> ((s, d) => {
-      val emb = spread(Tables.embeddings(s, d), "vec_id")
+      val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
@@ -971,7 +971,7 @@ object SparkEntry {
     // vectors use a different code formula so they differ from every
     // corpus row. Raw-embedding recall stays pinned in OperatorsSpec.
     "sim_topk_pq" -> ((s, d) => {
-      val ids = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"))
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
       val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
       val queries = ids.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
@@ -988,7 +988,7 @@ object SparkEntry {
     // append + commit protocol + per-batch ADC + union + exact re-rank
     // end-to-end. Rebuilt per invocation (the sim_topk_ivf_incr stance).
     "sim_topk_ivfpq_incr" -> ((s, d) => {
-      val ids = spread(Tables.embeddings(s, d), "vec_id").select(col("vec_id"))
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
       val corpus = ids.select(col("vec_id"), pqPlantedVec(col("vec_id"), 7, 3, 0).as("embedding"))
       val queries = ids.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), pqPlantedVec(col("vec_id"), 11, 5, 1).as("q_embedding"))
@@ -1040,7 +1040,7 @@ object SparkEntry {
       // struct computed ONCE behind a projection boundary: CollapseProject
       // keeps the producer separate because `m` is referenced five times
       // and inlining would quintuple the (large) parse tree in codegen
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .filter(col("doc_id") % 4 === 2)
         .select(col("doc_id"), Multimodal.wavMeta(wav).as("m"))
         .select(col("doc_id"),
@@ -1064,7 +1064,7 @@ object SparkEntry {
           length(col("text")).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.audioReport(
-        spread(Tables.documents(s, d))
+        Tables.documents(s, d)
           .filter(col("doc_id") % 4 === 2)
           .select(col("source"), wav.as("wav")))
     }),
@@ -1075,7 +1075,7 @@ object SparkEntry {
     // routing the fixture plants, so the sniff must agree with the
     // construction on every row for the rollup to hash-match
     "multimodal_inventory" -> ((s, d) =>
-      Multimodal.mediaInventory(spread(Tables.documents(s, d))
+      Multimodal.mediaInventory(Tables.documents(s, d)
         .select(col("source"), multimodalBinary(col("doc_id"), col("text")).as("media")))),
 
     // video sibling of multimodal_audio: doc_id%4==3 rows carry REAL
@@ -1092,7 +1092,7 @@ object SparkEntry {
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.withMp4Meta(
-        spread(Tables.documents(s, d)).filter(col("doc_id") % 4 === 3), mp4, "m")
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           col("m.major_brand").as("major_brand"),
           col("m.version").as("version"),
@@ -1112,7 +1112,7 @@ object SparkEntry {
           ((col("doc_id") % 50 + 1) * 600L).cast("bigint")),
         col("text").cast("binary"))
       Multimodal.withMp4Meta(
-        spread(Tables.documents(s, d)).filter(col("doc_id") % 4 === 3), mp4, "m")
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 3), mp4, "m")
         .select(col("doc_id"),
           posexplode(Multimodal.framePositionsMs(col("m.duration_ms"), 500L))
             .as(Seq("frame_idx", "pos_ms")))
@@ -2247,7 +2247,7 @@ object SparkEntry {
           concat(Multimodal.mp4Header(lit(600L), lit(6000L)),
             col("text").cast("binary")))
         .otherwise(col("text").cast("binary"))
-      Multimodal.mediaInventory(spread(Tables.documents(s, d))
+      Multimodal.mediaInventory(Tables.documents(s, d)
         .select(col("source"), media.as("media")))
     }),
     // REAL MPEG Audio Layer III decode, hash-oracled END-TO-END: planted
@@ -2499,7 +2499,7 @@ object SparkEntry {
         lpad(conv(vv.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(vv, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 72).map(i => repeat(leHex(v(i)), 16)): _*))
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           concat(Multimodal.wavHeader(lit(1L), lit(16000L), lit(16L), lit(2304L)),
             data).as("wav"))
@@ -2516,7 +2516,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       spread(Tables.documents(s, d)).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
-    "word_count" -> ((s, d) => TextAnalysis.wordCount(spread(Tables.documents(s, d)))),
+    "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
     // project harness-sortable scalars only (the raw fp array crashes the
     // driver's pandas sort); the array itself stays pinned by FuncsSpec's
     // native≡declarative tests
@@ -2556,7 +2556,7 @@ object SparkEntry {
     // real-corpus encode stays pinned by the Sennrich fixture + the
     // lossless-segmentation law in OperatorsSpec.
     "text_bpe_encode" -> ((s, d) => {
-      val planted = plantedBpeCorpus(spread(Tables.documents(s, d)))
+      val planted = plantedBpeCorpus(Tables.documents(s, d))
       val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
       TextAnalysis.bpeEncode(planted, merges)
         .select(col("doc_id"), col("n_pieces"),
@@ -2569,7 +2569,7 @@ object SparkEntry {
     // document frequency per piece are exact arithmetic over the
     // doc_id % 4 class sizes - the oracle rebuilds the multiset
     "text_token_hist" -> ((s, d) => {
-      val planted = plantedBpeCorpus(spread(Tables.documents(s, d)))
+      val planted = plantedBpeCorpus(Tables.documents(s, d))
       val merges = TextAnalysis.trainBpeMerges(planted, numMerges = 10)
       TextAnalysis.bpeVocabHist(planted, merges)
     }),
@@ -2578,7 +2578,7 @@ object SparkEntry {
     // per-doc fraction of distinct 3-grams unique to that doc (the
     // boilerplate/dedup-coverage diagnostic); fp-keyed in the engine,
     // string-keyed in the oracle
-    "text_novelty" -> ((s, d) => TextAnalysis.novelGramShare(spread(Tables.documents(s, d)))),
+    "text_novelty" -> ((s, d) => TextAnalysis.novelGramShare(Tables.documents(s, d))),
     // C4 §2.2 word-blocklist doc gate: token-exact match (vs c4_clean's
     // substring doc rule); "slow"/"window" exist in the corpus vocabulary
     // so both keep branches are exercised
@@ -2635,11 +2635,11 @@ object SparkEntry {
     // engines and ties broken by doc_id, so the top-50 cutoff is
     // deterministic
     "text_bm25" -> ((s, d) =>
-      TextAnalysis.bm25TopK(spread(Tables.documents(s, d)), Bm25Query, k = 50)),
+      TextAnalysis.bm25TopK(Tables.documents(s, d), Bm25Query, k = 50)),
     // whole-benchmark retrieval triage: top-10 per prompt stand-in
     "text_bm25_multi" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.bm25PerQuery(spread(Tables.documents(s, d)),
+      TextAnalysis.bm25PerQuery(Tables.documents(s, d),
         BenchmarkQueries.toDF("query_id", "terms"), k = 10)
     }),
     // lexical decontamination: drop every doc in ANY prompt's top-20
@@ -2647,22 +2647,22 @@ object SparkEntry {
     // exact n-gram decontaminate)
     "decontaminate_bm25" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.decontaminateByRetrieval(spread(Tables.documents(s, d)),
+      TextAnalysis.decontaminateByRetrieval(Tables.documents(s, d),
         BenchmarkQueries.toDF("query_id", "terms"), k = 20).select("doc_id")
     }),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfScore(spread(Tables.documents(s, d)))),
-    "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(spread(Tables.documents(s, d)))),
+    "text_unigram_nll" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_nll" -> ((s, d) => TextAnalysis.bigramSurprisal(spread(Tables.documents(s, d)))),
     "text_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(spread(Tables.documents(s, d)))),
     // Stupid Backoff trigram scoring against the non-src0 LM slice: src0
     // docs carry LM-unseen trigrams/bigrams, so the direct path AND both
     // backoff levels all bind under the hash
     "text_backoff_lm" -> ((s, d) =>
-      TextAnalysis.stupidBackoffScore(spread(Tables.documents(s, d)), col("source") =!= "src0")),
+      TextAnalysis.stupidBackoffScore(Tables.documents(s, d), col("source") =!= "src0")),
     // DSIR importance weighting: target LM = the src0 slice (any
     // predicate works; the oracle mirrors this one)
     "text_dsir" -> ((s, d) =>
-      TextAnalysis.importanceWeight(spread(Tables.documents(s, d)), col("source") === "src0")),
+      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0")),
     // the selection-ablation table over the DSIR score: docs/token mass
     // surviving each candidate cutoff, from ONE aggregate pass
     "quality_sweep" -> ((s, d) => Pipeline.thresholdSweep(
@@ -2670,7 +2670,7 @@ object SparkEntry {
       "mean_logratio", "n_tokens",
       Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))),
     "sample_importance" -> ((s, d) =>
-      TextAnalysis.importanceTopK(spread(Tables.documents(s, d)), col("source") === "src0", k = 100)),
+      TextAnalysis.importanceTopK(Tables.documents(s, d), col("source") === "src0", k = 100)),
     // model-based quality scoring plumbing: the weights are an arbitrary
     // deterministic fixture (a real run loads trained ones); the oracle
     // pins the feature hashing + exact integer scoring arithmetic
@@ -2745,7 +2745,7 @@ object SparkEntry {
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
-    "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(spread(Tables.embeddings(s, d), "vec_id"))),
+    "embedding_quantize" -> ((s, d) => Pipeline.quantizeEmbeddings(Tables.embeddings(s, d))),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(Tables.documents(s, d))),
     // sketch scale-path: HLL/t-digest internals are engine-specific →
     // rows-only here; accuracy pinned vs exact aggregates in PipelineSpec
@@ -2766,12 +2766,12 @@ object SparkEntry {
           sequence(lit(1), (lit(5) + col("doc_id") % 9).cast("int")),
           _ => concat(lit("w"), (col("doc_id") % 9).cast("string")))).as("text")))),
     "pipeline_filter_dedup" -> ((s, d) => Pipeline.qualityFilterDedup(Tables.documents(s, d))),
-    "decontaminate" -> ((s, d) => Pipeline.decontaminate(spread(Tables.documents(s, d)), n = 5)),
+    "decontaminate" -> ((s, d) => Pipeline.decontaminate(Tables.documents(s, d), n = 5)),
     // identical semantics to decontaminate (the verify join removes bloom
     // false positives), so it shares that oracle SQL verbatim — the hash
     // match pins that the map-side bloom prune loses nothing
-    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(spread(Tables.documents(s, d)), n = 5)),
-    "contamination_report" -> ((s, d) => Pipeline.contaminationReport(spread(Tables.documents(s, d)), n = 5)),
+    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(Tables.documents(s, d), n = 5)),
+    "contamination_report" -> ((s, d) => Pipeline.contaminationReport(Tables.documents(s, d), n = 5)),
     "sample_bernoulli" -> ((s, d) => Pipeline.bernoulliSample(Tables.documents(s, d), p = 0.25)),
     "sample_stratified" -> ((s, d) => Pipeline.stratifiedSample(Tables.documents(s, d),
       fractions = Map("src0" -> 0.75, "src1" -> 0.5), defaultFraction = 0.125)),

@@ -280,7 +280,6 @@ object CorpusPrep {
           .select(col("id").as("__tomb_id")),
         keeperDocId === col("__tomb_id"), "left_anti")
 
-    val batchRows = batch.count()
     // raw-ingest extraction first, so every store decision (content id,
     // line claims, fingerprints) is over what actually enters the corpus;
     // persisted because the content-hash agg, the line-claim pass, and
@@ -289,6 +288,11 @@ object CorpusPrep {
     val extracted = pre.map(f => f(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .getOrElse(batch)
+    // r17: with no `pre` hook the batch IS the extracted frame, so the
+    // report's batch size is the content-id aggregate's count — one
+    // fewer action per ingest (each action on this path is a full
+    // plan+schedule cycle; the protocol's fixed cost is action count)
+    val batchRows = if (pre.isEmpty) -1L else batch.count()
     // deterministic content id: order-independent hash over (doc_id, text)
     // plus the row count — a retry of the same batch lands on the same
     // directory and repairs any crashed partial write by overwriting it.
@@ -300,8 +304,10 @@ object CorpusPrep {
       .agg(coalesce(sum(expr("xxhash64(doc_id, text)").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)), count(lit(1)))
       .collect()(0)
+    val extractedRows = idRow.getLong(1)
+    val reportBatchRows = if (batchRows < 0) extractedRows else batchRows
     val batchId =
-      f"${graft.sources.BatchStore.wrap64(idRow.getDecimal(0))}%016x_${idRow.getLong(1)}"
+      f"${graft.sources.BatchStore.wrap64(idRow.getDecimal(0))}%016x_$extractedRows"
     val batchDir = s"$storeDir/batches/b_$batchId"
 
     // optional line-level dedup vs the accepted-line store (the
@@ -362,20 +368,28 @@ object CorpusPrep {
     val mhStore = untombed(
       readStore("mh", "band INT, bkey BIGINT, sig ARRAY<BIGINT>, keep_id BIGINT"),
       col("keep_id"))
-    val candMh = gated.join(sigCands.select("doc_id"), Seq("doc_id"))
-      .select(col("doc_id"),
+    // r17: the simhash rides along the band relation so ONE localCheckpoint
+    // materializes the whole candidate stage — checkpointing sigs and bands
+    // separately re-executed the shared sigCands→minhash→band subtree (and
+    // the mhStore rejection join) once per checkpoint. Every candidate doc
+    // carries exactly 4 band rows (lshBandKeys slices a fixed-width
+    // signature), so distinct (doc_id, sig) below recovers precisely the
+    // old acceptedSigs relation from the checkpointed bands.
+    val candMh = sigCands
+      .join(gated.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("sig").as("ssig"),
         Native.minhashFromTokens(Funcs.tokens(col("text")), 3, 16).as("msig"))
-      .select(col("doc_id"), col("msig"),
+      .select(col("doc_id"), col("ssig"), col("msig"),
         posexplode(Funcs.lshBandKeys(col("msig"), 4, 4)).as(Seq("band", "bkey")))
     val mhRejected = candMh.join(mhStore, Seq("band", "bkey"))
       .filter(
         aggregate(zip_with(col("msig"), col("sig"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / 16.0 >= nearDupJaccard)
       .select("doc_id").distinct()
-    val acceptedSigs = sigCands.join(mhRejected, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
     val acceptedBands = candMh.join(mhRejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    val acceptedSigs = acceptedBands
+      .select(col("doc_id"), col("ssig").as("sig")).distinct()
     val accepted = gated.join(acceptedSigs.select("doc_id"), Seq("doc_id"))
     val acceptedCount = acceptedSigs.count()
 
@@ -396,37 +410,47 @@ object CorpusPrep {
         .withColumn("pos", col("pos") + base)
         .withColumn("shard", floor(col("pos") / shardSize).cast("bigint"))
         .join(accepted, Seq("doc_id"))
-      ordered
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("shard"), col("pos"))
-        .write.partitionBy("shard").mode("overwrite").parquet(s"$batchDir/shards")
-      // only ACCEPTED docs' fingerprints enter the store — it tracks the
-      // accepted corpus, so a signature-rejected doc stays re-checkable
-      novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
-        .select("fp", "keep_id").write.mode("overwrite").parquet(s"$batchDir/fp")
-      acceptedSigs.select(col("sig"), col("doc_id").as("keep_id"))
-        .write.mode("overwrite").parquet(s"$batchDir/sig")
-      acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"),
-          col("doc_id").as("keep_id"))
-        .write.mode("overwrite").parquet(s"$batchDir/mh")
-      if (lineLevelDedup) {
-        // the line-fp mirror of the doc-fp rule: only lines claimed by
-        // finally-accepted docs enter the store, so a rejected doc's
-        // lines stay claimable by a later batch
-        lineNovel
-          .withColumn("doc_id", shiftrightunsigned(col("keep_okey"), 32))
-          .join(acceptedSigs.select("doc_id"), Seq("doc_id"))
-          .select("fp", "keep_okey")
-          .write.mode("overwrite").parquet(s"$batchDir/lfp")
-      }
-      // Dolma-style attributes sidecar: every committed batch persists the
-      // attributeReport relation for its ACCEPTED docs (over the
-      // normalized text — the exact form that entered the corpus), so the
-      // audit sidecar grows with the store, is readable without touching
-      // shard text ([[readAttributes]]), and survives [[compactStore]]
-      // like fp/sig/mh/lfp. Map-side pass over the accepted batch only.
-      TextAnalysis.attributeReport(accepted.select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(s"$batchDir/attrs")
+      // r17: the six relation writes are mutually independent (different
+      // directories, inputs all checkpointed/persisted upstream), so they
+      // run as CONCURRENT jobs (guide §2.6 overlap-independent-jobs) —
+      // measured sequentially they cost writes' SUM per ingest while the
+      // cluster idles through each tail; concurrently they cost ~the
+      // shards write alone. The _COMMIT marker still goes strictly LAST,
+      // after every write has returned, so atomicity is untouched.
+      graft.sources.BatchStore.runConcurrently(
+        Seq(
+          () => ordered
+            .repartition(col("shard"))
+            .sortWithinPartitions(col("shard"), col("pos"))
+            .write.partitionBy("shard").mode("overwrite").parquet(s"$batchDir/shards"),
+          // only ACCEPTED docs' fingerprints enter the store — it tracks
+          // the accepted corpus, so a signature-rejected doc stays
+          // re-checkable
+          () => novelFp.join(acceptedSigs.select(col("doc_id").as("keep_id")), Seq("keep_id"))
+            .select("fp", "keep_id").write.mode("overwrite").parquet(s"$batchDir/fp"),
+          () => acceptedSigs.select(col("sig"), col("doc_id").as("keep_id"))
+            .write.mode("overwrite").parquet(s"$batchDir/sig"),
+          () => acceptedBands.select(col("band"), col("bkey"), col("msig").as("sig"),
+              col("doc_id").as("keep_id"))
+            .write.mode("overwrite").parquet(s"$batchDir/mh"),
+          // Dolma-style attributes sidecar: every committed batch persists
+          // the attributeReport relation for its ACCEPTED docs (over the
+          // normalized text — the exact form that entered the corpus), so
+          // the audit sidecar grows with the store, is readable without
+          // touching shard text ([[readAttributes]]), and survives
+          // [[compactStore]] like fp/sig/mh/lfp. Map-side pass over the
+          // accepted batch only.
+          () => TextAnalysis.attributeReport(accepted.select(col("doc_id"), col("text")))
+            .write.mode("overwrite").parquet(s"$batchDir/attrs")
+        ) ++ (if (lineLevelDedup) Seq(
+          // the line-fp mirror of the doc-fp rule: only lines claimed by
+          // finally-accepted docs enter the store, so a rejected doc's
+          // lines stay claimable by a later batch
+          () => lineNovel
+            .withColumn("doc_id", shiftrightunsigned(col("keep_okey"), 32))
+            .join(acceptedSigs.select("doc_id"), Seq("doc_id"))
+            .select("fp", "keep_okey")
+            .write.mode("overwrite").parquet(s"$batchDir/lfp")) else Nil))
       import spark.implicits._
       Seq(acceptedCount).toDF("accepted")
         .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/meta")
@@ -439,7 +463,7 @@ object CorpusPrep {
     // long-running ingest stream calls this once per micro-batch, so the
     // registry must drain here or cached blocks accumulate without bound
     Dedup.releaseCaches(spark)
-    IncrementalReport(batchRows, gatedCount, novelFp.count(), acceptedCount,
+    IncrementalReport(reportBatchRows, gatedCount, novelFp.count(), acceptedCount,
       base + acceptedCount)
   }
 
@@ -625,40 +649,48 @@ object CorpusPrep {
       .digest(names.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = s"$storeDir/batches/c_$cid"
-    drop(sources.map(p => spark.read.parquet(s"$p/shards")).reduce(_.unionByName(_)),
-        col("doc_id"))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/shards")
-    drop(readStoreIn(spark, sources, "fp", "fp STRING, keep_id BIGINT"), col("keep_id"))
-      .write.mode("overwrite").parquet(s"$dir/fp")
-    // the near-dup claim relations drop their retracted keepers like
-    // fp/lfp do (each row carries keep_id for exactly this); batches
-    // written before the keep_id column read it as null, which no
-    // tombstone id equals — their claims survive until a periodic batch
-    // canonicalization rebuild
-    drop(readStoreIn(spark, sources, "sig", "sig BIGINT, keep_id BIGINT"),
-        col("keep_id"))
-      .write.mode("overwrite").parquet(s"$dir/sig")
-    drop(readStoreIn(spark, sources, "mh",
-        "band INT, bkey BIGINT, sig ARRAY<BIGINT>, keep_id BIGINT"), col("keep_id"))
-      .write.mode("overwrite").parquet(s"$dir/mh")
-    // line-claim store: only written when some source batch ran with
-    // lineLevelDedup — an empty union writes an empty (but present)
-    // relation, which readStoreIn reads back as empty; skipping the write
-    // entirely when NO source carries lfp keeps a line-dedup-free store
-    // free of the relation
-    // attributes sidecar folds like the probe relations (batches predating
-    // the sidecar simply contribute no rows)
-    drop(readStoreIn(spark, sources, "attrs", AttrsDdl), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/attrs")
-    val lfp = drop(readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT"),
-      shiftrightunsigned(col("keep_okey"), 32))
-    if (sources.exists { p =>
-        val path = new org.apache.hadoop.fs.Path(s"$p/lfp")
-        path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
-      })
-      lfp.write.mode("overwrite").parquet(s"$dir/lfp")
+    // r17: the per-relation rewrites are mutually independent (disjoint
+    // output directories, committed-source inputs), so they run as
+    // concurrent jobs (guide §2.6) — the shards re-cluster dominates and
+    // the small relations fold in its shadow. `_COMPACTED_FROM` and
+    // `_COMMIT` still go strictly after all of them.
+    val lfpPresent = sources.exists { p =>
+      val path = new org.apache.hadoop.fs.Path(s"$p/lfp")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    graft.sources.BatchStore.runConcurrently(
+      Seq(
+        () => drop(sources.map(p => spark.read.parquet(s"$p/shards")).reduce(_.unionByName(_)),
+            col("doc_id"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/shards"),
+        () => drop(readStoreIn(spark, sources, "fp", "fp STRING, keep_id BIGINT"), col("keep_id"))
+          .write.mode("overwrite").parquet(s"$dir/fp"),
+        // the near-dup claim relations drop their retracted keepers like
+        // fp/lfp do (each row carries keep_id for exactly this); batches
+        // written before the keep_id column read it as null, which no
+        // tombstone id equals — their claims survive until a periodic batch
+        // canonicalization rebuild
+        () => drop(readStoreIn(spark, sources, "sig", "sig BIGINT, keep_id BIGINT"),
+            col("keep_id"))
+          .write.mode("overwrite").parquet(s"$dir/sig"),
+        () => drop(readStoreIn(spark, sources, "mh",
+            "band INT, bkey BIGINT, sig ARRAY<BIGINT>, keep_id BIGINT"), col("keep_id"))
+          .write.mode("overwrite").parquet(s"$dir/mh"),
+        // attributes sidecar folds like the probe relations (batches
+        // predating the sidecar simply contribute no rows)
+        () => drop(readStoreIn(spark, sources, "attrs", AttrsDdl), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/attrs")
+      ) ++ (if (lfpPresent) Seq(
+        // line-claim store: only written when some source batch ran with
+        // lineLevelDedup — an empty union writes an empty (but present)
+        // relation, which readStoreIn reads back as empty; skipping the
+        // write entirely when NO source carries lfp keeps a line-dedup-free
+        // store free of the relation
+        () => drop(readStoreIn(spark, sources, "lfp", "fp BIGINT, keep_okey BIGINT"),
+            shiftrightunsigned(col("keep_okey"), 32))
+          .write.mode("overwrite").parquet(s"$dir/lfp")) else Nil))
     import spark.implicits._
     // meta stays the CUMULATIVE accepted count even when retractions
     // shrank the corpus: it is the position high-water mark the next

@@ -153,6 +153,33 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Value-identity passthrough that REPORTS nondeterministic — the
+    * optimization-guide §4.4 treatment (UDF `asNondeterministic`) for
+    * native expressions. Wrapping an EXPENSIVE derived column's defining
+    * expression stops `PushPredicateThroughNonJoin` from substituting the
+    * alias into a downstream filter and pushing the whole codec chain
+    * below the projection (and any exchange under it) — the duplicate-
+    * evaluation pathology: a `.filter(col("sig").isNotNull)` over a
+    * decode-derived column otherwise re-runs the decode per row in the
+    * single-split scan stage AND again in the projection. Evaluation and
+    * codegen delegate to the child untouched, so values, nullability and
+    * results are exactly the child's; only the optimizer's freedom to
+    * duplicate/reorder the expression is withdrawn. Apply to expensive
+    * aliases only — it also blocks legitimate pushes of OTHER predicates
+    * through the same projection. */
+  case class OptimizerBarrier(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override lazy val deterministic: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** simhash64(ARRAY<STRING>) → LONG: per token, xxhash64; per bit, ±1
     * counter; sign bits reassembled. Same algorithm as the declarative
     * [[Funcs.simhash64]], one loop instead of 64 interpreted lambdas per
@@ -11549,6 +11576,7 @@ object Native {
     * session, [[injectInto]] for `SparkSessionExtensions`). */
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "graft_opaque" -> (exprs => OptimizerBarrier(exprs(0))),
     "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intLit(exprs(1), "k"))),
     "graft_simhash" -> (exprs => SimHash64(exprs(0))),
     "graft_simhash_wide" -> (exprs => SimHashWide(exprs(0), intLit(exprs(1), "words"))),
@@ -11696,6 +11724,10 @@ object Native {
     }
 
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  /** [[OptimizerBarrier]] as a Column: wrap an expensive derived column's
+    * defining expression so filters on the alias cannot be pushed below
+    * its projection (value-identity; see the expression's doc). */
+  def opaque(c: Column): Column = call_function("graft_opaque", c)
   def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))
   def minhashSig(shingles: Column, k: Int = Funcs.DefaultMinHashK): Column =
     call_function("graft_minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))

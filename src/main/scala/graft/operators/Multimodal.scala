@@ -707,7 +707,7 @@ object Multimodal {
   def decodeDropReport(media: DataFrame): DataFrame =
     media
       .select(col("source"), modality(col("media")).as("modality"),
-        graft.functions.Native.decodeDropReason(col("media")).as("reason"),
+        graft.functions.Native.opaque(graft.functions.Native.decodeDropReason(col("media"))).as("reason"),
         length(col("media")).cast("bigint").as("nb"))
       .filter(col("reason").isNotNull)
       .groupBy("source", "modality", "reason")
@@ -751,7 +751,7 @@ object Multimodal {
   def imageNearDup(images: DataFrame, width: Int, height: Int,
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
-      images.select(col("id"), dHash(col("img"), width, height).as("sig"))
+      images.select(col("id"), graft.functions.Native.opaque(dHash(col("img"), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -828,7 +828,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(pngDecodeLuma(col("png")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(pngDecodeLuma(col("png")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -870,7 +870,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(webpDecodeLuma(col("webp")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(webpDecodeLuma(col("webp")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -910,7 +910,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(gifDecodeLuma(col("gif")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(gifDecodeLuma(col("gif")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -953,7 +953,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(bmpDecodeLuma(col("bmp")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(bmpDecodeLuma(col("bmp")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -1020,7 +1020,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(tiffDecodeLuma(col("tiff")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(tiffDecodeLuma(col("tiff")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -1095,7 +1095,7 @@ object Multimodal {
       maxHamming: Int = 2, maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       images.select(col("id"),
-        dHash(jpegDecodeLuma(col("jpeg")), width, height).as("sig"))
+        graft.functions.Native.opaque(dHash(jpegDecodeLuma(col("jpeg")), width, height)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -1252,7 +1252,7 @@ object Multimodal {
         s"(got maxHamming=$maxHamming, nSample=$nSample)")
     Dedup.hammingNearDup(
       clips.select(col("id"),
-        mjpegClipSig(col("avi"), width, height, nSample).as("sig"))
+        graft.functions.Native.opaque(mjpegClipSig(col("avi"), width, height, nSample)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize, sigBits = 64 * nSample)
   }
@@ -1278,7 +1278,7 @@ object Multimodal {
       maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       clips.select(col("id"),
-        dHash(wavEnvelope(col("wav"), 72), 9, 8).as("sig"))
+        graft.functions.Native.opaque(dHash(wavEnvelope(col("wav"), 72), 9, 8)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 
@@ -1342,7 +1342,7 @@ object Multimodal {
       maxBucketSize: Int = 64): DataFrame =
     Dedup.hammingNearDup(
       clips.select(col("id"),
-        dHash(wavEnvelope(flacDecodeWav(col("flac")), 72), 9, 8).as("sig"))
+        graft.functions.Native.opaque(dHash(wavEnvelope(flacDecodeWav(col("flac")), 72), 9, 8)).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, maxBucketSize)
 

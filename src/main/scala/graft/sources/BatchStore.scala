@@ -110,6 +110,32 @@ object BatchStore {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
+  /** Run independent store-relation writes as CONCURRENT Spark jobs from
+    * a bounded driver-side pool (optimization guide §2.6: actions are only
+    * sequential because driver code calls them sequentially; overlapping
+    * independent jobs lets the next job's tasks back-fill executors the
+    * current job's tail leaves idle). Each thunk must target its OWN
+    * directory — the session is the only shared state, and Spark's
+    * scheduler is multi-thread-safe by design. Blocks until ALL thunks
+    * finish; the FIRST failure is rethrown (after the others complete, so
+    * a caller's crash-retry sees a stable directory state), which keeps
+    * every caller's write-then-`_COMMIT` ordering intact. */
+  def runConcurrently(writes: Seq[() => Unit]): Unit = {
+    if (writes.isEmpty) return
+    if (writes.length == 1) { writes.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(writes.length, 4))
+    try {
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(
+        writes.map(w => new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = w()
+        }).asJava)
+      // invokeAll waits for completion; surface the first failure
+      futures.asScala.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Delete directories (compaction garbage collection). */
   def delete(spark: SparkSession, dirs: Seq[String]): Unit =
     dirs.foreach { d =>
