@@ -61,6 +61,15 @@ object Sessions {
       // invisible to readers and overwritten by retry), and bench/verify
       // writes are whole-directory overwrites.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // r17: the default 100-entry whole-stage-codegen class cache thrashes
+      // under a 180+-query harness — by the time a query's timed reps run,
+      // its generated classes (some compiled from multi-thousand-node
+      // fixture expression trees at 0.5-1.5 s of Janino each) have been
+      // evicted by the other queries' warm-ups, so every rep recompiles
+      // what the warm-up pass deliberately paid for once. Sized to hold
+      // the whole harness's classes; cost is classloader metadata, not
+      // heap at this scale. Static conf — must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Native.register(s)

@@ -1014,7 +1014,7 @@ object SparkEntry {
       val bin = multimodalBinary(col("doc_id"), col("text"))
       // dims struct behind a projection boundary (same codegen-size
       // rationale as multimodal_audio)
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"),
           length(bin).cast("bigint").as("n_bytes"),
           Multimodal.contentHash(bin).as("content_md5"),
@@ -1170,7 +1170,7 @@ object SparkEntry {
     // blobs bit-for-bit → exactly one hamming-0 pair per doc (same
     // analytic pair set as dedup_image)
     "dedup_image_png" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.pngEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             filterMode = -1, stored = false).as("png"))
@@ -1330,7 +1330,7 @@ object SparkEntry {
     // the last major crawl image format — re-keyed copies share blobs
     // bit-for-bit → exactly one hamming-0 pair per doc, alpha ignored
     "dedup_image_webp" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.webpEncodeVp8l(plantedRgbBitmap(col("doc_id"), alpha = true),
             lit(9), alpha = true).as("webp"))
@@ -1346,7 +1346,7 @@ object SparkEntry {
     // bpp-aware unfilter path sits inside the oracled query; re-keyed
     // copies share blobs bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_png_color" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.pngEncodeRgb(plantedRgbBitmap(col("doc_id"), alpha = true), lit(9),
             filterMode = -1, stored = false, alpha = true).as("png"))
@@ -1407,7 +1407,7 @@ object SparkEntry {
     // blobs bit-for-bit → exactly one hamming-0 pair per doc; iid planted
     // bytes keep cross pairs outside hamming 2 (the dedup_image argument)
     "dedup_image_gif" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.gifEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             interlace = true).as("gif"))
@@ -1557,7 +1557,7 @@ object SparkEntry {
     // the banded-LSH query: re-keyed copies share blobs bit-for-bit →
     // exactly one hamming-0 pair per doc
     "dedup_image_tiff" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.tiffEncodeGray8(plantedBitmap(col("doc_id")), lit(9),
             bigEndian = true).as("tiff"))
@@ -1623,7 +1623,7 @@ object SparkEntry {
     // w.p. 5/8 per cell, so a 62-of-64 cross match is ~7e-11 — analytic
     // safety holds through the verify scale
     "dedup_image_tiff_g4" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.tiffG4Encode(plantedBitmap(col("doc_id")), lit(9)).as("tiff"))
       val copies = base.select((col("id") + 100000L).as("id"), col("tiff"))
@@ -1650,7 +1650,7 @@ object SparkEntry {
         ((col("doc_id") % 60) * 500 + 1000).cast("bigint"),
         when(col("doc_id") % 2 === 0, lit("V_VP8")).otherwise(lit("V_VP9")),
         when(col("doc_id") % 3 === 0, lit("A_OPUS")).otherwise(lit("A_FLAC")))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), Multimodal.webmMeta(webm).as("m"))
         .select(col("doc_id"),
           col("m.doc_type").as("doc_type"),
@@ -1672,7 +1672,7 @@ object SparkEntry {
       val ogg = when(col("doc_id") % 2 === 0,
         Multimodal.oggPages(serial, np, nStreams = 1))
         .otherwise(Multimodal.oggPages(serial, np, nStreams = 2))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), Multimodal.oggMeta(ogg).as("m"))
         .select(col("doc_id"),
           col("m.n_pages").as("n_pages"),
@@ -1697,7 +1697,7 @@ object SparkEntry {
         .when(cls === 2, Multimodal.oggAudio(serial, np, "opus", 2, 48000,
           preskip = 312))
         .otherwise(Multimodal.oggAudio(serial, np, "opus", 1, 24000))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), Multimodal.oggIdent(ogg).as("m"))
         .select(col("doc_id"),
           col("m.codec").as("codec"),
@@ -1724,7 +1724,7 @@ object SparkEntry {
         .when(cls === 1, mk(5, 1, mono = false, xing = false))
         .when(cls === 2, mk(14, 2, mono = false, xing = true))
         .otherwise(mk(1, 0, mono = true, xing = false))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), Multimodal.mp3Meta(blob).as("m"))
         .select(col("doc_id"),
           col("m.version").as("version"),
@@ -1744,7 +1744,7 @@ object SparkEntry {
           (lit(16L) + (col("doc_id") % 2) * 8L).cast("bigint"),
           ((col("doc_id") % 1000000L) * 1000L + 12345L).cast("bigint")),
         col("text").cast("binary"))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), Multimodal.flacMeta(flac).as("m"))
         .select(col("doc_id"),
           col("m.sample_rate").as("sample_rate"),
@@ -1770,7 +1770,7 @@ object SparkEntry {
           Multimodal.gifEncodeGray8(px, lit(9),
             frames = f, loop = if (f == 1) -1 else k % 3)).otherwise(acc)
       }
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), gif.as("gif"))
         .select(col("doc_id"),
           Multimodal.gifFrameCount(col("gif")).cast("bigint").as("n_frames"),
@@ -1936,7 +1936,7 @@ object SparkEntry {
         val mag = conv(hex(col("jpeg").substr(lit(163 + 4 * i), lit(1))), 16, 10).cast("int")
         when(mag < 64, mag - 127).otherwise(mag) + 128 // EXTEND⁻¹ + level shift
       }
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("jpeg"))
         .select(
@@ -1958,7 +1958,7 @@ object SparkEntry {
       val bitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12), deep = true).as("jpeg"))
         .select(col("doc_id"),
@@ -1981,7 +1981,7 @@ object SparkEntry {
       val bitmap = unhex(concat(
         repeat(concat(repeat(hex2(vv(0)), 8), repeat(hex2(vv(1)), 4)), 8),
         repeat(concat(repeat(hex2(vv(2)), 8), repeat(hex2(vv(3)), 4)), 2)))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.jpegEncodeGray8Prog(bitmap, lit(12)).as("prog"),
           Multimodal.jpegEncodeGray8Dc(bitmap, lit(12)).as("base"))
@@ -1995,7 +1995,7 @@ object SparkEntry {
     // the multi-scan wire format — re-keyed copies share blobs
     // bit-for-bit → exactly one hamming-0 pair per doc
     "dedup_image_jpeg_prog" -> ((s, d) => {
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.jpegEncodeGray8Prog(plantedJpegBitmap(col("doc_id")), lit(72)).as("jpeg"))
         .transform(Caches.persisted)
@@ -2078,7 +2078,7 @@ object SparkEntry {
         lpad(conv(uu.bitwiseAND(lit(255)).cast("string"), 10, 16), 2, "0"),
         lpad(conv(shiftright(uu, 8).cast("string"), 10, 16), 2, "0"))
       val data = unhex(concat((0 until 4).map(i => repeat(leHex(u(i)), 16)): _*))
-      val clips = spread(Tables.documents(s, d))
+      val clips = Tables.documents(s, d)
         .select(col("doc_id"),
           concat(Multimodal.wavHeader(lit(1L), lit(8000L), lit(16L), lit(128L)),
             data).as("wav"))
@@ -2129,7 +2129,7 @@ object SparkEntry {
     "dedup_video_mp4" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
-      val src = spread(Tables.documents(s, d))
+      val src = Tables.documents(s, d)
         .select(col("doc_id"), frames.as("frames"))
         .transform(Caches.persisted)
       val base = src.select(col("doc_id").as("id"),
@@ -2148,7 +2148,7 @@ object SparkEntry {
     "dedup_video" -> ((s, d) => {
       val frames = array((0 until 2).map(f =>
         Multimodal.jpegEncodeYccDc(plantedVideoFrameSmall(col("doc_id"), f), lit(72), 1, 1)): _*)
-      val base = spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           Multimodal.aviMjpegEncode(frames, 72, 32).as("avi"))
         .transform(Caches.persisted)
@@ -2221,7 +2221,7 @@ object SparkEntry {
       val fixture = when(col("doc_id") % 2 === 0,
         Multimodal.avifEncodeMeta(payload, wh, heic = false))
         .otherwise(Multimodal.avifEncodeMeta(payload, wh, heic = true))
-      spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(col("doc_id"), fixture.as("img"))
         .select(col("doc_id"),
           length(col("img")).cast("bigint").as("n_bytes"),
@@ -2514,7 +2514,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(spread(Tables.documents(s, d)))),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(spread(Tables.documents(s, d)))),
     "text_fingerprint" -> ((s, d) =>
-      spread(Tables.documents(s, d)).select(col("doc_id"),
+      Tables.documents(s, d).select(col("doc_id"),
         graft.functions.Funcs.fingerprint(col("text")).as("md5"))),
     "word_count" -> ((s, d) => TextAnalysis.wordCount(Tables.documents(s, d))),
     // project harness-sortable scalars only (the raw fp array crashes the
@@ -2594,7 +2594,7 @@ object SparkEntry {
     // exact weight arrays as literals and replays bucket → logit → argmax
     // integer-exactly — the text_model_score move, one model per language
     "text_lang_model" -> ((s, d) => TextAnalysis.langModelScore(spread(Tables.documents(s, d)))),
-    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(spread(Tables.documents(s, d)))),
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
     // the RPv2 compressibility signal, hash-oracled via COMMITTED
     // deflate constants (DuckDB has no zlib, so the oracle cannot
     // recompute a deflate length — instead the fixture generator ran the
@@ -2608,7 +2608,7 @@ object SparkEntry {
     // (n_chars, deflate_len) and the exact integer milli-ratio.
     "text_compress_ratio" -> ((s, d) => {
       val plant = compressPlant(col("doc_id"))
-      spread(Tables.documents(s, d)).select(
+      Tables.documents(s, d).select(
         col("doc_id"),
         length(plant).cast("bigint").as("n_chars"),
         graft.functions.Native.deflateLen(plant).as("deflate_len"),
@@ -2666,7 +2666,7 @@ object SparkEntry {
     // the selection-ablation table over the DSIR score: docs/token mass
     // surviving each candidate cutoff, from ONE aggregate pass
     "quality_sweep" -> ((s, d) => Pipeline.thresholdSweep(
-      TextAnalysis.importanceWeight(spread(Tables.documents(s, d)), col("source") === "src0"),
+      TextAnalysis.importanceWeight(Tables.documents(s, d), col("source") === "src0"),
       "mean_logratio", "n_tokens",
       Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))),
     "sample_importance" -> ((s, d) =>
@@ -2705,7 +2705,7 @@ object SparkEntry {
     // HTML extraction over a planted page wrapper (script/style blocks,
     // attributes, all six entities — built identically in the oracle)
     "html_extract" -> ((s, d) => TextAnalysis.stripHtml(
-      spread(Tables.documents(s, d)).select(col("doc_id"),
+      Tables.documents(s, d).select(col("doc_id"),
         concat(
           lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body class=\"c"),
           (col("doc_id") % 5).cast("string"),
@@ -2719,7 +2719,7 @@ object SparkEntry {
     // doc_id%7 plants a blocked path word, doc_id%5 a harmless query
     // string — every rule path is exercised.
     "url_filter" -> ((s, d) => TextAnalysis.urlFilter(
-      spread(Tables.documents(s, d)).select(col("doc_id"),
+      Tables.documents(s, d).select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example"),
           (col("doc_id") % 3).cast("string"), lit(".com/"), col("lang"),
           lit("/page"), col("doc_id").cast("string"),

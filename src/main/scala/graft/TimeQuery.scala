@@ -34,13 +34,31 @@ object TimeQuery {
             f"[job] ${j.jobId}%4d ${(System.nanoTime() - v._1) / 1e9}%7.3f s  ${v._2}")
         }
       })
+      // Catalyst phase attribution (parsing/analysis/optimization/planning
+      // wall ms per executed query) — the planning-overhead view the job
+      // listener can't see
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = {
+          val ph = qe.tracker.phases.map { case (k, v) =>
+            s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")
+          println(f"[phases] ${ns / 1e9}%7.3f s total  $ph")
+        }
+        override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     }
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    val buildOnly = sys.env.get("SPARK_GRAFT_BUILD_ONLY").contains("1")
     (1 to reps).foreach { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[time] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      if (!buildOnly) df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"[time] $name rep $i: ${(t2 - t0) / 1e9}%.3f s" +
+        f" (build ${(t1 - t0) / 1e9}%.3f, run ${(t2 - t1) / 1e9}%.3f)")
     }
     spark.stop()
   }
